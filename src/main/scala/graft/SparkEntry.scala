@@ -11,7 +11,7 @@ object SparkEntry {
   /** All operator families, merged. Each family exposes
     * name → (builder, optional DuckDB oracle SQL). */
   private lazy val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
-    Relational.entries
+    Relational.entries ++ Churn.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,327 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Churn / event analytics — the reference's own domain re-expressed
+  * Spark-first: the MorphL churning-users pipeline's GA-hit → session →
+  * per-user-feature → churn-label stages (its PySpark preprocessing jobs)
+  * over the `events` stream table.
+  *
+  * Scale design (SURVEY.md §5): everything here keys on `user_id`. Each
+  * query shuffles on user_id at most once (the window/groupBy), and all
+  * downstream per-user steps reuse that clustering. At 100 TB the events
+  * table would be written bucketed by user_id so even that shuffle
+  * disappears.
+  *
+  * Oracle conventions: `events.ts` is a nanos-since-epoch LONG on the
+  * Spark side (Tables.events) and TIMESTAMP (µs-truncated) in DuckDB —
+  * both floor to identical epoch seconds; all arithmetic stays integer
+  * until a final double division, with explicit FLOOR (never cast-to-int,
+  * whose tie behavior differs between engines).
+  */
+object Churn {
+
+  val SessionGapS = 14400L // 4h — median inter-event gap in this data is ~7.7h
+  val ChurnDays   = 1L     // recency threshold; data spans 30d, max recency 2d
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 6))
+  private def dsum(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** events + integer epoch seconds / epoch days. */
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("ep", expr("ts div 1000000000"))
+      .withColumn("ep_day", expr("ep div 86400"))
+
+  /** DuckDB-side equivalent of `ev` as a CTE. */
+  private val evSql =
+    """e AS (SELECT event_id, user_id, event_type, value,
+      |  CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep,
+      |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day FROM events)""".stripMargin
+
+  private def userWindow = Window.partitionBy(col("user_id"))
+    .orderBy(asc("ep"), asc("event_id"))
+
+  /** Sessions per user: gap > SessionGapS starts a new session. One
+    * shuffle (user_id window); session_seq = running count of
+    * session-starts — the standard lag+cumsum sessionizer. */
+  private def sessions(s: SparkSession, d: String): DataFrame = {
+    val w = userWindow
+    ev(s, d)
+      .withColumn("prev_ep", lag(col("ep"), 1).over(w))
+      .withColumn("is_new",
+        when(col("prev_ep").isNull || col("ep") - col("prev_ep") > SessionGapS, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("is_new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  private val sessionsSql =
+    s"""$evSql,
+       |m AS (SELECT *, LAG(ep) OVER (PARTITION BY user_id ORDER BY ep, event_id) AS prev_ep FROM e),
+       |sn AS (SELECT *, CASE WHEN prev_ep IS NULL OR ep - prev_ep > $SessionGapS
+       |  THEN 1 ELSE 0 END AS is_new FROM m),
+       |sess AS (SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+       |  ORDER BY ep, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq FROM sn)""".stripMargin
+
+  /** c1_sessionize — per-session rollup. */
+  def c1Sessionize(s: SparkSession, d: String): DataFrame =
+    sessions(s, d)
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ep")).as("start_ep"),
+        max(col("ep")).as("end_ep"),
+        count(lit(1)).as("n_events"),
+        dsum(col("value")).as("session_value"))
+      .orderBy("user_id", "session_seq")
+
+  val c1Sql: String =
+    s"""WITH $sessionsSql
+       |SELECT user_id, session_seq, MIN(ep) AS start_ep, MAX(ep) AS end_ep,
+       |  COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+       |FROM sess GROUP BY user_id, session_seq
+       |ORDER BY user_id, session_seq""".stripMargin
+
+  /** c2_user_features — the reference's per-user feature matrix: event
+    * mix, monetary stats, activity span, recency vs dataset horizon. */
+  def c2UserFeatures(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val horizon = e.agg(max(col("ep")).as("g_max"))
+    e.crossJoin(broadcast(horizon))
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
+        count(when(col("event_type") === "error", 1)).as("n_errors"),
+        dsum(col("value")).as("total_value"),
+        (sum(dec(col("value"))).cast("double") / count(lit(1))).as("avg_value"),
+        min(col("ep")).as("first_ep"),
+        max(col("ep")).as("last_ep"),
+        countDistinct(col("ep_day")).as("active_days"),
+        floor((max(col("g_max")) - max(col("ep"))) / lit(86400.0)).cast("long").as("recency_days"))
+      .orderBy("user_id")
+  }
+
+  val c2Sql: String =
+    s"""WITH $evSql
+       |SELECT user_id, COUNT(*) AS n_events,
+       |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+       |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_value,
+       |  MIN(ep) AS first_ep, MAX(ep) AS last_ep,
+       |  COUNT(DISTINCT ep_day) AS active_days,
+       |  CAST(FLOOR(((SELECT MAX(ep) FROM e) - MAX(ep)) / 86400.0) AS BIGINT) AS recency_days
+       |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** c3_churn_label — the reference's target variable: inactive for more
+    * than ChurnDays vs the dataset horizon ⇒ churned. */
+  def c3ChurnLabel(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val horizon = e.agg(max(col("ep")).as("g_max"))
+    e.crossJoin(broadcast(horizon))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("ep")).as("last_ep"),
+        floor((max(col("g_max")) - max(col("ep"))) / lit(86400.0)).cast("long").as("recency_days"))
+      .withColumn("churned", when(col("recency_days") >= ChurnDays, 1L).otherwise(0L))
+      .orderBy("user_id")
+  }
+
+  val c3Sql: String =
+    s"""WITH $evSql
+       |SELECT user_id, MAX(ep) AS last_ep,
+       |  CAST(FLOOR(((SELECT MAX(ep) FROM e) - MAX(ep)) / 86400.0) AS BIGINT) AS recency_days,
+       |  CASE WHEN FLOOR(((SELECT MAX(ep) FROM e) - MAX(ep)) / 86400.0) >= $ChurnDays
+       |    THEN 1 ELSE 0 END AS churned
+       |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** c4_session_stats — per-user session-shape features (the engagement
+    * metrics the reference derives from GA session dims). Builds on the
+    * same single user_id shuffle as c1. */
+  def c4SessionStats(s: SparkSession, d: String): DataFrame =
+    c1Sessionize(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_sessions"),
+        sum(col("end_ep") - col("start_ep")).as("total_session_secs"),
+        max(col("n_events")).as("max_session_events"),
+        (sum(col("n_events")).cast("double") / count(lit(1))).as("avg_session_events"))
+      .orderBy("user_id")
+
+  val c4Sql: String =
+    s"""WITH $sessionsSql,
+       |per AS (SELECT user_id, session_seq, MIN(ep) AS start_ep, MAX(ep) AS end_ep,
+       |  COUNT(*) AS n_events FROM sess GROUP BY user_id, session_seq)
+       |SELECT user_id, COUNT(*) AS n_sessions,
+       |  CAST(SUM(end_ep - start_ep) AS BIGINT) AS total_session_secs,
+       |  MAX(n_events) AS max_session_events,
+       |  CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS avg_session_events
+       |FROM per GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** c5_retention_cohorts — weekly cohort × week-offset retained-user
+    * counts. Weeks are integer (epoch − global min) div 7d: engine-
+    * agnostic, no calendar-week dialect drift. */
+  def c5RetentionCohorts(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d)
+    val origin = e.agg(min(col("ep")).as("g_min"))
+    val weekly = e.crossJoin(broadcast(origin))
+      .withColumn("week_idx", floor((col("ep") - col("g_min")) / lit(604800.0)).cast("long"))
+    val cohorts = weekly.groupBy(col("user_id"))
+      .agg(min(col("week_idx")).as("cohort_week"))
+    weekly.join(cohorts, "user_id")
+      .withColumn("week_offset", col("week_idx") - col("cohort_week"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  val c5Sql: String =
+    s"""WITH $evSql,
+       |w AS (SELECT user_id,
+       |  CAST(FLOOR((ep - (SELECT MIN(ep) FROM e)) / 604800.0) AS BIGINT) AS week_idx FROM e),
+       |c AS (SELECT user_id, MIN(week_idx) AS cohort_week FROM w GROUP BY user_id)
+       |SELECT cohort_week, week_idx - cohort_week AS week_offset,
+       |  COUNT(DISTINCT w.user_id) AS n_users
+       |FROM w JOIN c ON w.user_id = c.user_id
+       |GROUP BY cohort_week, week_idx - cohort_week
+       |ORDER BY cohort_week, week_offset""".stripMargin
+
+  /** c6_funnel — ordered signup→view→purchase funnel. Each stage's first
+    * epoch must follow the previous stage's; three conditional aggs over
+    * the same user_id clustering, dims joined back broadcast. */
+  def c6Funnel(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).select("user_id", "event_type", "ep")
+    val s1 = e.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ep")).as("signup_ep"))
+    val s2 = e.join(s1, "user_id")
+      .filter(col("event_type") === "view" && col("ep") >= col("signup_ep"))
+      .groupBy(col("user_id")).agg(min(col("ep")).as("view_ep"))
+    val s3 = e.join(s2, "user_id")
+      .filter(col("event_type") === "purchase" && col("ep") >= col("view_ep"))
+      .groupBy(col("user_id")).agg(min(col("ep")).as("purchase_ep"))
+    val users = e.select("user_id").distinct()
+    users
+      .join(s1.select(col("user_id"), lit(1L).as("reached_signup")), Seq("user_id"), "left_outer")
+      .join(s2.select(col("user_id"), lit(1L).as("reached_view")), Seq("user_id"), "left_outer")
+      .join(s3.select(col("user_id"), lit(1L).as("reached_purchase")), Seq("user_id"), "left_outer")
+      .agg(
+        count(lit(1)).as("n_users"),
+        count(col("reached_signup")).as("n_signup"),
+        count(col("reached_view")).as("n_view_after_signup"),
+        count(col("reached_purchase")).as("n_purchase_after_view"))
+  }
+
+  val c6Sql: String =
+    s"""WITH $evSql,
+       |s1 AS (SELECT user_id, MIN(ep) AS signup_ep FROM e
+       |  WHERE event_type = 'signup' GROUP BY user_id),
+       |s2 AS (SELECT e.user_id, MIN(ep) AS view_ep FROM e JOIN s1 ON e.user_id = s1.user_id
+       |  WHERE event_type = 'view' AND ep >= signup_ep GROUP BY e.user_id),
+       |s3 AS (SELECT e.user_id, MIN(ep) AS purchase_ep FROM e JOIN s2 ON e.user_id = s2.user_id
+       |  WHERE event_type = 'purchase' AND ep >= view_ep GROUP BY e.user_id)
+       |SELECT COUNT(*) AS n_users,
+       |  COUNT(s1.user_id) AS n_signup,
+       |  COUNT(s2.user_id) AS n_view_after_signup,
+       |  COUNT(s3.user_id) AS n_purchase_after_view
+       |FROM (SELECT DISTINCT user_id FROM e) u
+       |LEFT JOIN s1 ON u.user_id = s1.user_id
+       |LEFT JOIN s2 ON u.user_id = s2.user_id
+       |LEFT JOIN s3 ON u.user_id = s3.user_id""".stripMargin
+
+  /** c7_rfm — recency/frequency/monetary quintile scores. NTILE over a
+    * total order (metric, user_id) is deterministic on both engines. */
+  def c7Rfm(s: SparkSession, d: String): DataFrame = {
+    val base = c2UserFeatures(s, d)
+      .select(col("user_id"), col("recency_days"), col("n_events"), col("total_value"))
+    base
+      .withColumn("r_score", ntile(5).over(
+        Window.orderBy(asc("recency_days"), asc("user_id"))))
+      .withColumn("f_score", ntile(5).over(
+        Window.orderBy(desc("n_events"), asc("user_id"))))
+      .withColumn("m_score", ntile(5).over(
+        Window.orderBy(desc("total_value"), asc("user_id"))))
+      .withColumn("rfm", col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+      .orderBy("user_id")
+  }
+
+  val c7Sql: String =
+    s"""WITH $evSql,
+       |f AS (SELECT user_id,
+       |  CAST(FLOOR(((SELECT MAX(ep) FROM e) - MAX(ep)) / 86400.0) AS BIGINT) AS recency_days,
+       |  COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+       |  FROM e GROUP BY user_id)
+       |SELECT user_id, recency_days, n_events, total_value,
+       |  CAST(NTILE(5) OVER (ORDER BY recency_days ASC, user_id ASC) AS INT) AS r_score,
+       |  CAST(NTILE(5) OVER (ORDER BY n_events DESC, user_id ASC) AS INT) AS f_score,
+       |  CAST(NTILE(5) OVER (ORDER BY total_value DESC, user_id ASC) AS INT) AS m_score,
+       |  CAST(NTILE(5) OVER (ORDER BY recency_days ASC, user_id ASC) * 100
+       |    + NTILE(5) OVER (ORDER BY n_events DESC, user_id ASC) * 10
+       |    + NTILE(5) OVER (ORDER BY total_value DESC, user_id ASC) AS INT) AS rfm
+       |FROM f ORDER BY user_id""".stripMargin
+
+  /** c8_daily_rollup — the reference's daily incremental batch: day-grain
+    * metrics per event type. At scale this is the partition key of the
+    * output table (write partitioned by day, process only new days). */
+  def c8DailyRollup(s: SparkSession, d: String): DataFrame =
+    ev(s, d)
+      .withColumn("day", date_add(lit("1970-01-01").cast("date"), col("ep_day").cast("int")))
+      .groupBy(col("day"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(col("value")).as("value_sum"))
+      .orderBy("day", "event_type")
+
+  val c8Sql: String =
+    s"""WITH $evSql
+       |SELECT DATE '1970-01-01' + CAST(ep_day AS INT) AS day, event_type,
+       |  COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+       |FROM e GROUP BY day, event_type ORDER BY day, event_type""".stripMargin
+
+  /** c10_session_asof — as-of join composed from built-ins (SURVEY §2b):
+    * each purchase matched to the user's most recent prior signup via an
+    * IGNORE-NULLS last_value window — no custom physical operator needed,
+    * and only the one user_id shuffle. */
+  def c10SessionAsof(s: SparkSession, d: String): DataFrame = {
+    val w = userWindow.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev(s, d)
+      .withColumn("last_signup_ep",
+        last(when(col("event_type") === "signup", col("ep")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(
+        col("event_id"), col("user_id"), col("ep").as("purchase_ep"),
+        col("last_signup_ep"),
+        (col("ep") - col("last_signup_ep")).as("secs_since_signup"))
+      .orderBy("event_id")
+  }
+
+  val c10Sql: String =
+    s"""WITH $evSql,
+       |x AS (SELECT *, LAST_VALUE(CASE WHEN event_type = 'signup' THEN ep END IGNORE NULLS)
+       |  OVER (PARTITION BY user_id ORDER BY ep, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_signup_ep FROM e)
+       |SELECT event_id, user_id, ep AS purchase_ep, last_signup_ep,
+       |  ep - last_signup_ep AS secs_since_signup
+       |FROM x WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "c1_sessionize" -> (c1Sessionize _, Some(c1Sql)),
+    "c2_user_features" -> (c2UserFeatures _, Some(c2Sql)),
+    "c3_churn_label" -> (c3ChurnLabel _, Some(c3Sql)),
+    "c4_session_stats" -> (c4SessionStats _, Some(c4Sql)),
+    "c5_retention_cohorts" -> (c5RetentionCohorts _, Some(c5Sql)),
+    "c6_funnel" -> (c6Funnel _, Some(c6Sql)),
+    "c7_rfm" -> (c7Rfm _, Some(c7Sql)),
+    "c8_daily_rollup" -> (c8DailyRollup _, Some(c8Sql)),
+    "c10_session_asof" -> (c10SessionAsof _, Some(c10Sql)),
+  )
+}
