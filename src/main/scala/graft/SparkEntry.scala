@@ -11,7 +11,8 @@ object SparkEntry {
   /** All operator families, merged. Each family exposes
     * name → (builder, optional DuckDB oracle SQL). */
   private lazy val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
-    Relational.entries ++ Churn.entries
+    Relational.entries ++ Churn.entries ++ TextAnalysis.entries ++
+      Dedup.entries ++ Similarity.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

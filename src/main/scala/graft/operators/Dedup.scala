@@ -1,0 +1,242 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** Deduplication family for LLM-training corpora (SURVEY.md §2c).
+  *
+  * Scale story (§5): nothing here is all-pairs. Exact dedup is one
+  * hash-groupBy; the fuzzy variants all go shingle/signature → bucket →
+  * pair-join *within buckets only*, with a document-frequency cap on
+  * shingles (stop-shingle removal) so boilerplate text can't create a
+  * quadratic hot bucket. That is the shape that survives 100 TB — the
+  * candidate-pair count tracks true-duplicate density, not corpus².
+  */
+object Dedup {
+
+  /** Shingles with document frequency above this are dropped before any
+    * pair join (boilerplate/stop-shingles — they carry no dedup signal
+    * and all of the skew). */
+  val DfCap = 50L
+  /** Verified-Jaccard output threshold for d2/d3. */
+  val JaccardTau = 0.3
+
+  /** d1_dedup_exact — exact duplicate groups by md5 of normalized text
+    * (md5 is bit-identical across engines). One groupBy, no joins: the
+    * 100 TB path is a single shuffle on a 16-byte key. */
+  def d1DedupExact(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .groupBy(md5(to_binary(lower(trim(col("text"))), lit("utf-8"))).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies", "text_hash")
+      .orderBy("keep_id")
+
+  val d1Sql: String =
+    """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies,
+      |  md5(lower(trim(text))) AS text_hash
+      |FROM documents GROUP BY md5(lower(trim(text)))
+      |ORDER BY keep_id""".stripMargin
+
+  /** Distinct (doc_id, 3-token shingle) pairs, built with a per-doc
+    * window LEAD so the construction is expressible identically in the
+    * DuckDB oracle. */
+  private def shingles(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(asc("pos"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .select(col("doc_id"),
+        concat_ws(" ", col("term"), lead(col("term"), 1).over(w), lead(col("term"), 2).over(w))
+          .as("shingle"),
+        lead(col("term"), 2).over(w).as("t2"))
+      .filter(col("t2").isNotNull)
+      .select("doc_id", "shingle")
+      .distinct()
+  }
+
+  private val shinglesSql =
+    """sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id,
+      |    term || ' ' || LEAD(term, 1) OVER w || ' ' || LEAD(term, 2) OVER w AS shingle,
+      |    LEAD(term, 2) OVER w AS t2
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+      |        generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents) x
+      |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) y
+      |  WHERE t2 IS NOT NULL)""".stripMargin
+
+  /** d2_dedup_ngram_jaccard — n-gram Jaccard near-dup pairs: distinct
+    * shingle sets, df-capped inverted index, pair-join on shared
+    * shingles, exact Jaccard ≥ τ. The division is two exact ints in
+    * IEEE double → bit-identical across engines. */
+  def d2DedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val keep = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= DfCap)
+      .select("shingle")
+    val idx = sh.join(keep, "shingle")
+    val pairs = idx.as("a").join(idx.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")))
+      .filter(col("jaccard") >= JaccardTau)
+      .select("doc_a", "doc_b", "shared", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val d2Sql: String =
+    s"""WITH $shinglesSql,
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+       |keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= $DfCap),
+       |idx AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep ON sh.shingle = keep.shingle),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+       |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)
+       |SELECT doc_a, doc_b, shared,
+       |  CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) AS jaccard
+       |FROM pairs JOIN sizes sa ON pairs.doc_a = sa.doc_id
+       |JOIN sizes sb ON pairs.doc_b = sb.doc_id
+       |WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= $JaccardTau
+       |ORDER BY doc_a, doc_b""".stripMargin
+
+  private val MinhashK = 32
+  private val Bands = 8 // 8 bands × 4 rows
+
+  /** d3_dedup_minhash_lsh — MinHash signatures (k=32, xxhash64 seeded per
+    * permutation) → 8-band LSH bucketing → candidate pairs only within
+    * buckets → exact-Jaccard verification. This is the 100 TB dedup
+    * path: the quadratic step is confined to hash buckets whose size
+    * tracks duplicate density. xxhash64 has no DuckDB twin → rows-only;
+    * DedupSpec checks recall against d2's exact pairs. */
+  def d3DedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+    val sh = shingles(s, d).cache()
+    val sigCols = (0 until MinhashK).map { i =>
+      min(xxhash64(concat(lit(i.toString), lit("|"), col("shingle")))).as(s"h$i")
+    }
+    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val bandCols = (0 until Bands).map { b =>
+      xxhash64(concat_ws(",",
+        (0 until MinhashK / Bands).map(r => col(s"h${b * (MinhashK / Bands) + r}")): _*))
+        .as(s"band$b")
+    }
+    val banded = sigs.select(col("doc_id") +: bandCols: _*)
+    val exploded = banded.select(col("doc_id"),
+      posexplode(array((0 until Bands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band_hash")))
+    val cands = exploded.as("a").join(exploded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact-Jaccard verify, restricted to candidates
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val shared = sh.as("x").join(sh.as("y"), col("x.shingle") === col("y.shingle"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .join(cands, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+      .withColumn("jaccard",
+        col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")))
+      .filter(col("jaccard") >= JaccardTau)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d4_dedup_simhash — 64-bit SimHash kept as 4×16-bit bands (band
+    * equality is the LSH bucket key for hamming≤3 candidate search —
+    * by pigeonhole any pair within hamming 3 shares at least one band).
+    * xxhash64 bit votes → rows-only; DedupSpec pins determinism. */
+  def d4DedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .withColumn("h", xxhash64(col("term")))
+    val bandExprs = (0 until 4).map { band =>
+      val bits = (0 until 16).map { j =>
+        val bit = band * 16 + j
+        (sum(when(shiftright(col("h"), bit).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)) > 0)
+          .cast("long") * lit(1L << j)
+      }
+      bits.reduce(_ + _).as(s"band$band")
+    }
+    val sims = tok.groupBy(col("doc_id")).agg(bandExprs.head, bandExprs.tail: _*)
+    val long2 = (c: String) => col(c)
+    val exploded = sims.select(col("doc_id"),
+      posexplode(array(long2("band0"), long2("band1"), long2("band2"), long2("band3")))
+        .as(Seq("band_idx", "band_val")))
+    val cands = exploded.as("a").join(exploded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val withSig = cands
+      .join(sims.select(col("doc_id").as("doc_a"),
+        col("band0").as("a0"), col("band1").as("a1"), col("band2").as("a2"), col("band3").as("a3")), "doc_a")
+      .join(sims.select(col("doc_id").as("doc_b"),
+        col("band0").as("b0"), col("band1").as("b1"), col("band2").as("b2"), col("band3").as("b3")), "doc_b")
+    withSig
+      .withColumn("hamming",
+        bit_count(col("a0").bitwiseXOR(col("b0"))) + bit_count(col("a1").bitwiseXOR(col("b1"))) +
+        bit_count(col("a2").bitwiseXOR(col("b2"))) + bit_count(col("a3").bitwiseXOR(col("b3"))))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** d5_dedup_embedding — embedding-cosine near-dup pairs on a
+    * deterministic systematic sample. Embeddings are quantized to
+    * integer milli-units, so dot and norms are exact integer math and
+    * the final cosine is a deterministic double on both engines (dots
+    * ≤ 6.4e13 ≪ 2^53). The sample bounds the pair count; the unsampled
+    * scale path is s2's LSH bucketing. */
+  def d5DedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d)
+      .filter(pmod(col("vec_id"), lit(10)) === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000.0, 0).cast("long")).as("qv"))
+      .withColumn("nrm", aggregate(transform(col("qv"), v => v * v), lit(0L), _ + _))
+    q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        aggregate(zip_with(col("a.qv"), col("b.qv"), _ * _), lit(0L), _ + _).as("dot"),
+        col("a.nrm").as("nrm_a"), col("b.nrm").as("nrm_b"))
+      .withColumn("cos_sim",
+        col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))
+      .filter(col("cos_sim") >= 0.25)
+      .select("vec_a", "vec_b", "cos_sim")
+      .orderBy("vec_a", "vec_b")
+  }
+
+  val d5Sql: String =
+    """WITH q AS (SELECT vec_id,
+      |  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000.0, 0) AS BIGINT)) AS qv
+      |  FROM embeddings WHERE vec_id % 10 = 0),
+      |n AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS nrm FROM q),
+      |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  CAST(list_sum(list_transform(range(1, len(a.qv) + 1), i -> a.qv[i] * b.qv[i])) AS BIGINT) AS dot,
+      |  a.nrm AS nrm_a, b.nrm AS nrm_b
+      |  FROM n a JOIN n b ON a.vec_id < b.vec_id)
+      |SELECT vec_a, vec_b,
+      |  CAST(dot AS DOUBLE) / (sqrt(CAST(nrm_a AS DOUBLE)) * sqrt(CAST(nrm_b AS DOUBLE))) AS cos_sim
+      |FROM p
+      |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(nrm_a AS DOUBLE)) * sqrt(CAST(nrm_b AS DOUBLE))) >= 0.25
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "d1_dedup_exact" -> (d1DedupExact _, Some(d1Sql)),
+    "d2_dedup_ngram_jaccard" -> (d2DedupNgramJaccard _, Some(d2Sql)),
+    "d3_dedup_minhash_lsh" -> (d3DedupMinhashLsh _, None),
+    "d4_dedup_simhash" -> (d4DedupSimhash _, None),
+    "d5_dedup_embedding" -> (d5DedupEmbedding _, Some(d5Sql)),
+  )
+}

@@ -224,17 +224,20 @@ object Relational {
       |  COUNT(DISTINCT l_orderkey) AS n_orders
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
-  /** q10_antijoin — NOT EXISTS as left_anti: customers with no orders. */
+  /** q10_antijoin — NOT EXISTS as left_anti: customers who never placed
+    * a high-value order. The filter on the right side lands before the
+    * join, so the anti join probes a small build side. */
   def q10Antijoin(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
-      .join(Tables.orders(s, d).select("o_custkey"),
+      .join(Tables.orders(s, d).filter(col("o_totalprice") > 400000.0).select("o_custkey"),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name", "c_mktsegment")
       .orderBy("c_custkey")
 
   val q10Sql: String =
     """SELECT c_custkey, c_name, c_mktsegment FROM customer
-      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |WHERE NOT EXISTS (SELECT 1 FROM orders
+      |  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
       |ORDER BY c_custkey""".stripMargin
 
   /** q11_having — aggregate + HAVING (post-agg filter stays after the

