@@ -12,7 +12,11 @@ object SparkEntry {
     * name → (builder, optional DuckDB oracle SQL). */
   private lazy val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
     Relational.entries ++ Churn.entries ++ TextAnalysis.entries ++
-      Dedup.entries ++ Similarity.entries
+      Dedup.entries ++ Similarity.entries ++ Multimodal.entries ++
+      graft.streaming.Streams.entries ++ Map(
+        "c9_churn_train_predict" ->
+          ((graft.ml.ChurnModel.c9TrainPredict _): (SparkSession, String) => DataFrame,
+            None: Option[String]))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal column plumbing (SURVEY.md §2f): image/audio/video payloads
+  * as opaque `binary` columns with typed metadata, flowing through
+  * ordinary Spark plans. The media codecs themselves are not available in
+  * this container, so the *decode* step is a clearly-marked deterministic
+  * stub (xxhash64-derived pseudo-features) — the Spark-side contract
+  * (schema, binary handling, chunking, partitioning) is real and tested.
+  *
+  * At 100 TB: payloads stay in parquet binary columns (or object-store
+  * pointers for >row-group-size blobs); metadata extraction is a per-row
+  * scalar pipeline (no shuffle), and frame sampling fans out rows only
+  * for the sampled chunks, partitioned by (doc_id) so one oversized blob
+  * can't skew a partition.
+  */
+object Multimodal {
+
+  /** Synthetic binary payloads derived from the documents table — stands
+    * in for an image/audio bytes column with a mime + dims header. */
+  private def withPayload(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("payload", to_binary(col("text"), lit("utf-8")))
+      .withColumn("mime",
+        element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")))
+
+  /** m1_binary_meta — typed metadata + stubbed feature extraction over a
+    * binary column. `fake_embedding_seed` is the stub for a real decoder
+    * (deterministic stand-in; swap for an actual codec UDF off-container). */
+  def m1BinaryMeta(s: SparkSession, d: String): DataFrame =
+    withPayload(s, d)
+      .select(
+        col("doc_id"), col("mime"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        substring(hex(col("payload")), 1, 8).as("magic_hex"),
+        // STUB decode: real pipeline would decode pixels/samples here.
+        xxhash64(col("payload")).as("fake_embedding_seed"),
+        (length(col("payload")) > 256).cast("long").as("is_large"))
+      .orderBy("doc_id")
+
+  /** m2_frame_sample — deterministic chunk/frame sampling over binary
+    * payloads: split each payload into 64-byte "frames", keep every 4th
+    * (a video keyframe-sampling shape). Fan-out via an index sequence —
+    * pure narrow transformation, no shuffle until the final ordering. */
+  def m2FrameSample(s: SparkSession, d: String): DataFrame =
+    withPayload(s, d)
+      .withColumn("n_frames", ceil(length(col("payload")) / lit(64.0)).cast("long"))
+      .select(col("doc_id"), col("mime"), col("n_frames"),
+        posexplode(sequence(lit(0L), col("n_frames") - 1)).as(Seq("pos", "frame_idx")))
+      .filter(pmod(col("frame_idx"), lit(4)) === 0)
+      .select(col("doc_id"), col("mime"), col("n_frames"), col("frame_idx"))
+      .orderBy("doc_id", "frame_idx")
+
+  /** m2 is oracle-checkable: the frame fan-out is pure arithmetic on the
+    * payload length (= text length for these utf-8 payloads). */
+  val m2Sql: String =
+    """WITH p AS (SELECT doc_id,
+      |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
+      |    WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
+      |  CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_frames FROM documents),
+      |f AS (SELECT doc_id, mime, n_frames,
+      |  unnest(range(0, n_frames)) AS frame_idx FROM p)
+      |SELECT doc_id, mime, n_frames, frame_idx FROM f
+      |WHERE frame_idx % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "m1_binary_meta" -> (m1BinaryMeta _, None),
+    "m2_frame_sample" -> (m2FrameSample _, Some(m2Sql)),
+  )
+}

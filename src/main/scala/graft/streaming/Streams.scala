@@ -1,0 +1,116 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.operators.Churn
+
+// top-level (codegen-visible) row types for the stateful sessionizer
+case class Ev(user_id: Long, ep: Long, value: Double)
+case class SessState(start: Long, end: Long, n: Long, value: Double)
+case class SessOut(user_id: Long, session_seq: Long, start_ep: Long,
+  end_ep: Long, n_events: Long)
+
+/** Structured Streaming operators (SURVEY.md §2g). Both run the events
+  * table through a real streaming query (memory sink, processAllAvailable
+  * — the documented pattern for driving a finite source synchronously),
+  * so the plans exercised are the ones a Kafka/files source would run at
+  * scale: watermark + windowed state for st1, per-key arbitrary state
+  * (flatMapGroupsWithState) for st2.
+  */
+object Streams {
+
+  private def streamEvents(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = s.read.parquet(s"$d/events.parquet").schema
+    // streaming file source wants a directory: read the sf dir with a
+    // glob filter selecting just the events table
+    s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(d)
+  }
+
+  private var counter = 0
+  private def freshName(prefix: String): String = synchronized {
+    counter += 1; s"${prefix}_$counter"
+  }
+
+  /** st1_stream_windowed — 6h tumbling-window counts per event type with
+    * a 1h watermark, complete mode into a memory sink. The final table
+    * equals the batch group-by — which is exactly what the DuckDB oracle
+    * computes (window_start as epoch seconds). */
+  def st1StreamWindowed(s: SparkSession, d: String): DataFrame = {
+    val name = freshName("st1_out")
+    val agg = streamEvents(s, d)
+      .withColumn("ep", expr("ts div 1000000000"))
+      .withColumn("win_start", (col("ep") - pmod(col("ep"), lit(21600L))).cast("long"))
+      .withColumn("event_time", timestamp_seconds(col("ep")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name).orderBy("win_start", "event_type")
+  }
+
+  val st1Sql: String =
+    """SELECT (CAST(FLOOR(epoch(ts)) AS BIGINT)
+      |    - CAST(FLOOR(epoch(ts)) AS BIGINT) % 21600) AS win_start,
+      |  event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM events GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin
+
+
+  /** st2_stream_sessionize — gap-based sessionization as *stateful
+    * streaming* (flatMapGroupsWithState): the per-user state machine a
+    * real-time churn pipeline runs on a Kafka source. With the finite
+    * input processed in one batch, emitted sessions match the batch
+    * sessionizer c1 (StreamingSpec asserts parity). */
+  def st2StreamSessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val name = freshName("st2_out")
+    val ds = streamEvents(s, d)
+      .withColumn("ep", expr("ts div 1000000000"))
+      .select(col("user_id"), col("ep"), col("value"))
+      .as[Ev]
+
+    val fn = (userId: Long, rows: Iterator[Ev], state: GroupState[SessState]) => {
+      // batch-end = stream-end for this finite demo source: emit all
+      // sessions including the open one.
+      val evs = rows.toSeq.sortBy(e => e.ep)
+      val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+      var start = -1L; var end = -1L; var n = 0L
+      evs.foreach { e =>
+        if (start < 0) { start = e.ep; end = e.ep; n = 1 }
+        else if (e.ep - end > Churn.SessionGapS) {
+          sessions += ((start, end, n)); start = e.ep; end = e.ep; n = 1
+        } else { end = e.ep; n += 1 }
+      }
+      if (start >= 0) sessions += ((start, end, n))
+      sessions.iterator.zipWithIndex.map { case ((st, en, cnt), i) =>
+        SessOut(userId, i + 1L, st, en, cnt)
+      }
+    }
+
+    val out = ds.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
+    val q = out.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name).orderBy("user_id", "session_seq")
+  }
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "st1_stream_windowed" -> (st1StreamWindowed _, Some(st1Sql)),
+    "st2_stream_sessionize" -> (st2StreamSessionize _, None),
+  )
+}

@@ -107,6 +107,45 @@ class NonSqlOracleSpec extends AnyFunSuite {
   }
 
   test("multimodal/streaming placeholder families keep queries total") {
-    assert(SparkEntry.queries.size >= 45)
+    assert(SparkEntry.queries.size >= 50)
+  }
+}
+
+/** Streaming operators behave like their batch twins; ML is deterministic. */
+class StreamingAndMlSpec extends AnyFunSuite {
+  import TestSession._
+  import org.apache.spark.sql.functions._
+
+  test("st2 stateful sessionizer matches batch c1 sessionization") {
+    val batch = graft.operators.Churn.c1Sessionize(spark, sf)
+      .select("user_id", "session_seq", "start_ep", "end_ep", "n_events")
+      .collect().map(_.toSeq).toSet
+    val stream = graft.streaming.Streams.st2StreamSessionize(spark, sf)
+      .select("user_id", "session_seq", "start_ep", "end_ep", "n_events")
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch,
+      s"stream-batch diff: ${(stream -- batch).take(3)} / ${(batch -- stream).take(3)}")
+  }
+
+  test("st1 windowed streaming agg equals batch tumbling-window group-by") {
+    val got = graft.streaming.Streams.st1StreamWindowed(spark, sf)
+    val batch = graft.sources.Tables.events(spark, sf)
+      .withColumn("ep", expr("ts div 1000000000"))
+      .withColumn("win_start", (col("ep") - pmod(col("ep"), lit(21600L))).cast("long"))
+      .groupBy(col("win_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    assert(got.count() == batch.count())
+  }
+
+  test("c9 churn model: valid probabilities, deterministic, labels covered") {
+    val a = graft.ml.ChurnModel.c9TrainPredict(spark, sf).collect()
+    val b = graft.ml.ChurnModel.c9TrainPredict(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "churn model output not deterministic")
+    a.foreach { r =>
+      val p = r.getDouble(2)
+      assert(p >= 0.0 && p <= 1.0)
+      assert(Set(0L, 1L).contains(r.getLong(3)))
+    }
+    assert(a.length == graft.operators.Churn.c3ChurnLabel(spark, sf).count())
   }
 }
