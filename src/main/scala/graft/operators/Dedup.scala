@@ -40,21 +40,38 @@ object Dedup {
       |FROM documents GROUP BY md5(lower(trim(text)))
       |ORDER BY keep_id""".stripMargin
 
-  /** Distinct (doc_id, 3-token shingle) pairs, built with a per-doc
-    * window LEAD so the construction is expressible identically in the
-    * DuckDB oracle. */
-  private def shingles(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(asc("pos"))
+  private def rotl(c: Column, k: Int): Column =
+    shiftleft(c, k).bitwiseOR(shiftrightunsigned(c, 64 - k))
+
+  /** Per-doc array of distinct 3-token shingle HASHES — a narrow
+    * (no-shuffle) per-row transformation. Tokens are xxhash64'd once,
+    * then each shingle hash is pure bit arithmetic over three token
+    * hashes (xor of rotations — no string building, no ANSI-overflow
+    * risk, and higher-order functions stay cheap even though they
+    * evaluate interpreted). Cached: ~50 longs × |docs|, shared by every
+    * dedup query in the session.
+    *
+    * The DuckDB oracle works on the shingle *strings* (window LEAD
+    * construction); hash vs string identity differs only on xxhash64
+    * collisions (~1e-9 per corpus). */
+  private def shingleArrays(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"), transform(col("t"), x => xxhash64(x)).as("th"))
       .select(col("doc_id"),
-        concat_ws(" ", col("term"), lead(col("term"), 1).over(w), lead(col("term"), 2).over(w))
-          .as("shingle"),
-        lead(col("term"), 2).over(w).as("t2"))
-      .filter(col("t2").isNotNull)
-      .select("doc_id", "shingle")
-      .distinct()
-  }
+        array_distinct(transform(sequence(lit(1), size(col("th")) - 2),
+          i => element_at(col("th"), i)
+            .bitwiseXOR(rotl(element_at(col("th"), i + 1), 21))
+            .bitwiseXOR(rotl(element_at(col("th"), i + 2), 42))))
+          .as("sh_arr"))
+      .cache()
+
+  /** Exploded distinct (doc_id, shingle-hash) rows for inverted-index
+    * joins — 8-byte keys, codegen-friendly. */
+  private def shingles(s: SparkSession, d: String): DataFrame =
+    shingleArrays(s, d)
+      .select(col("doc_id"), explode(col("sh_arr")).as("h"))
 
   private val shinglesSql =
     """sh AS (SELECT DISTINCT doc_id, shingle FROM (
@@ -71,19 +88,24 @@ object Dedup {
     * shingles, exact Jaccard ≥ τ. The division is two exact ints in
     * IEEE double → bit-identical across engines. */
   def d2DedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).cache()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val keep = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-      .filter(col("df") <= DfCap)
-      .select("shingle")
-    val idx = sh.join(keep, "shingle")
-    val pairs = idx.as("a").join(idx.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+    val sizes = shingleArrays(s, d)
+      .select(col("doc_id"), size(col("sh_arr")).cast("long").as("sz"))
+    // inverted index on hashed shingles (8-byte join keys). df-cap
+    // enforced by broadcast ANTI join against the tiny over-cap reject
+    // list (the heavy hitters), so the index never shuffles for
+    // filtering; the self-join's two sides share one exchange
+    // (ReusedExchange). Everything below the cached scan is codegen.
+    val sh = shingles(s, d)
+    val reject = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > DfCap).select("h")
+    val idx = sh.join(broadcast(reject), Seq("h"), "left_anti")
+    val shared = idx.as("a").join(idx.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("shared"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+    shared
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a")), "doc_a")
+      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b")), "doc_b")
       .withColumn("jaccard",
         col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")))
       .filter(col("jaccard") >= JaccardTau)
@@ -94,7 +116,8 @@ object Dedup {
   val d2Sql: String =
     s"""WITH $shinglesSql,
        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-       |keep AS (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= $DfCap),
+       |keep AS (SELECT shingle FROM sh GROUP BY shingle
+       |  HAVING COUNT(*) <= $DfCap AND COUNT(*) >= 2),
        |idx AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep ON sh.shingle = keep.shingle),
        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
        |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -116,37 +139,38 @@ object Dedup {
     * tracks duplicate density. xxhash64 has no DuckDB twin → rows-only;
     * DedupSpec checks recall against d2's exact pairs. */
   def d3DedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
-    val sh = shingles(s, d).cache()
+    val docs = shingleArrays(s, d)
+    // k=32 signature computed narrowly from the shingle-hash array (no
+    // explode/groupBy): sig_i = min over shingles of a seeded xxhash64
+    // (multi-arg form — the seed is just a leading column, no strings)
     val sigCols = (0 until MinhashK).map { i =>
-      min(xxhash64(concat(lit(i.toString), lit("|"), col("shingle")))).as(s"h$i")
+      array_min(transform(col("sh_arr"),
+        x => xxhash64(lit(i), x))).as(s"h$i")
     }
-    val sigs = sh.groupBy(col("doc_id")).agg(sigCols.head, sigCols.tail: _*)
+    val sigs = docs.select(Seq(col("doc_id")) ++ sigCols: _*)
     val bandCols = (0 until Bands).map { b =>
-      xxhash64(concat_ws(",",
-        (0 until MinhashK / Bands).map(r => col(s"h${b * (MinhashK / Bands) + r}")): _*))
+      xxhash64((0 until MinhashK / Bands)
+        .map(r => col(s"h${b * (MinhashK / Bands) + r}")): _*)
         .as(s"band$b")
     }
-    val banded = sigs.select(col("doc_id") +: bandCols: _*)
-    val exploded = banded.select(col("doc_id"),
-      posexplode(array((0 until Bands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band_hash")))
+    val exploded = sigs.select(Seq(col("doc_id")) ++ bandCols: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until Bands).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band_hash")))
     val cands = exploded.as("a").join(exploded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
         col("a.band_hash") === col("b.band_hash") &&
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact-Jaccard verify, restricted to candidates
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val shared = sh.as("x").join(sh.as("y"), col("x.shingle") === col("y.shingle"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .join(cands, Seq("doc_a", "doc_b"), "left_semi")
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b"), "doc_b")
+    // exact-Jaccard verify on candidate pairs only: pull both shingle
+    // arrays and intersect per-row — the quadratic step never leaves
+    // the candidate set
+    cands
+      .join(docs.select(col("doc_id").as("doc_a"), col("sh_arr").as("arr_a")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("sh_arr").as("arr_b")), "doc_b")
+      .withColumn("shared", size(array_intersect(col("arr_a"), col("arr_b"))).cast("long"))
       .withColumn("jaccard",
-        col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")))
+        col("shared").cast("double") / (size(col("arr_a")) + size(col("arr_b")) - col("shared")))
       .filter(col("jaccard") >= JaccardTau)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy("doc_a", "doc_b")
@@ -160,15 +184,27 @@ object Dedup {
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .withColumn("h", xxhash64(col("term")))
-    val bandExprs = (0 until 4).map { band =>
-      val bits = (0 until 16).map { j =>
-        val bit = band * 16 + j
-        (sum(when(shiftright(col("h"), bit).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)) > 0)
-          .cast("long") * lit(1L << j)
+    // bit-vote counting with 16 packed accumulators instead of 64
+    // separate conditional sums: packed_j accumulates bits {j, j+16,
+    // j+32, j+48} in four 16-bit lanes (token counts ≪ 2^16, no lane
+    // carry) — 4× smaller codegen, same result
+    val packedCols = (0 until 16).map { j =>
+      val lanes = (0 until 4).map { lane =>
+        shiftleft(shiftrightunsigned(col("h"), lane * 16 + j).bitwiseAND(lit(1L)), lane * 16)
       }
-      bits.reduce(_ + _).as(s"band$band")
+      sum(lanes.reduce(_.bitwiseOR(_))).as(s"p$j")
     }
-    val sims = tok.groupBy(col("doc_id")).agg(bandExprs.head, bandExprs.tail: _*)
+    val votes = tok.groupBy(col("doc_id"))
+      .agg(packedCols.head, (packedCols.tail :+ count(lit(1)).as("n_tok")): _*)
+    // bit b (= lane*16 + j) is set iff its vote count wins the majority:
+    // 2*count > n_tok  ⇔  simhash sign bit positive
+    val bandExprs = (0 until 4).map { band =>
+      (0 until 16).map { j =>
+        when(shiftrightunsigned(col(s"p$j"), band * 16).bitwiseAND(lit(0xFFFFL)) * 2
+          > col("n_tok"), lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"band$band")
+    }
+    val sims = votes.select(Seq(col("doc_id")) ++ bandExprs: _*)
     val long2 = (c: String) => col(c)
     val exploded = sims.select(col("doc_id"),
       posexplode(array(long2("band0"), long2("band1"), long2("band2"), long2("band3")))

@@ -77,17 +77,26 @@ object Similarity {
     * shuffle keyed on (table, bucket) and candidate counts track bucket
     * density, not corpus²). xxhash64 has no DuckDB twin → rows-only;
     * SimilaritySpec measures overlap vs s1's exact top-10. */
+  /** splitmix64 — deterministic hyperplane signs computed once on the
+    * driver and shipped as array literals (constant-folded into codegen:
+    * no per-row hashing or string building). */
+  private def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
   def s2KnnLsh(s: SparkSession, d: String): DataFrame = {
     val q = quantized(s, d)
-    // sign of <h_{t,p}, v> with h_{t,p}[i] = ±1 from parity of xxhash64("t:p:i")
+    // sign of <h_{t,p}, v> with h_{t,p}[i] = ±1 from splitmix64(t,p,i)
     val bucketCols = (0 until LshTables).map { t =>
       val bits = (0 until LshBits).map { p =>
+        val signs: Seq[Long] = (0 until 64).map { i =>
+          if ((splitmix64(((t.toLong * LshBits + p) << 8) + i) & 1L) == 1L) 1L else -1L
+        }
         val signedSum = aggregate(
-          zip_with(col("qv"),
-            transform(sequence(lit(0), lit(63)),
-              i => when(xxhash64(concat(lit(s"$t:$p:"), i.cast("string")))
-                .bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L)),
-            (v, sgn) => v * sgn),
+          zip_with(col("qv"), typedlit(signs), (v, sgn) => v * sgn),
           lit(0L), _ + _)
         (signedSum > 0).cast("long") * lit(1L << p)
       }
