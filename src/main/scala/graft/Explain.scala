@@ -1,0 +1,16 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.001"
+    for (q <- Seq("q2_filter_project", "q6_cond_agg", "q5_multijoin", "q3_join_agg", "c1_sessionize")) {
+      println(s"########## $q")
+      SparkEntry.queries(q)(spark, d).explain("formatted")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernels shared by interpreted eval and generated code. Pure
+  * JVM tight loops over UTF-8 bytes / long arrays — this is the fast
+  * path that replaces interpreted higher-order-function chains for the
+  * dedup family's hot expressions. */
+object ShingleKernels {
+
+  /** FNV-1a 64-bit over a byte range — deterministic, allocation-free. */
+  private def fnv64(bytes: Array[Byte], from: Int, until: Int): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = from
+    while (i < until) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  private def rotl(x: Long, k: Int): Long = (x << k) | (x >>> (64 - k))
+
+  @inline private def mix(a: Long, b: Long, c: Long): Long =
+    a ^ rotl(b, 21) ^ rotl(c, 42)
+
+  /** splitmix64 — seeded remix for MinHash permutations. */
+  @inline def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Distinct 3-token shingle hashes of a space-separated text, in first-
+    * occurrence order. Single pass over the UTF-8 bytes: token FNV
+    * hashes, then xor-rotl window mixing, then linear-probe dedup. */
+  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+    val bytes = text.getBytes
+    // token hashes
+    var tokenCount = 0
+    var i = 0
+    val tokens = new java.util.ArrayList[Long]()
+    var start = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (i > start) { tokens.add(fnv64(bytes, start, i)); tokenCount += 1 }
+        start = i + 1
+      }
+      i += 1
+    }
+    val m = tokenCount - n + 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val seen = new java.util.HashSet[java.lang.Long](m * 2)
+    val out = new Array[Long](m)
+    var k = 0
+    var j = 0
+    while (j < m) {
+      val h = mix(tokens.get(j), tokens.get(j + 1), tokens.get(j + 2))
+      if (seen.add(h)) { out(k) = h; k += 1 }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, k))
+  }
+
+  /** k-permutation MinHash signature over a shingle-hash array. */
+  def minhashSignature(arr: ArrayData, k: Int): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Long](k)
+    var p = 0
+    while (p < k) {
+      var best = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val v = splitmix64(arr.getLong(i) + 0x632be59bd9b4e019L * (p + 1))
+        if (v < best) best = v
+        i += 1
+      }
+      out(p) = best
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `shingle_hashes(text)` — distinct 3-token shingle hashes as
+  * array<bigint>. Native Catalyst expression with doGenCode: the
+  * generated code is one static call into the kernel, so the whole
+  * operator stays inside WholeStageCodegen (no interpreted HOF chain).
+  * Re-expresses the shingling the reference's dedup stage would do
+  * per document. */
+case class ShingleHashes(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernels.shingleHashes(input.asInstanceOf[UTF8String], 3)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.shingleHashes($c, 3)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_hashes"
+}
+
+/** `minhash_signature(sh_arr, k)` — k-long MinHash signature. */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernels.minhashSignature(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.minhashSignature($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+  override def prettyName: String = "minhash_signature"
+}

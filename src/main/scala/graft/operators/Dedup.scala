@@ -40,31 +40,19 @@ object Dedup {
       |FROM documents GROUP BY md5(lower(trim(text)))
       |ORDER BY keep_id""".stripMargin
 
-  private def rotl(c: Column, k: Int): Column =
-    shiftleft(c, k).bitwiseOR(shiftrightunsigned(c, 64 - k))
-
-  /** Per-doc array of distinct 3-token shingle HASHES — a narrow
-    * (no-shuffle) per-row transformation. Tokens are xxhash64'd once,
-    * then each shingle hash is pure bit arithmetic over three token
-    * hashes (xor of rotations — no string building, no ANSI-overflow
-    * risk, and higher-order functions stay cheap even though they
-    * evaluate interpreted). Cached: ~50 longs × |docs|, shared by every
-    * dedup query in the session.
+  /** Per-doc array of distinct 3-token shingle HASHES via the native
+    * codegen'd `shingle_hashes` expression (graft.functions) — one
+    * static-kernel call per row inside WholeStageCodegen, no interpreted
+    * higher-order-function chain. Cached: ~50 longs × |docs|, shared by
+    * every dedup query in the session.
     *
     * The DuckDB oracle works on the shingle *strings* (window LEAD
-    * construction); hash vs string identity differs only on xxhash64
+    * construction); hash vs string identity differs only on hash
     * collisions (~1e-9 per corpus). */
   private def shingleArrays(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"), transform(col("t"), x => xxhash64(x)).as("th"))
-      .select(col("doc_id"),
-        array_distinct(transform(sequence(lit(1), size(col("th")) - 2),
-          i => element_at(col("th"), i)
-            .bitwiseXOR(rotl(element_at(col("th"), i + 1), 21))
-            .bitwiseXOR(rotl(element_at(col("th"), i + 2), 42))))
-          .as("sh_arr"))
+      .select(col("doc_id"), graft.functions.shingle_hashes(col("text")).as("sh_arr"))
+      .filter(size(col("sh_arr")) > 0)
       .cache()
 
   /** Exploded distinct (doc_id, shingle-hash) rows for inverted-index
@@ -140,14 +128,15 @@ object Dedup {
     * DedupSpec checks recall against d2's exact pairs. */
   def d3DedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
     val docs = shingleArrays(s, d)
-    // k=32 signature computed narrowly from the shingle-hash array (no
-    // explode/groupBy): sig_i = min over shingles of a seeded xxhash64
-    // (multi-arg form — the seed is just a leading column, no strings)
+    // k=32 signature in ONE native-kernel pass per doc (codegen'd
+    // MinHashSignature expression), then band columns off the array
     val sigCols = (0 until MinhashK).map { i =>
-      array_min(transform(col("sh_arr"),
-        x => xxhash64(lit(i), x))).as(s"h$i")
+      element_at(col("sig"), i + 1).as(s"h$i")
     }
-    val sigs = docs.select(Seq(col("doc_id")) ++ sigCols: _*)
+    val sigs = docs
+      .select(col("doc_id"),
+        graft.functions.minhash_signature(col("sh_arr"), MinhashK).as("sig"))
+      .select(Seq(col("doc_id")) ++ sigCols: _*)
     val bandCols = (0 until Bands).map { b =>
       xxhash64((0 until MinhashK / Bands)
         .map(r => col(s"h${b * (MinhashK / Bands) + r}")): _*)

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Native Catalyst expression layer: kernel semantics, codegen path, and
+  * SQL registration through GraftExtensions. */
+class ExpressionsSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+
+  test("shingle_hashes: n-2 shingles for n distinct tokens, dedup for repeats") {
+    val df = Seq(
+      ("a b c d e", 3),      // 3 distinct shingles
+      ("x y x y x y x y", 2), // "x y x", "y x y" repeat → 2 distinct
+      ("one two", 0)          // too short
+    ).toDF("text", "expected")
+    val got = df.select(size(graft.functions.shingle_hashes(col("text"))).as("n"),
+      col("expected")).collect()
+    got.foreach { r => assert(r.getInt(0) == r.getInt(1), r.toString) }
+  }
+
+  test("shingle_hashes matches across codegen and interpreted eval") {
+    val texts = graft.sources.Tables.documents(spark, sf).select("text").limit(50)
+    val viaCodegen = texts.select(graft.functions.shingle_hashes(col("text")).as("a"))
+      .collect().map(_.getSeq[Long](0))
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    val viaInterp = texts.select(graft.functions.shingle_hashes(col("text")).as("a"))
+      .collect().map(_.getSeq[Long](0))
+    spark.conf.unset("spark.sql.codegen.factoryMode")
+    assert(viaCodegen.toSeq == viaInterp.toSeq)
+  }
+
+  test("minhash_signature: k elements, stable, element-wise min property") {
+    val a = Seq(Tuple1(Seq(1L, 2L, 3L, 4L))).toDF("arr")
+      .select(graft.functions.minhash_signature(col("arr"), 16).as("sig"))
+      .collect().head.getSeq[Long](0)
+    assert(a.length == 16)
+    // signature of a superset is element-wise <= (min can only decrease)
+    val b = Seq(Tuple1(Seq(1L, 2L, 3L, 4L, 99L, -7L))).toDF("arr")
+      .select(graft.functions.minhash_signature(col("arr"), 16).as("sig"))
+      .collect().head.getSeq[Long](0)
+    a.zip(b).foreach { case (x, y) => assert(y <= x) }
+  }
+
+  test("SQL registration via GraftExtensions (TestSession is built with it)") {
+    val n = spark.sql("SELECT size(shingle_hashes('a b c d')) AS n")
+      .collect().head.getInt(0)
+    assert(n == 2)
+    val k = spark.sql("SELECT size(minhash_signature(shingle_hashes('a b c d e f'), 8)) AS k")
+      .collect().head.getInt(0)
+    assert(k == 8)
+  }
+}
