@@ -1,0 +1,139 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Engine/scale demonstrations (SURVEY.md §2h): the source/sink surface
+  * and the scale techniques (skew salting, partitioned writes) that the
+  * rest of the library leans on, each expressed as an oracle-checkable
+  * query so the driver's gate covers them too.
+  */
+object Engine {
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** x1_csv_roundtrip — write the customer dim to CSV (header, explicit
+    * schema on readback — never infer in production) and aggregate from
+    * the readback. Oracle aggregates the original table: the round-trip
+    * must be lossless for the gate to pass. */
+  def x1CsvRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = tmpDir("graft_csv")
+    val c = Tables.customer(s, d)
+    c.write.mode("overwrite").option("header", "true").csv(out)
+    s.read.schema(c.schema).option("header", "true").csv(out)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast("decimal(18,6)")).cast("double").as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val x1Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_cust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** x2_json_roundtrip — JSON-lines sink+source round-trip over orders
+    * (timestamps forced to DATE first: JSON carries no parquet logical
+    * types, so normalize before writing — the pattern for interchange
+    * with non-columnar consumers). */
+  def x2JsonRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = tmpDir("graft_json")
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), to_date(col("o_orderdate")).as("order_date"))
+    o.write.mode("overwrite").json(out)
+    s.read.schema(o.schema).json(out)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        max(col("order_date")).as("last_date"))
+      .orderBy("o_orderstatus")
+  }
+
+  val x2Sql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n_orders,
+      |  MAX(CAST(o_orderdate AS DATE)) AS last_date
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** x3_salted_agg — two-phase skew-salted aggregation: salt the key
+    * space ×16, partial-aggregate on (key, salt), then final-aggregate
+    * on key. Result is provably identical to the direct groupBy (the
+    * oracle computes it directly) while the first shuffle spreads any
+    * hot key over 16 reducers — the manual fallback when AQE skew
+    * handling can't see a skewed aggregation. */
+  def x3SaltedAgg(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .withColumn("salt", pmod(col("l_orderkey") * 31L + col("l_linenumber"), lit(16)))
+      .groupBy(col("l_returnflag"), col("salt"))
+      .agg(count(lit(1)).as("pc"),
+        sum(col("l_quantity").cast("decimal(18,6)")).as("pq"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("pc")).as("n_rows"),
+        sum(col("pq")).cast("double").as("sum_qty"))
+      .orderBy("l_returnflag")
+
+  val x3Sql: String =
+    """SELECT l_returnflag, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** x4_partitioned_write — the reference's daily incremental layout:
+    * write events day-partitioned (partition column in the directory
+    * layout), read back ONE day with a partition filter (pruned scan —
+    * only that directory is touched), aggregate it. Oracle computes the
+    * same day directly from the source table. */
+  def x4PartitionedWrite(s: SparkSession, d: String): DataFrame = {
+    val out = tmpDir("graft_part")
+    val ev = Tables.events(s, d)
+      .withColumn("ep", expr("ts div 1000000000"))
+      .withColumn("day", date_add(lit("1970-01-01").cast("date"),
+        expr("ep div 86400").cast("int")))
+    ev.select("event_id", "user_id", "event_type", "value", "ep", "day")
+      .write.mode("overwrite").partitionBy("day").parquet(out)
+    s.read.parquet(out)
+      .filter(col("day") === "2024-01-05")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .orderBy("event_type")
+  }
+
+  val x4Sql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM events
+      |WHERE CAST(FLOOR(epoch(ts) / 86400) AS BIGINT)
+      |    = CAST(FLOOR(epoch(TIMESTAMP '2024-01-05') / 86400) AS BIGINT)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** x5_kmeans_embeddings — MLlib KMeans (k=10, fixed seed) over the
+    * embeddings table: cluster sizes + intra-cluster cost shape. The
+    * reference family's unsupervised stage; rows-only (iterative float
+    * math has no SQL twin), EngineSpec pins determinism. */
+  def x5KmeansEmbeddings(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val data = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        array_to_vector(col("embedding").cast("array<double>")).as("features"))
+      .coalesce(4).cache()
+    val model = new KMeans().setK(10).setSeed(42L).setMaxIter(10)
+      .setFeaturesCol("features").fit(data)
+    model.transform(data)
+      .groupBy(col("prediction").as("cluster"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy("cluster")
+  }
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "x1_csv_roundtrip" -> (x1CsvRoundtrip _, Some(x1Sql)),
+    "x2_json_roundtrip" -> (x2JsonRoundtrip _, Some(x2Sql)),
+    "x3_salted_agg" -> (x3SaltedAgg _, Some(x3Sql)),
+    "x4_partitioned_write" -> (x4PartitionedWrite _, Some(x4Sql)),
+    "x5_kmeans_embeddings" -> (x5KmeansEmbeddings _, None),
+  )
+}
