@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{MinHashSignature, ShingleHashes}
+import graft.functions.{MinHashSignature, ShingleHashes, SimHashBands}
 
 /** Session extension wiring: registers graft's native expressions as SQL
   * functions, so `spark.sql("SELECT shingle_hashes(text) ...")` works in
@@ -19,6 +19,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         ShingleHashes(exprs.head)))
+    e.injectFunction((
+      FunctionIdentifier("simhash_bands"),
+      new ExpressionInfo(classOf[SimHashBands].getName, "simhash_bands"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHashBands(exprs.head)))
     e.injectFunction((
       FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),

@@ -67,6 +67,43 @@ object ShingleKernels {
     new GenericArrayData(java.util.Arrays.copyOf(out, k))
   }
 
+  /** 64-bit SimHash of a space-separated text, returned as 4×16-bit band
+    * values (band equality = the LSH bucket key for hamming≤3 search).
+    * One pass: token FNV hashes vote ±1 per bit, majority wins. */
+  def simhashBands(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val votes = new Array[Int](64)
+    var i = 0
+    var start = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (i > start) {
+          val h = fnv64(bytes, start, i)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+            b += 1
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    val out = new Array[Long](4)
+    var band = 0
+    while (band < 4) {
+      var v = 0L
+      var j = 0
+      while (j < 16) {
+        if (votes(band * 16 + j) > 0) v |= (1L << j)
+        j += 1
+      }
+      out(band) = v
+      band += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** k-permutation MinHash signature over a shingle-hash array. */
   def minhashSignature(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
@@ -104,6 +141,20 @@ case class ShingleHashes(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
   override def prettyName: String = "shingle_hashes"
+}
+
+/** `simhash_bands(text)` — 64-bit SimHash as 4×16-bit band values. */
+case class SimHashBands(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernels.simhashBands(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.simhashBands($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashBands =
+    copy(child = newChild)
+  override def prettyName: String = "simhash_bands"
 }
 
 /** `minhash_signature(sh_arr, k)` — k-long MinHash signature. */

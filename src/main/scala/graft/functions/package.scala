@@ -12,4 +12,8 @@ package object functions {
   /** k-permutation MinHash signature over a shingle-hash array. */
   def minhash_signature(c: Column, k: Int): Column =
     GraftShim.column(MinHashSignature(GraftShim.expression(c), k))
+
+  /** 64-bit SimHash of a space-separated text as 4×16-bit bands. */
+  def simhash_bands(c: Column): Column =
+    GraftShim.column(SimHashBands(GraftShim.expression(c)))
 }

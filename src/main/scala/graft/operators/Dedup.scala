@@ -170,33 +170,16 @@ object Dedup {
     * by pigeonhole any pair within hamming 3 shares at least one band).
     * xxhash64 bit votes → rows-only; DedupSpec pins determinism. */
   def d4DedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
-      .withColumn("h", xxhash64(col("term")))
-    // bit-vote counting with 16 packed accumulators instead of 64
-    // separate conditional sums: packed_j accumulates bits {j, j+16,
-    // j+32, j+48} in four 16-bit lanes (token counts ≪ 2^16, no lane
-    // carry) — 4× smaller codegen, same result
-    val packedCols = (0 until 16).map { j =>
-      val lanes = (0 until 4).map { lane =>
-        shiftleft(shiftrightunsigned(col("h"), lane * 16 + j).bitwiseAND(lit(1L)), lane * 16)
-      }
-      sum(lanes.reduce(_.bitwiseOR(_))).as(s"p$j")
-    }
-    val votes = tok.groupBy(col("doc_id"))
-      .agg(packedCols.head, (packedCols.tail :+ count(lit(1)).as("n_tok")): _*)
-    // bit b (= lane*16 + j) is set iff its vote count wins the majority:
-    // 2*count > n_tok  ⇔  simhash sign bit positive
-    val bandExprs = (0 until 4).map { band =>
-      (0 until 16).map { j =>
-        when(shiftrightunsigned(col(s"p$j"), band * 16).bitwiseAND(lit(0xFFFFL)) * 2
-          > col("n_tok"), lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _).as(s"band$band")
-    }
-    val sims = votes.select(Seq(col("doc_id")) ++ bandExprs: _*)
-    val long2 = (c: String) => col(c)
+    // one native-kernel pass per doc (codegen'd SimHashBands): token
+    // hashes vote ±1 per bit, majority wins, packed into 4×16-bit bands
+    // — no explode/groupBy for signature construction at all
+    val sims = Tables.documents(s, d)
+      .select(col("doc_id"), graft.functions.simhash_bands(col("text")).as("bands"))
+      .select(col("doc_id"),
+        element_at(col("bands"), 1).as("band0"), element_at(col("bands"), 2).as("band1"),
+        element_at(col("bands"), 3).as("band2"), element_at(col("bands"), 4).as("band3"))
     val exploded = sims.select(col("doc_id"),
-      posexplode(array(long2("band0"), long2("band1"), long2("band2"), long2("band3")))
+      posexplode(array(col("band0"), col("band1"), col("band2"), col("band3")))
         .as(Seq("band_idx", "band_val")))
     val cands = exploded.as("a").join(exploded.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
