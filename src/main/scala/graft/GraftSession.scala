@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Production session factory: one place for the configs every graft
+  * deployment wants — AQE (with skew-join handling), UTC semantics,
+  * graft's SQL extensions. `shufflePartitions` should track cluster
+  * parallelism (local[N] → N; a 1000-executor cluster → executors ×
+  * cores × 2-3, or rely on AQE coalescing from a higher initial value).
+  */
+object GraftSession {
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+
+  def build(master: String, shufflePartitions: Int): SparkSession = {
+    val s = builder(master, shufflePartitions).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -129,7 +129,83 @@ object Engine {
       .orderBy("cluster")
   }
 
+  /** x6_incremental_merge — the reference's daily incremental load:
+    * merge a "new day" batch into an existing snapshot, last-writer-wins
+    * per key. Expressed as union + window dedupe on (key, priority) —
+    * the portable merge shape when the table format has no native MERGE.
+    * Here: day-29 events re-ingested with value+100 must replace the
+    * originals; the oracle computes the expected post-merge aggregate. */
+  def x6IncrementalMerge(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+      .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+      .select("event_id", "user_id", "event_type", "value", "ep_day")
+    val lastDay = lit(19751L) // 2024-01-29
+    val existing = ev.withColumn("batch", lit(0L))
+    val newBatch = ev.filter(col("ep_day") === lastDay)
+      .withColumn("value", col("value") + 100.0)
+      .withColumn("batch", lit(1L))
+    val w = Window.partitionBy(col("event_id")).orderBy(desc("batch"))
+    existing.union(newBatch)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .groupBy(col("ep_day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .orderBy("ep_day")
+  }
+
+  val x6Sql: String =
+    """WITH e AS (SELECT event_id,
+      |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day,
+      |  CASE WHEN CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) = 19751
+      |    THEN value + 100.0 ELSE value END AS value
+      |  FROM events)
+      |SELECT ep_day, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM e GROUP BY ep_day ORDER BY ep_day""".stripMargin
+
+  /** x7_data_quality — the validation pass the reference runs on
+    * ingested GA data: per-table null/range/duplicate audits, one row
+    * per check. Pure aggregations — a single scan per table at scale. */
+  def x7DataQuality(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val li = Tables.lineitem(s, d)
+    val evChecks = ev.agg(
+      count(lit(1)).as("row_count"),
+      count(when(col("user_id").isNull, 1)).as("null_keys"),
+      count(when(col("value") < 0.0, 1)).as("range_violations"),
+      (count(lit(1)) - countDistinct(col("event_id"))).as("duplicate_keys"))
+      .withColumn("tbl", lit("events"))
+    val liChecks = li.agg(
+      count(lit(1)).as("row_count"),
+      count(when(col("l_orderkey").isNull, 1)).as("null_keys"),
+      count(when(col("l_discount") < 0.0 || col("l_discount") > 1.0, 1)).as("range_violations"),
+      (count(lit(1)) - countDistinct(concat_ws(":", col("l_orderkey"), col("l_linenumber"))))
+        .as("duplicate_keys"))
+      .withColumn("tbl", lit("lineitem"))
+    evChecks.union(liChecks)
+      .select("tbl", "row_count", "null_keys", "range_violations", "duplicate_keys")
+      .orderBy("tbl")
+  }
+
+  val x7Sql: String =
+    """SELECT 'events' AS tbl, COUNT(*) AS row_count,
+      |  COUNT(CASE WHEN user_id IS NULL THEN 1 END) AS null_keys,
+      |  COUNT(CASE WHEN value < 0.0 THEN 1 END) AS range_violations,
+      |  COUNT(*) - COUNT(DISTINCT event_id) AS duplicate_keys
+      |FROM events
+      |UNION ALL
+      |SELECT 'lineitem' AS tbl, COUNT(*) AS row_count,
+      |  COUNT(CASE WHEN l_orderkey IS NULL THEN 1 END) AS null_keys,
+      |  COUNT(CASE WHEN l_discount < 0.0 OR l_discount > 1.0 THEN 1 END) AS range_violations,
+      |  COUNT(*) - COUNT(DISTINCT l_orderkey || ':' || l_linenumber) AS duplicate_keys
+      |FROM lineitem
+      |ORDER BY tbl""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "x6_incremental_merge" -> (x6IncrementalMerge _, Some(x6Sql)),
+    "x7_data_quality" -> (x7DataQuality _, Some(x7Sql)),
     "x1_csv_roundtrip" -> (x1CsvRoundtrip _, Some(x1Sql)),
     "x2_json_roundtrip" -> (x2JsonRoundtrip _, Some(x2Sql)),
     "x3_salted_agg" -> (x3SaltedAgg _, Some(x3Sql)),

@@ -138,6 +138,38 @@ class StreamingAndMlSpec extends AnyFunSuite {
     assert(got.count() == batch.count())
   }
 
+  test("c9 churn model learns the churn signal (test-fold AUC)") {
+    import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
+    val scored = graft.ml.ChurnModel.c9TrainPredict(spark, "/root/testdata/sf0.01")
+      .filter(col("is_test") === 1L)
+      .withColumn("label", col("churned").cast("double"))
+      .withColumn("rawPrediction", col("churn_prob"))
+    val pos = scored.filter(col("label") === 1.0).count()
+    val neg = scored.filter(col("label") === 0.0).count()
+    assume(pos > 0 && neg > 0, "test fold needs both classes for AUC")
+    val auc = new BinaryClassificationEvaluator()
+      .setRawPredictionCol("rawPrediction").setLabelCol("label")
+      .setMetricName("areaUnderROC").evaluate(scored)
+    assert(auc >= 0.5, s"model no better than chance: AUC=$auc")
+  }
+
+  test("x3 salted aggregation is identical to the direct groupBy") {
+    val direct = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val salted = graft.operators.Engine.x3SaltedAgg(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(salted == direct)
+  }
+
+  test("x5 kmeans: deterministic, clusters cover all vectors") {
+    val a = graft.operators.Engine.x5KmeansEmbeddings(spark, sf).collect()
+    val b = graft.operators.Engine.x5KmeansEmbeddings(spark, sf).collect()
+    assert(a.toSeq == b.toSeq)
+    assert(a.map(_.getLong(1)).sum == graft.sources.Tables.embeddings(spark, sf).count())
+  }
+
   test("c9 churn model: valid probabilities, deterministic, labels covered") {
     val a = graft.ml.ChurnModel.c9TrainPredict(spark, sf).collect()
     val b = graft.ml.ChurnModel.c9TrainPredict(spark, sf).collect()
