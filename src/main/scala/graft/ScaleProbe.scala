@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale probe: replicates the sf0.1 tables N× in-memory (keys offset per
+  * replica so cardinalities really grow) and times the operators whose
+  * scaling behavior matters most — the candidate-generating dedup/ANN
+  * family and the fact-fact joins. Run manually per round; results go to
+  * SURVEY.md §5. Not part of Bench (the driver times that at sf0.1).
+  *
+  *   sbt "runMain graft.ScaleProbe [replicas]"
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 8
+    val spark = GraftSession.build("local[32]", 64)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = "/root/testdata/sf0.1"
+    val work = java.nio.file.Files.createTempDirectory("graft_scale").toString
+
+    // materialize replicated tables once (parquet, so scans/pushdown
+    // behave like production, not like an in-memory union)
+    def replicate(name: String, keyCols: Seq[String]): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val n = base.count()
+      val out = (0 until replicas).map { r =>
+        keyCols.foldLeft(base)((df, k) => df.withColumn(k, col(k) + lit(r * 10 * n)))
+      }.reduce(_ union _)
+      out.write.mode("overwrite").parquet(s"$work/$name.parquet")
+    }
+    replicate("documents", Seq("doc_id"))
+    replicate("embeddings", Seq("vec_id"))
+    replicate("events", Seq("event_id", "user_id"))
+    replicate("lineitem", Seq("l_orderkey"))
+    replicate("orders", Seq("o_orderkey", "o_custkey"))
+    replicate("customer", Seq("c_custkey"))
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime(); val rows = f
+      println(f"[scale] $name replicas=$replicas rows=$rows t=${(System.nanoTime() - t0) / 1e9}%.2f")
+    }
+    time("d2_ngram_jaccard")(operators.Dedup.d2DedupNgramJaccard(spark, work).count())
+    time("d3_minhash_lsh")(operators.Dedup.d3DedupMinhashLsh(spark, work).count())
+    time("d4_simhash")(operators.Dedup.d4DedupSimhash(spark, work).count())
+    time("s2_knn_lsh")(operators.Similarity.s2KnnLsh(spark, work).count())
+    time("q3_join_agg")(operators.Relational.q3JoinAgg(spark, work).count())
+    time("c1_sessionize")(operators.Churn.c1Sessionize(spark, work).count())
+    spark.stop()
+  }
+}

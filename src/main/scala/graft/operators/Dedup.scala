@@ -17,10 +17,15 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  /** Shingles with document frequency above this are dropped before any
-    * pair join (boilerplate/stop-shingles — they carry no dedup signal
-    * and all of the skew). */
-  val DfCap = 50L
+  /** Shingles with document frequency above the cap are dropped before
+    * any pair join (boilerplate/stop-shingles — they carry no dedup
+    * signal and all of the skew). The cap is corpus-relative —
+    * max(DfCapFloor, DfCapFrac × |docs|) — a fixed cap silently drops
+    * every shingle once the corpus (or its duplication rate) outgrows
+    * it: at 8× replication of sf0.1 a fixed cap of 50 yields ZERO
+    * candidate pairs. */
+  val DfCapFloor = 50L
+  val DfCapFrac  = 0.01
   /** Verified-Jaccard output threshold for d2/d3. */
   val JaccardTau = 0.3
 
@@ -84,8 +89,10 @@ object Dedup {
     // filtering; the self-join's two sides share one exchange
     // (ReusedExchange). Everything below the cached scan is codegen.
     val sh = shingles(s, d)
+    val nDocs = shingleArrays(s, d).count() // cached relation — cheap
+    val dfCap = math.max(DfCapFloor, math.ceil(DfCapFrac * nDocs).toLong)
     val reject = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > DfCap).select("h")
+      .filter(col("df") > dfCap).select("h")
     val idx = sh.join(broadcast(reject), Seq("h"), "left_anti")
     val shared = idx.as("a").join(idx.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -105,7 +112,9 @@ object Dedup {
     s"""WITH $shinglesSql,
        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
        |keep AS (SELECT shingle FROM sh GROUP BY shingle
-       |  HAVING COUNT(*) <= $DfCap AND COUNT(*) >= 2),
+       |  HAVING COUNT(*) <= GREATEST($DfCapFloor,
+       |    CAST(ceil($DfCapFrac * (SELECT COUNT(DISTINCT doc_id) FROM sh)) AS BIGINT))
+       |    AND COUNT(*) >= 2),
        |idx AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep ON sh.shingle = keep.shingle),
        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
        |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
