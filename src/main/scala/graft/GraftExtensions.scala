@@ -27,8 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((
       FunctionIdentifier("minhash_signature"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2 && exprs(1).foldable,
+          "minhash_signature(arr, k) requires a literal k")
         MinHashSignature(exprs.head,
-          exprs(1).eval().asInstanceOf[Int])))
+          exprs(1).eval().asInstanceOf[Number].intValue())
+      }))
   }
 }

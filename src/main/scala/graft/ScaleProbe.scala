@@ -21,11 +21,14 @@ object ScaleProbe {
 
     // materialize replicated tables once (parquet, so scans/pushdown
     // behave like production, not like an in-memory union)
+    // one GLOBAL per-replica offset for every key column of every table,
+    // so cross-table join keys (l_orderkey↔o_orderkey, o_custkey↔
+    // c_custkey, …) stay aligned within each replica
+    val Offset = 1000000000L
     def replicate(name: String, keyCols: Seq[String]): Unit = {
       val base = spark.read.parquet(s"$src/$name.parquet")
-      val n = base.count()
       val out = (0 until replicas).map { r =>
-        keyCols.foldLeft(base)((df, k) => df.withColumn(k, col(k) + lit(r * 10 * n)))
+        keyCols.foldLeft(base)((df, k) => df.withColumn(k, col(k) + lit(r * Offset)))
       }.reduce(_ union _)
       out.write.mode("overwrite").parquet(s"$work/$name.parquet")
     }

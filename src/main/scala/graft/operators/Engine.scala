@@ -14,8 +14,15 @@ import graft.sources.Tables
   */
 object Engine {
 
-  private def tmpDir(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
+  /** Fixed per-operator sink dirs (overwrite mode bounds disk use across
+    * repeated Verify/Bench rounds — fresh createTempDirectory per call
+    * would accumulate table copies forever). */
+  private def tmpDir(prefix: String): String = {
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_sinks", prefix)
+    Files.createDirectories(p)
+    p.toString
+  }
 
   /** x1_csv_roundtrip — write the customer dim to CSV (header, explicit
     * schema on readback — never infer in production) and aggregate from

@@ -50,6 +50,9 @@ object Multimodal {
   def m2FrameSample(s: SparkSession, d: String): DataFrame =
     withPayload(s, d)
       .withColumn("n_frames", ceil(length(col("payload")) / lit(64.0)).cast("long"))
+      // empty payloads produce no frames (sequence(0, -1) would emit
+      // [0, -1], not an empty list — filter first)
+      .filter(col("n_frames") > 0)
       .select(col("doc_id"), col("mime"), col("n_frames"),
         posexplode(sequence(lit(0L), col("n_frames") - 1)).as(Seq("pos", "frame_idx")))
       .filter(pmod(col("frame_idx"), lit(4)) === 0)
@@ -62,7 +65,7 @@ object Multimodal {
     """WITH p AS (SELECT doc_id,
       |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png'
       |    WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS mime,
-      |  CAST(ceil(length(text) / 64.0) AS BIGINT) AS n_frames FROM documents),
+      |  CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames FROM documents),
       |f AS (SELECT doc_id, mime, n_frames,
       |  unnest(range(0, n_frames)) AS frame_idx FROM p)
       |SELECT doc_id, mime, n_frames, frame_idx FROM f

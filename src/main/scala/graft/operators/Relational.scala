@@ -202,7 +202,7 @@ object Relational {
   val q8Sql: String =
     """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER (PARTITION BY o_custkey
-      |    ORDER BY o_orderdate ASC, o_orderkey ASC
+      |    ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
       |FROM orders ORDER BY o_custkey, order_date, o_orderkey""".stripMargin
 
@@ -413,11 +413,9 @@ object Relational {
     Tables.orders(s, d)
       .groupBy(col("o_orderpriority"))
       .agg(
-        percentile_approx(col("o_totalprice"), lit(0.5), lit(1000000)).as("p50_price"),
         expr("percentile(o_totalprice, 0.5)").as("median_price"),
         expr("percentile(o_totalprice, 0.9)").as("p90_price"),
         count(lit(1)).as("n"))
-      .drop("p50_price")
       .orderBy("o_orderpriority")
 
   val q21Sql: String =

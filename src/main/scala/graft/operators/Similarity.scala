@@ -77,15 +77,11 @@ object Similarity {
     * shuffle keyed on (table, bucket) and candidate counts track bucket
     * density, not corpus²). xxhash64 has no DuckDB twin → rows-only;
     * SimilaritySpec measures overlap vs s1's exact top-10. */
-  /** splitmix64 — deterministic hyperplane signs computed once on the
-    * driver and shipped as array literals (constant-folded into codegen:
-    * no per-row hashing or string building). */
-  private def splitmix64(seed: Long): Long = {
-    var z = seed + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  /** Deterministic hyperplane signs computed once on the driver
+    * (ShingleKernels.splitmix64) and shipped as array literals —
+    * constant-folded into codegen, no per-row hashing. */
+  private def splitmix64(seed: Long): Long =
+    graft.functions.ShingleKernels.splitmix64(seed)
 
   def s2KnnLsh(s: SparkSession, d: String): DataFrame = {
     val q = quantized(s, d)

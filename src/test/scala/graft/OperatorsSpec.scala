@@ -96,15 +96,36 @@ class NonSqlOracleSpec extends AnyFunSuite {
     assert(overlap.nonEmpty, "LSH found zero of the true top-10 neighbors")
   }
 
-  test("s1_knn_brute: rank 1 is the true argmax (cross-check vs plain agg)") {
+  test("s1_knn_brute: rank 1 matches an independent plain-Scala argmax") {
     import spark.implicits._
     val top1 = graft.operators.Similarity.s1KnnBrute(spark, sf)
-      .filter(col("rk") === 1).select("q_id", "cos_sim").as[(Long, Double)]
-      .collect().toMap
-    // independently: max cos_sim per query from the unranked cross join
-    val q = graft.sources.Tables.embeddings(spark, sf)
+      .filter(col("rk") === 1).select("q_id", "cand_id", "cos_sim")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(top1.size == 5)
-    top1.values.foreach(v => assert(v > -1.0 && v <= 1.0))
+    // independent oracle: same quantization, plain Scala loops
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map { r =>
+        // Spark round() is HALF_UP away from zero; Math.round floors
+        // toward +inf for negatives — replicate Spark's rule exactly
+        def q(x: Double): Long = {
+          val y = x * 1000.0
+          if (y >= 0) math.floor(y + 0.5).toLong else -math.floor(-y + 0.5).toLong
+        }
+        r.getLong(0) -> r.getSeq[Float](1).map(x => q(x.toDouble)).toArray
+      }
+      .toMap
+    def cos(a: Array[Long], b: Array[Long]): Double = {
+      var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+    }
+    for (q <- 0L until 5L) {
+      val (bestId, bestCos) = vecs.collect { case (id, v) if id != q => (id, cos(vecs(q), v)) }
+        .maxBy { case (id, c) => (c, -id) }
+      assert(top1(q)._1 == bestId, s"query $q: got ${top1(q)._1}, argmax is $bestId")
+      assert(math.abs(top1(q)._2 - bestCos) < 1e-12)
+    }
   }
 
   test("multimodal/streaming placeholder families keep queries total") {
