@@ -313,7 +313,30 @@ object Churn {
        |  ep - last_signup_ep AS secs_since_signup
        |FROM x WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin
 
+  /** c11_props_json — the reference ingests GA hit payloads as JSON;
+    * parse `props` and aggregate the extracted field. Integer domain →
+    * exact on both engines. */
+  def c11PropsJson(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n_with_k"),
+        sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"),
+        max(col("k")).as("k_max"))
+      .orderBy("event_type")
+
+  val c11Sql: String =
+    """SELECT event_type,
+      |  COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+      |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+      |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+      |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "c11_props_json" -> (c11PropsJson _, Some(c11Sql)),
     "c1_sessionize" -> (c1Sessionize _, Some(c1Sql)),
     "c2_user_features" -> (c2UserFeatures _, Some(c2Sql)),
     "c3_churn_label" -> (c3ChurnLabel _, Some(c3Sql)),

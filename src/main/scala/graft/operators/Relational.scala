@@ -439,8 +439,60 @@ object Relational {
       |WHERE ((l_orderkey * 2654435761 + l_linenumber) % 97 + 97) % 97 < 5
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** q23_window_misc — ranking-function variety: percent_rank /
+    * cume_dist / lag / lead over a total order (both engines share the
+    * rational-arithmetic definitions, and the divisions are
+    * deterministic doubles). */
+  def q23WindowMisc(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(asc("c_acctbal"), asc("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"))
+      .withColumn("pr", percent_rank().over(w))
+      .withColumn("cd", cume_dist().over(w))
+      .withColumn("prev_bal", lag(col("c_acctbal"), 1).over(w))
+      .withColumn("next_bal", lead(col("c_acctbal"), 1).over(w))
+      .orderBy("c_mktsegment", "c_acctbal", "c_custkey")
+  }
+
+  val q23Sql: String =
+    """SELECT c_mktsegment, c_custkey, c_acctbal,
+      |  percent_rank() OVER w AS pr,
+      |  cume_dist() OVER w AS cd,
+      |  LAG(c_acctbal, 1) OVER w AS prev_bal,
+      |  LEAD(c_acctbal, 1) OVER w AS next_bal
+      |FROM customer
+      |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
+      |ORDER BY c_mktsegment, c_acctbal, c_custkey""".stripMargin
+
+  /** q24_setops — INTERSECT / EXCEPT on key sets, tagged and unioned
+    * into one result. */
+  def q24Setops(s: SparkSession, d: String): DataFrame = {
+    val highBal = Tables.customer(s, d).filter(col("c_acctbal") > 7000.0)
+      .select(col("c_custkey").as("custkey"))
+    val building = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    highBal.intersect(building).withColumn("op", lit("in_both"))
+      .union(highBal.except(building).withColumn("op", lit("only_highbal")))
+      .orderBy("op", "custkey")
+  }
+
+  val q24Sql: String =
+    """SELECT custkey, 'in_both' AS op FROM (
+      |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 7000.0
+      |  INTERSECT
+      |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING') a
+      |UNION ALL
+      |SELECT custkey, 'only_highbal' AS op FROM (
+      |  SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 7000.0
+      |  EXCEPT
+      |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING') b
+      |ORDER BY op, custkey""".stripMargin
+
   /** name → (builder, optional oracle SQL) */
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q23_window_misc" -> (q23WindowMisc _, Some(q23Sql)),
+    "q24_setops" -> (q24Setops _, Some(q24Sql)),
     "q1_agg" -> (q1Agg _, Some(q1Sql)),
     "q2_filter_project" -> (q2FilterProject _, Some(q2Sql)),
     "q3_join_agg" -> (q3JoinAgg _, Some(q3Sql)),

@@ -109,8 +109,39 @@ object Streams {
     s.table(name).orderBy("user_id", "session_seq")
   }
 
+  /** st3_stream_static_join — stream-static enrichment: the event
+    * stream joined to the customer dim (broadcast on the streaming
+    * side), aggregated per market segment. The static side is re-read
+    * per micro-batch in production — exactly how a slowly-changing dim
+    * behaves under Structured Streaming. Finalized complete-mode table
+    * equals the batch join, which is what the oracle computes. */
+  def st3StreamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    val name = freshName("st3_out")
+    val dim = s.read.parquet(s"$d/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val agg = streamEvents(s, d)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Complete)
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name).orderBy("c_mktsegment")
+  }
+
+  val st3Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM events JOIN customer ON user_id = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "st1_stream_windowed" -> (st1StreamWindowed _, Some(st1Sql)),
     "st2_stream_sessionize" -> (st2StreamSessionize _, None),
+    "st3_stream_static_join" -> (st3StreamStaticJoin _, Some(st3Sql)),
   )
 }
