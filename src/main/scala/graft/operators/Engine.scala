@@ -210,7 +210,60 @@ object Engine {
       |FROM lineitem
       |ORDER BY tbl""".stripMargin
 
+  /** x8_bucketed_join — co-located fact-fact join: lineitem and orders
+    * written bucketed by the join key (8 buckets) via saveAsTable, then
+    * joined WITHOUT a shuffle — the physical plan has no Exchange on
+    * either side (EngineSpec asserts this). This is the 100 TB answer to
+    * the one unavoidable fact-fact shuffle in q3/q5: pay the shuffle
+    * once at write time, never again at read time. */
+  def x8BucketedJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount")
+    val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+    s.sql("DROP TABLE IF EXISTS graft_li_bucketed")
+    s.sql("DROP TABLE IF EXISTS graft_o_bucketed")
+    // a stale warehouse dir (from a previous metastore instance) blocks
+    // managed-table creation even after DROP TABLE — remove locations
+    val warehouse = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("graft_li_bucketed", "graft_o_bucketed").foreach { t =>
+      val p = java.nio.file.Paths.get(warehouse, t)
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("graft_li_bucketed")
+    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("graft_o_bucketed")
+    s.table("graft_li_bucketed")
+      .join(s.table("graft_o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount"))).cast("decimal(18,6)"))
+          .cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val x8Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** The bucketed join's plan (join only, before the final aggregation —
+    * the agg legitimately exchanges on its own group key), for
+    * shuffle-freedom assertions. Assumes x8BucketedJoin already created
+    * the bucketed tables. */
+  def x8Plan(s: SparkSession, d: String): String = {
+    x8BucketedJoin(s, d).count() // ensure tables exist
+    s.table("graft_li_bucketed")
+      .join(s.table("graft_o_bucketed"), col("l_orderkey") === col("o_orderkey"))
+      .queryExecution.executedPlan.toString
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "x8_bucketed_join" -> (x8BucketedJoin _, Some(x8Sql)),
     "x6_incremental_merge" -> (x6IncrementalMerge _, Some(x6Sql)),
     "x7_data_quality" -> (x7DataQuality _, Some(x7Sql)),
     "x1_csv_roundtrip" -> (x1CsvRoundtrip _, Some(x1Sql)),
