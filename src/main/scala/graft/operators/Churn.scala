@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.DecimalType
@@ -335,7 +335,42 @@ object Churn {
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** c12_typed_agg — the typed Dataset surface: case-class rows,
+    * groupByKey, and a custom `Aggregator[IN, BUF, OUT]` (exact decimal
+    * accumulation in the buffer). Same answer as the untyped plan —
+    * compile-time field safety is the only difference, which is the
+    * point of the demo. */
+  def c12TypedAgg(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Aggregator
+    val orders = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_totalprice"))
+      .as[(Long, Double)]
+    val spendAgg = new Aggregator[(Long, Double), (java.math.BigDecimal, Long), (Double, Long)] {
+      override def zero = (java.math.BigDecimal.ZERO, 0L)
+      override def reduce(b: (java.math.BigDecimal, Long), a: (Long, Double)) =
+        (b._1.add(new java.math.BigDecimal(a._2).setScale(6, java.math.RoundingMode.HALF_UP)), b._2 + 1)
+      override def merge(x: (java.math.BigDecimal, Long), y: (java.math.BigDecimal, Long)) =
+        (x._1.add(y._1), x._2 + y._2)
+      override def finish(r: (java.math.BigDecimal, Long)) = (r._1.doubleValue(), r._2)
+      override def bufferEncoder = Encoders.tuple(Encoders.DECIMAL, Encoders.scalaLong)
+      override def outputEncoder = Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+    }
+    orders.groupByKey(_._1)
+      .agg(spendAgg.toColumn.name("spend_n"))
+      .map { case (custkey, (spend, n)) => (custkey, spend, n) }
+      .toDF("o_custkey", "total_spend", "n_orders")
+      .orderBy("o_custkey")
+  }
+
+  val c12Sql: String =
+    """SELECT o_custkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total_spend,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "c12_typed_agg" -> (c12TypedAgg _, Some(c12Sql)),
     "c11_props_json" -> (c11PropsJson _, Some(c11Sql)),
     "c1_sessionize" -> (c1Sessionize _, Some(c1Sql)),
     "c2_user_features" -> (c2UserFeatures _, Some(c2Sql)),
