@@ -185,7 +185,66 @@ object Similarity {
        |  FROM scored) t
        |WHERE rk <= 3 ORDER BY label, rk""".stripMargin
 
+  private val IvfLists  = 16 // coarse-quantizer cells
+  private val IvfProbes = 2  // cells searched per query
+
+  /** s5_knn_ivf — IVF-style ANN: a KMeans coarse quantizer (fixed seed)
+    * partitions the corpus into inverted lists; each query probes only
+    * its IvfProbes nearest cells and brute-forces within them. The
+    * complement of s2's LSH: data-adaptive cells (better recall on
+    * clustered corpora) at the cost of training a codebook. At 100 TB
+    * the codebook is tiny and broadcast; the corpus shuffles once on
+    * cell id — queries then touch IvfProbes/IvfLists of the data.
+    * Iterative float training → rows-only; SimilaritySpec measures
+    * recall vs s1. */
+  def s5KnnIvf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val q = quantized(s, d)
+      .withColumn("fvec", array_to_vector(
+        transform(col("qv"), v => v.cast("double"))))
+      .cache()
+    val km = new KMeans().setK(IvfLists).setSeed(7L).setMaxIter(10)
+      .setFeaturesCol("fvec").setPredictionCol("cell")
+    val model = km.fit(q)
+    val assigned = model.transform(q).select("vec_id", "label", "qv", "nrm", "cell")
+    // queries probe their IvfProbes nearest cells: distances to the tiny
+    // codebook are computed driver-side (it IS tiny — that's the point)
+    val centroids = model.clusterCenters.map(_.toArray)
+    val queryRows = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id"), col("qv")).collect()
+    val probeCells: Map[Long, Seq[Int]] = queryRows.map { r =>
+      val vid = r.getLong(0)
+      val v = r.getSeq[Long](1).toArray
+      val dists = centroids.zipWithIndex.map { case (c, i) =>
+        var acc = 0.0; var j = 0
+        while (j < v.length) { val diff = v(j) - c(j); acc += diff * diff; j += 1 }
+        (acc, i)
+      }
+      vid -> dists.sortBy(_._1).take(IvfProbes).map(_._2).toSeq
+    }.toMap
+    val probes = {
+      import s.implicits._
+      probeCells.toSeq.flatMap { case (vid, cells) => cells.map(c => (vid, c)) }
+        .toDF("q_id", "probe_cell")
+    }
+    val qSide = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+      .join(probes, "q_id")
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cos_sim"), asc("cand_id"))
+    assigned.join(broadcast(qSide),
+        col("cell") === col("probe_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        cosine(aggregate(zip_with(col("q_qv"), col("qv"), _ * _), lit(0L), _ + _),
+          col("q_nrm"), col("nrm")).as("cos_sim"))
+      .dropDuplicates("q_id", "cand_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .orderBy("q_id", "rk")
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "s5_knn_ivf" -> (s5KnnIvf _, None),
     "s1_knn_brute" -> (s1KnnBrute _, Some(s1Sql)),
     "s2_knn_lsh" -> (s2KnnLsh _, None),
     "s3_pairwise_topsim" -> (s3PairwiseTopsim _, Some(s3Sql)),

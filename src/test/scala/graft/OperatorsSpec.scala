@@ -96,6 +96,18 @@ class NonSqlOracleSpec extends AnyFunSuite {
     assert(overlap.nonEmpty, "LSH found zero of the true top-10 neighbors")
   }
 
+  test("s5_knn_ivf: valid neighbors, deterministic, nonzero overlap with s1") {
+    val brute = graft.operators.Similarity.s1KnnBrute(spark, sf)
+      .select("q_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = graft.operators.Similarity.s5KnnIvf(spark, sf).collect()
+    val b = graft.operators.Similarity.s5KnnIvf(spark, sf).collect()
+    assert(a.toSeq == b.toSeq, "IVF not deterministic")
+    assert(a.nonEmpty)
+    val overlap = a.map(r => (r.getLong(0), r.getLong(1))).toSet.intersect(brute)
+    assert(overlap.nonEmpty, "IVF found zero of the true top-10 neighbors")
+  }
+
   test("s1_knn_brute: rank 1 matches an independent plain-Scala argmax") {
     import spark.implicits._
     val top1 = graft.operators.Similarity.s1KnnBrute(spark, sf)
