@@ -39,7 +39,8 @@ object ShingleKernels {
   /** Distinct 3-token shingle hashes of a space-separated text, in first-
     * occurrence order. Single pass over the UTF-8 bytes: token FNV
     * hashes, then xor-rotl window mixing, then linear-probe dedup. */
-  def shingleHashes(text: UTF8String, n: Int): ArrayData = {
+  def shingleHashes(text: UTF8String): ArrayData = {
+    val n = 3 // shingle width is fixed: the mix below folds exactly 3 token hashes
     val bytes = text.getBytes
     // token hashes
     var tokenCount = 0
@@ -135,9 +136,9 @@ case class ShingleHashes(child: Expression)
   override def inputTypes = Seq(StringType)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(input: Any): Any =
-    ShingleKernels.shingleHashes(input.asInstanceOf[UTF8String], 3)
+    ShingleKernels.shingleHashes(input.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.shingleHashes($c, 3)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.shingleHashes($c)")
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
   override def prettyName: String = "shingle_hashes"

@@ -235,18 +235,63 @@ object Churn {
        |LEFT JOIN s2 ON u.user_id = s2.user_id
        |LEFT JOIN s3 ON u.user_id = s3.user_id""".stripMargin
 
+  /** Exact NTILE(k) over a unique total order WITHOUT the single-partition
+    * global sort `ntile().over(Window.orderBy(...))` plans (which funnels
+    * the whole table through one task — the definitive scale-killer at
+    * 10⁹ users). Instead: range-repartition on the order key, rank within
+    * each range partition, add per-partition rank offsets computed from
+    * the tiny (#shuffle-partitions)-row count table via a triangular
+    * self-join, then the closed-form NTILE bucket from (rank, n). Every
+    * window in the plan is partitioned; the only single-partition work is
+    * over ≤ #partitions rows. Identical answer to NTILE(k): with a unique
+    * order key, bucket is a pure function of global rank. */
+  private def ntileDistributed(df: DataFrame, order: Seq[Column], k: Int,
+      out: String): DataFrame = {
+    val parted = df.repartitionByRange(order: _*)
+      .withColumn("pid", spark_partition_id())
+    val counts = parted.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.pid") < col("a.pid"), "left_outer")
+      .groupBy(col("a.pid").as("pid"))
+      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
+    val nDf = counts.agg(sum(col("cnt")).as("n_total"))
+    val w = Window.partitionBy(col("pid")).orderBy(order: _*)
+    parted
+      .withColumn("pr", row_number().over(w).cast("long"))
+      .join(broadcast(offsets), "pid")
+      .crossJoin(broadcast(nDf))
+      .withColumn("rk", col("pr") + col("off"))
+      // NTILE(k) on n rows: the first (n % k) buckets hold ceil(n/k) rows,
+      // the rest floor(n/k); bucket of rank r follows in closed form.
+      .withColumn("qq", expr(s"n_total div $k"))
+      .withColumn("rem", pmod(col("n_total"), lit(k.toLong)))
+      .withColumn(out,
+        when(col("rk") <= col("rem") * (col("qq") + lit(1L)),
+          expr("(rk + qq) div (qq + 1)"))
+        .otherwise(
+          expr("rem + ((rk - rem * (qq + 1) + greatest(qq, 1) - 1) div greatest(qq, 1))"))
+        .cast("int"))
+      .select(col("user_id"), col(out))
+  }
+
   /** c7_rfm — recency/frequency/monetary quintile scores. NTILE over a
-    * total order (metric, user_id) is deterministic on both engines. */
+    * total order (metric, user_id) is deterministic on both engines; the
+    * Spark side computes it distributed (ntileDistributed) — no global
+    * one-partition sort anywhere in the plan. */
   def c7Rfm(s: SparkSession, d: String): DataFrame = {
     val base = c2UserFeatures(s, d)
       .select(col("user_id"), col("recency_days"), col("n_events"), col("total_value"))
+      .cache()
+    val r = ntileDistributed(base.select("user_id", "recency_days"),
+      Seq(asc("recency_days"), asc("user_id")), 5, "r_score")
+    val f = ntileDistributed(base.select("user_id", "n_events"),
+      Seq(desc("n_events"), asc("user_id")), 5, "f_score")
+    val m = ntileDistributed(base.select("user_id", "total_value"),
+      Seq(desc("total_value"), asc("user_id")), 5, "m_score")
     base
-      .withColumn("r_score", ntile(5).over(
-        Window.orderBy(asc("recency_days"), asc("user_id"))))
-      .withColumn("f_score", ntile(5).over(
-        Window.orderBy(desc("n_events"), asc("user_id"))))
-      .withColumn("m_score", ntile(5).over(
-        Window.orderBy(desc("total_value"), asc("user_id"))))
+      .join(r, "user_id")
+      .join(f, "user_id")
+      .join(m, "user_id")
       .withColumn("rfm", col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
       .orderBy("user_id")
   }

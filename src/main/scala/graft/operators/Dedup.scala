@@ -78,15 +78,22 @@ object Dedup {
 
   /** d2_dedup_ngram_jaccard — n-gram Jaccard near-dup pairs: distinct
     * shingle sets, df-capped inverted index, pair-join on shared
-    * shingles, exact Jaccard ≥ τ. The division is two exact ints in
-    * IEEE double → bit-identical across engines. */
+    * shingles, exact Jaccard ≥ τ. Both the intersection AND the set
+    * sizes are computed over the df-capped shingle space (a shingle
+    * over the cap is excluded from numerator and denominator alike), so
+    * the ratio is internally consistent however hot the corpus is; when
+    * no shingle hits the cap this is plain full-set Jaccard and agrees
+    * exactly with d3's array-intersect verify. The division is two exact
+    * ints in IEEE double → bit-identical across engines. */
   def d2DedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
-    val sizes = shingleArrays(s, d)
-      .select(col("doc_id"), size(col("sh_arr")).cast("long").as("sz"))
     // inverted index on hashed shingles (8-byte join keys). df-cap
     // enforced by broadcast ANTI join against the tiny over-cap reject
     // list (the heavy hitters), so the index never shuffles for
-    // filtering; the self-join's two sides share one exchange
+    // filtering. Per-doc capped set size rides along via a doc_id
+    // window count — one extra long per row instead of joining a
+    // per-document sizes table back in afterwards (which at corpus
+    // scale would either broadcast a document-sized table or add two
+    // more shuffles). The self-join's two sides share one exchange
     // (ReusedExchange). Everything below the cached scan is codegen.
     val sh = shingles(s, d)
     val nDocs = shingleArrays(s, d).count() // cached relation — cheap
@@ -94,13 +101,12 @@ object Dedup {
     val reject = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("h")
     val idx = sh.join(broadcast(reject), Seq("h"), "left_anti")
-    val shared = idx.as("a").join(idx.as("b"),
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+    idx.as("a").join(idx.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sz", "sz_a")), "doc_a")
-      .join(broadcast(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sz", "sz_b")), "doc_b")
+      .agg(count(lit(1)).as("shared"),
+        min(col("a.sz")).as("sz_a"), min(col("b.sz")).as("sz_b"))
       .withColumn("jaccard",
         col("shared").cast("double") / (col("sz_a") + col("sz_b") - col("shared")))
       .filter(col("jaccard") >= JaccardTau)
@@ -110,12 +116,11 @@ object Dedup {
 
   val d2Sql: String =
     s"""WITH $shinglesSql,
-       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
        |keep AS (SELECT shingle FROM sh GROUP BY shingle
        |  HAVING COUNT(*) <= GREATEST($DfCapFloor,
-       |    CAST(ceil($DfCapFrac * (SELECT COUNT(DISTINCT doc_id) FROM sh)) AS BIGINT))
-       |    AND COUNT(*) >= 2),
+       |    CAST(ceil($DfCapFrac * (SELECT COUNT(DISTINCT doc_id) FROM sh)) AS BIGINT))),
        |idx AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep ON sh.shingle = keep.shingle),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY doc_id),
        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
        |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
        |  GROUP BY a.doc_id, b.doc_id)

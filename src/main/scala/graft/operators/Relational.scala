@@ -71,10 +71,12 @@ object Relational {
       |WHERE l_quantity > 45.0 AND l_returnflag = 'R'
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
-  /** q3_join_agg — TPC-H Q3 shape: dim-filtered customer broadcast into
-    * orders⋈lineitem, revenue per order, top 10. The customer side is
-    * broadcast (small after the segment filter); orders⋈lineitem shuffles
-    * on orderkey — the one unavoidable fact-fact shuffle. */
+  /** q3_join_agg — TPC-H Q3 shape: dim-filtered customer joined into
+    * orders⋈lineitem, revenue per order, top 10. customer grows linearly
+    * with SF, so its join strategy is deliberately left to stats/AQE —
+    * broadcast while it fits, shuffled hash/sort-merge when it doesn't
+    * (a forced broadcast() here is an OOM at 100 TB). orders⋈lineitem
+    * shuffles on orderkey — the one unavoidable fact-fact shuffle. */
   def q3JoinAgg(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       .select("c_custkey")
@@ -82,7 +84,7 @@ object Relational {
     val l = Tables.lineitem(s, d)
       .select("l_orderkey", "l_extendedprice", "l_discount")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("order_date"))
       .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
       .orderBy(desc("revenue"), asc("l_orderkey"))
@@ -116,9 +118,11 @@ object Relational {
       |  WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
       |ORDER BY c_custkey""".stripMargin
 
-  /** q5_multijoin — TPC-H Q5 star join: region→nation→customer dims all
-    * broadcast; only orders⋈lineitem shuffles. Catalyst reorders + AQE
-    * re-plans at runtime; at scale the dims stay broadcast at any SF. */
+  /** q5_multijoin — TPC-H Q5 star join. Only the fixed-size dims
+    * (region: 5 rows, nation: 25) carry broadcast hints — they stay tiny
+    * at any SF. customer and supplier grow linearly with SF, so their
+    * strategy is left to stats/AQE: broadcast while small, shuffle when
+    * not. Only orders⋈lineitem must shuffle. */
   def q5Multijoin(s: SparkSession, d: String): DataFrame = {
     val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
     val n = Tables.nation(s, d)
@@ -128,8 +132,8 @@ object Relational {
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
     l.join(o, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(c, col("o_custkey") === col("c_custkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -293,15 +297,18 @@ object Relational {
       |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
 
   /** q14_scalar_subquery — TPC-H Q17 shape: rows above 1.3× their group
-    * mean. The per-part average is a broadcast-joined sub-aggregate, not a
-    * correlated re-scan. avg is derived from a decimal sum → identical on
-    * both engines regardless of accumulation order. */
+    * mean. The per-part average is a joined sub-aggregate, not a
+    * correlated re-scan; it has one row per partkey (SF-proportional —
+    * billions of rows at 100 TB), so no broadcast hint: stats/AQE
+    * broadcast it while small and sort-merge on l_partkey when not.
+    * avg is derived from a decimal sum → identical on both engines
+    * regardless of accumulation order. */
   def q14ScalarSubquery(s: SparkSession, d: String): DataFrame = {
     val l = Tables.lineitem(s, d)
     val partAvg = l.groupBy(col("l_partkey").as("pk"))
       .agg((sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"))
     l.select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
-      .join(broadcast(partAvg), col("l_partkey") === col("pk"))
+      .join(partAvg, col("l_partkey") === col("pk"))
       .filter(col("l_quantity") > lit(1.3) * col("avg_qty"))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"), col("l_quantity"))
       .orderBy("l_orderkey", "l_linenumber")

@@ -121,8 +121,10 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
-  /** s3_pairwise_topsim — globally most-similar pairs above 0.6 on the
-    * deterministic 1-in-10 sample, top 50. */
+  /** s3_pairwise_topsim — globally most-similar pairs above 0.25 on the
+    * deterministic 1-in-10 sample, top 50. Exact all-pairs — the
+    * oracle-checkable small-SF twin; the unsampled scale path is
+    * s6_pairwise_lsh (hyperplane-bucketed candidates). */
   def s3PairwiseTopsim(s: SparkSession, d: String): DataFrame = {
     val q = quantized(s, d).filter(pmod(col("vec_id"), lit(10)) === 0)
     q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))

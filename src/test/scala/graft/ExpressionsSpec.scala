@@ -25,10 +25,14 @@ class ExpressionsSpec extends AnyFunSuite {
     val texts = graft.sources.Tables.documents(spark, sf).select("text").limit(50)
     val viaCodegen = texts.select(graft.functions.shingle_hashes(col("text")).as("a"))
       .collect().map(_.getSeq[Long](0))
-    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
-    val viaInterp = texts.select(graft.functions.shingle_hashes(col("text")).as("a"))
-      .collect().map(_.getSeq[Long](0))
-    spark.conf.unset("spark.sql.codegen.factoryMode")
+    // try/finally: a failed assertion must not leak NO_CODEGEN into the
+    // shared session and mask codegen-path bugs in later suites
+    val viaInterp =
+      try {
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        texts.select(graft.functions.shingle_hashes(col("text")).as("a"))
+          .collect().map(_.getSeq[Long](0))
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
     assert(viaCodegen.toSeq == viaInterp.toSeq)
   }
 

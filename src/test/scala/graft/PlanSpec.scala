@@ -38,6 +38,39 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("c7: no window over an unpartitioned global sort (single-partition NTILE)") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val qe = SparkEntry.queries("c7_rfm")(spark, sf).queryExecution
+    val unpartitioned = qe.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty,
+      s"c7 still funnels the table through one-task windows:\n$unpartitioned")
+    // the distributed-rank path: range repartition instead of global sort
+    assert(qe.executedPlan.toString.contains("rangepartitioning"),
+      "expected the distributed NTILE's range repartition in the plan")
+  }
+
+  /** SF-proportional relations must not carry forced broadcast hints —
+    * strategy stays with stats/AQE so the same code broadcasts at sf0.1
+    * and sort-merges at 100 TB instead of OOMing. Fixed-size dims
+    * (q5's nation/region) and provably tiny relations (d2's over-cap
+    * reject list) may keep theirs. */
+  private def hintCount(name: String): Int =
+    "ResolvedHint".r.findAllIn(
+      SparkEntry.queries(name)(spark, sf).queryExecution.analyzed.toString).size
+
+  test("no forced broadcast of SF-proportional relations (q3/q14/q5/d2)") {
+    assert(hintCount("q3_join_agg") == 0, "q3: customer must not be hint-broadcast")
+    assert(hintCount("q14_scalar_subquery") == 0, "q14: partAvg must not be hint-broadcast")
+    // q5 keeps exactly the two fixed-size dims (nation 25 rows, region 5)
+    assert(hintCount("q5_multijoin") == 2, "q5: only nation+region may be hinted")
+    // d2's only hint is the bounded heavy-hitter reject list (appears once
+    // per self-join side in the analyzed tree)
+    assert(hintCount("d2_dedup_ngram_jaccard") <= 2,
+      "d2: only the over-cap reject list may be hinted")
+  }
+
   test("x8: bucketed fact-fact join has no shuffle exchange") {
     val p = graft.operators.Engine.x8Plan(spark, sf)
     assert(!p.contains("Exchange hashpartitioning"),
