@@ -17,6 +17,9 @@ object SparkEntry {
       graft.streaming.Streams.entries ++ Map(
         "c9_churn_train_predict" ->
           ((graft.ml.ChurnModel.c9TrainPredict _): (SparkSession, String) => DataFrame,
+            None: Option[String]),
+        "c13_model_io" ->
+          ((graft.ml.ChurnModel.c13ModelIo _): (SparkSession, String) => DataFrame,
             None: Option[String]))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,76 +1,131 @@
 package graft.ml
 
-import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.{Pipeline, PipelineModel}
 import org.apache.spark.ml.classification.LogisticRegression
 import org.apache.spark.ml.feature.{StandardScaler, VectorAssembler}
+import org.apache.spark.ml.functions.vector_to_array
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.Churn
+import graft.sources.Tables
 
 /** The reference's train/predict stage re-expressed on Spark MLlib:
-  * per-user features (Churn.c2) + churn label (Churn.c3) →
-  * VectorAssembler → StandardScaler → LogisticRegression → per-user
-  * churn probability. Deterministic: fixed seed, deterministic
-  * hash-based train/test split (user_id mod), no sampling.
+  * per-user features (Churn.c2 + a one-hot event-type spread) + churn
+  * label (Churn.c3) → VectorAssembler → StandardScaler →
+  * LogisticRegression → per-user churn probability. Deterministic:
+  * fixed seed, deterministic hash-based train/test split (user_id mod),
+  * no sampling.
+  *
+  * The reference runs training and batch prediction as SEPARATE daily
+  * jobs around a persisted model; c13 mirrors that: fit → MLWriter save
+  * → MLReader load in a scoring pass → scores written day-partitioned
+  * for the downstream consumer (the x4 layout).
   *
   * Scale: feature assembly is one user_id-clustered aggregation (shared
   * with the rest of the churn family); LBFGS does a handful of
   * treeAggregate passes over the feature matrix — linear scans, no
-  * shuffles beyond the aggregation, which is how this survives a 10⁹-user
-  * table on a real cluster.
+  * shuffles beyond the aggregation, which is how this survives a
+  * 10⁹-user table on a real cluster.
   */
 object ChurnModel {
 
-  val FeatureCols: Seq[String] = Seq(
+  private val NumericCols: Seq[String] = Seq(
     "n_events", "n_purchases", "n_errors", "total_value", "avg_value",
     "active_days", "span_days", "events_per_active_day")
+  /** Per-event-type one-hot counts (the q19 pivot shape) — the analog of
+    * the reference's device/browser one-hot dims in this schema. */
+  private val EventTypes: Seq[String] =
+    Seq("click", "view", "purchase", "signup", "error")
+  val FeatureCols: Seq[String] = NumericCols ++ EventTypes.map(t => s"evt_$t")
 
-  /** Per-user features + label matrix (pure DataFrame ops). */
-  def featureMatrix(s: SparkSession, d: String): DataFrame =
+  /** Per-user features + one-hot event-type counts + label matrix
+    * (pure DataFrame ops — all keyed and shuffled on user_id once). */
+  def featureMatrix(s: SparkSession, d: String): DataFrame = {
+    val oneHot = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .select(col("user_id") +: EventTypes.map(t => col(t).as(s"evt_$t")): _*)
     Churn.c2UserFeatures(s, d)
       .withColumn("span_days",
         floor((col("last_ep") - col("first_ep")) / lit(86400.0)).cast("long"))
       .withColumn("events_per_active_day",
         col("n_events").cast("double") / col("active_days"))
+      .join(oneHot, "user_id")
       .join(Churn.c3ChurnLabel(s, d).select("user_id", "churned"), "user_id")
+  }
 
-  /** c9_churn_train_predict — fit on the hash-split train fold, score
-    * every user. Output: user_id, churned, churn_prob, prediction. */
-  def c9TrainPredict(s: SparkSession, d: String): DataFrame = {
-    // cache: LBFGS iterates over the matrix; without this every pass
-    // would recompute the per-user aggregations. The matrix is tiny
-    // relative to the event log (one row per user), so collapse to a few
-    // partitions — iteration cost is scheduler overhead, not compute.
-    // (On a 10⁹-user cluster: size partitions to ~128MB of features
-    // instead; the shape of the pipeline is unchanged.)
+  private def pipeline: Pipeline = new Pipeline().setStages(Array(
+    new VectorAssembler()
+      .setInputCols(FeatureCols.toArray)
+      .setOutputCol("raw_features"),
+    new StandardScaler()
+      .setInputCol("raw_features").setOutputCol("features")
+      .setWithMean(true).setWithStd(true),
+    new LogisticRegression()
+      .setMaxIter(25)
+      .setRegParam(0.01)
+      .setLabelCol("label")
+      .setFeaturesCol("features")
+      .setProbabilityCol("prob")))
+
+  /** (cached matrix, model fitted on the hash-split train fold).
+    * cache: LBFGS iterates over the matrix; without this every pass
+    * would recompute the per-user aggregations. The matrix is tiny
+    * relative to the event log (one row per user), so collapse to a few
+    * partitions — iteration cost is scheduler overhead, not compute.
+    * (On a 10⁹-user cluster: size partitions to ~128MB of features
+    * instead; the shape of the pipeline is unchanged.) */
+  private def fitOnTrainFold(s: SparkSession, d: String): (DataFrame, PipelineModel) = {
     val data = featureMatrix(s, d)
       .withColumn("label", col("churned").cast("double"))
       .coalesce(4)
       .cache()
     val train = data.filter(pmod(col("user_id"), lit(5)) =!= 0)
+    (data, pipeline.fit(train))
+  }
 
-    val pipeline = new Pipeline().setStages(Array(
-      new VectorAssembler()
-        .setInputCols(FeatureCols.toArray)
-        .setOutputCol("raw_features"),
-      new StandardScaler()
-        .setInputCol("raw_features").setOutputCol("features")
-        .setWithMean(true).setWithStd(true),
-      new LogisticRegression()
-        .setMaxIter(25)
-        .setRegParam(0.01)
-        .setLabelCol("label")
-        .setFeaturesCol("features")
-        .setProbabilityCol("prob")))
-
-    val model = pipeline.fit(train)
-    val firstProb = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
+  /** Per-user score frame for a fitted model. `vector_to_array` +
+    * element_at keeps probability extraction inside codegen — no UDF. */
+  private def scored(model: PipelineModel, data: DataFrame): DataFrame =
     model.transform(data)
       .select(col("user_id"), col("churned"),
-        round(firstProb(col("prob")), 6).as("churn_prob"),
+        round(element_at(vector_to_array(col("prob")), 2), 6).as("churn_prob"),
         col("prediction").cast("long").as("prediction"),
         (pmod(col("user_id"), lit(5)) === 0).cast("long").as("is_test"))
+      .orderBy("user_id")
+
+  /** c9_churn_train_predict — fit on the hash-split train fold, score
+    * every user. Output: user_id, churned, churn_prob, prediction. */
+  def c9TrainPredict(s: SparkSession, d: String): DataFrame = {
+    val (data, model) = fitOnTrainFold(s, d)
+    scored(model, data)
+  }
+
+  /** c13_model_io — the reference's separated daily jobs: train → save
+    * the PipelineModel (MLWriter) → reload it (MLReader, as the daily
+    * scoring job would) → score → write scores day-partitioned (run_day
+    * = dataset horizon day, the x4 layout) → read back through the
+    * partitioned table. Output is c9's score frame + run_day; a spec
+    * asserts the reloaded model's scores are bit-identical to c9's. */
+  def c13ModelIo(s: SparkSession, d: String): DataFrame = {
+    val (data, model) = fitOnTrainFold(s, d)
+    val modelDir = graft.operators.Engine.tmpDir("graft_churn_model")
+    model.write.overwrite().save(modelDir)
+
+    // --- scoring job: knows only the saved model path + the data ---
+    val reloaded = PipelineModel.load(modelDir)
+    val runDay = data.agg(expr("max(last_ep) div 86400").as("run_day"))
+    val scoresDir = graft.operators.Engine.tmpDir("graft_churn_scores")
+    scored(reloaded, data)
+      .crossJoin(broadcast(runDay))
+      .write.mode("overwrite").partitionBy("run_day").parquet(scoresDir)
+    s.read.parquet(scoresDir)
+      // partition-dir columns come back type-inferred (int) — pin to long
+      .select(col("user_id"), col("churned"), col("churn_prob"),
+        col("prediction"), col("is_test"), col("run_day").cast("long").as("run_day"))
       .orderBy("user_id")
   }
 }

@@ -83,25 +83,32 @@ object Similarity {
   private def splitmix64(seed: Long): Long =
     graft.functions.ShingleKernels.splitmix64(seed)
 
-  def s2KnnLsh(s: SparkSession, d: String): DataFrame = {
-    val q = quantized(s, d)
-    // sign of <h_{t,p}, v> with h_{t,p}[i] = ±1 from splitmix64(t,p,i)
-    val bucketCols = (0 until LshTables).map { t =>
-      val bits = (0 until LshBits).map { p =>
+  /** (vec_id, qv, nrm, tbl, bucket): one row per (vector, hash table).
+    * Sign of <h_{t,p}, v> with h_{t,p}[i] = ±1 from splitmix64(t,p,i) —
+    * hyperplane signs are driver-side constants folded into codegen as
+    * array literals, no per-row hashing and no stored model. Shared by
+    * s2 (query ANN) and s6 (pairwise near-dup candidates). */
+  private def hyperplaneBucketed(q: DataFrame, tables: Int, bits: Int): DataFrame = {
+    val bucketCols = (0 until tables).map { t =>
+      val bitCols = (0 until bits).map { p =>
         val signs: Seq[Long] = (0 until 64).map { i =>
-          if ((splitmix64(((t.toLong * LshBits + p) << 8) + i) & 1L) == 1L) 1L else -1L
+          if ((splitmix64(((t.toLong * bits + p) << 8) + i) & 1L) == 1L) 1L else -1L
         }
         val signedSum = aggregate(
           zip_with(col("qv"), typedlit(signs), (v, sgn) => v * sgn),
           lit(0L), _ + _)
         (signedSum > 0).cast("long") * lit(1L << p)
       }
-      bits.reduce(_ + _).as(s"bucket$t")
+      bitCols.reduce(_ + _).as(s"bucket$t")
     }
-    val bucketed = q.select(Seq(col("vec_id"), col("qv"), col("nrm")) ++ bucketCols: _*)
-    val tabbed = bucketed.select(col("vec_id"), col("qv"), col("nrm"),
-      posexplode(array((0 until LshTables).map(t => col(s"bucket$t")): _*))
-        .as(Seq("tbl", "bucket")))
+    q.select(Seq(col("vec_id"), col("qv"), col("nrm")) ++ bucketCols: _*)
+      .select(col("vec_id"), col("qv"), col("nrm"),
+        posexplode(array((0 until tables).map(t => col(s"bucket$t")): _*))
+          .as(Seq("tbl", "bucket")))
+  }
+
+  def s2KnnLsh(s: SparkSession, d: String): DataFrame = {
+    val tabbed = hyperplaneBucketed(quantized(s, d), LshTables, LshBits)
     val queries = tabbed.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"),
         col("tbl").as("q_tbl"), col("bucket").as("q_bucket"))
@@ -187,6 +194,47 @@ object Similarity {
        |  FROM scored) t
        |WHERE rk <= 3 ORDER BY label, rk""".stripMargin
 
+  private val PairTables = 32  // L: independent hash tables for s6
+  private val PairBits   = 4   // k: hyperplanes per table
+  /** "strong pair" threshold for the bucketed pairwise path. */
+  val PairTau = 0.45
+
+  /** s6_pairwise_lsh — the unsampled scale path behind d5/s3: strong
+    * similar pairs (cos ≥ PairTau) over the FULL corpus with hyperplane-
+    * bucketed candidate generation. A pair is a candidate iff it shares
+    * a (table, bucket) in ANY of the L=32 sign-hash tables; exact cosine
+    * runs only within buckets — no cartesian/nested-loop join anywhere
+    * in the plan (PlanSpec asserts), so candidate cost tracks bucket
+    * density, not corpus². Recall is governed by the L/k dials: for a
+    * pair at angle θ, P(miss) = (1 − (1 − θ/π)^k)^L — at cos 0.45,
+    * k=4, L=32 that is ~2e-3, and it vanishes toward cos 1 where true
+    * near-dups live (k grows ~log n with corpus size at 100 TB).
+    * Signs are seed-fixed → deterministic; rows-only (xxhash-free but
+    * 32-table bucketing has no tractable SQL twin); SimilaritySpec
+    * proves bucketed output EQUALS the exact all-pairs answer at test
+    * SF, and subset-correctness (every emitted cosine is exact) holds
+    * by construction at any SF. */
+  def s6PairwiseLsh(s: SparkSession, d: String): DataFrame = {
+    val tabbed = hyperplaneBucketed(quantized(s, d), PairTables, PairBits)
+    // carry the (64-long ≈ 512 B) vectors through the pair dedup rather
+    // than joining them back afterwards: one shuffle on the pair key
+    // instead of two more corpus-sized joins
+    val cands = tabbed.as("a").join(tabbed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.qv").as("qv_a"), col("a.nrm").as("nrm_a"),
+        col("b.qv").as("qv_b"), col("b.nrm").as("nrm_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    cands
+      .withColumn("cos_sim",
+        cosine(aggregate(zip_with(col("qv_a"), col("qv_b"), _ * _), lit(0L), _ + _),
+          col("nrm_a"), col("nrm_b")))
+      .filter(col("cos_sim") >= PairTau)
+      .select("vec_a", "vec_b", "cos_sim")
+      .orderBy("vec_a", "vec_b")
+  }
+
   private val IvfLists  = 16 // coarse-quantizer cells
   private val IvfProbes = 2  // cells searched per query
 
@@ -210,26 +258,30 @@ object Similarity {
       .setFeaturesCol("fvec").setPredictionCol("cell")
     val model = km.fit(q)
     val assigned = model.transform(q).select("vec_id", "label", "qv", "nrm", "cell")
-    // queries probe their IvfProbes nearest cells: distances to the tiny
-    // codebook are computed driver-side (it IS tiny — that's the point)
-    val centroids = model.clusterCenters.map(_.toArray)
-    val queryRows = assigned.filter(col("vec_id") < 5)
-      .select(col("vec_id"), col("qv")).collect()
-    val probeCells: Map[Long, Seq[Int]] = queryRows.map { r =>
-      val vid = r.getLong(0)
-      val v = r.getSeq[Long](1).toArray
-      val dists = centroids.zipWithIndex.map { case (c, i) =>
-        var acc = 0.0; var j = 0
-        while (j < v.length) { val diff = v(j) - c(j); acc += diff * diff; j += 1 }
-        (acc, i)
-      }
-      vid -> dists.sortBy(_._1).take(IvfProbes).map(_._2).toSeq
-    }.toMap
-    val probes = {
+    // probe assignment is fully distributed: the IvfLists-row codebook
+    // (the only thing that is ever driver-side — it's the model) becomes
+    // a broadcast DataFrame; queries cross-join it, compute L2 to every
+    // centroid, and a per-query window keeps the IvfProbes nearest
+    // cells. No collect of query vectors — works at any query volume.
+    val centroids = {
       import s.implicits._
-      probeCells.toSeq.flatMap { case (vid, cells) => cells.map(c => (vid, c)) }
-        .toDF("q_id", "probe_cell")
+      model.clusterCenters.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toArray.toSeq) }
+        .toDF("probe_cell", "cvec")
     }
+    val pw = Window.partitionBy(col("q_id")).orderBy(asc("cdist"), asc("probe_cell"))
+    val probes = assigned.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("qv"))
+      .crossJoin(broadcast(centroids))
+      // same accumulation order as a sequential loop over dims → the
+      // double distances (and hence probe choice) are deterministic
+      .withColumn("cdist", aggregate(
+        zip_with(col("qv"), col("cvec"),
+          (v, c) => (v.cast("double") - c) * (v.cast("double") - c)),
+        lit(0.0), _ + _))
+      .withColumn("prk", row_number().over(pw))
+      .filter(col("prk") <= IvfProbes)
+      .select("q_id", "probe_cell")
     val qSide = assigned.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
       .join(probes, "q_id")
@@ -247,6 +299,7 @@ object Similarity {
 
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "s5_knn_ivf" -> (s5KnnIvf _, None),
+    "s6_pairwise_lsh" -> (s6PairwiseLsh _, None),
     "s1_knn_brute" -> (s1KnnBrute _, Some(s1Sql)),
     "s2_knn_lsh" -> (s2KnnLsh _, None),
     "s3_pairwise_topsim" -> (s3PairwiseTopsim _, Some(s3Sql)),

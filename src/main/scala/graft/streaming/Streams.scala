@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 import graft.operators.Churn
+import graft.sources.Tables
 
 // top-level (codegen-visible) row types for the stateful sessionizer
 case class Ev(user_id: Long, ep: Long, value: Double)
@@ -133,6 +134,80 @@ object Streams {
     s.table(name).orderBy("c_mktsegment")
   }
 
+  /** st4_stream_late_data — append-mode tumbling windows where the
+    * declared watermark actually DOES something (st1's complete mode
+    * can't drop anything by construction). The input is staged as two
+    * parquet files consumed as separate micro-batches
+    * (maxFilesPerTrigger=1): batch 0 is the first 4 days of events
+    * (state built, watermark still unset); batch 1 is day 5, which
+    * advances the watermark past the day-1..4 windows so their state is
+    * EVICTED and emitted at its end; batch 2 replays the slice's
+    * earliest event — its window's state is gone and its event time is
+    * far behind the watermark, so Spark is GUARANTEED to discard it
+    * (the watermark contract only promises to drop late rows whose
+    * state was already evicted; a late row arriving while its window is
+    * still live may legally be aggregated, which is why the eviction
+    * batch must come between). StreamingAndMlSpec asserts the emitted
+    * table equals the on-time batch aggregate over finalized windows
+    * (window end ≤ final watermark) — late row excluded, open windows
+    * held back. This is the state-expiring plan a Kafka source runs at
+    * scale: bounded state, bounded output, late data dropped. */
+  def st4StreamLateData(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.{Files, Path, Paths}
+    import scala.jdk.CollectionConverters._
+    val name = freshName("st4_out")
+
+    // on-time slice: first 5 days of the (fixed-date-range) event log
+    val ev = Tables.events(s, d)
+      .withColumn("ep", expr("ts div 1000000000"))
+      .filter(expr("ep div 86400") < lit(OnTimeDayLimit))
+      .select("event_id", "user_id", "event_type", "value", "ep")
+    val early = ev.filter(expr("ep div 86400") < lit(OnTimeDayLimit - 1L))
+    val lastDay = ev.filter(expr("ep div 86400") === lit(OnTimeDayLimit - 1L))
+    val late = ev.orderBy(asc("ep"), asc("event_id")).limit(1)
+
+    // stage the three micro-batches as flat files with ordered mtimes
+    val stage = Paths.get(graft.operators.Engine.tmpDir("graft_st4_stage"))
+    Files.list(stage).iterator().asScala.foreach(Files.deleteIfExists(_))
+    def stageOne(df: DataFrame, target: String, mtime: Long): Path = {
+      val scratch = graft.operators.Engine.tmpDir(s"graft_st4_scratch_$target")
+      df.coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = Files.list(Paths.get(scratch)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = stage.resolve(s"$target.parquet")
+      Files.move(part, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtime))
+      dst
+    }
+    val t0 = 1700000000000L // fixed mtimes: listing order is deterministic
+    stageOne(early, "batch0_ontime", t0)
+    stageOne(lastDay, "batch1_advance", t0 + 60000L)
+    stageOne(late, "batch2_late", t0 + 120000L)
+
+    val agg = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage.toString)
+      .withColumn("event_time", timestamp_seconds(col("ep")))
+      .withWatermark("event_time", "1 hour")
+      .groupBy(window(col("event_time"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+    val q = agg.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+      .select(col("window.start").cast("long").as("win_start"),
+        col("event_type"), col("n_events"), col("value_sum"))
+      .orderBy("win_start", "event_type")
+  }
+
+  /** st4's on-time slice bound: epoch days < this (data dates are fixed
+    * across SFs — see x6's day constant). */
+  val OnTimeDayLimit = 19728L
+
   val st3Sql: String =
     """SELECT c_mktsegment, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
@@ -143,5 +218,6 @@ object Streams {
     "st1_stream_windowed" -> (st1StreamWindowed _, Some(st1Sql)),
     "st2_stream_sessionize" -> (st2StreamSessionize _, None),
     "st3_stream_static_join" -> (st3StreamStaticJoin _, Some(st3Sql)),
+    "st4_stream_late_data" -> (st4StreamLateData _, None),
   )
 }

@@ -71,6 +71,18 @@ class PlanSpec extends AnyFunSuite {
       "d2: only the over-cap reject list may be hinted")
   }
 
+  test("s6: bucketed pairwise candidates — no cartesian / nested-loop join") {
+    val p = plan("s6_pairwise_lsh")
+    assert(!p.contains("CartesianProduct"), "s6 plans a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "s6 plans a nested-loop join")
+  }
+
+  test("x6: merge prunes the snapshot scan to the affected day partition") {
+    val p = plan("x6_incremental_merge")
+    assert("""PartitionFilters: \[[^\]]*ep_day[^\]]*19751""".r.findFirstIn(p).isDefined,
+      s"no day-partition filter reached the snapshot scan")
+  }
+
   test("x8: bucketed fact-fact join has no shuffle exchange") {
     val p = graft.operators.Engine.x8Plan(spark, sf)
     assert(!p.contains("Exchange hashpartitioning"),
