@@ -16,4 +16,16 @@ package object functions {
   /** 64-bit SimHash of a space-separated text as 4×16-bit bands. */
   def simhash_bands(c: Column): Column =
     GraftShim.column(SimHashBands(GraftShim.expression(c)))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def quantized_dot(a: Column, b: Column): Column =
+    GraftShim.column(QuantizedDot(GraftShim.expression(a), GraftShim.expression(b)))
+
+  /** Exact integer squared norm of a quantized vector. */
+  def sq_norm(c: Column): Column =
+    GraftShim.column(SqNorm(GraftShim.expression(c)))
+
+  /** Per-table random-hyperplane LSH bucket ids for a quantized vector. */
+  def hyperplane_buckets(c: Column, tables: Int, bits: Int): Column =
+    GraftShim.column(HyperplaneBuckets(GraftShim.expression(c), tables, bits))
 }

@@ -121,6 +121,7 @@ object ChurnModel {
     val scoresDir = graft.operators.Engine.tmpDir("graft_churn_scores")
     scored(reloaded, data)
       .crossJoin(broadcast(runDay))
+      .coalesce(4) // one-row-per-user score table: a few files, not 32 shards
       .write.mode("overwrite").partitionBy("run_day").parquet(scoresDir)
     s.read.parquet(scoresDir)
       // partition-dir columns come back type-inferred (int) — pin to long

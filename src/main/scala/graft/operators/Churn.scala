@@ -250,16 +250,16 @@ object Churn {
     val parted = df.repartitionByRange(order: _*)
       .withColumn("pid", spark_partition_id())
     val counts = parted.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
-    val offsets = counts.as("a")
-      .join(counts.as("b"), col("b.pid") < col("a.pid"), "left_outer")
+    // one tiny (#partitions²) cross join yields BOTH the per-partition
+    // rank offset and the global n — a single broadcast back in
+    val offsets = counts.as("a").crossJoin(counts.as("b"))
       .groupBy(col("a.pid").as("pid"))
-      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
-    val nDf = counts.agg(sum(col("cnt")).as("n_total"))
+      .agg(sum(when(col("b.pid") < col("a.pid"), col("b.cnt")).otherwise(0L)).as("off"),
+        sum(col("b.cnt")).as("n_total"))
     val w = Window.partitionBy(col("pid")).orderBy(order: _*)
     parted
       .withColumn("pr", row_number().over(w).cast("long"))
       .join(broadcast(offsets), "pid")
-      .crossJoin(broadcast(nDf))
       .withColumn("rk", col("pr") + col("off"))
       // NTILE(k) on n rows: the first (n % k) buckets hold ceil(n/k) rows,
       // the rest floor(n/k); bucket of rank r follows in closed form.

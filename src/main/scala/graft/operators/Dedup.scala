@@ -227,10 +227,10 @@ object Dedup {
       .select(col("vec_id"),
         transform(col("embedding"),
           x => round(x.cast("double") * 1000.0, 0).cast("long")).as("qv"))
-      .withColumn("nrm", aggregate(transform(col("qv"), v => v * v), lit(0L), _ + _))
+      .withColumn("nrm", graft.functions.sq_norm(col("qv")))
     q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        aggregate(zip_with(col("a.qv"), col("b.qv"), _ * _), lit(0L), _ + _).as("dot"),
+        graft.functions.quantized_dot(col("a.qv"), col("b.qv")).as("dot"),
         col("a.nrm").as("nrm_a"), col("b.nrm").as("nrm_b"))
       .withColumn("cos_sim",
         col("dot").cast("double") / (sqrt(col("nrm_a").cast("double")) * sqrt(col("nrm_b").cast("double"))))

@@ -17,13 +17,14 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  /** embeddings quantized to integer milli-units + exact integer norm. */
+  /** embeddings quantized to integer milli-units + exact integer norm
+    * (norm via the native sq_norm kernel — codegen, not interpreted). */
   private def quantized(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
         transform(col("embedding"),
           x => round(x.cast("double") * 1000.0, 0).cast("long")).as("qv"))
-      .withColumn("nrm", aggregate(transform(col("qv"), v => v * v), lit(0L), _ + _))
+      .withColumn("nrm", graft.functions.sq_norm(col("qv")))
 
   private val quantizedSql =
     """qn AS (SELECT vec_id, label, qv,
@@ -46,7 +47,7 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(desc("cos_sim"), asc("cand_id"))
     q.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
-        cosine(aggregate(zip_with(col("q_qv"), col("qv"), _ * _), lit(0L), _ + _),
+        cosine(graft.functions.quantized_dot(col("q_qv"), col("qv")),
           col("q_nrm"), col("nrm")).as("cos_sim"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 10)
@@ -75,37 +76,20 @@ object Similarity {
     * runs only on candidates. L·k are the recall/cost dials (k grows
     * ~log n with corpus size; on a 100 TB corpus the bucket join is one
     * shuffle keyed on (table, bucket) and candidate counts track bucket
-    * density, not corpus²). xxhash64 has no DuckDB twin → rows-only;
-    * SimilaritySpec measures overlap vs s1's exact top-10. */
-  /** Deterministic hyperplane signs computed once on the driver
-    * (ShingleKernels.splitmix64) and shipped as array literals —
-    * constant-folded into codegen, no per-row hashing. */
-  private def splitmix64(seed: Long): Long =
-    graft.functions.ShingleKernels.splitmix64(seed)
+    * density, not corpus²). The seeded sign hashes have no DuckDB twin
+    * → rows-only; SimilaritySpec measures overlap vs s1's exact top-10. */
 
   /** (vec_id, qv, nrm, tbl, bucket): one row per (vector, hash table).
     * Sign of <h_{t,p}, v> with h_{t,p}[i] = ±1 from splitmix64(t,p,i) —
-    * hyperplane signs are driver-side constants folded into codegen as
-    * array literals, no per-row hashing and no stored model. Shared by
-    * s2 (query ANN) and s6 (pairwise near-dup candidates). */
-  private def hyperplaneBucketed(q: DataFrame, tables: Int, bits: Int): DataFrame = {
-    val bucketCols = (0 until tables).map { t =>
-      val bitCols = (0 until bits).map { p =>
-        val signs: Seq[Long] = (0 until 64).map { i =>
-          if ((splitmix64(((t.toLong * bits + p) << 8) + i) & 1L) == 1L) 1L else -1L
-        }
-        val signedSum = aggregate(
-          zip_with(col("qv"), typedlit(signs), (v, sgn) => v * sgn),
-          lit(0L), _ + _)
-        (signedSum > 0).cast("long") * lit(1L << p)
-      }
-      bitCols.reduce(_ + _).as(s"bucket$t")
-    }
-    q.select(Seq(col("vec_id"), col("qv"), col("nrm")) ++ bucketCols: _*)
-      .select(col("vec_id"), col("qv"), col("nrm"),
-        posexplode(array((0 until tables).map(t => col(s"bucket$t")): _*))
-          .as(Seq("tbl", "bucket")))
-  }
+    * computed by the native hyperplane_buckets kernel (sign masks
+    * memoized, one codegen'd call per row — the column-level
+    * zip_with/aggregate formulation it replaces ran interpreted, and at
+    * tables×bits chains per row dominated the corpus scan). No stored
+    * model. Shared by s2 (query ANN) and s6 (pairwise candidates). */
+  private def hyperplaneBucketed(q: DataFrame, tables: Int, bits: Int): DataFrame =
+    q.select(col("vec_id"), col("qv"), col("nrm"),
+      posexplode(graft.functions.hyperplane_buckets(col("qv"), tables, bits))
+        .as(Seq("tbl", "bucket")))
 
   def s2KnnLsh(s: SparkSession, d: String): DataFrame = {
     val tabbed = hyperplaneBucketed(quantized(s, d), LshTables, LshBits)
@@ -121,7 +105,7 @@ object Similarity {
     val w = Window.partitionBy(col("q_id")).orderBy(desc("cos_sim"), asc("cand_id"))
     cands
       .select(col("q_id"), col("cand_id"),
-        cosine(aggregate(zip_with(col("q_qv"), col("qv"), _ * _), lit(0L), _ + _),
+        cosine(graft.functions.quantized_dot(col("q_qv"), col("qv")),
           col("q_nrm"), col("nrm")).as("cos_sim"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 10)
@@ -136,7 +120,7 @@ object Similarity {
     val q = quantized(s, d).filter(pmod(col("vec_id"), lit(10)) === 0)
     q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosine(aggregate(zip_with(col("a.qv"), col("b.qv"), _ * _), lit(0L), _ + _),
+        cosine(graft.functions.quantized_dot(col("a.qv"), col("b.qv")),
           col("a.nrm"), col("b.nrm")).as("cos_sim"))
       .filter(col("cos_sim") >= 0.25)
       .orderBy(desc("cos_sim"), asc("vec_a"), asc("vec_b"))
@@ -215,20 +199,25 @@ object Similarity {
     * SF, and subset-correctness (every emitted cosine is exact) holds
     * by construction at any SF. */
   def s6PairwiseLsh(s: SparkSession, d: String): DataFrame = {
-    val tabbed = hyperplaneBucketed(quantized(s, d), PairTables, PairBits)
-    // carry the (64-long ≈ 512 B) vectors through the pair dedup rather
-    // than joining them back afterwards: one shuffle on the pair key
-    // instead of two more corpus-sized joins
-    val cands = tabbed.as("a").join(tabbed.as("b"),
+    val q = quantized(s, d).cache()
+    // candidate generation shuffles ONLY (vec_id, tbl, bucket) triples —
+    // 24 B rows; the (≈512 B) vectors are joined back onto the deduped
+    // pair list afterwards (stats/AQE pick broadcast here, sort-merge on
+    // vec_id at corpus scale), so neither the bucket self-join nor the
+    // pair distinct ever shuffles vector payloads
+    val tabbed = q.select(col("vec_id"),
+      posexplode(graft.functions.hyperplane_buckets(col("qv"), PairTables, PairBits))
+        .as(Seq("tbl", "bucket")))
+    val pairs = tabbed.as("a").join(tabbed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
         col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        col("a.qv").as("qv_a"), col("a.nrm").as("nrm_a"),
-        col("b.qv").as("qv_b"), col("b.nrm").as("nrm_b"))
-      .dropDuplicates("vec_a", "vec_b")
-    cands
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    pairs
+      .join(q.select(col("vec_id").as("vec_a"), col("qv").as("qv_a"), col("nrm").as("nrm_a")), "vec_a")
+      .join(q.select(col("vec_id").as("vec_b"), col("qv").as("qv_b"), col("nrm").as("nrm_b")), "vec_b")
       .withColumn("cos_sim",
-        cosine(aggregate(zip_with(col("qv_a"), col("qv_b"), _ * _), lit(0L), _ + _),
+        cosine(graft.functions.quantized_dot(col("qv_a"), col("qv_b")),
           col("nrm_a"), col("nrm_b")))
       .filter(col("cos_sim") >= PairTau)
       .select("vec_a", "vec_b", "cos_sim")
@@ -289,7 +278,7 @@ object Similarity {
     assigned.join(broadcast(qSide),
         col("cell") === col("probe_cell") && col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
-        cosine(aggregate(zip_with(col("q_qv"), col("qv"), _ * _), lit(0L), _ + _),
+        cosine(graft.functions.quantized_dot(col("q_qv"), col("qv")),
           col("q_nrm"), col("nrm")).as("cos_sim"))
       .dropDuplicates("q_id", "cand_id")
       .withColumn("rk", row_number().over(w))

@@ -48,6 +48,51 @@ class ExpressionsSpec extends AnyFunSuite {
     a.zip(b).foreach { case (x, y) => assert(y <= x) }
   }
 
+  test("vector kernels match the interpreted HOF formulations exactly") {
+    val df = graft.sources.Tables.embeddings(spark, sf).limit(50)
+      .select(transform(col("embedding"),
+        x => round(x.cast("double") * 1000.0, 0).cast("long")).as("qv"))
+    val rows = df.select(
+      graft.functions.sq_norm(col("qv")).as("k_nrm"),
+      aggregate(transform(col("qv"), v => v * v), lit(0L), _ + _).as("h_nrm"),
+      graft.functions.quantized_dot(col("qv"), reverse(col("qv"))).as("k_dot"),
+      aggregate(zip_with(col("qv"), reverse(col("qv")), _ * _), lit(0L), _ + _).as("h_dot"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) == r.getLong(1), "sq_norm drifted from HOF")
+      assert(r.getLong(2) == r.getLong(3), "quantized_dot drifted from HOF")
+    }
+  }
+
+  test("hyperplane_buckets matches the sign-literal column construction") {
+    val tables = 4; val bits = 3
+    val df = graft.sources.Tables.embeddings(spark, sf).limit(50)
+      .select(transform(col("embedding"),
+        x => round(x.cast("double") * 1000.0, 0).cast("long")).as("qv"))
+    // the pre-kernel formulation: per-(table,plane) ±1 literals, sign of
+    // the signed sum sets bit p — kept here as the independent oracle
+    val bucketCols = (0 until tables).map { t =>
+      (0 until bits).map { p =>
+        val signs: Seq[Long] = (0 until 64).map { i =>
+          if ((graft.functions.ShingleKernels.splitmix64(
+            ((t.toLong * bits + p) << 8) + i) & 1L) == 1L) 1L else -1L
+        }
+        val signedSum = aggregate(
+          zip_with(col("qv"), typedlit(signs), (v, sgn) => v * sgn), lit(0L), _ + _)
+        (signedSum > 0).cast("long") * lit(1L << p)
+      }.reduce(_ + _).as(s"b$t")
+    }
+    val rows = df.select(
+      graft.functions.hyperplane_buckets(col("qv"), tables, bits).as("kb") +: bucketCols: _*)
+      .collect()
+    rows.foreach { r =>
+      val kb = r.getSeq[Long](0)
+      (0 until tables).foreach { t =>
+        assert(kb(t) == r.getLong(1 + t), s"bucket drift at table $t")
+      }
+    }
+  }
+
   test("SQL registration via GraftExtensions (TestSession is built with it)") {
     val n = spark.sql("SELECT size(shingle_hashes('a b c d')) AS n")
       .collect().head.getInt(0)
