@@ -414,7 +414,41 @@ object Churn {
       |  COUNT(*) AS n_orders
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** c14_sliding_features — trailing-7-day activity features per
+    * (user, active day): a RANGE window frame over the integer day key
+    * (6 preceding..current), the rolling-engagement feature family the
+    * reference derives per user-day. Built on the pre-aggregated daily
+    * grain, so the window slides over ≤ span-days rows per user — one
+    * user_id shuffle, bounded frames, no row explosion. The rolling
+    * value sum accumulates in decimal → frame-order-independent. */
+  def c14SlidingFeatures(s: SparkSession, d: String): DataFrame = {
+    val daily = ev(s, d)
+      .groupBy(col("user_id"), col("ep_day"))
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("day_value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ep_day"))
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .withColumn("t7_events", sum(col("n_events")).over(w))
+      .withColumn("t7_active_days", count(lit(1)).over(w))
+      .withColumn("t7_value", sum(dec(col("day_value"))).over(w).cast("double"))
+      .orderBy("user_id", "ep_day")
+  }
+
+  val c14Sql: String =
+    s"""WITH $evSql,
+       |d AS (SELECT user_id, ep_day, COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS day_value
+       |  FROM e GROUP BY user_id, ep_day)
+       |SELECT user_id, ep_day, n_events, day_value,
+       |  CAST(SUM(n_events) OVER w AS BIGINT) AS t7_events,
+       |  CAST(COUNT(*) OVER w AS BIGINT) AS t7_active_days,
+       |  CAST(SUM(CAST(day_value AS DECIMAL(18,6))) OVER w AS DOUBLE) AS t7_value
+       |FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ep_day
+       |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+       |ORDER BY user_id, ep_day""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "c14_sliding_features" -> (c14SlidingFeatures _, Some(c14Sql)),
     "c12_typed_agg" -> (c12TypedAgg _, Some(c12Sql)),
     "c11_props_json" -> (c11PropsJson _, Some(c11Sql)),
     "c1_sessionize" -> (c1Sessionize _, Some(c1Sql)),

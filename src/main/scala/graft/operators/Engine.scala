@@ -315,6 +315,47 @@ object Engine {
       |  MAX(CAST(o_orderdate AS DATE)) AS last_date
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** x10_compaction — small-file compaction, the table-maintenance job
+    * every long-lived 100 TB layout needs: a fragmented table (64
+    * shards here, thousands of drip-fed files in production) is
+    * rewritten into a handful of right-sized files with a plain
+    * repartition — no shuffle-free shortcut exists, but the rewrite is
+    * a single linear pass and runs per-partition in production. Output
+    * aggregates the compacted readback; the oracle aggregates the
+    * source, so the gate proves compaction lost nothing. EngineSpec
+    * asserts the file count actually dropped. */
+  def x10Compaction(s: SparkSession, d: String): DataFrame = {
+    val frag = tmpDir("graft_frag")
+    val compact = tmpDir("graft_compact")
+    val ev = Tables.events(s, d).select("event_id", "user_id", "event_type", "value")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    s.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(compact)
+    s.read.parquet(compact)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .orderBy("event_type")
+  }
+
+  val x10Sql: String =
+    """SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Parquet part-file counts for the two x10 sink dirs (spec helper). */
+  def x10FileCounts(): (Int, Int) = {
+    def parts(p: String): Int = {
+      val dir = java.nio.file.Paths.get(p)
+      if (!java.nio.file.Files.exists(dir)) 0
+      else {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(dir).iterator().asScala
+          .count(_.getFileName.toString.endsWith(".parquet"))
+      }
+    }
+    (parts(tmpDir("graft_frag")), parts(tmpDir("graft_compact")))
+  }
+
   /** The bucketed join's plan (join only, before the final aggregation —
     * the agg legitimately exchanges on its own group key), for
     * shuffle-freedom assertions. Assumes x8BucketedJoin already created
@@ -336,5 +377,6 @@ object Engine {
     "x4_partitioned_write" -> (x4PartitionedWrite _, Some(x4Sql)),
     "x5_kmeans_embeddings" -> (x5KmeansEmbeddings _, None),
     "x9_external_ingest" -> (x9ExternalIngest _, Some(x9Sql)),
+    "x10_compaction" -> (x10Compaction _, Some(x10Sql)),
   )
 }

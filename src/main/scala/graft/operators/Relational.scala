@@ -496,8 +496,31 @@ object Relational {
       |  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING') b
       |ORDER BY op, custkey""".stripMargin
 
+  /** q25_grouping_sets — explicit GROUPING SETS (the general form
+    * rollup/cube specialize) through the SQL surface: per-(flag,status),
+    * per-flag, and grand-total grains in one pass. Spark plans one
+    * Expand + single aggregation — same shape as q17/q18, arbitrary
+    * grain list. */
+  def q25GroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("graft_q25_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+        |FROM graft_q25_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  val q25Sql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   /** name → (builder, optional oracle SQL) */
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "q25_grouping_sets" -> (q25GroupingSets _, Some(q25Sql)),
     "q23_window_misc" -> (q23WindowMisc _, Some(q23Sql)),
     "q24_setops" -> (q24Setops _, Some(q24Sql)),
     "q1_agg" -> (q1Agg _, Some(q1Sql)),

@@ -263,6 +263,13 @@ class StreamingAndMlSpec extends AnyFunSuite {
     assert(runDays.length == 1 && runDays.head > 0)
   }
 
+  test("x10 compaction actually reduces the file count") {
+    graft.operators.Engine.x10Compaction(spark, sf).count()
+    val (frag, compact) = graft.operators.Engine.x10FileCounts()
+    assert(frag > compact && compact > 0,
+      s"compaction did not shrink the layout: $frag -> $compact files")
+  }
+
   test("x3 salted aggregation is identical to the direct groupBy") {
     val direct = graft.sources.Tables.lineitem(spark, sf)
       .groupBy(col("l_returnflag"))
