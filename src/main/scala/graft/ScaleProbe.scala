@@ -47,8 +47,11 @@ object ScaleProbe {
     time("d3_minhash_lsh")(operators.Dedup.d3DedupMinhashLsh(spark, work).count())
     time("d4_simhash")(operators.Dedup.d4DedupSimhash(spark, work).count())
     time("s2_knn_lsh")(operators.Similarity.s2KnnLsh(spark, work).count())
+    time("s6_pairwise_lsh")(operators.Similarity.s6PairwiseLsh(spark, work).count())
     time("q3_join_agg")(operators.Relational.q3JoinAgg(spark, work).count())
+    time("q14_scalar_subquery")(operators.Relational.q14ScalarSubquery(spark, work).count())
     time("c1_sessionize")(operators.Churn.c1Sessionize(spark, work).count())
+    time("c7_rfm")(operators.Churn.c7Rfm(spark, work).count())
     spark.stop()
   }
 }

@@ -179,7 +179,14 @@ object Similarity {
        |WHERE rk <= 3 ORDER BY label, rk""".stripMargin
 
   private val PairTables = 32  // L: independent hash tables for s6
-  private val PairBits   = 4   // k: hyperplanes per table
+  /** k (hyperplanes per table) grows ~log n so expected bucket
+    * occupancy stays ~PairBucketTarget at any corpus size — candidate
+    * cost is O(n²·L/2^k), so a fixed k re-quadratifies under growth. */
+  private val PairBitsFloor    = 4
+  private val PairBucketTarget = 32.0
+  private def pairBits(n: Long): Int =
+    math.max(PairBitsFloor,
+      math.ceil(math.log(n / PairBucketTarget) / math.log(2.0)).toInt)
   /** "strong pair" threshold for the bucketed pairwise path. */
   val PairTau = 0.45
 
@@ -192,7 +199,11 @@ object Similarity {
     * density, not corpus². Recall is governed by the L/k dials: for a
     * pair at angle θ, P(miss) = (1 − (1 − θ/π)^k)^L — at cos 0.45,
     * k=4, L=32 that is ~2e-3, and it vanishes toward cos 1 where true
-    * near-dups live (k grows ~log n with corpus size at 100 TB).
+    * near-dups live. k adapts to corpus size (pairBits): at test SF it
+    * is the floor 4 (where the τ=0.45 equality spec holds); on a grown
+    * corpus buckets stay ~32 vectors wide and the threshold with
+    * near-certain recall rises toward the 0.9+ regime real near-dup
+    * dedup uses (k=11, L=32 ⇒ P(miss at 0.9) ≈ 7e-6).
     * Signs are seed-fixed → deterministic; rows-only (xxhash-free but
     * 32-table bucketing has no tractable SQL twin); SimilaritySpec
     * proves bucketed output EQUALS the exact all-pairs answer at test
@@ -205,8 +216,9 @@ object Similarity {
     // pair list afterwards (stats/AQE pick broadcast here, sort-merge on
     // vec_id at corpus scale), so neither the bucket self-join nor the
     // pair distinct ever shuffles vector payloads
+    val bits = pairBits(q.count()) // cached relation — cheap
     val tabbed = q.select(col("vec_id"),
-      posexplode(graft.functions.hyperplane_buckets(col("qv"), PairTables, PairBits))
+      posexplode(graft.functions.hyperplane_buckets(col("qv"), PairTables, bits))
         .as(Seq("tbl", "bucket")))
     val pairs = tabbed.as("a").join(tabbed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
