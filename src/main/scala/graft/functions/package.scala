@@ -28,4 +28,9 @@ package object functions {
   /** Per-table random-hyperplane LSH bucket ids for a quantized vector. */
   def hyperplane_buckets(c: Column, tables: Int, bits: Int): Column =
     GraftShim.column(HyperplaneBuckets(GraftShim.expression(c), tables, bits))
+
+  /** One-pass byte features of a binary payload:
+    * [n_bytes, byte_sum, n_distinct, max_run]. */
+  def byte_stats(c: Column): Column =
+    GraftShim.column(ByteStats(GraftShim.expression(c)))
 }

@@ -71,8 +71,36 @@ object Multimodal {
       |SELECT doc_id, mime, n_frames, frame_idx FROM f
       |WHERE frame_idx % 4 = 0 ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** m3_byte_features — REAL feature extraction over the binary column
+    * (no stub): one-pass byte statistics (length, byte sum → mean,
+    * distinct-byte count, longest run) via the native byte_stats kernel
+    * inside WholeStageCodegen, then a per-mime rollup. This is the
+    * no-codec slice of a decode pipeline — the same per-row scalar
+    * shape a real pixel/sample feature extractor has (swap the kernel
+    * for a codec call off-container), so it proves the plumbing at
+    * scale: single scan, no shuffle before the final rollup.
+    * MultimodalSpec checks the stats against an independent plain-Scala
+    * byte computation. */
+  def m3ByteFeatures(s: SparkSession, d: String): DataFrame =
+    withPayload(s, d)
+      .select(col("doc_id"), col("mime"),
+        graft.functions.byte_stats(col("payload")).as("bs"))
+      .select(col("doc_id"), col("mime"),
+        element_at(col("bs"), 1).as("n_bytes"),
+        element_at(col("bs"), 2).as("byte_sum"),
+        element_at(col("bs"), 3).as("n_distinct_bytes"),
+        element_at(col("bs"), 4).as("max_run"))
+      .groupBy(col("mime"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("total_bytes"),
+        (sum(col("byte_sum")).cast("double") / sum(col("n_bytes"))).as("mean_byte"),
+        max(col("n_distinct_bytes")).as("max_distinct_bytes"),
+        max(col("max_run")).as("longest_run"))
+      .orderBy("mime")
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "m1_binary_meta" -> (m1BinaryMeta _, None),
     "m2_frame_sample" -> (m2FrameSample _, Some(m2Sql)),
+    "m3_byte_features" -> (m3ByteFeatures _, None),
   )
 }

@@ -152,9 +152,30 @@ object Streams {
     * (window end ≤ final watermark) — late row excluded, open windows
     * held back. This is the state-expiring plan a Kafka source runs at
     * scale: bounded state, bounded output, late data dropped. */
-  def st4StreamLateData(s: SparkSession, d: String): DataFrame = {
-    import java.nio.file.{Files, Path, Paths}
+  /** Stage DataFrames as single flat parquet files in a per-operator
+    * dir with strictly increasing fixed mtimes, so a file-source stream
+    * with maxFilesPerTrigger=1 consumes them as ordered micro-batches.
+    * Returns the stage dir. */
+  private def stageBatches(op: String, batches: Seq[(String, DataFrame)]): String = {
+    import java.nio.file.{Files, Paths}
     import scala.jdk.CollectionConverters._
+    val stage = Paths.get(graft.operators.Engine.tmpDir(s"graft_${op}_stage"))
+    Files.list(stage).iterator().asScala.foreach(Files.deleteIfExists(_))
+    val t0 = 1700000000000L // fixed mtimes: listing order is deterministic
+    batches.zipWithIndex.foreach { case ((target, df), i) =>
+      val scratch = graft.operators.Engine.tmpDir(s"graft_${op}_scratch_$target")
+      df.coalesce(1).write.mode("overwrite").parquet(scratch)
+      val part = Files.list(Paths.get(scratch)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dst = stage.resolve(s"$target.parquet")
+      Files.move(part, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + i * 60000L))
+    }
+    stage.toString
+  }
+
+  def st4StreamLateData(s: SparkSession, d: String): DataFrame = {
     val name = freshName("st4_out")
 
     // on-time slice: first 5 days of the (fixed-date-range) event log
@@ -166,27 +187,12 @@ object Streams {
     val lastDay = ev.filter(expr("ep div 86400") === lit(OnTimeDayLimit - 1L))
     val late = ev.orderBy(asc("ep"), asc("event_id")).limit(1)
 
-    // stage the three micro-batches as flat files with ordered mtimes
-    val stage = Paths.get(graft.operators.Engine.tmpDir("graft_st4_stage"))
-    Files.list(stage).iterator().asScala.foreach(Files.deleteIfExists(_))
-    def stageOne(df: DataFrame, target: String, mtime: Long): Path = {
-      val scratch = graft.operators.Engine.tmpDir(s"graft_st4_scratch_$target")
-      df.coalesce(1).write.mode("overwrite").parquet(scratch)
-      val part = Files.list(Paths.get(scratch)).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      val dst = stage.resolve(s"$target.parquet")
-      Files.move(part, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtime))
-      dst
-    }
-    val t0 = 1700000000000L // fixed mtimes: listing order is deterministic
-    stageOne(early, "batch0_ontime", t0)
-    stageOne(lastDay, "batch1_advance", t0 + 60000L)
-    stageOne(late, "batch2_late", t0 + 120000L)
+    val stage = stageBatches("st4", Seq(
+      "batch0_ontime" -> early, "batch1_advance" -> lastDay, "batch2_late" -> late))
 
     val agg = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(stage.toString)
+      .parquet(stage)
       .withColumn("event_time", timestamp_seconds(col("ep")))
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "6 hours"), col("event_type"))
@@ -204,9 +210,50 @@ object Streams {
       .orderBy("win_start", "event_type")
   }
 
-  /** st4's on-time slice bound: epoch days < this (data dates are fixed
-    * across SFs — see x6's day constant). */
+  /** st4/st5's on-time slice bound: epoch days < this (data dates are
+    * fixed across SFs — see x6's day constant). */
   val OnTimeDayLimit = 19728L
+
+  /** st5_stream_dedup — streaming ingest deduplication with bounded
+    * state: `dropDuplicatesWithinWatermark` on event_id — the
+    * exactly-once-ish consumer a replayed Kafka feed needs. Batch 0 is
+    * the on-time slice; batch 1 replays the slice's newest 50 events
+    * (duplicate event_ids whose originals are still inside the
+    * watermark delay, so the state is live and the replays are
+    * GUARANTEED dropped). The sink then holds exactly one row per
+    * event_id; the returned per-type aggregate equals the batch
+    * aggregate of the slice (StreamingAndMlSpec asserts — any leaked
+    * replay would inflate a count). State is bounded by the watermark
+    * delay, exactly how this runs unbounded at scale. */
+  def st5StreamDedup(s: SparkSession, d: String): DataFrame = {
+    val name = freshName("st5_out")
+    val ev = Tables.events(s, d)
+      .withColumn("ep", expr("ts div 1000000000"))
+      .filter(expr("ep div 86400") < lit(OnTimeDayLimit))
+      .select("event_id", "user_id", "event_type", "value", "ep")
+    // replay the NEWEST events: their originals are well within the
+    // 25h watermark delay when batch 1 runs, so dedup state is live
+    val replay = ev.orderBy(desc("ep"), desc("event_id")).limit(50)
+    val stage = stageBatches("st5", Seq("batch0_feed" -> ev, "batch1_replay" -> replay))
+
+    val deduped = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+      .withColumn("event_time", timestamp_seconds(col("ep")))
+      .withWatermark("event_time", "25 hours")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .orderBy("event_type")
+  }
 
   val st3Sql: String =
     """SELECT c_mktsegment, COUNT(*) AS n_events,
@@ -219,5 +266,6 @@ object Streams {
     "st2_stream_sessionize" -> (st2StreamSessionize _, None),
     "st3_stream_static_join" -> (st3StreamStaticJoin _, Some(st3Sql)),
     "st4_stream_late_data" -> (st4StreamLateData _, None),
+    "st5_stream_dedup" -> (st5StreamDedup _, None),
   )
 }

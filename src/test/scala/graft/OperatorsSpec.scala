@@ -145,6 +145,36 @@ class NonSqlOracleSpec extends AnyFunSuite {
     lsh.foreach { case (k, v) => assert(v == exact(k), s"cosine drift at $k") }
   }
 
+  test("m3 byte features match an independent plain-Scala byte computation") {
+    val mimes = Array("image/png", "audio/wav", "video/mp4")
+    val docs = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.groupBy { case (id, _) => mimes((id % 3).toInt) }
+      .map { case (mime, rows) =>
+        val stats = rows.map { case (_, text) =>
+          val bytes = text.getBytes("UTF-8")
+          val runs = if (bytes.isEmpty) 0L else {
+            var maxRun = 1L; var run = 1L
+            bytes.sliding(2).foreach { w =>
+              if (w.length == 2 && w(0) == w(1)) { run += 1; if (run > maxRun) maxRun = run }
+              else run = 1
+            }
+            maxRun
+          }
+          (bytes.length.toLong, bytes.map(b => (b & 0xff).toLong).sum,
+            bytes.map(_ & 0xff).distinct.length.toLong, runs)
+        }
+        mime -> ((rows.length.toLong, stats.map(_._1).sum,
+          stats.map(_._2).sum.toDouble / stats.map(_._1).sum,
+          stats.map(_._3).max, stats.map(_._4).max))
+      }
+    val got = graft.operators.Multimodal.m3ByteFeatures(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected, s"byte-feature drift: $got vs $expected")
+  }
+
   test("s1_knn_brute: rank 1 matches an independent plain-Scala argmax") {
     import spark.implicits._
     val top1 = graft.operators.Similarity.s1KnnBrute(spark, sf)
@@ -232,6 +262,20 @@ class StreamingAndMlSpec extends AnyFunSuite {
     // (it would be +1 if the watermark had admitted the replay)
     val lateWin = slice.agg(min(col("ep"))).collect().head.getLong(0) / 21600L * 21600L
     assert(got.keys.exists(_._1 == lateWin), "late event's window was never emitted")
+  }
+
+  test("st5 streaming dedup drops every replayed duplicate") {
+    val got = graft.streaming.Streams.st5StreamDedup(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val expected = graft.sources.Tables.events(spark, sf)
+      .withColumn("ep", expr("ts div 1000000000"))
+      .filter(expr("ep div 86400") < lit(graft.streaming.Streams.OnTimeDayLimit))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got == expected,
+      s"replays leaked through dedup: ${(got.toSet -- expected.toSet).take(3)}")
   }
 
   test("c9 churn model learns the churn signal (test-fold AUC)") {
