@@ -9,13 +9,17 @@ object Bench {
     // per-query numbers measure the query, not JVM warmup; queries run
     // in sorted order so timings are comparable across rounds
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
+    // SPARK_GRAFT_ONLY=name1,name2 restricts the run (profiling aid)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // a query that throws is recorded as -1.0 (and listed in "failed") so
     // a broken query can never masquerade as a fast one in BENCH output
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }.toMap
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }.toMap
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }.toSeq.sorted
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

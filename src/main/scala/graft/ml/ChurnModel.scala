@@ -87,21 +87,22 @@ object ChurnModel {
     (data, pipeline.fit(train))
   }
 
-  /** Per-user score frame for a fitted model. `vector_to_array` +
-    * element_at keeps probability extraction inside codegen — no UDF. */
+  /** Per-user score frame for a fitted model (unordered — callers sort;
+    * c13's sink write shouldn't pay a global sort it doesn't need).
+    * `vector_to_array` + element_at keeps probability extraction inside
+    * codegen — no UDF. */
   private def scored(model: PipelineModel, data: DataFrame): DataFrame =
     model.transform(data)
       .select(col("user_id"), col("churned"),
         round(element_at(vector_to_array(col("prob")), 2), 6).as("churn_prob"),
         col("prediction").cast("long").as("prediction"),
         (pmod(col("user_id"), lit(5)) === 0).cast("long").as("is_test"))
-      .orderBy("user_id")
 
   /** c9_churn_train_predict — fit on the hash-split train fold, score
     * every user. Output: user_id, churned, churn_prob, prediction. */
   def c9TrainPredict(s: SparkSession, d: String): DataFrame = {
     val (data, model) = fitOnTrainFold(s, d)
-    scored(model, data)
+    scored(model, data).orderBy("user_id")
   }
 
   /** c13_model_io — the reference's separated daily jobs: train → save

@@ -356,6 +356,41 @@ object Engine {
     (parts(tmpDir("graft_frag")), parts(tmpDir("graft_compact")))
   }
 
+  /** x11_skew_join — the AQE runtime answer to join skew (x3 is the
+    * manual salting answer for aggregations): a fact stream where a
+    * third of all rows hammer ONE key joins the customer dim. Under
+    * production settings with a big dim this is a sort-merge join whose
+    * hot partition AQE splits at runtime (OptimizeSkewedJoin) — no
+    * salting code, no plan change; EngineSpec forces the shuffled path
+    * with tiny skew thresholds and asserts `skew=true` appears in the
+    * final adaptive plan. The query itself is oracle-checked like any
+    * other. */
+  def x11SkewJoin(s: SparkSession, d: String): DataFrame = {
+    // the props payload rides through the join (and is aggregated, so
+    // column pruning can't drop it): the hot key is skewed in BYTES,
+    // which is what AQE's skew detector actually measures
+    val ev = Tables.events(s, d)
+      .withColumn("uid",
+        when(pmod(col("event_id"), lit(3)) === 0, 1L).otherwise(col("user_id")))
+      .select("uid", "value", "props")
+    val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+    ev.join(c, col("uid") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"),
+        sum(length(col("props"))).as("props_chars"))
+      .orderBy("c_mktsegment")
+  }
+
+  val x11Sql: String =
+    """WITH e AS (SELECT CASE WHEN event_id % 3 = 0 THEN 1 ELSE user_id END AS uid,
+      |  value, props FROM events)
+      |SELECT c_mktsegment, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+      |  CAST(SUM(length(props)) AS BIGINT) AS props_chars
+      |FROM e JOIN customer ON uid = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   /** The bucketed join's plan (join only, before the final aggregation —
     * the agg legitimately exchanges on its own group key), for
     * shuffle-freedom assertions. Assumes x8BucketedJoin already created
@@ -378,5 +413,6 @@ object Engine {
     "x5_kmeans_embeddings" -> (x5KmeansEmbeddings _, None),
     "x9_external_ingest" -> (x9ExternalIngest _, Some(x9Sql)),
     "x10_compaction" -> (x10Compaction _, Some(x10Sql)),
+    "x11_skew_join" -> (x11SkewJoin _, Some(x11Sql)),
   )
 }

@@ -83,6 +83,49 @@ class PlanSpec extends AnyFunSuite {
       s"no day-partition filter reached the snapshot scan")
   }
 
+  test("x11: AQE splits the induced hot key at runtime (skew=true in final plan)") {
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> util.Try(spark.conf.get(k)).toOption).toMap
+    try {
+      // force the shuffled-join path and make the hot partition count as
+      // skewed at toy scale — production keeps the defaults and gets the
+      // same split when a partition really crosses 256MB
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "12KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "6KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // the final agg requires a different partitioning, so the split
+      // "introduces an extra shuffle" from AQE's point of view — allow it
+      spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      // AQE can only split a skewed reduce partition at map-output-block
+      // granularity, and the single-row-group test parquet yields ONE map
+      // task — stage a 32-file copy of events (a real 100 TB fact table
+      // has thousands of input splits, so this is automatic there); the
+      // hot key also needs sf0.01 volume to cross even tiny thresholds
+      import java.nio.file.{Files, Paths}
+      val skewDir = Files.createTempDirectory("graft_skew_sf").toString
+      graft.sources.Tables.events(spark, "/root/testdata/sf0.01").repartition(32)
+        .write.mode("overwrite").parquet(s"$skewDir/events.parquet")
+      Files.createSymbolicLink(Paths.get(s"$skewDir/customer.parquet"),
+        Paths.get("/root/testdata/sf0.01/customer.parquet"))
+      val df = graft.operators.Engine.x11SkewJoin(spark, skewDir)
+      df.collect() // materialize so AQE finalizes the adaptive plan
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n${plan.take(1500)}")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("x8: bucketed fact-fact join has no shuffle exchange") {
     val p = graft.operators.Engine.x8Plan(spark, sf)
     assert(!p.contains("Exchange hashpartitioning"),
