@@ -157,7 +157,39 @@ object TextAnalysis {
       |  GROUP BY source, term) t
       |WHERE rk <= 5 ORDER BY source, rk""".stripMargin
 
+  /** t6_bigram_stats — corpus bigram language-model counts: top-20
+    * bigrams with document frequency — the n-gram statistics an
+    * LLM-data pipeline keeps for contamination checks and quality
+    * priors. Bigram construction is a per-row array transform (narrow);
+    * the count shuffle collapses via map-side combine; the global top-k
+    * is a windowless TakeOrdered via orderBy+limit. */
+  def t6BigramStats(s: SparkSession, d: String): DataFrame = {
+    val bigrams = expr(
+      "transform(sequence(0, size(split(text, ' ')) - 2), " +
+        "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1]))")
+    Tables.documents(s, d)
+      .filter(size(toks(col("text"))) >= 2)
+      .select(col("doc_id"), explode(bigrams).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(desc("n_occurrences"), asc("bigram"))
+      .limit(20)
+  }
+
+  val t6Sql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+      |  generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+      |bg AS (SELECT doc_id, term || ' ' || LEAD(term, 1) OVER w AS bigram,
+      |  LEAD(term, 1) OVER w AS t1 FROM toks
+      |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      |SELECT bigram, COUNT(*) AS n_occurrences,
+      |  COUNT(DISTINCT doc_id) AS doc_freq
+      |FROM bg WHERE t1 IS NOT NULL
+      |GROUP BY bigram ORDER BY n_occurrences DESC, bigram ASC LIMIT 20""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "t6_bigram_stats" -> (t6BigramStats _, Some(t6Sql)),
     "t1_langid" -> (t1Langid _, Some(t1Sql)),
     "t2_quality" -> (t2Quality _, Some(t2Sql)),
     "t3_tokens" -> (t3Tokens _, Some(t3Sql)),
