@@ -245,7 +245,7 @@ object Churn {
     * window in the plan is partitioned; the only single-partition work is
     * over ≤ #partitions rows. Identical answer to NTILE(k): with a unique
     * order key, bucket is a pure function of global rank. */
-  private def ntileDistributed(df: DataFrame, order: Seq[Column], k: Int,
+  private[graft] def ntileDistributed(df: DataFrame, order: Seq[Column], k: Int,
       out: String): DataFrame = {
     val parted = df.repartitionByRange(order: _*)
       .withColumn("pid", spark_partition_id())

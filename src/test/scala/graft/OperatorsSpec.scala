@@ -264,6 +264,23 @@ class StreamingAndMlSpec extends AnyFunSuite {
     assert(got.keys.exists(_._1 == lateWin), "late event's window was never emitted")
   }
 
+  test("distributed NTILE equals Spark's global-sort ntile (sizes, ties, directions)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    for (n <- Seq(1, 3, 4, 5, 6, 23, 150); k <- Seq(2, 5)) {
+      // heavy ties: metric has only 13 distinct values
+      val df = (1 to n).map(i => (i.toLong, (i * 7919 % 13).toLong)).toDF("user_id", "m")
+      for (order <- Seq(Seq(asc("m"), asc("user_id")), Seq(desc("m"), asc("user_id")))) {
+        val got = graft.operators.Churn.ntileDistributed(df, order, k, "s")
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        val exp = df.withColumn("s", ntile(k).over(Window.orderBy(order: _*)))
+          .select("user_id", "s")
+          .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+        assert(got == exp, s"n=$n k=$k order=$order")
+      }
+    }
+  }
+
   test("st5 streaming dedup drops every replayed duplicate") {
     val got = graft.streaming.Streams.st5StreamDedup(spark, sf)
       .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
