@@ -20,6 +20,9 @@ object SparkEntry {
             None: Option[String]),
         "c13_model_io" ->
           ((graft.ml.ChurnModel.c13ModelIo _): (SparkSession, String) => DataFrame,
+            None: Option[String]),
+        "c15_model_metrics" ->
+          ((graft.ml.ChurnModel.c15ModelMetrics _): (SparkSession, String) => DataFrame,
             None: Option[String]))
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

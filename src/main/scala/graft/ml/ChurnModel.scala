@@ -105,6 +105,39 @@ object ChurnModel {
     scored(model, data).orderBy("user_id")
   }
 
+  /** c15_model_metrics — the evaluation stage of the reference's daily
+    * cycle: held-out-fold confusion-matrix metrics for the churn scorer
+    * at a sweep of decision thresholds (the table a deployment reads to
+    * pick its operating point). One pass over the scored fold: the
+    * 5-row threshold table is broadcast-crossed in, every metric is a
+    * conditional aggregate — no per-threshold rescans. rows-only (the
+    * probabilities have no SQL twin); spec checks one threshold against
+    * an independent plain-Scala confusion matrix and monotonicity of
+    * positives across thresholds. */
+  def c15ModelMetrics(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val scores = c9TrainPredict(s, d)
+      .filter(col("is_test") === 1L)
+      .select(col("churned"), col("churn_prob"))
+    val th = Seq(0.2, 0.35, 0.5, 0.65, 0.8).toDF("threshold")
+    scores.crossJoin(broadcast(th))
+      .groupBy(col("threshold"))
+      .agg(
+        sum(when(col("churn_prob") >= col("threshold") && col("churned") === 1L, 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("churn_prob") >= col("threshold") && col("churned") === 0L, 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("churn_prob") < col("threshold") && col("churned") === 1L, 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("churn_prob") < col("threshold") && col("churned") === 0L, 1L)
+          .otherwise(0L)).as("tn"))
+      .withColumn("precision", when(col("tp") + col("fp") > 0,
+        col("tp").cast("double") / (col("tp") + col("fp"))).otherwise(0.0))
+      .withColumn("recall", when(col("tp") + col("fn") > 0,
+        col("tp").cast("double") / (col("tp") + col("fn"))).otherwise(0.0))
+      .orderBy("threshold")
+  }
+
   /** c13_model_io — the reference's separated daily jobs: train → save
     * the PipelineModel (MLWriter) → reload it (MLReader, as the daily
     * scoring job would) → score → write scores day-partitioned (run_day

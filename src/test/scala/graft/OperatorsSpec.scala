@@ -264,6 +264,26 @@ class StreamingAndMlSpec extends AnyFunSuite {
     assert(got.keys.exists(_._1 == lateWin), "late event's window was never emitted")
   }
 
+  test("c15 metrics match an independent confusion matrix; positives monotone") {
+    val scores = graft.ml.ChurnModel.c9TrainPredict(spark, sf)
+      .filter(col("is_test") === 1L)
+      .select("churned", "churn_prob").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val got = graft.ml.ChurnModel.c15ModelMetrics(spark, sf)
+      .collect().map(r => r.getDouble(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // independent confusion matrix at one threshold
+    val t = 0.5
+    val tp = scores.count { case (y, p) => p >= t && y == 1L }.toLong
+    val fp = scores.count { case (y, p) => p >= t && y == 0L }.toLong
+    val fn = scores.count { case (y, p) => p < t && y == 1L }.toLong
+    val tn = scores.count { case (y, p) => p < t && y == 0L }.toLong
+    assert(got(t) == ((tp, fp, fn, tn)), s"confusion drift at $t: ${got(t)}")
+    // predicted positives can only shrink as the threshold rises
+    val pos = got.toSeq.sortBy(_._1).map { case (_, (a, b, _, _)) => a + b }
+    assert(pos == pos.sorted.reverse, s"positives not monotone: $pos")
+  }
+
   test("distributed NTILE equals Spark's global-sort ntile (sizes, ties, directions)") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
