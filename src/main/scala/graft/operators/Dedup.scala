@@ -254,7 +254,71 @@ object Dedup {
       |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(nrm_a AS DOUBLE)) * sqrt(CAST(nrm_b AS DOUBLE))) >= 0.25
       |ORDER BY vec_a, vec_b""".stripMargin
 
+  /** d6_dedup_clusters — the verdict a dedup pipeline actually writes:
+    * connected components over the near-dup pair graph → one canonical
+    * keeper (min doc_id) per cluster, every document labeled. Iterative
+    * min-label propagation: each round is two small joins + a groupBy,
+    * labels spread one hop per round, so rounds ≈ cluster diameter
+    * (near-dup clusters are shallow); `localCheckpoint` truncates the
+    * growing lineage each round — the standard large-scale CC shape.
+    * Pairs come from d2 here so the DuckDB oracle (a WITH RECURSIVE
+    * transitive closure over the identical pair query) can hash-check
+    * the clustering end-to-end; at 100 TB the same loop runs over d3's
+    * LSH pairs. */
+  def d6DedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = d2DedupNgramJaccard(s, d).select("doc_a", "doc_b")
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < 25) {
+      val prop = edges.join(labels, col("doc_id") === col("src"))
+        .select(col("dst").as("doc_id"), col("lbl"))
+      val next = labels.union(prop)
+        .groupBy("doc_id").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      converged = next.as("n").join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.lbl") < col("o.lbl")).isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    Tables.documents(s, d).select("doc_id")
+      .join(labels, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_keeper", (col("cluster_id") === col("doc_id")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  val d6Sql: String =
+    s"""WITH RECURSIVE $shinglesSql,
+       |keep AS (SELECT shingle FROM sh GROUP BY shingle
+       |  HAVING COUNT(*) <= GREATEST($DfCapFloor,
+       |    CAST(ceil($DfCapFrac * (SELECT COUNT(DISTINCT doc_id) FROM sh)) AS BIGINT))),
+       |idx AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN keep ON sh.shingle = keep.shingle),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY doc_id),
+       |p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+       |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (SELECT doc_a, doc_b FROM p0
+       |  JOIN sizes sa ON p0.doc_a = sa.doc_id JOIN sizes sb ON p0.doc_b = sb.doc_id
+       |  WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= $JaccardTau),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |walk(a, b) AS (SELECT src, dst FROM edges
+       |  UNION SELECT w.a, e.dst FROM walk w JOIN edges e ON w.b = e.src),
+       |cc AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM walk GROUP BY a)
+       |SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+       |  CASE WHEN COALESCE(cc.cluster_id, d.doc_id) = d.doc_id THEN 1 ELSE 0 END AS is_keeper
+       |FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "d6_dedup_clusters" -> (d6DedupClusters _, Some(d6Sql)),
     "d1_dedup_exact" -> (d1DedupExact _, Some(d1Sql)),
     "d2_dedup_ngram_jaccard" -> (d2DedupNgramJaccard _, Some(d2Sql)),
     "d3_dedup_minhash_lsh" -> (d3DedupMinhashLsh _, None),
