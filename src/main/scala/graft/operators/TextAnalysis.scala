@@ -188,7 +188,100 @@ object TextAnalysis {
       |FROM bg WHERE t1 IS NOT NULL
       |GROUP BY bigram ORDER BY n_occurrences DESC, bigram ASC LIMIT 20""".stripMargin
 
+  /** t7_corpus_curation — the end-to-end curation verdict an LLM-data
+    * pipeline ships: a document survives iff it passes the quality
+    * floor (t2), is the canonical keeper of its near-dup cluster (d6),
+    * and is predicted English (t1); reported as the per-source
+    * audit table (docs/tokens in vs kept) data teams review before a
+    * training run. One pass over each per-doc verdict, joined on
+    * doc_id, rolled up per source — at 100 TB the three verdict frames
+    * share the documents scan and the join keys are co-partitioned.
+    * Fully oracle-checked: the DuckDB twin recomposes the same quality
+    * formula, language CASE, and WITH RECURSIVE dedup closure. */
+  def t7CorpusCuration(s: SparkSession, d: String): DataFrame = {
+    val quality = t2Quality(s, d).select(col("doc_id"), col("keep").as("q_keep"))
+    val lang = t1Langid(s, d).select(col("doc_id"), col("lang_pred"))
+    val dedup = Dedup.d6DedupClusters(s, d).select(col("doc_id"), col("is_keeper"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), size(toks(col("text"))).cast("long").as("n_tokens"))
+      .join(quality, "doc_id")
+      .join(lang, "doc_id")
+      .join(dedup, "doc_id")
+      .withColumn("kept", (col("q_keep") === 1L && col("is_keeper") === 1L &&
+        col("lang_pred") === "en").cast("long"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(when(col("kept") === 1L, col("n_tokens")).otherwise(0L)).as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  val t7Sql: String = {
+    val langCase =
+      """CASE
+        |    WHEN len(list_filter(string_split(text, ' '), t -> t = 'the')) >= len(list_filter(string_split(text, ' '), t -> t = 'le'))
+        |     AND len(list_filter(string_split(text, ' '), t -> t = 'the')) >= len(list_filter(string_split(text, ' '), t -> t = 'el'))
+        |     AND len(list_filter(string_split(text, ' '), t -> t = 'the')) >= len(list_filter(string_split(text, ' '), t -> t = 'der')) THEN 'en'
+        |    WHEN len(list_filter(string_split(text, ' '), t -> t = 'le')) >= len(list_filter(string_split(text, ' '), t -> t = 'el'))
+        |     AND len(list_filter(string_split(text, ' '), t -> t = 'le')) >= len(list_filter(string_split(text, ' '), t -> t = 'der')) THEN 'fr'
+        |    WHEN len(list_filter(string_split(text, ' '), t -> t = 'el')) >= len(list_filter(string_split(text, ' '), t -> t = 'der')) THEN 'es'
+        |    ELSE 'de' END""".stripMargin
+    s"""WITH RECURSIVE sh AS (SELECT DISTINCT doc_id, shingle FROM (
+       |  SELECT doc_id,
+       |    term || ' ' || LEAD(term, 1) OVER w || ' ' || LEAD(term, 2) OVER w AS shingle,
+       |    LEAD(term, 2) OVER w AS t2
+       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+       |        generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents) x
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) y
+       |  WHERE t2 IS NOT NULL),
+       |kp AS (SELECT shingle FROM sh GROUP BY shingle
+       |  HAVING COUNT(*) <= GREATEST(${Dedup.DfCapFloor},
+       |    CAST(ceil(${Dedup.DfCapFrac} * (SELECT COUNT(DISTINCT doc_id) FROM sh)) AS BIGINT))),
+       |idx AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN kp ON sh.shingle = kp.shingle),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM idx GROUP BY doc_id),
+       |p0 AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+       |  FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |pairs AS (SELECT doc_a, doc_b FROM p0
+       |  JOIN sizes sa ON p0.doc_a = sa.doc_id JOIN sizes sb ON p0.doc_b = sb.doc_id
+       |  WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= ${Dedup.JaccardTau}),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |walk(a, b) AS (SELECT src, dst FROM edges
+       |  UNION SELECT w.a, e.dst FROM walk w JOIN edges e ON w.b = e.src),
+       |cc AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster_id FROM walk GROUP BY a),
+       |qb AS (SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(length(text) AS BIGINT) AS n_chars_m,
+       |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq,
+       |  CAST(len(list_filter(string_split(text, ' '), t -> t = 'the'))
+       |     + len(list_filter(string_split(text, ' '), t -> t = 'a')) AS BIGINT) AS n_stop
+       |  FROM documents),
+       |qr AS (SELECT doc_id,
+       |  CAST(n_uniq AS DOUBLE) / n_tokens AS ttr,
+       |  CAST(n_chars_m - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_tok_len,
+       |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio FROM qb),
+       |q AS (SELECT doc_id, CASE WHEN 0.5 * ttr + 0.3 * (1.0 - abs(avg_tok_len - 5.0) / 10.0)
+       |    + 0.2 * (1.0 - stop_ratio) >= 0.5 THEN 1 ELSE 0 END AS q_keep FROM qr),
+       |lp AS (SELECT doc_id, $langCase AS lang_pred FROM documents),
+       |v AS (SELECT d.doc_id, d.source,
+       |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens,
+       |  CASE WHEN q.q_keep = 1
+       |        AND COALESCE(cc.cluster_id, d.doc_id) = d.doc_id
+       |        AND lp.lang_pred = 'en' THEN 1 ELSE 0 END AS kept
+       |  FROM documents d
+       |  JOIN q ON d.doc_id = q.doc_id
+       |  JOIN lp ON d.doc_id = lp.doc_id
+       |  LEFT JOIN cc ON d.doc_id = cc.doc_id)
+       |SELECT source, COUNT(*) AS n_docs, CAST(SUM(kept) AS BIGINT) AS n_kept,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+       |FROM v GROUP BY source ORDER BY source""".stripMargin
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "t7_corpus_curation" -> (t7CorpusCuration _, Some(t7Sql)),
     "t6_bigram_stats" -> (t6BigramStats _, Some(t6Sql)),
     "t1_langid" -> (t1Langid _, Some(t1Sql)),
     "t2_quality" -> (t2Quality _, Some(t2Sql)),
