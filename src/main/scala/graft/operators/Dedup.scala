@@ -265,34 +265,45 @@ object Dedup {
     * transitive closure over the identical pair query) can hash-check
     * the clustering end-to-end; at 100 TB the same loop runs over d3's
     * LSH pairs. */
-  def d6DedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = d2DedupNgramJaccard(s, d).select("doc_a", "doc_b")
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("lbl", col("doc_id"))
-      .localCheckpoint(true)
-    var converged = false
-    var iter = 0
-    while (!converged && iter < 25) {
-      val prop = edges.join(labels, col("doc_id") === col("src"))
-        .select(col("dst").as("doc_id"), col("lbl"))
-      val next = labels.union(prop)
-        .groupBy("doc_id").agg(min(col("lbl")).as("lbl"))
+  /** Converged (doc_id, lbl) component labels for docs that appear in a
+    * near-dup pair. Memoized per (session, dir): d6 and t7 both need
+    * them and the propagation loop's checkpointed frames are not
+    * CacheManager-dedupable across calls (fresh checkpoint lineage), so
+    * one run of the loop serves both. Inputs are immutable per dir. */
+  private val labelsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def clusterLabels(s: SparkSession, d: String): DataFrame =
+    labelsMemo.getOrElseUpdate((s, d), {
+      val pairs = d2DedupNgramJaccard(s, d).select("doc_a", "doc_b")
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .cache()
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("lbl", col("doc_id"))
         .localCheckpoint(true)
-      converged = next.as("n").join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.lbl") < col("o.lbl")).isEmpty
-      labels = next
-      iter += 1
-    }
-    edges.unpersist()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 25) {
+        val prop = edges.join(labels, col("doc_id") === col("src"))
+          .select(col("dst").as("doc_id"), col("lbl"))
+        val next = labels.union(prop)
+          .groupBy("doc_id").agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint(true)
+        converged = next.as("n").join(labels.as("o"), Seq("doc_id"))
+          .filter(col("n.lbl") < col("o.lbl")).isEmpty
+        labels = next
+        iter += 1
+      }
+      edges.unpersist()
+      labels
+    })
+
+  def d6DedupClusters(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select("doc_id")
-      .join(labels, Seq("doc_id"), "left_outer")
+      .join(clusterLabels(s, d), Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
       .withColumn("is_keeper", (col("cluster_id") === col("doc_id")).cast("long"))
       .orderBy("doc_id")
-  }
 
   val d6Sql: String =
     s"""WITH RECURSIVE $shinglesSql,
