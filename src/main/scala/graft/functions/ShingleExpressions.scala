@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpectsInputTypes,
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Static kernels shared by interpreted eval and generated code. Pure
@@ -105,6 +105,70 @@ object ShingleKernels {
     new GenericArrayData(out)
   }
 
+  @inline private def mix2(a: Long, b: Long): Long = splitmix64(a ^ rotl(b, 31))
+
+  /** ALL-occurrence 2-token bigram hashes of a space-separated text, in
+    * order (NOT deduped — t6 counts occurrences). Fixed n=2 contract,
+    * same single-pass tokenization as [[shingleHashes]] (single-space
+    * separators; empty tokens skipped). */
+  def bigramHashes(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val tokens = new java.util.ArrayList[Long]()
+    var i = 0
+    var start = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (i > start) tokens.add(fnv64(bytes, start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    val m = tokens.size() - 1
+    if (m <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](m)
+    var j = 0
+    while (j < m) { out(j) = mix2(tokens.get(j), tokens.get(j + 1)); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Distinct (hash, "tok1 tok2") bigram entries of a space-separated
+    * text — the display-string recovery side of the hashed-bigram path:
+    * hashes are identical to [[bigramHashes]]; the string is sliced
+    * straight from the original UTF-8 bytes (tokens are single-space
+    * separated, so the slice from token j's start to token j+1's end IS
+    * the bigram). Deduped per doc: recovery only needs existence. */
+  def bigramEntries(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val starts = new java.util.ArrayList[Integer]()
+    val ends = new java.util.ArrayList[Integer]()
+    val hashes = new java.util.ArrayList[Long]()
+    var i = 0
+    var start = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (i > start) { starts.add(start); ends.add(i); hashes.add(fnv64(bytes, start, i)) }
+        start = i + 1
+      }
+      i += 1
+    }
+    val m = hashes.size() - 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.HashSet[java.lang.Long](m * 2)
+    val out = new java.util.ArrayList[Any](m)
+    var j = 0
+    while (j < m) {
+      val h = mix2(hashes.get(j), hashes.get(j + 1))
+      if (seen.add(h)) {
+        val from = starts.get(j)
+        val bg = UTF8String.fromBytes(bytes, from, ends.get(j + 1) - from)
+        out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](h, bg)))
+      }
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   /** k-permutation MinHash signature over a shingle-hash array. */
   def minhashSignature(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
@@ -142,6 +206,40 @@ case class ShingleHashes(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
     copy(child = newChild)
   override def prettyName: String = "shingle_hashes"
+}
+
+/** `bigram_hashes(text)` — all-occurrence 2-token bigram hashes as
+  * array<bigint>. The hot-path key for t6: the count shuffle carries
+  * 8-byte hashes instead of bigram strings (at corpus scale the string
+  * shuffle rewrites the corpus ×2; this is the fix). */
+case class BigramHashes(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernels.bigramHashes(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.bigramHashes($c)")
+  override protected def withNewChildInternal(newChild: Expression): BigramHashes =
+    copy(child = newChild)
+  override def prettyName: String = "bigram_hashes"
+}
+
+/** `bigram_entries(text)` — distinct (h, bg) bigram hash/string pairs,
+  * for joining winning hashes back to display strings. */
+case class BigramEntries(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("h", LongType, nullable = false),
+    StructField("bg", StringType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernels.bigramEntries(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.bigramEntries($c)")
+  override protected def withNewChildInternal(newChild: Expression): BigramEntries =
+    copy(child = newChild)
+  override def prettyName: String = "bigram_entries"
 }
 
 /** `simhash_bands(text)` — 64-bit SimHash as 4×16-bit band values. */

@@ -16,9 +16,15 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, LongType}
 object VectorKernels {
 
   /** Σ a(i)·b(i) over quantized (milli-unit) vectors — exact in long
-    * (|v| ≤ ~8e3, dim 64 ⇒ |dot| ≤ ~4e9 ≪ 2^63). */
+    * (|v| ≤ ~8e3, dim 64 ⇒ |dot| ≤ ~4e9 ≪ 2^63). Lengths must match:
+    * silently truncating to the shorter vector would return a
+    * plausible-but-wrong dot, where the zip_with formulation this is
+    * bit-identical to surfaces the mismatch as null. */
   def quantizedDot(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"quantized_dot: dimension mismatch ($n vs ${b.numElements()})")
     var s = 0L
     var i = 0
     while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
@@ -68,7 +74,12 @@ object VectorKernels {
     * zip_with/aggregate chains per row. */
   def hyperplaneBuckets(a: ArrayData, tables: Int, bits: Int): ArrayData = {
     val masks = signMasks(tables, bits)
-    val n = math.min(a.numElements(), 64)
+    // sign masks carry 64 dims — a longer vector would silently project
+    // onto its first 64 dimensions, so refuse rather than truncate
+    val n = a.numElements()
+    if (n > 64)
+      throw new IllegalArgumentException(
+        s"hyperplane_buckets: dim $n exceeds the 64-dim mask contract")
     val out = new Array[Long](tables)
     var t = 0
     while (t < tables) {

@@ -13,6 +13,14 @@ package object functions {
   def minhash_signature(c: Column, k: Int): Column =
     GraftShim.column(MinHashSignature(GraftShim.expression(c), k))
 
+  /** All-occurrence 2-token bigram hashes of a space-separated text. */
+  def bigram_hashes(c: Column): Column =
+    GraftShim.column(BigramHashes(GraftShim.expression(c)))
+
+  /** Distinct (h, bg) bigram hash/string entries of a text. */
+  def bigram_entries(c: Column): Column =
+    GraftShim.column(BigramEntries(GraftShim.expression(c)))
+
   /** 64-bit SimHash of a space-separated text as 4×16-bit bands. */
   def simhash_bands(c: Column): Column =
     GraftShim.column(SimHashBands(GraftShim.expression(c)))

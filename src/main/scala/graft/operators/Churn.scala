@@ -247,8 +247,14 @@ object Churn {
     * order key, bucket is a pure function of global rank. */
   private[graft] def ntileDistributed(df: DataFrame, order: Seq[Column], k: Int,
       out: String): DataFrame = {
+    // Materialize eagerly: repartitionByRange samples with an RDD-id-
+    // dependent seed, so the counts branch and the rank branch below would
+    // only agree on pid boundaries if the planner happened to deduplicate
+    // the exchange (ReusedExchange). Pinning the partitioned frame makes
+    // the pid assignment a fact, not a planner coincidence.
     val parted = df.repartitionByRange(order: _*)
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint(true)
     val counts = parted.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
     // one tiny (#partitions²) cross join yields BOTH the per-partition
     // rank offset and the global n — a single broadcast back in

@@ -254,56 +254,88 @@ object Dedup {
       |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(nrm_a AS DOUBLE)) * sqrt(CAST(nrm_b AS DOUBLE))) >= 0.25
       |ORDER BY vec_a, vec_b""".stripMargin
 
-  /** d6_dedup_clusters — the verdict a dedup pipeline actually writes:
-    * connected components over the near-dup pair graph → one canonical
-    * keeper (min doc_id) per cluster, every document labeled. Iterative
-    * min-label propagation: each round is two small joins + a groupBy,
-    * labels spread one hop per round, so rounds ≈ cluster diameter
-    * (near-dup clusters are shallow); `localCheckpoint` truncates the
-    * growing lineage each round — the standard large-scale CC shape.
-    * Pairs come from d2 here so the DuckDB oracle (a WITH RECURSIVE
-    * transitive closure over the identical pair query) can hash-check
-    * the clustering end-to-end; at 100 TB the same loop runs over d3's
-    * LSH pairs. */
-  /** Converged (doc_id, lbl) component labels for docs that appear in a
-    * near-dup pair. Memoized per (session, dir): d6 and t7 both need
-    * them and the propagation loop's checkpointed frames are not
-    * CacheManager-dedupable across calls (fresh checkpoint lineage), so
-    * one run of the loop serves both. Inputs are immutable per dir. */
-  private val labelsMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  private def clusterLabels(s: SparkSession, d: String): DataFrame =
-    labelsMemo.getOrElseUpdate((s, d), {
-      val pairs = d2DedupNgramJaccard(s, d).select("doc_a", "doc_b")
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .cache()
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("lbl", col("doc_id"))
-        .localCheckpoint(true)
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 25) {
-        val prop = edges.join(labels, col("doc_id") === col("src"))
-          .select(col("dst").as("doc_id"), col("lbl"))
-        val next = labels.union(prop)
-          .groupBy("doc_id").agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint(true)
-        converged = next.as("n").join(labels.as("o"), Seq("doc_id"))
-          .filter(col("n.lbl") < col("o.lbl")).isEmpty
-        labels = next
-        iter += 1
-      }
-      edges.unpersist()
-      labels
-    })
+  // d6_dedup_clusters — the verdict a dedup pipeline actually writes:
+  // connected components over the near-dup pair graph → one canonical
+  // keeper (min doc_id) per cluster, every document labeled.
 
-  def d6DedupClusters(s: SparkSession, d: String): DataFrame =
+  /** Converged (doc_id, lbl) min-labels over an undirected near-dup
+    * pair graph, via min-label propagation with POINTER DOUBLING: each
+    * round a node takes the min over (its label, its neighbors' labels,
+    * its label's label). The label-through-label hop squares the reach
+    * per round, so rounds ≈ log₂(diameter) instead of diameter — on a
+    * length-d chain plain one-hop propagation needs d rounds (each an
+    * action + 2 Spark jobs); doubling needs ~log₂(d).
+    * `localCheckpoint` truncates the growing lineage each round.
+    * Returns (labels, rounds) — rounds surfaces in ScaleProbe.
+    * THROWS if the cap is hit unconverged: returning (or memoizing)
+    * partial labels would silently corrupt every downstream keeper
+    * verdict. With doubling the cap covers diameter 2^20. */
+  private[graft] def propagateLabels(pairs: DataFrame): (DataFrame, Int) = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("lbl", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    val maxRounds = 20
+    while (!converged && iter < maxRounds) {
+      val prop = edges.join(labels, col("doc_id") === col("src"))
+        .select(col("dst").as("doc_id"), col("lbl"))
+      val jump = labels.as("x").join(labels.as("p"), col("x.lbl") === col("p.doc_id"))
+        .select(col("x.doc_id").as("doc_id"), col("p.lbl").as("lbl"))
+      val next = labels.union(prop).union(jump)
+        .groupBy("doc_id").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      converged = next.as("n").join(labels.as("o"), Seq("doc_id"))
+        .filter(col("n.lbl") < col("o.lbl")).isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"near-dup label propagation did not converge in $maxRounds doubling rounds " +
+          "(diameter > 2^20?) — refusing to emit partial cluster labels")
+    (labels, iter)
+  }
+
+  /** Memoized per (session, pairSource:dir): d6 and t7 both need the
+    * labels and the propagation loop's checkpointed frames are not
+    * CacheManager-dedupable across calls (fresh checkpoint lineage), so
+    * one run of the loop serves both. Session-scoped (evicted on
+    * SparkContext end) via [[graft.SessionMemo]]. */
+  private[graft] val labelsMemo = new graft.SessionMemo[DataFrame]
+
+  private def clusterLabels(s: SparkSession, d: String, pairSource: String): DataFrame =
+    labelsMemo.getOrElseUpdate(s, s"$pairSource:$d") {
+      val pairs = pairSource match {
+        case "d3" => d3DedupMinhashLsh(s, d).select("doc_a", "doc_b")
+        case _    => d2DedupNgramJaccard(s, d).select("doc_a", "doc_b")
+      }
+      propagateLabels(pairs)._1
+    }
+
+  private def clustersOver(s: SparkSession, d: String, pairSource: String): DataFrame =
     Tables.documents(s, d).select("doc_id")
-      .join(clusterLabels(s, d), Seq("doc_id"), "left_outer")
+      .join(clusterLabels(s, d, pairSource), Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
       .withColumn("is_keeper", (col("cluster_id") === col("doc_id")).cast("long"))
       .orderBy("doc_id")
+
+  /** Oracle-gated form: pairs from d2's exact capped-space Jaccard, so
+    * the DuckDB WITH RECURSIVE closure can hash-check end-to-end. */
+  def d6DedupClusters(s: SparkSession, d: String): DataFrame =
+    clustersOver(s, d, "d2")
+
+  /** The 100 TB form: the SAME propagation loop over d3's LSH-bucketed
+    * pairs — pair generation cost tracks duplicate density instead of
+    * going quadratic under replication (ScaleProbe: d3 sublinear, d2
+    * quadratic-ish at 8×/16×). DedupSpec pins its clustering against
+    * the d2-sourced labels at test SF. */
+  def d6DedupClustersLsh(s: SparkSession, d: String): DataFrame =
+    clustersOver(s, d, "d3")
 
   val d6Sql: String =
     s"""WITH RECURSIVE $shinglesSql,
@@ -330,6 +362,7 @@ object Dedup {
 
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "d6_dedup_clusters" -> (d6DedupClusters _, Some(d6Sql)),
+    "d7_dedup_clusters_lsh" -> (d6DedupClustersLsh _, None),
     "d1_dedup_exact" -> (d1DedupExact _, Some(d1Sql)),
     "d2_dedup_ngram_jaccard" -> (d2DedupNgramJaccard _, Some(d2Sql)),
     "d3_dedup_minhash_lsh" -> (d3DedupMinhashLsh _, None),

@@ -24,6 +24,55 @@ object Engine {
     p.toString
   }
 
+  /** Entries of a directory, via a CLOSED stream — a bare
+    * `Files.list(p)` leaks a directory handle per call. Missing dir =
+    * empty. */
+  private[graft] def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] =
+    if (!Files.exists(p)) Seq.empty
+    else {
+      val st = Files.list(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.toList
+      } finally st.close()
+    }
+
+  /** Recursive delete (children first), closing the walk stream;
+    * tolerates files and directories alike. */
+  private[graft] def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val st = Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+      } finally st.close()
+    }
+
+  /** Swap a fully-staged partition directory into a live table via two
+    * same-filesystem renames (live → trash, staged → live). A
+    * concurrent reader sees EITHER the complete old partition or the
+    * complete new one — never a half-written file; the worst case is a
+    * sub-millisecond window between the renames where the partition is
+    * absent from a listing. Single-syscall atomicity plus multi-
+    * partition snapshot isolation is a table format's job (Delta /
+    * Iceberg, or renameat2(RENAME_EXCHANGE)); this staging+rename
+    * discipline is the primitive those formats build on, and is what
+    * replaces x6's previous in-place overwrite (under which a reader
+    * mid-rewrite saw a torn table). */
+  private[graft] def swapPartition(tableRoot: String, partName: String,
+      stagedDir: String): Unit = {
+    val live = java.nio.file.Paths.get(tableRoot, partName)
+    // dot-prefixed: Spark's file index ignores hidden dirs, so readers
+    // never list the trash or a staged dir as data
+    val trash = java.nio.file.Paths.get(tableRoot, s".trash_$partName")
+    deleteRecursively(trash)
+    if (Files.exists(live))
+      Files.move(live, trash, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    Files.move(java.nio.file.Paths.get(stagedDir), live,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    deleteRecursively(trash)
+  }
+
   /** x1_csv_roundtrip — write the customer dim to CSV (header, explicit
     * schema on readback — never infer in production) and aggregate from
     * the readback. Oracle aggregates the original table: the round-trip
@@ -147,27 +196,57 @@ object Engine {
     * shuffling the whole table every night. Here: day-29 events
     * re-ingested with value+100 must replace the originals; the oracle
     * computes the expected post-merge aggregate. */
-  def x6IncrementalMerge(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  private[graft] val X6LastDay = 19751L // 2024-01-29
+
+  /** Step 1: materialize the day-partitioned snapshot table. */
+  private[graft] def x6WriteSnapshot(s: SparkSession, d: String): String = {
     val out = tmpDir("graft_merge_snapshot")
-    val ev = Tables.events(s, d)
+    Tables.events(s, d)
       .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
       .select("event_id", "user_id", "event_type", "value", "ep_day")
-    val lastDay = 19751L // 2024-01-29
-    ev.write.mode("overwrite").partitionBy("ep_day").parquet(out)
-    val snapshot = s.read.parquet(out)
-    val newBatch = ev.filter(col("ep_day") === lastDay)
+      .write.mode("overwrite").partitionBy("ep_day").parquet(out)
+    out
+  }
+
+  /** The merged affected-day frame: dedupe window over (affected
+    * partition ∪ re-ingested batch), last-writer-wins per event_id. The
+    * snapshot scan is PRUNED to the one day partition (PlanSpec) — at
+    * 100 TB the nightly merge reads one day, never the table. */
+  private[graft] def x6MergedDay(s: SparkSession, d: String, snapshotDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val snapshot = s.read.parquet(snapshotDir)
+    val newBatch = Tables.events(s, d)
+      .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+      .select("event_id", "user_id", "event_type", "value", "ep_day")
+      .filter(col("ep_day") === X6LastDay)
       .withColumn("value", col("value") + 100.0)
       .withColumn("batch", lit(1L))
-    val affected = snapshot.filter(col("ep_day") === lastDay)
+    val affected = snapshot.filter(col("ep_day") === X6LastDay)
       .withColumn("batch", lit(0L))
     val w = Window.partitionBy(col("event_id")).orderBy(desc("batch"))
-    val merged = affected.unionByName(newBatch)
+    affected.unionByName(newBatch)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") === 1)
       .drop("rk", "batch")
-    val untouched = snapshot.filter(col("ep_day") =!= lastDay)
-    untouched.unionByName(merged)
+  }
+
+  /** Step 2: write the merged day to a hidden staging dir INSIDE the
+    * table root (same filesystem — the swap renames must be atomic).
+    * Readers of the table keep seeing the old partition untouched while
+    * this runs, however long the write takes. */
+  private[graft] def x6StageMergedDay(s: SparkSession, d: String, snapshotDir: String): String = {
+    val staged = s"$snapshotDir/.staged_ep_day=$X6LastDay"
+    x6MergedDay(s, d, snapshotDir)
+      .drop("ep_day") // partition value lives in the directory name
+      .write.mode("overwrite").parquet(staged)
+    staged
+  }
+
+  def x6IncrementalMerge(s: SparkSession, d: String): DataFrame = {
+    val out = x6WriteSnapshot(s, d)
+    val staged = x6StageMergedDay(s, d, out)
+    swapPartition(out, s"ep_day=$X6LastDay", staged)
+    s.read.parquet(out)
       // the partition-dir column reads back type-inferred (int) — pin
       // the output grain to the oracle's BIGINT
       .groupBy(col("ep_day").cast("long").as("ep_day"))
@@ -239,12 +318,7 @@ object Engine {
     // managed-table creation even after DROP TABLE — remove locations
     val warehouse = new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath
     Seq("graft_li_bucketed", "graft_o_bucketed").foreach { t =>
-      val p = java.nio.file.Paths.get(warehouse, t)
-      if (java.nio.file.Files.exists(p)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      }
+      deleteRecursively(java.nio.file.Paths.get(warehouse, t))
     }
     li.write.mode("overwrite").bucketBy(8, "l_orderkey")
       .sortBy("l_orderkey").saveAsTable("graft_li_bucketed")
@@ -344,15 +418,9 @@ object Engine {
 
   /** Parquet part-file counts for the two x10 sink dirs (spec helper). */
   def x10FileCounts(): (Int, Int) = {
-    def parts(p: String): Int = {
-      val dir = java.nio.file.Paths.get(p)
-      if (!java.nio.file.Files.exists(dir)) 0
-      else {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.list(dir).iterator().asScala
-          .count(_.getFileName.toString.endsWith(".parquet"))
-      }
-    }
+    def parts(p: String): Int =
+      listDir(java.nio.file.Paths.get(p))
+        .count(_.getFileName.toString.endsWith(".parquet"))
     (parts(tmpDir("graft_frag")), parts(tmpDir("graft_compact")))
   }
 

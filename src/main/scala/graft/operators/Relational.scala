@@ -432,6 +432,27 @@ object Relational {
       |  COUNT(*) AS n
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  private[graft] val ApproxPercentileAccuracy = 1000
+
+  /** q26_approx_percentile — the sketch percentile the 100 TB path
+    * actually uses: exact `percentile` buffers every group value in
+    * memory (fine per-priority at test SF, lethal on a high-cardinality
+    * key at scale), while `approx_percentile` keeps a bounded
+    * GK-style sketch with deterministic rank error ≤ n/accuracy and
+    * merges map-side. Approximate by design → no SQL oracle (driver
+    * rows-only); OperatorsSpec brackets each estimate between the exact
+    * percentiles at (p ± 1/accuracy·safety). */
+  def q26ApproxPercentile(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        expr(s"approx_percentile(o_totalprice, 0.5, $ApproxPercentileAccuracy)")
+          .as("median_price_approx"),
+        expr(s"approx_percentile(o_totalprice, 0.9, $ApproxPercentileAccuracy)")
+          .as("p90_price_approx"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
   /** q22_sampling — deterministic systematic sample (key mod), not
     * rand(): reproducible across engines, retries, and stage re-runs —
     * which is what a 100 TB pipeline actually needs from a sampler. */
@@ -521,6 +542,7 @@ object Relational {
   /** name → (builder, optional oracle SQL) */
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "q25_grouping_sets" -> (q25GroupingSets _, Some(q25Sql)),
+    "q26_approx_percentile" -> (q26ApproxPercentile _, None),
     "q23_window_misc" -> (q23WindowMisc _, Some(q23Sql)),
     "q24_setops" -> (q24Setops _, Some(q24Sql)),
     "q1_agg" -> (q1Agg _, Some(q1Sql)),

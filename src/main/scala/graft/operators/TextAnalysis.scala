@@ -160,19 +160,39 @@ object TextAnalysis {
   /** t6_bigram_stats — corpus bigram language-model counts: top-20
     * bigrams with document frequency — the n-gram statistics an
     * LLM-data pipeline keeps for contamination checks and quality
-    * priors. Bigram construction is a per-row array transform (narrow);
-    * the count shuffle collapses via map-side combine; the global top-k
-    * is a windowless TakeOrdered via orderBy+limit. */
+    * priors.
+    *
+    * Scale shape: the count shuffle carries 8-byte bigram HASHES
+    * (native codegen'd `bigram_hashes` kernel), never strings — a
+    * string-keyed groupBy here rewrites the whole corpus through the
+    * shuffle ×2 (once for counts, once inside countDistinct's partial
+    * pass). Display strings are recovered afterwards by a broadcast
+    * semi-join of the ≤~20-row winner set against per-doc (hash,
+    * string) entries — a second narrow scan, no string shuffle. The
+    * three consumers of `counts` share one exchange (ReusedExchange);
+    * tie-breaks at the top-20 boundary stay exact because every hash
+    * tied with the 20th count survives to the final string sort. */
   def t6BigramStats(s: SparkSession, d: String): DataFrame = {
-    val bigrams = expr(
-      "transform(sequence(0, size(split(text, ' ')) - 2), " +
-        "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1]))")
-    Tables.documents(s, d)
-      .filter(size(toks(col("text"))) >= 2)
-      .select(col("doc_id"), explode(bigrams).as("bigram"))
-      .groupBy(col("bigram"))
+    val docs = Tables.documents(s, d)
+    val counts = docs
+      .select(col("doc_id"), explode(graft.functions.bigram_hashes(col("text"))).as("h"))
+      .groupBy(col("h"))
       .agg(count(lit(1)).as("n_occurrences"),
         countDistinct(col("doc_id")).as("doc_freq"))
+    // inclusive threshold: every hash whose count ties the 20th-highest
+    // survives, so the string tie-break below sees all contenders
+    val c20 = counts.orderBy(desc("n_occurrences")).limit(20)
+      .agg(min(col("n_occurrences")).as("c20"))
+    val winners = counts.crossJoin(broadcast(c20))
+      .filter(col("n_occurrences") >= col("c20"))
+      .drop("c20")
+    val strings = docs
+      .select(explode(graft.functions.bigram_entries(col("text"))).as("e"))
+      .select(col("e.h").as("h"), col("e.bg").as("bg"))
+      .join(broadcast(winners.select("h")), "h")
+      .groupBy(col("h")).agg(min(col("bg")).as("bigram"))
+    winners.join(strings, "h")
+      .select("bigram", "n_occurrences", "doc_freq")
       .orderBy(desc("n_occurrences"), asc("bigram"))
       .limit(20)
   }

@@ -84,14 +84,25 @@ object Streams {
     val fn = (userId: Long, rows: Iterator[Ev], state: GroupState[SessState]) => {
       // batch-end = stream-end for this finite demo source: emit all
       // sessions including the open one.
-      val evs = rows.toSeq.sortBy(e => e.ep)
+      //
+      // Per-key memory contract: rows within a micro-batch arrive
+      // unordered, so the gap scan needs this key's event TIMES sorted —
+      // we buffer one primitive long per event instead of the row
+      // objects (a 10M-event hot user costs ~80MB, not gigabytes of
+      // boxed rows). For truly unbounded keys the production shape is
+      // event-time pre-bucketing upstream or a timeout-driven
+      // open-session state machine (O(1) state per key);
+      // StreamingAndMlSpec pins this formulation against the batch
+      // sessionizer c1 including a deliberately hot key.
+      val eps = rows.map(_.ep).toArray
+      java.util.Arrays.sort(eps)
       val sessions = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
       var start = -1L; var end = -1L; var n = 0L
-      evs.foreach { e =>
-        if (start < 0) { start = e.ep; end = e.ep; n = 1 }
-        else if (e.ep - end > Churn.SessionGapS) {
-          sessions += ((start, end, n)); start = e.ep; end = e.ep; n = 1
-        } else { end = e.ep; n += 1 }
+      eps.foreach { ep =>
+        if (start < 0) { start = ep; end = ep; n = 1 }
+        else if (ep - end > Churn.SessionGapS) {
+          sessions += ((start, end, n)); start = ep; end = ep; n = 1
+        } else { end = ep; n += 1 }
       }
       if (start >= 0) sessions += ((start, end, n))
       sessions.iterator.zipWithIndex.map { case ((st, en, cnt), i) =>
@@ -158,14 +169,16 @@ object Streams {
     * Returns the stage dir. */
   private def stageBatches(op: String, batches: Seq[(String, DataFrame)]): String = {
     import java.nio.file.{Files, Paths}
-    import scala.jdk.CollectionConverters._
     val stage = Paths.get(graft.operators.Engine.tmpDir(s"graft_${op}_stage"))
-    Files.list(stage).iterator().asScala.foreach(Files.deleteIfExists(_))
+    // closed-stream listing + recursive delete: tolerates a stale
+    // subdirectory (e.g. a _temporary left by a killed write)
+    graft.operators.Engine.listDir(stage)
+      .foreach(graft.operators.Engine.deleteRecursively)
     val t0 = 1700000000000L // fixed mtimes: listing order is deterministic
     batches.zipWithIndex.foreach { case ((target, df), i) =>
       val scratch = graft.operators.Engine.tmpDir(s"graft_${op}_scratch_$target")
       df.coalesce(1).write.mode("overwrite").parquet(scratch)
-      val part = Files.list(Paths.get(scratch)).iterator().asScala
+      val part = graft.operators.Engine.listDir(Paths.get(scratch))
         .find(_.getFileName.toString.endsWith(".parquet")).get
       val dst = stage.resolve(s"$target.parquet")
       Files.move(part, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)

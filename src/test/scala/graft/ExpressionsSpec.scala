@@ -36,6 +36,47 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(viaCodegen.toSeq == viaInterp.toSeq)
   }
 
+  test("bigram kernels: counts, occurrence order, entry/hash agreement, codegen parity") {
+    // occurrence counts are NOT deduped: "a b" appears twice
+    val n = Seq(Tuple1("a b a b c")).toDF("text")
+      .select(graft.functions.bigram_hashes(col("text")).as("h")).collect()
+      .head.getSeq[Long](0)
+    assert(n.length == 4 && n(0) == n(2), "4 occurrences; 'a b' hash repeats")
+    assert(n.toSet.size == 3, "3 distinct bigrams")
+    // entries: distinct, strings sliced from the original text, hashes
+    // identical to bigram_hashes
+    val e = Seq(Tuple1("a b a b c")).toDF("text")
+      .select(explode(graft.functions.bigram_entries(col("text"))).as("e"))
+      .select(col("e.h"), col("e.bg")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(e.values.toSet == Set("a b", "b a", "b c"))
+    assert(e.keySet == n.toSet)
+    // codegen vs interpreted parity on real corpus text
+    val texts = graft.sources.Tables.documents(spark, sf).select("text").limit(50)
+    val viaCodegen = texts.select(graft.functions.bigram_hashes(col("text")).as("a"))
+      .collect().map(_.getSeq[Long](0))
+    val viaInterp =
+      try {
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        texts.select(graft.functions.bigram_hashes(col("text")).as("a"))
+          .collect().map(_.getSeq[Long](0))
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    assert(viaCodegen.toSeq == viaInterp.toSeq)
+  }
+
+  test("vector kernels refuse silent truncation (dim mismatch / >64 dims)") {
+    val bad = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L))).toDF("a", "b")
+    val ex = intercept[Exception] {
+      bad.select(graft.functions.quantized_dot(col("a"), col("b"))).collect()
+    }
+    assert(ex.getMessage != null)
+    val wide = Seq(Tuple1((1L to 65L).toSeq)).toDF("a")
+    val ex2 = intercept[Exception] {
+      wide.select(graft.functions.hyperplane_buckets(col("a"), 2, 4)).collect()
+    }
+    assert(ex2.getMessage != null)
+  }
+
   test("minhash_signature: k elements, stable, element-wise min property") {
     val a = Seq(Tuple1(Seq(1L, 2L, 3L, 4L))).toDF("arr")
       .select(graft.functions.minhash_signature(col("arr"), 16).as("sig"))

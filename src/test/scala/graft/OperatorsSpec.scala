@@ -210,12 +210,147 @@ class NonSqlOracleSpec extends AnyFunSuite {
   test("multimodal/streaming placeholder families keep queries total") {
     assert(SparkEntry.queries.size >= 50)
   }
+
+  test("q20 HLL estimate is within rsd bounds of the exact distinct count") {
+    val exact = graft.sources.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = graft.operators.Relational.q20ApproxDistinct(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (flag, est) =>
+      // configured rsd = 0.01; allow ×4 safety (HLL error is a std-dev,
+      // not a hard bound) with an absolute floor for tiny groups
+      val tol = math.max(4.0 * 0.01 * exact(flag), 2.0)
+      assert(math.abs(est.toDouble - exact(flag).toDouble) <= tol,
+        s"$flag: HLL estimate $est vs exact ${exact(flag)} (tol $tol)")
+    }
+  }
+
+  test("q26 approx percentiles sit inside exact bracketing percentiles") {
+    val eps = 4.0 / graft.operators.Relational.ApproxPercentileAccuracy // ×4 safety on rank error
+    def brackets(p: Double) = graft.sources.Tables.orders(spark, sf)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr(s"percentile(o_totalprice, ${p - eps})").as("lo"),
+        expr(s"percentile(o_totalprice, ${p + eps})").as("hi"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val b50 = brackets(0.5)
+    val b90 = brackets(0.9)
+    val got = graft.operators.Relational.q26ApproxPercentile(spark, sf)
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(got.keySet == b50.keySet)
+    got.foreach { case (k, (p50, p90)) =>
+      assert(p50 >= b50(k)._1 && p50 <= b50(k)._2, s"$k p50 $p50 outside ${b50(k)}")
+      assert(p90 >= b90(k)._1 && p90 <= b90(k)._2, s"$k p90 $p90 outside ${b90(k)}")
+    }
+  }
+
+  test("m1 binary metadata matches an independent plain-Scala computation") {
+    val mimes = Array("image/png", "audio/wav", "video/mp4")
+    val expected = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getString(1).getBytes("UTF-8")
+        val magic = bytes.take(4).map(b => f"${b & 0xff}%02X").mkString
+        id -> ((mimes((id % 3).toInt), bytes.length.toLong, magic,
+          if (bytes.length > 256) 1L else 0L))
+      }.toMap
+    val got = graft.operators.Multimodal.m1BinaryMeta(spark, sf)
+      .select("doc_id", "mime", "n_bytes", "magic_hex", "is_large")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getString(3), r.getLong(4))))
+      .toMap
+    assert(got == expected,
+      s"drift sample: ${(got.toSet -- expected.toSet).take(3)}")
+    // the stubbed decode seed must at least be deterministic
+    val seeds1 = graft.operators.Multimodal.m1BinaryMeta(spark, sf)
+      .select("doc_id", "fake_embedding_seed").collect().map(_.toSeq).toSet
+    val seeds2 = graft.operators.Multimodal.m1BinaryMeta(spark, sf)
+      .select("doc_id", "fake_embedding_seed").collect().map(_.toSeq).toSet
+    assert(seeds1 == seeds2)
+  }
+
+  test("d7 (LSH-pair clustering) equals d6 (exact-pair clustering) at test SF") {
+    val d2Based = graft.operators.Dedup.d6DedupClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val d3Based = graft.operators.Dedup.d6DedupClustersLsh(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(d3Based == d2Based,
+      s"clustering drift: ${(d2Based -- d3Based).take(3)} / ${(d3Based -- d2Based).take(3)}")
+  }
+
+  test("pointer-doubling label propagation: correct chain closure in ~log rounds") {
+    import spark.implicits._
+    // a 64-node path graph: diameter 63 ⇒ one-hop propagation needs 63
+    // rounds (the r2 formulation capped at 25 and would THROW here);
+    // doubling must close it in ≤ ~log2(63)+slack and label every node 0
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val (labels, rounds) = graft.operators.Dedup.propagateLabels(chain)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 64 && got.values.forall(_ == 0L),
+      s"chain not fully labeled: ${got.filter(_._2 != 0L).take(5)}")
+    assert(rounds <= 9, s"doubling should close diameter 63 in ≤9 rounds, took $rounds")
+  }
 }
 
 /** Streaming operators behave like their batch twins; ML is deterministic. */
 class StreamingAndMlSpec extends AnyFunSuite {
   import TestSession._
   import org.apache.spark.sql.functions._
+
+  test("x6 partition swap: readers see the complete old day until the swap") {
+    val E = graft.operators.Engine
+    val snapDir = E.x6WriteSnapshot(spark, sf)
+    def daySum(): Double = {
+      spark.catalog.refreshByPath(snapDir)
+      spark.read.parquet(snapDir)
+        .filter(col("ep_day") === E.X6LastDay)
+        .agg(sum(col("value").cast("decimal(18,6)")).cast("double"))
+        .collect()(0).getDouble(0)
+    }
+    def dayCount(): Long = {
+      spark.catalog.refreshByPath(snapDir)
+      spark.read.parquet(snapDir).filter(col("ep_day") === E.X6LastDay).count()
+    }
+    val sumBefore = daySum()
+    val nBefore = dayCount()
+    // merge fully staged — the "concurrent reader" mid-merge still sees
+    // the untouched old partition, bit-for-bit
+    val staged = E.x6StageMergedDay(spark, sf, snapDir)
+    assert(daySum() == sumBefore, "reader saw merge effects before the swap")
+    assert(dayCount() == nBefore)
+    E.swapPartition(snapDir, s"ep_day=${E.X6LastDay}", staged)
+    // post-swap: same event set, every value on the day +100
+    assert(dayCount() == nBefore, "swap changed the day's row count")
+    val sumAfter = daySum()
+    assert(math.abs(sumAfter - (sumBefore + 100.0 * nBefore)) < 1e-3,
+      s"post-swap sum $sumAfter != $sumBefore + 100*$nBefore")
+  }
+
+  test("st2 sessionizer matches c1 on a deliberately hot key (every event one user)") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val tmp = graft.operators.Engine.tmpDir("graft_st2_hotkey")
+    val scratch = graft.operators.Engine.tmpDir("graft_st2_hotkey_scratch")
+    graft.sources.Tables.events(spark, sf)
+      .withColumn("user_id", lit(1L))
+      .coalesce(1).write.mode("overwrite").parquet(scratch)
+    // the streaming file source glob expects events.parquet to be a
+    // single flat FILE (like the driver's testdata), not a directory
+    val part = graft.operators.Engine.listDir(Paths.get(scratch))
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    graft.operators.Engine.deleteRecursively(Paths.get(tmp, "events.parquet"))
+    Files.move(part, Paths.get(tmp, "events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batch = graft.operators.Churn.c1Sessionize(spark, tmp)
+      .select("user_id", "session_seq", "start_ep", "end_ep", "n_events")
+      .collect().map(_.toSeq).toSet
+    val stream = graft.streaming.Streams.st2StreamSessionize(spark, tmp)
+      .select("user_id", "session_seq", "start_ep", "end_ep", "n_events")
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty && stream == batch,
+      s"hot-key stream-batch diff: ${(stream -- batch).take(3)} / ${(batch -- stream).take(3)}")
+  }
 
   test("st2 stateful sessionizer matches batch c1 sessionization") {
     val batch = graft.operators.Churn.c1Sessionize(spark, sf)

@@ -78,7 +78,14 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("x6: merge prunes the snapshot scan to the affected day partition") {
-    val p = plan("x6_incremental_merge")
+    import org.apache.spark.sql.execution.ExplainMode
+    val E = graft.operators.Engine
+    val snapDir = E.x6WriteSnapshot(spark, sf)
+    // the nightly merge computation (what gets staged) must scan the
+    // snapshot pruned to the one re-ingested day; the final readback
+    // after the swap legitimately reads the whole table
+    val p = E.x6MergedDay(spark, sf, snapDir).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
     assert("""PartitionFilters: \[[^\]]*ep_day[^\]]*19751""".r.findFirstIn(p).isDefined,
       s"no day-partition filter reached the snapshot scan")
   }
