@@ -45,6 +45,20 @@ object ScaleProbe {
     }
     time("d2_ngram_jaccard")(operators.Dedup.d2DedupNgramJaccard(spark, work).count())
     time("d3_minhash_lsh")(operators.Dedup.d3DedupMinhashLsh(spark, work).count())
+    // CC label propagation over the LSH pairs (the 100 TB wiring):
+    // doubling vs one-hop — the measured round-count drop
+    val lshPairs = operators.Dedup.d3DedupMinhashLsh(spark, work)
+      .select("doc_a", "doc_b").localCheckpoint(true)
+    time("d7_cc_doubling") {
+      val (lbl, rounds) = operators.Dedup.propagateLabels(lshPairs, doubling = true)
+      println(s"[scale] d7_cc_doubling rounds=$rounds")
+      lbl.count()
+    }
+    time("d7_cc_onehop") {
+      val (lbl, rounds) = operators.Dedup.propagateLabels(lshPairs, doubling = false)
+      println(s"[scale] d7_cc_onehop rounds=$rounds")
+      lbl.count()
+    }
     time("d4_simhash")(operators.Dedup.d4DedupSimhash(spark, work).count())
     time("s2_knn_lsh")(operators.Similarity.s2KnnLsh(spark, work).count())
     time("s6_pairwise_lsh")(operators.Similarity.s6PairwiseLsh(spark, work).count())

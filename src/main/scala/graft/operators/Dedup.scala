@@ -270,7 +270,8 @@ object Dedup {
     * THROWS if the cap is hit unconverged: returning (or memoizing)
     * partial labels would silently corrupt every downstream keeper
     * verdict. With doubling the cap covers diameter 2^20. */
-  private[graft] def propagateLabels(pairs: DataFrame): (DataFrame, Int) = {
+  private[graft] def propagateLabels(pairs: DataFrame,
+      doubling: Boolean = true): (DataFrame, Int) = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
@@ -279,13 +280,22 @@ object Dedup {
       .localCheckpoint(true)
     var converged = false
     var iter = 0
-    val maxRounds = 20
+    // one-hop mode (doubling=false) exists only so ScaleProbe can
+    // measure the round-count drop; it needs a diameter-sized cap
+    val maxRounds = if (doubling) 20 else 200
     while (!converged && iter < maxRounds) {
       val prop = edges.join(labels, col("doc_id") === col("src"))
         .select(col("dst").as("doc_id"), col("lbl"))
-      val jump = labels.as("x").join(labels.as("p"), col("x.lbl") === col("p.doc_id"))
-        .select(col("x.doc_id").as("doc_id"), col("p.lbl").as("lbl"))
-      val next = labels.union(prop).union(jump)
+      val grown =
+        // round 1's jump is the identity (every label is its own doc_id),
+        // so the label-through-label join only joins from round 2 on
+        if (!doubling || iter == 0) labels.union(prop)
+        else {
+          val jump = labels.as("x").join(labels.as("p"), col("x.lbl") === col("p.doc_id"))
+            .select(col("x.doc_id").as("doc_id"), col("p.lbl").as("lbl"))
+          labels.union(prop).union(jump)
+        }
+      val next = grown
         .groupBy("doc_id").agg(min(col("lbl")).as("lbl"))
         .localCheckpoint(true)
       converged = next.as("n").join(labels.as("o"), Seq("doc_id"))
@@ -296,8 +306,8 @@ object Dedup {
     edges.unpersist()
     if (!converged)
       throw new IllegalStateException(
-        s"near-dup label propagation did not converge in $maxRounds doubling rounds " +
-          "(diameter > 2^20?) — refusing to emit partial cluster labels")
+        s"near-dup label propagation did not converge in $maxRounds rounds " +
+          "— refusing to emit partial cluster labels")
     (labels, iter)
   }
 

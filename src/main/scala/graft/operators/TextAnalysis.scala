@@ -218,10 +218,21 @@ object TextAnalysis {
     * share the documents scan and the join keys are co-partitioned.
     * Fully oracle-checked: the DuckDB twin recomposes the same quality
     * formula, language CASE, and WITH RECURSIVE dedup closure. */
-  def t7CorpusCuration(s: SparkSession, d: String): DataFrame = {
+  def t7CorpusCuration(s: SparkSession, d: String): DataFrame =
+    curationOver(s, d, Dedup.d6DedupClusters(s, d))
+
+  /** t8_corpus_curation_lsh — t7's verdict with the dedup leg swapped
+    * to d7's LSH-pair clustering: the form that actually runs at
+    * 100 TB, where exact pair generation is off the table. Identical
+    * aggregation; TextSpec pins t8 ≡ t7 at test SF (where the LSH and
+    * exact pair sets agree — see the d7/d6 spec). */
+  def t8CorpusCurationLsh(s: SparkSession, d: String): DataFrame =
+    curationOver(s, d, Dedup.d6DedupClustersLsh(s, d))
+
+  private def curationOver(s: SparkSession, d: String, clusters: DataFrame): DataFrame = {
     val quality = t2Quality(s, d).select(col("doc_id"), col("keep").as("q_keep"))
     val lang = t1Langid(s, d).select(col("doc_id"), col("lang_pred"))
-    val dedup = Dedup.d6DedupClusters(s, d).select(col("doc_id"), col("is_keeper"))
+    val dedup = clusters.select(col("doc_id"), col("is_keeper"))
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"), size(toks(col("text"))).cast("long").as("n_tokens"))
       .join(quality, "doc_id")
@@ -302,6 +313,7 @@ object TextAnalysis {
 
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "t7_corpus_curation" -> (t7CorpusCuration _, Some(t7Sql)),
+    "t8_corpus_curation_lsh" -> (t8CorpusCurationLsh _, None),
     "t6_bigram_stats" -> (t6BigramStats _, Some(t6Sql)),
     "t1_langid" -> (t1Langid _, Some(t1Sql)),
     "t2_quality" -> (t2Quality _, Some(t2Sql)),

@@ -281,6 +281,15 @@ class NonSqlOracleSpec extends AnyFunSuite {
       s"clustering drift: ${(d2Based -- d3Based).take(3)} / ${(d3Based -- d2Based).take(3)}")
   }
 
+  test("t8 (curation over LSH clusters) equals t7 (curation over exact clusters)") {
+    val t7 = graft.operators.TextAnalysis.t7CorpusCuration(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val t8 = graft.operators.TextAnalysis.t8CorpusCurationLsh(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(t7.nonEmpty && t8 == t7,
+      s"curation drift: ${(t7 -- t8).take(3)} / ${(t8 -- t7).take(3)}")
+  }
+
   test("pointer-doubling label propagation: correct chain closure in ~log rounds") {
     import spark.implicits._
     // a 64-node path graph: diameter 63 ⇒ one-hop propagation needs 63
