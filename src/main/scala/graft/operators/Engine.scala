@@ -115,6 +115,31 @@ object Engine {
       |  MAX(CAST(o_orderdate AS DATE)) AS last_date
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** x12_orc_roundtrip — ORC sink+source round-trip over the part dim:
+    * the other columnar interchange format big estates actually hold
+    * (Hive-era lakes are ORC). Same discipline as x1: explicit schema
+    * on readback, aggregate from the readback, oracle aggregates the
+    * original parquet — lossless round-trip or the gate fails. ORC
+    * carries the same logical types as parquet so no normalization
+    * step is needed (contrast x2's JSON date coercion). */
+  def x12OrcRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = tmpDir("graft_orc")
+    val p = Tables.part(s, d)
+    p.write.mode("overwrite").orc(out)
+    s.read.schema(p.schema).orc(out)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("p_retailprice").cast("decimal(18,6)")).cast("double").as("sum_price"),
+        max(col("p_size")).as("max_size"))
+      .orderBy("p_brand")
+  }
+
+  val x12Sql: String =
+    """SELECT p_brand, COUNT(*) AS n_parts,
+      |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+      |  MAX(p_size) AS max_size
+      |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   /** x3_salted_agg — two-phase skew-salted aggregation: salt the key
     * space ×16, partial-aggregate on (key, salt), then final-aggregate
     * on key. Result is provably identical to the direct groupBy (the
@@ -482,5 +507,6 @@ object Engine {
     "x9_external_ingest" -> (x9ExternalIngest _, Some(x9Sql)),
     "x10_compaction" -> (x10Compaction _, Some(x10Sql)),
     "x11_skew_join" -> (x11SkewJoin _, Some(x11Sql)),
+    "x12_orc_roundtrip" -> (x12OrcRoundtrip _, Some(x12Sql)),
   )
 }
