@@ -36,6 +36,20 @@ object ProfileML {
         .transform(train).cache()
       a.count(); a
     }
+    t("LR fit maxIter=1") {
+      new org.apache.spark.ml.classification.LogisticRegression()
+        .setMaxIter(1).setRegParam(0.01)
+        .setLabelCol("label").setFeaturesCol("features").setProbabilityCol("prob")
+        .fit(assembled)
+    }
+    t("LR fit tol=1e-3") {
+      val m = new org.apache.spark.ml.classification.LogisticRegression()
+        .setMaxIter(25).setRegParam(0.01).setTol(1e-3)
+        .setLabelCol("label").setFeaturesCol("features").setProbabilityCol("prob")
+        .fit(assembled)
+      println(s"[prof] tol=1e-3 iterations: ${m.summary.totalIterations}")
+      m
+    }
     t("LR fit alone")(lrOnly.fit(assembled))
     t("c9 run1 (fit+score)") {
       val n = ml.ChurnModel.c9TrainPredict(spark, d).count()

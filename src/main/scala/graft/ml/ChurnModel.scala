@@ -70,7 +70,9 @@ object ChurnModel {
     new LogisticRegression()
       .setMaxIter(25)
       .setRegParam(0.01)
-      .setTol(1e-5)
+      // 1e-4 halves LBFGS iterations vs 1e-5 at sf0.1 (8 vs 15) for an
+      // indistinguishable operating point — the AUC spec gates it
+      .setTol(1e-4)
       .setLabelCol("label")
       .setFeaturesCol("features")
       .setProbabilityCol("prob")))
@@ -78,8 +80,10 @@ object ChurnModel {
   /** (cached matrix, model fitted on the hash-split train fold).
     * cache: LBFGS iterates over the matrix; without this every pass
     * would recompute the per-user aggregations. The matrix is tiny
-    * relative to the event log (one row per user), so collapse to a few
-    * partitions — iteration cost is scheduler overhead, not compute.
+    * relative to the event log (one row per user), so collapse to ONE
+    * partition — every LBFGS iteration schedules a treeAggregate over
+    * the matrix, and at this size per-iteration cost is pure task
+    * overhead (4 partitions = 4x the tasks for zero parallelism gain).
     * (On a 10⁹-user cluster: size partitions to ~128MB of features
     * instead; the shape of the pipeline is unchanged.)
     *
@@ -98,7 +102,7 @@ object ChurnModel {
     fitMemo.getOrElseUpdate(s, d) {
       val data = featureMatrix(s, d)
         .withColumn("label", col("churned").cast("double"))
-        .coalesce(4)
+        .coalesce(1)
         .cache()
       val train = data.filter(pmod(col("user_id"), lit(5)) =!= 0)
       val model = pipeline.fit(train)
@@ -177,7 +181,7 @@ object ChurnModel {
     val scoresDir = graft.operators.Engine.tmpDir("graft_churn_scores")
     scored(reloaded, data)
       .crossJoin(broadcast(runDay))
-      .coalesce(4) // one-row-per-user score table: a few files, not 32 shards
+      .coalesce(1) // one-row-per-user score table: a few files, not 32 shards
       .write.mode("overwrite").partitionBy("run_day").parquet(scoresDir)
     s.read.parquet(scoresDir)
       // partition-dir columns come back type-inferred (int) — pin to long
