@@ -59,6 +59,25 @@ object ScaleProbe {
       println(s"[scale] d7_cc_onehop rounds=$rounds")
       lbl.count()
     }
+    // replicated corpora duplicate documents into CLIQUES (diameter 1 —
+    // both modes converge in 2 rounds); the doubling payoff is on DEEP
+    // components, so probe a 64-node path graph (diameter 63): one-hop
+    // needs 63 rounds of 2 Spark jobs each, doubling ~8
+    locally {
+      import spark.implicits._
+      val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+        .localCheckpoint(true)
+      time("cc_chain64_doubling") {
+        val (lbl, rounds) = operators.Dedup.propagateLabels(chain, doubling = true)
+        println(s"[scale] cc_chain64_doubling rounds=$rounds")
+        lbl.count()
+      }
+      time("cc_chain64_onehop") {
+        val (lbl, rounds) = operators.Dedup.propagateLabels(chain, doubling = false)
+        println(s"[scale] cc_chain64_onehop rounds=$rounds")
+        lbl.count()
+      }
+    }
     time("d4_simhash")(operators.Dedup.d4DedupSimhash(spark, work).count())
     time("s2_knn_lsh")(operators.Similarity.s2KnnLsh(spark, work).count())
     time("s6_pairwise_lsh")(operators.Similarity.s6PairwiseLsh(spark, work).count())

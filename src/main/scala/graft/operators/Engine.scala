@@ -484,6 +484,83 @@ object Engine {
       |FROM e JOIN customer ON uid = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** x13_runtime_filter — Catalyst's runtime bloom-filter join pruning
+    * (InjectRuntimeFilter): a selective dim-side predicate (urgent
+    * orders only) is turned into a bloom filter BUILT AT RUNTIME from
+    * the creation side and applied as `might_contain` on the fact scan,
+    * so lineitem rows for non-urgent orders die at the scan instead of
+    * riding the shuffle into the join — on a 100 TB fact table this is
+    * the difference between shuffling the table and shuffling the ~1/5
+    * that can match. Injection is stats-gated: production defaults
+    * require a >10 GB application side, so this demo lowers the
+    * thresholds (restored after planning) to make the same rewrite fire
+    * at test SF; PlanSpec asserts `might_contain` reached the final
+    * plan. The rewrite is semantics-preserving — the oracle is the
+    * plain join. */
+  def x13RuntimeFilter(s: SparkSession, d: String): DataFrame = {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled" -> "false",
+      // InjectRuntimeFilter only fires for shuffle joins (a broadcast
+      // join needs no bloom) — at 100 TB a fact-fact join shuffles
+      // naturally; at test SF force it so the demo shows the real plan
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_quantity"))
+      // materialized EAGERLY (localCheckpoint) so both planning and
+      // execution happen under the lowered thresholds — a lazily
+      // returned frame would re-plan after the confs are restored and
+      // silently lose the rewrite this operator demonstrates
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,6)")).cast("double").as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,6)")).cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+        .localCheckpoint(true)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
+  val x13Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** x13's final executed plan under the lowered thresholds (PlanSpec
+    * helper — asserts the bloom filter actually reached the fact scan). */
+  def x13Plan(s: SparkSession, d: String): String = {
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val j = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_quantity"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+      j.queryExecution.executedPlan.toString
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None)    => s.conf.unset(k)
+    }
+  }
+
   /** The bucketed join's plan (join only, before the final aggregation —
     * the agg legitimately exchanges on its own group key), for
     * shuffle-freedom assertions. Assumes x8BucketedJoin already created
@@ -508,5 +585,6 @@ object Engine {
     "x10_compaction" -> (x10Compaction _, Some(x10Sql)),
     "x11_skew_join" -> (x11SkewJoin _, Some(x11Sql)),
     "x12_orc_roundtrip" -> (x12OrcRoundtrip _, Some(x12Sql)),
+    "x13_runtime_filter" -> (x13RuntimeFilter _, Some(x13Sql)),
   )
 }

@@ -7,11 +7,16 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import graft.operators.Churn
 import graft.sources.Tables
 
-// top-level (codegen-visible) row types for the stateful sessionizer
+// top-level (codegen-visible) row types for the stateful sessionizers
 case class Ev(user_id: Long, ep: Long, value: Double)
 case class SessState(start: Long, end: Long, n: Long, value: Double)
 case class SessOut(user_id: Long, session_seq: Long, start_ep: Long,
   end_ep: Long, n_events: Long)
+/** st6's O(1)-per-key state: the one open session + the session counter. */
+case class OpenSess(start: Long, end: Long, n: Long, seq: Long)
+/** st6 input row — carries the watermark column (event-time timeout
+  * requires the watermarked attribute to reach the stateful operator). */
+case class EvW(user_id: Long, ep: Long, event_time: java.sql.Timestamp)
 
 /** Structured Streaming operators (SURVEY.md §2g). Both run the events
   * table through a real streaming query (memory sink, processAllAvailable
@@ -268,6 +273,94 @@ object Streams {
       .orderBy("event_type")
   }
 
+  /** st6_stream_session_state — the PRODUCTION sessionizer shape st2's
+    * doc promises: O(1) state per key across micro-batches (the one
+    * open session + a counter — never buffered events), sessions closed
+    * either by an in-batch gap or by an EventTimeTimeout once the
+    * watermark passes the open session's gap horizon. st2 buffers a
+    * key's whole batch to sort it (fine when batch-end = stream-end);
+    * here the input arrives as CHRONOLOGICAL micro-batches (the Kafka
+    * contract: bounded out-of-orderness, handled by the watermark
+    * delay), so cross-batch state is just the open session. A sentinel
+    * far-future event drives the final watermark advance that times out
+    * and emits every still-open session — in production that advance
+    * comes from the stream simply continuing. StreamingAndMlSpec pins
+    * the emitted sessions against the batch sessionizer c1. */
+  def st6StreamSessionState(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val name = freshName("st6_out")
+    val ev = Tables.events(s, d)
+      .withColumn("ep", expr("ts div 1000000000"))
+      .filter(expr("ep div 86400") < lit(OnTimeDayLimit))
+      .select("user_id", "ep", "value")
+    // three chronological micro-batches (day ranges are disjoint and
+    // ordered, so all events of batch i precede batch i+1)
+    val cut = OnTimeDayLimit
+    val b0 = ev.filter(expr("ep div 86400") < lit(cut - 4L))
+    val b1 = ev.filter(expr("ep div 86400") >= lit(cut - 4L) &&
+      expr("ep div 86400") < lit(cut - 2L))
+    val b2 = ev.filter(expr("ep div 86400") >= lit(cut - 2L))
+    // sentinel: one far-future event on a reserved key, so the last
+    // batch's watermark passes every real session's gap horizon
+    val sentinel = s.range(1)
+      .select(lit(-1L).as("user_id"),
+        lit((OnTimeDayLimit + 30L) * 86400L).as("ep"), lit(0.0).as("value"))
+    val stage = stageBatches("st6", Seq(
+      "batch0" -> b0, "batch1" -> b1, "batch2" -> b2, "batch3_advance" -> sentinel))
+
+    val fn = (userId: Long, rows: Iterator[EvW], state: GroupState[OpenSess]) => {
+      if (state.hasTimedOut) {
+        // watermark passed the open session's gap horizon: close it
+        val o = state.get
+        state.remove()
+        Iterator(SessOut(userId, o.seq, o.start, o.end, o.n))
+      } else {
+        // within one micro-batch a key's events still need sorting —
+        // bounded by the batch, not the stream; state carried BETWEEN
+        // batches is the single open session
+        val eps = rows.map(_.ep).toArray
+        java.util.Arrays.sort(eps)
+        val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+        var open = state.getOption.getOrElse(OpenSess(-1L, -1L, 0L, 0L))
+        eps.foreach { ep =>
+          if (open.start < 0) open = OpenSess(ep, ep, 1L, open.seq + 1L)
+          else if (ep - open.end > Churn.SessionGapS) {
+            out += SessOut(userId, open.seq, open.start, open.end, open.n)
+            open = OpenSess(ep, ep, 1L, open.seq + 1L)
+          } else open = open.copy(end = ep, n = open.n + 1L)
+        }
+        state.update(open)
+        // time out once the watermark is past end+gap (no more events
+        // can legally extend this session); the sentinel key gets the
+        // same treatment and is filtered from the result
+        val horizonMs = (open.end + Churn.SessionGapS) * 1000L + 1L
+        state.setTimeoutTimestamp(math.max(horizonMs, state.getCurrentWatermarkMs() + 1L))
+        out.iterator
+      }
+    }
+
+    val out = streamForStage(s, ev.schema, stage)
+      .withColumn("event_time", timestamp_seconds(col("ep")))
+      .withWatermark("event_time", "1 hour")
+      .select(col("user_id"), col("ep"), col("event_time")).as[EvW]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+    val q = out.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name).filter(col("user_id") >= 0L)
+      .orderBy("user_id", "session_seq")
+  }
+
+  private def streamForStage(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, stage: String): DataFrame =
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
+
   val st3Sql: String =
     """SELECT c_mktsegment, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
@@ -280,5 +373,6 @@ object Streams {
     "st3_stream_static_join" -> (st3StreamStaticJoin _, Some(st3Sql)),
     "st4_stream_late_data" -> (st4StreamLateData _, None),
     "st5_stream_dedup" -> (st5StreamDedup _, None),
+    "st6_stream_session_state" -> (st6StreamSessionState _, None),
   )
 }

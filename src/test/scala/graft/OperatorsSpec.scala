@@ -361,6 +361,30 @@ class StreamingAndMlSpec extends AnyFunSuite {
       s"hot-key stream-batch diff: ${(stream -- batch).take(3)} / ${(batch -- stream).take(3)}")
   }
 
+  test("st6 O(1)-state sessionizer matches batch c1 on the on-time slice") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    // batch twin: c1 over ONLY the st6 input slice (staged as a flat
+    // events.parquet file, the layout Tables.events expects)
+    val tmp = graft.operators.Engine.tmpDir("graft_st6_slice")
+    val scratch = graft.operators.Engine.tmpDir("graft_st6_slice_scratch")
+    graft.sources.Tables.events(spark, sf)
+      .filter(expr("(ts div 1000000000) div 86400") <
+        lit(graft.streaming.Streams.OnTimeDayLimit))
+      .coalesce(1).write.mode("overwrite").parquet(scratch)
+    val part = graft.operators.Engine.listDir(Paths.get(scratch))
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    graft.operators.Engine.deleteRecursively(Paths.get(tmp, "events.parquet"))
+    Files.move(part, Paths.get(tmp, "events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batch = graft.operators.Churn.c1Sessionize(spark, tmp)
+      .select("user_id", "session_seq", "start_ep", "end_ep", "n_events")
+      .collect().map(_.toSeq).toSet
+    val stream = graft.streaming.Streams.st6StreamSessionState(spark, sf)
+      .select("user_id", "session_seq", "start_ep", "end_ep", "n_events")
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty && stream == batch,
+      s"st6-c1 diff: ${(stream -- batch).take(3)} / ${(batch -- stream).take(3)}")
+  }
+
   test("st2 stateful sessionizer matches batch c1 sessionization") {
     val batch = graft.operators.Churn.c1Sessionize(spark, sf)
       .select("user_id", "session_seq", "start_ep", "end_ep", "n_events")

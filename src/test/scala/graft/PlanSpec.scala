@@ -90,6 +90,12 @@ class PlanSpec extends AnyFunSuite {
       s"no day-partition filter reached the snapshot scan")
   }
 
+  test("x13: runtime bloom filter from the dim predicate reaches the fact side") {
+    val p = graft.operators.Engine.x13Plan(spark, sf)
+    assert(p.contains("might_contain"),
+      s"no bloom-filter might_contain in the executed plan:\n${p.take(2000)}")
+  }
+
   test("x11: AQE splits the induced hot key at runtime (skew=true in final plan)") {
     val restore = Seq(
       "spark.sql.autoBroadcastJoinThreshold",
