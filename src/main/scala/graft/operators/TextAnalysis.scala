@@ -197,6 +197,130 @@ object TextAnalysis {
       .limit(20)
   }
 
+  // --- t9_pii_redact ------------------------------------------------
+  // The synthetic corpus carries no natural PII, so the operator first
+  // INJECTS deterministic synthetic PII derived from doc_id (both the
+  // Spark side and the DuckDB oracle construct the identical augmented
+  // text), then runs the real detection/redaction machinery over it —
+  // the regexes, the counting, and the residual-check are what a
+  // production scrubbing pass runs; only the test fixture is synthetic
+  // (same pattern as m1's synthesized binary payloads).
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "555-[0-9]{4}"
+
+  /** t9_pii_redact — PII scrubbing, the pass every LLM training-data
+    * pipeline runs before anything ships: detect emails/phones by
+    * regex, count them per document, redact them to typed placeholder
+    * tokens, and report the per-source audit (docs affected, matches
+    * by type, residual matches after redaction — which the oracle
+    * proves is ZERO). Pure per-row regex work → single parallel scan,
+    * whole-stage codegen, no shuffle but the final per-source rollup.
+    * Patterns use only portable regex constructs (char classes +
+    * bounded repeats) so Java and DuckDB RE2 semantics agree. */
+  def t9PiiRedact(s: SparkSession, d: String): DataFrame = {
+    val aug = Tables.documents(s, d)
+      .withColumn("text2",
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit("contact u"), col("doc_id").cast("string"),
+            lit("@example.com "), col("text")))
+          .otherwise(col("text")))
+      .withColumn("text2",
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(col("text2"), lit(" call 555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+          .otherwise(col("text2")))
+    val redacted = regexp_replace(
+      regexp_replace(col("text2"), lit(EmailRe), lit("<EMAIL>")),
+      lit(PhoneRe), lit("<PHONE>"))
+    aug
+      .select(col("doc_id"), col("source"),
+        regexp_count(col("text2"), lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(col("text2"), lit(PhoneRe)).cast("long").as("n_phones"),
+        // residual scan runs on the REDACTED text: the oracle recomputes
+        // it independently, so a broken replacement cannot hide
+        (regexp_count(redacted, lit(EmailRe)) +
+          regexp_count(redacted, lit(PhoneRe))).cast("long").as("n_residual"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("n_emails") + col("n_phones") > 0).cast("long")).as("docs_with_pii"),
+        sum(col("n_emails")).as("total_emails"),
+        sum(col("n_phones")).as("total_phones"),
+        sum(col("n_residual")).as("total_residual"))
+      .orderBy("source")
+  }
+
+  val t9Sql: String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "555-[0-9]{4}"
+    s"""WITH aug AS (SELECT doc_id, source,
+       |  CASE WHEN doc_id % 11 = 0 THEN
+       |    (CASE WHEN doc_id % 7 = 0 THEN 'contact u' || CAST(doc_id AS VARCHAR) || '@example.com ' || text ELSE text END)
+       |      || ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |  WHEN doc_id % 7 = 0 THEN 'contact u' || CAST(doc_id AS VARCHAR) || '@example.com ' || text
+       |  ELSE text END AS text2 FROM documents),
+       |red AS (SELECT doc_id, source,
+       |  CAST(len(regexp_extract_all(text2, '$email')) AS BIGINT) AS n_emails,
+       |  CAST(len(regexp_extract_all(text2, '$phone')) AS BIGINT) AS n_phones,
+       |  regexp_replace(regexp_replace(text2, '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g') AS redacted
+       |  FROM aug)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(CASE WHEN n_emails + n_phones > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       |  CAST(SUM(n_emails) AS BIGINT) AS total_emails,
+       |  CAST(SUM(n_phones) AS BIGINT) AS total_phones,
+       |  CAST(SUM(CAST(len(regexp_extract_all(redacted, '$email')) AS BIGINT)
+       |         + CAST(len(regexp_extract_all(redacted, '$phone')) AS BIGINT)) AS BIGINT) AS total_residual
+       |FROM red GROUP BY source ORDER BY source""".stripMargin
+  }
+
+  /** t10_contamination — benchmark-contamination screen: the
+    * decontamination pass run before training so eval benchmarks don't
+    * leak into the corpus. Docs with doc_id % 50 == 0 stand in for the
+    * benchmark suite; every other document is scored by 3-shingle
+    * overlap against the benchmark's distinct shingle set and flagged
+    * when ≥ half its shingles appear there. Scale shape: shingles ride
+    * as 8-byte native hashes (ShingleHashes kernel); the benchmark set
+    * is BROADCAST — eval suites are small by nature (MBs, not TBs), so
+    * the corpus-side scan never shuffles; the only exchange is the
+    * per-source rollup. All-integer output (shared/total counts, flag
+    * sums) → bit-stable hash vs the string-based DuckDB twin. */
+  def t10Contamination(s: SparkSession, d: String): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        explode(graft.functions.shingle_hashes(col("text"))).as("h"))
+    val bench = sh.filter(pmod(col("doc_id"), lit(50)) === 0)
+      .select("h").distinct().withColumn("hit", lit(1L))
+    sh.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+      .join(broadcast(bench), Seq("h"), "left_outer")
+      .groupBy(col("doc_id"), col("source"))
+      .agg(count(lit(1)).as("n_sh"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("n_hit") * 2 >= col("n_sh")).cast("long")).as("n_contaminated"),
+        sum(col("n_sh")).as("shingles_total"),
+        sum(col("n_hit")).as("shingles_shared"))
+      .orderBy("source")
+  }
+
+  val t10Sql: String =
+    """WITH sh AS (SELECT DISTINCT doc_id, shingle FROM (
+      |  SELECT doc_id,
+      |    term || ' ' || LEAD(term, 1) OVER w || ' ' || LEAD(term, 2) OVER w AS shingle,
+      |    LEAD(term, 2) OVER w AS t2
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+      |        generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents) x
+      |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) y
+      |  WHERE t2 IS NOT NULL),
+      |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+      |corp AS (SELECT s.doc_id, COUNT(*) AS n_sh, COUNT(b.shingle) AS n_hit
+      |  FROM sh s LEFT JOIN bench b ON s.shingle = b.shingle
+      |  WHERE s.doc_id % 50 <> 0 GROUP BY s.doc_id)
+      |SELECT d.source, COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN 2 * n_hit >= n_sh THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+      |  CAST(SUM(n_sh) AS BIGINT) AS shingles_total,
+      |  CAST(SUM(n_hit) AS BIGINT) AS shingles_shared
+      |FROM corp JOIN documents d ON corp.doc_id = d.doc_id
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   val t6Sql: String =
     """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
       |  generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
@@ -320,5 +444,7 @@ object TextAnalysis {
     "t3_tokens" -> (t3Tokens _, Some(t3Sql)),
     "t4_fingerprint" -> (t4Fingerprint _, None),
     "t5_tf_topterms" -> (t5TfTopterms _, Some(t5Sql)),
+    "t9_pii_redact" -> (t9PiiRedact _, Some(t9Sql)),
+    "t10_contamination" -> (t10Contamination _, Some(t10Sql)),
   )
 }
