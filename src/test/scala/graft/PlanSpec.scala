@@ -90,6 +90,23 @@ class PlanSpec extends AnyFunSuite {
       s"no day-partition filter reached the snapshot scan")
   }
 
+  test("t6: the count shuffle is keyed on bigram HASHES, not strings") {
+    val p = plan("t6_bigram_stats")
+    assert(p.contains("bigram_hashes"), "native hash kernel missing from plan")
+    assert("""hashpartitioning\(h#""".r.findFirstIn(p).isDefined,
+      s"count exchange is not keyed on the 8-byte hash:\n${p.take(1500)}")
+    // string recovery must ride a broadcast of the tiny winner set, so
+    // the bigram-string side never shuffles
+    assert(p.contains("BroadcastHashJoin"), "winner-string join not broadcast")
+  }
+
+  test("t10: benchmark shingle set is broadcast — corpus side never shuffles pre-rollup") {
+    val p = plan("t10_contamination")
+    assert(p.contains("BroadcastHashJoin"), "benchmark join not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus-vs-benchmark membership fell back to a shuffle join")
+  }
+
   test("x13: runtime bloom filter from the dim predicate reaches the fact side") {
     val p = graft.operators.Engine.x13Plan(spark, sf)
     assert(p.contains("might_contain"),
