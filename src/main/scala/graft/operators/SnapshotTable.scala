@@ -1,0 +1,165 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** A minimal manifest-committed snapshot table — the primitive set a
+  * table format (Delta/Iceberg) is built from, answering what x6's
+  * staged-rename alone cannot: MULTI-file snapshot isolation, readers
+  * pinned to a version, optimistic writer concurrency, and time travel.
+  *
+  * Protocol (all under one table root, same filesystem):
+  *   - data files are immutable once written and NEVER deleted by a
+  *     commit (only a future vacuum may reclaim unreferenced ones), so
+  *     any reader holding any manifest can always finish its scan;
+  *   - `_manifests/v%05d.txt` lists the snapshot's data files (one
+  *     relative path per line). `Files.createFile` on the next version
+  *     number is the commit's compare-and-swap: two writers committing
+  *     from the same base race on the same filename and the loser gets
+  *     FileAlreadyExistsException — detect, re-read, re-resolve, retry;
+  *   - `_latest` (one line: version number) is refreshed by atomic
+  *     temp-file rename AFTER the manifest lands; it is a convenience
+  *     pointer — the manifest files themselves are the source of truth
+  *     (highest version wins if _latest lags a crashed committer);
+  *   - readers resolve version → manifest → `spark.read.parquet(files)`:
+  *     the plan scans an explicit immutable file list, so a concurrent
+  *     commit cannot tear it.
+  *
+  * At 100 TB the manifest grows (one line per file) — real formats
+  * shard it (manifest lists) and add column stats for file pruning; the
+  * commit discipline demonstrated here is unchanged. */
+object SnapshotTable {
+
+  private def manifestDir(root: String): Path = Paths.get(root, "_manifests")
+  private def manifestPath(root: String, v: Int): Path =
+    manifestDir(root).resolve(f"v$v%05d.txt")
+
+  /** Current committed version: _latest if present, else the highest
+    * manifest on disk (covers a committer that crashed between manifest
+    * write and pointer refresh), else 0 (empty table). */
+  def currentVersion(root: String): Int = {
+    val latest = Paths.get(root, "_latest")
+    val pointed =
+      if (Files.exists(latest)) new String(Files.readAllBytes(latest)).trim.toInt
+      else 0
+    val onDisk = Engine.listDir(manifestDir(root))
+      // a zero-byte manifest is a claimed-but-unfilled commit slot (the
+      // window between the CAS createFile and the content move) — not a
+      // committed version yet
+      .filter(p => Files.size(p) > 0)
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
+        s.stripPrefix("v").stripSuffix(".txt").toInt }
+      .maxOption.getOrElse(0)
+    math.max(pointed, onDisk)
+  }
+
+  /** Data files of a committed version (absolute paths). */
+  def manifest(root: String, v: Int): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(manifestPath(root, v)).asScala.toSeq
+      .filter(_.nonEmpty).map(rel => Paths.get(root, rel).toString)
+  }
+
+  /** Commit `files` (paths relative to root) as the snapshot AFTER
+    * `baseVersion`. Returns the new version. Throws
+    * FileAlreadyExistsException if someone else committed v+1 first —
+    * the caller re-reads the new state and retries (optimistic
+    * concurrency, exactly a table format's commit loop). */
+  def commit(root: String, baseVersion: Int, files: Seq[String]): Int = {
+    Files.createDirectories(manifestDir(root))
+    val v = baseVersion + 1
+    val tmp = manifestDir(root).resolve(f".v$v%05d.tmp")
+    Files.write(tmp, files.mkString("\n").getBytes)
+    try
+      // the CAS: createFile claims version v exclusively (fails if any
+      // other committer beat us to it); the claimed file is zero-byte
+      // until the rename below fills it, and version resolution ignores
+      // zero-byte claims, so no reader can observe a half commit
+      Files.createFile(manifestPath(root, v))
+    catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp); throw e
+    }
+    Files.move(tmp, manifestPath(root, v), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    val ptmp = Paths.get(root, "._latest.tmp")
+    Files.write(ptmp, v.toString.getBytes)
+    Files.move(ptmp, Paths.get(root, "_latest"), StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+    v
+  }
+
+  /** Read a pinned version — time travel, and the isolation guarantee:
+    * the file list is resolved ONCE; later commits add files and new
+    * manifests but never touch these. */
+  def readAt(s: SparkSession, root: String, v: Int): DataFrame =
+    s.read.parquet(manifest(root, v): _*)
+
+  def read(s: SparkSession, root: String): DataFrame =
+    readAt(s, root, currentVersion(root))
+
+  /** Write a DataFrame's rows as one immutable data file under root;
+    * returns the root-relative path. Commit-unique names (version tag +
+    * logical name) keep every file addressable by any manifest. */
+  private def writeDataFile(df: DataFrame, root: String, tag: String): String = {
+    val scratch = Engine.tmpDir(s"graft_snaptab_scratch_$tag")
+    df.coalesce(1).write.mode("overwrite").parquet(scratch)
+    val part = Engine.listDir(Paths.get(scratch))
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val rel = s"data_$tag.parquet"
+    Files.move(part, Paths.get(root, rel), StandardCopyOption.REPLACE_EXISTING)
+    rel
+  }
+
+  /** x14_snapshot_table — x6's nightly merge, re-run through the
+    * manifest protocol: v1 commits the event log as two file groups
+    * (history days, last day); v2 re-ingests the last day (value+100)
+    * as a NEW file and commits a manifest that swaps B for B' while
+    * history file A is shared by both versions. The returned aggregate
+    * reads the LATEST snapshot; SnapshotSpec pins v1 reads (pre-merge,
+    * unchanged after v2), the CAS conflict, and file immutability. */
+  def x14SnapshotTable(s: SparkSession, d: String): DataFrame = {
+    val root = Engine.tmpDir("graft_snap_table")
+    // fresh table per run (the protocol is append-only within a run)
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    val ev = Tables.events(s, d)
+      .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+      .select("event_id", "user_id", "event_type", "value", "ep_day")
+    val lastDay = Engine.X6LastDay
+    val fileA = writeDataFile(ev.filter(col("ep_day") =!= lastDay), root, "v1_history")
+    val fileB = writeDataFile(ev.filter(col("ep_day") === lastDay), root, "v1_lastday")
+    val v1 = commit(root, 0, Seq(fileA, fileB))
+    // re-ingested batch: the last day with value+100 — it covers the
+    // whole day, so v2 swaps the day FILE (file-granular replacement,
+    // the unit a manifest commit works in; row-level merge is x6's
+    // window dedupe run before staging the replacement file)
+    val reIngest = ev.filter(col("ep_day") === lastDay)
+      .withColumn("value", col("value") + 100.0)
+    val fileB2 = writeDataFile(reIngest, root, "v2_lastday")
+    commit(root, v1, Seq(fileA, fileB2))
+    read(s, root)
+      .groupBy(col("ep_day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .orderBy("ep_day")
+  }
+
+  val x14Sql: String =
+    """WITH e AS (SELECT event_id,
+      |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day,
+      |  CASE WHEN CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) = 19751
+      |    THEN value + 100.0 ELSE value END AS value
+      |  FROM events)
+      |SELECT ep_day, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM e GROUP BY ep_day ORDER BY ep_day""".stripMargin
+
+  val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "x14_snapshot_table" -> (x14SnapshotTable _, Some(x14Sql)),
+  )
+}

@@ -309,6 +309,42 @@ class StreamingAndMlSpec extends AnyFunSuite {
   import TestSession._
   import org.apache.spark.sql.functions._
 
+  test("x14 snapshot table: pinned reads, time travel, CAS conflict, no file deletes") {
+    val ST = graft.operators.SnapshotTable
+    // run the operator end-to-end (v1 + v2 commits) and pin the oracle grain
+    val latestAgg = ST.x14SnapshotTable(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val root = graft.operators.Engine.tmpDir("graft_snap_table")
+    assert(ST.currentVersion(root) == 2)
+    def dayAgg(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("ep_day") === graft.operators.Engine.X6LastDay)
+      .agg(count(lit(1)), sum(col("value").cast("decimal(18,6)")).cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).head
+    // time travel: v1 still serves the PRE-merge day even though v2 is live
+    val (n1, sum1) = dayAgg(ST.readAt(spark, root, 1))
+    val (n2, sum2) = dayAgg(ST.readAt(spark, root, 2))
+    assert(n1 == n2, "merge changed the day's row count")
+    assert(math.abs(sum2 - (sum1 + 100.0 * n1)) < 1e-3,
+      s"v2 day sum $sum2 != v1 $sum1 + 100*$n1")
+    assert(latestAgg(graft.operators.Engine.X6LastDay)._2 == sum2,
+      "read(latest) is not v2")
+    // v1's replaced data file was NOT deleted by the v2 commit: any
+    // reader holding the v1 manifest can still finish its scan
+    ST.manifest(root, 1).foreach { f =>
+      assert(java.nio.file.Files.exists(java.nio.file.Paths.get(f)),
+        s"commit deleted a referenced data file: $f")
+    }
+    // optimistic concurrency: two committers from base v2 race; the
+    // CAS admits exactly one v3
+    val mine = ST.commit(root, 2, ST.manifest(root, 2).map(p =>
+      java.nio.file.Paths.get(p).getFileName.toString))
+    assert(mine == 3)
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      ST.commit(root, 2, Seq("data_v1_history.parquet"))
+    }
+    assert(ST.currentVersion(root) == 3, "conflicting commit corrupted the table")
+  }
+
   test("x6 partition swap: readers see the complete old day until the swap") {
     val E = graft.operators.Engine
     val snapDir = E.x6WriteSnapshot(spark, sf)
