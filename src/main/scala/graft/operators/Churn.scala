@@ -88,6 +88,45 @@ object Churn {
        |FROM sess GROUP BY user_id, session_seq
        |ORDER BY user_id, session_seq""".stripMargin
 
+  /** c16_range_join — a large-large INTERVAL join, the operator class
+    * Spark has no native physical plan for: every event paired with
+    * every session (any user) open at that instant — the concurrency
+    * overlay an ops team reads during incident review. A naive
+    * `a.start <= b.ep AND b.ep <= a.end` join plans a nested-loop
+    * cartesian; the scale shape here is the standard BUCKETED range
+    * join: each session explodes to the hour buckets it covers (span-
+    * proportional fan-out, shuffle-keyed on the bucket), each event
+    * lives in exactly ONE bucket, so the equi-join on bucket is a plain
+    * shuffle join and the range predicate is a post-join filter — and
+    * each qualifying pair matches exactly once (the event's single
+    * bucket), so no dedup pass is needed. PlanSpec asserts no
+    * cartesian/nested-loop reached the physical plan. */
+  def c16RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val sess = c1Sessionize(s, d)
+      .select(col("user_id").as("s_user"), col("session_seq"),
+        col("start_ep"), col("end_ep"))
+      .withColumn("bkt",
+        explode(sequence(expr("start_ep div 3600"), expr("end_ep div 3600"))))
+    val e = ev(s, d)
+      .select(col("event_id"), col("event_type"), col("ep"))
+      .withColumn("bkt", expr("ep div 3600"))
+    e.join(sess, Seq("bkt"))
+      .filter(col("ep") >= col("start_ep") && col("ep") <= col("end_ep"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_open_pairs"),
+        countDistinct(col("event_id")).as("n_events_covered"))
+      .orderBy("event_type")
+  }
+
+  val c16Sql: String =
+    s"""WITH $sessionsSql,
+       |iv AS (SELECT user_id, session_seq, MIN(ep) AS start_ep, MAX(ep) AS end_ep
+       |  FROM sess GROUP BY user_id, session_seq)
+       |SELECT e.event_type, COUNT(*) AS n_open_pairs,
+       |  COUNT(DISTINCT e.event_id) AS n_events_covered
+       |FROM e JOIN iv ON e.ep >= iv.start_ep AND e.ep <= iv.end_ep
+       |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+
   /** c2_user_features — the reference's per-user feature matrix: event
     * mix, monetary stats, activity span, recency vs dataset horizon. */
   def c2UserFeatures(s: SparkSession, d: String): DataFrame = {
@@ -455,6 +494,7 @@ object Churn {
 
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "c14_sliding_features" -> (c14SlidingFeatures _, Some(c14Sql)),
+    "c16_range_join" -> (c16RangeJoin _, Some(c16Sql)),
     "c12_typed_agg" -> (c12TypedAgg _, Some(c12Sql)),
     "c11_props_json" -> (c11PropsJson _, Some(c11Sql)),
     "c1_sessionize" -> (c1Sessionize _, Some(c1Sql)),

@@ -107,6 +107,12 @@ class PlanSpec extends AnyFunSuite {
       "corpus-vs-benchmark membership fell back to a shuffle join")
   }
 
+  test("c16: bucketed range join — no cartesian / nested-loop in the plan") {
+    val p = plan("c16_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to an all-pairs plan:\n${p.take(1200)}")
+  }
+
   test("x13: runtime bloom filter from the dim predicate reaches the fact side") {
     val p = graft.operators.Engine.x13Plan(spark, sf)
     assert(p.contains("might_contain"),
