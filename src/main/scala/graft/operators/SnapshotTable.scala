@@ -103,6 +103,26 @@ object SnapshotTable {
   def read(s: SparkSession, root: String): DataFrame =
     readAt(s, root, currentVersion(root))
 
+  /** Reclaim storage: drop manifests below `keepFrom` and delete every
+    * data file no surviving manifest references. This is the ONLY
+    * operation that deletes data, and it is explicitly separated from
+    * commit (Delta/Iceberg's VACUUM/expire_snapshots): running it
+    * retires time travel below `keepFrom` — the operator's caller
+    * chooses when readers older than that are known to be gone (in
+    * production: a retention window, not a call site). */
+  def vacuum(root: String, keepFrom: Int): Unit = {
+    val all = Engine.listDir(manifestDir(root)).map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
+        s.stripPrefix("v").stripSuffix(".txt").toInt }
+    val (drop, keep) = all.partition(_ < keepFrom)
+    val live = keep.flatMap(v => manifest(root, v)).toSet
+    val dead = Engine.listDir(Paths.get(root))
+      .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+        !live.contains(p.toString))
+    dead.foreach(Files.deleteIfExists(_))
+    drop.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
+  }
+
   /** Write a DataFrame's rows as one immutable data file under root;
     * returns the root-relative path. Commit-unique names (version tag +
     * logical name) keep every file addressable by any manifest. */

@@ -361,6 +361,56 @@ object Streams {
       .option("maxFilesPerTrigger", "1")
       .parquet(stage)
 
+  /** st7_stream_stream_join — watermarked STREAM-STREAM inner join,
+    * the attribution query a real-time pipeline runs: each purchase
+    * joined to the same user's signup(s) within the preceding hour.
+    * Both sides carry watermarks and the join condition bounds event
+    * time on both sides, so Spark can size and EXPIRE the join state —
+    * the contract that keeps an unbounded two-stream join at O(window)
+    * state instead of O(stream). With the finite input in one batch
+    * nothing is dropped, so the emitted pairs equal the batch join,
+    * which is exactly what the DuckDB oracle computes (full ✓oracle —
+    * rare for a streaming op). */
+  def st7StreamStreamJoin(s: SparkSession, d: String): DataFrame = {
+    val name = freshName("st7_out")
+    val base = streamEvents(s, d)
+      .withColumn("ep", expr("ts div 1000000000"))
+      .withColumn("event_time", timestamp_seconds(col("ep")))
+    val signups = base.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_time").as("s_time"),
+        col("ep").as("s_ep"))
+      .withWatermark("s_time", "1 hour")
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_time").as("p_time"),
+        col("ep").as("p_ep"), col("event_id"))
+      .withWatermark("p_time", "1 hour")
+    val joined = purchases.join(signups,
+      col("p_user") === col("s_user") &&
+        col("p_ep") >= col("s_ep") && col("p_ep") <= col("s_ep") + 3600L)
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+      .groupBy(expr("p_ep div 86400").as("ep_day"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("event_id")).as("n_purchases"))
+      .orderBy("ep_day")
+  }
+
+  val st7Sql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |  CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep FROM events),
+      |s AS (SELECT user_id, ep FROM e WHERE event_type = 'signup'),
+      |p AS (SELECT user_id, ep, event_id FROM e WHERE event_type = 'purchase')
+      |SELECT CAST(FLOOR(p.ep / 86400) AS BIGINT) AS ep_day,
+      |  COUNT(*) AS n_pairs, COUNT(DISTINCT p.event_id) AS n_purchases
+      |FROM p JOIN s ON p.user_id = s.user_id
+      |  AND p.ep >= s.ep AND p.ep <= s.ep + 3600
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val st3Sql: String =
     """SELECT c_mktsegment, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
@@ -374,5 +424,6 @@ object Streams {
     "st4_stream_late_data" -> (st4StreamLateData _, None),
     "st5_stream_dedup" -> (st5StreamDedup _, None),
     "st6_stream_session_state" -> (st6StreamSessionState _, None),
+    "st7_stream_stream_join" -> (st7StreamStreamJoin _, Some(st7Sql)),
   )
 }

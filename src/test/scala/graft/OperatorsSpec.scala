@@ -343,6 +343,17 @@ class StreamingAndMlSpec extends AnyFunSuite {
       ST.commit(root, 2, Seq("data_v1_history.parquet"))
     }
     assert(ST.currentVersion(root) == 3, "conflicting commit corrupted the table")
+    // vacuum below v2: v1's replaced day file is reclaimed, v2/v3 intact
+    val v1Only = ST.manifest(root, 1).toSet -- ST.manifest(root, 2).toSet
+    assert(v1Only.nonEmpty)
+    ST.vacuum(root, 2)
+    v1Only.foreach { f =>
+      assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(f)),
+        s"vacuum left an unreferenced file: $f")
+    }
+    assert(dayAgg(ST.readAt(spark, root, 2)) == ((n2, sum2)),
+      "vacuum broke a surviving snapshot")
+    intercept[Exception] { ST.manifest(root, 1) } // time travel below keepFrom retired
   }
 
   test("x6 partition swap: readers see the complete old day until the swap") {
