@@ -85,7 +85,19 @@ object Dedup {
     * no shingle hits the cap this is plain full-set Jaccard and agrees
     * exactly with d3's array-intersect verify. The division is two exact
     * ints in IEEE double → bit-identical across engines. */
-  def d2DedupNgramJaccard(s: SparkSession, d: String): DataFrame = {
+  /** Per-(session, op:dir) memo of MATERIALIZED pair tables: a dedup
+    * pipeline computes its pair table once and every consumer (the
+    * pair query itself, CC clustering d6/d7, curation t7/t8, the
+    * parity specs) reads that materialization — recomputing the
+    * candidate-generation join per consumer is pure waste at any
+    * scale. localCheckpoint pins the rows and truncates lineage;
+    * eviction on application end via [[graft.SessionMemo]]. */
+  private val pairsMemo = new graft.SessionMemo[DataFrame]
+
+  def d2DedupNgramJaccard(s: SparkSession, d: String): DataFrame =
+    pairsMemo.getOrElseUpdate(s, s"d2:$d") { d2Compute(s, d).localCheckpoint(true) }
+
+  private def d2Compute(s: SparkSession, d: String): DataFrame = {
     // inverted index on hashed shingles (8-byte join keys). df-cap
     // enforced by broadcast ANTI join against the tiny over-cap reject
     // list (the heavy hitters), so the index never shuffles for
@@ -140,7 +152,10 @@ object Dedup {
     * path: the quadratic step is confined to hash buckets whose size
     * tracks duplicate density. xxhash64 has no DuckDB twin → rows-only;
     * DedupSpec checks recall against d2's exact pairs. */
-  def d3DedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+  def d3DedupMinhashLsh(s: SparkSession, d: String): DataFrame =
+    pairsMemo.getOrElseUpdate(s, s"d3:$d") { d3Compute(s, d).localCheckpoint(true) }
+
+  private def d3Compute(s: SparkSession, d: String): DataFrame = {
     val docs = shingleArrays(s, d)
     // k=32 signature in ONE native-kernel pass per doc (codegen'd
     // MinHashSignature expression), then band columns off the array
