@@ -371,10 +371,35 @@ object Streams {
     * nothing is dropped, so the emitted pairs equal the batch join,
     * which is exactly what the DuckDB oracle computes (full ✓oracle —
     * rare for a streaming op). */
+  /** st7's slice boundaries (epoch seconds, mid-range): deliberately
+    * NOT day-aligned — each cut lands INSIDE a known signup→purchase
+    * window of the fixture (dates are fixed across SFs), so at least
+    * one emitted pair's signup arrives a whole micro-batch before its
+    * purchase: the cross-batch buffering is provably exercised
+    * (StreamingAndMlSpec asserts such straddling pairs exist). */
+  val St7Cut1 = 1704296000L
+  val St7Cut2 = 1705862800L
+
   def st7StreamStreamJoin(s: SparkSession, d: String): DataFrame = {
     val name = freshName("st7_out")
-    val base = streamEvents(s, d)
+    // three CHRONOLOGICAL micro-batches (day-range slices), not one:
+    // the join must buffer both sides' state ACROSS batches (a signup
+    // near a slice boundary meets its purchase in the next batch) while
+    // the advancing watermark expires state behind it. Chronological
+    // arrival + the 1h join window + the 1h watermark delay guarantee
+    // no legal pair's partner is ever expired before it arrives, so the
+    // multi-batch result still hash-matches the batch oracle — state
+    // expiry is ACTIVE, correctness is provably unaffected.
+    val evAll = Tables.events(s, d)
       .withColumn("ep", expr("ts div 1000000000"))
+      .select("event_id", "user_id", "event_type", "value", "ep")
+    val stage = stageBatches("st7", Seq(
+      "batch0" -> evAll.filter(col("ep") < St7Cut1),
+      "batch1" -> evAll.filter(col("ep") >= St7Cut1 && col("ep") < St7Cut2),
+      "batch2" -> evAll.filter(col("ep") >= St7Cut2)))
+    val base = s.readStream.schema(evAll.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(stage)
       .withColumn("event_time", timestamp_seconds(col("ep")))
     val signups = base.filter(col("event_type") === "signup")
       .select(col("user_id").as("s_user"), col("event_time").as("s_time"),

@@ -432,6 +432,32 @@ class StreamingAndMlSpec extends AnyFunSuite {
       s"st6-c1 diff: ${(stream -- batch).take(3)} / ${(batch -- stream).take(3)}")
   }
 
+  test("st7 stream-stream join: matches batch join AND buffers pairs across batches") {
+    val S = graft.streaming.Streams
+    // batch twin of the join, with the pair's batch indices
+    val e = graft.sources.Tables.events(spark, sf)
+      .withColumn("ep", expr("ts div 1000000000"))
+    val su = e.filter(col("event_type") === "signup")
+      .select(col("user_id").as("u"), col("ep").as("s_ep"))
+    val pu = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u"), col("ep").as("p_ep"), col("event_id"))
+    val pairs = pu.join(su, Seq("u"))
+      .filter(col("p_ep") >= col("s_ep") && col("p_ep") <= col("s_ep") + 3600L)
+    def batchIdx(c: org.apache.spark.sql.Column) =
+      when(c < S.St7Cut1, 0).when(c < S.St7Cut2, 1).otherwise(2)
+    val cross = pairs
+      .filter(batchIdx(col("s_ep")) =!= batchIdx(col("p_ep"))).count()
+    assert(cross >= 1,
+      "fixture has no pair straddling a batch cut — cross-batch state untested")
+    val expected = pairs.groupBy(expr("p_ep div 86400").as("ep_day"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("event_id")).as("n_purchases"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = S.st7StreamStreamJoin(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"stream-batch diff: ${(got -- expected).take(3)} / ${(expected -- got).take(3)}")
+  }
+
   test("st2 stateful sessionizer matches batch c1 sessionization") {
     val batch = graft.operators.Churn.c1Sessionize(spark, sf)
       .select("user_id", "session_seq", "start_ep", "end_ep", "n_events")
