@@ -390,14 +390,31 @@ object Streams {
     // no legal pair's partner is ever expired before it arrives, so the
     // multi-batch result still hash-matches the batch oracle — state
     // expiry is ACTIVE, correctness is provably unaffected.
+    // stage only the two event types the join consumes (the Kafka
+    // analogue: the consumer subscribes to the signup/purchase topics,
+    // not the whole firehose) and only the columns the join needs
     val evAll = Tables.events(s, d)
       .withColumn("ep", expr("ts div 1000000000"))
-      .select("event_id", "user_id", "event_type", "value", "ep")
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select("event_id", "user_id", "event_type", "ep")
     val stage = stageBatches("st7", Seq(
       "batch0" -> evAll.filter(col("ep") < St7Cut1),
       "batch1" -> evAll.filter(col("ep") >= St7Cut1 && col("ep") < St7Cut2),
       "batch2" -> evAll.filter(col("ep") >= St7Cut2)))
-    val base = s.readStream.schema(evAll.schema)
+    // state-store count = shuffle partitions; a stateful streaming job
+    // sizes it to its key cardinality/state volume, NOT to the batch
+    // engine's default — 3 micro-batches × 2 join sides × N stores is
+    // pure per-store overhead when stores are near-empty (the real
+    // tuning knob every production streaming job sets)
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try st7Run(s, name, stage, evAll.schema)
+    finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+  }
+
+  private def st7Run(s: SparkSession, name: String, stage: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val base = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(stage)
       .withColumn("event_time", timestamp_seconds(col("ep")))
