@@ -290,6 +290,32 @@ class NonSqlOracleSpec extends AnyFunSuite {
       s"curation drift: ${(t7 -- t8).take(3)} / ${(t8 -- t7).take(3)}")
   }
 
+  test("label propagation equals a union-find oracle on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42) // deterministic trials
+    for (_ <- 1 to 3) {
+      val nodes = 50
+      val edges = Seq.fill(60 + rnd.nextInt(40))(
+        (rnd.nextInt(nodes).toLong, rnd.nextInt(nodes).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      // in-memory union-find, then min member per component
+      val parent = Array.tabulate(nodes)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val touched = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val minOfRoot = touched.groupBy(v => find(v.toInt)).map {
+        case (r, vs) => r -> vs.min
+      }
+      val expected = touched.map(v => v -> minOfRoot(find(v.toInt))).toMap
+      val (labels, _) = graft.operators.Dedup.propagateLabels(
+        edges.toDF("doc_a", "doc_b"))
+      val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected,
+        s"CC drift on ${edges.size} edges: ${(got.toSet -- expected.toSet).take(5)}")
+    }
+  }
+
   test("pointer-doubling label propagation: correct chain closure in ~log rounds") {
     import spark.implicits._
     // a 64-node path graph: diameter 63 ⇒ one-hop propagation needs 63
