@@ -98,7 +98,71 @@ object Multimodal {
         max(col("max_run")).as("longest_run"))
       .orderBy("mime")
 
+  /** m4's batch size: rows materialized at once inside a partition —
+    * the bounded-memory batch contract a vectorized (Arrow/pandas-UDF
+    * style) decode stage runs under. */
+  private[graft] val M4BatchSize = 64
+  private[graft] val M4GridW = 32 // fake image width in bytes
+  private[graft] val M4Out = 8    // output grid edge (8x8 pooled cells)
+
+  /** Block-average "resize": view the payload as a M4GridW-wide byte
+    * image (height = ceil(len/W)) and average-pool it to an 8×8 double
+    * grid — the real pixel math of a thumbnail/resize stage, minus only
+    * the codec (bytes stand in for decoded pixels). Pure integer sums
+    * divided once at the end → bit-stable doubles. */
+  private[graft] def resizePool(bytes: Array[Byte]): Array[Double] = {
+    val w = M4GridW
+    val h = math.max(1, (bytes.length + w - 1) / w)
+    val out = new Array[Double](M4Out * M4Out)
+    val sums = new Array[Long](M4Out * M4Out)
+    val counts = new Array[Long](M4Out * M4Out)
+    var i = 0
+    while (i < bytes.length) {
+      val r = (i / w) * M4Out / h
+      val c = (i % w) * M4Out / w
+      val cell = r * M4Out + c
+      sums(cell) += bytes(i) & 0xff
+      counts(cell) += 1
+      i += 1
+    }
+    var j = 0
+    while (j < out.length) {
+      out(j) = if (counts(j) == 0) 0.0 else sums(j).toDouble / counts(j)
+      j += 1
+    }
+    out
+  }
+
+  /** m4_resize_pool — the resize/feature-extract stage of a multimodal
+    * ingest pipeline, with the BATCHED per-partition execution shape a
+    * vectorized decoder runs under: `mapPartitions` + `grouped(64)`
+    * bounds rows materialized at once (the Arrow batch contract),
+    * per-row imperative pixel math inside — preference order (d) from
+    * SURVEY §4, justified because variable-size nested block loops
+    * don't decompose into Column expressions. Emits the pooled grid's
+    * corner cells + L2 norm per doc (compact, deterministic); the full
+    * 64-cell vector is what a real pipeline would hand to an encoder.
+    * rows-only (binary math has no DuckDB twin); MultimodalSpec
+    * recomputes the pooling independently in plain Scala. */
+  def m4ResizePool(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = withPayload(s, d)
+      .select(col("doc_id"), col("mime"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+    src.mapPartitions { it =>
+      it.grouped(M4BatchSize).flatMap { batch =>
+        batch.iterator.map { case (id, mime, bytes) =>
+          val g = resizePool(bytes)
+          val norm = math.sqrt(g.map(v => v * v).sum)
+          (id, mime, g(0), g(M4Out * M4Out - 1), norm)
+        }
+      }
+    }.toDF("doc_id", "mime", "cell_00", "cell_77", "grid_norm")
+      .orderBy("doc_id")
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "m4_resize_pool" -> (m4ResizePool _, None),
     "m1_binary_meta" -> (m1BinaryMeta _, None),
     "m2_frame_sample" -> (m2FrameSample _, Some(m2Sql)),
     "m3_byte_features" -> (m3ByteFeatures _, None),

@@ -272,6 +272,30 @@ class NonSqlOracleSpec extends AnyFunSuite {
     assert(seeds1 == seeds2)
   }
 
+  test("m4 resize-pool matches an independent plain-Scala block average") {
+    val M = graft.operators.Multimodal
+    val expected = graft.sources.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val bytes = r.getString(1).getBytes("UTF-8")
+        // independent re-derivation (same definition, separate code path
+        // from the operator's kernel): width-32 image, 8x8 average pool
+        val w = 32; val h = math.max(1, (bytes.length + w - 1) / w)
+        val sums = Array.fill(64)(0L); val cnt = Array.fill(64)(0L)
+        bytes.indices.foreach { i =>
+          val cell = ((i / w) * 8 / h) * 8 + (i % w) * 8 / w
+          sums(cell) += bytes(i) & 0xff; cnt(cell) += 1
+        }
+        val g = (0 until 64).map(j => if (cnt(j) == 0) 0.0 else sums(j).toDouble / cnt(j))
+        r.getLong(0) -> ((g(0), g(63), math.sqrt(g.map(v => v * v).sum)))
+      }.toMap
+    val got = M.m4ResizePool(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(2), r.getDouble(3), r.getDouble(4))))
+      .toMap
+    assert(got == expected,
+      s"pool drift sample: ${(got.toSet -- expected.toSet).take(3)}")
+  }
+
   test("d7 (LSH-pair clustering) equals d6 (exact-pair clustering) at test SF") {
     val d2Based = graft.operators.Dedup.d6DedupClusters(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
