@@ -298,27 +298,28 @@ object Dedup {
     // one-hop mode (doubling=false) exists only so ScaleProbe can
     // measure the round-count drop; it needs a diameter-sized cap
     val maxRounds = if (doubling) 20 else 200
-    while (!converged && iter < maxRounds) {
-      val prop = edges.join(labels, col("doc_id") === col("src"))
-        .select(col("dst").as("doc_id"), col("lbl"))
-      val grown =
-        // round 1's jump is the identity (every label is its own doc_id),
-        // so the label-through-label join only joins from round 2 on
-        if (!doubling || iter == 0) labels.union(prop)
-        else {
-          val jump = labels.as("x").join(labels.as("p"), col("x.lbl") === col("p.doc_id"))
-            .select(col("x.doc_id").as("doc_id"), col("p.lbl").as("lbl"))
-          labels.union(prop).union(jump)
-        }
-      val next = grown
-        .groupBy("doc_id").agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
-      converged = next.as("n").join(labels.as("o"), Seq("doc_id"))
-        .filter(col("n.lbl") < col("o.lbl")).isEmpty
-      labels = next
-      iter += 1
-    }
-    edges.unpersist()
+    try {
+      while (!converged && iter < maxRounds) {
+        val prop = edges.join(labels, col("doc_id") === col("src"))
+          .select(col("dst").as("doc_id"), col("lbl"))
+        val grown =
+          // round 1's jump is the identity (every label is its own doc_id),
+          // so the label-through-label join only joins from round 2 on
+          if (!doubling || iter == 0) labels.union(prop)
+          else {
+            val jump = labels.as("x").join(labels.as("p"), col("x.lbl") === col("p.doc_id"))
+              .select(col("x.doc_id").as("doc_id"), col("p.lbl").as("lbl"))
+            labels.union(prop).union(jump)
+          }
+        val next = grown
+          .groupBy("doc_id").agg(min(col("lbl")).as("lbl"))
+          .localCheckpoint(true)
+        converged = next.as("n").join(labels.as("o"), Seq("doc_id"))
+          .filter(col("n.lbl") < col("o.lbl")).isEmpty
+        labels = next
+        iter += 1
+      }
+    } finally edges.unpersist() // released even if a round's job throws
     if (!converged)
       throw new IllegalStateException(
         s"near-dup label propagation did not converge in $maxRounds rounds " +

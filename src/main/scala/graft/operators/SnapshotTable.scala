@@ -73,7 +73,12 @@ object SnapshotTable {
   def commit(root: String, baseVersion: Int, files: Seq[String]): Int = {
     Files.createDirectories(manifestDir(root))
     val v = baseVersion + 1
-    val tmp = manifestDir(root).resolve(f".v$v%05d.tmp")
+    // per-attempt UNIQUE temp name: two committers racing on the same
+    // version each stage their own content — with a shared `.vN.tmp`
+    // the CAS loser's cleanup would delete (or its write overwrite) the
+    // winner's staged manifest between the winner's claim and its move
+    val tmp = manifestDir(root).resolve(
+      f".v$v%05d.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     Files.write(tmp, files.mkString("\n").getBytes)
     try
       // the CAS: createFile claims version v exclusively (fails if any
