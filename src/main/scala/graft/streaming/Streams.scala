@@ -232,6 +232,15 @@ object Streams {
     * fixed across SFs — see x6's day constant). */
   val OnTimeDayLimit = 19728L
 
+  /** st6's tombstone retention (seconds): a closed-out user's session
+    * counter is kept this long past their last event so a returning
+    * user continues numbering instead of restarting at 1; after it the
+    * tombstone is evicted (state stays bounded by ACTIVE-ish users, not
+    * all users ever seen). 90 days — past any watermark this demo
+    * reaches, and the horizon a churn pipeline would pick (≫ the churn
+    * threshold). */
+  val RetentionS = 90L * 86400L
+
   /** st5_stream_dedup — streaming ingest deduplication with bounded
     * state: `dropDuplicatesWithinWatermark` on event_id — the
     * exactly-once-ish consumer a replayed Kafka feed needs. Batch 0 is
@@ -310,10 +319,24 @@ object Streams {
 
     val fn = (userId: Long, rows: Iterator[EvW], state: GroupState[OpenSess]) => {
       if (state.hasTimedOut) {
-        // watermark passed the open session's gap horizon: close it
         val o = state.get
-        state.remove()
-        Iterator(SessOut(userId, o.seq, o.start, o.end, o.n))
+        if (o.start < 0) {
+          // a TOMBSTONE aged past the retention horizon: the user has
+          // been inactive for RetentionS — drop the counter (a return
+          // after that restarts numbering, the documented retention
+          // tradeoff every keyed-state pipeline makes)
+          state.remove()
+          Iterator.empty
+        } else {
+          // watermark passed the open session's gap horizon: close and
+          // emit it, but KEEP the session counter as an O(1) tombstone —
+          // state.remove() here would restart session_seq at 1 for a
+          // user who skips a batch and returns (r3's bug: 18 renumbered
+          // users at sf0.1)
+          state.update(OpenSess(-1L, -1L, 0L, o.seq))
+          state.setTimeoutTimestamp((o.end + RetentionS) * 1000L)
+          Iterator(SessOut(userId, o.seq, o.start, o.end, o.n))
+        }
       } else {
         // within one micro-batch a key's events still need sorting —
         // bounded by the batch, not the stream; state carried BETWEEN

@@ -458,16 +458,41 @@ class StreamingAndMlSpec extends AnyFunSuite {
       s"hot-key stream-batch diff: ${(stream -- batch).take(3)} / ${(batch -- stream).take(3)}")
   }
 
-  test("st6 O(1)-state sessionizer matches batch c1 on the on-time slice") {
+  test("st6 O(1)-state sessionizer matches batch c1 on the on-time slice " +
+      "(sf0.01: fixture proven to exercise timeout-then-return)") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
+    // sf0.01, NOT sf0.001: the r3 bug (state.remove() on timeout dropped
+    // the session counter, renumbering a user who skips a batch and
+    // returns) only manifests when some user is absent from a middle
+    // micro-batch — sf0.001 had no such user, so the old spec passed
+    // while the operator was wrong at bench SF.
+    val sf01 = "/root/testdata/sf0.01"
+    val S = graft.streaming.Streams
+    val cut = S.OnTimeDayLimit
+    val ep = expr("(ts div 1000000000)")
+    val day = expr("(ts div 1000000000) div 86400")
+    val slice = graft.sources.Tables.events(spark, sf01).filter(day < lit(cut))
+    // fixture self-check: a user with events in batch0 and batch2 but
+    // NONE in batch1, whose batch0 horizon (last ep + gap) is safely
+    // below the watermark batch1 runs with (batch0's max ep − 1h delay)
+    // — st6's timeout provably fires for them mid-stream, then they
+    // return. Without such a user the parity assert can't catch the bug.
+    val b0max = slice.filter(day < lit(cut - 4L)).agg(max(ep)).head.getLong(0)
+    val perUser = slice.groupBy("user_id").agg(
+      sum(when(day < lit(cut - 4L), 1).otherwise(0)).as("n0"),
+      sum(when(day >= lit(cut - 4L) && day < lit(cut - 2L), 1).otherwise(0)).as("n1"),
+      sum(when(day >= lit(cut - 2L), 1).otherwise(0)).as("n2"),
+      max(when(day < lit(cut - 4L), ep)).as("last0"))
+    val exercised = perUser.filter(col("n0") > 0 && col("n1") === 0 && col("n2") > 0 &&
+      col("last0") + lit(graft.operators.Churn.SessionGapS + 2L) < lit(b0max - 3600L))
+    assert(exercised.count() >= 1,
+      "fixture has no timeout-then-return user: the spec would not exercise the r3 bug")
+
     // batch twin: c1 over ONLY the st6 input slice (staged as a flat
     // events.parquet file, the layout Tables.events expects)
     val tmp = graft.operators.Engine.tmpDir("graft_st6_slice")
     val scratch = graft.operators.Engine.tmpDir("graft_st6_slice_scratch")
-    graft.sources.Tables.events(spark, sf)
-      .filter(expr("(ts div 1000000000) div 86400") <
-        lit(graft.streaming.Streams.OnTimeDayLimit))
-      .coalesce(1).write.mode("overwrite").parquet(scratch)
+    slice.coalesce(1).write.mode("overwrite").parquet(scratch)
     val part = graft.operators.Engine.listDir(Paths.get(scratch))
       .find(_.getFileName.toString.endsWith(".parquet")).get
     graft.operators.Engine.deleteRecursively(Paths.get(tmp, "events.parquet"))
@@ -475,7 +500,7 @@ class StreamingAndMlSpec extends AnyFunSuite {
     val batch = graft.operators.Churn.c1Sessionize(spark, tmp)
       .select("user_id", "session_seq", "start_ep", "end_ep", "n_events")
       .collect().map(_.toSeq).toSet
-    val stream = graft.streaming.Streams.st6StreamSessionState(spark, sf)
+    val stream = graft.streaming.Streams.st6StreamSessionState(spark, sf01)
       .select("user_id", "session_seq", "start_ep", "end_ep", "n_events")
       .collect().map(_.toSeq).toSet
     assert(batch.nonEmpty && stream == batch,
