@@ -172,7 +172,7 @@ object Streams {
     * dir with strictly increasing fixed mtimes, so a file-source stream
     * with maxFilesPerTrigger=1 consumes them as ordered micro-batches.
     * Returns the stage dir. */
-  private def stageBatches(op: String, batches: Seq[(String, DataFrame)]): String = {
+  private[graft] def stageBatches(op: String, batches: Seq[(String, DataFrame)]): String = {
     import java.nio.file.{Files, Paths}
     val stage = Paths.get(graft.operators.Engine.tmpDir(s"graft_${op}_stage"))
     // closed-stream listing + recursive delete: tolerates a stale
@@ -296,8 +296,6 @@ object Streams {
     * comes from the stream simply continuing. StreamingAndMlSpec pins
     * the emitted sessions against the batch sessionizer c1. */
   def st6StreamSessionState(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val name = freshName("st6_out")
     val ev = Tables.events(s, d)
       .withColumn("ep", expr("ts div 1000000000"))
       .filter(expr("ep div 86400") < lit(OnTimeDayLimit))
@@ -316,8 +314,17 @@ object Streams {
         lit((OnTimeDayLimit + 30L) * 86400L).as("ep"), lit(0.0).as("value"))
     val stage = stageBatches("st6", Seq(
       "batch0" -> b0, "batch1" -> b1, "batch2" -> b2, "batch3_advance" -> sentinel))
+    runSessionState(s, ev.schema, stage)
+      .filter(col("user_id") >= 0L)
+      .orderBy("user_id", "session_seq")
+  }
 
-    val fn = (userId: Long, rows: Iterator[EvW], state: GroupState[OpenSess]) => {
+  /** st6's per-key state machine, a named value so StreamingAndMlSpec
+    * can drive the tombstone-retention path (a watermark jump past
+    * end+RetentionS) that no sf fixture reaches. */
+  private[graft] val sessionStateFn:
+      (Long, Iterator[EvW], GroupState[OpenSess]) => Iterator[SessOut] =
+    (userId: Long, rows: Iterator[EvW], state: GroupState[OpenSess]) => {
       if (state.hasTimedOut) {
         val o = state.get
         if (o.start < 0) {
@@ -334,7 +341,13 @@ object Streams {
           // user who skips a batch and returns (r3's bug: 18 renumbered
           // users at sf0.1)
           state.update(OpenSess(-1L, -1L, 0L, o.seq))
-          state.setTimeoutTimestamp((o.end + RetentionS) * 1000L)
+          // clamp: a single watermark jump past end+RetentionS would
+          // otherwise hand setTimeoutTimestamp a timestamp below the
+          // current watermark, which Spark rejects with an
+          // IllegalArgumentException (tombstone then expires at the
+          // very next watermark advance — same retention semantics)
+          state.setTimeoutTimestamp(math.max((o.end + RetentionS) * 1000L,
+            state.getCurrentWatermarkMs() + 1L))
           Iterator(SessOut(userId, o.seq, o.start, o.end, o.n))
         }
       } else {
@@ -362,20 +375,28 @@ object Streams {
       }
     }
 
-    val out = streamForStage(s, ev.schema, stage)
+  /** Run the st6 state machine as a streaming query over a staged batch
+    * dir (schema: user_id, ep, value). Shared by st6 and the
+    * tombstone-retention spec; returns the raw emitted sessions
+    * (sentinel keys included — callers filter). */
+  private[graft] def runSessionState(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, stage: String): DataFrame = {
+    import s.implicits._
+    val name = freshName("st6_out")
+    val out = streamForStage(s, schema, stage)
       .withColumn("event_time", timestamp_seconds(col("ep")))
       .withWatermark("event_time", "1 hour")
       .select(col("user_id"), col("ep"), col("event_time")).as[EvW]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(sessionStateFn)
     val q = out.writeStream
       .outputMode(OutputMode.Append)
       .format("memory").queryName(name)
       .start()
     q.processAllAvailable()
     q.stop()
-    s.table(name).filter(col("user_id") >= 0L)
-      .orderBy("user_id", "session_seq")
+    s.table(name)
   }
 
   private def streamForStage(s: SparkSession,

@@ -507,6 +507,49 @@ class StreamingAndMlSpec extends AnyFunSuite {
       s"st6-c1 diff: ${(stream -- batch).take(3)} / ${(batch -- stream).take(3)}")
   }
 
+  test("st6 tombstone retention: a >RetentionS watermark jump survives the clamp, " +
+      "evicts the counter, and a later return restarts session_seq at 1") {
+    import spark.implicits._
+    val S = graft.streaming.Streams
+    val gap = graft.operators.Churn.SessionGapS
+    def evs(rows: (Long, Long)*): org.apache.spark.sql.DataFrame =
+      rows.toSeq.toDF("user_id", "ep").withColumn("value", lit(0.0))
+    val a = 1000000000L
+    // batch0: user 1 gets two sessions — the first closes in-batch (gap
+    // exceeded), the second (one event) stays open across batches
+    val secondStart = a + 2L * gap + 100L
+    val b0 = evs(1L -> a, 1L -> (a + 5L), 1L -> secondStart)
+    // batch1: ONE watermark jump far past end+RetentionS. The timeout
+    // that closes the open session must then write its tombstone with a
+    // deadline already below the watermark — without the clamp Spark
+    // rejects it (IllegalArgumentException) and this test crashes.
+    val jump = secondStart + S.RetentionS + 10L * 86400L
+    val b1 = evs(-1L -> jump)
+    // batch2: first batch where the session timeout can fire (a key's
+    // timeout only runs in a batch where it has NO data, with the
+    // watermark from the PREVIOUS batch) — the tombstone is written here
+    val b2 = evs(-1L -> (jump + 7200L))
+    // batch3: one more advance so the clamped tombstone deadline (wm+1)
+    // itself fires and the counter is evicted
+    val b3 = evs(-1L -> (jump + 10800L))
+    // batch4: user 1 returns AFTER eviction — numbering must restart at 1
+    val ret = jump + 14400L
+    val b4 = evs(1L -> ret)
+    // batch5: final advance closes and emits the returned session
+    val b5 = evs(-1L -> (ret + 2L * 86400L))
+    val stage = S.stageBatches("st6_retention", Seq(
+      "b0" -> b0, "b1" -> b1, "b2" -> b2, "b3" -> b3, "b4" -> b4, "b5" -> b5))
+    val got = S.runSessionState(spark, b0.schema, stage)
+      .filter(col("user_id") >= 0L)
+      .select("session_seq", "start_ep", "end_ep", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val expected = Set(
+      (1L, a, a + 5L, 2L),
+      (2L, secondStart, secondStart, 1L),
+      (1L, ret, ret, 1L)) // seq 1, not 3: the tombstone aged out
+    assert(got == expected, s"retention path drifted: got $got expected $expected")
+  }
+
   test("st7 stream-stream join: matches batch join AND buffers pairs across batches") {
     val S = graft.streaming.Streams
     // batch twin of the join, with the pair's batch indices
