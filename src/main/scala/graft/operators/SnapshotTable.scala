@@ -29,10 +29,34 @@ import graft.sources.Tables
   *     the plan scans an explicit immutable file list, so a concurrent
   *     commit cannot tear it.
   *
-  * At 100 TB the manifest grows (one line per file) — real formats
-  * shard it (manifest lists) and add column stats for file pruning; the
-  * commit discipline demonstrated here is unchanged. */
+  * At 100 TB the manifest grows (one line per file), so the format also
+  * carries what real formats (Iceberg manifest lists, Delta checkpoints
+  * with file stats) use to keep planning cheap:
+  *   - a manifest line is either a data-file entry
+  *     `relpath<TAB>minKey<TAB>maxKey<TAB>rows` (per-file column stats,
+  *     harvested from the parquet FOOTER the write already produced —
+  *     committing never runs a stats job), a bare `relpath` (no stats:
+  *     never pruned), or `>shardfile` — a pointer to an immutable shard
+  *     under `_manifests/` holding entry lines (one-level manifest
+  *     list, so a 100 TB table's commit rewrites one shard + a small
+  *     pointer file, not a million-line manifest);
+  *   - `readPruned` resolves entries and scans ONLY the files whose
+  *     [minKey, maxKey] intersects the query range (x15 proves the
+  *     skip), with the residual predicate still applied after the scan. */
 object SnapshotTable {
+
+  /** One manifest entry: a data file + its key-column stats (lo/hi are
+    * Long.MinValue/MaxValue when the entry carries no stats — such a
+    * file is never pruned). */
+  case class FileEntry(rel: String, lo: Long, hi: Long, rows: Long) {
+    def line: String =
+      if (rows < 0) rel else s"$rel\t$lo\t$hi\t$rows"
+  }
+  private def parseEntry(line: String): FileEntry = line.split('\t') match {
+    case Array(rel) => FileEntry(rel, Long.MinValue, Long.MaxValue, -1L)
+    case Array(rel, lo, hi, n) => FileEntry(rel, lo.toLong, hi.toLong, n.toLong)
+    case _ => sys.error(s"malformed manifest line: $line")
+  }
 
   private def manifestDir(root: String): Path = Paths.get(root, "_manifests")
   private def manifestPath(root: String, v: Int): Path =
@@ -58,19 +82,56 @@ object SnapshotTable {
     math.max(pointed, onDisk)
   }
 
-  /** Data files of a committed version (absolute paths). */
-  def manifest(root: String, v: Int): Seq[String] = {
+  /** Raw manifest lines (entry, stats-entry, or `>shard` pointer). */
+  private[graft] def rawManifestLines(root: String, v: Int): Seq[String] = {
     import scala.jdk.CollectionConverters._
-    Files.readAllLines(manifestPath(root, v)).asScala.toSeq
-      .filter(_.nonEmpty).map(rel => Paths.get(root, rel).toString)
+    Files.readAllLines(manifestPath(root, v)).asScala.toSeq.filter(_.nonEmpty)
   }
+
+  /** Fully resolved entries of a committed version: `>shard` pointer
+    * lines are expanded from their (immutable) shard files. */
+  def manifestEntries(root: String, v: Int): Seq[FileEntry] = {
+    import scala.jdk.CollectionConverters._
+    rawManifestLines(root, v).flatMap {
+      case l if l.startsWith(">") =>
+        Files.readAllLines(manifestDir(root).resolve(l.drop(1))).asScala
+          .filter(_.nonEmpty).map(parseEntry)
+      case l => Seq(parseEntry(l))
+    }
+  }
+
+  /** Data files of a committed version (absolute paths). */
+  def manifest(root: String, v: Int): Seq[String] =
+    manifestEntries(root, v).map(e => Paths.get(root, e.rel).toString)
 
   /** Commit `files` (paths relative to root) as the snapshot AFTER
     * `baseVersion`. Returns the new version. Throws
     * FileAlreadyExistsException if someone else committed v+1 first —
     * the caller re-reads the new state and retries (optimistic
     * concurrency, exactly a table format's commit loop). */
-  def commit(root: String, baseVersion: Int, files: Seq[String]): Int = {
+  def commit(root: String, baseVersion: Int, files: Seq[String]): Int =
+    commitLines(root, baseVersion, files)
+
+  /** Commit stats-carrying entries; above `shardSize` entries the
+    * manifest is sharded — entries land in immutable
+    * `_manifests/shard_*` files (uuid-named per attempt, so a CAS loser
+    * can't clobber a winner's shard) and the manifest itself holds only
+    * `>shard` pointers. This is the manifest-list shape that keeps a
+    * 100 TB commit O(changed shard), not O(table). */
+  def commitEntries(root: String, baseVersion: Int, entries: Seq[FileEntry],
+      shardSize: Int): Int = {
+    Files.createDirectories(manifestDir(root))
+    val lines =
+      if (entries.size <= shardSize) entries.map(_.line)
+      else entries.grouped(shardSize).zipWithIndex.map { case (g, i) =>
+        val rel = s"shard_${java.util.UUID.randomUUID().toString.take(8)}_$i.txt"
+        Files.write(manifestDir(root).resolve(rel), g.map(_.line).mkString("\n").getBytes)
+        ">" + rel
+      }.toSeq
+    commitLines(root, baseVersion, lines)
+  }
+
+  private def commitLines(root: String, baseVersion: Int, lines: Seq[String]): Int = {
     Files.createDirectories(manifestDir(root))
     val v = baseVersion + 1
     // per-attempt UNIQUE temp name: two committers racing on the same
