@@ -140,7 +140,7 @@ object SnapshotTable {
     // winner's staged manifest between the winner's claim and its move
     val tmp = manifestDir(root).resolve(
       f".v$v%05d.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    Files.write(tmp, files.mkString("\n").getBytes)
+    Files.write(tmp, lines.mkString("\n").getBytes)
     try
       // the CAS: createFile claims version v exclusively (fails if any
       // other committer beat us to it); the claimed file is zero-byte
