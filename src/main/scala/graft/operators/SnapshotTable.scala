@@ -2,6 +2,10 @@ package graft.operators
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HadoopPath}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -128,7 +132,46 @@ object SnapshotTable {
         Files.write(manifestDir(root).resolve(rel), g.map(_.line).mkString("\n").getBytes)
         ">" + rel
       }.toSeq
-    commitLines(root, baseVersion, lines)
+    try commitLines(root, baseVersion, lines)
+    catch {
+      // CAS loser: its uuid-named staged shards are referenced by no
+      // manifest and never will be — reclaim them here instead of
+      // leaving orphans for vacuum's unreferenced-shard sweep
+      case e: java.nio.file.FileAlreadyExistsException =>
+        lines.collect { case l if l.startsWith(">") =>
+          Files.deleteIfExists(manifestDir(root).resolve(l.drop(1))) }
+        throw e
+    }
+  }
+
+  /** Per-file key-column stats harvested from the parquet FOOTER of a
+    * file the write just produced — one metadata read, never a stats
+    * job. Row-group statistics min/max over an INT64 column; a file
+    * whose footer carries no usable stats degrades to the never-pruned
+    * sentinel entry rather than failing the commit. */
+  private[graft] def footerEntry(root: String, rel: String, keyCol: String): FileEntry = {
+    import scala.jdk.CollectionConverters._
+    val in = HadoopInputFile.fromPath(
+      new HadoopPath(Paths.get(root, rel).toUri), new Configuration())
+    val reader = ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rows = blocks.map(_.getRowCount).sum
+      val stats = blocks.flatMap(_.getColumns.asScala
+          .filter(_.getPath.toDotString == keyCol).map(_.getStatistics))
+        .filter(s => s != null && s.hasNonNullValue)
+      if (stats.isEmpty) FileEntry(rel, Long.MinValue, Long.MaxValue, rows)
+      else FileEntry(rel,
+        stats.map(_.genericGetMin match {
+          case l: java.lang.Long => l.longValue
+          case i: java.lang.Integer => i.longValue
+        }).min,
+        stats.map(_.genericGetMax match {
+          case l: java.lang.Long => l.longValue
+          case i: java.lang.Integer => i.longValue
+        }).max,
+        rows)
+    } finally reader.close()
   }
 
   private def commitLines(root: String, baseVersion: Int, lines: Seq[String]): Int = {
