@@ -212,24 +212,59 @@ object SnapshotTable {
   def read(s: SparkSession, root: String): DataFrame =
     readAt(s, root, currentVersion(root))
 
+  /** Planning step of a stats-pruned scan: the entries of version `v`
+    * whose [lo, hi] key range intersects [qlo, qhi]. Pure manifest
+    * arithmetic — no data-file IO; stat-less entries (sentinel range)
+    * always survive, so pruning is never unsound. */
+  def prunedEntries(root: String, v: Int, qlo: Long, qhi: Long): Seq[FileEntry] =
+    manifestEntries(root, v).filter(e => e.lo <= qhi && e.hi >= qlo)
+
+  /** Scan ONLY the files whose footer-harvested `keyCol` stats
+    * intersect [lo, hi] — at 100 TB this is the difference between
+    * planning over a manifest and scanning the table: a day-range query
+    * against a day-clustered table opens the handful of matching files,
+    * not a million. The predicate is still applied after the scan
+    * (stats prune whole FILES; the residual filter prunes rows within
+    * the survivors, since a file's range may only overlap the query
+    * range). x15 proves the skip; SnapshotStatsSpec counts the files. */
+  def readPruned(s: SparkSession, root: String, keyCol: String,
+      lo: Long, hi: Long): DataFrame = {
+    val files = prunedEntries(root, currentVersion(root), lo, hi)
+      .map(e => Paths.get(root, e.rel).toString)
+    s.read.parquet(files: _*).filter(col(keyCol).between(lo, hi))
+  }
+
   /** Reclaim storage: drop manifests below `keepFrom` and delete every
-    * data file no surviving manifest references. This is the ONLY
-    * operation that deletes data, and it is explicitly separated from
-    * commit (Delta/Iceberg's VACUUM/expire_snapshots): running it
-    * retires time travel below `keepFrom` — the operator's caller
-    * chooses when readers older than that are known to be gone (in
-    * production: a retention window, not a call site). */
+    * data file — and every manifest SHARD — no surviving manifest
+    * references. This is the ONLY operation that deletes data, and it
+    * is explicitly separated from commit (Delta/Iceberg's VACUUM/
+    * expire_snapshots): running it retires time travel below `keepFrom`
+    * — the operator's caller chooses when readers older than that are
+    * known to be gone (in production: a retention window, not a call
+    * site). */
   def vacuum(root: String, keepFrom: Int): Unit = {
     val all = Engine.listDir(manifestDir(root)).map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
         s.stripPrefix("v").stripSuffix(".txt").toInt }
     val (drop, keep) = all.partition(_ < keepFrom)
+    // resolve BOTH live sets before any delete: expanding a manifest
+    // needs its shards still on disk
     val live = keep.flatMap(v => manifest(root, v)).toSet
+    val liveShards = keep.flatMap(v => rawManifestLines(root, v)
+      .collect { case l if l.startsWith(">") => l.drop(1) }).toSet
     val dead = Engine.listDir(Paths.get(root))
       .filter(p => p.getFileName.toString.endsWith(".parquet") &&
         !live.contains(p.toString))
     dead.foreach(Files.deleteIfExists(_))
     drop.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
+    // shards referenced only by dropped manifests (plus any orphan a
+    // crashed CAS loser left before its own cleanup ran) are now
+    // unreachable — shard files are immutable and never shared across
+    // commits, so surviving snapshots cannot lose entries here
+    Engine.listDir(manifestDir(root))
+      .filter(p => p.getFileName.toString.startsWith("shard_") &&
+        !liveShards.contains(p.getFileName.toString))
+      .foreach(Files.deleteIfExists(_))
   }
 
   /** Write a DataFrame's rows as one immutable data file under root;
@@ -262,7 +297,11 @@ object SnapshotTable {
     val lastDay = Engine.X6LastDay
     val fileA = writeDataFile(ev.filter(col("ep_day") =!= lastDay), root, "v1_history")
     val fileB = writeDataFile(ev.filter(col("ep_day") === lastDay), root, "v1_lastday")
-    val v1 = commit(root, 0, Seq(fileA, fileB))
+    // commit WITH footer-harvested ep_day stats, shardSize=1 so the
+    // sharded manifest-list path (the 100 TB shape) is what the
+    // correctness gate executes, not just a spec corner
+    def entry(rel: String) = footerEntry(root, rel, "ep_day")
+    val v1 = commitEntries(root, 0, Seq(entry(fileA), entry(fileB)), shardSize = 1)
     // re-ingested batch: the last day with value+100 — it covers the
     // whole day, so v2 swaps the day FILE (file-granular replacement,
     // the unit a manifest commit works in; row-level merge is x6's
@@ -270,13 +309,76 @@ object SnapshotTable {
     val reIngest = ev.filter(col("ep_day") === lastDay)
       .withColumn("value", col("value") + 100.0)
     val fileB2 = writeDataFile(reIngest, root, "v2_lastday")
-    commit(root, v1, Seq(fileA, fileB2))
+    commitEntries(root, v1, Seq(entry(fileA), entry(fileB2)), shardSize = 1)
     read(s, root)
       .groupBy(col("ep_day"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
       .orderBy("ep_day")
   }
+
+  /** x15's query-range bounds (epoch days; data dates are fixed across
+    * SFs — the events table spans 19723..19752). The range covers the
+    * last two 5-day file groups, so a correct pruner scans 2 of the 7
+    * data files and skips 5 — SnapshotStatsSpec counts exactly that. */
+  private[graft] val X15Lo = 19745L
+  private[graft] val X15Hi = 19752L
+  private[graft] val X15DaysPerFile = 5L
+
+  /** Build (once per session+dir) a day-CLUSTERED snapshot table of the
+    * event log: files hold 5-day blocks, so each file's footer-derived
+    * ep_day stats form a tight disjoint range — the layout a nightly
+    * ingest produces naturally (each day's commit appends that day's
+    * files) and the one stats pruning pays off on. One staged
+    * partitioned write (single shuffle on the block key), then every
+    * file is committed WITH its footer stats through the sharded
+    * manifest path. */
+  private val statsMemo = new graft.SessionMemo[String]
+  private[graft] def statsTable(s: SparkSession, d: String): String =
+    statsMemo.getOrElseUpdate(s, d) {
+      val root = Engine.tmpDir("graft_snap_prune")
+      Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+      val scratch = Engine.tmpDir("graft_snap_prune_scratch")
+      Tables.events(s, d)
+        .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+        .select("event_id", "user_id", "event_type", "value", "ep_day")
+        .withColumn("grp", expr(s"ep_day div $X15DaysPerFile"))
+        .repartition(col("grp"))
+        .write.mode("overwrite").partitionBy("grp").parquet(scratch)
+      val entries = Engine.listDir(Paths.get(scratch))
+        .filter(_.getFileName.toString.startsWith("grp="))
+        .sortBy(_.getFileName.toString)
+        .map { dir =>
+          val part = Engine.listDir(dir)
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          val rel = s"data_g${dir.getFileName.toString.stripPrefix("grp=")}.parquet"
+          Files.move(part, Paths.get(root, rel), StandardCopyOption.REPLACE_EXISTING)
+          footerEntry(root, rel, "ep_day")
+        }
+      commitEntries(root, 0, entries, shardSize = 3)
+      root
+    }
+
+  /** x15_stats_pruning — a day-range aggregate planned through the
+    * manifest's per-file stats: `readPruned` opens only the 2 (of 7)
+    * files whose ep_day range intersects the query, applies the
+    * residual day filter, and aggregates. Same answer as scanning the
+    * whole table (the DuckDB oracle does exactly that); the point is
+    * the plan — at 100 TB the skipped files are the table. */
+  def x15StatsPruning(s: SparkSession, d: String): DataFrame =
+    readPruned(s, statsTable(s, d), "ep_day", X15Lo, X15Hi)
+      .groupBy(col("ep_day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .orderBy("ep_day")
+
+  val x15Sql: String =
+    s"""WITH e AS (SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day, value
+      |  FROM events)
+      |SELECT ep_day, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM e WHERE ep_day BETWEEN $X15Lo AND $X15Hi
+      |GROUP BY ep_day ORDER BY ep_day""".stripMargin
 
   val x14Sql: String =
     """WITH e AS (SELECT event_id,
@@ -290,5 +392,6 @@ object SnapshotTable {
 
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "x14_snapshot_table" -> (x14SnapshotTable _, Some(x14Sql)),
+    "x15_stats_pruning" -> (x15StatsPruning _, Some(x15Sql)),
   )
 }

@@ -739,3 +739,121 @@ class StreamingAndMlSpec extends AnyFunSuite {
     assert(a.length == graft.operators.Churn.c3ChurnLabel(spark, sf).count())
   }
 }
+
+/** The snapshot table's stats/sharded-manifest path: footer harvesting,
+  * shard round-trips, CAS-loser cleanup, vacuum shard reclaim, and the
+  * file-skipping readPruned scan x15 runs through. */
+class SnapshotStatsSpec extends AnyFunSuite {
+  import TestSession._
+  import org.apache.spark.sql.functions._
+  import java.nio.file.{Files, Paths}
+  val ST = graft.operators.SnapshotTable
+
+  private def freshRoot(tag: String): String = {
+    val root = graft.operators.Engine.tmpDir(s"graft_snapstats_$tag")
+    graft.operators.Engine.listDir(Paths.get(root))
+      .foreach(graft.operators.Engine.deleteRecursively)
+    root
+  }
+  private def shardFiles(root: String): Seq[String] =
+    graft.operators.Engine.listDir(Paths.get(root, "_manifests"))
+      .map(_.getFileName.toString).filter(_.startsWith("shard_"))
+
+  test("footerEntry harvests the file's actual min/max/rows for the key column") {
+    import spark.implicits._
+    val root = freshRoot("footer")
+    val df = Seq((7L, "a"), (3L, "b"), (11L, "c"), (5L, "d")).toDF("k", "s")
+    df.coalesce(1).write.mode("overwrite").parquet(s"$root/stage")
+    val part = graft.operators.Engine.listDir(Paths.get(root, "stage"))
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, Paths.get(root, "data_f.parquet"))
+    val e = ST.footerEntry(root, "data_f.parquet", "k")
+    assert(e == ST.FileEntry("data_f.parquet", 3L, 11L, 4L),
+      s"footer stats drift: $e")
+    // a column absent from the footer degrades to the never-pruned
+    // sentinel (still carrying the row count), not a failure
+    val none = ST.footerEntry(root, "data_f.parquet", "no_such_col")
+    assert(none.lo == Long.MinValue && none.hi == Long.MaxValue && none.rows == 4L)
+  }
+
+  test("commitEntries above shardSize round-trips through shard files") {
+    val root = freshRoot("shards")
+    val entries = (0 until 7).map(i =>
+      ST.FileEntry(s"data_$i.parquet", i * 10L, i * 10L + 9L, 100L + i))
+    val v = ST.commitEntries(root, 0, entries, shardSize = 3)
+    assert(v == 1)
+    // the manifest itself holds only pointers; shards hold the entries
+    val raw = ST.rawManifestLines(root, v)
+    assert(raw.nonEmpty && raw.forall(_.startsWith(">")), s"unsharded manifest: $raw")
+    assert(shardFiles(root).size == 3) // 3+3+1
+    assert(ST.manifestEntries(root, v) == entries, "entries lost in shard round-trip")
+    // at-or-below shardSize stays inline — no pointless indirection
+    val small = ST.commitEntries(root, v, entries.take(2), shardSize = 3)
+    assert(ST.rawManifestLines(root, small).forall(!_.startsWith(">")))
+    assert(ST.manifestEntries(root, small) == entries.take(2))
+  }
+
+  test("a CAS-losing sharded commit cleans up its own staged shards") {
+    val root = freshRoot("casloser")
+    val win = (0 until 4).map(i => ST.FileEntry(s"w_$i.parquet", i, i, 1L))
+    ST.commitEntries(root, 0, win, shardSize = 2)
+    val before = shardFiles(root).toSet
+    val lose = (0 until 4).map(i => ST.FileEntry(s"l_$i.parquet", i, i, 1L))
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      ST.commitEntries(root, 0, lose, shardSize = 2)
+    }
+    assert(shardFiles(root).toSet == before,
+      s"CAS loser leaked shards: ${shardFiles(root).toSet -- before}")
+    assert(ST.manifestEntries(root, 1) == win, "loser corrupted the winner's commit")
+  }
+
+  test("vacuum reclaims shards referenced only by dropped manifests") {
+    val root = freshRoot("vacshard")
+    import spark.implicits._
+    // two sharded commits over real data files so vacuum's data sweep runs too
+    def dataFile(tag: String, keys: Seq[Long]): ST.FileEntry = {
+      keys.toDF("k").coalesce(1).write.mode("overwrite").parquet(s"$root/stage")
+      val part = graft.operators.Engine.listDir(Paths.get(root, "stage"))
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, Paths.get(root, s"data_$tag.parquet"))
+      ST.footerEntry(root, s"data_$tag.parquet", "k")
+    }
+    val a = dataFile("a", Seq(1L, 2L))
+    val b = dataFile("b", Seq(3L, 4L))
+    val v1 = ST.commitEntries(root, 0, Seq(a, b), shardSize = 1)
+    val b2 = dataFile("b2", Seq(5L, 6L))
+    val v2 = ST.commitEntries(root, v1, Seq(a, b2), shardSize = 1)
+    val v2Shards = ST.rawManifestLines(root, v2).map(_.drop(1)).toSet
+    ST.vacuum(root, keepFrom = v2)
+    // v1's manifest, its exclusive data file, and its shards are gone;
+    // everything v2 references survives intact
+    assert(!Files.exists(Paths.get(root, "_manifests", "v00001.txt")))
+    assert(!Files.exists(Paths.get(root, "data_b.parquet")))
+    assert(shardFiles(root).toSet == v2Shards,
+      s"shard sweep wrong: kept ${shardFiles(root).toSet}, want $v2Shards")
+    assert(ST.manifestEntries(root, v2) == Seq(a, b2), "vacuum broke the live snapshot")
+  }
+
+  test("x15 readPruned scans strictly fewer files and matches the full scan") {
+    val root = ST.statsTable(spark, sf)
+    val v = ST.currentVersion(root)
+    val all = ST.manifestEntries(root, v)
+    val pruned = ST.prunedEntries(root, v, ST.X15Lo, ST.X15Hi)
+    assert(all.size == 7, s"expected 7 five-day files, got ${all.map(_.rel)}")
+    assert(pruned.size == 2, s"expected 2 surviving files, got ${pruned.map(_.rel)}")
+    // every pruned-OUT file is provably irrelevant by its own stats
+    (all.toSet -- pruned.toSet).foreach(e =>
+      assert(e.hi < ST.X15Lo || e.lo > ST.X15Hi, s"unsound prune of $e"))
+    // the pruned scan computes the same day aggregate as the full scan
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("ep_day").between(ST.X15Lo, ST.X15Hi))
+      .groupBy("ep_day").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(agg(ST.readPruned(spark, root, "ep_day", ST.X15Lo, ST.X15Hi))
+      == agg(ST.read(spark, root)))
+    // stats say the two survivors hold every in-range row
+    val sfRows = graft.sources.Tables.events(spark, sf)
+      .filter(expr(s"(ts div 1000000000) div 86400").between(ST.X15Lo, ST.X15Hi)).count()
+    assert(pruned.map(_.rows).sum >= sfRows)
+  }
+}
