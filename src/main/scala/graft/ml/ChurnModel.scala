@@ -80,12 +80,12 @@ object ChurnModel {
   /** (cached matrix, model fitted on the hash-split train fold).
     * cache: LBFGS iterates over the matrix; without this every pass
     * would recompute the per-user aggregations. The matrix is tiny
-    * relative to the event log (one row per user), so collapse to ONE
-    * partition — every LBFGS iteration schedules a treeAggregate over
-    * the matrix, and at this size per-iteration cost is pure task
-    * overhead (4 partitions = 4x the tasks for zero parallelism gain).
-    * (On a 10⁹-user cluster: size partitions to ~128MB of features
-    * instead; the shape of the pipeline is unchanged.)
+    * relative to the event log (one row per user), so collapse to a
+    * data-proportional partition count (matrixPartitions: 1 at test SF,
+    * ~users/4M at scale) — every LBFGS iteration schedules a
+    * treeAggregate over the matrix, and at test size per-iteration cost
+    * is pure task overhead (4 partitions = 4x the tasks for zero
+    * parallelism gain), while a fixed 1 would serialize a 10⁹-user fit.
     *
     * Memoized per (session, dir): the fit is fully deterministic (fixed
     * seed, hash split, no sampling), so c9/c13/c15 sharing one LBFGS
@@ -97,12 +97,28 @@ object ChurnModel {
   private[graft] def lastFitIterations: Int = lastIters
   @volatile private var lastIters: Int = -1
 
+  /** Partition count for the cached LBFGS matrix — data-proportional,
+    * not fixed: one partition per `MatrixRowsPerPartition` users (~128MB
+    * of features), floor 1. At test SF that resolves to 1 (collapsing
+    * per-iteration task overhead, see fitOnTrainFold's doc); at 10⁹
+    * users it resolves to ~250 — same pipeline, no single-task stage.
+    * `graft.ml.matrixPartitions` overrides for deployments that know
+    * better. */
+  private[graft] val MatrixRowsPerPartition = 4L << 20
+  private def matrixPartitions(s: SparkSession, users: Long): Int =
+    s.conf.getOption("graft.ml.matrixPartitions").map(_.toInt).getOrElse(
+      math.max(1L, (users + MatrixRowsPerPartition - 1) / MatrixRowsPerPartition).toInt)
+
   private val fitMemo = new graft.SessionMemo[(DataFrame, PipelineModel)]
   private def fitOnTrainFold(s: SparkSession, d: String): (DataFrame, PipelineModel) =
     fitMemo.getOrElseUpdate(s, d) {
+      // users = distinct customers; exact count not needed for sizing —
+      // the dim table's row count is the matrix's row count upper bound
+      // and is a cheap metadata-ish scan of one long column
+      val users = Tables.customer(s, d).count()
       val data = featureMatrix(s, d)
         .withColumn("label", col("churned").cast("double"))
-        .coalesce(1)
+        .coalesce(matrixPartitions(s, users))
         .cache()
       val train = data.filter(pmod(col("user_id"), lit(5)) =!= 0)
       val model = pipeline.fit(train)
@@ -179,9 +195,12 @@ object ChurnModel {
     val reloaded = PipelineModel.load(modelDir)
     val runDay = data.agg(expr("max(last_ep) div 86400").as("run_day"))
     val scoresDir = graft.operators.Engine.tmpDir("graft_churn_scores")
+    // no coalesce: the score frame inherits the matrix's
+    // data-proportional partitioning (1 file at test SF, ~users/4M at
+    // scale) — a fixed coalesce(1) here was a single-task bottleneck on
+    // the daily scoring job at 10⁸+ users
     scored(reloaded, data)
       .crossJoin(broadcast(runDay))
-      .coalesce(1) // one-row-per-user score table: a few files, not 32 shards
       .write.mode("overwrite").partitionBy("run_day").parquet(scoresDir)
     s.read.parquet(scoresDir)
       // partition-dir columns come back type-inferred (int) — pin to long
