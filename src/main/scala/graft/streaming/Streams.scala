@@ -27,6 +27,17 @@ case class EvW(user_id: Long, ep: Long, event_time: java.sql.Timestamp)
   */
 object Streams {
 
+  /** The transport behind every staged-batch operator below (st4–st7
+    * and the retention spec): file replay in this container; a broker
+    * deployment swaps in `new KafkaStreamSource(servers, topic)` and no
+    * operator changes — see [[StreamSource]]. */
+  private[graft] val source: StreamSource = FileStreamSource
+
+  /** st1/st2/st3's whole-log feed: the event table streamed directly
+    * from its on-disk location (no batch structure imposed). This is
+    * [[FileStreamSource]]'s degenerate single-batch case minus a
+    * redundant staging copy of a log that already sits in the source
+    * dir; the Kafka analogue is simply subscribing to the topic. */
   private def streamEvents(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
@@ -168,31 +179,6 @@ object Streams {
     * (window end ≤ final watermark) — late row excluded, open windows
     * held back. This is the state-expiring plan a Kafka source runs at
     * scale: bounded state, bounded output, late data dropped. */
-  /** Stage DataFrames as single flat parquet files in a per-operator
-    * dir with strictly increasing fixed mtimes, so a file-source stream
-    * with maxFilesPerTrigger=1 consumes them as ordered micro-batches.
-    * Returns the stage dir. */
-  private[graft] def stageBatches(op: String, batches: Seq[(String, DataFrame)]): String = {
-    import java.nio.file.{Files, Paths}
-    val stage = Paths.get(graft.operators.Engine.tmpDir(s"graft_${op}_stage"))
-    // closed-stream listing + recursive delete: tolerates a stale
-    // subdirectory (e.g. a _temporary left by a killed write)
-    graft.operators.Engine.listDir(stage)
-      .foreach(graft.operators.Engine.deleteRecursively)
-    val t0 = 1700000000000L // fixed mtimes: listing order is deterministic
-    batches.zipWithIndex.foreach { case ((target, df), i) =>
-      val scratch = graft.operators.Engine.tmpDir(s"graft_${op}_scratch_$target")
-      df.coalesce(1).write.mode("overwrite").parquet(scratch)
-      val part = graft.operators.Engine.listDir(Paths.get(scratch))
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      val dst = stage.resolve(s"$target.parquet")
-      Files.move(part, dst, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(t0 + i * 60000L))
-    }
-    stage.toString
-  }
-
   def st4StreamLateData(s: SparkSession, d: String): DataFrame = {
     val name = freshName("st4_out")
 
@@ -205,12 +191,8 @@ object Streams {
     val lastDay = ev.filter(expr("ep div 86400") === lit(OnTimeDayLimit - 1L))
     val late = ev.orderBy(asc("ep"), asc("event_id")).limit(1)
 
-    val stage = stageBatches("st4", Seq(
+    val agg = source.batched(s, "st4", ev.schema, Seq(
       "batch0_ontime" -> early, "batch1_advance" -> lastDay, "batch2_late" -> late))
-
-    val agg = s.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(stage)
       .withColumn("event_time", timestamp_seconds(col("ep")))
       .withWatermark("event_time", "1 hour")
       .groupBy(window(col("event_time"), "6 hours"), col("event_type"))
@@ -261,11 +243,8 @@ object Streams {
     // replay the NEWEST events: their originals are well within the
     // 25h watermark delay when batch 1 runs, so dedup state is live
     val replay = ev.orderBy(desc("ep"), desc("event_id")).limit(50)
-    val stage = stageBatches("st5", Seq("batch0_feed" -> ev, "batch1_replay" -> replay))
-
-    val deduped = s.readStream.schema(ev.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(stage)
+    val deduped = source.batched(s, "st5", ev.schema,
+      Seq("batch0_feed" -> ev, "batch1_replay" -> replay))
       .withColumn("event_time", timestamp_seconds(col("ep")))
       .withWatermark("event_time", "25 hours")
       .dropDuplicatesWithinWatermark("event_id")
@@ -312,9 +291,8 @@ object Streams {
     val sentinel = s.range(1)
       .select(lit(-1L).as("user_id"),
         lit((OnTimeDayLimit + 30L) * 86400L).as("ep"), lit(0.0).as("value"))
-    val stage = stageBatches("st6", Seq(
+    runSessionState(s, ev.schema, "st6", Seq(
       "batch0" -> b0, "batch1" -> b1, "batch2" -> b2, "batch3_advance" -> sentinel))
-    runSessionState(s, ev.schema, stage)
       .filter(col("user_id") >= 0L)
       .orderBy("user_id", "session_seq")
   }
@@ -375,15 +353,17 @@ object Streams {
       }
     }
 
-  /** Run the st6 state machine as a streaming query over a staged batch
-    * dir (schema: user_id, ep, value). Shared by st6 and the
-    * tombstone-retention spec; returns the raw emitted sessions
-    * (sentinel keys included — callers filter). */
+  /** Run the st6 state machine as a streaming query over ordered
+    * micro-batches (schema: user_id, ep, value) delivered through the
+    * pluggable [[source]]. Shared by st6 and the tombstone-retention
+    * spec; returns the raw emitted sessions (sentinel keys included —
+    * callers filter). */
   private[graft] def runSessionState(s: SparkSession,
-      schema: org.apache.spark.sql.types.StructType, stage: String): DataFrame = {
+      schema: org.apache.spark.sql.types.StructType, op: String,
+      batches: Seq[(String, DataFrame)]): DataFrame = {
     import s.implicits._
     val name = freshName("st6_out")
-    val out = streamForStage(s, schema, stage)
+    val out = source.batched(s, op, schema, batches)
       .withColumn("event_time", timestamp_seconds(col("ep")))
       .withWatermark("event_time", "1 hour")
       .select(col("user_id"), col("ep"), col("event_time")).as[EvW]
@@ -398,12 +378,6 @@ object Streams {
     q.stop()
     s.table(name)
   }
-
-  private def streamForStage(s: SparkSession,
-      schema: org.apache.spark.sql.types.StructType, stage: String): DataFrame =
-    s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(stage)
 
   /** st7_stream_stream_join — watermarked STREAM-STREAM inner join,
     * the attribution query a real-time pipeline runs: each purchase
@@ -441,10 +415,10 @@ object Streams {
       .withColumn("ep", expr("ts div 1000000000"))
       .filter(col("event_type").isin("signup", "purchase"))
       .select("event_id", "user_id", "event_type", "ep")
-    val stage = stageBatches("st7", Seq(
+    val batches = Seq(
       "batch0" -> evAll.filter(col("ep") < St7Cut1),
       "batch1" -> evAll.filter(col("ep") >= St7Cut1 && col("ep") < St7Cut2),
-      "batch2" -> evAll.filter(col("ep") >= St7Cut2)))
+      "batch2" -> evAll.filter(col("ep") >= St7Cut2))
     // state-store count = shuffle partitions; a stateful streaming job
     // sizes it to its key cardinality/state volume, NOT to the batch
     // engine's default — 3 micro-batches × 2 join sides × N stores is
@@ -452,15 +426,14 @@ object Streams {
     // tuning knob every production streaming job sets)
     val savedParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
-    try st7Run(s, name, stage, evAll.schema)
+    try st7Run(s, name, batches, evAll.schema)
     finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 
-  private def st7Run(s: SparkSession, name: String, stage: String,
+  private def st7Run(s: SparkSession, name: String,
+      batches: Seq[(String, DataFrame)],
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
-    val base = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(stage)
+    val base = source.batched(s, "st7", schema, batches)
       .withColumn("event_time", timestamp_seconds(col("ep")))
     val signups = base.filter(col("event_type") === "signup")
       .select(col("user_id").as("s_user"), col("event_time").as("s_time"),

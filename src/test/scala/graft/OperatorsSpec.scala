@@ -537,9 +537,10 @@ class StreamingAndMlSpec extends AnyFunSuite {
     val b4 = evs(1L -> ret)
     // batch5: final advance closes and emits the returned session
     val b5 = evs(-1L -> (ret + 2L * 86400L))
-    val stage = S.stageBatches("st6_retention", Seq(
+    // delivered through the pluggable StreamSource abstraction — the
+    // same entry point a Kafka deployment would swap the transport under
+    val got = S.runSessionState(spark, b0.schema, "st6_retention", Seq(
       "b0" -> b0, "b1" -> b1, "b2" -> b2, "b3" -> b3, "b4" -> b4, "b5" -> b5))
-    val got = S.runSessionState(spark, b0.schema, stage)
       .filter(col("user_id") >= 0L)
       .select("session_seq", "start_ep", "end_ep", "n_events")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
