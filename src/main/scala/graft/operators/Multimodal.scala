@@ -7,10 +7,12 @@ import graft.sources.Tables
 
 /** Multimodal column plumbing (SURVEY.md §2f): image/audio/video payloads
   * as opaque `binary` columns with typed metadata, flowing through
-  * ordinary Spark plans. The media codecs themselves are not available in
-  * this container, so the *decode* step is a clearly-marked deterministic
-  * stub (xxhash64-derived pseudo-features) — the Spark-side contract
-  * (schema, binary handling, chunking, partitioning) is real and tested.
+  * ordinary Spark plans. m4 runs a REAL image codec path (grayscale PNG
+  * encode/decode via the JDK's javax.imageio inside the batched
+  * executor stage); m1's generic feature-extraction step remains a
+  * clearly-marked deterministic stub (no audio/video codecs in this
+  * container) — the Spark-side contract (schema, binary handling,
+  * chunking, partitioning) is real and tested throughout.
   *
   * At 100 TB: payloads stay in parquet binary columns (or object-store
   * pointers for >row-group-size blobs); metadata extraction is a per-row
@@ -133,17 +135,65 @@ object Multimodal {
     out
   }
 
-  /** m4_resize_pool — the resize/feature-extract stage of a multimodal
-    * ingest pipeline, with the BATCHED per-partition execution shape a
-    * vectorized decoder runs under: `mapPartitions` + `grouped(64)`
-    * bounds rows materialized at once (the Arrow batch contract),
-    * per-row imperative pixel math inside — preference order (d) from
-    * SURVEY §4, justified because variable-size nested block loops
-    * don't decompose into Column expressions. Emits the pooled grid's
-    * corner cells + L2 norm per doc (compact, deterministic); the full
-    * 64-cell vector is what a real pipeline would hand to an encoder.
-    * rows-only (binary math has no DuckDB twin); MultimodalSpec
-    * recomputes the pooling independently in plain Scala. */
+  /** Encode `bytes` as a REAL grayscale PNG: width M4GridW, height
+    * ceil(len/W), row-major, zero-padded final row. This is m4's
+    * fixture synthesizer — the container ships no image files, so the
+    * encoded column a production ingest would carry is manufactured
+    * from the payload bytes; everything downstream of it is the real
+    * codec path. The true content length rides alongside as metadata
+    * (real formats carry dims the same way). */
+  private[graft] def encodePng(bytes: Array[Byte]): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false) // no tmp-file cache on executors
+    val w = M4GridW
+    val h = math.max(1, (bytes.length + w - 1) / w)
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var i = 0
+    while (i < w * h) {
+      raster.setSample(i % w, i / w, 0, if (i < bytes.length) bytes(i) & 0xff else 0)
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL codec work: decode a PNG byte stream back to its grayscale
+    * pixels (row-major). Lossless for 8-bit grayscale, which the
+    * round-trip spec asserts byte-for-byte. */
+  private[graft] def decodePng(png: Array[Byte]): Array[Byte] = {
+    javax.imageio.ImageIO.setUseCache(false)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val w = img.getWidth
+    val h = img.getHeight
+    val raster = img.getRaster
+    val out = new Array[Byte](w * h)
+    var i = 0
+    while (i < out.length) {
+      out(i) = raster.getSample(i % w, i / w, 0).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** m4_resize_pool — the decode + resize/feature-extract stage of a
+    * multimodal ingest pipeline, with the BATCHED per-partition
+    * execution shape a vectorized decoder runs under: `mapPartitions` +
+    * `grouped(64)` bounds rows materialized at once (the Arrow batch
+    * contract), per-row imperative work inside — preference order (d)
+    * from SURVEY §4, justified because codec calls and variable-size
+    * nested block loops don't decompose into Column expressions. Each
+    * payload is PNG-ENCODED (fixture synthesis, see encodePng) and then
+    * run through the REAL decoder (javax.imageio) before pooling, so
+    * the features are computed from decoded pixels; the zero-pad pixels
+    * of the final row are stripped via the content-length metadata so
+    * the features describe the content, not the padding. Emits the
+    * pooled grid's corner cells + L2 norm per doc; the full 64-cell
+    * vector is what a real pipeline would hand to an encoder. rows-only
+    * (codec math has no DuckDB twin); MultimodalSpec recomputes the
+    * pooling independently in plain Scala and pins the PNG round-trip
+    * byte-for-byte. */
   def m4ResizePool(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val src = withPayload(s, d)
@@ -152,7 +202,8 @@ object Multimodal {
     src.mapPartitions { it =>
       it.grouped(M4BatchSize).flatMap { batch =>
         batch.iterator.map { case (id, mime, bytes) =>
-          val g = resizePool(bytes)
+          val pixels = decodePng(encodePng(bytes)).take(bytes.length)
+          val g = resizePool(pixels)
           val norm = math.sqrt(g.map(v => v * v).sum)
           (id, mime, g(0), g(M4Out * M4Out - 1), norm)
         }

@@ -272,6 +272,26 @@ class NonSqlOracleSpec extends AnyFunSuite {
     assert(seeds1 == seeds2)
   }
 
+  test("m4 PNG round-trip is lossless: decode(encode(bytes)) == bytes + zero pad") {
+    val M = graft.operators.Multimodal
+    val samples = Seq(
+      Array.empty[Byte],
+      Array[Byte](0, 127, -128, -1),
+      (0 until 100).map(_.toByte).toArray,
+      graft.sources.Tables.documents(spark, sf)
+        .select("text").head().getString(0).getBytes("UTF-8"))
+    samples.foreach { b =>
+      val png = M.encodePng(b)
+      // a real PNG, not a passthrough: magic bytes present
+      assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte),
+        "encodePng did not produce a PNG stream")
+      val decoded = M.decodePng(png)
+      assert(decoded.take(b.length).toSeq == b.toSeq,
+        s"lossy round-trip at len ${b.length}")
+      assert(decoded.drop(b.length).forall(_ == 0), "pad pixels not zero")
+    }
+  }
+
   test("m4 resize-pool matches an independent plain-Scala block average") {
     val M = graft.operators.Multimodal
     val expected = graft.sources.Tables.documents(spark, sf)
