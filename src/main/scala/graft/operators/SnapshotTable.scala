@@ -46,7 +46,14 @@ import graft.sources.Tables
   *     pointer file, not a million-line manifest);
   *   - `readPruned` resolves entries and scans ONLY the files whose
   *     [minKey, maxKey] intersects the query range (x15 proves the
-  *     skip), with the residual predicate still applied after the scan. */
+  *     skip), with the residual predicate still applied after the scan;
+  *   - a manifest may also carry `#key<TAB>value` METADATA lines —
+  *     application facts committed atomically with the file list (the
+  *     role of Delta's txn actions / Iceberg snapshot summary). The
+  *     streaming sink (st8) stores the last-committed micro-batch id
+  *     there, which upgrades foreachBatch's at-least-once replay to
+  *     exactly-once: a replayed batch sees its id already committed and
+  *     becomes a no-op. */
 object SnapshotTable {
 
   /** One manifest entry: a data file + its key-column stats (lo/hi are
@@ -93,16 +100,28 @@ object SnapshotTable {
   }
 
   /** Fully resolved entries of a committed version: `>shard` pointer
-    * lines are expanded from their (immutable) shard files. */
+    * lines are expanded from their (immutable) shard files; `#` metadata
+    * lines are not file entries. */
   def manifestEntries(root: String, v: Int): Seq[FileEntry] = {
     import scala.jdk.CollectionConverters._
     rawManifestLines(root, v).flatMap {
+      case l if l.startsWith("#") => Nil
       case l if l.startsWith(">") =>
         Files.readAllLines(manifestDir(root).resolve(l.drop(1))).asScala
           .filter(_.nonEmpty).map(parseEntry)
       case l => Seq(parseEntry(l))
     }
   }
+
+  /** The `#key<TAB>value` metadata committed atomically with version
+    * `v`'s file list (empty for a plain commit). */
+  def manifestMeta(root: String, v: Int): Map[String, String] =
+    rawManifestLines(root, v).collect {
+      case l if l.startsWith("#") => l.drop(1).split('\t') match {
+        case Array(k, value) => k -> value
+        case _ => sys.error(s"malformed manifest metadata line: $l")
+      }
+    }.toMap
 
   /** Data files of a committed version (absolute paths). */
   def manifest(root: String, v: Int): Seq[String] =
@@ -123,15 +142,18 @@ object SnapshotTable {
     * `>shard` pointers. This is the manifest-list shape that keeps a
     * 100 TB commit O(changed shard), not O(table). */
   def commitEntries(root: String, baseVersion: Int, entries: Seq[FileEntry],
-      shardSize: Int): Int = {
+      shardSize: Int, meta: Map[String, String] = Map.empty): Int = {
     Files.createDirectories(manifestDir(root))
-    val lines =
+    val entryLines =
       if (entries.size <= shardSize) entries.map(_.line)
       else entries.grouped(shardSize).zipWithIndex.map { case (g, i) =>
         val rel = s"shard_${java.util.UUID.randomUUID().toString.take(8)}_$i.txt"
         Files.write(manifestDir(root).resolve(rel), g.map(_.line).mkString("\n").getBytes)
         ">" + rel
       }.toSeq
+    // metadata rides in the manifest itself (never sharded): it must be
+    // exactly as atomic as the file list it annotates
+    val lines = entryLines ++ meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k\t$v" }
     try commitLines(root, baseVersion, lines)
     catch {
       // CAS loser: its uuid-named staged shards are referenced by no
@@ -270,7 +292,7 @@ object SnapshotTable {
   /** Write a DataFrame's rows as one immutable data file under root;
     * returns the root-relative path. Commit-unique names (version tag +
     * logical name) keep every file addressable by any manifest. */
-  private def writeDataFile(df: DataFrame, root: String, tag: String): String = {
+  private[graft] def writeDataFile(df: DataFrame, root: String, tag: String): String = {
     val scratch = Engine.tmpDir(s"graft_snaptab_scratch_$tag")
     df.coalesce(1).write.mode("overwrite").parquet(scratch)
     val part = Engine.listDir(Paths.get(scratch))
@@ -317,6 +339,84 @@ object SnapshotTable {
       .orderBy("ep_day")
   }
 
+  /** OPTIMIZE — rewrite the CURRENT snapshot into `targetFiles`
+    * key-clustered data files and commit the new layout as the next
+    * version (Delta's OPTIMIZE ZORDER / Iceberg's rewrite_data_files,
+    * in its single-key form). `repartitionByRange` is the cluster step:
+    * Spark samples the key, builds range bounds, and each output file
+    * lands a tight disjoint key range — which is what turns the
+    * manifest's footer stats from decoration into pruning power:
+    * stats-based file skipping on an UNclustered layout prunes nothing
+    * (every file's [min,max] spans the domain), on the rewritten layout
+    * it prunes to the files owning the query range. Pure layout change:
+    * same rows, new files, old versions still time-travelable; the
+    * replaced files stay on disk until vacuum. At 100 TB this runs as
+    * one sampled range shuffle over the partitions being compacted — in
+    * production, applied incrementally per ingest partition, not to the
+    * whole table at once. */
+  def optimizeClustered(s: SparkSession, root: String, keyCol: String,
+      targetFiles: Int, shardSize: Int = 4): Int = {
+    val v = currentVersion(root)
+    val scratch = Engine.tmpDir("graft_snap_opt_scratch")
+    readAt(s, root, v)
+      .repartitionByRange(targetFiles, col(keyCol))
+      .write.mode("overwrite").parquet(scratch)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val entries = Engine.listDir(Paths.get(scratch))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .sortBy(_.getFileName.toString)
+      .zipWithIndex.map { case (part, i) =>
+        val rel = s"data_opt_${tag}_$i.parquet"
+        Files.move(part, Paths.get(root, rel), StandardCopyOption.REPLACE_EXISTING)
+        footerEntry(root, rel, keyCol)
+      }
+    commitEntries(root, v, entries, shardSize,
+      Map("optimize" -> s"clustered:$keyCol"))
+  }
+
+  /** MERGE — apply a keyed changeset to the table copy-on-write, the
+    * row-level counterpart of commit-level file swaps (Delta's MERGE
+    * INTO on a clustered table). `changes` carries the table's columns
+    * plus `op`: `u` (update: replace the row with this id), `d`
+    * (delete: remove it), `i` (insert: add it; ids must be new — this
+    * is the caller-labeled upsert contract, not a match-discovering
+    * merge). The stats manifest makes it cheap: the changeset's
+    * [min,max] on the CLUSTER column prunes to the files that can
+    * contain touched rows; only those are read, anti-joined on the id,
+    * unioned with the upserts, and rewritten — every other file entry
+    * is carried into the new manifest untouched. At 100 TB a merge
+    * touching one ingest day shuffles that day's files plus the
+    * changeset, never the table; the anti-join broadcasts when the
+    * changeset is small (the common CDC case). */
+  def merge(s: SparkSession, root: String, clusterCol: String, idCol: String,
+      changes: DataFrame, shardSize: Int = 4): Int = {
+    val v = currentVersion(root)
+    val bounds = changes.agg(min(col(clusterCol)), max(col(clusterCol))).head
+    val (qlo, qhi) = (bounds.getLong(0), bounds.getLong(1))
+    val affected = prunedEntries(root, v, qlo, qhi)
+    val affectedSet = affected.map(_.rel).toSet
+    val untouched = manifestEntries(root, v).filterNot(e => affectedSet(e.rel))
+    val old = s.read.parquet(affected.map(e => Paths.get(root, e.rel).toString): _*)
+    val dropIds = changes.filter(col("op") =!= "i").select(col(idCol))
+    val upserts = changes.filter(col("op") =!= "d")
+      .select(old.columns.map(col).toIndexedSeq: _*)
+    val rewritten = old.join(dropIds, Seq(idCol), "left_anti").unionByName(upserts)
+    val scratch = Engine.tmpDir("graft_snap_merge_scratch")
+    rewritten.repartitionByRange(math.max(affected.size, 1), col(clusterCol))
+      .write.mode("overwrite").parquet(scratch)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val newEntries = Engine.listDir(Paths.get(scratch))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .sortBy(_.getFileName.toString)
+      .zipWithIndex.map { case (part, i) =>
+        val rel = s"data_m_${tag}_$i.parquet"
+        Files.move(part, Paths.get(root, rel), StandardCopyOption.REPLACE_EXISTING)
+        footerEntry(root, rel, clusterCol)
+      }
+    commitEntries(root, v, untouched ++ newEntries, shardSize,
+      Map("merge" -> s"cow:$idCol:${affected.size}of${untouched.size + affected.size}"))
+  }
+
   /** x15's query-range bounds (epoch days; data dates are fixed across
     * SFs — the events table spans 19723..19752). The range covers the
     * last two 5-day file groups, so a correct pruner scans 2 of the 7
@@ -338,26 +438,33 @@ object SnapshotTable {
     statsMemo.getOrElseUpdate(s, d) {
       val root = Engine.tmpDir("graft_snap_prune")
       Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
-      val scratch = Engine.tmpDir("graft_snap_prune_scratch")
-      Tables.events(s, d)
-        .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
-        .select("event_id", "user_id", "event_type", "value", "ep_day")
-        .withColumn("grp", expr(s"ep_day div $X15DaysPerFile"))
-        .repartition(col("grp"))
-        .write.mode("overwrite").partitionBy("grp").parquet(scratch)
-      val entries = Engine.listDir(Paths.get(scratch))
-        .filter(_.getFileName.toString.startsWith("grp="))
-        .sortBy(_.getFileName.toString)
-        .map { dir =>
-          val part = Engine.listDir(dir)
-            .find(_.getFileName.toString.endsWith(".parquet")).get
-          val rel = s"data_g${dir.getFileName.toString.stripPrefix("grp=")}.parquet"
-          Files.move(part, Paths.get(root, rel), StandardCopyOption.REPLACE_EXISTING)
-          footerEntry(root, rel, "ep_day")
-        }
-      commitEntries(root, 0, entries, shardSize = 3)
+      commitEntries(root, 0, stageDayClustered(s, d, root), shardSize = 3)
       root
     }
+
+  /** Stage the event log into `root` as 5-day-block data files (x15's
+    * day-clustered layout) and return their footer-stat entries —
+    * shared by x15's pruning fixture and x17's merge target. */
+  private def stageDayClustered(s: SparkSession, d: String,
+      root: String): Seq[FileEntry] = {
+    val scratch = Engine.tmpDir(s"graft_snap_stage_${Paths.get(root).getFileName}")
+    Tables.events(s, d)
+      .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+      .select("event_id", "user_id", "event_type", "value", "ep_day")
+      .withColumn("grp", expr(s"ep_day div $X15DaysPerFile"))
+      .repartition(col("grp"))
+      .write.mode("overwrite").partitionBy("grp").parquet(scratch)
+    Engine.listDir(Paths.get(scratch))
+      .filter(_.getFileName.toString.startsWith("grp="))
+      .sortBy(_.getFileName.toString)
+      .map { dir =>
+        val part = Engine.listDir(dir)
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        val rel = s"data_g${dir.getFileName.toString.stripPrefix("grp=")}.parquet"
+        Files.move(part, Paths.get(root, rel), StandardCopyOption.REPLACE_EXISTING)
+        footerEntry(root, rel, "ep_day")
+      }
+  }
 
   /** x15_stats_pruning — a day-range aggregate planned through the
     * manifest's per-file stats: `readPruned` opens only the 2 (of 7)
@@ -371,6 +478,131 @@ object SnapshotTable {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
       .orderBy("ep_day")
+
+  /** x16's query-range bounds and layout sizes: a 5-day range against a
+    * 4-file table — clustered, at most 2 files own it; unclustered, all
+    * 4 do. */
+  private[graft] val X16Lo = 19727L
+  private[graft] val X16Hi = 19731L
+  private[graft] val X16Files = 4
+
+  /** Build (once per session+dir) x16's table in its BEFORE state and
+    * optimize it: v1 commits the event log as ROUND-ROBIN files — the
+    * layout a parallel ingest with no clustering produces, where every
+    * file's ep_day stats span the whole domain and stats pruning can
+    * skip nothing — then [[optimizeClustered]] commits v2. Both
+    * versions stay readable (the spec pins v1's no-skip state and the
+    * v1≡v2 content). */
+  private val clusterMemo = new graft.SessionMemo[String]
+  private[graft] def clusterTable(s: SparkSession, d: String): String =
+    clusterMemo.getOrElseUpdate(s, d) {
+      val root = Engine.tmpDir("graft_snap_cluster")
+      Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+      val scratch = Engine.tmpDir("graft_snap_cluster_scratch")
+      Tables.events(s, d)
+        .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+        .select("event_id", "user_id", "event_type", "value", "ep_day")
+        .repartition(X16Files) // round-robin: deliberately unclustered
+        .write.mode("overwrite").parquet(scratch)
+      val entries = Engine.listDir(Paths.get(scratch))
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .sortBy(_.getFileName.toString)
+        .zipWithIndex.map { case (part, i) =>
+          val rel = s"data_rr_$i.parquet"
+          Files.move(part, Paths.get(root, rel), StandardCopyOption.REPLACE_EXISTING)
+          footerEntry(root, rel, "ep_day")
+        }
+      val v1 = commitEntries(root, 0, entries, shardSize = 4)
+      optimizeClustered(s, root, "ep_day", X16Files)
+      assert(currentVersion(root) == v1 + 1)
+      root
+    }
+
+  /** x16_cluster_optimize — a day-range per-type aggregate against the
+    * OPTIMIZEd layout: `readPruned` plans over v2's clustered files and
+    * opens only the ones owning the range (on v1 the same call would
+    * open everything — SnapshotStatsSpec counts both). Answer equals
+    * the full-scan oracle; the plan is the point. */
+  def x16ClusterOptimize(s: SparkSession, d: String): DataFrame =
+    readPruned(s, clusterTable(s, d), "ep_day", X16Lo, X16Hi)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .orderBy("event_type")
+
+  /** x17's changeset day range: 3 days inside ONE 5-day file block
+    * (19745 div 5 == 19747 div 5), so the merge must rewrite exactly 1
+    * of the 7 data files. */
+  private[graft] val X17Lo = 19745L
+  private[graft] val X17Hi = 19747L
+
+  /** The deterministic CDC changeset: update every 10th event in the
+    * range (value+1000), delete every 10th-offset-1, insert one
+    * backfill row per day (negative ids — provably new). */
+  private[graft] def x17Changes(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, d)
+      .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+      .select("event_id", "user_id", "event_type", "value", "ep_day")
+      .filter(col("ep_day").between(X17Lo, X17Hi))
+    val updates = ev.filter(col("event_id") % 10 === 0)
+      .withColumn("value", col("value") + 1000.0).withColumn("op", lit("u"))
+    val deletes = ev.filter(col("event_id") % 10 === 1).withColumn("op", lit("d"))
+    val inserts = (X17Lo to X17Hi).map(day =>
+        (-day, 1L, "backfill", 1.0, day, "i"))
+      .toDF("event_id", "user_id", "event_type", "value", "ep_day", "op")
+    updates.unionByName(deletes).unionByName(inserts)
+  }
+
+  /** Build (once per session+dir) x17's table — x15's day-clustered
+    * layout on its own root — and MERGE the changeset in. v1 keeps the
+    * pre-merge snapshot readable (MergeSpec pins it); v2 shares 6 of 7
+    * data files with v1. */
+  private val mergeMemo = new graft.SessionMemo[String]
+  private[graft] def mergeTable(s: SparkSession, d: String): String =
+    mergeMemo.getOrElseUpdate(s, d) {
+      val root = Engine.tmpDir("graft_snap_merge")
+      Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+      commitEntries(root, 0, stageDayClustered(s, d, root), shardSize = 3)
+      merge(s, root, "ep_day", "event_id", x17Changes(s, d))
+      root
+    }
+
+  /** x17_merge_upsert — the whole-table day aggregate AFTER the
+    * copy-on-write merge: updates visible, deletes gone, backfill rows
+    * present, untouched days bit-identical (their files were never
+    * read). The DuckDB oracle applies the same changeset functionally
+    * over the raw log. */
+  def x17MergeUpsert(s: SparkSession, d: String): DataFrame =
+    read(s, mergeTable(s, d))
+      .groupBy(col("ep_day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .orderBy("ep_day")
+
+  val x17Sql: String =
+    s"""WITH e AS (SELECT event_id, value,
+      |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day FROM events),
+      |merged AS (
+      |  SELECT event_id,
+      |    CASE WHEN ep_day BETWEEN $X17Lo AND $X17Hi AND event_id % 10 = 0
+      |      THEN value + 1000.0 ELSE value END AS value, ep_day
+      |  FROM e
+      |  WHERE NOT (ep_day BETWEEN $X17Lo AND $X17Hi AND event_id % 10 = 1)
+      |  UNION ALL
+      |  SELECT -d AS event_id, CAST(1.0 AS DOUBLE) AS value, d AS ep_day
+      |  FROM generate_series($X17Lo, $X17Hi) AS g(d))
+      |SELECT ep_day, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM merged GROUP BY ep_day ORDER BY ep_day""".stripMargin
+
+  val x16Sql: String =
+    s"""WITH e AS (SELECT event_type, value,
+      |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day FROM events)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM e WHERE ep_day BETWEEN $X16Lo AND $X16Hi
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val x15Sql: String =
     s"""WITH e AS (SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day, value
@@ -393,5 +625,7 @@ object SnapshotTable {
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "x14_snapshot_table" -> (x14SnapshotTable _, Some(x14Sql)),
     "x15_stats_pruning" -> (x15StatsPruning _, Some(x15Sql)),
+    "x16_cluster_optimize" -> (x16ClusterOptimize _, Some(x16Sql)),
+    "x17_merge_upsert" -> (x17MergeUpsert _, Some(x17Sql)),
   )
 }

@@ -484,5 +484,7 @@ object Streams {
     "st5_stream_dedup" -> (st5StreamDedup _, None),
     "st6_stream_session_state" -> (st6StreamSessionState _, None),
     "st7_stream_stream_join" -> (st7StreamStreamJoin _, Some(st7Sql)),
+    "st8_stream_snapshot_sink" ->
+      (SnapshotSink.st8StreamSnapshotSink _, Some(SnapshotSink.st8Sql)),
   )
 }

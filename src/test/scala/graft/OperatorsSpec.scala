@@ -878,3 +878,144 @@ class SnapshotStatsSpec extends AnyFunSuite {
     assert(pruned.map(_.rows).sum >= sfRows)
   }
 }
+
+/** st8's exactly-once streaming commit path: batch↔version mapping,
+  * batch-id metadata in both manifest layouts, replay no-op, and parity
+  * with the batch aggregate. */
+class StreamingSinkSpec extends AnyFunSuite {
+  import TestSession._
+  import org.apache.spark.sql.functions._
+  val ST = graft.operators.SnapshotTable
+  val SS = graft.streaming.SnapshotSink
+
+  test("st8: one manifest version per micro-batch, batch id recorded in both layouts") {
+    SS.st8StreamSnapshotSink(spark, sf).collect() // build the table
+    val root = graft.operators.Engine.tmpDir("graft_st8_table")
+    val v = ST.currentVersion(root)
+    assert(v == 3, s"expected 3 commits for 3 micro-batches, got $v")
+    (1 to 3).foreach { i =>
+      assert(ST.manifestMeta(root, i) == Map("last_batch" -> (i - 1).toString),
+        s"v$i metadata wrong: ${ST.manifestMeta(root, i)}")
+      assert(ST.manifestEntries(root, i).size == i, s"v$i file count wrong")
+    }
+    // the run crossed the inline→sharded threshold (shardSize=2): v3 is
+    // sharded, v1 inline — metadata survived both layouts (asserted above)
+    assert(ST.rawManifestLines(root, 3).exists(_.startsWith(">")), "v3 not sharded")
+    assert(!ST.rawManifestLines(root, 1).exists(_.startsWith(">")), "v1 sharded")
+  }
+
+  test("st8: replaying a committed batch is a no-op; the table matches the batch aggregate") {
+    val res = SS.st8StreamSnapshotSink(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val root = graft.operators.Engine.tmpDir("graft_st8_table")
+    val v = ST.currentVersion(root)
+    val rows = ST.read(spark, root).count()
+    // at-least-once replay: same batch id arrives again (crash-restart
+    // shape) — the sink must skip it without writing or committing
+    val replay = graft.sources.Tables.events(spark, sf)
+      .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+      .select("event_id", "user_id", "event_type", "value", "ep_day")
+      .limit(5)
+    assert(!SS.appendBatch(root, replay, batchId = 0L), "replayed batch not skipped")
+    assert(!SS.appendBatch(root, replay, batchId = 2L), "replayed batch not skipped")
+    assert(ST.currentVersion(root) == v && ST.read(spark, root).count() == rows,
+      "replay mutated the table")
+    // a genuinely NEW batch id still commits
+    assert(SS.appendBatch(root, replay, batchId = 3L), "new batch rejected")
+    assert(ST.currentVersion(root) == v + 1 &&
+      ST.read(spark, root).count() == rows + 5, "new batch not appended")
+    // parity: the committed table's day aggregate == the raw log's
+    val expect = graft.sources.Tables.events(spark, sf)
+      .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+      .groupBy("ep_day")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("v"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(res == expect, "st8 result drifted from the batch aggregate")
+  }
+}
+
+/** x16's OPTIMIZE: the clustering rewrite that converts a no-skip
+  * layout into a pruning layout without changing a row. */
+class ClusterOptimizeSpec extends AnyFunSuite {
+  import TestSession._
+  import org.apache.spark.sql.functions._
+  val ST = graft.operators.SnapshotTable
+
+  test("x16: unclustered layout skips nothing, OPTIMIZEd layout skips files, content identical") {
+    val root = ST.clusterTable(spark, sf)
+    val v2 = ST.currentVersion(root)
+    val v1 = v2 - 1
+    val before = ST.manifestEntries(root, v1)
+    val after = ST.manifestEntries(root, v2)
+    assert(before.size == ST.X16Files && after.size == ST.X16Files)
+    // round-robin files all span the query range: stats CANNOT skip
+    assert(ST.prunedEntries(root, v1, ST.X16Lo, ST.X16Hi).size == before.size,
+      "unclustered layout unexpectedly skippable — fixture broken")
+    // clustered files own disjoint ranges: the 5-day query prunes most
+    val pruned = ST.prunedEntries(root, v2, ST.X16Lo, ST.X16Hi)
+    assert(pruned.size < after.size,
+      s"optimize produced no pruning: ${after.map(e => (e.rel, e.lo, e.hi))}")
+    // range partitioning puts each key in exactly one file: disjoint stats
+    after.sortBy(_.lo).sliding(2).foreach {
+      case Seq(a, b) => assert(a.hi <= b.lo, s"overlapping clustered files: $a $b")
+      case _ =>
+    }
+    // the rewrite is layout-only: v1 and v2 hold the same rows
+    val d1 = ST.readAt(spark, root, v1)
+    val d2 = ST.readAt(spark, root, v2)
+    assert(d1.count() == d2.count() && d1.except(d2).isEmpty && d2.except(d1).isEmpty,
+      "OPTIMIZE changed table content")
+    assert(ST.manifestMeta(root, v2) == Map("optimize" -> "clustered:ep_day"))
+    // pruned scan == full scan on the query itself
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .filter(col("ep_day").between(ST.X16Lo, ST.X16Hi))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(agg(ST.readPruned(spark, root, "ep_day", ST.X16Lo, ST.X16Hi)) == agg(d2))
+  }
+}
+
+/** x17's copy-on-write MERGE: file-level surgical rewrite driven by the
+  * stats manifest, pre-merge snapshot intact, row-level semantics. */
+class MergeSpec extends AnyFunSuite {
+  import TestSession._
+  import org.apache.spark.sql.functions._
+  val ST = graft.operators.SnapshotTable
+
+  test("x17: merge rewrites only the files containing touched keys; old snapshot intact") {
+    val root = ST.mergeTable(spark, sf)
+    val v2 = ST.currentVersion(root)
+    val v1 = v2 - 1
+    val before = ST.manifestEntries(root, v1)
+    val after = ST.manifestEntries(root, v2)
+    // exactly one 5-day file owned the 3-day changeset: 6 of 7 entries
+    // (rel, stats and all) are carried over untouched
+    val carried = before.map(_.rel).toSet intersect after.map(_.rel).toSet
+    assert(before.size == 7 && carried.size == 6,
+      s"merge rewrote the wrong files: before=${before.map(_.rel)} after=${after.map(_.rel)}")
+    assert(ST.manifestMeta(root, v2) == Map("merge" -> "cow:event_id:1of7"))
+    // the pre-merge snapshot is still exactly the raw log
+    val rawCount = graft.sources.Tables.events(spark, sf).count()
+    assert(ST.readAt(spark, root, v1).count() == rawCount, "v1 lost pre-merge content")
+    // row-level semantics on the merged snapshot
+    val merged = ST.read(spark, root).cache()
+    try {
+      val touched = merged.filter(col("ep_day").between(ST.X17Lo, ST.X17Hi))
+      assert(touched.filter(col("event_id") % 10 === 1).count() == 0, "deletes survived")
+      assert(touched.filter(col("event_id") < 0).count() == (ST.X17Hi - ST.X17Lo + 1),
+        "backfill inserts missing")
+      val expUpd = ST.x17Changes(spark, sf).filter(col("op") === "u").drop("op")
+      val gotUpd = touched.filter(col("event_id") % 10 === 0 && col("event_id") >= 0)
+        .select(expUpd.columns.map(col).toIndexedSeq: _*)
+      assert(expUpd.count() > 0 && expUpd.except(gotUpd).isEmpty &&
+        gotUpd.except(expUpd).isEmpty, "updates drifted from the changeset")
+      // untouched days are bit-identical across versions
+      val out = (df: org.apache.spark.sql.DataFrame) =>
+        df.filter(!col("ep_day").between(ST.X17Lo, ST.X17Hi))
+      assert(out(ST.readAt(spark, root, v1)).except(out(merged)).isEmpty &&
+        out(merged).except(out(ST.readAt(spark, root, v1))).isEmpty,
+        "merge leaked outside the changeset range")
+    } finally merged.unpersist()
+  }
+}
