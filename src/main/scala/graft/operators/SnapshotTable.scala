@@ -171,10 +171,14 @@ object SnapshotTable {
     * job. Row-group statistics min/max over an INT64 column; a file
     * whose footer carries no usable stats degrades to the never-pruned
     * sentinel entry rather than failing the commit. */
+  // one Configuration for every footer read: construction parses the
+  // Hadoop XML resource chain (~100ms), pure waste per-file
+  private lazy val hadoopConf = new Configuration()
+
   private[graft] def footerEntry(root: String, rel: String, keyCol: String): FileEntry = {
     import scala.jdk.CollectionConverters._
     val in = HadoopInputFile.fromPath(
-      new HadoopPath(Paths.get(root, rel).toUri), new Configuration())
+      new HadoopPath(Paths.get(root, rel).toUri), hadoopConf)
     val reader = ParquetFileReader.open(in)
     try {
       val blocks = reader.getFooter.getBlocks.asScala.toSeq
