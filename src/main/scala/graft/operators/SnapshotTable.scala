@@ -231,9 +231,17 @@ object SnapshotTable {
 
   /** Read a pinned version — time travel, and the isolation guarantee:
     * the file list is resolved ONCE; later commits add files and new
-    * manifests but never touch these. */
-  def readAt(s: SparkSession, root: String, v: Int): DataFrame =
-    s.read.parquet(manifest(root, v): _*)
+    * manifests but never touch these. A version whose metadata carries
+    * a `schema` key holds files of MIXED widths (add-column evolution,
+    * x18): only then is parquet schema merging paid — resolving the
+    * union schema footer-reads every file at planning time, so an
+    * unevolved table (the overwhelmingly common case at 100 TB) keeps
+    * its single-footer planning cost. */
+  def readAt(s: SparkSession, root: String, v: Int): DataFrame = {
+    val evolved = v > 0 && manifestMeta(root, v).contains("schema")
+    val r = if (evolved) s.read.option("mergeSchema", "true") else s.read
+    r.parquet(manifest(root, v): _*)
+  }
 
   def read(s: SparkSession, root: String): DataFrame =
     readAt(s, root, currentVersion(root))
@@ -584,6 +592,120 @@ object SnapshotTable {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
       .orderBy("ep_day")
 
+  /** CDC between two committed versions — Delta's change-data-feed
+    * semantics derived purely from the MANIFEST DIFF: only files added
+    * or removed between `vFrom` and `vTo` are read (a rewritten file's
+    * unchanged rows cancel in the multiset difference), never the
+    * table. Emits the row-level delta with `change_type`
+    * (`insert`/`delete`; an update is its delete+insert pair). At
+    * 100 TB a downstream consumer (index refresh, aggregate
+    * maintenance, replication) processes one commit's worth of files
+    * per sync, not a snapshot scan. */
+  def changesBetween(s: SparkSession, root: String,
+      vFrom: Int, vTo: Int): DataFrame = {
+    val from = manifestEntries(root, vFrom).map(_.rel).toSet
+    val to = manifestEntries(root, vTo).map(_.rel).toSet
+    def readRels(rels: Set[String]): Option[DataFrame] =
+      if (rels.isEmpty) None
+      else Some(s.read.parquet(rels.toSeq.sorted.map(r => Paths.get(root, r).toString): _*))
+    val added = readRels(to -- from)
+    val removed = readRels(from -- to)
+    (added, removed) match {
+      case (Some(a), Some(r)) =>
+        a.exceptAll(r).withColumn("change_type", lit("insert"))
+          .unionByName(r.exceptAll(a).withColumn("change_type", lit("delete")))
+      case (Some(a), None) => a.withColumn("change_type", lit("insert"))
+      case (None, Some(r)) => r.withColumn("change_type", lit("delete"))
+      case (None, None) => s.emptyDataFrame
+    }
+  }
+
+  /** x19_incremental_read — the change feed of x17's merge commit,
+    * aggregated day/type-grain: deletes are the removed rows AND the
+    * pre-images of updates, inserts are the post-images and backfills.
+    * The DuckDB oracle derives the same delta functionally from the raw
+    * log; the point is the plan — only the one rewritten file and its
+    * replacement are ever opened. */
+  def x19IncrementalRead(s: SparkSession, d: String): DataFrame = {
+    val root = mergeTable(s, d)
+    val v = currentVersion(root)
+    changesBetween(s, root, v - 1, v)
+      .groupBy(col("change_type"), col("ep_day"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .orderBy("change_type", "ep_day")
+  }
+
+  val x19Sql: String =
+    s"""WITH e AS (SELECT event_id, value,
+      |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day FROM events),
+      |r AS (SELECT * FROM e WHERE ep_day BETWEEN $X17Lo AND $X17Hi),
+      |chg AS (
+      |  SELECT 'delete' AS change_type, ep_day, value
+      |  FROM r WHERE event_id % 10 IN (0, 1)
+      |  UNION ALL
+      |  SELECT 'insert', ep_day, value + 1000.0 FROM r WHERE event_id % 10 = 0
+      |  UNION ALL
+      |  SELECT 'insert', d, CAST(1.0 AS DOUBLE)
+      |  FROM generate_series($X17Lo, $X17Hi) AS g(d))
+      |SELECT change_type, ep_day, COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM chg GROUP BY change_type, ep_day
+      |ORDER BY change_type, ep_day""".stripMargin
+
+  /** x18's enriched block: the last 5-day file group (19750..19752 ⊂
+    * grp 3950), re-ingested with a NEW `quality` column. */
+  private[graft] val X18Grp = 3950L
+
+  /** Build (once per session+dir) x18's table: v1 is the day-clustered
+    * event log (narrow, 5 columns); v2 swaps the last 5-day block for an
+    * enriched re-ingest carrying a new `quality` column — add-column
+    * schema evolution, file-granular, metadata-flagged so ONLY evolved
+    * versions pay schema-merge planning. Old files are never rewritten:
+    * at 100 TB adding a column costs one block's re-ingest (or nothing,
+    * if only future ingests carry it), never a table rewrite. */
+  private val evolveMemo = new graft.SessionMemo[String]
+  private[graft] def evolveTable(s: SparkSession, d: String): String =
+    evolveMemo.getOrElseUpdate(s, d) {
+      val root = Engine.tmpDir("graft_snap_evolve")
+      Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+      val entries = stageDayClustered(s, d, root)
+      val v1 = commitEntries(root, 0, entries, shardSize = 3)
+      val lastRel = s"data_g$X18Grp.parquet"
+      assert(entries.exists(_.rel == lastRel), s"fixture drift: no $lastRel")
+      val enriched = s.read.parquet(Paths.get(root, lastRel).toString)
+        .withColumn("quality", col("value") * 0.1)
+      val newRel = writeDataFile(enriched, root, "v2_enriched")
+      commitEntries(root, v1,
+        entries.filterNot(_.rel == lastRel) :+ footerEntry(root, newRel, "ep_day"),
+        shardSize = 3, Map("schema" -> "evolved:+quality"))
+      root
+    }
+
+  /** x18_schema_evolution — a whole-table day aggregate over the
+    * evolved snapshot: rows from narrow files surface `quality` as
+    * null, the enriched block carries values. The DuckDB oracle models
+    * evolution functionally (quality = value*0.1 on the last block,
+    * null elsewhere); EvolveSpec pins the width of both versions and
+    * the null/edge behavior. */
+  def x18SchemaEvolution(s: SparkSession, d: String): DataFrame =
+    read(s, evolveTable(s, d))
+      .groupBy(col("ep_day"))
+      .agg(count(lit(1)).as("n_events"),
+        count(col("quality")).as("n_quality"),
+        sum(col("quality").cast("decimal(18,6)")).cast("double").as("quality_sum"))
+      .orderBy("ep_day")
+
+  val x18Sql: String =
+    s"""WITH e AS (SELECT value,
+      |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day FROM events),
+      |w AS (SELECT ep_day,
+      |  CASE WHEN ep_day // 5 = $X18Grp THEN value * 0.1 ELSE NULL END AS quality
+      |  FROM e)
+      |SELECT ep_day, COUNT(*) AS n_events, COUNT(quality) AS n_quality,
+      |  CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE) AS quality_sum
+      |FROM w GROUP BY ep_day ORDER BY ep_day""".stripMargin
+
   val x17Sql: String =
     s"""WITH e AS (SELECT event_id, value,
       |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day FROM events),
@@ -631,5 +753,7 @@ object SnapshotTable {
     "x15_stats_pruning" -> (x15StatsPruning _, Some(x15Sql)),
     "x16_cluster_optimize" -> (x16ClusterOptimize _, Some(x16Sql)),
     "x17_merge_upsert" -> (x17MergeUpsert _, Some(x17Sql)),
+    "x18_schema_evolution" -> (x18SchemaEvolution _, Some(x18Sql)),
+    "x19_incremental_read" -> (x19IncrementalRead _, Some(x19Sql)),
   )
 }

@@ -1019,3 +1019,84 @@ class MergeSpec extends AnyFunSuite {
     } finally merged.unpersist()
   }
 }
+
+/** x18's add-column evolution: mixed-width files under one manifest,
+  * schema-merge paid only by flagged versions, nulls where history is
+  * narrow. */
+class EvolveSpec extends AnyFunSuite {
+  import TestSession._
+  import org.apache.spark.sql.functions._
+  val ST = graft.operators.SnapshotTable
+
+  test("x18: evolved version is wide with nulls on history; old version stays narrow") {
+    val root = ST.evolveTable(spark, sf)
+    val v2 = ST.currentVersion(root)
+    val v1 = v2 - 1
+    val narrow = ST.readAt(spark, root, v1)
+    val wide = ST.readAt(spark, root, v2)
+    assert(!narrow.columns.contains("quality"), "v1 grew a column")
+    assert(wide.columns.contains("quality"), "v2 lacks the evolved column")
+    // same rows; evolution adds width, not rows
+    assert(narrow.count() == wide.count())
+    // narrow-file rows surface null; enriched block is fully populated
+    val lastBlock = col("ep_day") >= ST.X18Grp * 5
+    assert(wide.filter(!lastBlock && col("quality").isNotNull).count() == 0,
+      "history rows have non-null quality")
+    assert(wide.filter(lastBlock && col("quality").isNull).count() == 0,
+      "enriched rows missing quality")
+    // only the flagged version pays mergeSchema: the v2 manifest says so
+    assert(ST.manifestMeta(root, v2).get("schema").contains("evolved:+quality"))
+    assert(ST.manifestMeta(root, v1).isEmpty)
+  }
+}
+
+/** x19's manifest-diff CDC: only the swapped files are read, the delta
+  * is exactly the merge changeset, and a pure-append commit yields
+  * insert-only changes. */
+class ChangeFeedSpec extends AnyFunSuite {
+  import TestSession._
+  import org.apache.spark.sql.functions._
+  val ST = graft.operators.SnapshotTable
+
+  test("x19: change feed reads only diffed files and reproduces the changeset") {
+    val root = ST.mergeTable(spark, sf)
+    val v = ST.currentVersion(root)
+    val feed = ST.changesBetween(spark, root, v - 1, v)
+    locally {
+      // plan proof: the scan's file list is the manifest diff, not the table
+      val scanned = feed.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.toSeq
+      }.flatten.map(p => p.substring(p.lastIndexOf('/') + 1)).toSet
+      val before = ST.manifestEntries(root, v - 1).map(_.rel).toSet
+      val after = ST.manifestEntries(root, v).map(_.rel).toSet
+      assert(scanned == (after -- before) ++ (before -- after),
+        s"CDC read beyond the diff: $scanned")
+      assert(scanned.size == 2, s"expected 1 removed + 1 added file, got $scanned")
+      // content: deletes = pre-images of updates + deleted rows;
+      // inserts = post-images + backfills — exactly the changeset
+      val changes = ST.x17Changes(spark, sf)
+      val nUpd = changes.filter(col("op") === "u").count()
+      val nDel = changes.filter(col("op") === "d").count()
+      val nIns = changes.filter(col("op") === "i").count()
+      assert(feed.filter(col("change_type") === "delete").count() == nUpd + nDel)
+      assert(feed.filter(col("change_type") === "insert").count() == nUpd + nIns)
+      // applying the feed to v1 yields v2 (the CDC replay contract)
+      val cols = feed.columns.filter(_ != "change_type").map(col).toIndexedSeq
+      val v1 = ST.readAt(spark, root, v - 1)
+      val replayed = v1.exceptAll(feed.filter(col("change_type") === "delete").select(cols: _*))
+        .unionByName(feed.filter(col("change_type") === "insert").select(cols: _*))
+      val v2 = ST.readAt(spark, root, v)
+      assert(replayed.exceptAll(v2).isEmpty && v2.exceptAll(replayed).isEmpty,
+        "replaying the change feed onto v1 does not reproduce v2")
+    }
+  }
+
+  test("x19: a pure-append commit's feed is insert-only (st8's table)") {
+    graft.streaming.SnapshotSink.st8StreamSnapshotSink(spark, sf).collect()
+    val root = graft.operators.Engine.tmpDir("graft_st8_table")
+    val feed = ST.changesBetween(spark, root, 1, 2)
+    assert(feed.filter(col("change_type") =!= "insert").count() == 0)
+    assert(feed.count() > 0)
+  }
+}
