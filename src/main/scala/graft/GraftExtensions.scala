@@ -4,34 +4,49 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
-import graft.functions.{MinHashSignature, ShingleHashes, SimHashBands}
+import org.apache.spark.sql.catalyst.expressions.Expression
 
-/** Session extension wiring: registers graft's native expressions as SQL
-  * functions, so `spark.sql("SELECT shingle_hashes(text) ...")` works in
-  * any session built with
+import graft.functions.{BigramEntries, BigramHashes, ByteStats,
+  HyperplaneBuckets, MinHashSignature, QuantizedDot, ShingleHashes,
+  SimHashBands, SqNorm}
+
+/** Session extension wiring: registers EVERY graft native expression as
+  * a SQL function, so `spark.sql("SELECT shingle_hashes(text) ...")`
+  * (and the vector/byte kernels) work in any session built with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or via
-  * `spark.sql.extensions=graft.GraftExtensions`.
+  * `spark.sql.extensions=graft.GraftExtensions` — the full engine
+  * surface is reachable from pure SQL, not just the Scala DSL.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litInt(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((
-      FunctionIdentifier("shingle_hashes"),
-      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        ShingleHashes(exprs.head)))
-    e.injectFunction((
-      FunctionIdentifier("simhash_bands"),
-      new ExpressionInfo(classOf[SimHashBands].getName, "simhash_bands"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SimHashBands(exprs.head)))
-    e.injectFunction((
-      FunctionIdentifier("minhash_signature"),
-      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
-        require(exprs.length == 2 && exprs(1).foldable,
-          "minhash_signature(arr, k) requires a literal k")
-        MinHashSignature(exprs.head,
-          exprs(1).eval().asInstanceOf[Number].intValue())
-      }))
+    def inject(name: String, cls: Class[_])(build: Seq[Expression] => Expression): Unit =
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name), build))
+
+    inject("shingle_hashes", classOf[ShingleHashes])(x => ShingleHashes(x.head))
+    inject("simhash_bands", classOf[SimHashBands])(x => SimHashBands(x.head))
+    inject("minhash_signature", classOf[MinHashSignature]) { x =>
+      require(x.length == 2, "minhash_signature(arr, k)")
+      MinHashSignature(x.head, litInt(x(1), "minhash_signature k"))
+    }
+    inject("bigram_hashes", classOf[BigramHashes])(x => BigramHashes(x.head))
+    inject("bigram_entries", classOf[BigramEntries])(x => BigramEntries(x.head))
+    inject("quantized_dot", classOf[QuantizedDot]) { x =>
+      require(x.length == 2, "quantized_dot(a, b)")
+      QuantizedDot(x.head, x(1))
+    }
+    inject("sq_norm", classOf[SqNorm])(x => SqNorm(x.head))
+    inject("byte_stats", classOf[ByteStats])(x => ByteStats(x.head))
+    inject("hyperplane_buckets", classOf[HyperplaneBuckets]) { x =>
+      require(x.length == 3, "hyperplane_buckets(v, tables, bits)")
+      HyperplaneBuckets(x.head, litInt(x(1), "hyperplane_buckets tables"),
+        litInt(x(2), "hyperplane_buckets bits"))
+    }
   }
 }

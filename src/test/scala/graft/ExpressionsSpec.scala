@@ -142,4 +142,27 @@ class ExpressionsSpec extends AnyFunSuite {
       .collect().head.getInt(0)
     assert(k == 8)
   }
+
+  test("every native kernel is reachable from pure SQL") {
+    // quantized_dot/sq_norm: 1*4 + 2*5 + 3*6 = 32; 1+4+9 = 14
+    val r = spark.sql(
+      """SELECT quantized_dot(array(1L,2L,3L), array(4L,5L,6L)) AS dp,
+        |  sq_norm(array(1L,2L,3L)) AS nrm,
+        |  byte_stats(cast('aab' AS BINARY)) AS bs,
+        |  size(hyperplane_buckets(array(1L,2L,3L), 4, 8)) AS hb,
+        |  size(bigram_hashes('a b c')) AS bh,
+        |  size(bigram_entries('a b c')) AS be""".stripMargin).collect().head
+    assert(r.getLong(0) == 32L && r.getLong(1) == 14L)
+    assert(r.getSeq[Long](2) == Seq(3L, 292L, 2L, 2L)) // n, sum(97+97+98), distinct, run
+    assert(r.getInt(3) == 4 && r.getInt(4) == 2 && r.getInt(5) == 2)
+    // SQL and DSL forms resolve to the SAME expression: identical results
+    val doc = graft.sources.Tables.documents(spark, sf).limit(20)
+    doc.createOrReplaceTempView("x_docs")
+    val sqlSide = spark.sql("SELECT doc_id, simhash_bands(text) AS b FROM x_docs")
+      .collect().map(row => row.getLong(0) -> row.getSeq[Long](1)).toMap
+    val dslSide = doc.select(col("doc_id"),
+        graft.functions.simhash_bands(col("text")).as("b"))
+      .collect().map(row => row.getLong(0) -> row.getSeq[Long](1)).toMap
+    assert(sqlSide == dslSide)
+  }
 }
