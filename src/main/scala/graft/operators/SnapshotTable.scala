@@ -82,13 +82,21 @@ object SnapshotTable {
       if (Files.exists(latest)) new String(Files.readAllBytes(latest)).trim.toInt
       else 0
     val onDisk = Engine.listDir(manifestDir(root))
-      // a zero-byte manifest is a claimed-but-unfilled commit slot (the
-      // window between the CAS createFile and the content move) — not a
-      // committed version yet
-      .filter(p => Files.size(p) > 0)
+      // name-filter BEFORE statting: the listing also surfaces other
+      // committers' transient `.v*.tmp` files, which vanish between
+      // list and stat when their atomic move lands (CommitRaceSpec
+      // races this); manifest files themselves are never deleted by a
+      // commit, so statting them cannot race
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.startsWith("v") && n.endsWith(".txt") &&
+          // a zero-byte manifest is a claimed-but-unfilled commit slot
+          // (the window between the CAS createFile and the content
+          // move) — not a committed version yet
+          Files.size(p) > 0
+      }
       .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
-        s.stripPrefix("v").stripSuffix(".txt").toInt }
+      .map(s => s.stripPrefix("v").stripSuffix(".txt").toInt)
       .maxOption.getOrElse(0)
     math.max(pointed, onDisk)
   }

@@ -435,7 +435,70 @@ object TextAnalysis {
        |FROM v GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** t11's fixed keyword query and BM25 constants (k1/b are the
+    * standard Robertson defaults; idf is the Lucene +1 formulation, so
+    * scores are always positive). */
+  private[graft] val T11Query = Seq("join", "window", "scan")
+  private val T11K1 = 1.2
+  private val T11B = 0.75
+  private val T11TopK = 15
+
+  /** t11_bm25_search — keyword retrieval: BM25-ranked top-15 documents
+    * for a fixed 3-term query. Scores are rounded to 6 decimals before
+    * ranking so the Spark and DuckDB sides order identically (the
+    * arithmetic is IEEE-double in both; rounding absorbs ulp-level
+    * libm/summation-order drift).
+    *
+    * Scale shape: the only per-corpus work is one scan producing doc
+    * lengths (an array `size`, no explode) and the query-term postings
+    * (explode FILTERED to the 3 query terms before any shuffle — the
+    * aggregation carries |docs containing a query term| rows, not the
+    * corpus's token stream). df and avgdl are scalar/3-row aggregates
+    * joined back by broadcast; the final top-k is a 1-partition sort of
+    * per-doc scores, the classic searcher plan. */
+  def t11Bm25Search(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val len = docs.select(col("doc_id"), size(toks(col("text"))).cast("long").as("dl"))
+    val nDocs = docs.count().toDouble
+    val avgdl = len.agg(avg(col("dl"))).head.getDouble(0)
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .filter(col("term").isin(T11Query: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("f"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("dfc"))
+    tf.join(broadcast(df), "term")
+      .join(len, "doc_id")
+      .withColumn("idf", log(lit(1.0) + (lit(nDocs) - col("dfc") + 0.5) / (col("dfc") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * col("f") * (T11K1 + 1.0) /
+          (col("f") + lit(T11K1) * (lit(1.0 - T11B) + col("dl") * lit(T11B) / lit(avgdl))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 6).as("bm25"))
+      .orderBy(desc("bm25"), asc("doc_id"))
+      .limit(T11TopK)
+  }
+
+  val t11Sql: String = {
+    val q = T11Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |len AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+      |stats AS (SELECT AVG(dl) AS avgdl, COUNT(*) AS nd FROM len),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS f
+      |  FROM toks WHERE term IN ($q) GROUP BY doc_id, term),
+      |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS dfc FROM tf GROUP BY term)
+      |SELECT doc_id,
+      |  ROUND(SUM(ln(1.0 + (nd - dfc + 0.5) / (dfc + 0.5))
+      |    * f * (${T11K1} + 1.0)
+      |    / (f + ${T11K1} * (1.0 - ${T11B} + ${T11B} * dl / avgdl))), 6) AS bm25
+      |FROM tf JOIN df USING (term) JOIN len USING (doc_id) CROSS JOIN stats
+      |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT $T11TopK""".stripMargin
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "t11_bm25_search" -> (t11Bm25Search _, Some(t11Sql)),
     "t7_corpus_curation" -> (t7CorpusCuration _, Some(t7Sql)),
     "t8_corpus_curation_lsh" -> (t8CorpusCurationLsh _, None),
     "t6_bigram_stats" -> (t6BigramStats _, Some(t6Sql)),

@@ -1100,3 +1100,55 @@ class ChangeFeedSpec extends AnyFunSuite {
     assert(feed.count() > 0)
   }
 }
+
+/** The manifest CAS under REAL thread races: every committer's retry
+  * loop eventually lands, versions linearize with no lost updates, and
+  * no orphan shards remain. */
+class CommitRaceSpec extends AnyFunSuite {
+  import TestSession._
+  val ST = graft.operators.SnapshotTable
+
+  test("N concurrent committers all land; no update lost, no shard leaked") {
+    val root = graft.operators.Engine.tmpDir("graft_snapstats_race")
+    graft.operators.Engine.listDir(java.nio.file.Paths.get(root))
+      .foreach(graft.operators.Engine.deleteRecursively)
+    val N = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(N)
+    val landed = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = (1 to N).map { i =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          var done = false
+          while (!done) {
+            val v = ST.currentVersion(root)
+            val base = if (v == 0) Nil else ST.manifestEntries(root, v)
+            try {
+              // shardSize=2 forces the sharded path once a few commits
+              // land, so CAS-loser shard cleanup races too
+              ST.commitEntries(root, v,
+                base :+ ST.FileEntry(s"f_$i.parquet", i, i, 1), shardSize = 2)
+              landed.incrementAndGet(); done = true
+            } catch {
+              case _: java.nio.file.FileAlreadyExistsException => () // lost the race: re-read, retry
+            }
+          }
+        }
+      })
+    }
+    tasks.foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(landed.get == N)
+    val v = ST.currentVersion(root)
+    assert(v == N, s"expected $N linearized versions, got $v")
+    val rels = ST.manifestEntries(root, v).map(_.rel).toSet
+    assert(rels == (1 to N).map(i => s"f_$i.parquet").toSet,
+      s"lost update: final manifest $rels")
+    // every shard on disk is referenced by some surviving manifest
+    val live = (1 to v).flatMap(i => ST.rawManifestLines(root, i)
+      .collect { case l if l.startsWith(">") => l.drop(1) }).toSet
+    val onDisk = graft.operators.Engine
+      .listDir(java.nio.file.Paths.get(root, "_manifests"))
+      .map(_.getFileName.toString).filter(_.startsWith("shard_")).toSet
+    assert(onDisk.subsetOf(live), s"orphan shards: ${onDisk -- live}")
+  }
+}
