@@ -169,6 +169,36 @@ object ShingleKernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** ALL-occurrence (leftTokenHash, bigramHash) pairs of a
+    * space-separated text, in order — the conditional-probability key
+    * pair a bigram LM needs: `hb` identifies the bigram (numerator
+    * count), `hl` its left token (denominator count). Hashes are
+    * IDENTICAL to [[bigramHashes]]' constituents, so counts joined
+    * across the two kernels agree. */
+  def bigramPairHashes(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val tokens = new java.util.ArrayList[Long]()
+    var i = 0
+    var start = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (i > start) tokens.add(fnv64(bytes, start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    val m = tokens.size() - 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m)
+    var j = 0
+    while (j < m) {
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](tokens.get(j), mix2(tokens.get(j), tokens.get(j + 1))))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** k-permutation MinHash signature over a shingle-hash array. */
   def minhashSignature(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
@@ -240,6 +270,23 @@ case class BigramEntries(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): BigramEntries =
     copy(child = newChild)
   override def prettyName: String = "bigram_entries"
+}
+
+/** `bigram_pair_hashes(text)` — all-occurrence (hl, hb) left-token /
+  * bigram hash pairs, the LM conditional-count key pair (t12). */
+case class BigramPairHashes(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(StringType)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("hl", LongType, nullable = false),
+    StructField("hb", LongType, nullable = false))), containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernels.bigramPairHashes(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.bigramPairHashes($c)")
+  override protected def withNewChildInternal(newChild: Expression): BigramPairHashes =
+    copy(child = newChild)
+  override def prettyName: String = "bigram_pair_hashes"
 }
 
 /** `simhash_bands(text)` — 64-bit SimHash as 4×16-bit band values. */

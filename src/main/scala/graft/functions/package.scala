@@ -21,6 +21,10 @@ package object functions {
   def bigram_entries(c: Column): Column =
     GraftShim.column(BigramEntries(GraftShim.expression(c)))
 
+  /** All-occurrence (hl, hb) left-token / bigram hash pairs. */
+  def bigram_pair_hashes(c: Column): Column =
+    GraftShim.column(BigramPairHashes(GraftShim.expression(c)))
+
   /** 64-bit SimHash of a space-separated text as 4×16-bit bands. */
   def simhash_bands(c: Column): Column =
     GraftShim.column(SimHashBands(GraftShim.expression(c)))

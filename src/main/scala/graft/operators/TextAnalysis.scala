@@ -497,7 +497,56 @@ object TextAnalysis {
       |GROUP BY doc_id ORDER BY bm25 DESC, doc_id LIMIT $T11TopK""".stripMargin
   }
 
+  /** t12_lm_quality — per-document quality under the corpus's own
+    * bigram language model: avg log P(w2|w1) with MLE conditional
+    * probabilities (count(w1 w2) / count(w1 ·), both from the full
+    * corpus — every doc's bigrams are in the counts, so probabilities
+    * are never zero and no smoothing constant enters the oracle
+    * contract). This is the perplexity-style fluency filter an LLM-data
+    * pipeline runs beside t2's surface heuristics: boilerplate and
+    * repeated templates score high, token soup scores low. Rounded to
+    * 6dp so Spark and DuckDB summation orders agree.
+    *
+    * Scale shape: every shuffle is keyed on 8-byte hashes from the
+    * `bigram_pair_hashes` kernel, never token strings. The first
+    * aggregation collapses the corpus token stream to per-doc DISTINCT
+    * bigram rows with occurrence counts (map-side combine); LM count
+    * joins reuse those rows, shuffling |distinct (doc,bigram)| keys.
+    * At 100 TB the LM tables are vocab-shaped, the per-doc frame
+    * corpus-shaped — all joins hash-partition on the same 8-byte keys. */
+  def t12LmQuality(s: SparkSession, d: String): DataFrame = {
+    val perDoc = Tables.documents(s, d)
+      .select(col("doc_id"),
+        explode(graft.functions.bigram_pair_hashes(col("text"))).as("p"))
+      .select(col("doc_id"), col("p.hl").as("hl"), col("p.hb").as("hb"))
+      .groupBy(col("doc_id"), col("hb"))
+      // hb is a function of (hl, right token): hl is constant per hb
+      .agg(count(lit(1)).as("f"), first(col("hl")).as("hl"))
+    val c2 = perDoc.groupBy(col("hb")).agg(sum(col("f")).as("n2"))
+    val c1 = perDoc.groupBy(col("hl")).agg(sum(col("f")).as("n1"))
+    perDoc.join(c2, "hb").join(c1, "hl")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("f")).as("n_bigrams"),
+        round(sum(col("f") * log(col("n2").cast("double") / col("n1").cast("double")))
+          / sum(col("f")), 6).as("avg_ll"))
+      .orderBy("doc_id")
+  }
+
+  val t12Sql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+      |  generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+      |bg AS (SELECT doc_id, term AS w1, LEAD(term, 1) OVER w AS w2 FROM toks
+      |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |bg2 AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+      |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS n2 FROM bg2 GROUP BY w1, w2),
+      |c1 AS (SELECT w1, CAST(COUNT(*) AS DOUBLE) AS n1 FROM bg2 GROUP BY w1)
+      |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |  ROUND(AVG(ln(n2 / n1)), 6) AS avg_ll
+      |FROM bg2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "t12_lm_quality" -> (t12LmQuality _, Some(t12Sql)),
     "t11_bm25_search" -> (t11Bm25Search _, Some(t11Sql)),
     "t7_corpus_curation" -> (t7CorpusCuration _, Some(t7Sql)),
     "t8_corpus_curation_lsh" -> (t8CorpusCurationLsh _, None),

@@ -64,6 +64,23 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(viaCodegen.toSeq == viaInterp.toSeq)
   }
 
+  test("bigram_pair_hashes: hb matches bigram_hashes per occurrence, hl keyed on left token") {
+    val rows = Seq(Tuple1("a b a b c")).toDF("text")
+      .select(graft.functions.bigram_hashes(col("text")).as("h"),
+        graft.functions.bigram_pair_hashes(col("text")).as("p"))
+      .select(col("h"), col("p.hl").as("hl"), col("p.hb").as("hb"))
+      .collect().head
+    val (h, hl, hb) = (rows.getSeq[Long](0), rows.getSeq[Long](1), rows.getSeq[Long](2))
+    // same occurrences in the same order as bigram_hashes
+    assert(hb == h, "pair kernel's hb must equal bigram_hashes occurrence-wise")
+    // left-token hashes: positions 0 ("a b") and 2 ("a b") share hl with
+    // each other but ALSO with nothing else starting 'b'
+    assert(hl(0) == hl(2) && hl(1) == hl(3) && hl(0) != hl(1),
+      "hl must key on the left token only")
+    // hb determines hl (the t12 aggregation relies on this)
+    assert(hb.zip(hl).toMap.size == hb.toSet.size)
+  }
+
   test("vector kernels refuse silent truncation (dim mismatch / >64 dims)") {
     val bad = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L))).toDF("a", "b")
     val ex = intercept[Exception] {
@@ -151,10 +168,11 @@ class ExpressionsSpec extends AnyFunSuite {
         |  byte_stats(cast('aab' AS BINARY)) AS bs,
         |  size(hyperplane_buckets(array(1L,2L,3L), 4, 8)) AS hb,
         |  size(bigram_hashes('a b c')) AS bh,
-        |  size(bigram_entries('a b c')) AS be""".stripMargin).collect().head
+        |  size(bigram_entries('a b c')) AS be,
+        |  size(bigram_pair_hashes('a b c')) AS bp""".stripMargin).collect().head
     assert(r.getLong(0) == 32L && r.getLong(1) == 14L)
     assert(r.getSeq[Long](2) == Seq(3L, 292L, 2L, 2L)) // n, sum(97+97+98), distinct, run
-    assert(r.getInt(3) == 4 && r.getInt(4) == 2 && r.getInt(5) == 2)
+    assert(r.getInt(3) == 4 && r.getInt(4) == 2 && r.getInt(5) == 2 && r.getInt(6) == 2)
     // SQL and DSL forms resolve to the SAME expression: identical results
     val doc = graft.sources.Tables.documents(spark, sf).limit(20)
     doc.createOrReplaceTempView("x_docs")
