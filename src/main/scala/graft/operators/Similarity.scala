@@ -298,7 +298,83 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  private[graft] val Sq8Shortlist = 40
+
+  /** s7_knn_sq8 — two-stage scalar-quantized ANN (the FAISS SQ8+refine
+    * shape): vectors are re-quantized to int8 range with one corpus-wide
+    * symmetric scale (max |component|, an exact integer aggregate), the
+    * shortlist pass scores ALL candidates on the int8 representation,
+    * and only the Sq8Shortlist survivors per query have their FULL-
+    * precision vectors fetched for the exact re-rank to top-10. Both
+    * stages are integer dot products + one double division → fully
+    * oracle-checkable, unlike the randomized s2/s5 paths.
+    *
+    * Scale shape: at 100 TB the int8 corpus is the memory-resident scan
+    * side (4-8× smaller than the float vectors; here the narrow `q8`
+    * projection), queries are broadcast, and the full-precision table is
+    * touched only through the shortlist join — 40·|queries| lookups, not
+    * a second corpus scan. Recall cost of SQ8 is bounded rounding error;
+    * the re-rank restores exact ordering among survivors (s7's top-10
+    * matches s1 wherever the true neighbor reaches the shortlist —
+    * SimilaritySpec measures it). */
+  def s7KnnSq8(s: SparkSession, d: String): DataFrame = {
+    val q = quantized(s, d)
+    // corpus-wide symmetric scale in exact integer domain
+    val mx = q.agg(max(array_max(transform(col("qv"), v => abs(v))))).head.getLong(0)
+    val q8 = q.select(col("vec_id"),
+        transform(col("qv"),
+          v => round(v.cast("double") * 127.0 / lit(mx.toDouble), 0).cast("long")).as("q8"))
+      .withColumn("n8", graft.functions.sq_norm(col("q8")))
+    val queries8 = q8.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("q8").as("q_q8"), col("n8").as("q_n8"))
+    val w8 = Window.partitionBy(col("q_id")).orderBy(desc("cos8"), asc("cand_id"))
+    val shortlist = q8.join(broadcast(queries8), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        cosine(graft.functions.quantized_dot(col("q_q8"), col("q8")),
+          col("q_n8"), col("n8")).as("cos8"))
+      .withColumn("rk8", row_number().over(w8))
+      .filter(col("rk8") <= Sq8Shortlist)
+      .select("q_id", "cand_id")
+    val qq = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    val cand = q.select(col("vec_id").as("cand_id"), col("qv"), col("nrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cos_sim"), asc("cand_id"))
+    shortlist.join(cand, "cand_id").join(broadcast(qq), "q_id")
+      .select(col("q_id"), col("cand_id"),
+        cosine(graft.functions.quantized_dot(col("q_qv"), col("qv")),
+          col("q_nrm"), col("nrm")).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .orderBy("q_id", "rk")
+  }
+
+  val s7Sql: String =
+    s"""WITH $quantizedSql,
+       |mx AS (SELECT MAX(list_max(list_transform(qv, v -> abs(v)))) AS m FROM qn),
+       |q8n AS (SELECT vec_id,
+       |  list_transform(qv, v -> CAST(round(CAST(v AS DOUBLE) * 127.0 / CAST(m AS DOUBLE), 0) AS BIGINT)) AS q8
+       |  FROM qn CROSS JOIN mx),
+       |q8 AS (SELECT vec_id, q8,
+       |  CAST(list_sum(list_transform(q8, v -> v * v)) AS BIGINT) AS n8 FROM q8n),
+       |qq8 AS (SELECT vec_id AS q_id, q8 AS q_q8, n8 AS q_n8 FROM q8 WHERE vec_id < 5),
+       |short AS (SELECT q_id, cand_id FROM (
+       |  SELECT q_id, vec_id AS cand_id,
+       |    ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY
+       |      CAST(list_sum(list_transform(range(1, len(q_q8) + 1), i -> q_q8[i] * q8[i])) AS DOUBLE)
+       |        / (sqrt(CAST(q_n8 AS DOUBLE)) * sqrt(CAST(n8 AS DOUBLE))) DESC, vec_id ASC) AS rk8
+       |  FROM q8 CROSS JOIN qq8 WHERE vec_id <> q_id) t WHERE rk8 <= $Sq8Shortlist),
+       |qq AS (SELECT vec_id AS q_id, qv AS q_qv, nrm AS q_nrm FROM qn WHERE vec_id < 5),
+       |rer AS (SELECT s.q_id, s.cand_id,
+       |  CAST(list_sum(list_transform(range(1, len(q_qv) + 1), i -> q_qv[i] * qv[i])) AS DOUBLE)
+       |    / (sqrt(CAST(q_nrm AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) AS cos_sim
+       |  FROM short s JOIN qn c ON s.cand_id = c.vec_id JOIN qq ON s.q_id = qq.q_id)
+       |SELECT * FROM (SELECT q_id, cand_id, cos_sim,
+       |  ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, cand_id ASC) AS rk
+       |  FROM rer) t
+       |WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "s7_knn_sq8" -> (s7KnnSq8 _, Some(s7Sql)),
     "s5_knn_ivf" -> (s5KnnIvf _, None),
     "s6_pairwise_lsh" -> (s6PairwiseLsh _, None),
     "s1_knn_brute" -> (s1KnnBrute _, Some(s1Sql)),

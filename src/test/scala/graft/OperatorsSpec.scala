@@ -124,6 +124,20 @@ class NonSqlOracleSpec extends AnyFunSuite {
     assert(overlap.nonEmpty, "IVF found zero of the true top-10 neighbors")
   }
 
+  test("s7_knn_sq8: two-stage SQ8+rerank reproduces s1's exact top-10 at test SF") {
+    val brute = graft.operators.Similarity.s1KnnBrute(spark, sf)
+      .select("q_id", "cand_id", "cos_sim", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val sq8 = graft.operators.Similarity.s7KnnSq8(spark, sf)
+      .select("q_id", "cand_id", "cos_sim", "rk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    // the 40-deep shortlist holds every true top-10 here, so the exact
+    // re-rank must reproduce s1 bit-for-bit (cos included: both sides
+    // compute the same integer dot / double division)
+    assert(sq8 == brute,
+      s"SQ8+rerank diverged from exact: ${sq8.toSet -- brute.toSet}")
+  }
+
   test("s6_pairwise_lsh equals the exact all-pairs strong-pair set at test SF") {
     import spark.implicits._
     // independent exact ground truth: quantized all-pairs over the FULL corpus
