@@ -320,7 +320,7 @@ object Similarity {
   def s7KnnSq8(s: SparkSession, d: String): DataFrame = {
     val q = quantized(s, d)
     // corpus-wide symmetric scale in exact integer domain
-    val mx = q.agg(max(array_max(transform(col("qv"), v => abs(v))))).head.getLong(0)
+    val mx = q.agg(max(array_max(transform(col("qv"), v => abs(v))))).head().getLong(0)
     val q8 = q.select(col("vec_id"),
         transform(col("qv"),
           v => round(v.cast("double") * 127.0 / lit(mx.toDouble), 0).cast("long")).as("q8"))

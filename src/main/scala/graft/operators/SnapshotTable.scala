@@ -411,7 +411,7 @@ object SnapshotTable {
   def merge(s: SparkSession, root: String, clusterCol: String, idCol: String,
       changes: DataFrame, shardSize: Int = 4): Int = {
     val v = currentVersion(root)
-    val bounds = changes.agg(min(col(clusterCol)), max(col(clusterCol))).head
+    val bounds = changes.agg(min(col(clusterCol)), max(col(clusterCol))).head()
     val (qlo, qhi) = (bounds.getLong(0), bounds.getLong(1))
     val affected = prunedEntries(root, v, qlo, qhi)
     val affectedSet = affected.map(_.rel).toSet
@@ -746,6 +746,120 @@ object SnapshotTable {
       |FROM e WHERE ep_day BETWEEN $X15Lo AND $X15Hi
       |GROUP BY ep_day ORDER BY ep_day""".stripMargin
 
+  /** x20's layout width: enough user-range files that a single-event
+    * needle lookup has real pruning headroom. */
+  private[graft] val X20Files = 7
+
+  /** Build (once per session+dir) x20's table: the event log clustered
+    * by USER range — so each file holds a tight user_id range but its
+    * event_id span covers nearly the whole domain (users act across the
+    * whole month). Every data file is written with a parquet BLOOM
+    * FILTER on event_id: min/max stats are useless for point lookups on
+    * a column the table is not clustered by (every file's range covers
+    * every needle), which is exactly the gap blooms close in real table
+    * formats (Delta/Iceberg bloom options). The write itself produces
+    * the bloom — commit stays a footer-metadata pass, never a stats
+    * job. */
+  private val bloomMemo = new graft.SessionMemo[String]
+  private[graft] def bloomTable(s: SparkSession, d: String): String =
+    bloomMemo.getOrElseUpdate(s, d) {
+      val root = Engine.tmpDir("graft_snap_bloom")
+      Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+      val scratch = Engine.tmpDir("graft_snap_bloom_scratch")
+      Tables.events(s, d)
+        .select("event_id", "user_id", "event_type", "value")
+        .repartitionByRange(X20Files, col("user_id"))
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#event_id", "true")
+        .parquet(scratch)
+      val entries = Engine.listDir(Paths.get(scratch))
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .sortBy(_.getFileName.toString)
+        .zipWithIndex.map { case (part, i) =>
+          val rel = s"data_u$i.parquet"
+          Files.move(part, Paths.get(root, rel), StandardCopyOption.REPLACE_EXISTING)
+          footerEntry(root, rel, "user_id")
+        }
+      commitEntries(root, 0, entries, shardSize = 3)
+      root
+    }
+
+  /** The values of `values` that file `rel`'s parquet bloom filter on
+    * `keyCol` may contain. Sound degradation everywhere: a row group
+    * without the column, or without a bloom, may contain ANY value. One
+    * footer + bloom-bitset read per call (KBs) — the planning-time cost
+    * a needle lookup pays instead of scanning the file (MBs–GBs); at
+    * 100 TB a caching layer (or manifest-inlined blooms, the Iceberg
+    * puffin shape) amortizes repeat lookups, but even cold this is a
+    * ~1000× IO reduction per skipped file. */
+  private[graft] def bloomMayContain(root: String, rel: String, keyCol: String,
+      values: Seq[Long]): Seq[Long] = {
+    import scala.jdk.CollectionConverters._
+    val in = HadoopInputFile.fromPath(
+      new HadoopPath(Paths.get(root, rel).toUri), hadoopConf)
+    val reader = ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      values.filter { v =>
+        blocks.exists { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == keyCol) match {
+            case None => true
+            case Some(cc) =>
+              val bf = reader.getBloomFilterDataReader(b).readBloomFilter(cc)
+              bf == null || bf.findHash(bf.hash(v))
+          }
+        }
+      }
+    } finally reader.close()
+  }
+
+  /** Needle lookup: scan ONLY the files whose bloom filter may contain
+    * one of `values`, with the exact predicate re-applied on the
+    * survivors (blooms admit false positives, never false negatives —
+    * pruning is never unsound). The complement of [[readPruned]]:
+    * min/max stats serve range queries on the cluster column; blooms
+    * serve point lookups on everything else. */
+  def readPointLookup(s: SparkSession, root: String, keyCol: String,
+      values: Seq[Long]): DataFrame = {
+    val entries = manifestEntries(root, currentVersion(root))
+    val hit = entries.map(_.rel)
+      .filter(rel => bloomMayContain(root, rel, keyCol, values).nonEmpty)
+    if (hit.isEmpty)
+      // preserve the schema without scanning data: one file's footer
+      s.read.parquet(Paths.get(root, entries.head.rel).toString).filter(lit(false))
+    else
+      s.read.parquet(hit.map(r => Paths.get(root, r).toString): _*)
+        .filter(col(keyCol).isin(values: _*))
+  }
+
+  /** x20's needle ids — derived from the manifest's exact row count
+    * (event_ids are dense 0..N-1 in the log), no data scan. */
+  private[graft] def x20Ids(root: String): Seq[Long] = {
+    val n = manifestEntries(root, currentVersion(root)).map(_.rows).sum
+    Seq(n / 20, n / 4, n / 2, 3 * n / 4, 19 * n / 20)
+  }
+
+  /** x20_point_lookup — five single-event needle lookups against the
+    * user-clustered snapshot: blooms route each id to the one file that
+    * holds it (false positives possible, counted by the spec; false
+    * negatives impossible). The DuckDB oracle scans the whole log; the
+    * point is the plan — at 100 TB the skipped files are the table,
+    * and stats pruning cannot help because event_id spans every file. */
+  def x20PointLookup(s: SparkSession, d: String): DataFrame = {
+    val root = bloomTable(s, d)
+    readPointLookup(s, root, "event_id", x20Ids(root))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .orderBy("event_id")
+  }
+
+  val x20Sql: String =
+    """WITH n AS (SELECT COUNT(*) AS c FROM events),
+      |ids AS (SELECT unnest([c // 20, c // 4, c // 2, 3 * c // 4, 19 * c // 20]) AS id
+      |  FROM n)
+      |SELECT event_id, user_id, event_type, value
+      |FROM events JOIN ids ON event_id = id
+      |ORDER BY event_id""".stripMargin
+
   val x14Sql: String =
     """WITH e AS (SELECT event_id,
       |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day,
@@ -763,5 +877,6 @@ object SnapshotTable {
     "x17_merge_upsert" -> (x17MergeUpsert _, Some(x17Sql)),
     "x18_schema_evolution" -> (x18SchemaEvolution _, Some(x18Sql)),
     "x19_incremental_read" -> (x19IncrementalRead _, Some(x19Sql)),
+    "x20_point_lookup" -> (x20PointLookup _, Some(x20Sql)),
   )
 }

@@ -460,7 +460,7 @@ object TextAnalysis {
     val docs = Tables.documents(s, d)
     val len = docs.select(col("doc_id"), size(toks(col("text"))).cast("long").as("dl"))
     val nDocs = docs.count().toDouble
-    val avgdl = len.agg(avg(col("dl"))).head.getDouble(0)
+    val avgdl = len.agg(avg(col("dl"))).head().getDouble(0)
     val tf = docs
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .filter(col("term").isin(T11Query: _*))

@@ -869,6 +869,29 @@ class SnapshotStatsSpec extends AnyFunSuite {
     assert(ST.manifestEntries(root, v2) == Seq(a, b2), "vacuum broke the live snapshot")
   }
 
+  test("x20 bloom point lookup: blooms route needles to few files; stats cannot") {
+    val root = ST.bloomTable(spark, sf)
+    val rels = ST.manifestEntries(root, ST.currentVersion(root)).map(_.rel)
+    val ids = ST.x20Ids(root)
+    val may = rels.map(r => r -> ST.bloomMayContain(root, r, "event_id", ids)).toMap
+    assert(may.count(_._2.nonEmpty) < rels.size,
+      s"bloom pruned nothing: ${may.count(_._2.nonEmpty)}/${rels.size}")
+    // no false negatives: every needle comes back from the pruned scan
+    val got = ST.x20PointLookup(spark, sf)
+      .select("event_id").collect().map(_.getLong(0)).toSeq
+    assert(got == ids, s"lookup returned $got, want $ids")
+    // min/max stats on event_id are useless on the user-clustered
+    // layout (every file's event_id range covers nearly every needle) —
+    // the bloom keep-set must be strictly smaller
+    val statKeep = ids.map { id =>
+      rels.count { r =>
+        val e = ST.footerEntry(root, r, "event_id"); e.lo <= id && id <= e.hi }
+    }.sum
+    val bloomKeep = may.values.map(_.size).sum
+    assert(bloomKeep < statKeep,
+      s"blooms ($bloomKeep file-hits) should beat stats ($statKeep) on a non-cluster column")
+  }
+
   test("x15 readPruned scans strictly fewer files and matches the full scan") {
     val root = ST.statsTable(spark, sf)
     val v = ST.currentVersion(root)
