@@ -746,6 +746,34 @@ object SnapshotTable {
       |FROM e WHERE ep_day BETWEEN $X15Lo AND $X15Hi
       |GROUP BY ep_day ORDER BY ep_day""".stripMargin
 
+  /** st9's commit plan: three 10-day ingest batches — the nightly
+    * append cadence a streaming consumer tails. */
+  private[graft] val St9Bounds =
+    Seq((19723L, 19732L), (19733L, 19742L), (19743L, 19752L))
+
+  /** Build (once per session+dir) st9's APPEND-ONLY table: each 10-day
+    * block of the event log lands as one data file in its own commit
+    * (entries = previous ++ new — no file ever removed), which is
+    * exactly the shape the DSv2 streaming source requires and a nightly
+    * ingest produces. */
+  private val streamTabMemo = new graft.SessionMemo[String]
+  private[graft] def streamTable(s: SparkSession, d: String): String =
+    streamTabMemo.getOrElseUpdate(s, d) {
+      val root = Engine.tmpDir("graft_snap_streamtab")
+      Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+      val ev = Tables.events(s, d)
+        .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+        .select("event_id", "user_id", "event_type", "value", "ep_day")
+      var entries = Seq.empty[FileEntry]
+      var v = 0
+      St9Bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
+        val rel = writeDataFile(ev.filter(col("ep_day").between(lo, hi)), root, s"b$i")
+        entries :+= footerEntry(root, rel, "ep_day")
+        v = commitEntries(root, v, entries, shardSize = 2)
+      }
+      root
+    }
+
   /** x20's layout width: enough user-range files that a single-event
     * needle lookup has real pruning headroom. */
   private[graft] val X20Files = 7

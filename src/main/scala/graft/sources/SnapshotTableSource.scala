@@ -1,0 +1,257 @@
+package graft.sources
+
+import java.nio.file.Paths
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{Path => HadoopPath}
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.api.ReadSupport
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.schema.{MessageType, MessageTypeParser}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.SnapshotTable
+
+/** DataSource V2 connector for the manifest-committed snapshot table —
+  * the API surface a table format exposes to every Spark user, not just
+  * callers of the Scala helpers:
+  *
+  *   - `spark.read.format("graft-snapshot").load(root)` — a batch scan
+  *     pinned to the CURRENT version at planning time (snapshot
+  *     isolation by construction: the file list is resolved once);
+  *     `.option("version", n)` time-travels;
+  *   - `spark.readStream.format("graft-snapshot").load(root)` — a
+  *     micro-batch stream whose OFFSETS ARE TABLE VERSIONS: each
+  *     trigger ingests the files appended by the next commit(s)
+  *     (`maxVersionsPerTrigger`, default 1 — one commit per batch, the
+  *     Delta/Iceberg streaming-read shape). Offsets are plain version
+  *     numbers → checkpoint/restart replays the exact manifest diff,
+  *     and since planning is pure manifest arithmetic the source is
+  *     fully replayable (exactly-once with an idempotent sink).
+  *     Commits that REMOVE files (merge/optimize rewrites) are not
+  *     streamable and fail loudly rather than emitting wrong deltas —
+  *     the append-only contract streaming reads of real table formats
+  *     enforce by default.
+  *
+  * Projection pushdown is real: `pruneColumns` narrows the parquet
+  * record schema handed to the file reader, so a 2-column aggregate
+  * over a wide table decodes 2 columns (SnapshotSourceSpec pins the
+  * scan's readSchema). Each data file is one InputPartition — at
+  * 100 TB planning ships (path, schema) pairs, never data, and task
+  * parallelism is file-granular, the same unit the manifest commits
+  * in. */
+class SnapshotTableProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-snapshot"
+
+  private def root(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "graft-snapshot: .load(<table root>) is required")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SnapshotSourceUtil.sparkSchema(
+      SnapshotSourceUtil.tableMessageType(root(options)))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val opts = new CaseInsensitiveStringMap(properties)
+    new SnapshotDsv2Table(root(opts), schema, opts)
+  }
+}
+
+private[sources] object SnapshotSourceUtil {
+
+  /** The table's parquet record schema, from the FIRST manifest entry's
+    * footer — one metadata read. Mixed-width (schema-evolved) versions
+    * are rejected: the connector serves uniform-schema tables; evolved
+    * snapshots read through `SnapshotTable.readAt`'s merge path. */
+  def tableMessageType(root: String): MessageType = {
+    val v = SnapshotTable.currentVersion(root)
+    require(v > 0, s"graft-snapshot: $root has no committed version")
+    require(!SnapshotTable.manifestMeta(root, v).contains("schema"),
+      "graft-snapshot: schema-evolved tables must be read via SnapshotTable.readAt")
+    val rel = SnapshotTable.manifestEntries(root, v).head.rel
+    val in = HadoopInputFile.fromPath(
+      new HadoopPath(Paths.get(root, rel).toUri), new Configuration())
+    val r = ParquetFileReader.open(in)
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+
+  def sparkSchema(m: MessageType): StructType = StructType(m.getFields.asScala.map { f =>
+    val p = f.asPrimitiveType()
+    val dt = p.getPrimitiveTypeName match {
+      case PrimitiveTypeName.INT64 => LongType
+      case PrimitiveTypeName.INT32 => IntegerType
+      case PrimitiveTypeName.DOUBLE => DoubleType
+      case PrimitiveTypeName.FLOAT => FloatType
+      case PrimitiveTypeName.BOOLEAN => BooleanType
+      case PrimitiveTypeName.BINARY => StringType
+      case other => sys.error(s"graft-snapshot: unsupported column type $other (${f.getName})")
+    }
+    StructField(f.getName, dt, !f.isRepetition(org.apache.parquet.schema.Type.Repetition.REQUIRED))
+  }.toSeq)
+
+  /** The parquet request schema for a pruned column set — field order
+    * follows the pruned StructType, which is also the output row
+    * layout. */
+  def projectedMessage(full: MessageType, pruned: StructType): MessageType =
+    new MessageType(full.getName,
+      pruned.fields.map(f => full.getType(full.getFieldIndex(f.name))).toList.asJava)
+}
+
+private[sources] class SnapshotDsv2Table(root: String, schema: StructType,
+    options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = s"graft_snapshot(`$root`)"
+  override def schema(): StructType = schema0
+  private val schema0 = schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapshotScanBuilder(root, schema0, o)
+}
+
+private[sources] class SnapshotScanBuilder(root: String, full: StructType,
+    options: CaseInsensitiveStringMap)
+    extends ScanBuilder with SupportsPushDownRequiredColumns {
+  private var pruned: StructType = full
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // Spark hands the required columns in table-schema order; an empty
+    // projection (count(*)) still decodes zero columns per row
+    pruned = requiredSchema
+  override def build(): Scan = new SnapshotScan(root, pruned, options)
+}
+
+private[sources] class SnapshotScan(root: String, pruned: StructType,
+    options: CaseInsensitiveStringMap) extends Scan {
+  override def readSchema(): StructType = pruned
+  override def description(): String =
+    s"graft-snapshot $root cols=[${pruned.fieldNames.mkString(",")}]"
+
+  private def factory: SnapshotReaderFactory = {
+    val full = SnapshotSourceUtil.tableMessageType(root)
+    SnapshotReaderFactory(
+      SnapshotSourceUtil.projectedMessage(full, pruned).toString, pruned)
+  }
+
+  override def toBatch: Batch = new Batch {
+    // version pinned at PLAN time: later commits never tear this scan
+    private val version = Option(options.get("version")).map(_.toInt)
+      .getOrElse(SnapshotTable.currentVersion(root))
+    override def planInputPartitions(): Array[InputPartition] =
+      SnapshotTable.manifestEntries(root, version)
+        .map(e => SnapshotFilePartition(Paths.get(root, e.rel).toString): InputPartition)
+        .toArray
+    override def createReaderFactory(): PartitionReaderFactory = factory
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SnapshotMicroBatchStream(root,
+      Option(options.get("startingVersion")).map(_.toInt).getOrElse(0),
+      Option(options.get("maxVersionsPerTrigger")).map(_.toInt).getOrElse(1),
+      factory)
+}
+
+/** Stream offset = committed table version. */
+private[sources] case class VersionOffset(v: Int) extends Offset {
+  override def json(): String = v.toString
+}
+
+private[sources] class SnapshotMicroBatchStream(root: String,
+    startingVersion: Int, maxVersionsPerTrigger: Int,
+    factory: SnapshotReaderFactory)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def initialOffset(): Offset = VersionOffset(startingVersion)
+  override def deserializeOffset(json: String): Offset = VersionOffset(json.toInt)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called with admission control")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = start.asInstanceOf[VersionOffset].v
+    val latest = SnapshotTable.currentVersion(root)
+    // one commit per trigger by default: batch boundaries ARE commit
+    // boundaries, so a downstream consumer processes atomic table
+    // states, never a torn half-commit
+    VersionOffset(math.min(latest, cur + maxVersionsPerTrigger))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (v0, v1) = (start.asInstanceOf[VersionOffset].v, end.asInstanceOf[VersionOffset].v)
+    val before = if (v0 == 0) Set.empty[String]
+      else SnapshotTable.manifestEntries(root, v0).map(_.rel).toSet
+    val after = SnapshotTable.manifestEntries(root, v1).map(_.rel).toSet
+    val removed = before -- after
+    if (removed.nonEmpty) throw new IllegalStateException(
+      s"graft-snapshot: versions ($v0, $v1] remove files $removed — " +
+        "streaming reads require append-only commits (rewrites/merges are not streamable)")
+    (after -- before).toSeq.sorted
+      .map(rel => SnapshotFilePartition(Paths.get(root, rel).toString): InputPartition)
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = factory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] case class SnapshotFilePartition(path: String) extends InputPartition
+
+/** Executor-side reader: parquet example-Group records of ONE file,
+  * decoded to InternalRow through the PRUNED request schema — columns
+  * outside the projection are never decompressed. */
+private[sources] case class SnapshotReaderFactory(projectedMessage: String,
+    pruned: StructType) extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val path = p.asInstanceOf[SnapshotFilePartition].path
+    new PartitionReader[InternalRow] {
+      private val conf = new Configuration()
+      conf.set(ReadSupport.PARQUET_READ_SCHEMA, projectedMessage)
+      private val reader =
+        ParquetReader.builder(new GroupReadSupport(), new HadoopPath(path))
+          .withConf(conf).build()
+      private val request = MessageTypeParser.parseMessageType(projectedMessage)
+      private var cur: Group = _
+      override def next(): Boolean = { cur = reader.read(); cur != null }
+      override def get(): InternalRow = {
+        val vals = new Array[Any](pruned.length)
+        var i = 0
+        while (i < pruned.length) {
+          vals(i) =
+            if (cur.getFieldRepetitionCount(i) == 0) null
+            else pruned.fields(i).dataType match {
+              case LongType => cur.getLong(i, 0)
+              case IntegerType => cur.getInteger(i, 0)
+              case DoubleType => cur.getDouble(i, 0)
+              case FloatType => cur.getFloat(i, 0)
+              case BooleanType => cur.getBoolean(i, 0)
+              case StringType => UTF8String.fromString(cur.getString(i, 0))
+              case other => sys.error(s"graft-snapshot: unsupported type $other")
+            }
+          i += 1
+        }
+        new GenericInternalRow(vals)
+      }
+      override def close(): Unit = reader.close()
+    }
+  }
+}

@@ -476,7 +476,41 @@ object Streams {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** st9_stream_table_read — tail the snapshot TABLE as a stream
+    * through the DSv2 connector: offsets are committed versions, each
+    * micro-batch ingests exactly one commit's appended files (st8's
+    * sink closes the loop on the write side — together they make the
+    * snapshot table a streaming hub, the Delta/Iceberg pattern). The
+    * fixture's three 10-day append commits arrive as three batches;
+    * the memory-sink union equals the whole log, which is what the
+    * DuckDB oracle aggregates. SnapshotSourceSpec pins the
+    * batch-per-commit boundaries, restart/offset replay, projection
+    * pushdown, and the append-only guard. */
+  def st9StreamTableRead(s: SparkSession, d: String): DataFrame = {
+    val name = freshName("st9_out")
+    val root = graft.operators.SnapshotTable.streamTable(s, d)
+    val q = s.readStream.format("graft-snapshot").load(root)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+      .groupBy(col("ep_day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .orderBy("ep_day")
+  }
+
+  val st9Sql: String =
+    """WITH e AS (SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day, value
+      |  FROM events)
+      |SELECT ep_day, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM e GROUP BY ep_day ORDER BY ep_day""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "st9_stream_table_read" -> (st9StreamTableRead _, Some(st9Sql)),
     "st1_stream_windowed" -> (st1StreamWindowed _, Some(st1Sql)),
     "st2_stream_sessionize" -> (st2StreamSessionize _, None),
     "st3_stream_static_join" -> (st3StreamStaticJoin _, Some(st3Sql)),

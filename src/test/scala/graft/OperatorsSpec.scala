@@ -1138,6 +1138,86 @@ class ChangeFeedSpec extends AnyFunSuite {
   }
 }
 
+/** The DSv2 snapshot-table connector: version-offset streaming with
+  * batch-per-commit boundaries, offset restart, projection pushdown,
+  * time travel, and the append-only guard. */
+class SnapshotSourceSpec extends AnyFunSuite {
+  import TestSession._
+  import org.apache.spark.sql.functions._
+  val ST = graft.operators.SnapshotTable
+
+  test("streaming read delivers one micro-batch per commit, union = whole log") {
+    val root = ST.streamTable(spark, sf)
+    val batches = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = spark.readStream.format("graft-snapshot").load(root)
+      .writeStream.foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+        batches.put(id, df.count()); ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    import scala.jdk.CollectionConverters._
+    val got = batches.asScala.toMap
+    // per-commit row deltas: each commit appended exactly one 10-day file
+    val want = ST.St9Bounds.map { case (lo, hi) =>
+      graft.sources.Tables.events(spark, sf)
+        .filter(expr("(ts div 1000000000) div 86400").between(lo, hi)).count()
+    }
+    assert(got.size == want.size, s"expected ${want.size} commit-batches, got $got")
+    assert((0 until want.size).map(i => got(i.toLong)) == want,
+      s"batch boundaries drifted from commits: $got vs $want")
+  }
+
+  test("startingVersion offset skips already-consumed commits") {
+    val root = ST.streamTable(spark, sf)
+    val name = "st9_restart_out"
+    val q = spark.readStream.format("graft-snapshot")
+      .option("startingVersion", "1").load(root)
+      .writeStream.format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    val fromV1 = spark.table(name).count()
+    val total = spark.read.format("graft-snapshot").load(root).count()
+    val v1 = spark.read.format("graft-snapshot").option("version", "1").load(root).count()
+    assert(fromV1 == total - v1, s"offset replay wrong: $fromV1 != $total - $v1")
+  }
+
+  test("projection pushdown reaches the DSv2 scan (readSchema = selected cols)") {
+    val root = ST.streamTable(spark, sf)
+    val plan = spark.read.format("graft-snapshot").load(root)
+      .select("ep_day").queryExecution.executedPlan
+    val scans = plan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan.readSchema()
+    }
+    assert(scans.nonEmpty, "no BatchScanExec in plan")
+    assert(scans.head.fieldNames.toSeq == Seq("ep_day"),
+      s"projection not pushed: ${scans.head.fieldNames.toSeq}")
+  }
+
+  test("batch read is snapshot-pinned; version option time-travels") {
+    val root = ST.streamTable(spark, sf)
+    val v = ST.currentVersion(root)
+    assert(v == 3)
+    val counts = (1 to v).map(i => spark.read.format("graft-snapshot")
+      .option("version", i.toString).load(root).count())
+    assert(counts == counts.sorted && counts.last > counts.head,
+      s"versions should grow monotonically: $counts")
+    assert(counts.last == spark.read.format("graft-snapshot").load(root).count())
+  }
+
+  test("streaming a table with rewrite commits fails the append-only guard") {
+    val root = ST.mergeTable(spark, sf) // v2 rewrote one of v1's files
+    val q = spark.readStream.format("graft-snapshot").load(root)
+      .writeStream.format("memory").queryName("st9_guard_out").start()
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    q.stop()
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(_.getMessage != null) &&
+      chain(ex).exists(t => t.getMessage != null && t.getMessage.contains("append-only")),
+      s"wrong failure: ${ex.getMessage}")
+  }
+}
+
 /** The manifest CAS under REAL thread races: every committer's retry
   * loop eventually lands, versions linearize with no lost updates, and
   * no orphan shards remain. */
