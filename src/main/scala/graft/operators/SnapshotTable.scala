@@ -458,7 +458,8 @@ object SnapshotTable {
     statsMemo.getOrElseUpdate(s, d) {
       val root = Engine.tmpDir("graft_snap_prune")
       Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
-      commitEntries(root, 0, stageDayClustered(s, d, root), shardSize = 3)
+      commitEntries(root, 0, stageDayClustered(s, d, root), shardSize = 3,
+        Map("statsCol" -> "ep_day"))
       root
     }
 
@@ -769,7 +770,8 @@ object SnapshotTable {
       St9Bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
         val rel = writeDataFile(ev.filter(col("ep_day").between(lo, hi)), root, s"b$i")
         entries :+= footerEntry(root, rel, "ep_day")
-        v = commitEntries(root, v, entries, shardSize = 2)
+        v = commitEntries(root, v, entries, shardSize = 2,
+          Map("statsCol" -> "ep_day"))
       }
       root
     }
@@ -888,6 +890,22 @@ object SnapshotTable {
       |FROM events JOIN ids ON event_id = id
       |ORDER BY event_id""".stripMargin
 
+  /** x21_source_pushdown — x15's day-range aggregate expressed through
+    * the STANDARD DataFrame API over the DSv2 connector: a plain
+    * `.filter(ep_day between ...)` is pushed to the scan builder, which
+    * prunes the planned file set with the manifest's stats (the
+    * `#statsCol` metadata names the column) — no special readPruned
+    * call, the optimizer route every Spark user already takes.
+    * SnapshotSourceSpec counts the planned partitions (2 of 7) and pins
+    * the manifest-served COUNT(*) fast path on the same table. */
+  def x21SourcePushdown(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft-snapshot").load(statsTable(s, d))
+      .filter(col("ep_day").between(X15Lo, X15Hi))
+      .groupBy(col("ep_day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .orderBy("ep_day")
+
   val x14Sql: String =
     """WITH e AS (SELECT event_id,
       |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day,
@@ -906,5 +924,6 @@ object SnapshotTable {
     "x18_schema_evolution" -> (x18SchemaEvolution _, Some(x18Sql)),
     "x19_incremental_read" -> (x19IncrementalRead _, Some(x19Sql)),
     "x20_point_lookup" -> (x20PointLookup _, Some(x20Sql)),
+    "x21_source_pushdown" -> (x21SourcePushdown _, Some(x15Sql)),
   )
 }

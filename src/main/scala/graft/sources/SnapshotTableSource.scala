@@ -19,9 +19,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
-import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -129,20 +130,92 @@ private[sources] class SnapshotDsv2Table(root: String, schema: StructType,
 
 private[sources] class SnapshotScanBuilder(root: String, full: StructType,
     options: CaseInsensitiveStringMap)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
+
   private var pruned: StructType = full
+  private var pushed = Array.empty[Filter]
+  private var countStarOnly = false
+
+  private val version = Option(options.get("version")).map(_.toInt)
+    .getOrElse(SnapshotTable.currentVersion(root))
+  /** Which column the manifest's per-file [lo, hi] stats describe —
+    * recorded by the committer as `#statsCol` metadata. Absent → no
+    * stats pruning (scan everything; always sound). */
+  private val statsCol: Option[String] =
+    if (version > 0) SnapshotTable.manifestMeta(root, version).get("statsCol") else None
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark hands the required columns in table-schema order; an empty
     // projection (count(*)) still decodes zero columns per row
     pruned = requiredSchema
-  override def build(): Scan = new SnapshotScan(root, pruned, options)
+
+  /** File-level stats pruning through the STANDARD API: comparison
+    * filters on the manifest's stats column narrow the planned file
+    * set. Every filter is returned as residual — stats prune FILES,
+    * Spark's re-applied predicate prunes rows within survivors, so
+    * pushdown is never unsound (same split as [[SnapshotTable
+    * .readPruned]], now automatic for any `.filter(...)`). */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = statsCol match {
+      case Some(c) => filters.filter(SnapshotScanBuilder.bound(_, c).isDefined)
+      case None => Array.empty
+    }
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  /** COUNT(*) with no grouping and no filters is a MANIFEST READ: the
+    * commit-time footer row counts sum to the answer without touching
+    * one data byte — the metadata-only query every table format
+    * special-cases. Spark only attempts aggregate pushdown when no
+    * filter remains above the scan, and pushFilters always returns
+    * residuals, so a filtered count can never reach this path. */
+  private def countStarAnswerable(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar]) &&
+      SnapshotTable.manifestEntries(root, version).forall(_.rows >= 0)
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    countStarAnswerable(agg)
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    countStarOnly = countStarAnswerable(agg)
+    countStarOnly
+  }
+
+  override def build(): Scan =
+    new SnapshotScan(root, version, pruned, pushed.toSeq, statsCol, countStarOnly, options)
 }
 
-private[sources] class SnapshotScan(root: String, pruned: StructType,
-    options: CaseInsensitiveStringMap) extends Scan {
-  override def readSchema(): StructType = pruned
+private[sources] object SnapshotScanBuilder {
+  private def long(v: Any): Option[Long] = v match {
+    case n: Number => Some(n.longValue)
+    case _ => None
+  }
+  /** The [lo, hi] key range a filter on the stats column admits; None =
+    * not a stats-prunable filter. */
+  def bound(f: Filter, statsCol: String): Option[(Long, Long)] = f match {
+    case EqualTo(c, v) if c == statsCol => long(v).map(x => (x, x))
+    case GreaterThan(c, v) if c == statsCol => long(v).map(x => (x + 1, Long.MaxValue))
+    case GreaterThanOrEqual(c, v) if c == statsCol => long(v).map(x => (x, Long.MaxValue))
+    case LessThan(c, v) if c == statsCol => long(v).map(x => (Long.MinValue, x - 1))
+    case LessThanOrEqual(c, v) if c == statsCol => long(v).map(x => (Long.MinValue, x))
+    case In(c, vs) if c == statsCol && vs.nonEmpty =>
+      val ls = vs.flatMap(long(_))
+      if (ls.length == vs.length) Some((ls.min, ls.max)) else None
+    case _ => None
+  }
+}
+
+private[sources] class SnapshotScan(root: String, version: Int,
+    pruned: StructType, pushed: Seq[Filter], statsCol: Option[String],
+    countStarOnly: Boolean, options: CaseInsensitiveStringMap) extends Scan {
+  override def readSchema(): StructType =
+    if (countStarOnly) StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+    else pruned
   override def description(): String =
-    s"graft-snapshot $root cols=[${pruned.fieldNames.mkString(",")}]"
+    if (countStarOnly) s"graft-snapshot $root count(*) from manifest"
+    else s"graft-snapshot $root cols=[${pruned.fieldNames.mkString(",")}]" +
+      (if (pushed.nonEmpty) s" pruneBy=[${pushed.mkString(",")}]" else "")
 
   private def factory: SnapshotReaderFactory = {
     val full = SnapshotSourceUtil.tableMessageType(root)
@@ -150,15 +223,34 @@ private[sources] class SnapshotScan(root: String, pruned: StructType,
       SnapshotSourceUtil.projectedMessage(full, pruned).toString, pruned)
   }
 
+  /** The version's entries that survive the pushed filters' combined
+    * key range (intersection of bounds — filters AND together). */
+  private def plannedEntries: Seq[SnapshotTable.FileEntry] = {
+    val all = SnapshotTable.manifestEntries(root, version)
+    (statsCol, pushed) match {
+      case (Some(c), ps) if ps.nonEmpty =>
+        val bounds = ps.flatMap(SnapshotScanBuilder.bound(_, c))
+        val qlo = bounds.map(_._1).max
+        val qhi = bounds.map(_._2).min
+        all.filter(e => e.lo <= qhi && e.hi >= qlo)
+      case _ => all
+    }
+  }
+
   override def toBatch: Batch = new Batch {
-    // version pinned at PLAN time: later commits never tear this scan
-    private val version = Option(options.get("version")).map(_.toInt)
-      .getOrElse(SnapshotTable.currentVersion(root))
+    // version + file list pinned at PLAN time: later commits never
+    // tear this scan
+    private val files =
+      if (countStarOnly) Array.empty[String]
+      else plannedEntries.map(e => Paths.get(root, e.rel).toString).toArray
+    private val total =
+      if (countStarOnly) SnapshotTable.manifestEntries(root, version).map(_.rows).sum
+      else 0L
     override def planInputPartitions(): Array[InputPartition] =
-      SnapshotTable.manifestEntries(root, version)
-        .map(e => SnapshotFilePartition(Paths.get(root, e.rel).toString): InputPartition)
-        .toArray
-    override def createReaderFactory(): PartitionReaderFactory = factory
+      if (countStarOnly) Array(SnapshotCountPartition(total))
+      else files.map(SnapshotFilePartition(_): InputPartition)
+    override def createReaderFactory(): PartitionReaderFactory =
+      if (countStarOnly) SnapshotCountReaderFactory else factory
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -214,6 +306,20 @@ private[sources] class SnapshotMicroBatchStream(root: String,
 }
 
 private[sources] case class SnapshotFilePartition(path: String) extends InputPartition
+
+/** The one-row answer of a manifest-served COUNT(*). */
+private[sources] case class SnapshotCountPartition(total: Long) extends InputPartition
+
+private[sources] object SnapshotCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = { val go = !emitted; emitted = true; go }
+      override def get(): InternalRow =
+        new GenericInternalRow(Array[Any](p.asInstanceOf[SnapshotCountPartition].total))
+      override def close(): Unit = ()
+    }
+}
 
 /** Executor-side reader: parquet example-Group records of ONE file,
   * decoded to InternalRow through the PRUNED request schema — columns

@@ -1202,6 +1202,54 @@ class SnapshotSourceSpec extends AnyFunSuite {
     assert(counts.last == spark.read.format("graft-snapshot").load(root).count())
   }
 
+  private def scanParts(d: org.apache.spark.sql.DataFrame): Int = {
+    // an aggregate's exchange wraps the plan in AQE — unwrap to reach the scan
+    def go(p: org.apache.spark.sql.execution.SparkPlan): Int = p.collect {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => go(a.initialPlan)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.partitions.size
+    }.sum
+    go(d.queryExecution.executedPlan)
+  }
+
+  test("filter pushdown prunes planned files via manifest stats (7 -> 2)") {
+    val root = ST.statsTable(spark, sf)
+    val base = spark.read.format("graft-snapshot").load(root)
+    assert(scanParts(base.select("ep_day")) == 7)
+    val ranged = base.filter(col("ep_day").between(ST.X15Lo, ST.X15Hi))
+    assert(scanParts(ranged.select("ep_day")) == 2,
+      "between-filter should prune to the 2 files owning the range")
+    // parity: the pruned connector scan equals the readPruned path
+    val viaConnector = ranged.groupBy("ep_day").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaApi = ST.readPruned(spark, root, "ep_day", ST.X15Lo, ST.X15Hi)
+      .groupBy("ep_day").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaConnector == viaApi)
+  }
+
+  test("unfiltered count(*) is served from the manifest, one partition, zero file reads") {
+    val root = ST.statsTable(spark, sf)
+    val base = spark.read.format("graft-snapshot").load(root)
+    val cnt = base.groupBy().count()
+    assert(scanParts(cnt) == 1, "count(*) should plan one manifest-answer partition")
+    assert(cnt.head().getLong(0) == base.count())
+    // a FILTERED count must take the scan path (manifest totals would
+    // over-count) — and still prune files
+    val filtered = base.filter(col("ep_day").between(ST.X15Lo, ST.X15Hi)).groupBy().count()
+    assert(scanParts(filtered) == 2, "filtered count must scan (pruned) files")
+    val expected = graft.sources.Tables.events(spark, sf)
+      .filter(expr("(ts div 1000000000) div 86400").between(ST.X15Lo, ST.X15Hi)).count()
+    assert(filtered.head().getLong(0) == expected)
+  }
+
+  test("SQL surface: CREATE TEMPORARY VIEW ... USING graft-snapshot") {
+    val root = ST.streamTable(spark, sf)
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW snap_sql_t " +
+      s"USING `graft-snapshot` OPTIONS (path '$root')")
+    assert(spark.sql("SELECT count(*) FROM snap_sql_t").head().getLong(0) ==
+      spark.read.format("graft-snapshot").load(root).count())
+  }
+
   test("streaming a table with rewrite commits fails the append-only guard") {
     val root = ST.mergeTable(spark, sf) // v2 rewrote one of v1's files
     val q = spark.readStream.format("graft-snapshot").load(root)
