@@ -7,8 +7,8 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.Expression
 
 import graft.functions.{BigramEntries, BigramHashes, BigramPairHashes,
-  ByteStats, HyperplaneBuckets, MinHashSignature, QuantizedDot,
-  ShingleHashes, SimHashBands, SqNorm}
+  ByteStats, HyperplaneBuckets, InterleaveBits, MinHashSignature,
+  QuantizedDot, ShingleHashes, SimHashBands, SqNorm}
 
 /** Session extension wiring: registers EVERY graft native expression as
   * a SQL function, so `spark.sql("SELECT shingle_hashes(text) ...")`
@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("bigram_hashes", classOf[BigramHashes])(x => BigramHashes(x.head))
     inject("bigram_entries", classOf[BigramEntries])(x => BigramEntries(x.head))
     inject("bigram_pair_hashes", classOf[BigramPairHashes])(x => BigramPairHashes(x.head))
+    inject("interleave_bits", classOf[InterleaveBits]) { x =>
+      require(x.length == 2, "interleave_bits(a, b)")
+      InterleaveBits(x.head, x(1))
+    }
     inject("quantized_dot", classOf[QuantizedDot]) { x =>
       require(x.length == 2, "quantized_dot(a, b)")
       QuantizedDot(x.head, x(1))

@@ -199,6 +199,22 @@ object ShingleKernels {
     new GenericArrayData(out)
   }
 
+  /** Interleave two 16-bit coordinates (a on even bits, b on odd) —
+    * the 2-column Z-order curve key. Monotone in both coordinates
+    * (a1<=a2 ∧ b1<=b2 ⇒ z1<=z2), which is what makes a z-range file
+    * carry bounded per-column ranges. Inputs are masked to 16 bits. */
+  def interleave16(a: Long, b: Long): Long = {
+    def spread(x0: Long): Long = {
+      var x = x0 & 0xffffL
+      x = (x | (x << 8)) & 0x00ff00ffL
+      x = (x | (x << 4)) & 0x0f0f0f0fL
+      x = (x | (x << 2)) & 0x33333333L
+      x = (x | (x << 1)) & 0x55555555L
+      x
+    }
+    spread(a) | (spread(b) << 1)
+  }
+
   /** k-permutation MinHash signature over a shingle-hash array. */
   def minhashSignature(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
@@ -287,6 +303,22 @@ case class BigramPairHashes(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): BigramPairHashes =
     copy(child = newChild)
   override def prettyName: String = "bigram_pair_hashes"
+}
+
+/** `interleave_bits(a, b)` — 2-column Z-order key from two 16-bit-
+  * normalized coordinates (x22's clustering key). */
+case class InterleaveBits(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+  override def inputTypes = Seq(LongType, LongType)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ShingleKernels.interleave16(a.asInstanceOf[Long], b.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ShingleKernels.interleave16($a, $b)")
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): InterleaveBits = copy(left = newLeft, right = newRight)
+  override def prettyName: String = "interleave_bits"
 }
 
 /** `simhash_bands(text)` — 64-bit SimHash as 4×16-bit band values. */

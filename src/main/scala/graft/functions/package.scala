@@ -25,6 +25,10 @@ package object functions {
   def bigram_pair_hashes(c: Column): Column =
     GraftShim.column(BigramPairHashes(GraftShim.expression(c)))
 
+  /** Z-order key: interleave two 16-bit-normalized coordinates. */
+  def interleave_bits(a: Column, b: Column): Column =
+    GraftShim.column(InterleaveBits(GraftShim.expression(a), GraftShim.expression(b)))
+
   /** 64-bit SimHash of a space-separated text as 4×16-bit bands. */
   def simhash_bands(c: Column): Column =
     GraftShim.column(SimHashBands(GraftShim.expression(c)))

@@ -81,6 +81,25 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(hb.zip(hl).toMap.size == hb.toSet.size)
   }
 
+  test("interleave_bits: bit placement, monotone-box property, SQL form") {
+    import graft.functions.ShingleKernels.interleave16
+    assert(interleave16(1L, 0L) == 1L)      // a on even bits
+    assert(interleave16(0L, 1L) == 2L)      // b on odd bits
+    assert(interleave16(0xffffL, 0L) == 0x55555555L)
+    assert(interleave16(0L, 0xffffL) == 0xaaaaaaaaL)
+    assert(interleave16(0xffffL, 0xffffL) == 0xffffffffL)
+    // monotonicity in both coordinates — the property box pruning rests
+    // on: p inside box [a1..a2]x[b1..b2] => z(p) inside [z(a1,b1), z(a2,b2)]
+    val rnd = new scala.util.Random(7)
+    (1 to 2000).foreach { _ =>
+      val (a1, b1) = (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong)
+      val (da, db) = (rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong)
+      assert(interleave16(a1, b1) <= interleave16(math.min(a1 + da, 65535L), math.min(b1 + db, 65535L)))
+    }
+    val viaSql = spark.sql("SELECT interleave_bits(3L, 5L) AS z").collect().head.getLong(0)
+    assert(viaSql == interleave16(3L, 5L))
+  }
+
   test("vector kernels refuse silent truncation (dim mismatch / >64 dims)") {
     val bad = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L))).toDF("a", "b")
     val ex = intercept[Exception] {

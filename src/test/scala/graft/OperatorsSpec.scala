@@ -1138,6 +1138,53 @@ class ChangeFeedSpec extends AnyFunSuite {
   }
 }
 
+/** Z-order clustering: two-dimensional stats pruning on the multi-
+  * column manifest, against the one-dimensional blindness of a
+  * single-key layout. */
+class ZOrderSpec extends AnyFunSuite {
+  import TestSession._
+  import org.apache.spark.sql.functions._
+  val ST = graft.operators.SnapshotTable
+
+  test("z-ordered layout prunes on BOTH columns; day layout is user-blind") {
+    val root = ST.zorderTable(spark, sf)
+    val v = ST.currentVersion(root)
+    val (n1, n2) = (ST.manifestEntries(root, v - 1).size, ST.manifestEntries(root, v).size)
+    val (qulo, quhi) = ST.x22UserRange(root)
+    val userBox = Seq(("user_id", qulo, quhi))
+    val dayBox = Seq(("ep_day", ST.X22DayLo, ST.X22DayHi))
+    // v1 (day-clustered): the day box prunes, a user box cannot
+    assert(ST.prunedEntriesBox(root, v - 1, "ep_day", dayBox).size < n1)
+    assert(ST.prunedEntriesBox(root, v - 1, "ep_day", userBox).size == n1,
+      "a day-clustered layout must be blind to user ranges")
+    // v2 (z-ordered): BOTH single-column boxes prune, and the 2-dim box
+    // prunes beyond either alone
+    val u = ST.prunedEntriesBox(root, v, "user_id", userBox).size
+    val dd = ST.prunedEntriesBox(root, v, "user_id", dayBox).size
+    val both = ST.prunedEntriesBox(root, v, "user_id", userBox ++ dayBox).size
+    assert(u < n2, s"user box kept all $n2 z files")
+    assert(dd < n2, s"day box kept all $n2 z files")
+    assert(both < u && both < dd, s"2-dim box ($both) should beat either dim alone ($u, $dd)")
+  }
+
+  test("box scan equals full-scan filter; z rewrite preserves content") {
+    val root = ST.zorderTable(spark, sf)
+    val v = ST.currentVersion(root)
+    val (qulo, quhi) = ST.x22UserRange(root)
+    val box = Seq(("user_id", qulo, quhi), ("ep_day", ST.X22DayLo, ST.X22DayHi))
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaBox = key(ST.readPrunedBox(spark, root, "user_id", box))
+    val viaFull = key(ST.readAt(spark, root, v)
+      .filter(col("user_id").between(qulo, quhi) &&
+        col("ep_day").between(ST.X22DayLo, ST.X22DayHi)))
+    assert(viaBox == viaFull)
+    // layout-only change: v1 and v2 hold identical rows
+    assert(ST.readAt(spark, root, v).exceptAll(ST.readAt(spark, root, v - 1)).isEmpty)
+  }
+}
+
 /** The DSv2 snapshot-table connector: version-offset streaming with
   * batch-per-commit boundaries, offset restart, projection pushdown,
   * time travel, and the append-only guard. */
