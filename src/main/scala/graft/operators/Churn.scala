@@ -492,7 +492,76 @@ object Churn {
        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
        |ORDER BY user_id, ep_day""".stripMargin
 
+  /** c17's binning/smoothing constants and period split (first 15 days
+    * of the 30-day log = reference window, rest = current window —
+    * production: training snapshot vs today's scoring batch). */
+  private[graft] val C17Bins = 10
+  private[graft] val C17SplitDay = 19738L // first day of the CURRENT window
+
+  /** c17_feature_drift — Population Stability Index monitoring, the
+    * production check a deployed churn model runs before trusting a
+    * scoring batch: per event_type, bin `value` into C17Bins fixed-width
+    * bins over the REFERENCE window's [min, max] (out-of-range current
+    * values clamp into the edge bins — drift beyond the reference range
+    * must count, not vanish), add-one smooth the bin counts (PSI is
+    * undefined on empty bins), and report
+    * PSI = Σ (p−q)·ln(p/q) rounded to 6dp. At 100 TB this is two
+    * filtered aggregates over the day-partitioned log: bin totals are
+    * |event_type|×C17Bins rows, the PSI reduce is trivial; nothing
+    * shuffles the raw stream twice. */
+  def c17FeatureDrift(s: SparkSession, d: String): DataFrame = {
+    val e = ev(s, d).select(col("event_type"), col("value"), col("ep_day"))
+    val refBounds = e.filter(col("ep_day") < C17SplitDay)
+      .groupBy(col("event_type"))
+      .agg(min(col("value")).as("vlo"), max(col("value")).as("vhi"))
+    val binned = e.join(broadcast(refBounds), "event_type")
+      .withColumn("bin", least(lit(C17Bins - 1), greatest(lit(0),
+        floor((col("value") - col("vlo")) * C17Bins / (col("vhi") - col("vlo")))
+          .cast("int"))))
+      .withColumn("win", when(col("ep_day") < C17SplitDay, "ref").otherwise("cur"))
+      .groupBy(col("event_type"), col("win"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    // add-one smoothing, shares within each (event_type, window)
+    val shares = binned
+      .groupBy(col("event_type"), col("bin"))
+      .agg(sum(when(col("win") === "ref", col("n")).otherwise(0L)).as("nr"),
+        sum(when(col("win") === "cur", col("n")).otherwise(0L)).as("nc"))
+      .withColumn("nr1", coalesce(col("nr"), lit(0L)) + 1)
+      .withColumn("nc1", coalesce(col("nc"), lit(0L)) + 1)
+    val w = Window.partitionBy(col("event_type"))
+    shares
+      .withColumn("p", col("nr1").cast("double") / sum(col("nr1")).over(w))
+      .withColumn("q", col("nc1").cast("double") / sum(col("nc1")).over(w))
+      .groupBy(col("event_type"))
+      .agg(round(sum((col("p") - col("q")) * log(col("p") / col("q"))), 6).as("psi"),
+        sum(col("nr")).as("n_ref"), sum(col("nc")).as("n_cur"))
+      .orderBy("event_type")
+  }
+
+  val c17Sql: String =
+    s"""WITH e AS (SELECT event_type, value,
+      |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day FROM events),
+      |rb AS (SELECT event_type, MIN(value) AS vlo, MAX(value) AS vhi
+      |  FROM e WHERE ep_day < $C17SplitDay GROUP BY event_type),
+      |binned AS (SELECT e.event_type,
+      |  CASE WHEN ep_day < $C17SplitDay THEN 'ref' ELSE 'cur' END AS win,
+      |  LEAST($C17Bins - 1, GREATEST(0,
+      |    CAST(FLOOR((value - vlo) * $C17Bins / (vhi - vlo)) AS INT))) AS bin
+      |  FROM e JOIN rb ON e.event_type = rb.event_type),
+      |cnt AS (SELECT event_type, bin,
+      |  SUM(CASE WHEN win = 'ref' THEN 1 ELSE 0 END) AS nr,
+      |  SUM(CASE WHEN win = 'cur' THEN 1 ELSE 0 END) AS nc
+      |  FROM binned GROUP BY event_type, bin),
+      |sh AS (SELECT event_type, nr, nc,
+      |  CAST(nr + 1 AS DOUBLE) / SUM(nr + 1) OVER (PARTITION BY event_type) AS p,
+      |  CAST(nc + 1 AS DOUBLE) / SUM(nc + 1) OVER (PARTITION BY event_type) AS q
+      |  FROM cnt)
+      |SELECT event_type, ROUND(SUM((p - q) * ln(p / q)), 6) AS psi,
+      |  CAST(SUM(nr) AS BIGINT) AS n_ref, CAST(SUM(nc) AS BIGINT) AS n_cur
+      |FROM sh GROUP BY event_type ORDER BY event_type""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "c17_feature_drift" -> (c17FeatureDrift _, Some(c17Sql)),
     "c14_sliding_features" -> (c14SlidingFeatures _, Some(c14Sql)),
     "c16_range_join" -> (c16RangeJoin _, Some(c16Sql)),
     "c12_typed_agg" -> (c12TypedAgg _, Some(c12Sql)),

@@ -545,7 +545,54 @@ object TextAnalysis {
       |FROM bg2 JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  private val T13TopK = 3
+
+  /** t13_tfidf_keywords — per-document keyword extraction: top-3 terms
+    * by tf·idf (raw tf, ln(N/df) idf — df from the full corpus),
+    * rounded to 6dp, ties broken by term. The per-doc summary an
+    * LLM-data pipeline materializes for retrieval/routing metadata.
+    *
+    * Scale shape: one explode → (doc, term) counts with map-side
+    * combine; df is a term-grain aggregate of the SAME counts frame
+    * (ReusedExchange, no second corpus scan); the idf join is
+    * term-keyed and vocabulary-sized; the final top-k is a per-doc
+    * window over each doc's distinct terms. */
+  def t13TfidfKeywords(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val nDocs = docs.count().toDouble
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("f"))
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("dfc"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("tfidf"), asc("term"))
+    tf.join(df, "term")
+      .withColumn("tfidf", round(col("f") * log(lit(nDocs) / col("dfc")), 6))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= T13TopK)
+      .select("doc_id", "rk", "term", "tfidf")
+      .orderBy("doc_id", "rk")
+  }
+
+  val t13Sql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS f
+      |  FROM toks GROUP BY doc_id, term),
+      |df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS dfc FROM tf GROUP BY term),
+      |nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+      |scored AS (SELECT doc_id, term, ROUND(f * ln(n / dfc), 6) AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN nd)
+      |SELECT doc_id, rk, term, tfidf FROM (
+      |  SELECT doc_id, term, tfidf,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+      |  FROM scored) t
+      |WHERE rk <= $T13TopK ORDER BY doc_id, rk""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "t13_tfidf_keywords" -> (t13TfidfKeywords _, Some(t13Sql)),
     "t12_lm_quality" -> (t12LmQuality _, Some(t12Sql)),
     "t11_bm25_search" -> (t11Bm25Search _, Some(t11Sql)),
     "t7_corpus_curation" -> (t7CorpusCuration _, Some(t7Sql)),
