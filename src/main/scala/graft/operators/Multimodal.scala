@@ -235,7 +235,101 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  private[graft] val M5TwinOffset = 1000000L
+  private[graft] val M5MaxHamming = 10
+  private val M5Bands = 4
+
+  /** Perceptual difference-hash of a byte image (the pHash-family
+    * fingerprint image dedup pipelines run): block-average the pixels
+    * to a 9×8 grid, emit bit (r,c) = [cell(r,c+1) > cell(r,c)] — 8 rows
+    * × 8 adjacent comparisons = 64 bits. Gradient STRUCTURE, not
+    * absolute intensity: small perturbations move cell averages a
+    * little and flip few comparisons, so visually-near images land
+    * within a small hamming distance. */
+  private[graft] def dhash(pixels: Array[Byte]): Long = {
+    val W = 9; val H = 8
+    val w = M4GridW
+    val h = math.max(1, (pixels.length + w - 1) / w)
+    val sums = new Array[Long](H * W)
+    val counts = new Array[Long](H * W)
+    var i = 0
+    while (i < pixels.length) {
+      val r = (i / w) * H / h
+      val c = (i % w) * W / w
+      sums(r * W + c) += pixels(i) & 0xff
+      counts(r * W + c) += 1
+      i += 1
+    }
+    def cell(r: Int, c: Int): Double = {
+      val k = r * W + c
+      if (counts(k) == 0) 0.0 else sums(k).toDouble / counts(k)
+    }
+    var bits = 0L
+    var k = 0
+    var r = 0
+    while (r < H) {
+      var c = 0
+      while (c < W - 1) {
+        if (cell(r, c + 1) > cell(r, c)) bits |= 1L << k
+        k += 1; c += 1
+      }
+      r += 1
+    }
+    bits
+  }
+
+  /** m5_phash_pairs — visual near-duplicate detection over the REAL
+    * codec path: every payload is PNG-encoded, decoded (javax.imageio),
+    * dHashed; candidate pairs come from 4×16-bit hash-band buckets
+    * (pigeonhole: hamming ≤ 15 guarantees one matching band — same
+    * banding as d4's SimHash), verified by exact `bit_count(xor)` ≤
+    * M5MaxHamming. The fixture plants a NOISY TWIN for every 10th doc
+    * (+8 on every 50th byte before encoding — a perturbed re-encode of
+    * the "same" image, the case byte-exact dedup d1 can never catch);
+    * MultimodalSpec pins 100% twin recall and hand-computed hash bits.
+    *
+    * Scale shape: the codec stage is the batched parallel map m4 uses;
+    * after it only 16-byte (id, hash) rows flow — the band self-join
+    * shuffles hashes, never pixels, and candidate cost tracks bucket
+    * density exactly like d3/d4/s6. */
+  def m5PhashPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = withPayload(s, d)
+      .select(col("doc_id"), col("payload"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val twin = if (id % 10 == 0) {
+          val p = bytes.clone()
+          var i = 0
+          while (i < p.length) { if (i % 50 == 0) p(i) = (p(i) + 8).toByte; i += 1 }
+          Seq((id + M5TwinOffset, p))
+        } else Nil
+        (id, bytes) +: twin
+      }
+    val hashes = src.mapPartitions { it =>
+      it.grouped(M4BatchSize).flatMap { batch =>
+        batch.iterator.map { case (id, bytes) =>
+          (id, dhash(decodePng(encodePng(bytes)).take(bytes.length)))
+        }
+      }
+    }.toDF("doc_id", "h")
+    val banded = hashes.select(col("doc_id"), col("h"),
+      posexplode(array((0 until M5Bands).map(i =>
+        shiftrightunsigned(col("h"), i * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "bkey")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= M5MaxHamming)
+      .orderBy("doc_a", "doc_b")
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "m5_phash_pairs" -> (m5PhashPairs _, None),
     "m4_resize_pool" -> (m4ResizePool _, None),
     "m1_binary_meta" -> (m1BinaryMeta _, None),
     "m2_frame_sample" -> (m2FrameSample _, Some(m2Sql)),

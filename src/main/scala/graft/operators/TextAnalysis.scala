@@ -459,8 +459,11 @@ object TextAnalysis {
   def t11Bm25Search(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val len = docs.select(col("doc_id"), size(toks(col("text"))).cast("long").as("dl"))
-    val nDocs = docs.count().toDouble
-    val avgdl = len.agg(avg(col("dl"))).head().getDouble(0)
+    // one stats pass over the doc-length frame (not two): nd + avgdl
+    // together — at corpus scale this is the only full-width scan the
+    // planning constants cost
+    val stats = len.agg(count(lit(1)).cast("double").as("nd"), avg(col("dl")).as("avgdl")).head()
+    val (nDocs, avgdl) = (stats.getDouble(0), stats.getDouble(1))
     val tf = docs
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .filter(col("term").isin(T11Query: _*))

@@ -286,6 +286,31 @@ class NonSqlOracleSpec extends AnyFunSuite {
     assert(seeds1 == seeds2)
   }
 
+  test("m5 dhash: hand-computed bits, perturbation tolerance, 100% twin recall") {
+    val M = graft.operators.Multimodal
+    // a left-to-right ramp image: every adjacent comparison is "right
+    // cell brighter" → all 64 bits set
+    val ramp = Array.tabulate(32 * 8)(i => ((i % 32) * 8).toByte)
+    assert(M.dhash(ramp) == -1L, f"ramp dhash: ${M.dhash(ramp)}%x")
+    // a constant image has no gradients → zero bits
+    assert(M.dhash(Array.fill(256)(7.toByte)) == 0L)
+    // the fixture's twin perturbation barely moves the hash
+    val doc = graft.sources.Tables.documents(spark, sf)
+      .select("text").head().getString(0).getBytes("UTF-8")
+    val perturbed = doc.clone()
+    (0 until perturbed.length by 50).foreach(i => perturbed(i) = (perturbed(i) + 8).toByte)
+    assert(java.lang.Long.bitCount(M.dhash(doc) ^ M.dhash(perturbed)) <= M.M5MaxHamming)
+    // every planted twin pair is recovered through the banded join
+    val pairs = M.m5PhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val twinPairs = pairs.filter(p => p._2 - p._1 == M.M5TwinOffset && p._1 % 10 == 0)
+    val expected = graft.sources.Tables.documents(spark, sf)
+      .filter(col("doc_id") % 10 === 0).count()
+    assert(twinPairs.length == expected,
+      s"twin recall ${twinPairs.length}/$expected")
+    assert(pairs.forall(_._3 <= M.M5MaxHamming))
+  }
+
   test("m4 PNG round-trip is lossless: decode(encode(bytes)) == bytes + zero pad") {
     val M = graft.operators.Multimodal
     val samples = Seq(
