@@ -22,6 +22,8 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -66,9 +68,17 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister {
     p
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    SnapshotSourceUtil.sparkSchema(
-      SnapshotSourceUtil.tableMessageType(root(options)))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val r = root(options)
+    // an EMPTY table (no committed version) has no schema yet — the
+    // write path supplies the query's schema instead (first append
+    // creates v1); reads of an empty table fail at scan build
+    if (SnapshotTable.currentVersion(r) == 0) new StructType()
+    else SnapshotSourceUtil.sparkSchema(SnapshotSourceUtil.tableMessageType(r))
+  }
+
+  // the write path hands the incoming query's schema to getTable
+  override def supportsExternalMetadata(): Boolean = true
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
@@ -83,6 +93,40 @@ private[sources] object SnapshotSourceUtil {
     * footer — one metadata read. Mixed-width (schema-evolved) versions
     * are rejected: the connector serves uniform-schema tables; evolved
     * snapshots read through `SnapshotTable.readAt`'s merge path. */
+  /** StructType → parquet record schema, for the WRITE side (the exact
+    * reverse of [[sparkSchema]], so a written table reads back with the
+    * same StructType). */
+  def messageType(schema: StructType): MessageType = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val prim = f.dataType match {
+        case LongType => Types.primitive(PrimitiveTypeName.INT64,
+          if (f.nullable) org.apache.parquet.schema.Type.Repetition.OPTIONAL
+          else org.apache.parquet.schema.Type.Repetition.REQUIRED)
+        case IntegerType => Types.primitive(PrimitiveTypeName.INT32,
+          if (f.nullable) org.apache.parquet.schema.Type.Repetition.OPTIONAL
+          else org.apache.parquet.schema.Type.Repetition.REQUIRED)
+        case DoubleType => Types.primitive(PrimitiveTypeName.DOUBLE,
+          if (f.nullable) org.apache.parquet.schema.Type.Repetition.OPTIONAL
+          else org.apache.parquet.schema.Type.Repetition.REQUIRED)
+        case FloatType => Types.primitive(PrimitiveTypeName.FLOAT,
+          if (f.nullable) org.apache.parquet.schema.Type.Repetition.OPTIONAL
+          else org.apache.parquet.schema.Type.Repetition.REQUIRED)
+        case BooleanType => Types.primitive(PrimitiveTypeName.BOOLEAN,
+          if (f.nullable) org.apache.parquet.schema.Type.Repetition.OPTIONAL
+          else org.apache.parquet.schema.Type.Repetition.REQUIRED)
+        case StringType => Types.primitive(PrimitiveTypeName.BINARY,
+          if (f.nullable) org.apache.parquet.schema.Type.Repetition.OPTIONAL
+          else org.apache.parquet.schema.Type.Repetition.REQUIRED)
+          .as(LogicalTypeAnnotation.stringType())
+        case other => sys.error(s"graft-snapshot write: unsupported type $other (${f.name})")
+      }
+      b.addField(prim.named(f.name))
+    }
+    b.named("spark_schema")
+  }
+
   def tableMessageType(root: String): MessageType = {
     val v = SnapshotTable.currentVersion(root)
     require(v > 0, s"graft-snapshot: $root has no committed version")
@@ -118,14 +162,19 @@ private[sources] object SnapshotSourceUtil {
 }
 
 private[sources] class SnapshotDsv2Table(root: String, schema: StructType,
-    options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+    options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft_snapshot(`$root`)"
   override def schema(): StructType = schema0
   private val schema0 = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(root, schema0, o)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new SnapshotWriteBuilder(root, info)
 }
 
 private[sources] class SnapshotScanBuilder(root: String, full: StructType,
@@ -309,6 +358,151 @@ private[sources] case class SnapshotFilePartition(path: String) extends InputPar
 
 /** The one-row answer of a manifest-served COUNT(*). */
 private[sources] case class SnapshotCountPartition(total: Long) extends InputPartition
+
+/** The write side of the connector: `df.write.format("graft-snapshot")
+  * .mode("append")` commits a batch append; `df.writeStream.format(
+  * "graft-snapshot")` is an EXACTLY-ONCE streaming sink — each task
+  * writes an immutable uniquely-named data file straight into the table
+  * root (unreferenced until commit, so a failed write leaves garbage
+  * for vacuum, never a torn table), and the driver-side commit appends
+  * all task files as ONE manifest version through the CAS retry loop.
+  * Streaming commits store `epoch:<queryId>` in the manifest metadata
+  * atomically with the file list, so a replayed epoch (restart after a
+  * commit-then-crash) is detected and becomes a no-op — st8's sink
+  * semantics through the STANDARD API. */
+private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo)
+    extends WriteBuilder {
+  private def factory = SnapshotWriterFactory(root,
+    SnapshotSourceUtil.messageType(info.schema()).toString, info.schema())
+
+  override def buildForBatch(): BatchWrite = new BatchWrite {
+    override def createBatchWriterFactory(i: PhysicalWriteInfo): DataWriterFactory = factory
+    override def commit(messages: Array[WriterCommitMessage]): Unit =
+      SnapshotCommit.append(root, messages, Map.empty)
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      SnapshotCommit.discard(root, messages)
+  }
+
+  override def buildForStreaming(): StreamingWrite = new StreamingWrite {
+    private val qid = info.queryId()
+    override def createStreamingWriterFactory(i: PhysicalWriteInfo): StreamingDataWriterFactory = factory
+    override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+      val v = SnapshotTable.currentVersion(root)
+      val last = if (v == 0) -1L
+        else SnapshotTable.manifestMeta(root, v).get(s"epoch:$qid").map(_.toLong).getOrElse(-1L)
+      if (epochId <= last) SnapshotCommit.discard(root, messages) // replay: no-op
+      else SnapshotCommit.append(root, messages, Map(s"epoch:$qid" -> epochId.toString))
+    }
+    override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+      SnapshotCommit.discard(root, messages)
+  }
+}
+
+private[sources] case class SnapshotFileCommit(rel: String) extends WriterCommitMessage
+
+private[sources] object SnapshotCommit {
+  /** Append the task files as the next version (CAS retry loop —
+    * optimistic concurrency against any other committer). Per-file
+    * stats are footer-harvested for the table's `#statsCol` (carried
+    * forward in metadata) so appended files keep pruning. */
+  def append(root: String, messages: Array[WriterCommitMessage],
+      extraMeta: Map[String, String]): Unit = {
+    val rels = messages.collect { case SnapshotFileCommit(rel) if rel.nonEmpty => rel }
+      .toSeq.sorted
+    if (rels.isEmpty && extraMeta.isEmpty) return
+    var done = false
+    while (!done) {
+      val v = SnapshotTable.currentVersion(root)
+      val meta = if (v == 0) Map.empty[String, String] else SnapshotTable.manifestMeta(root, v)
+      val statsCol = meta.get("statsCol")
+      val existing = if (v == 0) Nil else SnapshotTable.manifestEntries(root, v)
+      val fresh = rels.map { rel =>
+        statsCol match {
+          case Some(c) => SnapshotTable.footerEntry(root, rel, c)
+          case None => SnapshotTable.footerEntry(root, rel,
+            "") // no stats column: rows-only entry (lo/hi sentinel)
+        }
+      }
+      try {
+        SnapshotTable.commitEntries(root, v, existing ++ fresh, shardSize = 16,
+          meta.filterNot(_._1.startsWith("epoch:")) ++ extraMeta)
+        done = true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => () // lost CAS: re-read, retry
+      }
+    }
+  }
+
+  /** Drop staged task files that will never be referenced. */
+  def discard(root: String, messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case SnapshotFileCommit(rel) =>
+      java.nio.file.Files.deleteIfExists(Paths.get(root, rel)) }
+}
+
+/** Executor-side writer: each task streams its rows into one immutable
+  * uniquely-named parquet file under the table root via the example
+  * Group API (the write twin of the read path). */
+private[sources] case class SnapshotWriterFactory(root: String,
+    parquetSchema: String, schema: StructType)
+    extends DataWriterFactory with StreamingDataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    writer(partitionId, -1L)
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] = writer(partitionId, epochId)
+
+  private def writer(partitionId: Int, epochId: Long): DataWriter[InternalRow] = {
+    val rel = s"data_w_e${epochId}_p${partitionId}_" +
+      s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+    new PartitionFileWriter(root, rel, parquetSchema, schema)
+  }
+}
+
+private[sources] class PartitionFileWriter(root: String, rel: String,
+    parquetSchema: String, schema: StructType) extends DataWriter[InternalRow] {
+  import org.apache.parquet.example.data.simple.SimpleGroupFactory
+  import org.apache.parquet.hadoop.example.ExampleParquetWriter
+
+  private val msg = MessageTypeParser.parseMessageType(parquetSchema)
+  private val groups = new SimpleGroupFactory(msg)
+  private var rows = 0L
+  private val writer = {
+    val conf = new Configuration()
+    ExampleParquetWriter.builder(new HadoopPath(Paths.get(root, rel).toUri))
+      .withConf(conf).withType(msg).build()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val g = groups.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) schema.fields(i).dataType match {
+        case LongType => g.add(i, row.getLong(i))
+        case IntegerType => g.add(i, row.getInt(i))
+        case DoubleType => g.add(i, row.getDouble(i))
+        case FloatType => g.add(i, row.getFloat(i))
+        case BooleanType => g.add(i, row.getBoolean(i))
+        case StringType => g.add(i, row.getUTF8String(i).toString)
+        case other => sys.error(s"graft-snapshot write: unsupported type $other")
+      }
+      i += 1
+    }
+    writer.write(g)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writer.close()
+    // an empty task file would be a useless manifest entry — drop it
+    if (rows == 0L) { java.nio.file.Files.deleteIfExists(Paths.get(root, rel)); SnapshotFileCommit("") }
+    else SnapshotFileCommit(rel)
+  }
+  override def abort(): Unit = {
+    writer.close()
+    java.nio.file.Files.deleteIfExists(Paths.get(root, rel))
+  }
+  override def close(): Unit = ()
+}
 
 private[sources] object SnapshotCountReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =

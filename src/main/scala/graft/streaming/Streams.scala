@@ -509,7 +509,39 @@ object Streams {
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
       |FROM e GROUP BY ep_day ORDER BY ep_day""".stripMargin
 
+  /** st10_stream_table_pipe — the full streaming hub round trip through
+    * the STANDARD APIs: `readStream.format("graft-snapshot")` tails the
+    * source table commit-by-commit, `writeStream.format(
+    * "graft-snapshot")` lands each micro-batch as one exactly-once
+    * manifest commit on a SECOND table (epoch id in the manifest
+    * metadata — a replayed epoch is detected and becomes a no-op), and
+    * the aggregate reads the sink table back through the connector.
+    * This is the table-to-table incremental pipeline (bronze→silver in
+    * lakehouse terms); SnapshotSourceSpec pins version-per-commit on
+    * the sink and checkpoint-restart idempotence. */
+  def st10StreamTablePipe(s: SparkSession, d: String): DataFrame = {
+    val ST = graft.operators.SnapshotTable
+    val src = ST.streamTable(s, d)
+    val dst = graft.operators.Engine.tmpDir("graft_st10_sink")
+    val cp = graft.operators.Engine.tmpDir("graft_st10_cp")
+    Seq(dst, cp).foreach(p => graft.operators.Engine
+      .listDir(java.nio.file.Paths.get(p))
+      .foreach(graft.operators.Engine.deleteRecursively))
+    val q = s.readStream.format("graft-snapshot").load(src)
+      .writeStream.format("graft-snapshot")
+      .option("path", dst).option("checkpointLocation", cp)
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    s.read.format("graft-snapshot").load(dst)
+      .groupBy(col("ep_day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .orderBy("ep_day")
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "st10_stream_table_pipe" -> (st10StreamTablePipe _, Some(st9Sql)),
     "st9_stream_table_read" -> (st9StreamTableRead _, Some(st9Sql)),
     "st1_stream_windowed" -> (st1StreamWindowed _, Some(st1Sql)),
     "st2_stream_sessionize" -> (st2StreamSessionize _, None),

@@ -1322,6 +1322,51 @@ class SnapshotSourceSpec extends AnyFunSuite {
       spark.read.format("graft-snapshot").load(root).count())
   }
 
+  test("DSv2 batch write: each append commits one version; round-trips exactly") {
+    import spark.implicits._
+    val root = graft.operators.Engine.tmpDir("graft_w_spec")
+    graft.operators.Engine.listDir(java.nio.file.Paths.get(root))
+      .foreach(graft.operators.Engine.deleteRecursively)
+    val a = Seq((1L, "x", 1.5), (2L, "y", 2.5)).toDF("id", "s", "v")
+    val b = Seq((3L, "z", 3.5)).toDF("id", "s", "v")
+    a.write.format("graft-snapshot").mode("append").save(root)
+    assert(ST.currentVersion(root) == 1)
+    b.write.format("graft-snapshot").mode("append").save(root)
+    assert(ST.currentVersion(root) == 2)
+    val back = spark.read.format("graft-snapshot").load(root)
+    assert(back.schema.map(_.name) == Seq("id", "s", "v"))
+    assert(back.exceptAll(a.unionAll(b)).isEmpty && a.unionAll(b).exceptAll(back).isEmpty)
+    // time travel sees only the first append
+    assert(spark.read.format("graft-snapshot").option("version", "1").load(root).count() == 2)
+  }
+
+  test("DSv2 streaming sink: version per commit, checkpoint restart is a no-op") {
+    val src = ST.streamTable(spark, sf)
+    val dst = graft.operators.Engine.tmpDir("graft_w_stream_spec")
+    val cp = graft.operators.Engine.tmpDir("graft_w_stream_spec_cp")
+    Seq(dst, cp).foreach(p => graft.operators.Engine
+      .listDir(java.nio.file.Paths.get(p))
+      .foreach(graft.operators.Engine.deleteRecursively))
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-snapshot").load(src)
+        .writeStream.format("graft-snapshot")
+        .option("path", dst).option("checkpointLocation", cp).start()
+      q.processAllAvailable(); q.stop()
+    }
+    run()
+    val v1 = ST.currentVersion(dst)
+    assert(v1 == ST.currentVersion(src),
+      s"sink should commit one version per source commit: $v1")
+    assert(spark.read.format("graft-snapshot").load(dst)
+      .exceptAll(spark.read.format("graft-snapshot").load(src)).isEmpty)
+    // restart against the same checkpoint: no new source commits → the
+    // sink must not grow (exactly-once, not at-least-once)
+    run()
+    assert(ST.currentVersion(dst) == v1, "restart duplicated data")
+    assert(spark.read.format("graft-snapshot").load(dst).count() ==
+      spark.read.format("graft-snapshot").load(src).count())
+  }
+
   test("streaming a table with rewrite commits fails the append-only guard") {
     val root = ST.mergeTable(spark, sf) // v2 rewrote one of v1's files
     val q = spark.readStream.format("graft-snapshot").load(root)
