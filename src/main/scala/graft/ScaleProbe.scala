@@ -85,6 +85,14 @@ object ScaleProbe {
     time("q14_scalar_subquery")(operators.Relational.q14ScalarSubquery(spark, work).count())
     time("c1_sessionize")(operators.Churn.c1Sessionize(spark, work).count())
     time("c7_rfm")(operators.Churn.c7Rfm(spark, work).count())
+    // round-8 additions whose scaling shape matters: hash-keyed LM
+    // scoring, filtered-postings retrieval, the SQ8 two-stage ANN, and
+    // the banded perceptual-hash pair join
+    time("t12_lm_quality")(operators.TextAnalysis.t12LmQuality(spark, work).count())
+    time("t11_bm25_search")(operators.TextAnalysis.t11Bm25Search(spark, work).count())
+    time("t13_tfidf_keywords")(operators.TextAnalysis.t13TfidfKeywords(spark, work).count())
+    time("s7_knn_sq8")(operators.Similarity.s7KnnSq8(spark, work).count())
+    time("m5_phash_pairs")(operators.Multimodal.m5PhashPairs(spark, work).count())
     spark.stop()
   }
 }

@@ -374,11 +374,16 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
     extends WriteBuilder {
   private def factory = SnapshotWriterFactory(root,
     SnapshotSourceUtil.messageType(info.schema()).toString, info.schema())
+  // `.option("statsCol", c)` on the writer declares the pruning column
+  // for a table this write CREATES (an existing table's statsCol is
+  // carried forward by the commit; the option must agree with it)
+  private val statsColOpt = Option(info.options().get("statsCol"))
 
   override def buildForBatch(): BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(i: PhysicalWriteInfo): DataWriterFactory = factory
     override def commit(messages: Array[WriterCommitMessage]): Unit =
-      SnapshotCommit.append(root, messages, Map.empty)
+      SnapshotCommit.append(root, messages,
+        statsColOpt.map("statsCol" -> _).toMap)
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       SnapshotCommit.discard(root, messages)
   }
@@ -391,7 +396,8 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
       val last = if (v == 0) -1L
         else SnapshotTable.manifestMeta(root, v).get(s"epoch:$qid").map(_.toLong).getOrElse(-1L)
       if (epochId <= last) SnapshotCommit.discard(root, messages) // replay: no-op
-      else SnapshotCommit.append(root, messages, Map(s"epoch:$qid" -> epochId.toString))
+      else SnapshotCommit.append(root, messages,
+        statsColOpt.map("statsCol" -> _).toMap + (s"epoch:$qid" -> epochId.toString))
     }
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
       SnapshotCommit.discard(root, messages)
@@ -414,7 +420,7 @@ private[sources] object SnapshotCommit {
     while (!done) {
       val v = SnapshotTable.currentVersion(root)
       val meta = if (v == 0) Map.empty[String, String] else SnapshotTable.manifestMeta(root, v)
-      val statsCol = meta.get("statsCol")
+      val statsCol = extraMeta.get("statsCol").orElse(meta.get("statsCol"))
       val existing = if (v == 0) Nil else SnapshotTable.manifestEntries(root, v)
       val fresh = rels.map { rel =>
         statsCol match {

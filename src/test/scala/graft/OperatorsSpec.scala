@@ -1340,6 +1340,26 @@ class SnapshotSourceSpec extends AnyFunSuite {
     assert(spark.read.format("graft-snapshot").option("version", "1").load(root).count() == 2)
   }
 
+  test("writer statsCol option makes a written table prunable on read") {
+    import spark.implicits._
+    val root = graft.operators.Engine.tmpDir("graft_w_stats_spec")
+    graft.operators.Engine.listDir(java.nio.file.Paths.get(root))
+      .foreach(graft.operators.Engine.deleteRecursively)
+    // two appends with disjoint key ranges → two prunable files
+    Seq((1L, 10.0), (5L, 11.0)).toDF("k", "v")
+      .coalesce(1).write.format("graft-snapshot").mode("append")
+      .option("statsCol", "k").save(root)
+    Seq((100L, 12.0), (105L, 13.0)).toDF("k", "v")
+      .coalesce(1).write.format("graft-snapshot").mode("append").save(root)
+    // statsCol survives the second commit (carried forward)
+    assert(ST.manifestMeta(root, ST.currentVersion(root)).get("statsCol").contains("k"))
+    val base = spark.read.format("graft-snapshot").load(root)
+    assert(scanParts(base.select("k")) == 2)
+    val low = base.filter(col("k") <= 10L)
+    assert(scanParts(low.select("k")) == 1, "stats from written footers should prune")
+    assert(low.count() == 2)
+  }
+
   test("DSv2 streaming sink: version per commit, checkpoint restart is a no-op") {
     val src = ST.streamTable(spark, sf)
     val dst = graft.operators.Engine.tmpDir("graft_w_stream_spec")
