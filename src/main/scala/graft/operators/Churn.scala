@@ -560,7 +560,78 @@ object Churn {
       |  CAST(SUM(nr) AS BIGINT) AS n_ref, CAST(SUM(nc) AS BIGINT) AS n_cur
       |FROM sh GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** c18's deterministic assignment hash (Knuth multiplicative — plain
+    * integer arithmetic so the DuckDB twin computes the identical
+    * split) and period boundary. */
+  private[graft] val C18Mult = 2654435761L
+  private[graft] val C18SplitDay = 19738L
+
+  /** c18_holdout_uplift — the intervention-measurement readout that
+    * follows churn scoring in production: users are deterministically
+    * hash-split 50/50 into treatment/control (assignment must be a pure
+    * function of user_id so every job, backfill, and replay agrees),
+    * outcome is purchase value in the post period, and the table
+    * reports per-stratum (pre-period activity bucket) counts, means,
+    * and uplift — stratification guards the readout against activity
+    * imbalance. One pass builds per-user pre/post aggregates (single
+    * user_id shuffle, the family's clustering), then a tiny
+    * stratum-grain rollup. */
+  def c18HoldoutUplift(s: SparkSession, d: String): DataFrame = {
+    val perUser = ev(s, d)
+      .groupBy(col("user_id"))
+      .agg(
+        sum((col("ep_day") < C18SplitDay).cast("long")).as("pre_events"),
+        sum(when(col("ep_day") >= C18SplitDay && col("event_type") === "purchase",
+          dec(col("value"))).otherwise(dec(lit(0.0)))).cast("double").as("post_purchase"))
+      .withColumn("treated", (pmod(col("user_id") * C18Mult, lit(100L)) < 50).cast("long"))
+      .withColumn("stratum",
+        when(col("pre_events") >= 50, "high")
+          .when(col("pre_events") >= 20, "mid")
+          .otherwise("low"))
+    perUser
+      .groupBy(col("stratum"))
+      .agg(
+        sum(col("treated")).as("n_treated"),
+        sum(lit(1L) - col("treated")).as("n_control"),
+        // a one-sided stratum (all treated or all control) has no
+        // counterfactual: its mean and uplift are NULL, not an error
+        round(sum(when(col("treated") === 1, col("post_purchase")).otherwise(0.0))
+          / nullif(sum(col("treated")), lit(0L)), 6).as("mean_treated"),
+        round(sum(when(col("treated") === 0, col("post_purchase")).otherwise(0.0))
+          / nullif(sum(lit(1L) - col("treated")), lit(0L)), 6).as("mean_control"))
+      .withColumn("uplift", round(col("mean_treated") - col("mean_control"), 6))
+      .orderBy("stratum")
+  }
+
+  val c18Sql: String =
+    s"""WITH e AS (SELECT user_id, event_type, value,
+      |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day FROM events),
+      |u AS (SELECT user_id,
+      |  SUM(CASE WHEN ep_day < $C18SplitDay THEN 1 ELSE 0 END) AS pre_events,
+      |  CAST(SUM(CASE WHEN ep_day >= $C18SplitDay AND event_type = 'purchase'
+      |    THEN CAST(value AS DECIMAL(18,6)) ELSE CAST(0.0 AS DECIMAL(18,6)) END) AS DOUBLE)
+      |    AS post_purchase
+      |  FROM e GROUP BY user_id),
+      |t AS (SELECT *,
+      |  CASE WHEN (user_id * $C18Mult) % 100 < 50 THEN 1 ELSE 0 END AS treated,
+      |  CASE WHEN pre_events >= 50 THEN 'high'
+      |       WHEN pre_events >= 20 THEN 'mid' ELSE 'low' END AS stratum
+      |  FROM u)
+      |SELECT stratum,
+      |  CAST(SUM(treated) AS BIGINT) AS n_treated,
+      |  CAST(SUM(1 - treated) AS BIGINT) AS n_control,
+      |  ROUND(SUM(CASE WHEN treated = 1 THEN post_purchase ELSE 0.0 END)
+      |    / NULLIF(SUM(treated), 0), 6) AS mean_treated,
+      |  ROUND(SUM(CASE WHEN treated = 0 THEN post_purchase ELSE 0.0 END)
+      |    / NULLIF(SUM(1 - treated), 0), 6) AS mean_control,
+      |  ROUND(ROUND(SUM(CASE WHEN treated = 1 THEN post_purchase ELSE 0.0 END)
+      |      / NULLIF(SUM(treated), 0), 6)
+      |    - ROUND(SUM(CASE WHEN treated = 0 THEN post_purchase ELSE 0.0 END)
+      |      / NULLIF(SUM(1 - treated), 0), 6), 6) AS uplift
+      |FROM t GROUP BY stratum ORDER BY stratum""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "c18_holdout_uplift" -> (c18HoldoutUplift _, Some(c18Sql)),
     "c17_feature_drift" -> (c17FeatureDrift _, Some(c17Sql)),
     "c14_sliding_features" -> (c14SlidingFeatures _, Some(c14Sql)),
     "c16_range_join" -> (c16RangeJoin _, Some(c16Sql)),
