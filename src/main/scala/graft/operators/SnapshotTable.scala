@@ -1061,6 +1061,45 @@ object SnapshotTable {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
       .orderBy("ep_day")
 
+  /** x23_incremental_mv — materialized-view maintenance from the change
+    * feed, the job x19's CDC exists to power: the day-grain aggregate
+    * MV computed at v1 is brought to v2 by applying ONE commit's
+    * signed row deltas (insert = +1/+value, delete = −1/−value) in a
+    * full-outer merge — the base table is never rescanned. Groups whose
+    * maintained count reaches zero are dropped (a fully-deleted day
+    * leaves no MV row, exactly as a recompute would). At 100 TB the MV
+    * refresh cost is O(one commit's changed files + MV size), not
+    * O(table) — the difference between a nightly full rebuild and a
+    * minutes-behind view. The DuckDB oracle recomputes the SAME
+    * aggregate over the functionally-merged log, so the gate proves
+    * delta-maintenance ≡ recompute. */
+  def x23IncrementalMv(s: SparkSession, d: String): DataFrame = {
+    val root = mergeTable(s, d)
+    val v = currentVersion(root)
+    // the MV as of the PRE-merge snapshot (in production this is the
+    // stored MV table, not a recompute — building it here stands in
+    // for reading it)
+    val mv0 = readAt(s, root, v - 1)
+      .groupBy(col("ep_day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("value_dec"))
+    // one commit's signed deltas, aggregated to the MV's grain
+    val delta = changesBetween(s, root, v - 1, v)
+      .withColumn("sgn", when(col("change_type") === "insert", 1L).otherwise(-1L))
+      .groupBy(col("ep_day"))
+      .agg(sum(col("sgn")).as("d_n"),
+        sum(col("value").cast("decimal(18,6)") * col("sgn")).as("d_value"))
+    mv0.join(delta, Seq("ep_day"), "full_outer")
+      .select(col("ep_day"),
+        (coalesce(col("n_events"), lit(0L)) + coalesce(col("d_n"), lit(0L))).as("n_events"),
+        (coalesce(col("value_dec"), lit(0).cast("decimal(18,6)"))
+          + coalesce(col("d_value"), lit(0).cast("decimal(18,6)"))).as("value_dec"))
+      .filter(col("n_events") > 0)
+      .select(col("ep_day"), col("n_events"),
+        col("value_dec").cast("decimal(18,6)").cast("double").as("value_sum"))
+      .orderBy("ep_day")
+  }
+
   val x14Sql: String =
     """WITH e AS (SELECT event_id,
       |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day,
@@ -1081,5 +1120,6 @@ object SnapshotTable {
     "x20_point_lookup" -> (x20PointLookup _, Some(x20Sql)),
     "x21_source_pushdown" -> (x21SourcePushdown _, Some(x15Sql)),
     "x22_zorder_box" -> (x22ZorderBox _, Some(x22Sql)),
+    "x23_incremental_mv" -> (x23IncrementalMv _, Some(x17Sql)),
   )
 }

@@ -1163,6 +1163,55 @@ class ChangeFeedSpec extends AnyFunSuite {
   }
 }
 
+/** Incremental MV maintenance: signed-delta refresh equals recompute,
+  * including the fully-deleted-group drop the x17 fixture never hits. */
+class IncrementalMvSpec extends AnyFunSuite {
+  import TestSession._
+  import org.apache.spark.sql.functions._
+  import spark.implicits._
+  val ST = graft.operators.SnapshotTable
+
+  test("a day deleted in full vanishes from the maintained MV, as recompute would") {
+    val root = graft.operators.Engine.tmpDir("graft_mv_spec")
+    graft.operators.Engine.listDir(java.nio.file.Paths.get(root))
+      .foreach(graft.operators.Engine.deleteRecursively)
+    // two one-day files; v2 merges a changeset that deletes EVERY row of day 11
+    val rows = Seq((1L, 10L, "a", 1.0, 10L), (2L, 10L, "a", 2.0, 10L),
+      (3L, 11L, "b", 3.0, 11L), (4L, 11L, "b", 4.0, 11L))
+      .toDF("event_id", "user_id", "event_type", "value", "ep_day")
+    def stage(day: Long, tag: String): ST.FileEntry = {
+      rows.filter(col("ep_day") === day).coalesce(1)
+        .write.mode("overwrite").parquet(s"$root/stage")
+      val part = graft.operators.Engine.listDir(java.nio.file.Paths.get(root, "stage"))
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.move(part, java.nio.file.Paths.get(root, s"data_$tag.parquet"))
+      ST.footerEntry(root, s"data_$tag.parquet", "ep_day")
+    }
+    val v1 = ST.commitEntries(root, 0, Seq(stage(10L, "d10"), stage(11L, "d11")), 4)
+    val changes = rows.filter(col("ep_day") === 11L).withColumn("op", lit("d"))
+    ST.merge(spark, root, "ep_day", "event_id", changes)
+    val v2 = ST.currentVersion(root)
+    assert(v2 == v1 + 1)
+    // maintain the MV by signed deltas (same arithmetic as x23)
+    val mv0 = ST.readAt(spark, root, v1).groupBy("ep_day")
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+    val delta = ST.changesBetween(spark, root, v1, v2)
+      .withColumn("sgn", when(col("change_type") === "insert", 1L).otherwise(-1L))
+      .groupBy("ep_day").agg(sum(col("sgn")).as("dn"), sum(col("value") * col("sgn")).as("dv"))
+    val mv1 = mv0.join(delta, Seq("ep_day"), "full_outer")
+      .select(col("ep_day"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        (coalesce(col("v"), lit(0.0)) + coalesce(col("dv"), lit(0.0))).as("v"))
+      .filter(col("n") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val recompute = ST.read(spark, root).groupBy("ep_day")
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(mv1 == recompute, s"mv $mv1 != recompute $recompute")
+    assert(!mv1.exists(_._1 == 11L), "fully-deleted day must vanish from the MV")
+  }
+}
+
 /** Z-order clustering: two-dimensional stats pruning on the multi-
   * column manifest, against the one-dimensional blindness of a
   * single-key layout. */
