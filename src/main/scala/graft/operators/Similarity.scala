@@ -373,7 +373,78 @@ object Similarity {
        |  FROM rer) t
        |WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin
 
+  private[graft] val MmrLambda = 0.7
+  private[graft] val MmrPool = 40
+  private[graft] val MmrK = 10
+
+  /** Exact integer dot product — the plain-Scala twin of the
+    * quantized_dot kernel, for per-group greedy code. */
+  private[graft] def dotL(a: Seq[Long], b: Seq[Long]): Long = {
+    var s = 0L; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** s8_mmr_rerank — diversified retrieval: Maximal Marginal Relevance
+    * over each query's top-MmrPool exact candidates. Greedy: pick
+    * argmax of λ·sim(q, c) − (1−λ)·max_{s∈selected} sim(c, s), ties by
+    * cand_id — the rerank step between an ANN shortlist and what a
+    * retrieval consumer actually wants (relevant AND non-redundant).
+    * The greedy loop is inherently sequential per query, so it runs
+    * inside `mapGroups` over a BOUNDED candidate set (MmrPool rows per
+    * key — per-group state is O(pool), never corpus-shaped), with
+    * queries distributed across tasks. Deterministic; no SQL twin
+    * (iterative greedy) → rows-only; SimilaritySpec pins determinism,
+    * top-1 agreement with s1, and the diversity win over plain top-k. */
+  def s8MmrRerank(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val q = quantized(s, d)
+    val queries = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("sim"), asc("cand_id"))
+    val pool = q.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"), col("qv"), col("nrm"),
+        cosine(graft.functions.quantized_dot(col("q_qv"), col("qv")),
+          col("q_nrm"), col("nrm")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= MmrPool)
+      .select("q_id", "cand_id", "qv", "nrm", "sim")
+      .as[(Long, Long, Seq[Long], Long, Double)]
+    pool.groupByKey(_._1).flatMapGroups { (qid, it) =>
+      val cs = it.toArray.sortBy(c => (-c._5, c._2)) // by sim desc, id asc
+      def cosCC(a: (Long, Long, Seq[Long], Long, Double),
+          b: (Long, Long, Seq[Long], Long, Double)): Double =
+        dotL(a._3, b._3).toDouble / (math.sqrt(a._4.toDouble) * math.sqrt(b._4.toDouble))
+      val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+      while (selected.length < math.min(MmrK, cs.length)) {
+        var best = -1; var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < cs.length) {
+          if (!selected.contains(i)) {
+            val redundancy =
+              if (selected.isEmpty) 0.0
+              else selected.map(j => cosCC(cs(i), cs(j))).max
+            val score = MmrLambda * cs(i)._5 - (1.0 - MmrLambda) * redundancy
+            // strict > with id tiebreak: deterministic at equal scores
+            if (score > bestScore ||
+                (score == bestScore && best >= 0 && cs(i)._2 < cs(best)._2)) {
+              best = i; bestScore = score
+            }
+          }
+          i += 1
+        }
+        selected += best
+        out += ((qid, selected.length, cs(best)._2,
+          math.rint(bestScore * 1e6) / 1e6))
+      }
+      out.iterator
+    }.toDF("q_id", "rk", "cand_id", "mmr")
+      .orderBy("q_id", "rk")
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "s8_mmr_rerank" -> (s8MmrRerank _, None),
     "s7_knn_sq8" -> (s7KnnSq8 _, Some(s7Sql)),
     "s5_knn_ivf" -> (s5KnnIvf _, None),
     "s6_pairwise_lsh" -> (s6PairwiseLsh _, None),

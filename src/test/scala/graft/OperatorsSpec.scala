@@ -138,6 +138,41 @@ class NonSqlOracleSpec extends AnyFunSuite {
       s"SQ8+rerank diverged from exact: ${sq8.toSet -- brute.toSet}")
   }
 
+  test("s8_mmr_rerank: deterministic, top-1 = s1's, diversity beats plain top-k") {
+    val S = graft.operators.Similarity
+    val a = S.s8MmrRerank(spark, sf).collect().map(_.toSeq).toSeq
+    val b = S.s8MmrRerank(spark, sf).collect().map(_.toSeq).toSeq
+    assert(a == b, "MMR not deterministic")
+    val mmr = a.map(r => (r(0).asInstanceOf[Long], r(1).asInstanceOf[Int],
+      r(2).asInstanceOf[Long]))
+    val brute = S.s1KnnBrute(spark, sf).select("q_id", "rk", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    // the first MMR pick has no redundancy term: it must be s1's top-1
+    val top1Mmr = mmr.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    val top1Brute = brute.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    assert(top1Mmr == top1Brute, s"first pick diverged: $top1Mmr vs $top1Brute")
+    // diversity: average pairwise cosine among MMR picks must not exceed
+    // plain top-10's (that is the entire point of the redundancy term)
+    val vecs = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => round(x.cast("double") * 1000.0, 0).cast("long")).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def avgPairCos(ids: Seq[Long]): Double = {
+      val pairs = for (i <- ids.indices; j <- i + 1 until ids.length) yield {
+        val (a, b) = (vecs(ids(i)), vecs(ids(j)))
+        val dot = a.zip(b).map { case (x, y) => x * y }.sum.toDouble
+        dot / (math.sqrt(a.map(x => x * x).sum.toDouble) *
+          math.sqrt(b.map(x => x * x).sum.toDouble))
+      }
+      pairs.sum / pairs.length
+    }
+    val qids = mmr.map(_._1).distinct
+    val mmrAvg = qids.map(q => avgPairCos(mmr.filter(_._1 == q).map(_._3))).sum / qids.length
+    val bruteAvg = qids.map(q => avgPairCos(brute.filter(_._1 == q).map(_._3))).sum / qids.length
+    assert(mmrAvg <= bruteAvg + 1e-9,
+      s"MMR picks not more diverse: $mmrAvg vs plain $bruteAvg")
+  }
+
   test("s6_pairwise_lsh equals the exact all-pairs strong-pair set at test SF") {
     import spark.implicits._
     // independent exact ground truth: quantized all-pairs over the FULL corpus
