@@ -430,8 +430,13 @@ private[sources] object SnapshotCommit {
         }
       }
       try {
+        // carry EVERY query's epoch watermark forward (a commit that
+        // dropped another streaming writer's `epoch:` key would erase
+        // that query's replay protection — the Delta txn map keeps one
+        // version per appId for exactly this reason); our own key is
+        // overwritten by extraMeta
         SnapshotTable.commitEntries(root, v, existing ++ fresh, shardSize = 16,
-          meta.filterNot(_._1.startsWith("epoch:")) ++ extraMeta)
+          meta ++ extraMeta)
         done = true
       } catch {
         case _: java.nio.file.FileAlreadyExistsException => () // lost CAS: re-read, retry

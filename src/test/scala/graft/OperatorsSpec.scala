@@ -1471,6 +1471,31 @@ class SnapshotSourceSpec extends AnyFunSuite {
       spark.read.format("graft-snapshot").load(src).count())
   }
 
+  test("a later append preserves other writers' epoch watermarks") {
+    import spark.implicits._
+    val src = ST.streamTable(spark, sf)
+    val dst = graft.operators.Engine.tmpDir("graft_w_epoch_spec")
+    val cp = graft.operators.Engine.tmpDir("graft_w_epoch_spec_cp")
+    Seq(dst, cp).foreach(p => graft.operators.Engine
+      .listDir(java.nio.file.Paths.get(p))
+      .foreach(graft.operators.Engine.deleteRecursively))
+    val q = spark.readStream.format("graft-snapshot").load(src)
+      .writeStream.format("graft-snapshot")
+      .option("path", dst).option("checkpointLocation", cp).start()
+    q.processAllAvailable(); q.stop()
+    val metaBefore = ST.manifestMeta(dst, ST.currentVersion(dst))
+    val epochKeys = metaBefore.keys.filter(_.startsWith("epoch:")).toSet
+    assert(epochKeys.nonEmpty, "streaming sink should have recorded its epoch")
+    // an unrelated BATCH append must not erase the stream's watermark —
+    // dropping it would re-open the replay window for that query
+    Seq((999999L, 1L, "x", 0.0, 19723L))
+      .toDF("event_id", "user_id", "event_type", "value", "ep_day")
+      .write.format("graft-snapshot").mode("append").save(dst)
+    val metaAfter = ST.manifestMeta(dst, ST.currentVersion(dst))
+    assert(epochKeys.forall(k => metaAfter.get(k) == metaBefore.get(k)),
+      s"append clobbered epoch watermarks: before=$metaBefore after=$metaAfter")
+  }
+
   test("streaming a table with rewrite commits fails the append-only guard") {
     val root = ST.mergeTable(spark, sf) // v2 rewrote one of v1's files
     val q = spark.readStream.format("graft-snapshot").load(root)
