@@ -515,9 +515,12 @@ object Churn {
       .groupBy(col("event_type"))
       .agg(min(col("value")).as("vlo"), max(col("value")).as("vhi"))
     val binned = e.join(broadcast(refBounds), "event_type")
-      .withColumn("bin", least(lit(C17Bins - 1), greatest(lit(0),
-        floor((col("value") - col("vlo")) * C17Bins / (col("vhi") - col("vlo")))
-          .cast("int"))))
+      // a degenerate reference range (vhi == vlo) puts everything in
+      // bin 0 instead of dividing by zero
+      .withColumn("bin", when(col("vhi") > col("vlo"),
+        least(lit(C17Bins - 1), greatest(lit(0),
+          floor((col("value") - col("vlo")) * C17Bins / (col("vhi") - col("vlo")))
+            .cast("int")))).otherwise(lit(0)))
       .withColumn("win", when(col("ep_day") < C17SplitDay, "ref").otherwise("cur"))
       .groupBy(col("event_type"), col("win"), col("bin"))
       .agg(count(lit(1)).as("n"))
@@ -545,8 +548,8 @@ object Churn {
       |  FROM e WHERE ep_day < $C17SplitDay GROUP BY event_type),
       |binned AS (SELECT e.event_type,
       |  CASE WHEN ep_day < $C17SplitDay THEN 'ref' ELSE 'cur' END AS win,
-      |  LEAST($C17Bins - 1, GREATEST(0,
-      |    CAST(FLOOR((value - vlo) * $C17Bins / (vhi - vlo)) AS INT))) AS bin
+      |  CASE WHEN vhi > vlo THEN LEAST($C17Bins - 1, GREATEST(0,
+      |    CAST(FLOOR((value - vlo) * $C17Bins / (vhi - vlo)) AS INT))) ELSE 0 END AS bin
       |  FROM e JOIN rb ON e.event_type = rb.event_type),
       |cnt AS (SELECT event_type, bin,
       |  SUM(CASE WHEN win = 'ref' THEN 1 ELSE 0 END) AS nr,

@@ -922,7 +922,11 @@ object SnapshotTable {
     * the per-column half of the Z-order key. */
   private def norm16(c: Column, lo: Long, hi: Long): Column =
     if (hi <= lo) lit(0L)
-    else ((c - lit(lo)) * lit(65535L) / lit(hi - lo)).cast("long")
+    // double math on purpose: the z key only shapes the LAYOUT (answers
+    // ride real per-column stats), and integer (c-lo)*65535 would
+    // overflow ANSI long arithmetic on a 2^48+ key domain
+    else ((c - lit(lo)).cast("double") * 65535.0 / lit((hi - lo).toDouble))
+      .cast("long")
 
   /** OPTIMIZE ZORDER — rewrite the CURRENT snapshot into files
     * clustered along a 2-column Z-curve (Delta's OPTIMIZE ZORDER BY
