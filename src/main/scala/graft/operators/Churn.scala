@@ -586,7 +586,11 @@ object Churn {
         sum((col("ep_day") < C18SplitDay).cast("long")).as("pre_events"),
         sum(when(col("ep_day") >= C18SplitDay && col("event_type") === "purchase",
           dec(col("value"))).otherwise(dec(lit(0.0)))).cast("double").as("post_purchase"))
-      .withColumn("treated", (pmod(col("user_id") * C18Mult, lit(100L)) < 50).cast("long"))
+      // fold user_id below 1e8 BEFORE multiplying: (id * mult) alone
+      // overflows ANSI long arithmetic past ~3.5e9 users; the folded
+      // product peaks at ~2.7e17, always safe
+      .withColumn("treated",
+        (pmod(pmod(col("user_id"), lit(100000007L)) * C18Mult, lit(100L)) < 50).cast("long"))
       .withColumn("stratum",
         when(col("pre_events") >= 50, "high")
           .when(col("pre_events") >= 20, "mid")
@@ -616,7 +620,7 @@ object Churn {
       |    AS post_purchase
       |  FROM e GROUP BY user_id),
       |t AS (SELECT *,
-      |  CASE WHEN (user_id * $C18Mult) % 100 < 50 THEN 1 ELSE 0 END AS treated,
+      |  CASE WHEN ((user_id % 100000007) * $C18Mult) % 100 < 50 THEN 1 ELSE 0 END AS treated,
       |  CASE WHEN pre_events >= 50 THEN 'high'
       |       WHEN pre_events >= 20 THEN 'mid' ELSE 'low' END AS stratum
       |  FROM u)

@@ -513,10 +513,10 @@ object TextAnalysis {
     * Scale shape: every shuffle is keyed on 8-byte hashes from the
     * `bigram_pair_hashes` kernel, never token strings. The first
     * aggregation collapses the corpus token stream to per-doc DISTINCT
-    * bigram rows with occurrence counts (map-side combine); LM count
-    * joins reuse those rows, shuffling |distinct (doc,bigram)| keys.
-    * At 100 TB the LM tables are vocab-shaped, the per-doc frame
-    * corpus-shaped — all joins hash-partition on the same 8-byte keys. */
+    * bigram rows with occurrence counts (map-side combine); LM counts
+    * are hb-/hl-partitioned WINDOWS over that one frame — one corpus
+    * scan total (PlanSpec-gated), every later shuffle carries only the
+    * distinct (doc, bigram) rows. */
   def t12LmQuality(s: SparkSession, d: String): DataFrame = {
     val perDoc = Tables.documents(s, d)
       .select(col("doc_id"),
@@ -525,9 +525,13 @@ object TextAnalysis {
       .groupBy(col("doc_id"), col("hb"))
       // hb is a function of (hl, right token): hl is constant per hb
       .agg(count(lit(1)).as("f"), first(col("hl")).as("hl"))
-    val c2 = perDoc.groupBy(col("hb")).agg(sum(col("f")).as("n2"))
-    val c1 = perDoc.groupBy(col("hl")).agg(sum(col("f")).as("n1"))
-    perDoc.join(c2, "hb").join(c1, "hl")
+    // LM counts as WINDOWS over the per-doc frame, not self-joins: a
+    // join of perDoc against its own aggregates recomputes the corpus
+    // explode once per branch (3 scans); windows keep ONE scan and
+    // shuffle only the distinct (doc, bigram) rows (PlanSpec counts)
+    perDoc
+      .withColumn("n2", sum(col("f")).over(Window.partitionBy(col("hb"))))
+      .withColumn("n1", sum(col("f")).over(Window.partitionBy(col("hl"))))
       .groupBy(col("doc_id"))
       .agg(sum(col("f")).as("n_bigrams"),
         round(sum(col("f") * log(col("n2").cast("double") / col("n1").cast("double")))
@@ -556,10 +560,9 @@ object TextAnalysis {
     * LLM-data pipeline materializes for retrieval/routing metadata.
     *
     * Scale shape: one explode → (doc, term) counts with map-side
-    * combine; df is a term-grain aggregate of the SAME counts frame
-    * (ReusedExchange, no second corpus scan); the idf join is
-    * term-keyed and vocabulary-sized; the final top-k is a per-doc
-    * window over each doc's distinct terms. */
+    * combine; df comes from a term-partitioned WINDOW over the same
+    * counts frame — one corpus scan total (PlanSpec-gated); the final
+    * top-k is a per-doc window over each doc's distinct terms. */
   def t13TfidfKeywords(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val nDocs = docs.count().toDouble
@@ -567,11 +570,13 @@ object TextAnalysis {
       .select(col("doc_id"), explode(toks(col("text"))).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast("double").as("f"))
-    val df = tf.groupBy(col("term"))
-      .agg(count(lit(1)).cast("double").as("dfc"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(desc("tfidf"), asc("term"))
-    tf.join(df, "term")
+    // df as a WINDOW over tf, not a tf-self-join: the join form
+    // recomputes the corpus explode for the df branch (a second full
+    // scan); the window keeps one scan and shuffles the distinct
+    // (doc, term) frame on term (PlanSpec counts the single scan)
+    tf.withColumn("dfc", count(lit(1)).over(Window.partitionBy(col("term"))).cast("double"))
       .withColumn("tfidf", round(col("f") * log(lit(nDocs) / col("dfc")), 6))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= T13TopK)

@@ -33,6 +33,30 @@ class PlanSpec extends AnyFunSuite {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)
   }
 
+  // AQE hides subtrees behind wrapper nodes whose inner plan is not a
+  // tree child: descend through both wrappers when counting scans
+  private def fileScans(d: org.apache.spark.sql.DataFrame): Int = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    d.collect() // AQE finalizes the plan only at execution
+    def go(p: SparkPlan): Int = p.collect {
+      case a: AdaptiveSparkPlanExec => go(a.executedPlan)
+      case q: QueryStageExec => go(q.plan)
+      case _: FileSourceScanExec => 1
+    }.sum
+    go(d.queryExecution.executedPlan)
+  }
+
+  test("t13: df via window, not self-join - exactly one corpus scan") {
+    val n = fileScans(SparkEntry.queries("t13_tfidf_keywords")(spark, sf))
+    assert(n == 1, s"t13 should scan documents once, found $n scans")
+  }
+
+  test("t12: LM counts via windows, not self-joins - exactly one corpus scan") {
+    val n = fileScans(SparkEntry.queries("t12_lm_quality")(spark, sf))
+    assert(n == 1, s"t12 should scan documents once, found $n scans")
+  }
+
   test("q15: global top-k plans TakeOrderedAndProject, not a full sort") {
     val p = plan("q15_topk_order")
     assert(p.contains("TakeOrderedAndProject"))
