@@ -22,6 +22,33 @@ object TextAnalysis {
   private def hits(c: Column, word: String): Column =
     size(filter(toks(c), t => t === lit(word))).cast("long")
 
+  /** t1's language vote as one expression — shared by t1 (which also
+    * surfaces the per-language hit counts) and t7's fused verdict scan,
+    * so the two can never drift. */
+  private def langPredExpr(c: Column): Column = {
+    val (en, fr, es, de) = (hits(c, "the"), hits(c, "le"), hits(c, "el"), hits(c, "der"))
+    when(en >= fr && en >= es && en >= de, "en")
+      .when(fr >= es && fr >= de, "fr")
+      .when(es >= de, "es")
+      .otherwise("de")
+  }
+
+  /** t2's quality score as one expression (same arithmetic, same
+    * operand order) for t7's fused verdict scan. t2 itself keeps its
+    * named-intermediate formulation (those columns are its output);
+    * the t2 and t7 DuckDB oracles jointly pin the two equal. */
+  private def qualityExpr(c: Column): Column = {
+    val t = toks(c)
+    val nTok = size(t).cast("long")
+    val ttr = size(array_distinct(t)).cast("long").cast("double") / nTok
+    val avgTokLen =
+      (length(c).cast("long") - (nTok - lit(1L))).cast("double") / nTok
+    val stopRatio = (hits(c, "the") + hits(c, "a")).cast("double") / nTok
+    lit(0.5) * ttr +
+      lit(0.3) * (lit(1.0) - abs(avgTokLen - lit(5.0)) / lit(10.0)) +
+      lit(0.2) * (lit(1.0) - stopRatio)
+  }
+
   /** t1_langid — stopword-marker language ID. On this synthetic corpus
     * the markers are shared English-ish vocab, so predictions skew 'en';
     * the operator contract is the deterministic scoring, not accuracy. */
@@ -33,13 +60,8 @@ object TextAnalysis {
         hits(col("text"), "the").as("en_hits"),
         hits(col("text"), "le").as("fr_hits"),
         hits(col("text"), "el").as("es_hits"),
-        hits(col("text"), "der").as("de_hits"))
-      .withColumn("lang_pred",
-        when(col("en_hits") >= col("fr_hits") && col("en_hits") >= col("es_hits") &&
-          col("en_hits") >= col("de_hits"), "en")
-          .when(col("fr_hits") >= col("es_hits") && col("fr_hits") >= col("de_hits"), "fr")
-          .when(col("es_hits") >= col("de_hits"), "es")
-          .otherwise("de"))
+        hits(col("text"), "der").as("de_hits"),
+        langPredExpr(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
   val t1Sql: String =
@@ -354,13 +376,16 @@ object TextAnalysis {
     curationOver(s, d, Dedup.d6DedupClustersLsh(s, d))
 
   private def curationOver(s: SparkSession, d: String, clusters: DataFrame): DataFrame = {
-    val quality = t2Quality(s, d).select(col("doc_id"), col("keep").as("q_keep"))
-    val lang = t1Langid(s, d).select(col("doc_id"), col("lang_pred"))
     val dedup = clusters.select(col("doc_id"), col("is_keeper"))
+    // quality + language are per-row scalar verdicts: compute them ON
+    // the one documents scan instead of joining t1/t2's frames (which
+    // re-scans the corpus per branch); only the dedup verdict — which
+    // genuinely needs its own machinery — joins in
     Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), size(toks(col("text"))).cast("long").as("n_tokens"))
-      .join(quality, "doc_id")
-      .join(lang, "doc_id")
+      .select(col("doc_id"), col("source"),
+        size(toks(col("text"))).cast("long").as("n_tokens"),
+        when(qualityExpr(col("text")) >= 0.5, 1L).otherwise(0L).as("q_keep"),
+        langPredExpr(col("text")).as("lang_pred"))
       .join(dedup, "doc_id")
       .withColumn("kept", (col("q_keep") === 1L && col("is_keeper") === 1L &&
         col("lang_pred") === "en").cast("long"))

@@ -57,6 +57,11 @@ class PlanSpec extends AnyFunSuite {
     assert(n == 1, s"t12 should scan documents once, found $n scans")
   }
 
+  test("t7: quality+language fused onto one verdict scan (dedup leg separate)") {
+    val n = fileScans(SparkEntry.queries("t7_corpus_curation")(spark, sf))
+    assert(n <= 2, s"t7 should scan documents at most twice, found $n scans")
+  }
+
   test("q15: global top-k plans TakeOrderedAndProject, not a full sort") {
     val p = plan("q15_topk_order")
     assert(p.contains("TakeOrderedAndProject"))
