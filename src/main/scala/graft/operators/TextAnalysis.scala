@@ -191,9 +191,14 @@ object TextAnalysis {
     * pass). Display strings are recovered afterwards by a broadcast
     * semi-join of the ≤~20-row winner set against per-doc (hash,
     * string) entries — a second narrow scan, no string shuffle. The
-    * three consumers of `counts` share one exchange (ReusedExchange);
-    * tie-breaks at the top-20 boundary stay exact because every hash
-    * tied with the 20th count survives to the final string sort. */
+    * threshold and winner branches RECOMPUTE the counts aggregate
+    * (plan-level exchange reuse is a planner coincidence, not a
+    * contract): measured at bench scale, the re-run costs less than
+    * materializing the vocab frame; at true corpus scale the
+    * production form caches/checkpoints `counts` once and the rest of
+    * the plan is unchanged. Tie-breaks at the top-20 boundary stay
+    * exact because every hash tied with the 20th count survives to
+    * the final string sort. */
   def t6BigramStats(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val counts = docs

