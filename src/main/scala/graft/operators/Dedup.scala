@@ -105,8 +105,12 @@ object Dedup {
     // window count — one extra long per row instead of joining a
     // per-document sizes table back in afterwards (which at corpus
     // scale would either broadcast a document-sized table or add two
-    // more shuffles). The self-join's two sides share one exchange
-    // (ReusedExchange). Everything below the cached scan is codegen.
+    // more shuffles). The capped index is MATERIALIZED once
+    // (localCheckpoint): plan-level exchange reuse between the self-
+    // join's sides is a planner coincidence that measurably does NOT
+    // fire here, and without the pin the anti-join + window re-run per
+    // side. d2 runs once per session (its output is memoized), so the
+    // materialization cost is paid once. Everything below is codegen.
     val sh = shingles(s, d)
     val nDocs = shingleArrays(s, d).count() // cached relation — cheap
     val dfCap = math.max(DfCapFloor, math.ceil(DfCapFrac * nDocs).toLong)
@@ -114,6 +118,7 @@ object Dedup {
       .filter(col("df") > dfCap).select("h")
     val idx = sh.join(broadcast(reject), Seq("h"), "left_anti")
       .withColumn("sz", count(lit(1)).over(Window.partitionBy(col("doc_id"))))
+      .localCheckpoint(true)
     idx.as("a").join(idx.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
