@@ -58,8 +58,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    println(json)
+    // ALSO write the result to a file: the driver captures sbt's stdout
+    // tail, and one 110-query JSON line buried in sbt noise gets
+    // truncated — two rounds of bench adjudication ran on a 55% sample
+    // because of it. The file is the canonical record.
+    try java.nio.file.Files.write(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")),
+      json.getBytes)
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -281,9 +281,16 @@ object Multimodal {
   /** m5_phash_pairs — visual near-duplicate detection over the REAL
     * codec path: every payload is PNG-encoded, decoded (javax.imageio),
     * dHashed; candidate pairs come from 4×16-bit hash-band buckets
-    * (pigeonhole: hamming ≤ 15 guarantees one matching band — same
-    * banding as d4's SimHash), verified by exact `bit_count(xor)` ≤
-    * M5MaxHamming. The fixture plants a NOISY TWIN for every 10th doc
+    * (same banding as d4's SimHash), verified by exact `bit_count(xor)`
+    * ≤ M5MaxHamming. Recall contract: pigeonhole over 4 bands GUARANTEES
+    * a matching band only for hamming ≤ 3 (4 differing bits can land one
+    * per band); pairs at hamming 4..10 pass the verify filter when found
+    * but are caught probabilistically — a miss needs the differing bits
+    * spread across all 4 bands, which dHash's spatially-local bit flips
+    * make unlikely (MultimodalSpec measures 100% recall on the planted
+    * twins). Guaranteed recall at hamming ≤ 10 would need 11 bands —
+    * ~3× the candidate volume for a recall tail the verify threshold is
+    * already generous about. The fixture plants a NOISY TWIN for every 10th doc
     * (+8 on every 50th byte before encoding — a perturbed re-encode of
     * the "same" image, the case byte-exact dedup d1 can never catch);
     * MultimodalSpec pins 100% twin recall and hand-computed hash bits.

@@ -339,7 +339,10 @@ object SnapshotTable {
 
   /** Write a DataFrame's rows as one immutable data file under root;
     * returns the root-relative path. Commit-unique names (version tag +
-    * logical name) keep every file addressable by any manifest. */
+    * logical name) keep every file addressable by any manifest.
+    * SINGLE-TASK (coalesce(1)) by construction — use it only where one
+    * file per logical group is the point (x14's per-day fixture groups);
+    * any data-proportional write goes through [[writeDataFiles]]. */
   private[graft] def writeDataFile(df: DataFrame, root: String, tag: String): String = {
     val scratch = Engine.tmpDir(s"graft_snaptab_scratch_$tag")
     df.coalesce(1).write.mode("overwrite").parquet(scratch)
@@ -348,6 +351,81 @@ object SnapshotTable {
     val rel = s"data_$tag.parquet"
     Files.move(part, Paths.get(root, rel), StandardCopyOption.REPLACE_EXISTING)
     rel
+  }
+
+  /** Write a DataFrame as one immutable data file PER TASK under root —
+    * the fully distributed write every data-proportional path (streaming
+    * micro-batches, OPTIMIZE rewrites, MERGE rewrites) funnels through:
+    * each task streams its own partition straight to a part file, the
+    * driver only renames. Returns root-relative paths in deterministic
+    * order; empty partitions produce no file (FileFormatWriter creates
+    * files lazily), so the result may be empty for an empty batch. */
+  private[graft] def writeDataFiles(df: DataFrame, root: String, tag: String): Seq[String] = {
+    val scratch = Engine.tmpDir(s"graft_snaptab_scratch_$tag")
+    df.write.mode("overwrite").parquet(scratch)
+    Engine.listDir(Paths.get(scratch))
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .sortBy(_.getFileName.toString)
+      .zipWithIndex.map { case (part, i) =>
+        val rel = s"data_${tag}_$i.parquet"
+        Files.move(part, Paths.get(root, rel), StandardCopyOption.REPLACE_EXISTING)
+        rel
+      }
+  }
+
+  /** Metadata a follow-on commit must carry forward from the version it
+    * supersedes: dropping `statsCol` silently disables file pruning for
+    * every later reader, and dropping an `epoch:<queryId>` / `last_batch`
+    * watermark breaks a streaming writer's replay detection — the next
+    * replayed batch would re-append, duplicating rows and voiding the
+    * exactly-once guarantee. Only the superseded commit's own
+    * OPERATIONAL tags (`optimize`, `merge`) describe one commit and are
+    * not carried. This is the same reason Delta's transaction map
+    * (appId -> version) survives every commit kind. */
+  private[graft] def carriedMeta(root: String, v: Int): Map[String, String] =
+    if (v == 0) Map.empty
+    else manifestMeta(root, v) -- Seq("optimize", "merge")
+
+  /** Bounded optimistic-commit policy for every CAS retry loop. A
+    * committer that dies between its createFile claim and the content
+    * move leaves a permanent zero-byte manifest claiming version v+1:
+    * [[currentVersion]] rightly ignores it, so every later committer
+    * recomputes the same base and loses the CAS to the corpse — an
+    * unbounded spin without this. After [[StaleClaimAfterLosses]]
+    * consecutive losses with NO observed version progress the committer
+    * reclaims a zero-byte claim older than [[StaleClaimMinAgeMs]] (a
+    * live committer fills its claim in milliseconds; the age floor is
+    * deliberately long because a reclaim races a pathologically slow
+    * claimant — the same residual risk Delta accepts on filesystems
+    * without atomic put-if-absent). After [[MaxCommitAttempts]]
+    * no-progress losses it fails loudly instead of wedging the writer. */
+  private[graft] final class CommitRetry(root: String) {
+    private var lastSeen = -1
+    private var losses = 0
+    /** Call with the version read at the top of each attempt. */
+    def observed(v: Int): Unit = if (v != lastSeen) { lastSeen = v; losses = 0 }
+    /** Call on each FileAlreadyExistsException CAS loss. */
+    def lost(e: java.nio.file.FileAlreadyExistsException): Unit = {
+      losses += 1
+      if (losses >= StaleClaimAfterLosses) reclaimStaleClaim(root, lastSeen + 1)
+      if (losses >= MaxCommitAttempts) throw new IllegalStateException(
+        s"snapshot commit on $root: lost the version-${lastSeen + 1} CAS $losses times " +
+          "with no version progress — a wedged claim survived reclaim; inspect _manifests", e)
+    }
+  }
+  private[graft] val MaxCommitAttempts = 64
+  private[graft] val StaleClaimAfterLosses = 8
+  private[graft] val StaleClaimMinAgeMs = 60000L
+
+  /** Delete a zero-byte version claim that is old enough to be dead.
+    * Returns whether a claim was reclaimed. */
+  private[graft] def reclaimStaleClaim(root: String, v: Int): Boolean = {
+    val p = manifestPath(root, v)
+    try {
+      Files.exists(p) && Files.size(p) == 0 &&
+        System.currentTimeMillis - Files.getLastModifiedTime(p).toMillis > StaleClaimMinAgeMs &&
+        Files.deleteIfExists(p)
+    } catch { case _: java.nio.file.NoSuchFileException => false }
   }
 
   /** x14_snapshot_table — x6's nightly merge, re-run through the
@@ -405,21 +483,18 @@ object SnapshotTable {
   def optimizeClustered(s: SparkSession, root: String, keyCol: String,
       targetFiles: Int, shardSize: Int = 4): Int = {
     val v = currentVersion(root)
-    val scratch = Engine.tmpDir("graft_snap_opt_scratch")
-    readAt(s, root, v)
-      .repartitionByRange(targetFiles, col(keyCol))
-      .write.mode("overwrite").parquet(scratch)
     val tag = java.util.UUID.randomUUID().toString.take(8)
-    val entries = Engine.listDir(Paths.get(scratch))
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .sortBy(_.getFileName.toString)
-      .zipWithIndex.map { case (part, i) =>
-        val rel = s"data_opt_${tag}_$i.parquet"
-        Files.move(part, Paths.get(root, rel), StandardCopyOption.REPLACE_EXISTING)
-        footerEntry(root, rel, keyCol)
-      }
+    val rels = writeDataFiles(
+      readAt(s, root, v).repartitionByRange(targetFiles, col(keyCol)),
+      root, s"opt_$tag")
+    val entries = rels.map(footerEntry(root, _, keyCol))
+    // carry watermarks/statsCol forward (see carriedMeta) minus `schema`:
+    // a full rewrite reads the merged schema and writes uniform-width
+    // files, so the evolution marker no longer describes the new layout;
+    // the new files' stats are on keyCol, so statsCol is re-pointed at it
     commitEntries(root, v, entries, shardSize,
-      Map("optimize" -> s"clustered:$keyCol"))
+      carriedMeta(root, v) - "schema" ++
+        Map("optimize" -> s"clustered:$keyCol", "statsCol" -> keyCol))
   }
 
   /** MERGE — apply a keyed changeset to the table copy-on-write, the
@@ -439,6 +514,13 @@ object SnapshotTable {
   def merge(s: SparkSession, root: String, clusterCol: String, idCol: String,
       changes: DataFrame, shardSize: Int = 4): Int = {
     val v = currentVersion(root)
+    val carried = carriedMeta(root, v)
+    // the file-pruning step below trusts the manifest's primary stats to
+    // BE clusterCol stats — a mismatched statsCol would prune files that
+    // do contain touched rows (silent lost updates), so refuse instead
+    carried.get("statsCol").foreach(c => require(c == clusterCol,
+      s"merge on $root: clusterCol=$clusterCol but the table's statsCol=$c — " +
+        "merge pruning runs on the manifest's primary stats column"))
     val bounds = changes.agg(min(col(clusterCol)), max(col(clusterCol))).head()
     val (qlo, qhi) = (bounds.getLong(0), bounds.getLong(1))
     val affected = prunedEntries(root, v, qlo, qhi)
@@ -449,20 +531,15 @@ object SnapshotTable {
     val upserts = changes.filter(col("op") =!= "d")
       .select(old.columns.map(col).toIndexedSeq: _*)
     val rewritten = old.join(dropIds, Seq(idCol), "left_anti").unionByName(upserts)
-    val scratch = Engine.tmpDir("graft_snap_merge_scratch")
-    rewritten.repartitionByRange(math.max(affected.size, 1), col(clusterCol))
-      .write.mode("overwrite").parquet(scratch)
     val tag = java.util.UUID.randomUUID().toString.take(8)
-    val newEntries = Engine.listDir(Paths.get(scratch))
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .sortBy(_.getFileName.toString)
-      .zipWithIndex.map { case (part, i) =>
-        val rel = s"data_m_${tag}_$i.parquet"
-        Files.move(part, Paths.get(root, rel), StandardCopyOption.REPLACE_EXISTING)
-        footerEntry(root, rel, clusterCol)
-      }
+    val rels = writeDataFiles(
+      rewritten.repartitionByRange(math.max(affected.size, 1), col(clusterCol)),
+      root, s"m_$tag")
+    val newEntries = rels.map(footerEntry(root, _, clusterCol))
+    // watermarks/statsCol/schema survive a merge (carriedMeta); `schema`
+    // stays because untouched files keep their pre-evolution width
     commitEntries(root, v, untouched ++ newEntries, shardSize,
-      Map("merge" -> s"cow:$idCol:${affected.size}of${untouched.size + affected.size}"))
+      carried + ("merge" -> s"cow:$idCol:${affected.size}of${untouched.size + affected.size}"))
   }
 
   /** x15's query-range bounds (epoch days; data dates are fixed across
@@ -946,24 +1023,19 @@ object SnapshotTable {
     val b = df.agg(min(col(colA)), max(col(colA)),
       min(col(colB)), max(col(colB))).head()
     val (alo, ahi, blo, bhi) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
-    val scratch = Engine.tmpDir("graft_snap_zorder_scratch")
-    df.withColumn("_z", graft.functions.interleave_bits(
+    val zordered = df.withColumn("_z", graft.functions.interleave_bits(
         norm16(col(colA), alo, ahi), norm16(col(colB), blo, bhi)))
       .repartitionByRange(targetFiles, col("_z"))
       .sortWithinPartitions("_z") // row-group-level locality too
       .drop("_z")
-      .write.mode("overwrite").parquet(scratch)
     val tag = java.util.UUID.randomUUID().toString.take(8)
-    val entries = Engine.listDir(Paths.get(scratch))
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .sortBy(_.getFileName.toString)
-      .zipWithIndex.map { case (part, i) =>
-        val rel = s"data_z_${tag}_$i.parquet"
-        Files.move(part, Paths.get(root, rel), StandardCopyOption.REPLACE_EXISTING)
-        footerEntryMulti(root, rel, colA, Seq(colB))
-      }
+    val rels = writeDataFiles(zordered, root, s"z_$tag")
+    val entries = rels.map(footerEntryMulti(root, _, colA, Seq(colB)))
+    // full rewrite: carry watermarks forward, drop `schema` (files are
+    // uniform-width now), re-point statsCol at the new primary column
     commitEntries(root, v, entries, shardSize,
-      Map("optimize" -> s"zorder:$colA,$colB", "statsCol" -> colA))
+      carriedMeta(root, v) - "schema" ++
+        Map("optimize" -> s"zorder:$colA,$colB", "statsCol" -> colA))
   }
 
   /** Box-query planning: the entries whose stats intersect EVERY

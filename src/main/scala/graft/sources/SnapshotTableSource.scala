@@ -235,18 +235,23 @@ private[sources] class SnapshotScanBuilder(root: String, full: StructType,
     new SnapshotScan(root, version, pruned, pushed.toSeq, statsCol, countStarOnly, options)
 }
 
-private[sources] object SnapshotScanBuilder {
+private[graft] object SnapshotScanBuilder {
   private def long(v: Any): Option[Long] = v match {
     case n: Number => Some(n.longValue)
     case _ => None
   }
   /** The [lo, hi] key range a filter on the stats column admits; None =
-    * not a stats-prunable filter. */
+    * not a stats-prunable filter. Strict bounds SATURATE at the domain
+    * edges instead of wrapping (x > Long.MaxValue would otherwise admit
+    * the whole domain and silently degrade to a full scan; the residual
+    * filter keeps either way correct — this keeps it also pruned). */
   def bound(f: Filter, statsCol: String): Option[(Long, Long)] = f match {
     case EqualTo(c, v) if c == statsCol => long(v).map(x => (x, x))
-    case GreaterThan(c, v) if c == statsCol => long(v).map(x => (x + 1, Long.MaxValue))
+    case GreaterThan(c, v) if c == statsCol => long(v).map(x =>
+      (if (x == Long.MaxValue) Long.MaxValue else x + 1, Long.MaxValue))
     case GreaterThanOrEqual(c, v) if c == statsCol => long(v).map(x => (x, Long.MaxValue))
-    case LessThan(c, v) if c == statsCol => long(v).map(x => (Long.MinValue, x - 1))
+    case LessThan(c, v) if c == statsCol => long(v).map(x =>
+      (Long.MinValue, if (x == Long.MinValue) Long.MinValue else x - 1))
     case LessThanOrEqual(c, v) if c == statsCol => long(v).map(x => (Long.MinValue, x))
     case In(c, vs) if c == statsCol && vs.nonEmpty =>
       val ls = vs.flatMap(long(_))
@@ -404,9 +409,9 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
   }
 }
 
-private[sources] case class SnapshotFileCommit(rel: String) extends WriterCommitMessage
+private[graft] case class SnapshotFileCommit(rel: String) extends WriterCommitMessage
 
-private[sources] object SnapshotCommit {
+private[graft] object SnapshotCommit {
   /** Append the task files as the next version (CAS retry loop —
     * optimistic concurrency against any other committer). Per-file
     * stats are footer-harvested for the table's `#statsCol` (carried
@@ -417,8 +422,10 @@ private[sources] object SnapshotCommit {
       .toSeq.sorted
     if (rels.isEmpty && extraMeta.isEmpty) return
     var done = false
+    val retry = new SnapshotTable.CommitRetry(root)
     while (!done) {
       val v = SnapshotTable.currentVersion(root)
+      retry.observed(v)
       val meta = if (v == 0) Map.empty[String, String] else SnapshotTable.manifestMeta(root, v)
       val statsCol = extraMeta.get("statsCol").orElse(meta.get("statsCol"))
       val existing = if (v == 0) Nil else SnapshotTable.manifestEntries(root, v)
@@ -439,14 +446,19 @@ private[sources] object SnapshotCommit {
           meta ++ extraMeta)
         done = true
       } catch {
-        case _: java.nio.file.FileAlreadyExistsException => () // lost CAS: re-read, retry
+        case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) // lost CAS: re-read, retry
       }
     }
   }
 
-  /** Drop staged task files that will never be referenced. */
+  /** Drop staged task files that will never be referenced. Empty-task
+    * markers (rel == "", from [[PartitionFileWriter.commit]] on a
+    * zero-row partition) are skipped exactly as [[append]] skips them —
+    * `Paths.get(root, "")` IS the table root, and deleting it would
+    * crash the replay-no-op and abort paths whenever any task partition
+    * was empty. */
   def discard(root: String, messages: Array[WriterCommitMessage]): Unit =
-    messages.collect { case SnapshotFileCommit(rel) =>
+    messages.collect { case SnapshotFileCommit(rel) if rel.nonEmpty =>
       java.nio.file.Files.deleteIfExists(Paths.get(root, rel)) }
 }
 

@@ -37,30 +37,38 @@ object SnapshotSink {
     * (a replay — the no-op path a restarted query takes). Safe under
     * writer races: the manifest CAS detects a concurrent commit, the
     * loser re-reads (fresh entry list AND fresh last-batch id) and
-    * retries or skips. */
+    * retries or skips; retries are bounded with stale-claim reclaim
+    * ([[graft.operators.SnapshotTable.CommitRetry]]) so a dead
+    * committer's zero-byte claim can never wedge the stream. */
   private[graft] def appendBatch(root: String, df: DataFrame, batchId: Long,
       keyCol: String = "ep_day", shardSize: Int = 4): Boolean = {
     def lastCommitted(v: Int): Long =
       if (v == 0) -1L
       else ST.manifestMeta(root, v).get(LastBatchKey).map(_.toLong).getOrElse(-1L)
     if (batchId <= lastCommitted(ST.currentVersion(root))) return false
-    // write the batch's data file ONCE, outside the commit-retry loop —
+    // write the batch's data files ONCE, outside the commit-retry loop —
     // a CAS loss invalidates the manifest attempt, not the immutable
-    // data file (uuid-tagged so attempts never collide; an abandoned
-    // file is unreferenced and vacuum reclaims it)
+    // data files (uuid-tagged so attempts never collide; abandoned
+    // files are unreferenced and vacuum reclaims them). One file PER
+    // TASK: the batch lands at the stream's own parallelism — at
+    // production batch sizes every executor writes its partition, only
+    // the tiny manifest commit runs on the driver.
     val tag = f"b$batchId%05d_${java.util.UUID.randomUUID().toString.take(8)}"
-    val rel = ST.writeDataFile(df, root, tag)
-    val entry = ST.footerEntry(root, rel, keyCol)
+    val entries = ST.writeDataFiles(df, root, tag).map(ST.footerEntry(root, _, keyCol))
+    val retry = new ST.CommitRetry(root)
     while (true) {
       val v = ST.currentVersion(root)
+      retry.observed(v)
       if (batchId <= lastCommitted(v)) return false // raced replay: someone committed it
       val base = if (v == 0) Nil else ST.manifestEntries(root, v) // v0 = empty table, no manifest
       try {
-        ST.commitEntries(root, v, base :+ entry,
-          shardSize, Map(LastBatchKey -> batchId.toString))
+        // carriedMeta: a batch commit must not erase the statsCol or
+        // another stream's epoch watermark committed before it
+        ST.commitEntries(root, v, base ++ entries,
+          shardSize, ST.carriedMeta(root, v) + (LastBatchKey -> batchId.toString))
         return true
       } catch {
-        case _: java.nio.file.FileAlreadyExistsException => () // CAS lost: re-read, retry
+        case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) // CAS lost: re-read, retry
       }
     }
     false // unreachable

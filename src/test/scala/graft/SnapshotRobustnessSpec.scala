@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import java.nio.file.attribute.FileTime
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The failure-mode contracts of the snapshot-table commit protocol:
+  * distributed micro-batch writes, metadata carry-forward across every
+  * commit kind, stale-claim reclaim (a dead committer cannot wedge the
+  * table), empty-task discard safety, and bound saturation at the Long
+  * domain edges. These are the paths only a crash or a race exercises —
+  * exactly the ones a 1000-executor deployment hits weekly. */
+class SnapshotRobustnessSpec extends AnyFunSuite {
+  import TestSession._
+  val ST = graft.operators.SnapshotTable
+  val SS = graft.streaming.SnapshotSink
+  val Engine = graft.operators.Engine
+
+  private def freshRoot(name: String): String = {
+    val root = Engine.tmpDir(name)
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    root
+  }
+
+  private def eventSlice(n: Int) = graft.sources.Tables.events(spark, sf)
+    .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+    .select("event_id", "user_id", "event_type", "value", "ep_day")
+    .limit(n)
+
+  test("appendBatch writes one data file per task partition, committed as ONE version") {
+    val root = freshRoot("graft_sink_multipart")
+    assert(SS.appendBatch(root, eventSlice(40).repartition(4), batchId = 0L))
+    assert(ST.currentVersion(root) == 1, "multi-file batch must be one commit")
+    val entries = ST.manifestEntries(root, 1)
+    assert(entries.size == 4, s"expected 4 per-task files, got ${entries.map(_.rel)}")
+    assert(ST.read(spark, root).count() == 40)
+    assert(ST.manifestMeta(root, 1) == Map("last_batch" -> "0"))
+  }
+
+  test("maintenance and batch commits carry statsCol and streaming watermarks forward") {
+    val root = freshRoot("graft_meta_carry")
+    // v1: a day-clustered base with a statsCol AND another streaming
+    // query's epoch watermark — the metadata a maintenance commit would
+    // previously erase (silent pruning loss + broken replay detection)
+    val entries = ST.writeDataFiles(eventSlice(200).repartition(2), root, "base")
+      .map(ST.footerEntry(root, _, "ep_day"))
+    ST.commitEntries(root, 0, entries, shardSize = 8,
+      Map("statsCol" -> "ep_day", "epoch:qA" -> "7"))
+    // OPTIMIZE: op tag replaced, watermark and statsCol survive
+    ST.optimizeClustered(spark, root, "ep_day", targetFiles = 2)
+    val afterOpt = ST.manifestMeta(root, ST.currentVersion(root))
+    assert(afterOpt.get("epoch:qA").contains("7"), s"optimize dropped the watermark: $afterOpt")
+    assert(afterOpt.get("statsCol").contains("ep_day"))
+    // MERGE: same guarantee (delete one existing row, id from the table)
+    val anyRow = ST.read(spark, root).select("event_id", "user_id", "event_type", "value", "ep_day")
+      .limit(1).withColumn("op", lit("d"))
+    ST.merge(spark, root, "ep_day", "event_id", anyRow)
+    val afterMerge = ST.manifestMeta(root, ST.currentVersion(root))
+    assert(afterMerge.get("epoch:qA").contains("7"), s"merge dropped the watermark: $afterMerge")
+    assert(afterMerge.get("statsCol").contains("ep_day"))
+    assert(afterMerge.contains("merge") && !afterMerge.contains("optimize"),
+      "op tags must describe the latest commit only")
+    // a foreachBatch append keeps both, and adds its own watermark
+    assert(SS.appendBatch(root, eventSlice(5), batchId = 0L))
+    val afterBatch = ST.manifestMeta(root, ST.currentVersion(root))
+    assert(afterBatch.get("epoch:qA").contains("7") &&
+      afterBatch.get("statsCol").contains("ep_day") &&
+      afterBatch.get("last_batch").contains("0"), s"batch commit lost metadata: $afterBatch")
+  }
+
+  test("merge refuses a cluster column that contradicts the table's statsCol") {
+    val root = freshRoot("graft_merge_statscol")
+    val entries = ST.writeDataFiles(eventSlice(50), root, "base")
+      .map(ST.footerEntry(root, _, "ep_day"))
+    ST.commitEntries(root, 0, entries, shardSize = 8, Map("statsCol" -> "ep_day"))
+    val change = eventSlice(1).withColumn("op", lit("d"))
+    val e = intercept[IllegalArgumentException] {
+      ST.merge(spark, root, "event_id", "event_id", change)
+    }
+    assert(e.getMessage.contains("statsCol"))
+  }
+
+  test("a dead committer's zero-byte version claim is reclaimed, not an infinite wedge") {
+    val root = freshRoot("graft_stale_claim")
+    assert(SS.appendBatch(root, eventSlice(10), batchId = 0L))
+    // simulate a committer that died between its CAS createFile and the
+    // content move: a permanent zero-byte claim on v2, aged past the
+    // reclaim floor (a live committer fills its claim in milliseconds)
+    val claim = Paths.get(root, "_manifests", "v00002.txt")
+    Files.createFile(claim)
+    Files.setLastModifiedTime(claim,
+      FileTime.fromMillis(System.currentTimeMillis - 2 * ST.StaleClaimMinAgeMs))
+    assert(ST.currentVersion(root) == 1, "zero-byte claim must not read as committed")
+    assert(SS.appendBatch(root, eventSlice(5), batchId = 1L),
+      "writer wedged on the dead claim")
+    assert(ST.currentVersion(root) == 2 && Files.size(claim) > 0,
+      "reclaimed slot not recommitted")
+    assert(ST.read(spark, root).count() == 15)
+  }
+
+  test("discard skips empty-task markers instead of deleting into the table root") {
+    val root = freshRoot("graft_discard_empty")
+    val keep = Paths.get(root, "keep.parquet")
+    val gone = Paths.get(root, "gone.parquet")
+    Files.write(keep, Array[Byte](1))
+    Files.write(gone, Array[Byte](1))
+    // rel == "" is the zero-row task marker; Paths.get(root, "") IS the
+    // root — before the fix this threw DirectoryNotEmptyException and
+    // crashed the replay-no-op/abort path of any batch with an empty
+    // partition
+    graft.sources.SnapshotCommit.discard(root, Array(
+      graft.sources.SnapshotFileCommit(""),
+      graft.sources.SnapshotFileCommit("gone.parquet")))
+    assert(Files.exists(Paths.get(root)) && Files.exists(keep), "discard touched the root")
+    assert(!Files.exists(gone), "staged file not discarded")
+  }
+
+  test("stats-prune bounds saturate at the Long domain edges instead of wrapping") {
+    import org.apache.spark.sql.sources.{GreaterThan, LessThan}
+    val B = graft.sources.SnapshotScanBuilder
+    assert(B.bound(GreaterThan("k", Long.MaxValue), "k").contains((Long.MaxValue, Long.MaxValue)))
+    assert(B.bound(LessThan("k", Long.MinValue), "k").contains((Long.MinValue, Long.MinValue)))
+    assert(B.bound(GreaterThan("k", 5L), "k").contains((6L, Long.MaxValue)))
+    assert(B.bound(LessThan("k", 5L), "k").contains((Long.MinValue, 4L)))
+  }
+}
