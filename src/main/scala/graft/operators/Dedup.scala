@@ -391,7 +391,83 @@ object Dedup {
        |FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** d8's span width (words) and cross-doc repeat threshold. Spans are
+    * NON-overlapping 4-word windows: the smallest unit at which the
+    * synthetic corpus (and real boilerplate — headers, license blocks,
+    * nav chrome) actually repeats across documents, while 1-word grain
+    * would flag ordinary vocabulary. */
+  private[graft] val D8SpanWords = 4
+  private[graft] val D8MinDf = 2L
+
+  /** Core of d8 over any (doc_id, text) frame — separated so the spec
+    * can plant boilerplate fixtures. Span construction is entirely
+    * row-local (split once, slice W-word windows, array_distinct), so
+    * the first shuffle already carries only (doc_id, n_spans, span-hash)
+    * = 24-byte rows; span df is a count window over the hash — the
+    * t13-style one-scan df discipline, no self-join, no string in any
+    * exchange. Hash-vs-string identity differs from the oracle only on
+    * xxhash64 collisions (~1e-8 per corpus). */
+  private[graft] def d8Core(docs: DataFrame): DataFrame = {
+    val W = D8SpanWords
+    val spans = docs
+      .withColumn("w", split(trim(col("text")), " "))
+      .select(col("doc_id"), expr(
+        s"""array_distinct(CASE WHEN size(w) >= $W
+           |  THEN transform(sequence(0, size(w) div $W - 1),
+           |    i -> array_join(slice(w, i*$W+1, $W), ' '))
+           |  ELSE array() END)""".stripMargin).as("spans"))
+    val exploded = spans
+      .select(col("doc_id"), size(col("spans")).cast("long").as("n_spans"),
+        explode(col("spans")).as("span"))
+      .select(col("doc_id"), col("n_spans"), xxhash64(col("span")).as("sh"))
+    val per = exploded
+      .withColumn("ndocs", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n_spans")).as("n_spans"),
+        sum(when(col("ndocs") >= D8MinDf, 1L).otherwise(0L)).as("n_repeated"))
+    docs.select(col("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_repeated"), lit(0L)).as("n_repeated"),
+        when(coalesce(col("n_spans"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("n_repeated").cast("double") / col("n_spans"))
+          .as("boilerplate_share"))
+      .orderBy("doc_id")
+  }
+
+  /** d8_dedup_substring — sub-document (span-grain) dedup verdicts, the
+    * Lee-et-al-style pass that whole-document dedup (d1-d5) cannot
+    * express: a document is mostly-unique yet carries REPEATED SPANS
+    * (boilerplate) shared with other documents. Emits, per document, the
+    * span count, how many of its spans occur in ≥ [[D8MinDf]] documents,
+    * and the boilerplate share — the score a curation pipeline trims or
+    * drops on. Fully oracle-checked (exact counts; the only divergence
+    * channel is a span-hash collision). */
+  def d8DedupSubstring(s: SparkSession, d: String): DataFrame =
+    d8Core(Tables.documents(s, d))
+
+  val d8Sql: String = {
+    val W = D8SpanWords
+    s"""WITH c AS (
+       |  SELECT doc_id, unnest(list_transform(range(0, len(string_split(trim(text), ' ')) // $W),
+       |    i -> array_to_string(list_slice(string_split(trim(text), ' '), i*$W+1, i*$W+$W), ' '))) AS span
+       |  FROM documents
+       |), s AS (SELECT DISTINCT doc_id, span FROM c),
+       |d AS (SELECT span, COUNT(*) AS ndocs FROM s GROUP BY span),
+       |per AS (SELECT s.doc_id, COUNT(*) AS n_spans,
+       |    CAST(SUM(CASE WHEN d.ndocs >= $D8MinDf THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated
+       |  FROM s JOIN d USING (span) GROUP BY s.doc_id)
+       |SELECT doc.doc_id AS doc_id,
+       |  COALESCE(per.n_spans, 0) AS n_spans,
+       |  COALESCE(per.n_repeated, 0) AS n_repeated,
+       |  CASE WHEN COALESCE(per.n_spans, 0) = 0 THEN 0.0
+       |    ELSE CAST(per.n_repeated AS DOUBLE) / per.n_spans END AS boilerplate_share
+       |FROM documents doc LEFT JOIN per ON doc.doc_id = per.doc_id
+       |ORDER BY doc.doc_id""".stripMargin
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "d8_dedup_substring" -> (d8DedupSubstring _, Some(d8Sql)),
     "d6_dedup_clusters" -> (d6DedupClusters _, Some(d6Sql)),
     "d7_dedup_clusters_lsh" -> (d6DedupClustersLsh _, None),
     "d1_dedup_exact" -> (d1DedupExact _, Some(d1Sql)),

@@ -139,6 +139,17 @@ class PlanSpec extends AnyFunSuite {
       "winner-string join not broadcast")
   }
 
+  test("d8: span df via window keyed on span HASHES — one corpus scan for the span leg") {
+    val p = plan("d8_dedup_substring")
+    // the df window's exchange must be keyed on the 8-byte xxhash64
+    // column, never on the span string (at 100 TB the strings would
+    // dominate every shuffle)
+    assert("""hashpartitioning\(sh#""".r.findFirstIn(p).isDefined,
+      s"span-df exchange is not keyed on the hash:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin") || !p.contains("span#"),
+      "span strings leaked into a shuffle join")
+  }
+
   test("t10: benchmark shingle set is broadcast — corpus side never shuffles pre-rollup") {
     val p = plan("t10_contamination")
     assert(p.contains("BroadcastHashJoin"), "benchmark join not broadcast")
