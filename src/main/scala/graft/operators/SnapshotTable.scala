@@ -639,7 +639,10 @@ object SnapshotTable {
           footerEntry(root, rel, "ep_day")
         }
       val v1 = commitEntries(root, 0, entries, shardSize = 4)
-      optimizeClustered(s, root, "ep_day", X16Files)
+      // through the SQL surface (graft.sources.SnapshotSql), so the
+      // connector-route OPTIMIZE is what the correctness gate executes
+      graft.sources.SnapshotSql.exec(s,
+        s"OPTIMIZE '$root' CLUSTER BY (ep_day) TARGET $X16Files")
       assert(currentVersion(root) == v1 + 1)
       root
     }
@@ -690,7 +693,11 @@ object SnapshotTable {
       val root = Engine.tmpDir("graft_snap_merge")
       Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
       commitEntries(root, 0, stageDayClustered(s, d, root), shardSize = 3)
-      merge(s, root, "ep_day", "event_id", x17Changes(s, d))
+      // MERGE through the SQL surface: the changeset rides a registered
+      // view, exactly how a Spark-SQL user hands a source to MERGE INTO
+      x17Changes(s, d).createOrReplaceTempView("graft_x17_changes")
+      graft.sources.SnapshotSql.exec(s,
+        s"MERGE INTO '$root' CLUSTER BY (ep_day) ID (event_id) USING graft_x17_changes")
       root
     }
 
@@ -1078,7 +1085,8 @@ object SnapshotTable {
       Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
       commitEntries(root, 0, stageDayClustered(s, d, root), shardSize = 3,
         Map("statsCol" -> "ep_day"))
-      optimizeZOrder(s, root, "user_id", "ep_day", X22Files)
+      graft.sources.SnapshotSql.exec(s,
+        s"OPTIMIZE '$root' ZORDER BY (user_id, ep_day) TARGET $X22Files")
       root
     }
 

@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+
+import graft.operators.SnapshotTable
+
+/** SQL-style row-level and maintenance operations against a
+  * `graft-snapshot` table addressed BY PATH — the surface a Spark-SQL
+  * user reaches for where the pure DataFrame connector
+  * (`format("graft-snapshot")`) has no verb. Spark's parser owns real
+  * DML syntax for catalog tables only; table formats solve this with
+  * their own SQL extension (Delta's `MERGE INTO delta.`/path``) or a
+  * `CALL`-style procedure namespace (Iceberg). This is the procedure
+  * route: one statement string, parsed here, dispatched to the manifest
+  * protocol — so OPTIMIZE/MERGE/VACUUM stop being Scala-API-only.
+  *
+  * Grammar (case-insensitive keywords; `'<path>'` is the table root):
+  *
+  *   OPTIMIZE '<path>' CLUSTER BY (col) [TARGET n]
+  *   OPTIMIZE '<path>' ZORDER BY (colA, colB) [TARGET n]
+  *   MERGE INTO '<path>' CLUSTER BY (col) ID (idCol) USING <viewName>
+  *   VACUUM '<path>' KEEP FROM <version>
+  *
+  * MERGE's source is a registered view/table carrying the table's
+  * columns plus `op` ∈ {u, d, i} — the same caller-labeled changeset
+  * contract as [[graft.operators.SnapshotTable.merge]]. Every statement
+  * returns the table's resulting version. The x16/x17/x22 gate fixtures
+  * run through this surface, so the route is oracle-checked every
+  * round, not spec-only. */
+object SnapshotSql {
+
+  private val DefaultTargetFiles = 16
+
+  private val OptimizeCluster =
+    """(?is)\s*OPTIMIZE\s+'([^']+)'\s+CLUSTER\s+BY\s+\((\w+)\)(?:\s+TARGET\s+(\d+))?\s*""".r
+  private val OptimizeZorder =
+    """(?is)\s*OPTIMIZE\s+'([^']+)'\s+ZORDER\s+BY\s+\((\w+)\s*,\s*(\w+)\)(?:\s+TARGET\s+(\d+))?\s*""".r
+  private val MergeInto =
+    """(?is)\s*MERGE\s+INTO\s+'([^']+)'\s+CLUSTER\s+BY\s+\((\w+)\)\s+ID\s+\((\w+)\)\s+USING\s+([\w.]+)\s*""".r
+  private val Vacuum =
+    """(?is)\s*VACUUM\s+'([^']+)'\s+KEEP\s+FROM\s+(\d+)\s*""".r
+
+  /** Parse and run one maintenance statement; returns the table's
+    * version after the operation. */
+  def exec(s: SparkSession, stmt: String): Int = stmt match {
+    case OptimizeCluster(root, keyCol, target) =>
+      SnapshotTable.optimizeClustered(s, root, keyCol,
+        Option(target).map(_.toInt).getOrElse(DefaultTargetFiles))
+    case OptimizeZorder(root, colA, colB, target) =>
+      SnapshotTable.optimizeZOrder(s, root, colA, colB,
+        Option(target).map(_.toInt).getOrElse(DefaultTargetFiles))
+    case MergeInto(root, clusterCol, idCol, view) =>
+      SnapshotTable.merge(s, root, clusterCol, idCol, s.table(view))
+    case Vacuum(root, keepFrom) =>
+      SnapshotTable.vacuum(root, keepFrom.toInt)
+      SnapshotTable.currentVersion(root)
+    case other => throw new IllegalArgumentException(
+      s"graft-snapshot SQL: cannot parse '${other.trim.take(120)}' — expected " +
+        "OPTIMIZE '<path>' CLUSTER BY (col) [TARGET n] | " +
+        "OPTIMIZE '<path>' ZORDER BY (a, b) [TARGET n] | " +
+        "MERGE INTO '<path>' CLUSTER BY (col) ID (id) USING <view> | " +
+        "VACUUM '<path>' KEEP FROM <version>")
+  }
+}

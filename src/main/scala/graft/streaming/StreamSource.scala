@@ -87,11 +87,26 @@ final class KafkaStreamSource(bootstrapServers: String, topic: String)
     extends StreamSource {
   override def batched(s: SparkSession, op: String, schema: StructType,
       batches: Seq[(String, DataFrame)]): DataFrame =
-    s.readStream.format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
-      .load()
-      .select(from_json(col("value").cast("string"), schema).as("v"))
+    KafkaStreamSource.parse(
+      s.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load(), schema)
+}
+
+object KafkaStreamSource {
+  /** Schema-on-read deserialization of Kafka wire records — the ONLY
+    * transport-specific transform between the broker and the operators.
+    * Factored out of [[KafkaStreamSource.batched]] so the parse is
+    * testable without a broker: KafkaParitySpec feeds it batch rows in
+    * Kafka's exact wire schema (key/value binary, topic, partition,
+    * offset, timestamp, timestampType) and pins row-level equality with
+    * what [[FileStreamSource]] delivers — transport independence proven
+    * at the one point where the transports differ. `from_json` is
+    * identical over batch and streaming frames, so the batch-mode spec
+    * exercises the same expression the production stream runs. */
+  private[graft] def parse(raw: DataFrame, schema: StructType): DataFrame =
+    raw.select(from_json(col("value").cast("string"), schema).as("v"))
       .select("v.*")
 }
