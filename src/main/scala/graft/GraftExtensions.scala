@@ -25,6 +25,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // path-addressed maintenance DML (OPTIMIZE / MERGE INTO / VACUUM on
+    // snapshot tables) as real spark.sql statements — un-owned text
+    // falls through to the delegate parser verbatim
+    e.injectParser((session, delegate) =>
+      new graft.plans.GraftSqlParser(session, delegate))
+
     def inject(name: String, cls: Class[_])(build: Seq[Expression] => Expression): Unit =
       e.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(cls.getName, name), build))

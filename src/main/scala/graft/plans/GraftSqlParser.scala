@@ -1,0 +1,54 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
+
+import graft.sources.SnapshotSql
+
+/** Parser injection making the snapshot table's maintenance verbs
+  * first-class `spark.sql(...)` statements — the same
+  * `SparkSessionExtensions.injectParser` seam Delta uses for its
+  * path-addressed DML. Statements matching [[SnapshotSql]]'s grammar
+  * (OPTIMIZE / MERGE INTO / VACUUM over `'<path>'` tables) parse to a
+  * [[SnapshotSqlCommand]]; EVERYTHING else — including Spark's own
+  * OPTIMIZE-less DML and catalog-table MERGE — falls through to the
+  * delegate parser untouched, so injecting this parser can never change
+  * the meaning of a statement it doesn't own. */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    if (SnapshotSql.owns(sqlText)) SnapshotSqlCommand(sqlText)
+    else delegate.parsePlan(sqlText)
+
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+/** The runnable command a graft maintenance statement parses to: one
+  * row, the table's version after the operation — visible in query
+  * results exactly like Delta's command output. Execution happens at
+  * `run` (driver-side protocol: the heavy rewrite inside is a normal
+  * distributed Spark job; only manifest arithmetic runs here). */
+case class SnapshotSqlCommand(stmt: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", IntegerType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    Seq(Row(SnapshotSql.exec(sparkSession, stmt)))
+}

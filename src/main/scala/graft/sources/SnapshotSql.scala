@@ -40,6 +40,17 @@ object SnapshotSql {
   private val Vacuum =
     """(?is)\s*VACUUM\s+'([^']+)'\s+KEEP\s+FROM\s+(\d+)\s*""".r
 
+  /** Whether this statement belongs to the graft maintenance grammar —
+    * the [[graft.plans.GraftSqlParser]] routing test. Deliberately the
+    * SAME regexes exec dispatches on, so "owned but unparseable" is
+    * impossible and everything un-owned falls through to Spark's
+    * parser. */
+  private[graft] def owns(stmt: String): Boolean = stmt match {
+    case OptimizeCluster(_, _, _) | OptimizeZorder(_, _, _, _)
+       | MergeInto(_, _, _, _) | Vacuum(_, _) => true
+    case _ => false
+  }
+
   /** Parse and run one maintenance statement; returns the table's
     * version after the operation. */
   def exec(s: SparkSession, stmt: String): Int = stmt match {

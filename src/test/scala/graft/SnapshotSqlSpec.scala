@@ -60,6 +60,25 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(ST.read(spark, root).count() == liveRows)
   }
 
+  test("maintenance verbs are real spark.sql statements via the injected parser") {
+    val root = freshTable("graft_sql_parser")
+    // the injected GraftSqlParser routes owned statements to the
+    // snapshot protocol; the command's one-row output is the version
+    val out = spark.sql(s"OPTIMIZE '$root' CLUSTER BY (ep_day) TARGET 2").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(2))
+    assert(ST.manifestEntries(root, 2).size == 2)
+    val victim = ST.read(spark, root).orderBy("event_id").limit(1)
+      .withColumn("op", lit("d"))
+    victim.createOrReplaceTempView("graft_sql_parser_changes")
+    val rows = ST.read(spark, root).count()
+    spark.sql(s"MERGE INTO '$root' CLUSTER BY (ep_day) ID (event_id) " +
+      "USING graft_sql_parser_changes").collect()
+    assert(ST.read(spark, root).count() == rows - 1)
+    // un-owned statements fall through to Spark's parser untouched
+    assert(spark.sql("SELECT 1 + 1").collect().head.getInt(0) == 2)
+    intercept[Exception](spark.sql("DEFINITELY NOT SQL"))
+  }
+
   test("an unparseable statement fails loudly with the grammar in the message") {
     val e = intercept[IllegalArgumentException](
       Sql.exec(spark, "DROP TABLE students"))
