@@ -7,12 +7,15 @@ import graft.sources.Tables
 
 /** Multimodal column plumbing (SURVEY.md §2f): image/audio/video payloads
   * as opaque `binary` columns with typed metadata, flowing through
-  * ordinary Spark plans. m4 runs a REAL image codec path (grayscale PNG
-  * encode/decode via the JDK's javax.imageio inside the batched
-  * executor stage); m1's generic feature-extraction step remains a
-  * clearly-marked deterministic stub (no audio/video codecs in this
-  * container) — the Spark-side contract (schema, binary handling,
-  * chunking, partitioning) is real and tested throughout.
+  * ordinary Spark plans. m4/m5 run a REAL image codec path (grayscale
+  * PNG via the JDK's javax.imageio inside the batched executor stage),
+  * m6 adds the color + lossy pair (RGB PNG and JPEG — the dominant
+  * training-corpus format), and m7 runs codec-less PCM audio windowing
+  * (raw 16-bit samples need no decoder). Only m1's generic
+  * feature-extraction step remains a clearly-marked deterministic stub
+  * (no video codecs in this container) — the Spark-side contract
+  * (schema, binary handling, chunking, partitioning) is real and
+  * tested throughout.
   *
   * At 100 TB: payloads stay in parquet binary columns (or object-store
   * pointers for >row-group-size blobs); metadata extraction is a per-row
@@ -335,7 +338,190 @@ object Multimodal {
       .orderBy("doc_a", "doc_b")
   }
 
+  private[graft] val M6Width = 24 // RGB fixture width in pixels (3 bytes/px)
+
+  private val jpegWriter = ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+    javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next())
+  private val jpegReader = ThreadLocal.withInitial[javax.imageio.ImageReader](() =>
+    javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next())
+
+  /** View `bytes` as a packed RGB image (M6Width px wide, 3 bytes per
+    * pixel row-major, zero-padded final row) — the color twin of
+    * encodePng's fixture synthesis. */
+  private[graft] def toRgbImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val w = M6Width
+    val h = math.max(1, (bytes.length + 3 * w - 1) / (3 * w))
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val buf = img.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    // fixture bytes are R,G,B triplets; the raster buffer is B,G,R
+    var i = 0
+    while (i < bytes.length) {
+      val px = i / 3
+      val ch = i % 3 // 0=R,1=G,2=B
+      buf(px * 3 + (2 - ch)) = bytes(i)
+      i += 1
+    }
+    img
+  }
+
+  private[graft] def writeImage(img: java.awt.image.BufferedImage,
+      writer: javax.imageio.ImageWriter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    writer.setOutput(out)
+    writer.write(img)
+    out.flush()
+    bos.toByteArray
+  }
+
+  private[graft] def readImage(data: Array[Byte],
+      reader: javax.imageio.ImageReader): java.awt.image.BufferedImage = {
+    reader.setInput(new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(data)))
+    reader.read(0)
+  }
+
+  private[graft] def pngCodec: (javax.imageio.ImageWriter, javax.imageio.ImageReader) =
+    (pngWriter.get(), pngReader.get())
+  private[graft] def jpegCodec: (javax.imageio.ImageWriter, javax.imageio.ImageReader) =
+    (jpegWriter.get(), jpegReader.get())
+
+  /** Per-channel (R,G,B) pixel sums via getRGB — codec-agnostic, so PNG
+    * and JPEG decodes are summed identically. */
+  private[graft] def channelSums(img: java.awt.image.BufferedImage): (Long, Long, Long, Long) = {
+    val w = img.getWidth; val h = img.getHeight
+    var r = 0L; var g = 0L; var b = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (r, g, b, w.toLong * h)
+  }
+
+  /** Mean absolute per-channel difference between two same-size decodes
+    * — the lossy-codec distortion measure. */
+  private[graft] def meanAbsDiff(a: java.awt.image.BufferedImage,
+      b: java.awt.image.BufferedImage): Double = {
+    val w = a.getWidth; val h = a.getHeight
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val pa = a.getRGB(x, y); val pb = b.getRGB(x, y)
+        sum += math.abs(((pa >> 16) & 0xff) - ((pb >> 16) & 0xff)) +
+          math.abs(((pa >> 8) & 0xff) - ((pb >> 8) & 0xff)) +
+          math.abs((pa & 0xff) - (pb & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    sum.toDouble / (3.0 * w * h)
+  }
+
+  /** m6_rgb_jpeg_stats — the COLOR + LOSSY half of the image pipeline
+    * (m4/m5 are grayscale PNG): each payload becomes a packed RGB
+    * image, pushed through BOTH codecs — PNG (lossless, the archival
+    * format) and JPEG (lossy, the dominant training-corpus format;
+    * javax.imageio's native JFIF writer) — emitting per-channel means
+    * from the lossless decode and the JPEG round-trip distortion (mean
+    * abs channel diff vs the PNG decode). A corpus ingest runs exactly
+    * this pair: trust lossless decodes, track distortion on lossy ones.
+    * Execution shape: m4's batched mapPartitions with round-robin
+    * repartition for codec parallelism; after the codec stage only
+    * 7-column scalar rows flow. rows-only + RgbAudioSpec (solid-color
+    * channel means exact, JPEG dims preserved, distortion bounded,
+    * deterministic across runs). */
+  def m6RgbJpegStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = withPayload(s, d)
+      .select(col("doc_id"), col("payload"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, Array[Byte])]
+    src.mapPartitions { it =>
+      it.grouped(M4BatchSize).flatMap { batch =>
+        batch.iterator.map { case (id, bytes) =>
+          val img = toRgbImage(bytes)
+          val png = readImage(writeImage(img, pngWriter.get()), pngReader.get())
+          val jpg = readImage(writeImage(img, jpegWriter.get()), jpegReader.get())
+          val (r, g, b, n) = channelSums(png)
+          (id, png.getWidth.toLong, png.getHeight.toLong,
+            r.toDouble / n, g.toDouble / n, b.toDouble / n,
+            meanAbsDiff(png, jpg))
+        }
+      }
+    }.toDF("doc_id", "width", "height", "mean_r", "mean_g", "mean_b", "jpeg_mae")
+      .orderBy("doc_id")
+  }
+
+  /** 64 samples/chunk (128 bytes) — sized so every synthetic payload
+    * (≥128 bytes) yields at least one full window; a real 16 kHz feed
+    * would use 25 ms windows (400 samples), a constant swap. */
+  private[graft] val M7ChunkSamples = 64
+
+  /** Per-chunk PCM features: RMS energy (exact integer sum of squares,
+    * one sqrt at the end) and zero-crossing count — the two features a
+    * VAD/segmentation front-end computes per window. */
+  private[graft] def pcmChunkFeatures(samples: Array[Short]): (Double, Long) = {
+    var sq = 0L
+    var zc = 0L
+    var i = 0
+    while (i < samples.length) {
+      val v = samples(i).toLong
+      sq += v * v
+      if (i > 0 && ((samples(i - 1) < 0 && samples(i) >= 0) ||
+        (samples(i - 1) >= 0 && samples(i) < 0))) zc += 1
+      i += 1
+    }
+    (math.sqrt(sq.toDouble / samples.length), zc)
+  }
+
+  /** m7_audio_chunks — the audio-modality pipeline shape: interpret the
+    * payload as 16-bit little-endian PCM mono (the WAV data-section
+    * layout), window it into fixed [[M7ChunkSamples]]-sample chunks
+    * (tail dropped — partial windows carry no comparable energy), and
+    * emit RMS + zero-crossing per chunk — what an ASR/VAD front-end
+    * computes before any model sees a sample. Chunking fans out scalar
+    * ROWS (id, idx, rms, zc), never payload copies, and each chunk's
+    * math is integer-exact so results are bit-stable. rows-only +
+    * RgbAudioSpec (square-wave fixture: RMS and crossings in closed
+    * form; chunk counts recomputed independently). */
+  def m7AudioChunks(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val src = withPayload(s, d)
+      .filter(col("mime") === "audio/wav")
+      .select(col("doc_id"), col("payload"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, Array[Byte])]
+    src.flatMap { case (id, bytes) =>
+      val n = bytes.length / 2
+      val chunks = n / M7ChunkSamples
+      (0 until chunks).iterator.map { c =>
+        val samples = new Array[Short](M7ChunkSamples)
+        var i = 0
+        while (i < M7ChunkSamples) {
+          val o = 2 * (c * M7ChunkSamples + i)
+          samples(i) = ((bytes(o) & 0xff) | (bytes(o + 1) << 8)).toShort
+          i += 1
+        }
+        val (rms, zc) = pcmChunkFeatures(samples)
+        (id, c.toLong, rms, zc)
+      }
+    }.toDF("doc_id", "chunk_idx", "rms", "zero_crossings")
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "m6_rgb_jpeg_stats" -> (m6RgbJpegStats _, None),
+    "m7_audio_chunks" -> (m7AudioChunks _, None),
     "m5_phash_pairs" -> (m5PhashPairs _, None),
     "m4_resize_pool" -> (m4ResizePool _, None),
     "m1_binary_meta" -> (m1BinaryMeta _, None),
