@@ -443,7 +443,44 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  /** s9's similarity floor. */
+  private[graft] val S9Tau = 0.22
+
+  /** s9_range_search — RANGE query over the embedding space: every
+    * corpus vector within a cosine radius of each query (vec_id < 5),
+    * not a fixed top-k. The retrieval mode RAG filtering and
+    * contamination sweeps actually run ("give me everything closer
+    * than τ", cardinality unknown a priori). Same execution shape as
+    * s1: broadcast the tiny query side, ONE streaming pass over the
+    * corpus, a codegen'd integer dot per (query, candidate) — no
+    * shuffle at all before the final ordering, so the scan
+    * parallelizes perfectly at any corpus size; for large query sets
+    * the LSH path (s2) bounds the candidate fan-in instead. Exact
+    * integer math → fully oracle-checked. */
+  def s9RangeSearch(s: SparkSession, d: String): DataFrame = {
+    val q = quantized(s, d)
+    val queries = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    q.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        cosine(graft.functions.quantized_dot(col("q_qv"), col("qv")),
+          col("q_nrm"), col("nrm")).as("cos_sim"))
+      .filter(col("cos_sim") >= S9Tau)
+      .orderBy("q_id", "cand_id")
+  }
+
+  val s9Sql: String =
+    s"""WITH $quantizedSql,
+       |qq AS (SELECT vec_id AS q_id, qv AS q_qv, nrm AS q_nrm FROM qn WHERE vec_id < 5),
+       |scored AS (SELECT q_id, vec_id AS cand_id,
+       |  CAST(list_sum(list_transform(range(1, len(q_qv) + 1), i -> q_qv[i] * qv[i])) AS DOUBLE)
+       |    / (sqrt(CAST(q_nrm AS DOUBLE)) * sqrt(CAST(nrm AS DOUBLE))) AS cos_sim
+       |  FROM qn CROSS JOIN qq WHERE vec_id <> q_id)
+       |SELECT q_id, cand_id, cos_sim FROM scored
+       |WHERE cos_sim >= $S9Tau ORDER BY q_id, cand_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "s9_range_search" -> (s9RangeSearch _, Some(s9Sql)),
     "s8_mmr_rerank" -> (s8MmrRerank _, None),
     "s7_knn_sq8" -> (s7KnnSq8 _, Some(s7Sql)),
     "s5_knn_ivf" -> (s5KnnIvf _, None),

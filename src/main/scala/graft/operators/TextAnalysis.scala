@@ -629,7 +629,77 @@ object TextAnalysis {
       |  FROM scored) t
       |WHERE rk <= $T13TopK ORDER BY doc_id, rk""".stripMargin
 
+  /** t14's flag thresholds (Gopher-style repetition gates): a document
+    * is `repetitive` when over [[T14DupRatio]] of its word instances are
+    * repeats, or its most frequent bigram covers ≥ [[T14TopBigram]] of
+    * all bigram slots. */
+  private[graft] val T14DupRatio = 0.6
+  private[graft] val T14TopBigram = 0.1
+
+  /** Core of t14 over any (doc_id, text) frame — separated so the spec
+    * can plant degenerate-repetition fixtures. Token stats are
+    * row-local (size / array_distinct, t2's discipline); the only
+    * shuffled leg is the per-doc top-bigram count, keyed on
+    * (doc_id, 8-byte bigram hash) then doc_id — never a string. */
+  private[graft] def t14Core(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val base = docs.select(col("doc_id"),
+      size(t).cast("long").as("n_tokens"),
+      size(array_distinct(t)).cast("long").as("n_uniq"),
+      graft.functions.bigram_hashes(col("text")).as("bh"))
+    val top = base.select(col("doc_id"), explode(col("bh")).as("h"))
+      .groupBy(col("doc_id"), col("h")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as("top_bigram_n"))
+    val dup = lit(1.0) - col("n_uniq").cast("double") / col("n_tokens")
+    val share = when(col("n_tokens") <= 1L, lit(0.0))
+      .otherwise(coalesce(col("top_bigram_n"), lit(0L)).cast("double")
+        / (col("n_tokens") - 1L))
+    base.drop("bh").join(top, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        dup.as("dup_word_ratio"), share.as("top_bigram_share"))
+      .withColumn("repetitive",
+        (col("dup_word_ratio") >= T14DupRatio ||
+          col("top_bigram_share") >= T14TopBigram).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  /** t14_repetition — the intra-document repetition gate (the Gopher /
+    * MassiveText "repetition" quality rules): templated or degenerate
+    * text (navigation chrome, keyword stuffing, generation loops) shows
+    * up as a high duplicate-word ratio or one bigram dominating the
+    * document, long before cross-document dedup (d1-d8) can see it.
+    * Emits per-doc token counts, duplicate-word ratio, top-bigram
+    * share, and the drop flag. Fully oracle-checked (hash-vs-string
+    * identity differs only on bigram-hash collisions). */
+  def t14Repetition(s: SparkSession, d: String): DataFrame =
+    t14Core(Tables.documents(s, d))
+
+  val t14Sql: String =
+    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+       |  generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+       |bg AS (SELECT doc_id, term || ' ' || LEAD(term, 1) OVER w AS bigram,
+       |  LEAD(term, 1) OVER w AS nx FROM toks
+       |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg
+       |  WHERE nx IS NOT NULL GROUP BY doc_id, bigram),
+       |top AS (SELECT doc_id, MAX(c) AS top_bigram_n FROM cnt GROUP BY doc_id),
+       |base AS (SELECT doc_id,
+       |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_uniq
+       |  FROM documents),
+       |r AS (SELECT b.doc_id AS doc_id, b.n_tokens,
+       |  1.0 - CAST(b.n_uniq AS DOUBLE) / b.n_tokens AS dup_word_ratio,
+       |  CASE WHEN b.n_tokens <= 1 THEN 0.0
+       |    ELSE CAST(COALESCE(t.top_bigram_n, 0) AS DOUBLE) / (b.n_tokens - 1)
+       |  END AS top_bigram_share
+       |  FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id)
+       |SELECT doc_id, n_tokens, dup_word_ratio, top_bigram_share,
+       |  CAST(CASE WHEN dup_word_ratio >= $T14DupRatio
+       |    OR top_bigram_share >= $T14TopBigram THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+       |FROM r ORDER BY doc_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "t14_repetition" -> (t14Repetition _, Some(t14Sql)),
     "t13_tfidf_keywords" -> (t13TfidfKeywords _, Some(t13Sql)),
     "t12_lm_quality" -> (t12LmQuality _, Some(t12Sql)),
     "t11_bm25_search" -> (t11Bm25Search _, Some(t11Sql)),
