@@ -93,6 +93,15 @@ object ScaleProbe {
     time("t13_tfidf_keywords")(operators.TextAnalysis.t13TfidfKeywords(spark, work).count())
     time("s7_knn_sq8")(operators.Similarity.s7KnnSq8(spark, work).count())
     time("m5_phash_pairs")(operators.Multimodal.m5PhashPairs(spark, work).count())
+    // round-9 additions: span-grain dedup (window over span hashes),
+    // the repetition gate (doc_id+hash keyed), range search (broadcast
+    // scan — should scale linearly in corpus size), RGB/JPEG codec
+    // stage and PCM chunk fan-out (per-row CPU, embarrassingly parallel)
+    time("d8_substring")(operators.Dedup.d8DedupSubstring(spark, work).count())
+    time("t14_repetition")(operators.TextAnalysis.t14Repetition(spark, work).count())
+    time("s9_range_search")(operators.Similarity.s9RangeSearch(spark, work).count())
+    time("m6_rgb_jpeg")(operators.Multimodal.m6RgbJpegStats(spark, work).count())
+    time("m7_audio_chunks")(operators.Multimodal.m7AudioChunks(spark, work).count())
     spark.stop()
   }
 }
