@@ -637,7 +637,80 @@ object Churn {
       |      / NULLIF(SUM(1 - treated), 0), 6), 6) AS uplift
       |FROM t GROUP BY stratum ORDER BY stratum""".stripMargin
 
+  /** c19_hazard_curve — the discrete-time churn hazard (Kaplan-Meier
+    * style life table) over user lifetimes: per calendar day, how many
+    * users were at risk (first_day ≤ t ≤ last_day), how many churned
+    * (last_day = t, censored on the final observed day), and the hazard
+    * ratio — the curve a retention team reads before any model.
+    *
+    * Scale shape: ONE data-proportional shuffle (user_id lifetimes);
+    * everything after is calendar-bounded — per-day start/end counts,
+    * then cumulative at-risk via the c7-style tiny triangular cross
+    * join over the day frame (≤ 10⁴ rows for decades of data) instead
+    * of an unpartitioned running-sum window, keeping the
+    * no-single-partition-window invariant. All counts exact longs, one
+    * double division → fully oracle-checked. */
+  def c19HazardCurve(s: SparkSession, d: String): DataFrame = {
+    val life = Tables.events(s, d)
+      .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+      .groupBy(col("user_id"))
+      .agg(min(col("ep_day")).as("first_day"), max(col("ep_day")).as("last_day"))
+    val bounds = life.agg(min(col("first_day")), max(col("last_day"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val starts = life.groupBy(col("first_day").as("ep_day"))
+      .agg(count(lit(1)).as("n_starts"))
+    val ends = life.groupBy(col("last_day").as("ep_day"))
+      .agg(count(lit(1)).as("n_ends"))
+    val dayFrame = s.range(lo, hi + 1).toDF("ep_day")
+      .join(starts, Seq("ep_day"), "left").join(ends, Seq("ep_day"), "left")
+      .select(col("ep_day"),
+        coalesce(col("n_starts"), lit(0L)).as("n_starts"),
+        coalesce(col("n_ends"), lit(0L)).as("n_ends"))
+    val curve = dayFrame.as("a")
+      .crossJoin(broadcast(dayFrame.select(col("ep_day").as("b_day"),
+        col("n_starts").as("b_starts"), col("n_ends").as("b_ends"))))
+      .groupBy(col("a.ep_day").as("ep_day"), col("a.n_ends").as("n_ends_today"))
+      .agg(sum(when(col("b_day") <= col("a.ep_day"), col("b_starts")).otherwise(0L))
+          .as("cum_starts"),
+        sum(when(col("b_day") < col("a.ep_day"), col("b_ends")).otherwise(0L))
+          .as("cum_ends"))
+    curve
+      .withColumn("at_risk", col("cum_starts") - col("cum_ends"))
+      .withColumn("n_churned",
+        when(col("ep_day") === hi, lit(0L)).otherwise(col("n_ends_today")))
+      .withColumn("hazard",
+        when(col("at_risk") === 0L, lit(0.0))
+          .otherwise(col("n_churned").cast("double") / col("at_risk")))
+      .select("ep_day", "at_risk", "n_churned", "hazard")
+      .orderBy("ep_day")
+  }
+
+  val c19Sql: String =
+    """WITH e AS (SELECT user_id, CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day
+      |  FROM events),
+      |life AS (SELECT user_id, MIN(ep_day) AS first_day, MAX(ep_day) AS last_day
+      |  FROM e GROUP BY user_id),
+      |bnd AS (SELECT MIN(first_day) AS lo, MAX(last_day) AS hi FROM life),
+      |st AS (SELECT first_day AS ep_day, COUNT(*) AS n_starts FROM life GROUP BY first_day),
+      |en AS (SELECT last_day AS ep_day, COUNT(*) AS n_ends FROM life GROUP BY last_day),
+      |days AS (SELECT unnest(range((SELECT lo FROM bnd), (SELECT hi FROM bnd) + 1)) AS ep_day),
+      |f AS (SELECT d.ep_day, COALESCE(st.n_starts, 0) AS n_starts,
+      |    COALESCE(en.n_ends, 0) AS n_ends
+      |  FROM days d LEFT JOIN st ON d.ep_day = st.ep_day
+      |  LEFT JOIN en ON d.ep_day = en.ep_day),
+      |c AS (SELECT a.ep_day, a.n_ends AS n_ends_today,
+      |    CAST(SUM(CASE WHEN b.ep_day <= a.ep_day THEN b.n_starts ELSE 0 END) AS BIGINT) AS cum_starts,
+      |    CAST(SUM(CASE WHEN b.ep_day < a.ep_day THEN b.n_ends ELSE 0 END) AS BIGINT) AS cum_ends
+      |  FROM f a CROSS JOIN f b GROUP BY a.ep_day, a.n_ends)
+      |SELECT ep_day, cum_starts - cum_ends AS at_risk,
+      |  CASE WHEN ep_day = (SELECT hi FROM bnd) THEN 0 ELSE n_ends_today END AS n_churned,
+      |  CASE WHEN cum_starts - cum_ends = 0 THEN 0.0
+      |    ELSE CAST(CASE WHEN ep_day = (SELECT hi FROM bnd) THEN 0 ELSE n_ends_today END AS DOUBLE)
+      |      / (cum_starts - cum_ends) END AS hazard
+      |FROM c ORDER BY ep_day""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "c19_hazard_curve" -> (c19HazardCurve _, Some(c19Sql)),
     "c18_holdout_uplift" -> (c18HoldoutUplift _, Some(c18Sql)),
     "c17_feature_drift" -> (c17FeatureDrift _, Some(c17Sql)),
     "c14_sliding_features" -> (c14SlidingFeatures _, Some(c14Sql)),

@@ -23,8 +23,11 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    if (SnapshotSql.owns(sqlText)) SnapshotSqlCommand(sqlText)
-    else delegate.parsePlan(sqlText)
+    SnapshotSql.historyRoot(sqlText) match {
+      case Some(root) => SnapshotHistoryCommand(root)
+      case None if SnapshotSql.owns(sqlText) => SnapshotSqlCommand(sqlText)
+      case None => delegate.parsePlan(sqlText)
+    }
 
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
   override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
@@ -51,4 +54,17 @@ case class SnapshotSqlCommand(stmt: String) extends LeafRunnableCommand {
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(sparkSession: SparkSession): Seq[Row] =
     Seq(Row(SnapshotSql.exec(sparkSession, stmt)))
+}
+
+/** DESCRIBE HISTORY '<path>' — one row per still-present version with
+  * its file count, manifest row count, and metadata (Delta's command
+  * shape over the manifest log). */
+case class SnapshotHistoryCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("n_files", org.apache.spark.sql.types.LongType, nullable = false)(),
+    AttributeReference("n_rows", org.apache.spark.sql.types.LongType, nullable = false)(),
+    AttributeReference("meta", org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    SnapshotSql.describeHistory(root).map { case (v, f, r, m) => Row(v, f, r, m) }
 }

@@ -20,6 +20,7 @@ import graft.operators.SnapshotTable
   *   OPTIMIZE '<path>' ZORDER BY (colA, colB) [TARGET n]
   *   MERGE INTO '<path>' CLUSTER BY (col) ID (idCol) USING <viewName>
   *   VACUUM '<path>' KEEP FROM <version>
+  *   DESCRIBE HISTORY '<path>'    (row-returning, parser route only)
   *
   * MERGE's source is a registered view/table carrying the table's
   * columns plus `op` ∈ {u, d, i} — the same caller-labeled changeset
@@ -39,6 +40,29 @@ object SnapshotSql {
     """(?is)\s*MERGE\s+INTO\s+'([^']+)'\s+CLUSTER\s+BY\s+\((\w+)\)\s+ID\s+\((\w+)\)\s+USING\s+([\w.]+)\s*""".r
   private val Vacuum =
     """(?is)\s*VACUUM\s+'([^']+)'\s+KEEP\s+FROM\s+(\d+)\s*""".r
+  private val History =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*""".r
+
+  /** DESCRIBE HISTORY '<path>' — the statement's table root, when the
+    * statement is one. Routed by the parser to a row-returning command
+    * (unlike the version-returning maintenance verbs). */
+  private[graft] def historyRoot(stmt: String): Option[String] = stmt match {
+    case History(root) => Some(root)
+    case _ => None
+  }
+
+  /** One row per still-present version (vacuumed manifests are skipped):
+    * version, file count, manifest row count, and the `#key=value`
+    * metadata — Delta's DESCRIBE HISTORY shape over the manifest log. */
+  def describeHistory(root: String): Seq[(Int, Long, Long, String)] =
+    (1 to SnapshotTable.currentVersion(root)).flatMap { v =>
+      scala.util.Try {
+        val es = SnapshotTable.manifestEntries(root, v)
+        val meta = SnapshotTable.manifestMeta(root, v).toSeq.sorted
+          .map { case (k, x) => s"$k=$x" }.mkString(",")
+        (v, es.size.toLong, es.map(_.rows).sum, meta)
+      }.toOption
+    }
 
   /** Whether this statement belongs to the graft maintenance grammar —
     * the [[graft.plans.GraftSqlParser]] routing test. Deliberately the
@@ -47,7 +71,7 @@ object SnapshotSql {
     * parser. */
   private[graft] def owns(stmt: String): Boolean = stmt match {
     case OptimizeCluster(_, _, _) | OptimizeZorder(_, _, _, _)
-       | MergeInto(_, _, _, _) | Vacuum(_, _) => true
+       | MergeInto(_, _, _, _) | Vacuum(_, _) | History(_) => true
     case _ => false
   }
 

@@ -37,6 +37,21 @@ class RepetitionRangeSpec extends AnyFunSuite {
     assert(got(3L)._2 == 0.7 && got(3L)._4 == 1L, s"stuffed doc not flagged: ${got(3L)}")
   }
 
+  test("c19: life-table accounting closes — churned plus final-day survivors equals the population") {
+    val rows = SparkEntry.queries("c19_hazard_curve")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val users = graft.sources.Tables.events(spark, sf)
+      .select(countDistinct(col("user_id"))).head().getLong(0)
+    // every user either churned on some day or was still at risk on the
+    // final (censored) day
+    assert(rows.map(_._3).sum + rows.last._2 == users,
+      s"life table does not close: churned=${rows.map(_._3).sum} final_at_risk=${rows.last._2} users=$users")
+    // at-risk starts at the day-one cohort and never goes negative;
+    // hazard is a valid probability
+    assert(rows.forall(r => r._2 >= 0 && r._4 >= 0.0 && r._4 <= 1.0))
+    assert(rows.last._3 == 0L, "final day must be censored, not churned")
+  }
+
   test("s9: range results agree with s1's exact top-k above the radius") {
     val S = graft.operators.Similarity
     val s9 = SparkEntry.queries("s9_range_search")(spark, sf).collect()
