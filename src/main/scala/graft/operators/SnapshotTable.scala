@@ -411,6 +411,13 @@ object SnapshotTable {
       if (losses >= MaxCommitAttempts) throw new IllegalStateException(
         s"snapshot commit on $root: lost the version-${lastSeen + 1} CAS $losses times " +
           "with no version progress — a wedged claim survived reclaim; inspect _manifests", e)
+      // linear backoff once losses stop looking like live contention
+      // (live contention advances the version and resets the counter):
+      // without this, 64 no-progress retries burn out in milliseconds —
+      // long before a slow-but-alive claimant fills its claim or a dead
+      // one ages past the reclaim floor
+      if (losses >= StaleClaimAfterLosses)
+        Thread.sleep(math.min(50L * (losses - StaleClaimAfterLosses + 1), 1000L))
     }
   }
   private[graft] val MaxCommitAttempts = 64
