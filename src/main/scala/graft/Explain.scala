@@ -7,7 +7,7 @@ object Explain {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.001"
-    for (q <- Seq("q2_filter_project", "q6_cond_agg", "q5_multijoin", "q3_join_agg", "c1_sessionize")) {
+    for (q <- Seq("t15_seq_packing", "t16_mixture_sample", "c20_event_transitions")) {
       println(s"########## $q")
       SparkEntry.queries(q)(spark, d).explain("formatted")
     }

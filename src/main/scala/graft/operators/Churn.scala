@@ -709,7 +709,50 @@ object Churn {
       |      / (cum_starts - cum_ends) END AS hazard
       |FROM c ORDER BY ep_day""".stripMargin
 
+  /** c20_event_transitions — first-order Markov transition matrix over
+    * user journeys: each user's events ordered by time form a path;
+    * count (state → next_state) hops and normalize per origin state.
+    * The churn team reads this to see which step precedes an exit
+    * (`error → churn?`), and it doubles as the input to any
+    * journey-simulation model.
+    *
+    * Scale shape: the lead() window shuffles on user_id — the log's
+    * natural key, the same partitioning c1/c10 already use, so at
+    * 100 TB it co-partitions with every other per-user pass. The hop
+    * counts collapse map-side (|event_types|² partial aggregates per
+    * partition) and the output is |event_types|² rows regardless of
+    * corpus size; the final per-origin normalization windows over that
+    * tiny frame. Tie-break on event_id keeps the path — and the oracle
+    * comparison — deterministic when two events share a timestamp. */
+  def c20EventTransitions(s: SparkSession, d: String): DataFrame =
+    c20Core(Tables.events(s, d))
+
+  /** c20's logic over any (user_id, ts, event_id, event_type) frame —
+    * fixture seam. */
+  private[graft] def c20Core(events: DataFrame): DataFrame = {
+    val wU = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wS = Window.partitionBy("event_type")
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(wU))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("prob", col("n").cast("double") / sum("n").over(wS))
+      .orderBy("event_type", "next_type")
+  }
+
+  val c20Sql: String =
+    """WITH j AS (SELECT user_id, event_type,
+      |  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      |  FROM events)
+      |SELECT event_type, next_type, COUNT(*) AS n,
+      |  CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (PARTITION BY event_type) AS prob
+      |FROM j WHERE next_type IS NOT NULL
+      |GROUP BY event_type, next_type ORDER BY event_type, next_type""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "c20_event_transitions" -> (c20EventTransitions _, Some(c20Sql)),
     "c19_hazard_curve" -> (c19HazardCurve _, Some(c19Sql)),
     "c18_holdout_uplift" -> (c18HoldoutUplift _, Some(c18Sql)),
     "c17_feature_drift" -> (c17FeatureDrift _, Some(c17Sql)),

@@ -698,7 +698,101 @@ object TextAnalysis {
        |    OR top_bigram_share >= $T14TopBigram THEN 1 ELSE 0 END AS BIGINT) AS repetitive
        |FROM r ORDER BY doc_id""".stripMargin
 
+  /** t15_seq_packing — sequence packing for LLM training: concatenate
+    * each shard's documents in doc_id order into one token stream and
+    * split it at a fixed token budget. Emits, per document, the pack it
+    * starts in, the pack it ends in (long documents straddle several),
+    * and its token offset inside the first pack — exactly the layout a
+    * trainer needs to materialize fixed-length batches with no padding
+    * waste. Sharding is a deterministic `pmod(doc_id, shards)`, so every
+    * shard packs independently: at 100 TB the running-sum window sorts
+    * per-shard (no global order, no single-partition window), and the
+    * shard count scales with the cluster, not the corpus. Token counts
+    * reuse t3's whitespace tokenizer so the two surfaces agree. */
+  def t15SeqPacking(s: SparkSession, d: String): DataFrame =
+    t15Core(Tables.documents(s, d))
+
+  /** t15's logic over any (doc_id, text) frame — fixture seam. */
+  private[graft] def t15Core(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+    val b = lit(T15Budget.toDouble)
+    docs
+      .select(col("doc_id"),
+        pmod(col("doc_id"), lit(T15Shards.toLong)).as("shard"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
+      .withColumn("cum_after", sum("tokens").over(w))
+      .withColumn("cum_before", col("cum_after") - col("tokens"))
+      .select(col("doc_id"), col("shard"), col("tokens"),
+        floor(col("cum_before") / b).cast("long").as("pack_first"),
+        // last token of the doc lives at cum_after-1; an (impossible
+        // here, but guarded) empty doc stays in its starting pack
+        floor(greatest(col("cum_after") - 1, col("cum_before")) / b)
+          .cast("long").as("pack_last"),
+        pmod(col("cum_before"), lit(T15Budget.toLong)).as("offset_in_pack"))
+      .orderBy("doc_id")
+  }
+  private[graft] val T15Shards = 8
+  private[graft] val T15Budget = 512
+
+  val t15Sql: String =
+    s"""WITH b AS (SELECT doc_id, doc_id % $T15Shards AS shard,
+       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tokens
+       |  FROM documents),
+       |c AS (SELECT *, SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_after FROM b)
+       |SELECT doc_id, shard, tokens,
+       |  CAST(floor((cum_after - tokens) / $T15Budget.0) AS BIGINT) AS pack_first,
+       |  CAST(floor(greatest(cum_after - 1, cum_after - tokens) / $T15Budget.0) AS BIGINT) AS pack_last,
+       |  (cum_after - tokens) % $T15Budget AS offset_in_pack
+       |FROM c ORDER BY doc_id""".stripMargin
+
+  /** t16_mixture_sample — domain-mixture sampling: down-sample each
+    * source to a prescribed keep rate so the corpus matches a target
+    * mixture (the web/wiki/books reweighting every LLM data pipeline
+    * runs before training). The keep/drop decision is a pure
+    * deterministic function of doc_id — Knuth multiplicative hash,
+    * folded below 1e8 BEFORE the multiply so ANSI mode can never
+    * overflow (c18's discipline) — which makes the sample reproducible
+    * across runs and engines, needs no RNG state, and costs one
+    * map-side filter: the only shuffle is the tiny per-source audit
+    * aggregate at the end (|sources| rows regardless of corpus size). */
+  def t16MixtureSample(s: SparkSession, d: String): DataFrame = {
+    val srcnum = regexp_extract(col("source"), "([0-9]+)$", 1).cast("long")
+    val rate = when(pmod(srcnum, lit(4L)) === 0, 1.0)
+      .when(pmod(srcnum, lit(4L)) === 1, 0.5)
+      .when(pmod(srcnum, lit(4L)) === 2, 0.25)
+      .otherwise(0.1)
+    val h = pmod(pmod(col("doc_id"), lit(100000000L)) * lit(2654435761L), lit(10000L))
+    Tables.documents(s, d)
+      .select(col("source"),
+        rate.as("target_rate"),
+        when(h < rate * 10000, 1L).otherwise(0L).as("keep"))
+      .groupBy("source")
+      .agg(max("target_rate").as("target_rate"),
+        count(lit(1)).as("total"), sum("keep").as("kept"))
+      .withColumn("achieved_rate",
+        col("kept").cast("double") / col("total"))
+      .orderBy("source")
+  }
+
+  val t16Sql: String =
+    """WITH b AS (SELECT source,
+      |  CASE CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4
+      |    WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.25 ELSE 0.1
+      |  END AS target_rate,
+      |  CASE WHEN (doc_id % 100000000) * 2654435761 % 10000
+      |    < (CASE CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4
+      |       WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.25 ELSE 0.1 END) * 10000
+      |    THEN 1 ELSE 0 END AS keep
+      |  FROM documents)
+      |SELECT source, MAX(target_rate) AS target_rate,
+      |  COUNT(*) AS total, CAST(SUM(keep) AS BIGINT) AS kept,
+      |  CAST(SUM(keep) AS DOUBLE) / COUNT(*) AS achieved_rate
+      |FROM b GROUP BY source ORDER BY source""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "t15_seq_packing" -> (t15SeqPacking _, Some(t15Sql)),
+    "t16_mixture_sample" -> (t16MixtureSample _, Some(t16Sql)),
     "t14_repetition" -> (t14Repetition _, Some(t14Sql)),
     "t13_tfidf_keywords" -> (t13TfidfKeywords _, Some(t13Sql)),
     "t12_lm_quality" -> (t12LmQuality _, Some(t12Sql)),

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** t15 (sequence packing) on a hand-packable fixture plus stream
+  * invariants at sf, t16 (mixture sampling) determinism and rate
+  * audit, c20 (journey transition matrix) probability accounting. */
+class PackingMixtureSpec extends AnyFunSuite {
+  import TestSession._
+  val T = graft.operators.TextAnalysis
+  val C = graft.operators.Churn
+
+  test("t15: hand-packed fixture — straddling, offsets, shard independence") {
+    import spark.implicits._
+    // one shard (doc_ids ≡ 0 mod 8): token counts 300, 300, 600
+    //   stream: [0,300) [300,600) [600,1200)
+    //   budget 512 → doc 0 in pack 0; doc 8 straddles 0→1 (offset 300);
+    //   doc 16 starts in pack 1 (offset 600-512=88) and ends in pack 2
+    // second shard (≡ 1 mod 8): 100 tokens → its OWN pack 0, offset 0
+    def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq(
+      (0L, words(300)), (8L, words(300)), (16L, words(600)),
+      (1L, words(100))
+    ).toDF("doc_id", "text")
+    val got = T.t15Core(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(got(0L) == ((300L, 0L, 0L, 0L)), s"doc 0: ${got(0L)}")
+    assert(got(8L) == ((300L, 0L, 1L, 300L)), s"doc 8 must straddle 0->1: ${got(8L)}")
+    assert(got(16L) == ((600L, 1L, 2L, 88L)), s"doc 16: ${got(16L)}")
+    // the second shard's stream starts at zero — shard independence
+    assert(got(1L) == ((100L, 0L, 0L, 0L)), s"doc 1: ${got(1L)}")
+  }
+
+  test("t15: stream invariants at sf — offsets bounded, packs contiguous per shard") {
+    val rows = SparkEntry.queries("t15_seq_packing")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, _, tokens, pf, pl, off) =>
+      assert(off >= 0 && off < T.T15Budget, s"doc $id offset $off out of range")
+      assert(pf <= pl, s"doc $id pack_first $pf > pack_last $pl")
+      // a doc spans exactly the packs its token run covers
+      val spanned = (off + tokens - 1).max(0) / T.T15Budget
+      assert(pl - pf == spanned, s"doc $id spans $spanned extra packs, got ${pl - pf}")
+    }
+    // within a shard, consecutive docs tile the stream: next offset is
+    // (prev offset + prev tokens) mod budget, and pack_first advances
+    // to prev pack_last (+1 exactly when prev ended flush on a boundary)
+    rows.groupBy(_._2).foreach { case (shard, ds) =>
+      ds.sortBy(_._1).sliding(2).foreach {
+        case Array((_, _, t0, _, pl0, off0), (id1, _, _, pf1, _, off1)) =>
+          val expOff = (off0 + t0) % T.T15Budget
+          assert(off1 == expOff, s"shard $shard doc $id1: offset $off1 != $expOff")
+          val expPf = if (expOff == 0) pl0 + 1 else pl0
+          assert(pf1 == expPf, s"shard $shard doc $id1: pack_first $pf1 != $expPf")
+        case _ =>
+      }
+    }
+  }
+
+  test("t16: deterministic, rate-1.0 sources keep everything, audit consistent") {
+    val run1 = SparkEntry.queries("t16_mixture_sample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val run2 = SparkEntry.queries("t16_mixture_sample")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(run1.sameElements(run2), "sampling decisions must be run-deterministic")
+    assert(run1.nonEmpty)
+    run1.foreach { case (src, target, total, kept, achieved) =>
+      assert(kept >= 0 && kept <= total, s"$src kept $kept of $total")
+      assert(math.abs(achieved - kept.toDouble / total) < 1e-12)
+      if (target == 1.0) assert(kept == total, s"$src rate-1.0 must keep all")
+      // Knuth-hash split: generous binomial envelope at small counts
+      else assert(math.abs(achieved - target) < 0.2,
+        s"$src achieved $achieved vs target $target")
+    }
+  }
+
+  test("c20: hops account for every non-final event; probabilities sum to 1 per origin") {
+    val rows = SparkEntry.queries("c20_event_transitions")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val ev = graft.sources.Tables.events(spark, sf)
+    val (events, users) = (ev.count(), ev.select(countDistinct(col("user_id"))).head().getLong(0))
+    // each user's path of n events contributes n-1 hops
+    assert(rows.map(_._3).sum == events - users,
+      s"hops ${rows.map(_._3).sum} != events $events - users $users")
+    rows.groupBy(_._1).foreach { case (origin, ts) =>
+      val p = ts.map(_._4).sum
+      assert(math.abs(p - 1.0) < 1e-9, s"origin $origin probs sum to $p")
+    }
+  }
+
+  test("c20: fixture — ties broken by event_id, self-loops counted") {
+    import spark.implicits._
+    // user 1: a(t=1) -> b(t=2) -> b(t=2, higher id) -> a(t=3)
+    // user 2: a(t=1) -> a(t=2)
+    val ev = Seq(
+      (1L, 1L, 10L, "a"), (1L, 2L, 11L, "b"), (1L, 2L, 12L, "b"), (1L, 3L, 13L, "a"),
+      (2L, 1L, 20L, "a"), (2L, 2L, 21L, "a")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = C.c20Core(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    // hops: a->b, b->b (tie ordered 11 before 12), b->a, a->a
+    assert(got(("a", "b")) == ((1L, 0.5)), s"a->b: ${got.get(("a", "b"))}")
+    assert(got(("a", "a")) == ((1L, 0.5)), s"a->a: ${got.get(("a", "a"))}")
+    assert(got(("b", "b")) == ((1L, 0.5)), s"b->b: ${got.get(("b", "b"))}")
+    assert(got(("b", "a")) == ((1L, 0.5)), s"b->a: ${got.get(("b", "a"))}")
+    assert(got.size == 4)
+  }
+}
