@@ -9,11 +9,16 @@ import org.apache.spark.sql.functions._
   * family and the fact-fact joins. Run manually per round; results go to
   * SURVEY.md §5. Not part of Bench (the driver times that at sf0.1).
   *
-  *   sbt "runMain graft.ScaleProbe [replicas]"
+  *   sbt "runMain graft.ScaleProbe [replicas] [op1,op2,...]"
+  *
+  * A second argument restricts the run to the named probes (prefix
+  * match), so a round can re-probe only its new operators.
   */
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val replicas = if (args.nonEmpty) args(0).toInt else 8
+    val only: Option[Set[String]] =
+      if (args.length > 1) Some(args(1).split(",").map(_.trim).toSet) else None
     val spark = GraftSession.build("local[32]", 64)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = "/root/testdata/sf0.1"
@@ -40,6 +45,7 @@ object ScaleProbe {
     replicate("customer", Seq("c_custkey"))
 
     def time(name: String)(f: => Long): Unit = {
+      if (only.exists(!_.exists(name.startsWith))) return
       val t0 = System.nanoTime(); val rows = f
       println(f"[scale] $name replicas=$replicas rows=$rows t=${(System.nanoTime() - t0) / 1e9}%.2f")
     }
@@ -47,7 +53,7 @@ object ScaleProbe {
     time("d3_minhash_lsh")(operators.Dedup.d3DedupMinhashLsh(spark, work).count())
     // CC label propagation over the LSH pairs (the 100 TB wiring):
     // doubling vs one-hop — the measured round-count drop
-    val lshPairs = operators.Dedup.d3DedupMinhashLsh(spark, work)
+    lazy val lshPairs = operators.Dedup.d3DedupMinhashLsh(spark, work)
       .select("doc_a", "doc_b").localCheckpoint(true)
     time("d7_cc_doubling") {
       val (lbl, rounds) = operators.Dedup.propagateLabels(lshPairs, doubling = true)
@@ -102,6 +108,13 @@ object ScaleProbe {
     time("s9_range_search")(operators.Similarity.s9RangeSearch(spark, work).count())
     time("m6_rgb_jpeg")(operators.Multimodal.m6RgbJpegStats(spark, work).count())
     time("m7_audio_chunks")(operators.Multimodal.m7AudioChunks(spark, work).count())
+    // late-round-9 additions: per-shard packing window (must scale with
+    // shard parallelism, no global sort), map-side-filter sampling
+    // (linear scan), and the user-keyed journey window (same shuffle key
+    // as c1 — output fixed at |event_types|² rows no matter the corpus)
+    time("t15_seq_packing")(operators.TextAnalysis.t15SeqPacking(spark, work).count())
+    time("t16_mixture_sample")(operators.TextAnalysis.t16MixtureSample(spark, work).count())
+    time("c20_event_transitions")(operators.Churn.c20EventTransitions(spark, work).count())
     spark.stop()
   }
 }

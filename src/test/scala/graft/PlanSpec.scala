@@ -80,6 +80,36 @@ class PlanSpec extends AnyFunSuite {
       "expected the distributed NTILE's range repartition in the plan")
   }
 
+  test("t15: packing windows are shard-partitioned — no global-sort window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val qe = SparkEntry.queries("t15_seq_packing")(spark, sf).queryExecution
+    val unpartitioned = qe.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty,
+      s"t15's running sum must partition by shard:\n$unpartitioned")
+    // and the pack arithmetic costs exactly one corpus scan
+    assert(fileScans(SparkEntry.queries("t15_seq_packing")(spark, sf)) == 1)
+  }
+
+  test("t16: sampling is one scan with map-side partial aggregation") {
+    val df = SparkEntry.queries("t16_mixture_sample")(spark, sf)
+    assert(fileScans(df) == 1, "t16 must decide keep/drop in the scan pass")
+    assert(df.queryExecution.executedPlan.toString.contains("partial_"),
+      "per-source audit must combine map-side before the shuffle")
+  }
+
+  test("c20: journey window shuffles on user_id; no unpartitioned window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val qe = SparkEntry.queries("c20_event_transitions")(spark, sf).queryExecution
+    val unpartitioned = qe.sparkPlan.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(unpartitioned.isEmpty, s"c20 has a one-task window:\n$unpartitioned")
+    assert(qe.executedPlan.toString.contains("hashpartitioning(user_id"),
+      "lead() must key its exchange on user_id")
+  }
+
   /** SF-proportional relations must not carry forced broadcast hints —
     * strategy stays with stats/AQE so the same code broadcasts at sf0.1
     * and sort-merges at 100 TB instead of OOMing. Fixed-size dims
