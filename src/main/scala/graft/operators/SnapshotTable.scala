@@ -1201,7 +1201,9 @@ object SnapshotTable {
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
       |FROM e GROUP BY ep_day ORDER BY ep_day""".stripMargin
 
-  val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+  // lazy: x24Sql is declared below the map (object init is declaration
+  // order — an eager val would capture null for forward references)
+  lazy val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "x14_snapshot_table" -> (x14SnapshotTable _, Some(x14Sql)),
     "x15_stats_pruning" -> (x15StatsPruning _, Some(x15Sql)),
     "x16_cluster_optimize" -> (x16ClusterOptimize _, Some(x16Sql)),
@@ -1212,5 +1214,37 @@ object SnapshotTable {
     "x21_source_pushdown" -> (x21SourcePushdown _, Some(x15Sql)),
     "x22_zorder_box" -> (x22ZorderBox _, Some(x22Sql)),
     "x23_incremental_mv" -> (x23IncrementalMv _, Some(x17Sql)),
+    "x24_catalog_sql" -> (x24CatalogSql _, Some(x24Sql)),
   )
+
+  /** x24_catalog_sql — the name-addressed warehouse surface end-to-end
+    * through PLAIN spark.sql: CTAS into a `graft.sources.GraftCatalog`
+    * table, a follow-up INSERT INTO (a second snapshot version), and an
+    * aggregate SELECT back — no paths, no Scala helpers, the workflow a
+    * SQL-only user runs. The catalog resolves names to snapshot-table
+    * directories, so the CTAS write is the connector's distributed
+    * per-task append and the SELECT is the pushdown-capable DSv2 scan.
+    * Oracle: the same aggregate over the two source slices in DuckDB. */
+  def x24CatalogSql(s: SparkSession, d: String): DataFrame = {
+    if (!s.conf.getOption("spark.sql.catalog.gx").exists(_.nonEmpty)) {
+      s.conf.set("spark.sql.catalog.gx", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gx.root", Engine.tmpDir("graft_warehouse"))
+    }
+    graft.sources.Tables.orders(s, d).createOrReplaceTempView("x24_orders_src")
+    s.sql("DROP TABLE IF EXISTS gx.x24_osum")
+    s.sql("""CREATE TABLE gx.x24_osum AS
+      SELECT o_custkey, o_totalprice FROM x24_orders_src WHERE o_totalprice >= 200000""")
+    s.sql("""INSERT INTO gx.x24_osum
+      SELECT o_custkey, o_totalprice FROM x24_orders_src WHERE o_totalprice < 50000""")
+    s.sql("""SELECT o_custkey, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+      FROM gx.x24_osum GROUP BY o_custkey HAVING COUNT(*) >= 2 ORDER BY o_custkey""")
+  }
+
+  val x24Sql: String =
+    """SELECT o_custkey, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+      |FROM (SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice >= 200000
+      |      UNION ALL
+      |      SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice < 50000) x
+      |GROUP BY o_custkey HAVING COUNT(*) >= 2 ORDER BY o_custkey""".stripMargin
+
 }

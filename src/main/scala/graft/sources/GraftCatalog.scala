@@ -1,0 +1,174 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths}
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.SnapshotTable
+
+/** A DSv2 `TableCatalog` over a directory of snapshot tables — the
+  * name-addressed surface that makes the connector feel like a real
+  * warehouse instead of a pile of paths:
+  *
+  * {{{
+  * spark.sql.catalog.graft      = graft.sources.GraftCatalog
+  * spark.sql.catalog.graft.root = /warehouse
+  *
+  * CREATE TABLE graft.analytics.scores (user_id BIGINT, p DOUBLE)
+  * INSERT INTO graft.analytics.scores SELECT ...
+  * SELECT count(*) FROM graft.analytics.scores   -- manifest-only
+  * }}}
+  *
+  * Layout: `root/<namespace dirs...>/<table>/` IS the snapshot-table
+  * root (`_manifests/`, data files) — every path-addressed tool
+  * (OPTIMIZE/MERGE/VACUUM SQL, the Scala API, `format("graft-snapshot")
+  * .load(path)`) works on catalog tables unchanged, exactly as Delta's
+  * catalog names resolve to its path tables.
+  *
+  * Schema lifecycle: CREATE TABLE records the declared schema in
+  * `_schema.json` (catalog-level metadata, never referenced by
+  * manifests, never touched by vacuum — which only deletes `*.parquet`
+  * and manifest files). Once data is committed, the parquet footer of
+  * the current version is the source of truth (so evolution through the
+  * snapshot API keeps reads honest); the JSON only serves the window
+  * between CREATE and first INSERT, where it makes the empty table
+  * selectable with its declared columns.
+  *
+  * Scale note: catalog calls are pure driver-side metadata (directory
+  * listings, one small file read) — nothing here touches data, so a
+  * 100 TB table costs the same `loadTable` as an empty one. */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var rootDir: Path = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val r = options.get("root")
+    require(r != null,
+      s"graft catalog '$name': set spark.sql.catalog.$name.root=<warehouse dir>")
+    rootDir = Paths.get(r)
+    Files.createDirectories(rootDir)
+  }
+  override def name(): String = catalogName
+
+  private def dirOf(ns: Array[String]): Path = ns.foldLeft(rootDir)(_.resolve(_))
+  private def tableDir(ident: Identifier): Path =
+    dirOf(ident.namespace()).resolve(ident.name())
+  private def schemaFile(dir: Path): Path = dir.resolve("_schema.json")
+  private def isTableDir(dir: Path): Boolean =
+    Files.exists(schemaFile(dir)) || Files.isDirectory(dir.resolve("_manifests"))
+
+  // ---- TableCatalog -------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val d = dirOf(namespace)
+    if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(namespace)
+    Files.list(d).iterator().asScala
+      .filter(p => Files.isDirectory(p) && isTableDir(p))
+      .map(p => Identifier.of(namespace, p.getFileName.toString))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTableDir(tableDir(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    val d = tableDir(ident)
+    if (!isTableDir(d)) throw new NoSuchTableException(ident)
+    val root = d.toString
+    val schema =
+      if (SnapshotTable.currentVersion(root) > 0)
+        SnapshotSourceUtil.sparkSchema(SnapshotSourceUtil.tableMessageType(root))
+      else
+        DataType.fromJson(new String(Files.readAllBytes(schemaFile(d))))
+          .asInstanceOf[StructType]
+    new SnapshotDsv2Table(root, schema, CaseInsensitiveStringMap.empty())
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    require(partitions.isEmpty,
+      "graft catalog: PARTITIONED BY is not supported — cluster with OPTIMIZE ... CLUSTER BY")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val d = tableDir(ident)
+    Files.createDirectories(d)
+    Files.write(schemaFile(d), schema.json.getBytes("UTF-8"))
+    new SnapshotDsv2Table(d.toString, schema, CaseInsensitiveStringMap.empty())
+  }
+
+  /** Column changes go through the snapshot evolution path
+    * (SnapshotTable.appendEvolved keeps old versions readable); the
+    * catalog refuses silent in-place edits. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "graft catalog: ALTER TABLE is not supported — evolve schemas via snapshot appends")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val d = tableDir(ident)
+    if (!isTableDir(d)) return false
+    // delete deepest-first; the table dir holds only snapshot state
+    Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    true
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    Files.createDirectories(dirOf(newIdent.namespace()))
+    Files.move(tableDir(oldIdent), tableDir(newIdent))
+  }
+
+  // ---- SupportsNamespaces (directories that are not tables) ---------
+
+  override def defaultNamespace(): Array[String] = Array.empty
+
+  override def listNamespaces(): Array[Array[String]] =
+    Files.list(rootDir).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTableDir(p))
+      .map(p => Array(p.getFileName.toString))
+      .toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    val d = dirOf(namespace)
+    if (!Files.isDirectory(d)) throw new NoSuchNamespaceException(namespace)
+    Files.list(d).iterator().asScala
+      .filter(p => Files.isDirectory(p) && !isTableDir(p))
+      .map(p => namespace :+ p.getFileName.toString)
+      .toArray
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean = {
+    val d = dirOf(namespace)
+    namespace.isEmpty || (Files.isDirectory(d) && !isTableDir(d))
+  }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): JMap[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    java.util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: JMap[String, String]): Unit = {
+    Files.createDirectories(dirOf(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft catalog: namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val d = dirOf(namespace)
+    if (!namespaceExists(namespace) || namespace.isEmpty) return false
+    val empty = !Files.list(d).iterator().hasNext
+    if (!empty && !cascade) throw new IllegalStateException(
+      s"graft catalog: namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
+    Files.walk(d).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    true
+  }
+}

@@ -223,7 +223,8 @@ private[sources] class SnapshotScanBuilder(root: String, full: StructType,
   private def countStarAnswerable(agg: Aggregation): Boolean =
     agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall(_.isInstanceOf[CountStar]) &&
-      SnapshotTable.manifestEntries(root, version).forall(_.rows >= 0)
+      (version == 0 || // empty table: COUNT(*) = 0, no manifest to read
+        SnapshotTable.manifestEntries(root, version).forall(_.rows >= 0))
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     countStarAnswerable(agg)
   override def pushAggregation(agg: Aggregation): Boolean = {
@@ -280,6 +281,9 @@ private[sources] class SnapshotScan(root: String, version: Int,
   /** The version's entries that survive the pushed filters' combined
     * key range (intersection of bounds — filters AND together). */
   private def plannedEntries: Seq[SnapshotTable.FileEntry] = {
+    // version 0 = a created-but-never-written table (catalog CREATE
+    // TABLE before the first INSERT): a valid empty scan, no manifest
+    if (version == 0) return Nil
     val all = SnapshotTable.manifestEntries(root, version)
     (statsCol, pushed) match {
       case (Some(c), ps) if ps.nonEmpty =>
@@ -298,13 +302,17 @@ private[sources] class SnapshotScan(root: String, version: Int,
       if (countStarOnly) Array.empty[String]
       else plannedEntries.map(e => Paths.get(root, e.rel).toString).toArray
     private val total =
-      if (countStarOnly) SnapshotTable.manifestEntries(root, version).map(_.rows).sum
+      if (countStarOnly && version > 0)
+        SnapshotTable.manifestEntries(root, version).map(_.rows).sum
       else 0L
     override def planInputPartitions(): Array[InputPartition] =
       if (countStarOnly) Array(SnapshotCountPartition(total))
       else files.map(SnapshotFilePartition(_): InputPartition)
     override def createReaderFactory(): PartitionReaderFactory =
-      if (countStarOnly) SnapshotCountReaderFactory else factory
+      // zero planned files (empty table / everything pruned): the
+      // factory is never invoked, and building the real one would
+      // footer-read a data file that may not exist
+      if (countStarOnly || files.isEmpty) SnapshotCountReaderFactory else factory
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =

@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The name-addressed catalog surface: CREATE / INSERT / SELECT /
+  * SHOW / DROP through plain spark.sql against `graft.<table>` names,
+  * plus interop with the path-addressed tools on the same directory. */
+class GraftCatalogSpec extends AnyFunSuite {
+  import TestSession._
+
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("graft_warehouse").toString
+    spark.conf.set("spark.sql.catalog.gcat", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat.root", w)
+    w
+  }
+
+  test("CREATE TABLE yields a selectable empty table; first INSERT fills it") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.scores (user_id BIGINT, p DOUBLE)")
+    assert(spark.sql("SELECT * FROM gcat.scores").columns.toSeq ==
+      Seq("user_id", "p"))
+    assert(spark.sql("SELECT * FROM gcat.scores").count() == 0)
+    // manifest-only COUNT(*) on the empty table answers 0, not an error
+    assert(spark.sql("SELECT count(*) FROM gcat.scores").head().getLong(0) == 0)
+
+    spark.sql("INSERT INTO gcat.scores VALUES (1, 0.9), (2, 0.1), (3, 0.5)")
+    assert(spark.sql("SELECT count(*) FROM gcat.scores").head().getLong(0) == 3)
+    assert(spark.sql("SELECT p FROM gcat.scores WHERE user_id = 2").head().getDouble(0) == 0.1)
+    // appends accumulate as snapshot versions
+    spark.sql("INSERT INTO gcat.scores VALUES (4, 0.7)")
+    assert(spark.sql("SELECT count(*) FROM gcat.scores").head().getLong(0) == 4)
+  }
+
+  test("CTAS materializes a query into a new catalog table") {
+    warehouse
+    spark.sql(
+      "CREATE TABLE gcat.score_agg AS SELECT user_id, p * 2 AS p2 FROM gcat.scores WHERE p >= 0.5")
+    val got = spark.sql("SELECT user_id, p2 FROM gcat.score_agg ORDER BY user_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((1L, 1.8), (3L, 1.0), (4L, 1.4)))
+  }
+
+  test("catalog names and path tools address the same snapshot table") {
+    warehouse
+    val root = s"$warehouse/scores"
+    val O = graft.operators.SnapshotTable
+    // the catalog table IS a snapshot table: Scala API reads it
+    assert(O.read(spark, root).count() ==
+      spark.sql("SELECT count(*) FROM gcat.scores").head().getLong(0))
+    // time travel to the first insert through the path connector
+    assert(spark.read.format("graft-snapshot").option("version", "1")
+      .load(root).count() == 3)
+    // path-addressed maintenance SQL works on catalog tables
+    val v = spark.sql(s"OPTIMIZE '$root' CLUSTER BY (user_id)").head().getInt(0)
+    assert(v > 0)
+    assert(spark.sql("SELECT count(*) FROM gcat.scores").head().getLong(0) == 4)
+  }
+
+  test("SHOW TABLES lists catalog tables; DROP removes the directory") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.doomed (x BIGINT)")
+    val listed = spark.sql("SHOW TABLES IN gcat").collect().map(_.getString(1)).toSet
+    assert(listed.contains("doomed") && listed.contains("scores"))
+    spark.sql("DROP TABLE gcat.doomed")
+    assert(!spark.sql("SHOW TABLES IN gcat").collect().map(_.getString(1)).contains("doomed"))
+    assert(!Files.exists(java.nio.file.Paths.get(warehouse, "doomed")))
+  }
+
+  test("namespaces are directories: CREATE NAMESPACE + qualified tables") {
+    warehouse
+    spark.sql("CREATE NAMESPACE gcat.analytics")
+    spark.sql("CREATE TABLE gcat.analytics.daily (d BIGINT, n BIGINT)")
+    spark.sql("INSERT INTO gcat.analytics.daily VALUES (20260813, 7)")
+    assert(spark.sql("SELECT n FROM gcat.analytics.daily WHERE d = 20260813")
+      .head().getLong(0) == 7)
+    assert(Files.isDirectory(java.nio.file.Paths.get(warehouse, "analytics", "daily")))
+  }
+
+  test("declared-schema errors: duplicate create fails, missing table fails") {
+    warehouse
+    intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException] {
+      spark.sql("CREATE TABLE gcat.scores (z BIGINT)")
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM gcat.never_created")
+    }
+  }
+}
