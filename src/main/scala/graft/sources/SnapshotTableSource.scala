@@ -17,14 +17,14 @@ import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
-import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsOverwrite, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
-import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.sources.{AlwaysTrue, And, DataSourceRegister, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Not, Or}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -163,18 +163,83 @@ private[sources] object SnapshotSourceUtil {
 
 private[sources] class SnapshotDsv2Table(root: String, schema: StructType,
     options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead
+    extends Table with SupportsRead with SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft_snapshot(`$root`)"
   override def schema(): StructType = schema0
   private val schema0 = schema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(root, schema0, o)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new SnapshotWriteBuilder(root, info)
+
+  /** DELETE FROM ... WHERE through the standard row-level API —
+    * copy-on-write like [[SnapshotTable.merge]]: manifest stats prune
+    * the rewrite to files that CAN hold matching rows; untouched files'
+    * entries (and their footer stats) carry to the new version
+    * verbatim, so at 100 TB a day-targeted delete rewrites a day's
+    * files, not the table. Rows where the predicate is NULL are kept
+    * (SQL DELETE removes only WHERE=TRUE rows). */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(SnapshotFilterSql.toColumn(_).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val s = org.apache.spark.sql.SparkSession.active
+    val v = SnapshotTable.currentVersion(root)
+    if (v == 0) return // empty table: nothing to delete
+    val carried = SnapshotTable.carriedMeta(root, v)
+    val statsCol = carried.get("statsCol")
+    val entries = SnapshotTable.manifestEntries(root, v)
+    val (cands, untouched) = statsCol match {
+      case Some(c) =>
+        val bounds = filters.flatMap(SnapshotScanBuilder.bound(_, c))
+        if (bounds.isEmpty) (entries, Seq.empty[SnapshotTable.FileEntry])
+        else {
+          val (qlo, qhi) = (bounds.map(_._1).max, bounds.map(_._2).min)
+          entries.partition(e => e.lo <= qhi && e.hi >= qlo)
+        }
+      case None => (entries, Seq.empty[SnapshotTable.FileEntry])
+    }
+    if (cands.isEmpty) return // stats prove no file holds a match
+    val cond = filters.map(f => SnapshotFilterSql.toColumn(f).getOrElse(
+      throw new UnsupportedOperationException(
+        s"graft-snapshot DELETE: unsupported predicate $f"))).reduce(_ && _)
+    val kept = s.read.parquet(cands.map(e => Paths.get(root, e.rel).toString): _*)
+      .filter(not(coalesce(cond, lit(false))))
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val rels = SnapshotTable.writeDataFiles(kept, root, s"del_$tag")
+    val fresh = rels.map(SnapshotTable.footerEntry(root, _, statsCol.getOrElse("")))
+    SnapshotTable.commitEntries(root, v, untouched ++ fresh, shardSize = 16,
+      carried + ("delete" -> s"cow:${cands.size}of${entries.size}"))
+  }
+}
+
+/** V1 `sources.Filter` → `Column` for the delete path — the common
+  * predicate shapes; anything else makes `canDeleteWhere` answer false
+  * so Spark rejects the statement instead of silently over-deleting. */
+private[sources] object SnapshotFilterSql {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
+    case Or(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+    case Not(c) => toColumn(c).map(!_)
+    case _: AlwaysTrue => Some(lit(true))
+    case _ => None
+  }
 }
 
 private[sources] class SnapshotScanBuilder(root: String, full: StructType,
@@ -384,7 +449,7 @@ private[sources] case class SnapshotCountPartition(total: Long) extends InputPar
   * commit-then-crash) is detected and becomes a no-op — st8's sink
   * semantics through the STANDARD API. */
 private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo)
-    extends WriteBuilder {
+    extends WriteBuilder with SupportsOverwrite {
   private def factory = SnapshotWriterFactory(root,
     SnapshotSourceUtil.messageType(info.schema()).toString, info.schema())
   // `.option("statsCol", c)` on the writer declares the pruning column
@@ -392,11 +457,26 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
   // carried forward by the commit; the option must agree with it)
   private val statsColOpt = Option(info.options().get("statsCol"))
 
+  /** INSERT OVERWRITE / df.writeTo(...).replace(): the commit's file
+    * list is JUST this write's files — the superseded version stays
+    * readable via time travel until vacuumed, the same transition an
+    * OPTIMIZE commit makes. Only full-table overwrite is supported
+    * (Spark sends AlwaysTrue for unpartitioned INSERT OVERWRITE);
+    * filter-scoped overwrite would need partition semantics the
+    * snapshot table intentionally replaces with clustering. */
+  private var replaceAll = false
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    require(filters.forall(_.isInstanceOf[AlwaysTrue]),
+      s"graft-snapshot: only full-table INSERT OVERWRITE is supported, got ${filters.mkString(",")}")
+    replaceAll = true
+    this
+  }
+
   override def buildForBatch(): BatchWrite = new BatchWrite {
     override def createBatchWriterFactory(i: PhysicalWriteInfo): DataWriterFactory = factory
     override def commit(messages: Array[WriterCommitMessage]): Unit =
       SnapshotCommit.append(root, messages,
-        statsColOpt.map("statsCol" -> _).toMap)
+        statsColOpt.map("statsCol" -> _).toMap, replace = replaceAll)
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       SnapshotCommit.discard(root, messages)
   }
@@ -425,18 +505,23 @@ private[graft] object SnapshotCommit {
     * stats are footer-harvested for the table's `#statsCol` (carried
     * forward in metadata) so appended files keep pruning. */
   def append(root: String, messages: Array[WriterCommitMessage],
-      extraMeta: Map[String, String]): Unit = {
+      extraMeta: Map[String, String], replace: Boolean = false): Unit = {
     val rels = messages.collect { case SnapshotFileCommit(rel) if rel.nonEmpty => rel }
       .toSeq.sorted
-    if (rels.isEmpty && extraMeta.isEmpty) return
+    if (rels.isEmpty && extraMeta.isEmpty && !replace) return
     var done = false
     val retry = new SnapshotTable.CommitRetry(root)
     while (!done) {
       val v = SnapshotTable.currentVersion(root)
       retry.observed(v)
-      val meta = if (v == 0) Map.empty[String, String] else SnapshotTable.manifestMeta(root, v)
+      val meta0 = if (v == 0) Map.empty[String, String] else SnapshotTable.manifestMeta(root, v)
+      // overwrite: every surviving file is this write's, so the
+      // mixed-width evolution marker and maintenance tags no longer
+      // describe the version; watermarks and statsCol still carry
+      val meta = if (replace) meta0 -- Seq("schema", "optimize", "merge", "delete") else meta0
       val statsCol = extraMeta.get("statsCol").orElse(meta.get("statsCol"))
-      val existing = if (v == 0) Nil else SnapshotTable.manifestEntries(root, v)
+      val existing =
+        if (v == 0 || replace) Nil else SnapshotTable.manifestEntries(root, v)
       val fresh = rels.map { rel =>
         statsCol match {
           case Some(c) => SnapshotTable.footerEntry(root, rel, c)

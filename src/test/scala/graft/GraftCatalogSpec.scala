@@ -80,6 +80,62 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(Files.isDirectory(java.nio.file.Paths.get(warehouse, "analytics", "daily")))
   }
 
+  test("INSERT OVERWRITE replaces the table contents as one new version") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.ow (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gcat.ow VALUES (1, 1.0), (2, 2.0)")
+    val before = graft.operators.SnapshotTable
+      .currentVersion(s"$warehouse/ow")
+    spark.sql("INSERT OVERWRITE gcat.ow VALUES (9, 9.0)")
+    val got = spark.sql("SELECT k, v FROM gcat.ow").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((9L, 9.0)), s"overwrite left: ${got.toSeq}")
+    // the superseded version is one commit back and still time-travels
+    val root = s"$warehouse/ow"
+    assert(graft.operators.SnapshotTable.currentVersion(root) == before + 1)
+    assert(spark.read.format("graft-snapshot").option("version", before.toString)
+      .load(root).count() == 2)
+  }
+
+  test("DELETE FROM removes only WHERE=TRUE rows, copy-on-write") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.del (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gcat.del VALUES (1, 1.0), (2, 2.0), (3, 3.0), (4, CAST(NULL AS DOUBLE))")
+    spark.sql("DELETE FROM gcat.del WHERE v >= 2.0")
+    val got = spark.sql("SELECT k FROM gcat.del ORDER BY k").collect().map(_.getLong(0))
+    // k=4 has v NULL: predicate NULL -> row kept, exactly SQL semantics
+    assert(got.toSeq == Seq(1L, 4L), s"delete kept: ${got.toSeq}")
+    // deleting on an unsupported predicate is rejected, not mis-applied
+    intercept[Exception] {
+      spark.sql("DELETE FROM gcat.del WHERE k + 1 = 2")
+    }
+    assert(spark.sql("SELECT count(*) FROM gcat.del").head().getLong(0) == 2)
+  }
+
+  test("DELETE prunes the rewrite to files whose stats admit a match") {
+    warehouse
+    import spark.implicits._
+    val ST = graft.operators.SnapshotTable
+    val root = s"$warehouse/delp"
+    Files.createDirectories(java.nio.file.Paths.get(root))
+    val d1 = (1L to 10L).map(k => (k, 100L)).toDF("k", "day")
+    val d2 = (11L to 20L).map(k => (k, 200L)).toDF("k", "day")
+    val rels = ST.writeDataFiles(d1, root, "a") ++ ST.writeDataFiles(d2, root, "b")
+    ST.commitEntries(root, 0, rels.map(ST.footerEntry(root, _, "day")),
+      shardSize = 8, Map("statsCol" -> "day"))
+    val before = ST.manifestEntries(root, 1).map(_.rel).toSet
+    spark.sql("DELETE FROM gcat.delp WHERE day = 200 AND k <= 15")
+    val after = ST.manifestEntries(root, 2).map(_.rel).toSet
+    // day-100 files carry over VERBATIM (stats exclude them from the
+    // rewrite); only the day-200 side is copy-on-written
+    val day100 = before.filter(_.contains("data_a_"))
+    assert(day100.nonEmpty && day100.subsetOf(after),
+      s"day-100 files should be untouched: before=$before after=$after")
+    assert(before.filter(_.contains("data_b_")).forall(!after.contains(_)),
+      "day-200 files should have been rewritten")
+    assert(spark.sql("SELECT count(*) FROM gcat.delp").head().getLong(0) == 15)
+  }
+
   test("declared-schema errors: duplicate create fails, missing table fails") {
     warehouse
     intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException] {
