@@ -519,7 +519,8 @@ object SnapshotTable {
     * changeset, never the table; the anti-join broadcasts when the
     * changeset is small (the common CDC case). */
   def merge(s: SparkSession, root: String, clusterCol: String, idCol: String,
-      changes: DataFrame, shardSize: Int = 4): Int = {
+      changes: DataFrame, shardSize: Int = 4,
+      extraMeta: Map[String, String] = Map.empty): Int = {
     val v = currentVersion(root)
     val carried = carriedMeta(root, v)
     // the file-pruning step below trusts the manifest's primary stats to
@@ -546,7 +547,8 @@ object SnapshotTable {
     // watermarks/statsCol/schema survive a merge (carriedMeta); `schema`
     // stays because untouched files keep their pre-evolution width
     commitEntries(root, v, untouched ++ newEntries, shardSize,
-      carried + ("merge" -> s"cow:$idCol:${affected.size}of${untouched.size + affected.size}"))
+      carried ++ extraMeta +
+        ("merge" -> s"cow:$idCol:${affected.size}of${untouched.size + affected.size}"))
   }
 
   /** x15's query-range bounds (epoch days; data dates are fixed across

@@ -128,4 +128,103 @@ object SnapshotSink {
       |SELECT ep_day, COUNT(*) AS n_events,
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
       |FROM e GROUP BY ep_day ORDER BY ep_day""".stripMargin
+
+  /** Merge one micro-batch's per-key state into the table, exactly
+    * once — the streaming UPSERT sink (Delta's foreachBatch-MERGE
+    * pattern): the batch's keys are combined with the table's current
+    * rows (read-modify-write on ASSOCIATIVE state — sums add, maxes
+    * max — so replays and batch boundaries can't change the result),
+    * then committed copy-on-write through [[graft.operators
+    * .SnapshotTable.merge]], whose manifest stats confine the rewrite
+    * to files whose key range the batch touches. The batch id rides
+    * the merge commit's metadata, so a replayed batch is detected and
+    * skipped exactly as [[appendBatch]] does. Returns true iff this
+    * call committed. */
+  private[graft] def upsertBatch(s: SparkSession, root: String,
+      state: DataFrame, batchId: Long, keyCol: String): Boolean = {
+    def lastCommitted(v: Int): Long =
+      if (v == 0) -1L
+      else ST.manifestMeta(root, v).get(LastBatchKey).map(_.toLong).getOrElse(-1L)
+    val v = ST.currentVersion(root)
+    if (batchId <= lastCommitted(v)) return false // replay: no-op
+    if (v == 0) {
+      // first batch creates the table (merge needs a base version);
+      // statsCol makes every later merge/DSv2 read key-prunable
+      val tag = f"b$batchId%05d_${java.util.UUID.randomUUID().toString.take(8)}"
+      val entries = ST.writeDataFiles(state, root, tag).map(ST.footerEntry(root, _, keyCol))
+      ST.commitEntries(root, 0, entries, shardSize = 4,
+        Map("statsCol" -> keyCol, LastBatchKey -> batchId.toString))
+      return true
+    }
+    val current = ST.read(s, root)
+    val stateCols = state.columns.filterNot(_ == keyCol)
+    // combine column-wise: table row ⊕ batch row where both exist
+    val combined = current.as("t").join(state.as("b"), Seq(keyCol), "full_outer")
+      .select(col(keyCol) +: stateCols.map {
+        case c @ ("n_events" | "value_micros") =>
+          (coalesce(col(s"t.$c"), lit(0L)) + coalesce(col(s"b.$c"), lit(0L))).as(c)
+        case c @ "last_ts" =>
+          greatest(coalesce(col(s"t.$c"), lit(Long.MinValue)),
+            coalesce(col(s"b.$c"), lit(Long.MinValue))).as(c)
+        case c => sys.error(s"upsertBatch: no combine rule for column $c")
+      }.toIndexedSeq: _*)
+      // only keys the batch touched become change rows — the merge
+      // rewrite stays proportional to the batch, not the table
+      .join(state.select(col(keyCol)), Seq(keyCol), "left_semi")
+      .withColumn("op", lit("u"))
+    ST.merge(s, root, keyCol, keyCol, combined,
+      extraMeta = Map(LastBatchKey -> batchId.toString))
+    true
+  }
+
+  /** st11_stream_upsert_sink — the CDC-style per-user state table a
+    * churn product serves lookups from: each chronological micro-batch
+    * is reduced to per-user deltas (count / exact decimal-micros value
+    * sum / last-seen ts) and MERGED into a user-keyed snapshot table.
+    * After the stream drains, the table equals the same aggregate over
+    * the full log — which is exactly what the DuckDB oracle computes,
+    * so the gate proves upsert-maintenance ≡ recompute. Value sums are
+    * integer micros (decimal-scaled before the cast) to keep
+    * cross-batch addition associative and engine-exact. */
+  def st11StreamUpsertSink(s: SparkSession, d: String): DataFrame = {
+    val root = Engine.tmpDir("graft_st11_table")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    val ckpt = Engine.tmpDir("graft_st11_ckpt")
+    Engine.listDir(Paths.get(ckpt)).foreach(Engine.deleteRecursively)
+    val ev = Tables.events(s, d)
+      .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+      .select("event_id", "user_id", "ts", "value", "ep_day")
+    val batches = Seq(
+      "batch0" -> ev.filter(col("ep_day") < St8Cut1),
+      "batch1" -> ev.filter(col("ep_day") >= St8Cut1 && col("ep_day") < St8Cut2),
+      "batch2" -> ev.filter(col("ep_day") >= St8Cut2))
+    val q = Streams.source.batched(s, "st11", ev.schema, batches)
+      .writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val state = batch.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            sum((col("value").cast("decimal(18,6)") * 1000000).cast("long"))
+              .as("value_micros"),
+            max(col("ts")).as("last_ts"))
+        upsertBatch(s, root, state, batchId, "user_id"); ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    ST.read(s, root)
+      // the table keeps exact nanos; the gate output is micro-grain
+      // because DuckDB reads parquet TIMESTAMP(NANOS) at µs precision —
+      // floor is monotonic, so max-then-floor ≡ floor-then-max
+      .select(col("user_id"), col("n_events"), col("value_micros"),
+        expr("last_ts div 1000").as("last_ts_us"))
+      .orderBy("user_id")
+  }
+
+  val st11Sql: String =
+    """SELECT user_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS BIGINT)
+      |    AS value_micros,
+      |  epoch_us(MAX(ts)) AS last_ts_us
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 }

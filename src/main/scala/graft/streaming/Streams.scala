@@ -552,5 +552,7 @@ object Streams {
     "st7_stream_stream_join" -> (st7StreamStreamJoin _, Some(st7Sql)),
     "st8_stream_snapshot_sink" ->
       (SnapshotSink.st8StreamSnapshotSink _, Some(SnapshotSink.st8Sql)),
+    "st11_stream_upsert_sink" ->
+      (SnapshotSink.st11StreamUpsertSink _, Some(SnapshotSink.st11Sql)),
   )
 }

@@ -39,6 +39,31 @@ class SnapshotRobustnessSpec extends AnyFunSuite {
     assert(ST.manifestMeta(root, 1) == Map("last_batch" -> "0"))
   }
 
+  test("upsertBatch: replay is a no-op, keys combine associatively, one version per batch") {
+    import spark.implicits._
+    val root = freshRoot("graft_sink_upsert")
+    def state(rows: (Long, Long, Long, Long)*) =
+      rows.toSeq.toDF("user_id", "n_events", "value_micros", "last_ts")
+    assert(SS.upsertBatch(spark, root, state((1L, 2L, 100L, 10L), (2L, 1L, 50L, 20L)),
+      batchId = 0L, keyCol = "user_id"))
+    assert(ST.currentVersion(root) == 1)
+    // batch 1 touches user 1 (adds) and user 3 (new)
+    assert(SS.upsertBatch(spark, root, state((1L, 3L, 10L, 30L), (3L, 1L, 7L, 5L)),
+      batchId = 1L, keyCol = "user_id"))
+    assert(ST.currentVersion(root) == 2)
+    // replaying batch 1 must not double-apply
+    assert(!SS.upsertBatch(spark, root, state((1L, 3L, 10L, 30L), (3L, 1L, 7L, 5L)),
+      batchId = 1L, keyCol = "user_id"))
+    assert(ST.currentVersion(root) == 2, "replay must not commit a version")
+    val got = ST.read(spark, root).orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(
+      (1L, 5L, 110L, 30L),  // 2+3 events, 100+10 micros, max ts
+      (2L, 1L, 50L, 20L),   // untouched by batch 1
+      (3L, 1L, 7L, 5L)),    // inserted by batch 1
+      s"upsert state wrong: ${got.toSeq}")
+  }
+
   test("maintenance and batch commits carry statsCol and streaming watermarks forward") {
     val root = freshRoot("graft_meta_carry")
     // v1: a day-clustered base with a statsCol AND another streaming
