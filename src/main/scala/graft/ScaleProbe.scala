@@ -115,6 +115,10 @@ object ScaleProbe {
     time("t15_seq_packing")(operators.TextAnalysis.t15SeqPacking(spark, work).count())
     time("t16_mixture_sample")(operators.TextAnalysis.t16MixtureSample(spark, work).count())
     time("c20_event_transitions")(operators.Churn.c20EventTransitions(spark, work).count())
+    // streaming upsert: three chronological merges over the replicated
+    // log — the cost that must stay batch-proportional, not
+    // table-proportional
+    time("st11_upsert_sink")(streaming.SnapshotSink.st11StreamUpsertSink(spark, work).count())
     spark.stop()
   }
 }
