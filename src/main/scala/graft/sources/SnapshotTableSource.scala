@@ -20,7 +20,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsOverwrite, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
@@ -328,7 +328,31 @@ private[graft] object SnapshotScanBuilder {
 
 private[sources] class SnapshotScan(root: String, version: Int,
     pruned: StructType, pushed: Seq[Filter], statsCol: Option[String],
-    countStarOnly: Boolean, options: CaseInsensitiveStringMap) extends Scan {
+    countStarOnly: Boolean, options: CaseInsensitiveStringMap)
+    extends Scan with SupportsReportStatistics {
+
+  /** Manifest-derived size/row statistics for Catalyst's planner —
+    * without these a DSv2 relation defaults to "huge"
+    * (spark.sql.defaultSizeInBytes) and a small snapshot table can
+    * NEVER be auto-broadcast: every join against it sort-merges. The
+    * estimate is the POST-PRUNING file set (pushed filters narrow it),
+    * pure driver-side metadata: commit-time footer row counts summed
+    * from the manifest plus one `Files.size` stat per planned file —
+    * no data IO, exactly how Delta/Iceberg feed the same API. */
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val entries = plannedEntries
+    private val bytes: java.util.OptionalLong =
+      try java.util.OptionalLong.of(
+        entries.map(e => java.nio.file.Files.size(Paths.get(root, e.rel))).sum)
+      catch { case _: java.io.IOException => java.util.OptionalLong.empty() }
+    private val rows: java.util.OptionalLong =
+      if (entries.forall(_.rows >= 0))
+        java.util.OptionalLong.of(entries.map(_.rows).sum)
+      else java.util.OptionalLong.empty() // a stat-less legacy entry: unknown
+    override def sizeInBytes(): java.util.OptionalLong = bytes
+    override def numRows(): java.util.OptionalLong = rows
+  }
+
   override def readSchema(): StructType =
     if (countStarOnly) StructType(Seq(StructField("count(*)", LongType, nullable = false)))
     else pruned

@@ -110,6 +110,31 @@ class PlanSpec extends AnyFunSuite {
       "lead() must key its exchange on user_id")
   }
 
+  test("DSv2 scan reports manifest statistics — a small snapshot table auto-broadcasts") {
+    import org.apache.spark.sql.functions._
+    val ST = graft.operators.SnapshotTable
+    val Engine = graft.operators.Engine
+    val root = Engine.tmpDir("graft_stats_bhj")
+    graft.operators.Engine.listDir(java.nio.file.Paths.get(root))
+      .foreach(Engine.deleteRecursively)
+    import spark.implicits._
+    val dim = (0L until 50L).map(i => (i, s"name_$i")).toDF("k", "label")
+    val rels = ST.writeDataFiles(dim, root, "dim")
+    ST.commitEntries(root, 0, rels.map(ST.footerEntry(root, _, "k")),
+      shardSize = 8, Map("statsCol" -> "k"))
+    val fact = graft.sources.Tables.events(spark, sf)
+      .select(pmod(col("user_id"), lit(50L)).as("k"), col("value"))
+    val joined = fact.join(
+      spark.read.format("graft-snapshot").load(root), Seq("k"))
+    val p = joined.queryExecution.executedPlan.toString
+    // without estimateStatistics the DSv2 relation defaults to "huge"
+    // and this join sort-merges; manifest stats make it broadcast
+    assert(p.contains("BroadcastHashJoin"),
+      s"small snapshot table not broadcast:\n${p.take(1200)}")
+    assert(!p.contains("SortMergeJoin"))
+    assert(joined.count() == fact.count(), "join must keep every fact row")
+  }
+
   /** SF-proportional relations must not carry forced broadcast hints —
     * strategy stays with stats/AQE so the same code broadcasts at sf0.1
     * and sort-merges at 100 TB instead of OOMing. Fixed-size dims
