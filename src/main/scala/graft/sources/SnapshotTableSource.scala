@@ -242,7 +242,7 @@ private[sources] object SnapshotFilterSql {
   }
 }
 
-private[sources] class SnapshotScanBuilder(root: String, full: StructType,
+private[graft] class SnapshotScanBuilder(root: String, full: StructType,
     options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownFilters with SupportsPushDownAggregates {
@@ -306,6 +306,8 @@ private[graft] object SnapshotScanBuilder {
     case n: Number => Some(n.longValue)
     case _ => None
   }
+  /** The runtime-filter path needs the same literal coercion. */
+  private[sources] def longValue(v: Any): Option[Long] = long(v)
   /** The [lo, hi] key range a filter on the stats column admits; None =
     * not a stats-prunable filter. Strict bounds SATURATE at the domain
     * edges instead of wrapping (x > Long.MaxValue would otherwise admit
@@ -329,7 +331,38 @@ private[graft] object SnapshotScanBuilder {
 private[sources] class SnapshotScan(root: String, version: Int,
     pruned: StructType, pushed: Seq[Filter], statsCol: Option[String],
     countStarOnly: Boolean, options: CaseInsensitiveStringMap)
-    extends Scan with SupportsReportStatistics {
+    extends Scan with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  /** Runtime (join-driven) file pruning — the DSv2 analog of dynamic
+    * partition pruning: Spark evaluates the dim side of a join first,
+    * hands the fact scan the resulting key set as an In/EqualTo filter
+    * on [[filterAttributes]], and [[filter]] re-prunes the planned file
+    * set against the manifest's [lo, hi] stats BEFORE partitions are
+    * planned. At 100 TB a star join probing a handful of days opens
+    * those days' files, not the table — without any static predicate in
+    * the query text. Sound by the same argument as pushed filters:
+    * stats exclude whole files only when NO row can match (the join
+    * itself re-applies the condition row-wise). */
+  override def filterAttributes():
+      Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    statsCol.toArray.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  private var runtimeKeep: Option[SnapshotTable.FileEntry => Boolean] = None
+  override def filter(filters: Array[Filter]): Unit = statsCol.foreach { c =>
+    val keeps = filters.flatMap {
+      case In(a, vs) if a == c =>
+        val longs = vs.flatMap(SnapshotScanBuilder.longValue)
+        // non-numeric key values: no sound file-level judgment — keep all
+        if (longs.length != vs.length) None
+        else Some((e: SnapshotTable.FileEntry) => longs.exists(v => e.lo <= v && e.hi >= v))
+      case f => SnapshotScanBuilder.bound(f, c).map { case (qlo, qhi) =>
+        (e: SnapshotTable.FileEntry) => e.lo <= qhi && e.hi >= qlo
+      }
+    }
+    if (keeps.nonEmpty)
+      runtimeKeep = Some(e => keeps.forall(_(e))) // filters AND together
+  }
 
   /** Manifest-derived size/row statistics for Catalyst's planner —
     * without these a DSv2 relation defaults to "huge"
@@ -374,7 +407,7 @@ private[sources] class SnapshotScan(root: String, version: Int,
     // TABLE before the first INSERT): a valid empty scan, no manifest
     if (version == 0) return Nil
     val all = SnapshotTable.manifestEntries(root, version)
-    (statsCol, pushed) match {
+    val statically = (statsCol, pushed) match {
       case (Some(c), ps) if ps.nonEmpty =>
         val bounds = ps.flatMap(SnapshotScanBuilder.bound(_, c))
         val qlo = bounds.map(_._1).max
@@ -382,6 +415,7 @@ private[sources] class SnapshotScan(root: String, version: Int,
         all.filter(e => e.lo <= qhi && e.hi >= qlo)
       case _ => all
     }
+    runtimeKeep.fold(statically)(statically.filter)
   }
 
   override def toBatch: Batch = new Batch {

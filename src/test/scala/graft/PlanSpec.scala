@@ -135,6 +135,59 @@ class PlanSpec extends AnyFunSuite {
     assert(joined.count() == fact.count(), "join must keep every fact row")
   }
 
+  /** 5-file day-clustered fixture (disjoint ranges 0..9, …, 40..49),
+    * rebuilt idempotently — both runtime-filtering tests share it. */
+  private def runtimePruneFixture(): String = {
+    val ST = graft.operators.SnapshotTable
+    val Engine = graft.operators.Engine
+    val root = Engine.tmpDir("graft_runtime_prune")
+    Engine.listDir(java.nio.file.Paths.get(root)).foreach(Engine.deleteRecursively)
+    import spark.implicits._
+    val rels = (0 until 5).flatMap { g =>
+      val df = ((g * 10L) until (g * 10L + 10L)).map(d => (d, d * 100)).toDF("ep_day", "v")
+      ST.writeDataFiles(df.coalesce(1), root, s"g$g")
+    }
+    ST.commitEntries(root, 0, rels.map(ST.footerEntry(root, _, "ep_day")),
+      shardSize = 8, Map("statsCol" -> "ep_day"))
+    root
+  }
+
+  test("DSv2 runtime filtering prunes planned files from a join-key In filter") {
+    import org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val root = runtimePruneFixture()
+    val schema = spark.read.format("graft-snapshot").load(root).schema
+    def partitionsAfter(filters: Array[org.apache.spark.sql.sources.Filter]): Int = {
+      val scan = new graft.sources.SnapshotScanBuilder(root, schema,
+        CaseInsensitiveStringMap.empty()).build()
+      scan.asInstanceOf[SupportsRuntimeFiltering].filter(filters)
+      scan.toBatch.planInputPartitions().length
+    }
+    assert(partitionsAfter(Array.empty) == 5, "baseline plans all 5 files")
+    // a join-key In set hitting two file ranges keeps exactly those files
+    assert(partitionsAfter(Array(
+      org.apache.spark.sql.sources.In("ep_day", Array(3L, 37L)))) == 2)
+    // a comparison runtime filter prunes by range
+    assert(partitionsAfter(Array(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("ep_day", 40L))) == 1)
+    // a filter on some other column prunes nothing (sound no-op)
+    assert(partitionsAfter(Array(
+      org.apache.spark.sql.sources.In("v", Array(300L)))) == 5)
+  }
+
+  test("the optimizer injects dynamic pruning into the snapshot fact scan") {
+    import org.apache.spark.sql.functions._
+    val root = runtimePruneFixture()
+    import spark.implicits._
+    val dim = Seq((3L, "a"), (37L, "b"), (999L, "c")).toDF("ep_day", "tag")
+    val fact = spark.read.format("graft-snapshot").load(root)
+    val joined = fact.join(dim.filter(col("tag") =!= "c"), Seq("ep_day"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning") || p.contains("RuntimeFilters"),
+      s"no runtime-filter injection in plan:\n${p.take(1500)}")
+    assert(joined.count() == 2)
+  }
+
   /** SF-proportional relations must not carry forced broadcast hints —
     * strategy stays with stats/AQE so the same code broadcasts at sf0.1
     * and sort-merges at 100 TB instead of OOMing. Fixed-size dims
