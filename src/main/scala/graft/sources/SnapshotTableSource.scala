@@ -547,8 +547,13 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
       val last = if (v == 0) -1L
         else SnapshotTable.manifestMeta(root, v).get(s"epoch:$qid").map(_.toLong).getOrElse(-1L)
       if (epochId <= last) SnapshotCommit.discard(root, messages) // replay: no-op
+      // complete-mode streams (Spark calls overwrite() on the builder
+      // because the table declares TRUNCATE) REPLACE the table each
+      // epoch; append-mode epochs accumulate. Ignoring replaceAll here
+      // would silently duplicate every complete-mode batch.
       else SnapshotCommit.append(root, messages,
-        statsColOpt.map("statsCol" -> _).toMap + (s"epoch:$qid" -> epochId.toString))
+        statsColOpt.map("statsCol" -> _).toMap + (s"epoch:$qid" -> epochId.toString),
+        replace = replaceAll)
     }
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
       SnapshotCommit.discard(root, messages)

@@ -1477,6 +1477,33 @@ class SnapshotSourceSpec extends AnyFunSuite {
       spark.read.format("graft-snapshot").load(src).count())
   }
 
+  test("complete-mode streaming write REPLACES the table each epoch") {
+    import spark.implicits._
+    val dst = graft.operators.Engine.tmpDir("graft_w_complete_spec")
+    val cp = graft.operators.Engine.tmpDir("graft_w_complete_spec_cp")
+    Seq(dst, cp).foreach(p => graft.operators.Engine
+      .listDir(java.nio.file.Paths.get(p))
+      .foreach(graft.operators.Engine.deleteRecursively))
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_id"), col("event_type"))
+    val batches = Seq(
+      "b0" -> ev.filter(col("event_id") % 2 === 0),
+      "b1" -> ev.filter(col("event_id") % 2 === 1))
+    val q = graft.streaming.Streams.source
+      .batched(spark, "complete_spec", ev.schema, batches)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+      .writeStream.format("graft-snapshot").outputMode("complete")
+      .option("path", dst).option("checkpointLocation", cp).start()
+    q.processAllAvailable(); q.stop()
+    // the table holds ONLY the final snapshot of the aggregate —
+    // ignoring the overwrite flag would leave both epochs' rows
+    val table = spark.read.format("graft-snapshot").load(dst)
+    val expected = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    assert(table.count() == expected.count(),
+      s"complete-mode sink kept stale epochs: ${table.collect().toSeq}")
+    assert(table.exceptAll(expected).isEmpty && expected.exceptAll(table).isEmpty)
+  }
+
   test("a later append preserves other writers' epoch watermarks") {
     import spark.implicits._
     val src = ST.streamTable(spark, sf)
