@@ -136,6 +136,30 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gcat.delp").head().getLong(0) == 15)
   }
 
+  test("ALTER TABLE RENAME moves the directory; data survives") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.before_rn (x BIGINT)")
+    spark.sql("INSERT INTO gcat.before_rn VALUES (42)")
+    // the rename target resolves INSIDE the catalog: an unqualified
+    // name stays in the same (root) namespace
+    spark.sql("ALTER TABLE gcat.before_rn RENAME TO after_rn")
+    assert(spark.sql("SELECT x FROM gcat.after_rn").head().getLong(0) == 42)
+    assert(!Files.exists(java.nio.file.Paths.get(warehouse, "before_rn")))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT * FROM gcat.before_rn")
+    }
+  }
+
+  test("DROP NAMESPACE refuses a non-empty namespace without CASCADE") {
+    warehouse
+    spark.sql("CREATE NAMESPACE gcat.crowded")
+    spark.sql("CREATE TABLE gcat.crowded.t (x BIGINT)")
+    intercept[Exception] { spark.sql("DROP NAMESPACE gcat.crowded") }
+    assert(Files.isDirectory(java.nio.file.Paths.get(warehouse, "crowded", "t")))
+    spark.sql("DROP NAMESPACE gcat.crowded CASCADE")
+    assert(!Files.exists(java.nio.file.Paths.get(warehouse, "crowded")))
+  }
+
   test("declared-schema errors: duplicate create fails, missing table fails") {
     warehouse
     intercept[org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException] {
