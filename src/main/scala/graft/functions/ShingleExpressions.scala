@@ -133,10 +133,11 @@ object ShingleKernels {
 
   /** Distinct (hash, "tok1 tok2") bigram entries of a space-separated
     * text — the display-string recovery side of the hashed-bigram path:
-    * hashes are identical to [[bigramHashes]]; the string is sliced
-    * straight from the original UTF-8 bytes (tokens are single-space
-    * separated, so the slice from token j's start to token j+1's end IS
-    * the bigram). Deduped per doc: recovery only needs existence. */
+    * hashes are identical to [[bigramHashes]]; the string is REBUILT as
+    * tok1 + ' ' + tok2 rather than sliced from the original bytes, so a
+    * multi-space document ("a  b") recovers the same normalized bigram
+    * ("a b") the SQL twin concatenates — slicing would keep both spaces
+    * and diverge. Deduped per doc: recovery only needs existence. */
   def bigramEntries(text: UTF8String): ArrayData = {
     val bytes = text.getBytes
     val starts = new java.util.ArrayList[Integer]()
@@ -159,10 +160,14 @@ object ShingleKernels {
     while (j < m) {
       val h = mix2(hashes.get(j), hashes.get(j + 1))
       if (seen.add(h)) {
-        val from = starts.get(j)
-        val bg = UTF8String.fromBytes(bytes, from, ends.get(j + 1) - from)
+        val l1 = ends.get(j) - starts.get(j)
+        val l2 = ends.get(j + 1) - starts.get(j + 1)
+        val bb = new Array[Byte](l1 + 1 + l2)
+        System.arraycopy(bytes, starts.get(j), bb, 0, l1)
+        bb(l1) = ' '
+        System.arraycopy(bytes, starts.get(j + 1), bb, l1 + 1, l2)
         out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](h, bg)))
+          Array[Any](h, UTF8String.fromBytes(bb))))
       }
       j += 1
     }

@@ -65,15 +65,20 @@ object Dedup {
   private def shingles(s: SparkSession, d: String): DataFrame =
     shingleArrays(s, d)
       .select(col("doc_id"), explode(col("sh_arr")).as("h"))
+      // matches the SQL twin's DISTINCT (doc_id, shingle): the kernel
+      // dedups per ROW, so this only differs if a doc_id repeats
+      .distinct()
 
   private val shinglesSql =
     """sh AS (SELECT DISTINCT doc_id, shingle FROM (
       |  SELECT doc_id,
       |    term || ' ' || LEAD(term, 1) OVER w || ' ' || LEAD(term, 2) OVER w AS shingle,
       |    LEAD(term, 2) OVER w AS t2
-      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
-      |        generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents) x
-      |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) y
+      |  FROM (SELECT doc_id, rid, unnest(string_split(text, ' ')) AS term,
+      |        generate_subscripts(string_split(text, ' '), 1) AS pos
+      |        FROM (SELECT *, row_number() OVER () AS rid FROM documents) dd) x
+      |  WHERE term <> ''
+      |  WINDOW w AS (PARTITION BY rid ORDER BY pos)) y
       |  WHERE t2 IS NOT NULL)""".stripMargin
 
   /** d2_dedup_ngram_jaccard — n-gram Jaccard near-dup pairs: distinct

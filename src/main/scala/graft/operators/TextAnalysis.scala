@@ -18,7 +18,26 @@ import graft.sources.Tables
   */
 object TextAnalysis {
 
-  private def toks(c: Column): Column = split(c, " ")
+  // limit=-1 keeps trailing empty strings: Java's split drops them,
+  // DuckDB's string_split keeps them, so without the -1 a document whose
+  // text ends in a space tokenizes differently in the two engines. With
+  // it, split(text, " ", -1) ≡ string_split(text, ' ') on EVERY input.
+  private def toks(c: Column): Column = split(c, " ", -1)
+
+  /** The cross-engine whitespace contract (t3/t15). Never use a bare
+    * `\s` in anything oracle-checked: Java's `\s` is `[ \t\n\x0B\f\r]`
+    * while RE2's (DuckDB's regex engine) is `[ \t\n\f\r]` — a document
+    * containing a vertical tab (0x0B) tokenizes differently. The class
+    * below is spelled out so both engines see the identical set, and
+    * empty tokens are removed on BOTH sides (Java split drops only
+    * TRAILING empties; string_split_regex keeps leading and trailing). */
+  private[graft] val WsSet = " \\t\\n\\x0B\\f\\r"
+  private[graft] val WsRe = s"[$WsSet]+"
+  private[graft] val BpeRe = s"[A-Za-z]+|[0-9]+|[^A-Za-z0-9$WsSet]"
+  /** Whitespace token count under the pinned contract: explicit class,
+    * empty tokens removed. Empty / whitespace-only text → 0 tokens. */
+  private[graft] def wsTokens(c: Column): Column =
+    size(array_remove(split(c, WsRe, -1), "")).cast("long")
   private def hits(c: Column, word: String): Column =
     size(filter(toks(c), t => t === lit(word))).cast("long")
 
@@ -124,21 +143,23 @@ object TextAnalysis {
       |FROM r ORDER BY doc_id""".stripMargin
 
   /** t3_tokens — token counting: whitespace tokens and a BPE-ish
-    * pre-tokenizer regex (letter runs / digit runs / single symbols). */
+    * pre-tokenizer regex (letter runs / digit runs / single symbols).
+    * Both counts run under the [[WsRe]]/[[BpeRe]] pinned contract —
+    * explicit whitespace class, empty tokens filtered on both engines. */
   def t3Tokens(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(
         col("doc_id"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("ws_tokens"),
+        wsTokens(col("text")).as("ws_tokens"),
         size(regexp_extract_all(col("text"),
-          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).cast("long").as("bpe_tokens"),
+          lit(BpeRe), lit(0))).cast("long").as("bpe_tokens"),
         length(col("text")).cast("long").as("chars"))
       .orderBy("doc_id")
 
   val t3Sql: String =
-    """SELECT doc_id,
-      |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_tokens,
-      |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS bpe_tokens,
+    s"""SELECT doc_id,
+      |  CAST(len(list_filter(string_split_regex(text, '$WsRe'), x -> x <> '')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '$BpeRe')) AS BIGINT) AS bpe_tokens,
       |  CAST(length(text) AS BIGINT) AS chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
@@ -311,9 +332,14 @@ object TextAnalysis {
     * per-source rollup. All-integer output (shared/total counts, flag
     * sums) → bit-stable hash vs the string-based DuckDB twin. */
   def t10Contamination(s: SparkSession, d: String): DataFrame = {
+    // .distinct() matches the SQL twin's DISTINCT doc_id, shingle: the
+    // kernel dedups per ROW, so without it a repeated doc_id row that
+    // shares a shingle would double-count. No-op (beyond the exchange)
+    // when doc_id is unique — the kernel's per-row dedup already holds.
     val sh = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         explode(graft.functions.shingle_hashes(col("text"))).as("h"))
+      .distinct()
     val bench = sh.filter(pmod(col("doc_id"), lit(50)) === 0)
       .select("h").distinct().withColumn("hit", lit(1L))
     sh.filter(pmod(col("doc_id"), lit(50)) =!= 0)
@@ -333,9 +359,11 @@ object TextAnalysis {
       |  SELECT doc_id,
       |    term || ' ' || LEAD(term, 1) OVER w || ' ' || LEAD(term, 2) OVER w AS shingle,
       |    LEAD(term, 2) OVER w AS t2
-      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
-      |        generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents) x
-      |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) y
+      |  FROM (SELECT doc_id, rid, unnest(string_split(text, ' ')) AS term,
+      |        generate_subscripts(string_split(text, ' '), 1) AS pos
+      |        FROM (SELECT *, row_number() OVER () AS rid FROM documents) dd) x
+      |  WHERE term <> ''
+      |  WINDOW w AS (PARTITION BY rid ORDER BY pos)) y
       |  WHERE t2 IS NOT NULL),
       |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
       |corp AS (SELECT s.doc_id, COUNT(*) AS n_sh, COUNT(b.shingle) AS n_hit
@@ -345,15 +373,24 @@ object TextAnalysis {
       |  CAST(SUM(CASE WHEN 2 * n_hit >= n_sh THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
       |  CAST(SUM(n_sh) AS BIGINT) AS shingles_total,
       |  CAST(SUM(n_hit) AS BIGINT) AS shingles_shared
-      |FROM corp JOIN documents d ON corp.doc_id = d.doc_id
+      |FROM corp JOIN (SELECT DISTINCT doc_id, source FROM documents) d
+      |  ON corp.doc_id = d.doc_id
       |GROUP BY d.source ORDER BY d.source""".stripMargin
 
+  // the WHERE term <> '' mirrors the native kernels' skip-empty
+  // tokenization: bigrams/shingles pair consecutive NON-EMPTY tokens,
+  // so the SQL twin must drop empties before the LEAD window or a
+  // double-space document diverges
+  // windows partition by a per-ROW id, not doc_id: the kernels tokenize
+  // each row independently, so if a doc_id ever repeats the SQL twin
+  // must not interleave the two rows' token streams
   val t6Sql: String =
-    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
-      |  generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+    """WITH toks AS (SELECT doc_id, rid, unnest(string_split(text, ' ')) AS term,
+      |  generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM (SELECT *, row_number() OVER () AS rid FROM documents) dd),
       |bg AS (SELECT doc_id, term || ' ' || LEAD(term, 1) OVER w AS bigram,
-      |  LEAD(term, 1) OVER w AS t1 FROM toks
-      |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos))
+      |  LEAD(term, 1) OVER w AS t1 FROM toks WHERE term <> ''
+      |  WINDOW w AS (PARTITION BY rid ORDER BY pos))
       |SELECT bigram, COUNT(*) AS n_occurrences,
       |  COUNT(DISTINCT doc_id) AS doc_freq
       |FROM bg WHERE t1 IS NOT NULL
@@ -416,9 +453,11 @@ object TextAnalysis {
        |  SELECT doc_id,
        |    term || ' ' || LEAD(term, 1) OVER w || ' ' || LEAD(term, 2) OVER w AS shingle,
        |    LEAD(term, 2) OVER w AS t2
-       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
-       |        generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents) x
-       |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)) y
+       |  FROM (SELECT doc_id, rid, unnest(string_split(text, ' ')) AS term,
+       |        generate_subscripts(string_split(text, ' '), 1) AS pos
+       |        FROM (SELECT *, row_number() OVER () AS rid FROM documents) dd) x
+       |  WHERE term <> ''
+       |  WINDOW w AS (PARTITION BY rid ORDER BY pos)) y
        |  WHERE t2 IS NOT NULL),
        |kp AS (SELECT shingle FROM sh GROUP BY shingle
        |  HAVING COUNT(*) <= GREATEST(${Dedup.DfCapFloor},
@@ -570,10 +609,12 @@ object TextAnalysis {
   }
 
   val t12Sql: String =
-    """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
-      |  generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+    """WITH toks AS (SELECT doc_id, rid, unnest(string_split(text, ' ')) AS term,
+      |  generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM (SELECT *, row_number() OVER () AS rid FROM documents) dd),
       |bg AS (SELECT doc_id, term AS w1, LEAD(term, 1) OVER w AS w2 FROM toks
-      |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      |  WHERE term <> ''
+      |  WINDOW w AS (PARTITION BY rid ORDER BY pos)),
       |bg2 AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
       |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS DOUBLE) AS n2 FROM bg2 GROUP BY w1, w2),
       |c1 AS (SELECT w1, CAST(COUNT(*) AS DOUBLE) AS n1 FROM bg2 GROUP BY w1)
@@ -675,11 +716,12 @@ object TextAnalysis {
     t14Core(Tables.documents(s, d))
 
   val t14Sql: String =
-    s"""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term,
-       |  generate_subscripts(string_split(text, ' '), 1) AS pos FROM documents),
+    s"""WITH toks AS (SELECT doc_id, rid, unnest(string_split(text, ' ')) AS term,
+       |  generate_subscripts(string_split(text, ' '), 1) AS pos
+       |  FROM (SELECT *, row_number() OVER () AS rid FROM documents) dd),
        |bg AS (SELECT doc_id, term || ' ' || LEAD(term, 1) OVER w AS bigram,
-       |  LEAD(term, 1) OVER w AS nx FROM toks
-       |  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+       |  LEAD(term, 1) OVER w AS nx FROM toks WHERE term <> ''
+       |  WINDOW w AS (PARTITION BY rid ORDER BY pos)),
        |cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg
        |  WHERE nx IS NOT NULL GROUP BY doc_id, bigram),
        |top AS (SELECT doc_id, MAX(c) AS top_bigram_n FROM cnt GROUP BY doc_id),
@@ -712,34 +754,52 @@ object TextAnalysis {
   def t15SeqPacking(s: SparkSession, d: String): DataFrame =
     t15Core(Tables.documents(s, d))
 
-  /** t15's logic over any (doc_id, text) frame — fixture seam. */
+  /** t15's logic over any (doc_id, text) frame — fixture seam.
+    *
+    * Engine-agreement contract (the r9 driver corpus exposed how easy
+    * this is to get wrong): tokens come from [[wsTokens]] (explicit
+    * whitespace class, empties filtered — both engines identical on any
+    * byte stream); the shard is a true non-negative pmod on both sides;
+    * and the running sum uses an explicit RANGE frame on both sides so
+    * duplicate doc_ids (degenerate but possible in user data) get the
+    * deterministic peer-group sum instead of a tie-order-dependent ROWS
+    * sum that no two engines need agree on. */
   private[graft] def t15Core(docs: DataFrame): DataFrame = {
+    val conf = docs.sparkSession.conf
+    val shards = conf.get(T15ShardsKey, T15Shards.toString).toInt
+    val budget = conf.get(T15BudgetKey, T15Budget.toString).toInt
     val w = Window.partitionBy("shard").orderBy("doc_id")
-    val b = lit(T15Budget.toDouble)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val b = lit(budget.toDouble)
     docs
       .select(col("doc_id"),
-        pmod(col("doc_id"), lit(T15Shards.toLong)).as("shard"),
-        size(split(trim(col("text")), "\\s+")).cast("long").as("tokens"))
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"),
+        wsTokens(col("text")).as("tokens"))
       .withColumn("cum_after", sum("tokens").over(w))
       .withColumn("cum_before", col("cum_after") - col("tokens"))
       .select(col("doc_id"), col("shard"), col("tokens"),
         floor(col("cum_before") / b).cast("long").as("pack_first"),
-        // last token of the doc lives at cum_after-1; an (impossible
-        // here, but guarded) empty doc stays in its starting pack
+        // last token of the doc lives at cum_after-1; an empty doc
+        // (0 tokens under the filtered contract) stays in its start pack
         floor(greatest(col("cum_after") - 1, col("cum_before")) / b)
           .cast("long").as("pack_last"),
-        pmod(col("cum_before"), lit(T15Budget.toLong)).as("offset_in_pack"))
+        pmod(col("cum_before"), lit(budget.toLong)).as("offset_in_pack"))
       .orderBy("doc_id")
   }
+  /** Session knobs ("raise the shard count with the cluster" must not
+    * mean recompiling): defaults below; the oracle SQL is generated from
+    * the same defaults, so override only in non-gate sessions/specs. */
+  private[graft] val T15ShardsKey = "spark.graft.t15.shards"
+  private[graft] val T15BudgetKey = "spark.graft.t15.budget"
   private[graft] val T15Shards = 8
   private[graft] val T15Budget = 512
 
   val t15Sql: String =
-    s"""WITH b AS (SELECT doc_id, doc_id % $T15Shards AS shard,
-       |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS tokens
+    s"""WITH b AS (SELECT doc_id, ((doc_id % $T15Shards) + $T15Shards) % $T15Shards AS shard,
+       |  CAST(len(list_filter(string_split_regex(text, '$WsRe'), x -> x <> '')) AS BIGINT) AS tokens
        |  FROM documents),
        |c AS (SELECT *, SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_after FROM b)
+       |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_after FROM b)
        |SELECT doc_id, shard, tokens,
        |  CAST(floor((cum_after - tokens) / $T15Budget.0) AS BIGINT) AS pack_first,
        |  CAST(floor(greatest(cum_after - 1, cum_after - tokens) / $T15Budget.0) AS BIGINT) AS pack_last,
@@ -757,11 +817,16 @@ object TextAnalysis {
     * map-side filter: the only shuffle is the tiny per-source audit
     * aggregate at the end (|sources| rows regardless of corpus size). */
   def t16MixtureSample(s: SparkSession, d: String): DataFrame = {
-    val srcnum = regexp_extract(col("source"), "([0-9]+)$", 1).cast("long")
-    val rate = when(pmod(srcnum, lit(4L)) === 0, 1.0)
-      .when(pmod(srcnum, lit(4L)) === 1, 0.5)
-      .when(pmod(srcnum, lit(4L)) === 2, 0.25)
-      .otherwise(0.1)
+    val rates = t16Rates(s)
+    // a source with no trailing digits extracts '' — under ANSI that
+    // cast throws, so map it to NULL (→ the CASE's ELSE rate) exactly
+    // as the oracle's NULLIF does
+    val srcRaw = regexp_extract(col("source"), "([0-9]+)$", 1)
+    val srcnum = when(srcRaw =!= "", srcRaw).cast("long")
+    val rate = when(pmod(srcnum, lit(4L)) === 0, rates(0))
+      .when(pmod(srcnum, lit(4L)) === 1, rates(1))
+      .when(pmod(srcnum, lit(4L)) === 2, rates(2))
+      .otherwise(rates(3))
     val h = pmod(pmod(col("doc_id"), lit(100000000L)) * lit(2654435761L), lit(10000L))
     Tables.documents(s, d)
       .select(col("source"),
@@ -775,13 +840,29 @@ object TextAnalysis {
       .orderBy("source")
   }
 
+  /** t16's mixture table, session-configurable: CSV of the four keep
+    * rates keyed by source-number mod 4. Oracle SQL is generated from
+    * the defaults — override only in non-gate sessions/specs. */
+  private[graft] val T16RatesKey = "spark.graft.t16.rates"
+  private[graft] val T16RatesDefault = "1.0,0.5,0.25,0.1"
+  private[graft] def t16Rates(s: SparkSession): Array[Double] = {
+    val r = s.conf.get(T16RatesKey, T16RatesDefault).split(",").map(_.trim.toDouble)
+    require(r.length == 4 && r.forall(x => x >= 0.0 && x <= 1.0),
+      s"$T16RatesKey must be four rates in [0,1], got ${r.mkString(",")}")
+    r
+  }
+
+  // the ((x % m) + m) % m wrappers mirror Spark's pmod: SQL's % keeps
+  // the sign of the dividend, so a negative doc_id would otherwise land
+  // in a different hash cell than pmod puts it
   val t16Sql: String =
     """WITH b AS (SELECT source,
-      |  CASE CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4
+      |  CASE CAST(NULLIF(regexp_extract(source, '([0-9]+)$', 1), '') AS BIGINT) % 4
       |    WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.25 ELSE 0.1
       |  END AS target_rate,
-      |  CASE WHEN (doc_id % 100000000) * 2654435761 % 10000
-      |    < (CASE CAST(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT) % 4
+      |  CASE WHEN ((((((doc_id % 100000000) + 100000000) % 100000000)
+      |      * 2654435761) % 10000) + 10000) % 10000
+      |    < (CASE CAST(NULLIF(regexp_extract(source, '([0-9]+)$', 1), '') AS BIGINT) % 4
       |       WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.25 ELSE 0.1 END) * 10000
       |    THEN 1 ELSE 0 END AS keep
       |  FROM documents)

@@ -59,6 +59,85 @@ class PackingMixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("t15: adversarial whitespace — explicit class + empty-token filter (r9 driver-hash postmortem)") {
+    import spark.implicits._
+    // Java \s includes \x0B, RE2's does not; Java split drops trailing
+    // empties, string_split_regex keeps them. The pinned contract
+    // (explicit class, empties filtered) must count these identically
+    // to the DuckDB oracle — values below are hand-derived.
+    val docs = Seq(
+      (0L, "plain text the quick fox"),   // 5
+      (8L, "trailing tab ends here\t"),   // 4: trailing \t yields no empty token
+      (16L, "vertical\u000Btab inside"),  // 3: \x0B IS whitespace under the contract
+      (24L, "double  space  here"),       // 3
+      (32L, " leading space"),            // 2
+      (40L, ""),                          // 0: empty text has no tokens
+      (48L, " \t\n\u000B\f\r "),          // 0: whitespace-only
+      (56L, "a")                          // 1
+    ).toDF("doc_id", "text")
+    val got = T.t15Core(docs).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val exp = Map(0L -> 5L, 8L -> 4L, 16L -> 3L, 24L -> 3L, 32L -> 2L,
+      40L -> 0L, 48L -> 0L, 56L -> 1L)
+    exp.foreach { case (id, n) =>
+      assert(got(id) == n, s"doc $id: got ${got(id)} tokens, want $n") }
+  }
+
+  test("t15: duplicate doc_ids get deterministic peer-group sums (RANGE frame)") {
+    import spark.implicits._
+    def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    // two rows share doc_id 0 (same shard): under the explicit RANGE
+    // frame both are peers — cum_after is the PAIR total for both rows,
+    // on both engines, regardless of tie order. A ROWS frame here would
+    // be tie-order nondeterministic and no two engines need agree.
+    val docs = Seq((0L, words(100)), (0L, words(200)), (8L, words(50))).toDF("doc_id", "text")
+    val got = T.t15Core(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    val dup = got.filter(_._1 == 0L).sortBy(_._2)
+    // peers: cum_after = 300 for both; cum_before = 300 - own tokens
+    assert(dup.map(_._2).toSeq == Seq(100L, 200L))
+    assert(dup(0)._5 == 200L, s"100-token row offset: ${dup(0)._5}")  // 300-100
+    assert(dup(1)._5 == 100L, s"200-token row offset: ${dup(1)._5}")  // 300-200
+    // doc 8 follows the pair: cum_before = 300
+    val after = got.find(_._1 == 8L).get
+    assert(after._4 == 300L / T.T15Budget && after._5 == 300L % T.T15Budget)
+  }
+
+  test("t15: negative doc_id shards by pmod; budget straddle at exactly 512") {
+    import spark.implicits._
+    def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq((-3L, words(10)), (6L, words(512)), (14L, words(1))).toDF("doc_id", "text")
+    val got = T.t15Core(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // pmod puts -3 in shard 5 (SQL's plain % would say -3) — alone there
+    assert(got(-3L) == ((5L, 0L, 0L, 0L)), s"negative id: ${got(-3L)}")
+    // 512-token doc fills shard 6's pack 0 exactly: [0,512) → first=last=0
+    assert(got(6L) == ((6L, 0L, 0L, 0L)), s"512-token doc: ${got(6L)}")
+    // next doc in that shard starts flush in pack 1, offset 0
+    assert(got(14L) == ((6L, 1L, 1L, 0L)), s"doc after flush boundary: ${got(14L)}")
+  }
+
+  test("t15/t16: session knobs override defaults without recompiling") {
+    val s2 = spark.newSession()
+    s2.conf.set(T.T15ShardsKey, "2")
+    s2.conf.set(T.T15BudgetKey, "100")
+    import s2.implicits._
+    def words(n: Int): String = Seq.fill(n)("w").mkString(" ")
+    val docs = Seq((0L, words(150)), (2L, words(30)), (1L, words(10))).toDF("doc_id", "text")
+    val got = T.t15Core(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    // shards=2: docs 0 and 2 share shard 0; budget=100: doc 0 straddles
+    assert(got(0L) == ((0L, 0L, 1L, 0L)), s"doc 0 under budget=100: ${got(0L)}")
+    assert(got(2L) == ((0L, 1L, 1L, 50L)), s"doc 2 offset 150%100: ${got(2L)}")
+    assert(got(1L) == ((1L, 0L, 0L, 0L)), s"doc 1 own shard: ${got(1L)}")
+
+    s2.conf.set(T.T16RatesKey, "1.0,1.0,1.0,1.0")
+    val all = SparkEntry.queries("t16_mixture_sample")(s2, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    assert(all.nonEmpty)
+    all.foreach { case (src, total, kept) =>
+      assert(kept == total, s"$src: rate-1.0 override must keep all ($kept/$total)") }
+  }
+
   test("t16: deterministic, rate-1.0 sources keep everything, audit consistent") {
     val run1 = SparkEntry.queries("t16_mixture_sample")(spark, sf).collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3), r.getDouble(4)))

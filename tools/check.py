@@ -19,7 +19,9 @@ import pandas as pd
 import numpy as np
 
 
-def canon(df: pd.DataFrame) -> str:
+def canon_rows(df: pd.DataFrame):
+    """Sorted canonical row strings (the hash pre-image) — also used to
+    dump mismatching rows on hash failure."""
     df = df.reindex(sorted(df.columns), axis=1)
     # normalize dtypes: ints -> int64, floats -> rounded repr,
     # timestamps -> iso, bools -> int
@@ -38,8 +40,14 @@ def canon(df: pd.DataFrame) -> str:
         else:
             out[c] = s.map(lambda v: "null" if v is None else str(v))
     if len(out) == 0:
+        return []
+    return sorted(out.apply(lambda r: "\x01".join(r.values), axis=1).tolist())
+
+
+def canon(df: pd.DataFrame) -> str:
+    rows = canon_rows(df)
+    if not rows:
         return hashlib.sha256(b"").hexdigest()
-    rows = sorted(out.apply(lambda r: "\x01".join(r.values), axis=1).tolist())
     return hashlib.sha256("\x02".join(rows).encode()).hexdigest()
 
 
@@ -82,6 +90,13 @@ def main():
             hs, ho = canon(spark_df), canon(oracle_df)
             entry["hash_match"] = hs == ho
             entry["ok"] = (len(spark_df) == len(oracle_df)) and hs == ho
+            if hs != ho:
+                # dump the first rows present on one side only, so a
+                # driver-corpus-dependent divergence is diagnosable from
+                # the artifact alone (VERDICT r9 ask)
+                rs, ro = set(canon_rows(spark_df)), set(canon_rows(oracle_df))
+                entry["spark_only"] = sorted(rs - ro)[:5]
+                entry["oracle_only"] = sorted(ro - rs)[:5]
         results[name] = entry
 
     n_ok = sum(1 for r in results.values() if r.get("ok"))
