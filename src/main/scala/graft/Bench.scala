@@ -47,19 +47,28 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // a query that throws is recorded as -1.0 (and listed in "failed") so
     // a broken query can never masquerade as a fast one in BENCH output
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val rows = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
+        // wall-clock start (epoch seconds): a host-noise window — a
+        // background process stealing the machine for a few minutes —
+        // inflates whichever queries RAN during it, which is a
+        // contiguous time span; recording starts makes that window
+        // machine-detectable from the artifact (adjudicate.py reads it)
+        val wall = System.currentTimeMillis / 1000.0
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-      }.toMap
+        (name, if (ok) (System.nanoTime() - t0) / 1e9 else -1.0, wall)
+      }
+    val results = rows.map { case (k, v, _) => k -> v }.toMap
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }.toSeq.sorted
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val starts = rows.map { case (k, _, w) => s"\"" + k + "\":" + w }
+      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s""""starts":$starts,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(json)
     // ALSO write the result to a file: the driver captures sbt's stdout
     // tail, and one 110-query JSON line buried in sbt noise gets

@@ -399,25 +399,38 @@ object SnapshotTable {
     * claimant — the same residual risk Delta accepts on filesystems
     * without atomic put-if-absent). After [[MaxCommitAttempts]]
     * no-progress losses it fails loudly instead of wedging the writer. */
-  private[graft] final class CommitRetry(root: String) {
+  private[graft] final class CommitRetry(root: String,
+      sleep: Long => Unit = Thread.sleep, now: () => Long = System.currentTimeMillis) {
     private var lastSeen = -1
     private var losses = 0
+    private var noProgressSince = -1L
     /** Call with the version read at the top of each attempt. */
-    def observed(v: Int): Unit = if (v != lastSeen) { lastSeen = v; losses = 0 }
+    def observed(v: Int): Unit =
+      if (v != lastSeen) { lastSeen = v; losses = 0; noProgressSince = -1L }
     /** Call on each FileAlreadyExistsException CAS loss. */
     def lost(e: java.nio.file.FileAlreadyExistsException): Unit = {
       losses += 1
+      if (noProgressSince < 0) noProgressSince = now()
       if (losses >= StaleClaimAfterLosses) reclaimStaleClaim(root, lastSeen + 1)
-      if (losses >= MaxCommitAttempts) throw new IllegalStateException(
-        s"snapshot commit on $root: lost the version-${lastSeen + 1} CAS $losses times " +
-          "with no version progress — a wedged claim survived reclaim; inspect _manifests", e)
+      // fail loudly only when BOTH budgets are spent: the attempt count
+      // AND enough wall-clock since the first no-progress loss for a
+      // dead claim to age past the reclaim floor. The attempt counter
+      // alone (~47s of cumulative backoff) expires BEFORE
+      // StaleClaimMinAgeMs (60s), which would make the reclaim path
+      // this class exists for unreachable when the claimant died just
+      // before our first attempt — the throw must wait the floor out.
+      if (losses >= MaxCommitAttempts && now() - noProgressSince > StaleClaimMinAgeMs)
+        throw new IllegalStateException(
+          s"snapshot commit on $root: lost the version-${lastSeen + 1} CAS $losses times " +
+            s"over ${now() - noProgressSince}ms with no version progress — a wedged claim " +
+            "survived reclaim; inspect _manifests", e)
       // linear backoff once losses stop looking like live contention
       // (live contention advances the version and resets the counter):
-      // without this, 64 no-progress retries burn out in milliseconds —
+      // without this, no-progress retries burn out in milliseconds —
       // long before a slow-but-alive claimant fills its claim or a dead
       // one ages past the reclaim floor
       if (losses >= StaleClaimAfterLosses)
-        Thread.sleep(math.min(50L * (losses - StaleClaimAfterLosses + 1), 1000L))
+        sleep(math.min(50L * (losses - StaleClaimAfterLosses + 1), 1000L))
     }
   }
   private[graft] val MaxCommitAttempts = 64
@@ -517,11 +530,19 @@ object SnapshotTable {
     * is carried into the new manifest untouched. At 100 TB a merge
     * touching one ingest day shuffles that day's files plus the
     * changeset, never the table; the anti-join broadcasts when the
-    * changeset is small (the common CDC case). */
+    * changeset is small (the common CDC case).
+    *
+    * `baseVersion` (when >= 0) pins the optimistic-concurrency base: the
+    * commit CASes version baseVersion+1, so a caller whose changeset was
+    * COMPUTED from a read of baseVersion (a read-modify-write like the
+    * streaming upsert sink) gets a `FileAlreadyExistsException` instead
+    * of a silent lost update when another writer committed in between —
+    * re-read and retry. The default (-1) reads the current version, the
+    * right contract when `changes` doesn't depend on table state. */
   def merge(s: SparkSession, root: String, clusterCol: String, idCol: String,
       changes: DataFrame, shardSize: Int = 4,
-      extraMeta: Map[String, String] = Map.empty): Int = {
-    val v = currentVersion(root)
+      extraMeta: Map[String, String] = Map.empty, baseVersion: Int = -1): Int = {
+    val v = if (baseVersion >= 0) baseVersion else currentVersion(root)
     val carried = carriedMeta(root, v)
     // the file-pruning step below trusts the manifest's primary stats to
     // BE clusterCol stats — a mismatched statsCol would prune files that

@@ -23,7 +23,7 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    SnapshotSql.historyRoot(sqlText) match {
+    SnapshotSql.historyRoot(session, sqlText) match {
       case Some(root) => SnapshotHistoryCommand(root)
       case None if SnapshotSql.owns(sqlText) => SnapshotSqlCommand(sqlText)
       case None => delegate.parsePlan(sqlText)

@@ -14,13 +14,17 @@ import graft.operators.SnapshotTable
   * route: one statement string, parsed here, dispatched to the manifest
   * protocol — so OPTIMIZE/MERGE/VACUUM stop being Scala-API-only.
   *
-  * Grammar (case-insensitive keywords; `'<path>'` is the table root):
+  * Grammar (case-insensitive keywords; `<table>` is either a quoted
+  * `'<path>'` table root or a catalog identifier `<catalog>.[ns...]
+  * .<name>` registered against [[GraftCatalog]] — the name route a
+  * catalog user reaches for first, resolved through the catalog's
+  * `root` conf to the same directory the path route addresses):
   *
-  *   OPTIMIZE '<path>' CLUSTER BY (col) [TARGET n]
-  *   OPTIMIZE '<path>' ZORDER BY (colA, colB) [TARGET n]
-  *   MERGE INTO '<path>' CLUSTER BY (col) ID (idCol) USING <viewName>
-  *   VACUUM '<path>' KEEP FROM <version>
-  *   DESCRIBE HISTORY '<path>'    (row-returning, parser route only)
+  *   OPTIMIZE <table> CLUSTER BY (col) [TARGET n]
+  *   OPTIMIZE <table> ZORDER BY (colA, colB) [TARGET n]
+  *   MERGE INTO <table> CLUSTER BY (col) ID (idCol) USING <viewName>
+  *   VACUUM <table> KEEP FROM <version>
+  *   DESCRIBE HISTORY <table>    (row-returning, parser route only)
   *
   * MERGE's source is a registered view/table carrying the table's
   * columns plus `op` ∈ {u, d, i} — the same caller-labeled changeset
@@ -32,22 +36,51 @@ object SnapshotSql {
 
   private val DefaultTargetFiles = 16
 
+  // table position: a quoted path OR a dotted catalog identifier —
+  // resolved by [[resolveRef]] at exec/parse time
+  private val Ref = """'[^']+'|[A-Za-z_][\w.]*"""
   private val OptimizeCluster =
-    """(?is)\s*OPTIMIZE\s+'([^']+)'\s+CLUSTER\s+BY\s+\((\w+)\)(?:\s+TARGET\s+(\d+))?\s*""".r
+    s"""(?is)\\s*OPTIMIZE\\s+($Ref)\\s+CLUSTER\\s+BY\\s+\\((\\w+)\\)(?:\\s+TARGET\\s+(\\d+))?\\s*""".r
   private val OptimizeZorder =
-    """(?is)\s*OPTIMIZE\s+'([^']+)'\s+ZORDER\s+BY\s+\((\w+)\s*,\s*(\w+)\)(?:\s+TARGET\s+(\d+))?\s*""".r
+    s"""(?is)\\s*OPTIMIZE\\s+($Ref)\\s+ZORDER\\s+BY\\s+\\((\\w+)\\s*,\\s*(\\w+)\\)(?:\\s+TARGET\\s+(\\d+))?\\s*""".r
   private val MergeInto =
-    """(?is)\s*MERGE\s+INTO\s+'([^']+)'\s+CLUSTER\s+BY\s+\((\w+)\)\s+ID\s+\((\w+)\)\s+USING\s+([\w.]+)\s*""".r
+    s"""(?is)\\s*MERGE\\s+INTO\\s+($Ref)\\s+CLUSTER\\s+BY\\s+\\((\\w+)\\)\\s+ID\\s+\\((\\w+)\\)\\s+USING\\s+([\\w.]+)\\s*""".r
   private val Vacuum =
-    """(?is)\s*VACUUM\s+'([^']+)'\s+KEEP\s+FROM\s+(\d+)\s*""".r
+    s"""(?is)\\s*VACUUM\\s+($Ref)\\s+KEEP\\s+FROM\\s+(\\d+)\\s*""".r
   private val History =
-    """(?is)\s*DESCRIBE\s+HISTORY\s+'([^']+)'\s*""".r
+    s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+($Ref)\\s*""".r
 
-  /** DESCRIBE HISTORY '<path>' — the statement's table root, when the
+  private val Quoted = "'([^']+)'".r
+
+  /** Resolve a statement's table reference to a table root directory: a
+    * quoted `'<path>'` verbatim, or a `<catalog>.[ns...].<name>`
+    * identifier through the registered [[GraftCatalog]]'s `root` conf —
+    * the same name→directory mapping `loadTable` walks, so the name and
+    * path routes address the SAME table. A name whose catalog is not a
+    * graft catalog is refused loudly (these verbs are not Spark SQL, so
+    * there is no delegate that could run them). */
+  private[graft] def resolveRef(s: SparkSession, ref: String): String = ref match {
+    case Quoted(p) => p
+    case ident =>
+      val parts = ident.split('.')
+      require(parts.length >= 2, s"graft-snapshot SQL: table reference '$ident' must be " +
+        "a quoted '<path>' or a qualified <catalog>.<table> name")
+      val catKey = s"spark.sql.catalog.${parts.head}"
+      val cls = s.conf.getOption(catKey)
+      require(cls.contains(classOf[GraftCatalog].getName),
+        s"graft-snapshot SQL: '$ident' does not name a graft catalog table — " +
+          s"$catKey is ${cls.getOrElse("unset")}")
+      (s.conf.get(s"$catKey.root") +: parts.tail.toSeq).mkString("/")
+  }
+
+  /** DESCRIBE HISTORY <table> — the statement's table root, when the
     * statement is one. Routed by the parser to a row-returning command
     * (unlike the version-returning maintenance verbs). */
-  private[graft] def historyRoot(stmt: String): Option[String] = stmt match {
-    case History(root) => Some(root)
+  private[graft] def historyRoot(s: SparkSession, stmt: String): Option[String] = stmt match {
+    // an unresolvable name (not a graft catalog) falls through to the
+    // delegate parser rather than erroring at parse time — DESCRIBE is
+    // real Spark syntax, unlike the maintenance verbs below
+    case History(ref) => scala.util.Try(resolveRef(s, ref)).toOption
     case _ => None
   }
 
@@ -78,22 +111,23 @@ object SnapshotSql {
   /** Parse and run one maintenance statement; returns the table's
     * version after the operation. */
   def exec(s: SparkSession, stmt: String): Int = stmt match {
-    case OptimizeCluster(root, keyCol, target) =>
-      SnapshotTable.optimizeClustered(s, root, keyCol,
+    case OptimizeCluster(ref, keyCol, target) =>
+      SnapshotTable.optimizeClustered(s, resolveRef(s, ref), keyCol,
         Option(target).map(_.toInt).getOrElse(DefaultTargetFiles))
-    case OptimizeZorder(root, colA, colB, target) =>
-      SnapshotTable.optimizeZOrder(s, root, colA, colB,
+    case OptimizeZorder(ref, colA, colB, target) =>
+      SnapshotTable.optimizeZOrder(s, resolveRef(s, ref), colA, colB,
         Option(target).map(_.toInt).getOrElse(DefaultTargetFiles))
-    case MergeInto(root, clusterCol, idCol, view) =>
-      SnapshotTable.merge(s, root, clusterCol, idCol, s.table(view))
-    case Vacuum(root, keepFrom) =>
+    case MergeInto(ref, clusterCol, idCol, view) =>
+      SnapshotTable.merge(s, resolveRef(s, ref), clusterCol, idCol, s.table(view))
+    case Vacuum(ref, keepFrom) =>
+      val root = resolveRef(s, ref)
       SnapshotTable.vacuum(root, keepFrom.toInt)
       SnapshotTable.currentVersion(root)
     case other => throw new IllegalArgumentException(
       s"graft-snapshot SQL: cannot parse '${other.trim.take(120)}' — expected " +
-        "OPTIMIZE '<path>' CLUSTER BY (col) [TARGET n] | " +
-        "OPTIMIZE '<path>' ZORDER BY (a, b) [TARGET n] | " +
-        "MERGE INTO '<path>' CLUSTER BY (col) ID (id) USING <view> | " +
-        "VACUUM '<path>' KEEP FROM <version>")
+        "OPTIMIZE <table> CLUSTER BY (col) [TARGET n] | " +
+        "OPTIMIZE <table> ZORDER BY (a, b) [TARGET n] | " +
+        "MERGE INTO <table> CLUSTER BY (col) ID (id) USING <view> | " +
+        "VACUUM <table> KEEP FROM <version>  (<table> = '<path>' or <catalog>.<name>)")
   }
 }

@@ -127,16 +127,54 @@ private[sources] object SnapshotSourceUtil {
     b.named("spark_schema")
   }
 
-  def tableMessageType(root: String): MessageType = {
-    val v = SnapshotTable.currentVersion(root)
-    require(v > 0, s"graft-snapshot: $root has no committed version")
-    require(!SnapshotTable.manifestMeta(root, v).contains("schema"),
-      "graft-snapshot: schema-evolved tables must be read via SnapshotTable.readAt")
-    val rel = SnapshotTable.manifestEntries(root, v).head.rel
+  private def footerSchema(root: String, rel: String): MessageType = {
     val in = HadoopInputFile.fromPath(
       new HadoopPath(Paths.get(root, rel).toUri), new Configuration())
     val r = ParquetFileReader.open(in)
     try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+
+  def tableMessageType(root: String): MessageType = {
+    val v = SnapshotTable.currentVersion(root)
+    require(v > 0, s"graft-snapshot: $root has no committed version")
+    val entries = SnapshotTable.manifestEntries(root, v)
+    if (!SnapshotTable.manifestMeta(root, v).contains("schema"))
+      // the overwhelmingly common case: uniform-width files — ONE
+      // footer read prices the whole planning step
+      footerSchema(root, entries.head.rel)
+    else {
+      // evolved (mixed-width) version: the table schema is the UNION of
+      // the file schemas, in first-appearance order — the same answer
+      // parquet mergeSchema resolves, priced the same way (a footer
+      // read per file, planning-time only, no data pages). The reader
+      // side null-fills per file (see SnapshotReaderFactory).
+      val seen = new java.util.LinkedHashMap[String, org.apache.parquet.schema.Type]()
+      val hits = new java.util.HashMap[String, Integer]()
+      entries.foreach { e =>
+        footerSchema(root, e.rel).getFields.asScala.foreach { f =>
+          val prev = seen.putIfAbsent(f.getName, f)
+          require(prev == null ||
+              prev.asPrimitiveType().getPrimitiveTypeName ==
+                f.asPrimitiveType().getPrimitiveTypeName,
+            s"graft-snapshot: evolved table $root has conflicting types for " +
+              s"column ${f.getName}: $prev vs $f — add-column evolution only")
+          hits.merge(f.getName, 1, (a, b) => a + b)
+        }
+      }
+      val fields: Iterable[org.apache.parquet.schema.Type] = seen.values().asScala.map { f =>
+        val p = f.asPrimitiveType()
+        // a column absent from ANY file surfaces null there, so the
+        // union field must be OPTIONAL even if every carrier file
+        // declared it REQUIRED
+        val rep =
+          if (hits.get(f.getName) == entries.size) p.getRepetition
+          else org.apache.parquet.schema.Type.Repetition.OPTIONAL
+        val b = org.apache.parquet.schema.Types.primitive(p.getPrimitiveTypeName, rep)
+        (if (p.getLogicalTypeAnnotation != null) b.as(p.getLogicalTypeAnnotation) else b)
+          .named(p.getName)
+      }
+      new MessageType("spark_schema", fields.toList.asJava: java.util.List[org.apache.parquet.schema.Type])
+    }
   }
 
   def sparkSchema(m: MessageType): StructType = StructType(m.getFields.asScala.map { f =>
@@ -209,7 +247,12 @@ private[sources] class SnapshotDsv2Table(root: String, schema: StructType,
     val cond = filters.map(f => SnapshotFilterSql.toColumn(f).getOrElse(
       throw new UnsupportedOperationException(
         s"graft-snapshot DELETE: unsupported predicate $f"))).reduce(_ && _)
-    val kept = s.read.parquet(cands.map(e => Paths.get(root, e.rel).toString): _*)
+    // mirror readAt: on a schema-evolved table (the `schema` marker —
+    // mixed-width files) the rewrite must resolve the UNION schema, or
+    // the sample-footer width silently drops evolved columns from every
+    // surviving row in a wider candidate file
+    val rdr = if (carried.contains("schema")) s.read.option("mergeSchema", "true") else s.read
+    val kept = rdr.parquet(cands.map(e => Paths.get(root, e.rel).toString): _*)
       .filter(not(coalesce(cond, lit(false))))
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val rels = SnapshotTable.writeDataFiles(kept, root, s"del_$tag")
@@ -696,41 +739,82 @@ private[sources] object SnapshotCountReaderFactory extends PartitionReaderFactor
 
 /** Executor-side reader: parquet example-Group records of ONE file,
   * decoded to InternalRow through the PRUNED request schema — columns
-  * outside the projection are never decompressed. */
+  * outside the projection are never decompressed.
+  *
+  * Evolution-aware: the request is intersected with THIS file's footer
+  * schema before the scan (parquet rejects a request naming a column
+  * the file lacks), and fields outside the file surface as null — the
+  * add-column contract. An unevolved file carries every requested
+  * column, so the intersection is the identity and the fast path pays
+  * one footer read (already required by parquet's own open). */
 private[sources] case class SnapshotReaderFactory(projectedMessage: String,
     pruned: StructType) extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val path = p.asInstanceOf[SnapshotFilePartition].path
     new PartitionReader[InternalRow] {
-      private val conf = new Configuration()
-      conf.set(ReadSupport.PARQUET_READ_SCHEMA, projectedMessage)
-      private val reader =
-        ParquetReader.builder(new GroupReadSupport(), new HadoopPath(path))
-          .withConf(conf).build()
+      import scala.jdk.CollectionConverters._
       private val request = MessageTypeParser.parseMessageType(projectedMessage)
+      private val (fileFields: Map[String, org.apache.parquet.schema.Type], fileRows: Long) = {
+        val in = HadoopInputFile.fromPath(new HadoopPath(path), new Configuration())
+        val r = ParquetFileReader.open(in)
+        try (r.getFooter.getFileMetaData.getSchema.getFields.asScala
+            .map(f => f.getName -> f).toMap,
+          r.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
+        finally r.close()
+      }
+      // pruned index i → slot in the per-file request, -1 = absent
+      private val slot: Array[Int] = {
+        var next = 0
+        pruned.fields.map { f =>
+          if (fileFields.contains(f.name)) { val s = next; next += 1; s } else -1
+        }
+      }
+      // the request must carry the FILE's own field declarations (the
+      // union schema demotes evolution-gap columns to OPTIONAL, which
+      // parquet rejects against a file that declared them REQUIRED)
+      private val fileRequest = new MessageType(request.getName,
+        request.getFields.asScala.collect {
+          case f if fileFields.contains(f.getName) => fileFields(f.getName)
+        }.toList.asJava: java.util.List[org.apache.parquet.schema.Type])
+      // a projection of ONLY evolved columns over a pre-evolution file
+      // intersects to zero scannable columns: parquet cannot drive an
+      // empty scan, but the row COUNT is in the footer — emit that many
+      // all-null rows without touching a data page
+      private val reader =
+        if (fileRequest.getFieldCount == 0) null
+        else {
+          val conf = new Configuration()
+          conf.set(ReadSupport.PARQUET_READ_SCHEMA, fileRequest.toString)
+          ParquetReader.builder(new GroupReadSupport(), new HadoopPath(path))
+            .withConf(conf).build()
+        }
+      private var nullRowsLeft = fileRows
       private var cur: Group = _
-      override def next(): Boolean = { cur = reader.read(); cur != null }
+      override def next(): Boolean =
+        if (reader == null) { nullRowsLeft -= 1; nullRowsLeft >= 0 }
+        else { cur = reader.read(); cur != null }
       override def get(): InternalRow = {
         val vals = new Array[Any](pruned.length)
         var i = 0
         while (i < pruned.length) {
+          val j = slot(i)
           vals(i) =
-            if (cur.getFieldRepetitionCount(i) == 0) null
+            if (j < 0 || cur.getFieldRepetitionCount(j) == 0) null
             else pruned.fields(i).dataType match {
-              case LongType => cur.getLong(i, 0)
-              case IntegerType => cur.getInteger(i, 0)
-              case DoubleType => cur.getDouble(i, 0)
-              case FloatType => cur.getFloat(i, 0)
-              case BooleanType => cur.getBoolean(i, 0)
-              case StringType => UTF8String.fromString(cur.getString(i, 0))
+              case LongType => cur.getLong(j, 0)
+              case IntegerType => cur.getInteger(j, 0)
+              case DoubleType => cur.getDouble(j, 0)
+              case FloatType => cur.getFloat(j, 0)
+              case BooleanType => cur.getBoolean(j, 0)
+              case StringType => UTF8String.fromString(cur.getString(j, 0))
               case other => sys.error(s"graft-snapshot: unsupported type $other")
             }
           i += 1
         }
         new GenericInternalRow(vals)
       }
-      override def close(): Unit = reader.close()
+      override def close(): Unit = if (reader != null) reader.close()
     }
   }
 }

@@ -139,42 +139,84 @@ object SnapshotSink {
     * to files whose key range the batch touches. The batch id rides
     * the merge commit's metadata, so a replayed batch is detected and
     * skipped exactly as [[appendBatch]] does. Returns true iff this
-    * call committed. */
+    * call committed.
+    *
+    * Scale shape — BOTH sides of the read-modify-write are confined by
+    * manifest stats, Delta's may-match-files MERGE discipline: the
+    * read side scans only files whose [lo, hi] key stats intersect the
+    * batch's key range (a key-subrange batch against a key-clustered
+    * table opens a handful of files, never O(table) — the commit
+    * records `upsert_scan: NofM` so the pruning is auditable from the
+    * manifest alone), and the rewrite side is merge's own stats-pruned
+    * copy-on-write. Safe under writer races like [[appendBatch]]: a
+    * lost manifest CAS re-reads version, last-batch id AND table state,
+    * then retries or skips — bounded by [[graft.operators.SnapshotTable
+    * .CommitRetry]] with stale-claim reclaim. */
   private[graft] def upsertBatch(s: SparkSession, root: String,
       state: DataFrame, batchId: Long, keyCol: String): Boolean = {
     def lastCommitted(v: Int): Long =
       if (v == 0) -1L
       else ST.manifestMeta(root, v).get(LastBatchKey).map(_.toLong).getOrElse(-1L)
-    val v = ST.currentVersion(root)
-    if (batchId <= lastCommitted(v)) return false // replay: no-op
-    if (v == 0) {
-      // first batch creates the table (merge needs a base version);
-      // statsCol makes every later merge/DSv2 read key-prunable
-      val tag = f"b$batchId%05d_${java.util.UUID.randomUUID().toString.take(8)}"
-      val entries = ST.writeDataFiles(state, root, tag).map(ST.footerEntry(root, _, keyCol))
-      ST.commitEntries(root, 0, entries, shardSize = 4,
-        Map("statsCol" -> keyCol, LastBatchKey -> batchId.toString))
-      return true
+    if (batchId <= lastCommitted(ST.currentVersion(root))) return false // replay: no-op
+    // the batch's key range drives read-side pruning; a scalar agg on
+    // the (already tiny, per-key) batch state — the broadcast-scalar
+    // pattern, not a table materialization
+    val kb = state.agg(min(col(keyCol)), max(col(keyCol))).head()
+    val retry = new ST.CommitRetry(root)
+    while (true) {
+      val v = ST.currentVersion(root)
+      retry.observed(v)
+      if (batchId <= lastCommitted(v)) return false // raced replay: someone committed it
+      try {
+        if (v == 0) {
+          // first batch creates the table (merge needs a base version);
+          // statsCol makes every later merge/DSv2 read key-prunable
+          val tag = f"b$batchId%05d_${java.util.UUID.randomUUID().toString.take(8)}"
+          val entries = ST.writeDataFiles(state, root, tag).map(ST.footerEntry(root, _, keyCol))
+          ST.commitEntries(root, 0, entries, shardSize = 4,
+            Map("statsCol" -> keyCol, LastBatchKey -> batchId.toString))
+          return true
+        }
+        if (kb.isNullAt(0)) { // empty batch: advance the id, carry entries
+          ST.commitEntries(root, v, ST.manifestEntries(root, v), shardSize = 4,
+            ST.carriedMeta(root, v) + (LastBatchKey -> batchId.toString))
+          return true
+        }
+        val all = ST.manifestEntries(root, v)
+        val cands = ST.prunedEntries(root, v, kb.getLong(0), kb.getLong(1))
+        // combine only against may-match files: a key absent from every
+        // candidate is absent from the table (stats pruning is sound),
+        // so the full_outer over the pruned read is the full_outer over
+        // the table restricted to the batch's keys — which is all the
+        // left_semi below keeps anyway
+        val current =
+          if (cands.isEmpty) state.filter(lit(false))
+          else s.read.parquet(cands.map(e => Paths.get(root, e.rel).toString): _*)
+        val stateCols = state.columns.filterNot(_ == keyCol)
+        // combine column-wise: table row ⊕ batch row where both exist
+        val combined = current.as("t").join(state.as("b"), Seq(keyCol), "full_outer")
+          .select(col(keyCol) +: stateCols.map {
+            case c @ ("n_events" | "value_micros") =>
+              (coalesce(col(s"t.$c"), lit(0L)) + coalesce(col(s"b.$c"), lit(0L))).as(c)
+            case c @ "last_ts" =>
+              greatest(coalesce(col(s"t.$c"), lit(Long.MinValue)),
+                coalesce(col(s"b.$c"), lit(Long.MinValue))).as(c)
+            case c => sys.error(s"upsertBatch: no combine rule for column $c")
+          }.toIndexedSeq: _*)
+          // only keys the batch touched become change rows — the merge
+          // rewrite stays proportional to the batch, not the table
+          .join(state.select(col(keyCol)), Seq(keyCol), "left_semi")
+          .withColumn("op", lit("u"))
+        ST.merge(s, root, keyCol, keyCol, combined,
+          extraMeta = Map(LastBatchKey -> batchId.toString,
+            "upsert_scan" -> s"${cands.size}of${all.size}"),
+          baseVersion = v)
+        return true
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) // CAS lost: re-read, retry
+      }
     }
-    val current = ST.read(s, root)
-    val stateCols = state.columns.filterNot(_ == keyCol)
-    // combine column-wise: table row ⊕ batch row where both exist
-    val combined = current.as("t").join(state.as("b"), Seq(keyCol), "full_outer")
-      .select(col(keyCol) +: stateCols.map {
-        case c @ ("n_events" | "value_micros") =>
-          (coalesce(col(s"t.$c"), lit(0L)) + coalesce(col(s"b.$c"), lit(0L))).as(c)
-        case c @ "last_ts" =>
-          greatest(coalesce(col(s"t.$c"), lit(Long.MinValue)),
-            coalesce(col(s"b.$c"), lit(Long.MinValue))).as(c)
-        case c => sys.error(s"upsertBatch: no combine rule for column $c")
-      }.toIndexedSeq: _*)
-      // only keys the batch touched become change rows — the merge
-      // rewrite stays proportional to the batch, not the table
-      .join(state.select(col(keyCol)), Seq(keyCol), "left_semi")
-      .withColumn("op", lit("u"))
-    ST.merge(s, root, keyCol, keyCol, combined,
-      extraMeta = Map(LastBatchKey -> batchId.toString))
-    true
+    false // unreachable
   }
 
   /** st11_stream_upsert_sink — the CDC-style per-user state table a

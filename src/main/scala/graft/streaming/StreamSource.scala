@@ -95,6 +95,52 @@ final class KafkaStreamSource(bootstrapServers: String, topic: String)
         .load(), schema)
 }
 
+/** A RECORDED Kafka feed, replayed: batches are staged as parquet
+  * files in Kafka's exact wire schema (key/value binary, topic,
+  * partition, offset, timestamp, timestampType — what
+  * `format("kafka").load()` yields), then consumed as a wire-schema
+  * file stream and deserialized through [[KafkaStreamSource.parse]].
+  * This is the broker path minus only the socket: every operator plan
+  * downstream of `batched` sees the identical streaming DataFrame a
+  * live subscription produces, so swapping this in for
+  * [[FileStreamSource]] proves an operator end-to-end over the wire
+  * format without a broker in the container. (It is also a production
+  * tool in its own right: replaying a recorded topic dump through the
+  * same pipeline is the standard backfill/debug move.) */
+object KafkaWireReplaySource extends StreamSource {
+  import org.apache.spark.sql.types._
+
+  private[graft] val wireSchema = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  override def batched(s: SparkSession, op: String, schema: StructType,
+      batches: Seq[(String, DataFrame)]): DataFrame = {
+    val wired = batches.map { case (name, df) =>
+      name -> df.select(
+        lit(null).cast("binary").as("key"),
+        to_json(struct(df.columns.map(col).toIndexedSeq: _*)).cast("binary").as("value"),
+        lit(op).as("topic"),
+        lit(0).as("partition"),
+        monotonically_increasing_id().as("offset"),
+        // fixed broker-side append time: determinism for replay specs;
+        // operators use EVENT time from the payload, never this
+        timestamp_seconds(lit(1700000000L)).as("timestamp"),
+        lit(0).as("timestampType"))
+    }
+    val stage = FileStreamSource.stageBatches(s"${op}_wire", wired)
+    KafkaStreamSource.parse(
+      s.readStream.schema(wireSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage), schema)
+  }
+}
+
 object KafkaStreamSource {
   /** Schema-on-read deserialization of Kafka wire records — the ONLY
     * transport-specific transform between the broker and the operators.

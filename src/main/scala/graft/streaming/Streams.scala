@@ -30,8 +30,20 @@ object Streams {
   /** The transport behind every staged-batch operator below (st4–st7
     * and the retention spec): file replay in this container; a broker
     * deployment swaps in `new KafkaStreamSource(servers, topic)` and no
-    * operator changes — see [[StreamSource]]. */
-  private[graft] val source: StreamSource = FileStreamSource
+    * operator changes — see [[StreamSource]]. A var only for
+    * [[withSource]]'s scoped swap; never reassign directly. */
+  private[graft] var source: StreamSource = FileStreamSource
+
+  /** Run `f` with the staged-batch transport swapped — the seam
+    * KafkaParitySpec uses to drive whole operator plans over
+    * [[KafkaWireReplaySource]]'s recorded wire feed. Test suites run
+    * sequentially in the forked test JVM, so the scoped swap is safe;
+    * the transport is restored even when `f` throws. */
+  private[graft] def withSource[T](alt: StreamSource)(f: => T): T = {
+    val prev = source
+    source = alt
+    try f finally source = prev
+  }
 
   /** st1/st2/st3's whole-log feed: the event table streamed directly
     * from its on-disk location (no batch structure imposed). This is

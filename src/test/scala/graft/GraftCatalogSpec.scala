@@ -112,6 +112,69 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gcat.del").head().getLong(0) == 2)
   }
 
+  test("maintenance SQL addresses catalog tables BY NAME — path≡name on the same directory") {
+    warehouse
+    val root = s"$warehouse/scores"
+    val ST = graft.operators.SnapshotTable
+    // OPTIMIZE by name commits on the same directory the path route
+    // addresses: consecutive versions, identical contents
+    val before = ST.currentVersion(root)
+    val vName = spark.sql("OPTIMIZE gcat.scores CLUSTER BY (user_id)").head().getInt(0)
+    assert(vName == before + 1, s"name-route OPTIMIZE: want ${before + 1}, got $vName")
+    val vPath = spark.sql(s"OPTIMIZE '$root' CLUSTER BY (user_id)").head().getInt(0)
+    assert(vPath == vName + 1, "path route must continue the SAME version chain")
+    assert(spark.sql("SELECT count(*) FROM gcat.scores").head().getLong(0) == 4)
+    // DESCRIBE HISTORY by name reads the same manifest log
+    val hName = spark.sql("DESCRIBE HISTORY gcat.scores").collect()
+    val hPath = spark.sql(s"DESCRIBE HISTORY '$root'").collect()
+    assert(hName.length == vPath && hName.map(_.toString).toSeq == hPath.map(_.toString).toSeq,
+      "name and path DESCRIBE HISTORY must agree row-for-row")
+    // a namespaced name resolves through the same directory walk
+    spark.sql("INSERT INTO gcat.analytics.daily VALUES (20260814, 3)")
+    assert(spark.sql("OPTIMIZE gcat.analytics.daily CLUSTER BY (d)").head().getInt(0) > 0)
+    // a name whose catalog is NOT a graft catalog is refused loudly
+    val e = intercept[Exception] {
+      spark.sql("OPTIMIZE nosuch.tbl CLUSTER BY (k)").collect()
+    }
+    assert(e.getMessage.contains("graft catalog"), s"wrong error: ${e.getMessage}")
+  }
+
+  test("DELETE on a schema-evolved table keeps evolved-column values (mergeSchema rewrite)") {
+    warehouse
+    import spark.implicits._
+    val ST = graft.operators.SnapshotTable
+    val root = s"$warehouse/evdel"
+    Files.createDirectories(java.nio.file.Paths.get(root))
+    // mixed-width layout: a narrow pre-evolution file and a wide
+    // post-evolution file, committed under the `schema` marker (x18's
+    // add-column evolution — old files are never rewritten)
+    val narrow = (1L to 10L).map(k => (k, 100L)).toDF("k", "day")
+    val wide = (11L to 20L).map(k => (k, 200L, k * 0.1)).toDF("k", "day", "q")
+    val rels = ST.writeDataFiles(narrow, root, "a") ++ ST.writeDataFiles(wide, root, "b")
+    ST.commitEntries(root, 0, rels.map(ST.footerEntry(root, _, "day")),
+      shardSize = 8, Map("statsCol" -> "day", "schema" -> "evolved:+q"))
+    // the evolved table is readable BY NAME: union schema at planning,
+    // per-file null-fill at read — including a projection of ONLY the
+    // evolved column, which intersects to zero scannable columns on the
+    // narrow file (row count from the footer, no data pages)
+    assert(spark.sql("SELECT * FROM gcat.evdel").columns.toSeq == Seq("k", "day", "q"))
+    assert(spark.sql("SELECT q FROM gcat.evdel WHERE q IS NULL").count() == 10)
+    assert(spark.sql("SELECT q FROM gcat.evdel").count() == 20)
+    // the k-predicate gives day-stats nothing to prune: BOTH widths land
+    // in the rewrite set — exactly the case where a non-mergeSchema read
+    // samples one footer and silently nulls q for every surviving wide
+    // row
+    spark.sql("DELETE FROM gcat.evdel WHERE k <= 5")
+    val got = spark.sql("SELECT k, q FROM gcat.evdel WHERE k >= 11 ORDER BY k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 10 && got.forall { case (k, q) => math.abs(q - k * 0.1) < 1e-12 },
+      s"evolved column lost in DELETE rewrite: ${got.take(3).toSeq}")
+    // narrow-file survivors surface q as null, as before the delete
+    val narrows = spark.sql("SELECT q FROM gcat.evdel WHERE k BETWEEN 6 AND 10").collect()
+    assert(narrows.length == 5 && narrows.forall(_.isNullAt(0)))
+    assert(spark.sql("SELECT count(*) FROM gcat.evdel").head().getLong(0) == 15)
+  }
+
   test("DELETE prunes the rewrite to files whose stats admit a match") {
     warehouse
     import spark.implicits._

@@ -41,6 +41,32 @@ class KafkaParitySpec extends AnyFunSuite {
       "kafka-parsed rows drifted from the file-transport rows")
   }
 
+  test("st4's full watermark/late-data plan runs end-to-end over a recorded Kafka wire feed") {
+    val S = graft.streaming.Streams
+    // the same operator, twice: once over the file transport (the gate
+    // fixture), once over wire-format record batches deserialized
+    // through KafkaStreamSource.parse — the complete broker path minus
+    // the socket. Identical emitted windows = the operator plan is
+    // transport-independent where it matters: watermark advance, state
+    // eviction, and the guaranteed late-row drop all behave the same.
+    val file = S.st4StreamLateData(spark, sf).collect().map(_.toString).toSeq
+    val wire = S.withSource(graft.streaming.KafkaWireReplaySource) {
+      S.st4StreamLateData(spark, sf)
+    }.collect().map(_.toString).toSeq
+    assert(file.nonEmpty, "st4 fixture emitted nothing")
+    assert(wire == file, s"wire-fed st4 drifted: ${wire.take(2)} vs ${file.take(2)}")
+  }
+
+  test("st6's per-key session state machine runs end-to-end over a recorded Kafka wire feed") {
+    val S = graft.streaming.Streams
+    val file = S.st6StreamSessionState(spark, sf).collect().map(_.toString).toSeq
+    val wire = S.withSource(graft.streaming.KafkaWireReplaySource) {
+      S.st6StreamSessionState(spark, sf)
+    }.collect().map(_.toString).toSeq
+    assert(file.nonEmpty, "st6 fixture emitted nothing")
+    assert(wire == file, s"wire-fed st6 drifted: ${wire.take(2)} vs ${file.take(2)}")
+  }
+
   test("malformed records surface as null-field rows, not a crashed query") {
     import spark.implicits._
     val ev = graft.sources.Tables.events(spark, sf).limit(1)

@@ -64,6 +64,84 @@ class SnapshotRobustnessSpec extends AnyFunSuite {
       s"upsert state wrong: ${got.toSeq}")
   }
 
+  test("upsertBatch reads only may-match files (Delta's MERGE discipline), and records the scan") {
+    import spark.implicits._
+    val root = freshRoot("graft_sink_upsert_prune")
+    // batch 0: keys 1..80, range-clustered into 4 files with disjoint
+    // user ranges — the layout repeated key-ranged upserts converge to
+    val b0 = (1L to 80L).map(k => (k, 1L, k, k))
+      .toDF("user_id", "n_events", "value_micros", "last_ts")
+      .repartitionByRange(4, col("user_id"))
+    assert(SS.upsertBatch(spark, root, b0, batchId = 0L, keyCol = "user_id"))
+    assert(ST.manifestEntries(root, 1).size == 4, "fixture: want 4 range-disjoint files")
+    // batch 1 touches keys 5..10 — one file's key range: the combine
+    // must NOT scan the whole table (the O(table)-per-micro-batch read
+    // this spec exists to forbid)
+    val b1 = Seq((5L, 1L, 5L, 99L), (10L, 2L, 10L, 99L))
+      .toDF("user_id", "n_events", "value_micros", "last_ts")
+    assert(SS.upsertBatch(spark, root, b1, batchId = 1L, keyCol = "user_id"))
+    val meta = ST.manifestMeta(root, 2)
+    val Array(n, m) = meta("upsert_scan").split("of").map(_.toInt)
+    assert(m == 4 && n < m, s"read side not pruned: upsert_scan=${meta.get("upsert_scan")}")
+    // pruning must not cost correctness: touched keys combined, the
+    // other 78 rows intact
+    val got = ST.read(spark, root).filter(col("user_id").isin(5L, 10L))
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((5L, 2L, 10L, 99L), (10L, 3L, 20L, 99L)), s"combine wrong: ${got.toSeq}")
+    assert(ST.read(spark, root).count() == 80)
+  }
+
+  test("CommitRetry waits out the reclaim floor before failing loudly") {
+    val root = freshRoot("graft_retry_budget")
+    var clock = 1000000L
+    var slept = 0L
+    val retry = new ST.CommitRetry(root, sleep = ms => slept += ms, now = () => clock)
+    retry.observed(0)
+    val e = new java.nio.file.FileAlreadyExistsException("v1 claim")
+    // burn the whole attempt budget in (simulated) under a second: the
+    // pre-fix counter-only gate threw here — before a claim left by a
+    // committer that died JUST before our first attempt could age past
+    // StaleClaimMinAgeMs, making the reclaim path unreachable in that
+    // window. The time gate keeps retrying instead.
+    (1 to ST.MaxCommitAttempts + 10).foreach { _ => clock += 10; retry.lost(e) }
+    assert(slept > 0, "backoff must engage on no-progress losses")
+    // once the floor has genuinely elapsed the loud failure comes —
+    // a wedge still cannot spin forever
+    clock += ST.StaleClaimMinAgeMs
+    intercept[IllegalStateException] { retry.lost(e) }
+  }
+
+  test("concurrent DSv2 writers race the CAS: losers retry, every append lands once") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val root = freshRoot("graft_dsv2_race")
+    val writers = 6
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      // six sessionless-looking writers (six driver threads, the same
+      // race two Spark APPLICATIONS run on shared storage) append one
+      // row each through the connector simultaneously: every commit
+      // CASes the next manifest version, losers re-read and retry
+      val futs = (1 to writers).map { i => Future {
+        Seq((i.toLong, i * 10.0)).toDF("user_id", "score")
+          .coalesce(1).write.format("graft-snapshot").mode("append").save(root)
+      }}
+      Await.result(Future.sequence(futs), 180.seconds)
+    } finally pool.shutdown()
+    // one version per writer, consecutive — no lost update, no gap
+    assert(ST.currentVersion(root) == writers,
+      s"want $writers consecutive versions, got ${ST.currentVersion(root)}")
+    val got = ST.read(spark, root).orderBy("user_id").collect().map(_.getLong(0))
+    assert(got.toSeq == (1L to writers.toLong), s"rows lost in the race: ${got.toSeq}")
+    // every intermediate version stayed readable (time travel intact)
+    assert((1 to writers).map(v => ST.readAt(spark, root, v).count()).toSeq ==
+      (1 to writers).map(_.toLong))
+  }
+
   test("maintenance and batch commits carry statsCol and streaming watermarks forward") {
     val root = freshRoot("graft_meta_carry")
     // v1: a day-clustered base with a statsCol AND another streaming

@@ -1,5 +1,6 @@
 #!/usr/bin/env python3
-"""Self-adjudicate a Bench run against BASELINE.md (VERDICT r8 item 7).
+"""Self-adjudicate a Bench run against BASELINE.md (VERDICT r8 item 7,
+noise forensics per VERDICT r9 item 6).
 
 Usage: python3 tools/adjudicate.py [bench_out.json] [BASELINE.md]
 
@@ -8,18 +9,65 @@ Applies BASELINE.md's own reading protocol:
   regression (worth profiling in-round);
 - sub-second queries: flag only absolute delta > max(1 s, 5x spread)
   (scheduler jitter dominates ratios there);
-- a whole-suite shift (most queries moving together) is host noise —
-  the report separates per-query outliers from the suite-level ratio.
+- a whole-suite shift (most queries moving together — suite median
+  ratio > 1.3x) is host noise: flags are re-gated against the
+  shift-normalized baseline, and only residual outliers count;
+- residual outliers that form at most two contiguous run-order blocks
+  while the rest of the suite holds (VERDICT r9's q11–q17 pattern) are
+  a suspected host-noise WINDOW — a background process stealing the
+  machine for the span those queries ran in. Bench's per-query start
+  timestamps ("starts") corroborate the span when present.
 
-Exit 0 if no candidate regressions, 1 otherwise.
+Exit 0 if no surviving candidate regressions (warnings for suspected
+noise), 1 otherwise. Failed queries are always fatal.
 """
 import json
 import re
+import statistics
 import sys
 
 
+def load_bench(path):
+    bench = json.loads(re.sub(r"^\[info\]\s*", "", open(path).read().strip()))
+    if "queries" in bench:
+        return bench
+    # a driver BENCH_r{N}.json wrapper: the real line is in "parsed"
+    # (complete) or "tail" (possibly truncated stdout capture)
+    if isinstance(bench.get("parsed"), dict) and "queries" in bench["parsed"]:
+        return bench["parsed"]
+    if isinstance(bench.get("tail"), str):
+        pairs = re.findall(r'"([a-z]\w+)":(-?[\d.eE+]+)', bench["tail"])
+        skip = {"metric", "value", "sf"}
+        qs = {k: float(v) for k, v in pairs if k not in skip}
+        print(f"note: reconstructed {len(qs)} queries from a truncated "
+              "driver tail — coverage may be partial")
+        return {"queries": qs, "failed": []}
+    raise SystemExit(f"unrecognized bench artifact shape: {path}")
+
+
+def gate(k, b, v, spread):
+    """True when (b -> v) trips the baseline protocol's per-query gate."""
+    if b >= 1.0:
+        return v / b > 2.0
+    return v - b > max(1.0, 5 * spread.get(k, 0))
+
+
+def contiguous_blocks(names, order, max_gap=2):
+    """Number of run-order blocks the names collapse into (gaps of one
+    un-flagged query don't break a block: a sub-second query inside a
+    noise window can duck the abs gate)."""
+    pos = sorted(order[k] for k in names if k in order)
+    if not pos:
+        return 0
+    blocks = 1
+    for a, b in zip(pos, pos[1:]):
+        if b - a > max_gap:
+            blocks += 1
+    return blocks
+
+
 def main(bench_path="bench_out.json", baseline_path="BASELINE.md"):
-    bench = json.loads(re.sub(r"^\[info\]\s*", "", open(bench_path).read().strip()))
+    bench = load_bench(bench_path)
     base, spread = {}, {}
     for line in open(baseline_path):
         m = re.match(r"\| (\w+) \| ([\d.]+) \| ([\d.]+)", line)
@@ -28,6 +76,7 @@ def main(bench_path="bench_out.json", baseline_path="BASELINE.md"):
             spread[m.group(1)] = float(m.group(3))
     qs = {k: v for k, v in bench["queries"].items() if v >= 0}
     shared = sorted(set(qs) & set(base))
+    order = {k: i for i, k in enumerate(shared)}
     suite_ratio = sum(qs[k] for k in shared) / max(sum(base[k] for k in shared), 1e-9)
     print(f"suite: {sum(qs[k] for k in shared):.1f}s vs baseline "
           f"{sum(base[k] for k in shared):.1f}s = {suite_ratio:.2f}x "
@@ -35,22 +84,58 @@ def main(bench_path="bench_out.json", baseline_path="BASELINE.md"):
     missing = sorted(set(qs) - set(base))
     if missing:
         print(f"no baseline row ({len(missing)}): {', '.join(missing)}")
-    flags = []
-    for k in shared:
-        b, v = base[k], qs[k]
-        if b >= 1.0 and v / b > 2.0:
-            flags.append(f"{k}: {v:.2f}s vs {b:.2f}s = {v / b:.1f}x (ratio gate)")
-        elif b < 1.0 and v - b > max(1.0, 5 * spread.get(k, 0)):
-            flags.append(f"{k}: {v:.2f}s vs {b:.2f}s (+{v - b:.2f}s, abs gate)")
     if bench.get("failed"):
-        flags.append(f"FAILED queries: {bench['failed']}")
-    if flags:
-        print("candidate regressions (profile in-round before shipping):")
-        for f in flags:
-            print(f"  {f}")
+        print(f"FAILED queries (always fatal): {bench['failed']}")
         return 1
-    print("no candidate regressions")
-    return 0
+
+    flagged = [k for k in shared if base[k] > 0 and gate(k, base[k], qs[k], spread)]
+    if not flagged:
+        print("no candidate regressions")
+        return 0
+
+    # host-noise layer 1: a whole-suite multiplicative shift. 100+
+    # independent queries do not regress by the same factor from a code
+    # change — re-gate survivors against the shifted baseline.
+    ratios = [qs[k] / base[k] for k in shared if base[k] > 0.05]
+    shift = max(statistics.median(ratios), 1.0) if ratios else 1.0
+    residual = flagged
+    if shift > 1.3:
+        print(f"whole-suite shift: median ratio {shift:.2f}x — BASELINE.md's "
+              "protocol reads a together-move as host noise; re-gating "
+              "against the shifted baseline")
+        residual = [k for k in shared
+                    if base[k] > 0 and gate(k, base[k] * shift, qs[k], spread)]
+
+    # host-noise layer 2: residual outliers contiguous in run order
+    # (the window a background process stole), rest of the suite flat.
+    rest = sorted(qs[k] / (base[k] * shift) for k in shared
+                  if k not in set(residual) and base[k] > 0.05)
+    rest_ok = bool(rest) and rest[len(rest) // 2] < 1.3
+    window = (len(residual) >= 3 and rest_ok
+              and contiguous_blocks(residual, order) <= 2)
+    starts = bench.get("starts", {})
+    if window and starts and all(k in starts for k in residual):
+        span = max(starts[k] for k in residual) - min(starts[k] for k in residual)
+        total = (max(starts.values()) - min(starts.values())) or 1.0
+        # a "window" covering most of the run is just a slow host for
+        # the whole run — layer 1's shift handling owns that story
+        if span / total > 0.8 and len(residual) < 0.5 * len(shared):
+            window = False
+
+    def show(keys, label):
+        print(label)
+        for k in keys:
+            print(f"  {k}: {qs[k]:.2f}s vs {base[k]:.2f}s = {qs[k] / base[k]:.1f}x")
+
+    if not residual:
+        show(flagged, "all flags explained by the suite-level shift (host noise):")
+        return 0
+    if window:
+        show(residual, "SUSPECTED HOST-NOISE WINDOW (contiguous run-order block "
+             "moved together, rest of suite flat) — re-run the block to confirm:")
+        return 0
+    show(residual, "candidate regressions (profile in-round before shipping):")
+    return 1
 
 
 if __name__ == "__main__":
