@@ -49,4 +49,8 @@ package object functions {
     * [n_bytes, byte_sum, n_distinct, max_run]. */
   def byte_stats(c: Column): Column =
     GraftShim.column(ByteStats(GraftShim.expression(c)))
+
+  /** Document token count under a trained BPE merge table. */
+  def bpe_token_count(c: Column, merges: Array[String]): Column =
+    GraftShim.column(BpeTokenCount(GraftShim.expression(c), merges))
 }

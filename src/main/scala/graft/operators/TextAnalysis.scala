@@ -871,7 +871,54 @@ object TextAnalysis {
       |  CAST(SUM(keep) AS DOUBLE) / COUNT(*) AS achieved_rate
       |FROM b GROUP BY source ORDER BY source""".stripMargin
 
+  /** t17's trained merge table, memoized per (session, dir). Training
+    * runs on the BOUNDED word-frequency dictionary: one distributed
+    * wordcount shuffle (8-byte counts keyed on the words), then the
+    * top-[[T17Vocab]] rows by (count desc, word asc) — a TakeOrdered
+    * with a CONSTANT K, so the driver materialization does not grow
+    * with the corpus. This is the corpus bounding every production BPE
+    * trainer applies (cap/sample the word dict, learn merges on it);
+    * the full corpus is never collected, and encoding never leaves the
+    * executors. */
+  private val bpeMemo = new graft.SessionMemo[Array[String]]
+  private[graft] val T17Vocab = 4096
+  private[graft] val T17Merges = 200
+  private[graft] def bpeMerges(s: SparkSession, d: String): Array[String] =
+    bpeMemo.getOrElseUpdate(s, d) {
+      val dict = Tables.documents(s, d)
+        .select(explode(array_remove(split(col("text"), WsRe, -1), "")).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("w")).limit(T17Vocab)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      graft.functions.BpeKernels.train(dict, T17Merges)
+    }
+
+  /** t17_bpe_tokens — token counting under an ACTUAL trained vocabulary
+    * (t3's regex pre-tokenizer is a stand-in; this is the real thing a
+    * trainer budgets with): learn [[T17Merges]] BPE merges from the
+    * corpus's word-frequency dictionary, then count each document's
+    * tokens under the learned merge ranks with a native codegen'd
+    * kernel ([[graft.functions.BpeTokenCount]] — merges ride the plan,
+    * the count is one map-side pass, no shuffle beyond the training
+    * wordcount). Deterministic end to end (tie-breaks pinned), so the
+    * rows-only gate plus BpeSpec's hand-derived fixtures pin it.
+    * compression = chars per BPE token, the corpus-quality signal
+    * packing and budget estimates run on. */
+  def t17BpeTokens(s: SparkSession, d: String): DataFrame = {
+    val merges = bpeMerges(s, d)
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        wsTokens(col("text")).as("ws_tokens"),
+        graft.functions.bpe_token_count(col("text"), merges).as("bpe_vocab_tokens"),
+        length(col("text")).cast("long").as("chars"))
+      .withColumn("compression",
+        round(col("chars").cast("double") /
+          greatest(col("bpe_vocab_tokens"), lit(1L)).cast("double"), 4))
+      .orderBy("doc_id")
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "t17_bpe_tokens" -> (t17BpeTokens _, None),
     "t15_seq_packing" -> (t15SeqPacking _, Some(t15Sql)),
     "t16_mixture_sample" -> (t16MixtureSample _, Some(t16Sql)),
     "t14_repetition" -> (t14Repetition _, Some(t14Sql)),

@@ -112,6 +112,30 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT count(*) FROM gcat.del").head().getLong(0) == 2)
   }
 
+  test("concurrent INSERTs through the catalog route race the CAS and all land") {
+    warehouse
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    spark.sql("CREATE TABLE gcat.race (k BIGINT, v DOUBLE)")
+    val writers = 5
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      // the name-addressed write path (catalog → DSv2 BatchWrite →
+      // manifest CAS) under the same writer race the path-route spec
+      // pins: every INSERT must survive a lost CAS by retrying
+      val futs = (1 to writers).map { i => Future {
+        spark.sql(s"INSERT INTO gcat.race VALUES ($i, $i.5)")
+      }}
+      Await.result(Future.sequence(futs), 180.seconds)
+    } finally pool.shutdown()
+    val got = spark.sql("SELECT k FROM gcat.race ORDER BY k").collect().map(_.getLong(0))
+    assert(got.toSeq == (1L to writers.toLong), s"lost inserts: ${got.toSeq}")
+    assert(graft.operators.SnapshotTable.currentVersion(s"$warehouse/race") == writers,
+      "each INSERT must commit exactly one consecutive version")
+  }
+
   test("maintenance SQL addresses catalog tables BY NAME — path≡name on the same directory") {
     warehouse
     val root = s"$warehouse/scores"
