@@ -282,6 +282,18 @@ object SnapshotTable {
   def read(s: SparkSession, root: String): DataFrame =
     readAt(s, root, currentVersion(root))
 
+  /** The reader every file-SUBSET scan of version `v` must use:
+    * evolved versions (the `schema` marker) resolve the union schema
+    * via mergeSchema exactly as [[readAt]] does for the whole version.
+    * Without this a mixed-width subset samples ONE footer, and rows
+    * from wider files silently lose their evolved-column values — the
+    * bug class deleteWhere hit in r9 (ADVICE) applies to every
+    * pruned/merge/diff read alike. */
+  private[graft] def subsetReader(s: SparkSession, root: String, v: Int) =
+    if (v > 0 && manifestMeta(root, v).contains("schema"))
+      s.read.option("mergeSchema", "true")
+    else s.read
+
   /** Planning step of a stats-pruned scan: the entries of version `v`
     * whose [lo, hi] key range intersects [qlo, qhi]. Pure manifest
     * arithmetic — no data-file IO; stat-less entries (sentinel range)
@@ -299,9 +311,10 @@ object SnapshotTable {
     * range). x15 proves the skip; SnapshotStatsSpec counts the files. */
   def readPruned(s: SparkSession, root: String, keyCol: String,
       lo: Long, hi: Long): DataFrame = {
-    val files = prunedEntries(root, currentVersion(root), lo, hi)
+    val v = currentVersion(root)
+    val files = prunedEntries(root, v, lo, hi)
       .map(e => Paths.get(root, e.rel).toString)
-    s.read.parquet(files: _*).filter(col(keyCol).between(lo, hi))
+    subsetReader(s, root, v).parquet(files: _*).filter(col(keyCol).between(lo, hi))
   }
 
   /** Reclaim storage: drop manifests below `keepFrom` and delete every
@@ -555,7 +568,8 @@ object SnapshotTable {
     val affected = prunedEntries(root, v, qlo, qhi)
     val affectedSet = affected.map(_.rel).toSet
     val untouched = manifestEntries(root, v).filterNot(e => affectedSet(e.rel))
-    val old = s.read.parquet(affected.map(e => Paths.get(root, e.rel).toString): _*)
+    val old = subsetReader(s, root, v)
+      .parquet(affected.map(e => Paths.get(root, e.rel).toString): _*)
     val dropIds = changes.filter(col("op") =!= "i").select(col(idCol))
     val upserts = changes.filter(col("op") =!= "d")
       .select(old.columns.map(col).toIndexedSeq: _*)
@@ -756,11 +770,14 @@ object SnapshotTable {
       vFrom: Int, vTo: Int): DataFrame = {
     val from = manifestEntries(root, vFrom).map(_.rel).toSet
     val to = manifestEntries(root, vTo).map(_.rel).toSet
-    def readRels(rels: Set[String]): Option[DataFrame] =
+    // each side reads under ITS version's schema semantics (an evolved
+    // vTo resolves the union width; a pre-evolution vFrom stays narrow)
+    def readRels(rels: Set[String], v: Int): Option[DataFrame] =
       if (rels.isEmpty) None
-      else Some(s.read.parquet(rels.toSeq.sorted.map(r => Paths.get(root, r).toString): _*))
-    val added = readRels(to -- from)
-    val removed = readRels(from -- to)
+      else Some(subsetReader(s, root, v)
+        .parquet(rels.toSeq.sorted.map(r => Paths.get(root, r).toString): _*))
+    val added = readRels(to -- from, vTo)
+    val removed = readRels(from -- to, vFrom)
     (added, removed) match {
       case (Some(a), Some(r)) =>
         a.exceptAll(r).withColumn("change_type", lit("insert"))
@@ -993,14 +1010,22 @@ object SnapshotTable {
     * serve point lookups on everything else. */
   def readPointLookup(s: SparkSession, root: String, keyCol: String,
       values: Seq[Long]): DataFrame = {
-    val entries = manifestEntries(root, currentVersion(root))
+    val v = currentVersion(root)
+    val entries = manifestEntries(root, v)
     val hit = entries.map(_.rel)
       .filter(rel => bloomMayContain(root, rel, keyCol, values).nonEmpty)
-    if (hit.isEmpty)
-      // preserve the schema without scanning data: one file's footer
-      s.read.parquet(Paths.get(root, entries.head.rel).toString).filter(lit(false))
+    if (hit.isEmpty) {
+      // preserve the schema without scanning data pages: one footer on
+      // a uniform table; every footer (still metadata-only) on an
+      // evolved one, where a single file's width is not the union's
+      val schemaRels =
+        if (manifestMeta(root, v).contains("schema")) entries.map(_.rel)
+        else entries.take(1).map(_.rel)
+      subsetReader(s, root, v)
+        .parquet(schemaRels.map(r => Paths.get(root, r).toString): _*).filter(lit(false))
+    }
     else
-      s.read.parquet(hit.map(r => Paths.get(root, r).toString): _*)
+      subsetReader(s, root, v).parquet(hit.map(r => Paths.get(root, r).toString): _*)
         .filter(col(keyCol).isin(values: _*))
   }
 
@@ -1091,10 +1116,11 @@ object SnapshotTable {
     * the exact box predicate re-applied on survivors. */
   def readPrunedBox(s: SparkSession, root: String, primaryCol: String,
       box: Seq[(String, Long, Long)]): DataFrame = {
-    val files = prunedEntriesBox(root, currentVersion(root), primaryCol, box)
+    val v = currentVersion(root)
+    val files = prunedEntriesBox(root, v, primaryCol, box)
       .map(e => Paths.get(root, e.rel).toString)
     val pred = box.map { case (c, l, h) => col(c).between(l, h) }.reduce(_ && _)
-    s.read.parquet(files: _*).filter(pred)
+    subsetReader(s, root, v).parquet(files: _*).filter(pred)
   }
 
   /** x22's day range (10 mid-month days); the user range is derived

@@ -251,8 +251,8 @@ private[sources] class SnapshotDsv2Table(root: String, schema: StructType,
     // mixed-width files) the rewrite must resolve the UNION schema, or
     // the sample-footer width silently drops evolved columns from every
     // surviving row in a wider candidate file
-    val rdr = if (carried.contains("schema")) s.read.option("mergeSchema", "true") else s.read
-    val kept = rdr.parquet(cands.map(e => Paths.get(root, e.rel).toString): _*)
+    val kept = SnapshotTable.subsetReader(s, root, v)
+      .parquet(cands.map(e => Paths.get(root, e.rel).toString): _*)
       .filter(not(coalesce(cond, lit(false))))
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val rels = SnapshotTable.writeDataFiles(kept, root, s"del_$tag")
@@ -439,8 +439,12 @@ private[sources] class SnapshotScan(root: String, version: Int,
 
   private def factory: SnapshotReaderFactory = {
     val full = SnapshotSourceUtil.tableMessageType(root)
+    // evolved (mixed-width) versions pay the per-file request
+    // intersection in the reader; uniform tables keep the zero-extra-IO
+    // fast path (the flag is the same one readAt gates mergeSchema on)
+    val evolved = version > 0 && SnapshotTable.manifestMeta(root, version).contains("schema")
     SnapshotReaderFactory(
-      SnapshotSourceUtil.projectedMessage(full, pruned).toString, pruned)
+      SnapshotSourceUtil.projectedMessage(full, pruned).toString, pruned, evolved)
   }
 
   /** The version's entries that survive the pushed filters' combined
@@ -748,41 +752,54 @@ private[sources] object SnapshotCountReaderFactory extends PartitionReaderFactor
   * column, so the intersection is the identity and the fast path pays
   * one footer read (already required by parquet's own open). */
 private[sources] case class SnapshotReaderFactory(projectedMessage: String,
-    pruned: StructType) extends PartitionReaderFactory {
+    pruned: StructType, evolved: Boolean = false) extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val path = p.asInstanceOf[SnapshotFilePartition].path
     new PartitionReader[InternalRow] {
       import scala.jdk.CollectionConverters._
       private val request = MessageTypeParser.parseMessageType(projectedMessage)
-      private val (fileFields: Map[String, org.apache.parquet.schema.Type], fileRows: Long) = {
-        val in = HadoopInputFile.fromPath(new HadoopPath(path), new Configuration())
-        val r = ParquetFileReader.open(in)
-        try (r.getFooter.getFileMetaData.getSchema.getFields.asScala
-            .map(f => f.getName -> f).toMap,
-          r.getFooter.getBlocks.asScala.map(_.getRowCount).sum)
-        finally r.close()
-      }
-      // pruned index i → slot in the per-file request, -1 = absent
-      private val slot: Array[Int] = {
-        var next = 0
-        pruned.fields.map { f =>
-          if (fileFields.contains(f.name)) { val s = next; next += 1; s } else -1
+      // the per-file footer pre-read happens ONLY for evolved versions:
+      // a uniform table (the overwhelmingly common case — this is an
+      // extra metadata RPC per file at 100 TB) skips straight to the
+      // shared request schema
+      private val fileMeta: Option[(Map[String, org.apache.parquet.schema.Type], Long)] =
+        if (!evolved) None
+        else {
+          val in = HadoopInputFile.fromPath(new HadoopPath(path), new Configuration())
+          val r = ParquetFileReader.open(in)
+          try Some((r.getFooter.getFileMetaData.getSchema.getFields.asScala
+              .map(f => f.getName -> f).toMap,
+            r.getFooter.getBlocks.asScala.map(_.getRowCount).sum))
+          finally r.close()
         }
+      private val fileRows: Long = fileMeta.fold(0L)(_._2)
+      // pruned index i → slot in the per-file request, -1 = absent
+      private val slot: Array[Int] = fileMeta match {
+        case None => Array.tabulate(pruned.length)(identity)
+        case Some((fileFields, _)) =>
+          var next = 0
+          pruned.fields.map { f =>
+            if (fileFields.contains(f.name)) { val s = next; next += 1; s } else -1
+          }
       }
       // the request must carry the FILE's own field declarations (the
       // union schema demotes evolution-gap columns to OPTIONAL, which
       // parquet rejects against a file that declared them REQUIRED)
-      private val fileRequest = new MessageType(request.getName,
-        request.getFields.asScala.collect {
-          case f if fileFields.contains(f.getName) => fileFields(f.getName)
-        }.toList.asJava: java.util.List[org.apache.parquet.schema.Type])
+      private val fileRequest = fileMeta match {
+        case None => request
+        case Some((fileFields, _)) =>
+          new MessageType(request.getName,
+            request.getFields.asScala.collect {
+              case f if fileFields.contains(f.getName) => fileFields(f.getName)
+            }.toList.asJava: java.util.List[org.apache.parquet.schema.Type])
+      }
       // a projection of ONLY evolved columns over a pre-evolution file
       // intersects to zero scannable columns: parquet cannot drive an
       // empty scan, but the row COUNT is in the footer — emit that many
       // all-null rows without touching a data page
       private val reader =
-        if (fileRequest.getFieldCount == 0) null
+        if (evolved && fileRequest.getFieldCount == 0) null
         else {
           val conf = new Configuration()
           conf.set(ReadSupport.PARQUET_READ_SCHEMA, fileRequest.toString)

@@ -92,6 +92,23 @@ class PlanSpec extends AnyFunSuite {
     assert(fileScans(SparkEntry.queries("t15_seq_packing")(spark, sf)) == 1)
   }
 
+  test("t17: BPE scoring is one map-side scan — codegen'd kernel, no join, no agg shuffle") {
+    // warm the merge memo OUTSIDE the audited plan (training is its own
+    // bounded wordcount job; the scoring query must not re-plan it)
+    graft.operators.TextAnalysis.bpeMerges(spark, sf)
+    val qe = SparkEntry.queries("t17_bpe_tokens")(spark, sf).queryExecution
+    val p = qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("bpe_token_count"), "kernel expression missing from the plan")
+    // one documents scan, no join/agg, and the only exchange is the
+    // output ordering's range partitioning — scoring itself never
+    // shuffles (string asserts: AQE wraps sparkPlan in a leaf node)
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1,
+      s"expected one corpus scan:\n${p.take(400)}")
+    assert(!p.contains("Join") && !p.contains("Aggregate"), "scoring must not join or aggregate")
+    assert("\\(\\d+\\) Exchange".r.findAllIn(p).size == 1 && p.contains("rangepartitioning"),
+      s"the only shuffle must be the output sort's range exchange:\n${p.take(400)}")
+  }
+
   test("t16: sampling is one scan with map-side partial aggregation") {
     val df = SparkEntry.queries("t16_mixture_sample")(spark, sf)
     assert(fileScans(df) == 1, "t16 must decide keep/drop in the scan pass")

@@ -173,6 +173,33 @@ class SnapshotRobustnessSpec extends AnyFunSuite {
       afterBatch.get("last_batch").contains("0"), s"batch commit lost metadata: $afterBatch")
   }
 
+  test("merge on a schema-evolved table keeps evolved-column values in the rewrite") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("graft_merge_evolved")
+    // mixed widths under one manifest (x18's layout): narrow day-100
+    // file, wide day-200 file with evolved column q
+    val narrow = (1L to 10L).map(k => (k, 100L)).toDF("k", "day")
+    val wide = (11L to 20L).map(k => (k, 200L, k * 0.5)).toDF("k", "day", "q")
+    val rels = ST.writeDataFiles(narrow, root, "a") ++ ST.writeDataFiles(wide, root, "b")
+    ST.commitEntries(root, 0, rels.map(ST.footerEntry(root, _, "day")), shardSize = 8,
+      Map("statsCol" -> "day", "schema" -> "evolved:+q"))
+    // a changeset spanning BOTH days pulls both widths into the merge's
+    // rewrite set — the case where a single-footer read silently nulls
+    // q for every surviving wide row
+    val changes = Seq((5L, 100L, Option.empty[Double]), (15L, 200L, Option.empty[Double]))
+      .toDF("k", "day", "q").withColumn("op", lit("d"))
+    ST.merge(spark, root, "day", "k", changes)
+    val after = ST.read(spark, root)
+    assert(after.count() == 18)
+    val qs = after.filter(col("k") >= 11L).select("k", "q").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    ((11L to 20L).toSet - 15L).foreach { k =>
+      assert(qs(k).contains(k * 0.5), s"evolved value lost for k=$k: ${qs(k)}") }
+    // narrow-side survivors still surface q as null
+    assert(after.filter(col("k") <= 10L && col("q").isNotNull).count() == 0)
+  }
+
   test("merge refuses a cluster column that contradicts the table's statsCol") {
     val root = freshRoot("graft_merge_statscol")
     val entries = ST.writeDataFiles(eventSlice(50), root, "base")
