@@ -519,7 +519,36 @@ object Multimodal {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** m8_image_dedup_clusters — m5's duplicate pairs routed into
+    * connected-component clustering, one row per image: the 100 TB
+    * answer to the 32× ScaleProbe finding that pair MATERIALIZATION is
+    * quadratic in duplicate multiplicity (60.3M pair rows at 32×, with
+    * per-pair cost rising under the memory pressure of holding them).
+    * A k-duplicate cluster costs k label rows here instead of k(k-1)/2
+    * pair rows — the same d6→d7 discipline the text family uses:
+    * pointer-doubling min-label propagation over the banded pairs,
+    * log₂(diameter) rounds, no vector or pixel ever shuffled.
+    * cluster_id = min image id in the component; the keeper is the
+    * cluster representative (the dedup verdict a curation pipeline
+    * joins against). Rows-only by design (iterative propagation has no
+    * SQL twin); the spec pins labels ≡ the transitive closure of m5's
+    * pairs and every planted twin clustered with its original. */
+  def m8ImageDedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = m5PhashPairs(s, d).select("doc_a", "doc_b")
+    val (labels, _) = graft.operators.Dedup.propagateLabels(pairs)
+    // the id universe m5 hashed: every payload plus its planted twin
+    val ids = withPayload(s, d).select(col("doc_id"))
+    val universe = ids.union(
+      ids.filter(pmod(col("doc_id"), lit(10L)) === 0)
+        .select((col("doc_id") + M5TwinOffset).as("doc_id")))
+    universe.join(labels, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_keeper", (col("cluster_id") === col("doc_id")).cast("long"))
+      .orderBy("doc_id")
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "m8_image_dedup_clusters" -> (m8ImageDedupClusters _, None),
     "m6_rgb_jpeg_stats" -> (m6RgbJpegStats _, None),
     "m7_audio_chunks" -> (m7AudioChunks _, None),
     "m5_phash_pairs" -> (m5PhashPairs _, None),

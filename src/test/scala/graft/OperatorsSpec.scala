@@ -346,6 +346,33 @@ class NonSqlOracleSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 <= M.M5MaxHamming))
   }
 
+  test("m8: image clusters ≡ transitive closure of m5 pairs; twins cluster with originals") {
+    val M = graft.operators.Multimodal
+    val pairs = M.m5PhashPairs(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val labels = M.m8ImageDedupClusters(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byId = labels.map(l => l._1 -> l._2).toMap
+    // driver-side union-find reference: min-label closure of the pairs
+    val uf = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = uf.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); uf(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) uf(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    byId.foreach { case (id, cl) =>
+      assert(cl == find(id), s"cluster label for $id: got $cl, closure says ${find(id)}") }
+    // every planted twin landed in its original's cluster, and the
+    // keeper flag marks exactly the cluster representative
+    byId.keys.filter(_ >= M.M5TwinOffset).foreach { twin =>
+      assert(byId(twin) == byId(twin - M.M5TwinOffset), s"twin $twin split from original") }
+    labels.foreach { case (id, cl, keep) =>
+      assert(keep == (if (id == cl) 1L else 0L), s"keeper flag wrong for $id") }
+    assert(labels.length == byId.size, "duplicate ids in the cluster table")
+  }
+
   test("m4 PNG round-trip is lossless: decode(encode(bytes)) == bytes + zero pad") {
     val M = graft.operators.Multimodal
     val samples = Seq(
