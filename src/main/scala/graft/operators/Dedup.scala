@@ -353,12 +353,19 @@ object Dedup {
       propagateLabels(pairs)._1
     }
 
-  private def clustersOver(s: SparkSession, d: String, pairSource: String): DataFrame =
-    Tables.documents(s, d).select("doc_id")
-      .join(clusterLabels(s, d, pairSource), Seq("doc_id"), "left_outer")
+  /** Label/keeper verdict over any id universe: left-join propagated
+    * labels (singletons are their own cluster), flag the minimum-id
+    * representative. One shape for every modality — d6/d7 (text) and
+    * m8 (image) emit structurally identical cluster tables. */
+  private[graft] def clusterVerdict(universe: DataFrame, labels: DataFrame): DataFrame =
+    universe.join(labels, Seq("doc_id"), "left_outer")
       .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
       .withColumn("is_keeper", (col("cluster_id") === col("doc_id")).cast("long"))
       .orderBy("doc_id")
+
+  private def clustersOver(s: SparkSession, d: String, pairSource: String): DataFrame =
+    clusterVerdict(Tables.documents(s, d).select("doc_id"),
+      clusterLabels(s, d, pairSource))
 
   /** Oracle-gated form: pairs from d2's exact capped-space Jaccard, so
     * the DuckDB WITH RECURSIVE closure can hash-check end-to-end. */

@@ -541,10 +541,7 @@ object Multimodal {
     val universe = ids.union(
       ids.filter(pmod(col("doc_id"), lit(10L)) === 0)
         .select((col("doc_id") + M5TwinOffset).as("doc_id")))
-    universe.join(labels, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
-      .withColumn("is_keeper", (col("cluster_id") === col("doc_id")).cast("long"))
-      .orderBy("doc_id")
+    graft.operators.Dedup.clusterVerdict(universe, labels)
   }
 
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(

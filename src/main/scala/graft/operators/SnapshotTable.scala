@@ -568,11 +568,31 @@ object SnapshotTable {
     val affected = prunedEntries(root, v, qlo, qhi)
     val affectedSet = affected.map(_.rel).toSet
     val untouched = manifestEntries(root, v).filterNot(e => affectedSet(e.rel))
-    val old = subsetReader(s, root, v)
-      .parquet(affected.map(e => Paths.get(root, e.rel).toString): _*)
+    // the changeset's columns (minus op) ARE the table contract — the
+    // scaladoc requires callers to carry the table's columns. Project
+    // BOTH legs to them: a narrow-files-only affected subset of an
+    // evolved table must null-fill the evolved columns (typed nulls)
+    // rather than strip them from the caller's upserts, and a changeset
+    // narrower than the files it touches must fail loudly, not drop a
+    // column from surviving rows.
+    val cols = changes.columns.filterNot(_ == "op").toIndexedSeq
+    val old0 =
+      // a changeset of only NEW keys can prune to zero files (growth
+      // batches in the streaming upsert sink): valid — nothing to
+      // rewrite, the upserts are the whole new file set
+      if (affected.isEmpty) changes.select(cols.map(col): _*).filter(lit(false))
+      else subsetReader(s, root, v)
+        .parquet(affected.map(e => Paths.get(root, e.rel).toString): _*)
+    require(old0.columns.forall(cols.contains),
+      s"merge on $root: changeset lacks table columns " +
+        s"${old0.columns.filterNot(cols.contains).mkString(",")} — a merge must carry " +
+        "the table's full (union) schema or surviving rows would lose them")
+    val old = cols.foldLeft(old0)((df, c) =>
+        if (df.columns.contains(c)) df
+        else df.withColumn(c, lit(null).cast(changes.schema(c).dataType)))
+      .select(cols.map(col): _*)
     val dropIds = changes.filter(col("op") =!= "i").select(col(idCol))
-    val upserts = changes.filter(col("op") =!= "d")
-      .select(old.columns.map(col).toIndexedSeq: _*)
+    val upserts = changes.filter(col("op") =!= "d").select(cols.map(col): _*)
     val rewritten = old.join(dropIds, Seq(idCol), "left_anti").unionByName(upserts)
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val rels = writeDataFiles(

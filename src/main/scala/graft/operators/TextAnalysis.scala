@@ -332,20 +332,25 @@ object TextAnalysis {
     * per-source rollup. All-integer output (shared/total counts, flag
     * sums) → bit-stable hash vs the string-based DuckDB twin. */
   def t10Contamination(s: SparkSession, d: String): DataFrame = {
-    // .distinct() matches the SQL twin's DISTINCT doc_id, shingle: the
-    // kernel dedups per ROW, so without it a repeated doc_id row that
-    // shares a shingle would double-count. No-op (beyond the exchange)
-    // when doc_id is unique — the kernel's per-row dedup already holds.
+    // (doc_id, h).distinct() IS the SQL twin's `DISTINCT doc_id,
+    // shingle`: shingles pool per doc_id across repeated rows,
+    // SOURCE-FREE (the twin attaches sources afterwards via a separate
+    // DISTINCT (doc_id, source) join, so a doc_id listed under two
+    // sources contributes its full pooled counts to both groups —
+    // keeping source inside the dedup key would split the pool and
+    // diverge on exactly that degenerate input). No-op beyond the
+    // exchange when doc_id is unique.
     val sh = Tables.documents(s, d)
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"),
         explode(graft.functions.shingle_hashes(col("text"))).as("h"))
       .distinct()
     val bench = sh.filter(pmod(col("doc_id"), lit(50)) === 0)
       .select("h").distinct().withColumn("hit", lit(1L))
-    sh.filter(pmod(col("doc_id"), lit(50)) =!= 0)
+    val corp = sh.filter(pmod(col("doc_id"), lit(50)) =!= 0)
       .join(broadcast(bench), Seq("h"), "left_outer")
-      .groupBy(col("doc_id"), col("source"))
+      .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_sh"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    corp.join(Tables.documents(s, d).select("doc_id", "source").distinct(), Seq("doc_id"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum((col("n_hit") * 2 >= col("n_sh")).cast("long")).as("n_contaminated"),

@@ -103,8 +103,13 @@ object SnapshotSql {
     * impossible and everything un-owned falls through to Spark's
     * parser. */
   private[graft] def owns(stmt: String): Boolean = stmt match {
+    // DESCRIBE HISTORY is deliberately NOT here: the parser routes it
+    // through historyRoot, which falls through to the delegate when the
+    // reference doesn't resolve (DESCRIBE is real Spark syntax another
+    // extension in the session may own) — claiming it here would turn
+    // that fall-through into an exec-time parse error
     case OptimizeCluster(_, _, _) | OptimizeZorder(_, _, _, _)
-       | MergeInto(_, _, _, _) | Vacuum(_, _) | History(_) => true
+       | MergeInto(_, _, _, _) | Vacuum(_, _) => true
     case _ => false
   }
 

@@ -90,6 +90,14 @@ class SnapshotRobustnessSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.toSeq == Seq((5L, 2L, 10L, 99L), (10L, 3L, 20L, 99L)), s"combine wrong: ${got.toSeq}")
     assert(ST.read(spark, root).count() == 80)
+    // a batch of entirely NEW keys beyond every file's range: zero
+    // may-match files, still a clean exactly-once commit (the growth
+    // shape every user-keyed stream eventually sends)
+    val b2 = Seq((200L, 1L, 7L, 50L))
+      .toDF("user_id", "n_events", "value_micros", "last_ts")
+    assert(SS.upsertBatch(spark, root, b2, batchId = 2L, keyCol = "user_id"))
+    assert(ST.read(spark, root).count() == 81)
+    assert(ST.manifestMeta(root, 3)("upsert_scan") == "0of4", "growth batch must prune to zero")
   }
 
   test("CommitRetry waits out the reclaim floor before failing loudly") {
@@ -198,6 +206,50 @@ class SnapshotRobustnessSpec extends AnyFunSuite {
       assert(qs(k).contains(k * 0.5), s"evolved value lost for k=$k: ${qs(k)}") }
     // narrow-side survivors still surface q as null
     assert(after.filter(col("k") <= 10L && col("q").isNotNull).count() == 0)
+  }
+
+  test("merge: a new-key-only changeset prunes to zero files and still appends") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("graft_merge_growth")
+    val base = (1L to 10L).map(k => (k, 100L)).toDF("k", "day")
+    val rels = ST.writeDataFiles(base, root, "base")
+    ST.commitEntries(root, 0, rels.map(ST.footerEntry(root, _, "day")), shardSize = 8,
+      Map("statsCol" -> "day"))
+    // day 300 is outside every file's stats: affected = ∅ — the growth
+    // batch every CDC stream eventually sends (this crashed with
+    // UNABLE_TO_INFER_SCHEMA on the zero-path parquet read)
+    val changes = Seq((21L, 300L)).toDF("k", "day").withColumn("op", lit("i"))
+    ST.merge(spark, root, "day", "k", changes)
+    val got = ST.read(spark, root).orderBy("k").collect().map(_.getLong(0))
+    assert(got.toSeq == ((1L to 10L) :+ 21L), s"growth merge lost rows: ${got.toSeq}")
+  }
+
+  test("merge upsert into a narrow-files-only subset keeps the changeset's evolved values") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = freshRoot("graft_merge_evolved_upsert")
+    val narrow = (1L to 10L).map(k => (k, 100L)).toDF("k", "day")
+    val wide = (11L to 20L).map(k => (k, 200L, k * 0.5)).toDF("k", "day", "q")
+    val rels = ST.writeDataFiles(narrow, root, "a") ++ ST.writeDataFiles(wide, root, "b")
+    ST.commitEntries(root, 0, rels.map(ST.footerEntry(root, _, "day")), shardSize = 8,
+      Map("statsCol" -> "day", "schema" -> "evolved:+q"))
+    // bounds [100,100]: only the NARROW file is affected — the old
+    // contract projected upserts to the subset's (k, day) and silently
+    // dropped the caller's q
+    val up = Seq((5L, 100L, 9.9)).toDF("k", "day", "q").withColumn("op", lit("u"))
+    ST.merge(spark, root, "day", "k", up)
+    val after = ST.read(spark, root)
+    val q5 = after.filter(col("k") === 5L).select("q").head()
+    assert(!q5.isNullAt(0) && q5.getDouble(0) == 9.9, s"upsert's evolved value lost: $q5")
+    // wide-file rows untouched, other narrow rows still null-q
+    assert(after.filter(col("k") === 15L).select("q").head().getDouble(0) == 7.5)
+    assert(after.filter(col("k") === 6L).select("q").head().isNullAt(0))
+    // an under-specified changeset (missing a column its files carry)
+    // fails loudly instead of dropping the column from survivors
+    val bad = Seq((15L, 200L)).toDF("k", "day").withColumn("op", lit("u"))
+    val e = intercept[IllegalArgumentException] { ST.merge(spark, root, "day", "k", bad) }
+    assert(e.getMessage.contains("union"), s"wrong error: ${e.getMessage}")
   }
 
   test("merge refuses a cluster column that contradicts the table's statsCol") {

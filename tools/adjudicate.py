@@ -36,9 +36,13 @@ def load_bench(path):
     if isinstance(bench.get("parsed"), dict) and "queries" in bench["parsed"]:
         return bench["parsed"]
     if isinstance(bench.get("tail"), str):
-        pairs = re.findall(r'"([a-z]\w+)":(-?[\d.eE+]+)', bench["tail"])
+        # cut at the "starts" map: its epoch-second values share the
+        # query names, and a naive findall would overwrite every
+        # duration with a ~1.7e9 timestamp
+        tail = bench["tail"].split('"starts"')[0]
+        pairs = re.findall(r'"([a-z]\w+)":(-?[\d.eE+]+)', tail)
         skip = {"metric", "value", "sf"}
-        qs = {k: float(v) for k, v in pairs if k not in skip}
+        qs = {k: float(v) for k, v in pairs if k not in skip and float(v) < 1e8}
         print(f"note: reconstructed {len(qs)} queries from a truncated "
               "driver tail — coverage may be partial")
         return {"queries": qs, "failed": []}
