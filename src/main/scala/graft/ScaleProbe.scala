@@ -119,6 +119,11 @@ object ScaleProbe {
     // log — the cost that must stay batch-proportional, not
     // table-proportional
     time("st11_upsert_sink")(streaming.SnapshotSink.st11StreamUpsertSink(spark, work).count())
+    // r10: the cluster-label answer to m5's quadratic pair output —
+    // same codec+banding stage (memo-shared when m5 ran in-session),
+    // then pointer-doubling CC: output is ONE row per image no matter
+    // how many duplicate pairs the replicas induce
+    time("m8_image_clusters")(operators.Multimodal.m8ImageDedupClusters(spark, work).count())
     spark.stop()
   }
 }
