@@ -46,8 +46,18 @@ object Bench {
     // SPARK_GRAFT_ONLY=name1,name2 restricts the run (profiling aid)
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // a query that throws is recorded as -1.0 (and listed in "failed") so
-    // a broken query can never masquerade as a fast one in BENCH output
-    val rows = SparkEntry.queries.toSeq.sortBy(_._1)
+    // a broken query can never masquerade as a fast one in BENCH output.
+    // Run order is a DETERMINISTIC INTERLEAVE (hash of the name, stable
+    // across rounds) rather than sorted: under sorted order an operator
+    // family (d*, st*, t*...) occupies one contiguous run-time block, so
+    // a genuine family-wide regression is indistinguishable from a
+    // host-noise window stealing that same block (ADVICE r10 #1). Hashed
+    // order scatters each family across the run: a noise window inflates
+    // a time-contiguous mix of families, a family regression inflates
+    // name-related queries at scattered times — adjudicate.py tells the
+    // two apart by run-order contiguity of the flagged set.
+    val rows = SparkEntry.queries.toSeq
+      .sortBy { case (name, _) => (scala.util.hashing.MurmurHash3.stringHash(name), name) }
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         // wall-clock start (epoch seconds): a host-noise window — a
@@ -67,8 +77,13 @@ object Bench {
     val starts = rows.map { case (k, _, w) => s"\"" + k + "\":" + w }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""starts":$starts,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    // "starts" BEFORE "queries": the driver's artifact keeps only the
+    // last ~2000 chars of stdout, and with 123 queries the line is ~5k
+    // chars — r10's tail was all start-timestamps and zero durations.
+    // Durations last means whatever survives truncation is the part
+    // adjudicate.py can actually grade.
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","starts":$starts,""" +
+      s""""queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
     println(json)
     // ALSO write the result to a file: the driver captures sbt's stdout
     // tail, and one 110-query JSON line buried in sbt noise gets

@@ -768,7 +768,12 @@ object TextAnalysis {
     * and the running sum uses an explicit RANGE frame on both sides so
     * duplicate doc_ids (degenerate but possible in user data) get the
     * deterministic peer-group sum instead of a tie-order-dependent ROWS
-    * sum that no two engines need agree on. */
+    * sum that no two engines need agree on. Every integer output column
+    * in the oracle is CAST AS BIGINT: DuckDB widens SUM(BIGINT) to
+    * HUGEINT, which pandas materializes as float64 — a dtype skew
+    * against Spark's int64 that hash-canonicalizers may or may not
+    * collapse (r10's only red row came from exactly this on
+    * offset_in_pack). */
   private[graft] def t15Core(docs: DataFrame): DataFrame = {
     val conf = docs.sparkSession.conf
     val shards = conf.get(T15ShardsKey, T15Shards.toString).toInt
@@ -808,7 +813,7 @@ object TextAnalysis {
        |SELECT doc_id, shard, tokens,
        |  CAST(floor((cum_after - tokens) / $T15Budget.0) AS BIGINT) AS pack_first,
        |  CAST(floor(greatest(cum_after - 1, cum_after - tokens) / $T15Budget.0) AS BIGINT) AS pack_last,
-       |  (cum_after - tokens) % $T15Budget AS offset_in_pack
+       |  CAST((cum_after - tokens) % $T15Budget AS BIGINT) AS offset_in_pack
        |FROM c ORDER BY doc_id""".stripMargin
 
   /** t16_mixture_sample — domain-mixture sampling: down-sample each
@@ -871,7 +876,7 @@ object TextAnalysis {
       |       WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.25 ELSE 0.1 END) * 10000
       |    THEN 1 ELSE 0 END AS keep
       |  FROM documents)
-      |SELECT source, MAX(target_rate) AS target_rate,
+      |SELECT source, CAST(MAX(target_rate) AS DOUBLE) AS target_rate,
       |  COUNT(*) AS total, CAST(SUM(keep) AS BIGINT) AS kept,
       |  CAST(SUM(keep) AS DOUBLE) / COUNT(*) AS achieved_rate
       |FROM b GROUP BY source ORDER BY source""".stripMargin

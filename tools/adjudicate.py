@@ -36,11 +36,11 @@ def load_bench(path):
     if isinstance(bench.get("parsed"), dict) and "queries" in bench["parsed"]:
         return bench["parsed"]
     if isinstance(bench.get("tail"), str):
-        # cut at the "starts" map: its epoch-second values share the
-        # query names, and a naive findall would overwrite every
-        # duration with a ~1.7e9 timestamp
-        tail = bench["tail"].split('"starts"')[0]
-        pairs = re.findall(r'"([a-z]\w+)":(-?[\d.eE+]+)', tail)
+        # Bench prints "starts" before "queries" (r11) so a truncated
+        # tail keeps durations; epoch-second start values (~1.7e9) are
+        # filtered by magnitude, and a duration seen after a same-named
+        # timestamp overwrites it
+        pairs = re.findall(r'"([a-z]\w+)":(-?[\d.eE+]+)', bench["tail"])
         skip = {"metric", "value", "sf"}
         qs = {k: float(v) for k, v in pairs if k not in skip and float(v) < 1e8}
         print(f"note: reconstructed {len(qs)} queries from a truncated "
@@ -80,7 +80,16 @@ def main(bench_path="bench_out.json", baseline_path="BASELINE.md"):
             spread[m.group(1)] = float(m.group(3))
     qs = {k: v for k, v in bench["queries"].items() if v >= 0}
     shared = sorted(set(qs) & set(base))
-    order = {k: i for i, k in enumerate(shared)}
+    # run order comes from the start timestamps when present — Bench
+    # interleaves execution by name-hash (r11), so alphabetical position
+    # no longer approximates run position. Without starts, fall back to
+    # name order (pre-r11 artifacts, truncated tails).
+    starts = bench.get("starts", {})
+    if starts and all(k in starts for k in shared):
+        run_seq = sorted(shared, key=lambda k: starts[k])
+    else:
+        run_seq = shared
+    order = {k: i for i, k in enumerate(run_seq)}
     suite_ratio = sum(qs[k] for k in shared) / max(sum(base[k] for k in shared), 1e-9)
     print(f"suite: {sum(qs[k] for k in shared):.1f}s vs baseline "
           f"{sum(base[k] for k in shared):.1f}s = {suite_ratio:.2f}x "
@@ -117,7 +126,11 @@ def main(bench_path="bench_out.json", baseline_path="BASELINE.md"):
     rest_ok = bool(rest) and rest[len(rest) // 2] < 1.3
     window = (len(residual) >= 3 and rest_ok
               and contiguous_blocks(residual, order) <= 2)
-    starts = bench.get("starts", {})
+    # a window downgrade (exit 0) must be CORROBORATED by the start
+    # timestamps (ADVICE r10 #1): without them, run-order contiguity
+    # alone can't rule out a family-wide code regression, so a suspected
+    # window is only a warning label on a FAILING exit.
+    corroborated = False
     if window and starts and all(k in starts for k in residual):
         span = max(starts[k] for k in residual) - min(starts[k] for k in residual)
         total = (max(starts.values()) - min(starts.values())) or 1.0
@@ -125,6 +138,8 @@ def main(bench_path="bench_out.json", baseline_path="BASELINE.md"):
         # the whole run — layer 1's shift handling owns that story
         if span / total > 0.8 and len(residual) < 0.5 * len(shared):
             window = False
+        else:
+            corroborated = span / total <= 0.5
 
     def show(keys, label):
         print(label)
@@ -134,10 +149,16 @@ def main(bench_path="bench_out.json", baseline_path="BASELINE.md"):
     if not residual:
         show(flagged, "all flags explained by the suite-level shift (host noise):")
         return 0
-    if window:
-        show(residual, "SUSPECTED HOST-NOISE WINDOW (contiguous run-order block "
-             "moved together, rest of suite flat) — re-run the block to confirm:")
+    if window and corroborated:
+        show(residual, "HOST-NOISE WINDOW (contiguous run-time block moved "
+             "together inside a bounded wall-clock span, rest of suite "
+             "flat; corroborated by start timestamps):")
         return 0
+    if window:
+        show(residual, "SUSPECTED host-noise window, but NOT corroborated by "
+             "start timestamps — could equally be a family-wide code "
+             "regression; re-run the block to confirm (exit 1):")
+        return 1
     show(residual, "candidate regressions (profile in-round before shipping):")
     return 1
 

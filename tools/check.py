@@ -87,9 +87,30 @@ def main():
             entry["cols"] = [cols_s, cols_o]
             entry["ok"] = False
         else:
+            # dtype-family skew (int64 vs float64/object) is invisible to
+            # the %.9g float collapse below but real drivers may hash the
+            # two differently (r10's t15: DuckDB window SUM(BIGINT) ->
+            # HUGEINT -> pandas float64 vs Spark int64) — fail it here.
+            def kind(s):
+                if pd.api.types.is_bool_dtype(s): return "bool"
+                if pd.api.types.is_integer_dtype(s): return "int"
+                if pd.api.types.is_float_dtype(s): return "float"
+                if pd.api.types.is_datetime64_any_dtype(s): return "time"
+                return "obj"
+            skew = {c: [kind(spark_df[c]), kind(oracle_df[c])]
+                    for c in cols_s
+                    if kind(spark_df[c]) != kind(oracle_df[c])
+                    and "obj" not in (kind(spark_df[c]), kind(oracle_df[c]))
+                    # int-vs-float from genuine NULLs (pandas promotes) is
+                    # fine only when the null side is float; flag the rest
+                    and not (kind(spark_df[c]) == "float" and spark_df[c].isna().any())
+                    and not (kind(oracle_df[c]) == "float" and oracle_df[c].isna().any())}
             hs, ho = canon(spark_df), canon(oracle_df)
             entry["hash_match"] = hs == ho
-            entry["ok"] = (len(spark_df) == len(oracle_df)) and hs == ho
+            if skew:
+                entry["dtype_skew"] = skew
+            entry["ok"] = (len(spark_df) == len(oracle_df)) and hs == ho \
+                and not skew
             if hs != ho:
                 # dump the first rows present on one side only, so a
                 # driver-corpus-dependent divergence is diagnosable from
