@@ -24,8 +24,16 @@ object BpeKernels {
 
   /** The trainer's word-end sentinel symbol (sennrich's `</w>`): lets
     * merges distinguish "low" the word from "low" the prefix of
-    * "lower". A plain Unicode char no fixture word contains. */
-  val EndMark = "·"
+    * "lower". U+FFFF is a Unicode NONCHARACTER — it cannot appear in
+    * well-formed interchanged text, so no corpus word can collide with
+    * the sentinel (an ordinary char like the r10 interpunct CAN occur
+    * in real text — Catalan, typography — and a word containing it
+    * would be conflated with a word boundary, skewing merges and
+    * counts). Belt and braces: [[train]] and [[encodeLen]] also STRIP
+    * the codepoint from input words, so even malformed text that
+    * smuggles U+FFFF in cannot forge a boundary. */
+  val EndMark = "\uFFFF"
+  private val EndChar = '\uFFFF'
 
   /** Train `numMerges` merges from a (word, count) dictionary.
     * Deterministic: the winning pair is (max count, then lexicographic
@@ -36,7 +44,7 @@ object BpeKernels {
     // each distinct word as a mutable symbol list, weighted by count
     val syms = words.map { case (w, _) =>
       val b = scala.collection.mutable.ArrayBuffer.empty[String]
-      w.foreach(ch => b += ch.toString)
+      w.foreach(ch => if (ch != EndChar) b += ch.toString)
       b += EndMark
       b
     }
@@ -93,7 +101,7 @@ object BpeKernels {
   def encodeLen(word: String, ranks: java.util.HashMap[String, Integer]): Int = {
     if (word.isEmpty) return 0
     val s = scala.collection.mutable.ArrayBuffer.empty[String]
-    word.foreach(ch => s += ch.toString)
+    word.foreach(ch => if (ch != EndChar) s += ch.toString)
     s += EndMark
     var done = false
     while (!done && s.length > 1) {

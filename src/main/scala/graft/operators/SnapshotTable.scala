@@ -591,6 +591,25 @@ object SnapshotTable {
         if (df.columns.contains(c)) df
         else df.withColumn(c, lit(null).cast(changes.schema(c).dataType)))
       .select(cols.map(col): _*)
+    // the mirror-image hazard (ADVICE r10): a changeset WIDER than an
+    // unevolved table's uniform schema writes wide rewritten files next
+    // to narrow untouched ones — exactly the mixed-width layout the
+    // `schema` marker exists to flag, and without the marker readers
+    // sample one footer and silently drop or null the new column. On an
+    // unevolved table every file has the same width, so the affected
+    // read (or, for a prune-to-zero insert batch, one untouched footer)
+    // IS the table schema; an already-evolved table carries its marker
+    // through carriedMeta and mergeSchema planning already pays per-file.
+    val addedCols: Seq[String] =
+      if (carried.contains("schema") || untouched.isEmpty) Nil
+      else {
+        val tableCols =
+          if (affected.nonEmpty) old0.columns.toSet
+          else subsetReader(s, root, v)
+            .parquet(Paths.get(root, untouched.head.rel).toString)
+            .filter(lit(false)).columns.toSet
+        cols.filterNot(tableCols)
+      }
     val dropIds = changes.filter(col("op") =!= "i").select(col(idCol))
     val upserts = changes.filter(col("op") =!= "d").select(cols.map(col): _*)
     val rewritten = old.join(dropIds, Seq(idCol), "left_anti").unionByName(upserts)
@@ -600,9 +619,12 @@ object SnapshotTable {
       root, s"m_$tag")
     val newEntries = rels.map(footerEntry(root, _, clusterCol))
     // watermarks/statsCol/schema survive a merge (carriedMeta); `schema`
-    // stays because untouched files keep their pre-evolution width
+    // stays because untouched files keep their pre-evolution width, and
+    // is SET when this merge itself widened the table (addedCols above)
     commitEntries(root, v, untouched ++ newEntries, shardSize,
-      carried ++ extraMeta +
+      carried ++ extraMeta ++
+        (if (addedCols.nonEmpty) Map("schema" -> s"evolved:+${addedCols.mkString(",")}")
+         else Map.empty) +
         ("merge" -> s"cow:$idCol:${affected.size}of${untouched.size + affected.size}"))
   }
 

@@ -150,14 +150,22 @@ private[sources] object SnapshotSourceUtil {
       // side null-fills per file (see SnapshotReaderFactory).
       val seen = new java.util.LinkedHashMap[String, org.apache.parquet.schema.Type]()
       val hits = new java.util.HashMap[String, Integer]()
+      val optionalCarrier = new java.util.HashSet[String]()
       entries.foreach { e =>
         footerSchema(root, e.rel).getFields.asScala.foreach { f =>
           val prev = seen.putIfAbsent(f.getName, f)
+          // primitive name alone is not type identity: plain INT64 vs
+          // timestamp-annotated INT64 share it but decode differently —
+          // the annotation must agree too (ADVICE r10)
           require(prev == null ||
-              prev.asPrimitiveType().getPrimitiveTypeName ==
-                f.asPrimitiveType().getPrimitiveTypeName,
+              (prev.asPrimitiveType().getPrimitiveTypeName ==
+                f.asPrimitiveType().getPrimitiveTypeName &&
+               prev.asPrimitiveType().getLogicalTypeAnnotation ==
+                f.asPrimitiveType().getLogicalTypeAnnotation),
             s"graft-snapshot: evolved table $root has conflicting types for " +
               s"column ${f.getName}: $prev vs $f — add-column evolution only")
+          if (!f.isRepetition(org.apache.parquet.schema.Type.Repetition.REQUIRED))
+            optionalCarrier.add(f.getName)
           hits.merge(f.getName, 1, (a, b) => a + b)
         }
       }
@@ -165,9 +173,12 @@ private[sources] object SnapshotSourceUtil {
         val p = f.asPrimitiveType()
         // a column absent from ANY file surfaces null there, so the
         // union field must be OPTIONAL even if every carrier file
-        // declared it REQUIRED
+        // declared it REQUIRED; likewise a column REQUIRED in the first
+        // file but OPTIONAL in another may hold nulls — the union takes
+        // the WEAKEST repetition across carriers, not the first file's
         val rep =
-          if (hits.get(f.getName) == entries.size) p.getRepetition
+          if (hits.get(f.getName) == entries.size
+              && !optionalCarrier.contains(f.getName)) p.getRepetition
           else org.apache.parquet.schema.Type.Repetition.OPTIONAL
         val b = org.apache.parquet.schema.Types.primitive(p.getPrimitiveTypeName, rep)
         (if (p.getLogicalTypeAnnotation != null) b.as(p.getLogicalTypeAnnotation) else b)

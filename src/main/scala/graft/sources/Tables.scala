@@ -24,16 +24,33 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = read(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as a timestamp. Reading it as a raw nanos-since-epoch LONG
-    * (legacy conf) is also the better call for oracle parity: integer
-    * nanos → exact integer second/day arithmetic on both engines, no
-    * sub-second truncation mismatches (DuckDB keeps ns, Spark µs).
-    * Downstream ops derive `epoch_s = ts_ns div 1e9`. */
+  /** The engine contract for `events.ts` is nanos-since-epoch LONG:
+    * integer nanos → exact integer second/day arithmetic everywhere
+    * downstream (`epoch_s = ts_ns div 1e9`), no sub-second truncation
+    * mismatches against the DuckDB oracle (whose SQL is written
+    * timestamp-native, `epoch(ts)`). Driver corpora have shipped ts
+    * both as parquet TIMESTAMP(NANOS) — which Spark 4 only reads via
+    * the nanosAsLong legacy conf, as a raw LONG already meeting the
+    * contract — and as TIMESTAMP(MICROS), which Spark reads as a
+    * timestamp. [[normalizeTs]] converts the latter at this one seam,
+    * so every operator keeps the LONG contract regardless of which
+    * vintage of the corpus is mounted. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(s, d, "events")
+    normalizeTs(read(s, d, "events"))
   }
+
+  /** ts → nanos-since-epoch LONG, whatever the file delivered. The
+    * timestamp branch is exact: unix_micros × 1000 loses nothing at
+    * µs source resolution, and sessions run UTC so the NTZ cast is a
+    * pure reinterpretation. Works on streaming frames too (it is one
+    * projection). */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df
+      case _ => df.withColumn("ts",
+        org.apache.spark.sql.functions.expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
+    }
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
 }

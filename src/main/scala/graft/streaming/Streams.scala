@@ -30,20 +30,24 @@ object Streams {
   /** The transport behind every staged-batch operator below (st4–st7
     * and the retention spec): file replay in this container; a broker
     * deployment swaps in `new KafkaStreamSource(servers, topic)` and no
-    * operator changes — see [[StreamSource]]. A var only for
-    * [[withSource]]'s scoped swap; never reassign directly. */
-  private[graft] var source: StreamSource = FileStreamSource
+    * operator changes — see [[StreamSource]]. The swap seam is a
+    * DynamicVariable, not a mutable field (ADVICE r10): the default is
+    * effectively immutable in production, and [[withSource]]'s swap is
+    * visible only on the swapping thread (and children it spawns), so a
+    * concurrently-running streaming query or a parallel suite can never
+    * observe another test's transport mid-scope. Operators consume the
+    * source at PLAN-BUILD time on the calling thread, which is exactly
+    * the scope the variable covers. */
+  private val sourceVar =
+    new scala.util.DynamicVariable[StreamSource](FileStreamSource)
+  private[graft] def source: StreamSource = sourceVar.value
 
   /** Run `f` with the staged-batch transport swapped — the seam
     * KafkaParitySpec uses to drive whole operator plans over
-    * [[KafkaWireReplaySource]]'s recorded wire feed. Test suites run
-    * sequentially in the forked test JVM, so the scoped swap is safe;
-    * the transport is restored even when `f` throws. */
-  private[graft] def withSource[T](alt: StreamSource)(f: => T): T = {
-    val prev = source
-    source = alt
-    try f finally source = prev
-  }
+    * [[KafkaWireReplaySource]]'s recorded wire feed. Thread-scoped and
+    * exception-safe by construction. */
+  private[graft] def withSource[T](alt: StreamSource)(f: => T): T =
+    sourceVar.withValue(alt)(f)
 
   /** st1/st2/st3's whole-log feed: the event table streamed directly
     * from its on-disk location (no batch structure imposed). This is
@@ -54,10 +58,14 @@ object Streams {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = s.read.parquet(s"$d/events.parquet").schema
     // streaming file source wants a directory: read the sf dir with a
-    // glob filter selecting just the events table
-    s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(d)
+    // glob filter selecting just the events table. The read uses the
+    // file's own ts type; normalizeTs restores the engine's
+    // nanos-LONG contract on the streaming frame (one projection),
+    // exactly as the batch seam does.
+    Tables.normalizeTs(
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(d))
   }
 
   private var counter = 0

@@ -299,6 +299,93 @@ class SnapshotRobustnessSpec extends AnyFunSuite {
     assert(!Files.exists(gone), "staged file not discarded")
   }
 
+  test("merge: a changeset WIDER than an unevolved table sets the schema marker") {
+    import spark.implicits._
+    // two uniform narrow files on disjoint day ranges, NO evolution
+    // marker — the unmarked mixed-width layout a widening merge used to
+    // leave behind made later reads sample one footer and silently drop
+    // the new column (ADVICE r10)
+    val root = freshRoot("graft_merge_widening")
+    val f1 = (1L to 10L).map(k => (k, 100L)).toDF("k", "day")
+    val f2 = (11L to 20L).map(k => (k, 200L)).toDF("k", "day")
+    val rels = ST.writeDataFiles(f1, root, "a") ++ ST.writeDataFiles(f2, root, "b")
+    ST.commitEntries(root, 0, rels.map(ST.footerEntry(root, _, "day")), shardSize = 8,
+      Map("statsCol" -> "day"))
+    val up = Seq((5L, 100L, 9.9)).toDF("k", "day", "q").withColumn("op", lit("u"))
+    val v = ST.merge(spark, root, "day", "k", up)
+    val meta = ST.manifestMeta(root, v)
+    assert(meta.get("schema").exists(_.contains("q")),
+      s"widening merge must set the evolution marker: $meta")
+    val after = ST.read(spark, root)
+    assert(after.columns.contains("q"), "widened column lost on readback")
+    assert(after.filter(col("k") === 5L).select("q").head().getDouble(0) == 9.9)
+    assert(after.filter(col("k") === 15L).select("q").head().isNullAt(0))
+    assert(after.count() == 20)
+
+    // a widening growth batch (affected = ∅) must set it too — there
+    // the table schema comes from one untouched footer, not the read
+    val root2 = freshRoot("graft_merge_widening_growth")
+    val rels2 = ST.writeDataFiles(f1, root2, "base")
+    ST.commitEntries(root2, 0, rels2.map(ST.footerEntry(root2, _, "day")), shardSize = 8,
+      Map("statsCol" -> "day"))
+    val ins = Seq((21L, 300L, 1.5)).toDF("k", "day", "q").withColumn("op", lit("i"))
+    val v2 = ST.merge(spark, root2, "day", "k", ins)
+    assert(ST.manifestMeta(root2, v2).get("schema").exists(_.contains("q")),
+      "widening growth batch must set the evolution marker")
+    val g = ST.read(spark, root2)
+    assert(g.count() == 11)
+    assert(g.filter(col("k") === 21L).select("q").head().getDouble(0) == 1.5)
+    assert(g.filter(col("k") === 1L).select("q").head().isNullAt(0))
+
+    // when the merge rewrites EVERY file the output is uniform-width:
+    // no marker, the single-footer planning fast path stays correct
+    val root3 = freshRoot("graft_merge_widening_all")
+    val rels3 = ST.writeDataFiles(f1, root3, "base")
+    ST.commitEntries(root3, 0, rels3.map(ST.footerEntry(root3, _, "day")), shardSize = 8,
+      Map("statsCol" -> "day"))
+    val up3 = Seq((5L, 100L, 2.2)).toDF("k", "day", "q").withColumn("op", lit("u"))
+    val v3 = ST.merge(spark, root3, "day", "k", up3)
+    assert(!ST.manifestMeta(root3, v3).contains("schema"),
+      "uniform-width full rewrite must not carry an evolution marker")
+    assert(ST.read(spark, root3).filter(col("k") === 5L)
+      .select("q").head().getDouble(0) == 2.2)
+  }
+
+  test("evolved union schema: repetition weakens to OPTIONAL, annotation conflicts refuse") {
+    import spark.implicits._
+    // c is REQUIRED (non-nullable) in file a, OPTIONAL with a real null
+    // in file b: the union must take the WEAKEST repetition, not file
+    // a's REQUIRED — a REQUIRED request schema over file b's null rows
+    // is undefined behavior in the reader (ADVICE r10)
+    val root = freshRoot("graft_union_repetition")
+    val a = (1L to 5L).map(k => (k, k * 10L)).toDF("k", "c")
+    val b = Seq((6L, Some(60L)), (7L, None)).toDF("k", "c")
+    val rels = ST.writeDataFiles(a, root, "a") ++ ST.writeDataFiles(b, root, "b")
+    ST.commitEntries(root, 0, rels.map(ST.footerEntry(root, _, "k")), shardSize = 8,
+      Map("statsCol" -> "k", "schema" -> "evolved:mixed-nullability"))
+    val table = spark.read.format("graft-snapshot").load(root)
+    assert(table.schema("c").nullable,
+      "union schema must weaken c to nullable when ANY carrier file is OPTIONAL")
+    assert(table.filter(col("c").isNull).select("k").collect().map(_.getLong(0)).toSeq
+      == Seq(7L), "file b's null row lost under the union schema")
+    assert(table.count() == 7)
+
+    // same primitive (INT32) but conflicting logical annotations (plain
+    // int vs DATE) must refuse, not decode one file under the other's
+    // annotation
+    val root2 = freshRoot("graft_union_annotation")
+    val p = Seq((1L, 7)).toDF("k", "c")
+    val q = Seq((2L, java.sql.Date.valueOf("2026-01-01"))).toDF("k", "c")
+    val rels2 = ST.writeDataFiles(p, root2, "a") ++ ST.writeDataFiles(q, root2, "b")
+    ST.commitEntries(root2, 0, rels2.map(ST.footerEntry(root2, _, "k")), shardSize = 8,
+      Map("statsCol" -> "k", "schema" -> "evolved:conflict"))
+    val e = intercept[Exception] {
+      spark.read.format("graft-snapshot").load(root2).collect()
+    }
+    assert(e.getMessage.contains("conflicting types"),
+      s"annotation conflict must refuse loudly: ${e.getMessage}")
+  }
+
   test("stats-prune bounds saturate at the Long domain edges instead of wrapping") {
     import org.apache.spark.sql.sources.{GreaterThan, LessThan}
     val B = graft.sources.SnapshotScanBuilder
