@@ -273,10 +273,26 @@ object SnapshotTable {
     * union schema footer-reads every file at planning time, so an
     * unevolved table (the overwhelmingly common case at 100 TB) keeps
     * its single-footer planning cost. */
-  def readAt(s: SparkSession, root: String, v: Int): DataFrame = {
-    val evolved = v > 0 && manifestMeta(root, v).contains("schema")
-    val r = if (evolved) s.read.option("mergeSchema", "true") else s.read
-    r.parquet(manifest(root, v): _*)
+  def readAt(s: SparkSession, root: String, v: Int): DataFrame =
+    evolvedReader(s, root, v).parquet(manifest(root, v): _*)
+
+  /** Reader honoring the evolution markers, cheapest first:
+    * `schemaJson` — the union schema CAPTURED AT THE WIDENING COMMIT
+    * (Delta's design: the log, not the files, owns the schema) — makes
+    * planning zero-footer and zero-job at any file count; `schema`
+    * alone falls back to parquet mergeSchema inference (a distributed
+    * footer job per scan — the pre-r11 path, kept for evolved tables
+    * whose union no writer captured); unmarked tables read plain (one
+    * footer). */
+  private def evolvedReader(s: SparkSession, root: String, v: Int) = {
+    val meta = if (v > 0) manifestMeta(root, v) else Map.empty[String, String]
+    meta.get("schemaJson") match {
+      case Some(js) => s.read.schema(
+        org.apache.spark.sql.types.DataType.fromJson(js)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      case None if meta.contains("schema") => s.read.option("mergeSchema", "true")
+      case None => s.read
+    }
   }
 
   def read(s: SparkSession, root: String): DataFrame =
@@ -290,9 +306,7 @@ object SnapshotTable {
     * bug class deleteWhere hit in r9 (ADVICE) applies to every
     * pruned/merge/diff read alike. */
   private[graft] def subsetReader(s: SparkSession, root: String, v: Int) =
-    if (v > 0 && manifestMeta(root, v).contains("schema"))
-      s.read.option("mergeSchema", "true")
-    else s.read
+    evolvedReader(s, root, v)
 
   /** Planning step of a stats-pruned scan: the entries of version `v`
     * whose [lo, hi] key range intersects [qlo, qhi]. Pure manifest
@@ -526,7 +540,7 @@ object SnapshotTable {
     // files, so the evolution marker no longer describes the new layout;
     // the new files' stats are on keyCol, so statsCol is re-pointed at it
     commitEntries(root, v, entries, shardSize,
-      carriedMeta(root, v) - "schema" ++
+      carriedMeta(root, v) - "schema" - "schemaJson" ++
         Map("optimize" -> s"clustered:$keyCol", "statsCol" -> keyCol))
   }
 
@@ -591,25 +605,40 @@ object SnapshotTable {
         if (df.columns.contains(c)) df
         else df.withColumn(c, lit(null).cast(changes.schema(c).dataType)))
       .select(cols.map(col): _*)
-    // the mirror-image hazard (ADVICE r10): a changeset WIDER than an
-    // unevolved table's uniform schema writes wide rewritten files next
-    // to narrow untouched ones — exactly the mixed-width layout the
-    // `schema` marker exists to flag, and without the marker readers
-    // sample one footer and silently drop or null the new column. On an
-    // unevolved table every file has the same width, so the affected
-    // read (or, for a prune-to-zero insert batch, one untouched footer)
-    // IS the table schema; an already-evolved table carries its marker
-    // through carriedMeta and mergeSchema planning already pays per-file.
+    // the mirror-image hazard (ADVICE r10): a changeset WIDER than the
+    // table writes wide rewritten files next to narrow untouched ones —
+    // exactly the mixed-width layout the `schema` marker exists to
+    // flag, and without the marker readers sample one footer and
+    // silently drop or null the new column. The table's exact union
+    // column list is knowable without a footer sweep when a prior
+    // widening CAPTURED it (`schemaJson`) or the table is unevolved
+    // (uniform files: the affected read — or, for a prune-to-zero
+    // insert batch, one untouched footer — IS the schema); an evolved
+    // table with no capture reads under mergeSchema and its union
+    // cannot be known from the affected subset alone, so no capture is
+    // attempted there (the mergeSchema fallback stays correct).
+    val unionKnown = carried.contains("schemaJson") || !carried.contains("schema")
+    val tableColsOrdered: Seq[String] =
+      if (!unionKnown || untouched.isEmpty) cols
+      else if (carried.contains("schemaJson"))
+        org.apache.spark.sql.types.DataType.fromJson(carried("schemaJson"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toIndexedSeq
+      else if (affected.nonEmpty) old0.columns.toIndexedSeq
+      else subsetReader(s, root, v)
+        .parquet(Paths.get(root, untouched.head.rel).toString)
+        .filter(lit(false)).columns.toIndexedSeq
     val addedCols: Seq[String] =
-      if (carried.contains("schema") || untouched.isEmpty) Nil
-      else {
-        val tableCols =
-          if (affected.nonEmpty) old0.columns.toSet
-          else subsetReader(s, root, v)
-            .parquet(Paths.get(root, untouched.head.rel).toString)
-            .filter(lit(false)).columns.toSet
-        cols.filterNot(tableCols)
-      }
+      if (!unionKnown || untouched.isEmpty) Nil
+      else cols.filterNot(tableColsOrdered.contains)
+    // capture the post-merge union in the commit (Delta's
+    // schema-in-the-log): union-ordered (table columns first, additions
+    // after), all-nullable — evolution gaps surface null from any file
+    val unionJson: Option[String] =
+      if (addedCols.nonEmpty && tableColsOrdered.forall(cols.contains))
+        Some(org.apache.spark.sql.types.StructType(
+          (tableColsOrdered ++ addedCols)
+            .map(n => changes.schema(n).copy(nullable = true)).toArray).json)
+      else None
     val dropIds = changes.filter(col("op") =!= "i").select(col(idCol))
     val upserts = changes.filter(col("op") =!= "d").select(cols.map(col): _*)
     val rewritten = old.join(dropIds, Seq(idCol), "left_anti").unionByName(upserts)
@@ -619,12 +648,15 @@ object SnapshotTable {
       root, s"m_$tag")
     val newEntries = rels.map(footerEntry(root, _, clusterCol))
     // watermarks/statsCol/schema survive a merge (carriedMeta); `schema`
-    // stays because untouched files keep their pre-evolution width, and
-    // is SET when this merge itself widened the table (addedCols above)
+    // stays because untouched files keep their pre-evolution width, is
+    // SET when this merge itself widened the table (addedCols above),
+    // and the captured union (`schemaJson`) is refreshed so explicit
+    // reads see the widened schema instead of a stale capture
     commitEntries(root, v, untouched ++ newEntries, shardSize,
       carried ++ extraMeta ++
         (if (addedCols.nonEmpty) Map("schema" -> s"evolved:+${addedCols.mkString(",")}")
-         else Map.empty) +
+         else Map.empty) ++
+        unionJson.map("schemaJson" -> _) +
         ("merge" -> s"cow:$idCol:${affected.size}of${untouched.size + affected.size}"))
   }
 
@@ -886,9 +918,15 @@ object SnapshotTable {
       val enriched = s.read.parquet(Paths.get(root, lastRel).toString)
         .withColumn("quality", col("value") * 0.1)
       val newRel = writeDataFile(enriched, root, "v2_enriched")
+      // the widening commit CAPTURES the union schema (all-nullable:
+      // history files surface quality as null) so every later scan
+      // plans with an explicit schema — zero footer reads, no
+      // mergeSchema job, at any file count (Delta's schema-in-the-log)
       commitEntries(root, v1,
         entries.filterNot(_.rel == lastRel) :+ footerEntry(root, newRel, "ep_day"),
-        shardSize = 3, Map("schema" -> "evolved:+quality"))
+        shardSize = 3, Map("schema" -> "evolved:+quality",
+          "schemaJson" -> org.apache.spark.sql.types.StructType(
+            enriched.schema.fields.map(_.copy(nullable = true))).json))
       root
     }
 
@@ -1138,7 +1176,7 @@ object SnapshotTable {
     // full rewrite: carry watermarks forward, drop `schema` (files are
     // uniform-width now), re-point statsCol at the new primary column
     commitEntries(root, v, entries, shardSize,
-      carriedMeta(root, v) - "schema" ++
+      carriedMeta(root, v) - "schema" - "schemaJson" ++
         Map("optimize" -> s"zorder:$colA,$colB", "statsCol" -> colA))
   }
 

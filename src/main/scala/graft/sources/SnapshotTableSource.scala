@@ -639,7 +639,7 @@ private[graft] object SnapshotCommit {
       // overwrite: every surviving file is this write's, so the
       // mixed-width evolution marker and maintenance tags no longer
       // describe the version; watermarks and statsCol still carry
-      val meta = if (replace) meta0 -- Seq("schema", "optimize", "merge", "delete") else meta0
+      val meta = if (replace) meta0 -- Seq("schema", "schemaJson", "optimize", "merge", "delete") else meta0
       val statsCol = extraMeta.get("statsCol").orElse(meta.get("statsCol"))
       val existing =
         if (v == 0 || replace) Nil else SnapshotTable.manifestEntries(root, v)

@@ -316,11 +316,34 @@ class SnapshotRobustnessSpec extends AnyFunSuite {
     val meta = ST.manifestMeta(root, v)
     assert(meta.get("schema").exists(_.contains("q")),
       s"widening merge must set the evolution marker: $meta")
+    // the union is CAPTURED in the commit (schema-in-the-log): later
+    // scans plan with an explicit schema, zero footer reads
+    val captured = org.apache.spark.sql.types.DataType.fromJson(meta("schemaJson"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(captured.fieldNames.toSeq == Seq("k", "day", "q"),
+      s"captured union drifted: ${captured.fieldNames.toSeq}")
+    assert(captured.fields.forall(_.nullable), "captured union must be all-nullable")
     val after = ST.read(spark, root)
-    assert(after.columns.contains("q"), "widened column lost on readback")
+    assert(after.columns.toSeq == Seq("k", "day", "q"), "widened column lost on readback")
     assert(after.filter(col("k") === 5L).select("q").head().getDouble(0) == 9.9)
     assert(after.filter(col("k") === 15L).select("q").head().isNullAt(0))
     assert(after.count() == 20)
+
+    // a SECOND widening on the now-evolved table must REFRESH the
+    // capture — a stale schemaJson would make explicit reads silently
+    // drop the newest column (the bug class, one level up)
+    val up2 = Seq((6L, 100L, 1.1, "x")).toDF("k", "day", "q", "r")
+      .withColumn("op", lit("u"))
+    val v2w = ST.merge(spark, root, "day", "k", up2)
+    val captured2 = org.apache.spark.sql.types.DataType.fromJson(
+      ST.manifestMeta(root, v2w)("schemaJson"))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(captured2.fieldNames.toSeq == Seq("k", "day", "q", "r"),
+      s"second widening did not refresh the capture: ${captured2.fieldNames.toSeq}")
+    val after2 = ST.read(spark, root)
+    assert(after2.filter(col("k") === 6L).select("r").head().getString(0) == "x")
+    assert(after2.filter(col("k") === 15L).select("r").head().isNullAt(0))
+    assert(after2.count() == 20)
 
     // a widening growth batch (affected = ∅) must set it too — there
     // the table schema comes from one untouched footer, not the read
