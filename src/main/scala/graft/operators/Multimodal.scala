@@ -309,10 +309,29 @@ object Multimodal {
     * application end. */
   private val m5Memo = new graft.SessionMemo[DataFrame]
   private def m5Pairs(s: SparkSession, d: String): DataFrame =
-    m5Memo.getOrElseUpdate(s, d) { m5Compute(s, d).localCheckpoint(true) }
+    // budgeted runs bypass the memo: the memo key is (session, dir) and
+    // must only ever hold the exact (unbudgeted) contract
+    if (s.conf.get(M5BudgetKey, "0").toInt > 0) m5Compute(s, d)
+    else m5Memo.getOrElseUpdate(s, d) { m5Compute(s, d).localCheckpoint(true) }
 
   def m5PhashPairs(s: SparkSession, d: String): DataFrame =
     m5Pairs(s, d).orderBy("doc_a", "doc_b")
+
+  /** Per-bucket candidate budget — the scale valve for ADVERSARIAL
+    * duplicate density (SURVEY §5's 32× probe: replication makes the
+    * pair count quadratic in duplicate multiplicity — 60.3M pairs,
+    * 2 GiB page-allocation retries). 0 (default) = unlimited, the
+    * exact contract. When set, each band bucket keeps only its
+    * `budget` LOWEST doc_ids (deterministic), bounding per-bucket
+    * candidates at budget·(budget−1)/2 whatever the density. Inside a
+    * capped bucket the members are near-duplicates of each other
+    * (that is why the bucket is dense), so dropped memberships mostly
+    * re-pair through another band or transitively through m8's
+    * clustering — m5's per-pair guarantee narrows to kept members,
+    * which is the trade the valve exists to make. NO SILENT CAP: when
+    * the budget bites, the dropped membership and bucket counts are
+    * printed before the pair join runs. */
+  private[graft] val M5BudgetKey = "spark.graft.m5.bucketBudget"
 
   private def m5Compute(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
@@ -336,10 +355,28 @@ object Multimodal {
         }
       }
     }.toDF("doc_id", "h")
-    val banded = hashes.select(col("doc_id"), col("h"),
+    val banded0 = hashes.select(col("doc_id"), col("h"),
       posexplode(array((0 until M5Bands).map(i =>
         shiftrightunsigned(col("h"), i * 16).bitwiseAND(lit(0xffffL))): _*))
         .as(Seq("band", "bkey")))
+    val budget = s.conf.get(M5BudgetKey, "0").toInt
+    val banded =
+      if (budget <= 0) banded0
+      else {
+        // deterministic keep-set (lowest ids per bucket); persist so the
+        // audit action below does not re-run the codec stage
+        val ranked = banded0.withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("band"), col("bkey")).orderBy(col("doc_id"))))
+          .persist()
+        val a = ranked.filter(col("rk") > budget)
+          .agg(count(lit(1)), count_distinct(col("band"), col("bkey"))).head()
+        if (a.getLong(0) > 0)
+          println(s"[graft] m5 bucket budget $budget dropped ${a.getLong(0)} " +
+            s"band memberships across ${a.getLong(1)} over-budget buckets — " +
+            "pair recall narrows to kept members (see M5BudgetKey scaladoc)")
+        ranked.filter(col("rk") <= budget).drop("rk")
+      }
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
         col("a.doc_id") < col("b.doc_id"))

@@ -138,7 +138,18 @@ private[sources] object SnapshotSourceUtil {
     val v = SnapshotTable.currentVersion(root)
     require(v > 0, s"graft-snapshot: $root has no committed version")
     val entries = SnapshotTable.manifestEntries(root, v)
-    if (!SnapshotTable.manifestMeta(root, v).contains("schema"))
+    val meta = SnapshotTable.manifestMeta(root, v)
+    // a widening commit that CAPTURED the union (#schemaJson) makes
+    // evolved planning zero-footer here too: the capture is
+    // all-nullable, so the write-side converter emits the same
+    // OPTIONAL-field union the footer sweep would. Captures with types
+    // outside the converter's set fall through to the footer union.
+    val captured = meta.get("schemaJson").flatMap { js =>
+      scala.util.Try(messageType(
+        DataType.fromJson(js).asInstanceOf[StructType])).toOption
+    }
+    if (captured.isDefined) captured.get
+    else if (!meta.contains("schema"))
       // the overwhelmingly common case: uniform-width files — ONE
       // footer read prices the whole planning step
       footerSchema(root, entries.head.rel)

@@ -346,6 +346,38 @@ class NonSqlOracleSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 <= M.M5MaxHamming))
   }
 
+  test("m5 bucket budget: emitted pairs stay a verified subset, deterministic, twins survive") {
+    val M = graft.operators.Multimodal
+    val exact = M.m5PhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // a tight budget exercises the cap: output is a SUBSET of the exact
+    // contract (never an invented pair), still hamming-verified, and
+    // deterministic (lowest-ids keep-set, no RNG)
+    spark.conf.set(M.M5BudgetKey, "8")
+    try {
+      val capped = M.m5PhashPairs(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(capped.toSet.subsetOf(exact.toSet),
+        "budgeted run emitted a pair the exact run did not")
+      assert(capped.forall(_._3 <= M.M5MaxHamming))
+      val again = M.m5PhashPairs(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(capped.toSeq == again.toSeq, "budgeted run not deterministic")
+      // a production-sized budget keeps every planted twin at this SF
+      spark.conf.set(M.M5BudgetKey, "64")
+      val wide = M.m5PhashPairs(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val twins = wide.count(p => p._2 - p._1 == M.M5TwinOffset && p._1 % 10 == 0)
+      val expected = graft.sources.Tables.documents(spark, sf)
+        .filter(col("doc_id") % 10 === 0).count()
+      assert(twins == expected, s"twin recall under budget 64: $twins/$expected")
+    } finally spark.conf.unset(M.M5BudgetKey)
+    // the memoized exact contract is untouched by budgeted runs
+    val after = M.m5PhashPairs(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(after.toSeq == exact.toSeq, "budget run polluted the memoized exact frame")
+  }
+
   test("m8: image clusters ≡ transitive closure of m5 pairs; twins cluster with originals") {
     val M = graft.operators.Multimodal
     val pairs = M.m5PhashPairs(spark, sf).collect().map(r => (r.getLong(0), r.getLong(1)))

@@ -345,6 +345,15 @@ class SnapshotRobustnessSpec extends AnyFunSuite {
     assert(after2.filter(col("k") === 15L).select("r").head().isNullAt(0))
     assert(after2.count() == 20)
 
+    // the DSv2 connector plans the same widened union from the capture
+    // (zero footer reads) and null-fills evolution gaps per file
+    val viaDsv2 = spark.read.format("graft-snapshot").load(root)
+    assert(viaDsv2.columns.toSeq == Seq("k", "day", "q", "r"),
+      s"connector union drifted: ${viaDsv2.columns.toSeq}")
+    assert(viaDsv2.filter(col("k") === 6L).select("r").head().getString(0) == "x")
+    assert(viaDsv2.filter(col("k") === 15L).select("q").head().isNullAt(0))
+    assert(viaDsv2.count() == 20)
+
     // a widening growth batch (affected = ∅) must set it too — there
     // the table schema comes from one untouched footer, not the read
     val root2 = freshRoot("graft_merge_widening_growth")
