@@ -99,6 +99,14 @@ object ScaleProbe {
     time("t13_tfidf_keywords")(operators.TextAnalysis.t13TfidfKeywords(spark, work).count())
     time("s7_knn_sq8")(operators.Similarity.s7KnnSq8(spark, work).count())
     time("m5_phash_pairs")(operators.Multimodal.m5PhashPairs(spark, work).count())
+    // the r11 bucket-budget valve under the SAME adversarial density
+    // that produced the 32× quadratic term (60.3M pairs, 147.7 s):
+    // per-bucket candidates bounded at budget²/2, audit printed
+    time("m5_phash_budget") {
+      spark.conf.set(operators.Multimodal.M5BudgetKey, "256")
+      try operators.Multimodal.m5PhashPairs(spark, work).count()
+      finally spark.conf.unset(operators.Multimodal.M5BudgetKey)
+    }
     // round-9 additions: span-grain dedup (window over span hashes),
     // the repetition gate (doc_id+hash keyed), range search (broadcast
     // scan — should scale linearly in corpus size), RGB/JPEG codec
