@@ -632,13 +632,23 @@ object SnapshotTable {
       else cols.filterNot(tableColsOrdered.contains)
     // capture the post-merge union in the commit (Delta's
     // schema-in-the-log): union-ordered (table columns first, additions
-    // after), all-nullable — evolution gaps surface null from any file
+    // after), all-nullable — evolution gaps surface null from any file.
+    // A changeset that WIDENS the table while MISSING existing columns
+    // is refused outright: committing it would either strand the stale
+    // capture (hiding the new column from explicit reads) or strand the
+    // missing one — for pruned-to-zero insert batches this is the only
+    // guard, since the old0 require above is vacuous there.
     val unionJson: Option[String] =
-      if (addedCols.nonEmpty && tableColsOrdered.forall(cols.contains))
+      if (addedCols.isEmpty) None
+      else {
+        require(tableColsOrdered.forall(cols.contains),
+          s"merge on $root: changeset widens the table (+${addedCols.mkString(",")}) " +
+            s"but lacks existing columns ${tableColsOrdered.filterNot(cols.contains).mkString(",")} — " +
+            "a widening merge must carry the full union schema")
         Some(org.apache.spark.sql.types.StructType(
           (tableColsOrdered ++ addedCols)
             .map(n => changes.schema(n).copy(nullable = true)).toArray).json)
-      else None
+      }
     val dropIds = changes.filter(col("op") =!= "i").select(col(idCol))
     val upserts = changes.filter(col("op") =!= "d").select(cols.map(col): _*)
     val rewritten = old.join(dropIds, Seq(idCol), "left_anti").unionByName(upserts)

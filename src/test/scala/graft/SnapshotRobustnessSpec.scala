@@ -354,6 +354,16 @@ class SnapshotRobustnessSpec extends AnyFunSuite {
     assert(viaDsv2.filter(col("k") === 15L).select("q").head().isNullAt(0))
     assert(viaDsv2.count() == 20)
 
+    // a changeset that widens AND drops existing columns is refused —
+    // committing it would strand either the capture or the column (for
+    // pruned-to-zero insert batches this is the only guard)
+    val sneaky = Seq((30L, 999L, true)).toDF("k", "day", "flag")
+      .withColumn("op", lit("i"))
+    val err = intercept[IllegalArgumentException] {
+      ST.merge(spark, root, "day", "k", sneaky)
+    }
+    assert(err.getMessage.contains("full union"), s"wrong error: ${err.getMessage}")
+
     // a widening growth batch (affected = ∅) must set it too — there
     // the table schema comes from one untouched footer, not the read
     val root2 = freshRoot("graft_merge_widening_growth")
