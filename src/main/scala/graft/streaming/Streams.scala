@@ -49,6 +49,26 @@ object Streams {
   private[graft] def withSource[T](alt: StreamSource)(f: => T): T =
     sourceVar.withValue(alt)(f)
 
+  /** Observability seam for the stateful-state-bound gate
+    * (StateBoundSpec): when set, every streaming operator drains its
+    * query's [[org.apache.spark.sql.streaming.StreamingQueryProgress]]
+    * records into the buffer just before stopping the query. Same
+    * DynamicVariable scoping discipline as [[sourceVar]] — the default
+    * (None) costs nothing in production, and a spec's collector is
+    * visible only on its own thread. */
+  private val progressVar = new scala.util.DynamicVariable[
+    Option[scala.collection.mutable.Buffer[
+      org.apache.spark.sql.streaming.StreamingQueryProgress]]](None)
+
+  private[graft] def collectProgress[T](
+      buf: scala.collection.mutable.Buffer[
+        org.apache.spark.sql.streaming.StreamingQueryProgress])(f: => T): T =
+    progressVar.withValue(Some(buf))(f)
+
+  private[graft] def drainProgress(
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    progressVar.value.foreach(_ ++= q.recentProgress)
+
   /** st1/st2/st3's whole-log feed: the event table streamed directly
     * from its on-disk location (no batch structure imposed). This is
     * [[FileStreamSource]]'s degenerate single-batch case minus a
@@ -92,6 +112,7 @@ object Streams {
       .format("memory").queryName(name)
       .start()
     q.processAllAvailable()
+    drainProgress(q)
     q.stop()
     s.table(name).orderBy("win_start", "event_type")
   }
@@ -153,6 +174,7 @@ object Streams {
       .format("memory").queryName(name)
       .start()
     q.processAllAvailable()
+    drainProgress(q)
     q.stop()
     s.table(name).orderBy("user_id", "session_seq")
   }
@@ -177,6 +199,7 @@ object Streams {
       .format("memory").queryName(name)
       .start()
     q.processAllAvailable()
+    drainProgress(q)
     q.stop()
     s.table(name).orderBy("c_mktsegment")
   }
@@ -223,6 +246,7 @@ object Streams {
       .format("memory").queryName(name)
       .start()
     q.processAllAvailable()
+    drainProgress(q)
     q.stop()
     s.table(name)
       .select(col("window.start").cast("long").as("win_start"),
@@ -273,6 +297,7 @@ object Streams {
       .format("memory").queryName(name)
       .start()
     q.processAllAvailable()
+    drainProgress(q)
     q.stop()
     s.table(name)
       .groupBy(col("event_type"))
@@ -395,6 +420,7 @@ object Streams {
       .format("memory").queryName(name)
       .start()
     q.processAllAvailable()
+    drainProgress(q)
     q.stop()
     s.table(name)
   }
@@ -463,14 +489,25 @@ object Streams {
       .select(col("user_id").as("p_user"), col("event_time").as("p_time"),
         col("ep").as("p_ep"), col("event_id"))
       .withWatermark("p_time", "1 hour")
+    // the range bound is written on the WATERMARKED event-time columns
+    // (p_time/s_time), not the raw epoch longs: StreamingJoinHelper can
+    // only derive each side's state watermark from a constraint over
+    // watermarked attributes. With the bound on p_ep/s_ep (r11's bug)
+    // the constraint extraction failed (WARN in every run) and join
+    // state was never time-evicted — correct on finite input, unbounded
+    // state on a real stream. p_time = timestamp_seconds(p_ep) exactly,
+    // so the predicate is value-identical; StateBoundSpec asserts rows
+    // are actually removed from the join state as the watermark advances.
     val joined = purchases.join(signups,
       col("p_user") === col("s_user") &&
-        col("p_ep") >= col("s_ep") && col("p_ep") <= col("s_ep") + 3600L)
+        col("p_time") >= col("s_time") &&
+        col("p_time") <= col("s_time") + expr("INTERVAL 1 HOUR"))
     val q = joined.writeStream
       .outputMode(OutputMode.Append)
       .format("memory").queryName(name)
       .start()
     q.processAllAvailable()
+    drainProgress(q)
     q.stop()
     s.table(name)
       .groupBy(expr("p_ep div 86400").as("ep_day"))
@@ -514,6 +551,7 @@ object Streams {
       .format("memory").queryName(name)
       .start()
     q.processAllAvailable()
+    drainProgress(q)
     q.stop()
     s.table(name)
       .groupBy(col("ep_day"))
@@ -552,6 +590,7 @@ object Streams {
       .option("path", dst).option("checkpointLocation", cp)
       .start()
     q.processAllAvailable()
+    drainProgress(q)
     q.stop()
     s.read.format("graft-snapshot").load(dst)
       .groupBy(col("ep_day"))
