@@ -369,13 +369,22 @@ object Multimodal {
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("band"), col("bkey")).orderBy(col("doc_id"))))
           .persist()
-        val a = ranked.filter(col("rk") > budget)
-          .agg(count(lit(1)), count_distinct(col("band"), col("bkey"))).head()
-        if (a.getLong(0) > 0)
-          println(s"[graft] m5 bucket budget $budget dropped ${a.getLong(0)} " +
-            s"band memberships across ${a.getLong(1)} over-budget buckets — " +
-            "pair recall narrows to kept members (see M5BudgetKey scaladoc)")
-        ranked.filter(col("rk") <= budget).drop("rk")
+        try {
+          val a = ranked.filter(col("rk") > budget)
+            .agg(count(lit(1)), count_distinct(col("band"), col("bkey"))).head()
+          if (a.getLong(0) > 0)
+            println(s"[graft] m5 bucket budget $budget dropped ${a.getLong(0)} " +
+              s"band memberships across ${a.getLong(1)} over-budget buckets — " +
+              "pair recall narrows to kept members (see M5BudgetKey scaladoc)")
+          // eager-materialize the keep-set OFF the cached frame so the
+          // persist can be released here (ADVICE r11: the returned frame
+          // used to keep referencing `ranked`, leaking one cached copy of
+          // the banded frame per budgeted call — largest at exactly the
+          // adversarial density the valve exists for). localCheckpoint
+          // blocks are ContextCleaner-managed: freed when the frame is
+          // GC'd, not held for the session.
+          ranked.filter(col("rk") <= budget).drop("rk").localCheckpoint(true)
+        } finally { ranked.unpersist(); () }
       }
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&

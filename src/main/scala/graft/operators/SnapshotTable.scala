@@ -618,15 +618,17 @@ object SnapshotTable {
     // cannot be known from the affected subset alone, so no capture is
     // attempted there (the mergeSchema fallback stays correct).
     val unionKnown = carried.contains("schemaJson") || !carried.contains("schema")
-    val tableColsOrdered: Seq[String] =
-      if (!unionKnown || untouched.isEmpty) cols
+    val priorStruct: Option[org.apache.spark.sql.types.StructType] =
+      if (!unionKnown || untouched.isEmpty) None
       else if (carried.contains("schemaJson"))
-        org.apache.spark.sql.types.DataType.fromJson(carried("schemaJson"))
-          .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toIndexedSeq
-      else if (affected.nonEmpty) old0.columns.toIndexedSeq
-      else subsetReader(s, root, v)
+        Some(org.apache.spark.sql.types.DataType.fromJson(carried("schemaJson"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      else if (affected.nonEmpty) Some(old0.schema)
+      else Some(subsetReader(s, root, v)
         .parquet(Paths.get(root, untouched.head.rel).toString)
-        .filter(lit(false)).columns.toIndexedSeq
+        .filter(lit(false)).schema)
+    val tableColsOrdered: Seq[String] =
+      priorStruct.map(_.fieldNames.toIndexedSeq).getOrElse(cols)
     val addedCols: Seq[String] =
       if (!unionKnown || untouched.isEmpty) Nil
       else cols.filterNot(tableColsOrdered.contains)
@@ -645,9 +647,22 @@ object SnapshotTable {
           s"merge on $root: changeset widens the table (+${addedCols.mkString(",")}) " +
             s"but lacks existing columns ${tableColsOrdered.filterNot(cols.contains).mkString(",")} — " +
             "a widening merge must carry the full union schema")
+        // existing columns keep the TABLE's types in the capture, and a
+        // changeset that disagrees is refused (ADVICE r11): freezing the
+        // changeset's type (e.g. int where the files hold long) would
+        // make later explicit-schema reads misdecode old files, while
+        // silently writing the union's widened type under the
+        // changeset's declared one strands the capture the other way.
+        val prior = priorStruct.get
+        tableColsOrdered.foreach { n =>
+          require(changes.schema(n).dataType == prior(n).dataType,
+            s"merge on $root: changeset column $n is ${changes.schema(n).dataType} " +
+              s"but the table holds ${prior(n).dataType} — a widening merge must " +
+              "match existing column types exactly")
+        }
         Some(org.apache.spark.sql.types.StructType(
-          (tableColsOrdered ++ addedCols)
-            .map(n => changes.schema(n).copy(nullable = true)).toArray).json)
+          (tableColsOrdered.map(n => prior(n).copy(nullable = true)) ++
+            addedCols.map(n => changes.schema(n).copy(nullable = true))).toArray).json)
       }
     val dropIds = changes.filter(col("op") =!= "i").select(col(idCol))
     val upserts = changes.filter(col("op") =!= "d").select(cols.map(col): _*)
@@ -661,9 +676,15 @@ object SnapshotTable {
     // stays because untouched files keep their pre-evolution width, is
     // SET when this merge itself widened the table (addedCols above),
     // and the captured union (`schemaJson`) is refreshed so explicit
-    // reads see the widened schema instead of a stale capture
+    // reads see the widened schema instead of a stale capture. A merge
+    // that rewrote EVERY file (untouched.isEmpty) leaves uniform files
+    // at the changeset's width, so both evolution markers are DROPPED
+    // (mirroring the optimize/zorder full-rewrite paths) — carrying a
+    // stale narrower schemaJson forward would make explicit-schema
+    // reads silently hide any column this rewrite added (ADVICE r11).
+    val baseMeta = if (untouched.isEmpty) carried - "schema" - "schemaJson" else carried
     commitEntries(root, v, untouched ++ newEntries, shardSize,
-      carried ++ extraMeta ++
+      baseMeta ++ extraMeta ++
         (if (addedCols.nonEmpty) Map("schema" -> s"evolved:+${addedCols.mkString(",")}")
          else Map.empty) ++
         unionJson.map("schemaJson" -> _) +

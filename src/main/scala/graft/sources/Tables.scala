@@ -42,14 +42,26 @@ object Tables {
 
   /** ts → nanos-since-epoch LONG, whatever the file delivered. The
     * timestamp branch is exact: unix_micros × 1000 loses nothing at
-    * µs source resolution, and sessions run UTC so the NTZ cast is a
-    * pure reinterpretation. Works on streaming frames too (it is one
-    * projection). */
+    * µs source resolution. For a TIMESTAMP_NTZ file the cast routes
+    * through the SESSION time zone, so the UTC contract is ENFORCED
+    * here rather than assumed (ADVICE r11): a non-UTC session would
+    * silently shift every normalized ts by the zone offset — fail
+    * loudly at the one seam instead. Instant-typed (LTZ) input needs
+    * no guard: unix_micros on it is zone-independent. Works on
+    * streaming frames too (it is one projection). */
   private[graft] def normalizeTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => df
-      case _ => df.withColumn("ts",
-        org.apache.spark.sql.functions.expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
+      case dt =>
+        if (dt == org.apache.spark.sql.types.TimestampNTZType) {
+          val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+          require(tz == "UTC",
+            s"events.ts is TIMESTAMP_NTZ and the session time zone is $tz: " +
+              "the NTZ→instant cast would shift every ts by the zone offset. " +
+              "Run with spark.sql.session.timeZone=UTC (the engine contract).")
+        }
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
     }
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")

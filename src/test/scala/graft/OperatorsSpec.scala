@@ -1180,6 +1180,61 @@ class MergeSpec extends AnyFunSuite {
         "merge leaked outside the changeset range")
     } finally merged.unpersist()
   }
+
+  private def freshRoot(name: String): String = {
+    val root = graft.operators.Engine.tmpDir(name)
+    graft.operators.Engine.listDir(java.nio.file.Paths.get(root))
+      .foreach(graft.operators.Engine.deleteRecursively)
+    root
+  }
+
+  test("full-rewrite widening merge on a captured table refreshes the schema (ADVICE r11)") {
+    import spark.implicits._
+    val root = freshRoot("graft_merge_fullrw_widen")
+    // v1: 40 keys across 4 range-disjoint files, columns (id, v)
+    val base = (1L to 40L).map(k => (k, 1.0 * k)).toDF("id", "v")
+      .repartitionByRange(4, col("id"))
+    assert(graft.streaming.SnapshotSink.appendBatch(root, base, 0L, keyCol = "id"))
+    // v2: PARTIAL widening merge (keys 5..8 only) adds `score` — the
+    // capture (schemaJson) is written because untouched files stay narrow
+    val w1 = (5L to 8L).map(k => (k, 2.0 * k, 0.5)).toDF("id", "v", "score")
+      .withColumn("op", lit("u"))
+    ST.merge(spark, root, "id", "id", w1)
+    val v2 = ST.currentVersion(root)
+    assert(ST.manifestMeta(root, v2).contains("schemaJson"), "fixture: capture expected at v2")
+    // v3: FULL-REWRITE widening merge (every key) adds `flag`. Pre-fix,
+    // the stale 3-column capture was carried forward and explicit-schema
+    // reads silently dropped `flag`; the fix drops both markers because
+    // the rewritten files are uniform at the changeset's width.
+    val w2 = (1L to 40L).map(k => (k, 3.0 * k, 1.0, 7L)).toDF("id", "v", "score", "flag")
+      .withColumn("op", lit("u"))
+    ST.merge(spark, root, "id", "id", w2)
+    val v3 = ST.currentVersion(root)
+    val meta = ST.manifestMeta(root, v3)
+    assert(!meta.contains("schemaJson") && !meta.contains("schema"),
+      s"full rewrite left stale evolution markers: $meta")
+    val got = ST.read(spark, root)
+    assert(got.columns.contains("flag"), "full-rewrite widening lost the new column")
+    assert(got.filter(col("flag") === 7L).count() == 40)
+    // time travel to the evolved-but-partial version still sees the capture
+    assert(ST.readAt(spark, root, v2).columns.toSeq == Seq("id", "v", "score"))
+  }
+
+  test("widening merge refuses a changeset that retypes an existing column (ADVICE r11)") {
+    import spark.implicits._
+    val root = freshRoot("graft_merge_retype")
+    val base = (1L to 40L).map(k => (k, 1.0 * k)).toDF("id", "v")
+      .repartitionByRange(4, col("id"))
+    assert(graft.streaming.SnapshotSink.appendBatch(root, base, 0L, keyCol = "id"))
+    // widening changeset that declares v as FLOAT where the table holds
+    // DOUBLE: freezing either type into the capture misdecodes — refuse
+    val bad = (9L to 12L).map(k => (k, k.toFloat, 2L)).toDF("id", "v", "extra")
+      .withColumn("op", lit("u"))
+    val e = intercept[IllegalArgumentException] {
+      ST.merge(spark, root, "id", "id", bad)
+    }
+    assert(e.getMessage.contains("must match existing column types"), e.getMessage)
+  }
 }
 
 /** x18's add-column evolution: mixed-width files under one manifest,

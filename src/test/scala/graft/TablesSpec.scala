@@ -33,4 +33,18 @@ class TablesSpec extends AnyFunSuite {
     assert(graft.sources.Tables.normalizeTs(longDf) eq longDf,
       "a long-typed ts must pass through untouched")
   }
+
+  test("normalizeTs refuses an NTZ ts under a non-UTC session (ADVICE r11)") {
+    import spark.implicits._
+    val tsDf = Seq("2026-01-02 03:04:05.123456")
+      .toDF("s").select(to_timestamp(col("s")).cast("timestamp_ntz").as("ts"))
+    val saved = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        graft.sources.Tables.normalizeTs(tsDf)
+      }
+      assert(e.getMessage.contains("session time zone"), e.getMessage)
+    } finally spark.conf.set("spark.sql.session.timeZone", saved)
+  }
 }
