@@ -13,7 +13,7 @@ object SparkEntry {
   private lazy val all: Map[String, ((SparkSession, String) => DataFrame, Option[String])] =
     Relational.entries ++ Churn.entries ++ TextAnalysis.entries ++
       Dedup.entries ++ Similarity.entries ++ Multimodal.entries ++
-      Engine.entries ++ SnapshotTable.entries ++
+      Engine.entries ++ SnapshotTable.entries ++ Pipeline.entries ++
       graft.streaming.Streams.entries ++ Map(
         "c9_churn_train_predict" ->
           ((graft.ml.ChurnModel.c9TrainPredict _): (SparkSession, String) => DataFrame,

@@ -41,20 +41,27 @@ object ChurnModel {
 
   /** Per-user features + one-hot event-type counts + label matrix
     * (pure DataFrame ops — all keyed and shuffled on user_id once). */
-  def featureMatrix(s: SparkSession, d: String): DataFrame = {
-    val oneHot = Tables.events(s, d)
+  def featureMatrix(s: SparkSession, d: String): DataFrame =
+    featureMatrixOf(Churn.ev(s, d))
+
+  /** The matrix over an arbitrary events frame (user_id, event_type,
+    * value, ep, ep_day) — c21's daily scoring runs it over the
+    * warehouse's ingested-so-far state, so day-N scores see day-N
+    * features/horizon, exactly the daily-cadence contract. */
+  private[graft] def featureMatrixOf(e: DataFrame): DataFrame = {
+    val oneHot = e
       .groupBy(col("user_id"))
       .pivot("event_type", EventTypes)
       .agg(count(lit(1)))
       .na.fill(0L)
       .select(col("user_id") +: EventTypes.map(t => col(t).as(s"evt_$t")): _*)
-    Churn.c2UserFeatures(s, d)
+    Churn.c2UserFeaturesOf(e)
       .withColumn("span_days",
         floor((col("last_ep") - col("first_ep")) / lit(86400.0)).cast("long"))
       .withColumn("events_per_active_day",
         col("n_events").cast("double") / col("active_days"))
       .join(oneHot, "user_id")
-      .join(Churn.c3ChurnLabel(s, d).select("user_id", "churned"), "user_id")
+      .join(Churn.c3ChurnLabelOf(e).select("user_id", "churned"), "user_id")
   }
 
   private def pipeline: Pipeline = new Pipeline().setStages(Array(
@@ -139,6 +146,17 @@ object ChurnModel {
         round(element_at(vector_to_array(col("prob")), 2), 6).as("churn_prob"),
         col("prediction").cast("long").as("prediction"),
         (pmod(col("user_id"), lit(5)) === 0).cast("long").as("is_test"))
+
+  /** Daily-cadence scoring for the orchestrated pipeline (c21): score
+    * every user visible in `events` (the warehouse's ingested-so-far
+    * state) with the session's memoized model — the reference's shape
+    * of a periodically-retrained model applied by a daily predict job.
+    * Output: user_id, churned, churn_prob, prediction, is_test. */
+  private[graft] def dailyScores(s: SparkSession, d: String,
+      events: DataFrame): DataFrame = {
+    val (_, model) = fitOnTrainFold(s, d)
+    scored(model, featureMatrixOf(events))
+  }
 
   /** c9_churn_train_predict — fit on the hash-split train fold, score
     * every user. Output: user_id, churned, churn_prob, prediction. */

@@ -33,7 +33,7 @@ object Churn {
   private def dsum(c: Column): Column = sum(dec(c)).cast("double")
 
   /** events + integer epoch seconds / epoch days. */
-  private def ev(s: SparkSession, d: String): DataFrame =
+  private[graft] def ev(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
       .withColumn("ep", expr("ts div 1000000000"))
       .withColumn("ep_day", expr("ep div 86400"))
@@ -129,8 +129,13 @@ object Churn {
 
   /** c2_user_features — the reference's per-user feature matrix: event
     * mix, monetary stats, activity span, recency vs dataset horizon. */
-  def c2UserFeatures(s: SparkSession, d: String): DataFrame = {
-    val e = ev(s, d)
+  def c2UserFeatures(s: SparkSession, d: String): DataFrame =
+    c2UserFeaturesOf(ev(s, d))
+
+  /** c2 over an arbitrary events frame (user_id, event_type, value, ep,
+    * ep_day) — the daily pipeline runs it over the WAREHOUSE table's
+    * ingested-so-far state, not the raw corpus dir. */
+  private[graft] def c2UserFeaturesOf(e: DataFrame): DataFrame = {
     val horizon = e.agg(max(col("ep")).as("g_max"))
     e.crossJoin(broadcast(horizon))
       .groupBy(col("user_id"))
@@ -161,8 +166,11 @@ object Churn {
 
   /** c3_churn_label — the reference's target variable: inactive for more
     * than ChurnDays vs the dataset horizon ⇒ churned. */
-  def c3ChurnLabel(s: SparkSession, d: String): DataFrame = {
-    val e = ev(s, d)
+  def c3ChurnLabel(s: SparkSession, d: String): DataFrame =
+    c3ChurnLabelOf(ev(s, d))
+
+  /** c3 over an arbitrary events frame — see [[c2UserFeaturesOf]]. */
+  private[graft] def c3ChurnLabelOf(e: DataFrame): DataFrame = {
     val horizon = e.agg(max(col("ep")).as("g_max"))
     e.crossJoin(broadcast(horizon))
       .groupBy(col("user_id"))
