@@ -691,6 +691,70 @@ object SnapshotTable {
         ("merge" -> s"cow:$idCol:${affected.size}of${untouched.size + affected.size}"))
   }
 
+  /** SQL UPDATE, copy-on-write — the one DML verb the maintenance
+    * surface lacked (VERDICT r11): set-clause assignments applied to
+    * rows matching `wherePred`, rewriting ONLY the files that hold a
+    * matching row. Delta's two-phase shape:
+    *
+    *   1. find-touched-files: one filter-pushed scan of the current
+    *      version marking each matching row's source file
+    *      (`input_file_name`). The predicate reaches the parquet scan,
+    *      so row-group stats skip non-matching data pages — at 100 TB
+    *      this pass reads the predicate's columns over the candidate
+    *      row groups, never the table's width.
+    *   2. rewrite: the touched files re-written with each SET column
+    *      as `CASE WHEN pred THEN expr ELSE old END` (all assignments
+    *      evaluate against the PRE-update row, standard SQL semantics;
+    *      values are cast back to the column's type). Untouched files
+    *      are carried by reference; the commit CASes the next version
+    *      and records `update: cow:NofM` so the pruning is auditable.
+    *
+    * A predicate matching zero rows commits nothing and returns the
+    * current version (Delta's no-op contract). SET may only name
+    * existing columns — UPDATE never changes the schema, so evolution
+    * markers carry through unchanged (rewritten files of an evolved
+    * table land at the union width via [[subsetReader]], which the
+    * markers already describe). */
+  def update(s: SparkSession, root: String, sets: Seq[(String, String)],
+      wherePred: String, extraMeta: Map[String, String] = Map.empty,
+      shardSize: Int = 4): Int = {
+    val v = currentVersion(root)
+    val carried = carriedMeta(root, v)
+    val entries = manifestEntries(root, v)
+    val full = readAt(s, root, v)
+    val setMap = sets.toMap
+    require(sets.map(_._1).distinct.size == sets.size,
+      s"update on $root: duplicate SET column")
+    sets.foreach { case (c, _) => require(full.columns.contains(c),
+      s"update on $root: SET names unknown column $c (UPDATE never widens a table; " +
+        "use a widening merge to add columns)") }
+    val cond = expr(wherePred)
+    val touchedPaths = full.filter(cond)
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).toSet
+    val touched = entries.filter(e => touchedPaths.exists(_.endsWith("/" + e.rel)))
+    if (touched.isEmpty) return v
+    val touchedSet = touched.map(_.rel).toSet
+    val untouched = entries.filterNot(e => touchedSet(e.rel))
+    val statsCol = carried.getOrElse("statsCol", full.columns.head)
+    val old = subsetReader(s, root, v)
+      .parquet(touched.map(e => Paths.get(root, e.rel).toString): _*)
+    val updated = old.select(old.columns.map { c =>
+      setMap.get(c) match {
+        case Some(e2) =>
+          when(cond, expr(e2).cast(old.schema(c).dataType)).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }.toIndexedSeq: _*)
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val rels = writeDataFiles(
+      updated.repartitionByRange(math.max(touched.size, 1), col(statsCol)),
+      root, s"u_$tag")
+    val newEntries = rels.map(footerEntry(root, _, statsCol))
+    commitEntries(root, v, untouched ++ newEntries, shardSize,
+      carried ++ extraMeta + ("update" -> s"cow:${touched.size}of${entries.size}"))
+  }
+
   /** x15's query-range bounds (epoch days; data dates are fixed across
     * SFs — the events table spans 19723..19752). The range covers the
     * last two 5-day file groups, so a correct pruner scans 2 of the 7
@@ -1375,6 +1439,7 @@ object SnapshotTable {
     "x22_zorder_box" -> (x22ZorderBox _, Some(x22Sql)),
     "x23_incremental_mv" -> (x23IncrementalMv _, Some(x17Sql)),
     "x24_catalog_sql" -> (x24CatalogSql _, Some(x24Sql)),
+    "x25_sql_update" -> (x25SqlUpdate _, Some(x25Sql)),
   )
 
   /** x24_catalog_sql — the name-addressed warehouse surface end-to-end
@@ -1406,5 +1471,48 @@ object SnapshotTable {
       |      UNION ALL
       |      SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice < 50000) x
       |GROUP BY o_custkey HAVING COUNT(*) >= 2 ORDER BY o_custkey""".stripMargin
+
+  /** x25's UPDATE predicate bounds (epoch days, mid-range): a 6-day
+    * window inside the 30-day log, so the copy-on-write rewrite touches
+    * ~2 of the 7 five-day files and carries the rest by reference
+    * (SnapshotSqlSpec reads the `update: cow:NofM` audit). */
+  private[graft] val X25Lo = 19735L
+  private[graft] val X25Hi = 19740L
+
+  /** x25_sql_update — standard-spelling SQL UPDATE against a
+    * path-addressed snapshot table, through the injected parser (the
+    * Delta-habituated verb VERDICT r11 flagged missing): clicks in a
+    * mid-range day window are repriced ×2 and relabeled, copy-on-write,
+    * then the whole table is re-aggregated. The DuckDB oracle applies
+    * the same CASE transform to the raw log — proving UPDATE ≡ the
+    * relational rewrite it abbreviates, while the plan only rewrote the
+    * touched files (the audit trail in the commit meta). Fresh table
+    * per call: UPDATE mutates, so sharing x15's memoized fixture would
+    * poison every stats-pruning query after it. */
+  def x25SqlUpdate(s: SparkSession, d: String): DataFrame = {
+    val root = Engine.tmpDir("graft_x25_update")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    commitEntries(root, 0, stageDayClustered(s, d, root), shardSize = 3,
+      Map("statsCol" -> "ep_day"))
+    s.sql(s"UPDATE '$root' SET value = value * 2, event_type = 'promo' " +
+      s"WHERE ep_day BETWEEN $X25Lo AND $X25Hi AND event_type = 'click'").collect()
+    read(s, root)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .orderBy("event_type")
+  }
+
+  val x25Sql: String =
+    s"""WITH e AS (SELECT event_type, value,
+       |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day FROM events),
+       |u AS (SELECT
+       |  CASE WHEN ep_day BETWEEN $X25Lo AND $X25Hi AND event_type = 'click'
+       |    THEN 'promo' ELSE event_type END AS event_type,
+       |  CASE WHEN ep_day BETWEEN $X25Lo AND $X25Hi AND event_type = 'click'
+       |    THEN value * 2 ELSE value END AS value FROM e)
+       |SELECT event_type, COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+       |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin
 
 }

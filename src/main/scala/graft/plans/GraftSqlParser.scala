@@ -25,7 +25,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   override def parsePlan(sqlText: String): LogicalPlan =
     SnapshotSql.historyRoot(session, sqlText) match {
       case Some(root) => SnapshotHistoryCommand(root)
-      case None if SnapshotSql.owns(sqlText) => SnapshotSqlCommand(sqlText)
+      case None if SnapshotSql.owns(sqlText) ||
+        SnapshotSql.ownsUpdate(session, sqlText) => SnapshotSqlCommand(sqlText)
       case None => delegate.parsePlan(sqlText)
     }
 

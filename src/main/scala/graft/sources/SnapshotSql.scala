@@ -23,6 +23,7 @@ import graft.operators.SnapshotTable
   *   OPTIMIZE <table> CLUSTER BY (col) [TARGET n]
   *   OPTIMIZE <table> ZORDER BY (colA, colB) [TARGET n]
   *   MERGE INTO <table> CLUSTER BY (col) ID (idCol) USING <viewName>
+  *   UPDATE <table> SET col = expr [, col = expr]* WHERE <predicate>
   *   VACUUM <table> KEEP FROM <version>
   *   DESCRIBE HISTORY <table>    (row-returning, parser route only)
   *
@@ -49,6 +50,12 @@ object SnapshotSql {
     s"""(?is)\\s*VACUUM\\s+($Ref)\\s+KEEP\\s+FROM\\s+(\\d+)\\s*""".r
   private val History =
     s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+($Ref)\\s*""".r
+  // standard DML spelling, no graft-specific clauses: the one verb a
+  // Delta-habituated user types verbatim. Splits at the FIRST top-level
+  // WHERE; assignments split on top-level commas (parens and quotes
+  // respected), so `SET a = f(x, y), b = 'w,z' WHERE ...` parses.
+  private val Update =
+    s"""(?is)\\s*UPDATE\\s+($Ref)\\s+SET\\s+(.+?)\\s+WHERE\\s+(.+?)\\s*""".r
 
   private val Quoted = "'([^']+)'".r
 
@@ -113,6 +120,50 @@ object SnapshotSql {
     case _ => false
   }
 
+  /** UPDATE routing — session-aware like [[historyRoot]], because
+    * UPDATE is real Spark syntax (DSv2 row-level DML): a quoted-path
+    * target is claimed unconditionally (no delegate could run it), an
+    * identifier target only when it resolves through a registered graft
+    * catalog — anything else falls through to Spark's parser so a
+    * Delta/Iceberg UPDATE in the same session is untouched. */
+  private[graft] def ownsUpdate(s: SparkSession, stmt: String): Boolean = stmt match {
+    case Update(ref, _, _) => ref.startsWith("'") ||
+      scala.util.Try(resolveRef(s, ref)).isSuccess
+    case _ => false
+  }
+
+  /** Split on top-level commas: parens and single-quoted strings are
+    * opaque. */
+  private def splitTop(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var quoted = false; var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '\'' => quoted = !quoted
+        case '(' if !quoted => depth += 1
+        case ')' if !quoted => depth -= 1
+        case ',' if !quoted && depth == 0 =>
+          out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+
+  private def parseSets(setsStr: String): Seq[(String, String)] =
+    splitTop(setsStr).map { a =>
+      a.split("=", 2) match {
+        case Array(c, e) if c.trim.matches("""\w+""") && e.trim.nonEmpty =>
+          (c.trim, e.trim)
+        case _ => throw new IllegalArgumentException(
+          s"graft-snapshot SQL: cannot parse SET assignment '${a.trim}' — " +
+            "expected <column> = <expression>")
+      }
+    }
+
   /** Parse and run one maintenance statement; returns the table's
     * version after the operation. */
   def exec(s: SparkSession, stmt: String): Int = stmt match {
@@ -124,6 +175,8 @@ object SnapshotSql {
         Option(target).map(_.toInt).getOrElse(DefaultTargetFiles))
     case MergeInto(ref, clusterCol, idCol, view) =>
       SnapshotTable.merge(s, resolveRef(s, ref), clusterCol, idCol, s.table(view))
+    case Update(ref, setsStr, pred) =>
+      SnapshotTable.update(s, resolveRef(s, ref), parseSets(setsStr), pred)
     case Vacuum(ref, keepFrom) =>
       val root = resolveRef(s, ref)
       SnapshotTable.vacuum(root, keepFrom.toInt)
