@@ -572,7 +572,86 @@ object Engine {
       .queryExecution.executedPlan.toString
   }
 
+  /** Build the x26 fixture API from the event log: one NDJSON page set
+    * per day, page size scaled so every SF paginates (~5 pages/day),
+    * every 7th request throttled. The server is the test double; the
+    * collect here builds ITS in-memory content, not the client's. */
+  private[graft] def x26Serve(s: SparkSession, d: String)
+      : (graft.sources.ApiFixtureServer, Seq[Long]) = {
+    val rows = Tables.events(s, d)
+      .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+      .select("event_id", "user_id", "event_type", "value", "ep_day")
+      .collect()
+    val byDay = rows.groupBy(_.getLong(4)).map { case (day, rs) =>
+      day -> rs.sortBy(_.getLong(0)).map(x26Json).toIndexedSeq
+    }
+    val pageSize = math.max(50, rows.length / (byDay.size * 5))
+    (new graft.sources.ApiFixtureServer(byDay, pageSize, quotaEvery = 7),
+      byDay.keys.toSeq.sorted)
+  }
+
+  private[graft] def x26Json(r: org.apache.spark.sql.Row): String =
+    s"""{"event_id":${r.getLong(0)},"user_id":${r.getLong(1)},""" +
+      s""""event_type":"${r.getString(2)}","value":${r.getDouble(3)},""" +
+      s""""ep_day":${r.getLong(4)}}"""
+
+  private val X26Schema =
+    "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, ep_day BIGINT"
+
+  /** Pull `days` from the fixture API — day-sharded across executors,
+    * paginated + backoff inside each day ([[graft.sources.ApiIngest]]) —
+    * and land them in the day-partitioned warehouse under DYNAMIC
+    * partition overwrite: only the pulled days' partitions are
+    * replaced, which is exactly what makes a day re-pull idempotent
+    * (and a revised day a clean supersede, never a duplicate). */
+  private[graft] def x26Land(s: SparkSession, port: Int, warehouse: String,
+      days: Seq[Long]): Unit = {
+    import s.implicits._
+    val base = s"http://127.0.0.1:$port"
+    val pulled = s.createDataset(days)
+      .repartition(math.min(8, math.max(1, days.size)))
+      .mapPartitions(_.flatMap(day => graft.sources.ApiIngest.pullDay(base, day)))
+    val saved = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+    s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try s.read.schema(X26Schema).json(pulled)
+      .write.mode("overwrite").partitionBy("ep_day").parquet(warehouse)
+    finally s.conf.set("spark.sql.sources.partitionOverwriteMode", saved)
+  }
+
+  /** x26_api_ingest — the reference's PRIMARY ingest shape (GA Core
+    * Reporting): a paginated, quota-limited, day-scoped API pull into
+    * the day-partitioned warehouse, with a re-pull of the newest day
+    * (analytics APIs finalize recent days late; a correct client
+    * re-pulls them, and dynamic partition overwrite makes that replace,
+    * not duplicate). The full pull + re-pull must land the log exactly
+    * once — the DuckDB oracle recomputes the same day aggregate from
+    * the raw table. ApiIngestSpec drives the revision and throttle
+    * paths the gate fixture keeps deterministic. */
+  def x26ApiIngest(s: SparkSession, d: String): DataFrame = {
+    val warehouse = tmpDir("graft_x26_wh")
+    listDir(java.nio.file.Paths.get(warehouse)).foreach(deleteRecursively)
+    val (server, days) = x26Serve(s, d)
+    try {
+      x26Land(s, server.port, warehouse, days)      // nightly backfill
+      x26Land(s, server.port, warehouse, Seq(days.max)) // late-data re-pull
+    } finally server.stop()
+    s.read.parquet(warehouse)
+      .groupBy(col("ep_day").cast("long").as("ep_day"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .orderBy("ep_day")
+  }
+
+  val x26Sql: String =
+    """WITH e AS (SELECT user_id, value,
+      |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day FROM events)
+      |SELECT ep_day, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM e GROUP BY ep_day ORDER BY ep_day""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "x26_api_ingest" -> (x26ApiIngest _, Some(x26Sql)),
     "x8_bucketed_join" -> (x8BucketedJoin _, Some(x8Sql)),
     "x6_incremental_merge" -> (x6IncrementalMerge _, Some(x6Sql)),
     "x7_data_quality" -> (x7DataQuality _, Some(x7Sql)),
