@@ -650,8 +650,92 @@ object Engine {
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
       |FROM e GROUP BY ep_day ORDER BY ep_day""".stripMargin
 
+  /** StructType → Avro record schema JSON for the flat long/double/
+    * string frames the interchange surface carries (nullability via
+    * union-with-null, Avro's standard encoding). */
+  private[graft] def avroSchemaJson(schema: org.apache.spark.sql.types.StructType,
+      name: String): String = {
+    import org.apache.spark.sql.types._
+    val fields = schema.fields.map { f =>
+      val t = f.dataType match {
+        case LongType => "\"long\""
+        case IntegerType => "\"int\""
+        case DoubleType => "\"double\""
+        case StringType => "\"string\""
+        case other => sys.error(s"avro interchange: unsupported type $other for ${f.name}")
+      }
+      s"""{"name":"${f.name}","type":["null",$t]}"""
+    }
+    s"""{"type":"record","name":"$name","fields":[${fields.mkString(",")}]}"""
+  }
+
+  /** x27_avro_roundtrip — Avro container-file interchange, completing
+    * the CSV/JSON/ORC/parquet matrix (x1/x2/x12). The distribution
+    * ships no spark-avro DataSource, only the core Avro library, so the
+    * sink/source are built directly on the PUBLIC Avro file API with
+    * Spark-native plumbing: the write is one container file PER TASK
+    * PARTITION (executors encode GenericRecords; the driver never sees
+    * a row), the read parallelizes the file list and decodes per file —
+    * the same per-partition shape the real spark-avro module executes.
+    * Round-trips the customer dim and re-aggregates; oracle = the same
+    * aggregate over the raw table. */
+  def x27AvroRoundtrip(s: SparkSession, d: String): DataFrame = {
+    import org.apache.avro.generic.{GenericData, GenericRecord}
+    val out = tmpDir("graft_x27_avro")
+    listDir(java.nio.file.Paths.get(out)).foreach(deleteRecursively)
+    val src = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+    val schema = src.schema
+    val avroJson = avroSchemaJson(schema, "customer")
+    // sink: one Avro container file per task, written on the executor
+    src.rdd.mapPartitionsWithIndex { (pid, rows) =>
+      val avro = new org.apache.avro.Schema.Parser().parse(avroJson)
+      val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+        new org.apache.avro.generic.GenericDatumWriter[GenericRecord](avro))
+      w.create(avro, new java.io.File(out, f"part-$pid%05d.avro"))
+      var n = 0L
+      try rows.foreach { r =>
+        val rec = new GenericData.Record(avro)
+        schema.fieldNames.zipWithIndex.foreach { case (f, i) =>
+          rec.put(f, if (r.isNullAt(i)) null else r.get(i)) }
+        w.append(rec); n += 1
+      } finally w.close()
+      Iterator(n)
+    }.count() // materialize the distributed write
+    // source: parallelize the file list, decode per file on executors
+    val files = listDir(java.nio.file.Paths.get(out))
+      .map(_.toString).filter(_.endsWith(".avro")).sorted
+    val rowRdd = s.sparkContext.parallelize(files, files.size).flatMap { path =>
+      val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
+        new java.io.File(path),
+        new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+      import scala.jdk.CollectionConverters._
+      try reader.iterator().asScala.map { rec =>
+        org.apache.spark.sql.Row.fromSeq(schema.fieldNames.map { f =>
+          rec.get(f) match {
+            case u: org.apache.avro.util.Utf8 => u.toString
+            case v => v
+          }
+        }.toIndexedSeq)
+      }.toVector
+      finally reader.close()
+    }
+    s.createDataFrame(rowRdd, schema)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        countDistinct(col("c_custkey")).as("n_keys"),
+        sum(col("c_acctbal").cast("decimal(18,6)")).cast("double").as("sum_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val x27Sql: String =
+    """SELECT c_mktsegment, COUNT(*) AS n_cust, COUNT(DISTINCT c_custkey) AS n_keys,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "x26_api_ingest" -> (x26ApiIngest _, Some(x26Sql)),
+    "x27_avro_roundtrip" -> (x27AvroRoundtrip _, Some(x27Sql)),
     "x8_bucketed_join" -> (x8BucketedJoin _, Some(x8Sql)),
     "x6_incremental_merge" -> (x6IncrementalMerge _, Some(x6Sql)),
     "x7_data_quality" -> (x7DataQuality _, Some(x7Sql)),
