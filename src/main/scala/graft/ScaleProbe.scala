@@ -132,6 +132,25 @@ object ScaleProbe {
     // then pointer-doubling CC: output is ONE row per image no matter
     // how many duplicate pairs the replicas induce
     time("m8_image_clusters")(operators.Multimodal.m8ImageDedupClusters(spark, work).count())
+    // r12: st7 with the state bound FIXED on the watermarked columns —
+    // print the state-store numbers alongside wall time so the probe
+    // record shows eviction holding at replica scale (final resident
+    // rows ≪ cumulative buffered rows)
+    time("st7_stream_join_state") {
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.streaming.StreamingQueryProgress]
+      val n = streaming.Streams.collectProgress(buf)(
+        streaming.Streams.st7StreamStreamJoin(spark, work)).count()
+      val ops = buf.flatMap(_.stateOperators)
+      println(s"[scale] st7 state: buffered=${ops.map(_.numRowsUpdated).sum} " +
+        s"removed=${ops.map(_.numRowsRemoved).sum} " +
+        s"final=${buf.last.stateOperators.map(_.numRowsTotal).sum}")
+      n
+    }
+    // r12: the composed daily pipeline — ingest/rollup are append-only
+    // (batch-proportional), scoring is O(users)/day; the probe shows the
+    // cadence staying linear-ish in corpus size, not superlinear
+    time("c21_daily_pipeline")(operators.Pipeline.c21DailyPipeline(spark, work).count())
     spark.stop()
   }
 }
