@@ -33,3 +33,23 @@ object ProfileX10 {
     spark.stop()
   }
 }
+
+/** Throwaway profiling harness for c21's cycle stages. */
+object ProfileC21 {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.build("local[32]", 32)
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[prof] $name ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    t("warm events")(sources.Tables.events(spark, d).count())
+    t("model fit (memoized after)")(ml.ChurnModel.c9TrainPredict(spark, d).count())
+    val P = operators.Pipeline
+    val w = P.freshWarehouse("c21prof")
+    t("cycle 0")(P.runCycle(spark, d, w, 0))
+    t("cycle 1")(P.runCycle(spark, d, w, 1))
+    t("cycle 2")(P.runCycle(spark, d, w, 2))
+    spark.stop()
+  }
+}

@@ -61,7 +61,13 @@ object ChurnModel {
       .withColumn("events_per_active_day",
         col("n_events").cast("double") / col("active_days"))
       .join(oneHot, "user_id")
-      .join(Churn.c3ChurnLabelOf(e).select("user_id", "churned"), "user_id")
+      // the label is c3's definition applied to c2's already-computed
+      // recency — value-identical to joining c3ChurnLabelOf(e), minus
+      // one whole per-user aggregation + shuffle join (the matrix is
+      // built 4× per daily-pipeline run; c3 itself stays a first-class
+      // gate operator)
+      .withColumn("churned",
+        when(col("recency_days") >= Churn.ChurnDays, 1L).otherwise(0L))
   }
 
   private def pipeline: Pipeline = new Pipeline().setStages(Array(
