@@ -751,8 +751,13 @@ object SnapshotTable {
       updated.repartitionByRange(math.max(touched.size, 1), col(statsCol)),
       root, s"u_$tag")
     val newEntries = rels.map(footerEntry(root, _, statsCol))
+    // a predicate that touched EVERY file leaves uniform files at the
+    // union width — drop the evolution markers (mirroring merge's
+    // full-rewrite path) so readers plan plain instead of paying a
+    // mergeSchema job against files that no longer mix widths
+    val baseMeta = if (untouched.isEmpty) carried - "schema" - "schemaJson" else carried
     commitEntries(root, v, untouched ++ newEntries, shardSize,
-      carried ++ extraMeta + ("update" -> s"cow:${touched.size}of${entries.size}"))
+      baseMeta ++ extraMeta + ("update" -> s"cow:${touched.size}of${entries.size}"))
   }
 
   /** x15's query-range bounds (epoch days; data dates are fixed across

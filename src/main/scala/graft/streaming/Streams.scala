@@ -476,7 +476,7 @@ object Streams {
     finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
   }
 
-  private def st7Run(s: SparkSession, name: String,
+  private[graft] def st7Run(s: SparkSession, name: String,
       batches: Seq[(String, DataFrame)],
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val base = source.batched(s, "st7", schema, batches)

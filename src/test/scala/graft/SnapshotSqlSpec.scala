@@ -133,6 +133,42 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(e.getMessage.contains("unknown column"))
   }
 
+  test("UPDATE on an EVOLVED table keeps evolved-column values on mixed widths") {
+    import spark.implicits._
+    val root = Engine.tmpDir("graft_sql_upd_evolved")
+    Engine.listDir(java.nio.file.Paths.get(root)).foreach(Engine.deleteRecursively)
+    // 4 range-disjoint narrow files (id, v)
+    val base = (1L to 40L).map(k => (k, 1.0 * k)).toDF("id", "v")
+      .repartitionByRange(4, col("id"))
+    assert(graft.streaming.SnapshotSink.appendBatch(root, base, 0L, keyCol = "id"))
+    // widen keys 31..40 with `score` (partial merge → mixed widths + capture)
+    val w = (31L to 40L).map(k => (k, 2.0 * k, 0.25 * k)).toDF("id", "v", "score")
+      .withColumn("op", lit("u"))
+    ST.merge(spark, root, "id", "id", w)
+    assert(ST.manifestMeta(root, ST.currentVersion(root)).contains("schema"))
+    // UPDATE touches a narrow-file range AND a wide-file range: the
+    // rewrite reads through the union schema, so wide rows must keep
+    // their score and narrow rows must keep surfacing null
+    spark.sql(s"UPDATE '$root' SET v = v + 100.0 WHERE id IN (5, 35)").collect()
+    val rows = ST.read(spark, root).select("id", "v", "score").collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)))))
+      .toMap
+    assert(rows(5L) == ((105.0, None)), s"narrow-file update wrong: ${rows(5L)}")
+    assert(rows(35L) == ((170.0, Some(8.75))), s"wide row lost its evolved value: ${rows(35L)}")
+    assert(rows(20L) == ((20.0, None)) && rows(40L) == ((80.0, Some(10.0))),
+      "untouched rows drifted")
+    // predicate matching every file → uniform union-width files: the
+    // evolution markers are dropped, and every value survives
+    spark.sql(s"UPDATE '$root' SET v = v * 1.0 WHERE id >= 1").collect()
+    val meta = ST.manifestMeta(root, ST.currentVersion(root))
+    assert(!meta.contains("schema") && !meta.contains("schemaJson"),
+      s"full-rewrite UPDATE left stale evolution markers: $meta")
+    val after = ST.read(spark, root).select("id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(after(35L) == Some(8.75) && after(5L).isEmpty,
+      "full-rewrite UPDATE corrupted evolved values")
+  }
+
   test("UPDATE path and catalog-name routes address the same table; foreign refs fall through") {
     val w = Engine.tmpDir("graft_sql_upd_cat")
     Engine.listDir(Paths.get(w)).foreach(Engine.deleteRecursively)

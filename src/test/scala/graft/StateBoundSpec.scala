@@ -89,6 +89,47 @@ class StateBoundSpec extends AnyFunSuite {
     assert(out.count() > 0)
   }
 
+  test("st7 admits BOUNDED DISORDER: late-but-within-watermark rows still join") {
+    import org.apache.spark.sql.functions._
+    // re-slice st7's feed so batch 1 carries a 30-minute tail of
+    // batch 0's time range — late arrivals, but inside the 1h watermark
+    // delay, so the contract says they must be ADMITTED and joined
+    // (dropping them would be a watermark-semantics bug; the eviction
+    // fix must not over-evict). Expected output stays the full batch
+    // join because no legal partner can be expired first (the late
+    // window < watermark delay).
+    val cut1 = S.St7Cut1; val cut2 = S.St7Cut2; val lateW = 1800L
+    val evAll = graft.sources.Tables.events(spark, sf)
+      .withColumn("ep", expr("ts div 1000000000"))
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select("event_id", "user_id", "event_type", "ep")
+    val late = evAll.filter(col("ep") >= cut1 - lateW && col("ep") < cut1)
+    assert(late.count() > 0, "fixture: no events in the late window")
+    val batches = Seq(
+      "b0" -> evAll.filter(col("ep") < cut1 - lateW),
+      "b1_disordered" -> evAll.filter(col("ep") >= cut1 - lateW && col("ep") < cut2),
+      "b2" -> evAll.filter(col("ep") >= cut2))
+    val got = S.st7Run(spark, "st7_disorder", batches, evAll.schema)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val su = evAll.filter(col("event_type") === "signup")
+      .select(col("user_id").as("u"), col("ep").as("s_ep"))
+    val pu = evAll.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u"), col("ep").as("p_ep"), col("event_id"))
+    val pairs = pu.join(su, Seq("u"))
+      .filter(col("p_ep") >= col("s_ep") && col("p_ep") <= col("s_ep") + 3600L)
+    // at least one pair must SPAN the disorder seam (partner in b0,
+    // late row in b1) or the admission path was never exercised
+    val spanning = pairs.filter(
+      (col("p_ep") >= cut1 - lateW && col("p_ep") < cut1 && col("s_ep") < cut1 - lateW) ||
+      (col("s_ep") >= cut1 - lateW && col("s_ep") < cut1 && col("p_ep") >= cut1)).count()
+    assert(spanning > 0, "fixture: no pair spans the disorder seam")
+    val expected = pairs.groupBy(expr("p_ep div 86400").as("ep_day"))
+      .agg(count(lit(1)).as("n_pairs"), countDistinct(col("event_id")).as("n_purchases"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected,
+      s"disordered feed lost pairs: ${(expected -- got).take(3)} / extra ${(got -- expected).take(3)}")
+  }
+
   test("st2 whole-log sessionizer state is bounded by key cardinality") {
     val (out, ps) = run(S.st2StreamSessionize(spark, sf))
     val users = graft.sources.Tables.events(spark, sf)
