@@ -715,6 +715,13 @@ object SnapshotTable {
     * markers carry through unchanged (rewritten files of an evolved
     * table land at the union width via [[subsetReader]], which the
     * markers already describe). */
+  /** UPDATE's phase-1 plan, a named seam so PlanSpec can assert the
+    * predicate actually reaches the parquet scan (`PushedFilters`) —
+    * at 100 TB the find-touched pass lives or dies on row-group
+    * skipping. */
+  private[graft] def updateTouchedScan(full: DataFrame, wherePred: String): DataFrame =
+    full.filter(expr(wherePred)).select(input_file_name().as("f")).distinct()
+
   def update(s: SparkSession, root: String, sets: Seq[(String, String)],
       wherePred: String, extraMeta: Map[String, String] = Map.empty,
       shardSize: Int = 4): Int = {
@@ -729,8 +736,7 @@ object SnapshotTable {
       s"update on $root: SET names unknown column $c (UPDATE never widens a table; " +
         "use a widening merge to add columns)") }
     val cond = expr(wherePred)
-    val touchedPaths = full.filter(cond)
-      .select(input_file_name().as("f")).distinct()
+    val touchedPaths = updateTouchedScan(full, wherePred)
       .collect().map(_.getString(0)).toSet
     val touched = entries.filter(e => touchedPaths.exists(_.endsWith("/" + e.rel)))
     if (touched.isEmpty) return v

@@ -21,6 +21,20 @@ class PlanSpec extends AnyFunSuite {
       "scan reads more columns than the projection needs")
   }
 
+  test("x25: UPDATE's find-touched-files scan pushes the WHERE predicate to parquet") {
+    import org.apache.spark.sql.execution.ExplainMode
+    val ST = graft.operators.SnapshotTable
+    val root = ST.statsTable(spark, sf) // read-only day-clustered fixture
+    val full = ST.read(spark, root)
+    val p = ST.updateTouchedScan(full,
+      s"ep_day BETWEEN ${ST.X25Lo} AND ${ST.X25Hi} AND event_type = 'click'")
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains(s"GreaterThanOrEqual(ep_day,${ST.X25Lo})") &&
+      p.contains(s"LessThanOrEqual(ep_day,${ST.X25Hi})") &&
+      p.contains("EqualTo(event_type,click)"),
+      s"UPDATE phase-1 predicate not pushed:\n${p.take(900)}")
+  }
+
   test("q6: tight range filters pushed to scan") {
     val p = plan("q6_cond_agg")
     assert(p.contains("GreaterThanOrEqual(l_discount,0.05)") &&
