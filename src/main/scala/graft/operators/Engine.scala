@@ -694,20 +694,18 @@ object Engine {
     * the same per-partition shape the real spark-avro module executes.
     * Round-trips the customer dim and re-aggregates; oracle = the same
     * aggregate over the raw table. */
-  def x27AvroRoundtrip(s: SparkSession, d: String): DataFrame = {
+  /** Avro SINK: one container file per task partition, encoded on the
+    * executors (the driver never sees a row). */
+  private[graft] def avroWrite(df: DataFrame, dir: String): Unit = {
     import org.apache.avro.generic.{GenericData, GenericRecord}
-    val out = tmpDir("graft_x27_avro")
-    listDir(java.nio.file.Paths.get(out)).foreach(deleteRecursively)
-    val src = Tables.customer(s, d)
-      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
-    val schema = src.schema
-    val avroJson = avroSchemaJson(schema, "customer")
-    // sink: one Avro container file per task, written on the executor
-    src.rdd.mapPartitionsWithIndex { (pid, rows) =>
+    listDir(java.nio.file.Paths.get(dir)).foreach(deleteRecursively)
+    val schema = df.schema
+    val avroJson = avroSchemaJson(schema, "row")
+    df.rdd.mapPartitionsWithIndex { (pid, rows) =>
       val avro = new org.apache.avro.Schema.Parser().parse(avroJson)
       val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
         new org.apache.avro.generic.GenericDatumWriter[GenericRecord](avro))
-      w.create(avro, new java.io.File(out, f"part-$pid%05d.avro"))
+      w.create(avro, new java.io.File(dir, f"part-$pid%05d.avro"))
       var n = 0L
       try rows.foreach { r =>
         val rec = new GenericData.Record(avro)
@@ -717,10 +715,17 @@ object Engine {
       } finally w.close()
       Iterator(n)
     }.count() // materialize the distributed write
-    // source: parallelize the file list, decode per file on executors
-    val files = listDir(java.nio.file.Paths.get(out))
+  }
+
+  /** Avro SOURCE: the file list parallelized, each container decoded on
+    * an executor; `schema` is the caller's contract (same explicit-
+    * schema discipline as x1/x2's readers). */
+  private[graft] def avroRead(s: SparkSession, dir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    import org.apache.avro.generic.GenericRecord
+    val files = listDir(java.nio.file.Paths.get(dir))
       .map(_.toString).filter(_.endsWith(".avro")).sorted
-    val rowRdd = s.sparkContext.parallelize(files, files.size).flatMap { path =>
+    val rowRdd = s.sparkContext.parallelize(files, math.max(1, files.size)).flatMap { path =>
       val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
         new java.io.File(path),
         new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
@@ -736,6 +741,14 @@ object Engine {
       finally reader.close()
     }
     s.createDataFrame(rowRdd, schema)
+  }
+
+  def x27AvroRoundtrip(s: SparkSession, d: String): DataFrame = {
+    val out = tmpDir("graft_x27_avro")
+    val src = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"), col("c_acctbal"))
+    avroWrite(src, out)
+    avroRead(s, out, src.schema)
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_cust"),
         countDistinct(col("c_custkey")).as("n_keys"),

@@ -29,6 +29,30 @@ class ApiIngestSpec extends AnyFunSuite {
     } finally server.stop()
   }
 
+  test("x27 avro round-trip is row-lossless including nulls and every supported type") {
+    import spark.implicits._
+    val src = Seq(
+      (1L, Some("a,b\"c"), Some(1.5), Some(7)),
+      (2L, None, Some(-0.0), None),
+      (3L, Some(""), None, Some(Int.MinValue)),
+      (Long.MaxValue, Some("π — unicode"), Some(Double.MinPositiveValue), Some(0)))
+      .toDF("id", "s", "v", "n")
+    val dir = Engine.tmpDir("graft_x27_spec")
+    Engine.avroWrite(src.repartition(3), dir)
+    val back = Engine.avroRead(spark, dir, src.schema)
+    assert(back.schema == src.schema)
+    assert(back.exceptAll(src).isEmpty && src.exceptAll(back).isEmpty,
+      "avro round-trip altered rows")
+    // distributed write shape: one container per task partition
+    val files = Engine.listDir(java.nio.file.Paths.get(dir))
+      .count(_.getFileName.toString.endsWith(".avro"))
+    assert(files == 3, s"expected one container per partition, got $files")
+    // unsupported column types are refused loudly, not mis-encoded
+    val e = intercept[RuntimeException](
+      Engine.avroWrite(Seq((1L, Array(1.0f))).toDF("id", "emb"), dir))
+    assert(e.getMessage.contains("unsupported type"))
+  }
+
   test("re-pull of a REVISED day supersedes its partition exactly") {
     val (server, days) = Engine.x26Serve(spark, sf)
     try {
