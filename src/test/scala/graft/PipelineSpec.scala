@@ -47,6 +47,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(ST.read(spark, w.scores).filter(col("score_day") =!= 2L).count() == 0)
   }
 
+  test("a cycle that CRASHED between stages resumes exactly (per-stage replay ids)") {
+    import org.apache.spark.sql.functions._
+    val w = P.freshWarehouse("c21crash")
+    assert(P.runCycle(spark, sf, w, 0) == ((true, true, true)))
+    // simulate a driver crash AFTER cycle 1's ingest committed but
+    // BEFORE rollup/score ran: commit the ingest stage alone
+    val slice1 = graft.operators.Churn.ev(spark, sf)
+      .select("event_id", "user_id", "event_type", "value", "ep", "ep_day")
+      .filter(col("ep_day") >= P.Cuts(1)._1 && col("ep_day") < P.Cuts(1)._2)
+    assert(graft.streaming.SnapshotSink.appendBatch(w.bronze, slice1, 1L, keyCol = "ep_day"))
+    // the re-run of cycle 1 must skip ingest (already committed) and
+    // run the two missing stages — no duplicate bronze rows, rollup and
+    // scores land once
+    assert(P.runCycle(spark, sf, w, 1) == ((false, true, true)),
+      "crash-resume did not skip the committed stage / run the missing ones")
+    assert(P.runCycle(spark, sf, w, 2) == ((true, true, true)))
+    val bronzeRows = ST.read(spark, w.bronze).count()
+    val rawRows = graft.sources.Tables.events(spark, sf).count()
+    assert(bronzeRows == rawRows, s"resume duplicated ingest: $bronzeRows vs $rawRows")
+    val oneShot = graft.ml.ChurnModel.c9TrainPredict(spark, sf)
+      .select("user_id", "churn_prob")
+    val served = ST.read(spark, w.scores).select("user_id", "churn_prob")
+    assert(served.except(oneShot).isEmpty && oneShot.except(served).isEmpty,
+      "crash-resumed cadence diverged from the one-shot scoring")
+  }
+
   test("c22 serving: looked-up churn_prob ≡ one-shot c9 for the sampled users") {
     val served = P.c22ScoreServing(spark, sf).select("user_id").collect()
       .map(_.getLong(0)).toSet
