@@ -144,6 +144,13 @@ object SnapshotTable {
 
   /** The `#key<TAB>value` metadata committed atomically with version
     * `v`'s file list (empty for a plain commit). */
+  /** Commit wall-clock (ms): the manifest file's mtime — the same
+    * source Delta resolves TIMESTAMP AS OF against (commit-file
+    * timestamps). Monotone per table because versions commit in order
+    * on one filesystem. */
+  def commitTimeMillis(root: String, v: Int): Long =
+    Files.getLastModifiedTime(manifestPath(root, v)).toMillis
+
   def manifestMeta(root: String, v: Int): Map[String, String] =
     rawManifestLines(root, v).collect {
       case l if l.startsWith("#") => l.drop(1).split('\t') match {
@@ -764,6 +771,53 @@ object SnapshotTable {
     val baseMeta = if (untouched.isEmpty) carried - "schema" - "schemaJson" else carried
     commitEntries(root, v, untouched ++ newEntries, shardSize,
       baseMeta ++ extraMeta + ("update" -> s"cow:${touched.size}of${entries.size}"))
+  }
+
+  /** SQL DELETE, copy-on-write — the path-addressed spelling of
+    * row-level delete (`DELETE FROM '<path>' WHERE <pred>` through the
+    * injected parser; the NAME route stays on Spark's standard DSv2
+    * `SupportsDelete` seam, see
+    * [[graft.sources.SnapshotTableSource]]). Shares [[update]]'s
+    * two-phase shape: a filter-pushed find-touched-files scan
+    * (`input_file_name` + pushed predicate, so at 100 TB the pass
+    * reads the predicate's columns over candidate row groups only),
+    * then ONLY the touched files rewritten keeping rows where the
+    * predicate is not TRUE (NULL keeps the row — SQL DELETE removes
+    * WHERE=TRUE rows only). Untouched files carry by reference with
+    * their footer stats; the commit records `delete: cow:NofM`.
+    * Because the find-touched pass marks files by ACTUAL matching rows
+    * (not stats-possible ranges), this route also takes predicates the
+    * DSv2 V1-filter translation rejects (expressions, UDF-free
+    * arithmetic). A predicate matching zero rows commits nothing and
+    * returns the current version. */
+  def delete(s: SparkSession, root: String, wherePred: String,
+      extraMeta: Map[String, String] = Map.empty, shardSize: Int = 4): Int = {
+    val v = currentVersion(root)
+    if (v == 0) return 0 // empty table: nothing to delete
+    val carried = carriedMeta(root, v)
+    val entries = manifestEntries(root, v)
+    val full = readAt(s, root, v)
+    val cond = expr(wherePred)
+    val touchedPaths = updateTouchedScan(full, wherePred)
+      .collect().map(_.getString(0)).toSet
+    val touched = entries.filter(e => touchedPaths.exists(_.endsWith("/" + e.rel)))
+    if (touched.isEmpty) return v
+    val touchedSet = touched.map(_.rel).toSet
+    val untouched = entries.filterNot(e => touchedSet(e.rel))
+    val statsCol = carried.getOrElse("statsCol", full.columns.head)
+    val kept = subsetReader(s, root, v)
+      .parquet(touched.map(e => Paths.get(root, e.rel).toString): _*)
+      .filter(not(coalesce(cond, lit(false))))
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val rels = writeDataFiles(
+      kept.repartitionByRange(math.max(touched.size, 1), col(statsCol)),
+      root, s"d_$tag")
+    val newEntries = rels.map(footerEntry(root, _, statsCol))
+    // full rewrite leaves uniform files — drop evolution markers, same
+    // contract as merge/update (a deleted-to-empty table trivially so)
+    val baseMeta = if (untouched.isEmpty) carried - "schema" - "schemaJson" else carried
+    commitEntries(root, v, untouched ++ newEntries, shardSize,
+      baseMeta ++ extraMeta + ("delete" -> s"cow:${touched.size}of${entries.size}"))
   }
 
   /** x15's query-range bounds (epoch days; data dates are fixed across
@@ -1451,6 +1505,8 @@ object SnapshotTable {
     "x23_incremental_mv" -> (x23IncrementalMv _, Some(x17Sql)),
     "x24_catalog_sql" -> (x24CatalogSql _, Some(x24Sql)),
     "x25_sql_update" -> (x25SqlUpdate _, Some(x25Sql)),
+    "x28_sql_delete" -> (x28SqlDelete _, Some(x28Sql)),
+    "x29_time_travel" -> (x29TimeTravel _, Some(x29Sql)),
   )
 
   /** x24_catalog_sql — the name-addressed warehouse surface end-to-end
@@ -1525,5 +1581,94 @@ object SnapshotTable {
        |SELECT event_type, COUNT(*) AS n_events,
        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
        |FROM u GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** x28's DELETE predicate bounds (epoch days, early-range): a 6-day
+    * window, so the find-touched scan confines the copy-on-write to
+    * ~2 of the 7 five-day files (SnapshotSqlSpec reads the
+    * `delete: cow:NofM` audit for the same shape). */
+  private[graft] val X28Lo = 19726L
+  private[graft] val X28Hi = 19731L
+
+  /** x28_sql_delete — standard-spelling SQL DELETE against a snapshot
+    * table via the injected parser (completing the DML matrix:
+    * MERGE / UPDATE / DELETE, each path- and name-addressed): view
+    * events in an early day window are deleted copy-on-write (only
+    * the files actually holding matching rows are rewritten — the
+    * find-touched scan pushes the predicate to the parquet scan), then
+    * the whole table is re-aggregated. The DuckDB oracle filters the
+    * raw log with the negated predicate — proving DELETE ≡ the
+    * relational filter it abbreviates while the plan only rewrote the
+    * touched files. Fresh table per call: DELETE mutates. */
+  def x28SqlDelete(s: SparkSession, d: String): DataFrame = {
+    val root = Engine.tmpDir("graft_x28_delete")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    commitEntries(root, 0, stageDayClustered(s, d, root), shardSize = 3,
+      Map("statsCol" -> "ep_day"))
+    s.sql(s"DELETE FROM '$root' " +
+      s"WHERE ep_day BETWEEN $X28Lo AND $X28Hi AND event_type = 'view'").collect()
+    read(s, root)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .orderBy("event_type")
+  }
+
+  val x28Sql: String =
+    s"""WITH e AS (SELECT event_type, value,
+       |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day FROM events)
+       |SELECT event_type, COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+       |FROM e
+       |WHERE NOT (ep_day BETWEEN $X28Lo AND $X28Hi AND event_type = 'view')
+       |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** x29's slice modulus and DELETE bound (epoch day, early range). */
+  private[graft] val X29Mod = 10L
+  private[graft] val X29Cut = 19732L
+
+  /** x29_time_travel — SQL time travel through the STANDARD Spark
+    * surface: `SELECT ... FROM cat.tbl VERSION AS OF n` resolving via
+    * `TableCatalog.loadTable(ident, version)` on
+    * [[graft.sources.GraftCatalog]]. A CTAS lands v1, a DSv2 DELETE
+    * commits v2; the query reads BOTH snapshots side by side — v1 must
+    * still surface every pre-delete row (data files are immutable;
+    * the manifest IS the snapshot, so the historical plan costs the
+    * same one-manifest read as the current one). Oracle: the raw log
+    * slice (v1) and its negated-predicate filter (current). */
+  def x29TimeTravel(s: SparkSession, d: String): DataFrame = {
+    if (!s.conf.getOption("spark.sql.catalog.gx").exists(_.nonEmpty)) {
+      s.conf.set("spark.sql.catalog.gx", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gx.root", Engine.tmpDir("graft_warehouse"))
+    }
+    Tables.events(s, d)
+      .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+      .filter(col("event_id") % X29Mod === 0)
+      .select("event_id", "event_type", "value", "ep_day")
+      .createOrReplaceTempView("x29_events_src")
+    s.sql("DROP TABLE IF EXISTS gx.x29_tt")
+    s.sql("CREATE TABLE gx.x29_tt AS SELECT * FROM x29_events_src")
+    s.sql(s"DELETE FROM gx.x29_tt WHERE ep_day <= $X29Cut")
+    s.sql("""SELECT 'v1' AS snap, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      FROM gx.x29_tt VERSION AS OF 1
+      UNION ALL
+      SELECT 'current' AS snap, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      FROM gx.x29_tt
+      ORDER BY snap""")
+  }
+
+  val x29Sql: String =
+    s"""WITH e AS (SELECT value,
+       |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day FROM events
+       |  WHERE event_id % $X29Mod = 0)
+       |SELECT 'v1' AS snap, COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+       |FROM e
+       |UNION ALL
+       |SELECT 'current' AS snap, COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+       |FROM e WHERE ep_day > $X29Cut
+       |ORDER BY snap""".stripMargin
 
 }

@@ -26,7 +26,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     SnapshotSql.historyRoot(session, sqlText) match {
       case Some(root) => SnapshotHistoryCommand(root)
       case None if SnapshotSql.owns(sqlText) ||
-        SnapshotSql.ownsUpdate(session, sqlText) => SnapshotSqlCommand(sqlText)
+        SnapshotSql.ownsUpdate(session, sqlText) ||
+        SnapshotSql.ownsDelete(sqlText) => SnapshotSqlCommand(sqlText)
       case None => delegate.parsePlan(sqlText)
     }
 

@@ -92,6 +92,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new SnapshotDsv2Table(root, schema, CaseInsensitiveStringMap.empty())
   }
 
+  /** SQL time travel — `SELECT ... FROM cat.tbl VERSION AS OF <v>`
+    * resolves here (Spark's TimeTravelSpec → TableCatalog.loadTable
+    * with a version string). The returned table is pinned: every scan
+    * plans against that snapshot's manifest AND its schema as of that
+    * version (a later widening never leaks phantom columns into a
+    * historical read), and writes/deletes are refused. Planning cost
+    * is the same one-manifest read as a current-version load — at
+    * 100 TB, time travel is free at plan time because data files are
+    * immutable and the manifest IS the snapshot. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val d = tableDir(ident)
+    if (!isTableDir(d)) throw new NoSuchTableException(ident)
+    val root = d.toString
+    val v = try version.trim.toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"graft catalog: VERSION AS OF takes the integer snapshot version, got '$version'")
+    }
+    val cur = SnapshotTable.currentVersion(root)
+    require(v >= 1 && v <= cur,
+      s"graft catalog: $root has versions 1..$cur, no version $v")
+    val schema = SnapshotSourceUtil.sparkSchema(
+      SnapshotSourceUtil.tableMessageType(root, v))
+    new SnapshotDsv2Table(root, schema, CaseInsensitiveStringMap.empty(), Some(v))
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands the timestamp in MICROSECONDS
+    * since epoch; resolve to the NEWEST version whose commit landed at
+    * or before it (Delta's contract), using the manifest files' mtimes.
+    * Versions vacuumed away are skipped — they are no longer
+    * addressable snapshots. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val d = tableDir(ident)
+    if (!isTableDir(d)) throw new NoSuchTableException(ident)
+    val root = d.toString
+    val cur = SnapshotTable.currentVersion(root)
+    val tsMillis = timestamp / 1000L
+    val v = (1 to cur).reverseIterator.find { i =>
+      scala.util.Try(SnapshotTable.commitTimeMillis(root, i)).toOption
+        .exists(_ <= tsMillis)
+    }.getOrElse(throw new IllegalArgumentException(
+      s"graft catalog: $root has no commit at or before timestamp ${tsMillis}ms"))
+    loadTable(ident, v.toString)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     require(partitions.isEmpty,

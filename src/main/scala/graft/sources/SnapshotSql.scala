@@ -56,6 +56,13 @@ object SnapshotSql {
   // respected), so `SET a = f(x, y), b = 'w,z' WHERE ...` parses.
   private val Update =
     s"""(?is)\\s*UPDATE\\s+($Ref)\\s+SET\\s+(.+?)\\s+WHERE\\s+(.+?)\\s*""".r
+  // standard DML spelling again: path-addressed row-level delete. The
+  // NAME spelling (DELETE FROM catalog.tbl) is deliberately NOT claimed
+  // — Spark's own analyzer runs it through the connector's DSv2
+  // SupportsDelete, and claiming it here would shadow that standard
+  // seam. The path spelling has no delegate that could run it.
+  private val Delete =
+    s"""(?is)\\s*DELETE\\s+FROM\\s+('[^']+')\\s+WHERE\\s+(.+?)\\s*""".r
 
   private val Quoted = "'([^']+)'".r
 
@@ -132,6 +139,15 @@ object SnapshotSql {
     case _ => false
   }
 
+  /** DELETE routing — only the quoted-path spelling is claimed (see
+    * [[Delete]]): a name-addressed DELETE is real Spark DSv2 DML and
+    * must keep flowing through the delegate parser to the connector's
+    * `SupportsDelete`. */
+  private[graft] def ownsDelete(stmt: String): Boolean = stmt match {
+    case Delete(_, _) => true
+    case _ => false
+  }
+
   /** Split on top-level commas: parens and single-quoted strings are
     * opaque. */
   private def splitTop(s: String): Seq[String] = {
@@ -177,6 +193,8 @@ object SnapshotSql {
       SnapshotTable.merge(s, resolveRef(s, ref), clusterCol, idCol, s.table(view))
     case Update(ref, setsStr, pred) =>
       SnapshotTable.update(s, resolveRef(s, ref), parseSets(setsStr), pred)
+    case Delete(ref, pred) =>
+      SnapshotTable.delete(s, resolveRef(s, ref), pred)
     case Vacuum(ref, keepFrom) =>
       val root = resolveRef(s, ref)
       SnapshotTable.vacuum(root, keepFrom.toInt)
@@ -186,6 +204,8 @@ object SnapshotSql {
         "OPTIMIZE <table> CLUSTER BY (col) [TARGET n] | " +
         "OPTIMIZE <table> ZORDER BY (a, b) [TARGET n] | " +
         "MERGE INTO <table> CLUSTER BY (col) ID (id) USING <view> | " +
+        "UPDATE <table> SET <col> = <expr>[, ...] WHERE <pred> | " +
+        "DELETE FROM '<path>' WHERE <pred> | " +
         "VACUUM <table> KEEP FROM <version>  (<table> = '<path>' or <catalog>.<name>)")
   }
 }

@@ -134,8 +134,13 @@ private[sources] object SnapshotSourceUtil {
     try r.getFooter.getFileMetaData.getSchema finally r.close()
   }
 
-  def tableMessageType(root: String): MessageType = {
-    val v = SnapshotTable.currentVersion(root)
+  def tableMessageType(root: String): MessageType =
+    tableMessageType(root, SnapshotTable.currentVersion(root))
+
+  /** Version-pinned variant — time travel (`VERSION AS OF`) plans with
+    * the schema AS OF that snapshot, so a later widening never leaks
+    * phantom columns into a historical read. */
+  def tableMessageType(root: String, v: Int): MessageType = {
     require(v > 0, s"graft-snapshot: $root has no committed version")
     val entries = SnapshotTable.manifestEntries(root, v)
     val meta = SnapshotTable.manifestMeta(root, v)
@@ -222,20 +227,41 @@ private[sources] object SnapshotSourceUtil {
 }
 
 private[sources] class SnapshotDsv2Table(root: String, schema: StructType,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    pinnedVersion: Option[Int] = None)
     extends Table with SupportsRead with SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
-  override def name(): String = s"graft_snapshot(`$root`)"
+  override def name(): String = pinnedVersion match {
+    case Some(v) => s"graft_snapshot(`$root`@v$v)"
+    case None => s"graft_snapshot(`$root`)"
+  }
   override def schema(): StructType = schema0
   private val schema0 = schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
-  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapshotScanBuilder(root, schema0, o)
-  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    if (pinnedVersion.isDefined)
+      java.util.EnumSet.of(TableCapability.BATCH_READ)
+    else
+      java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+        TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+  override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder = {
+    // a time-travel load pins every scan to its snapshot, overriding
+    // any reader-supplied version option — the catalog already
+    // resolved the AS OF clause to this table instance
+    val eff = pinnedVersion match {
+      case Some(v) =>
+        val m = new java.util.HashMap[String, String](o.asCaseSensitiveMap())
+        m.put("version", v.toString)
+        new CaseInsensitiveStringMap(m)
+      case None => o
+    }
+    new SnapshotScanBuilder(root, schema0, eff)
+  }
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"graft-snapshot: cannot write to a time-travel snapshot of $root")
     new SnapshotWriteBuilder(root, info)
+  }
 
   /** DELETE FROM ... WHERE through the standard row-level API —
     * copy-on-write like [[SnapshotTable.merge]]: manifest stats prune
@@ -249,6 +275,8 @@ private[sources] class SnapshotDsv2Table(root: String, schema: StructType,
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
+    require(pinnedVersion.isEmpty,
+      s"graft-snapshot: cannot delete from a time-travel snapshot of $root")
     val s = org.apache.spark.sql.SparkSession.active
     val v = SnapshotTable.currentVersion(root)
     if (v == 0) return // empty table: nothing to delete
@@ -279,8 +307,15 @@ private[sources] class SnapshotDsv2Table(root: String, schema: StructType,
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val rels = SnapshotTable.writeDataFiles(kept, root, s"del_$tag")
     val fresh = rels.map(SnapshotTable.footerEntry(root, _, statsCol.getOrElse("")))
+    // a delete that rewrote EVERY file leaves uniform files at the
+    // union width — drop the evolution markers (same contract as the
+    // merge/update/path-delete full-rewrite paths): carrying a stale
+    // narrower schemaJson forward would make later explicit-schema
+    // reads silently hide evolved columns
+    val baseMeta =
+      if (untouched.isEmpty) carried - "schema" - "schemaJson" else carried
     SnapshotTable.commitEntries(root, v, untouched ++ fresh, shardSize = 16,
-      carried + ("delete" -> s"cow:${cands.size}of${entries.size}"))
+      baseMeta + ("delete" -> s"cow:${cands.size}of${entries.size}"))
   }
 }
 
@@ -460,7 +495,10 @@ private[sources] class SnapshotScan(root: String, version: Int,
       (if (pushed.nonEmpty) s" pruneBy=[${pushed.mkString(",")}]" else "")
 
   private def factory: SnapshotReaderFactory = {
-    val full = SnapshotSourceUtil.tableMessageType(root)
+    // the SCAN's version, not the current one: a time-travel read must
+    // request the parquet schema as of its snapshot (nullability and
+    // width can both differ after later rewrites)
+    val full = SnapshotSourceUtil.tableMessageType(root, version)
     // evolved (mixed-width) versions pay the per-file request
     // intersection in the reader; uniform tables keep the zero-extra-IO
     // fast path (the flag is the same one readAt gates mergeSchema on)

@@ -256,4 +256,66 @@ class GraftCatalogSpec extends AnyFunSuite {
       spark.sql("SELECT * FROM gcat.never_created")
     }
   }
+
+  test("VERSION AS OF / TIMESTAMP AS OF read historical snapshots; writes refused") {
+    warehouse
+    val ST = graft.operators.SnapshotTable
+    spark.sql("CREATE TABLE gcat.tt (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gcat.tt VALUES (1, 1.0), (2, 2.0)") // v1
+    Thread.sleep(30) // mtime-distinct commits for TIMESTAMP AS OF
+    spark.sql("INSERT INTO gcat.tt VALUES (3, 3.0)") // v2
+    Thread.sleep(30)
+    spark.sql("DELETE FROM gcat.tt WHERE k <= 2") // v3
+    assert(ST.currentVersion(s"$warehouse/tt") == 3)
+    def ks(q: String): Seq[Long] =
+      spark.sql(q).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks("SELECT k FROM gcat.tt") == Seq(3L))
+    assert(ks("SELECT k FROM gcat.tt VERSION AS OF 1") == Seq(1L, 2L))
+    assert(ks("SELECT k FROM gcat.tt VERSION AS OF 2") == Seq(1L, 2L, 3L))
+    // filters still push into a historical scan (same DSv2 path)
+    assert(ks("SELECT k FROM gcat.tt VERSION AS OF 2 WHERE k >= 2") == Seq(2L, 3L))
+    // TIMESTAMP AS OF resolves to the newest commit at or before the
+    // timestamp — v2's commit instant must see v2, not v3
+    val t2 = ST.commitTimeMillis(s"$warehouse/tt", 2)
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone(
+      spark.conf.get("spark.sql.session.timeZone")))
+    val asOf2 = fmt.format(new java.util.Date(t2))
+    assert(ks(s"SELECT k FROM gcat.tt TIMESTAMP AS OF '$asOf2'") == Seq(1L, 2L, 3L))
+    // out-of-range version / pre-creation timestamp fail loudly
+    val e1 = intercept[Exception](spark.sql("SELECT * FROM gcat.tt VERSION AS OF 99").collect())
+    assert(e1.getMessage.contains("no version 99"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("SELECT * FROM gcat.tt TIMESTAMP AS OF '1999-01-01 00:00:00'").collect())
+    assert(e2.getMessage.contains("no commit at or before"), e2.getMessage)
+    // a historical snapshot is read-only
+    val e3 = intercept[Exception](
+      spark.sql("INSERT INTO gcat.tt VERSION AS OF 1 VALUES (9, 9.0)"))
+    assert(e3 != null)
+  }
+
+  test("VERSION AS OF plans with the schema AS OF that version") {
+    warehouse
+    import spark.implicits._
+    val ST = graft.operators.SnapshotTable
+    val root = s"$warehouse/ttev"
+    Files.createDirectories(java.nio.file.Paths.get(root))
+    val narrow = (1L to 5L).map(k => (k, 1.0 * k)).toDF("k", "v")
+    ST.commitEntries(root, 0,
+      ST.writeDataFiles(narrow, root, "a").map(ST.footerEntry(root, _, "k")),
+      shardSize = 8, Map("statsCol" -> "k")) // v1: (k, v)
+    val wide = (6L to 8L).map(k => (k, 1.0 * k, k * 0.5)).toDF("k", "v", "q")
+    ST.commitEntries(root, 1,
+      (ST.manifestEntries(root, 1) ++
+        ST.writeDataFiles(wide, root, "b").map(ST.footerEntry(root, _, "k"))),
+      shardSize = 8, Map("statsCol" -> "k", "schema" -> "evolved:+q")) // v2: +q
+    // current read surfaces the union width; the v1 read must NOT —
+    // the column did not exist in that snapshot
+    assert(spark.sql("SELECT * FROM gcat.ttev").columns.toSeq == Seq("k", "v", "q"))
+    assert(spark.sql("SELECT * FROM gcat.ttev VERSION AS OF 1").columns.toSeq == Seq("k", "v"))
+    assert(spark.sql("SELECT count(*) FROM gcat.ttev VERSION AS OF 1").head().getLong(0) == 5)
+    val e = intercept[Exception](
+      spark.sql("SELECT q FROM gcat.ttev VERSION AS OF 1").collect())
+    assert(e.getMessage.toLowerCase.contains("q"), e.getMessage)
+  }
 }

@@ -192,4 +192,98 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(!e.getMessage.contains("graft-snapshot SQL"),
       s"foreign UPDATE was claimed by the graft parser: ${e.getMessage}")
   }
+
+  test("DELETE via spark.sql: copy-on-write, pruned rewrite, NULL predicate keeps rows") {
+    val root = freshTable("graft_sql_delete")
+    spark.sql(s"OPTIMIZE '$root' CLUSTER BY (ep_day) TARGET 3").collect()
+    val before = ST.read(spark, root).select("event_id", "ep_day", "value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val nFiles = ST.manifestEntries(root, ST.currentVersion(root)).size
+    // a day-range predicate against the day-clustered layout: the
+    // find-touched scan confines the rewrite to files holding matches
+    val loDay = before.map(_._2).min
+    val doomed = before.filter { case (_, d, v) => d == loDay && v > 0.0 }.map(_._1).toSet
+    assert(doomed.nonEmpty, "fixture has no matching rows")
+    val out = spark.sql(s"DELETE FROM '$root' " +
+      s"WHERE ep_day = $loDay AND value > 0.0").collect()
+    val v = out.head.getInt(0)
+    val meta = ST.manifestMeta(root, v)
+    val Array(n, m) = meta("delete").stripPrefix("cow:").split("of").map(_.toInt)
+    assert(m == nFiles && n < m, s"DELETE rewrote the whole table: ${meta("delete")}")
+    // exactly the WHERE=TRUE rows are gone; everything else intact
+    val after = ST.read(spark, root).select("event_id").collect().map(_.getLong(0)).toSet
+    assert(after == before.map(_._1).toSet -- doomed,
+      s"DELETE removed the wrong rows (want ${doomed.size} gone)")
+    // a zero-match DELETE is a version no-op (Delta's contract)
+    val v2 = Sql.exec(spark, s"DELETE FROM '$root' WHERE ep_day = -1")
+    assert(v2 == v && ST.currentVersion(root) == v, "no-op DELETE minted a version")
+    // a NULL predicate keeps the row: DELETE removes WHERE=TRUE only.
+    // value IS NULL rows don't exist in this fixture, so null out a
+    // column via UPDATE first, then delete on a comparison against it
+    Sql.exec(spark, s"UPDATE '$root' SET value = CAST(NULL AS DOUBLE) " +
+      s"WHERE event_id = ${after.head}")
+    val total = ST.read(spark, root).count()
+    Sql.exec(spark, s"DELETE FROM '$root' WHERE value > ${Double.MinValue}")
+    val kept = ST.read(spark, root).select("event_id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(after.head),
+      s"NULL-predicate row must survive a DELETE (kept $kept of $total)")
+    // the name-addressed spelling is NOT claimed by the parser: it
+    // reaches Spark's analyzer (unknown-table error, not our grammar)
+    val e = intercept[Exception](spark.sql("DELETE FROM some_db.some_t WHERE a = 1"))
+    assert(!e.getMessage.contains("graft-snapshot SQL"),
+      s"foreign DELETE was claimed by the graft parser: ${e.getMessage}")
+  }
+
+  test("the change feed across a DELETE commit is exactly the deleted rows") {
+    val root = freshTable("graft_sql_del_cdf")
+    spark.sql(s"OPTIMIZE '$root' CLUSTER BY (ep_day) TARGET 3").collect()
+    val v0 = ST.currentVersion(root)
+    val loDay = ST.read(spark, root).agg(min(col("ep_day"))).head().getLong(0)
+    val doomed = ST.read(spark, root)
+      .filter(col("ep_day") === loDay && col("value") > 0.0)
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    spark.sql(s"DELETE FROM '$root' WHERE ep_day = $loDay AND value > 0.0").collect()
+    val v1 = ST.currentVersion(root)
+    // copy-on-write carried rows cancel in the multiset diff: the feed
+    // is the doomed rows as 'delete', zero 'insert' — an incremental
+    // consumer (index/aggregate maintenance) applies ONE commit's
+    // semantic delta, never a rewrite-sized echo
+    val feed = ST.changesBetween(spark, root, v0, v1)
+      .select("change_type", "event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(feed.forall(_._1 == "delete"), s"CoW echo in the change feed: ${feed.take(5).toSeq}")
+    assert(feed.map(_._2).toSet == doomed && feed.length == doomed.size,
+      s"feed must be exactly the deleted rows (${feed.length} vs ${doomed.size})")
+  }
+
+  test("DELETE on an EVOLVED table: mixed-width rewrite keeps values; full rewrite drops markers") {
+    import spark.implicits._
+    val root = Engine.tmpDir("graft_sql_del_evolved")
+    Engine.listDir(java.nio.file.Paths.get(root)).foreach(Engine.deleteRecursively)
+    val base = (1L to 40L).map(k => (k, 1.0 * k)).toDF("id", "v")
+      .repartitionByRange(4, col("id"))
+    assert(graft.streaming.SnapshotSink.appendBatch(root, base, 0L, keyCol = "id"))
+    val w = (31L to 40L).map(k => (k, 2.0 * k, 0.25 * k)).toDF("id", "v", "score")
+      .withColumn("op", lit("u"))
+    ST.merge(spark, root, "id", "id", w)
+    assert(ST.manifestMeta(root, ST.currentVersion(root)).contains("schema"))
+    // touch a narrow file and the wide file in one DELETE: the rewrite
+    // reads through the union schema, so surviving wide rows keep score
+    spark.sql(s"DELETE FROM '$root' WHERE id IN (5, 35)").collect()
+    val rows = ST.read(spark, root).select("id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(!rows.contains(5L) && !rows.contains(35L), "DELETE left doomed rows")
+    assert(rows(40L) == Some(10.0) && rows(20L).isEmpty,
+      s"evolved column lost in DELETE rewrite: ${rows.get(40L)}")
+    // predicate matching every file → uniform union-width survivors:
+    // the evolution markers are dropped (same contract as merge/update)
+    spark.sql(s"DELETE FROM '$root' WHERE id % 2 = 0").collect()
+    val meta = ST.manifestMeta(root, ST.currentVersion(root))
+    assert(!meta.contains("schema") && !meta.contains("schemaJson"),
+      s"full-rewrite DELETE left stale evolution markers: $meta")
+    val after = ST.read(spark, root).select("id", "score").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(after(39L) == Some(9.75) && after(19L).isEmpty,
+      "full-rewrite DELETE corrupted evolved values")
+  }
 }
