@@ -283,15 +283,15 @@ private[sources] class SnapshotDsv2Table(root: String, schema: StructType,
     val carried = SnapshotTable.carriedMeta(root, v)
     val statsCol = carried.get("statsCol")
     val entries = SnapshotTable.manifestEntries(root, v)
-    val (cands, untouched) = statsCol match {
+    val cands = statsCol match {
       case Some(c) =>
         val bounds = filters.flatMap(SnapshotScanBuilder.bound(_, c))
-        if (bounds.isEmpty) (entries, Seq.empty[SnapshotTable.FileEntry])
+        if (bounds.isEmpty) entries
         else {
           val (qlo, qhi) = (bounds.map(_._1).max, bounds.map(_._2).min)
-          entries.partition(e => e.lo <= qhi && e.hi >= qlo)
+          entries.filter(e => e.lo <= qhi && e.hi >= qlo)
         }
-      case None => (entries, Seq.empty[SnapshotTable.FileEntry])
+      case None => entries
     }
     if (cands.isEmpty) return // stats prove no file holds a match
     val cond = filters.map(f => SnapshotFilterSql.toColumn(f).getOrElse(
@@ -307,15 +307,12 @@ private[sources] class SnapshotDsv2Table(root: String, schema: StructType,
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val rels = SnapshotTable.writeDataFiles(kept, root, s"del_$tag")
     val fresh = rels.map(SnapshotTable.footerEntry(root, _, statsCol.getOrElse("")))
-    // a delete that rewrote EVERY file leaves uniform files at the
-    // union width — drop the evolution markers (same contract as the
-    // merge/update/path-delete full-rewrite paths): carrying a stale
-    // narrower schemaJson forward would make later explicit-schema
-    // reads silently hide evolved columns
-    val baseMeta =
-      if (untouched.isEmpty) carried - "schema" - "schemaJson" else carried
-    SnapshotTable.commitEntries(root, v, untouched ++ fresh, shardSize = 16,
-      baseMeta + ("delete" -> s"cow:${cands.size}of${entries.size}"))
+    // commitRewrite carries untouched files from whatever version the
+    // commit lands on (so a racing append survives), drops evolution
+    // markers on a full rewrite, and aborts loudly if a concurrent
+    // committer rewrote the candidate files this delete read
+    SnapshotTable.commitRewrite(root, v, cands.map(_.rel).toSet, fresh,
+      shardSize = 16, "delete")
   }
 }
 

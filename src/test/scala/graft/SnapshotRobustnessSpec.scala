@@ -436,4 +436,95 @@ class SnapshotRobustnessSpec extends AnyFunSuite {
     assert(B.bound(GreaterThan("k", 5L), "k").contains((6L, Long.MaxValue)))
     assert(B.bound(LessThan("k", 5L), "k").contains((Long.MinValue, 4L)))
   }
+
+  test("commitRewrite re-bases over a concurrent append instead of aborting") {
+    import spark.implicits._
+    val root = freshRoot("graft_rewrite_rebase")
+    val d1 = (1L to 10L).map(k => (k, 100L)).toDF("k", "day")
+    val d2 = (11L to 20L).map(k => (k, 200L)).toDF("k", "day")
+    val rels = ST.writeDataFiles(d1, root, "a") ++ ST.writeDataFiles(d2, root, "b")
+    ST.commitEntries(root, 0, rels.map(ST.footerEntry(root, _, "day")),
+      shardSize = 8, Map("statsCol" -> "day")) // v1
+    // the rewrite is computed against v1: replace the day-100 file
+    val touched = ST.manifestEntries(root, 1).filter(_.rel.contains("data_a_"))
+    val replacement = ST.writeDataFiles(
+      (2L to 10L).map(k => (k, 100L)).toDF("k", "day"), root, "rw")
+      .map(ST.footerEntry(root, _, "day"))
+    // a racing ingest lands v2 BEFORE the rewrite commits (stale base)
+    val appended = ST.writeDataFiles(
+      (21L to 25L).map(k => (k, 300L)).toDF("k", "day"), root, "c")
+      .map(ST.footerEntry(root, _, "day"))
+    ST.commitEntries(root, 1, ST.manifestEntries(root, 1) ++ appended,
+      shardSize = 8, Map("statsCol" -> "day")) // v2
+    val v = ST.commitRewrite(root, 1, touched.map(_.rel).toSet, replacement,
+      shardSize = 8, "delete")
+    assert(v == 3, s"rebase must land on the NEXT version after the racer, got $v")
+    val ks = ST.read(spark, root).select("k").collect().map(_.getLong(0)).toSet
+    // the racer's appended rows AND the rewrite both survive; only the
+    // rewritten-away row (k=1) is gone
+    assert(ks == ((2L to 25L).toSet), s"rebase lost rows: missing ${(2L to 25L).toSet -- ks}")
+    assert(ST.manifestMeta(root, 3)("delete").startsWith("cow:"))
+  }
+
+  test("commitRewrite aborts loudly when a concurrent committer rewrote the same files") {
+    import spark.implicits._
+    val root = freshRoot("graft_rewrite_conflict")
+    val d1 = (1L to 10L).map(k => (k, 100L)).toDF("k", "day")
+    ST.commitEntries(root, 0,
+      ST.writeDataFiles(d1, root, "a").map(ST.footerEntry(root, _, "day")),
+      shardSize = 8, Map("statsCol" -> "day")) // v1
+    val touched = ST.manifestEntries(root, 1).map(_.rel).toSet
+    val replacement = ST.writeDataFiles(
+      (2L to 10L).map(k => (k, 100L)).toDF("k", "day"), root, "rw")
+      .map(ST.footerEntry(root, _, "day"))
+    // a concurrent OPTIMIZE rewrites the SAME files first
+    ST.optimizeClustered(spark, root, "day", targetFiles = 1) // v2
+    val e = intercept[IllegalStateException] {
+      ST.commitRewrite(root, 1, touched, replacement, shardSize = 8, "delete")
+    }
+    assert(e.getMessage.contains("concurrent rewrite conflict"), e.getMessage)
+    // the table is untouched by the aborted rewrite: v2 is still current
+    assert(ST.currentVersion(root) == 2)
+    assert(ST.read(spark, root).count() == 10)
+  }
+
+  test("a DELETE races concurrent appends: all appended rows land, doomed rows die") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val root = freshRoot("graft_delete_race")
+    val d1 = (1L to 50L).map(k => (k, 100L)).toDF("k", "day")
+    ST.commitEntries(root, 0,
+      ST.writeDataFiles(d1.repartition(3), root, "a").map(ST.footerEntry(root, _, "day")),
+      shardSize = 8, Map("statsCol" -> "day"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      // appended rows deliberately DON'T match the delete predicate, so
+      // every interleaving (append before or after the delete's
+      // snapshot pin) must converge to the same final state
+      def rawAppend(df: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+        val entries = ST.writeDataFiles(df, root, tag).map(ST.footerEntry(root, _, "day"))
+        var done = false
+        while (!done) {
+          val v = ST.currentVersion(root)
+          try {
+            ST.commitEntries(root, v, ST.manifestEntries(root, v) ++ entries,
+              shardSize = 8, ST.carriedMeta(root, v))
+            done = true
+          } catch { case _: java.nio.file.FileAlreadyExistsException => }
+        }
+      }
+      val appends = (1 to 3).map { i => Future {
+        rawAppend(((100L * i) to (100L * i + 9L)).map(k => (k, 500L)).toDF("k", "day"), s"c$i")
+      }}
+      val del = Future { ST.delete(spark, root, "day = 100 AND k % 2 = 0") }
+      Await.result(Future.sequence(appends :+ del.map(_ => 0L)), 120.seconds)
+    } finally pool.shutdown()
+    val ks = ST.read(spark, root).select("k").collect().map(_.getLong(0)).toSet
+    val want = (1L to 50L).filter(_ % 2 == 1).toSet ++
+      (1 to 3).flatMap(i => (100L * i) to (100L * i + 9L))
+    assert(ks == want, s"race lost rows: missing=${want -- ks} extra=${ks -- want}")
+  }
 }
