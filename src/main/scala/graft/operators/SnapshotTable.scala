@@ -418,7 +418,7 @@ object SnapshotTable {
     * (appId -> version) survives every commit kind. */
   private[graft] def carriedMeta(root: String, v: Int): Map[String, String] =
     if (v == 0) Map.empty
-    else manifestMeta(root, v) -- Seq("optimize", "merge", "update", "delete")
+    else manifestMeta(root, v) -- Seq("optimize", "merge", "update", "delete", "alter")
 
   /** Bounded optimistic-commit policy for every CAS retry loop. A
     * committer that dies between its createFile claim and the content
@@ -1537,6 +1537,7 @@ object SnapshotTable {
     "x25_sql_update" -> (x25SqlUpdate _, Some(x25Sql)),
     "x28_sql_delete" -> (x28SqlDelete _, Some(x28Sql)),
     "x29_time_travel" -> (x29TimeTravel _, Some(x29Sql)),
+    "x30_alter_add_column" -> (x30AlterAddColumn _, Some(x30Sql)),
   )
 
   /** x24_catalog_sql — the name-addressed warehouse surface end-to-end
@@ -1687,6 +1688,54 @@ object SnapshotTable {
       FROM gx.x29_tt
       ORDER BY snap""")
   }
+
+  /** x30's day split: rows at or before the cut land in the narrow CTAS,
+    * rows after it arrive through the post-ALTER wide INSERT. */
+  private[graft] val X30Cut = 19737L
+
+  /** x30_alter_add_column — METADATA-ONLY schema widening through the
+    * standard SQL surface: CTAS lands a narrow table, `ALTER TABLE ...
+    * ADD COLUMN` commits a widened all-nullable capture WITHOUT
+    * touching a data file, and the next INSERT carries the new column.
+    * The read mixes widths: pre-ALTER files null-fill `quality`,
+    * post-ALTER files surface it — planned zero-footer from the
+    * capture. Oracle: the same split derived from the raw log (narrow
+    * half → NULL quality, wide half → value/10). */
+  def x30AlterAddColumn(s: SparkSession, d: String): DataFrame = {
+    if (!s.conf.getOption("spark.sql.catalog.gx").exists(_.nonEmpty)) {
+      s.conf.set("spark.sql.catalog.gx", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gx.root", Engine.tmpDir("graft_warehouse"))
+    }
+    val ev = Tables.events(s, d)
+      .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+      .filter(col("event_id") % X29Mod === 0)
+      .select("event_id", "event_type", "value", "ep_day")
+    ev.filter(col("ep_day") <= X30Cut).createOrReplaceTempView("x30_narrow_src")
+    ev.filter(col("ep_day") > X30Cut)
+      .withColumn("quality", col("value") / 10.0)
+      .createOrReplaceTempView("x30_wide_src")
+    s.sql("DROP TABLE IF EXISTS gx.x30_ev")
+    s.sql("CREATE TABLE gx.x30_ev AS SELECT * FROM x30_narrow_src")
+    s.sql("ALTER TABLE gx.x30_ev ADD COLUMN quality DOUBLE")
+    s.sql("INSERT INTO gx.x30_ev SELECT * FROM x30_wide_src")
+    s.sql("""SELECT event_type,
+        COUNT(*) AS n_events,
+        SUM(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS n_pre_alter,
+        CAST(SUM(CAST(COALESCE(quality, 0.0) AS DECIMAL(18,6))) AS DOUBLE) AS q_sum
+      FROM gx.x30_ev GROUP BY event_type ORDER BY event_type""")
+  }
+
+  val x30Sql: String =
+    s"""WITH e AS (SELECT event_type, value,
+       |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day FROM events
+       |  WHERE event_id % $X29Mod = 0),
+       |w AS (SELECT event_type,
+       |  CASE WHEN ep_day > $X30Cut THEN value / 10.0 ELSE NULL END AS quality
+       |  FROM e)
+       |SELECT event_type, COUNT(*) AS n_events,
+       |  CAST(SUM(CASE WHEN quality IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pre_alter,
+       |  CAST(SUM(CAST(COALESCE(quality, 0.0) AS DECIMAL(18,6))) AS DOUBLE) AS q_sum
+       |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val x29Sql: String =
     s"""WITH e AS (SELECT value,

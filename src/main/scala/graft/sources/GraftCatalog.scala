@@ -147,12 +147,78 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new SnapshotDsv2Table(d.toString, schema, CaseInsensitiveStringMap.empty())
   }
 
-  /** Column changes go through the snapshot evolution path
-    * (SnapshotTable.appendEvolved keeps old versions readable); the
-    * catalog refuses silent in-place edits. */
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft catalog: ALTER TABLE is not supported — evolve schemas via snapshot appends")
+  /** ALTER TABLE ADD COLUMN — METADATA-ONLY widening (Delta's design:
+    * the log, not the files, owns the schema): the commit appends no
+    * data files and rewrites none; it re-lists the current entries
+    * under a widened all-nullable schema capture (`#schemaJson`) plus
+    * the evolution marker, so every existing file null-fills the new
+    * column at read time and the NEXT ingest may carry it. At 100 TB
+    * adding a column costs one manifest commit, never a table rewrite.
+    * Historical versions keep their own width (time travel reads the
+    * schema AS OF the snapshot). Every other change class
+    * (drop/rename/retype/reposition) is refused — the snapshot table
+    * is add-column-evolution only, the same envelope the x18 ingest
+    * path established. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val d = tableDir(ident)
+    if (!isTableDir(d)) throw new NoSuchTableException(ident)
+    val root = d.toString
+    val supported: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.DoubleType, org.apache.spark.sql.types.FloatType,
+      org.apache.spark.sql.types.BooleanType, org.apache.spark.sql.types.StringType)
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "graft catalog: ADD COLUMN supports top-level columns only")
+        require(add.position() == null,
+          "graft catalog: ADD COLUMN position is not supported — new columns append at the end")
+        require(add.isNullable,
+          "graft catalog: an added column must be nullable — existing rows hold null")
+        val name = add.fieldNames()(0)
+        require(supported.contains(add.dataType()),
+          s"graft catalog: unsupported added-column type ${add.dataType()}")
+        val v0 = SnapshotTable.currentVersion(root)
+        if (v0 == 0) {
+          // never-written table: the declared schema file IS the schema
+          val cur = DataType.fromJson(
+            new String(Files.readAllBytes(schemaFile(d)))).asInstanceOf[StructType]
+          require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
+            s"graft catalog: column $name already exists")
+          Files.write(schemaFile(d),
+            cur.add(name, add.dataType(), nullable = true).json.getBytes("UTF-8"))
+        } else {
+          // CAS-retried metadata commit: same file list, widened capture
+          var committed = false
+          while (!committed) {
+            val v = SnapshotTable.currentVersion(root)
+            val cur = SnapshotSourceUtil.sparkSchema(
+              SnapshotSourceUtil.tableMessageType(root, v))
+            require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
+              s"graft catalog: column $name already exists")
+            val union = StructType(
+              (cur.fields.map(_.copy(nullable = true)) :+
+                org.apache.spark.sql.types.StructField(name, add.dataType(), nullable = true)).toSeq)
+            val priorAdds = SnapshotTable.manifestMeta(root, v).get("schema")
+              .map(_.stripPrefix("evolved:+") + ",").getOrElse("")
+            try {
+              SnapshotTable.commitEntries(root, v, SnapshotTable.manifestEntries(root, v),
+                shardSize = 16, SnapshotTable.carriedMeta(root, v) +
+                  ("schema" -> s"evolved:+$priorAdds$name") +
+                  ("schemaJson" -> union.json) +
+                  ("alter" -> s"addcol:$name"))
+              committed = true
+            } catch {
+              case _: java.nio.file.FileAlreadyExistsException => // racer won: re-read, retry
+            }
+          }
+        }
+      case other => throw new UnsupportedOperationException(
+        s"graft catalog: unsupported ALTER TABLE change $other — only ADD COLUMN " +
+          "(add-column evolution; drops/renames/retypes would need a table rewrite)")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val d = tableDir(ident)

@@ -294,6 +294,46 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e3 != null)
   }
 
+  test("ALTER TABLE ADD COLUMN is metadata-only; reads null-fill; the next INSERT carries it") {
+    warehouse
+    val ST = graft.operators.SnapshotTable
+    val root = s"$warehouse/ac"
+    spark.sql("CREATE TABLE gcat.ac (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gcat.ac VALUES (1, 1.0), (2, 2.0)") // v1
+    val filesBefore = ST.manifestEntries(root, 1).map(_.rel).toSet
+    spark.sql("ALTER TABLE gcat.ac ADD COLUMN q DOUBLE") // v2: metadata only
+    assert(ST.currentVersion(root) == 2)
+    // NOT ONE data file moved: same entries, same stats, new capture
+    assert(ST.manifestEntries(root, 2).map(_.rel).toSet == filesBefore,
+      "ALTER ADD COLUMN must not rewrite or add data files")
+    val meta = ST.manifestMeta(root, 2)
+    assert(meta.get("alter").contains("addcol:q") && meta.contains("schemaJson"))
+    // existing rows surface null; the schema widened
+    assert(spark.sql("SELECT * FROM gcat.ac").columns.toSeq == Seq("k", "v", "q"))
+    assert(spark.sql("SELECT q FROM gcat.ac WHERE q IS NULL").count() == 2)
+    // the next INSERT carries the column; reads mix widths correctly
+    spark.sql("INSERT INTO gcat.ac VALUES (3, 3.0, 0.5)") // v3
+    val got = spark.sql("SELECT k, q FROM gcat.ac ORDER BY k").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    assert(got.toSeq == Seq((1L, None), (2L, None), (3L, Some(0.5))), got.toSeq)
+    // time travel still reads the PRE-ALTER width
+    assert(spark.sql("SELECT * FROM gcat.ac VERSION AS OF 1").columns.toSeq == Seq("k", "v"))
+    // duplicate add and non-add changes are refused
+    val e1 = intercept[Exception](spark.sql("ALTER TABLE gcat.ac ADD COLUMN q BIGINT"))
+    assert(e1.getMessage.contains("already exists"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql("ALTER TABLE gcat.ac DROP COLUMN v"))
+    assert(e2.getMessage.toLowerCase.contains("alter table") ||
+      e2.getMessage.toLowerCase.contains("unsupported"), e2.getMessage)
+    // a second widening extends the SAME marker lineage
+    spark.sql("ALTER TABLE gcat.ac ADD COLUMN tag STRING")
+    assert(ST.manifestMeta(root, ST.currentVersion(root))("schema") == "evolved:+q,tag")
+    assert(spark.sql("SELECT tag FROM gcat.ac WHERE tag IS NULL").count() == 3)
+    // ALTER on a never-written table updates the declared schema file
+    spark.sql("CREATE TABLE gcat.ac_empty (a BIGINT)")
+    spark.sql("ALTER TABLE gcat.ac_empty ADD COLUMN b DOUBLE")
+    assert(spark.sql("SELECT * FROM gcat.ac_empty").columns.toSeq == Seq("a", "b"))
+  }
+
   test("VERSION AS OF plans with the schema AS OF that version") {
     warehouse
     import spark.implicits._
