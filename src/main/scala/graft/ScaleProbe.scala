@@ -151,6 +151,34 @@ object ScaleProbe {
     // (batch-proportional), scoring is O(users)/day; the probe shows the
     // cadence staying linear-ish in corpus size, not superlinear
     time("c21_daily_pipeline")(operators.Pipeline.c21DailyPipeline(spark, work).count())
+    // r12: copy-on-write DELETE confinement — the day-window delete must
+    // rewrite the touched 5-day blocks only, and its wall time must
+    // track the WINDOW's bytes (compare against the full-table OPTIMIZE
+    // rewrite at the same scale, printed alongside). At 100 TB this
+    // ratio is the whole point of the two-phase shape: a compliance
+    // delete prices at its predicate's data, never the table.
+    time("x28_stage_fixture") {
+      val ST = operators.SnapshotTable
+      val root = s"$work/snap_del"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+      ST.commitEntries(root, 0, ST.stageDayClustered(spark, work, root),
+        shardSize = 3, Map("statsCol" -> "ep_day"))
+      ST.read(spark, root).count()
+    }
+    time("x28_delete_cow") {
+      val ST = operators.SnapshotTable
+      val root = s"$work/snap_del"
+      val v = ST.delete(spark, root,
+        s"ep_day BETWEEN ${ST.X28Lo} AND ${ST.X28Hi} AND event_type = 'view'")
+      println(s"[scale] x28 delete audit: ${ST.manifestMeta(root, v)("delete")}")
+      ST.read(spark, root).count()
+    }
+    time("x28_full_rewrite_ref") {
+      val ST = operators.SnapshotTable
+      val root = s"$work/snap_del"
+      ST.optimizeClustered(spark, root, "ep_day", targetFiles = 7)
+      ST.read(spark, root).count()
+    }
     spark.stop()
   }
 }

@@ -771,6 +771,19 @@ object SnapshotTable {
   private[graft] def updateTouchedScan(full: DataFrame, wherePred: String): DataFrame =
     full.filter(expr(wherePred)).select(input_file_name().as("f")).distinct()
 
+  /** Rewrite parallelism for a copy-on-write DML commit: at LEAST one
+    * task per touched file (preserving the file-granular layout), but
+    * never throttled to a handful of tasks when few-but-large files are
+    * touched — a 2-file day-window delete over 10 GB files must not
+    * serialize onto 2 cores while 30 sit idle. Extra output files are
+    * free (the manifest lists them; the next OPTIMIZE re-compacts). */
+  private def rewriteParts(s: SparkSession, touched: Seq[FileEntry]): Int = {
+    val rows = touched.map(_.rows).filter(_ >= 0).sum
+    val byRows = if (rows > 0) (rows / 250000L).toInt else 0
+    math.max(math.max(touched.size, 1),
+      math.min(s.sparkContext.defaultParallelism, byRows))
+  }
+
   def update(s: SparkSession, root: String, sets: Seq[(String, String)],
       wherePred: String, extraMeta: Map[String, String] = Map.empty,
       shardSize: Int = 4): Int = {
@@ -802,7 +815,7 @@ object SnapshotTable {
     }.toIndexedSeq: _*)
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val rels = writeDataFiles(
-      updated.repartitionByRange(math.max(touched.size, 1), col(statsCol)),
+      updated.repartitionByRange(rewriteParts(s, touched), col(statsCol)),
       root, s"u_$tag")
     val newEntries = rels.map(footerEntry(root, _, statsCol))
     commitRewrite(root, v, touchedSet, newEntries, shardSize, "update", extraMeta)
@@ -844,7 +857,7 @@ object SnapshotTable {
       .filter(not(coalesce(cond, lit(false))))
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val rels = writeDataFiles(
-      kept.repartitionByRange(math.max(touched.size, 1), col(statsCol)),
+      kept.repartitionByRange(rewriteParts(s, touched), col(statsCol)),
       root, s"d_$tag")
     val newEntries = rels.map(footerEntry(root, _, statsCol))
     commitRewrite(root, v, touchedSet, newEntries, shardSize, "delete", extraMeta)
@@ -879,7 +892,7 @@ object SnapshotTable {
   /** Stage the event log into `root` as 5-day-block data files (x15's
     * day-clustered layout) and return their footer-stat entries —
     * shared by x15's pruning fixture and x17's merge target. */
-  private def stageDayClustered(s: SparkSession, d: String,
+  private[graft] def stageDayClustered(s: SparkSession, d: String,
       root: String): Seq[FileEntry] = {
     val scratch = Engine.tmpDir(s"graft_snap_stage_${Paths.get(root).getFileName}")
     Tables.events(s, d)

@@ -294,6 +294,39 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(e3 != null)
   }
 
+  test("VACUUM retires time-travel targets cleanly: vacuumed versions error, survivors read") {
+    warehouse
+    val ST = graft.operators.SnapshotTable
+    val root = s"$warehouse/ttv"
+    spark.sql("CREATE TABLE gcat.ttv (k BIGINT)")
+    spark.sql("INSERT INTO gcat.ttv VALUES (1)") // v1
+    Thread.sleep(30)
+    spark.sql("INSERT INTO gcat.ttv VALUES (2)") // v2
+    Thread.sleep(30)
+    val t1 = ST.commitTimeMillis(root, 1)
+    spark.sql("INSERT INTO gcat.ttv VALUES (3)") // v3
+    spark.sql(s"VACUUM '$root' KEEP FROM 2").collect()
+    // the vacuumed version is no longer addressable — loud error, and
+    // the CURRENT table is untouched by the failed historical read
+    intercept[Exception] {
+      spark.sql("SELECT * FROM gcat.ttv VERSION AS OF 1").collect()
+    }
+    assert(spark.sql("SELECT count(*) FROM gcat.ttv").head().getLong(0) == 3)
+    // surviving versions still time-travel
+    assert(spark.sql("SELECT count(*) FROM gcat.ttv VERSION AS OF 2").head().getLong(0) == 2)
+    // a timestamp that RESOLVED to the vacuumed version before the
+    // vacuum now has no commit at or before it — error, not a silent
+    // jump forward to a version that did not exist at that time
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone(
+      spark.conf.get("spark.sql.session.timeZone")))
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM gcat.ttv TIMESTAMP AS OF '${fmt.format(new java.util.Date(t1))}'")
+        .collect()
+    }
+    assert(e.getMessage.contains("no commit at or before"), e.getMessage)
+  }
+
   test("ALTER TABLE ADD COLUMN is metadata-only; reads null-fill; the next INSERT carries it") {
     warehouse
     val ST = graft.operators.SnapshotTable

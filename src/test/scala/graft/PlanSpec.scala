@@ -206,6 +206,41 @@ class PlanSpec extends AnyFunSuite {
       org.apache.spark.sql.sources.In("v", Array(300L)))) == 5)
   }
 
+  test("a time-travel scan prunes files against the HISTORICAL manifest") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val ST = graft.operators.SnapshotTable
+    val root = runtimePruneFixture()
+    // v2 compacts everything into one file; v1 keeps its 5-file layout
+    ST.optimizeClustered(spark, root, "ep_day", targetFiles = 1)
+    val schema = spark.read.format("graft-snapshot")
+      .option("version", "1").load(root).schema
+    def planned(version: String,
+        filters: Array[org.apache.spark.sql.sources.Filter]): Int = {
+      val opts = new java.util.HashMap[String, String]()
+      opts.put("version", version)
+      val b = new graft.sources.SnapshotScanBuilder(root, schema,
+        new CaseInsensitiveStringMap(opts))
+      b.pushFilters(filters)
+      b.build().toBatch.planInputPartitions().length
+    }
+    // the historical scan plans v1's files AND still stats-prunes them:
+    // a day range hitting one 10-day block keeps exactly that file
+    assert(planned("1", Array.empty) == 5, "v1 baseline plans its 5 files")
+    assert(planned("1", Array(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("ep_day", 40L))) == 1,
+      "pushed filter must prune the HISTORICAL file set")
+    assert(planned("2", Array.empty) == 1, "current version plans the compacted file")
+    // the pinned catalog route (VERSION AS OF) rides the same pruning:
+    // the filtered historical read answers from the pruned scan
+    spark.conf.set("spark.sql.catalog.gtt", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gtt.root",
+      java.nio.file.Paths.get(root).getParent.toString)
+    val name = java.nio.file.Paths.get(root).getFileName.toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM gtt.`$name` VERSION AS OF 1 WHERE ep_day >= 40")
+      .head().getLong(0) == 10)
+  }
+
   test("the optimizer injects dynamic pruning into the snapshot fact scan") {
     import org.apache.spark.sql.functions._
     val root = runtimePruneFixture()
