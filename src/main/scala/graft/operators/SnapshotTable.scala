@@ -371,6 +371,51 @@ object SnapshotTable {
       .foreach(Files.deleteIfExists(_))
   }
 
+  /** RESTORE — Delta's `RESTORE TABLE ... TO VERSION AS OF n` undo
+    * verb: snap the table's current state back to an earlier committed
+    * version as a NEW commit that re-lists the target version's
+    * entries verbatim. Pure manifest metadata — ZERO data files move or
+    * rewrite, because files are immutable and still on disk as long as
+    * the target manifest survived vacuum (a vacuumed target fails
+    * loudly rather than committing a manifest of dangling paths).
+    * History is preserved: the undone versions stay time-travelable,
+    * and a second RESTORE redoes them. Schema markers
+    * (`schema`/`schemaJson`) come from the TARGET version — restoring
+    * past an ALTER narrows the read width again, matching the restored
+    * content — while operational carry (statsCol, streaming
+    * epoch/batch watermarks) comes from the CURRENT version: a
+    * streaming writer's replay detection must survive the restore, or
+    * the next replayed batch would re-append and void exactly-once
+    * (the Delta transaction-map rule). Restoring to the current
+    * version mints no version (a no-op, like zero-match DML). CAS-
+    * retried; a racing append between read and commit is superseded —
+    * that is RESTORE's contract (the racer's commit stays
+    * time-travelable). Returns the version after the operation. */
+  def restore(root: String, toVersion: Int): Int = {
+    val retry = new CommitRetry(root)
+    var result = -1
+    while (result < 0) {
+      val cur = currentVersion(root)
+      retry.observed(cur)
+      require(toVersion >= 1 && toVersion <= cur,
+        s"snapshot restore on $root: versions run 1..$cur, no version $toVersion")
+      if (toVersion == cur) result = cur
+      else {
+        if (!Files.exists(manifestPath(root, toVersion)))
+          throw new IllegalStateException(s"snapshot restore on $root: version " +
+            s"$toVersion was vacuumed away — its snapshot is no longer addressable")
+        val schemaKeys = Set("schema", "schemaJson")
+        val meta = (carriedMeta(root, cur) -- schemaKeys) ++
+          manifestMeta(root, toVersion).filter(kv => schemaKeys.contains(kv._1)) +
+          ("restore" -> s"v$toVersion")
+        try result = commitEntries(root, cur, manifestEntries(root, toVersion),
+          shardSize = 16, meta)
+        catch { case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) }
+      }
+    }
+    result
+  }
+
   /** Write a DataFrame's rows as one immutable data file under root;
     * returns the root-relative path. Commit-unique names (version tag +
     * logical name) keep every file addressable by any manifest.
@@ -418,7 +463,8 @@ object SnapshotTable {
     * (appId -> version) survives every commit kind. */
   private[graft] def carriedMeta(root: String, v: Int): Map[String, String] =
     if (v == 0) Map.empty
-    else manifestMeta(root, v) -- Seq("optimize", "merge", "update", "delete", "alter")
+    else manifestMeta(root, v) -- Seq("optimize", "merge", "update", "delete", "alter",
+      "restore")
 
   /** Bounded optimistic-commit policy for every CAS retry loop. A
     * committer that dies between its createFile claim and the content
@@ -1551,6 +1597,7 @@ object SnapshotTable {
     "x28_sql_delete" -> (x28SqlDelete _, Some(x28Sql)),
     "x29_time_travel" -> (x29TimeTravel _, Some(x29Sql)),
     "x30_alter_add_column" -> (x30AlterAddColumn _, Some(x30Sql)),
+    "x31_restore" -> (x31Restore _, Some(x31Sql)),
   )
 
   /** x24_catalog_sql — the name-addressed warehouse surface end-to-end
@@ -1761,6 +1808,51 @@ object SnapshotTable {
        |SELECT 'current' AS snap, COUNT(*) AS n_events,
        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
        |FROM e WHERE ep_day > $X29Cut
+       |ORDER BY snap""".stripMargin
+
+  /** x31_restore — the undo verb through plain SQL: a CTAS lands v1, a
+    * DSv2 DELETE commits v2 (dropping the early days), and
+    * `RESTORE TABLE ... TO VERSION AS OF 1` mints v3 whose manifest
+    * re-lists v1's files — metadata-only, zero data movement, the
+    * deleted rows are back because their files never left the disk.
+    * The query reads the superseded DELETE snapshot (still
+    * time-travelable) beside the restored current state; the oracle
+    * derives both from the raw log. */
+  def x31Restore(s: SparkSession, d: String): DataFrame = {
+    if (!s.conf.getOption("spark.sql.catalog.gx").exists(_.nonEmpty)) {
+      s.conf.set("spark.sql.catalog.gx", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gx.root", Engine.tmpDir("graft_warehouse"))
+    }
+    Tables.events(s, d)
+      .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+      .filter(col("event_id") % X29Mod === 0)
+      .select("event_id", "event_type", "value", "ep_day")
+      .createOrReplaceTempView("x31_events_src")
+    s.sql("DROP TABLE IF EXISTS gx.x31_rt")
+    s.sql("CREATE TABLE gx.x31_rt AS SELECT * FROM x31_events_src")
+    s.sql(s"DELETE FROM gx.x31_rt WHERE ep_day <= $X29Cut")
+    s.sql("RESTORE TABLE gx.x31_rt TO VERSION AS OF 1")
+    s.sql("""SELECT 'deleted' AS snap, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      FROM gx.x31_rt VERSION AS OF 2
+      UNION ALL
+      SELECT 'restored' AS snap, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      FROM gx.x31_rt
+      ORDER BY snap""")
+  }
+
+  val x31Sql: String =
+    s"""WITH e AS (SELECT value,
+       |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day FROM events
+       |  WHERE event_id % $X29Mod = 0)
+       |SELECT 'deleted' AS snap, COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+       |FROM e WHERE ep_day > $X29Cut
+       |UNION ALL
+       |SELECT 'restored' AS snap, COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+       |FROM e
        |ORDER BY snap""".stripMargin
 
 }

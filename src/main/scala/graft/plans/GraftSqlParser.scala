@@ -27,7 +27,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case Some(root) => SnapshotHistoryCommand(root)
       case None if SnapshotSql.owns(sqlText) ||
         SnapshotSql.ownsUpdate(session, sqlText) ||
-        SnapshotSql.ownsDelete(sqlText) => SnapshotSqlCommand(sqlText)
+        SnapshotSql.ownsDelete(sqlText) ||
+        SnapshotSql.ownsRestore(session, sqlText) => SnapshotSqlCommand(sqlText)
       case None => delegate.parsePlan(sqlText)
     }
 

@@ -24,6 +24,7 @@ import graft.operators.SnapshotTable
   *   OPTIMIZE <table> ZORDER BY (colA, colB) [TARGET n]
   *   MERGE INTO <table> CLUSTER BY (col) ID (idCol) USING <viewName>
   *   UPDATE <table> SET col = expr [, col = expr]* WHERE <predicate>
+  *   RESTORE TABLE <table> TO VERSION AS OF <version>
   *   VACUUM <table> KEEP FROM <version>
   *   DESCRIBE HISTORY <table>    (row-returning, parser route only)
   *
@@ -63,6 +64,10 @@ object SnapshotSql {
   // seam. The path spelling has no delegate that could run it.
   private val Delete =
     s"""(?is)\\s*DELETE\\s+FROM\\s+('[^']+')\\s+WHERE\\s+(.+?)\\s*""".r
+  // Delta's undo verb, spelled identically: a metadata-only commit that
+  // re-lists the target version's entries (SnapshotTable.restore)
+  private val Restore =
+    s"""(?is)\\s*RESTORE\\s+TABLE\\s+($Ref)\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*""".r
 
   private val Quoted = "'([^']+)'".r
 
@@ -148,6 +153,17 @@ object SnapshotSql {
     case _ => false
   }
 
+  /** RESTORE routing — session-aware like [[ownsUpdate]]: RESTORE is
+    * not Spark syntax, but another extension (Delta) in the same
+    * session may own the spelling for ITS tables, so an identifier
+    * target is claimed only when it resolves through a graft catalog;
+    * a quoted-path target is claimed unconditionally. */
+  private[graft] def ownsRestore(s: SparkSession, stmt: String): Boolean = stmt match {
+    case Restore(ref, _) => ref.startsWith("'") ||
+      scala.util.Try(resolveRef(s, ref)).isSuccess
+    case _ => false
+  }
+
   /** Split on top-level commas: parens and single-quoted strings are
     * opaque. */
   private def splitTop(s: String): Seq[String] = {
@@ -195,6 +211,8 @@ object SnapshotSql {
       SnapshotTable.update(s, resolveRef(s, ref), parseSets(setsStr), pred)
     case Delete(ref, pred) =>
       SnapshotTable.delete(s, resolveRef(s, ref), pred)
+    case Restore(ref, toVersion) =>
+      SnapshotTable.restore(resolveRef(s, ref), toVersion.toInt)
     case Vacuum(ref, keepFrom) =>
       val root = resolveRef(s, ref)
       SnapshotTable.vacuum(root, keepFrom.toInt)
@@ -206,6 +224,7 @@ object SnapshotSql {
         "MERGE INTO <table> CLUSTER BY (col) ID (id) USING <view> | " +
         "UPDATE <table> SET <col> = <expr>[, ...] WHERE <pred> | " +
         "DELETE FROM '<path>' WHERE <pred> | " +
+        "RESTORE TABLE <table> TO VERSION AS OF <version> | " +
         "VACUUM <table> KEEP FROM <version>  (<table> = '<path>' or <catalog>.<name>)")
   }
 }

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -390,5 +392,75 @@ class GraftCatalogSpec extends AnyFunSuite {
     val e = intercept[Exception](
       spark.sql("SELECT q FROM gcat.ttev VERSION AS OF 1").collect())
     assert(e.getMessage.toLowerCase.contains("q"), e.getMessage)
+  }
+
+  test("RESTORE TABLE snaps back to an earlier version: metadata-only, history preserved") {
+    warehouse
+    val ST = graft.operators.SnapshotTable
+    val root = s"$warehouse/rst"
+    def parquets(): Set[String] =
+      Files.list(java.nio.file.Paths.get(root)).iterator().asScala
+        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+    def ks(q: String): Seq[Long] =
+      spark.sql(q).collect().map(_.getLong(0)).sorted.toSeq
+    spark.sql("CREATE TABLE gcat.rst (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gcat.rst VALUES (1, 1.0), (2, 2.0), (3, 3.0)") // v1
+    spark.sql("DELETE FROM gcat.rst WHERE k <= 2") // v2: copy-on-write
+    assert(ks("SELECT k FROM gcat.rst") == Seq(3L))
+    val before = parquets()
+    val v = spark.sql("RESTORE TABLE gcat.rst TO VERSION AS OF 1").head().getInt(0)
+    assert(v == 3)
+    // the deleted rows are back, and NOT ONE data file was written —
+    // the restore commit re-lists v1's immutable files
+    assert(ks("SELECT k FROM gcat.rst") == Seq(1L, 2L, 3L))
+    assert(parquets() == before, "restore must be metadata-only")
+    assert(ST.manifestEntries(root, 3).map(_.rel) == ST.manifestEntries(root, 1).map(_.rel))
+    // the undone DELETE snapshot stays time-travelable, and a second
+    // RESTORE redoes it
+    assert(ks("SELECT k FROM gcat.rst VERSION AS OF 2") == Seq(3L))
+    spark.sql("RESTORE TABLE gcat.rst TO VERSION AS OF 2") // v4
+    assert(ks("SELECT k FROM gcat.rst") == Seq(3L))
+    // each restore commit carries its own audit tag; tags don't leak
+    // into the next commit's carried metadata
+    assert(ST.manifestMeta(root, 3)("restore") == "v1")
+    assert(ST.manifestMeta(root, 4)("restore") == "v2")
+    // restoring to the current version is a no-op — no version minted
+    // (path route: path≡name on the same directory)
+    val cur = ST.currentVersion(root)
+    assert(spark.sql(s"RESTORE TABLE '$root' TO VERSION AS OF $cur").head().getInt(0) == cur)
+    assert(ST.currentVersion(root) == cur)
+    // out-of-range target fails loudly
+    val e1 = intercept[Exception](spark.sql("RESTORE TABLE gcat.rst TO VERSION AS OF 99"))
+    assert(e1.getMessage.contains("no version 99"), e1.getMessage)
+    // a vacuumed target is not restorable — loud error, table untouched
+    spark.sql(s"VACUUM '$root' KEEP FROM 3").collect()
+    val e2 = intercept[Exception](spark.sql("RESTORE TABLE gcat.rst TO VERSION AS OF 2"))
+    assert(e2.getMessage.contains("vacuumed"), e2.getMessage)
+    assert(ks("SELECT k FROM gcat.rst") == Seq(3L))
+    // a non-graft identifier falls through to Spark's parser (which has
+    // no RESTORE) instead of being claimed here
+    val e3 = intercept[Exception](spark.sql("RESTORE TABLE nosuch.tbl TO VERSION AS OF 1"))
+    assert(!e3.getMessage.contains("snapshot restore"), e3.getMessage)
+  }
+
+  test("RESTORE past an ALTER narrows the schema again; the wide snapshot stays wide") {
+    warehouse
+    val ST = graft.operators.SnapshotTable
+    val root = s"$warehouse/rsw"
+    spark.sql("CREATE TABLE gcat.rsw (k BIGINT)")
+    spark.sql("INSERT INTO gcat.rsw VALUES (1), (2)") // v1
+    spark.sql("ALTER TABLE gcat.rsw ADD COLUMN q DOUBLE") // v2: metadata-only
+    spark.sql("INSERT INTO gcat.rsw VALUES (3, 3.5)") // v3: wide
+    assert(spark.sql("SELECT * FROM gcat.rsw").columns.toSeq == Seq("k", "q"))
+    spark.sql("RESTORE TABLE gcat.rsw TO VERSION AS OF 1") // v4
+    // the restored state is the pre-ALTER table: narrow schema, narrow
+    // content — the restore commit took v1's (absent) schema markers,
+    // not the current version's capture
+    assert(spark.sql("SELECT * FROM gcat.rsw").columns.toSeq == Seq("k"))
+    assert(spark.sql("SELECT count(*) FROM gcat.rsw").head().getLong(0) == 2)
+    assert(!ST.manifestMeta(root, 4).contains("schemaJson"))
+    // the wide snapshot still time-travels wide
+    assert(spark.sql("SELECT * FROM gcat.rsw VERSION AS OF 3").columns.toSeq == Seq("k", "q"))
+    assert(spark.sql("SELECT q FROM gcat.rsw VERSION AS OF 3 WHERE k = 3").head().getDouble(0) == 3.5)
   }
 }
