@@ -50,7 +50,12 @@ import graft.operators.SnapshotTable
   *     Commits that REMOVE files (merge/optimize rewrites) are not
   *     streamable and fail loudly rather than emitting wrong deltas —
   *     the append-only contract streaming reads of real table formats
-  *     enforce by default.
+  *     enforce by default. `.option("readChangeFeed", "true")` switches
+  *     to the CHANGE DATA FEED mode that lifts that restriction: each
+  *     commit's manifest diff streams as row-level `insert`/`delete`
+  *     changes tagged `_change_type`/`_commit_version`, so DML commits
+  *     upstream keep a downstream pipeline alive (see
+  *     [[SnapshotCdfMicroBatchStream]] for the file-grain contract).
   *
   * Projection pushdown is real: `pruneColumns` narrows the parquet
   * record schema handed to the file reader, so a 2-column aggregate
@@ -74,7 +79,13 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister {
     // write path supplies the query's schema instead (first append
     // creates v1); reads of an empty table fail at scan build
     if (SnapshotTable.currentVersion(r) == 0) new StructType()
-    else SnapshotSourceUtil.sparkSchema(SnapshotSourceUtil.tableMessageType(r))
+    else {
+      val base = SnapshotSourceUtil.sparkSchema(SnapshotSourceUtil.tableMessageType(r))
+      // change-data-feed reads surface the table schema plus the change
+      // metadata columns (Delta's CDF column contract)
+      if (SnapshotSourceUtil.cdfEnabled(options)) SnapshotSourceUtil.withCdfColumns(base)
+      else base
+    }
   }
 
   // the write path hands the incoming query's schema to getTable
@@ -88,6 +99,24 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister {
 }
 
 private[sources] object SnapshotSourceUtil {
+
+  /** Change-data-feed metadata columns (Delta's CDF names): every CDF
+    * row carries its change kind and the commit version that produced
+    * it. `_commit_timestamp` is deliberately absent — manifest mtimes
+    * are resolvable but not replay-stable, and the version IS the
+    * replayable identity of a commit. */
+  val CdfTypeCol = "_change_type"
+  val CdfVersionCol = "_commit_version"
+
+  def cdfEnabled(o: CaseInsensitiveStringMap): Boolean =
+    "true".equalsIgnoreCase(o.get("readChangeFeed"))
+
+  def withCdfColumns(base: StructType): StructType = {
+    require(!base.fieldNames.exists(n => n == CdfTypeCol || n == CdfVersionCol),
+      s"graft-snapshot: table columns collide with CDF metadata ($CdfTypeCol/$CdfVersionCol)")
+    base.add(CdfTypeCol, StringType, nullable = false)
+      .add(CdfVersionCol, LongType, nullable = false)
+  }
 
   /** The table's parquet record schema, from the FIRST manifest entry's
     * footer — one metadata read. Mixed-width (schema-evolved) versions
@@ -383,7 +412,10 @@ private[graft] class SnapshotScanBuilder(root: String, full: StructType,
     * filter remains above the scan, and pushFilters always returns
     * residuals, so a filtered count can never reach this path. */
   private def countStarAnswerable(agg: Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+    // CDF mode: the feed's cardinality is the manifest DIFF's rows, not
+    // the current snapshot's — the manifest fast path would be wrong
+    !SnapshotSourceUtil.cdfEnabled(options) &&
+      agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall(_.isInstanceOf[CountStar]) &&
       (version == 0 || // empty table: COUNT(*) = 0, no manifest to read
         SnapshotTable.manifestEntries(root, version).forall(_.rows >= 0))
@@ -491,6 +523,8 @@ private[sources] class SnapshotScan(root: String, version: Int,
     else s"graft-snapshot $root cols=[${pruned.fieldNames.mkString(",")}]" +
       (if (pushed.nonEmpty) s" pruneBy=[${pushed.mkString(",")}]" else "")
 
+  private val cdfMode = SnapshotSourceUtil.cdfEnabled(options)
+
   private def factory: SnapshotReaderFactory = {
     // the SCAN's version, not the current one: a time-travel read must
     // request the parquet schema as of its snapshot (nullability and
@@ -502,6 +536,23 @@ private[sources] class SnapshotScan(root: String, version: Int,
     val evolved = version > 0 && SnapshotTable.manifestMeta(root, version).contains("schema")
     SnapshotReaderFactory(
       SnapshotSourceUtil.projectedMessage(full, pruned).toString, pruned, evolved)
+  }
+
+  /** CDF reader: the parquet request carries only the TABLE columns of
+    * the projection; the change metadata columns are per-partition
+    * constants appended by the wrapper. Always per-file-intersecting
+    * (`evolved = true`): a delete partition reads a file committed
+    * under an OLDER — possibly narrower — width than the scan's
+    * resolved schema, and the feed must null-fill those gaps exactly
+    * like an evolved snapshot read (one footer pre-read per changed
+    * file — batch-proportional, the CDC price). */
+  private def cdfFactory: SnapshotCdfReaderFactory = {
+    val base = StructType(pruned.fields.filterNot(f =>
+      f.name == SnapshotSourceUtil.CdfTypeCol ||
+        f.name == SnapshotSourceUtil.CdfVersionCol))
+    val full = SnapshotSourceUtil.tableMessageType(root, version)
+    SnapshotCdfReaderFactory(
+      SnapshotSourceUtil.projectedMessage(full, base).toString, base, pruned)
   }
 
   /** The version's entries that survive the pushed filters' combined
@@ -522,7 +573,12 @@ private[sources] class SnapshotScan(root: String, version: Int,
     runtimeKeep.fold(statically)(statically.filter)
   }
 
-  override def toBatch: Batch = new Batch {
+  override def toBatch: Batch = {
+    if (cdfMode) throw new UnsupportedOperationException(
+      "graft-snapshot: readChangeFeed is a STREAMING read (the feed's identity is " +
+        "the commit sequence) — use spark.readStream, or " +
+        "SnapshotTable.changesBetween(s, root, vFrom, vTo) for batch CDC")
+    new Batch {
     // version + file list pinned at PLAN time: later commits never
     // tear this scan
     private val files =
@@ -540,13 +596,15 @@ private[sources] class SnapshotScan(root: String, version: Int,
       // factory is never invoked, and building the real one would
       // footer-read a data file that may not exist
       if (countStarOnly || files.isEmpty) SnapshotCountReaderFactory else factory
+    }
   }
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new SnapshotMicroBatchStream(root,
-      Option(options.get("startingVersion")).map(_.toInt).getOrElse(0),
-      Option(options.get("maxVersionsPerTrigger")).map(_.toInt).getOrElse(1),
-      factory)
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    val startingVersion = Option(options.get("startingVersion")).map(_.toInt).getOrElse(0)
+    val perTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toInt).getOrElse(1)
+    if (cdfMode) new SnapshotCdfMicroBatchStream(root, startingVersion, perTrigger, cdfFactory)
+    else new SnapshotMicroBatchStream(root, startingVersion, perTrigger, factory)
+  }
 }
 
 /** Stream offset = committed table version. */
@@ -596,8 +654,121 @@ private[sources] class SnapshotMicroBatchStream(root: String,
 
 private[sources] case class SnapshotFilePartition(path: String) extends InputPartition
 
+/** One changed file of one commit: its rows stream as CDF rows tagged
+  * (`changeType`, `commitVersion`). */
+private[sources] case class SnapshotCdfPartition(path: String, changeType: String,
+    commitVersion: Int) extends InputPartition
+
 /** The one-row answer of a manifest-served COUNT(*). */
 private[sources] case class SnapshotCountPartition(total: Long) extends InputPartition
+
+/** Streaming CHANGE DATA FEED over the snapshot table —
+  * `.option("readChangeFeed", "true")` on the streaming read. Offsets
+  * are table versions exactly like the append stream, but rewrite
+  * commits (MERGE / UPDATE / DELETE / OPTIMIZE) no longer fail an
+  * append-only guard: each version's manifest DIFF streams as row-level
+  * changes — added files as `insert` rows, removed files as `delete`
+  * rows — so a DML commit upstream keeps the downstream pipeline alive
+  * instead of killing it.
+  *
+  * The contract is FILE-GRAIN CDF (the same one Delta serves for
+  * copy-on-write commits without CDC files): a rewritten file's CARRIED
+  * rows appear as a delete+insert pair. Those pairs cancel under any
+  * signed/associative delta application — exactly the consumption
+  * pattern (x23's MV maintenance, index upserts keyed by id, signed
+  * aggregates) CDC feeds exist for — so correctness is preserved while
+  * planning stays pure manifest arithmetic: nothing ever diffs row
+  * CONTENT at plan time, which is what keeps a 100 TB feed's planning
+  * cost proportional to the commit, not the table. Consumers needing
+  * minimal deltas run `SnapshotTable.changesBetween` (batch), which
+  * cancels carried rows with a distributed multiset difference.
+  *
+  * A metadata-only commit (ALTER, RESTORE to an identical file set)
+  * diffs to zero files and streams an empty batch. Columns added by a
+  * mid-stream ALTER surface only after a stream restart (the scan's
+  * schema is resolved once at start — Delta's contract too). */
+private[sources] class SnapshotCdfMicroBatchStream(root: String,
+    startingVersion: Int, maxVersionsPerTrigger: Int,
+    factory: SnapshotCdfReaderFactory)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  override def initialOffset(): Offset = VersionOffset(startingVersion)
+  override def deserializeOffset(json: String): Offset = VersionOffset(json.toInt)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called with admission control")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = start.asInstanceOf[VersionOffset].v
+    VersionOffset(math.min(SnapshotTable.currentVersion(root), cur + maxVersionsPerTrigger))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (v0, v1) = (start.asInstanceOf[VersionOffset].v, end.asInstanceOf[VersionOffset].v)
+    // per-version diffs, not one (v0, v1] diff: each row must carry the
+    // version that produced it, and a file added in v0+1 then removed
+    // in v1 must emit BOTH events (the end-to-end diff would cancel
+    // them and lose the intermediate state transitions)
+    (v0 + 1 to v1).flatMap { v =>
+      val before = if (v == 1) Set.empty[String]
+        else SnapshotTable.manifestEntries(root, v - 1).map(_.rel).toSet
+      val after = SnapshotTable.manifestEntries(root, v).map(_.rel).toSet
+      val deletes = (before -- after).toSeq.sorted
+        .map(rel => SnapshotCdfPartition(Paths.get(root, rel).toString, "delete", v))
+      val inserts = (after -- before).toSeq.sorted
+        .map(rel => SnapshotCdfPartition(Paths.get(root, rel).toString, "insert", v))
+      deletes ++ inserts
+    }.toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = factory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Wraps the plain file reader, appending the per-partition change
+  * metadata columns. `base` is the projection's TABLE columns (the
+  * parquet request); `out` is the full output row layout, which may
+  * interleave the metadata columns anywhere the projection put them. */
+private[sources] case class SnapshotCdfReaderFactory(projectedMessage: String,
+    base: StructType, out: StructType) extends PartitionReaderFactory {
+
+  // per-file width intersection unconditionally: delete partitions read
+  // files committed under older (narrower) widths than the scan schema
+  private val inner = SnapshotReaderFactory(projectedMessage, base, evolved = true)
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val cp = p.asInstanceOf[SnapshotCdfPartition]
+    val innerReader = inner.createReader(SnapshotFilePartition(cp.path))
+    val changeType = UTF8String.fromString(cp.changeType)
+    val version = cp.commitVersion.toLong
+    // out slot i ← base slot (>=0), change type (-1), or version (-2)
+    val slot: Array[Int] = out.fields.map { f =>
+      if (f.name == SnapshotSourceUtil.CdfTypeCol) -1
+      else if (f.name == SnapshotSourceUtil.CdfVersionCol) -2
+      else base.fieldIndex(f.name)
+    }
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = innerReader.next()
+      override def get(): InternalRow = {
+        val in = innerReader.get()
+        val vals = new Array[Any](slot.length)
+        var i = 0
+        while (i < slot.length) {
+          vals(i) = slot(i) match {
+            case -1 => changeType
+            case -2 => version
+            case j => in.get(j, base.fields(j).dataType)
+          }
+          i += 1
+        }
+        new GenericInternalRow(vals)
+      }
+      override def close(): Unit = innerReader.close()
+    }
+  }
+}
 
 /** The write side of the connector: `df.write.format("graft-snapshot")
   * .mode("append")` commits a batch append; `df.writeStream.format(

@@ -599,7 +599,46 @@ object Streams {
       .orderBy("ep_day")
   }
 
+  /** st12_stream_cdf — streaming CHANGE DATA FEED over the snapshot
+    * table: `.option("readChangeFeed", "true")` turns the version-offset
+    * stream into a row-level change stream that SURVIVES rewrite
+    * commits (st9's append-only guard kills the pipe on the first
+    * MERGE/UPDATE/DELETE upstream — this is the mode that keeps it
+    * alive). The feed replays the merge table's full commit history —
+    * the day-clustered ingest (v1, inserts) and the copy-on-write MERGE
+    * (v2, the rewritten file as delete+insert plus the new file) — and
+    * the query folds it as SIGNED deltas per day: file-grain CDF emits
+    * a rewritten file's carried rows as delete+insert pairs, which
+    * cancel under the signed aggregate, so folding the feed from v0
+    * reproduces exactly the current table's day aggregate. That is the
+    * oracle: the same x17Sql derivation the merge itself is checked
+    * against — proving stream-consumed CDF ≡ table end state. At
+    * 100 TB each micro-batch reads one commit's changed files, never
+    * the table. */
+  def st12StreamCdf(s: SparkSession, d: String): DataFrame = {
+    val name = freshName("st12_out")
+    val root = graft.operators.SnapshotTable.mergeTable(s, d)
+    val q = s.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true").load(root)
+      .select(col("_change_type"), col("ep_day"), col("value"))
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    drainProgress(q)
+    q.stop()
+    s.table(name)
+      .withColumn("sgn", when(col("_change_type") === "insert", 1L).otherwise(-1L))
+      .groupBy(col("ep_day"))
+      .agg(sum(col("sgn")).as("n_events"),
+        sum(col("value").cast("decimal(18,6)") * col("sgn"))
+          .cast("decimal(18,6)").cast("double").as("value_sum"))
+      .orderBy("ep_day")
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "st12_stream_cdf" ->
+      (st12StreamCdf _, Some(graft.operators.SnapshotTable.x17Sql)),
     "st10_stream_table_pipe" -> (st10StreamTablePipe _, Some(st9Sql)),
     "st9_stream_table_read" -> (st9StreamTableRead _, Some(st9Sql)),
     "st1_stream_windowed" -> (st1StreamWindowed _, Some(st1Sql)),

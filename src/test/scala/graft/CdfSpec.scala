@@ -1,0 +1,197 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The streaming change-data-feed mode of the DSv2 snapshot connector
+  * (`.option("readChangeFeed", "true")`): version-offset change
+  * streaming that SURVIVES rewrite commits — the append-only guard's
+  * counterpart for DML-carrying upstreams. File-grain contract: a
+  * rewritten file's carried rows appear as a delete+insert pair, which
+  * cancels under the signed folds CDC feeds drive. */
+class CdfSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+  val ST = graft.operators.SnapshotTable
+
+  /** A 3-commit table: v1 CTAS (k 1..6), v2 append (k 7..8), v3
+    * copy-on-write DELETE of k <= 2 (rewrites the touched file, the
+    * survivor rows carry). Returns its root. */
+  private def fixture(name: String): String = {
+    val root = graft.operators.Engine.tmpDir(s"graft_cdf_$name")
+    graft.operators.Engine.listDir(Paths.get(root))
+      .foreach(graft.operators.Engine.deleteRecursively)
+    def commitRows(base: Int, rows: Seq[(Long, Double)], tag: String): Int = {
+      val rels = ST.writeDataFiles(rows.toDF("k", "v").coalesce(1), root, tag)
+        .map(ST.footerEntry(root, _, "k"))
+      val carried = if (base == 0) Map("statsCol" -> "k")
+        else ST.carriedMeta(root, base)
+      val prior = if (base == 0) Nil else ST.manifestEntries(root, base)
+      ST.commitEntries(root, base, prior ++ rels, shardSize = 16, carried)
+    }
+    commitRows(0, (1L to 6L).map(k => (k, k * 1.0)), "a") // v1
+    commitRows(1, (7L to 8L).map(k => (k, k * 1.0)), "b") // v2
+    ST.delete(spark, root, "k <= 2") // v3: copy-on-write rewrite
+    assert(ST.currentVersion(root) == 3)
+    root
+  }
+
+  private def runFeed(root: String, opts: Map[String, String] = Map.empty): DataFrame = {
+    val name = s"cdf_out_${System.nanoTime()}"
+    val reader = opts.foldLeft(
+      spark.readStream.format("graft-snapshot").option("readChangeFeed", "true")) {
+      case (r, (k, v)) => r.option(k, v)
+    }
+    val q = reader.load(root).writeStream.format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    spark.table(name)
+  }
+
+  test("the feed replays every commit; signed fold reproduces the current table") {
+    val root = fixture("fold")
+    val feed = runFeed(root).collect()
+    // every commit is represented, each row tagged with its version
+    assert(feed.map(_.getAs[Long]("_commit_version")).toSet == Set(1L, 2L, 3L))
+    // the net (signed) multiset of the feed = the current table content
+    val net = feed.groupBy(r => (r.getAs[Long]("k"), r.getAs[Double]("v")))
+      .view.mapValues(_.map(r =>
+        if (r.getAs[String]("_change_type") == "insert") 1 else -1).sum)
+      .filter(_._2 != 0).toMap
+    assert(net.values.forall(_ == 1), s"net multiplicities must be 0/1: $net")
+    val current = ST.read(spark, root).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Double]("v"))).toSet
+    assert(net.keySet == current,
+      s"signed fold ${net.keySet} != current content $current")
+  }
+
+  test("append commits are insert-only; the rewrite commit carries delete+insert pairs") {
+    val root = fixture("kinds")
+    val feed = runFeed(root)
+    val byV = feed.collect().groupBy(_.getAs[Long]("_commit_version"))
+    assert(byV(1L).forall(_.getAs[String]("_change_type") == "insert"))
+    assert(byV(2L).forall(_.getAs[String]("_change_type") == "insert"))
+    assert(byV(2L).map(_.getAs[Long]("k")).toSet == Set(7L, 8L))
+    // v3 (the CoW DELETE of k<=2): the touched file's 6 rows stream as
+    // deletes, its 4 survivors re-stream as inserts — net = the 2
+    // deleted rows, exactly the file-grain contract
+    val v3 = byV(3L)
+    val dels = v3.filter(_.getAs[String]("_change_type") == "delete").map(_.getAs[Long]("k"))
+    val ins = v3.filter(_.getAs[String]("_change_type") == "insert").map(_.getAs[Long]("k"))
+    assert(dels.toSet == Set(1L, 2L, 3L, 4L, 5L, 6L), s"deletes: ${dels.toSeq}")
+    assert(ins.toSet == Set(3L, 4L, 5L, 6L), s"inserts: ${ins.toSeq}")
+    assert((dels.toSet -- ins.toSet) == Set(1L, 2L))
+  }
+
+  test("batch boundaries are commit boundaries; startingVersion skips consumed commits") {
+    val root = fixture("bounds")
+    val batches = new java.util.concurrent.ConcurrentHashMap[Long, Set[Long]]()
+    val q = spark.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true").load(root)
+      .writeStream.foreachBatch { (df: DataFrame, id: Long) =>
+        batches.put(id, df.select("_commit_version").distinct()
+          .collect().map(_.getLong(0)).toSet); ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    import scala.jdk.CollectionConverters._
+    // one micro-batch per commit, in order
+    assert(batches.asScala.toMap == Map(0L -> Set(1L), 1L -> Set(2L), 2L -> Set(3L)),
+      s"batches: ${batches.asScala}")
+    // starting past v2 replays only the rewrite commit
+    val tail = runFeed(root, Map("startingVersion" -> "2"))
+    assert(tail.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(3L))
+  }
+
+  test("projection prunes table columns; metadata-only selections work") {
+    val root = fixture("prune")
+    // metadata columns interleave anywhere the projection puts them
+    val mixed = runFeed(root).select("_change_type", "k", "_commit_version")
+    assert(mixed.columns.toSeq == Seq("_change_type", "k", "_commit_version"))
+    assert(mixed.count() > 0)
+    // a projection with NO metadata columns is a plain change-row read
+    assert(runFeed(root).select("k").count() == mixed.count())
+    // and one with ONLY metadata columns decodes zero table columns
+    assert(runFeed(root).select("_change_type").count() == mixed.count())
+  }
+
+  test("a metadata-only commit streams an empty batch instead of erroring") {
+    val root = fixture("meta")
+    val v = ST.currentVersion(root)
+    // same file list re-committed (an ALTER-style metadata commit)
+    ST.commitEntries(root, v, ST.manifestEntries(root, v), shardSize = 16,
+      ST.carriedMeta(root, v) + ("note" -> "metadata_only"))
+    val feed = runFeed(root)
+    assert(feed.filter(col("_commit_version") === (v + 1)).count() == 0)
+    assert(feed.filter(col("_commit_version") <= v).count() > 0)
+  }
+
+  test("checkpoint restart resumes at the committed offset — no replays, no gaps") {
+    val root = fixture("ckpt")
+    val cp = graft.operators.Engine.tmpDir("graft_cdf_checkpoint_dir")
+    graft.operators.Engine.listDir(Paths.get(cp))
+      .foreach(graft.operators.Engine.deleteRecursively)
+    def run(): Seq[(String, Long, Long)] = {
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Long)]()
+      val q = spark.readStream.format("graft-snapshot")
+        .option("readChangeFeed", "true").load(root)
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.collect().foreach(r => got.add((r.getAs[String]("_change_type"),
+            r.getAs[Long]("k"), r.getAs[Long]("_commit_version")))); ()
+        }.start()
+      q.processAllAvailable(); q.stop()
+      import scala.jdk.CollectionConverters._
+      got.asScala.toSeq
+    }
+    assert(run().nonEmpty)
+    // a new DML commit lands while the stream is down
+    ST.delete(spark, root, "k = 7")
+    // the restarted stream resumes at the checkpointed offset: ONLY the
+    // new commit's changes arrive — no replays, no gaps
+    val second = run()
+    assert(second.map(_._3).toSet == Set(4L),
+      s"restart replayed or skipped: $second")
+    assert(second.contains(("delete", 7L, 4L)))
+  }
+
+  test("batch reads refuse readChangeFeed with a pointer to the right APIs") {
+    val root = fixture("batch")
+    val e = intercept[Exception] {
+      spark.read.format("graft-snapshot").option("readChangeFeed", "true")
+        .load(root).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t => t.getMessage != null &&
+      t.getMessage.contains("STREAMING")), e.getMessage)
+  }
+
+  test("the feed reads mixed widths: a delete of a pre-evolution narrow file null-fills") {
+    val root = graft.operators.Engine.tmpDir("graft_cdf_evolve")
+    graft.operators.Engine.listDir(Paths.get(root))
+      .foreach(graft.operators.Engine.deleteRecursively)
+    // v1: narrow (k, v)
+    val narrow = ST.writeDataFiles((1L to 4L).map(k => (k, k * 1.0)).toDF("k", "v")
+      .coalesce(1), root, "n").map(ST.footerEntry(root, _, "k"))
+    ST.commitEntries(root, 0, narrow, 16, Map("statsCol" -> "k"))
+    // v2: widened by a wide-file append (x18's evolution shape)
+    val wide = ST.writeDataFiles((5L to 6L).map(k => (k, k * 1.0, k * 0.5))
+      .toDF("k", "v", "q").coalesce(1), root, "w").map(ST.footerEntry(root, _, "k"))
+    ST.commitEntries(root, 1, ST.manifestEntries(root, 1) ++ wide, 16,
+      Map("statsCol" -> "k", "schema" -> "evolved:+q"))
+    // v3: CoW delete touching the NARROW file — its rows must stream
+    // as deletes with q = null under the union width
+    ST.delete(spark, root, "k = 1")
+    val feed = runFeed(root)
+    val v3del = feed.filter(col("_commit_version") === 3 &&
+      col("_change_type") === "delete")
+    assert(v3del.count() == 4) // the whole narrow file streams out
+    assert(v3del.filter(col("q").isNotNull).count() == 0,
+      "pre-evolution rows must null-fill the evolved column")
+    val v2ins = feed.filter(col("_commit_version") === 2)
+    assert(v2ins.filter(col("q").isNotNull).count() == 2)
+  }
+}
