@@ -416,6 +416,46 @@ object SnapshotTable {
     result
   }
 
+  /** SHALLOW CLONE — a zero-copy table fork (Delta's CREATE TABLE ...
+    * SHALLOW CLONE): the clone's v1 manifest re-lists the source
+    * version's entries as `../`-relative paths into the source
+    * directory, so cloning a 100 TB table costs one manifest write and
+    * NO data movement. From then on the tables diverge independently:
+    * appends land files in the CLONE's directory; copy-on-write DML
+    * rewrites source-pointing entries into clone-local files (the
+    * source is never written); the clone's own history starts at v1
+    * and time-travels normally. Vacuum on the CLONE can never reclaim
+    * source files (it only deletes files inside the clone's directory);
+    * vacuum on the SOURCE, however, does not know about clones — the
+    * standard shallow-clone caveat: retire a source only after its
+    * clones are gone or rewritten. Schema markers and statsCol carry
+    * from the source version so pruning and evolved reads work
+    * unchanged; streaming watermarks do NOT carry — the clone is a new
+    * table and must not suppress a writer's first batches as replays. */
+  def shallowClone(srcRoot: String, dstRoot: String,
+      version: Option[Int] = None): Int = {
+    val cur = currentVersion(srcRoot)
+    require(cur > 0, s"shallow clone: source $srcRoot has no committed version")
+    val v = version.getOrElse(cur)
+    require(v >= 1 && v <= cur,
+      s"shallow clone: $srcRoot has versions 1..$cur, no version $v")
+    if (!Files.exists(manifestPath(srcRoot, v)))
+      throw new IllegalStateException(s"shallow clone: version $v of $srcRoot " +
+        "was vacuumed away — its snapshot is no longer addressable")
+    require(currentVersion(dstRoot) == 0,
+      s"shallow clone: target $dstRoot is already a committed table")
+    Files.createDirectories(Paths.get(dstRoot))
+    val dstAbs = Paths.get(dstRoot).toAbsolutePath.normalize
+    val entries = manifestEntries(srcRoot, v).map { e =>
+      val abs = Paths.get(srcRoot, e.rel).toAbsolutePath.normalize
+      e.copy(rel = dstAbs.relativize(abs).toString)
+    }
+    val keep = Set("schema", "schemaJson", "statsCol")
+    val meta = manifestMeta(srcRoot, v).filter(kv => keep.contains(kv._1)) +
+      ("clone" -> s"shallow:${Paths.get(srcRoot).toAbsolutePath.normalize}@v$v")
+    commitEntries(dstRoot, 0, entries, shardSize = 16, meta)
+  }
+
   /** Write a DataFrame's rows as one immutable data file under root;
     * returns the root-relative path. Commit-unique names (version tag +
     * logical name) keep every file addressable by any manifest.
@@ -464,7 +504,7 @@ object SnapshotTable {
   private[graft] def carriedMeta(root: String, v: Int): Map[String, String] =
     if (v == 0) Map.empty
     else manifestMeta(root, v) -- Seq("optimize", "merge", "update", "delete", "alter",
-      "restore")
+      "restore", "clone")
 
   /** Bounded optimistic-commit policy for every CAS retry loop. A
     * committer that dies between its createFile claim and the content
@@ -817,6 +857,16 @@ object SnapshotTable {
   private[graft] def updateTouchedScan(full: DataFrame, wherePred: String): DataFrame =
     full.filter(expr(wherePred)).select(input_file_name().as("f")).distinct()
 
+  /** Does `input_file_name`'s URI set contain this entry's file? The
+    * entry path is normalized before matching because a SHALLOW CLONE's
+    * entries are `../`-relative into the source table — the raw
+    * `endsWith(rel)` test would silently miss them and turn a clone's
+    * DML into a no-op. */
+  private def entryTouched(root: String, touchedPaths: Set[String])(e: FileEntry): Boolean = {
+    val abs = Paths.get(root, e.rel).toAbsolutePath.normalize.toString
+    touchedPaths.exists(_.endsWith(abs))
+  }
+
   /** Rewrite parallelism for a copy-on-write DML commit: at LEAST one
     * task per touched file (preserving the file-granular layout), but
     * never throttled to a handful of tasks when few-but-large files are
@@ -846,7 +896,7 @@ object SnapshotTable {
     val cond = expr(wherePred)
     val touchedPaths = updateTouchedScan(full, wherePred)
       .collect().map(_.getString(0)).toSet
-    val touched = entries.filter(e => touchedPaths.exists(_.endsWith("/" + e.rel)))
+    val touched = entries.filter(entryTouched(root, touchedPaths))
     if (touched.isEmpty) return v
     val touchedSet = touched.map(_.rel).toSet
     val statsCol = carried.getOrElse("statsCol", full.columns.head)
@@ -894,7 +944,7 @@ object SnapshotTable {
     val cond = expr(wherePred)
     val touchedPaths = updateTouchedScan(full, wherePred)
       .collect().map(_.getString(0)).toSet
-    val touched = entries.filter(e => touchedPaths.exists(_.endsWith("/" + e.rel)))
+    val touched = entries.filter(entryTouched(root, touchedPaths))
     if (touched.isEmpty) return v
     val touchedSet = touched.map(_.rel).toSet
     val statsCol = carried.getOrElse("statsCol", full.columns.head)
@@ -1598,6 +1648,7 @@ object SnapshotTable {
     "x29_time_travel" -> (x29TimeTravel _, Some(x29Sql)),
     "x30_alter_add_column" -> (x30AlterAddColumn _, Some(x30Sql)),
     "x31_restore" -> (x31Restore _, Some(x31Sql)),
+    "x32_shallow_clone" -> (x32ShallowClone _, Some(x32Sql)),
   )
 
   /** x24_catalog_sql — the name-addressed warehouse surface end-to-end
@@ -1854,5 +1905,51 @@ object SnapshotTable {
        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
        |FROM e
        |ORDER BY snap""".stripMargin
+
+  /** x32_shallow_clone — the zero-copy fork through plain SQL: a CTAS
+    * lands the source, `CREATE TABLE ... SHALLOW CLONE` forks it as ONE
+    * manifest commit (no data movement — at 100 TB a dev/test fork is
+    * free), then a DSv2 DELETE mutates the CLONE copy-on-write. The
+    * query reads both tables side by side: the source must be
+    * bit-untouched by the clone's DML (its files were only ever READ),
+    * the clone holds the post-delete slice. Oracle: the full slice and
+    * its filtered half from the raw log. */
+  def x32ShallowClone(s: SparkSession, d: String): DataFrame = {
+    if (!s.conf.getOption("spark.sql.catalog.gx").exists(_.nonEmpty)) {
+      s.conf.set("spark.sql.catalog.gx", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gx.root", Engine.tmpDir("graft_warehouse"))
+    }
+    Tables.events(s, d)
+      .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+      .filter(col("event_id") % X29Mod === 0)
+      .select("event_id", "event_type", "value", "ep_day")
+      .createOrReplaceTempView("x32_events_src")
+    s.sql("DROP TABLE IF EXISTS gx.x32_clone")
+    s.sql("DROP TABLE IF EXISTS gx.x32_src")
+    s.sql("CREATE TABLE gx.x32_src AS SELECT * FROM x32_events_src")
+    s.sql("CREATE TABLE gx.x32_clone SHALLOW CLONE gx.x32_src")
+    s.sql(s"DELETE FROM gx.x32_clone WHERE ep_day <= $X29Cut")
+    s.sql("""SELECT 'clone' AS side, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      FROM gx.x32_clone
+      UNION ALL
+      SELECT 'src' AS side, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      FROM gx.x32_src
+      ORDER BY side""")
+  }
+
+  val x32Sql: String =
+    s"""WITH e AS (SELECT value,
+       |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day FROM events
+       |  WHERE event_id % $X29Mod = 0)
+       |SELECT 'clone' AS side, COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+       |FROM e WHERE ep_day > $X29Cut
+       |UNION ALL
+       |SELECT 'src' AS side, COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+       |FROM e
+       |ORDER BY side""".stripMargin
 
 }

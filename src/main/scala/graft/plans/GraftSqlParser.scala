@@ -28,7 +28,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       case None if SnapshotSql.owns(sqlText) ||
         SnapshotSql.ownsUpdate(session, sqlText) ||
         SnapshotSql.ownsDelete(sqlText) ||
-        SnapshotSql.ownsRestore(session, sqlText) => SnapshotSqlCommand(sqlText)
+        SnapshotSql.ownsRestore(session, sqlText) ||
+        SnapshotSql.ownsClone(session, sqlText) => SnapshotSqlCommand(sqlText)
       case None => delegate.parsePlan(sqlText)
     }
 

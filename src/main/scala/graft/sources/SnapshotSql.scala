@@ -25,6 +25,7 @@ import graft.operators.SnapshotTable
   *   MERGE INTO <table> CLUSTER BY (col) ID (idCol) USING <viewName>
   *   UPDATE <table> SET col = expr [, col = expr]* WHERE <predicate>
   *   RESTORE TABLE <table> TO VERSION AS OF <version>
+  *   CREATE TABLE <table> SHALLOW CLONE <table> [VERSION AS OF <version>]
   *   VACUUM <table> KEEP FROM <version>
   *   DESCRIBE HISTORY <table>    (row-returning, parser route only)
   *
@@ -68,6 +69,10 @@ object SnapshotSql {
   // re-lists the target version's entries (SnapshotTable.restore)
   private val Restore =
     s"""(?is)\\s*RESTORE\\s+TABLE\\s+($Ref)\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*""".r
+  // Delta's zero-copy fork, spelled identically: the clone's v1 is one
+  // manifest commit re-listing the source version's files by reference
+  private val Clone =
+    s"""(?is)\\s*CREATE\\s+TABLE\\s+($Ref)\\s+SHALLOW\\s+CLONE\\s+($Ref)(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*""".r
 
   private val Quoted = "'([^']+)'".r
 
@@ -164,6 +169,16 @@ object SnapshotSql {
     case _ => false
   }
 
+  /** SHALLOW CLONE routing — CREATE TABLE is real Spark syntax, so the
+    * statement is claimed only when BOTH references resolve here (a
+    * quoted path, or an identifier through a graft catalog); a Delta
+    * clone or a plain CREATE TABLE in the same session is untouched. */
+  private[graft] def ownsClone(s: SparkSession, stmt: String): Boolean = stmt match {
+    case Clone(dst, src, _) => Seq(dst, src).forall(r =>
+      r.startsWith("'") || scala.util.Try(resolveRef(s, r)).isSuccess)
+    case _ => false
+  }
+
   /** Split on top-level commas: parens and single-quoted strings are
     * opaque. */
   private def splitTop(s: String): Seq[String] = {
@@ -213,6 +228,9 @@ object SnapshotSql {
       SnapshotTable.delete(s, resolveRef(s, ref), pred)
     case Restore(ref, toVersion) =>
       SnapshotTable.restore(resolveRef(s, ref), toVersion.toInt)
+    case Clone(dst, src, version) =>
+      SnapshotTable.shallowClone(resolveRef(s, src), resolveRef(s, dst),
+        Option(version).map(_.toInt))
     case Vacuum(ref, keepFrom) =>
       val root = resolveRef(s, ref)
       SnapshotTable.vacuum(root, keepFrom.toInt)
@@ -225,6 +243,7 @@ object SnapshotSql {
         "UPDATE <table> SET <col> = <expr>[, ...] WHERE <pred> | " +
         "DELETE FROM '<path>' WHERE <pred> | " +
         "RESTORE TABLE <table> TO VERSION AS OF <version> | " +
+        "CREATE TABLE <table> SHALLOW CLONE <table> [VERSION AS OF <version>] | " +
         "VACUUM <table> KEEP FROM <version>  (<table> = '<path>' or <catalog>.<name>)")
   }
 }

@@ -463,4 +463,75 @@ class GraftCatalogSpec extends AnyFunSuite {
     assert(spark.sql("SELECT * FROM gcat.rsw VERSION AS OF 3").columns.toSeq == Seq("k", "q"))
     assert(spark.sql("SELECT q FROM gcat.rsw VERSION AS OF 3 WHERE k = 3").head().getDouble(0) == 3.5)
   }
+
+  private def parquetsIn(dir: String): Set[String] =
+    Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
+
+  test("SHALLOW CLONE forks a table with zero data copy; DML diverges the fork only") {
+    warehouse
+    val ST = graft.operators.SnapshotTable
+    val (srcRoot, cloneRoot) = (s"$warehouse/cs", s"$warehouse/cc")
+    spark.sql("CREATE TABLE gcat.cs (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gcat.cs VALUES (1, 1.0), (2, 2.0), (3, 3.0)") // src v1
+    spark.sql("CREATE TABLE gcat.cc SHALLOW CLONE gcat.cs")
+    // zero-copy: the clone directory holds NO data files; its manifest
+    // re-lists the source's files by ../-relative reference
+    assert(parquetsIn(cloneRoot).isEmpty, "clone must not copy data")
+    assert(ST.manifestEntries(cloneRoot, 1).forall(_.rel.contains("..")))
+    assert(spark.sql("SELECT count(*) FROM gcat.cc").head().getLong(0) == 3)
+    // copy-on-write DML on the clone: rewrites land in the CLONE's
+    // directory; the source's file set and content are bit-untouched
+    val srcFiles = parquetsIn(srcRoot)
+    spark.sql("DELETE FROM gcat.cc WHERE k <= 1") // clone v2
+    assert(parquetsIn(srcRoot) == srcFiles, "clone DML wrote into the source dir")
+    assert(spark.sql("SELECT count(*) FROM gcat.cs").head().getLong(0) == 3)
+    assert(spark.sql("SELECT k FROM gcat.cc ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    assert(parquetsIn(cloneRoot).nonEmpty, "the rewrite must land clone-local files")
+    // the clone has its own history: v1 still reads the pre-DML fork
+    assert(spark.sql("SELECT count(*) FROM gcat.cc VERSION AS OF 1").head().getLong(0) == 3)
+    // appends land clone-local too; the source count never moves
+    spark.sql("INSERT INTO gcat.cc VALUES (9, 9.0)")
+    assert(spark.sql("SELECT count(*) FROM gcat.cc").head().getLong(0) == 3)
+    assert(spark.sql("SELECT count(*) FROM gcat.cs").head().getLong(0) == 3)
+    assert(parquetsIn(srcRoot) == srcFiles)
+    // vacuum on the CLONE reclaims only clone-local garbage — the
+    // referenced source files are outside its directory by construction
+    spark.sql(s"VACUUM '$cloneRoot' KEEP FROM ${ST.currentVersion(cloneRoot)}").collect()
+    assert(parquetsIn(srcRoot) == srcFiles, "clone vacuum touched source files")
+    assert(spark.sql("SELECT count(*) FROM gcat.cc").head().getLong(0) == 3)
+  }
+
+  test("SHALLOW CLONE VERSION AS OF forks a historical snapshot; refusals are loud") {
+    warehouse
+    val ST = graft.operators.SnapshotTable
+    spark.sql("CREATE TABLE gcat.cvs (k BIGINT)")
+    spark.sql("INSERT INTO gcat.cvs VALUES (1), (2)") // v1
+    spark.sql("INSERT INTO gcat.cvs VALUES (3)") // v2
+    spark.sql("CREATE TABLE gcat.cv1 SHALLOW CLONE gcat.cvs VERSION AS OF 1")
+    assert(spark.sql("SELECT count(*) FROM gcat.cv1").head().getLong(0) == 2)
+    assert(ST.manifestMeta(s"$warehouse/cv1", 1)("clone").endsWith("@v1"))
+    // an existing table refuses to be clobbered by a clone
+    val e1 = intercept[Exception](
+      spark.sql("CREATE TABLE gcat.cv1 SHALLOW CLONE gcat.cvs"))
+    assert(e1.getMessage.contains("already a committed table"), e1.getMessage)
+    // an out-of-range source version fails loudly
+    val e2 = intercept[Exception](
+      spark.sql("CREATE TABLE gcat.cv9 SHALLOW CLONE gcat.cvs VERSION AS OF 9"))
+    assert(e2.getMessage.contains("no version 9"), e2.getMessage)
+  }
+
+  test("SHALLOW CLONE of an evolved source carries schema markers: union width, null-fill") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.ces (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gcat.ces VALUES (1, 1.0), (2, 2.0)") // v1 narrow
+    spark.sql("ALTER TABLE gcat.ces ADD COLUMN q DOUBLE") // v2 metadata-only
+    spark.sql("INSERT INTO gcat.ces VALUES (3, 3.0, 0.5)") // v3 wide
+    spark.sql("CREATE TABLE gcat.cec SHALLOW CLONE gcat.ces")
+    assert(spark.sql("SELECT * FROM gcat.cec").columns.toSeq == Seq("k", "v", "q"))
+    assert(spark.sql("SELECT k FROM gcat.cec WHERE q IS NULL ORDER BY k").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(spark.sql("SELECT q FROM gcat.cec WHERE k = 3").head().getDouble(0) == 0.5)
+  }
 }
