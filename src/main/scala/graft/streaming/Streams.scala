@@ -533,6 +533,101 @@ object Streams {
       |FROM events JOIN customer ON user_id = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** st13's watermark-flush instant: beyond the log's maximum event
+    * time (day 19752 ends at 1706659200) plus the 1h join window plus
+    * the 1h watermark delay — a sentinel pair at this time pushes BOTH
+    * sides' watermarks past every real row, so every outer-join state
+    * entry is provably evicted and every unmatched purchase EMITS
+    * before the query stops. */
+  val St13Flush = 1707000000L
+
+  /** st13_stream_stream_outer — watermarked stream-stream LEFT OUTER
+    * join, completing the streaming join matrix (st7 is the inner
+    * form): every purchase emits exactly once — paired with each signup
+    * of the same user in the preceding hour, or with NULLs once the
+    * advancing watermark PROVES no such signup can still arrive. That
+    * proof is the hard part of outer stream joins: an unmatched row may
+    * only emit after both sides' watermarks pass its join window (too
+    * early = phantom unmatched rows that later find partners). The
+    * fixture appends a far-future sentinel batch (filtered from the
+    * output) so the watermark passes every real row's window and the
+    * full outer result materializes deterministically — which is what
+    * makes a streaming OUTER join fully oracle-checkable against the
+    * batch LEFT JOIN. State lifecycle is identical to st7's
+    * (chronological batches, 1h window, 1h delay): O(window) resident
+    * state at 100 TB, StateBoundSpec-gated. */
+  def st13StreamStreamOuter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val name = freshName("st13_out")
+    val evAll = Tables.events(s, d)
+      .withColumn("ep", expr("ts div 1000000000"))
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select("event_id", "user_id", "event_type", "ep")
+    // sentinel rows: negative ids, distinct users (they can never join),
+    // one per side so BOTH watermark nodes advance past the flush time
+    val flush = Seq((-1L, -1L, "signup", St13Flush), (-2L, -2L, "purchase", St13Flush))
+      .toDF("event_id", "user_id", "event_type", "ep")
+    val batches = Seq(
+      "batch0" -> evAll.filter(col("ep") < St7Cut1),
+      "batch1" -> evAll.filter(col("ep") >= St7Cut1 && col("ep") < St7Cut2),
+      "batch2" -> evAll.filter(col("ep") >= St7Cut2),
+      "batch3" -> flush)
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try st13Run(s, name, batches, evAll.schema)
+    finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+  }
+
+  private[graft] def st13Run(s: SparkSession, name: String,
+      batches: Seq[(String, DataFrame)],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val base = source.batched(s, "st13", schema, batches)
+      .withColumn("event_time", timestamp_seconds(col("ep")))
+    val signups = base.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_time").as("s_time"),
+        col("ep").as("s_ep"))
+      .withWatermark("s_time", "1 hour")
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_time").as("p_time"),
+        col("ep").as("p_ep"), col("event_id"))
+      .withWatermark("p_time", "1 hour")
+    // same watermarked-column range bound as st7 (the state-eviction
+    // contract); leftOuter adds the emit-on-proof path for unmatched
+    // purchases
+    val joined = purchases.join(signups,
+      col("p_user") === col("s_user") &&
+        col("p_time") >= col("s_time") &&
+        col("p_time") <= col("s_time") + expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    drainProgress(q)
+    q.stop()
+    s.table(name)
+      .filter(col("event_id") >= 0) // drop the watermark-flush sentinel
+      .groupBy(expr("p_ep div 86400").as("ep_day"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("event_id")).as("n_purchases"),
+        sum(when(col("s_user").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+      .orderBy("ep_day")
+  }
+
+  val st13Sql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |  CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep FROM events),
+      |s AS (SELECT user_id, ep FROM e WHERE event_type = 'signup'),
+      |p AS (SELECT user_id, ep, event_id FROM e WHERE event_type = 'purchase'),
+      |j AS (SELECT p.event_id, p.ep AS p_ep, s.user_id AS s_user
+      |  FROM p LEFT JOIN s ON p.user_id = s.user_id
+      |    AND p.ep >= s.ep AND p.ep <= s.ep + 3600)
+      |SELECT CAST(FLOOR(p_ep / 86400) AS BIGINT) AS ep_day,
+      |  COUNT(*) AS n_rows, COUNT(DISTINCT event_id) AS n_purchases,
+      |  CAST(SUM(CASE WHEN s_user IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** st9_stream_table_read — tail the snapshot TABLE as a stream
     * through the DSv2 connector: offsets are committed versions, each
     * micro-batch ingests exactly one commit's appended files (st8's
@@ -648,6 +743,7 @@ object Streams {
     "st5_stream_dedup" -> (st5StreamDedup _, None),
     "st6_stream_session_state" -> (st6StreamSessionState _, None),
     "st7_stream_stream_join" -> (st7StreamStreamJoin _, Some(st7Sql)),
+    "st13_stream_stream_outer" -> (st13StreamStreamOuter _, Some(st13Sql)),
     "st8_stream_snapshot_sink" ->
       (SnapshotSink.st8StreamSnapshotSink _, Some(SnapshotSink.st8Sql)),
     "st11_stream_upsert_sink" ->

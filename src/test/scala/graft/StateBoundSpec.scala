@@ -130,6 +130,44 @@ class StateBoundSpec extends AnyFunSuite {
       s"disordered feed lost pairs: ${(expected -- got).take(3)} / extra ${(got -- expected).take(3)}")
   }
 
+  test("st13 outer join evicts ALL real state; unmatched purchases emit exactly once") {
+    val (out, ps) = run(S.st13StreamStreamOuter(spark, sf))
+    val ops = stateOps(ps)
+    val removed = ops.map(_.numRowsRemoved).sum
+    assert(removed > 0, "outer-join state never evicted")
+    // the flush sentinel pushes the watermark past every real row, so
+    // the ONLY state left after the last batch is the sentinel pair
+    // (whose own window never closes — nothing arrives after it)
+    val finalTotal = ps.last.stateOperators.map(_.numRowsTotal).sum
+    assert(finalTotal <= 2,
+      s"flush batch left $finalTotal state rows — real rows survived eviction")
+    // the streamed result must equal the batch LEFT JOIN, including the
+    // null-extended rows (phantom-unmatched or missing-unmatched rows
+    // would both break this)
+    val evAll = graft.sources.Tables.events(spark, sf)
+      .withColumn("ep", expr("ts div 1000000000"))
+      .filter(col("event_type").isin("signup", "purchase"))
+    val su = evAll.filter(col("event_type") === "signup")
+      .select(col("user_id").as("u"), col("ep").as("s_ep"))
+    val pu = evAll.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("u"), col("ep").as("p_ep"), col("event_id"))
+    val expected = pu.join(su,
+        pu("u") === su("u") && col("p_ep") >= col("s_ep") &&
+          col("p_ep") <= col("s_ep") + 3600L, "left")
+      .groupBy(expr("p_ep div 86400").as("ep_day"))
+      .agg(count(lit(1)).as("n_rows"), countDistinct(col("event_id")).as("n_purchases"),
+        sum(when(col("s_ep").isNull, 1L).otherwise(0L)).as("n_unmatched"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected,
+      s"outer stream drifted from batch: missing ${(expected -- got).take(3)} / " +
+        s"extra ${(got -- expected).take(3)}")
+    // and unmatched rows genuinely exist in the fixture — otherwise the
+    // outer path was never exercised
+    assert(got.exists(_._4 > 0), "fixture has no unmatched purchases")
+  }
+
   test("st2 whole-log sessionizer state is bounded by key cardinality") {
     val (out, ps) = run(S.st2StreamSessionize(spark, sf))
     val users = graft.sources.Tables.events(spark, sf)
