@@ -179,6 +179,30 @@ object ScaleProbe {
       ST.optimizeClustered(spark, root, "ep_day", targetFiles = 7)
       ST.read(spark, root).count()
     }
+    // late-r12: the streaming CDF feed over the merge table — the probe
+    // question is whether the per-batch cost tracks the COMMIT's
+    // changed files (batch-proportional) while the signed fold stays
+    // correct at replica scale; row count = total change rows emitted
+    // (grows with the replicated corpus, as the diffed files do)
+    time("st12_stream_cdf")(streaming.Streams.st12StreamCdf(spark, work).count())
+    // late-r12: SHALLOW CLONE at scale — the fork must price as ONE
+    // manifest write no matter the table size (wall printed), and the
+    // clone's copy-on-write DELETE must confine its rewrite to the
+    // day-window files exactly like the source-table x28 probe above
+    time("x32_clone_fork") {
+      val ST = operators.SnapshotTable
+      val src = s"$work/snap_del"
+      val dst = s"$work/snap_clone"
+      ST.shallowClone(src, dst)
+      ST.manifestEntries(dst, 1).size.toLong
+    }
+    time("x32_clone_delete_cow") {
+      val ST = operators.SnapshotTable
+      val dst = s"$work/snap_clone"
+      val v = ST.delete(spark, dst, s"ep_day BETWEEN ${ST.X28Lo} AND ${ST.X28Hi}")
+      println(s"[scale] x32 clone delete audit: ${ST.manifestMeta(dst, v)("delete")}")
+      ST.read(spark, dst).count()
+    }
     spark.stop()
   }
 }

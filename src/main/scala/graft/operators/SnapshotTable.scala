@@ -784,6 +784,111 @@ object SnapshotTable {
         ("merge" -> s"cow:$idCol:${affected.size}of${untouched.size + affected.size}"))
   }
 
+  /** One WHEN clause of an ANSI MERGE statement (parsed by
+    * [[graft.sources.SnapshotSql]]). Conditions and SET right-hand
+    * sides are SQL expression strings over the statement's target and
+    * source aliases. */
+  sealed trait MergeWhen
+  case class WhenMatchedUpdate(cond: Option[String],
+      sets: Seq[(String, String)]) extends MergeWhen
+  case class WhenMatchedDelete(cond: Option[String]) extends MergeWhen
+  case object WhenNotMatchedInsert extends MergeWhen
+
+  /** ANSI-spelling MERGE — the standard `MERGE INTO t USING s ON ...
+    * WHEN MATCHED THEN UPDATE / DELETE, WHEN NOT MATCHED THEN INSERT *`
+    * a Delta-habituated user types verbatim ([[merge]] is the
+    * caller-labeled changeset primitive underneath). This route
+    * DISCOVERS the ops: one join of the source against the current
+    * snapshot classifies each source row (first-match-wins across the
+    * written clause order, Delta's semantics; a clause with no AND makes
+    * later matched clauses unreachable), compiles the result into the
+    * op-labeled changeset, and hands it to [[merge]] — so the rewrite
+    * stays stats-pruned to touched files and the commit CASes the
+    * version the discovery read (a racing APPEND triggers a re-discover
+    * retry, never a lost update; a racing rewrite aborts loudly inside
+    * merge's conflict check). The discovery join is the price of
+    * match-finding (Delta's phase 1 pays the same scan); at 100 TB it
+    * broadcasts the source when small, and the REWRITE — the expensive
+    * half — still touches only files whose stats admit a changed key.
+    *
+    * Envelope (refused loudly outside it): ON is one equi-condition
+    * `t.<col> = s.<col>`; a target row matched by multiple source rows
+    * errors (ANSI's nondeterminism rule); INSERT * requires the source
+    * to carry every target column; SET names unqualified target
+    * columns, right-hand sides reference `t.`/`s.`-qualified columns. */
+  def ansiMerge(s: SparkSession, root: String, tgtAlias: String,
+      srcTable: String, srcAlias: String, onTgtCol: String, onSrcCol: String,
+      clauses: Seq[MergeWhen]): Int = {
+    require(clauses.nonEmpty, s"ansi merge on $root: no WHEN clauses")
+    require(tgtAlias != srcAlias,
+      s"ansi merge on $root: target and source aliases must differ")
+    require(clauses.count(_.isInstanceOf[WhenMatchedUpdate]) <= 1 &&
+      clauses.count(_.isInstanceOf[WhenMatchedDelete]) <= 1 &&
+      clauses.count(_ == WhenNotMatchedInsert) <= 1,
+      s"ansi merge on $root: at most one clause of each kind")
+    var attempts = 0
+    var result = -1
+    while (result < 0) {
+      val v = currentVersion(root)
+      require(v > 0, s"ansi merge on $root: table has no committed version")
+      val tgtPlain = readAt(s, root, v)
+      val tCols = tgtPlain.columns.toIndexedSeq
+      require(tCols.contains(onTgtCol),
+        s"ansi merge on $root: ON column $onTgtCol is not a target column")
+      val tgt = tgtPlain.alias(tgtAlias)
+      val srcPlain = s.table(srcTable)
+      require(srcPlain.columns.contains(onSrcCol),
+        s"ansi merge on $root: ON column $onSrcCol is not a source column")
+      val src = srcPlain.alias(srcAlias)
+      val onCond = col(s"$tgtAlias.$onTgtCol") === col(s"$srcAlias.$onSrcCol")
+      val matched = tgt.join(src, onCond, "inner")
+      val dup = matched.groupBy(col(s"$tgtAlias.$onTgtCol")).count()
+        .filter(col("count") > 1).limit(1).collect()
+      require(dup.isEmpty, s"ansi merge on $root: target key ${dup.headOption.map(_.get(0))
+        .getOrElse("")} is matched by multiple source rows — MERGE requires at most " +
+        "one source match per target row (pre-aggregate the source)")
+      def condCol(c: Option[String]): Column =
+        c.map(e => coalesce(expr(e).cast("boolean"), lit(false))).getOrElse(lit(true))
+      var remaining: Column = lit(true) // not yet claimed by an earlier clause
+      val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      clauses.foreach {
+        case WhenMatchedUpdate(cond, sets) =>
+          val setMap = sets.toMap
+          sets.foreach { case (c, _) => require(tCols.contains(c),
+            s"ansi merge on $root: SET names unknown target column $c") }
+          parts += matched.filter(remaining && condCol(cond)).select(
+            tCols.map { c => (setMap.get(c) match {
+              case Some(rhs) => expr(rhs).cast(tgtPlain.schema(c).dataType)
+              case None => col(s"$tgtAlias.$c")
+            }).as(c) } :+ lit("u").as("op"): _*)
+          remaining = remaining && !condCol(cond)
+        case WhenMatchedDelete(cond) =>
+          parts += matched.filter(remaining && condCol(cond)).select(
+            tCols.map(c => col(s"$tgtAlias.$c").as(c)) :+ lit("d").as("op"): _*)
+          remaining = remaining && !condCol(cond)
+        case WhenNotMatchedInsert =>
+          val missing = tCols.filterNot(srcPlain.columns.contains)
+          require(missing.isEmpty, s"ansi merge on $root: INSERT * requires the source " +
+            s"to carry every target column (missing ${missing.mkString(",")})")
+          parts += src.join(tgt, onCond, "left_anti").select(
+            tCols.map(c => col(s"$srcAlias.$c").cast(tgtPlain.schema(c).dataType).as(c))
+              :+ lit("i").as("op"): _*)
+      }
+      val changes = parts.reduce(_ unionByName _)
+      if (changes.isEmpty) result = v // nothing matched any clause: no-op
+      else {
+        val clusterCol = carriedMeta(root, v).getOrElse("statsCol", onTgtCol)
+        try result = merge(s, root, clusterCol, onTgtCol, changes, baseVersion = v)
+        catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            attempts += 1 // a racer committed after discovery: re-discover
+            if (attempts >= 8) throw e
+        }
+      }
+    }
+    result
+  }
+
   /** Commit a copy-on-write rewrite (UPDATE/DELETE shape: replace
     * `touchedRels` with `newEntries`, carry everything else), surviving
     * CONCURRENT APPENDS: on a lost CAS the commit re-bases — it
@@ -1649,6 +1754,7 @@ object SnapshotTable {
     "x30_alter_add_column" -> (x30AlterAddColumn _, Some(x30Sql)),
     "x31_restore" -> (x31Restore _, Some(x31Sql)),
     "x32_shallow_clone" -> (x32ShallowClone _, Some(x32Sql)),
+    "x33_ansi_merge" -> (x33AnsiMerge _, Some(x33Sql)),
   )
 
   /** x24_catalog_sql — the name-addressed warehouse surface end-to-end
@@ -1951,5 +2057,62 @@ object SnapshotTable {
        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
        |FROM e
        |ORDER BY side""".stripMargin
+
+  /** x33_ansi_merge — the standard MERGE spelling end to end: a CTAS
+    * target, a source view mixing updates (conditional SET referencing
+    * BOTH aliases), deletes (the fall-through matched clause), and
+    * inserts (INSERT * backfill rows), applied by ONE statement. The
+    * oracle derives the same end state functionally from the raw log —
+    * proving the match-discovering route ≡ the relational rewrite it
+    * abbreviates, while the underlying merge still only rewrote
+    * stats-touched files (the `merge: cow:...` audit). */
+  def x33AnsiMerge(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    if (!s.conf.getOption("spark.sql.catalog.gx").exists(_.nonEmpty)) {
+      s.conf.set("spark.sql.catalog.gx", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gx.root", Engine.tmpDir("graft_warehouse"))
+    }
+    val ev = Tables.events(s, d)
+      .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+      .filter(col("event_id") % X29Mod === 0)
+      .select("event_id", "event_type", "value", "ep_day")
+    ev.createOrReplaceTempView("x33_tgt_src")
+    s.sql("DROP TABLE IF EXISTS gx.x33_t")
+    s.sql("CREATE TABLE gx.x33_t AS SELECT * FROM x33_tgt_src")
+    val win = ev.filter(col("ep_day").between(X17Lo, X17Hi))
+    val ups = win.filter(col("event_id") % 20 === 0)
+      .select(col("event_id"), lit("upd").as("event_type"),
+        lit(1000.0).as("value"), col("ep_day"))
+    val dels = win.filter(col("event_id") % 20 === 10)
+      .select(col("event_id"), lit("del").as("event_type"),
+        lit(-1.0).as("value"), col("ep_day"))
+    val ins = (X17Lo to X17Hi).map(day => (-day, "backfill", 1.0, day))
+      .toDF("event_id", "event_type", "value", "ep_day")
+    ups.unionByName(dels).unionByName(ins).createOrReplaceTempView("x33_changes")
+    s.sql("""MERGE INTO gx.x33_t AS t USING x33_changes AS s ON t.event_id = s.event_id
+      WHEN MATCHED AND s.value >= 0 THEN UPDATE SET value = t.value + s.value
+      WHEN MATCHED THEN DELETE
+      WHEN NOT MATCHED THEN INSERT *""")
+    s.sql("""SELECT ep_day, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      FROM gx.x33_t GROUP BY ep_day ORDER BY ep_day""")
+  }
+
+  val x33Sql: String =
+    s"""WITH e AS (SELECT event_id, value,
+       |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day FROM events
+       |  WHERE event_id % $X29Mod = 0),
+       |m AS (
+       |  SELECT event_id,
+       |    CASE WHEN ep_day BETWEEN $X17Lo AND $X17Hi AND event_id % 20 = 0
+       |      THEN value + 1000.0 ELSE value END AS value, ep_day
+       |  FROM e
+       |  WHERE NOT (ep_day BETWEEN $X17Lo AND $X17Hi AND event_id % 20 = 10)
+       |  UNION ALL
+       |  SELECT -d AS event_id, CAST(1.0 AS DOUBLE) AS value, d AS ep_day
+       |  FROM generate_series($X17Lo, $X17Hi) AS g(d))
+       |SELECT ep_day, COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+       |FROM m GROUP BY ep_day ORDER BY ep_day""".stripMargin
 
 }

@@ -29,7 +29,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
         SnapshotSql.ownsUpdate(session, sqlText) ||
         SnapshotSql.ownsDelete(sqlText) ||
         SnapshotSql.ownsRestore(session, sqlText) ||
-        SnapshotSql.ownsClone(session, sqlText) => SnapshotSqlCommand(sqlText)
+        SnapshotSql.ownsClone(session, sqlText) ||
+        SnapshotSql.ownsAnsiMerge(session, sqlText) => SnapshotSqlCommand(sqlText)
       case None => delegate.parsePlan(sqlText)
     }
 

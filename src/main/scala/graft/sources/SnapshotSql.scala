@@ -23,6 +23,10 @@ import graft.operators.SnapshotTable
   *   OPTIMIZE <table> CLUSTER BY (col) [TARGET n]
   *   OPTIMIZE <table> ZORDER BY (colA, colB) [TARGET n]
   *   MERGE INTO <table> CLUSTER BY (col) ID (idCol) USING <viewName>
+  *   MERGE INTO <table> t USING <view> s ON t.<id> = s.<id>
+  *     [WHEN MATCHED [AND <cond>] THEN UPDATE SET col = expr, ...]
+  *     [WHEN MATCHED [AND <cond>] THEN DELETE]
+  *     [WHEN NOT MATCHED THEN INSERT *]
   *   UPDATE <table> SET col = expr [, col = expr]* WHERE <predicate>
   *   RESTORE TABLE <table> TO VERSION AS OF <version>
   *   CREATE TABLE <table> SHALLOW CLONE <table> [VERSION AS OF <version>]
@@ -73,6 +77,31 @@ object SnapshotSql {
   // manifest commit re-listing the source version's files by reference
   private val Clone =
     s"""(?is)\\s*CREATE\\s+TABLE\\s+($Ref)\\s+SHALLOW\\s+CLONE\\s+($Ref)(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*""".r
+  // the ANSI MERGE spelling (match-discovering; the CLUSTER BY form
+  // above is the caller-labeled changeset primitive). Aliases are
+  // REQUIRED (they disambiguate every t./s. reference in conditions and
+  // SET expressions); ON is one equi-condition between the aliases.
+  private val AnsiMerge =
+    (s"""(?is)\\s*MERGE\\s+INTO\\s+($Ref)\\s+(?:AS\\s+)?(\\w+)\\s+USING\\s+([\\w.]+)""" +
+      s"""\\s+(?:AS\\s+)?(\\w+)\\s+ON\\s+(\\w+)\\.(\\w+)\\s*=\\s*(\\w+)\\.(\\w+)\\s+(WHEN\\s.+?)\\s*""").r
+  private val WhenUpdate =
+    """(?is)\s*WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+(.+?)\s*""".r
+  private val WhenDelete =
+    """(?is)\s*WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE\s*""".r
+  private val WhenInsert =
+    """(?is)\s*WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*""".r
+
+  private[graft] def parseMergeClauses(txt: String): Seq[SnapshotTable.MergeWhen] =
+    txt.split("(?i)(?=WHEN\\s)").toSeq.filter(_.trim.nonEmpty).map {
+      case WhenUpdate(cond, sets) =>
+        SnapshotTable.WhenMatchedUpdate(Option(cond), parseSets(sets))
+      case WhenDelete(cond) => SnapshotTable.WhenMatchedDelete(Option(cond))
+      case WhenInsert() => SnapshotTable.WhenNotMatchedInsert
+      case other => throw new IllegalArgumentException(
+        s"graft-snapshot SQL: cannot parse MERGE clause '${other.trim.take(100)}' — " +
+          "expected WHEN MATCHED [AND <cond>] THEN UPDATE SET ... | " +
+          "WHEN MATCHED [AND <cond>] THEN DELETE | WHEN NOT MATCHED THEN INSERT *")
+    }
 
   private val Quoted = "'([^']+)'".r
 
@@ -179,6 +208,18 @@ object SnapshotSql {
     case _ => false
   }
 
+  /** ANSI-MERGE routing — MERGE INTO is real Spark syntax (DSv2
+    * row-level DML), so the statement is claimed like UPDATE's rule: a
+    * quoted-path target unconditionally, an identifier target only when
+    * it resolves through a graft catalog — a Delta/Iceberg MERGE in the
+    * same session falls through untouched. The custom CLUSTER BY form
+    * cannot collide (its shape has no aliases/ON). */
+  private[graft] def ownsAnsiMerge(s: SparkSession, stmt: String): Boolean = stmt match {
+    case AnsiMerge(ref, _, _, _, _, _, _, _, _) => ref.startsWith("'") ||
+      scala.util.Try(resolveRef(s, ref)).isSuccess
+    case _ => false
+  }
+
   /** Split on top-level commas: parens and single-quoted strings are
     * opaque. */
   private def splitTop(s: String): Seq[String] = {
@@ -222,6 +263,15 @@ object SnapshotSql {
         Option(target).map(_.toInt).getOrElse(DefaultTargetFiles))
     case MergeInto(ref, clusterCol, idCol, view) =>
       SnapshotTable.merge(s, resolveRef(s, ref), clusterCol, idCol, s.table(view))
+    case AnsiMerge(ref, tAlias, srcView, sAlias, a1, c1, a2, c2, whenTxt) =>
+      val (tCol, sCol) =
+        if (a1 == tAlias && a2 == sAlias) (c1, c2)
+        else if (a1 == sAlias && a2 == tAlias) (c2, c1)
+        else throw new IllegalArgumentException(
+          s"graft-snapshot SQL: MERGE ON must equate $tAlias.<col> = $sAlias.<col> " +
+            s"(got $a1.$c1 = $a2.$c2)")
+      SnapshotTable.ansiMerge(s, resolveRef(s, ref), tAlias, srcView, sAlias,
+        tCol, sCol, parseMergeClauses(whenTxt))
     case Update(ref, setsStr, pred) =>
       SnapshotTable.update(s, resolveRef(s, ref), parseSets(setsStr), pred)
     case Delete(ref, pred) =>
@@ -240,6 +290,7 @@ object SnapshotSql {
         "OPTIMIZE <table> CLUSTER BY (col) [TARGET n] | " +
         "OPTIMIZE <table> ZORDER BY (a, b) [TARGET n] | " +
         "MERGE INTO <table> CLUSTER BY (col) ID (id) USING <view> | " +
+        "MERGE INTO <table> [AS] t USING <view> [AS] s ON t.<id> = s.<id> WHEN ... | " +
         "UPDATE <table> SET <col> = <expr>[, ...] WHERE <pred> | " +
         "DELETE FROM '<path>' WHERE <pred> | " +
         "RESTORE TABLE <table> TO VERSION AS OF <version> | " +

@@ -286,4 +286,76 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(after(39L) == Some(9.75) && after(19L).isEmpty,
       "full-rewrite DELETE corrupted evolved values")
   }
+
+  test("ANSI MERGE: update/delete/insert clauses compile to one pruned changeset merge") {
+    import spark.implicits._
+    val root = Engine.tmpDir("graft_sql_ansimerge")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    // two key-clustered files so the merge's pruning is observable
+    val entries = (ST.writeDataFiles((1L to 5L).map(k => (k, k * 10.0)).toDF("k", "v")
+        .coalesce(1), root, "lo") ++
+      ST.writeDataFiles((6L to 10L).map(k => (k, k * 10.0)).toDF("k", "v")
+        .coalesce(1), root, "hi")).map(ST.footerEntry(root, _, "k"))
+    ST.commitEntries(root, 0, entries, shardSize = 8, Map("statsCol" -> "k"))
+    // source: k=2 update (+1), k=4 delete (delta<0), k=0 insert — the
+    // changeset's key bounds [0,4] miss the hi file [6,10], so merge's
+    // stats pruning carries it (an out-of-range insert key would widen
+    // the bound and defeat the pruning — inherent to range pruning)
+    Seq((2L, 1.0), (4L, -1.0), (0L, 5.0)).toDF("k", "delta")
+      .withColumn("v", lit(0.0)) // INSERT * needs every target column
+      .createOrReplaceTempView("am_src")
+    val v = spark.sql(s"""MERGE INTO '$root' AS t USING am_src AS s ON t.k = s.k
+      WHEN MATCHED AND s.delta >= 0 THEN UPDATE SET v = t.v + s.delta
+      WHEN MATCHED THEN DELETE
+      WHEN NOT MATCHED THEN INSERT *""").head().getInt(0)
+    assert(v == 2)
+    val got = ST.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(2L) == 21.0, s"UPDATE SET t.v + s.delta wrong: ${got.get(2L)}")
+    assert(!got.contains(4L), "fall-through DELETE clause missed")
+    assert(got(0L) == 0.0, "INSERT * missed")
+    assert(got(7L) == 70.0 && got.size == 10)
+    // the rewrite was pruned: only the lo file rewritten, hi carried
+    assert(ST.manifestMeta(root, 2)("merge") == "cow:k:1of2",
+      s"audit: ${ST.manifestMeta(root, 2)}")
+    // clause precedence is written order: k=2 satisfied UPDATE's
+    // condition, so DELETE (condition-free) never saw it — and a source
+    // row matching NO clause's condition... (delta<0 hits DELETE here,
+    // proving fall-through, asserted above via k=4)
+  }
+
+  test("ANSI MERGE refusals: ambiguous matches, missing INSERT columns, foreign refs") {
+    import spark.implicits._
+    val root = Engine.tmpDir("graft_sql_ansimerge_ref")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    ST.commitEntries(root, 0,
+      ST.writeDataFiles((1L to 3L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1), root, "a").map(ST.footerEntry(root, _, "k")),
+      shardSize = 8, Map("statsCol" -> "k"))
+    // two source rows hit target k=1: ANSI nondeterminism → loud error
+    Seq((1L, 1.0, 5.0), (1L, 2.0, 5.0)).toDF("k", "delta", "v")
+      .createOrReplaceTempView("am_dup")
+    val e1 = intercept[Exception](spark.sql(
+      s"""MERGE INTO '$root' AS t USING am_dup AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.delta""").collect())
+    assert(e1.getMessage.contains("multiple source rows"), e1.getMessage)
+    // INSERT * with a source lacking a target column refuses
+    Seq((9L, 1.0)).toDF("k", "delta").createOrReplaceTempView("am_narrow")
+    val e2 = intercept[Exception](spark.sql(
+      s"""MERGE INTO '$root' AS t USING am_narrow AS s ON t.k = s.k
+        WHEN NOT MATCHED THEN INSERT *""").collect())
+    assert(e2.getMessage.contains("INSERT *"), e2.getMessage)
+    // a source matching NOTHING with matched-only clauses is a version
+    // no-op (the table was never touched)
+    Seq((77L, 1.0, 0.0)).toDF("k", "delta", "v").createOrReplaceTempView("am_miss")
+    val v = spark.sql(s"""MERGE INTO '$root' AS t USING am_miss AS s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.delta""").head().getInt(0)
+    assert(v == 1 && ST.currentVersion(root) == 1, "no-op merge minted a version")
+    // an ANSI MERGE on a non-graft identifier falls through to Spark's
+    // parser/analyzer instead of being claimed here
+    val e3 = intercept[Exception](spark.sql(
+      """MERGE INTO nosuch.tbl AS t USING am_miss AS s ON t.k = s.k
+        WHEN MATCHED THEN DELETE""").collect())
+    assert(!e3.getMessage.contains("graft-snapshot SQL"), e3.getMessage)
+  }
 }
