@@ -14,11 +14,12 @@ import graft.sources.SnapshotSql
   * first-class `spark.sql(...)` statements — the same
   * `SparkSessionExtensions.injectParser` seam Delta uses for its
   * path-addressed DML. Statements matching [[SnapshotSql]]'s grammar
-  * (OPTIMIZE / MERGE INTO / VACUUM over `'<path>'` tables) parse to a
-  * [[SnapshotSqlCommand]]; EVERYTHING else — including Spark's own
-  * OPTIMIZE-less DML and catalog-table MERGE — falls through to the
-  * delegate parser untouched, so injecting this parser can never change
-  * the meaning of a statement it doesn't own. */
+  * (OPTIMIZE / MERGE INTO — changeset and ANSI spellings — / UPDATE /
+  * DELETE / RESTORE / SHALLOW CLONE / VACUUM over `'<path>'` or
+  * graft-catalog tables) parse to a [[SnapshotSqlCommand]]; EVERYTHING
+  * else — including Spark's own DML on foreign catalogs — falls
+  * through to the delegate parser untouched, so injecting this parser
+  * can never change the meaning of a statement it doesn't own. */
 class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
