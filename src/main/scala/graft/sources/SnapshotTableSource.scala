@@ -56,6 +56,9 @@ import graft.operators.SnapshotTable
   *     changes tagged `_change_type`/`_commit_version`, so DML commits
   *     upstream keep a downstream pipeline alive (see
   *     [[SnapshotCdfMicroBatchStream]] for the file-grain contract).
+  *     The same option on a BATCH read serves the
+  *     (`startingVersion`, `endingVersion`] window in one scan —
+  *     Delta's table_changes contract.
   *
   * Projection pushdown is real: `pruneColumns` narrows the parquet
   * record schema handed to the file reader, so a 2-column aggregate
@@ -574,10 +577,23 @@ private[sources] class SnapshotScan(root: String, version: Int,
   }
 
   override def toBatch: Batch = {
-    if (cdfMode) throw new UnsupportedOperationException(
-      "graft-snapshot: readChangeFeed is a STREAMING read (the feed's identity is " +
-        "the commit sequence) — use spark.readStream, or " +
-        "SnapshotTable.changesBetween(s, root, vFrom, vTo) for batch CDC")
+    // batch CDF (Delta's table_changes contract): all changes in the
+    // (startingVersion, endingVersion] window in one scan, same
+    // file-grain rows and metadata columns as the streaming feed.
+    // startingVersion defaults to 0 (the whole history as inserts+
+    // deletes), endingVersion to the current version. Stats pruning is
+    // NOT applied (the planned set is the manifest DIFF, not a
+    // snapshot); pushed filters still run residually above the scan.
+    if (cdfMode) return new Batch {
+      private val endV = Option(options.get("endingVersion")).map(_.toInt)
+        .getOrElse(version)
+      private val startV = Option(options.get("startingVersion")).map(_.toInt).getOrElse(0)
+      require(startV >= 0 && endV <= version && startV <= endV,
+        s"graft-snapshot CDF: version window ($startV, $endV] out of range (table at $version)")
+      override def planInputPartitions(): Array[InputPartition] =
+        SnapshotCdf.partitions(root, startV, endV)
+      override def createReaderFactory(): PartitionReaderFactory = cdfFactory
+    }
     new Batch {
     // version + file list pinned at PLAN time: later commits never
     // tear this scan
@@ -641,7 +657,9 @@ private[sources] class SnapshotMicroBatchStream(root: String,
     val removed = before -- after
     if (removed.nonEmpty) throw new IllegalStateException(
       s"graft-snapshot: versions ($v0, $v1] remove files $removed — " +
-        "streaming reads require append-only commits (rewrites/merges are not streamable)")
+        "plain streaming reads require append-only commits; to stream across " +
+        "rewrites (MERGE/UPDATE/DELETE/OPTIMIZE) read the change feed instead: " +
+        ".option(\"readChangeFeed\", \"true\")")
     (after -- before).toSeq.sorted
       .map(rel => SnapshotFilePartition(Paths.get(root, rel).toString): InputPartition)
       .toArray
@@ -704,27 +722,40 @@ private[sources] class SnapshotCdfMicroBatchStream(root: String,
     VersionOffset(math.min(SnapshotTable.currentVersion(root), cur + maxVersionsPerTrigger))
   }
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val (v0, v1) = (start.asInstanceOf[VersionOffset].v, end.asInstanceOf[VersionOffset].v)
-    // per-version diffs, not one (v0, v1] diff: each row must carry the
-    // version that produced it, and a file added in v0+1 then removed
-    // in v1 must emit BOTH events (the end-to-end diff would cancel
-    // them and lose the intermediate state transitions)
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    SnapshotCdf.partitions(root,
+      start.asInstanceOf[VersionOffset].v, end.asInstanceOf[VersionOffset].v)
+
+  override def createReaderFactory(): PartitionReaderFactory = factory
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] object SnapshotCdf {
+  /** The change partitions of the version window (v0, v1] — one per
+    * changed file per commit. Per-version diffs, not one end-to-end
+    * diff: each row must carry the version that produced it, and a
+    * file added in v0+1 then removed in v1 must emit BOTH events (the
+    * end-to-end diff would cancel them and lose the intermediate state
+    * transitions). A commit whose predecessor manifest was vacuumed is
+    * not diffable — loud error, never a silently truncated feed. */
+  def partitions(root: String, v0: Int, v1: Int): Array[InputPartition] =
     (v0 + 1 to v1).flatMap { v =>
-      val before = if (v == 1) Set.empty[String]
-        else SnapshotTable.manifestEntries(root, v - 1).map(_.rel).toSet
-      val after = SnapshotTable.manifestEntries(root, v).map(_.rel).toSet
+      def rels(at: Int): Set[String] =
+        try SnapshotTable.manifestEntries(root, at).map(_.rel).toSet
+        catch {
+          case e: java.nio.file.NoSuchFileException => throw new IllegalStateException(
+            s"graft-snapshot CDF: version $at of $root was vacuumed away — " +
+              s"the change feed cannot diff commit $v; start from a retained version", e)
+        }
+      val before = if (v == 1) Set.empty[String] else rels(v - 1)
+      val after = rels(v)
       val deletes = (before -- after).toSeq.sorted
         .map(rel => SnapshotCdfPartition(Paths.get(root, rel).toString, "delete", v))
       val inserts = (after -- before).toSeq.sorted
         .map(rel => SnapshotCdfPartition(Paths.get(root, rel).toString, "insert", v))
       deletes ++ inserts
-    }.toArray[InputPartition]
-  }
-
-  override def createReaderFactory(): PartitionReaderFactory = factory
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+    }.toArray
 }
 
 /** Wraps the plain file reader, appending the per-partition change

@@ -157,16 +157,31 @@ class CdfSpec extends AnyFunSuite {
     assert(second.contains(("delete", 7L, 4L)))
   }
 
-  test("batch reads refuse readChangeFeed with a pointer to the right APIs") {
+  test("batch CDF reads the version window in one scan, identical to the streamed feed") {
     val root = fixture("batch")
-    val e = intercept[Exception] {
-      spark.read.format("graft-snapshot").option("readChangeFeed", "true")
-        .load(root).collect()
-    }
-    def chain(t: Throwable): Seq[Throwable] =
-      if (t == null) Nil else t +: chain(t.getCause)
-    assert(chain(e).exists(t => t.getMessage != null &&
-      t.getMessage.contains("STREAMING")), e.getMessage)
+    def batchCdf(opts: (String, String)*) = opts.foldLeft(
+      spark.read.format("graft-snapshot").option("readChangeFeed", "true")) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load(root)
+    // full history: batch ≡ streamed feed, row for row
+    val all = batchCdf().collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("k"),
+        r.getAs[Long]("_commit_version"))).sorted.toSeq
+    val streamed = runFeed(root).collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("k"),
+        r.getAs[Long]("_commit_version"))).sorted.toSeq
+    assert(all == streamed, "batch CDF drifted from the streamed feed")
+    // a version window slices the feed; filters run residually
+    val tail = batchCdf("startingVersion" -> "2").collect()
+    assert(tail.map(_.getAs[Long]("_commit_version")).toSet == Set(3L))
+    val only2 = batchCdf("startingVersion" -> "1", "endingVersion" -> "2")
+    assert(only2.select("_commit_version").distinct().collect()
+      .map(_.getLong(0)).toSet == Set(2L))
+    assert(batchCdf().filter(col("_change_type") === "delete").count() ==
+      all.count(_._1 == "delete"))
+    // an out-of-range window fails loudly
+    val e = intercept[Exception](batchCdf("endingVersion" -> "99").collect())
+    assert(e.getMessage.contains("out of range"), e.getMessage)
   }
 
   test("the feed reads mixed widths: a delete of a pre-evolution narrow file null-fills") {
