@@ -380,6 +380,17 @@ private[graft] class SnapshotScanBuilder(root: String, full: StructType,
   private var pushed = Array.empty[Filter]
   private var countStarOnly = false
 
+  // the CDF metadata columns enter the schema in the provider's
+  // inferSchema — only the PATH load route runs it. A catalog-name load
+  // resolves the table schema without them, and serving change rows
+  // whose kind is indistinguishable would be silently wrong — refuse.
+  require(!SnapshotSourceUtil.cdfEnabled(options) ||
+      full.fieldNames.contains(SnapshotSourceUtil.CdfTypeCol),
+    s"graft-snapshot CDF: the resolved schema of $root carries no " +
+      s"${SnapshotSourceUtil.CdfTypeCol} column — read the change feed through the " +
+      "path route: spark.read/readStream.format(\"graft-snapshot\")" +
+      ".option(\"readChangeFeed\", \"true\").load(<table root>)")
+
   private val version = Option(options.get("version")).map(_.toInt)
     .getOrElse(SnapshotTable.currentVersion(root))
   /** Which column the manifest's per-file [lo, hi] stats describe —

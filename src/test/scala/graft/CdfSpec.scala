@@ -184,6 +184,34 @@ class CdfSpec extends AnyFunSuite {
     assert(e.getMessage.contains("out of range"), e.getMessage)
   }
 
+  test("catalog tables stream by name; a name-addressed CDF read refuses loudly") {
+    val w = Files.createTempDirectory("graft_cdf_cat").toString
+    spark.conf.set("spark.sql.catalog.gcdf", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcdf.root", w)
+    spark.sql("CREATE TABLE gcdf.ev (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gcdf.ev VALUES (1, 1.0), (2, 2.0)")
+    spark.sql("INSERT INTO gcdf.ev VALUES (3, 3.0)")
+    // plain append streaming by NAME works (the catalog's table carries
+    // MICRO_BATCH_READ; offsets are versions exactly like the path route)
+    val name = s"cdf_cat_${System.nanoTime()}"
+    val q = spark.readStream.table("gcdf.ev")
+      .writeStream.format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.table(name).count() == 3)
+    // but CDF by name would emit change rows WITHOUT their kind (the
+    // metadata columns enter the schema only on the path route's
+    // inferSchema) — refused loudly, pointing at the path spelling
+    val e = intercept[Exception] {
+      spark.readStream.option("readChangeFeed", "true").table("gcdf.ev")
+        .writeStream.format("memory").queryName(s"${name}_x").start()
+        .processAllAvailable()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t => t.getMessage != null &&
+      t.getMessage.contains("path route")), e.getMessage)
+  }
+
   test("the feed reads mixed widths: a delete of a pre-evolution narrow file null-fills") {
     val root = graft.operators.Engine.tmpDir("graft_cdf_evolve")
     graft.operators.Engine.listDir(Paths.get(root))
