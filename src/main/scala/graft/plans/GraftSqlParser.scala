@@ -26,6 +26,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   override def parsePlan(sqlText: String): LogicalPlan =
     SnapshotSql.historyRoot(session, sqlText) match {
       case Some(root) => SnapshotHistoryCommand(root)
+      case None if SnapshotSql.detailRoot(session, sqlText).isDefined =>
+        SnapshotDetailCommand(SnapshotSql.detailRoot(session, sqlText).get)
       case None if SnapshotSql.owns(sqlText) ||
         SnapshotSql.ownsUpdate(session, sqlText) ||
         SnapshotSql.ownsDelete(sqlText) ||
@@ -60,6 +62,23 @@ case class SnapshotSqlCommand(stmt: String) extends LeafRunnableCommand {
     Seq(AttributeReference("version", IntegerType, nullable = false)())
   override def run(sparkSession: SparkSession): Seq[Row] =
     Seq(Row(SnapshotSql.exec(sparkSession, stmt)))
+}
+
+/** DESCRIBE DETAIL <table> — the current snapshot's one-row summary
+  * (Delta's command shape): location, version, file/row counts, data
+  * bytes, carried metadata. Pure manifest arithmetic. */
+case class SnapshotDetailCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("location", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("num_files", org.apache.spark.sql.types.LongType, nullable = false)(),
+    AttributeReference("num_rows", org.apache.spark.sql.types.LongType, nullable = false)(),
+    AttributeReference("size_bytes", org.apache.spark.sql.types.LongType, nullable = false)(),
+    AttributeReference("meta", org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val (loc, v, nf, nr, bytes, meta) = SnapshotSql.describeDetail(root)
+    Seq(Row(loc, v, nf, nr, bytes, meta))
+  }
 }
 
 /** DESCRIBE HISTORY '<path>' — one row per still-present version with

@@ -32,6 +32,7 @@ import graft.operators.SnapshotTable
   *   CREATE TABLE <table> SHALLOW CLONE <table> [VERSION AS OF <version>]
   *   VACUUM <table> KEEP FROM <version>
   *   DESCRIBE HISTORY <table>    (row-returning, parser route only)
+  *   DESCRIBE DETAIL <table>     (row-returning, parser route only)
   *
   * MERGE's source is a registered view/table carrying the table's
   * columns plus `op` ∈ {u, d, i} — the same caller-labeled changeset
@@ -56,6 +57,8 @@ object SnapshotSql {
     s"""(?is)\\s*VACUUM\\s+($Ref)\\s+KEEP\\s+FROM\\s+(\\d+)\\s*""".r
   private val History =
     s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+($Ref)\\s*""".r
+  private val Detail =
+    s"""(?is)\\s*DESCRIBE\\s+DETAIL\\s+($Ref)\\s*""".r
   // standard DML spelling, no graft-specific clauses: the one verb a
   // Delta-habituated user types verbatim. Splits at the FIRST top-level
   // WHERE; assignments split on top-level commas (parens and quotes
@@ -135,6 +138,28 @@ object SnapshotSql {
     // real Spark syntax, unlike the maintenance verbs below
     case History(ref) => scala.util.Try(resolveRef(s, ref)).toOption
     case _ => None
+  }
+
+  /** DESCRIBE DETAIL <table> — routing twin of [[historyRoot]]. */
+  private[graft] def detailRoot(s: SparkSession, stmt: String): Option[String] = stmt match {
+    case Detail(ref) => scala.util.Try(resolveRef(s, ref)).toOption
+    case _ => None
+  }
+
+  /** The current snapshot's one-row summary (Delta's DESCRIBE DETAIL
+    * shape): location, version, file/row counts, total data bytes, and
+    * the carried metadata — all from the manifest plus one
+    * `Files.size` per entry, zero data-file IO. */
+  def describeDetail(root: String): (String, Int, Long, Long, Long, String) = {
+    val v = SnapshotTable.currentVersion(root)
+    val entries = if (v == 0) Nil else SnapshotTable.manifestEntries(root, v)
+    val bytes = entries.map { e =>
+      try java.nio.file.Files.size(java.nio.file.Paths.get(root, e.rel))
+      catch { case _: java.io.IOException => 0L }
+    }.sum
+    val meta = if (v == 0) "" else SnapshotTable.manifestMeta(root, v).toSeq.sorted
+      .map { case (k, x) => s"$k=${x.take(60)}" }.mkString(",")
+    (root, v, entries.size.toLong, entries.map(_.rows).sum, bytes, meta)
   }
 
   /** One row per still-present version (vacuumed manifests are skipped):

@@ -287,6 +287,21 @@ class SnapshotSqlSpec extends AnyFunSuite {
       "full-rewrite DELETE corrupted evolved values")
   }
 
+  test("DESCRIBE DETAIL summarizes the current snapshot from the manifest alone") {
+    val root = freshTable("graft_sql_detail")
+    val row = spark.sql(s"DESCRIBE DETAIL '$root'").head()
+    assert(row.getAs[String]("location") == root)
+    assert(row.getAs[Int]("version") == 1)
+    assert(row.getAs[Long]("num_files") == 3)
+    assert(row.getAs[Long]("num_rows") == ST.read(spark, root).count())
+    assert(row.getAs[Long]("size_bytes") > 0)
+    assert(row.getAs[String]("meta").contains("statsCol=ep_day"))
+    // a foreign reference falls through to Spark's parser (DESCRIBE is
+    // real Spark syntax)
+    val e = intercept[Exception](spark.sql("DESCRIBE DETAIL nosuch.tbl").collect())
+    assert(!e.getMessage.contains("graft-snapshot SQL"), e.getMessage)
+  }
+
   test("ANSI MERGE: update/delete/insert clauses compile to one pruned changeset merge") {
     import spark.implicits._
     val root = Engine.tmpDir("graft_sql_ansimerge")
