@@ -203,6 +203,31 @@ object ScaleProbe {
       println(s"[scale] x32 clone delete audit: ${ST.manifestMeta(dst, v)("delete")}")
       ST.read(spark, dst).count()
     }
+    // late-r12: the ANSI merge — its discovery join is the O(table)
+    // term (Delta's phase-1 price), the rewrite must stay confined to
+    // stats-touched files; the audit line shows both
+    time("x33_ansi_merge") {
+      val ST = operators.SnapshotTable
+      val n = ST.x33AnsiMerge(spark, work).count()
+      val root = spark.conf.get("spark.sql.catalog.gx.root") + "/x33_t"
+      println(s"[scale] x33 merge audit: " +
+        s"${ST.manifestMeta(root, ST.currentVersion(root)).getOrElse("merge", "?")}")
+      n
+    }
+    // late-r12: the outer stream-stream join — eviction must hold at
+    // replica scale exactly like st7, with the flush sentinel draining
+    // every real state row before the query stops
+    time("st13_outer_join_state") {
+      val buf = scala.collection.mutable.ArrayBuffer
+        .empty[org.apache.spark.sql.streaming.StreamingQueryProgress]
+      val n = streaming.Streams.collectProgress(buf)(
+        streaming.Streams.st13StreamStreamOuter(spark, work)).count()
+      val ops = buf.flatMap(_.stateOperators)
+      println(s"[scale] st13 state: buffered=${ops.map(_.numRowsUpdated).sum} " +
+        s"removed=${ops.map(_.numRowsRemoved).sum} " +
+        s"final=${buf.last.stateOperators.map(_.numRowsTotal).sum}")
+      n
+    }
     spark.stop()
   }
 }

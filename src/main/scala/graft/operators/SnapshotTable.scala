@@ -2079,6 +2079,13 @@ object SnapshotTable {
     ev.createOrReplaceTempView("x33_tgt_src")
     s.sql("DROP TABLE IF EXISTS gx.x33_t")
     s.sql("CREATE TABLE gx.x33_t AS SELECT * FROM x33_tgt_src")
+    // cluster by day before the DML — the production discipline that
+    // makes the merge's rewrite confined: the changeset (window updates
+    // + per-day backfills) spans ~2 of the day-clustered files, and
+    // ansiMerge prunes on the table's statsCol (the 8×/32× probe's
+    // audit shows cow:2ofN; an unclustered CTAS target has no stats
+    // and would honestly rewrite everything)
+    s.sql("OPTIMIZE gx.x33_t CLUSTER BY (ep_day) TARGET 7")
     val win = ev.filter(col("ep_day").between(X17Lo, X17Hi))
     val ups = win.filter(col("event_id") % 20 === 0)
       .select(col("event_id"), lit("upd").as("event_type"),
