@@ -182,8 +182,9 @@ object ScaleProbe {
     // late-r12: the streaming CDF feed over the merge table — the probe
     // question is whether the per-batch cost tracks the COMMIT's
     // changed files (batch-proportional) while the signed fold stays
-    // correct at replica scale; row count = total change rows emitted
-    // (grows with the replicated corpus, as the diffed files do)
+    // correct at replica scale. rows = the day-grouped FOLD's output
+    // (constant 30 days by construction); the replica-proportional
+    // quantity is the diffed file volume the wall time prices
     time("st12_stream_cdf")(streaming.Streams.st12StreamCdf(spark, work).count())
     // late-r12: SHALLOW CLONE at scale — the fork must price as ONE
     // manifest write no matter the table size (wall printed), and the

@@ -404,9 +404,18 @@ object SnapshotTable {
         if (!Files.exists(manifestPath(root, toVersion)))
           throw new IllegalStateException(s"snapshot restore on $root: version " +
             s"$toVersion was vacuumed away — its snapshot is no longer addressable")
-        val schemaKeys = Set("schema", "schemaJson")
-        val meta = (carriedMeta(root, cur) -- schemaKeys) ++
-          manifestMeta(root, toVersion).filter(kv => schemaKeys.contains(kv._1)) +
+        // every key that DESCRIBES THE RESTORED ENTRIES comes from the
+        // target version: schema markers (width as of the snapshot) AND
+        // statsCol — the entries' per-file [lo,hi] are bounds of the
+        // column the TARGET's committer recorded; pairing them with the
+        // current version's statsCol (e.g. after an OPTIMIZE that
+        // re-clustered on another column) would make stats pruning read
+        // ep_day bounds as user_id bounds and silently skip matching
+        // files. Only the operational watermarks (streaming epoch /
+        // batch ids) carry from the current version.
+        val fromTarget = Set("schema", "schemaJson", "statsCol")
+        val meta = (carriedMeta(root, cur) -- fromTarget) ++
+          manifestMeta(root, toVersion).filter(kv => fromTarget.contains(kv._1)) +
           ("restore" -> s"v$toVersion")
         try result = commitEntries(root, cur, manifestEntries(root, toVersion),
           shardSize = 16, meta)
@@ -842,11 +851,34 @@ object SnapshotTable {
       val src = srcPlain.alias(srcAlias)
       val onCond = col(s"$tgtAlias.$onTgtCol") === col(s"$srcAlias.$onSrcCol")
       val matched = tgt.join(src, onCond, "inner")
-      val dup = matched.groupBy(col(s"$tgtAlias.$onTgtCol")).count()
-        .filter(col("count") > 1).limit(1).collect()
-      require(dup.isEmpty, s"ansi merge on $root: target key ${dup.headOption.map(_.get(0))
-        .getOrElse("")} is matched by multiple source rows — MERGE requires at most " +
-        "one source match per target row (pre-aggregate the source)")
+      // ANSI's nondeterminism rule applies only when a MATCHED clause
+      // exists, and distinguishes the two duplicate cases: multiple
+      // SOURCE rows hitting one target row (refused — pre-aggregate the
+      // source), and duplicate keys in the TARGET itself (refused —
+      // the changeset merge replaces BY KEY, so updating one of two
+      // duplicate target rows would silently collapse them). Both
+      // checks are bounded: keys first semi-join against the other
+      // side, so the aggregates run over matched keys only.
+      val hasMatchedClause = clauses.exists {
+        case _: WhenMatchedUpdate | _: WhenMatchedDelete => true
+        case _ => false
+      }
+      if (hasMatchedClause) {
+        val tgtKeys = tgtPlain.select(col(onTgtCol).as("__mk"))
+        val srcKeys = srcPlain.select(col(onSrcCol).as("__mk"))
+        val dupSrc = srcKeys.groupBy("__mk").count().filter(col("count") > 1)
+          .join(tgtKeys.distinct(), Seq("__mk"), "left_semi").limit(1).collect()
+        require(dupSrc.isEmpty, s"ansi merge on $root: target key " +
+          s"${dupSrc.headOption.map(_.get(0)).getOrElse("")} is matched by multiple " +
+          "source rows — MERGE requires at most one source match per target row " +
+          "(pre-aggregate the source)")
+        val dupTgt = tgtKeys.join(srcKeys.distinct(), Seq("__mk"), "left_semi")
+          .groupBy("__mk").count().filter(col("count") > 1).limit(1).collect()
+        require(dupTgt.isEmpty, s"ansi merge on $root: key " +
+          s"${dupTgt.headOption.map(_.get(0)).getOrElse("")} is duplicated in the " +
+          "TARGET table — the keyed merge would collapse the duplicates; " +
+          "de-duplicate the table first")
+      }
       def condCol(c: Option[String]): Column =
         c.map(e => coalesce(expr(e).cast("boolean"), lit(false))).getOrElse(lit(true))
       var remaining: Column = lit(true) // not yet claimed by an earlier clause
@@ -856,6 +888,14 @@ object SnapshotTable {
           val setMap = sets.toMap
           sets.foreach { case (c, _) => require(tCols.contains(c),
             s"ansi merge on $root: SET names unknown target column $c") }
+          // updating the join key would re-key the changeset row: the
+          // keyed merge would then delete whatever row already holds
+          // the NEW key and leave the old row in place — silent
+          // corruption, so the ON column is not assignable (Delta
+          // refuses the same)
+          require(!setMap.contains(onTgtCol),
+            s"ansi merge on $root: SET may not assign the ON column $onTgtCol — " +
+              "delete and re-insert to re-key a row")
           parts += matched.filter(remaining && condCol(cond)).select(
             tCols.map { c => (setMap.get(c) match {
               case Some(rhs) => expr(rhs).cast(tgtPlain.schema(c).dataType)
@@ -874,7 +914,11 @@ object SnapshotTable {
             tCols.map(c => col(s"$srcAlias.$c").cast(tgtPlain.schema(c).dataType).as(c))
               :+ lit("i").as("op"): _*)
       }
-      val changes = parts.reduce(_ unionByName _)
+      // materialize the compiled changeset ONCE: without this the
+      // O(table) discovery join re-executes for every downstream
+      // action (the emptiness probe, merge's bounds aggregate, the
+      // rewrite write)
+      val changes = parts.reduce(_ unionByName _).localCheckpoint(true)
       if (changes.isEmpty) result = v // nothing matched any clause: no-op
       else {
         val clusterCol = carriedMeta(root, v).getOrElse("statsCol", onTgtCol)

@@ -24,18 +24,19 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    SnapshotSql.historyRoot(session, sqlText) match {
-      case Some(root) => SnapshotHistoryCommand(root)
-      case None if SnapshotSql.detailRoot(session, sqlText).isDefined =>
-        SnapshotDetailCommand(SnapshotSql.detailRoot(session, sqlText).get)
-      case None if SnapshotSql.owns(sqlText) ||
-        SnapshotSql.ownsUpdate(session, sqlText) ||
-        SnapshotSql.ownsDelete(sqlText) ||
-        SnapshotSql.ownsRestore(session, sqlText) ||
-        SnapshotSql.ownsClone(session, sqlText) ||
-        SnapshotSql.ownsAnsiMerge(session, sqlText) => SnapshotSqlCommand(sqlText)
-      case None => delegate.parsePlan(sqlText)
-    }
+    SnapshotSql.historyRoot(session, sqlText)
+      .map(SnapshotHistoryCommand(_): LogicalPlan)
+      .orElse(SnapshotSql.detailRoot(session, sqlText)
+        .map(SnapshotDetailCommand(_): LogicalPlan))
+      .getOrElse {
+        if (SnapshotSql.owns(sqlText) ||
+          SnapshotSql.ownsUpdate(session, sqlText) ||
+          SnapshotSql.ownsDelete(sqlText) ||
+          SnapshotSql.ownsRestore(session, sqlText) ||
+          SnapshotSql.ownsClone(session, sqlText) ||
+          SnapshotSql.ownsAnsiMerge(session, sqlText)) SnapshotSqlCommand(sqlText)
+        else delegate.parsePlan(sqlText)
+      }
 
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
   override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
@@ -72,12 +73,14 @@ case class SnapshotDetailCommand(root: String) extends LeafRunnableCommand {
     AttributeReference("location", org.apache.spark.sql.types.StringType, nullable = false)(),
     AttributeReference("version", IntegerType, nullable = false)(),
     AttributeReference("num_files", org.apache.spark.sql.types.LongType, nullable = false)(),
-    AttributeReference("num_rows", org.apache.spark.sql.types.LongType, nullable = false)(),
+    // null when any manifest entry is stats-less (legacy line-only
+    // commits): the count is unknown, never a negative sum
+    AttributeReference("num_rows", org.apache.spark.sql.types.LongType, nullable = true)(),
     AttributeReference("size_bytes", org.apache.spark.sql.types.LongType, nullable = false)(),
     AttributeReference("meta", org.apache.spark.sql.types.StringType, nullable = false)())
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val (loc, v, nf, nr, bytes, meta) = SnapshotSql.describeDetail(root)
-    Seq(Row(loc, v, nf, nr, bytes, meta))
+    Seq(Row(loc, v, nf, nr.map(Long.box).orNull, bytes, meta))
   }
 }
 

@@ -94,8 +94,40 @@ object SnapshotSql {
   private val WhenInsert =
     """(?is)\s*WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*""".r
 
+  /** Split the WHEN-clause tail at TOP-LEVEL clause boundaries only: a
+    * WHEN inside parens, inside a quoted string, or inside a
+    * CASE ... END expression (SET v = CASE WHEN ... THEN ... END is
+    * everyday merge SQL) must not start a new clause. */
+  private[graft] def splitMergeClauses(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var caseDepth = 0; var quoted = false
+    var start = 0; var i = 0
+    val n = s.length
+    def word(j: Int, w: String): Boolean =
+      j + w.length <= n && s.regionMatches(true, j, w, 0, w.length) &&
+        (j == 0 || { val c = s.charAt(j - 1); !Character.isLetterOrDigit(c) && c != '_' }) &&
+        (j + w.length == n || { val c = s.charAt(j + w.length)
+          !Character.isLetterOrDigit(c) && c != '_' })
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\'') { quoted = !quoted; i += 1 }
+      else if (quoted) i += 1
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (word(i, "case")) { caseDepth += 1; i += 4 }
+      else if (caseDepth > 0 && word(i, "end")) { caseDepth -= 1; i += 3 }
+      else if (depth == 0 && caseDepth == 0 && word(i, "when") &&
+          s.substring(start, i).trim.nonEmpty) {
+        out += s.substring(start, i); start = i; i += 4
+      }
+      else i += 1
+    }
+    out += s.substring(start)
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
   private[graft] def parseMergeClauses(txt: String): Seq[SnapshotTable.MergeWhen] =
-    txt.split("(?i)(?=WHEN\\s)").toSeq.filter(_.trim.nonEmpty).map {
+    splitMergeClauses(txt).map {
       case WhenUpdate(cond, sets) =>
         SnapshotTable.WhenMatchedUpdate(Option(cond), parseSets(sets))
       case WhenDelete(cond) => SnapshotTable.WhenMatchedDelete(Option(cond))
@@ -150,7 +182,7 @@ object SnapshotSql {
     * shape): location, version, file/row counts, total data bytes, and
     * the carried metadata — all from the manifest plus one
     * `Files.size` per entry, zero data-file IO. */
-  def describeDetail(root: String): (String, Int, Long, Long, Long, String) = {
+  def describeDetail(root: String): (String, Int, Long, Option[Long], Long, String) = {
     val v = SnapshotTable.currentVersion(root)
     val entries = if (v == 0) Nil else SnapshotTable.manifestEntries(root, v)
     val bytes = entries.map { e =>
@@ -159,7 +191,11 @@ object SnapshotSql {
     }.sum
     val meta = if (v == 0) "" else SnapshotTable.manifestMeta(root, v).toSeq.sorted
       .map { case (k, x) => s"$k=${x.take(60)}" }.mkString(",")
-    (root, v, entries.size.toLong, entries.map(_.rows).sum, bytes, meta)
+    // a stats-less legacy entry carries rows = -1: the count is then
+    // UNKNOWN (null), not a negative sum — same guard the COUNT(*)
+    // manifest fast path applies
+    val rows = if (entries.forall(_.rows >= 0)) Some(entries.map(_.rows).sum) else None
+    (root, v, entries.size.toLong, rows, bytes, meta)
   }
 
   /** One row per still-present version (vacuumed manifests are skipped):

@@ -372,5 +372,71 @@ class SnapshotSqlSpec extends AnyFunSuite {
       """MERGE INTO nosuch.tbl AS t USING am_miss AS s ON t.k = s.k
         WHEN MATCHED THEN DELETE""").collect())
     assert(!e3.getMessage.contains("graft-snapshot SQL"), e3.getMessage)
+    // SET may not re-key a row through the ON column: the keyed merge
+    // would delete whatever row holds the NEW key — refused loudly
+    val e4 = intercept[Exception](spark.sql(
+      s"""MERGE INTO '$root' AS t USING am_miss AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET k = 99""").collect())
+    assert(e4.getMessage.contains("may not assign the ON column"), e4.getMessage)
+    // duplicate keys in the TARGET are refused when a matched clause
+    // exists (the keyed merge would collapse them) — but an insert-only
+    // merge over the same table is fine (no matched row is touched)
+    import graft.operators.{SnapshotTable => STx}
+    val dupRoot = Engine.tmpDir("graft_sql_ansimerge_dup")
+    Engine.listDir(Paths.get(dupRoot)).foreach(Engine.deleteRecursively)
+    STx.commitEntries(dupRoot, 0,
+      STx.writeDataFiles(Seq((1L, 1.0), (1L, 2.0), (3L, 3.0)).toDF("k", "v")
+        .coalesce(1), dupRoot, "a").map(STx.footerEntry(dupRoot, _, "k")),
+      shardSize = 8, Map("statsCol" -> "k"))
+    Seq((1L, 9.0, 0.0)).toDF("k", "delta", "v").createOrReplaceTempView("am_one")
+    val e5 = intercept[Exception](spark.sql(
+      s"""MERGE INTO '$dupRoot' AS t USING am_one AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.delta""").collect())
+    assert(e5.getMessage.contains("duplicated in the TARGET"), e5.getMessage)
+    Seq((7L, 0.0, 7.5)).toDF("k", "delta", "v").createOrReplaceTempView("am_ins")
+    spark.sql(s"""MERGE INTO '$dupRoot' AS t USING am_ins AS s ON t.k = s.k
+      WHEN NOT MATCHED THEN INSERT *""").collect()
+    assert(ST.read(spark, dupRoot).count() == 4,
+      "insert-only merge over a dup-key target must succeed")
+  }
+
+  test("ANSI MERGE SET expressions may contain CASE WHEN without breaking clause parsing") {
+    import spark.implicits._
+    val root = Engine.tmpDir("graft_sql_ansimerge_case")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    ST.commitEntries(root, 0,
+      ST.writeDataFiles((1L to 4L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1), root, "a").map(ST.footerEntry(root, _, "k")),
+      shardSize = 8, Map("statsCol" -> "k"))
+    Seq((1L, 5.0), (2L, -5.0)).toDF("k", "delta").createOrReplaceTempView("am_case")
+    spark.sql(s"""MERGE INTO '$root' AS t USING am_case AS s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = CASE WHEN s.delta > 0 THEN t.v + s.delta ELSE 0.0 END""")
+      .collect()
+    val got = ST.read(spark, root).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(1L) == 6.0 && got(2L) == 0.0 && got(3L) == 3.0, got.toString)
+  }
+
+  test("RESTORE across an OPTIMIZE that re-clustered takes the TARGET version's statsCol") {
+    import spark.implicits._
+    val root = Engine.tmpDir("graft_sql_restore_stats")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    // v1: two day-clustered files, statsCol=ep_day
+    val entries = (ST.writeDataFiles(Seq((1L, 10L), (2L, 10L)).toDF("uid", "ep_day")
+        .coalesce(1), root, "d1") ++
+      ST.writeDataFiles(Seq((3L, 20L), (4L, 20L)).toDF("uid", "ep_day")
+        .coalesce(1), root, "d2")).map(ST.footerEntry(root, _, "ep_day"))
+    ST.commitEntries(root, 0, entries, shardSize = 8, Map("statsCol" -> "ep_day"))
+    // v2: re-clustered on uid (statsCol flips)
+    ST.optimizeClustered(spark, root, "uid", targetFiles = 2)
+    assert(ST.manifestMeta(root, 2)("statsCol") == "uid")
+    // v3: restore to v1 — the entries' [lo,hi] are ep_day bounds, so
+    // the restored commit must say statsCol=ep_day; pairing them with
+    // uid would silently mis-prune
+    ST.restore(root, 1)
+    assert(ST.manifestMeta(root, 3)("statsCol") == "ep_day",
+      s"restore carried the wrong statsCol: ${ST.manifestMeta(root, 3)}")
+    // and a stats-pruned read on ep_day is correct after the restore
+    val pruned = ST.readPruned(spark, root, "ep_day", 20L, 20L)
+    assert(pruned.filter(col("ep_day") === 20L).count() == 2)
   }
 }
