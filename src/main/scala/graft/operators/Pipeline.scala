@@ -76,10 +76,12 @@ object Pipeline {
 
   /** Merge `changes` (op=u upserts keyed by user_id) into `root` exactly
     * once per cycle: the cycle id is committed atomically with the merge
-    * and a replayed cycle is skipped before any compute. Single-driver
-    * discipline like the streaming sinks'; a racing duplicate driver
-    * degrades to a harmless double-apply of identical rows (merge itself
-    * is CAS-safe). */
+    * and a replayed cycle is skipped before any compute. A racing
+    * duplicate driver running the SAME cycle loses the commit CAS; the
+    * loser re-reads the table, sees its cycle id already applied, and
+    * reports a replay no-op — a CAS loss to anything ELSE re-raises so
+    * the caller retries against the new state (never a silent lost
+    * update, never a crash on the benign duplicate-driver race). */
   private def mergeOnce(s: SparkSession, root: String, changes: DataFrame,
       cycleId: Long): Boolean = {
     val ST = SnapshotTable
@@ -88,19 +90,28 @@ object Pipeline {
       if (v == 0) -1L
       else ST.manifestMeta(root, v).get(LastBatchKey).map(_.toLong).getOrElse(-1L)
     if (cycleId <= last) return false
-    if (v == 0) {
-      // first cycle creates the table (merge needs a base version);
-      // statsCol makes every later merge read key-prunable
-      val tag = f"c$cycleId%05d_${java.util.UUID.randomUUID().toString.take(8)}"
-      val data = changes.filter(col("op") =!= "d").drop("op")
-      val entries = ST.writeDataFiles(data, root, tag)
-        .map(ST.footerEntry(root, _, "user_id"))
-      ST.commitEntries(root, 0, entries, shardSize = 4,
-        Map("statsCol" -> "user_id", LastBatchKey -> cycleId.toString))
-    } else
-      ST.merge(s, root, "user_id", "user_id", changes,
-        extraMeta = Map(LastBatchKey -> cycleId.toString))
-    true
+    try {
+      if (v == 0) {
+        // first cycle creates the table (merge needs a base version);
+        // statsCol makes every later merge read key-prunable
+        val tag = f"c$cycleId%05d_${java.util.UUID.randomUUID().toString.take(8)}"
+        val data = changes.filter(col("op") =!= "d").drop("op")
+        val entries = ST.writeDataFiles(data, root, tag)
+          .map(ST.footerEntry(root, _, "user_id"))
+        ST.commitEntries(root, 0, entries, shardSize = 4,
+          Map("statsCol" -> "user_id", LastBatchKey -> cycleId.toString))
+      } else
+        ST.merge(s, root, "user_id", "user_id", changes,
+          extraMeta = Map(LastBatchKey -> cycleId.toString))
+      true
+    } catch {
+      case e: java.nio.file.FileAlreadyExistsException =>
+        val nv = ST.currentVersion(root)
+        val applied = nv > 0 &&
+          ST.manifestMeta(root, nv).get(LastBatchKey).exists(_.toLong >= cycleId)
+        if (!applied) throw e
+        false // the racing duplicate driver already applied this cycle
+    }
   }
 
   /** Run ONE daily cycle end-to-end. Returns the stages that actually

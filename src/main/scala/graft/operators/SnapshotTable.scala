@@ -280,8 +280,22 @@ object SnapshotTable {
     * union schema footer-reads every file at planning time, so an
     * unevolved table (the overwhelmingly common case at 100 TB) keeps
     * its single-footer planning cost. */
-  def readAt(s: SparkSession, root: String, v: Int): DataFrame =
-    evolvedReader(s, root, v).parquet(manifest(root, v): _*)
+  def readAt(s: SparkSession, root: String, v: Int): DataFrame = {
+    val rels = manifest(root, v)
+    if (rels.nonEmpty) evolvedReader(s, root, v).parquet(rels: _*)
+    else {
+      // a ZERO-ENTRY version (a delete that matched every row) is a
+      // valid table state, not a brick: the deleting commit captured
+      // the schema (`schemaJson`), so readers plan an empty frame with
+      // the right columns instead of failing schema inference
+      val js = manifestMeta(root, v).getOrElse("schemaJson",
+        throw new IllegalStateException(s"snapshot read on $root: version $v has no " +
+          "file entries and no schema capture — unreadable empty state"))
+      val schema = org.apache.spark.sql.types.DataType.fromJson(js)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+  }
 
   /** Reader honoring the evolution markers, cheapest first:
     * `schemaJson` — the union schema CAPTURED AT THE WIDENING COMMIT
@@ -513,7 +527,7 @@ object SnapshotTable {
   private[graft] def carriedMeta(root: String, v: Int): Map[String, String] =
     if (v == 0) Map.empty
     else manifestMeta(root, v) -- Seq("optimize", "merge", "update", "delete", "alter",
-      "restore", "clone")
+      "restore", "clone", "upsert_scan")
 
   /** Bounded optimistic-commit policy for every CAS retry loop. A
     * committer that dies between its createFile claim and the content
@@ -948,10 +962,16 @@ object SnapshotTable {
     * delete" and "they serialize automatically". */
   private[graft] def commitRewrite(root: String, baseVersion: Int,
       touchedRels: Set[String], newEntries: Seq[FileEntry], shardSize: Int,
-      opTag: String, extraMeta: Map[String, String] = Map.empty): Int = {
+      opTag: String, extraMeta: Map[String, String] = Map.empty,
+      emptySchemaJson: Option[String] = None): Int = {
     var v = baseVersion
-    var attempts = 0
+    // the SHARED bounded-retry policy (reclaims a dead committer's
+    // zero-byte claim, backs off, fails loudly): a hand-rolled counter
+    // here would spin its attempts out in milliseconds against a corpse
+    // claim and wedge every UPDATE/DELETE while appends self-heal
+    val retry = new CommitRetry(root)
     while (true) {
+      retry.observed(v)
       val carried = carriedMeta(root, v)
       val entries = manifestEntries(root, v)
       val missing = touchedRels -- entries.map(_.rel).toSet
@@ -961,14 +981,19 @@ object SnapshotTable {
           "committer after this operation read them; re-run against the current version")
       val untouched = entries.filterNot(e => touchedRels(e.rel))
       // full rewrite leaves uniform files — drop evolution markers,
-      // same contract as the merge/optimize full-rewrite paths
-      val baseMeta = if (untouched.isEmpty) carried - "schema" - "schemaJson" else carried
+      // same contract as the merge/optimize full-rewrite paths. If the
+      // rewrite leaves ZERO entries (a delete that matched every row),
+      // capture the table's schema instead: an empty version must stay
+      // readable/plannable (readAt and the DSv2 planner consume it)
+      val baseMeta =
+        if (untouched.isEmpty) (carried - "schema" - "schemaJson") ++
+          (if (newEntries.isEmpty) emptySchemaJson.map("schemaJson" -> _) else None)
+        else carried
       try return commitEntries(root, v, untouched ++ newEntries, shardSize,
         baseMeta ++ extraMeta + (opTag -> s"cow:${touchedRels.size}of${entries.size}"))
       catch {
         case e: java.nio.file.FileAlreadyExistsException =>
-          attempts += 1
-          if (attempts >= 20) throw e
+          retry.lost(e)
           v = currentVersion(root)
       }
     }
@@ -1006,14 +1031,20 @@ object SnapshotTable {
   private[graft] def updateTouchedScan(full: DataFrame, wherePred: String): DataFrame =
     full.filter(expr(wherePred)).select(input_file_name().as("f")).distinct()
 
-  /** Does `input_file_name`'s URI set contain this entry's file? The
-    * entry path is normalized before matching because a SHALLOW CLONE's
-    * entries are `../`-relative into the source table — the raw
+  /** The manifest entries named by `input_file_name`'s URI set. Entry
+    * paths are normalized before matching because a SHALLOW CLONE's
+    * entries are `../`-relative into the source table — a raw
     * `endsWith(rel)` test would silently miss them and turn a clone's
-    * DML into a no-op. */
-  private def entryTouched(root: String, touchedPaths: Set[String])(e: FileEntry): Boolean = {
-    val abs = Paths.get(root, e.rel).toAbsolutePath.normalize.toString
-    touchedPaths.exists(_.endsWith(abs))
+    * DML into a no-op. Each side is canonicalized ONCE and probed via
+    * a Set — O(entries + touched), not the O(entries × touched) string
+    * scan a million-entry manifest cannot afford on the driver. */
+  private def touchedEntries(root: String, entries: Seq[FileEntry],
+      touchedPaths: Set[String]): Seq[FileEntry] = {
+    val paths: Set[String] = touchedPaths.map { p =>
+      try new java.net.URI(p).getPath catch { case _: Exception => p }
+    }
+    entries.filter(e =>
+      paths.contains(Paths.get(root, e.rel).toAbsolutePath.normalize.toString))
   }
 
   /** Rewrite parallelism for a copy-on-write DML commit: at LEAST one
@@ -1033,6 +1064,7 @@ object SnapshotTable {
       wherePred: String, extraMeta: Map[String, String] = Map.empty,
       shardSize: Int = 4): Int = {
     val v = currentVersion(root)
+    if (v == 0) return 0 // empty table: zero rows match, no-op (like delete)
     val carried = carriedMeta(root, v)
     val entries = manifestEntries(root, v)
     val full = readAt(s, root, v)
@@ -1045,7 +1077,7 @@ object SnapshotTable {
     val cond = expr(wherePred)
     val touchedPaths = updateTouchedScan(full, wherePred)
       .collect().map(_.getString(0)).toSet
-    val touched = entries.filter(entryTouched(root, touchedPaths))
+    val touched = touchedEntries(root, entries, touchedPaths)
     if (touched.isEmpty) return v
     val touchedSet = touched.map(_.rel).toSet
     val statsCol = carried.getOrElse("statsCol", full.columns.head)
@@ -1063,7 +1095,8 @@ object SnapshotTable {
       updated.repartitionByRange(rewriteParts(s, touched), col(statsCol)),
       root, s"u_$tag")
     val newEntries = rels.map(footerEntry(root, _, statsCol))
-    commitRewrite(root, v, touchedSet, newEntries, shardSize, "update", extraMeta)
+    commitRewrite(root, v, touchedSet, newEntries, shardSize, "update", extraMeta,
+      emptySchemaJson = Some(allNullableJson(full.schema)))
   }
 
   /** SQL DELETE, copy-on-write — the path-addressed spelling of
@@ -1093,7 +1126,7 @@ object SnapshotTable {
     val cond = expr(wherePred)
     val touchedPaths = updateTouchedScan(full, wherePred)
       .collect().map(_.getString(0)).toSet
-    val touched = entries.filter(entryTouched(root, touchedPaths))
+    val touched = touchedEntries(root, entries, touchedPaths)
     if (touched.isEmpty) return v
     val touchedSet = touched.map(_.rel).toSet
     val statsCol = carried.getOrElse("statsCol", full.columns.head)
@@ -1104,9 +1137,21 @@ object SnapshotTable {
     val rels = writeDataFiles(
       kept.repartitionByRange(rewriteParts(s, touched), col(statsCol)),
       root, s"d_$tag")
-    val newEntries = rels.map(footerEntry(root, _, statsCol))
-    commitRewrite(root, v, touchedSet, newEntries, shardSize, "delete", extraMeta)
+    // a rewrite partition with zero survivors sometimes still produces
+    // a 0-row part file — don't manifest it (a delete-all then commits
+    // ZERO entries deterministically, the readable-empty-table state;
+    // the orphan file is vacuum garbage, never a torn table)
+    val newEntries = rels.map(footerEntry(root, _, statsCol)).filter(_.rows > 0)
+    commitRewrite(root, v, touchedSet, newEntries, shardSize, "delete", extraMeta,
+      emptySchemaJson = Some(allNullableJson(full.schema)))
   }
+
+  /** The schema capture an empty (zero-entry) version carries: all
+    * fields nullable, the same discipline every `schemaJson` capture
+    * follows. */
+  private[graft] def allNullableJson(schema: org.apache.spark.sql.types.StructType): String =
+    org.apache.spark.sql.types.StructType(
+      schema.fields.map(_.copy(nullable = true))).json
 
   /** x15's query-range bounds (epoch days; data dates are fixed across
     * SFs — the events table spans 19723..19752). The range covers the

@@ -112,8 +112,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val cur = SnapshotTable.currentVersion(root)
     require(v >= 1 && v <= cur,
       s"graft catalog: $root has versions 1..$cur, no version $v")
-    val schema = SnapshotSourceUtil.sparkSchema(
+    // a vacuumed version passes the range check but its manifest is
+    // gone — surface the same clean error TIMESTAMP AS OF produces,
+    // not a raw filesystem exception mid-planning
+    val schema = try SnapshotSourceUtil.sparkSchema(
       SnapshotSourceUtil.tableMessageType(root, v))
+    catch {
+      case _: java.nio.file.NoSuchFileException => throw new IllegalArgumentException(
+        s"graft catalog: version $v of $root was vacuumed away — " +
+          "its snapshot is no longer addressable")
+    }
     new SnapshotDsv2Table(root, schema, CaseInsensitiveStringMap.empty(), Some(v))
   }
 
@@ -167,7 +175,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
       org.apache.spark.sql.types.DoubleType, org.apache.spark.sql.types.FloatType,
       org.apache.spark.sql.types.BooleanType, org.apache.spark.sql.types.StringType)
-    changes.foreach {
+    // validate EVERY change before committing ANY: an ALTER is one
+    // statement — applying column `a` and then refusing column `b`
+    // would leave a half-applied, unretryable widening
+    val adds: Seq[(String, org.apache.spark.sql.types.DataType)] = changes.map {
       case add: TableChange.AddColumn =>
         require(add.fieldNames().length == 1,
           "graft catalog: ADD COLUMN supports top-level columns only")
@@ -175,47 +186,59 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "graft catalog: ADD COLUMN position is not supported — new columns append at the end")
         require(add.isNullable,
           "graft catalog: an added column must be nullable — existing rows hold null")
-        val name = add.fieldNames()(0)
         require(supported.contains(add.dataType()),
           s"graft catalog: unsupported added-column type ${add.dataType()}")
-        val v0 = SnapshotTable.currentVersion(root)
-        if (v0 == 0) {
-          // never-written table: the declared schema file IS the schema
-          val cur = DataType.fromJson(
-            new String(Files.readAllBytes(schemaFile(d)))).asInstanceOf[StructType]
-          require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
-            s"graft catalog: column $name already exists")
-          Files.write(schemaFile(d),
-            cur.add(name, add.dataType(), nullable = true).json.getBytes("UTF-8"))
-        } else {
-          // CAS-retried metadata commit: same file list, widened capture
-          var committed = false
-          while (!committed) {
-            val v = SnapshotTable.currentVersion(root)
-            val cur = SnapshotSourceUtil.sparkSchema(
-              SnapshotSourceUtil.tableMessageType(root, v))
-            require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
-              s"graft catalog: column $name already exists")
-            val union = StructType(
-              (cur.fields.map(_.copy(nullable = true)) :+
-                org.apache.spark.sql.types.StructField(name, add.dataType(), nullable = true)).toSeq)
-            val priorAdds = SnapshotTable.manifestMeta(root, v).get("schema")
-              .map(_.stripPrefix("evolved:+") + ",").getOrElse("")
-            try {
-              SnapshotTable.commitEntries(root, v, SnapshotTable.manifestEntries(root, v),
-                shardSize = 16, SnapshotTable.carriedMeta(root, v) +
-                  ("schema" -> s"evolved:+$priorAdds$name") +
-                  ("schemaJson" -> union.json) +
-                  ("alter" -> s"addcol:$name"))
-              committed = true
-            } catch {
-              case _: java.nio.file.FileAlreadyExistsException => // racer won: re-read, retry
-            }
-          }
-        }
+        add.fieldNames()(0) -> add.dataType()
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other — only ADD COLUMN " +
           "(add-column evolution; drops/renames/retypes would need a table rewrite)")
+    }
+    require(adds.map(_._1.toLowerCase).distinct.size == adds.size,
+      "graft catalog: duplicate column name in ADD COLUMNS")
+    if (adds.nonEmpty) {
+      if (SnapshotTable.currentVersion(root) == 0) {
+        // never-written table: the declared schema file IS the schema
+        val cur = DataType.fromJson(
+          new String(Files.readAllBytes(schemaFile(d)))).asInstanceOf[StructType]
+        adds.foreach { case (name, _) =>
+          require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
+            s"graft catalog: column $name already exists") }
+        Files.write(schemaFile(d), adds.foldLeft(cur) { case (sch, (name, dt)) =>
+          sch.add(name, dt, nullable = true) }.json.getBytes("UTF-8"))
+      } else {
+        // ONE CAS-retried metadata commit for the whole statement: same
+        // file list, capture widened by every added column. The shared
+        // retry policy reclaims a dead committer's zero-byte claim and
+        // fails loudly instead of busy-spinning forever against it.
+        val retry = new SnapshotTable.CommitRetry(root)
+        var committed = false
+        while (!committed) {
+          val v = SnapshotTable.currentVersion(root)
+          retry.observed(v)
+          val cur = SnapshotSourceUtil.sparkSchema(
+            SnapshotSourceUtil.tableMessageType(root, v))
+          adds.foreach { case (name, _) =>
+            require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
+              s"graft catalog: column $name already exists") }
+          val union = StructType(
+            (cur.fields.map(_.copy(nullable = true)) ++
+              adds.map { case (name, dt) =>
+                org.apache.spark.sql.types.StructField(name, dt, nullable = true) }).toSeq)
+          val priorAdds = SnapshotTable.manifestMeta(root, v).get("schema")
+            .map(_.stripPrefix("evolved:+") + ",").getOrElse("")
+          val names = adds.map(_._1).mkString(",")
+          try {
+            SnapshotTable.commitEntries(root, v, SnapshotTable.manifestEntries(root, v),
+              shardSize = 16, SnapshotTable.carriedMeta(root, v) +
+                ("schema" -> s"evolved:+$priorAdds$names") +
+                ("schemaJson" -> union.json) +
+                ("alter" -> s"addcol:$names"))
+            committed = true
+          } catch {
+            case e: java.nio.file.FileAlreadyExistsException => retry.lost(e)
+          }
+        }
+      }
     }
     loadTable(ident)
   }

@@ -60,11 +60,45 @@ object SnapshotSql {
   private val Detail =
     s"""(?is)\\s*DESCRIBE\\s+DETAIL\\s+($Ref)\\s*""".r
   // standard DML spelling, no graft-specific clauses: the one verb a
-  // Delta-habituated user types verbatim. Splits at the FIRST top-level
-  // WHERE; assignments split on top-level commas (parens and quotes
-  // respected), so `SET a = f(x, y), b = 'w,z' WHERE ...` parses.
-  private val Update =
-    s"""(?is)\\s*UPDATE\\s+($Ref)\\s+SET\\s+(.+?)\\s+WHERE\\s+(.+?)\\s*""".r
+  // Delta-habituated user types verbatim. The SET/WHERE boundary is
+  // found by [[splitTopKeyword]] (quotes, parens respected — a string
+  // literal or subquery containing ' WHERE ' must not split);
+  // assignments split on top-level commas, so
+  // `SET a = f(x, y), b = 'w WHERE z' WHERE ...` parses.
+  private val UpdateHead =
+    s"""(?is)\\s*UPDATE\\s+($Ref)\\s+SET\\s+(.+?)\\s*""".r
+
+  /** (ref, setsStr, predicate) of an UPDATE statement, or None. */
+  private def updateParts(stmt: String): Option[(String, String, String)] =
+    stmt match {
+      case UpdateHead(ref, rest) => splitTopKeyword(rest, "where")
+        .map { case (sets, pred) => (ref, sets, pred) }
+      case _ => None
+    }
+
+  /** Split `s` at the FIRST top-level occurrence of keyword `kw`
+    * (case-insensitive, word-bounded, outside quotes and parens);
+    * returns (before, after) without the keyword. */
+  private def splitTopKeyword(s: String, kw: String): Option[(String, String)] = {
+    var depth = 0; var quoted = false; var i = 0
+    val n = s.length
+    def word(j: Int): Boolean =
+      j + kw.length <= n && s.regionMatches(true, j, kw, 0, kw.length) &&
+        (j == 0 || { val c = s.charAt(j - 1); !Character.isLetterOrDigit(c) && c != '_' }) &&
+        (j + kw.length == n || { val c = s.charAt(j + kw.length)
+          !Character.isLetterOrDigit(c) && c != '_' })
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '\'') { quoted = !quoted; i += 1 }
+      else if (quoted) i += 1
+      else if (c == '(') { depth += 1; i += 1 }
+      else if (c == ')') { depth -= 1; i += 1 }
+      else if (depth == 0 && word(i))
+        return Some((s.substring(0, i).trim, s.substring(i + kw.length).trim))
+      else i += 1
+    }
+    None
+  }
   // standard DML spelling again: path-addressed row-level delete. The
   // NAME spelling (DELETE FROM catalog.tbl) is deliberately NOT claimed
   // — Spark's own analyzer runs it through the connector's DSv2
@@ -233,11 +267,9 @@ object SnapshotSql {
     * identifier target only when it resolves through a registered graft
     * catalog — anything else falls through to Spark's parser so a
     * Delta/Iceberg UPDATE in the same session is untouched. */
-  private[graft] def ownsUpdate(s: SparkSession, stmt: String): Boolean = stmt match {
-    case Update(ref, _, _) => ref.startsWith("'") ||
-      scala.util.Try(resolveRef(s, ref)).isSuccess
-    case _ => false
-  }
+  private[graft] def ownsUpdate(s: SparkSession, stmt: String): Boolean =
+    updateParts(stmt).exists { case (ref, _, _) => ref.startsWith("'") ||
+      scala.util.Try(resolveRef(s, ref)).isSuccess }
 
   /** DELETE routing — only the quoted-path spelling is claimed (see
     * [[Delete]]): a name-addressed DELETE is real Spark DSv2 DML and
@@ -333,7 +365,8 @@ object SnapshotSql {
             s"(got $a1.$c1 = $a2.$c2)")
       SnapshotTable.ansiMerge(s, resolveRef(s, ref), tAlias, srcView, sAlias,
         tCol, sCol, parseMergeClauses(whenTxt))
-    case Update(ref, setsStr, pred) =>
+    case stmt0 if updateParts(stmt0).isDefined =>
+      val (ref, setsStr, pred) = updateParts(stmt0).get
       SnapshotTable.update(s, resolveRef(s, ref), parseSets(setsStr), pred)
     case Delete(ref, pred) =>
       SnapshotTable.delete(s, resolveRef(s, ref), pred)

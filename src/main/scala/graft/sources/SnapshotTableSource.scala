@@ -338,13 +338,16 @@ private[sources] class SnapshotDsv2Table(root: String, schema: StructType,
       .filter(not(coalesce(cond, lit(false))))
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val rels = SnapshotTable.writeDataFiles(kept, root, s"del_$tag")
+    // zero-row part files are not manifested (see SnapshotTable.delete)
     val fresh = rels.map(SnapshotTable.footerEntry(root, _, statsCol.getOrElse("")))
+      .filter(_.rows > 0)
     // commitRewrite carries untouched files from whatever version the
     // commit lands on (so a racing append survives), drops evolution
     // markers on a full rewrite, and aborts loudly if a concurrent
     // committer rewrote the candidate files this delete read
     SnapshotTable.commitRewrite(root, v, cands.map(_.rel).toSet, fresh,
-      shardSize = 16, "delete")
+      shardSize = 16, "delete",
+      emptySchemaJson = Some(SnapshotTable.allNullableJson(schema0)))
   }
 }
 

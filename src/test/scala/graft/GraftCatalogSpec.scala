@@ -468,6 +468,28 @@ class GraftCatalogSpec extends AnyFunSuite {
     Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
       .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSet
 
+  test("ALTER TABLE ADD COLUMNS applies multiple adds in ONE atomic commit; bad lists refuse whole") {
+    warehouse
+    val ST = graft.operators.SnapshotTable
+    val root = s"$warehouse/mac"
+    spark.sql("CREATE TABLE gcat.mac (k BIGINT)")
+    spark.sql("INSERT INTO gcat.mac VALUES (1), (2)") // v1
+    spark.sql("ALTER TABLE gcat.mac ADD COLUMNS (a DOUBLE, b STRING)") // ONE commit
+    assert(ST.currentVersion(root) == 2, "multi-add must be one metadata commit")
+    assert(spark.sql("SELECT * FROM gcat.mac").columns.toSeq == Seq("k", "a", "b"))
+    assert(ST.manifestMeta(root, 2)("alter") == "addcol:a,b")
+    // a list containing an unsupported type commits NOTHING — the
+    // statement is atomic, so it is cleanly retryable after the fix
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE gcat.mac ADD COLUMNS (c DOUBLE, d TIMESTAMP)"))
+    assert(e.getMessage.contains("unsupported added-column type"), e.getMessage)
+    assert(ST.currentVersion(root) == 2, "half-applied ALTER detected")
+    assert(!spark.sql("SELECT * FROM gcat.mac").columns.contains("c"))
+    spark.sql("ALTER TABLE gcat.mac ADD COLUMNS (c DOUBLE, d DOUBLE)") // retry works
+    assert(spark.sql("SELECT * FROM gcat.mac").columns.toSeq ==
+      Seq("k", "a", "b", "c", "d"))
+  }
+
   test("SHALLOW CLONE forks a table with zero data copy; DML diverges the fork only") {
     warehouse
     val ST = graft.operators.SnapshotTable

@@ -416,6 +416,50 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(got(1L) == 6.0 && got(2L) == 0.0 && got(3L) == 3.0, got.toString)
   }
 
+  test("a DELETE matching every row leaves a READABLE empty table, not a brick") {
+    import spark.implicits._
+    val root = Engine.tmpDir("graft_sql_delete_all")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    ST.commitEntries(root, 0,
+      ST.writeDataFiles((1L to 6L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1), root, "a").map(ST.footerEntry(root, _, "k")),
+      shardSize = 8, Map("statsCol" -> "k"))
+    spark.sql(s"DELETE FROM '$root' WHERE k >= 0").collect()
+    assert(ST.manifestEntries(root, 2).isEmpty)
+    // the empty version reads back with its schema (the deleting commit
+    // captured it) through BOTH the Scala API and the DSv2 connector
+    val df = ST.read(spark, root)
+    assert(df.count() == 0 && df.columns.toSeq == Seq("k", "v"))
+    val dsv2 = spark.read.format("graft-snapshot").load(root)
+    assert(dsv2.count() == 0 && dsv2.columns.toSeq == Seq("k", "v"))
+    // the pre-delete snapshot still time-travels
+    assert(ST.readAt(spark, root, 1).count() == 6)
+    // and the table accepts new appends afterwards
+    spark.createDataFrame(Seq((9L, 9.0))).toDF("k", "v")
+      .write.format("graft-snapshot").mode("append").save(root)
+    assert(ST.read(spark, root).count() == 1)
+  }
+
+  test("UPDATE tolerates WHERE inside string literals and no-ops on an empty table") {
+    import spark.implicits._
+    val root = Engine.tmpDir("graft_sql_update_quote")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    ST.commitEntries(root, 0,
+      ST.writeDataFiles(Seq((1L, "x"), (2L, "y")).toDF("k", "note")
+        .coalesce(1), root, "a").map(ST.footerEntry(root, _, "k")),
+      shardSize = 8, Map("statsCol" -> "k"))
+    // the literal contains ' WHERE ' — the split must find the REAL one
+    spark.sql(s"UPDATE '$root' SET note = 'save WHERE possible' WHERE k = 1").collect()
+    val got = ST.read(spark, root).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "save WHERE possible" && got(2L) == "y", got.toString)
+    // UPDATE against a table with no committed version is a no-op, not
+    // a filesystem exception
+    val empty = Engine.tmpDir("graft_sql_update_empty")
+    Engine.listDir(Paths.get(empty)).foreach(Engine.deleteRecursively)
+    java.nio.file.Files.createDirectories(Paths.get(s"$empty/_manifests"))
+    assert(ST.update(spark, empty, Seq("k" -> "1"), "k = 2") == 0)
+  }
+
   test("RESTORE across an OPTIMIZE that re-clustered takes the TARGET version's statsCol") {
     import spark.implicits._
     val root = Engine.tmpDir("graft_sql_restore_stats")
