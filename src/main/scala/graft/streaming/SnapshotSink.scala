@@ -40,6 +40,37 @@ object SnapshotSink {
     * retries or skips; retries are bounded with stale-claim reclaim
     * ([[graft.operators.SnapshotTable.CommitRetry]]) so a dead
     * committer's zero-byte claim can never wedge the stream. */
+  /** Replace the table's WHOLE content with `df` as one exactly-once
+    * versioned commit — the per-batch write of a small streaming-
+    * maintained MATERIALIZED VIEW (st14): the MV is aggregate-sized,
+    * so each replace writes O(MV), never O(source); a replayed batch
+    * is a no-op via the same last-batch watermark appendBatch uses,
+    * and old MV versions stay time-travelable. */
+  private[graft] def replaceBatch(root: String, df: DataFrame, batchId: Long,
+      keyCol: String, shardSize: Int = 4): Boolean = {
+    def lastCommitted(v: Int): Long =
+      if (v == 0) -1L
+      else ST.manifestMeta(root, v).get(LastBatchKey).map(_.toLong).getOrElse(-1L)
+    if (batchId <= lastCommitted(ST.currentVersion(root))) return false
+    val tag = f"mv$batchId%05d_${java.util.UUID.randomUUID().toString.take(8)}"
+    val entries = ST.writeDataFiles(df, root, tag).map(ST.footerEntry(root, _, keyCol))
+    val retry = new ST.CommitRetry(root)
+    while (true) {
+      val v = ST.currentVersion(root)
+      retry.observed(v)
+      if (batchId <= lastCommitted(v)) return false
+      try {
+        ST.commitEntries(root, v, entries, shardSize,
+          ST.carriedMeta(root, v) +
+            ("statsCol" -> keyCol) + (LastBatchKey -> batchId.toString))
+        return true
+      } catch {
+        case e: java.nio.file.FileAlreadyExistsException => retry.lost(e)
+      }
+    }
+    false // unreachable
+  }
+
   private[graft] def appendBatch(root: String, df: DataFrame, batchId: Long,
       keyCol: String = "ep_day", shardSize: Int = 4): Boolean = {
     def lastCommitted(v: Int): Long =

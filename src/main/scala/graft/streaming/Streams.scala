@@ -739,9 +739,76 @@ object Streams {
       .orderBy("ep_day")
   }
 
+  /** st14_stream_cdf_mv — the CDC loop CLOSED: a materialized view in
+    * its own snapshot table, kept fresh by the streaming change feed
+    * ACROSS DML COMMITS on the source. st10's plain pipe dies on the
+    * first rewrite upstream; x23 applies one commit's delta in batch;
+    * this composes both halves — each micro-batch folds ONE commit's
+    * file-grain changes into signed day-grain deltas, full-outer-merges
+    * them onto the current MV, and REPLACES the MV table as one
+    * exactly-once versioned commit (batch id rides the manifest, so a
+    * checkpoint replay no-ops; the MV is aggregate-sized, so each
+    * refresh writes O(MV) and reads O(commit), never O(source)). The
+    * feed spans the merge table's ingest commit AND its copy-on-write
+    * MERGE; the final MV hash-matches x17's merged-content oracle —
+    * stream-maintained MV ≡ recompute, across a rewrite. */
+  /** One micro-batch of the CDF-maintained MV (st14's fold, a named
+    * seam so the restart/replay spec drives it over its own fixture):
+    * fold the batch's change rows into signed day-grain deltas,
+    * full-outer-merge onto the current MV, replace the MV table
+    * exactly-once. */
+  private[graft] def cdfMvBatch(s: SparkSession, mv: String)(
+      df: DataFrame, id: Long): Unit = {
+    val ST = graft.operators.SnapshotTable
+    val delta = df
+      .withColumn("sgn", when(col("_change_type") === "insert", 1L).otherwise(-1L))
+      .groupBy(col("ep_day"))
+      .agg(sum(col("sgn")).as("d_n"),
+        sum(col("value").cast("decimal(18,6)") * col("sgn"))
+          .cast("decimal(18,6)").as("d_v"))
+    val mv0 =
+      if (ST.currentVersion(mv) == 0)
+        delta.select(col("ep_day"), col("d_n").as("n_events"),
+          col("d_v").as("value_dec")).filter(lit(false))
+      else ST.read(s, mv)
+    val merged = mv0.join(delta, Seq("ep_day"), "full_outer")
+      .select(col("ep_day"),
+        (coalesce(col("n_events"), lit(0L)) + coalesce(col("d_n"), lit(0L)))
+          .as("n_events"),
+        (coalesce(col("value_dec"), lit(0).cast("decimal(18,6)"))
+          + coalesce(col("d_v"), lit(0).cast("decimal(18,6)")))
+          .cast("decimal(18,6)").as("value_dec"))
+      .filter(col("n_events") > 0)
+    SnapshotSink.replaceBatch(mv, merged.coalesce(1), id, keyCol = "ep_day")
+    ()
+  }
+
+  def st14StreamCdfMv(s: SparkSession, d: String): DataFrame = {
+    val ST = graft.operators.SnapshotTable
+    val bronze = ST.mergeTable(s, d)
+    val mv = graft.operators.Engine.tmpDir("graft_st14_mv")
+    val cp = graft.operators.Engine.tmpDir("graft_st14_cp")
+    Seq(mv, cp).foreach(p => graft.operators.Engine
+      .listDir(java.nio.file.Paths.get(p))
+      .foreach(graft.operators.Engine.deleteRecursively))
+    val q = s.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true").load(bronze)
+      .writeStream.option("checkpointLocation", cp)
+      .foreachBatch(cdfMvBatch(s, mv) _).start()
+    q.processAllAvailable()
+    drainProgress(q)
+    q.stop()
+    graft.operators.SnapshotTable.read(s, mv)
+      .select(col("ep_day"), col("n_events"),
+        col("value_dec").cast("double").as("value_sum"))
+      .orderBy("ep_day")
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "st12_stream_cdf" ->
       (st12StreamCdf _, Some(graft.operators.SnapshotTable.x17Sql)),
+    "st14_stream_cdf_mv" ->
+      (st14StreamCdfMv _, Some(graft.operators.SnapshotTable.x17Sql)),
     "st10_stream_table_pipe" -> (st10StreamTablePipe _, Some(st9Sql)),
     "st9_stream_table_read" -> (st9StreamTableRead _, Some(st9Sql)),
     "st1_stream_windowed" -> (st1StreamWindowed _, Some(st1Sql)),

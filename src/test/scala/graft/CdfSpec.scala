@@ -212,6 +212,54 @@ class CdfSpec extends AnyFunSuite {
       t.getMessage.contains("path route")), e.getMessage)
   }
 
+  test("a CDF-maintained MV follows LIVE DML across stream restarts; replays no-op") {
+    val bronze = graft.operators.Engine.tmpDir("graft_cdf_mv_bronze")
+    val mv = graft.operators.Engine.tmpDir("graft_cdf_mv_table")
+    val cp = graft.operators.Engine.tmpDir("graft_cdf_mv_cp")
+    Seq(bronze, mv, cp).foreach(p => graft.operators.Engine
+      .listDir(Paths.get(p)).foreach(graft.operators.Engine.deleteRecursively))
+    def commitRows(base: Int, rows: Seq[(Long, Double)], tag: String): Int = {
+      val rels = ST.writeDataFiles(rows.toDF("ep_day", "value").coalesce(1), bronze, tag)
+        .map(ST.footerEntry(bronze, _, "ep_day"))
+      val prior = if (base == 0) Nil else ST.manifestEntries(bronze, base)
+      ST.commitEntries(bronze, base, prior ++ rels, 16,
+        if (base == 0) Map("statsCol" -> "ep_day") else ST.carriedMeta(bronze, base))
+    }
+    commitRows(0, Seq((1L, 10.0), (1L, 20.0), (2L, 30.0)), "a") // v1
+    commitRows(1, Seq((2L, 40.0), (3L, 50.0)), "b") // v2
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("readChangeFeed", "true").load(bronze)
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch(graft.streaming.Streams.cdfMvBatch(spark, mv) _).start()
+      q.processAllAvailable(); q.stop()
+    }
+    def mvState(): Map[Long, (Long, Double)] = ST.read(spark, mv).collect()
+      .map(r => r.getAs[Long]("ep_day") ->
+        (r.getAs[Long]("n_events"), r.getAs[java.math.BigDecimal]("value_dec").doubleValue()))
+      .toMap
+    run()
+    assert(mvState() == Map(1L -> (2L, 30.0), 2L -> (2L, 70.0), 3L -> (1L, 50.0)))
+    assert(ST.currentVersion(mv) == 2, "one MV replace per source commit")
+    // LIVE DML lands while the stream is down: a copy-on-write DELETE
+    // that would KILL the plain append pipe — the restarted CDF stream
+    // folds it and the MV drops the deleted day entirely
+    ST.delete(spark, bronze, "ep_day = 1")
+    run()
+    assert(mvState() == Map(2L -> (2L, 70.0), 3L -> (1L, 50.0)),
+      s"MV did not follow the DML: ${mvState()}")
+    assert(ST.currentVersion(mv) == 3)
+    // a further restart with nothing new is a full no-op: no version
+    run()
+    assert(ST.currentVersion(mv) == 3, "replay minted an MV version")
+    // and the maintained MV ≡ recompute from the source's final state
+    val recomputed = ST.read(spark, bronze).groupBy("ep_day")
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(18,6)")).as("s"))
+      .collect().map(r => r.getAs[Long]("ep_day") ->
+        (r.getAs[Long]("n"), r.getAs[java.math.BigDecimal]("s").doubleValue())).toMap
+    assert(mvState() == recomputed)
+  }
+
   test("the feed reads mixed widths: a delete of a pre-evolution narrow file null-fills") {
     val root = graft.operators.Engine.tmpDir("graft_cdf_evolve")
     graft.operators.Engine.listDir(Paths.get(root))
