@@ -218,6 +218,11 @@ object ScaleProbe {
     // late-r12: the outer stream-stream join — eviction must hold at
     // replica scale exactly like st7, with the flush sentinel draining
     // every real state row before the query stops
+    // late-r12: the CDF-maintained MV — per-commit refresh must read
+    // the commit's changed files and write the aggregate-sized MV,
+    // never the source (wall tracks the diffed volume; MV row count is
+    // day-cardinality-constant)
+    time("st14_cdf_mv")(streaming.Streams.st14StreamCdfMv(spark, work).count())
     time("st13_outer_join_state") {
       val buf = scala.collection.mutable.ArrayBuffer
         .empty[org.apache.spark.sql.streaming.StreamingQueryProgress]
