@@ -927,7 +927,53 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** t18's shard fan-out (16 locally; a production export raises it
+    * with the corpus — the assignment stays a pure function). */
+  private[graft] val T18Shards = 16L
+
+  /** t18_shard_export — the training-data pipeline's LAST MILE: the
+    * corpus dealt into N size-balanced shards by a DETERMINISTIC
+    * pseudo-shuffle (Knuth multiplicative hash of doc_id, the
+    * c18/t16 discipline — every run, engine, and replay agrees; no RNG
+    * state rides the job), physically WRITTEN one parquet directory
+    * per shard (`partitionBy` — the layout a training loader consumes
+    * shard-by-shard), and audited FROM THE WRITTEN FILES: the audit
+    * re-reads the export, so the gate proves the round trip, not just
+    * the assignment. Hash-sharding is the 100 TB answer to "global
+    * shuffle": no total order, no skewed key (balance is
+    * hash-uniform, spec-asserted), one wide write at the cluster's
+    * parallelism — a sort-based shuffle would pay a full range
+    * exchange for an order nobody needs. */
+  def t18ShardExport(s: SparkSession, d: String): DataFrame = {
+    val out = Engine.tmpDir("graft_t18_shards")
+    Engine.listDir(java.nio.file.Paths.get(out)).foreach(Engine.deleteRecursively)
+    val shard = pmod(pmod(col("doc_id"), lit(100000000L)) * lit(2654435761L),
+      lit(T18Shards))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        wsTokens(col("text")).as("n_tokens"), shard.as("shard_id"))
+      .write.mode("overwrite").partitionBy("shard_id").parquet(out)
+    s.read.parquet(out)
+      .withColumn("shard_id", col("shard_id").cast("long"))
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("token_sum"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy("shard_id")
+  }
+
+  val t18Sql: String =
+    s"""WITH e AS (SELECT doc_id, source,
+      |  CAST(len(list_filter(string_split_regex(text, '$WsRe'), x -> x <> '')) AS BIGINT) AS n_tokens,
+      |  ((((doc_id % 100000000) * 2654435761) % $T18Shards) + $T18Shards) % $T18Shards AS shard_id
+      |  FROM documents)
+      |SELECT shard_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS token_sum,
+      |  COUNT(DISTINCT source) AS n_sources
+      |FROM e GROUP BY shard_id ORDER BY shard_id""".stripMargin
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "t18_shard_export" -> (t18ShardExport _, Some(t18Sql)),
     "t17_bpe_tokens" -> (t17BpeTokens _, None),
     "t15_seq_packing" -> (t15SeqPacking _, Some(t15Sql)),
     "t16_mixture_sample" -> (t16MixtureSample _, Some(t16Sql)),

@@ -186,4 +186,26 @@ class PackingMixtureSpec extends AnyFunSuite {
     assert(got(("b", "a")) == ((1L, 0.5)), s"b->a: ${got.get(("b", "a"))}")
     assert(got.size == 4)
   }
+
+  test("t18: every doc lands in exactly one shard, deterministically, hash-balanced") {
+    val T = graft.operators.TextAnalysis
+    val audit = T.t18ShardExport(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val nDocs = docs.count()
+    // conservation: the written shards hold the whole corpus, token-exact
+    assert(audit.values.map(_._1).sum == nDocs, s"doc conservation: $audit")
+    val wsTotal = T.t3Tokens(spark, sf).agg(sum("ws_tokens")).head().getLong(0)
+    assert(audit.values.map(_._2).sum == wsTotal, "token conservation across shards")
+    // every shard materialized; hash balance keeps sizes within a small
+    // multiple at ~31 docs/shard expected occupancy
+    assert(audit.keySet == (0L until T.T18Shards).toSet, s"missing shards: ${audit.keySet}")
+    val sizes = audit.values.map(_._1)
+    assert(sizes.min > 0 && sizes.max <= 5 * sizes.min,
+      s"shard skew: min=${sizes.min} max=${sizes.max}")
+    // pure-function assignment: a second export reproduces the audit
+    val again = T.t18ShardExport(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(again == audit, "shard assignment must be deterministic")
+  }
 }
