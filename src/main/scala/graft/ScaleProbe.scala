@@ -223,6 +223,9 @@ object ScaleProbe {
     // never the source (wall tracks the diffed volume; MV row count is
     // day-cardinality-constant)
     time("st14_cdf_mv")(streaming.Streams.st14StreamCdfMv(spark, work).count())
+    // late-r12: the shard export — one hash-keyed wide write, so wall
+    // must track corpus bytes linearly (rows = shard count, constant)
+    time("t18_shard_export")(operators.TextAnalysis.t18ShardExport(spark, work).count())
     time("st13_outer_join_state") {
       val buf = scala.collection.mutable.ArrayBuffer
         .empty[org.apache.spark.sql.streaming.StreamingQueryProgress]
