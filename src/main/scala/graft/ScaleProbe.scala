@@ -215,9 +215,6 @@ object ScaleProbe {
         s"${ST.manifestMeta(root, ST.currentVersion(root)).getOrElse("merge", "?")}")
       n
     }
-    // late-r12: the outer stream-stream join — eviction must hold at
-    // replica scale exactly like st7, with the flush sentinel draining
-    // every real state row before the query stops
     // late-r12: the CDF-maintained MV — per-commit refresh must read
     // the commit's changed files and write the aggregate-sized MV,
     // never the source (wall tracks the diffed volume; MV row count is
@@ -226,6 +223,9 @@ object ScaleProbe {
     // late-r12: the shard export — one hash-keyed wide write, so wall
     // must track corpus bytes linearly (rows = shard count, constant)
     time("t18_shard_export")(operators.TextAnalysis.t18ShardExport(spark, work).count())
+    // late-r12: the outer stream-stream join — eviction must hold at
+    // replica scale exactly like st7, with the flush sentinel draining
+    // every real state row before the query stops
     time("st13_outer_join_state") {
       val buf = scala.collection.mutable.ArrayBuffer
         .empty[org.apache.spark.sql.streaming.StreamingQueryProgress]

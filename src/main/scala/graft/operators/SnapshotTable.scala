@@ -1041,10 +1041,29 @@ object SnapshotTable {
   private def touchedEntries(root: String, entries: Seq[FileEntry],
       touchedPaths: Set[String]): Seq[FileEntry] = {
     val paths: Set[String] = touchedPaths.map { p =>
-      try new java.net.URI(p).getPath catch { case _: Exception => p }
+      try {
+        val parsed = new java.net.URI(p).getPath
+        if (parsed != null) parsed else stripScheme(p)
+      } catch {
+        // URI-illegal characters (a raw space in the path, as older
+        // path stringifications emit): strip the scheme by hand — the
+        // raw string can never equal a filesystem path, so returning
+        // it verbatim would silently no-op the DML
+        case _: Exception => stripScheme(p)
+      }
     }
     entries.filter(e =>
       paths.contains(Paths.get(root, e.rel).toAbsolutePath.normalize.toString))
+  }
+
+  /** "file:///tmp/x" / "file:/tmp/x" → "/tmp/x"; non-URI strings pass
+    * through. */
+  private def stripScheme(p: String): String = {
+    val i = p.indexOf(':')
+    if (i > 0 && p.substring(0, i).forall(_.isLetter)) {
+      val rest = p.substring(i + 1)
+      "/" + rest.dropWhile(_ == '/')
+    } else p
   }
 
   /** Rewrite parallelism for a copy-on-write DML commit: at LEAST one

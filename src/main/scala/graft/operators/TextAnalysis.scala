@@ -947,8 +947,15 @@ object TextAnalysis {
   def t18ShardExport(s: SparkSession, d: String): DataFrame = {
     val out = Engine.tmpDir("graft_t18_shards")
     Engine.listDir(java.nio.file.Paths.get(out)).foreach(Engine.deleteRecursively)
-    val shard = pmod(pmod(col("doc_id"), lit(100000000L)) * lit(2654435761L),
-      lit(T18Shards))
+    // the hash must be folded through a modulus COPRIME to the shard
+    // count before the final mod: 2654435761 ≡ 1 (mod 16) and 10⁸ ≡ 0
+    // (mod 16), so taking the product mod 16 directly would degenerate
+    // to doc_id mod 16 — strided ids (an upstream generator allocating
+    // in steps of 4/8/16) would then pile into a fraction of the
+    // shards. The prime fold (1000003) restores the multiplier's
+    // mixing; bias from 1000003 mod 16 ≠ 0 is ~10⁻⁵.
+    val shard = pmod(pmod(pmod(col("doc_id"), lit(100000000L)) * lit(2654435761L),
+      lit(1000003L)), lit(T18Shards))
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
         wsTokens(col("text")).as("n_tokens"), shard.as("shard_id"))
@@ -965,7 +972,7 @@ object TextAnalysis {
   val t18Sql: String =
     s"""WITH e AS (SELECT doc_id, source,
       |  CAST(len(list_filter(string_split_regex(text, '$WsRe'), x -> x <> '')) AS BIGINT) AS n_tokens,
-      |  ((((doc_id % 100000000) * 2654435761) % $T18Shards) + $T18Shards) % $T18Shards AS shard_id
+      |  (((((doc_id % 100000000) * 2654435761) % 1000003) % $T18Shards) + $T18Shards) % $T18Shards AS shard_id
       |  FROM documents)
       |SELECT shard_id, COUNT(*) AS n_docs,
       |  CAST(SUM(n_tokens) AS BIGINT) AS token_sum,

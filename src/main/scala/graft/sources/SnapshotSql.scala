@@ -80,7 +80,7 @@ object SnapshotSql {
     * (case-insensitive, word-bounded, outside quotes and parens);
     * returns (before, after) without the keyword. */
   private def splitTopKeyword(s: String, kw: String): Option[(String, String)] = {
-    var depth = 0; var quoted = false; var i = 0
+    var depth = 0; var quoted = false; var btick = false; var i = 0
     val n = s.length
     def word(j: Int): Boolean =
       j + kw.length <= n && s.regionMatches(true, j, kw, 0, kw.length) &&
@@ -89,8 +89,15 @@ object SnapshotSql {
           !Character.isLetterOrDigit(c) && c != '_' })
     while (i < n) {
       val c = s.charAt(i)
-      if (c == '\'') { quoted = !quoted; i += 1 }
-      else if (quoted) i += 1
+      if (btick) { if (c == '`') btick = false; i += 1 }
+      else if (quoted) {
+        // backslash-escaped chars stay inside the literal ('' doubling
+        // needs no special case: it closes and reopens)
+        if (c == '\\' && i + 1 < n) i += 2
+        else { if (c == '\'') quoted = false; i += 1 }
+      }
+      else if (c == '\'') { quoted = true; i += 1 }
+      else if (c == '`') { btick = true; i += 1 }
       else if (c == '(') { depth += 1; i += 1 }
       else if (c == ')') { depth -= 1; i += 1 }
       else if (depth == 0 && word(i))
@@ -134,7 +141,7 @@ object SnapshotSql {
     * everyday merge SQL) must not start a new clause. */
   private[graft] def splitMergeClauses(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var depth = 0; var caseDepth = 0; var quoted = false
+    var depth = 0; var caseDepth = 0; var quoted = false; var btick = false
     var start = 0; var i = 0
     val n = s.length
     def word(j: Int, w: String): Boolean =
@@ -144,8 +151,13 @@ object SnapshotSql {
           !Character.isLetterOrDigit(c) && c != '_' })
     while (i < n) {
       val c = s.charAt(i)
-      if (c == '\'') { quoted = !quoted; i += 1 }
-      else if (quoted) i += 1
+      if (btick) { if (c == '`') btick = false; i += 1 }
+      else if (quoted) {
+        if (c == '\\' && i + 1 < n) i += 2
+        else { if (c == '\'') quoted = false; i += 1 }
+      }
+      else if (c == '\'') { quoted = true; i += 1 }
+      else if (c == '`') { btick = true; i += 1 }
       else if (c == '(') { depth += 1; i += 1 }
       else if (c == ')') { depth -= 1; i += 1 }
       else if (word(i, "case")) { caseDepth += 1; i += 4 }

@@ -186,6 +186,14 @@ private[sources] object SnapshotSourceUtil {
         DataType.fromJson(js).asInstanceOf[StructType])).toOption
     }
     if (captured.isDefined) captured.get
+    else if (entries.isEmpty)
+      // a zero-entry version (delete-all) is plannable only through
+      // its schema capture; a capture with types outside the
+      // connector's envelope fell through to here — refuse with
+      // guidance instead of crashing on entries.head
+      throw new IllegalStateException(s"graft-snapshot: version $v of $root has no " +
+        "file entries and its schema capture uses types outside the connector's " +
+        "envelope — read it through SnapshotTable.readAt")
     else if (!meta.contains("schema"))
       // the overwhelmingly common case: uniform-width files — ONE
       // footer read prices the whole planning step

@@ -47,56 +47,45 @@ object SnapshotSink {
     * is a no-op via the same last-batch watermark appendBatch uses,
     * and old MV versions stay time-travelable. */
   private[graft] def replaceBatch(root: String, df: DataFrame, batchId: Long,
-      keyCol: String, shardSize: Int = 4): Boolean = {
-    def lastCommitted(v: Int): Long =
-      if (v == 0) -1L
-      else ST.manifestMeta(root, v).get(LastBatchKey).map(_.toLong).getOrElse(-1L)
-    if (batchId <= lastCommitted(ST.currentVersion(root))) return false
-    val tag = f"mv$batchId%05d_${java.util.UUID.randomUUID().toString.take(8)}"
-    val entries = ST.writeDataFiles(df, root, tag).map(ST.footerEntry(root, _, keyCol))
-    val retry = new ST.CommitRetry(root)
-    while (true) {
-      val v = ST.currentVersion(root)
-      retry.observed(v)
-      if (batchId <= lastCommitted(v)) return false
-      try {
-        ST.commitEntries(root, v, entries, shardSize,
-          ST.carriedMeta(root, v) +
-            ("statsCol" -> keyCol) + (LastBatchKey -> batchId.toString))
-        return true
-      } catch {
-        case e: java.nio.file.FileAlreadyExistsException => retry.lost(e)
-      }
-    }
-    false // unreachable
-  }
+      keyCol: String, shardSize: Int = 4): Boolean =
+    commitBatch(root, df, batchId, keyCol, shardSize,
+      baseOf = _ => Nil, extraMeta = Map("statsCol" -> keyCol), tagPrefix = "mv")
 
   private[graft] def appendBatch(root: String, df: DataFrame, batchId: Long,
-      keyCol: String = "ep_day", shardSize: Int = 4): Boolean = {
+      keyCol: String = "ep_day", shardSize: Int = 4): Boolean =
+    commitBatch(root, df, batchId, keyCol, shardSize,
+      baseOf = v => if (v == 0) Nil else ST.manifestEntries(root, v),
+      extraMeta = Map.empty, tagPrefix = "b")
+
+  /** The ONE exactly-once batch-commit loop both sink shapes share
+    * (append keeps the prior entries, replace starts from none): the
+    * batch's data files are written ONCE, outside the commit-retry
+    * loop — a CAS loss invalidates the manifest attempt, not the
+    * immutable data files (uuid-tagged so attempts never collide;
+    * abandoned files are unreferenced and vacuum reclaims them). One
+    * file PER TASK: the batch lands at the stream's own parallelism —
+    * only the tiny manifest commit runs on the driver. carriedMeta
+    * keeps the statsCol and other streams' epoch watermarks alive
+    * across commits; the shared CommitRetry policy bounds the loop. */
+  private def commitBatch(root: String, df: DataFrame, batchId: Long,
+      keyCol: String, shardSize: Int,
+      baseOf: Int => Seq[graft.operators.SnapshotTable.FileEntry],
+      extraMeta: Map[String, String], tagPrefix: String): Boolean = {
     def lastCommitted(v: Int): Long =
       if (v == 0) -1L
       else ST.manifestMeta(root, v).get(LastBatchKey).map(_.toLong).getOrElse(-1L)
     if (batchId <= lastCommitted(ST.currentVersion(root))) return false
-    // write the batch's data files ONCE, outside the commit-retry loop —
-    // a CAS loss invalidates the manifest attempt, not the immutable
-    // data files (uuid-tagged so attempts never collide; abandoned
-    // files are unreferenced and vacuum reclaims them). One file PER
-    // TASK: the batch lands at the stream's own parallelism — at
-    // production batch sizes every executor writes its partition, only
-    // the tiny manifest commit runs on the driver.
-    val tag = f"b$batchId%05d_${java.util.UUID.randomUUID().toString.take(8)}"
+    val tag = f"$tagPrefix$batchId%05d_${java.util.UUID.randomUUID().toString.take(8)}"
     val entries = ST.writeDataFiles(df, root, tag).map(ST.footerEntry(root, _, keyCol))
     val retry = new ST.CommitRetry(root)
     while (true) {
       val v = ST.currentVersion(root)
       retry.observed(v)
       if (batchId <= lastCommitted(v)) return false // raced replay: someone committed it
-      val base = if (v == 0) Nil else ST.manifestEntries(root, v) // v0 = empty table, no manifest
       try {
-        // carriedMeta: a batch commit must not erase the statsCol or
-        // another stream's epoch watermark committed before it
-        ST.commitEntries(root, v, base ++ entries,
-          shardSize, ST.carriedMeta(root, v) + (LastBatchKey -> batchId.toString))
+        ST.commitEntries(root, v, baseOf(v) ++ entries,
+          shardSize, ST.carriedMeta(root, v) ++ extraMeta +
+            (LastBatchKey -> batchId.toString))
         return true
       } catch {
         case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) // CAS lost: re-read, retry

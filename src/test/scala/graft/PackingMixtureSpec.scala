@@ -208,4 +208,19 @@ class PackingMixtureSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(again == audit, "shard assignment must be deterministic")
   }
+
+  test("t18: STRIDED doc_ids still spread across shards (the hash is not id mod 16)") {
+    import org.apache.spark.sql.functions._
+    // ids in steps of 16: a bare `id mod 16` would pile ALL of them
+    // into one shard — the review-caught degeneracy (2654435761 ≡ 1
+    // mod 16, 10⁸ ≡ 0 mod 16). The prime fold must mix them.
+    val strided = spark.range(0, 100).select((col("id") * 16L).as("doc_id"))
+    val shard = pmod(pmod(pmod(col("doc_id"), lit(100000000L)) * lit(2654435761L),
+      lit(1000003L)), lit(16L))
+    val counts = strided.select(shard.as("s")).groupBy("s").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.size >= 8,
+      s"strided ids collapsed to ${counts.size} shards: $counts")
+    assert(counts.values.max <= 25, s"strided ids skewed: $counts")
+  }
 }

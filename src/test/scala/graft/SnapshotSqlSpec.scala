@@ -452,6 +452,11 @@ class SnapshotSqlSpec extends AnyFunSuite {
     spark.sql(s"UPDATE '$root' SET note = 'save WHERE possible' WHERE k = 1").collect()
     val got = ST.read(spark, root).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got(1L) == "save WHERE possible" && got(2L) == "y", got.toString)
+    // an ESCAPED quote inside the literal must not flip the scanner's
+    // quoted state (the '' doubling spelling — Spark's ANSI escape)
+    spark.sql(s"UPDATE '$root' SET note = 'don''t WHERE ever' WHERE k = 2").collect()
+    val got2 = ST.read(spark, root).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2(2L) == "don't WHERE ever", got2.toString)
     // UPDATE against a table with no committed version is a no-op, not
     // a filesystem exception
     val empty = Engine.tmpDir("graft_sql_update_empty")
