@@ -325,22 +325,32 @@ object SnapshotSql {
     case _ => false
   }
 
-  /** Split on top-level commas: parens and single-quoted strings are
-    * opaque. */
+  /** Split on top-level commas: parens, single-quoted strings (with
+    * backslash escapes), and backtick identifiers are opaque — the
+    * same scanner discipline as [[splitTopKeyword]]. */
   private def splitTop(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var depth = 0; var quoted = false; var start = 0
+    var depth = 0; var quoted = false; var btick = false; var start = 0
     var i = 0
     while (i < s.length) {
-      s.charAt(i) match {
-        case '\'' => quoted = !quoted
-        case '(' if !quoted => depth += 1
-        case ')' if !quoted => depth -= 1
-        case ',' if !quoted && depth == 0 =>
-          out += s.substring(start, i); start = i + 1
-        case _ =>
+      val c = s.charAt(i)
+      if (btick) { if (c == '`') btick = false; i += 1 }
+      else if (quoted) {
+        if (c == '\\' && i + 1 < s.length) i += 2
+        else { if (c == '\'') quoted = false; i += 1 }
       }
-      i += 1
+      else {
+        c match {
+          case '\'' => quoted = true
+          case '`' => btick = true
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case ',' if depth == 0 =>
+            out += s.substring(start, i); start = i + 1
+          case _ =>
+        }
+        i += 1
+      }
     }
     out += s.substring(start)
     out.toSeq
