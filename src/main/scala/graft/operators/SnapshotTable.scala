@@ -1056,13 +1056,20 @@ object SnapshotTable {
       paths.contains(Paths.get(root, e.rel).toAbsolutePath.normalize.toString))
   }
 
-  /** "file:///tmp/x" / "file:/tmp/x" → "/tmp/x"; non-URI strings pass
-    * through. */
+  /** "file:///tmp/x" / "file://host/tmp/x" / "file:/tmp/x" → "/tmp/x"
+    * (an authority component is dropped with the scheme); strings that
+    * are not scheme-prefixed paths pass through untouched. */
   private def stripScheme(p: String): String = {
     val i = p.indexOf(':')
-    if (i > 0 && p.substring(0, i).forall(_.isLetter)) {
+    if (i > 0 && p.substring(0, i).forall(_.isLetter) &&
+        i + 1 < p.length && p.charAt(i + 1) == '/') {
       val rest = p.substring(i + 1)
-      "/" + rest.dropWhile(_ == '/')
+      if (rest.startsWith("//")) {
+        // "//" introduces an authority (possibly empty): the path
+        // starts at the next slash
+        val afterAuth = rest.indexOf('/', 2)
+        if (afterAuth >= 0) rest.substring(afterAuth) else "/"
+      } else rest
     } else p
   }
 

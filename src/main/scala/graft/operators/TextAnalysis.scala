@@ -931,6 +931,22 @@ object TextAnalysis {
     * with the corpus — the assignment stays a pure function). */
   private[graft] val T18Shards = 16L
 
+  /** t18's shard assignment, THE expression (the spec tests this exact
+    * Column, not a private copy). The hash must be folded through a
+    * modulus COPRIME to the shard count before the final mod:
+    * 2654435761 ≡ 1 (mod 16) and 10⁸ ≡ 0 (mod 16), so taking the
+    * product mod 16 directly would degenerate to doc_id mod 16 —
+    * strided ids (an upstream generator allocating in steps of
+    * 4/8/16) would pile into a fraction of the shards. The prime fold
+    * (1000003) restores the multiplier's mixing; bias from
+    * 1000003 mod 16 ≠ 0 is ~10⁻⁵. pmod at every stage keeps the
+    * result engine-independent for NEGATIVE ids too (the oracle's
+    * C-style % is wrapped to match at the one stage that can go
+    * negative). */
+  private[graft] def t18Shard: Column =
+    pmod(pmod(pmod(col("doc_id"), lit(100000000L)) * lit(2654435761L),
+      lit(1000003L)), lit(T18Shards))
+
   /** t18_shard_export — the training-data pipeline's LAST MILE: the
     * corpus dealt into N size-balanced shards by a DETERMINISTIC
     * pseudo-shuffle (Knuth multiplicative hash of doc_id, the
@@ -947,18 +963,9 @@ object TextAnalysis {
   def t18ShardExport(s: SparkSession, d: String): DataFrame = {
     val out = Engine.tmpDir("graft_t18_shards")
     Engine.listDir(java.nio.file.Paths.get(out)).foreach(Engine.deleteRecursively)
-    // the hash must be folded through a modulus COPRIME to the shard
-    // count before the final mod: 2654435761 ≡ 1 (mod 16) and 10⁸ ≡ 0
-    // (mod 16), so taking the product mod 16 directly would degenerate
-    // to doc_id mod 16 — strided ids (an upstream generator allocating
-    // in steps of 4/8/16) would then pile into a fraction of the
-    // shards. The prime fold (1000003) restores the multiplier's
-    // mixing; bias from 1000003 mod 16 ≠ 0 is ~10⁻⁵.
-    val shard = pmod(pmod(pmod(col("doc_id"), lit(100000000L)) * lit(2654435761L),
-      lit(1000003L)), lit(T18Shards))
     Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
-        wsTokens(col("text")).as("n_tokens"), shard.as("shard_id"))
+        wsTokens(col("text")).as("n_tokens"), t18Shard.as("shard_id"))
       .write.mode("overwrite").partitionBy("shard_id").parquet(out)
     s.read.parquet(out)
       .withColumn("shard_id", col("shard_id").cast("long"))
@@ -972,7 +979,7 @@ object TextAnalysis {
   val t18Sql: String =
     s"""WITH e AS (SELECT doc_id, source,
       |  CAST(len(list_filter(string_split_regex(text, '$WsRe'), x -> x <> '')) AS BIGINT) AS n_tokens,
-      |  (((((doc_id % 100000000) * 2654435761) % 1000003) % $T18Shards) + $T18Shards) % $T18Shards AS shard_id
+      |  ((((((doc_id % 100000000) + 100000000) % 100000000) * 2654435761) % 1000003) % $T18Shards) AS shard_id
       |  FROM documents)
       |SELECT shard_id, COUNT(*) AS n_docs,
       |  CAST(SUM(n_tokens) AS BIGINT) AS token_sum,

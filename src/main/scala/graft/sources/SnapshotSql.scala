@@ -80,7 +80,7 @@ object SnapshotSql {
     * (case-insensitive, word-bounded, outside quotes and parens);
     * returns (before, after) without the keyword. */
   private def splitTopKeyword(s: String, kw: String): Option[(String, String)] = {
-    var depth = 0; var quoted = false; var btick = false; var i = 0
+    var depth = 0; var quote: Char = 0; var btick = false; var i = 0
     val n = s.length
     def word(j: Int): Boolean =
       j + kw.length <= n && s.regionMatches(true, j, kw, 0, kw.length) &&
@@ -90,13 +90,14 @@ object SnapshotSql {
     while (i < n) {
       val c = s.charAt(i)
       if (btick) { if (c == '`') btick = false; i += 1 }
-      else if (quoted) {
-        // backslash-escaped chars stay inside the literal ('' doubling
+      else if (quote != 0) {
+        // backslash-escaped chars stay inside the literal (doubling
         // needs no special case: it closes and reopens)
         if (c == '\\' && i + 1 < n) i += 2
-        else { if (c == '\'') quoted = false; i += 1 }
+        else { if (c == quote) quote = 0; i += 1 }
       }
-      else if (c == '\'') { quoted = true; i += 1 }
+      // Spark lexes BOTH '...' and "..." as string literals
+      else if (c == '\'' || c == '"') { quote = c; i += 1 }
       else if (c == '`') { btick = true; i += 1 }
       else if (c == '(') { depth += 1; i += 1 }
       else if (c == ')') { depth -= 1; i += 1 }
@@ -141,7 +142,7 @@ object SnapshotSql {
     * everyday merge SQL) must not start a new clause. */
   private[graft] def splitMergeClauses(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var depth = 0; var caseDepth = 0; var quoted = false; var btick = false
+    var depth = 0; var caseDepth = 0; var quote: Char = 0; var btick = false
     var start = 0; var i = 0
     val n = s.length
     def word(j: Int, w: String): Boolean =
@@ -152,11 +153,11 @@ object SnapshotSql {
     while (i < n) {
       val c = s.charAt(i)
       if (btick) { if (c == '`') btick = false; i += 1 }
-      else if (quoted) {
+      else if (quote != 0) {
         if (c == '\\' && i + 1 < n) i += 2
-        else { if (c == '\'') quoted = false; i += 1 }
+        else { if (c == quote) quote = 0; i += 1 }
       }
-      else if (c == '\'') { quoted = true; i += 1 }
+      else if (c == '\'' || c == '"') { quote = c; i += 1 }
       else if (c == '`') { btick = true; i += 1 }
       else if (c == '(') { depth += 1; i += 1 }
       else if (c == ')') { depth -= 1; i += 1 }
@@ -330,18 +331,18 @@ object SnapshotSql {
     * same scanner discipline as [[splitTopKeyword]]. */
   private def splitTop(s: String): Seq[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    var depth = 0; var quoted = false; var btick = false; var start = 0
+    var depth = 0; var quote: Char = 0; var btick = false; var start = 0
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
       if (btick) { if (c == '`') btick = false; i += 1 }
-      else if (quoted) {
+      else if (quote != 0) {
         if (c == '\\' && i + 1 < s.length) i += 2
-        else { if (c == '\'') quoted = false; i += 1 }
+        else { if (c == quote) quote = 0; i += 1 }
       }
       else {
         c match {
-          case '\'' => quoted = true
+          case '\'' | '"' => quote = c
           case '`' => btick = true
           case '(' => depth += 1
           case ')' => depth -= 1

@@ -188,12 +188,16 @@ private[sources] object SnapshotSourceUtil {
     if (captured.isDefined) captured.get
     else if (entries.isEmpty)
       // a zero-entry version (delete-all) is plannable only through
-      // its schema capture; a capture with types outside the
-      // connector's envelope fell through to here — refuse with
-      // guidance instead of crashing on entries.head
+      // its schema capture — refuse with an accurate diagnosis instead
+      // of crashing on entries.head: either no capture exists (a
+      // legacy empty commit) or its types exceed the connector's
+      // envelope (the Try above swallowed the conversion)
       throw new IllegalStateException(s"graft-snapshot: version $v of $root has no " +
-        "file entries and its schema capture uses types outside the connector's " +
-        "envelope — read it through SnapshotTable.readAt")
+        "file entries and " +
+        (if (meta.contains("schemaJson"))
+          "its schema capture uses types outside the connector's envelope"
+        else "no schema capture") +
+        " — read it through SnapshotTable.readAt")
     else if (!meta.contains("schema"))
       // the overwhelmingly common case: uniform-width files — ONE
       // footer read prices the whole planning step

@@ -213,11 +213,12 @@ class PackingMixtureSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     // ids in steps of 16: a bare `id mod 16` would pile ALL of them
     // into one shard — the review-caught degeneracy (2654435761 ≡ 1
-    // mod 16, 10⁸ ≡ 0 mod 16). The prime fold must mix them.
+    // mod 16, 10⁸ ≡ 0 mod 16). The prime fold must mix them. The spec
+    // drives the PRODUCTION expression (t18Shard), not a private copy,
+    // so a regression of the real hash fails here.
     val strided = spark.range(0, 100).select((col("id") * 16L).as("doc_id"))
-    val shard = pmod(pmod(pmod(col("doc_id"), lit(100000000L)) * lit(2654435761L),
-      lit(1000003L)), lit(16L))
-    val counts = strided.select(shard.as("s")).groupBy("s").count()
+    val counts = strided.select(graft.operators.TextAnalysis.t18Shard.as("s"))
+      .groupBy("s").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(counts.size >= 8,
       s"strided ids collapsed to ${counts.size} shards: $counts")

@@ -457,6 +457,10 @@ class SnapshotSqlSpec extends AnyFunSuite {
     spark.sql(s"UPDATE '$root' SET note = 'don''t WHERE ever' WHERE k = 2").collect()
     val got2 = ST.read(spark, root).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got2(2L) == "don't WHERE ever", got2.toString)
+    // Spark lexes double-quoted strings as literals too — same immunity
+    spark.sql(s"""UPDATE '$root' SET note = "x WHERE y" WHERE k = 1""").collect()
+    val got3 = ST.read(spark, root).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got3(1L) == "x WHERE y", got3.toString)
     // UPDATE against a table with no committed version is a no-op, not
     // a filesystem exception
     val empty = Engine.tmpDir("graft_sql_update_empty")
