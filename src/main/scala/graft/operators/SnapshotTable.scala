@@ -396,8 +396,10 @@ object SnapshotTable {
     * and a second RESTORE redoes them. Schema markers
     * (`schema`/`schemaJson`) come from the TARGET version — restoring
     * past an ALTER narrows the read width again, matching the restored
-    * content — while operational carry (statsCol, streaming
-    * epoch/batch watermarks) comes from the CURRENT version: a
+    * content — and `statsCol` ALSO comes from the target (the restored
+    * entries' per-file bounds are stats of the column the target's
+    * committer recorded); only the operational streaming watermarks
+    * (epoch/batch ids) carry from the CURRENT version: a
     * streaming writer's replay detection must survive the restore, or
     * the next replayed batch would re-append and void exactly-once
     * (the Delta transaction-map rule). Restoring to the current
@@ -895,6 +897,9 @@ object SnapshotTable {
       }
       def condCol(c: Option[String]): Column =
         c.map(e => coalesce(expr(e).cast("boolean"), lit(false))).getOrElse(lit(true))
+      // resolved BEFORE clause compilation: the UPDATE clause must refuse
+      // SET on this column (see below), not just the ON column
+      val clusterCol = carriedMeta(root, v).getOrElse("statsCol", onTgtCol)
       var remaining: Column = lit(true) // not yet claimed by an earlier clause
       val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       clauses.foreach {
@@ -910,6 +915,17 @@ object SnapshotTable {
           require(!setMap.contains(onTgtCol),
             s"ansi merge on $root: SET may not assign the ON column $onTgtCol — " +
               "delete and re-insert to re-key a row")
+          // assigning the CLUSTER column is the same hazard one layer
+          // down (ADVICE r12): merge prunes affected files from the
+          // changeset's clusterCol [min,max], and an updated row carries
+          // only its NEW cluster value — the file holding the OLD value
+          // would never be rewritten, so the old row survives beside the
+          // inserted update (silent key duplication)
+          require(!setMap.contains(clusterCol),
+            s"ansi merge on $root: SET may not assign the cluster column $clusterCol — " +
+              "merge prunes rewritten files by this column's stats, so re-clustering " +
+              "a row would leave its old copy in an unpruned file; delete and " +
+              "re-insert to move a row across the clustering")
           parts += matched.filter(remaining && condCol(cond)).select(
             tCols.map { c => (setMap.get(c) match {
               case Some(rhs) => expr(rhs).cast(tgtPlain.schema(c).dataType)
@@ -935,7 +951,6 @@ object SnapshotTable {
       val changes = parts.reduce(_ unionByName _).localCheckpoint(true)
       if (changes.isEmpty) result = v // nothing matched any clause: no-op
       else {
-        val clusterCol = carriedMeta(root, v).getOrElse("statsCol", onTgtCol)
         try result = merge(s, root, clusterCol, onTgtCol, changes, baseVersion = v)
         catch {
           case e: java.nio.file.FileAlreadyExistsException =>

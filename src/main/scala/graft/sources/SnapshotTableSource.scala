@@ -57,8 +57,12 @@ import graft.operators.SnapshotTable
   *     upstream keep a downstream pipeline alive (see
   *     [[SnapshotCdfMicroBatchStream]] for the file-grain contract).
   *     The same option on a BATCH read serves the
-  *     (`startingVersion`, `endingVersion`] window in one scan —
-  *     Delta's table_changes contract.
+  *     (`startingVersion`, `endingVersion`] window in one scan.
+  *     NOTE the window convention: `startingVersion` is EXCLUSIVE
+  *     ("changes after this version" — the resume-token shape, and
+  *     the same meaning the streaming feed's initial offset gives it)
+  *     whereas Delta's `table_changes(t, startingVersion)` is
+  *     INCLUSIVE; a Delta migrant should pass `delta_start - 1`.
   *
   * Projection pushdown is real: `pruneColumns` narrows the parquet
   * record schema handed to the file reader, so a 2-column aggregate
@@ -603,11 +607,14 @@ private[sources] class SnapshotScan(root: String, version: Int,
   }
 
   override def toBatch: Batch = {
-    // batch CDF (Delta's table_changes contract): all changes in the
-    // (startingVersion, endingVersion] window in one scan, same
-    // file-grain rows and metadata columns as the streaming feed.
-    // startingVersion defaults to 0 (the whole history as inserts+
-    // deletes), endingVersion to the current version. Stats pruning is
+    // batch CDF: all changes in the (startingVersion, endingVersion]
+    // window in one scan, same file-grain rows and metadata columns as
+    // the streaming feed. startingVersion is EXCLUSIVE — "changes
+    // after this version", matching the streaming feed's initial
+    // offset; Delta's table_changes startingVersion is inclusive, so a
+    // migrating caller passes delta_start - 1 (documented in the
+    // provider scaladoc). Defaults: startingVersion 0 (whole history
+    // as inserts+deletes), endingVersion the current version. Stats pruning is
     // NOT applied (the planned set is the manifest DIFF, not a
     // snapshot); pushed filters still run residually above the scan.
     if (cdfMode) return new Batch {

@@ -378,6 +378,30 @@ class SnapshotSqlSpec extends AnyFunSuite {
       s"""MERGE INTO '$root' AS t USING am_miss AS s ON t.k = s.k
         WHEN MATCHED THEN UPDATE SET k = 99""").collect())
     assert(e4.getMessage.contains("may not assign the ON column"), e4.getMessage)
+    // SET may not re-cluster a row through the table's statsCol either
+    // (ADVICE r12): merge prunes rewritten files from the changeset's
+    // clusterCol bounds, and an updated row carries only the NEW
+    // cluster value — the file holding the OLD value would never be
+    // rewritten, leaving the stale row alive (silent key duplication)
+    val ccRoot = Engine.tmpDir("graft_sql_ansimerge_cc")
+    Engine.listDir(Paths.get(ccRoot)).foreach(Engine.deleteRecursively)
+    ST.commitEntries(ccRoot, 0,
+      ST.writeDataFiles(Seq((1L, 10L, 1.0), (2L, 20L, 2.0)).toDF("k", "d", "v")
+        .coalesce(1), ccRoot, "a").map(ST.footerEntry(ccRoot, _, "d")),
+      shardSize = 8, Map("statsCol" -> "d"))
+    Seq((1L, 0.0, 0L)).toDF("k", "delta", "d").withColumn("v", lit(0.0))
+      .createOrReplaceTempView("am_cc")
+    val e4b = intercept[Exception](spark.sql(
+      s"""MERGE INTO '$ccRoot' AS t USING am_cc AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET d = t.d + 30""").collect())
+    assert(e4b.getMessage.contains("may not assign the cluster column d"),
+      e4b.getMessage)
+    // ...while SET on a plain value column of the same table still works
+    spark.sql(s"""MERGE INTO '$ccRoot' AS t USING am_cc AS s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = t.v + 100""").collect()
+    val ccGot = ST.read(spark, ccRoot).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(ccGot(1L) == 101.0 && ccGot(2L) == 2.0 && ccGot.size == 2, ccGot.toString)
     // duplicate keys in the TARGET are refused when a matched clause
     // exists (the keyed merge would collapse them) — but an insert-only
     // merge over the same table is fine (no matched row is touched)
