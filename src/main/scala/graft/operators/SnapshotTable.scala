@@ -818,6 +818,13 @@ object SnapshotTable {
       sets: Seq[(String, String)]) extends MergeWhen
   case class WhenMatchedDelete(cond: Option[String]) extends MergeWhen
   case object WhenNotMatchedInsert extends MergeWhen
+  // the sync-style third family (Delta/ANSI `WHEN NOT MATCHED BY
+  // SOURCE`): target rows with NO source match. Conditions and SET
+  // right-hand sides may reference TARGET columns only — there is no
+  // source row; an `s.`-qualified reference fails analysis loudly.
+  case class WhenNotMatchedBySourceUpdate(cond: Option[String],
+      sets: Seq[(String, String)]) extends MergeWhen
+  case class WhenNotMatchedBySourceDelete(cond: Option[String]) extends MergeWhen
 
   /** ANSI-spelling MERGE — the standard `MERGE INTO t USING s ON ...
     * WHEN MATCHED THEN UPDATE / DELETE, WHEN NOT MATCHED THEN INSERT *`
@@ -840,7 +847,16 @@ object SnapshotTable {
     * `t.<col> = s.<col>`; a target row matched by multiple source rows
     * errors (ANSI's nondeterminism rule); INSERT * requires the source
     * to carry every target column; SET names unqualified target
-    * columns, right-hand sides reference `t.`/`s.`-qualified columns. */
+    * columns, right-hand sides reference `t.`/`s.`-qualified columns.
+    * `WHEN NOT MATCHED BY SOURCE THEN UPDATE/DELETE` (the sync family)
+    * addresses target rows with no source match: conditions and SETs
+    * there are target-only (an `s.` reference fails analysis — no
+    * source row exists), and the clause family runs first-match-wins
+    * among itself, disjoint from the matched clauses' row set. A full
+    * table sync (`WHEN NOT MATCHED BY SOURCE THEN DELETE` with no
+    * condition) legitimately touches every file holding an unmatched
+    * row — bound the clause with a cluster-column condition when the
+    * sync scope is known, and pruning confines the rewrite. */
   def ansiMerge(s: SparkSession, root: String, tgtAlias: String,
       srcTable: String, srcAlias: String, onTgtCol: String, onSrcCol: String,
       clauses: Seq[MergeWhen]): Int = {
@@ -849,7 +865,9 @@ object SnapshotTable {
       s"ansi merge on $root: target and source aliases must differ")
     require(clauses.count(_.isInstanceOf[WhenMatchedUpdate]) <= 1 &&
       clauses.count(_.isInstanceOf[WhenMatchedDelete]) <= 1 &&
-      clauses.count(_ == WhenNotMatchedInsert) <= 1,
+      clauses.count(_ == WhenNotMatchedInsert) <= 1 &&
+      clauses.count(_.isInstanceOf[WhenNotMatchedBySourceUpdate]) <= 1 &&
+      clauses.count(_.isInstanceOf[WhenNotMatchedBySourceDelete]) <= 1,
       s"ansi merge on $root: at most one clause of each kind")
     var attempts = 0
     var result = -1
@@ -879,9 +897,13 @@ object SnapshotTable {
         case _: WhenMatchedUpdate | _: WhenMatchedDelete => true
         case _ => false
       }
+      val hasNmbsClause = clauses.exists {
+        case _: WhenNotMatchedBySourceUpdate | _: WhenNotMatchedBySourceDelete => true
+        case _ => false
+      }
+      val tgtKeys = tgtPlain.select(col(onTgtCol).as("__mk"))
+      val srcKeys = srcPlain.select(col(onSrcCol).as("__mk"))
       if (hasMatchedClause) {
-        val tgtKeys = tgtPlain.select(col(onTgtCol).as("__mk"))
-        val srcKeys = srcPlain.select(col(onSrcCol).as("__mk"))
         val dupSrc = srcKeys.groupBy("__mk").count().filter(col("count") > 1)
           .join(tgtKeys.distinct(), Seq("__mk"), "left_semi").limit(1).collect()
         require(dupSrc.isEmpty, s"ansi merge on $root: target key " +
@@ -895,37 +917,59 @@ object SnapshotTable {
           "TARGET table — the keyed merge would collapse the duplicates; " +
           "de-duplicate the table first")
       }
+      if (hasNmbsClause) {
+        // the keyed changeset replaces/drops BY KEY, so touching one of
+        // two duplicate UNMATCHED target rows would collapse them — the
+        // mirror of the matched-side dupTgt check, over the anti set
+        val dupUnm = tgtKeys.join(srcKeys.distinct(), Seq("__mk"), "left_anti")
+          .groupBy("__mk").count().filter(col("count") > 1).limit(1).collect()
+        require(dupUnm.isEmpty, s"ansi merge on $root: key " +
+          s"${dupUnm.headOption.map(_.get(0)).getOrElse("")} is duplicated in the " +
+          "TARGET table among rows NOT MATCHED BY SOURCE — the keyed merge " +
+          "would collapse the duplicates; de-duplicate the table first")
+      }
       def condCol(c: Option[String]): Column =
         c.map(e => coalesce(expr(e).cast("boolean"), lit(false))).getOrElse(lit(true))
       // resolved BEFORE clause compilation: the UPDATE clause must refuse
       // SET on this column (see below), not just the ON column
       val clusterCol = carriedMeta(root, v).getOrElse("statsCol", onTgtCol)
+      // updating the join key would re-key the changeset row: the keyed
+      // merge would then delete whatever row already holds the NEW key
+      // and leave the old row in place — silent corruption, so the ON
+      // column is not assignable (Delta refuses the same). Assigning
+      // the CLUSTER column is the same hazard one layer down (ADVICE
+      // r12): merge prunes affected files from the changeset's
+      // clusterCol [min,max], and an updated row carries only its NEW
+      // cluster value — the file holding the OLD value would never be
+      // rewritten, so the old row survives beside the inserted update
+      // (silent key duplication). Shared by both UPDATE clause kinds.
+      def checkSets(sets: Seq[(String, String)]): Map[String, String] = {
+        sets.foreach { case (c, _) => require(tCols.contains(c),
+          s"ansi merge on $root: SET names unknown target column $c") }
+        val setMap = sets.toMap
+        require(!setMap.contains(onTgtCol),
+          s"ansi merge on $root: SET may not assign the ON column $onTgtCol — " +
+            "delete and re-insert to re-key a row")
+        require(!setMap.contains(clusterCol),
+          s"ansi merge on $root: SET may not assign the cluster column $clusterCol — " +
+            "merge prunes rewritten files by this column's stats, so re-clustering " +
+            "a row would leave its old copy in an unpruned file; delete and " +
+            "re-insert to move a row across the clustering")
+        setMap
+      }
+      // the sync anti-set, built once: target rows with no source match.
+      // Only target columns survive the anti-join, so an `s.`-qualified
+      // reference in a BY SOURCE condition or SET fails analysis loudly
+      // — exactly the refusal the clause family's contract requires.
+      lazy val unmatchedTgt = tgt.join(src, onCond, "left_anti")
       var remaining: Column = lit(true) // not yet claimed by an earlier clause
+      // BY SOURCE clauses run first-match-wins among THEMSELVES (their
+      // row set is disjoint from the matched clauses')
+      var remainingNmbs: Column = lit(true)
       val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       clauses.foreach {
         case WhenMatchedUpdate(cond, sets) =>
-          val setMap = sets.toMap
-          sets.foreach { case (c, _) => require(tCols.contains(c),
-            s"ansi merge on $root: SET names unknown target column $c") }
-          // updating the join key would re-key the changeset row: the
-          // keyed merge would then delete whatever row already holds
-          // the NEW key and leave the old row in place — silent
-          // corruption, so the ON column is not assignable (Delta
-          // refuses the same)
-          require(!setMap.contains(onTgtCol),
-            s"ansi merge on $root: SET may not assign the ON column $onTgtCol — " +
-              "delete and re-insert to re-key a row")
-          // assigning the CLUSTER column is the same hazard one layer
-          // down (ADVICE r12): merge prunes affected files from the
-          // changeset's clusterCol [min,max], and an updated row carries
-          // only its NEW cluster value — the file holding the OLD value
-          // would never be rewritten, so the old row survives beside the
-          // inserted update (silent key duplication)
-          require(!setMap.contains(clusterCol),
-            s"ansi merge on $root: SET may not assign the cluster column $clusterCol — " +
-              "merge prunes rewritten files by this column's stats, so re-clustering " +
-              "a row would leave its old copy in an unpruned file; delete and " +
-              "re-insert to move a row across the clustering")
+          val setMap = checkSets(sets)
           parts += matched.filter(remaining && condCol(cond)).select(
             tCols.map { c => (setMap.get(c) match {
               case Some(rhs) => expr(rhs).cast(tgtPlain.schema(c).dataType)
@@ -943,6 +987,18 @@ object SnapshotTable {
           parts += src.join(tgt, onCond, "left_anti").select(
             tCols.map(c => col(s"$srcAlias.$c").cast(tgtPlain.schema(c).dataType).as(c))
               :+ lit("i").as("op"): _*)
+        case WhenNotMatchedBySourceUpdate(cond, sets) =>
+          val setMap = checkSets(sets)
+          parts += unmatchedTgt.filter(remainingNmbs && condCol(cond)).select(
+            tCols.map { c => (setMap.get(c) match {
+              case Some(rhs) => expr(rhs).cast(tgtPlain.schema(c).dataType)
+              case None => col(s"$tgtAlias.$c")
+            }).as(c) } :+ lit("u").as("op"): _*)
+          remainingNmbs = remainingNmbs && !condCol(cond)
+        case WhenNotMatchedBySourceDelete(cond) =>
+          parts += unmatchedTgt.filter(remainingNmbs && condCol(cond)).select(
+            tCols.map(c => col(s"$tgtAlias.$c").as(c)) :+ lit("d").as("op"): _*)
+          remainingNmbs = remainingNmbs && !condCol(cond)
       }
       // materialize the compiled changeset ONCE: without this the
       // O(table) discovery join re-executes for every downstream
@@ -1885,6 +1941,7 @@ object SnapshotTable {
     "x31_restore" -> (x31Restore _, Some(x31Sql)),
     "x32_shallow_clone" -> (x32ShallowClone _, Some(x32Sql)),
     "x33_ansi_merge" -> (x33AnsiMerge _, Some(x33Sql)),
+    "x34_merge_sync" -> (x34MergeSync _, Some(x34Sql)),
   )
 
   /** x24_catalog_sql — the name-addressed warehouse surface end-to-end
@@ -2251,5 +2308,78 @@ object SnapshotTable {
        |SELECT ep_day, COUNT(*) AS n_events,
        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
        |FROM m GROUP BY ep_day ORDER BY ep_day""".stripMargin
+
+  /** x34_merge_sync — one MERGE statement mixing all THREE clause
+    * families (the warehouse-sync shape): the source is a PARTIAL
+    * re-snapshot covering only the sync window's days, so within the
+    * window MATCHED rows reconcile (conditional UPDATE), rows absent
+    * from the source are stale (`WHEN NOT MATCHED BY SOURCE` — DELETE
+    * a subset, first-match-wins fall-through to a target-only UPDATE
+    * marking the rest), and source-only rows INSERT. Rows OUTSIDE the
+    * window are also unmatched-by-source but the clause conditions
+    * bound them out — the scoped-sync discipline that keeps the
+    * rewrite pruned to the window's day-clustered files (every
+    * changeset row's ep_day lies in [X17Lo,X17Hi]). The DuckDB twin is
+    * the full-outer rewrite of the raw log the statement abbreviates. */
+  def x34MergeSync(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    if (!s.conf.getOption("spark.sql.catalog.gx").exists(_.nonEmpty)) {
+      s.conf.set("spark.sql.catalog.gx", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gx.root", Engine.tmpDir("graft_warehouse"))
+    }
+    val ev = Tables.events(s, d)
+      .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+      .filter(col("event_id") % X29Mod === 0)
+      .select("event_id", "event_type", "value", "ep_day")
+    ev.createOrReplaceTempView("x34_tgt_src")
+    s.sql("DROP TABLE IF EXISTS gx.x34_t")
+    s.sql("CREATE TABLE gx.x34_t AS SELECT * FROM x34_tgt_src")
+    s.sql("OPTIMIZE gx.x34_t CLUSTER BY (ep_day) TARGET 7")
+    // the partial re-snapshot: window days only, a third of the ids
+    // gone (→ BY SOURCE candidates), half the survivors revalued
+    // (→ the MATCHED condition observable both ways), plus new ids
+    val win = ev.filter(col("ep_day").between(X17Lo, X17Hi))
+    val srcWin = win.filter(col("event_id") % 3 =!= 0)
+      .select(col("event_id"), col("event_type"),
+        when(col("event_id") % 20 === 0, col("value") + 2.0)
+          .otherwise(col("value")).as("value"), col("ep_day"))
+    val ins = (X17Lo to X17Hi).map(day => (-day, "backfill", 1.0, day))
+      .toDF("event_id", "event_type", "value", "ep_day")
+    srcWin.unionByName(ins).createOrReplaceTempView("x34_src")
+    s.sql(s"""MERGE INTO gx.x34_t AS t USING x34_src AS s ON t.event_id = s.event_id
+      WHEN MATCHED AND s.event_id % 20 = 0 THEN UPDATE SET value = s.value
+      WHEN NOT MATCHED BY SOURCE AND t.ep_day BETWEEN $X17Lo AND $X17Hi
+        AND t.event_id % 20 = 0 THEN DELETE
+      WHEN NOT MATCHED BY SOURCE AND t.ep_day BETWEEN $X17Lo AND $X17Hi
+        THEN UPDATE SET event_type = 'stale'
+      WHEN NOT MATCHED THEN INSERT *""")
+    s.sql("""SELECT ep_day, event_type, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      FROM gx.x34_t GROUP BY ep_day, event_type ORDER BY ep_day, event_type""")
+  }
+
+  val x34Sql: String =
+    s"""WITH e AS (SELECT event_id, event_type, value,
+       |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day FROM events
+       |  WHERE event_id % $X29Mod = 0),
+       |f AS (
+       |  SELECT event_id,
+       |    CASE WHEN ep_day BETWEEN $X17Lo AND $X17Hi
+       |      AND event_id % 3 <> 0 AND event_id % 20 = 0
+       |      THEN value + 2.0 ELSE value END AS value,
+       |    CASE WHEN ep_day BETWEEN $X17Lo AND $X17Hi
+       |      AND event_id % 3 = 0 AND event_id % 20 <> 0
+       |      THEN 'stale' ELSE event_type END AS event_type,
+       |    ep_day
+       |  FROM e
+       |  WHERE NOT (ep_day BETWEEN $X17Lo AND $X17Hi
+       |    AND event_id % 3 = 0 AND event_id % 20 = 0)
+       |  UNION ALL
+       |  SELECT -d AS event_id, CAST(1.0 AS DOUBLE) AS value,
+       |    'backfill' AS event_type, d AS ep_day
+       |  FROM generate_series($X17Lo, $X17Hi) AS g(d))
+       |SELECT ep_day, event_type, COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+       |FROM f GROUP BY ep_day, event_type ORDER BY ep_day, event_type""".stripMargin
 
 }

@@ -26,7 +26,9 @@ import graft.operators.SnapshotTable
   *   MERGE INTO <table> t USING <view> s ON t.<id> = s.<id>
   *     [WHEN MATCHED [AND <cond>] THEN UPDATE SET col = expr, ...]
   *     [WHEN MATCHED [AND <cond>] THEN DELETE]
-  *     [WHEN NOT MATCHED THEN INSERT *]
+  *     [WHEN NOT MATCHED [BY TARGET] THEN INSERT *]
+  *     [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET ...]
+  *     [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE]
   *   UPDATE <table> SET col = expr [, col = expr]* WHERE <predicate>
   *   RESTORE TABLE <table> TO VERSION AS OF <version>
   *   CREATE TABLE <table> SHALLOW CLONE <table> [VERSION AS OF <version>]
@@ -134,7 +136,13 @@ object SnapshotSql {
   private val WhenDelete =
     """(?is)\s*WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE\s*""".r
   private val WhenInsert =
-    """(?is)\s*WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*""".r
+    """(?is)\s*WHEN\s+NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?THEN\s+INSERT\s+\*\s*""".r
+  // the sync family: target rows absent from the source (Delta's
+  // WHEN NOT MATCHED BY SOURCE). Conditions/SETs are target-only.
+  private val WhenNmbsUpdate =
+    """(?is)\s*WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+(.+?)\s*""".r
+  private val WhenNmbsDelete =
+    """(?is)\s*WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE\s*""".r
 
   /** Split the WHEN-clause tail at TOP-LEVEL clause boundaries only: a
     * WHEN inside parens, inside a quoted string, or inside a
@@ -178,11 +186,21 @@ object SnapshotSql {
       case WhenUpdate(cond, sets) =>
         SnapshotTable.WhenMatchedUpdate(Option(cond), parseSets(sets))
       case WhenDelete(cond) => SnapshotTable.WhenMatchedDelete(Option(cond))
+      // BY SOURCE must be tried before the INSERT pattern so a
+      // malformed "NOT MATCHED BY SOURCE THEN INSERT" falls to the
+      // loud refusal, not a half-match
+      case WhenNmbsUpdate(cond, sets) =>
+        SnapshotTable.WhenNotMatchedBySourceUpdate(Option(cond), parseSets(sets))
+      case WhenNmbsDelete(cond) =>
+        SnapshotTable.WhenNotMatchedBySourceDelete(Option(cond))
       case WhenInsert() => SnapshotTable.WhenNotMatchedInsert
       case other => throw new IllegalArgumentException(
         s"graft-snapshot SQL: cannot parse MERGE clause '${other.trim.take(100)}' — " +
           "expected WHEN MATCHED [AND <cond>] THEN UPDATE SET ... | " +
-          "WHEN MATCHED [AND <cond>] THEN DELETE | WHEN NOT MATCHED THEN INSERT *")
+          "WHEN MATCHED [AND <cond>] THEN DELETE | " +
+          "WHEN NOT MATCHED [BY TARGET] THEN INSERT * | " +
+          "WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET ... | " +
+          "WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE")
     }
 
   private val Quoted = "'([^']+)'".r
