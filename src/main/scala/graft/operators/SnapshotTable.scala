@@ -370,9 +370,16 @@ object SnapshotTable {
     val live = keep.flatMap(v => manifest(root, v)).toSet
     val liveShards = keep.flatMap(v => rawManifestLines(root, v)
       .collect { case l if l.startsWith(">") => l.drop(1) }).toSet
+    // CDC files are commit artifacts, not table entries: they live
+    // exactly as long as the manifest whose `cdc` meta names them
+    // (dropping that version retires its slice of the change feed)
+    val liveCdc = keep.flatMap(v => manifestMeta(root, v).get("cdc").toSeq
+        .flatMap(spec => spec.split(';').toSeq
+          .flatMap(grp => grp.split("=", 2)(1).split(',').toSeq)))
+      .map(rel => Paths.get(root, rel).toString).toSet
     val dead = Engine.listDir(Paths.get(root))
       .filter(p => p.getFileName.toString.endsWith(".parquet") &&
-        !live.contains(p.toString))
+        !live.contains(p.toString) && !liveCdc.contains(p.toString))
     dead.foreach(Files.deleteIfExists(_))
     drop.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
     // shards referenced only by dropped manifests (plus any orphan a
@@ -517,6 +524,41 @@ object SnapshotTable {
       }
   }
 
+  /** Target rows per CDC file (the change sets are batch-sized; one
+    * file per type is the common case, splitting only for very large
+    * DML batches). */
+  private val CdcRowsPerFile = 1000000L
+
+  /** Write one DML commit's row-grain CHANGE DATA FEED files (Delta's
+    * `_change_data` design): `cdcAll` carries the table's columns plus
+    * `_change_type` ∈ {update_preimage, update_postimage, delete,
+    * insert}. Each type present writes its own plain table-schema
+    * parquet file(s) — the feed plans them as constant-changeType
+    * partitions, so the CDF reader needs no schema change — and the
+    * returned meta value (`type=rel[,rel];...`) rides the commit's
+    * `cdc` key, which [[vacuum]] treats as liveness and
+    * [[carriedMeta]] strips from follow-on commits. The caller
+    * localCheckpoints `cdcAll` so the per-type writes scan memory, not
+    * the DML's input plans. */
+  private[graft] def writeCdcFiles(cdcAll: DataFrame, root: String,
+      tag: String): Option[String] = {
+    val ct = "_change_type"
+    val counts = cdcAll.groupBy(col(ct)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val groups = Seq("update_preimage" -> "up", "update_postimage" -> "uo",
+      "delete" -> "d", "insert" -> "i").flatMap { case (ty, code) =>
+      val n = counts.getOrElse(ty, 0L)
+      if (n == 0) None
+      else {
+        val parts = math.max(1, (n / CdcRowsPerFile).toInt)
+        val rels = writeDataFiles(cdcAll.filter(col(ct) === ty).drop(ct)
+          .repartition(parts), root, s"cdc_${tag}_$code")
+        Some(s"$ty=${rels.mkString(",")}")
+      }
+    }
+    if (groups.isEmpty) None else Some(groups.mkString(";"))
+  }
+
   /** Metadata a follow-on commit must carry forward from the version it
     * supersedes: dropping `statsCol` silently disables file pruning for
     * every later reader, and dropping an `epoch:<queryId>` / `last_batch`
@@ -529,7 +571,10 @@ object SnapshotTable {
   private[graft] def carriedMeta(root: String, v: Int): Map[String, String] =
     if (v == 0) Map.empty
     else manifestMeta(root, v) -- Seq("optimize", "merge", "update", "delete", "alter",
-      "restore", "clone", "upsert_scan")
+      "restore", "clone", "upsert_scan",
+      // `cdc` names ONE commit's change files: carrying it forward
+      // would make the feed re-emit those rows at every later version
+      "cdc")
 
   /** Bounded optimistic-commit policy for every CAS retry loop. A
     * committer that dies between its createFile claim and the content
@@ -786,6 +831,36 @@ object SnapshotTable {
     val upserts = changes.filter(col("op") =!= "d").select(cols.map(col): _*)
     val rewritten = old.join(dropIds, Seq(idCol), "left_anti").unionByName(upserts)
     val tag = java.util.UUID.randomUUID().toString.take(8)
+    // Row-grain CHANGE DATA FEED (Delta's _change_data design): when
+    // the table opts in (`cdf=row` meta, carried forward like
+    // statsCol), the merge emits its row-level change images as CDC
+    // files registered on THIS commit — computed here, where both
+    // images are already in hand, so feed PLANNING stays pure manifest
+    // arithmetic and a consumer sees update_preimage/update_postimage
+    // for genuinely updated rows instead of the file-grain carried-row
+    // delete+insert pairs. preimages/delete rows come from the
+    // AFFECTED-FILE read (authoritative old values — a changeset's 'd'
+    // row may carry synthesized values), post/insert from the
+    // changeset. Cost: one checkpoint + write of O(changed rows) per
+    // merge — batch-proportional, never O(table). Tables without the
+    // flag keep the zero-cost file-grain contract.
+    val cdcMeta: Option[String] =
+      if (!carried.get("cdf").contains("row")) None
+      else {
+        val ct = "_change_type"
+        val updIds = changes.filter(col("op") === "u").select(col(idCol))
+        val delIds = changes.filter(col("op") === "d").select(col(idCol))
+        val cdcAll = old.join(updIds, Seq(idCol), "left_semi")
+            .withColumn(ct, lit("update_preimage"))
+          .unionByName(changes.filter(col("op") === "u")
+            .select(cols.map(col): _*).withColumn(ct, lit("update_postimage")))
+          .unionByName(old.join(delIds, Seq(idCol), "left_semi")
+            .withColumn(ct, lit("delete")))
+          .unionByName(changes.filter(col("op") === "i")
+            .select(cols.map(col): _*).withColumn(ct, lit("insert")))
+          .localCheckpoint(true)
+        writeCdcFiles(cdcAll, root, tag)
+      }
     val rels = writeDataFiles(
       rewritten.repartitionByRange(math.max(affected.size, 1), col(clusterCol)),
       root, s"m_$tag")
@@ -805,7 +880,8 @@ object SnapshotTable {
       baseMeta ++ extraMeta ++
         (if (addedCols.nonEmpty) Map("schema" -> s"evolved:+${addedCols.mkString(",")}")
          else Map.empty) ++
-        unionJson.map("schemaJson" -> _) +
+        unionJson.map("schemaJson" -> _) ++
+        cdcMeta.map("cdc" -> _) +
         ("merge" -> s"cow:$idCol:${affected.size}of${untouched.size + affected.size}"))
   }
 
@@ -1188,11 +1264,31 @@ object SnapshotTable {
       }
     }.toIndexedSeq: _*)
     val tag = java.util.UUID.randomUUID().toString.take(8)
+    // row-grain CDF (see merge): an UPDATE's images are the predicate's
+    // hits before and after the SET — pre-update RHS semantics hold
+    // because the transform runs over the FILTERED OLD rows
+    val cdcMeta: Option[String] =
+      if (!carried.get("cdf").contains("row")) None
+      else {
+        val ct = "_change_type"
+        val hits = old.filter(coalesce(cond, lit(false)))
+        val post = hits.select(old.columns.map { c =>
+          setMap.get(c) match {
+            case Some(e2) => expr(e2).cast(old.schema(c).dataType).as(c)
+            case None => col(c)
+          }
+        }.toIndexedSeq: _*)
+        val cdcAll = hits.withColumn(ct, lit("update_preimage"))
+          .unionByName(post.withColumn(ct, lit("update_postimage")))
+          .localCheckpoint(true)
+        writeCdcFiles(cdcAll, root, tag)
+      }
     val rels = writeDataFiles(
       updated.repartitionByRange(rewriteParts(s, touched), col(statsCol)),
       root, s"u_$tag")
     val newEntries = rels.map(footerEntry(root, _, statsCol))
-    commitRewrite(root, v, touchedSet, newEntries, shardSize, "update", extraMeta,
+    commitRewrite(root, v, touchedSet, newEntries, shardSize, "update",
+      extraMeta ++ cdcMeta.map("cdc" -> _),
       emptySchemaJson = Some(allNullableJson(full.schema)))
   }
 
@@ -1231,6 +1327,18 @@ object SnapshotTable {
       .parquet(touched.map(e => Paths.get(root, e.rel).toString): _*)
       .filter(not(coalesce(cond, lit(false))))
     val tag = java.util.UUID.randomUUID().toString.take(8)
+    // row-grain CDF (see merge): a DELETE's images are just the
+    // predicate's hits, typed delete
+    val cdcMeta: Option[String] =
+      if (!carried.get("cdf").contains("row")) None
+      else {
+        val ct = "_change_type"
+        val removed = subsetReader(s, root, v)
+          .parquet(touched.map(e => Paths.get(root, e.rel).toString): _*)
+          .filter(coalesce(cond, lit(false)))
+        writeCdcFiles(removed.withColumn(ct, lit("delete")).localCheckpoint(true),
+          root, tag)
+      }
     val rels = writeDataFiles(
       kept.repartitionByRange(rewriteParts(s, touched), col(statsCol)),
       root, s"d_$tag")
@@ -1239,7 +1347,8 @@ object SnapshotTable {
     // ZERO entries deterministically, the readable-empty-table state;
     // the orphan file is vacuum garbage, never a torn table)
     val newEntries = rels.map(footerEntry(root, _, statsCol)).filter(_.rows > 0)
-    commitRewrite(root, v, touchedSet, newEntries, shardSize, "delete", extraMeta,
+    commitRewrite(root, v, touchedSet, newEntries, shardSize, "delete",
+      extraMeta ++ cdcMeta.map("cdc" -> _),
       emptySchemaJson = Some(allNullableJson(full.schema)))
   }
 
@@ -1400,7 +1509,12 @@ object SnapshotTable {
     mergeMemo.getOrElseUpdate(s, d) {
       val root = Engine.tmpDir("graft_snap_merge")
       Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
-      commitEntries(root, 0, stageDayClustered(s, d, root), shardSize = 3)
+      // cdf=row opts the table into ROW-GRAIN change-feed emission
+      // (Delta's enableChangeDataFeed): the MERGE below registers
+      // update/delete/insert images on its commit, and st12/st14's
+      // feeds see real update pairs instead of carried-row noise
+      commitEntries(root, 0, stageDayClustered(s, d, root), shardSize = 3,
+        Map("cdf" -> "row"))
       // MERGE through the SQL surface: the changeset rides a registered
       // view, exactly how a Spark-SQL user hands a source to MERGE INTO
       x17Changes(s, d).createOrReplaceTempView("graft_x17_changes")

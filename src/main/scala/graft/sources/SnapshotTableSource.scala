@@ -722,16 +722,26 @@ private[sources] case class SnapshotCountPartition(total: Long) extends InputPar
   * rows — so a DML commit upstream keeps the downstream pipeline alive
   * instead of killing it.
   *
-  * The contract is FILE-GRAIN CDF (the same one Delta serves for
-  * copy-on-write commits without CDC files): a rewritten file's CARRIED
-  * rows appear as a delete+insert pair. Those pairs cancel under any
-  * signed/associative delta application — exactly the consumption
-  * pattern (x23's MV maintenance, index upserts keyed by id, signed
-  * aggregates) CDC feeds exist for — so correctness is preserved while
-  * planning stays pure manifest arithmetic: nothing ever diffs row
-  * CONTENT at plan time, which is what keeps a 100 TB feed's planning
-  * cost proportional to the commit, not the table. Consumers needing
-  * minimal deltas run `SnapshotTable.changesBetween` (batch), which
+  * The feed serves TWO grains, commit by commit. A DML commit on a
+  * table opted into `cdf=row` registered ROW-GRAIN change files at
+  * commit time (Delta's `_change_data` design, written by
+  * merge/update/delete where both images are in hand): genuinely
+  * updated rows stream as `update_preimage`/`update_postimage` pairs,
+  * deletes/inserts as themselves, and a rewritten file's carried rows
+  * don't appear at all — a consumer keying on row identity (index
+  * refresh, audit trail) can tell a carried row from an updated one.
+  * Every other commit (appends, OPTIMIZE, tables not opted in) serves
+  * FILE-GRAIN CDF (what Delta serves for copy-on-write commits
+  * without CDC files): a rewritten file's CARRIED rows appear as a
+  * delete+insert pair. Both grains agree under any signed/associative
+  * delta application (sign insert/update_postimage positive,
+  * delete/update_preimage negative) — the consumption pattern (x23's
+  * MV maintenance, index upserts keyed by id, signed aggregates) CDC
+  * feeds exist for. Either way planning stays pure manifest
+  * arithmetic: nothing ever diffs row CONTENT at plan time, which is
+  * what keeps a 100 TB feed's planning cost proportional to the
+  * commit, not the table. Consumers needing minimal deltas on a
+  * file-grain table run `SnapshotTable.changesBetween` (batch), which
   * cancels carried rows with a distributed multiset difference.
   *
   * A metadata-only commit (ALTER, RESTORE to an identical file set)
@@ -781,13 +791,31 @@ private[sources] object SnapshotCdf {
             s"graft-snapshot CDF: version $at of $root was vacuumed away — " +
               s"the change feed cannot diff commit $v; start from a retained version", e)
         }
-      val before = if (v == 1) Set.empty[String] else rels(v - 1)
-      val after = rels(v)
-      val deletes = (before -- after).toSeq.sorted
-        .map(rel => SnapshotCdfPartition(Paths.get(root, rel).toString, "delete", v))
-      val inserts = (after -- before).toSeq.sorted
-        .map(rel => SnapshotCdfPartition(Paths.get(root, rel).toString, "insert", v))
-      deletes ++ inserts
+      // a DML commit on a `cdf=row` table registered its ROW-GRAIN
+      // change files (`cdc` meta: `type=rel[,rel];...`) — plan those
+      // instead of the manifest diff: genuinely updated rows surface as
+      // update_preimage/update_postimage pairs and a rewritten file's
+      // carried rows don't appear at all. Each CDC file is one
+      // constant-changeType partition, same reader as the diff path.
+      // Commits without the meta (appends, OPTIMIZE, tables not opted
+      // in) keep the file-grain contract.
+      val cdc = try SnapshotTable.manifestMeta(root, v).get("cdc")
+        catch { case _: java.nio.file.NoSuchFileException => None }
+      cdc match {
+        case Some(spec) => spec.split(';').toSeq.flatMap { grp =>
+          val Array(ty, tyRels) = grp.split("=", 2)
+          tyRels.split(',').toSeq.sorted.map(rel =>
+            SnapshotCdfPartition(Paths.get(root, rel).toString, ty, v))
+        }
+        case None =>
+          val before = if (v == 1) Set.empty[String] else rels(v - 1)
+          val after = rels(v)
+          val deletes = (before -- after).toSeq.sorted
+            .map(rel => SnapshotCdfPartition(Paths.get(root, rel).toString, "delete", v))
+          val inserts = (after -- before).toSeq.sorted
+            .map(rel => SnapshotCdfPartition(Paths.get(root, rel).toString, "insert", v))
+          deletes ++ inserts
+      }
     }.toArray
 }
 

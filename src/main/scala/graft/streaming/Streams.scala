@@ -700,12 +700,15 @@ object Streams {
     * commits (st9's append-only guard kills the pipe on the first
     * MERGE/UPDATE/DELETE upstream — this is the mode that keeps it
     * alive). The feed replays the merge table's full commit history —
-    * the day-clustered ingest (v1, inserts) and the copy-on-write MERGE
-    * (v2, the rewritten file as delete+insert plus the new file) — and
-    * the query folds it as SIGNED deltas per day: file-grain CDF emits
-    * a rewritten file's carried rows as delete+insert pairs, which
-    * cancel under the signed aggregate, so folding the feed from v0
-    * reproduces exactly the current table's day aggregate. That is the
+    * the day-clustered ingest (v1, file-grain inserts) and the
+    * copy-on-write MERGE (v2: the table is `cdf=row`, so the commit's
+    * registered CDC files stream as update_preimage/update_postimage
+    * pairs, deletes, and inserts — no carried-row noise) — and the
+    * query folds it as SIGNED deltas per day (insert/update_postimage
+    * +1, delete/update_preimage −1; the same fold is grain-agnostic,
+    * since file-grain carried pairs cancel under it), so folding the
+    * feed from v0 reproduces exactly the current table's day
+    * aggregate. That is the
     * oracle: the same x17Sql derivation the merge itself is checked
     * against — proving stream-consumed CDF ≡ table end state. At
     * 100 TB each micro-batch reads one commit's changed files, never
@@ -722,7 +725,8 @@ object Streams {
     // continuously-maintained aggregate.
     val q = s.readStream.format("graft-snapshot")
       .option("readChangeFeed", "true").load(root)
-      .withColumn("sgn", when(col("_change_type") === "insert", 1L).otherwise(-1L))
+      .withColumn("sgn", when(col("_change_type")
+        .isin("insert", "update_postimage"), 1L).otherwise(-1L))
       .groupBy(col("ep_day"))
       .agg(sum(col("sgn")).as("n_events"),
         sum(col("value").cast("decimal(18,6)") * col("sgn"))
@@ -761,7 +765,8 @@ object Streams {
       df: DataFrame, id: Long): Unit = {
     val ST = graft.operators.SnapshotTable
     val delta = df
-      .withColumn("sgn", when(col("_change_type") === "insert", 1L).otherwise(-1L))
+      .withColumn("sgn", when(col("_change_type")
+        .isin("insert", "update_postimage"), 1L).otherwise(-1L))
       .groupBy(col("ep_day"))
       .agg(sum(col("sgn")).as("d_n"),
         sum(col("value").cast("decimal(18,6)") * col("sgn"))

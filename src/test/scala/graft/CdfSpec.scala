@@ -260,6 +260,77 @@ class CdfSpec extends AnyFunSuite {
     assert(mvState() == recomputed)
   }
 
+  test("row-grain CDF on x17's merge commit: update images, no carried-row noise") {
+    // the merge fixture is cdf=row: its MERGE commit registered CDC
+    // files, so the feed's v2 is ROW-grain — a consumer keying on row
+    // identity can tell a carried row from an updated one
+    val root = ST.mergeTable(spark, sf)
+    val feed = runFeed(root).filter(col("_commit_version") === 2)
+    val byType = feed.collect().groupBy(_.getAs[String]("_change_type"))
+    // updated ids appear as preimage/postimage PAIRS carrying the old
+    // and new values (the changeset added 1000 to every %10==0 id in
+    // the window)
+    val pre = byType("update_preimage")
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("value")).toMap
+    val post = byType("update_postimage")
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("value")).toMap
+    assert(pre.nonEmpty && pre.keySet == post.keySet)
+    assert(pre.keySet.forall(_ % 10 == 0))
+    assert(pre.keySet.forall(id => post(id) == pre(id) + 1000.0),
+      "postimage must carry the NEW value, preimage the OLD")
+    // deletes are exactly the changeset's delete ids; inserts the
+    // per-day backfills — not whole-file contents
+    val dels = byType("delete").map(_.getAs[Long]("event_id")).toSet
+    assert(dels.nonEmpty && dels.forall(_ % 10 == 1), s"deletes: $dels")
+    assert(byType("insert").map(_.getAs[Long]("event_id")).toSet ==
+      Set(-19745L, -19746L, -19747L))
+    // the touchstone the file-grain contract cannot give: a CARRIED row
+    // (lives in the rewritten file but was not in the changeset) does
+    // not appear in the feed AT ALL
+    assert(feed.filter(col("event_id") % 10 === 2).count() == 0,
+      "carried rows leaked into the row-grain feed")
+    assert(feed.filter(col("event_id") % 10 === 0 &&
+      !col("_change_type").startsWith("update_")).count() == 0)
+  }
+
+  test("row-grain CDF across CoW DELETE/UPDATE; CDC files follow vacuum's retention") {
+    val root = graft.operators.Engine.tmpDir("graft_cdf_rowgrain")
+    graft.operators.Engine.listDir(Paths.get(root))
+      .foreach(graft.operators.Engine.deleteRecursively)
+    val rels = ST.writeDataFiles((1L to 6L).map(k => (k, k * 1.0)).toDF("k", "v")
+      .coalesce(1), root, "a").map(ST.footerEntry(root, _, "k"))
+    ST.commitEntries(root, 0, rels, 16, Map("statsCol" -> "k", "cdf" -> "row"))
+    ST.delete(spark, root, "k <= 2") // v2
+    ST.update(spark, root, Seq("v" -> "v * 10"), "k = 5") // v3
+    val feed = runFeed(root).collect()
+    val v2 = feed.filter(_.getAs[Long]("_commit_version") == 2)
+    // ONLY the two deleted rows — the file's 4 survivors don't stream
+    assert(v2.map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("k"))).toSet ==
+      Set(("delete", 1L), ("delete", 2L)), v2.mkString(","))
+    val v3 = feed.filter(_.getAs[Long]("_commit_version") == 3)
+    assert(v3.map(r => (r.getAs[String]("_change_type"),
+        r.getAs[Long]("k"), r.getAs[Double]("v"))).toSet ==
+      Set(("update_preimage", 5L, 5.0), ("update_postimage", 5L, 50.0)),
+      v3.mkString(","))
+    // CDC files are live exactly as long as their commit's manifest:
+    // vacuum keeping v2 preserves v2's file, dropping it reaps it
+    def cdcPaths(v: Int): Seq[java.nio.file.Path] =
+      ST.manifestMeta(root, v)("cdc").split(';').toSeq
+        .flatMap(g => g.split("=", 2)(1).split(',').toSeq)
+        .map(rel => Paths.get(root, rel))
+    val v2cdc = cdcPaths(2)
+    ST.vacuum(root, keepFrom = 2)
+    assert(v2cdc.forall(Files.exists(_)),
+      "vacuum reaped a retained commit's CDC files")
+    assert(runFeed(root, Map("startingVersion" -> "1"))
+      .filter(col("_commit_version") === 2).count() == 2,
+      "the retained slice of the feed must still serve")
+    ST.vacuum(root, keepFrom = 3)
+    assert(v2cdc.forall(!Files.exists(_)),
+      "a dropped commit's CDC files must be reclaimed")
+    assert(cdcPaths(3).forall(Files.exists(_)))
+  }
+
   test("the feed reads mixed widths: a delete of a pre-evolution narrow file null-fills") {
     val root = graft.operators.Engine.tmpDir("graft_cdf_evolve")
     graft.operators.Engine.listDir(Paths.get(root))

@@ -1156,7 +1156,13 @@ class MergeSpec extends AnyFunSuite {
     val carried = before.map(_.rel).toSet intersect after.map(_.rel).toSet
     assert(before.size == 7 && carried.size == 6,
       s"merge rewrote the wrong files: before=${before.map(_.rel)} after=${after.map(_.rel)}")
-    assert(ST.manifestMeta(root, v2) == Map("merge" -> "cow:event_id:1of7"))
+    val v2meta = ST.manifestMeta(root, v2)
+    assert(v2meta.get("merge").contains("cow:event_id:1of7"), v2meta.toString)
+    // the fixture is cdf=row: the merge registered its row-grain CDC
+    // files (all four change types present) on this commit
+    assert(v2meta.get("cdf").contains("row") &&
+      Seq("update_preimage", "update_postimage", "delete", "insert")
+        .forall(ty => v2meta("cdc").contains(s"$ty=")), v2meta.toString)
     // the pre-merge snapshot is still exactly the raw log
     val rawCount = graft.sources.Tables.events(spark, sf).count()
     assert(ST.readAt(spark, root, v1).count() == rawCount, "v1 lost pre-merge content")
