@@ -224,6 +224,14 @@ object Pipeline {
     * the request batch, never O(users). */
   private[graft] val LookupMod = 17L
 
+  /** The serving request's batch size: the id list is a PLANNING-TIME
+    * input collected to the driver, so it must be bounded by the
+    * request contract, not by the user population — at 100× users an
+    * unbounded ~1% sample is a multi-million-id driver collect inside
+    * the gate query (r12 verdict). First [[RequestBatch]] matching ids
+    * in id order, deterministic on both engine and oracle. */
+  private[graft] val RequestBatch = 1024
+
   /** c22_score_serving — keyed score fetch against the published
     * serving table via [[SnapshotTable.readPointLookup]] (parquet
     * blooms route each id to its file; range stats would too — the
@@ -234,9 +242,12 @@ object Pipeline {
     * for the same users and counts the files a lookup opens. */
   def c22ScoreServing(s: SparkSession, d: String): DataFrame = {
     val root = servingTable(s, d)
+    // orderBy+limit plans as TakeOrdered: the driver receives at most
+    // RequestBatch ids regardless of table scale
     val ids = Tables.events(s, d)
       .select(col("user_id")).where(pmod(col("user_id"), lit(LookupMod)) === 0L)
-      .distinct().collect().map(_.getLong(0)).sorted.toIndexedSeq
+      .distinct().orderBy("user_id").limit(RequestBatch)
+      .collect().map(_.getLong(0)).toIndexedSeq
     SnapshotTable.readPointLookup(s, root, "user_id", ids)
       .select(col("user_id"), col("churned"), col("is_test"))
       .orderBy("user_id")
@@ -250,7 +261,8 @@ object Pipeline {
        |  FROM e GROUP BY user_id)
        |SELECT user_id, CAST(churned AS BIGINT) AS churned,
        |  CAST(CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_test
-       |FROM lab WHERE user_id % 17 = 0 ORDER BY user_id""".stripMargin
+       |FROM lab WHERE user_id % 17 = 0 ORDER BY user_id
+       |LIMIT $RequestBatch""".stripMargin
 
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "c21_daily_pipeline" -> (c21DailyPipeline _, Some(c21Sql)),

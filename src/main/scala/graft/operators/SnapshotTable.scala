@@ -91,7 +91,7 @@ object SnapshotTable {
   }
 
   private def manifestDir(root: String): Path = Paths.get(root, "_manifests")
-  private def manifestPath(root: String, v: Int): Path =
+  private[graft] def manifestPath(root: String, v: Int): Path =
     manifestDir(root).resolve(f"v$v%05d.txt")
 
   /** Current committed version: _latest if present, else the highest
@@ -390,6 +390,30 @@ object SnapshotTable {
       .filter(p => p.getFileName.toString.startsWith("shard_") &&
         !liveShards.contains(p.getFileName.toString))
       .foreach(Files.deleteIfExists(_))
+  }
+
+  /** Time-based retention — the production spelling of vacuum
+    * (`VACUUM <t> RETAIN n HOURS`): resolve the cutoff against the
+    * manifests' commit mtimes (the same clock DESCRIBE HISTORY
+    * surfaces and `TIMESTAMP AS OF` resolves on), keep every version
+    * committed inside the window plus the CURRENT version
+    * unconditionally, and hand the resulting floor to [[vacuum]] —
+    * so time travel inside the window is never broken, by
+    * construction (the refusal the version-addressed spelling leaves
+    * to the caller). `RETAIN 0 HOURS` is Delta's escape hatch:
+    * retain only the current snapshot. Commit mtimes are
+    * version-monotone (each commit creates its manifest at commit
+    * time); an already-vacuumed version is skipped. Returns the keep
+    * floor actually applied. */
+  def vacuumRetain(root: String, hours: Double): Int = {
+    val cur = currentVersion(root)
+    if (cur == 0) return 0 // nothing committed, nothing to retire
+    val cutoff = System.currentTimeMillis - (hours * 3600 * 1000).toLong
+    val keepFrom = (1 to cur).find(v =>
+      scala.util.Try(commitTimeMillis(root, v)).toOption.exists(_ >= cutoff))
+      .getOrElse(cur)
+    vacuum(root, keepFrom)
+    keepFrom
   }
 
   /** RESTORE — Delta's `RESTORE TABLE ... TO VERSION AS OF n` undo

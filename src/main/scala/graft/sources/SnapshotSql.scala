@@ -33,6 +33,7 @@ import graft.operators.SnapshotTable
   *   RESTORE TABLE <table> TO VERSION AS OF <version>
   *   CREATE TABLE <table> SHALLOW CLONE <table> [VERSION AS OF <version>]
   *   VACUUM <table> KEEP FROM <version>
+  *   VACUUM <table> RETAIN <n> HOURS
   *   DESCRIBE HISTORY <table>    (row-returning, parser route only)
   *   DESCRIBE DETAIL <table>     (row-returning, parser route only)
   *
@@ -57,6 +58,10 @@ object SnapshotSql {
     s"""(?is)\\s*MERGE\\s+INTO\\s+($Ref)\\s+CLUSTER\\s+BY\\s+\\((\\w+)\\)\\s+ID\\s+\\((\\w+)\\)\\s+USING\\s+([\\w.]+)\\s*""".r
   private val Vacuum =
     s"""(?is)\\s*VACUUM\\s+($Ref)\\s+KEEP\\s+FROM\\s+(\\d+)\\s*""".r
+  // the production retention spelling (Delta's): cutoff resolved
+  // against commit mtimes, time travel inside the window preserved
+  private val VacuumRetain =
+    s"""(?is)\\s*VACUUM\\s+($Ref)\\s+RETAIN\\s+(\\d+)\\s+HOURS?\\s*""".r
   private val History =
     s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+($Ref)\\s*""".r
   private val Detail =
@@ -288,7 +293,7 @@ object SnapshotSql {
     // extension in the session may own) — claiming it here would turn
     // that fall-through into an exec-time parse error
     case OptimizeCluster(_, _, _) | OptimizeZorder(_, _, _, _)
-       | MergeInto(_, _, _, _) | Vacuum(_, _) => true
+       | MergeInto(_, _, _, _) | Vacuum(_, _) | VacuumRetain(_, _) => true
     case _ => false
   }
 
@@ -420,6 +425,10 @@ object SnapshotSql {
       val root = resolveRef(s, ref)
       SnapshotTable.vacuum(root, keepFrom.toInt)
       SnapshotTable.currentVersion(root)
+    case VacuumRetain(ref, hours) =>
+      val root = resolveRef(s, ref)
+      SnapshotTable.vacuumRetain(root, hours.toDouble)
+      SnapshotTable.currentVersion(root)
     case other => throw new IllegalArgumentException(
       s"graft-snapshot SQL: cannot parse '${other.trim.take(120)}' — expected " +
         "OPTIMIZE <table> CLUSTER BY (col) [TARGET n] | " +
@@ -430,6 +439,7 @@ object SnapshotSql {
         "DELETE FROM '<path>' WHERE <pred> | " +
         "RESTORE TABLE <table> TO VERSION AS OF <version> | " +
         "CREATE TABLE <table> SHALLOW CLONE <table> [VERSION AS OF <version>] | " +
-        "VACUUM <table> KEEP FROM <version>  (<table> = '<path>' or <catalog>.<name>)")
+        "VACUUM <table> KEEP FROM <version> | " +
+        "VACUUM <table> RETAIN <n> HOURS  (<table> = '<path>' or <catalog>.<name>)")
   }
 }

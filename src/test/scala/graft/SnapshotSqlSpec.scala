@@ -516,6 +516,47 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("may not assign the ON column"), e3.getMessage)
   }
 
+  test("VACUUM RETAIN n HOURS resolves against commit mtimes; window versions survive") {
+    import spark.implicits._
+    val root = Engine.tmpDir("graft_sql_vac_retain")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    def commitRows(base: Int, ks: Seq[Long], tag: String): Int = {
+      val rels = ST.writeDataFiles(ks.map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1), root, tag).map(ST.footerEntry(root, _, "k"))
+      val prior = if (base == 0) Nil else ST.manifestEntries(root, base)
+      ST.commitEntries(root, base, prior ++ rels, 16,
+        if (base == 0) Map("statsCol" -> "k") else ST.carriedMeta(root, base))
+    }
+    commitRows(0, 1L to 2L, "a") // v1
+    commitRows(1, 3L to 4L, "b") // v2
+    commitRows(2, 5L to 6L, "c") // v3
+    // backdate v1/v2's commit clocks ten days; v3 stays fresh — the
+    // same mtimes DESCRIBE HISTORY and TIMESTAMP AS OF read
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis - 10L * 24 * 3600 * 1000)
+    Seq(1, 2).foreach(v =>
+      java.nio.file.Files.setLastModifiedTime(ST.manifestPath(root, v), old))
+    // a generous window retains everything (all manifests survive)
+    spark.sql(s"VACUUM '$root' RETAIN ${30 * 24} HOURS").collect()
+    assert((1 to 3).forall(v => java.nio.file.Files.exists(ST.manifestPath(root, v))))
+    // 48h: the backdated versions retire, the in-window one survives,
+    // time travel INSIDE the window keeps working by construction
+    spark.sql(s"VACUUM '$root' RETAIN 48 HOURS").collect()
+    assert(!java.nio.file.Files.exists(ST.manifestPath(root, 1)))
+    assert(!java.nio.file.Files.exists(ST.manifestPath(root, 2)))
+    assert(java.nio.file.Files.exists(ST.manifestPath(root, 3)))
+    assert(ST.read(spark, root).count() == 6, "current snapshot lost content")
+    // RETAIN 0 HOURS — Delta's escape hatch: only the current snapshot
+    commitRows(3, Seq(7L), "d") // v4
+    java.nio.file.Files.setLastModifiedTime(ST.manifestPath(root, 3),
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis - 3600 * 1000))
+    spark.sql(s"VACUUM '$root' RETAIN 0 HOURS").collect()
+    assert(!java.nio.file.Files.exists(ST.manifestPath(root, 3)) &&
+      java.nio.file.Files.exists(ST.manifestPath(root, 4)))
+    assert(ST.read(spark, root).count() == 7)
+  }
+
   test("ANSI MERGE SET expressions may contain CASE WHEN without breaking clause parsing") {
     import spark.implicits._
     val root = Engine.tmpDir("graft_sql_ansimerge_case")
