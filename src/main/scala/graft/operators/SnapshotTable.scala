@@ -280,7 +280,17 @@ object SnapshotTable {
     * union schema footer-reads every file at planning time, so an
     * unevolved table (the overwhelmingly common case at 100 TB) keeps
     * its single-footer planning cost. */
-  def readAt(s: SparkSession, root: String, v: Int): DataFrame = {
+  def readAt(s: SparkSession, root: String, v: Int): DataFrame =
+    // user-facing reads resolve the column mapping AS OF the snapshot
+    // (rename/drop evolution, see colMap): renamed columns surface
+    // under their logical names, dropped physicals disappear
+    toLogical(readAtPhysical(s, root, v), colMap(root, v))
+
+  /** [[readAt]] WITHOUT the column-mapping resolution — the frame
+    * under the files' own (physical) names. Internal rewrite plumbing
+    * (DML, optimize, CDC emission) works physically and converts at
+    * its user-facing seams. */
+  private[graft] def readAtPhysical(s: SparkSession, root: String, v: Int): DataFrame = {
     val rels = manifest(root, v)
     if (rels.nonEmpty) evolvedReader(s, root, v).parquet(rels: _*)
     else {
@@ -296,6 +306,160 @@ object SnapshotTable {
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
   }
+
+  /** COLUMN MAPPING (Delta's rename/drop evolution): the manifest's
+    * `colmap` meta (`logical=physical,...`, ordered — it IS the
+    * table's logical schema) indirects user-facing column names from
+    * the names data files were written under. RENAME rewrites one
+    * mapping entry, DROP removes it — both METADATA-ONLY commits; the
+    * physical column stays in the files, unread. Absent meta =
+    * identity (the overwhelmingly common case pays nothing). Parsed
+    * per (root, version) so time travel resolves the mapping AS OF
+    * its snapshot — historical reads keep historical names. */
+  private[graft] def colMap(root: String, v: Int): Option[Seq[(String, String)]] =
+    if (v == 0) None
+    else manifestMeta(root, v).get("colmap").map(parseColMap)
+
+  private[graft] def parseColMap(spec: String): Seq[(String, String)] =
+    spec.split(',').toSeq.map { e =>
+      val Array(l, p) = e.split("=", 2)
+      (l, p)
+    }
+
+  private[graft] def fmtColMap(m: Seq[(String, String)]): String =
+    m.map { case (l, p) => s"$l=$p" }.mkString(",")
+
+  /** Physical-named frame → the logical view: rename through the
+    * mapping, DROP unmapped physicals (dropped columns), order by the
+    * mapping. Identity (no mapping) passes through untouched. */
+  private[graft] def toLogical(df: DataFrame,
+      map: Option[Seq[(String, String)]]): DataFrame = map match {
+    case None => df
+    case Some(m) => df.select(m.collect {
+      // a mapped column ABSENT from this frame (e.g. a pre-widening
+      // subset) is skipped rather than invented — callers that need
+      // the full width read through the union schema first
+      case (l, p) if df.columns.contains(p) => col(p).as(l)
+    }: _*)
+  }
+
+  /** The logical view for REWRITE plumbing: mapped physicals rename to
+    * their logical names, but DROPPED physicals (unmapped columns
+    * still present in the files) RIDE ALONG under their physical
+    * names — a copy-on-write UPDATE/DELETE must not strip them from
+    * rewritten files, or the table's physical widths would silently
+    * diverge without the evolution marker. Safe because
+    * [[renameColumn]] refuses a logical name colliding with any
+    * resident physical. [[toPhysical]] inverts the mapped part and
+    * passes dropped physicals through. */
+  private[graft] def toLogicalFull(df: DataFrame,
+      map: Option[Seq[(String, String)]]): DataFrame = map match {
+    case None => df
+    case Some(m) =>
+      val mapped = m.collect {
+        case (l, p) if df.columns.contains(p) => col(p).as(l)
+      }
+      val dropped = df.columns.filterNot(c => m.exists(_._2 == c)).map(col(_))
+      df.select(mapped ++ dropped: _*)
+  }
+
+  /** Logical-named frame → physical names for writing data files. */
+  private[graft] def toPhysical(df: DataFrame,
+      map: Option[Seq[(String, String)]]): DataFrame = map match {
+    case None => df
+    case Some(m) =>
+      val byLogical = m.toMap
+      df.select(df.columns.map(c => col(c).as(byLogical.getOrElse(c, c))).toIndexedSeq: _*)
+  }
+
+  /** The logical name the mapping gives a physical column (identity
+    * when unmapped). */
+  private[graft] def logicalName(map: Option[Seq[(String, String)]],
+      physical: String): String =
+    map.flatMap(_.collectFirst { case (l, p) if p == physical => l }).getOrElse(physical)
+
+  /** The physical name behind a logical column (identity when
+    * unmapped). */
+  private[graft] def physicalName(map: Option[Seq[(String, String)]],
+      logical: String): String =
+    map.flatMap(_.collectFirst { case (l, p) if l == logical => p }).getOrElse(logical)
+
+  /** ALTER TABLE ... RENAME COLUMN — one CAS metadata commit rewriting
+    * the mapping entry; zero files move (Delta's column-mapping
+    * design). A table without a mapping first synthesizes the identity
+    * map from its current physical schema, so pre-mapping tables
+    * rename without any migration step. */
+  def renameColumn(s: SparkSession, root: String, from: String, to: String): Int = {
+    val retry = new CommitRetry(root)
+    var result = -1
+    while (result < 0) {
+      val v = currentVersion(root)
+      retry.observed(v)
+      require(v > 0, s"rename on $root: table has no committed version")
+      val cur = currentColMap(s, root, v)
+      require(cur.exists(_._1 == from),
+        s"rename on $root: no column $from (have ${cur.map(_._1).mkString(",")})")
+      require(!cur.exists(_._1.equalsIgnoreCase(to)),
+        s"rename on $root: column $to already exists")
+      // the new logical name must not shadow any RESIDENT physical
+      // either (e.g. a previously dropped column's storage name):
+      // rewrite plumbing carries dropped physicals through under their
+      // own names, and a collision would cross the wires
+      val residentPhys = readAtPhysical(s, root, v).columns
+      require(!residentPhys.exists(p => p.equalsIgnoreCase(to) &&
+          !cur.exists { case (l, p2) => p2 == p && l == from }),
+        s"rename on $root: $to collides with a resident physical column " +
+          "(possibly a dropped column's storage name) — OPTIMIZE to materialize " +
+          "the mapping first, or pick another name")
+      val next = cur.map { case (l, p) => (if (l == from) to else l, p) }
+      try result = commitEntries(root, v, manifestEntries(root, v), shardSize = 16,
+        carriedMeta(root, v) + ("colmap" -> fmtColMap(next)) +
+          ("alter" -> s"rename:$from>$to"))
+      catch { case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) }
+    }
+    result
+  }
+
+  /** ALTER TABLE ... DROP COLUMN — removes the mapping entry; the
+    * physical column stays in every file, unread (re-adding the same
+    * logical name later gets a FRESH physical name, so old values can
+    * never resurrect). Dropping the stats/cluster column is refused —
+    * the manifest's per-file [lo,hi] describe it and pruning would go
+    * blind; re-cluster (OPTIMIZE) first. */
+  def dropColumn(s: SparkSession, root: String, name: String): Int = {
+    val retry = new CommitRetry(root)
+    var result = -1
+    while (result < 0) {
+      val v = currentVersion(root)
+      retry.observed(v)
+      require(v > 0, s"drop column on $root: table has no committed version")
+      val cur = currentColMap(s, root, v)
+      require(cur.exists(_._1 == name),
+        s"drop column on $root: no column $name (have ${cur.map(_._1).mkString(",")})")
+      require(cur.size > 1,
+        s"drop column on $root: cannot drop the only column")
+      val statsPhys = manifestMeta(root, v).get("statsCol")
+      require(!statsPhys.contains(physicalName(Some(cur), name)),
+        s"drop column on $root: $name is the table's stats/cluster column — " +
+          "file pruning reads its per-file bounds; OPTIMIZE CLUSTER BY another " +
+          "column first")
+      val next = cur.filterNot(_._1 == name)
+      try result = commitEntries(root, v, manifestEntries(root, v), shardSize = 16,
+        carriedMeta(root, v) + ("colmap" -> fmtColMap(next)) +
+          ("alter" -> s"dropcol:$name"))
+      catch { case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) }
+    }
+    result
+  }
+
+  /** The table's current mapping, synthesizing the identity map from
+    * the version's resolved physical schema when none is stored yet. */
+  private[graft] def currentColMap(s: SparkSession, root: String,
+      v: Int): Seq[(String, String)] =
+    colMap(root, v).getOrElse {
+      val phys = readAtPhysical(s, root, v).columns.toIndexedSeq
+      phys.map(c => (c, c))
+    }
 
   /** Reader honoring the evolution markers, cheapest first:
     * `schemaJson` — the union schema CAPTURED AT THE WIDENING COMMIT
@@ -349,7 +513,10 @@ object SnapshotTable {
     val v = currentVersion(root)
     val files = prunedEntries(root, v, lo, hi)
       .map(e => Paths.get(root, e.rel).toString)
-    subsetReader(s, root, v).parquet(files: _*).filter(col(keyCol).between(lo, hi))
+    // keyCol is a LOGICAL name: resolve the residual filter on the
+    // logical view (identity for unmapped tables)
+    toLogical(subsetReader(s, root, v).parquet(files: _*), colMap(root, v))
+      .filter(col(keyCol).between(lo, hi))
   }
 
   /** Reclaim storage: drop manifests below `keepFrom` and delete every
@@ -460,7 +627,10 @@ object SnapshotTable {
         // ep_day bounds as user_id bounds and silently skip matching
         // files. Only the operational watermarks (streaming epoch /
         // batch ids) carry from the current version.
-        val fromTarget = Set("schema", "schemaJson", "statsCol")
+        // colmap too: the restored entries' physical columns resolve
+        // through the mapping AS OF the target (restoring past a
+        // RENAME surfaces the old logical names again, like schema)
+        val fromTarget = Set("schema", "schemaJson", "statsCol", "colmap")
         val meta = (carriedMeta(root, cur) -- fromTarget) ++
           manifestMeta(root, toVersion).filter(kv => fromTarget.contains(kv._1)) +
           ("restore" -> s"v$toVersion")
@@ -506,7 +676,7 @@ object SnapshotTable {
       val abs = Paths.get(srcRoot, e.rel).toAbsolutePath.normalize
       e.copy(rel = dstAbs.relativize(abs).toString)
     }
-    val keep = Set("schema", "schemaJson", "statsCol")
+    val keep = Set("schema", "schemaJson", "statsCol", "colmap")
     val meta = manifestMeta(srcRoot, v).filter(kv => keep.contains(kv._1)) +
       ("clone" -> s"shallow:${Paths.get(srcRoot).toAbsolutePath.normalize}@v$v")
     commitEntries(dstRoot, 0, entries, shardSize = 16, meta)
@@ -725,9 +895,14 @@ object SnapshotTable {
     // carry watermarks/statsCol forward (see carriedMeta) minus `schema`:
     // a full rewrite reads the merged schema and writes uniform-width
     // files, so the evolution marker no longer describes the new layout;
-    // the new files' stats are on keyCol, so statsCol is re-pointed at it
+    // the new files' stats are on keyCol, so statsCol is re-pointed at
+    // it. `colmap` drops too: the rewrite read the LOGICAL view, so the
+    // new files carry logical names — OPTIMIZE MATERIALIZES the column
+    // mapping (renames become the storage names, dropped columns
+    // physically disappear), the compaction-time cleanup Delta's
+    // REORG TABLE ... APPLY (PURGE) performs
     commitEntries(root, v, entries, shardSize,
-      carriedMeta(root, v) - "schema" - "schemaJson" ++
+      carriedMeta(root, v) - "schema" - "schemaJson" - "colmap" ++
         Map("optimize" -> s"clustered:$keyCol", "statsCol" -> keyCol))
   }
 
@@ -758,10 +933,24 @@ object SnapshotTable {
       extraMeta: Map[String, String] = Map.empty, baseVersion: Int = -1): Int = {
     val v = if (baseVersion >= 0) baseVersion else currentVersion(root)
     val carried = carriedMeta(root, v)
+    val map = colMap(root, v)
+    // column-mapped tables join the merge envelope RENAME-ONLY: a
+    // dropped physical still resident in the files cannot ride the
+    // keyed union (whose contract is the changeset's logical columns)
+    // without silently widening rewritten files — materialize first
+    map.foreach { m =>
+      val resident = readAtPhysical(s, root, v).columns
+      val unmapped = resident.filterNot(c => m.exists(_._2 == c))
+      require(unmapped.isEmpty,
+        s"merge on $root: table carries dropped columns (${unmapped.mkString(",")}) " +
+          "under column mapping — OPTIMIZE ... CLUSTER BY to materialize the " +
+          "mapping before merging")
+    }
     // the file-pruning step below trusts the manifest's primary stats to
     // BE clusterCol stats — a mismatched statsCol would prune files that
-    // do contain touched rows (silent lost updates), so refuse instead
-    carried.get("statsCol").foreach(c => require(c == clusterCol,
+    // do contain touched rows (silent lost updates), so refuse instead.
+    // clusterCol is a LOGICAL name; the manifest's statsCol is physical.
+    carried.get("statsCol").foreach(c => require(c == physicalName(map, clusterCol),
       s"merge on $root: clusterCol=$clusterCol but the table's statsCol=$c — " +
         "merge pruning runs on the manifest's primary stats column"))
     val bounds = changes.agg(min(col(clusterCol)), max(col(clusterCol))).head()
@@ -782,8 +971,11 @@ object SnapshotTable {
       // batches in the streaming upsert sink): valid — nothing to
       // rewrite, the upserts are the whole new file set
       if (affected.isEmpty) changes.select(cols.map(col): _*).filter(lit(false))
-      else subsetReader(s, root, v)
-        .parquet(affected.map(e => Paths.get(root, e.rel).toString): _*)
+      // the affected read converts to the LOGICAL view (identity on
+      // unmapped tables): everything downstream — requires, null-fill,
+      // the keyed union, CDC images — speaks the changeset's names
+      else toLogical(subsetReader(s, root, v)
+        .parquet(affected.map(e => Paths.get(root, e.rel).toString): _*), map)
     require(old0.columns.forall(cols.contains),
       s"merge on $root: changeset lacks table columns " +
         s"${old0.columns.filterNot(cols.contains).mkString(",")} — a merge must carry " +
@@ -814,11 +1006,17 @@ object SnapshotTable {
       else Some(subsetReader(s, root, v)
         .parquet(Paths.get(root, untouched.head.rel).toString)
         .filter(lit(false)).schema)
+    // priorStruct names are PHYSICAL (captures describe files) —
+    // translate for the comparison against the changeset's logical cols
     val tableColsOrdered: Seq[String] =
-      priorStruct.map(_.fieldNames.toIndexedSeq).getOrElse(cols)
+      priorStruct.map(_.fieldNames.toIndexedSeq.map(p => logicalName(map, p)))
+        .getOrElse(cols)
     val addedCols: Seq[String] =
       if (!unionKnown || untouched.isEmpty) Nil
       else cols.filterNot(tableColsOrdered.contains)
+    require(map.isEmpty || addedCols.isEmpty,
+      s"merge on $root: cannot widen a column-mapped table through merge " +
+        s"(+${addedCols.mkString(",")}) — ALTER TABLE ADD COLUMN first, then merge")
     // capture the post-merge union in the commit (Delta's
     // schema-in-the-log): union-ordered (table columns first, additions
     // after), all-nullable — evolution gaps surface null from any file.
@@ -883,12 +1081,14 @@ object SnapshotTable {
           .unionByName(changes.filter(col("op") === "i")
             .select(cols.map(col): _*).withColumn(ct, lit("insert")))
           .localCheckpoint(true)
-        writeCdcFiles(cdcAll, root, tag)
+        writeCdcFiles(toPhysical(cdcAll, map), root, tag)
       }
     val rels = writeDataFiles(
-      rewritten.repartitionByRange(math.max(affected.size, 1), col(clusterCol)),
+      toPhysical(rewritten, map)
+        .repartitionByRange(math.max(affected.size, 1),
+          col(physicalName(map, clusterCol))),
       root, s"m_$tag")
-    val newEntries = rels.map(footerEntry(root, _, clusterCol))
+    val newEntries = rels.map(footerEntry(root, _, physicalName(map, clusterCol)))
     // watermarks/statsCol/schema survive a merge (carriedMeta); `schema`
     // stays because untouched files keep their pre-evolution width, is
     // SET when this merge itself widened the table (addedCols above),
@@ -1277,9 +1477,15 @@ object SnapshotTable {
     val touched = touchedEntries(root, entries, touchedPaths)
     if (touched.isEmpty) return v
     val touchedSet = touched.map(_.rel).toSet
-    val statsCol = carried.getOrElse("statsCol", full.columns.head)
-    val old = subsetReader(s, root, v)
-      .parquet(touched.map(e => Paths.get(root, e.rel).toString): _*)
+    val map = colMap(root, v)
+    val statsPhys = carried.getOrElse("statsCol",
+      physicalName(map, full.columns.head))
+    // rewrite plumbing: the SET/WHERE expressions name LOGICAL columns,
+    // so the touched-file read converts to the logical view (dropped
+    // physicals ride along inert — rewritten files keep full physical
+    // width) and converts back for the write. Identity mapping = no-op.
+    val old = toLogicalFull(subsetReader(s, root, v)
+      .parquet(touched.map(e => Paths.get(root, e.rel).toString): _*), map)
     val updated = old.select(old.columns.map { c =>
       setMap.get(c) match {
         case Some(e2) =>
@@ -1305,15 +1511,18 @@ object SnapshotTable {
         val cdcAll = hits.withColumn(ct, lit("update_preimage"))
           .unionByName(post.withColumn(ct, lit("update_postimage")))
           .localCheckpoint(true)
-        writeCdcFiles(cdcAll, root, tag)
+        // CDC files carry PHYSICAL names like every data file; the
+        // feed's reader resolves them through the scan's mapping
+        writeCdcFiles(toPhysical(cdcAll, map), root, tag)
       }
     val rels = writeDataFiles(
-      updated.repartitionByRange(rewriteParts(s, touched), col(statsCol)),
+      toPhysical(updated, map)
+        .repartitionByRange(rewriteParts(s, touched), col(statsPhys)),
       root, s"u_$tag")
-    val newEntries = rels.map(footerEntry(root, _, statsCol))
+    val newEntries = rels.map(footerEntry(root, _, statsPhys))
     commitRewrite(root, v, touchedSet, newEntries, shardSize, "update",
       extraMeta ++ cdcMeta.map("cdc" -> _),
-      emptySchemaJson = Some(allNullableJson(full.schema)))
+      emptySchemaJson = Some(allNullableJson(readAtPhysical(s, root, v).schema)))
   }
 
   /** SQL DELETE, copy-on-write — the path-addressed spelling of
@@ -1346,10 +1555,14 @@ object SnapshotTable {
     val touched = touchedEntries(root, entries, touchedPaths)
     if (touched.isEmpty) return v
     val touchedSet = touched.map(_.rel).toSet
-    val statsCol = carried.getOrElse("statsCol", full.columns.head)
-    val kept = subsetReader(s, root, v)
-      .parquet(touched.map(e => Paths.get(root, e.rel).toString): _*)
-      .filter(not(coalesce(cond, lit(false))))
+    val map = colMap(root, v)
+    val statsPhys = carried.getOrElse("statsCol",
+      physicalName(map, full.columns.head))
+    // logical view for the predicate, physical for the write (see
+    // update; dropped physicals carry through the rewrite)
+    val oldView = toLogicalFull(subsetReader(s, root, v)
+      .parquet(touched.map(e => Paths.get(root, e.rel).toString): _*), map)
+    val kept = oldView.filter(not(coalesce(cond, lit(false))))
     val tag = java.util.UUID.randomUUID().toString.take(8)
     // row-grain CDF (see merge): a DELETE's images are just the
     // predicate's hits, typed delete
@@ -1357,23 +1570,23 @@ object SnapshotTable {
       if (!carried.get("cdf").contains("row")) None
       else {
         val ct = "_change_type"
-        val removed = subsetReader(s, root, v)
-          .parquet(touched.map(e => Paths.get(root, e.rel).toString): _*)
-          .filter(coalesce(cond, lit(false)))
-        writeCdcFiles(removed.withColumn(ct, lit("delete")).localCheckpoint(true),
+        val removed = oldView.filter(coalesce(cond, lit(false)))
+        writeCdcFiles(
+          toPhysical(removed.withColumn(ct, lit("delete")).localCheckpoint(true), map),
           root, tag)
       }
     val rels = writeDataFiles(
-      kept.repartitionByRange(rewriteParts(s, touched), col(statsCol)),
+      toPhysical(kept, map)
+        .repartitionByRange(rewriteParts(s, touched), col(statsPhys)),
       root, s"d_$tag")
     // a rewrite partition with zero survivors sometimes still produces
     // a 0-row part file — don't manifest it (a delete-all then commits
     // ZERO entries deterministically, the readable-empty-table state;
     // the orphan file is vacuum garbage, never a torn table)
-    val newEntries = rels.map(footerEntry(root, _, statsCol)).filter(_.rows > 0)
+    val newEntries = rels.map(footerEntry(root, _, statsPhys)).filter(_.rows > 0)
     commitRewrite(root, v, touchedSet, newEntries, shardSize, "delete",
       extraMeta ++ cdcMeta.map("cdc" -> _),
-      emptySchemaJson = Some(allNullableJson(full.schema)))
+      emptySchemaJson = Some(allNullableJson(readAtPhysical(s, root, v).schema)))
   }
 
   /** The schema capture an empty (zero-entry) version carries: all
@@ -1576,8 +1789,12 @@ object SnapshotTable {
     // vTo resolves the union width; a pre-evolution vFrom stays narrow)
     def readRels(rels: Set[String], v: Int): Option[DataFrame] =
       if (rels.isEmpty) None
-      else Some(subsetReader(s, root, v)
-        .parquet(rels.toSeq.sorted.map(r => Paths.get(root, r).toString): _*))
+      // each side resolves the column mapping AS OF its version, so a
+      // rename between vFrom and vTo still unions by the then-current
+      // logical names (physical names are rename-stable)
+      else Some(toLogical(subsetReader(s, root, v)
+        .parquet(rels.toSeq.sorted.map(r => Paths.get(root, r).toString): _*),
+        colMap(root, v)))
     val added = readRels(to -- from, vTo)
     val removed = readRels(from -- to, vFrom)
     (added, removed) match {
@@ -1819,9 +2036,13 @@ object SnapshotTable {
   def readPointLookup(s: SparkSession, root: String, keyCol: String,
       values: Seq[Long]): DataFrame = {
     val v = currentVersion(root)
+    val map = colMap(root, v)
     val entries = manifestEntries(root, v)
+    // keyCol is LOGICAL; parquet blooms are indexed by the files'
+    // physical column name
     val hit = entries.map(_.rel)
-      .filter(rel => bloomMayContain(root, rel, keyCol, values).nonEmpty)
+      .filter(rel => bloomMayContain(root, rel,
+        physicalName(map, keyCol), values).nonEmpty)
     if (hit.isEmpty) {
       // preserve the schema without scanning data pages: one footer on
       // a uniform table; every footer (still metadata-only) on an
@@ -1829,11 +2050,13 @@ object SnapshotTable {
       val schemaRels =
         if (manifestMeta(root, v).contains("schema")) entries.map(_.rel)
         else entries.take(1).map(_.rel)
-      subsetReader(s, root, v)
-        .parquet(schemaRels.map(r => Paths.get(root, r).toString): _*).filter(lit(false))
+      toLogical(subsetReader(s, root, v)
+        .parquet(schemaRels.map(r => Paths.get(root, r).toString): _*), map)
+        .filter(lit(false))
     }
     else
-      subsetReader(s, root, v).parquet(hit.map(r => Paths.get(root, r).toString): _*)
+      toLogical(subsetReader(s, root, v)
+          .parquet(hit.map(r => Paths.get(root, r).toString): _*), map)
         .filter(col(keyCol).isin(values: _*))
   }
 
@@ -1902,9 +2125,11 @@ object SnapshotTable {
     val rels = writeDataFiles(zordered, root, s"z_$tag")
     val entries = rels.map(footerEntryMulti(root, _, colA, Seq(colB)))
     // full rewrite: carry watermarks forward, drop `schema` (files are
-    // uniform-width now), re-point statsCol at the new primary column
+    // uniform-width now), re-point statsCol at the new primary column;
+    // `colmap` drops too — the rewrite read the logical view, so this
+    // MATERIALIZES any column mapping (see optimizeClustered)
     commitEntries(root, v, entries, shardSize,
-      carriedMeta(root, v) - "schema" - "schemaJson" ++
+      carriedMeta(root, v) - "schema" - "schemaJson" - "colmap" ++
         Map("optimize" -> s"zorder:$colA,$colB", "statsCol" -> colA))
   }
 
@@ -2080,6 +2305,7 @@ object SnapshotTable {
     "x32_shallow_clone" -> (x32ShallowClone _, Some(x32Sql)),
     "x33_ansi_merge" -> (x33AnsiMerge _, Some(x33Sql)),
     "x34_merge_sync" -> (x34MergeSync _, Some(x34Sql)),
+    "x35_column_mapping" -> (x35ColumnMapping _, Some(x35Sql)),
   )
 
   /** x24_catalog_sql — the name-addressed warehouse surface end-to-end
@@ -2519,5 +2745,63 @@ object SnapshotTable {
        |SELECT ep_day, event_type, COUNT(*) AS n_events,
        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
        |FROM f GROUP BY ep_day, event_type ORDER BY ep_day, event_type""".stripMargin
+
+  /** x35_column_mapping — rename/drop column evolution end to end
+    * through the PUBLIC SQL routes (Delta's column-mapping design —
+    * logical→physical name indirection in the log, see [[colMap]]):
+    * CTAS, cluster, then `ALTER TABLE ... RENAME COLUMN value TO
+    * amount` and `DROP COLUMN event_type` — both METADATA-ONLY commits
+    * (zero files rewritten; at 100 TB a schema refactor is two
+    * manifest writes, not a table rewrite) — then an INSERT under the
+    * NEW names (write translation), a path-route UPDATE naming the
+    * renamed column (DML translation), and the day aggregate read
+    * back under the new names. The DuckDB oracle derives the same
+    * answer from the raw log with the rename applied functionally —
+    * proving mapped reads ≡ the relational rewrite they avoid. */
+  def x35ColumnMapping(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    if (!s.conf.getOption("spark.sql.catalog.gx").exists(_.nonEmpty)) {
+      s.conf.set("spark.sql.catalog.gx", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gx.root", Engine.tmpDir("graft_warehouse"))
+    }
+    Tables.events(s, d)
+      .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+      .filter(col("event_id") % X29Mod === 0)
+      .select("event_id", "event_type", "value", "ep_day")
+      .createOrReplaceTempView("x35_src")
+    s.sql("DROP TABLE IF EXISTS gx.x35_t")
+    s.sql("CREATE TABLE gx.x35_t AS SELECT * FROM x35_src")
+    s.sql("OPTIMIZE gx.x35_t CLUSTER BY (ep_day) TARGET 7")
+    s.sql("ALTER TABLE gx.x35_t RENAME COLUMN value TO amount")
+    s.sql("ALTER TABLE gx.x35_t DROP COLUMN event_type")
+    // write under the NEW names (logical→physical write translation)
+    (X17Lo to X17Hi).map(day => (-day, 1.0, day))
+      .toDF("event_id", "amount", "ep_day").createOrReplaceTempView("x35_ins")
+    s.sql("INSERT INTO gx.x35_t SELECT * FROM x35_ins")
+    // DML naming the RENAMED column, through the path route (the same
+    // directory the catalog name resolves to)
+    val root = Paths.get(Engine.tmpDir("graft_warehouse"), "x35_t").toString
+    s.sql(s"UPDATE '$root' SET amount = amount + 5.0 " +
+      s"WHERE ep_day BETWEEN $X17Lo AND $X17Hi")
+    s.sql("""SELECT ep_day, COUNT(*) AS n_events,
+        CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS amount_sum
+      FROM gx.x35_t GROUP BY ep_day ORDER BY ep_day""")
+  }
+
+  val x35Sql: String =
+    s"""WITH e AS (SELECT event_id, value AS amount,
+       |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day FROM events
+       |  WHERE event_id % $X29Mod = 0),
+       |f AS (
+       |  SELECT amount, ep_day FROM e
+       |  UNION ALL
+       |  SELECT CAST(1.0 AS DOUBLE) AS amount, d AS ep_day
+       |  FROM generate_series($X17Lo, $X17Hi) AS g(d)),
+       |u AS (SELECT ep_day,
+       |  CASE WHEN ep_day BETWEEN $X17Lo AND $X17Hi
+       |    THEN amount + 5.0 ELSE amount END AS amount FROM f)
+       |SELECT ep_day, COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS amount_sum
+       |FROM u GROUP BY ep_day ORDER BY ep_day""".stripMargin
 
 }

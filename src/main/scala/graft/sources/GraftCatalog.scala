@@ -83,9 +83,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val d = tableDir(ident)
     if (!isTableDir(d)) throw new NoSuchTableException(ident)
     val root = d.toString
+    val cur = SnapshotTable.currentVersion(root)
     val schema =
-      if (SnapshotTable.currentVersion(root) > 0)
-        SnapshotSourceUtil.sparkSchema(SnapshotSourceUtil.tableMessageType(root))
+      if (cur > 0)
+        // the exposed schema is the LOGICAL one (column mapping:
+        // renames surface, dropped columns don't)
+        SnapshotSourceUtil.logicalStruct(
+          SnapshotSourceUtil.sparkSchema(SnapshotSourceUtil.tableMessageType(root)),
+          SnapshotTable.colMap(root, cur))
       else
         DataType.fromJson(new String(Files.readAllBytes(schemaFile(d))))
           .asInstanceOf[StructType]
@@ -115,8 +120,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // a vacuumed version passes the range check but its manifest is
     // gone — surface the same clean error TIMESTAMP AS OF produces,
     // not a raw filesystem exception mid-planning
-    val schema = try SnapshotSourceUtil.sparkSchema(
-      SnapshotSourceUtil.tableMessageType(root, v))
+    // time travel resolves the mapping AS OF the snapshot: a read
+    // before a RENAME surfaces the old names (Delta's contract)
+    val schema = try SnapshotSourceUtil.logicalStruct(
+      SnapshotSourceUtil.sparkSchema(
+        SnapshotSourceUtil.tableMessageType(root, v)),
+      SnapshotTable.colMap(root, v))
     catch {
       case _: java.nio.file.NoSuchFileException => throw new IllegalArgumentException(
         s"graft catalog: version $v of $root was vacuumed away — " +
@@ -171,6 +180,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val d = tableDir(ident)
     if (!isTableDir(d)) throw new NoSuchTableException(ident)
     val root = d.toString
+    // RENAME/DROP COLUMN — column-mapping evolution (metadata-only
+    // commits; see SnapshotTable.renameColumn/dropColumn). Spark sends
+    // each such statement as a single change.
+    changes.toList match {
+      case List(rn: TableChange.RenameColumn) =>
+        require(rn.fieldNames().length == 1,
+          "graft catalog: RENAME COLUMN supports top-level columns only")
+        require(SnapshotTable.currentVersion(root) > 0,
+          "graft catalog: RENAME COLUMN needs a committed version — " +
+            "on a never-written table, DROP and re-CREATE instead")
+        SnapshotTable.renameColumn(org.apache.spark.sql.SparkSession.active,
+          root, rn.fieldNames()(0), rn.newName())
+        return loadTable(ident)
+      case List(del: TableChange.DeleteColumn) =>
+        require(del.fieldNames().length == 1,
+          "graft catalog: DROP COLUMN supports top-level columns only")
+        require(SnapshotTable.currentVersion(root) > 0,
+          "graft catalog: DROP COLUMN needs a committed version — " +
+            "on a never-written table, DROP and re-CREATE instead")
+        SnapshotTable.dropColumn(org.apache.spark.sql.SparkSession.active,
+          root, del.fieldNames()(0))
+        return loadTable(ident)
+      case _ => () // fall through to the ADD COLUMN path
+    }
     val supported: Set[org.apache.spark.sql.types.DataType] = Set(
       org.apache.spark.sql.types.LongType, org.apache.spark.sql.types.IntegerType,
       org.apache.spark.sql.types.DoubleType, org.apache.spark.sql.types.FloatType,
@@ -217,22 +250,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           retry.observed(v)
           val cur = SnapshotSourceUtil.sparkSchema(
             SnapshotSourceUtil.tableMessageType(root, v))
+          // uniqueness runs in the LOGICAL namespace (what users see)
+          val map = SnapshotTable.colMap(root, v)
+          val logicalNames = map.map(_.map(_._1)).getOrElse(cur.fieldNames.toSeq)
           adds.foreach { case (name, _) =>
-            require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
+            require(!logicalNames.exists(_.equalsIgnoreCase(name)),
               s"graft catalog: column $name already exists") }
+          // under column mapping a new column gets a FRESH physical
+          // (storage) name, so re-adding a previously DROPPED logical
+          // name can never resurrect the old files' values — they live
+          // under the old physical name, which stays unread
+          val physAdds = adds.map { case (name, dt) =>
+            val phys = map match {
+              case None => name
+              case Some(_) =>
+                s"${name}_${java.util.UUID.randomUUID().toString.take(8)}"
+            }
+            (name, phys, dt)
+          }
           val union = StructType(
             (cur.fields.map(_.copy(nullable = true)) ++
-              adds.map { case (name, dt) =>
-                org.apache.spark.sql.types.StructField(name, dt, nullable = true) }).toSeq)
+              physAdds.map { case (_, phys, dt) =>
+                org.apache.spark.sql.types.StructField(phys, dt, nullable = true) }).toSeq)
+          val nextMap = map.map(m => m ++ physAdds.map { case (l, p, _) => (l, p) })
           val priorAdds = SnapshotTable.manifestMeta(root, v).get("schema")
             .map(_.stripPrefix("evolved:+") + ",").getOrElse("")
           val names = adds.map(_._1).mkString(",")
+          val physNames = physAdds.map(_._2).mkString(",")
           try {
             SnapshotTable.commitEntries(root, v, SnapshotTable.manifestEntries(root, v),
               shardSize = 16, SnapshotTable.carriedMeta(root, v) +
-                ("schema" -> s"evolved:+$priorAdds$names") +
+                ("schema" -> s"evolved:+$priorAdds$physNames") +
                 ("schemaJson" -> union.json) +
-                ("alter" -> s"addcol:$names"))
+                ("alter" -> s"addcol:$names") ++
+                nextMap.map("colmap" -> SnapshotTable.fmtColMap(_)))
             committed = true
           } catch {
             case e: java.nio.file.FileAlreadyExistsException => retry.lost(e)

@@ -87,7 +87,15 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister {
     // creates v1); reads of an empty table fail at scan build
     if (SnapshotTable.currentVersion(r) == 0) new StructType()
     else {
-      val base = SnapshotSourceUtil.sparkSchema(SnapshotSourceUtil.tableMessageType(r))
+      // the exposed schema is the LOGICAL one: renamed columns surface
+      // under their current names, dropped columns don't surface at
+      // all. A version-pinned load resolves schema AND mapping as of
+      // ITS snapshot (time travel keeps the old names).
+      val v = Option(options.get("version")).map(_.toInt)
+        .getOrElse(SnapshotTable.currentVersion(r))
+      val base = SnapshotSourceUtil.logicalStruct(
+        SnapshotSourceUtil.sparkSchema(SnapshotSourceUtil.tableMessageType(r, v)),
+        SnapshotTable.colMap(r, v))
       // change-data-feed reads surface the table schema plus the change
       // metadata columns (Delta's CDF column contract)
       if (SnapshotSourceUtil.cdfEnabled(options)) SnapshotSourceUtil.withCdfColumns(base)
@@ -272,6 +280,28 @@ private[sources] object SnapshotSourceUtil {
   def projectedMessage(full: MessageType, pruned: StructType): MessageType =
     new MessageType(full.getName,
       pruned.fields.map(f => full.getType(full.getFieldIndex(f.name))).toList.asJava)
+
+  /** Physical (file-named) struct → the LOGICAL schema the table's
+    * column mapping exposes: mapped fields rename, unmapped (dropped)
+    * fields disappear, order follows the mapping. Identity when the
+    * table has no mapping. */
+  def logicalStruct(physical: StructType,
+      map: Option[Seq[(String, String)]]): StructType = map match {
+    case None => physical
+    case Some(m) => StructType(m.flatMap { case (l, p) =>
+      physical.fields.find(_.name == p).map(f => f.copy(name = l)) })
+  }
+
+  /** Logical-named struct → physical field names (CDF metadata columns
+    * and anything unmapped pass through). The reader factories operate
+    * entirely in the physical namespace — output rows are positional,
+    * so only `readSchema()` speaks logical. */
+  def physStruct(logical: StructType,
+      map: Option[Seq[(String, String)]]): StructType = map match {
+    case None => logical
+    case Some(_) => StructType(logical.fields.map(f =>
+      f.copy(name = SnapshotTable.physicalName(map, f.name))))
+  }
 }
 
 private[sources] class SnapshotDsv2Table(root: String, schema: StructType,
@@ -332,7 +362,10 @@ private[sources] class SnapshotDsv2Table(root: String, schema: StructType,
     val statsCol = carried.get("statsCol")
     val entries = SnapshotTable.manifestEntries(root, v)
     val cands = statsCol match {
-      case Some(c) =>
+      case Some(c0) =>
+        // filters name LOGICAL columns; the stats column's meta name is
+        // physical — match on its logical name (identity when unmapped)
+        val c = SnapshotTable.logicalName(SnapshotTable.colMap(root, v), c0)
         val bounds = filters.flatMap(SnapshotScanBuilder.bound(_, c))
         if (bounds.isEmpty) entries
         else {
@@ -349,11 +382,16 @@ private[sources] class SnapshotDsv2Table(root: String, schema: StructType,
     // mixed-width files) the rewrite must resolve the UNION schema, or
     // the sample-footer width silently drops evolved columns from every
     // surviving row in a wider candidate file
-    val kept = SnapshotTable.subsetReader(s, root, v)
-      .parquet(cands.map(e => Paths.get(root, e.rel).toString): _*)
+    // the predicate names LOGICAL columns: convert the candidate read
+    // to the logical view (dropped physicals ride along inert) and
+    // back to physical names for the rewrite (see SnapshotTable.delete)
+    val map = SnapshotTable.colMap(root, v)
+    val kept = SnapshotTable.toLogicalFull(SnapshotTable.subsetReader(s, root, v)
+        .parquet(cands.map(e => Paths.get(root, e.rel).toString): _*), map)
       .filter(not(coalesce(cond, lit(false))))
     val tag = java.util.UUID.randomUUID().toString.take(8)
-    val rels = SnapshotTable.writeDataFiles(kept, root, s"del_$tag")
+    val rels = SnapshotTable.writeDataFiles(
+      SnapshotTable.toPhysical(kept, map), root, s"del_$tag")
     // zero-row part files are not manifested (see SnapshotTable.delete)
     val fresh = rels.map(SnapshotTable.footerEntry(root, _, statsCol.getOrElse("")))
       .filter(_.rows > 0)
@@ -363,7 +401,8 @@ private[sources] class SnapshotDsv2Table(root: String, schema: StructType,
     // committer rewrote the candidate files this delete read
     SnapshotTable.commitRewrite(root, v, cands.map(_.rel).toSet, fresh,
       shardSize = 16, "delete",
-      emptySchemaJson = Some(SnapshotTable.allNullableJson(schema0)))
+      emptySchemaJson = Some(SnapshotTable.allNullableJson(
+        SnapshotTable.readAtPhysical(s, root, v).schema)))
   }
 }
 
@@ -415,8 +454,14 @@ private[graft] class SnapshotScanBuilder(root: String, full: StructType,
   /** Which column the manifest's per-file [lo, hi] stats describe —
     * recorded by the committer as `#statsCol` metadata. Absent → no
     * stats pruning (scan everything; always sound). */
+  // NOTE: statsCol meta stores a PHYSICAL name; filters arrive under
+  // LOGICAL names, so matching runs on its logical name (identity when
+  // unmapped; dropColumn refuses to unmap the stats column)
   private val statsCol: Option[String] =
-    if (version > 0) SnapshotTable.manifestMeta(root, version).get("statsCol") else None
+    if (version > 0)
+      SnapshotTable.manifestMeta(root, version).get("statsCol")
+        .map(c => SnapshotTable.logicalName(SnapshotTable.colMap(root, version), c))
+    else None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark hands the required columns in table-schema order; an empty
@@ -567,8 +612,13 @@ private[sources] class SnapshotScan(root: String, version: Int,
     // intersection in the reader; uniform tables keep the zero-extra-IO
     // fast path (the flag is the same one readAt gates mergeSchema on)
     val evolved = version > 0 && SnapshotTable.manifestMeta(root, version).contains("schema")
+    // reader namespace is PHYSICAL (files' own names): translate the
+    // pruned projection through the version's column mapping; output
+    // rows are positional, so readSchema() stays logical
+    val prunedPhys = SnapshotSourceUtil.physStruct(pruned,
+      SnapshotTable.colMap(root, version))
     SnapshotReaderFactory(
-      SnapshotSourceUtil.projectedMessage(full, pruned).toString, pruned, evolved)
+      SnapshotSourceUtil.projectedMessage(full, prunedPhys).toString, prunedPhys, evolved)
   }
 
   /** CDF reader: the parquet request carries only the TABLE columns of
@@ -580,12 +630,17 @@ private[sources] class SnapshotScan(root: String, version: Int,
     * like an evolved snapshot read (one footer pre-read per changed
     * file — batch-proportional, the CDC price). */
   private def cdfFactory: SnapshotCdfReaderFactory = {
-    val base = StructType(pruned.fields.filterNot(f =>
+    // physical namespace throughout (see factory): table columns
+    // translate through the mapping; CDF metadata columns are never
+    // mapped and pass through
+    val map = SnapshotTable.colMap(root, version)
+    val base = SnapshotSourceUtil.physStruct(StructType(pruned.fields.filterNot(f =>
       f.name == SnapshotSourceUtil.CdfTypeCol ||
-        f.name == SnapshotSourceUtil.CdfVersionCol))
+        f.name == SnapshotSourceUtil.CdfVersionCol)), map)
+    val outPhys = SnapshotSourceUtil.physStruct(pruned, map)
     val full = SnapshotSourceUtil.tableMessageType(root, version)
     SnapshotCdfReaderFactory(
-      SnapshotSourceUtil.projectedMessage(full, base).toString, base, pruned)
+      SnapshotSourceUtil.projectedMessage(full, base).toString, base, outPhys)
   }
 
   /** The version's entries that survive the pushed filters' combined
@@ -875,8 +930,15 @@ private[sources] case class SnapshotCdfReaderFactory(projectedMessage: String,
   * semantics through the STANDARD API. */
 private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsOverwrite {
-  private def factory = SnapshotWriterFactory(root,
-    SnapshotSourceUtil.messageType(info.schema()).toString, info.schema())
+  private def factory = {
+    // the incoming query's schema is LOGICAL (the table exposes the
+    // mapping); data files always carry PHYSICAL names — translate.
+    // Row decode is positional, so renaming fields is free.
+    val phys = SnapshotSourceUtil.physStruct(info.schema(),
+      SnapshotTable.colMap(root, SnapshotTable.currentVersion(root)))
+    SnapshotWriterFactory(root,
+      SnapshotSourceUtil.messageType(phys).toString, phys)
+  }
   // `.option("statsCol", c)` on the writer declares the pruning column
   // for a table this write CREATES (an existing table's statsCol is
   // carried forward by the commit; the option must agree with it)

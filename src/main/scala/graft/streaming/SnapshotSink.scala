@@ -76,7 +76,11 @@ object SnapshotSink {
       else ST.manifestMeta(root, v).get(LastBatchKey).map(_.toLong).getOrElse(-1L)
     if (batchId <= lastCommitted(ST.currentVersion(root))) return false
     val tag = f"$tagPrefix$batchId%05d_${java.util.UUID.randomUUID().toString.take(8)}"
-    val entries = ST.writeDataFiles(df, root, tag).map(ST.footerEntry(root, _, keyCol))
+    // the batch arrives under LOGICAL names; files carry physical ones
+    // (identity for unmapped tables — the overwhelmingly common case)
+    val map = ST.colMap(root, ST.currentVersion(root))
+    val entries = ST.writeDataFiles(ST.toPhysical(df, map), root, tag)
+      .map(ST.footerEntry(root, _, ST.physicalName(map, keyCol)))
     val retry = new ST.CommitRetry(root)
     while (true) {
       val v = ST.currentVersion(root)

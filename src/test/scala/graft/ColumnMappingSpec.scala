@@ -1,0 +1,191 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Column mapping (rename/drop evolution, Delta's design): the
+  * manifest's `colmap` meta indirects logical names from the files'
+  * physical names, so ALTER RENAME/DROP are metadata-only commits,
+  * old files stay readable, time travel keeps old names, and OPTIMIZE
+  * materializes the mapping away. */
+class ColumnMappingSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+  val ST = graft.operators.SnapshotTable
+  val Engine = graft.operators.Engine
+
+  private def fresh(name: String, statsCol: String = "k"): String = {
+    val root = Engine.tmpDir(s"graft_cm_$name")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    val rels = ST.writeDataFiles((1L to 6L).map(k => (k, s"t$k", k * 1.0))
+      .toDF("k", "tag", "v").repartitionByRange(2, col("k")), root, "a")
+      .map(ST.footerEntry(root, _, statsCol))
+    ST.commitEntries(root, 0, rels, 16, Map("statsCol" -> statsCol))
+    root
+  }
+
+  private def dataFiles(root: String): Set[String] =
+    ST.manifestEntries(root, ST.currentVersion(root)).map(_.rel).toSet
+
+  test("RENAME is metadata-only; reads resolve the mapping; time travel keeps old names") {
+    val root = fresh("rename")
+    val before = dataFiles(root)
+    val v2 = ST.renameColumn(spark, root, "v", "score")
+    assert(v2 == 2)
+    // metadata-only: the data file set is IDENTICAL
+    assert(dataFiles(root) == before, "rename moved data files")
+    // the logical view serves the new name, same values
+    val got = ST.read(spark, root).select("k", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == (1L to 6L).map(k => k -> k * 1.0).toMap)
+    assert(!ST.read(spark, root).columns.contains("v"))
+    // time travel BEFORE the rename keeps the old name
+    assert(ST.readAt(spark, root, 1).columns.toSeq == Seq("k", "tag", "v"))
+    // the DSv2 route agrees with the Scala route
+    val dsv2 = spark.read.format("graft-snapshot").load(root)
+    assert(dsv2.columns.toSeq == Seq("k", "tag", "score"))
+    assert(dsv2.agg(sum("score")).head().getDouble(0) == 21.0)
+    val pinned = spark.read.format("graft-snapshot").option("version", "1").load(root)
+    assert(pinned.columns.toSeq == Seq("k", "tag", "v"))
+  }
+
+  test("stats pruning keeps working on a RENAMED cluster column (both routes)") {
+    val root = fresh("prunestat")
+    ST.renameColumn(spark, root, "k", "id")
+    // Scala route: readPruned takes the LOGICAL name
+    val pr = ST.readPruned(spark, root, "id", 1L, 2L)
+    assert(pr.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // DSv2 route: a pushed filter on the new name must still prune to
+    // one of the two range files (the planned partition count shows it)
+    val scan = spark.read.format("graft-snapshot").load(root).filter(col("id") <= 2)
+    assert(scan.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(scan.rdd.getNumPartitions == 1,
+      s"filter on the renamed stats column did not prune: ${scan.rdd.getNumPartitions} partitions")
+  }
+
+  test("DROP hides the column everywhere; re-ADD gets a fresh physical — no resurrection") {
+    val root = fresh("drop")
+    val before = dataFiles(root)
+    ST.dropColumn(spark, root, "tag")
+    assert(dataFiles(root) == before, "drop moved data files")
+    assert(ST.read(spark, root).columns.toSeq == Seq("k", "v"))
+    assert(spark.read.format("graft-snapshot").load(root).columns.toSeq == Seq("k", "v"))
+    // re-add the same LOGICAL name through the catalog ALTER: the old
+    // values must NOT resurrect — the new column reads null everywhere
+    val w = Files.createTempDirectory("graft_cm_cat").toString
+    spark.conf.set("spark.sql.catalog.gcm", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcm.root", w)
+    val link = Paths.get(w, "t1")
+    Files.createDirectories(link)
+    // build a catalog-addressable copy: CTAS from the dropped view
+    ST.read(spark, root).createOrReplaceTempView("cm_drop_src")
+    spark.sql("DROP TABLE IF EXISTS gcm.t2")
+    spark.sql("CREATE TABLE gcm.t2 AS SELECT * FROM cm_drop_src")
+    spark.sql("ALTER TABLE gcm.t2 RENAME COLUMN v TO score") // enter mapping mode
+    spark.sql("ALTER TABLE gcm.t2 ADD COLUMN tag STRING")
+    val re = spark.table("gcm.t2")
+    assert(re.columns.toSeq == Seq("k", "score", "tag"))
+    assert(re.filter(col("tag").isNotNull).count() == 0,
+      "re-added column resurrected old values")
+    // and its physical (storage) name is fresh, not `tag`
+    val t2root = Paths.get(w, "t2").toString
+    val cm = ST.colMap(t2root, ST.currentVersion(t2root)).get
+    val physTag = cm.collectFirst { case ("tag", p) => p }.get
+    assert(physTag != "tag" && physTag.startsWith("tag_"), physTag)
+  }
+
+  test("mapping lineage across ALTERs; OPTIMIZE materializes the mapping") {
+    val root = fresh("lineage")
+    ST.renameColumn(spark, root, "v", "score")
+    ST.renameColumn(spark, root, "score", "points") // rename of a rename
+    ST.dropColumn(spark, root, "tag")
+    val cm = ST.colMap(root, ST.currentVersion(root)).get
+    assert(cm == Seq(("k", "k"), ("points", "v")), cm.toString)
+    assert(ST.read(spark, root).columns.toSeq == Seq("k", "points"))
+    // every intermediate version resolves ITS OWN mapping
+    assert(ST.readAt(spark, root, 2).columns.toSeq == Seq("k", "tag", "score"))
+    assert(ST.readAt(spark, root, 3).columns.toSeq == Seq("k", "tag", "points"))
+    // OPTIMIZE reads the logical view and rewrites: mapping gone,
+    // files physically carry the logical names, dropped column purged
+    ST.optimizeClustered(spark, root, "k", targetFiles = 2)
+    val v5 = ST.currentVersion(root)
+    assert(ST.colMap(root, v5).isEmpty, "OPTIMIZE must materialize the mapping away")
+    assert(ST.read(spark, root).columns.toSeq == Seq("k", "points"))
+    val footer = spark.read.parquet(
+      Paths.get(root, ST.manifestEntries(root, v5).head.rel).toString)
+    assert(footer.columns.toSeq == Seq("k", "points"),
+      s"materialized files must carry logical names: ${footer.columns.toSeq}")
+  }
+
+  test("UPDATE/DELETE/INSERT speak the new names; row-grain CDF translates") {
+    val root = fresh("dml")
+    // opt into row-grain CDF to check the feed across the rename
+    val v1meta = ST.carriedMeta(root, 1) + ("cdf" -> "row")
+    ST.commitEntries(root, 1, ST.manifestEntries(root, 1), 16, v1meta)
+    ST.renameColumn(spark, root, "v", "score")
+    // UPDATE on the renamed column (path route SQL)
+    spark.sql(s"UPDATE '$root' SET score = score * 10 WHERE k <= 2").collect()
+    // DELETE with the renamed column in the predicate (k=6 carries 6.0)
+    spark.sql(s"DELETE FROM '$root' WHERE score = 6.0").collect()
+    val got = ST.read(spark, root).select("k", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 10.0, 2L -> 20.0, 3L -> 3.0, 4L -> 4.0, 5L -> 5.0), got)
+    // old physical name is gone from the user surface
+    val e = intercept[Exception](
+      spark.sql(s"UPDATE '$root' SET v = 0.0 WHERE k = 1").collect())
+    assert(e.getMessage.contains("unknown column"), e.getMessage)
+    // the CDF feed serves the LOGICAL names and row-grain images
+    val feed = spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true").load(root)
+    assert(feed.columns.contains("score") && !feed.columns.contains("v"))
+    val ups = feed.filter(col("_change_type") === "update_postimage")
+      .collect().map(r => r.getAs[Long]("k") -> r.getAs[Double]("score")).toMap
+    assert(ups == Map(1L -> 10.0, 2L -> 20.0), ups.toString)
+    // appends through the sink under the new names read back correctly
+    assert(graft.streaming.SnapshotSink.appendBatch(root,
+      Seq((9L, "t9", 9.0)).toDF("k", "tag", "score"), batchId = 99L, keyCol = "k"))
+    assert(ST.read(spark, root).filter(col("k") === 9L).head().getDouble(2) == 9.0)
+  }
+
+  test("refusals: drop stats column, colliding rename, merge over dropped physicals") {
+    val root = fresh("refuse")
+    val e1 = intercept[Exception](ST.dropColumn(spark, root, "k"))
+    assert(e1.getMessage.contains("stats/cluster column"), e1.getMessage)
+    ST.renameColumn(spark, root, "v", "score")
+    // a rename targeting another column's resident physical is refused
+    val e2 = intercept[Exception](ST.renameColumn(spark, root, "score", "tag"))
+    assert(e2.getMessage.contains("already exists"), e2.getMessage)
+    val e3 = intercept[Exception](ST.renameColumn(spark, root, "tag", "v"))
+    assert(e3.getMessage.contains("resident physical"), e3.getMessage)
+    // ...but renaming BACK to its own physical name is fine
+    assert(ST.renameColumn(spark, root, "score", "v") > 0)
+    // merge over a table with dropped physicals refuses with guidance
+    ST.dropColumn(spark, root, "tag")
+    val ch = Seq((1L, 99.0, "u")).toDF("k", "v", "op")
+    val e4 = intercept[Exception](ST.merge(spark, root, "k", "k", ch))
+    assert(e4.getMessage.contains("materialize"), e4.getMessage)
+    // after OPTIMIZE materializes, the same merge succeeds
+    ST.optimizeClustered(spark, root, "k", targetFiles = 2)
+    ST.merge(spark, root, "k", "k", ch)
+    assert(ST.read(spark, root).filter(col("k") === 1).head().getDouble(1) == 99.0)
+  }
+
+  test("RESTORE and SHALLOW CLONE carry the mapping") {
+    val root = fresh("restore")
+    ST.renameColumn(spark, root, "v", "score")
+    ST.dropColumn(spark, root, "tag")
+    // clone sees the clone-time mapping
+    val cl = Engine.tmpDir("graft_cm_clone")
+    Engine.listDir(Paths.get(cl)).foreach(Engine.deleteRecursively)
+    ST.shallowClone(root, cl)
+    assert(ST.read(spark, cl).columns.toSeq == Seq("k", "score"))
+    // restore to the pre-rename version resurfaces the ORIGINAL names
+    ST.restore(root, 1)
+    assert(ST.read(spark, root).columns.toSeq == Seq("k", "tag", "v"))
+    // ...and a second restore redoes the mapped state
+    ST.restore(root, 3)
+    assert(ST.read(spark, root).columns.toSeq == Seq("k", "score"))
+  }
+}

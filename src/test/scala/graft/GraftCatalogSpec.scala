@@ -356,12 +356,17 @@ class GraftCatalogSpec extends AnyFunSuite {
     // duplicate add and non-add changes are refused
     val e1 = intercept[Exception](spark.sql("ALTER TABLE gcat.ac ADD COLUMN q BIGINT"))
     assert(e1.getMessage.contains("already exists"), e1.getMessage)
-    val e2 = intercept[Exception](spark.sql("ALTER TABLE gcat.ac DROP COLUMN v"))
-    assert(e2.getMessage.toLowerCase.contains("alter table") ||
-      e2.getMessage.toLowerCase.contains("unsupported"), e2.getMessage)
-    // a second widening extends the SAME marker lineage
+    // DROP COLUMN is supported since r13 (column mapping): metadata-
+    // only, the physical stays in the files unread — ColumnMappingSpec
+    // drives the full lifecycle; here just prove the catalog routes it
+    spark.sql("ALTER TABLE gcat.ac DROP COLUMN v")
+    assert(spark.table("gcat.ac").columns.toSeq == Seq("k", "q"))
+    // a second widening extends the SAME marker lineage; under the
+    // mapping the ADD's storage name is FRESH (tag_<uuid>), so the
+    // marker records that physical name
     spark.sql("ALTER TABLE gcat.ac ADD COLUMN tag STRING")
-    assert(ST.manifestMeta(root, ST.currentVersion(root))("schema") == "evolved:+q,tag")
+    val marker = ST.manifestMeta(root, ST.currentVersion(root))("schema")
+    assert(marker.startsWith("evolved:+q,tag"), marker)
     assert(spark.sql("SELECT tag FROM gcat.ac WHERE tag IS NULL").count() == 3)
     // ALTER on a never-written table updates the declared schema file
     spark.sql("CREATE TABLE gcat.ac_empty (a BIGINT)")
