@@ -291,8 +291,8 @@ object SnapshotTable {
     * (DML, optimize, CDC emission) works physically and converts at
     * its user-facing seams. */
   private[graft] def readAtPhysical(s: SparkSession, root: String, v: Int): DataFrame = {
-    val rels = manifest(root, v)
-    if (rels.nonEmpty) evolvedReader(s, root, v).parquet(rels: _*)
+    val rels = manifestEntries(root, v).map(_.rel)
+    if (rels.nonEmpty) readRelsDv(s, root, v, rels)
     else {
       // a ZERO-ENTRY version (a delete that matched every row) is a
       // valid table state, not a brick: the deleting commit captured
@@ -461,6 +461,79 @@ object SnapshotTable {
       phys.map(c => (c, c))
     }
 
+  // ---------------- DELETION VECTORS (merge-on-read deletes) --------
+
+  /** Max fraction of a touched file's rows a DELETE may hit and still
+    * take the merge-on-read path: above this, rewriting is cheaper
+    * than dragging a large skip set through every future scan. */
+  private[graft] val DvMaxSelectivity = 0.10
+
+  /** The table's deletion-vector state at version `v`: data-file rel →
+    * dv-sidecar rel. A dv sidecar is a tiny one-column parquet
+    * (`idx BIGINT`) listing the ORDINALS (0-based position within the
+    * data file, Spark's `_metadata.row_index`) of deleted rows. The
+    * `dv` meta key carries forward commit to commit (it is table
+    * STATE, unlike the per-commit `cdc` key); rewrite commits drop the
+    * entries of files they replace, OPTIMIZE compacts all of them
+    * away, vacuum keeps a sidecar alive exactly as long as a retained
+    * manifest references it. */
+  private[graft] def dvState(root: String, v: Int): Map[String, String] =
+    if (v == 0) Map.empty
+    else manifestMeta(root, v).get("dv").map(_.split(';').map { e =>
+      val Array(rel, dvRel) = e.split("=", 2); (rel, dvRel)
+    }.toMap).getOrElse(Map.empty)
+
+  private[graft] def fmtDv(m: Map[String, String]): Option[String] =
+    if (m.isEmpty) None else Some(m.toSeq.sorted.map { case (r, d) => s"$r=$d" }.mkString(";"))
+
+  /** Opt a table into merge-on-read deletes (Delta's
+    * `delta.enableDeletionVectors`): one metadata commit setting the
+    * `dvmode` flag; without it every DELETE stays copy-on-write. */
+  def enableDeletionVectors(root: String): Int = {
+    val retry = new CommitRetry(root)
+    var result = -1
+    while (result < 0) {
+      val v = currentVersion(root)
+      retry.observed(v)
+      require(v > 0, s"enableDeletionVectors on $root: table has no committed version")
+      if (carriedMeta(root, v).get("dvmode").contains("on")) result = v
+      else try result = commitEntries(root, v, manifestEntries(root, v), 16,
+        carriedMeta(root, v) + ("dvmode" -> "on") + ("alter" -> "dvmode:on"))
+      catch { case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) }
+    }
+    result
+  }
+
+  /** DV-aware subset read (PHYSICAL names): files without a deletion
+    * vector read on the plain path; files with one read alongside
+    * `_metadata` and anti-join their (file, ordinal) pairs against the
+    * sidecar contents — the sidecars total exactly the deleted rows,
+    * so the anti-join broadcasts. Join key is the file BASENAME (rels
+    * are uuid-tagged and unique within a table). Zero overhead when
+    * the version has no DVs (the overwhelmingly common case). */
+  private[graft] def readRelsDv(s: SparkSession, root: String, v: Int,
+      rels: Seq[String]): DataFrame = {
+    val dv = dvState(root, v)
+    val paths = rels.map(r => Paths.get(root, r).toString)
+    val withDv = rels.filter(dv.contains)
+    if (withDv.isEmpty) subsetReader(s, root, v).parquet(paths: _*)
+    else {
+      import org.apache.spark.sql.functions.{element_at, split => fsplit}
+      val base = subsetReader(s, root, v).parquet(paths: _*)
+      val cols = base.columns.toIndexedSeq
+      val pairs = withDv.map { rel =>
+        s.read.parquet(Paths.get(root, dv(rel)).toString)
+          .select(col("idx").as("__dv_idx"),
+            lit(Paths.get(rel).getFileName.toString).as("__dv_file"))
+      }.reduce(_ unionByName _)
+      base
+        .withColumn("__dv_file", element_at(fsplit(col("_metadata.file_path"), "/"), -1))
+        .withColumn("__dv_idx", col("_metadata.row_index"))
+        .join(broadcast(pairs), Seq("__dv_file", "__dv_idx"), "left_anti")
+        .select(cols.map(col): _*)
+    }
+  }
+
   /** Reader honoring the evolution markers, cheapest first:
     * `schemaJson` — the union schema CAPTURED AT THE WIDENING COMMIT
     * (Delta's design: the log, not the files, owns the schema) — makes
@@ -511,11 +584,11 @@ object SnapshotTable {
   def readPruned(s: SparkSession, root: String, keyCol: String,
       lo: Long, hi: Long): DataFrame = {
     val v = currentVersion(root)
-    val files = prunedEntries(root, v, lo, hi)
-      .map(e => Paths.get(root, e.rel).toString)
+    val files = prunedEntries(root, v, lo, hi).map(_.rel)
     // keyCol is a LOGICAL name: resolve the residual filter on the
-    // logical view (identity for unmapped tables)
-    toLogical(subsetReader(s, root, v).parquet(files: _*), colMap(root, v))
+    // logical view (identity for unmapped tables); deletion vectors
+    // apply inside the subset read
+    toLogical(readRelsDv(s, root, v, files), colMap(root, v))
       .filter(col(keyCol).between(lo, hi))
   }
 
@@ -540,13 +613,16 @@ object SnapshotTable {
     // CDC files are commit artifacts, not table entries: they live
     // exactly as long as the manifest whose `cdc` meta names them
     // (dropping that version retires its slice of the change feed)
+    val liveDv = keep.flatMap(v => dvState(root, v).values)
+      .map(rel => Paths.get(root, rel).toString).toSet
     val liveCdc = keep.flatMap(v => manifestMeta(root, v).get("cdc").toSeq
         .flatMap(spec => spec.split(';').toSeq
           .flatMap(grp => grp.split("=", 2)(1).split(',').toSeq)))
       .map(rel => Paths.get(root, rel).toString).toSet
     val dead = Engine.listDir(Paths.get(root))
       .filter(p => p.getFileName.toString.endsWith(".parquet") &&
-        !live.contains(p.toString) && !liveCdc.contains(p.toString))
+        !live.contains(p.toString) && !liveCdc.contains(p.toString) &&
+        !liveDv.contains(p.toString))
     dead.foreach(Files.deleteIfExists(_))
     drop.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
     // shards referenced only by dropped manifests (plus any orphan a
@@ -630,7 +706,7 @@ object SnapshotTable {
         // colmap too: the restored entries' physical columns resolve
         // through the mapping AS OF the target (restoring past a
         // RENAME surfaces the old logical names again, like schema)
-        val fromTarget = Set("schema", "schemaJson", "statsCol", "colmap")
+        val fromTarget = Set("schema", "schemaJson", "statsCol", "colmap", "dv")
         val meta = (carriedMeta(root, cur) -- fromTarget) ++
           manifestMeta(root, toVersion).filter(kv => fromTarget.contains(kv._1)) +
           ("restore" -> s"v$toVersion")
@@ -677,7 +753,14 @@ object SnapshotTable {
       e.copy(rel = dstAbs.relativize(abs).toString)
     }
     val keep = Set("schema", "schemaJson", "statsCol", "colmap")
-    val meta = manifestMeta(srcRoot, v).filter(kv => keep.contains(kv._1)) +
+    // deletion vectors pair with the cloned entries: re-point BOTH the
+    // data rel (key) and the sidecar rel (value) at the source dir,
+    // same `../` convention as the entries themselves
+    def reRel(rel: String): String =
+      dstAbs.relativize(Paths.get(srcRoot, rel).toAbsolutePath.normalize).toString
+    val dvMeta = fmtDv(dvState(srcRoot, v).map { case (r, d) => (reRel(r), reRel(d)) })
+    val meta = manifestMeta(srcRoot, v).filter(kv => keep.contains(kv._1)) ++
+      dvMeta.map("dv" -> _) +
       ("clone" -> s"shallow:${Paths.get(srcRoot).toAbsolutePath.normalize}@v$v")
     commitEntries(dstRoot, 0, entries, shardSize = 16, meta)
   }
@@ -902,7 +985,7 @@ object SnapshotTable {
     // physically disappear), the compaction-time cleanup Delta's
     // REORG TABLE ... APPLY (PURGE) performs
     commitEntries(root, v, entries, shardSize,
-      carriedMeta(root, v) - "schema" - "schemaJson" - "colmap" ++
+      carriedMeta(root, v) - "schema" - "schemaJson" - "colmap" - "dv" ++
         Map("optimize" -> s"clustered:$keyCol", "statsCol" -> keyCol))
   }
 
@@ -973,9 +1056,11 @@ object SnapshotTable {
       if (affected.isEmpty) changes.select(cols.map(col): _*).filter(lit(false))
       // the affected read converts to the LOGICAL view (identity on
       // unmapped tables): everything downstream — requires, null-fill,
-      // the keyed union, CDC images — speaks the changeset's names
-      else toLogical(subsetReader(s, root, v)
-        .parquet(affected.map(e => Paths.get(root, e.rel).toString): _*), map)
+      // the keyed union, CDC images — speaks the changeset's names.
+      // Deletion vectors apply inside the read, so a rewrite of a
+      // DV'd file can never resurrect its deleted rows.
+      else toLogical(readRelsDv(s, root, v,
+        affected.map(_.rel)), map)
     require(old0.columns.forall(cols.contains),
       s"merge on $root: changeset lacks table columns " +
         s"${old0.columns.filterNot(cols.contains).mkString(",")} — a merge must carry " +
@@ -1099,7 +1184,11 @@ object SnapshotTable {
     // (mirroring the optimize/zorder full-rewrite paths) — carrying a
     // stale narrower schemaJson forward would make explicit-schema
     // reads silently hide any column this rewrite added (ADVICE r11).
-    val baseMeta = if (untouched.isEmpty) carried - "schema" - "schemaJson" else carried
+    val baseMeta0 = if (untouched.isEmpty) carried - "schema" - "schemaJson" else carried
+    // affected files are REPLACED: their deletion vectors are applied
+    // by the rewrite and must not survive to haunt the new files
+    val dvLeft = dvState(root, v) -- affectedSet
+    val baseMeta = baseMeta0 - "dv" ++ fmtDv(dvLeft).map("dv" -> _)
     commitEntries(root, v, untouched ++ newEntries, shardSize,
       baseMeta ++ extraMeta ++
         (if (addedCols.nonEmpty) Map("schema" -> s"evolved:+${addedCols.mkString(",")}")
@@ -1343,7 +1432,10 @@ object SnapshotTable {
     val retry = new CommitRetry(root)
     while (true) {
       retry.observed(v)
-      val carried = carriedMeta(root, v)
+      val carried0 = carriedMeta(root, v)
+      // touched files are replaced: their deletion vectors die with them
+      val dvLeft = dvState(root, v) -- touchedRels
+      val carried = carried0 - "dv" ++ fmtDv(dvLeft).map("dv" -> _)
       val entries = manifestEntries(root, v)
       val missing = touchedRels -- entries.map(_.rel).toSet
       if (missing.nonEmpty) throw new IllegalStateException(
@@ -1472,7 +1564,15 @@ object SnapshotTable {
       s"update on $root: SET names unknown column $c (UPDATE never widens a table; " +
         "use a widening merge to add columns)") }
     val cond = expr(wherePred)
-    val touchedPaths = updateTouchedScan(full, wherePred)
+    // the find-touched pass runs on the RAW scan (input_file_name
+    // cannot resolve across the DV anti-join; a file whose only
+    // matches are already DV'd is spuriously touched and handled
+    // downstream as zero new hits)
+    val touchedPaths = updateTouchedScan(
+      toLogical(subsetReader(s, root, v)
+        .parquet(manifestEntries(root, v).map(e =>
+          Paths.get(root, e.rel).toString): _*), colMap(root, v)),
+      wherePred)
       .collect().map(_.getString(0)).toSet
     val touched = touchedEntries(root, entries, touchedPaths)
     if (touched.isEmpty) return v
@@ -1484,8 +1584,7 @@ object SnapshotTable {
     // so the touched-file read converts to the logical view (dropped
     // physicals ride along inert — rewritten files keep full physical
     // width) and converts back for the write. Identity mapping = no-op.
-    val old = toLogicalFull(subsetReader(s, root, v)
-      .parquet(touched.map(e => Paths.get(root, e.rel).toString): _*), map)
+    val old = toLogicalFull(readRelsDv(s, root, v, touched.map(_.rel)), map)
     val updated = old.select(old.columns.map { c =>
       setMap.get(c) match {
         case Some(e2) =>
@@ -1550,7 +1649,15 @@ object SnapshotTable {
     val entries = manifestEntries(root, v)
     val full = readAt(s, root, v)
     val cond = expr(wherePred)
-    val touchedPaths = updateTouchedScan(full, wherePred)
+    // the find-touched pass runs on the RAW scan (input_file_name
+    // cannot resolve across the DV anti-join; a file whose only
+    // matches are already DV'd is spuriously touched and handled
+    // downstream as zero new hits)
+    val touchedPaths = updateTouchedScan(
+      toLogical(subsetReader(s, root, v)
+        .parquet(manifestEntries(root, v).map(e =>
+          Paths.get(root, e.rel).toString): _*), colMap(root, v)),
+      wherePred)
       .collect().map(_.getString(0)).toSet
     val touched = touchedEntries(root, entries, touchedPaths)
     if (touched.isEmpty) return v
@@ -1558,10 +1665,98 @@ object SnapshotTable {
     val map = colMap(root, v)
     val statsPhys = carried.getOrElse("statsCol",
       physicalName(map, full.columns.head))
+    // ---- merge-on-read branch (deletion vectors) --------------------
+    // A `dvmode=on` table takes the DV path when EVERY touched file's
+    // cumulative deleted fraction stays under DvMaxSelectivity: the
+    // commit registers tiny per-file ordinal sidecars and NOT ONE data
+    // byte moves — the 100 TB answer to frequent small DML, where a
+    // 1-row point delete must not rewrite a 1 GB file. Above the
+    // threshold the whole statement falls through to copy-on-write
+    // (dragging a fat skip set through every future scan costs more
+    // than the rewrite). The commit ALWAYS registers row-grain CDC
+    // delete images: a DV commit changes no files, so without them the
+    // change feed would be blind to the delete.
+    if (carried.get("dvmode").contains("on")) {
+      import org.apache.spark.sql.functions.{element_at, split => fsplit}
+      val dvCur = dvState(root, v)
+      // metadata columns must come off the RAW scan (they don't resolve
+      // across joins); already-DV'd ordinals are excluded by an explicit
+      // anti-join so a second delete can't re-delete them
+      val raw = toLogicalFull(subsetReader(s, root, v)
+          .parquet(touched.map(e => Paths.get(root, e.rel).toString): _*), map)
+        .withColumn("__file", element_at(fsplit(col("_metadata.file_path"), "/"), -1))
+        .withColumn("__idx", col("_metadata.row_index"))
+      val withMeta = touched.map(_.rel).filter(dvCur.contains) match {
+        case Nil => raw
+        case rs => raw.join(broadcast(rs.map(r =>
+            s.read.parquet(Paths.get(root, dvCur(r)).toString)
+              .select(col("idx").as("__idx"),
+                lit(Paths.get(r).getFileName.toString).as("__file")))
+          .reduce(_ unionByName _)), Seq("__file", "__idx"), "left_anti")
+      }
+      val hits = withMeta.filter(coalesce(cond, lit(false))).localCheckpoint(true)
+      val hitCounts = hits.groupBy("__file").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // every live match was already DV'd: version no-op
+      if (hitCounts.isEmpty) return v
+      val byBase = touched.map(e => Paths.get(e.rel).getFileName.toString -> e).toMap
+      def oldDvCount(rel: String): Long = dvCur.get(rel)
+        .map(d => s.read.parquet(Paths.get(root, d).toString).count()).getOrElse(0L)
+      val underCap = hitCounts.forall { case (base, n) =>
+        val e = byBase(base)
+        e.rows > 0 && (oldDvCount(e.rel) + n).toDouble / e.rows <= DvMaxSelectivity
+      }
+      if (underCap) {
+        val tag = java.util.UUID.randomUUID().toString.take(8)
+        // one sidecar per hit file: the file's FULL deleted-ordinal set
+        // (old sidecar ∪ new hits) — a superseding sidecar, so a reader
+        // consults exactly one per file
+        val newDvEntries: Map[String, String] = hitCounts.keys.zipWithIndex.map {
+          case (base, i) =>
+            val e = byBase(base)
+            val newIdx = hits.filter(col("__file") === base).select(col("__idx").as("idx"))
+            val allIdx = dvCur.get(e.rel) match {
+              case Some(d) => s.read.parquet(Paths.get(root, d).toString)
+                .select(col("idx")).unionByName(newIdx)
+              case None => newIdx
+            }
+            val rels = writeDataFiles(allIdx.coalesce(1), root, s"dvdata_${tag}_$i")
+            e.rel -> rels.head
+        }.toMap
+        // row-grain CDC delete images (always, see above)
+        val ct = "_change_type"
+        val cdcMeta = writeCdcFiles(toPhysical(
+          hits.drop("__file", "__idx", "_metadata").withColumn(ct, lit("delete")), map),
+          root, tag)
+        val retry = new CommitRetry(root)
+        var result = -1
+        while (result < 0) {
+          val vNow = currentVersion(root)
+          retry.observed(vNow)
+          val entriesNow = manifestEntries(root, vNow)
+          val present = entriesNow.map(_.rel).toSet
+          val hitRels = newDvEntries.keySet
+          if (!hitRels.forall(present)) throw new IllegalStateException(
+            s"graft-snapshot: concurrent rewrite conflict on $root — files " +
+              s"${(hitRels -- present).mkString(",")} this DV delete read were replaced")
+          val dvNow = dvState(root, vNow)
+          hitRels.foreach { r => if (dvNow.get(r) != dvCur.get(r))
+            throw new IllegalStateException(
+              s"graft-snapshot: concurrent DV delete conflict on $root file $r — " +
+                "its deletion vector changed since this delete's read; retry the statement") }
+          try result = commitEntries(root, vNow, entriesNow, shardSize,
+            carriedMeta(root, vNow) - "dv" ++ fmtDv(dvNow ++ newDvEntries).map("dv" -> _) ++
+              cdcMeta.map("cdc" -> _) ++ extraMeta +
+              ("delete" -> s"dv:${hitRels.size}of${entriesNow.size}"))
+          catch { case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) }
+        }
+        return result
+      }
+      // over the cap: fall through to copy-on-write below
+    }
     // logical view for the predicate, physical for the write (see
     // update; dropped physicals carry through the rewrite)
-    val oldView = toLogicalFull(subsetReader(s, root, v)
-      .parquet(touched.map(e => Paths.get(root, e.rel).toString): _*), map)
+    val oldView = toLogicalFull(readRelsDv(s, root, v, touched.map(_.rel)), map)
     val kept = oldView.filter(not(coalesce(cond, lit(false))))
     val tag = java.util.UUID.randomUUID().toString.take(8)
     // row-grain CDF (see merge): a DELETE's images are just the
@@ -2055,8 +2250,7 @@ object SnapshotTable {
         .filter(lit(false))
     }
     else
-      toLogical(subsetReader(s, root, v)
-          .parquet(hit.map(r => Paths.get(root, r).toString): _*), map)
+      toLogical(readRelsDv(s, root, v, hit), map)
         .filter(col(keyCol).isin(values: _*))
   }
 
@@ -2129,7 +2323,7 @@ object SnapshotTable {
     // `colmap` drops too — the rewrite read the logical view, so this
     // MATERIALIZES any column mapping (see optimizeClustered)
     commitEntries(root, v, entries, shardSize,
-      carriedMeta(root, v) - "schema" - "schemaJson" - "colmap" ++
+      carriedMeta(root, v) - "schema" - "schemaJson" - "colmap" - "dv" ++
         Map("optimize" -> s"zorder:$colA,$colB", "statsCol" -> colA))
   }
 
@@ -2306,6 +2500,7 @@ object SnapshotTable {
     "x33_ansi_merge" -> (x33AnsiMerge _, Some(x33Sql)),
     "x34_merge_sync" -> (x34MergeSync _, Some(x34Sql)),
     "x35_column_mapping" -> (x35ColumnMapping _, Some(x35Sql)),
+    "x36_deletion_vectors" -> (x36DeletionVectors _, Some(x36Sql)),
   )
 
   /** x24_catalog_sql — the name-addressed warehouse surface end-to-end
@@ -2803,5 +2998,56 @@ object SnapshotTable {
        |SELECT ep_day, COUNT(*) AS n_events,
        |  CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS amount_sum
        |FROM u GROUP BY ep_day ORDER BY ep_day""".stripMargin
+
+  /** Build (once per session+dir) the deletion-vector fixture: the
+    * day-clustered event log on its own root, `dvmode=on`, then two
+    * successive sparse point DELETEs through the SQL route — each
+    * commits per-file ordinal sidecars (audit `delete: dv:NofM`), not
+    * one data byte moves, and the second supersedes the first's
+    * sidecars per file (old ∪ new). */
+  private val dvMemo = new graft.SessionMemo[String]
+  private[graft] def dvTable(s: SparkSession, d: String): String =
+    dvMemo.getOrElseUpdate(s, d) {
+      val root = Engine.tmpDir("graft_snap_dv")
+      Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+      commitEntries(root, 0, stageDayClustered(s, d, root), shardSize = 3,
+        Map("statsCol" -> "ep_day"))
+      enableDeletionVectors(root)
+      s.sql(s"DELETE FROM '$root' WHERE event_id % 997 = 3").collect()
+      s.sql(s"DELETE FROM '$root' WHERE event_id % 997 = 5").collect()
+      val audit = manifestMeta(root, currentVersion(root)).getOrElse("delete", "")
+      assert(audit.startsWith("dv:"),
+        s"dv fixture fell back to copy-on-write: audit=$audit")
+      root
+    }
+
+  /** x36_deletion_vectors — merge-on-read point deletes (Delta's
+    * deletion vectors): on a `dvmode=on` table a sparse DELETE commits
+    * tiny per-file ORDINAL sidecars instead of rewriting — at 100 TB a
+    * 1-row compliance delete is one sidecar write, not a 1 GB file
+    * rewrite — and every scan route anti-filters through them (the
+    * DSv2 reader skips ordinals in-stream; the Scala route anti-joins
+    * the broadcast sidecars). This reads the twice-DV-deleted fixture
+    * back through the DSv2 connector — the day aggregate must equal
+    * the DuckDB negated-filter recompute, proving DV delete ≡ CoW
+    * delete ≡ the relational answer. DvSpec pins the byte-untouched
+    * data files, sidecar supersession, OPTIMIZE compaction, and
+    * vacuum reclamation. */
+  def x36DeletionVectors(s: SparkSession, d: String): DataFrame = {
+    val root = dvTable(s, d)
+    s.read.format("graft-snapshot").load(root)
+      .groupBy(col("ep_day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .orderBy("ep_day")
+  }
+
+  val x36Sql: String =
+    """WITH e AS (SELECT event_id, value,
+      |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day FROM events)
+      |SELECT ep_day, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM e WHERE event_id % 997 <> 3 AND event_id % 997 <> 5
+      |GROUP BY ep_day ORDER BY ep_day""".stripMargin
 
 }

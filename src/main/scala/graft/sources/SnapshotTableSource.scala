@@ -386,8 +386,8 @@ private[sources] class SnapshotDsv2Table(root: String, schema: StructType,
     // to the logical view (dropped physicals ride along inert) and
     // back to physical names for the rewrite (see SnapshotTable.delete)
     val map = SnapshotTable.colMap(root, v)
-    val kept = SnapshotTable.toLogicalFull(SnapshotTable.subsetReader(s, root, v)
-        .parquet(cands.map(e => Paths.get(root, e.rel).toString): _*), map)
+    val kept = SnapshotTable.toLogicalFull(
+        SnapshotTable.readRelsDv(s, root, v, cands.map(_.rel)), map)
       .filter(not(coalesce(cond, lit(false))))
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val rels = SnapshotTable.writeDataFiles(
@@ -491,8 +491,11 @@ private[graft] class SnapshotScanBuilder(root: String, full: StructType,
     * residuals, so a filtered count can never reach this path. */
   private def countStarAnswerable(agg: Aggregation): Boolean =
     // CDF mode: the feed's cardinality is the manifest DIFF's rows, not
-    // the current snapshot's — the manifest fast path would be wrong
+    // the current snapshot's — the manifest fast path would be wrong.
+    // Same under deletion vectors: manifest row counts include the
+    // DV'd ordinals the scan would skip.
     !SnapshotSourceUtil.cdfEnabled(options) &&
+      (version == 0 || SnapshotTable.dvState(root, version).isEmpty) &&
       agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
       agg.aggregateExpressions.forall(_.isInstanceOf[CountStar]) &&
       (version == 0 || // empty table: COUNT(*) = 0, no manifest to read
@@ -684,17 +687,21 @@ private[sources] class SnapshotScan(root: String, version: Int,
     }
     new Batch {
     // version + file list pinned at PLAN time: later commits never
-    // tear this scan
+    // tear this scan. Each partition carries its file's deletion-
+    // vector sidecar (if any) — the reader skips those ordinals.
+    private val dv = if (version > 0) SnapshotTable.dvState(root, version)
+      else Map.empty[String, String]
     private val files =
-      if (countStarOnly) Array.empty[String]
-      else plannedEntries.map(e => Paths.get(root, e.rel).toString).toArray
+      if (countStarOnly) Array.empty[(String, Option[String])]
+      else plannedEntries.map(e => (Paths.get(root, e.rel).toString,
+        dv.get(e.rel).map(d => Paths.get(root, d).toString))).toArray
     private val total =
       if (countStarOnly && version > 0)
         SnapshotTable.manifestEntries(root, version).map(_.rows).sum
       else 0L
     override def planInputPartitions(): Array[InputPartition] =
       if (countStarOnly) Array(SnapshotCountPartition(total))
-      else files.map(SnapshotFilePartition(_): InputPartition)
+      else files.map { case (p, d) => SnapshotFilePartition(p, d): InputPartition }
     override def createReaderFactory(): PartitionReaderFactory =
       // zero planned files (empty table / everything pruned): the
       // factory is never invoked, and building the real one would
@@ -758,12 +765,13 @@ private[sources] class SnapshotMicroBatchStream(root: String,
   override def stop(): Unit = ()
 }
 
-private[sources] case class SnapshotFilePartition(path: String) extends InputPartition
+private[sources] case class SnapshotFilePartition(path: String,
+    dvPath: Option[String] = None) extends InputPartition
 
 /** One changed file of one commit: its rows stream as CDF rows tagged
   * (`changeType`, `commitVersion`). */
 private[sources] case class SnapshotCdfPartition(path: String, changeType: String,
-    commitVersion: Int) extends InputPartition
+    commitVersion: Int, dvPath: Option[String] = None) extends InputPartition
 
 /** The one-row answer of a manifest-served COUNT(*). */
 private[sources] case class SnapshotCountPartition(total: Long) extends InputPartition
@@ -865,10 +873,18 @@ private[sources] object SnapshotCdf {
         case None =>
           val before = if (v == 1) Set.empty[String] else rels(v - 1)
           val after = rels(v)
+          // deletion vectors apply AS OF each side's version: a removed
+          // file streams its then-live rows (its pre-removal DV), an
+          // added file its post-commit DV (normally none)
+          val dvBefore = if (v == 1) Map.empty[String, String]
+            else SnapshotTable.dvState(root, v - 1)
+          val dvAfter = SnapshotTable.dvState(root, v)
           val deletes = (before -- after).toSeq.sorted
-            .map(rel => SnapshotCdfPartition(Paths.get(root, rel).toString, "delete", v))
+            .map(rel => SnapshotCdfPartition(Paths.get(root, rel).toString, "delete", v,
+              dvBefore.get(rel).map(d => Paths.get(root, d).toString)))
           val inserts = (after -- before).toSeq.sorted
-            .map(rel => SnapshotCdfPartition(Paths.get(root, rel).toString, "insert", v))
+            .map(rel => SnapshotCdfPartition(Paths.get(root, rel).toString, "insert", v,
+              dvAfter.get(rel).map(d => Paths.get(root, d).toString)))
           deletes ++ inserts
       }
     }.toArray
@@ -887,7 +903,7 @@ private[sources] case class SnapshotCdfReaderFactory(projectedMessage: String,
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[SnapshotCdfPartition]
-    val innerReader = inner.createReader(SnapshotFilePartition(cp.path))
+    val innerReader = inner.createReader(SnapshotFilePartition(cp.path, cp.dvPath))
     val changeType = UTF8String.fromString(cp.changeType)
     val version = cp.commitVersion.toLong
     // out slot i ← base slot (>=0), change type (-1), or version (-2)
@@ -1137,7 +1153,21 @@ private[sources] case class SnapshotReaderFactory(projectedMessage: String,
     pruned: StructType, evolved: Boolean = false) extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val path = p.asInstanceOf[SnapshotFilePartition].path
+    val fp = p.asInstanceOf[SnapshotFilePartition]
+    val path = fp.path
+    // deletion vector: the ordinals (file positions) this scan must
+    // skip — loaded executor-side from the tiny sidecar parquet
+    val dv: java.util.HashSet[java.lang.Long] = fp.dvPath match {
+      case None => null
+      case Some(d) =>
+        val set = new java.util.HashSet[java.lang.Long]()
+        val r = ParquetReader.builder(new GroupReadSupport(), new HadoopPath(d))
+          .withConf(new Configuration()).build()
+        var g = r.read()
+        while (g != null) { set.add(g.getLong("idx", 0)); g = r.read() }
+        r.close()
+        set
+    }
     new PartitionReader[InternalRow] {
       import scala.jdk.CollectionConverters._
       private val request = MessageTypeParser.parseMessageType(projectedMessage)
@@ -1188,11 +1218,22 @@ private[sources] case class SnapshotReaderFactory(projectedMessage: String,
           ParquetReader.builder(new GroupReadSupport(), new HadoopPath(path))
             .withConf(conf).build()
         }
-      private var nullRowsLeft = fileRows
+      // DV'd rows never surface: the all-null fast path subtracts the
+      // sidecar's cardinality, the scanning path counts ordinals and
+      // skips members (file position == read order)
+      private var nullRowsLeft =
+        if (dv == null) fileRows else fileRows - dv.size
+      private var ord: Long = -1L
       private var cur: Group = _
       override def next(): Boolean =
         if (reader == null) { nullRowsLeft -= 1; nullRowsLeft >= 0 }
-        else { cur = reader.read(); cur != null }
+        else if (dv == null) { cur = reader.read(); cur != null }
+        else {
+          cur = reader.read()
+          ord += 1
+          while (cur != null && dv.contains(ord)) { cur = reader.read(); ord += 1 }
+          cur != null
+        }
       override def get(): InternalRow = {
         val vals = new Array[Any](pruned.length)
         var i = 0

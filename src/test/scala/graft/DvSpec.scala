@@ -1,0 +1,177 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Deletion vectors (merge-on-read deletes, Delta's design): on a
+  * `dvmode=on` table a sparse DELETE commits tiny per-file ordinal
+  * sidecars instead of rewriting; scans anti-filter through them on
+  * every route; rewrites apply and retire them; OPTIMIZE compacts them
+  * away; vacuum reclaims superseded sidecars with their manifests. */
+class DvSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+  val ST = graft.operators.SnapshotTable
+  val Engine = graft.operators.Engine
+
+  /** Two range-clustered files of 20 rows each, dvmode on. */
+  private def fresh(name: String): String = {
+    val root = Engine.tmpDir(s"graft_dv_$name")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    val rels = ST.writeDataFiles((1L to 40L).map(k => (k, k * 1.0))
+      .toDF("k", "v").repartitionByRange(2, col("k")), root, "a")
+      .map(ST.footerEntry(root, _, "k"))
+    ST.commitEntries(root, 0, rels, 16, Map("statsCol" -> "k"))
+    ST.enableDeletionVectors(root)
+    root
+  }
+
+  private def fileBytes(root: String): Map[String, Long] =
+    ST.manifestEntries(root, ST.currentVersion(root))
+      .map(e => e.rel -> Files.size(Paths.get(root, e.rel))).toMap
+
+  test("a sparse DELETE commits sidecars, moves no data bytes; DV ≡ CoW ≡ filter") {
+    val root = fresh("basic")
+    val entriesBefore = ST.manifestEntries(root, ST.currentVersion(root)).map(_.rel).toSet
+    val bytesBefore = fileBytes(root)
+    // the CoW twin on an identical table WITHOUT dvmode
+    val cow = Engine.tmpDir("graft_dv_cow")
+    Engine.listDir(Paths.get(cow)).foreach(Engine.deleteRecursively)
+    val cowRels = ST.writeDataFiles((1L to 40L).map(k => (k, k * 1.0))
+      .toDF("k", "v").repartitionByRange(2, col("k")), cow, "a")
+      .map(ST.footerEntry(cow, _, "k"))
+    ST.commitEntries(cow, 0, cowRels, 16, Map("statsCol" -> "k"))
+    spark.sql(s"DELETE FROM '$root' WHERE k IN (3, 25)").collect()
+    spark.sql(s"DELETE FROM '$cow' WHERE k IN (3, 25)").collect()
+    val v = ST.currentVersion(root)
+    // merge-on-read: SAME file list, SAME bytes, a dv audit + sidecars
+    assert(ST.manifestEntries(root, v).map(_.rel).toSet == entriesBefore,
+      "DV delete changed the data file list")
+    assert(fileBytes(root) == bytesBefore, "DV delete rewrote data bytes")
+    assert(ST.manifestMeta(root, v)("delete") == "dv:2of2",
+      ST.manifestMeta(root, v).toString)
+    assert(ST.dvState(root, v).size == 2)
+    // the CoW twin REWROTE files
+    assert(ST.manifestMeta(cow, 2)("delete").startsWith("cow:"),
+      ST.manifestMeta(cow, 2).toString)
+    // all three answers agree: DV scan ≡ CoW scan ≡ negated filter
+    val expect = (1L to 40L).filterNot(k => k == 3 || k == 25).map(k => k -> k * 1.0).toMap
+    def content(r: String) = ST.read(spark, r).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(content(root) == expect, "Scala-route DV scan wrong")
+    assert(content(cow) == expect)
+    val dsv2 = spark.read.format("graft-snapshot").load(root)
+    assert(dsv2.collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap == expect,
+      "DSv2-route DV scan wrong")
+    // count(*) must NOT take the manifest fast path (it would overcount)
+    assert(dsv2.count() == 38)
+    // time travel BEFORE the delete still serves every row
+    assert(ST.readAt(spark, root, 2).count() == 40)
+    // point lookup on a DV'd key returns nothing; on a live key, the row
+    assert(ST.readPointLookup(spark, root, "k", Seq(3L)).count() == 0)
+    assert(ST.readPointLookup(spark, root, "k", Seq(4L)).count() == 1)
+    assert(ST.readPruned(spark, root, "k", 1L, 5L).count() == 4)
+  }
+
+  test("a second DELETE supersedes sidecars (old ∪ new); vacuum reclaims the old") {
+    val root = fresh("supersede")
+    spark.sql(s"DELETE FROM '$root' WHERE k = 5").collect()
+    val v1 = ST.currentVersion(root)
+    val dv1 = ST.dvState(root, v1)
+    spark.sql(s"DELETE FROM '$root' WHERE k = 7").collect()
+    val v2 = ST.currentVersion(root)
+    val dv2 = ST.dvState(root, v2)
+    // both target the lo file: ONE sidecar, new name, both ordinals
+    assert(dv1.size == 1 && dv2.size == 1 && dv1 != dv2)
+    val (rel, side2) = dv2.head
+    assert(spark.read.parquet(Paths.get(root, side2).toString).count() == 2,
+      "superseding sidecar must hold old ∪ new ordinals")
+    assert(ST.read(spark, root).count() == 38)
+    // a delete re-matching an already-DV'd row is a version no-op
+    assert(ST.delete(spark, root, "k = 5") == v2, "re-delete must no-op")
+    // vacuum keeping only the current version reclaims the superseded
+    // sidecar but keeps the live one
+    val side1 = Paths.get(root, dv1.head._2)
+    assert(Files.exists(side1))
+    ST.vacuum(root, keepFrom = v2)
+    assert(!Files.exists(side1), "superseded sidecar must be reclaimed")
+    assert(Files.exists(Paths.get(root, side2)))
+    assert(ST.read(spark, root).count() == 38)
+  }
+
+  test("over-threshold deletes fall back to copy-on-write") {
+    val root = fresh("fallback")
+    // half the rows is way past DvMaxSelectivity
+    spark.sql(s"DELETE FROM '$root' WHERE k <= 20").collect()
+    val v = ST.currentVersion(root)
+    assert(ST.manifestMeta(root, v)("delete").startsWith("cow:"),
+      ST.manifestMeta(root, v).toString)
+    assert(ST.dvState(root, v).isEmpty)
+    assert(ST.read(spark, root).count() == 20)
+  }
+
+  test("rewrites apply the DV and retire it: UPDATE, MERGE, OPTIMIZE") {
+    val root = fresh("rewrite")
+    spark.sql(s"DELETE FROM '$root' WHERE k = 2").collect()
+    assert(ST.dvState(root, ST.currentVersion(root)).size == 1)
+    // a CoW UPDATE touching the DV'd file must not resurrect k=2 and
+    // must drop the file's dv entry (the rewrite applied it)
+    spark.sql(s"UPDATE '$root' SET v = v * 100 WHERE k = 4").collect()
+    val vU = ST.currentVersion(root)
+    assert(ST.dvState(root, vU).isEmpty, "rewrite must retire the applied DV")
+    val got = ST.read(spark, root).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!got.contains(2L), "rewrite resurrected a DV-deleted row")
+    assert(got(4L) == 400.0 && got.size == 39)
+    // MERGE over a DV'd file: same contract
+    spark.sql(s"DELETE FROM '$root' WHERE k = 6").collect()
+    assert(ST.dvState(root, ST.currentVersion(root)).size == 1)
+    ST.merge(spark, root, "k", "k", Seq((8L, 888.0, "u")).toDF("k", "v", "op"))
+    val vM = ST.currentVersion(root)
+    assert(ST.dvState(root, vM).isEmpty)
+    val gotM = ST.read(spark, root).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!gotM.contains(6L) && gotM(8L) == 888.0 && gotM.size == 38)
+    // OPTIMIZE compacts remaining DVs away
+    spark.sql(s"DELETE FROM '$root' WHERE k = 10").collect()
+    assert(ST.dvState(root, ST.currentVersion(root)).nonEmpty)
+    ST.optimizeClustered(spark, root, "k", targetFiles = 2)
+    val vO = ST.currentVersion(root)
+    assert(ST.dvState(root, vO).isEmpty)
+    assert(ST.read(spark, root).count() == 37)
+  }
+
+  test("the change feed sees a DV delete: row-grain delete images, correct fold") {
+    val root = fresh("cdf")
+    spark.sql(s"DELETE FROM '$root' WHERE k IN (11, 31)").collect()
+    val feed = spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true").load(root).collect()
+    val vDel = ST.currentVersion(root)
+    val delRows = feed.filter(r => r.getAs[Long]("_commit_version") == vDel)
+    // exactly the two deleted rows, typed delete — no file-grain noise
+    // (a DV commit changes no files, so without the registered CDC
+    // images the feed would be blind to it)
+    assert(delRows.map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("k"))).toSet ==
+      Set(("delete", 11L), ("delete", 31L)), delRows.mkString(","))
+    // the signed fold of the whole feed = the live content
+    val net = feed.groupBy(r => r.getAs[Long]("k"))
+      .view.mapValues(_.map(r =>
+        if (r.getAs[String]("_change_type") == "insert") 1 else -1).sum)
+      .filter(_._2 != 0).keys.toSet
+    assert(net == (1L to 40L).toSet -- Set(11L, 31L))
+  }
+
+  test("shallow clone carries the DV state; clone scans skip the same rows") {
+    val root = fresh("clone")
+    spark.sql(s"DELETE FROM '$root' WHERE k = 13").collect()
+    val cl = Engine.tmpDir("graft_dv_fork")
+    Engine.listDir(Paths.get(cl)).foreach(Engine.deleteRecursively)
+    ST.shallowClone(root, cl)
+    assert(ST.read(spark, cl).count() == 39)
+    assert(ST.read(spark, cl).filter(col("k") === 13).count() == 0,
+      "clone resurrected a DV-deleted row")
+    // and RESTORE to the pre-delete version resurfaces the row
+    ST.restore(root, 2)
+    assert(ST.read(spark, root).count() == 40)
+  }
+}
