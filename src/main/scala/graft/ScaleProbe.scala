@@ -237,6 +237,144 @@ object ScaleProbe {
         s"final=${buf.last.stateOperators.map(_.numRowsTotal).sum}")
       n
     }
+    // r13: the sync merge (NOT MATCHED BY SOURCE) — same discovery-join
+    // O(table) term as x33 (Delta's phase 1), BY SOURCE anti-join
+    // included; the rewrite must stay confined to the window's files
+    time("x34_merge_sync") {
+      val ST = operators.SnapshotTable
+      val n = ST.x34MergeSync(spark, work).count()
+      val root = spark.conf.get("spark.sql.catalog.gx.root") + "/x34_t"
+      println(s"[scale] x34 merge audit: " +
+        s"${ST.manifestMeta(root, ST.currentVersion(root)).getOrElse("merge", "?")}")
+      n
+    }
+    // r13: column mapping — RENAME/DROP must price as ONE manifest
+    // write no matter the table size, and the post-rename scan must
+    // price like a plain scan (the mapping is a projection rename)
+    time("x35_stage_fixture") {
+      val ST = operators.SnapshotTable
+      val root = s"$work/snap_cm"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+      ST.commitEntries(root, 0, ST.stageDayClustered(spark, work, root),
+        shardSize = 3, Map("statsCol" -> "ep_day"))
+      ST.read(spark, root).count()
+    }
+    time("x35_rename_meta_only") {
+      val ST = operators.SnapshotTable
+      val root = s"$work/snap_cm"
+      ST.renameColumn(spark, root, "value", "amount")
+      ST.dropColumn(spark, root, "event_type")
+      ST.manifestEntries(root, ST.currentVersion(root)).size.toLong
+    }
+    time("x35_read_after_rename") {
+      val ST = operators.SnapshotTable
+      val root = s"$work/snap_cm"
+      ST.read(spark, root).agg(sum(col("amount"))).count()
+    }
+    // r13: deletion vectors — the sparse delete must price at the
+    // SIDECAR write (hits-proportional), not the file rewrite; the
+    // CoW twin on an identical table is the reference. Then the
+    // DV-aware scan's anti-join overhead over the plain scan.
+    time("x36_dv_delete") {
+      val ST = operators.SnapshotTable
+      val root = s"$work/snap_dv"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+      ST.commitEntries(root, 0, ST.stageDayClustered(spark, work, root),
+        shardSize = 3, Map("statsCol" -> "ep_day"))
+      ST.enableDeletionVectors(root)
+      val v = ST.delete(spark, root, "event_id % 997 = 3")
+      println(s"[scale] x36 delete audit: ${ST.manifestMeta(root, v)("delete")}")
+      ST.manifestEntries(root, v).size.toLong
+    }
+    time("x36_cow_delete_ref") {
+      val ST = operators.SnapshotTable
+      val root = s"$work/snap_dv_cow"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+      ST.commitEntries(root, 0, ST.stageDayClustered(spark, work, root),
+        shardSize = 3, Map("statsCol" -> "ep_day"))
+      val v = ST.delete(spark, root, "event_id % 997 = 3")
+      println(s"[scale] x36 cow audit: ${ST.manifestMeta(root, v)("delete")}")
+      ST.manifestEntries(root, v).size.toLong
+    }
+    time("x36_dv_scan")(operators.SnapshotTable.read(spark, s"$work/snap_dv").count())
+    time("x36_dv_scan_dsv2")(
+      spark.read.format("graft-snapshot").load(s"$work/snap_dv").count())
+    time("x36_plain_scan_ref")(
+      operators.SnapshotTable.read(spark, s"$work/snap_dv_cow").count())
+    // the POINT-delete shape DV exists for: one day-clustered file
+    // touched; the sidecar write must not scale with the file's bytes
+    // while the CoW twin rewrites the whole file
+    time("x36_dv_point_delete") {
+      val ST = operators.SnapshotTable
+      val v = ST.delete(spark, s"$work/snap_dv",
+        "ep_day = 19724 AND event_id % 9973 = 5")
+      println(s"[scale] x36 point audit: " +
+        s"${ST.manifestMeta(s"$work/snap_dv", v)("delete")}")
+      1L
+    }
+    time("x36_cow_point_delete_ref") {
+      val ST = operators.SnapshotTable
+      val v = ST.delete(spark, s"$work/snap_dv_cow",
+        "ep_day = 19724 AND event_id % 9973 = 5")
+      println(s"[scale] x36 point cow audit: " +
+        s"${ST.manifestMeta(s"$work/snap_dv_cow", v)("delete")}")
+      1L
+    }
+    // r13 (VERDICT #10): CROSS-VERB CONCURRENCY at replica scale — an
+    // ANSI merge (day-window rewrite), a CoW delete (a DIFFERENT
+    // day-window rewrite; disjoint files, so the rewrites never own the
+    // same rows), and a stream of appends all race through CommitRetry.
+    // Every commit must land: appends rebase under either rewrite, each
+    // rewrite re-bases over the appends (commitRewrite re-carries the
+    // racer's files), ansiMerge re-discovers on a lost CAS. The final
+    // row count is exact arithmetic — any lost update breaks it.
+    time("xr13_concurrent_dml") {
+      val ST = operators.SnapshotTable
+      import spark.implicits._
+      val root = s"$work/snap_race"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+      ST.commitEntries(root, 0, ST.stageDayClustered(spark, work, root),
+        shardSize = 3, Map("statsCol" -> "ep_day"))
+      val n0 = ST.read(spark, root).count()
+      val delPred = "ep_day <= 19730 AND event_type = 'view'"
+      val delCount = ST.read(spark, root).filter(expr(delPred)).count()
+      // merge source: revalue a sample of the 19745-47 window (UPDATE
+      // only — row count preserved; files disjoint from the delete's)
+      ST.read(spark, root)
+        .filter(col("ep_day").between(19745L, 19747L) && col("event_id") % 50 === 0)
+        .withColumn("value", col("value") + 1.0)
+        .localCheckpoint(true).createOrReplaceTempView("race_src")
+      val appendN = 1000
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def thread(name: String)(body: => Unit): Thread = {
+        val t = new Thread(() =>
+          try body catch { case e: Throwable => errs.add(e) }, name)
+        t.start(); t
+      }
+      val appender = thread("appends") {
+        (1 to 3).foreach { i =>
+          val rows = (1 to appendN).map(j =>
+            (-(i * 100000L + j), 1L, "race_append", 1.0, 99990L + i))
+            .toDF("event_id", "user_id", "event_type", "value", "ep_day")
+          assert(streaming.SnapshotSink.appendBatch(root, rows, batchId = i.toLong,
+            keyCol = "ep_day"), s"append $i did not commit")
+        }
+      }
+      val merger = thread("ansi-merge") {
+        ST.ansiMerge(spark, root, "t", "race_src", "s", "event_id", "event_id",
+          Seq(ST.WhenMatchedUpdate(None, Seq("value" -> "s.value"))))
+      }
+      val deleter = thread("delete") { ST.delete(spark, root, delPred) }
+      Seq(appender, merger, deleter).foreach(_.join())
+      if (!errs.isEmpty) throw errs.peek()
+      val fin = ST.read(spark, root).count()
+      val expect = n0 + 3L * appendN - delCount
+      assert(fin == expect, s"concurrent DML lost rows: $fin != $expect " +
+        s"(n0=$n0 del=$delCount)")
+      println(s"[scale] xr13 race: n0=$n0 deleted=$delCount appended=${3 * appendN} " +
+        s"final=$fin versions=${ST.currentVersion(root)}")
+      fin
+    }
     spark.stop()
   }
 }

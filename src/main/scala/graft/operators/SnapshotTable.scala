@@ -519,18 +519,27 @@ object SnapshotTable {
     if (withDv.isEmpty) subsetReader(s, root, v).parquet(paths: _*)
     else {
       import org.apache.spark.sql.functions.{element_at, split => fsplit}
-      val base = subsetReader(s, root, v).parquet(paths: _*)
-      val cols = base.columns.toIndexedSeq
+      // ONLY the DV'd files pay the anti-join; the rest stay a plain
+      // scan (measured 7× cheaper at the 8× probe) — the common shape
+      // is one point-deleted file in a sea of untouched ones
+      val dvd = subsetReader(s, root, v)
+        .parquet(withDv.map(r => Paths.get(root, r).toString): _*)
+      val cols = dvd.columns.toIndexedSeq
       val pairs = withDv.map { rel =>
         s.read.parquet(Paths.get(root, dv(rel)).toString)
           .select(col("idx").as("__dv_idx"),
             lit(Paths.get(rel).getFileName.toString).as("__dv_file"))
       }.reduce(_ unionByName _)
-      base
+      val filtered = dvd
         .withColumn("__dv_file", element_at(fsplit(col("_metadata.file_path"), "/"), -1))
         .withColumn("__dv_idx", col("_metadata.row_index"))
         .join(broadcast(pairs), Seq("__dv_file", "__dv_idx"), "left_anti")
         .select(cols.map(col): _*)
+      val plain = rels.filterNot(dv.contains)
+      if (plain.isEmpty) filtered
+      else subsetReader(s, root, v)
+        .parquet(plain.map(r => Paths.get(root, r).toString): _*)
+        .unionByName(filtered, allowMissingColumns = true)
     }
   }
 
@@ -1710,18 +1719,27 @@ object SnapshotTable {
         val tag = java.util.UUID.randomUUID().toString.take(8)
         // one sidecar per hit file: the file's FULL deleted-ordinal set
         // (old sidecar ∪ new hits) — a superseding sidecar, so a reader
-        // consults exactly one per file
+        // consults exactly one per file. ALL sidecars land in ONE
+        // partitioned write (the 8× probe showed per-file sequential
+        // jobs dominating the sidecar cost at multi-file spreads).
+        val oldSides = hitCounts.keys.toSeq.flatMap { base =>
+          dvCur.get(byBase(base).rel).map(d =>
+            s.read.parquet(Paths.get(root, d).toString)
+              .select(col("idx"), lit(base).as("__file")))
+        }
+        val allIdx = (hits.select(col("__idx").as("idx"), col("__file")) +: oldSides)
+          .reduce(_ unionByName _)
+        val scratch = Engine.tmpDir(s"graft_dv_scratch_$tag")
+        allIdx.coalesce(1).write.mode("overwrite").partitionBy("__file").parquet(scratch)
         val newDvEntries: Map[String, String] = hitCounts.keys.zipWithIndex.map {
           case (base, i) =>
-            val e = byBase(base)
-            val newIdx = hits.filter(col("__file") === base).select(col("__idx").as("idx"))
-            val allIdx = dvCur.get(e.rel) match {
-              case Some(d) => s.read.parquet(Paths.get(root, d).toString)
-                .select(col("idx")).unionByName(newIdx)
-              case None => newIdx
-            }
-            val rels = writeDataFiles(allIdx.coalesce(1), root, s"dvdata_${tag}_$i")
-            e.rel -> rels.head
+            val dir = Paths.get(scratch, s"__file=$base")
+            val part = Engine.listDir(dir)
+              .find(_.getFileName.toString.endsWith(".parquet"))
+              .getOrElse(sys.error(s"dv sidecar write produced no part for $base"))
+            val rel = s"dvdata_${tag}_$i.parquet"
+            Files.move(part, Paths.get(root, rel), StandardCopyOption.REPLACE_EXISTING)
+            byBase(base).rel -> rel
         }.toMap
         // row-grain CDC delete images (always, see above)
         val ct = "_change_type"
