@@ -172,10 +172,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * column at read time and the NEXT ingest may carry it. At 100 TB
     * adding a column costs one manifest commit, never a table rewrite.
     * Historical versions keep their own width (time travel reads the
-    * schema AS OF the snapshot). Every other change class
-    * (drop/rename/retype/reposition) is refused — the snapshot table
-    * is add-column-evolution only, the same envelope the x18 ingest
-    * path established. */
+    * schema AS OF the snapshot). RENAME COLUMN and DROP
+    * COLUMN are metadata-only commits through COLUMN MAPPING (see
+    * [[SnapshotTable.renameColumn]]/[[SnapshotTable.dropColumn]] —
+    * logical→physical indirection in the log; under a mapping, an
+    * added column's storage name is freshly minted so re-adding a
+    * dropped name can never resurrect old values). Retype/reposition
+    * are refused — those genuinely need a rewrite. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val d = tableDir(ident)
     if (!isTableDir(d)) throw new NoSuchTableException(ident)
@@ -223,8 +226,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"graft catalog: unsupported added-column type ${add.dataType()}")
         add.fieldNames()(0) -> add.dataType()
       case other => throw new UnsupportedOperationException(
-        s"graft catalog: unsupported ALTER TABLE change $other — only ADD COLUMN " +
-          "(add-column evolution; drops/renames/retypes would need a table rewrite)")
+        s"graft catalog: unsupported ALTER TABLE change $other — supported: " +
+          "ADD COLUMN, RENAME COLUMN, DROP COLUMN (retype/reposition need a rewrite)")
     }
     require(adds.map(_._1.toLowerCase).distinct.size == adds.size,
       "graft catalog: duplicate column name in ADD COLUMNS")
