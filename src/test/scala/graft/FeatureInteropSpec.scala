@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The r13 features COMPOSED: column mapping × deletion vectors ×
+  * row-grain CDF × restore/clone. Each feature's spec proves it alone;
+  * this suite proves the combinations a real warehouse hits — rename
+  * then point-delete, DV'd table renamed, CDC across both, restore
+  * across all three. */
+class FeatureInteropSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+  val ST = graft.operators.SnapshotTable
+  val Engine = graft.operators.Engine
+
+  private def fresh(name: String): String = {
+    val root = Engine.tmpDir(s"graft_fi_$name")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    val rels = ST.writeDataFiles((1L to 40L).map(k => (k, s"t$k", k * 1.0))
+      .toDF("k", "tag", "v").repartitionByRange(2, col("k")), root, "a")
+      .map(ST.footerEntry(root, _, "k"))
+    ST.commitEntries(root, 0, rels, 16,
+      Map("statsCol" -> "k", "cdf" -> "row"))
+    root
+  }
+
+  test("rename → DV delete under the NEW name → scan, CDF, and lookup all compose") {
+    val root = fresh("cm_dv")
+    ST.enableDeletionVectors(root)
+    ST.renameColumn(spark, root, "v", "score")
+    // the DELETE names the renamed column; sparse → DV path
+    spark.sql(s"DELETE FROM '$root' WHERE score = 7.0").collect()
+    val v = ST.currentVersion(root)
+    assert(ST.manifestMeta(root, v)("delete").startsWith("dv:"),
+      ST.manifestMeta(root, v).toString)
+    // both scan routes resolve mapping AND skip the DV'd row
+    assert(ST.read(spark, root).count() == 39)
+    assert(ST.read(spark, root).filter(col("score") === 7.0).count() == 0)
+    val dsv2 = spark.read.format("graft-snapshot").load(root)
+    assert(dsv2.columns.toSeq == Seq("k", "tag", "score"))
+    assert(dsv2.count() == 39 && dsv2.filter(col("k") === 7).count() == 0)
+    // the CDC image carries the LOGICAL name through the feed
+    val feed = spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true").load(root)
+      .filter(col("_commit_version") === v).collect()
+    assert(feed.map(r => (r.getAs[String]("_change_type"),
+      r.getAs[Long]("k"), r.getAs[Double]("score"))).toSet ==
+      Set(("delete", 7L, 7.0)), feed.mkString(","))
+    // point lookup under the mapping skips the DV'd key
+    assert(ST.readPointLookup(spark, root, "k", Seq(7L)).count() == 0)
+    assert(ST.readPointLookup(spark, root, "k", Seq(8L)).count() == 1)
+  }
+
+  test("DV first, rename after: the sidecar keys on ordinals, so the rename is free") {
+    val root = fresh("dv_cm")
+    ST.enableDeletionVectors(root)
+    spark.sql(s"DELETE FROM '$root' WHERE k = 3").collect()
+    ST.renameColumn(spark, root, "v", "score")
+    ST.dropColumn(spark, root, "tag")
+    assert(ST.read(spark, root).columns.toSeq == Seq("k", "score"))
+    assert(ST.read(spark, root).count() == 39)
+    assert(spark.read.format("graft-snapshot").load(root)
+      .filter(col("k") === 3).count() == 0)
+    // an UPDATE on the mapped + DV'd table applies the DV in its
+    // rewrite (no resurrection) and retires the sidecar entry
+    spark.sql(s"UPDATE '$root' SET score = score + 100 WHERE k <= 5").collect()
+    val got = ST.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!got.contains(3L), "UPDATE resurrected a DV-deleted row")
+    assert(got(2L) == 102.0 && got(10L) == 10.0 && got.size == 39)
+    assert(ST.dvState(root, ST.currentVersion(root)).isEmpty)
+    // the UPDATE's CDC pair: pre/post images for the 4 live hits only
+    val vU = ST.currentVersion(root)
+    val ups = spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true").load(root)
+      .filter(col("_commit_version") === vU).collect()
+    val pre = ups.filter(_.getAs[String]("_change_type") == "update_preimage")
+    assert(pre.map(_.getAs[Long]("k")).toSet == Set(1L, 2L, 4L, 5L),
+      "CDC images must exclude the DV-deleted row")
+  }
+
+  test("RESTORE walks back across DV + rename + drop in one step; clone forks the stack") {
+    val root = fresh("restore_stack")
+    ST.enableDeletionVectors(root)              // v2
+    spark.sql(s"DELETE FROM '$root' WHERE k = 9").collect() // v3 (dv)
+    ST.renameColumn(spark, root, "v", "score")  // v4
+    ST.dropColumn(spark, root, "tag")           // v5
+    // clone the full stack: mapping + dv state both carry
+    val cl = Engine.tmpDir("graft_fi_fork")
+    Engine.listDir(Paths.get(cl)).foreach(Engine.deleteRecursively)
+    ST.shallowClone(root, cl)
+    assert(ST.read(spark, cl).columns.toSeq == Seq("k", "score"))
+    assert(ST.read(spark, cl).count() == 39)
+    // restore to v1: original names, all 40 rows, no dv, no mapping
+    ST.restore(root, 1)
+    assert(ST.read(spark, root).columns.toSeq == Seq("k", "tag", "v"))
+    assert(ST.read(spark, root).count() == 40)
+    assert(ST.dvState(root, ST.currentVersion(root)).isEmpty)
+    assert(ST.colMap(root, ST.currentVersion(root)).isEmpty)
+    // redo to v5: the whole stack comes back
+    ST.restore(root, 5)
+    assert(ST.read(spark, root).columns.toSeq == Seq("k", "score"))
+    assert(ST.read(spark, root).count() == 39)
+    // ...and the clone was never disturbed
+    assert(ST.read(spark, cl).count() == 39)
+  }
+
+  test("OPTIMIZE materializes mapping AND compacts DVs in one rewrite") {
+    val root = fresh("optimize_all")
+    ST.enableDeletionVectors(root)
+    spark.sql(s"DELETE FROM '$root' WHERE k IN (2, 22)").collect()
+    ST.renameColumn(spark, root, "v", "score")
+    ST.dropColumn(spark, root, "tag")
+    ST.optimizeClustered(spark, root, "k", targetFiles = 2)
+    val v = ST.currentVersion(root)
+    assert(ST.colMap(root, v).isEmpty && ST.dvState(root, v).isEmpty)
+    // files physically carry the logical names, deleted rows gone,
+    // dropped column purged
+    val footer = spark.read.parquet(
+      Paths.get(root, ST.manifestEntries(root, v).head.rel).toString)
+    assert(footer.columns.toSeq == Seq("k", "score"))
+    assert(ST.read(spark, root).count() == 38)
+    // dvmode survives the rewrite: the NEXT sparse delete is DV again
+    spark.sql(s"DELETE FROM '$root' WHERE k = 30").collect()
+    assert(ST.manifestMeta(root, ST.currentVersion(root))("delete")
+      .startsWith("dv:"))
+  }
+}
