@@ -352,6 +352,14 @@ object SnapshotTable {
     * [[renameColumn]] refuses a logical name colliding with any
     * resident physical. [[toPhysical]] inverts the mapped part and
     * passes dropped physicals through. */
+  /** Reserved alias for a dropped physical whose name collides with a
+    * LIVE logical name (drop `x`, then ADD COLUMN `x` → the new
+    * column's fresh physical maps to logical `x` while old files still
+    * carry a physical `x`): the ride-along is renamed under this
+    * prefix through the transform and [[toPhysical]] renames it back,
+    * so the rewrite frame never holds two columns named `x`. */
+  private val DroppedAlias = "__graft_dropped_"
+
   private[graft] def toLogicalFull(df: DataFrame,
       map: Option[Seq[(String, String)]]): DataFrame = map match {
     case None => df
@@ -359,17 +367,23 @@ object SnapshotTable {
       val mapped = m.collect {
         case (l, p) if df.columns.contains(p) => col(p).as(l)
       }
-      val dropped = df.columns.filterNot(c => m.exists(_._2 == c)).map(col(_))
+      val dropped = df.columns.filterNot(c => m.exists(_._2 == c)).map { c =>
+        if (m.exists(_._1 == c)) col(c).as(s"$DroppedAlias$c") else col(c)
+      }
       df.select(mapped ++ dropped: _*)
   }
 
-  /** Logical-named frame → physical names for writing data files. */
+  /** Logical-named frame → physical names for writing data files
+    * (inverts [[toLogicalFull]]'s collision alias too). */
   private[graft] def toPhysical(df: DataFrame,
       map: Option[Seq[(String, String)]]): DataFrame = map match {
     case None => df
     case Some(m) =>
       val byLogical = m.toMap
-      df.select(df.columns.map(c => col(c).as(byLogical.getOrElse(c, c))).toIndexedSeq: _*)
+      df.select(df.columns.map { c =>
+        if (c.startsWith(DroppedAlias)) col(c).as(c.stripPrefix(DroppedAlias))
+        else col(c).as(byLogical.getOrElse(c, c))
+      }.toIndexedSeq: _*)
   }
 
   /** The logical name the mapping gives a physical column (identity
@@ -1329,8 +1343,13 @@ object SnapshotTable {
       def condCol(c: Option[String]): Column =
         c.map(e => coalesce(expr(e).cast("boolean"), lit(false))).getOrElse(lit(true))
       // resolved BEFORE clause compilation: the UPDATE clause must refuse
-      // SET on this column (see below), not just the ON column
-      val clusterCol = carriedMeta(root, v).getOrElse("statsCol", onTgtCol)
+      // SET on this column (see below), not just the ON column. The
+      // manifest's statsCol is a PHYSICAL name — the compiled changeset
+      // (and the SET guard) speak logical, so translate (identity on
+      // unmapped tables; a renamed cluster column otherwise crashes the
+      // bounds aggregate and slips past the SET guard).
+      val clusterCol = logicalName(colMap(root, v),
+        carriedMeta(root, v).getOrElse("statsCol", onTgtCol))
       // updating the join key would re-key the changeset row: the keyed
       // merge would then delete whatever row already holds the NEW key
       // and leave the old row in place — silent corruption, so the ON
@@ -1434,6 +1453,12 @@ object SnapshotTable {
       opTag: String, extraMeta: Map[String, String] = Map.empty,
       emptySchemaJson: Option[String] = None): Int = {
     var v = baseVersion
+    // the deletion-vector state of the touched files AS OF the version
+    // this operation READ: a rebase must verify it is unchanged, or a
+    // concurrent DV delete's rows would silently resurrect (the
+    // rewrite was built from a pre-DV read, and dropping the racer's
+    // sidecar entry below would erase the only record of the delete)
+    val dvRead = dvState(root, baseVersion).filter(kv => touchedRels(kv._1))
     // the SHARED bounded-retry policy (reclaims a dead committer's
     // zero-byte claim, backs off, fails loudly): a hand-rolled counter
     // here would spin its attempts out in milliseconds against a corpse
@@ -1442,7 +1467,8 @@ object SnapshotTable {
     while (true) {
       retry.observed(v)
       val carried0 = carriedMeta(root, v)
-      // touched files are replaced: their deletion vectors die with them
+      // touched files are replaced: their deletion vectors die with
+      // them (this rewrite READ and applied them — see dvRead check)
       val dvLeft = dvState(root, v) -- touchedRels
       val carried = carried0 - "dv" ++ fmtDv(dvLeft).map("dv" -> _)
       val entries = manifestEntries(root, v)
@@ -1451,6 +1477,12 @@ object SnapshotTable {
         s"graft-snapshot: concurrent rewrite conflict on $root — files " +
           s"${missing.toSeq.sorted.take(3).mkString(",")} were rewritten by another " +
           "committer after this operation read them; re-run against the current version")
+      val dvNow = dvState(root, v).filter(kv => touchedRels(kv._1))
+      if (dvNow != dvRead) throw new IllegalStateException(
+        s"graft-snapshot: concurrent DV delete conflict on $root — the deletion " +
+          s"vectors of files this rewrite read changed " +
+          s"(${(dvNow.keySet ++ dvRead.keySet).toSeq.sorted.take(3).mkString(",")}); " +
+          "re-run against the current version")
       val untouched = entries.filterNot(e => touchedRels(e.rel))
       // full rewrite leaves uniform files — drop evolution markers,
       // same contract as the merge/optimize full-rewrite paths. If the
@@ -1502,6 +1534,16 @@ object SnapshotTable {
     * skipping. */
   private[graft] def updateTouchedScan(full: DataFrame, wherePred: String): DataFrame =
     full.filter(expr(wherePred)).select(input_file_name().as("f")).distinct()
+
+  /** The find-touched phase's input: the version's RAW logical scan —
+    * no DV anti-join (input_file_name cannot resolve across it; a file
+    * whose only matches are already DV'd is spuriously touched and
+    * handled downstream as zero new hits). Shared by update/delete. */
+  private def rawLogicalScan(s: SparkSession, root: String, v: Int,
+      entries: Seq[FileEntry]): DataFrame =
+    toLogical(subsetReader(s, root, v)
+      .parquet(entries.map(e => Paths.get(root, e.rel).toString): _*),
+      colMap(root, v))
 
   /** The manifest entries named by `input_file_name`'s URI set. Entry
     * paths are normalized before matching because a SHALLOW CLONE's
@@ -1573,14 +1615,7 @@ object SnapshotTable {
       s"update on $root: SET names unknown column $c (UPDATE never widens a table; " +
         "use a widening merge to add columns)") }
     val cond = expr(wherePred)
-    // the find-touched pass runs on the RAW scan (input_file_name
-    // cannot resolve across the DV anti-join; a file whose only
-    // matches are already DV'd is spuriously touched and handled
-    // downstream as zero new hits)
-    val touchedPaths = updateTouchedScan(
-      toLogical(subsetReader(s, root, v)
-        .parquet(manifestEntries(root, v).map(e =>
-          Paths.get(root, e.rel).toString): _*), colMap(root, v)),
+    val touchedPaths = updateTouchedScan(rawLogicalScan(s, root, v, entries),
       wherePred)
       .collect().map(_.getString(0)).toSet
     val touched = touchedEntries(root, entries, touchedPaths)
@@ -1594,28 +1629,30 @@ object SnapshotTable {
     // physicals ride along inert — rewritten files keep full physical
     // width) and converts back for the write. Identity mapping = no-op.
     val old = toLogicalFull(readRelsDv(s, root, v, touched.map(_.rel)), map)
-    val updated = old.select(old.columns.map { c =>
-      setMap.get(c) match {
-        case Some(e2) =>
-          when(cond, expr(e2).cast(old.schema(c).dataType)).otherwise(col(c)).as(c)
-        case None => col(c)
-      }
-    }.toIndexedSeq: _*)
+    // the ONE SET projection, guarded (per-row `when(cond)`) for the
+    // full rewrite, unguarded for the CDC postimages (those rows are
+    // pre-filtered hits) — pre-update RHS semantics in both shapes
+    def setProjection(df: DataFrame, guard: Option[Column]): DataFrame =
+      df.select(df.columns.map { c =>
+        setMap.get(c) match {
+          case Some(e2) =>
+            val rhs = expr(e2).cast(df.schema(c).dataType)
+            guard.fold(rhs)(g => when(g, rhs).otherwise(col(c))).as(c)
+          case None => col(c)
+        }
+      }.toIndexedSeq: _*)
+    val updated = setProjection(old, Some(cond))
     val tag = java.util.UUID.randomUUID().toString.take(8)
-    // row-grain CDF (see merge): an UPDATE's images are the predicate's
-    // hits before and after the SET — pre-update RHS semantics hold
-    // because the transform runs over the FILTERED OLD rows
+    // row-grain CDF (see merge). The images cost a second pass over
+    // the touched files (checkpointing every touched row to share one
+    // pass would hold the whole rewrite in memory — the second scan is
+    // the cheaper trade at file granularity).
     val cdcMeta: Option[String] =
       if (!carried.get("cdf").contains("row")) None
       else {
         val ct = "_change_type"
         val hits = old.filter(coalesce(cond, lit(false)))
-        val post = hits.select(old.columns.map { c =>
-          setMap.get(c) match {
-            case Some(e2) => expr(e2).cast(old.schema(c).dataType).as(c)
-            case None => col(c)
-          }
-        }.toIndexedSeq: _*)
+        val post = setProjection(hits, None)
         val cdcAll = hits.withColumn(ct, lit("update_preimage"))
           .unionByName(post.withColumn(ct, lit("update_postimage")))
           .localCheckpoint(true)
@@ -1658,14 +1695,7 @@ object SnapshotTable {
     val entries = manifestEntries(root, v)
     val full = readAt(s, root, v)
     val cond = expr(wherePred)
-    // the find-touched pass runs on the RAW scan (input_file_name
-    // cannot resolve across the DV anti-join; a file whose only
-    // matches are already DV'd is spuriously touched and handled
-    // downstream as zero new hits)
-    val touchedPaths = updateTouchedScan(
-      toLogical(subsetReader(s, root, v)
-        .parquet(manifestEntries(root, v).map(e =>
-          Paths.get(root, e.rel).toString): _*), colMap(root, v)),
+    val touchedPaths = updateTouchedScan(rawLogicalScan(s, root, v, entries),
       wherePred)
       .collect().map(_.getString(0)).toSet
     val touched = touchedEntries(root, entries, touchedPaths)
@@ -1709,11 +1739,26 @@ object SnapshotTable {
       // every live match was already DV'd: version no-op
       if (hitCounts.isEmpty) return v
       val byBase = touched.map(e => Paths.get(e.rel).getFileName.toString -> e).toMap
-      def oldDvCount(rel: String): Long = dvCur.get(rel)
-        .map(d => s.read.parquet(Paths.get(root, d).toString).count()).getOrElse(0L)
+      // hit files' existing sidecars, read ONCE (checkpointed — they
+      // total the already-deleted rows): one count job serves the
+      // selectivity cap, and the same frame feeds the superseding
+      // union write below
+      val oldSides: Option[DataFrame] = {
+        val fs = hitCounts.keys.toSeq.sorted.flatMap { base =>
+          dvCur.get(byBase(base).rel).map(d =>
+            s.read.parquet(Paths.get(root, d).toString)
+              .select(col("idx"), lit(base).as("__file")))
+        }
+        if (fs.isEmpty) None
+        else Some(fs.reduce(_ unionByName _).localCheckpoint(true))
+      }
+      val oldCounts: Map[String, Long] = oldSides.fold(Map.empty[String, Long])(
+        _.groupBy("__file").count().collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap)
       val underCap = hitCounts.forall { case (base, n) =>
         val e = byBase(base)
-        e.rows > 0 && (oldDvCount(e.rel) + n).toDouble / e.rows <= DvMaxSelectivity
+        e.rows > 0 &&
+          (oldCounts.getOrElse(base, 0L) + n).toDouble / e.rows <= DvMaxSelectivity
       }
       if (underCap) {
         val tag = java.util.UUID.randomUUID().toString.take(8)
@@ -1722,13 +1767,8 @@ object SnapshotTable {
         // consults exactly one per file. ALL sidecars land in ONE
         // partitioned write (the 8× probe showed per-file sequential
         // jobs dominating the sidecar cost at multi-file spreads).
-        val oldSides = hitCounts.keys.toSeq.flatMap { base =>
-          dvCur.get(byBase(base).rel).map(d =>
-            s.read.parquet(Paths.get(root, d).toString)
-              .select(col("idx"), lit(base).as("__file")))
-        }
-        val allIdx = (hits.select(col("__idx").as("idx"), col("__file")) +: oldSides)
-          .reduce(_ unionByName _)
+        val allIdx = (hits.select(col("__idx").as("idx"), col("__file")) +:
+          oldSides.toSeq).reduce(_ unionByName _)
         val scratch = Engine.tmpDir(s"graft_dv_scratch_$tag")
         allIdx.coalesce(1).write.mode("overwrite").partitionBy("__file").parquet(scratch)
         val newDvEntries: Map[String, String] = hitCounts.keys.zipWithIndex.map {
@@ -1999,25 +2039,52 @@ object SnapshotTable {
     val from = manifestEntries(root, vFrom).map(_.rel).toSet
     val to = manifestEntries(root, vTo).map(_.rel).toSet
     // each side reads under ITS version's schema semantics (an evolved
-    // vTo resolves the union width; a pre-evolution vFrom stays narrow)
+    // vTo resolves the union width; a pre-evolution vFrom stays
+    // narrow), resolves ITS version's column mapping, and applies ITS
+    // version's deletion vectors — a removed file's already-DV-deleted
+    // rows must not re-report as fresh deletes
     def readRels(rels: Set[String], v: Int): Option[DataFrame] =
       if (rels.isEmpty) None
-      // each side resolves the column mapping AS OF its version, so a
-      // rename between vFrom and vTo still unions by the then-current
-      // logical names (physical names are rename-stable)
-      else Some(toLogical(subsetReader(s, root, v)
-        .parquet(rels.toSeq.sorted.map(r => Paths.get(root, r).toString): _*),
+      else Some(toLogical(readRelsDv(s, root, v, rels.toSeq.sorted),
         colMap(root, v)))
     val added = readRels(to -- from, vTo)
     val removed = readRels(from -- to, vFrom)
-    (added, removed) match {
-      case (Some(a), Some(r)) =>
-        a.exceptAll(r).withColumn("change_type", lit("insert"))
-          .unionByName(r.exceptAll(a).withColumn("change_type", lit("delete")))
-      case (Some(a), None) => a.withColumn("change_type", lit("insert"))
-      case (None, Some(r)) => r.withColumn("change_type", lit("delete"))
-      case (None, None) => s.emptyDataFrame
+    // a commit can change a file's DELETION VECTOR without touching
+    // the file (a merge-on-read delete, or RESTORE across one): the
+    // ordinal difference of the two sidecar states IS the row delta —
+    // newly-deleted ordinals report as deletes, resurrected ones as
+    // inserts. Without this a DV commit diffs to an empty change set.
+    val dvF = dvState(root, vFrom)
+    val dvT = dvState(root, vTo)
+    def sideIdx(o: Option[String]): DataFrame = o match {
+      case Some(d) => s.read.parquet(Paths.get(root, d).toString).select(col("idx"))
+      case None => s.range(0).select(col("id").as("idx"))
     }
+    val dvDeltas: Seq[DataFrame] = (from intersect to).toSeq.sorted
+      .filter(r => dvF.get(r) != dvT.get(r)).flatMap { rel =>
+        def rowsAt(idx: DataFrame, v: Int, ct: String): DataFrame =
+          toLogical(subsetReader(s, root, v)
+              .parquet(Paths.get(root, rel).toString), colMap(root, v))
+            .withColumn("__idx", col("_metadata.row_index"))
+            .join(broadcast(idx.withColumnRenamed("idx", "__idx")),
+              Seq("__idx"), "left_semi")
+            .drop("__idx").withColumn("change_type", lit(ct))
+        Seq(
+          rowsAt(sideIdx(dvT.get(rel)).exceptAll(sideIdx(dvF.get(rel))),
+            vFrom, "delete"),
+          rowsAt(sideIdx(dvF.get(rel)).exceptAll(sideIdx(dvT.get(rel))),
+            vTo, "insert"))
+      }
+    val base = (added, removed) match {
+      case (Some(a), Some(r)) =>
+        Some(a.exceptAll(r).withColumn("change_type", lit("insert"))
+          .unionByName(r.exceptAll(a).withColumn("change_type", lit("delete"))))
+      case (Some(a), None) => Some(a.withColumn("change_type", lit("insert")))
+      case (None, Some(r)) => Some(r.withColumn("change_type", lit("delete")))
+      case (None, None) => None
+    }
+    (base.toSeq ++ dvDeltas).reduceOption(_ unionByName _)
+      .getOrElse(s.emptyDataFrame)
   }
 
   /** x19_incremental_read — the change feed of x17's merge commit,

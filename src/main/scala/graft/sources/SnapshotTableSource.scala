@@ -281,6 +281,18 @@ private[sources] object SnapshotSourceUtil {
     new MessageType(full.getName,
       pruned.fields.map(f => full.getType(full.getFieldIndex(f.name))).toList.asJava)
 
+  /** Load a deletion-vector sidecar's ordinal set (executor- or
+    * driver-side; sidecars are tiny by the selectivity cap). */
+  def loadDvSet(path: String): java.util.HashSet[java.lang.Long] = {
+    val set = new java.util.HashSet[java.lang.Long]()
+    val r = ParquetReader.builder(new GroupReadSupport(), new HadoopPath(path))
+      .withConf(new Configuration()).build()
+    var g = r.read()
+    while (g != null) { set.add(g.getLong("idx", 0)); g = r.read() }
+    r.close()
+    set
+  }
+
   /** Physical (file-named) struct → the LOGICAL schema the table's
     * column mapping exposes: mapped fields rename, unmapped (dropped)
     * fields disappear, order follows the mapping. Identity when the
@@ -770,8 +782,16 @@ private[sources] case class SnapshotFilePartition(path: String,
 
 /** One changed file of one commit: its rows stream as CDF rows tagged
   * (`changeType`, `commitVersion`). */
+/** One changed file of one commit. Two modes: the plain mode streams
+  * the file's rows (minus `dvPath`'s ordinals) under the constant
+  * `changeType`; the DELTA mode (`keepDvPath` set) streams ONLY the
+  * rows whose ordinal is in keepDvPath's set and NOT in dvPath's —
+  * the ordinal difference of two deletion-vector states, which is how
+  * a commit that changed a file's DV *without touching the file*
+  * (RESTORE across a DV delete) surfaces in the feed. */
 private[sources] case class SnapshotCdfPartition(path: String, changeType: String,
-    commitVersion: Int, dvPath: Option[String] = None) extends InputPartition
+    commitVersion: Int, dvPath: Option[String] = None,
+    keepDvPath: Option[String] = None) extends InputPartition
 
 /** The one-row answer of a manifest-served COUNT(*). */
 private[sources] case class SnapshotCountPartition(total: Long) extends InputPartition
@@ -885,7 +905,29 @@ private[sources] object SnapshotCdf {
           val inserts = (after -- before).toSeq.sorted
             .map(rel => SnapshotCdfPartition(Paths.get(root, rel).toString, "insert", v,
               dvAfter.get(rel).map(d => Paths.get(root, d).toString)))
-          deletes ++ inserts
+          // a commit can change a file's DELETION VECTOR without
+          // touching the file (RESTORE across a DV delete; DV deletes
+          // themselves register `cdc` meta and never reach this
+          // branch): newly-deleted ordinals stream as deletes,
+          // resurrected ordinals as inserts — otherwise the feed is
+          // blind to the commit and every consumer diverges
+          val dvDelta = (before intersect after).toSeq.sorted.flatMap { rel =>
+            val b = dvBefore.get(rel)
+            val a = dvAfter.get(rel)
+            if (b == a) Nil
+            else {
+              val path = Paths.get(root, rel).toString
+              def abs(o: Option[String]) = o.map(d => Paths.get(root, d).toString)
+              // deleted at v: ordinals in after ∖ before
+              val del = a.toSeq.map(_ => SnapshotCdfPartition(path, "delete", v,
+                abs(b), keepDvPath = abs(a)))
+              // resurrected at v: ordinals in before ∖ after
+              val res = b.toSeq.map(_ => SnapshotCdfPartition(path, "insert", v,
+                abs(a), keepDvPath = abs(b)))
+              del ++ res
+            }
+          }
+          deletes ++ inserts ++ dvDelta
       }
     }.toArray
 }
@@ -903,7 +945,29 @@ private[sources] case class SnapshotCdfReaderFactory(projectedMessage: String,
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[SnapshotCdfPartition]
-    val innerReader = inner.createReader(SnapshotFilePartition(cp.path, cp.dvPath))
+    // DELTA mode (see SnapshotCdfPartition): plain inner read, keep
+    // only ordinals in keepDvPath ∖ dvPath — implemented as a skip-all
+    // -but-the-difference wrapper below
+    val delta = cp.keepDvPath.map { k =>
+      val keep = SnapshotSourceUtil.loadDvSet(k)
+      cp.dvPath.foreach(d => keep.removeAll(SnapshotSourceUtil.loadDvSet(d)))
+      keep
+    }
+    val innerReader0 = inner.createReader(SnapshotFilePartition(cp.path,
+      if (delta.isDefined) None else cp.dvPath))
+    val innerReader = delta match {
+      case None => innerReader0
+      case Some(keep) => new PartitionReader[InternalRow] {
+        private var ord = -1L
+        override def next(): Boolean = {
+          var has = innerReader0.next(); ord += 1
+          while (has && !keep.contains(ord)) { has = innerReader0.next(); ord += 1 }
+          has
+        }
+        override def get(): InternalRow = innerReader0.get()
+        override def close(): Unit = innerReader0.close()
+      }
+    }
     val changeType = UTF8String.fromString(cp.changeType)
     val version = cp.commitVersion.toLong
     // out slot i ← base slot (>=0), change type (-1), or version (-2)
@@ -1157,17 +1221,8 @@ private[sources] case class SnapshotReaderFactory(projectedMessage: String,
     val path = fp.path
     // deletion vector: the ordinals (file positions) this scan must
     // skip — loaded executor-side from the tiny sidecar parquet
-    val dv: java.util.HashSet[java.lang.Long] = fp.dvPath match {
-      case None => null
-      case Some(d) =>
-        val set = new java.util.HashSet[java.lang.Long]()
-        val r = ParquetReader.builder(new GroupReadSupport(), new HadoopPath(d))
-          .withConf(new Configuration()).build()
-        var g = r.read()
-        while (g != null) { set.add(g.getLong("idx", 0)); g = r.read() }
-        r.close()
-        set
-    }
+    val dv: java.util.HashSet[java.lang.Long] =
+      fp.dvPath.map(SnapshotSourceUtil.loadDvSet).orNull
     new PartitionReader[InternalRow] {
       import scala.jdk.CollectionConverters._
       private val request = MessageTypeParser.parseMessageType(projectedMessage)

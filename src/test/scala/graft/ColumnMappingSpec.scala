@@ -149,6 +149,54 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(ST.read(spark, root).filter(col("k") === 9L).head().getDouble(2) == 9.0)
   }
 
+  test("ANSI MERGE on a table whose cluster column was RENAMED: bounds resolve, SET guard holds") {
+    val root = Engine.tmpDir("graft_cm_ansimerge")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    val rels = ST.writeDataFiles(Seq((1L, 10L, 1.0), (2L, 20L, 2.0))
+      .toDF("k", "d", "v").coalesce(1), root, "a")
+      .map(ST.footerEntry(root, _, "d"))
+    ST.commitEntries(root, 0, rels, 16, Map("statsCol" -> "d"))
+    ST.renameColumn(spark, root, "d", "day")
+    Seq((1L, 5.0)).toDF("k", "delta").createOrReplaceTempView("cm_am_src")
+    // the SET guard must refuse the RENAMED cluster column by its
+    // logical name (the physical statsCol would sail past it)
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO '$root' AS t USING cm_am_src AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET day = t.day + 1""").collect())
+    assert(e.getMessage.contains("cluster column day"), e.getMessage)
+    // ...and a legal merge resolves the bounds under the logical name
+    spark.sql(s"""MERGE INTO '$root' AS t USING cm_am_src AS s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = t.v + s.delta""").collect()
+    assert(ST.read(spark, root).filter(col("k") === 1).head().getDouble(2) == 6.0)
+  }
+
+  test("drop-then-readd of the SAME name: later UPDATE/DELETE must not hit ambiguity") {
+    val root = fresh("readd_dml")
+    // enter mapping mode, drop tag, re-add the same logical name
+    ST.renameColumn(spark, root, "v", "score")
+    ST.dropColumn(spark, root, "tag")
+    val w = java.nio.file.Files.createTempDirectory("graft_cm_readd").toString
+    spark.conf.set("spark.sql.catalog.gcmr", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcmr.root", w)
+    // a catalog link to the SAME root (the catalog resolves names to
+    // directories; symlink the table dir in)
+    java.nio.file.Files.createSymbolicLink(Paths.get(w, "t"), Paths.get(root))
+    spark.sql("ALTER TABLE gcmr.t ADD COLUMN tag STRING")
+    // old physical `tag` is resident in every file AND logical `tag`
+    // maps to the fresh physical — the rewrite plumbing must keep them
+    // apart (reserved ride-along alias), not crash on ambiguity
+    spark.sql(s"UPDATE '$root' SET tag = 'fresh' WHERE k = 1").collect()
+    spark.sql(s"DELETE FROM '$root' WHERE k = 2").collect()
+    val got = ST.read(spark, root).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getString(2)))
+    assert(got.head == ((1L, 1.0, "fresh")), got.head.toString)
+    assert(!got.exists(_._1 == 2L))
+    assert(got.filter(_._1 > 2).forall(_._3 == null),
+      "re-added column resurrected old values through the rewrite")
+    assert(got.length == 5)
+  }
+
   test("refusals: drop stats column, colliding rename, merge over dropped physicals") {
     val root = fresh("refuse")
     val e1 = intercept[Exception](ST.dropColumn(spark, root, "k"))

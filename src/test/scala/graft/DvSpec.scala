@@ -161,6 +161,57 @@ class DvSpec extends AnyFunSuite {
     assert(net == (1L to 40L).toSet -- Set(11L, 31L))
   }
 
+  test("a CoW rewrite racing a DV delete on the same file aborts instead of resurrecting") {
+    val root = fresh("race")
+    val v1 = ST.currentVersion(root)
+    val entriesV1 = ST.manifestEntries(root, v1)
+    // a DV delete lands AFTER the rewrite's read (simulated by handing
+    // commitRewrite the stale base version)
+    spark.sql(s"DELETE FROM '$root' WHERE k = 5").collect()
+    val touched = entriesV1.head.rel
+    val e = intercept[IllegalStateException](
+      ST.commitRewrite(root, v1, Set(touched),
+        Seq(entriesV1.head), shardSize = 16, "update"))
+    assert(e.getMessage.contains("concurrent DV delete conflict"), e.getMessage)
+    // the DV'd row stayed deleted
+    assert(ST.read(spark, root).filter(col("k") === 5).count() == 0)
+  }
+
+  test("changesBetween sees DV commits: deletes, resurrections, and no double-report") {
+    val root = fresh("cdc_batch")
+    val v1 = ST.currentVersion(root)
+    spark.sql(s"DELETE FROM '$root' WHERE k IN (4, 24)").collect() // v-> DV
+    val v2 = ST.currentVersion(root)
+    // the DV commit's delta: exactly the two newly-deleted rows
+    val d12 = ST.changesBetween(spark, root, v1, v2).collect()
+      .map(r => (r.getAs[String]("change_type"), r.getAs[Long]("k"))).toSet
+    assert(d12 == Set(("delete", 4L), ("delete", 24L)), d12.toString)
+    // RESTORE across the DV delete: the resurrected rows report as inserts
+    ST.restore(root, v1)
+    val v3 = ST.currentVersion(root)
+    val d23 = ST.changesBetween(spark, root, v2, v3).collect()
+      .map(r => (r.getAs[String]("change_type"), r.getAs[Long]("k"))).toSet
+    assert(d23 == Set(("insert", 4L), ("insert", 24L)), d23.toString)
+    // and the STREAMING/batch CDF planner agrees (delta partitions)
+    val feed = spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", v2.toString).load(root).collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("k"),
+        r.getAs[Long]("_commit_version"))).toSet
+    assert(feed == Set(("insert", 4L, v3.toLong), ("insert", 24L, v3.toLong)),
+      feed.toString)
+    // a CoW delete ON TOP of a DV does not re-report the DV'd rows
+    ST.restore(root, v2) // back to the DV'd state
+    val v4 = ST.currentVersion(root)
+    spark.sql(s"DELETE FROM '$root' WHERE k <= 10").collect() // CoW (over cap)
+    val v5 = ST.currentVersion(root)
+    assert(ST.manifestMeta(root, v5)("delete").startsWith("cow:"))
+    val d45 = ST.changesBetween(spark, root, v4, v5).collect()
+      .map(r => (r.getAs[String]("change_type"), r.getAs[Long]("k"))).toSet
+    assert(d45 == (1L to 10L).filterNot(_ == 4L).map(("delete", _)).toSet,
+      s"already-DV-deleted row must not re-report: $d45")
+  }
+
   test("shallow clone carries the DV state; clone scans skip the same rows") {
     val root = fresh("clone")
     spark.sql(s"DELETE FROM '$root' WHERE k = 13").collect()
