@@ -320,6 +320,17 @@ object ScaleProbe {
         s"${ST.manifestMeta(s"$work/snap_dv_cow", v)("delete")}")
       1L
     }
+    // r13: merge-on-read UPDATE — the sparse update must price at the
+    // hits (sidecars + one postimage file), not the touched files'
+    // bytes; audit proves the MoR path engaged at scale
+    time("x37_mor_update") {
+      val ST = operators.SnapshotTable
+      val n = ST.x37MorUpdate(spark, work).count()
+      val root = operators.Engine.tmpDir("graft_snap_mor")
+      println(s"[scale] x37 update audit: " +
+        s"${ST.manifestMeta(root, ST.currentVersion(root)).getOrElse("update", "?")}")
+      n
+    }
     // r13 (VERDICT #10): CROSS-VERB CONCURRENCY at replica scale — an
     // ANSI merge (day-window rewrite), a CoW delete (a DIFFERENT
     // day-window rewrite; disjoint files, so the rewrites never own the

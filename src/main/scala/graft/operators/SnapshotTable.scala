@@ -1600,6 +1600,145 @@ object SnapshotTable {
       math.min(s.sparkContext.defaultParallelism, byRows))
   }
 
+  /** Per-column nullability a file's parquet footer declares — the MoR
+    * postimage write conforms to it: Spark writes DataFrame-nullable
+    * columns as OPTIONAL, and a table whose original files declared
+    * REQUIRED would become mixed-repetition (the uniform-table read
+    * path requests one file's declarations against all, and parquet
+    * refuses a required column through an optional request). */
+  private def fileNullability(root: String, rel: String): Map[String, Boolean] = {
+    import scala.jdk.CollectionConverters._
+    val in = HadoopInputFile.fromPath(
+      new HadoopPath(Paths.get(root, rel).toUri), hadoopConf)
+    val r = ParquetFileReader.open(in)
+    try r.getFooter.getFileMetaData.getSchema.getFields.asScala
+      .map(f => f.getName ->
+        !f.isRepetition(org.apache.parquet.schema.Type.Repetition.REQUIRED)).toMap
+    finally r.close()
+  }
+
+  /** Conform `df`'s per-column nullability to `nn` (physical names). */
+  private def conformNullability(s: SparkSession, df: DataFrame,
+      nn: Map[String, Boolean]): DataFrame = {
+    val target = org.apache.spark.sql.types.StructType(df.schema.fields.map(f =>
+      f.copy(nullable = nn.getOrElse(f.name, f.nullable))))
+    if (target == df.schema) df
+    else s.createDataFrame(df.rdd, target)
+  }
+
+  /** Shared MERGE-ON-READ attempt for DELETE and UPDATE on a
+    * `dvmode=on` table: compute the predicate's live hits with their
+    * (file, ordinal) coordinates, and when EVERY touched file's
+    * cumulative DV'd fraction stays under [[DvMaxSelectivity]], commit
+    * per-file ordinal sidecars (plus, for UPDATE, the appended
+    * postimage file) — not one existing data byte moves. Returns
+    * Some(version) when the MoR path committed (or no-op'd), None when
+    * the statement must fall back to copy-on-write. `cdcRows` builds
+    * the commit's row-grain CDC images from the hit rows (logical
+    * names, no coordinate columns); `postFiles` writes any appended
+    * data files from the hits (empty for DELETE). The CAS loop aborts
+    * loudly when a racer rewrote a hit file or changed its vector. */
+  private def mergeOnRead(s: SparkSession, root: String, v: Int,
+      touched: Seq[FileEntry], map: Option[Seq[(String, String)]],
+      cond: Column, shardSize: Int, extraMeta: Map[String, String],
+      auditKey: String, auditPrefix: String,
+      cdcRows: Option[DataFrame => DataFrame],
+      postFiles: (DataFrame, String) => Seq[FileEntry]): Option[Int] = {
+    import org.apache.spark.sql.functions.{element_at, split => fsplit}
+    val dvCur = dvState(root, v)
+    // metadata columns must come off the RAW scan (they don't resolve
+    // across joins); already-DV'd ordinals are excluded by an explicit
+    // anti-join so a second statement can't re-touch them
+    val raw = toLogicalFull(subsetReader(s, root, v)
+        .parquet(touched.map(e => Paths.get(root, e.rel).toString): _*), map)
+      .withColumn("__file", element_at(fsplit(col("_metadata.file_path"), "/"), -1))
+      .withColumn("__idx", col("_metadata.row_index"))
+    val withMeta = touched.map(_.rel).filter(dvCur.contains) match {
+      case Nil => raw
+      case rs => raw.join(broadcast(rs.map(r =>
+          s.read.parquet(Paths.get(root, dvCur(r)).toString)
+            .select(col("idx").as("__idx"),
+              lit(Paths.get(r).getFileName.toString).as("__file")))
+        .reduce(_ unionByName _)), Seq("__file", "__idx"), "left_anti")
+    }
+    val hits = withMeta.filter(coalesce(cond, lit(false))).localCheckpoint(true)
+    val hitCounts = hits.groupBy("__file").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every live match was already DV'd: version no-op
+    if (hitCounts.isEmpty) return Some(v)
+    val byBase = touched.map(e => Paths.get(e.rel).getFileName.toString -> e).toMap
+    // hit files' existing sidecars, read ONCE (checkpointed — they
+    // total the already-deleted rows): one count job serves the
+    // selectivity cap, and the same frame feeds the superseding
+    // union write below
+    val oldSides: Option[DataFrame] = {
+      val fs = hitCounts.keys.toSeq.sorted.flatMap { base =>
+        dvCur.get(byBase(base).rel).map(d =>
+          s.read.parquet(Paths.get(root, d).toString)
+            .select(col("idx"), lit(base).as("__file")))
+      }
+      if (fs.isEmpty) None
+      else Some(fs.reduce(_ unionByName _).localCheckpoint(true))
+    }
+    val oldCounts: Map[String, Long] = oldSides.fold(Map.empty[String, Long])(
+      _.groupBy("__file").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val underCap = hitCounts.forall { case (base, n) =>
+      val e = byBase(base)
+      e.rows > 0 &&
+        (oldCounts.getOrElse(base, 0L) + n).toDouble / e.rows <= DvMaxSelectivity
+    }
+    if (!underCap) return None // fall back to copy-on-write
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    // one sidecar per hit file: the file's FULL touched-ordinal set
+    // (old sidecar ∪ new hits) — a superseding sidecar, so a reader
+    // consults exactly one per file. ALL sidecars land in ONE
+    // partitioned write (the 8× probe showed per-file sequential
+    // jobs dominating the sidecar cost at multi-file spreads).
+    val allIdx = (hits.select(col("__idx").as("idx"), col("__file")) +:
+      oldSides.toSeq).reduce(_ unionByName _)
+    val scratch = Engine.tmpDir(s"graft_dv_scratch_$tag")
+    allIdx.coalesce(1).write.mode("overwrite").partitionBy("__file").parquet(scratch)
+    val newDvEntries: Map[String, String] = hitCounts.keys.zipWithIndex.map {
+      case (base, i) =>
+        val dir = Paths.get(scratch, s"__file=$base")
+        val part = Engine.listDir(dir)
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"dv sidecar write produced no part for $base"))
+        val rel = s"dvdata_${tag}_$i.parquet"
+        Files.move(part, Paths.get(root, rel), StandardCopyOption.REPLACE_EXISTING)
+        byBase(base).rel -> rel
+    }.toMap
+    val cleanHits = hits.drop("__file", "__idx")
+    val cdcMeta = cdcRows.flatMap(mk =>
+      writeCdcFiles(toPhysical(mk(cleanHits), map), root, tag))
+    val newEntries = postFiles(cleanHits, tag)
+    val retry = new CommitRetry(root)
+    var result = -1
+    while (result < 0) {
+      val vNow = currentVersion(root)
+      retry.observed(vNow)
+      val entriesNow = manifestEntries(root, vNow)
+      val present = entriesNow.map(_.rel).toSet
+      val hitRels = newDvEntries.keySet
+      if (!hitRels.forall(present)) throw new IllegalStateException(
+        s"graft-snapshot: concurrent rewrite conflict on $root — files " +
+          s"${(hitRels -- present).mkString(",")} this MoR $auditKey read were replaced")
+      val dvNow = dvState(root, vNow)
+      hitRels.foreach { r => if (dvNow.get(r) != dvCur.get(r))
+        throw new IllegalStateException(
+          s"graft-snapshot: concurrent DV conflict on $root file $r — " +
+            s"its deletion vector changed since this $auditKey's read; " +
+            "retry the statement") }
+      try result = commitEntries(root, vNow, entriesNow ++ newEntries, shardSize,
+        carriedMeta(root, vNow) - "dv" ++ fmtDv(dvNow ++ newDvEntries).map("dv" -> _) ++
+          cdcMeta.map("cdc" -> _) ++ extraMeta +
+          (auditKey -> s"$auditPrefix:${hitRels.size}of${entriesNow.size}"))
+      catch { case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) }
+    }
+    Some(result)
+  }
+
   def update(s: SparkSession, root: String, sets: Seq[(String, String)],
       wherePred: String, extraMeta: Map[String, String] = Map.empty,
       shardSize: Int = 4): Int = {
@@ -1624,14 +1763,9 @@ object SnapshotTable {
     val map = colMap(root, v)
     val statsPhys = carried.getOrElse("statsCol",
       physicalName(map, full.columns.head))
-    // rewrite plumbing: the SET/WHERE expressions name LOGICAL columns,
-    // so the touched-file read converts to the logical view (dropped
-    // physicals ride along inert — rewritten files keep full physical
-    // width) and converts back for the write. Identity mapping = no-op.
-    val old = toLogicalFull(readRelsDv(s, root, v, touched.map(_.rel)), map)
     // the ONE SET projection, guarded (per-row `when(cond)`) for the
-    // full rewrite, unguarded for the CDC postimages (those rows are
-    // pre-filtered hits) — pre-update RHS semantics in both shapes
+    // full rewrite, unguarded for hit-only frames (CDC postimages, the
+    // MoR postimage file) — pre-update RHS semantics in both shapes
     def setProjection(df: DataFrame, guard: Option[Column]): DataFrame =
       df.select(df.columns.map { c =>
         setMap.get(c) match {
@@ -1641,6 +1775,38 @@ object SnapshotTable {
           case None => col(c)
         }
       }.toIndexedSeq: _*)
+    // ---- merge-on-read branch (deletion vectors for UPDATE) ---------
+    // Delta's DV-for-update shape: the hit rows' ordinals go into the
+    // sidecars (hiding the preimages) and ONE postimage file appends —
+    // a sparse update of a huge file moves only the updated rows. The
+    // file-grain change feed stays correct for free (the new file
+    // streams as inserts, the DV delta as the preimage deletes); with
+    // cdf=row the exact update images are registered instead.
+    if (carried.get("dvmode").contains("on")) {
+      val mor = mergeOnRead(s, root, v, touched, map, cond, shardSize,
+        extraMeta, auditKey = "update", auditPrefix = "mor",
+        cdcRows = if (!carried.get("cdf").contains("row")) None else Some { h =>
+          val ct = "_change_type"
+          h.withColumn(ct, lit("update_preimage"))
+            .unionByName(setProjection(h, None).withColumn(ct, lit("update_postimage")))
+        },
+        postFiles = (h, tag) => {
+          // the postimage file must declare the SAME parquet repetition
+          // as the files it sits beside (see conformNullability)
+          val post = conformNullability(s,
+            toPhysical(setProjection(h, None), map).repartition(1),
+            fileNullability(root, touched.head.rel))
+          writeDataFiles(post, root, s"moru_$tag")
+            .map(footerEntry(root, _, statsPhys))
+        })
+      mor.foreach(r => return r)
+      // over the cap: fall through to copy-on-write below
+    }
+    // rewrite plumbing: the SET/WHERE expressions name LOGICAL columns,
+    // so the touched-file read converts to the logical view (dropped
+    // physicals ride along inert — rewritten files keep full physical
+    // width) and converts back for the write. Identity mapping = no-op.
+    val old = toLogicalFull(readRelsDv(s, root, v, touched.map(_.rel)), map)
     val updated = setProjection(old, Some(cond))
     val tag = java.util.UUID.randomUUID().toString.take(8)
     // row-grain CDF (see merge). The images cost a second pass over
@@ -1713,103 +1879,14 @@ object SnapshotTable {
     // threshold the whole statement falls through to copy-on-write
     // (dragging a fat skip set through every future scan costs more
     // than the rewrite). The commit ALWAYS registers row-grain CDC
-    // delete images: a DV commit changes no files, so without them the
-    // change feed would be blind to the delete.
+    // delete images (the file-grain feed would also reconstruct them
+    // from the DV delta, but the images are exact and cheap).
     if (carried.get("dvmode").contains("on")) {
-      import org.apache.spark.sql.functions.{element_at, split => fsplit}
-      val dvCur = dvState(root, v)
-      // metadata columns must come off the RAW scan (they don't resolve
-      // across joins); already-DV'd ordinals are excluded by an explicit
-      // anti-join so a second delete can't re-delete them
-      val raw = toLogicalFull(subsetReader(s, root, v)
-          .parquet(touched.map(e => Paths.get(root, e.rel).toString): _*), map)
-        .withColumn("__file", element_at(fsplit(col("_metadata.file_path"), "/"), -1))
-        .withColumn("__idx", col("_metadata.row_index"))
-      val withMeta = touched.map(_.rel).filter(dvCur.contains) match {
-        case Nil => raw
-        case rs => raw.join(broadcast(rs.map(r =>
-            s.read.parquet(Paths.get(root, dvCur(r)).toString)
-              .select(col("idx").as("__idx"),
-                lit(Paths.get(r).getFileName.toString).as("__file")))
-          .reduce(_ unionByName _)), Seq("__file", "__idx"), "left_anti")
-      }
-      val hits = withMeta.filter(coalesce(cond, lit(false))).localCheckpoint(true)
-      val hitCounts = hits.groupBy("__file").count().collect()
-        .map(r => r.getString(0) -> r.getLong(1)).toMap
-      // every live match was already DV'd: version no-op
-      if (hitCounts.isEmpty) return v
-      val byBase = touched.map(e => Paths.get(e.rel).getFileName.toString -> e).toMap
-      // hit files' existing sidecars, read ONCE (checkpointed — they
-      // total the already-deleted rows): one count job serves the
-      // selectivity cap, and the same frame feeds the superseding
-      // union write below
-      val oldSides: Option[DataFrame] = {
-        val fs = hitCounts.keys.toSeq.sorted.flatMap { base =>
-          dvCur.get(byBase(base).rel).map(d =>
-            s.read.parquet(Paths.get(root, d).toString)
-              .select(col("idx"), lit(base).as("__file")))
-        }
-        if (fs.isEmpty) None
-        else Some(fs.reduce(_ unionByName _).localCheckpoint(true))
-      }
-      val oldCounts: Map[String, Long] = oldSides.fold(Map.empty[String, Long])(
-        _.groupBy("__file").count().collect()
-          .map(r => r.getString(0) -> r.getLong(1)).toMap)
-      val underCap = hitCounts.forall { case (base, n) =>
-        val e = byBase(base)
-        e.rows > 0 &&
-          (oldCounts.getOrElse(base, 0L) + n).toDouble / e.rows <= DvMaxSelectivity
-      }
-      if (underCap) {
-        val tag = java.util.UUID.randomUUID().toString.take(8)
-        // one sidecar per hit file: the file's FULL deleted-ordinal set
-        // (old sidecar ∪ new hits) — a superseding sidecar, so a reader
-        // consults exactly one per file. ALL sidecars land in ONE
-        // partitioned write (the 8× probe showed per-file sequential
-        // jobs dominating the sidecar cost at multi-file spreads).
-        val allIdx = (hits.select(col("__idx").as("idx"), col("__file")) +:
-          oldSides.toSeq).reduce(_ unionByName _)
-        val scratch = Engine.tmpDir(s"graft_dv_scratch_$tag")
-        allIdx.coalesce(1).write.mode("overwrite").partitionBy("__file").parquet(scratch)
-        val newDvEntries: Map[String, String] = hitCounts.keys.zipWithIndex.map {
-          case (base, i) =>
-            val dir = Paths.get(scratch, s"__file=$base")
-            val part = Engine.listDir(dir)
-              .find(_.getFileName.toString.endsWith(".parquet"))
-              .getOrElse(sys.error(s"dv sidecar write produced no part for $base"))
-            val rel = s"dvdata_${tag}_$i.parquet"
-            Files.move(part, Paths.get(root, rel), StandardCopyOption.REPLACE_EXISTING)
-            byBase(base).rel -> rel
-        }.toMap
-        // row-grain CDC delete images (always, see above)
-        val ct = "_change_type"
-        val cdcMeta = writeCdcFiles(toPhysical(
-          hits.drop("__file", "__idx", "_metadata").withColumn(ct, lit("delete")), map),
-          root, tag)
-        val retry = new CommitRetry(root)
-        var result = -1
-        while (result < 0) {
-          val vNow = currentVersion(root)
-          retry.observed(vNow)
-          val entriesNow = manifestEntries(root, vNow)
-          val present = entriesNow.map(_.rel).toSet
-          val hitRels = newDvEntries.keySet
-          if (!hitRels.forall(present)) throw new IllegalStateException(
-            s"graft-snapshot: concurrent rewrite conflict on $root — files " +
-              s"${(hitRels -- present).mkString(",")} this DV delete read were replaced")
-          val dvNow = dvState(root, vNow)
-          hitRels.foreach { r => if (dvNow.get(r) != dvCur.get(r))
-            throw new IllegalStateException(
-              s"graft-snapshot: concurrent DV delete conflict on $root file $r — " +
-                "its deletion vector changed since this delete's read; retry the statement") }
-          try result = commitEntries(root, vNow, entriesNow, shardSize,
-            carriedMeta(root, vNow) - "dv" ++ fmtDv(dvNow ++ newDvEntries).map("dv" -> _) ++
-              cdcMeta.map("cdc" -> _) ++ extraMeta +
-              ("delete" -> s"dv:${hitRels.size}of${entriesNow.size}"))
-          catch { case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) }
-        }
-        return result
-      }
+      val mor = mergeOnRead(s, root, v, touched, map, cond, shardSize,
+        extraMeta, auditKey = "delete", auditPrefix = "dv",
+        cdcRows = Some(h => h.withColumn("_change_type", lit("delete"))),
+        postFiles = (_, _) => Nil)
+      mor.foreach(r => return r)
       // over the cap: fall through to copy-on-write below
     }
     // logical view for the predicate, physical for the write (see
@@ -2586,6 +2663,7 @@ object SnapshotTable {
     "x34_merge_sync" -> (x34MergeSync _, Some(x34Sql)),
     "x35_column_mapping" -> (x35ColumnMapping _, Some(x35Sql)),
     "x36_deletion_vectors" -> (x36DeletionVectors _, Some(x36Sql)),
+    "x37_mor_update" -> (x37MorUpdate _, Some(x37Sql)),
   )
 
   /** x24_catalog_sql — the name-addressed warehouse surface end-to-end
@@ -3134,5 +3212,53 @@ object SnapshotTable {
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
       |FROM e WHERE event_id % 997 <> 3 AND event_id % 997 <> 5
       |GROUP BY ep_day ORDER BY ep_day""".stripMargin
+
+  /** x37_mor_update — MERGE-ON-READ UPDATE (Delta's
+    * deletion-vectors-for-update): on a `dvmode=on` table a sparse
+    * UPDATE hides each preimage behind its file's ordinal sidecar and
+    * appends ONE postimage file — at 100 TB a targeted price fix
+    * moves only the updated rows, never the gigabyte files holding
+    * them. Two successive sparse updates exercise sidecar
+    * supersession (and a row updated twice flows postimage→preimage);
+    * the day aggregate reads back through the DSv2 route against the
+    * DuckDB CASE-split recompute, proving MoR update ≡ the relational
+    * rewrite. DvSpec pins the byte-untouched originals, the `mor:`
+    * audit, and the CoW fallback past the selectivity cap. */
+  private val morMemo = new graft.SessionMemo[String]
+  private[graft] def morTable(s: SparkSession, d: String): String =
+    morMemo.getOrElseUpdate(s, d) {
+      val root = Engine.tmpDir("graft_snap_mor")
+      Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+      commitEntries(root, 0, stageDayClustered(s, d, root), shardSize = 3,
+        Map("statsCol" -> "ep_day"))
+      enableDeletionVectors(root)
+      s.sql(s"UPDATE '$root' SET value = value + 1000.0 " +
+        "WHERE event_id % 1009 = 7").collect()
+      s.sql(s"UPDATE '$root' SET value = value - 500.0 " +
+        "WHERE event_id % 1009 = 11").collect()
+      val audit = manifestMeta(root, currentVersion(root)).getOrElse("update", "")
+      assert(audit.startsWith("mor:"),
+        s"mor fixture fell back to copy-on-write: audit=$audit")
+      root
+    }
+
+  def x37MorUpdate(s: SparkSession, d: String): DataFrame = {
+    val root = morTable(s, d)
+    s.read.format("graft-snapshot").load(root)
+      .groupBy(col("ep_day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .orderBy("ep_day")
+  }
+
+  val x37Sql: String =
+    """WITH e AS (SELECT event_id,
+      |  CASE WHEN event_id % 1009 = 7 THEN value + 1000.0
+      |       WHEN event_id % 1009 = 11 THEN value - 500.0
+      |       ELSE value END AS value,
+      |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day FROM events)
+      |SELECT ep_day, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM e GROUP BY ep_day ORDER BY ep_day""".stripMargin
 
 }

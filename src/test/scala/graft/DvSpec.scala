@@ -112,18 +112,37 @@ class DvSpec extends AnyFunSuite {
     assert(ST.read(spark, root).count() == 20)
   }
 
-  test("rewrites apply the DV and retire it: UPDATE, MERGE, OPTIMIZE") {
+  test("rewrites apply the DV and retire it: UPDATE (MoR and CoW), MERGE, OPTIMIZE") {
     val root = fresh("rewrite")
     spark.sql(s"DELETE FROM '$root' WHERE k = 2").collect()
     assert(ST.dvState(root, ST.currentVersion(root)).size == 1)
-    // a CoW UPDATE touching the DV'd file must not resurrect k=2 and
-    // must drop the file's dv entry (the rewrite applied it)
+    // a SPARSE update takes the MERGE-ON-READ path: the preimage's
+    // ordinal joins the sidecar, ONE postimage file appends, the
+    // original file is untouched — and k=2 stays deleted
+    val bytesBefore = fileBytes(root)
     spark.sql(s"UPDATE '$root' SET v = v * 100 WHERE k = 4").collect()
     val vU = ST.currentVersion(root)
-    assert(ST.dvState(root, vU).isEmpty, "rewrite must retire the applied DV")
+    assert(ST.manifestMeta(root, vU)("update").startsWith("mor:"),
+      ST.manifestMeta(root, vU).toString)
+    assert(ST.dvState(root, vU).size == 1)
+    bytesBefore.foreach { case (rel, sz) =>
+      assert(Files.size(Paths.get(root, rel)) == sz, s"MoR update rewrote $rel") }
+    assert(ST.manifestEntries(root, vU).size == 3, "postimage file must append")
     val got = ST.read(spark, root).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(!got.contains(2L), "rewrite resurrected a DV-deleted row")
+    assert(!got.contains(2L), "MoR update resurrected a DV-deleted row")
     assert(got(4L) == 400.0 && got.size == 39)
+    // both scan routes agree on the MoR state
+    assert(spark.read.format("graft-snapshot").load(root).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap == got)
+    // an OVER-CAP update falls back to CoW and RETIRES the applied DVs
+    spark.sql(s"UPDATE '$root' SET v = v + 0.5 WHERE k <= 30").collect()
+    val vC = ST.currentVersion(root)
+    assert(ST.manifestMeta(root, vC)("update").startsWith("cow:"),
+      ST.manifestMeta(root, vC).toString)
+    assert(ST.dvState(root, vC).isEmpty, "CoW rewrite must retire the applied DV")
+    val got2 = ST.read(spark, root).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!got2.contains(2L), "rewrite resurrected a DV-deleted row")
+    assert(got2(4L) == 400.5 && got2(1L) == 1.5 && got2(40L) == 40.0 && got2.size == 39)
     // MERGE over a DV'd file: same contract
     spark.sql(s"DELETE FROM '$root' WHERE k = 6").collect()
     assert(ST.dvState(root, ST.currentVersion(root)).size == 1)
