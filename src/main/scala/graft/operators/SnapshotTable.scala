@@ -1191,8 +1191,15 @@ object SnapshotTable {
           .localCheckpoint(true)
         writeCdcFiles(toPhysical(cdcAll, map), root, tag)
       }
+    val rewrittenPhys = toPhysical(rewritten, map)
+    // partial rewrites keep the affected files' parquet repetition
+    // (see conformNullability); a prune-to-zero insert batch has no
+    // sibling contract to conform to
+    val rewrittenConf =
+      if (affected.isEmpty) rewrittenPhys
+      else conformNullability(rewrittenPhys, fileNullability(root, affected.head.rel))
     val rels = writeDataFiles(
-      toPhysical(rewritten, map)
+      rewrittenConf
         .repartitionByRange(math.max(affected.size, 1),
           col(physicalName(map, clusterCol))),
       root, s"m_$tag")
@@ -1617,13 +1624,28 @@ object SnapshotTable {
     finally r.close()
   }
 
-  /** Conform `df`'s per-column nullability to `nn` (physical names). */
-  private def conformNullability(s: SparkSession, df: DataFrame,
+  /** Conform `df`'s per-column nullability to `nn` (physical names):
+    * columns the resident files declare REQUIRED are wrapped in
+    * AssertNotNull — the written parquet declares REQUIRED again
+    * (Spark's scan-side schemas are always nullable, so an
+    * unconformed rewrite would write OPTIONAL beside REQUIRED and the
+    * uniform-table read path's shared request would refuse the mix),
+    * and a DML expression that actually produces NULL for such a
+    * column fails LOUDLY — parquet REQUIRED is the table's NOT NULL
+    * constraint, and Delta refuses constraint-violating writes the
+    * same way. Codegen-friendly (a projection, no RDD round-trip). */
+  private def conformNullability(df: DataFrame,
       nn: Map[String, Boolean]): DataFrame = {
-    val target = org.apache.spark.sql.types.StructType(df.schema.fields.map(f =>
-      f.copy(nullable = nn.getOrElse(f.name, f.nullable))))
-    if (target == df.schema) df
-    else s.createDataFrame(df.rdd, target)
+    import org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull
+    val needed = df.schema.fields.exists(f =>
+      f.nullable && nn.get(f.name).contains(false))
+    if (!needed) df
+    else df.select(df.schema.fields.map { f =>
+      if (f.nullable && nn.get(f.name).contains(false))
+        org.apache.spark.sql.GraftShim.column(
+          AssertNotNull(org.apache.spark.sql.GraftShim.expression(col(f.name)))).as(f.name)
+      else col(f.name)
+    }.toIndexedSeq: _*)
   }
 
   /** Shared MERGE-ON-READ attempt for DELETE and UPDATE on a
@@ -1792,8 +1814,10 @@ object SnapshotTable {
         },
         postFiles = (h, tag) => {
           // the postimage file must declare the SAME parquet repetition
-          // as the files it sits beside (see conformNullability)
-          val post = conformNullability(s,
+          // as the files it sits beside (see conformNullability; a SET
+          // producing NULL for a REQUIRED column refuses loudly — the
+          // NOT NULL constraint the files themselves declare)
+          val post = conformNullability(
             toPhysical(setProjection(h, None), map).repartition(1),
             fileNullability(root, touched.head.rel))
           writeDataFiles(post, root, s"moru_$tag")
@@ -1826,8 +1850,12 @@ object SnapshotTable {
         // feed's reader resolves them through the scan's mapping
         writeCdcFiles(toPhysical(cdcAll, map), root, tag)
       }
+    // the replacement files must keep the touched files' parquet
+    // repetition — an unconformed partial rewrite of a REQUIRED-column
+    // table would leave mixed declarations the uniform-table read path
+    // refuses (see conformNullability)
     val rels = writeDataFiles(
-      toPhysical(updated, map)
+      conformNullability(toPhysical(updated, map), fileNullability(root, touched.head.rel))
         .repartitionByRange(rewriteParts(s, touched), col(statsPhys)),
       root, s"u_$tag")
     val newEntries = rels.map(footerEntry(root, _, statsPhys))
@@ -1906,7 +1934,7 @@ object SnapshotTable {
           root, tag)
       }
     val rels = writeDataFiles(
-      toPhysical(kept, map)
+      conformNullability(toPhysical(kept, map), fileNullability(root, touched.head.rel))
         .repartitionByRange(rewriteParts(s, touched), col(statsPhys)),
       root, s"d_$tag")
     // a rewrite partition with zero survivors sometimes still produces
@@ -3218,9 +3246,12 @@ object SnapshotTable {
     * UPDATE hides each preimage behind its file's ordinal sidecar and
     * appends ONE postimage file — at 100 TB a targeted price fix
     * moves only the updated rows, never the gigabyte files holding
-    * them. Two successive sparse updates exercise sidecar
-    * supersession (and a row updated twice flows postimage→preimage);
-    * the day aggregate reads back through the DSv2 route against the
+    * them. Two successive sparse updates (disjoint rows) exercise
+    * sidecar supersession; RE-updating a row that lives in a fresh
+    * tiny postimage file exceeds THAT file's selectivity cap and
+    * falls back to copy-on-write by design — rewriting a small
+    * postimage file is cheaper than chaining vectors over it
+    * (DvSpec pins the fallback). The day aggregate reads back through the DSv2 route against the
     * DuckDB CASE-split recompute, proving MoR update ≡ the relational
     * rewrite. DvSpec pins the byte-untouched originals, the `mor:`
     * audit, and the CoW fallback past the selectivity cap. */

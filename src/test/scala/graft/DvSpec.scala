@@ -180,6 +180,43 @@ class DvSpec extends AnyFunSuite {
     assert(net == (1L to 40L).toSet -- Set(11L, 31L))
   }
 
+  test("re-updating a MoR-updated row: the postimage file's cap forces CoW; values exact") {
+    val root = fresh("reupdate")
+    spark.sql(s"UPDATE '$root' SET v = v + 100 WHERE k = 4").collect()
+    val v1 = ST.currentVersion(root)
+    assert(ST.manifestMeta(root, v1)("update").startsWith("mor:"))
+    // the same row again: it now lives in the 1-row postimage file,
+    // where 1 hit / 1 row is past the 10% cap — CoW by design
+    // (rewriting a tiny postimage beats chaining vectors over it)
+    spark.sql(s"UPDATE '$root' SET v = v + 1000 WHERE k = 4").collect()
+    val v2 = ST.currentVersion(root)
+    assert(ST.manifestMeta(root, v2)("update").startsWith("cow:"),
+      ST.manifestMeta(root, v2).toString)
+    val got = ST.read(spark, root).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got(4L) == 1104.0 && got.size == 40, got(4L).toString)
+    assert(spark.read.format("graft-snapshot").load(root)
+      .filter(col("k") === 4).head().getDouble(1) == 1104.0)
+  }
+
+  test("NULL into a REQUIRED column refuses loudly; rewrites keep parquet repetition uniform") {
+    // this fixture's files declare REQUIRED k,v (staged from Scala
+    // literals) — parquet REQUIRED is the table's NOT NULL constraint
+    val root = fresh("notnull")
+    val e = intercept[Exception](
+      spark.sql(s"UPDATE '$root' SET v = NULL WHERE k = 4").collect())
+    assert(e.getMessage != null)
+    assert(ST.read(spark, root).filter(col("k") === 4).head().getDouble(1) == 4.0,
+      "failed statement must not change the table")
+    // a PARTIAL CoW rewrite (one of two files) keeps the survivors
+    // readable through the uniform-table DSv2 route: the replacement
+    // file must re-declare REQUIRED beside the untouched REQUIRED file
+    spark.sql(s"DELETE FROM '$root' WHERE k <= 5").collect() // over cap → CoW of file 1
+    assert(ST.manifestMeta(root, ST.currentVersion(root))("delete").startsWith("cow:"))
+    val dsv2 = spark.read.format("graft-snapshot").load(root)
+    assert(dsv2.count() == 35, "mixed parquet repetition broke the uniform read path")
+    assert(dsv2.agg(sum("v")).head().getDouble(0) == (6L to 40L).map(_ * 1.0).sum)
+  }
+
   test("a CoW rewrite racing a DV delete on the same file aborts instead of resurrecting") {
     val root = fresh("race")
     val v1 = ST.currentVersion(root)
