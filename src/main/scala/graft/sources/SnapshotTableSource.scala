@@ -725,8 +725,10 @@ private[sources] class SnapshotScan(root: String, version: Int,
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     val startingVersion = Option(options.get("startingVersion")).map(_.toInt).getOrElse(0)
     val perTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toInt).getOrElse(1)
+    val skipChanges = "true".equalsIgnoreCase(options.get("skipChangeCommits"))
     if (cdfMode) new SnapshotCdfMicroBatchStream(root, startingVersion, perTrigger, cdfFactory)
-    else new SnapshotMicroBatchStream(root, startingVersion, perTrigger, factory)
+    else new SnapshotMicroBatchStream(root, startingVersion, perTrigger, factory,
+      skipChanges)
   }
 }
 
@@ -735,9 +737,15 @@ private[sources] case class VersionOffset(v: Int) extends Offset {
   override def json(): String = v.toString
 }
 
+/** `skipChangeCommits` (Delta's option, same name): a data-CHANGING
+  * commit (rewrite, merge-on-read delete/update, restore) is skipped
+  * WHOLE — none of its rows stream — while pure appends flow
+  * normally. Without the option such a commit fails the stream
+  * loudly (the append-only contract). Use the change feed when the
+  * changes themselves are wanted. */
 private[sources] class SnapshotMicroBatchStream(root: String,
     startingVersion: Int, maxVersionsPerTrigger: Int,
-    factory: SnapshotReaderFactory)
+    factory: SnapshotReaderFactory, skipChangeCommits: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = VersionOffset(startingVersion)
@@ -758,18 +766,35 @@ private[sources] class SnapshotMicroBatchStream(root: String,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (v0, v1) = (start.asInstanceOf[VersionOffset].v, end.asInstanceOf[VersionOffset].v)
-    val before = if (v0 == 0) Set.empty[String]
-      else SnapshotTable.manifestEntries(root, v0).map(_.rel).toSet
-    val after = SnapshotTable.manifestEntries(root, v1).map(_.rel).toSet
-    val removed = before -- after
-    if (removed.nonEmpty) throw new IllegalStateException(
-      s"graft-snapshot: versions ($v0, $v1] remove files $removed — " +
-        "plain streaming reads require append-only commits; to stream across " +
-        "rewrites (MERGE/UPDATE/DELETE/OPTIMIZE) read the change feed instead: " +
-        ".option(\"readChangeFeed\", \"true\")")
-    (after -- before).toSeq.sorted
-      .map(rel => SnapshotFilePartition(Paths.get(root, rel).toString): InputPartition)
-      .toArray
+    // commit-by-commit: the append-only judgment (and skipChangeCommits'
+    // whole-commit skip) is per COMMIT, not per window
+    (v0 + 1 to v1).flatMap { v =>
+      val before = if (v == 1) Set.empty[String]
+        else SnapshotTable.manifestEntries(root, v - 1).map(_.rel).toSet
+      val after = SnapshotTable.manifestEntries(root, v).map(_.rel).toSet
+      val removed = before -- after
+      // a commit CHANGES data when it removes files, changes any
+      // deletion vector (merge-on-read DML touches no files), or
+      // carries a DML/restore audit — pure metadata commits (ALTER,
+      // mapping changes) are none of these and stream empty
+      val dvChanged = SnapshotTable.dvState(root, v) !=
+        (if (v == 1) Map.empty else SnapshotTable.dvState(root, v - 1))
+      val changeCommit = removed.nonEmpty || dvChanged ||
+        SnapshotTable.manifestMeta(root, v).keySet
+          .exists(Set("update", "delete", "merge", "restore"))
+      if (changeCommit) {
+        if (skipChangeCommits) Nil
+        else throw new IllegalStateException(
+          s"graft-snapshot: commit $v changes existing data" +
+            (if (removed.nonEmpty) s" (removes files ${removed.take(3).mkString(",")})"
+             else "") +
+            " — plain streaming reads require append-only commits; stream the " +
+            "changes with .option(\"readChangeFeed\", \"true\"), or skip " +
+            "change commits entirely with .option(\"skipChangeCommits\", \"true\")")
+      }
+      else (after -- before).toSeq.sorted
+        .map(rel => SnapshotFilePartition(Paths.get(root, rel).toString): InputPartition)
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = factory

@@ -331,6 +331,39 @@ class CdfSpec extends AnyFunSuite {
     assert(cdcPaths(3).forall(Files.exists(_)))
   }
 
+  test("skipChangeCommits: rewrites skip whole, appends flow; without it the stream fails loudly") {
+    val root = fixture("skipchg") // v1 CTAS, v2 append, v3 CoW delete
+    // without the option: the rewrite commit kills the plain stream,
+    // naming BOTH escape hatches
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft-snapshot").load(root)
+        .writeStream.format("memory")
+        .queryName(s"skipchg_fail_${System.nanoTime()}").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(t => t.getMessage != null &&
+      t.getMessage.contains("skipChangeCommits")), e.getMessage)
+    // with it: v1+v2 rows stream, v3 (the rewrite) is skipped WHOLE —
+    // none of its rewritten-file rows appear — and a later append flows
+    def commitRows(base: Int, rows: Seq[(Long, Double)], tag: String): Int = {
+      val rels = ST.writeDataFiles(rows.toDF("k", "v").coalesce(1), root, tag)
+        .map(ST.footerEntry(root, _, "k"))
+      ST.commitEntries(root, base, ST.manifestEntries(root, base) ++ rels, 16,
+        ST.carriedMeta(root, base))
+    }
+    commitRows(3, Seq((100L, 100.0)), "late") // v4 append
+    val name = s"skipchg_ok_${System.nanoTime()}"
+    val q = spark.readStream.format("graft-snapshot")
+      .option("skipChangeCommits", "true").load(root)
+      .writeStream.format("memory").queryName(name).start()
+    q.processAllAvailable(); q.stop()
+    val got = spark.table(name).collect().map(_.getAs[Long]("k")).sorted.toSeq
+    // v1 (1..6) + v2 (7..8) + v4 (100); v3's rewrite contributes NOTHING
+    assert(got == ((1L to 8L) :+ 100L), got.toString)
+  }
+
   test("the feed reads mixed widths: a delete of a pre-evolution narrow file null-fills") {
     val root = graft.operators.Engine.tmpDir("graft_cdf_evolve")
     graft.operators.Engine.listDir(Paths.get(root))
