@@ -1236,7 +1236,7 @@ object SnapshotTable {
   case class WhenMatchedUpdate(cond: Option[String],
       sets: Seq[(String, String)]) extends MergeWhen
   case class WhenMatchedDelete(cond: Option[String]) extends MergeWhen
-  case object WhenNotMatchedInsert extends MergeWhen
+  case class WhenNotMatchedInsert(cond: Option[String] = None) extends MergeWhen
   // the sync-style third family (Delta/ANSI `WHEN NOT MATCHED BY
   // SOURCE`): target rows with NO source match. Conditions and SET
   // right-hand sides may reference TARGET columns only — there is no
@@ -1284,7 +1284,7 @@ object SnapshotTable {
       s"ansi merge on $root: target and source aliases must differ")
     require(clauses.count(_.isInstanceOf[WhenMatchedUpdate]) <= 1 &&
       clauses.count(_.isInstanceOf[WhenMatchedDelete]) <= 1 &&
-      clauses.count(_ == WhenNotMatchedInsert) <= 1 &&
+      clauses.count(_.isInstanceOf[WhenNotMatchedInsert]) <= 1 &&
       clauses.count(_.isInstanceOf[WhenNotMatchedBySourceUpdate]) <= 1 &&
       clauses.count(_.isInstanceOf[WhenNotMatchedBySourceDelete]) <= 1,
       s"ansi merge on $root: at most one clause of each kind")
@@ -1404,11 +1404,13 @@ object SnapshotTable {
           parts += matched.filter(remaining && condCol(cond)).select(
             tCols.map(c => col(s"$tgtAlias.$c").as(c)) :+ lit("d").as("op"): _*)
           remaining = remaining && !condCol(cond)
-        case WhenNotMatchedInsert =>
+        case WhenNotMatchedInsert(cond) =>
           val missing = tCols.filterNot(srcPlain.columns.contains)
           require(missing.isEmpty, s"ansi merge on $root: INSERT * requires the source " +
             s"to carry every target column (missing ${missing.mkString(",")})")
-          parts += src.join(tgt, onCond, "left_anti").select(
+          // the condition sees SOURCE columns only (no target row
+          // matched); a t.-reference fails analysis on the anti-join
+          parts += src.join(tgt, onCond, "left_anti").filter(condCol(cond)).select(
             tCols.map(c => col(s"$srcAlias.$c").cast(tgtPlain.schema(c).dataType).as(c))
               :+ lit("i").as("op"): _*)
         case WhenNotMatchedBySourceUpdate(cond, sets) =>

@@ -26,7 +26,7 @@ import graft.operators.SnapshotTable
   *   MERGE INTO <table> t USING <view> s ON t.<id> = s.<id>
   *     [WHEN MATCHED [AND <cond>] THEN UPDATE SET col = expr, ...]
   *     [WHEN MATCHED [AND <cond>] THEN DELETE]
-  *     [WHEN NOT MATCHED [BY TARGET] THEN INSERT *]
+  *     [WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN INSERT *]
   *     [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET ...]
   *     [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE]
   *   UPDATE <table> SET col = expr [, col = expr]* WHERE <predicate>
@@ -141,7 +141,7 @@ object SnapshotSql {
   private val WhenDelete =
     """(?is)\s*WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+DELETE\s*""".r
   private val WhenInsert =
-    """(?is)\s*WHEN\s+NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?THEN\s+INSERT\s+\*\s*""".r
+    """(?is)\s*WHEN\s+NOT\s+MATCHED\s+(?:BY\s+TARGET\s+)?(?:AND\s+(.+?)\s+)?THEN\s+INSERT\s+\*\s*""".r
   // the sync family: target rows absent from the source (Delta's
   // WHEN NOT MATCHED BY SOURCE). Conditions/SETs are target-only.
   private val WhenNmbsUpdate =
@@ -198,12 +198,12 @@ object SnapshotSql {
         SnapshotTable.WhenNotMatchedBySourceUpdate(Option(cond), parseSets(sets))
       case WhenNmbsDelete(cond) =>
         SnapshotTable.WhenNotMatchedBySourceDelete(Option(cond))
-      case WhenInsert() => SnapshotTable.WhenNotMatchedInsert
+      case WhenInsert(cond) => SnapshotTable.WhenNotMatchedInsert(Option(cond))
       case other => throw new IllegalArgumentException(
         s"graft-snapshot SQL: cannot parse MERGE clause '${other.trim.take(100)}' — " +
           "expected WHEN MATCHED [AND <cond>] THEN UPDATE SET ... | " +
           "WHEN MATCHED [AND <cond>] THEN DELETE | " +
-          "WHEN NOT MATCHED [BY TARGET] THEN INSERT * | " +
+          "WHEN NOT MATCHED [BY TARGET] [AND <cond>] THEN INSERT * | " +
           "WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET ... | " +
           "WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE")
     }

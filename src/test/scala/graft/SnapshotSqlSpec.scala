@@ -557,6 +557,31 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(ST.read(spark, root).count() == 7)
   }
 
+  test("conditional NOT MATCHED INSERT: only source rows passing the condition insert") {
+    import spark.implicits._
+    val root = Engine.tmpDir("graft_sql_condins")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    ST.commitEntries(root, 0,
+      ST.writeDataFiles((1L to 3L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1), root, "a").map(ST.footerEntry(root, _, "k")),
+      shardSize = 8, Map("statsCol" -> "k"))
+    // source: k=1 matched; k=10/11 unmatched, only k=10 passes the gate
+    Seq((1L, 9.0), (10L, 10.0), (11L, -11.0)).toDF("k", "v")
+      .createOrReplaceTempView("ci_src")
+    spark.sql(s"""MERGE INTO '$root' AS t USING ci_src AS s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED AND s.v > 0 THEN INSERT *""").collect()
+    val got = ST.read(spark, root).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(1L -> 9.0, 2L -> 2.0, 3L -> 3.0, 10L -> 10.0),
+      s"conditional insert wrong: $got")
+    // a t.-reference in the insert condition has no row to bind — loud
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO '$root' AS t USING ci_src AS s ON t.k = s.k
+        WHEN NOT MATCHED AND t.v > 0 THEN INSERT *""").collect())
+    assert(!e.getMessage.contains("cannot parse"), e.getMessage)
+  }
+
   test("ANSI MERGE SET expressions may contain CASE WHEN without breaking clause parsing") {
     import spark.implicits._
     val root = Engine.tmpDir("graft_sql_ansimerge_case")
