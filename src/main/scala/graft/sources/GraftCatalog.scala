@@ -183,6 +183,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val d = tableDir(ident)
     if (!isTableDir(d)) throw new NoSuchTableException(ident)
     val root = d.toString
+    // ALTER TABLE ... SET/UNSET TBLPROPERTIES — the SQL spelling for
+    // the table flags (Delta's `delta.enableChangeDataFeed` shape):
+    // `cdf` = 'row' opts into row-grain CDC emission, `dvmode` = 'on'
+    // into merge-on-read deletes/updates. One CAS metadata commit for
+    // the whole statement; unknown keys refuse loudly rather than
+    // silently recording dead weight in the manifest.
+    if (changes.nonEmpty && changes.forall(c =>
+        c.isInstanceOf[TableChange.SetProperty] ||
+        c.isInstanceOf[TableChange.RemoveProperty])) {
+      val allowed = Map("cdf" -> Set("row"), "dvmode" -> Set("on"))
+      val sets = changes.collect { case p: TableChange.SetProperty =>
+        p.property() -> p.value() }
+      val unsets = changes.collect { case p: TableChange.RemoveProperty => p.property() }
+      (sets.map(_._1) ++ unsets).foreach(k => require(allowed.contains(k),
+        s"graft catalog: unsupported table property '$k' — supported: " +
+          allowed.keys.toSeq.sorted.mkString(", ")))
+      sets.foreach { case (k, v) => require(allowed(k).contains(v),
+        s"graft catalog: property $k takes ${allowed(k).mkString("/")}, got '$v'") }
+      require(SnapshotTable.currentVersion(root) > 0,
+        "graft catalog: SET TBLPROPERTIES needs a committed version — " +
+          "INSERT first, then set the flags")
+      val retry = new SnapshotTable.CommitRetry(root)
+      var committed = false
+      while (!committed) {
+        val v = SnapshotTable.currentVersion(root)
+        retry.observed(v)
+        try {
+          SnapshotTable.commitEntries(root, v, SnapshotTable.manifestEntries(root, v),
+            shardSize = 16, SnapshotTable.carriedMeta(root, v) ++ sets -- unsets +
+              ("alter" -> ("props:" + (sets.map { case (k, w) => s"$k=$w" } ++
+                unsets.map(k => s"-$k")).mkString(","))))
+          committed = true
+        } catch {
+          case e: java.nio.file.FileAlreadyExistsException => retry.lost(e)
+        }
+      }
+      return loadTable(ident)
+    }
     // RENAME/DROP COLUMN — column-mapping evolution (metadata-only
     // commits; see SnapshotTable.renameColumn/dropColumn). Spark sends
     // each such statement as a single change.

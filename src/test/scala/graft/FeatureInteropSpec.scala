@@ -108,6 +108,38 @@ class FeatureInteropSpec extends AnyFunSuite {
     assert(ST.read(spark, cl).count() == 39)
   }
 
+  test("SET TBLPROPERTIES is the SQL route into cdf/dvmode; unknown keys refuse") {
+    val w = java.nio.file.Files.createTempDirectory("graft_fi_props").toString
+    spark.conf.set("spark.sql.catalog.gfp", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gfp.root", w)
+    // one 40-row file, so a single-row delete sits under the DV cap
+    (1L to 40L).map(k => (k, k * 1.0)).toDF("k", "v").coalesce(1)
+      .createOrReplaceTempView("gfp_src")
+    spark.sql("CREATE TABLE gfp.t AS SELECT * FROM gfp_src")
+    spark.sql("ALTER TABLE gfp.t SET TBLPROPERTIES ('dvmode' = 'on', 'cdf' = 'row')")
+    val root = Paths.get(w, "t").toString
+    // the flags took: a sparse DELETE goes merge-on-read and registers
+    // row-grain CDC
+    spark.sql(s"DELETE FROM '$root' WHERE k = 5").collect()
+    val v = ST.currentVersion(root)
+    assert(ST.manifestMeta(root, v)("delete").startsWith("dv:"),
+      ST.manifestMeta(root, v).toString)
+    assert(ST.manifestMeta(root, v).contains("cdc"))
+    assert(spark.table("gfp.t").count() == 39)
+    // UNSET removes the flag: the next sparse delete is CoW again
+    spark.sql("ALTER TABLE gfp.t UNSET TBLPROPERTIES ('dvmode')")
+    spark.sql(s"DELETE FROM '$root' WHERE k = 6").collect()
+    assert(ST.manifestMeta(root, ST.currentVersion(root))("delete")
+      .startsWith("cow:"))
+    // unknown keys and bad values refuse loudly
+    val e1 = intercept[Exception](
+      spark.sql("ALTER TABLE gfp.t SET TBLPROPERTIES ('nope' = 'x')"))
+    assert(e1.getMessage.contains("unsupported table property"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql("ALTER TABLE gfp.t SET TBLPROPERTIES ('dvmode' = 'banana')"))
+    assert(e2.getMessage.contains("takes"), e2.getMessage)
+  }
+
   test("OPTIMIZE materializes mapping AND compacts DVs in one rewrite") {
     val root = fresh("optimize_all")
     ST.enableDeletionVectors(root)
