@@ -500,23 +500,39 @@ object SnapshotTable {
   private[graft] def fmtDv(m: Map[String, String]): Option[String] =
     if (m.isEmpty) None else Some(m.toSeq.sorted.map { case (r, d) => s"$r=$d" }.mkString(";"))
 
-  /** Opt a table into merge-on-read deletes (Delta's
-    * `delta.enableDeletionVectors`): one metadata commit setting the
-    * `dvmode` flag; without it every DELETE stays copy-on-write. */
-  def enableDeletionVectors(root: String): Int = {
+  /** Set/unset table FLAGS (`cdf`, `dvmode`) as ONE CAS metadata
+    * commit — the engine behind both the Scala helpers and the SQL
+    * `ALTER TABLE ... SET/UNSET TBLPROPERTIES` route. IDEMPOTENT: when
+    * every set is already in place and every unset already absent, no
+    * version mints (re-running the statement is a no-op, like
+    * zero-match DML). */
+  def setTableFlags(root: String, sets: Map[String, String],
+      unsets: Seq[String] = Nil): Int = {
     val retry = new CommitRetry(root)
     var result = -1
     while (result < 0) {
       val v = currentVersion(root)
       retry.observed(v)
-      require(v > 0, s"enableDeletionVectors on $root: table has no committed version")
-      if (carriedMeta(root, v).get("dvmode").contains("on")) result = v
+      require(v > 0, s"setTableFlags on $root: table has no committed version — " +
+        "commit data first, then set the flags")
+      val cur = carriedMeta(root, v)
+      val already = sets.forall { case (k, w) => cur.get(k).contains(w) } &&
+        unsets.forall(k => !cur.contains(k))
+      if (already) result = v
       else try result = commitEntries(root, v, manifestEntries(root, v), 16,
-        carriedMeta(root, v) + ("dvmode" -> "on") + ("alter" -> "dvmode:on"))
+        cur ++ sets -- unsets +
+          ("alter" -> ("props:" + (sets.toSeq.sorted.map { case (k, w) => s"$k=$w" } ++
+            unsets.sorted.map(k => s"-$k")).mkString(","))))
       catch { case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) }
     }
     result
   }
+
+  /** Opt a table into merge-on-read deletes (Delta's
+    * `delta.enableDeletionVectors`): one metadata commit setting the
+    * `dvmode` flag; without it every DELETE stays copy-on-write. */
+  def enableDeletionVectors(root: String): Int =
+    setTableFlags(root, Map("dvmode" -> "on"))
 
   /** DV-aware subset read (PHYSICAL names): files without a deletion
     * vector read on the plain path; files with one read alongside

@@ -201,24 +201,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           allowed.keys.toSeq.sorted.mkString(", ")))
       sets.foreach { case (k, v) => require(allowed(k).contains(v),
         s"graft catalog: property $k takes ${allowed(k).mkString("/")}, got '$v'") }
-      require(SnapshotTable.currentVersion(root) > 0,
-        "graft catalog: SET TBLPROPERTIES needs a committed version — " +
-          "INSERT first, then set the flags")
-      val retry = new SnapshotTable.CommitRetry(root)
-      var committed = false
-      while (!committed) {
-        val v = SnapshotTable.currentVersion(root)
-        retry.observed(v)
-        try {
-          SnapshotTable.commitEntries(root, v, SnapshotTable.manifestEntries(root, v),
-            shardSize = 16, SnapshotTable.carriedMeta(root, v) ++ sets -- unsets +
-              ("alter" -> ("props:" + (sets.map { case (k, w) => s"$k=$w" } ++
-                unsets.map(k => s"-$k")).mkString(","))))
-          committed = true
-        } catch {
-          case e: java.nio.file.FileAlreadyExistsException => retry.lost(e)
-        }
-      }
+      // the shared flag engine: one CAS loop, idempotent (re-running
+      // the same SET mints no version)
+      SnapshotTable.setTableFlags(root, sets.toMap, unsets)
       return loadTable(ident)
     }
     // RENAME/DROP COLUMN — column-mapping evolution (metadata-only

@@ -726,6 +726,13 @@ private[sources] class SnapshotScan(root: String, version: Int,
     val startingVersion = Option(options.get("startingVersion")).map(_.toInt).getOrElse(0)
     val perTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toInt).getOrElse(1)
     val skipChanges = "true".equalsIgnoreCase(options.get("skipChangeCommits"))
+    // the combination is contradictory: the change feed EXISTS to
+    // deliver change commits — refuse rather than silently ignore
+    // either option (Delta refuses the same pair)
+    require(!(cdfMode && skipChanges),
+      "graft-snapshot: readChangeFeed and skipChangeCommits are mutually " +
+        "exclusive — the change feed delivers exactly the commits " +
+        "skipChangeCommits would drop")
     if (cdfMode) new SnapshotCdfMicroBatchStream(root, startingVersion, perTrigger, cdfFactory)
     else new SnapshotMicroBatchStream(root, startingVersion, perTrigger, factory,
       skipChanges)
@@ -767,27 +774,32 @@ private[sources] class SnapshotMicroBatchStream(root: String,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (v0, v1) = (start.asInstanceOf[VersionOffset].v, end.asInstanceOf[VersionOffset].v)
     // commit-by-commit: the append-only judgment (and skipChangeCommits'
-    // whole-commit skip) is per COMMIT, not per window
+    // whole-commit skip) is per COMMIT, not per window. The judgment is
+    // STRUCTURAL — a commit changes data iff it removes files or
+    // changes any deletion vector (merge-on-read DML touches no
+    // files) — never audit-tag-based: an insert-only MERGE carries a
+    // `merge` audit but removes nothing and must stream like the
+    // append it is. Each iteration's (entries, dv) carries into the
+    // next as its `before`, so a multi-commit window reads each
+    // manifest once.
+    var prevEntries = if (v0 == 0) Set.empty[String]
+      else SnapshotTable.manifestEntries(root, v0).map(_.rel).toSet
+    var prevDv = if (v0 == 0) Map.empty[String, String]
+      else SnapshotTable.dvState(root, v0)
     (v0 + 1 to v1).flatMap { v =>
-      val before = if (v == 1) Set.empty[String]
-        else SnapshotTable.manifestEntries(root, v - 1).map(_.rel).toSet
+      val before = prevEntries
       val after = SnapshotTable.manifestEntries(root, v).map(_.rel).toSet
       val removed = before -- after
-      // a commit CHANGES data when it removes files, changes any
-      // deletion vector (merge-on-read DML touches no files), or
-      // carries a DML/restore audit — pure metadata commits (ALTER,
-      // mapping changes) are none of these and stream empty
-      val dvChanged = SnapshotTable.dvState(root, v) !=
-        (if (v == 1) Map.empty else SnapshotTable.dvState(root, v - 1))
-      val changeCommit = removed.nonEmpty || dvChanged ||
-        SnapshotTable.manifestMeta(root, v).keySet
-          .exists(Set("update", "delete", "merge", "restore"))
+      val dvNow = SnapshotTable.dvState(root, v)
+      val changeCommit = removed.nonEmpty || dvNow != prevDv
+      prevEntries = after
+      prevDv = dvNow
       if (changeCommit) {
         if (skipChangeCommits) Nil
         else throw new IllegalStateException(
           s"graft-snapshot: commit $v changes existing data" +
             (if (removed.nonEmpty) s" (removes files ${removed.take(3).mkString(",")})"
-             else "") +
+             else " (deletion-vector change)") +
             " — plain streaming reads require append-only commits; stream the " +
             "changes with .option(\"readChangeFeed\", \"true\"), or skip " +
             "change commits entirely with .option(\"skipChangeCommits\", \"true\")")

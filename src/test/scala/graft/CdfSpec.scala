@@ -354,14 +354,30 @@ class CdfSpec extends AnyFunSuite {
         ST.carriedMeta(root, base))
     }
     commitRows(3, Seq((100L, 100.0)), "late") // v4 append
+    // an INSERT-ONLY merge carries a `merge` audit but removes no files
+    // and changes no vector: STRUCTURALLY an append, it must stream —
+    // the audit-tag heuristic would silently drop it (review finding)
+    ST.merge(spark, root, "k", "k",
+      Seq((200L, 200.0, "i")).toDF("k", "v", "op")) // v5
+    assert(ST.manifestMeta(root, 5).contains("merge"))
     val name = s"skipchg_ok_${System.nanoTime()}"
     val q = spark.readStream.format("graft-snapshot")
       .option("skipChangeCommits", "true").load(root)
       .writeStream.format("memory").queryName(name).start()
     q.processAllAvailable(); q.stop()
     val got = spark.table(name).collect().map(_.getAs[Long]("k")).sorted.toSeq
-    // v1 (1..6) + v2 (7..8) + v4 (100); v3's rewrite contributes NOTHING
-    assert(got == ((1L to 8L) :+ 100L), got.toString)
+    // v1 (1..6) + v2 (7..8) + v4 (100) + v5's insert-only merge (200);
+    // v3's rewrite contributes NOTHING
+    assert(got == ((1L to 8L) ++ Seq(100L, 200L)), got.toString)
+    // the contradictory option pair refuses loudly
+    val e2 = intercept[Exception] {
+      spark.readStream.format("graft-snapshot")
+        .option("readChangeFeed", "true").option("skipChangeCommits", "true")
+        .load(root).writeStream.format("memory")
+        .queryName(s"${name}_both").start().processAllAvailable()
+    }
+    assert(chain(e2).exists(t => t.getMessage != null &&
+      t.getMessage.contains("mutually")), e2.getMessage)
   }
 
   test("the feed reads mixed widths: a delete of a pre-evolution narrow file null-fills") {

@@ -118,6 +118,10 @@ class FeatureInteropSpec extends AnyFunSuite {
     spark.sql("CREATE TABLE gfp.t AS SELECT * FROM gfp_src")
     spark.sql("ALTER TABLE gfp.t SET TBLPROPERTIES ('dvmode' = 'on', 'cdf' = 'row')")
     val root = Paths.get(w, "t").toString
+    // re-running the SAME statement is a version no-op (idempotent)
+    val vAfter = ST.currentVersion(root)
+    spark.sql("ALTER TABLE gfp.t SET TBLPROPERTIES ('dvmode' = 'on', 'cdf' = 'row')")
+    assert(ST.currentVersion(root) == vAfter, "re-SET minted a version")
     // the flags took: a sparse DELETE goes merge-on-read and registers
     // row-grain CDC
     spark.sql(s"DELETE FROM '$root' WHERE k = 5").collect()
