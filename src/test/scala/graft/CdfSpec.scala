@@ -9,9 +9,11 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The streaming change-data-feed mode of the DSv2 snapshot connector
   * (`.option("readChangeFeed", "true")`): version-offset change
   * streaming that SURVIVES rewrite commits — the append-only guard's
-  * counterpart for DML-carrying upstreams. File-grain contract: a
-  * rewritten file's carried rows appear as a delete+insert pair, which
-  * cancels under the signed folds CDC feeds drive. */
+  * counterpart for DML-carrying upstreams. Two grains: cdf=row tables
+  * serve commit-time update/delete/insert images (carried rows absent);
+  * everything else is file-grain — a rewritten file's carried rows
+  * appear as a delete+insert pair, which cancels under the signed
+  * folds CDC feeds drive. */
 class CdfSpec extends AnyFunSuite {
   import TestSession._
   import spark.implicits._
