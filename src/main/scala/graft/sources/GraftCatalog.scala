@@ -247,6 +247,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "graft catalog: an added column must be nullable — existing rows hold null")
         require(supported.contains(add.dataType()),
           s"graft catalog: unsupported added-column type ${add.dataType()}")
+        // delimiter/nested guard: a name the colmap/meta encodings can't
+        // carry must refuse HERE, not brick the table on next read
+        SnapshotTable.validateIdent(d.toString, "graft catalog: ADD COLUMN",
+          add.fieldNames()(0))
         add.fieldNames()(0) -> add.dataType()
       case other => throw new UnsupportedOperationException(
         s"graft catalog: unsupported ALTER TABLE change $other — supported: " +

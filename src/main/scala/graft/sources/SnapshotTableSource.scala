@@ -57,12 +57,18 @@ import graft.operators.SnapshotTable
   *     upstream keep a downstream pipeline alive (see
   *     [[SnapshotCdfMicroBatchStream]] for the file-grain contract).
   *     The same option on a BATCH read serves the
-  *     (`startingVersion`, `endingVersion`] window in one scan.
-  *     NOTE the window convention: `startingVersion` is EXCLUSIVE
-  *     ("changes after this version" — the resume-token shape, and
-  *     the same meaning the streaming feed's initial offset gives it)
-  *     whereas Delta's `table_changes(t, startingVersion)` is
-  *     INCLUSIVE; a Delta migrant should pass `delta_start - 1`.
+  *     (`afterVersion`, `endingVersion`] window in one scan.
+  *     NOTE the window naming: the batch option is `afterVersion`
+  *     because it is EXCLUSIVE ("changes after this version" — the
+  *     resume-token shape). `startingVersion` is REFUSED on the batch
+  *     path: Delta's `table_changes(t, startingVersion)` is INCLUSIVE,
+  *     and honoring the name with exclusive meaning silently dropped a
+  *     commit for ported pipelines (a Delta migrant passes
+  *     `afterVersion = delta_start - 1`). The STREAMING path keeps
+  *     `startingVersion` as its initial offset (exclusive, the offset
+  *     contract); `startingTimestamp` resolves a wall-clock instant to
+  *     the first commit at-or-after it via the same commit-time source
+  *     time travel uses (in-commit timestamps when present).
   *
   * Projection pushdown is real: `pruneColumns` narrows the parquet
   * record schema handed to the file reader, so a 2-column aggregate
@@ -690,7 +696,19 @@ private[sources] class SnapshotScan(root: String, version: Int,
     if (cdfMode) return new Batch {
       private val endV = Option(options.get("endingVersion")).map(_.toInt)
         .getOrElse(version)
-      private val startV = Option(options.get("startingVersion")).map(_.toInt).getOrElse(0)
+      // the batch window option is `afterVersion` — named for its
+      // EXCLUSIVE semantics. `startingVersion` is REFUSED here (ADVICE
+      // r13): Delta's table_changes treats it as inclusive, so honoring
+      // the same name with exclusive meaning silently dropped one
+      // commit's changes from every ported pipeline. The streaming
+      // path keeps `startingVersion` as its resume-token initial
+      // offset (exclusive there matches the offset contract).
+      require(options.get("startingVersion") == null,
+        "graft-snapshot batch CDF: use afterVersion=<v> (EXCLUSIVE — changes " +
+          "after that version; Delta's inclusive startingVersion maps to " +
+          "afterVersion = startingVersion - 1). startingVersion is refused on " +
+          "the batch path because the name implies Delta's inclusive semantics")
+      private val startV = Option(options.get("afterVersion")).map(_.toInt).getOrElse(0)
       require(startV >= 0 && endV <= version && startV <= endV,
         s"graft-snapshot CDF: version window ($startV, $endV] out of range (table at $version)")
       override def planInputPartitions(): Array[InputPartition] =

@@ -173,10 +173,15 @@ class CdfSpec extends AnyFunSuite {
       .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("k"),
         r.getAs[Long]("_commit_version"))).sorted.toSeq
     assert(all == streamed, "batch CDF drifted from the streamed feed")
-    // a version window slices the feed; filters run residually
-    val tail = batchCdf("startingVersion" -> "2").collect()
+    // a version window slices the feed; filters run residually.
+    // `afterVersion` is the batch option, named for its EXCLUSIVE
+    // semantics; `startingVersion` (Delta's inclusive name) refuses
+    // loudly on the batch path instead of silently dropping a commit
+    val tail = batchCdf("afterVersion" -> "2").collect()
     assert(tail.map(_.getAs[Long]("_commit_version")).toSet == Set(3L))
-    val only2 = batchCdf("startingVersion" -> "1", "endingVersion" -> "2")
+    val refused = intercept[Exception](batchCdf("startingVersion" -> "2").collect())
+    assert(refused.getMessage.contains("afterVersion"), refused.getMessage)
+    val only2 = batchCdf("afterVersion" -> "1", "endingVersion" -> "2")
     assert(only2.select("_commit_version").distinct().collect()
       .map(_.getLong(0)).toSet == Set(2L))
     assert(batchCdf().filter(col("_change_type") === "delete").count() ==
@@ -331,6 +336,33 @@ class CdfSpec extends AnyFunSuite {
     assert(v2cdc.forall(!Files.exists(_)),
       "a dropped commit's CDC files must be reclaimed")
     assert(cdcPaths(3).forall(Files.exists(_)))
+  }
+
+  test("row-grain CDF: a direct merge() op='u' on an ABSENT key reports insert (ADVICE r13)") {
+    import spark.implicits._
+    val root = graft.operators.Engine.tmpDir("graft_cdf_uabsent")
+    graft.operators.Engine.listDir(Paths.get(root))
+      .foreach(graft.operators.Engine.deleteRecursively)
+    val rels = ST.writeDataFiles((1L to 4L).map(k => (k, k * 1.0)).toDF("k", "v")
+      .coalesce(1), root, "a").map(ST.footerEntry(root, _, "k"))
+    ST.commitEntries(root, 0, rels, 16, Map("statsCol" -> "k", "cdf" -> "row"))
+    // upsert-style changeset: k=2 exists (true update), k=3 exists and
+    // is deleted, k=9 does NOT exist but is labeled 'u' — a
+    // row-identity consumer must see INSERT for it, never an unpaired
+    // update_postimage
+    val ch = Seq((2L, 20.0, "u"), (3L, 0.0, "d"), (9L, 90.0, "u"))
+      .toDF("k", "v", "op")
+    ST.merge(spark, root, "k", "k", ch)
+    val v2 = runFeed(root).filter(col("_commit_version") === 2).collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("k"),
+        r.getAs[Double]("v"))).toSet
+    assert(v2 == Set(
+      ("update_preimage", 2L, 2.0), ("update_postimage", 2L, 20.0),
+      ("delete", 3L, 3.0), ("insert", 9L, 90.0)), v2.toString)
+    // the table state itself is the same either way (signed-fold
+    // equivalence): the classification only fixes the feed's labels
+    assert(ST.read(spark, root).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      == Map(1L -> 1.0, 2L -> 20.0, 4L -> 4.0, 9L -> 90.0))
   }
 
   test("skipChangeCommits: rewrites skip whole, appends flow; without it the stream fails loudly") {

@@ -220,6 +220,38 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(ST.read(spark, root).filter(col("k") === 1).head().getDouble(1) == 99.0)
   }
 
+  test("ALTER surface refuses delimiter-injectable and nested names (ADVICE r13)") {
+    val root = fresh("ident")
+    // colmap encodes `l=p,l=p`; meta lines tab-split; extra-stats
+    // fields colon-split — a name carrying any of those delimiters
+    // would COMMIT fine and brick every later read of the version
+    Seq("a=b", "a,b", "a;b", "a:b", "a\tb", "a\nb", "a#b", "a>b").foreach { bad =>
+      val e = intercept[Exception](ST.renameColumn(spark, root, "v", bad))
+      assert(e.getMessage.contains("manifest-delimiter"), s"'$bad': ${e.getMessage}")
+    }
+    // nested fields get the honest top-level-only refusal, not silent
+    // mis-handling of `a.b` as a flat name
+    val en = intercept[Exception](ST.renameColumn(spark, root, "v", "props.score"))
+    assert(en.getMessage.contains("top-level only"), en.getMessage)
+    val ed = intercept[Exception](ST.dropColumn(spark, root, "props.score"))
+    assert(ed.getMessage.contains("top-level only"), ed.getMessage)
+    // the table is untouched — no version minted by any refusal
+    assert(ST.currentVersion(root) == 1)
+    // the catalog's ADD COLUMN route validates the same way (backtick
+    // quoting smuggles a literal dot through as ONE field name)
+    val w = java.nio.file.Files.createTempDirectory("graft_cm_ident").toString
+    spark.conf.set("spark.sql.catalog.gident", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gident.root", w)
+    spark.sql("CREATE TABLE gident.t (k BIGINT)")
+    spark.sql("INSERT INTO gident.t VALUES (1)")
+    val ec = intercept[Exception](
+      spark.sql("ALTER TABLE gident.t ADD COLUMN `a.b` BIGINT").collect())
+    assert(ec.getMessage.contains("top-level only"), ec.getMessage)
+    val ec2 = intercept[Exception](
+      spark.sql("ALTER TABLE gident.t ADD COLUMN `a=b` BIGINT").collect())
+    assert(ec2.getMessage.contains("manifest-delimiter"), ec2.getMessage)
+  }
+
   test("RESTORE and SHALLOW CLONE carry the mapping") {
     val root = fresh("restore")
     ST.renameColumn(spark, root, "v", "score")

@@ -251,7 +251,7 @@ class DvSpec extends AnyFunSuite {
     // and the STREAMING/batch CDF planner agrees (delta partitions)
     val feed = spark.read.format("graft-snapshot")
       .option("readChangeFeed", "true")
-      .option("startingVersion", v2.toString).load(root).collect()
+      .option("afterVersion", v2.toString).load(root).collect()
       .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("k"),
         r.getAs[Long]("_commit_version"))).toSet
     assert(feed == Set(("insert", 4L, v3.toLong), ("insert", 24L, v3.toLong)),

@@ -516,6 +516,31 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("may not assign the ON column"), e3.getMessage)
   }
 
+  test("MERGE NOT MATCHED BY SOURCE refuses a NULL-keyed target row (ADVICE r13)") {
+    import spark.implicits._
+    val root = Engine.tmpDir("graft_sql_nmbs_null")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    // one NULL ON-key row: it always lands in the anti set, but the
+    // keyed rewrite can't address it (non-null-safe equality on the
+    // id) — a BY SOURCE DELETE would leave it in place, a BY SOURCE
+    // UPDATE would duplicate it
+    ST.commitEntries(root, 0,
+      ST.writeDataFiles(Seq((Some(1L), 1.0), (None, 2.0), (Some(3L), 3.0))
+        .toDF("k", "v").coalesce(1), root, "a").map(ST.footerEntry(root, _, "k")),
+      shardSize = 8, Map("statsCol" -> "k"))
+    Seq((1L, 9.0)).toDF("k", "v").createOrReplaceTempView("nmbs_null_src")
+    val e = intercept[Exception](spark.sql(
+      s"""MERGE INTO '$root' AS t USING nmbs_null_src AS s ON t.k = s.k
+        WHEN NOT MATCHED BY SOURCE THEN DELETE""").collect())
+    assert(e.getMessage.contains("NULL ON key"), e.getMessage)
+    // matched-only merges stay fine: inner joins never see the NULL row
+    spark.sql(s"""MERGE INTO '$root' AS t USING nmbs_null_src AS s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v""").collect()
+    val got = ST.read(spark, root).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getDouble(1)).toMap
+    assert(got(1L) == 9.0 && got(-1L) == 2.0 && got.size == 3, got.toString)
+  }
+
   test("VACUUM RETAIN n HOURS resolves against commit mtimes; window versions survive") {
     import spark.implicits._
     val root = Engine.tmpDir("graft_sql_vac_retain")
