@@ -386,6 +386,77 @@ object ScaleProbe {
         s"final=$fin versions=${ST.currentVersion(root)}")
       fin
     }
+    // r14: CHECK constraints — the per-row bound-predicate cost on the
+    // DSv2 ingest path must be in the noise of the write itself (the
+    // unconstrained twin is the reference), and ADD CONSTRAINT prices
+    // at ONE validation scan of the resident data.
+    time("x38_ingest_unconstrained") {
+      val ST = operators.SnapshotTable
+      spark.conf.set("spark.sql.catalog.gsc", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gsc.root", s"$work/wh")
+      spark.read.parquet(s"$work/events.parquet")
+        .selectExpr("event_id", "user_id", "value")
+        .createOrReplaceTempView("x38p_src")
+      spark.sql("DROP TABLE IF EXISTS gsc.x38p_plain")
+      spark.sql("CREATE TABLE gsc.x38p_plain AS SELECT * FROM x38p_src")
+      ST.read(spark, s"$work/wh/x38p_plain").count()
+    }
+    time("x38_add_constraint_validation") {
+      val ST = operators.SnapshotTable
+      ST.addCheckConstraint(spark, s"$work/wh/x38p_plain", "v_ok", "value >= 0 OR value < 0")
+      1L
+    }
+    time("x38_ingest_constrained") {
+      val ST = operators.SnapshotTable
+      spark.sql("INSERT INTO gsc.x38p_plain SELECT * FROM x38p_src")
+      ST.read(spark, s"$work/wh/x38p_plain").count()
+    }
+    // r14: type widening — the ALTER must price as ONE manifest commit
+    // at any scale, and the MIXED-width scan (int32 files + int64
+    // files under the widened schema) must price like the uniform scan.
+    time("x39_stage_int_fixture") {
+      val ST = operators.SnapshotTable
+      spark.conf.set("spark.sql.catalog.gsc", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gsc.root", s"$work/wh")
+      spark.read.parquet(s"$work/events.parquet")
+        .selectExpr("event_id", "CAST(value * 1000 AS INT) AS q_i")
+        .createOrReplaceTempView("x39p_src")
+      spark.sql("DROP TABLE IF EXISTS gsc.x39p_t")
+      spark.sql("CREATE TABLE gsc.x39p_t AS SELECT * FROM x39p_src")
+      ST.read(spark, s"$work/wh/x39p_t").count()
+    }
+    time("x39_widen_meta_only") {
+      val ST = operators.SnapshotTable
+      spark.sql("ALTER TABLE gsc.x39p_t ALTER COLUMN q_i TYPE BIGINT")
+      ST.manifestEntries(s"$work/wh/x39p_t",
+        ST.currentVersion(s"$work/wh/x39p_t")).size.toLong
+    }
+    time("x39_mixed_width_scan") {
+      spark.sql("INSERT INTO gsc.x39p_t SELECT event_id, CAST(q_i AS BIGINT) + 3000000000 FROM x39p_src")
+      spark.sql("SELECT SUM(q_i) FROM gsc.x39p_t").count()
+    }
+    time("x39_uniform_scan_ref") {
+      spark.sql("SELECT SUM(CAST(q_i AS BIGINT)) FROM x39p_src").count()
+    }
+    // r14 (VERDICT #5): the WIDE-SPREAD under-cap DV delete — every
+    // day file loses a sliver, so the sidecar write is the cost. The
+    // r13 shape funneled all ordinals through coalesce(1); now it
+    // fans out across min(hitFiles, parallelism) tasks and the wall
+    // must stay flat as replicas grow the per-file ordinal volume.
+    time("x36_dv_spread_delete") {
+      val ST = operators.SnapshotTable
+      val root = s"$work/snap_dv_spread"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+      ST.commitEntries(root, 0, ST.stageDayClustered(spark, work, root),
+        shardSize = 3, Map("statsCol" -> "ep_day"))
+      ST.enableDeletionVectors(root)
+      val v = ST.delete(spark, root, "event_id % 53 = 7") // ~1.9% of EVERY file
+      val audit = ST.manifestMeta(root, v)("delete")
+      println(s"[scale] x36 spread audit: $audit (dv entries: " +
+        s"${ST.dvState(root, v).size})")
+      assert(audit.startsWith("dv:"), s"spread delete fell back: $audit")
+      1L
+    }
     spark.stop()
   }
 }

@@ -140,7 +140,7 @@ object SnapshotTable {
   // forward). Manifests from pre-gating binaries carry no features
   // line and read/commit exactly as before.
 
-  private[graft] val SupportedReaderFeatures = Set("colmap", "dv", "evolution")
+  private[graft] val SupportedReaderFeatures = Set("colmap", "dv", "evolution", "widen")
   private[graft] val SupportedWriterFeatures =
     SupportedReaderFeatures ++ Set("cdf", "checks")
 
@@ -154,6 +154,9 @@ object SnapshotTable {
     if (meta.contains("colmap")) r += "colmap"
     if (meta.contains("dv")) r += "dv"
     if (meta.contains("schema") || meta.contains("schemaJson")) r += "evolution"
+    // widened tables: a reader without upcast support would mis-decode
+    // narrow files under the widened schema of record
+    if (meta.contains("widen")) r += "widen"
     if (meta.get("dvmode").contains("on")) w += "dv"
     if (meta.contains("cdf")) w += "cdf"
     if (meta.keys.exists(_.startsWith("check."))) w += "checks"
@@ -197,14 +200,22 @@ object SnapshotTable {
     }
   }
 
+  /** Commit wall-clock (ms), preferring the IN-COMMIT TIMESTAMP the
+    * committer wrote into the manifest metadata (`cts`, Delta's ICT
+    * design) and falling back to the manifest file's mtime for
+    * pre-ICT manifests. The stamp survives what mtimes do not: a
+    * directory copy/rsync of the table, a restore from backup, or a
+    * filesystem that rewrites mtimes — on any of those, mtime-based
+    * TIMESTAMP AS OF / VACUUM RETAIN would silently resolve against
+    * the COPY time. [[commitEntries]] stamps every commit
+    * `max(now, parent cts + 1)`, so the clock is strictly
+    * version-monotone even across NTP steps. */
+  def commitTimeMillis(root: String, v: Int): Long =
+    manifestMeta(root, v).get("cts").map(_.toLong)
+      .getOrElse(Files.getLastModifiedTime(manifestPath(root, v)).toMillis)
+
   /** The `#key<TAB>value` metadata committed atomically with version
     * `v`'s file list (empty for a plain commit). */
-  /** Commit wall-clock (ms): the manifest file's mtime — the same
-    * source Delta resolves TIMESTAMP AS OF against (commit-file
-    * timestamps). Monotone per table because versions commit in order
-    * on one filesystem. */
-  def commitTimeMillis(root: String, v: Int): Long =
-    Files.getLastModifiedTime(manifestPath(root, v)).toMillis
 
   def manifestMeta(root: String, v: Int): Map[String, String] =
     rawManifestLines(root, v).collect {
@@ -249,7 +260,17 @@ object SnapshotTable {
     // materializes it) un-requires the feature, one that first writes
     // `dv` requires it from that version on.
     val (rf, wf) = requiredFeatures(meta)
-    val metaAll = meta -- Seq("readerFeatures", "writerFeatures") ++
+    // IN-COMMIT TIMESTAMP (Delta's ICT): the commit's wall-clock lands
+    // IN the manifest, strictly after the parent's — the source
+    // TIMESTAMP AS OF / VACUUM RETAIN resolve against, immune to the
+    // mtime churn of table copies/restores. Always freshly stamped
+    // (never carried; carriedMeta strips it).
+    val cts = math.max(System.currentTimeMillis,
+      (if (baseVersion > 0)
+        scala.util.Try(commitTimeMillis(root, baseVersion)).getOrElse(0L)
+      else 0L) + 1)
+    val metaAll = meta -- Seq("readerFeatures", "writerFeatures") +
+      ("cts" -> cts.toString) ++
       (if (rf.nonEmpty) Map("readerFeatures" -> rf.toSeq.sorted.mkString(",")) else Nil) ++
       (if (wf.nonEmpty) Map("writerFeatures" -> wf.toSeq.sorted.mkString(",")) else Nil)
     val lines = entryLines ++ metaAll.toSeq.sortBy(_._1).map { case (k, v) => s"#$k\t$v" }
@@ -568,6 +589,63 @@ object SnapshotTable {
     result
   }
 
+  /** `ALTER TABLE ... ALTER COLUMN <c> TYPE <wider>` — TYPE WIDENING
+    * as a METADATA-ONLY commit (Delta 3.x's type-widening feature):
+    * int→long, int→double and float→double rewrite the schema capture
+    * (`schemaJson`), not one data file — existing files keep their
+    * narrow physical type and every read upcasts (Spark 4's parquet
+    * readers promote int32→int64/double and float→double natively;
+    * the DSv2 connector's record reader does the same per slot). The
+    * `widen` marker makes file-subset planning evolution-aware, like
+    * add-column's `schema` marker. Narrowing and any other retype are
+    * refused — those genuinely need a rewrite. Idempotent: widening
+    * to the current type mints no version. */
+  def widenColumn(s: SparkSession, root: String, name: String,
+      to: org.apache.spark.sql.types.DataType): Int = {
+    import org.apache.spark.sql.types._
+    val allowed: Map[DataType, Set[DataType]] = Map(
+      IntegerType -> Set[DataType](LongType, DoubleType),
+      FloatType -> Set[DataType](DoubleType))
+    val retry = new CommitRetry(root)
+    var result = -1
+    while (result < 0) {
+      val v = currentVersion(root)
+      retry.observed(v)
+      require(v > 0, s"widen on $root: table has no committed version")
+      val map = colMap(root, v)
+      val physName = physicalName(map, name)
+      // the capture (physical names) is the schema of record; synthesize
+      // all-nullable from the resident files when none is stored yet
+      val carried = carriedMeta(root, v)
+      val base = carried.get("schemaJson")
+        .map(js => org.apache.spark.sql.types.DataType.fromJson(js)
+          .asInstanceOf[StructType])
+        .getOrElse(StructType(readAtPhysical(s, root, v).schema.fields
+          .map(_.copy(nullable = true))))
+      require(base.fieldNames.contains(physName),
+        s"widen on $root: no column $name (have " +
+          s"${base.fieldNames.map(p => logicalName(map, p)).mkString(",")})")
+      val from = base(physName).dataType
+      if (from == to) result = v // already wide enough: no-op
+      else {
+        require(allowed.get(from).exists(_.contains(to)),
+          s"widen on $root: $name is $from and $to is not a supported metadata-only " +
+            "widening (int->long, int->double, float->double); narrowing or other " +
+            "retypes need a table rewrite")
+        val widened = StructType(base.fields.map(f =>
+          if (f.name == physName) f.copy(dataType = to, nullable = true)
+          else f.copy(nullable = true)))
+        val widenList = (carried.get("widen").map(_ + ",").getOrElse("") +
+          s"$physName:${from.simpleString}>${to.simpleString}")
+        try result = commitEntries(root, v, manifestEntries(root, v), 16,
+          carried + ("schemaJson" -> widened.json) + ("widen" -> widenList) +
+            ("alter" -> s"widen:$name:${from.simpleString}>${to.simpleString}"))
+        catch { case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) }
+      }
+    }
+    result
+  }
+
   /** The table's current mapping, synthesizing the identity map from
     * the version's resolved physical schema when none is stored yet. */
   private[graft] def currentColMap(s: SparkSession, root: String,
@@ -645,6 +723,103 @@ object SnapshotTable {
     * `dvmode` flag; without it every DELETE stays copy-on-write. */
   def enableDeletionVectors(root: String): Int =
     setTableFlags(root, Map("dvmode" -> "on"))
+
+  // ---------------- CHECK CONSTRAINTS (write-time invariants) -------
+
+  /** The table's CHECK constraints at version `v`: name → SQL boolean
+    * expression over LOGICAL column names. Stored as `check.<name>`
+    * metadata keys — one key per constraint, so names and expressions
+    * never fight the colmap/dv value encodings; carried forward by
+    * every commit like statsCol (table STATE). SQL semantics: a row
+    * passes when the expression is TRUE or NULL (the standard's
+    * three-valued CHECK), fails only on FALSE. */
+  private[graft] def checkConstraints(root: String, v: Int): Map[String, String] =
+    if (v == 0) Map.empty
+    else manifestMeta(root, v).collect {
+      case (k, e) if k.startsWith("check.") => (k.stripPrefix("check."), e)
+    }
+
+  /** Wrap `df` so each row is verified against `checks` INSIDE the
+    * write pipeline — a codegen'd projection, no second pass over the
+    * batch (Delta's invariant-checker shape). The first output column
+    * is routed through `CASE WHEN <all pass> THEN col ELSE
+    * raise_error(...)`, so the check cannot be pruned away and a
+    * violating row fails the WRITE JOB loudly (the commit never
+    * lands) with the constraint's name and the row's JSON. Column
+    * names in the expressions are LOGICAL — callers wrap before
+    * [[toPhysical]]. */
+  private[graft] def enforceChecks(df: DataFrame, checks: Map[String, String],
+      where: String): DataFrame =
+    if (checks.isEmpty) df
+    else {
+      val c0 = df.columns.head
+      val rowJson = to_json(struct(df.columns.map(col).toIndexedSeq: _*))
+      checks.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, e)) =>
+        val pass = coalesce(expr(e).cast("boolean"), lit(true))
+        d.withColumn(c0, when(pass, col(c0)).otherwise(raise_error(
+          concat(lit(s"graft check constraint '$n' CHECK ($e) violated in $where " +
+            "by row: "), rowJson))))
+      }
+    }
+
+  /** The violating rows of `df` under constraint expression `e`
+    * (FALSE only — NULL passes, SQL's three-valued CHECK). */
+  private def checkViolations(df: DataFrame, e: String): DataFrame =
+    df.filter(!coalesce(expr(e).cast("boolean"), lit(true)))
+
+  /** `ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)` — one CAS
+    * metadata commit, AFTER validating every existing row (Delta scans
+    * the table the same way: a constraint that the resident data
+    * already violates must refuse, or the invariant would be a lie
+    * from birth). From the commit on, every write route — INSERT
+    * (DSv2 + streaming sink), MERGE, UPDATE — enforces the expression
+    * per row and refuses violating commits loudly. */
+  def addCheckConstraint(s: SparkSession, root: String, name: String,
+      exprSql: String): Int = {
+    validateIdent(root, "add constraint", name)
+    require(!exprSql.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"add constraint on $root: the expression may not contain tabs/newlines " +
+        "(manifest metadata is line-oriented)")
+    val retry = new CommitRetry(root)
+    var result = -1
+    while (result < 0) {
+      val v = currentVersion(root)
+      retry.observed(v)
+      require(v > 0, s"add constraint on $root: table has no committed version")
+      val cur = checkConstraints(root, v)
+      require(!cur.contains(name),
+        s"add constraint on $root: constraint $name already exists " +
+          s"(CHECK (${cur.getOrElse(name, "")}))")
+      // validate the RESIDENT data first — one filter-pushed scan,
+      // stopping at the first violation
+      val bad = checkViolations(readAt(s, root, v), exprSql).limit(1).collect()
+      require(bad.isEmpty,
+        s"add constraint on $root: existing row violates CHECK ($exprSql): " +
+          s"${bad.headOption.getOrElse("")} — clean the data first")
+      try result = commitEntries(root, v, manifestEntries(root, v), 16,
+        carriedMeta(root, v) + (s"check.$name" -> exprSql) +
+          ("alter" -> s"addcheck:$name"))
+      catch { case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) }
+    }
+    result
+  }
+
+  /** `ALTER TABLE ... DROP CONSTRAINT name` — metadata-only removal. */
+  def dropCheckConstraint(root: String, name: String): Int = {
+    val retry = new CommitRetry(root)
+    var result = -1
+    while (result < 0) {
+      val v = currentVersion(root)
+      retry.observed(v)
+      require(v > 0, s"drop constraint on $root: table has no committed version")
+      require(checkConstraints(root, v).contains(name),
+        s"drop constraint on $root: no constraint $name")
+      try result = commitEntries(root, v, manifestEntries(root, v), 16,
+        carriedMeta(root, v) - s"check.$name" + ("alter" -> s"dropcheck:$name"))
+      catch { case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) }
+    }
+    result
+  }
 
   /** DV-aware subset read (PHYSICAL names): files without a deletion
     * vector read on the plain path; files with one read alongside
@@ -788,7 +963,8 @@ object SnapshotTable {
 
   /** Time-based retention — the production spelling of vacuum
     * (`VACUUM <t> RETAIN n HOURS`): resolve the cutoff against the
-    * manifests' commit mtimes (the same clock DESCRIBE HISTORY
+    * commit clock [[commitTimeMillis]] (in-commit timestamps when
+    * present — the same clock DESCRIBE HISTORY
     * surfaces and `TIMESTAMP AS OF` resolves on), keep every version
     * committed inside the window plus the CURRENT version
     * unconditionally, and hand the resulting floor to [[vacuum]] —
@@ -1002,7 +1178,10 @@ object SnapshotTable {
       "restore", "clone", "upsert_scan",
       // `cdc` names ONE commit's change files: carrying it forward
       // would make the feed re-emit those rows at every later version
-      "cdc")
+      "cdc",
+      // per-commit stamps, recomputed by commitEntries — a carried
+      // `cts` would freeze the table's clock at the first ICT commit
+      "cts", "readerFeatures", "writerFeatures")
 
   /** Bounded optimistic-commit policy for every CAS retry loop. A
     * committer that dies between its createFile claim and the content
@@ -1136,7 +1315,7 @@ object SnapshotTable {
     // physically disappear), the compaction-time cleanup Delta's
     // REORG TABLE ... APPLY (PURGE) performs
     commitEntries(root, v, entries, shardSize,
-      carriedMeta(root, v) - "schema" - "schemaJson" - "colmap" - "dv" ++
+      carriedMeta(root, v) - "schema" - "schemaJson" - "colmap" - "dv" - "widen" ++
         Map("optimize" -> s"clustered:$keyCol", "statsCol" -> keyCol))
   }
 
@@ -1286,7 +1465,13 @@ object SnapshotTable {
             addedCols.map(n => changes.schema(n).copy(nullable = true))).toArray).json)
       }
     val dropIds = changes.filter(col("op") =!= "i").select(col(idCol))
-    val upserts = changes.filter(col("op") =!= "d").select(cols.map(col): _*)
+    // CHECK constraints verify the rows this merge INTRODUCES (the
+    // survivors were valid when written) — in-pipeline, no extra pass
+    val upserts = enforceChecks(
+      changes.filter(col("op") =!= "d").select(cols.map(col): _*),
+      carried.collect { case (k, e) if k.startsWith("check.") =>
+        (k.stripPrefix("check."), e) },
+      s"MERGE on $root")
     val rewritten = old.join(dropIds, Seq(idCol), "left_anti").unionByName(upserts)
     val tag = java.util.UUID.randomUUID().toString.take(8)
     // Row-grain CHANGE DATA FEED (Delta's _change_data design): when
@@ -1356,7 +1541,7 @@ object SnapshotTable {
     // (mirroring the optimize/zorder full-rewrite paths) — carrying a
     // stale narrower schemaJson forward would make explicit-schema
     // reads silently hide any column this rewrite added (ADVICE r11).
-    val baseMeta0 = if (untouched.isEmpty) carried - "schema" - "schemaJson" else carried
+    val baseMeta0 = if (untouched.isEmpty) carried - "schema" - "schemaJson" - "widen" else carried
     // affected files are REPLACED: their deletion vectors are applied
     // by the rewrite and must not survive to haunt the new files
     val dvLeft = dvState(root, v) -- affectedSet
@@ -1653,7 +1838,7 @@ object SnapshotTable {
       // capture the table's schema instead: an empty version must stay
       // readable/plannable (readAt and the DSv2 planner consume it)
       val baseMeta =
-        if (untouched.isEmpty) (carried - "schema" - "schemaJson") ++
+        if (untouched.isEmpty) (carried - "schema" - "schemaJson" - "widen") ++
           (if (newEntries.isEmpty) emptySchemaJson.map("schemaJson" -> _) else None)
         else carried
       try return commitEntries(root, v, untouched ++ newEntries, shardSize,
@@ -1960,16 +2145,21 @@ object SnapshotTable {
       physicalName(map, full.columns.head))
     // the ONE SET projection, guarded (per-row `when(cond)`) for the
     // full rewrite, unguarded for hit-only frames (CDC postimages, the
-    // MoR postimage file) — pre-update RHS semantics in both shapes
+    // MoR postimage file) — pre-update RHS semantics in both shapes.
+    // CHECK constraints verify the projected rows in-pipeline: an
+    // UPDATE whose SET drives a row out of a constraint refuses
+    // loudly before any commit (survivor rows re-pass trivially).
+    val tblChecks = carried.collect { case (k, e) if k.startsWith("check.") =>
+      (k.stripPrefix("check."), e) }
     def setProjection(df: DataFrame, guard: Option[Column]): DataFrame =
-      df.select(df.columns.map { c =>
+      enforceChecks(df.select(df.columns.map { c =>
         setMap.get(c) match {
           case Some(e2) =>
             val rhs = expr(e2).cast(df.schema(c).dataType)
             guard.fold(rhs)(g => when(g, rhs).otherwise(col(c))).as(c)
           case None => col(c)
         }
-      }.toIndexedSeq: _*)
+      }.toIndexedSeq: _*), tblChecks, s"UPDATE on $root")
     // ---- merge-on-read branch (deletion vectors for UPDATE) ---------
     // Delta's DV-for-update shape: the hit rows' ordinals go into the
     // sidecars (hiding the preimages) and ONE postimage file appends —
@@ -2693,7 +2883,7 @@ object SnapshotTable {
     // `colmap` drops too — the rewrite read the logical view, so this
     // MATERIALIZES any column mapping (see optimizeClustered)
     commitEntries(root, v, entries, shardSize,
-      carriedMeta(root, v) - "schema" - "schemaJson" - "colmap" - "dv" ++
+      carriedMeta(root, v) - "schema" - "schemaJson" - "colmap" - "dv" - "widen" ++
         Map("optimize" -> s"zorder:$colA,$colB", "statsCol" -> colA))
   }
 
@@ -2872,6 +3062,8 @@ object SnapshotTable {
     "x35_column_mapping" -> (x35ColumnMapping _, Some(x35Sql)),
     "x36_deletion_vectors" -> (x36DeletionVectors _, Some(x36Sql)),
     "x37_mor_update" -> (x37MorUpdate _, Some(x37Sql)),
+    "x38_check_constraint" -> (x38CheckConstraint _, Some(x38Sql)),
+    "x39_type_widening" -> (x39TypeWidening _, Some(x39Sql)),
   )
 
   /** x24_catalog_sql — the name-addressed warehouse surface end-to-end
@@ -3461,6 +3653,102 @@ object SnapshotTable {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
       .orderBy("ep_day")
   }
+
+  /** x38_check_constraint — write-time CHECK constraints (Delta's
+    * `ALTER TABLE ... ADD CONSTRAINT ... CHECK`): ADD validates every
+    * RESIDENT row first (one filter-pushed scan — a constraint the
+    * data already violates refuses), commits `check.<name>` metadata,
+    * and from that version on EVERY write route enforces the
+    * expression per row inside the write pipeline — the DSv2 INSERT's
+    * task writer evaluates a bound catalyst predicate per row (no
+    * second pass over the batch), MERGE/UPDATE route their
+    * introduced rows through a codegen'd raise_error projection, the
+    * streaming sink checks each micro-batch the same way. A violating
+    * row fails the WRITE JOB loudly and no version mints. Here: a
+    * high-value CTAS, the constraint, a constrained INSERT of the
+    * low tail, and an UPDATE whose SET stays inside the constraint —
+    * the final aggregate must equal DuckDB's recompute from the raw
+    * orders, proving enforcement never altered a passing row.
+    * CheckConstraintSpec pins the refusals on every route. */
+  def x38CheckConstraint(s: SparkSession, d: String): DataFrame = {
+    if (!s.conf.getOption("spark.sql.catalog.gx").exists(_.nonEmpty)) {
+      s.conf.set("spark.sql.catalog.gx", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gx.root", Engine.tmpDir("graft_warehouse"))
+    }
+    graft.sources.Tables.orders(s, d).createOrReplaceTempView("x38_orders_src")
+    s.sql("DROP TABLE IF EXISTS gx.x38_ord")
+    s.sql("""CREATE TABLE gx.x38_ord AS
+      SELECT o_orderkey, o_custkey, o_totalprice FROM x38_orders_src
+      WHERE o_totalprice >= 150000""")
+    val root = Paths.get(Engine.tmpDir("graft_warehouse"), "x38_ord").toString
+    // resident data validated, constraint committed as table metadata
+    s.sql(s"ALTER TABLE '$root' ADD CONSTRAINT price_pos CHECK (o_totalprice > 0)")
+    // constrained ingest: every row of the low tail passes the per-row
+    // checker inside the DSv2 write tasks
+    s.sql("""INSERT INTO gx.x38_ord
+      SELECT o_orderkey, o_custkey, o_totalprice FROM x38_orders_src
+      WHERE o_totalprice < 60000""")
+    // constrained DML: the SET expression keeps every hit positive
+    s.sql(s"UPDATE '$root' SET o_totalprice = o_totalprice + 1000.0 " +
+      "WHERE o_totalprice < 10000")
+    s.sql("""SELECT o_custkey, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+      FROM gx.x38_ord GROUP BY o_custkey HAVING COUNT(*) >= 2 ORDER BY o_custkey""")
+  }
+
+  val x38Sql: String =
+    """SELECT o_custkey, COUNT(*) AS n, ROUND(SUM(p), 2) AS total FROM (
+      |  SELECT o_custkey,
+      |    CASE WHEN o_totalprice < 10000 THEN o_totalprice + 1000.0
+      |         ELSE o_totalprice END AS p
+      |  FROM orders WHERE o_totalprice >= 150000 OR o_totalprice < 60000) x
+      |GROUP BY o_custkey HAVING COUNT(*) >= 2 ORDER BY o_custkey""".stripMargin
+
+  /** x39_type_widening — metadata-only TYPE WIDENING (Delta 3.x):
+    * a narrow CTAS lands `q_i INT`, `ALTER TABLE ... ALTER COLUMN
+    * q_i TYPE BIGINT` rewrites ONLY the schema capture (zero data
+    * files move — the audit and WidenSpec pin it), and the next
+    * INSERT carries genuinely 64-bit values the old width could not
+    * hold. The read plans the widened schema over MIXED files —
+    * int32 files upcast in-slot (both the Spark parquet reader and
+    * the DSv2 record reader promote) — so the grouped sum must equal
+    * DuckDB's recompute with the same day split. Without this verb a
+    * wrongly-typed ingest column forces a full table rewrite. */
+  def x39TypeWidening(s: SparkSession, d: String): DataFrame = {
+    if (!s.conf.getOption("spark.sql.catalog.gx").exists(_.nonEmpty)) {
+      s.conf.set("spark.sql.catalog.gx", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gx.root", Engine.tmpDir("graft_warehouse"))
+    }
+    val ev = Tables.events(s, d)
+      .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+      .filter(col("event_id") % X29Mod === 0)
+      .select(col("event_id"), col("event_type"),
+        floor(col("value") * 1000).cast("int").as("q_i"), col("ep_day"))
+    ev.filter(col("ep_day") <= X30Cut).createOrReplaceTempView("x39_narrow_src")
+    // the wide half carries values past Int.MaxValue — unrepresentable
+    // before the widening
+    ev.filter(col("ep_day") > X30Cut)
+      .withColumn("q_i", col("q_i").cast("bigint") + lit(3000000000L))
+      .createOrReplaceTempView("x39_wide_src")
+    s.sql("DROP TABLE IF EXISTS gx.x39_ev")
+    s.sql("CREATE TABLE gx.x39_ev AS SELECT * FROM x39_narrow_src")
+    s.sql("ALTER TABLE gx.x39_ev ALTER COLUMN q_i TYPE BIGINT")
+    s.sql("INSERT INTO gx.x39_ev SELECT * FROM x39_wide_src")
+    s.sql("""SELECT event_type, COUNT(*) AS n_events,
+        SUM(q_i) AS q_sum
+      FROM gx.x39_ev GROUP BY event_type ORDER BY event_type""")
+  }
+
+  val x39Sql: String =
+    s"""WITH e AS (SELECT event_type,
+       |  CAST(FLOOR(value * 1000) AS BIGINT) AS q_i,
+       |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day FROM events
+       |  WHERE event_id % $X29Mod = 0),
+       |w AS (SELECT event_type,
+       |  CASE WHEN ep_day > $X30Cut THEN q_i + 3000000000 ELSE q_i END AS q_i
+       |  FROM e)
+       |SELECT event_type, COUNT(*) AS n_events,
+       |  CAST(SUM(q_i) AS BIGINT) AS q_sum
+       |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val x37Sql: String =
     """WITH e AS (SELECT event_id,

@@ -34,7 +34,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           SnapshotSql.ownsDelete(sqlText) ||
           SnapshotSql.ownsRestore(session, sqlText) ||
           SnapshotSql.ownsClone(session, sqlText) ||
-          SnapshotSql.ownsAnsiMerge(session, sqlText)) SnapshotSqlCommand(sqlText)
+          SnapshotSql.ownsAnsiMerge(session, sqlText) ||
+          SnapshotSql.ownsConstraint(session, sqlText)) SnapshotSqlCommand(sqlText)
         else delegate.parsePlan(sqlText)
       }
 

@@ -136,9 +136,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   /** `TIMESTAMP AS OF <ts>` — Spark hands the timestamp in MICROSECONDS
     * since epoch; resolve to the NEWEST version whose commit landed at
-    * or before it (Delta's contract), using the manifest files' mtimes.
-    * Versions vacuumed away are skipped — they are no longer
-    * addressable snapshots. */
+    * or before it (Delta's contract), using the commit clock
+    * [[SnapshotTable.commitTimeMillis]] — the IN-COMMIT timestamp when
+    * the manifest carries one (immune to mtime churn from table
+    * copies/restores), manifest mtime for pre-ICT versions. Versions
+    * vacuumed away are skipped — they are no longer addressable
+    * snapshots. */
   override def loadTable(ident: Identifier, timestamp: Long): Table = {
     val d = tableDir(ident)
     if (!isTableDir(d)) throw new NoSuchTableException(ident)
@@ -196,9 +199,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       val sets = changes.collect { case p: TableChange.SetProperty =>
         p.property() -> p.value() }
       val unsets = changes.collect { case p: TableChange.RemoveProperty => p.property() }
+      // `check.<name>` properties are CHECK constraints (Delta stores
+      // them as `delta.constraints.<name>` the same way): SET routes
+      // through addCheckConstraint so the RESIDENT data is validated
+      // before the commit, UNSET through dropCheckConstraint. One
+      // statement is one constraint operation — mixing with flag
+      // properties would blur which engine validated what.
+      if ((sets.map(_._1) ++ unsets).exists(_.startsWith("check."))) {
+        require((sets.map(_._1) ++ unsets).forall(_.startsWith("check.")),
+          "graft catalog: constraint properties (check.<name>) cannot mix with " +
+            "other properties in one ALTER")
+        val spark = org.apache.spark.sql.SparkSession.active
+        sets.foreach { case (k, e) =>
+          SnapshotTable.addCheckConstraint(spark, root, k.stripPrefix("check."), e) }
+        unsets.foreach(k =>
+          SnapshotTable.dropCheckConstraint(root, k.stripPrefix("check.")))
+        return loadTable(ident)
+      }
       (sets.map(_._1) ++ unsets).foreach(k => require(allowed.contains(k),
         s"graft catalog: unsupported table property '$k' — supported: " +
-          allowed.keys.toSeq.sorted.mkString(", ")))
+          allowed.keys.toSeq.sorted.mkString(", ") + ", check.<name>"))
       sets.foreach { case (k, v) => require(allowed(k).contains(v),
         s"graft catalog: property $k takes ${allowed(k).mkString("/")}, got '$v'") }
       // the shared flag engine: one CAS loop, idempotent (re-running
@@ -227,6 +247,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             "on a never-written table, DROP and re-CREATE instead")
         SnapshotTable.dropColumn(org.apache.spark.sql.SparkSession.active,
           root, del.fieldNames()(0))
+        return loadTable(ident)
+      // ALTER COLUMN ... TYPE — metadata-only TYPE WIDENING
+      // (int→long/double, float→double); anything else refuses inside
+      // widenColumn with the rewrite guidance
+      case List(ut: TableChange.UpdateColumnType) =>
+        require(ut.fieldNames().length == 1,
+          "graft catalog: ALTER COLUMN TYPE supports top-level columns only")
+        require(SnapshotTable.currentVersion(root) > 0,
+          "graft catalog: ALTER COLUMN TYPE needs a committed version")
+        SnapshotTable.widenColumn(org.apache.spark.sql.SparkSession.active,
+          root, ut.fieldNames()(0), ut.newDataType())
         return loadTable(ident)
       case _ => () // fall through to the ADD COLUMN path
     }

@@ -208,6 +208,15 @@ object SnapshotSql {
           "WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE")
     }
 
+  // Delta's constraint verbs, spelled identically: ADD validates the
+  // resident data then commits `check.<name>` metadata; every write
+  // route enforces from that version on. ALTER TABLE is real Spark
+  // syntax, so routing is session-aware (see ownsConstraint).
+  private val AddConstraint =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+($Ref)\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*""".r
+  private val DropConstraint =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+($Ref)\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*""".r
+
   private val Quoted = "'([^']+)'".r
 
   /** Resolve a statement's table reference to a table root directory: a
@@ -349,6 +358,18 @@ object SnapshotSql {
     case _ => false
   }
 
+  /** ADD/DROP CONSTRAINT routing — ALTER TABLE is real Spark syntax,
+    * so a quoted-path target is claimed unconditionally and an
+    * identifier only when it resolves through a graft catalog; a
+    * Delta constraint statement in the same session is untouched. */
+  private[graft] def ownsConstraint(s: SparkSession, stmt: String): Boolean = stmt match {
+    case AddConstraint(ref, _, _) => ref.startsWith("'") ||
+      scala.util.Try(resolveRef(s, ref)).isSuccess
+    case DropConstraint(ref, _) => ref.startsWith("'") ||
+      scala.util.Try(resolveRef(s, ref)).isSuccess
+    case _ => false
+  }
+
   /** Split on top-level commas: parens, single-quoted strings (with
     * backslash escapes), and backtick identifiers are opaque — the
     * same scanner discipline as [[splitTopKeyword]]. */
@@ -421,6 +442,10 @@ object SnapshotSql {
     case Clone(dst, src, version) =>
       SnapshotTable.shallowClone(resolveRef(s, src), resolveRef(s, dst),
         Option(version).map(_.toInt))
+    case AddConstraint(ref, name, exprSql) =>
+      SnapshotTable.addCheckConstraint(s, resolveRef(s, ref), name, exprSql.trim)
+    case DropConstraint(ref, name) =>
+      SnapshotTable.dropCheckConstraint(resolveRef(s, ref), name)
     case Vacuum(ref, keepFrom) =>
       val root = resolveRef(s, ref)
       SnapshotTable.vacuum(root, keepFrom.toInt)
@@ -438,6 +463,8 @@ object SnapshotSql {
         "UPDATE <table> SET <col> = <expr>[, ...] WHERE <pred> | " +
         "DELETE FROM '<path>' WHERE <pred> | " +
         "RESTORE TABLE <table> TO VERSION AS OF <version> | " +
+        "ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (<expr>) | " +
+        "ALTER TABLE <table> DROP CONSTRAINT <name> | " +
         "CREATE TABLE <table> SHALLOW CLONE <table> [VERSION AS OF <version>] | " +
         "VACUUM <table> KEEP FROM <version> | " +
         "VACUUM <table> RETAIN <n> HOURS  (<table> = '<path>' or <catalog>.<name>)")

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.Paths
+import java.nio.file.{Files, Paths}
 import java.util.{Map => JMap}
 
 import scala.jdk.CollectionConverters._
@@ -631,8 +631,14 @@ private[sources] class SnapshotScan(root: String, version: Int,
     val full = SnapshotSourceUtil.tableMessageType(root, version)
     // evolved (mixed-width) versions pay the per-file request
     // intersection in the reader; uniform tables keep the zero-extra-IO
-    // fast path (the flag is the same one readAt gates mergeSchema on)
-    val evolved = version > 0 && SnapshotTable.manifestMeta(root, version).contains("schema")
+    // fast path (the flag is the same one readAt gates mergeSchema on).
+    // Type-WIDENED versions (`widen`) are evolved the same way: files
+    // narrower than the schema of record need the per-file request
+    // (and the reader's per-slot upcast) to decode correctly.
+    val evolved = version > 0 && {
+      val m = SnapshotTable.manifestMeta(root, version)
+      m.contains("schema") || m.contains("widen")
+    }
     // reader namespace is PHYSICAL (files' own names): translate the
     // pruned projection through the version's column mapping; output
     // rows are positional, so readSchema() stays logical
@@ -741,7 +747,42 @@ private[sources] class SnapshotScan(root: String, version: Int,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-    val startingVersion = Option(options.get("startingVersion")).map(_.toInt).getOrElse(0)
+    // `startingTimestamp` (Delta's option): resolve a wall-clock
+    // instant to the FIRST commit at-or-after it — via the same commit
+    // clock time travel uses (in-commit timestamps when present) — and
+    // stream from that commit INCLUSIVE, i.e. initial offset = its
+    // parent. Accepts epoch millis or a UTC `yyyy-MM-dd[ T]HH:mm:ss[.SSS]`
+    // literal. A timestamp AFTER the latest commit starts at the
+    // current version (only future commits stream — Delta's contract).
+    // If the resolved commit's PARENT was vacuumed away, the feed
+    // cannot prove no commit between the timestamp and the resolved
+    // version was lost — refuse loudly instead of silently skipping
+    // history (pass startingVersion to accept the retained window).
+    val tsRaw = Option(options.get("startingTimestamp"))
+    require(tsRaw.isEmpty || options.get("startingVersion") == null,
+      "graft-snapshot: startingTimestamp and startingVersion are mutually exclusive")
+    val startingVersion = tsRaw match {
+      case None => Option(options.get("startingVersion")).map(_.toInt).getOrElse(0)
+      case Some(raw) =>
+        val tsMs =
+          if (raw.nonEmpty && raw.forall(_.isDigit)) raw.toLong
+          else java.time.LocalDateTime.parse(raw.trim.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        val cur = SnapshotTable.currentVersion(root)
+        (1 to cur).find(v =>
+          scala.util.Try(SnapshotTable.commitTimeMillis(root, v)).toOption
+            .exists(_ >= tsMs)) match {
+          case Some(v) =>
+            require(v == 1 ||
+              Files.exists(SnapshotTable.manifestPath(root, v - 1)),
+              s"graft-snapshot: startingTimestamp '$raw' resolves to version $v " +
+                "but earlier history was vacuumed away — commits between the " +
+                "timestamp and that version may be lost; pass startingVersion " +
+                "explicitly to accept the retained window")
+            v - 1
+          case None => cur
+        }
+    }
     val perTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toInt).getOrElse(1)
     val skipChanges = "true".equalsIgnoreCase(options.get("skipChangeCommits"))
     // the combination is contradictory: the change feed EXISTS to
@@ -1065,6 +1106,34 @@ private[sources] case class SnapshotCdfReaderFactory(projectedMessage: String,
   * semantics through the STANDARD API. */
 private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo)
     extends WriteBuilder with SupportsOverwrite {
+  /** The table's CHECK constraints compiled to BOUND catalyst
+    * predicates over the incoming (logical) schema — evaluated
+    * per-row INSIDE each task's writer (Delta's invariant-checker
+    * shape: enforcement rides the write, no second pass, no driver
+    * round-trip). Compiled once at plan time; a violating row fails
+    * its task loudly and the commit never lands. */
+  private def boundChecks: Seq[(String, String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = {
+    val v = SnapshotTable.currentVersion(root)
+    val checks = SnapshotTable.checkConstraints(root, v)
+    if (checks.isEmpty) Nil
+    else {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), info.schema())
+      checks.toSeq.sortBy(_._1).map { case (n, e) =>
+        val analyzed = empty.select(
+          org.apache.spark.sql.functions.expr(e).cast("boolean").as("__chk"))
+          .queryExecution.analyzed
+          .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+        val resolved = analyzed.projectList.head
+          .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Alias].child
+        (n, e, org.apache.spark.sql.catalyst.expressions.BindReferences
+          .bindReference(resolved, analyzed.child.output))
+      }
+    }
+  }
+
   private def factory = {
     // the incoming query's schema is LOGICAL (the table exposes the
     // mapping); data files always carry PHYSICAL names — translate.
@@ -1072,7 +1141,7 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
     val phys = SnapshotSourceUtil.physStruct(info.schema(),
       SnapshotTable.colMap(root, SnapshotTable.currentVersion(root)))
     SnapshotWriterFactory(root,
-      SnapshotSourceUtil.messageType(phys).toString, phys)
+      SnapshotSourceUtil.messageType(phys).toString, phys, boundChecks)
   }
   // `.option("statsCol", c)` on the writer declares the pruning column
   // for a table this write CREATES (an existing table's statsCol is
@@ -1145,7 +1214,7 @@ private[graft] object SnapshotCommit {
       // overwrite: every surviving file is this write's, so the
       // mixed-width evolution marker and maintenance tags no longer
       // describe the version; watermarks and statsCol still carry
-      val meta = if (replace) meta0 -- Seq("schema", "schemaJson", "optimize", "merge", "delete") else meta0
+      val meta = if (replace) meta0 -- Seq("schema", "schemaJson", "widen", "optimize", "merge", "delete") else meta0
       val statsCol = extraMeta.get("statsCol").orElse(meta.get("statsCol"))
       val existing =
         if (v == 0 || replace) Nil else SnapshotTable.manifestEntries(root, v)
@@ -1186,7 +1255,9 @@ private[graft] object SnapshotCommit {
   * uniquely-named parquet file under the table root via the example
   * Group API (the write twin of the read path). */
 private[sources] case class SnapshotWriterFactory(root: String,
-    parquetSchema: String, schema: StructType)
+    parquetSchema: String, schema: StructType,
+    checks: Seq[(String, String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
     extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -1197,12 +1268,15 @@ private[sources] case class SnapshotWriterFactory(root: String,
   private def writer(partitionId: Int, epochId: Long): DataWriter[InternalRow] = {
     val rel = s"data_w_e${epochId}_p${partitionId}_" +
       s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
-    new PartitionFileWriter(root, rel, parquetSchema, schema)
+    new PartitionFileWriter(root, rel, parquetSchema, schema, checks)
   }
 }
 
 private[sources] class PartitionFileWriter(root: String, rel: String,
-    parquetSchema: String, schema: StructType) extends DataWriter[InternalRow] {
+    parquetSchema: String, schema: StructType,
+    checks: Seq[(String, String,
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
+    extends DataWriter[InternalRow] {
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
   import org.apache.parquet.hadoop.example.ExampleParquetWriter
 
@@ -1216,6 +1290,22 @@ private[sources] class PartitionFileWriter(root: String, rel: String,
   }
 
   override def write(row: InternalRow): Unit = {
+    // CHECK constraints, evaluated on the incoming (logical-order) row
+    // before anything lands in the file: TRUE and NULL pass (SQL's
+    // three-valued CHECK), FALSE refuses loudly — the task fails, the
+    // batch aborts, the commit never mints a version
+    var c = 0
+    while (c < checks.length) {
+      val (name, sql, ex) = checks(c)
+      if (ex.eval(row) == false) {
+        val rendered = Seq.tabulate(schema.length)(i =>
+          s"${schema.fields(i).name}=${if (row.isNullAt(i)) "null" else row.get(i, schema.fields(i).dataType)}")
+        throw new IllegalArgumentException(
+          s"graft check constraint '$name' CHECK ($sql) violated on INSERT into " +
+            s"$root by row: ${rendered.mkString(", ")}")
+      }
+      c += 1
+    }
     val g = groups.newGroup()
     var i = 0
     while (i < schema.length) {
@@ -1344,17 +1434,39 @@ private[sources] case class SnapshotReaderFactory(projectedMessage: String,
           while (cur != null && dv.contains(ord)) { cur = reader.read(); ord += 1 }
           cur != null
         }
+      // the FILE's physical primitive per pruned slot (evolved mode
+      // only — uniform tables decode straight at the requested type):
+      // a type-WIDENED table reads files narrower than the schema of
+      // record, and the decode upcasts in-slot (int32→long/double,
+      // float→double, int64→double) — Spark's own parquet readers
+      // promote the same way since 4.0
+      private val filePrim: Array[org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName] =
+        fileMeta match {
+          case None => null
+          case Some((fileFields, _)) => pruned.fields.map { f =>
+            fileFields.get(f.name)
+              .map(_.asPrimitiveType().getPrimitiveTypeName).orNull
+          }
+        }
       override def get(): InternalRow = {
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
         val vals = new Array[Any](pruned.length)
         var i = 0
         while (i < pruned.length) {
           val j = slot(i)
+          val prim = if (filePrim == null) null else filePrim(i)
           vals(i) =
             if (j < 0 || cur.getFieldRepetitionCount(j) == 0) null
             else pruned.fields(i).dataType match {
-              case LongType => cur.getLong(j, 0)
+              case LongType =>
+                if (prim == INT32) cur.getInteger(j, 0).toLong else cur.getLong(j, 0)
               case IntegerType => cur.getInteger(j, 0)
-              case DoubleType => cur.getDouble(j, 0)
+              case DoubleType => prim match {
+                case INT32 => cur.getInteger(j, 0).toDouble
+                case INT64 => cur.getLong(j, 0).toDouble
+                case FLOAT => cur.getFloat(j, 0).toDouble
+                case _ => cur.getDouble(j, 0)
+              }
               case FloatType => cur.getFloat(j, 0)
               case BooleanType => cur.getBoolean(j, 0)
               case StringType => UTF8String.fromString(cur.getString(j, 0))

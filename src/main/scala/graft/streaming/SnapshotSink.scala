@@ -77,9 +77,17 @@ object SnapshotSink {
     if (batchId <= lastCommitted(ST.currentVersion(root))) return false
     val tag = f"$tagPrefix$batchId%05d_${java.util.UUID.randomUUID().toString.take(8)}"
     // the batch arrives under LOGICAL names; files carry physical ones
-    // (identity for unmapped tables — the overwhelmingly common case)
-    val map = ST.colMap(root, ST.currentVersion(root))
-    val entries = ST.writeDataFiles(ST.toPhysical(df, map), root, tag)
+    // (identity for unmapped tables — the overwhelmingly common case).
+    // CHECK constraints verify each row inside the write job (the
+    // streaming sink is an INSERT route too — Delta enforces
+    // invariants on it the same way): a violating batch fails before
+    // its commit, and the exactly-once replay contract is preserved
+    // because nothing was committed.
+    val cv = ST.currentVersion(root)
+    val map = ST.colMap(root, cv)
+    val checked = ST.enforceChecks(df, ST.checkConstraints(root, cv),
+      s"streaming sink batch $batchId on $root")
+    val entries = ST.writeDataFiles(ST.toPhysical(checked, map), root, tag)
       .map(ST.footerEntry(root, _, ST.physicalName(map, keyCol)))
     val retry = new ST.CommitRetry(root)
     while (true) {

@@ -365,6 +365,38 @@ class CdfSpec extends AnyFunSuite {
       == Map(1L -> 1.0, 2L -> 20.0, 4L -> 4.0, 9L -> 90.0))
   }
 
+  test("startingTimestamp resolves via the commit clock; vacuumed history refuses") {
+    val root = fixture("startts")
+    // at-or-after semantics: v2's own instant starts the feed AT v2 —
+    // row-for-row the startingVersion=1 (exclusive) feed
+    val t2 = ST.commitTimeMillis(root, 2)
+    val t3 = ST.commitTimeMillis(root, 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("k"),
+        r.getAs[Long]("_commit_version"))).sorted.toSeq
+    assert(rows(runFeed(root, Map("startingTimestamp" -> t2.toString))) ==
+      rows(runFeed(root, Map("startingVersion" -> "1"))),
+      "startingTimestamp(t2) must equal the resolved startingVersion feed")
+    // an instant after the last commit: nothing historical streams
+    assert(runFeed(root, Map("startingTimestamp" -> (t3 + 60000).toString)).isEmpty,
+      "future timestamp must start after the current version")
+    // both options together are contradictory — refuse
+    val eBoth = intercept[Exception](
+      runFeed(root, Map("startingTimestamp" -> t2.toString, "startingVersion" -> "1")))
+    assert(Iterator.iterate(eBoth: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("mutually exclusive"))))
+    // vacuum v1 away: t2 still resolves v2 but v2's PARENT is gone —
+    // completeness from the timestamp is unprovable, refuse loudly
+    ST.vacuum(root, keepFrom = 2)
+    val eVac = intercept[Exception](
+      runFeed(root, Map("startingTimestamp" -> t2.toString)))
+    assert(Iterator.iterate(eVac: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("vacuumed"))), eVac.getMessage)
+    // ...while t3 (parent v2 retained) keeps serving
+    assert(runFeed(root, Map("startingTimestamp" -> t3.toString))
+      .select("_commit_version").distinct().collect().map(_.getLong(0)).toSet == Set(3L))
+  }
+
   test("skipChangeCommits: rewrites skip whole, appends flow; without it the stream fails loudly") {
     val root = fixture("skipchg") // v1 CTAS, v2 append, v3 CoW delete
     // without the option: the rewrite commit kills the plain stream,

@@ -936,14 +936,16 @@ class SnapshotStatsSpec extends AnyFunSuite {
       ST.FileEntry(s"data_$i.parquet", i * 10L, i * 10L + 9L, 100L + i))
     val v = ST.commitEntries(root, 0, entries, shardSize = 3)
     assert(v == 1)
-    // the manifest itself holds only pointers; shards hold the entries
-    val raw = ST.rawManifestLines(root, v)
+    // the manifest itself holds only pointers (plus `#` metadata like
+    // the in-commit timestamp); shards hold the entries
+    val raw = ST.rawManifestLines(root, v).filterNot(_.startsWith("#"))
     assert(raw.nonEmpty && raw.forall(_.startsWith(">")), s"unsharded manifest: $raw")
     assert(shardFiles(root).size == 3) // 3+3+1
     assert(ST.manifestEntries(root, v) == entries, "entries lost in shard round-trip")
     // at-or-below shardSize stays inline — no pointless indirection
     val small = ST.commitEntries(root, v, entries.take(2), shardSize = 3)
     assert(ST.rawManifestLines(root, small).forall(!_.startsWith(">")))
+
     assert(ST.manifestEntries(root, small) == entries.take(2))
   }
 
@@ -977,7 +979,8 @@ class SnapshotStatsSpec extends AnyFunSuite {
     val v1 = ST.commitEntries(root, 0, Seq(a, b), shardSize = 1)
     val b2 = dataFile("b2", Seq(5L, 6L))
     val v2 = ST.commitEntries(root, v1, Seq(a, b2), shardSize = 1)
-    val v2Shards = ST.rawManifestLines(root, v2).map(_.drop(1)).toSet
+    val v2Shards = ST.rawManifestLines(root, v2)
+      .filter(_.startsWith(">")).map(_.drop(1)).toSet
     ST.vacuum(root, keepFrom = v2)
     // v1's manifest, its exclusive data file, and its shards are gone;
     // everything v2 references survives intact
@@ -1050,7 +1053,7 @@ class StreamingSinkSpec extends AnyFunSuite {
     val v = ST.currentVersion(root)
     assert(v == 3, s"expected 3 commits for 3 micro-batches, got $v")
     (1 to 3).foreach { i =>
-      assert(ST.manifestMeta(root, i) == Map("last_batch" -> (i - 1).toString),
+      assert(ST.manifestMeta(root, i) - "cts" == Map("last_batch" -> (i - 1).toString),
         s"v$i metadata wrong: ${ST.manifestMeta(root, i)}")
       // each batch appends ≥1 per-task file (the distributed write may
       // emit several when the batch arrives in multiple partitions)
@@ -1127,7 +1130,7 @@ class ClusterOptimizeSpec extends AnyFunSuite {
       "OPTIMIZE changed table content")
     // OPTIMIZE records its op AND re-points statsCol at the cluster key
     // (carried metadata — losing statsCol would disable DSv2 pruning)
-    assert(ST.manifestMeta(root, v2) ==
+    assert(ST.manifestMeta(root, v2) - "cts" ==
       Map("optimize" -> "clustered:ep_day", "statsCol" -> "ep_day"))
     // pruned scan == full scan on the query itself
     def agg(df: org.apache.spark.sql.DataFrame) = df
@@ -1269,7 +1272,7 @@ class EvolveSpec extends AnyFunSuite {
       "enriched rows missing quality")
     // only the flagged version pays mergeSchema: the v2 manifest says so
     assert(ST.manifestMeta(root, v2).get("schema").contains("evolved:+quality"))
-    assert(ST.manifestMeta(root, v1).isEmpty)
+    assert((ST.manifestMeta(root, v1) - "cts").isEmpty)
   }
 }
 

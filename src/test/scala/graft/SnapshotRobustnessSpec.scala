@@ -36,7 +36,7 @@ class SnapshotRobustnessSpec extends AnyFunSuite {
     val entries = ST.manifestEntries(root, 1)
     assert(entries.size == 4, s"expected 4 per-task files, got ${entries.map(_.rel)}")
     assert(ST.read(spark, root).count() == 40)
-    assert(ST.manifestMeta(root, 1) == Map("last_batch" -> "0"))
+    assert(ST.manifestMeta(root, 1) - "cts" == Map("last_batch" -> "0"))
   }
 
   test("upsertBatch: replay is a no-op, keys combine associatively, one version per batch") {

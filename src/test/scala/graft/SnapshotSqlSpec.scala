@@ -541,7 +541,7 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(got(1L) == 9.0 && got(-1L) == 2.0 && got.size == 3, got.toString)
   }
 
-  test("VACUUM RETAIN n HOURS resolves against commit mtimes; window versions survive") {
+  test("VACUUM RETAIN n HOURS resolves against IN-COMMIT timestamps; window versions survive") {
     import spark.implicits._
     val root = Engine.tmpDir("graft_sql_vac_retain")
     Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
@@ -552,20 +552,33 @@ class SnapshotSqlSpec extends AnyFunSuite {
       ST.commitEntries(root, base, prior ++ rels, 16,
         if (base == 0) Map("statsCol" -> "k") else ST.carriedMeta(root, base))
     }
+    // backdate a version's IN-COMMIT timestamp (`#cts` metadata) — the
+    // clock VACUUM RETAIN / TIMESTAMP AS OF resolve against since ICT
+    def backdateCts(v: Int, millis: Long): Unit = {
+      val p = ST.manifestPath(root, v)
+      val doctored = new String(java.nio.file.Files.readAllBytes(p)).linesIterator
+        .map(l => if (l.startsWith("#cts\t")) s"#cts\t$millis" else l)
+        .mkString("\n")
+      java.nio.file.Files.write(p, doctored.getBytes)
+    }
     commitRows(0, 1L to 2L, "a") // v1
     commitRows(1, 3L to 4L, "b") // v2
     commitRows(2, 5L to 6L, "c") // v3
-    // backdate v1/v2's commit clocks ten days; v3 stays fresh — the
-    // same mtimes DESCRIBE HISTORY and TIMESTAMP AS OF read
-    val old = java.nio.file.attribute.FileTime.fromMillis(
-      System.currentTimeMillis - 10L * 24 * 3600 * 1000)
-    Seq(1, 2).foreach(v =>
-      java.nio.file.Files.setLastModifiedTime(ST.manifestPath(root, v), old))
+    // backdate v1/v2's commit clocks ten days; v3 stays fresh. Then
+    // SCRAMBLE the mtimes the OTHER way (all fresh) — a table copy /
+    // rsync does exactly this, and resolution must follow the
+    // in-commit stamp, not the filesystem
+    val oldMs = System.currentTimeMillis - 10L * 24 * 3600 * 1000
+    backdateCts(1, oldMs); backdateCts(2, oldMs + 1)
+    (1 to 3).foreach(v => java.nio.file.Files.setLastModifiedTime(
+      ST.manifestPath(root, v),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis)))
     // a generous window retains everything (all manifests survive)
     spark.sql(s"VACUUM '$root' RETAIN ${30 * 24} HOURS").collect()
     assert((1 to 3).forall(v => java.nio.file.Files.exists(ST.manifestPath(root, v))))
-    // 48h: the backdated versions retire, the in-window one survives,
-    // time travel INSIDE the window keeps working by construction
+    // 48h: the backdated versions retire DESPITE fresh mtimes, the
+    // in-window one survives — time travel inside the window keeps
+    // working by construction
     spark.sql(s"VACUUM '$root' RETAIN 48 HOURS").collect()
     assert(!java.nio.file.Files.exists(ST.manifestPath(root, 1)))
     assert(!java.nio.file.Files.exists(ST.manifestPath(root, 2)))
@@ -573,13 +586,37 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(ST.read(spark, root).count() == 6, "current snapshot lost content")
     // RETAIN 0 HOURS — Delta's escape hatch: only the current snapshot
     commitRows(3, Seq(7L), "d") // v4
-    java.nio.file.Files.setLastModifiedTime(ST.manifestPath(root, 3),
-      java.nio.file.attribute.FileTime.fromMillis(
-        System.currentTimeMillis - 3600 * 1000))
+    backdateCts(3, System.currentTimeMillis - 3600 * 1000)
     spark.sql(s"VACUUM '$root' RETAIN 0 HOURS").collect()
     assert(!java.nio.file.Files.exists(ST.manifestPath(root, 3)) &&
       java.nio.file.Files.exists(ST.manifestPath(root, 4)))
     assert(ST.read(spark, root).count() == 7)
+  }
+
+  test("TIMESTAMP AS OF prefers in-commit timestamps over scrambled mtimes") {
+    val w = java.nio.file.Files.createTempDirectory("graft_ict_cat").toString
+    spark.conf.set("spark.sql.catalog.gict", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gict.root", w)
+    spark.sql("CREATE TABLE gict.t (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gict.t VALUES (1, 1.0)")        // v1
+    spark.sql("INSERT INTO gict.t VALUES (2, 2.0)")        // v2
+    val root = Paths.get(w, "t").toString
+    val t1 = ST.commitTimeMillis(root, 1)
+    val t2 = ST.commitTimeMillis(root, 2)
+    assert(t2 > t1, "ICT must be strictly version-monotone")
+    // scramble every mtime to epoch — a backup/restore would do this;
+    // resolution must not notice
+    (1 to 2).foreach(v => java.nio.file.Files.setLastModifiedTime(
+      ST.manifestPath(root, v),
+      java.nio.file.attribute.FileTime.fromMillis(1000L)))
+    assert(ST.commitTimeMillis(root, 1) == t1 && ST.commitTimeMillis(root, 2) == t2,
+      "commit clock must come from the manifest, not the filesystem")
+    val tsLit = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss.SSS").withZone(java.time.ZoneOffset.UTC)
+      .format(java.time.Instant.ofEpochMilli(t1))
+    val atV1 = spark.sql(s"SELECT * FROM gict.t TIMESTAMP AS OF '$tsLit'").collect()
+    assert(atV1.map(_.getLong(0)).toSet == Set(1L),
+      s"TIMESTAMP AS OF must resolve v1 via ICT: ${atV1.mkString(",")}")
   }
 
   test("conditional NOT MATCHED INSERT: only source rows passing the condition insert") {
