@@ -431,8 +431,11 @@ object ScaleProbe {
       ST.manifestEntries(s"$work/wh/x39p_t",
         ST.currentVersion(s"$work/wh/x39p_t")).size.toLong
     }
-    time("x39_mixed_width_scan") {
+    time("x39_insert_wide") {
       spark.sql("INSERT INTO gsc.x39p_t SELECT event_id, CAST(q_i AS BIGINT) + 3000000000 FROM x39p_src")
+      1L
+    }
+    time("x39_mixed_width_scan") {
       spark.sql("SELECT SUM(q_i) FROM gsc.x39p_t").count()
     }
     time("x39_uniform_scan_ref") {
