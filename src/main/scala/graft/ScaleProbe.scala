@@ -441,6 +441,10 @@ object ScaleProbe {
     time("x39_uniform_scan_ref") {
       spark.sql("SELECT SUM(CAST(q_i AS BIGINT)) FROM x39p_src").count()
     }
+    // r14 (VERDICT #10): graph ANN — the NN-descent build must scale
+    // with V·K² (bounded-degree edge self-joins), not corpus², and
+    // the query answering with seeds×K
+    time("s10_knn_graph")(operators.Similarity.s10KnnGraph(spark, work).count())
     // r14 (VERDICT #5): the WIDE-SPREAD under-cap DV delete — every
     // day file loses a sliver, so the sidecar write is the cost. The
     // r13 shape funneled all ordinals through coalesce(1); now it

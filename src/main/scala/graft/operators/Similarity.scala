@@ -479,7 +479,157 @@ object Similarity {
        |SELECT q_id, cand_id, cos_sim FROM scored
        |WHERE cos_sim >= $S9Tau ORDER BY q_id, cand_id""".stripMargin
 
+  // ---- s10_knn_graph: graph ANN (NN-descent + graph expansion) -----
+
+  /** Graph degree (top-K neighbors kept per vertex per round) and the
+    * NN-descent round count. One round of neighbor-of-neighbor
+    * refinement closes most of the LSH init's recall gap at test SF;
+    * rounds is the recall dial at scale (each costs one self-join of
+    * the bounded-degree edge list). */
+  private val GraphK = 10
+  private val GraphRounds = 1
+  /** Per-vertex fresh-candidate budget per NN-descent round (the
+    * literature's ρK sampling) — bounds the round's scored pairs at
+    * V·cap regardless of neighbor-of-neighbor density. */
+  private val GraphCandCap = 60
+  private val GraphInitTables = 4
+  private val GraphInitBits = 4
+  /** LSH bits for the graph init/seed buckets, grown ~log2(n) so
+    * bucket DENSITY stays ~[[GraphBucketTarget]] as the corpus grows —
+    * the bucket-mate join is density-quadratic per bucket, and a fixed
+    * bits dial would make init cost corpus-quadratic (the m5 lesson;
+    * the per-source cap bounds scoring but not the join's row
+    * production). One count() prices this. */
+  private val GraphBucketTarget = 128.0
+  private def graphBits(n: Long): Int =
+    math.max(GraphInitBits, math.ceil(
+      math.log((n / GraphBucketTarget).max(1.0)) / math.log(2.0)).toInt)
+
+  /** Per-source top-K edges by cosine (stable tiebreak). */
+  private def topKEdges(edges: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("src")).orderBy(desc("cos_sim"), asc("nbr"))
+    edges.withColumn("rk", row_number().over(w)).filter(col("rk") <= k).drop("rk")
+  }
+
+  /** Score candidate (src, nbr) id pairs by joining the vectors back
+    * in — two hash joins keyed on vec_id, then the codegen'd integer
+    * dot. The pair list is always bounded (bucket-capped init,
+    * degree-bounded expansion), so this never scores corpus². */
+  private def scorePairs(pairs: DataFrame, q: DataFrame): DataFrame =
+    pairs
+      .join(q.select(col("vec_id").as("src"), col("qv").as("s_qv"),
+        col("nrm").as("s_nrm")), "src")
+      .join(q.select(col("vec_id").as("nbr"), col("qv").as("n_qv"),
+        col("nrm").as("n_nrm")), "nbr")
+      .select(col("src"), col("nbr"),
+        cosine(graft.functions.quantized_dot(col("s_qv"), col("n_qv")),
+          col("s_nrm"), col("n_nrm")).as("cos_sim"))
+
+  /** The approximate K-NN GRAPH over the whole corpus: LSH-bucketed
+    * init (bounded bucket fan-out) refined by [[GraphRounds]] rounds
+    * of NN-descent (Dong et al. 2011): a neighbor of my neighbor is
+    * my candidate — one self-join of the UNDIRECTED bounded-degree
+    * edge list per round, re-scored and re-topped. Every stage is a
+    * hash-keyed join on vec_id or (tbl,bucket); per-vertex state is
+    * K edges, so a round is O(V·K²) candidate pairs regardless of
+    * corpus skew — the graph-build shape HNSW-class systems pay once
+    * and amortize over queries. */
+  private[graft] def knnGraph(s: SparkSession, d: String): DataFrame = {
+    val q = quantized(s, d).localCheckpoint(true)
+    val tabbed = hyperplaneBucketed(q, GraphInitTables, graphBits(q.count()))
+      .select("vec_id", "tbl", "bucket")
+    // init: bucket-mate pairs, capped per source by the top-K keep
+    // bucket-mate pairs are bucket-density-QUADRATIC if left uncapped
+    // (the m5 lesson): cap the ID-ONLY candidate list per source in a
+    // deterministic hash order before any vector joins — the init is
+    // only a seeding heuristic, NN-descent's refinement recovers what
+    // the cap drops. In production the bits dial also grows ~log n so
+    // bucket density stays bounded; the cap is the hard backstop.
+    val init = tabbed.as("a").join(tabbed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("nbr"))
+      .dropDuplicates("src", "nbr")
+      .withColumn("__ch", xxhash64(col("src"), col("nbr")))
+      .withColumn("__cr", row_number().over(
+        Window.partitionBy(col("src")).orderBy(asc("__ch"), asc("nbr"))))
+      .filter(col("__cr") <= GraphCandCap)
+      .drop("__ch", "__cr")
+    var graph = topKEdges(scorePairs(init, q), GraphK).localCheckpoint(true)
+    (1 to GraphRounds).foreach { _ =>
+      val undirected = graph.select("src", "nbr")
+        .unionByName(graph.select(col("nbr").as("src"), col("src").as("nbr")))
+        .dropDuplicates("src", "nbr")
+      val non = undirected.as("e1").join(undirected.as("e2"),
+          col("e1.nbr") === col("e2.src") && col("e1.src") =!= col("e2.nbr"))
+        .select(col("e1.src").as("src"), col("e2.nbr").as("nbr"))
+        .dropDuplicates("src", "nbr")
+        // drop pairs already in the graph — only fresh candidates score
+        .join(graph.select("src", "nbr"), Seq("src", "nbr"), "left_anti")
+        // NN-descent's candidate SAMPLING (the ρK cap): at most
+        // GraphCandCap fresh candidates score per vertex per round,
+        // in a deterministic hash order — the ID-ONLY pair list is
+        // capped BEFORE the wide vector join, so the scoring shuffle
+        // is bounded at V·cap rows no matter how dense the
+        // neighbor-of-neighbor expansion gets
+        .withColumn("__ch", xxhash64(col("src"), col("nbr")))
+        .withColumn("__cr", row_number().over(
+          Window.partitionBy(col("src")).orderBy(asc("__ch"), asc("nbr"))))
+        .filter(col("__cr") <= GraphCandCap)
+        .drop("__ch", "__cr")
+      graph = topKEdges(
+        graph.unionByName(scorePairs(non, q)), GraphK).localCheckpoint(true)
+    }
+    graph
+  }
+
+  /** s10_knn_graph — GRAPH ANN (the HNSW-class taxonomy entry beside
+    * LSH s2, IVF s5, SQ8 s7): answer the standard query set over the
+    * NN-descent K-NN graph. Seeds = the query's LSH bucket-mates;
+    * expansion = one hop through the (undirected) graph from the
+    * seeds — the bounded-beam analogue of HNSW's layer-0 walk,
+    * expressed as two hash joins instead of a sequential traversal
+    * (at 100 TB the graph is an edge table co-partitioned on src;
+    * expansion cost is seeds×K, query-proportional, never O(corpus)).
+    * Candidates = seeds ∪ expanded, scored exactly, per-query top-10.
+    * Seeded hashes + iterative refinement have no DuckDB twin →
+    * rows-only; SimilaritySpec measures recall vs s1's exact top-10
+    * and pins graph degree bounds + determinism. */
+  def s10KnnGraph(s: SparkSession, d: String): DataFrame = {
+    val q = quantized(s, d)
+    val graph = knnGraph(s, d)
+    // seeds use the SAME density-scaled buckets as the graph init
+    val tabbed = hyperplaneBucketed(q, GraphInitTables, graphBits(q.count()))
+      .select("vec_id", "tbl", "bucket")
+    val qIds = tabbed.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+    val seeds = tabbed.join(broadcast(qIds), Seq("tbl", "bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"))
+      .dropDuplicates("q_id", "cand_id")
+    val undirected = graph.select("src", "nbr")
+      .unionByName(graph.select(col("nbr").as("src"), col("src").as("nbr")))
+      .dropDuplicates("src", "nbr")
+    val expanded = seeds.join(undirected, col("cand_id") === col("src"))
+      .filter(col("nbr") =!= col("q_id"))
+      .select(col("q_id"), col("nbr").as("cand_id"))
+    val cands = seeds.unionByName(expanded).dropDuplicates("q_id", "cand_id")
+    val queries = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cos_sim"), asc("cand_id"))
+    cands
+      .join(q.select(col("vec_id").as("cand_id"), col("qv"), col("nrm")), "cand_id")
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("cand_id"),
+        cosine(graft.functions.quantized_dot(col("q_qv"), col("qv")),
+          col("q_nrm"), col("nrm")).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .orderBy("q_id", "rk")
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "s10_knn_graph" -> (s10KnnGraph _, None),
     "s9_range_search" -> (s9RangeSearch _, Some(s9Sql)),
     "s8_mmr_rerank" -> (s8MmrRerank _, None),
     "s7_knn_sq8" -> (s7KnnSq8 _, Some(s7Sql)),

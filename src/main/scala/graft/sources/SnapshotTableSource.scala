@@ -128,15 +128,23 @@ private[sources] object SnapshotSourceUtil {
     * replayable identity of a commit. */
   val CdfTypeCol = "_change_type"
   val CdfVersionCol = "_commit_version"
+  val CdfTimestampCol = "_commit_timestamp"
 
   def cdfEnabled(o: CaseInsensitiveStringMap): Boolean =
     "true".equalsIgnoreCase(o.get("readChangeFeed"))
 
   def withCdfColumns(base: StructType): StructType = {
-    require(!base.fieldNames.exists(n => n == CdfTypeCol || n == CdfVersionCol),
-      s"graft-snapshot: table columns collide with CDF metadata ($CdfTypeCol/$CdfVersionCol)")
+    require(!base.fieldNames.exists(n =>
+        n == CdfTypeCol || n == CdfVersionCol || n == CdfTimestampCol),
+      s"graft-snapshot: table columns collide with CDF metadata " +
+        s"($CdfTypeCol/$CdfVersionCol/$CdfTimestampCol)")
     base.add(CdfTypeCol, StringType, nullable = false)
       .add(CdfVersionCol, LongType, nullable = false)
+      // Delta's third CDF column: the producing commit's wall-clock
+      // (in-commit timestamp when present — see SnapshotTable
+      // .commitTimeMillis)
+      .add(CdfTimestampCol, org.apache.spark.sql.types.TimestampType,
+        nullable = false)
   }
 
   /** The table's parquet record schema, from the FIRST manifest entry's
@@ -663,7 +671,8 @@ private[sources] class SnapshotScan(root: String, version: Int,
     val map = SnapshotTable.colMap(root, version)
     val base = SnapshotSourceUtil.physStruct(StructType(pruned.fields.filterNot(f =>
       f.name == SnapshotSourceUtil.CdfTypeCol ||
-        f.name == SnapshotSourceUtil.CdfVersionCol)), map)
+        f.name == SnapshotSourceUtil.CdfVersionCol ||
+        f.name == SnapshotSourceUtil.CdfTimestampCol)), map)
     val outPhys = SnapshotSourceUtil.physStruct(pruned, map)
     val full = SnapshotSourceUtil.tableMessageType(root, version)
     SnapshotCdfReaderFactory(
@@ -887,7 +896,8 @@ private[sources] case class SnapshotFilePartition(path: String,
   * (RESTORE across a DV delete) surfaces in the feed. */
 private[sources] case class SnapshotCdfPartition(path: String, changeType: String,
     commitVersion: Int, dvPath: Option[String] = None,
-    keepDvPath: Option[String] = None) extends InputPartition
+    keepDvPath: Option[String] = None,
+    commitTsMillis: Long = 0L) extends InputPartition
 
 /** The one-row answer of a manifest-served COUNT(*). */
 private[sources] case class SnapshotCountPartition(total: Long) extends InputPartition
@@ -980,7 +990,7 @@ private[sources] object SnapshotCdf {
       // in) keep the file-grain contract.
       val cdc = try SnapshotTable.manifestMeta(root, v).get("cdc")
         catch { case _: java.nio.file.NoSuchFileException => None }
-      cdc match {
+      val parts: Seq[SnapshotCdfPartition] = cdc match {
         case Some(spec) => spec.split(';').toSeq.flatMap { grp =>
           val Array(ty, tyRels) = grp.split("=", 2)
           tyRels.split(',').toSeq.sorted.map(rel =>
@@ -1025,6 +1035,12 @@ private[sources] object SnapshotCdf {
           }
           deletes ++ inserts ++ dvDelta
       }
+      // every row of commit v carries the commit's wall-clock
+      // (Delta's _commit_timestamp): the in-commit stamp when the
+      // manifest has one, mtime for pre-ICT commits — resolved ONCE
+      // per version here, never per row or per partition
+      val cts = SnapshotTable.commitTimeMillis(root, v)
+      parts.map(_.copy(commitTsMillis = cts))
     }.toArray
 }
 
@@ -1066,10 +1082,14 @@ private[sources] case class SnapshotCdfReaderFactory(projectedMessage: String,
     }
     val changeType = UTF8String.fromString(cp.changeType)
     val version = cp.commitVersion.toLong
-    // out slot i ← base slot (>=0), change type (-1), or version (-2)
+    // TimestampType's internal representation is MICROS since epoch
+    val tsMicros = cp.commitTsMillis * 1000L
+    // out slot i ← base slot (>=0), change type (-1), version (-2),
+    // or commit timestamp (-3)
     val slot: Array[Int] = out.fields.map { f =>
       if (f.name == SnapshotSourceUtil.CdfTypeCol) -1
       else if (f.name == SnapshotSourceUtil.CdfVersionCol) -2
+      else if (f.name == SnapshotSourceUtil.CdfTimestampCol) -3
       else base.fieldIndex(f.name)
     }
     new PartitionReader[InternalRow] {
@@ -1082,6 +1102,7 @@ private[sources] case class SnapshotCdfReaderFactory(projectedMessage: String,
           vals(i) = slot(i) match {
             case -1 => changeType
             case -2 => version
+            case -3 => tsMicros
             case j => in.get(j, base.fields(j).dataType)
           }
           i += 1

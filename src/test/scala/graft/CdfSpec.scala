@@ -365,6 +365,26 @@ class CdfSpec extends AnyFunSuite {
       == Map(1L -> 1.0, 2L -> 20.0, 4L -> 4.0, 9L -> 90.0))
   }
 
+  test("_commit_timestamp rides every CDF row and equals the commit clock (ICT)") {
+    val root = fixture("cts")
+    val feed = runFeed(root).collect()
+    assert(feed.nonEmpty)
+    val byV = feed.groupBy(_.getAs[Long]("_commit_version"))
+    byV.foreach { case (v, rows) =>
+      val expect = ST.commitTimeMillis(root, v.toInt)
+      val got = rows.map(_.getAs[java.sql.Timestamp]("_commit_timestamp").getTime)
+        .distinct.toSeq
+      assert(got == Seq(expect),
+        s"v$v _commit_timestamp drifted from the commit clock: $got != $expect")
+    }
+    // batch CDF carries it identically
+    val batch = spark.read.format("graft-snapshot").option("readChangeFeed", "true")
+      .load(root).select("_commit_version", "_commit_timestamp").distinct().collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    assert(batch == (1 to 3).map(v => v.toLong -> ST.commitTimeMillis(root, v)).toMap,
+      batch.toString)
+  }
+
   test("startingTimestamp resolves via the commit clock; vacuumed history refuses") {
     val root = fixture("startts")
     // at-or-after semantics: v2's own instant starts the feed AT v2 —

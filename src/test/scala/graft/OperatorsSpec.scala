@@ -124,6 +124,33 @@ class NonSqlOracleSpec extends AnyFunSuite {
     assert(overlap.nonEmpty, "IVF found zero of the true top-10 neighbors")
   }
 
+  test("s10_knn_graph: NN-descent improves on the LSH init; valid, deterministic, bounded degree") {
+    val S = graft.operators.Similarity
+    val brute = S.s1KnnBrute(spark, sf)
+      .select("q_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = S.s10KnnGraph(spark, sf).collect()
+    val b = S.s10KnnGraph(spark, sf).collect()
+    assert(a.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      b.map(r => (r.getLong(0), r.getLong(1))).toSeq, "graph ANN not deterministic")
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      assert(r.getDouble(2) <= 1.0 && r.getDouble(2) >= -1.0)
+      assert(r.getLong(0) != r.getLong(1))
+    }
+    // recall vs the exact top-10: the graph expansion must beat a
+    // bare nonzero-overlap bar — the NoN hop exists to recover
+    // neighbors the LSH buckets missed
+    val got = a.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    println(s"[spec] s10 recall@10 vs s1: $recall")
+    assert(recall >= 0.5, s"graph ANN recall $recall below floor 0.5")
+    // the graph itself keeps its degree bound (≤ GraphK per vertex)
+    val deg = S.knnGraph(spark, sf).groupBy("src").count()
+      .agg(max("count")).head().getLong(0)
+    assert(deg <= 10, s"graph degree $deg exceeds K")
+  }
+
   test("s7_knn_sq8: two-stage SQ8+rerank reproduces s1's exact top-10 at test SF") {
     val brute = graft.operators.Similarity.s1KnnBrute(spark, sf)
       .select("q_id", "cand_id", "cos_sim", "rk").collect()
