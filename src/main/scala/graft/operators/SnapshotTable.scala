@@ -519,6 +519,29 @@ object SnapshotTable {
         "names may not contain = , ; : # > tab or newline")
   }
 
+  /** The column names a CHECK constraint expression references —
+    * parsed, not string-matched (a constraint on `value2` must not
+    * block renaming `value`). Used by RENAME/DROP COLUMN: evolving a
+    * column out from under a stored constraint would make every later
+    * WRITE fail analysis (the expression references a name that no
+    * longer resolves) — refuse at the ALTER instead, naming the
+    * constraint (Delta's rule). */
+  private def checkReferencedCols(s: SparkSession, exprSql: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    s.sessionState.sqlParser.parseExpression(exprSql).collect {
+      case a: UnresolvedAttribute => a.name
+    }
+  }
+
+  private def requireNoConstraintRef(s: SparkSession, root: String, v: Int,
+      op: String, name: String): Unit =
+    checkConstraints(root, v).foreach { case (cn, e) =>
+      require(!checkReferencedCols(s, e).exists(_.equalsIgnoreCase(name)),
+        s"$op on $root: column $name is referenced by CHECK constraint $cn " +
+          s"($e) — DROP CONSTRAINT $cn first (evolving the column out from " +
+          "under it would break every later write)")
+    }
+
   /** ALTER TABLE ... RENAME COLUMN — one CAS metadata commit rewriting
     * the mapping entry; zero files move (Delta's column-mapping
     * design). A table without a mapping first synthesizes the identity
@@ -535,6 +558,7 @@ object SnapshotTable {
       val cur = currentColMap(s, root, v)
       require(cur.exists(_._1 == from),
         s"rename on $root: no column $from (have ${cur.map(_._1).mkString(",")})")
+      requireNoConstraintRef(s, root, v, "rename", from)
       require(!cur.exists(_._1.equalsIgnoreCase(to)),
         s"rename on $root: column $to already exists")
       // the new logical name must not shadow any RESIDENT physical
@@ -575,6 +599,7 @@ object SnapshotTable {
         s"drop column on $root: no column $name (have ${cur.map(_._1).mkString(",")})")
       require(cur.size > 1,
         s"drop column on $root: cannot drop the only column")
+      requireNoConstraintRef(s, root, v, "drop column", name)
       val statsPhys = manifestMeta(root, v).get("statsCol")
       require(!statsPhys.contains(physicalName(Some(cur), name)),
         s"drop column on $root: $name is the table's stats/cluster column — " +

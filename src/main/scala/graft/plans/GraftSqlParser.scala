@@ -86,14 +86,19 @@ case class SnapshotDetailCommand(root: String) extends LeafRunnableCommand {
 }
 
 /** DESCRIBE HISTORY '<path>' — one row per still-present version with
-  * its file count, manifest row count, and metadata (Delta's command
-  * shape over the manifest log). */
+  * its commit TIMESTAMP (the same clock TIMESTAMP AS OF resolves —
+  * in-commit stamps when present, Delta's column), file count,
+  * manifest row count, and metadata (Delta's command shape over the
+  * manifest log). */
 case class SnapshotHistoryCommand(root: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", IntegerType, nullable = false)(),
+    AttributeReference("timestamp", org.apache.spark.sql.types.TimestampType,
+      nullable = false)(),
     AttributeReference("n_files", org.apache.spark.sql.types.LongType, nullable = false)(),
     AttributeReference("n_rows", org.apache.spark.sql.types.LongType, nullable = false)(),
     AttributeReference("meta", org.apache.spark.sql.types.StringType, nullable = false)())
   override def run(sparkSession: SparkSession): Seq[Row] =
-    SnapshotSql.describeHistory(root).map { case (v, f, r, m) => Row(v, f, r, m) }
+    SnapshotSql.describeHistory(root).map { case (v, ts, f, r, m) =>
+      Row(v, new java.sql.Timestamp(ts), f, r, m) }
 }

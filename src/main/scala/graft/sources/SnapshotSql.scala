@@ -278,15 +278,18 @@ object SnapshotSql {
   }
 
   /** One row per still-present version (vacuumed manifests are skipped):
-    * version, file count, manifest row count, and the `#key=value`
-    * metadata — Delta's DESCRIBE HISTORY shape over the manifest log. */
-  def describeHistory(root: String): Seq[(Int, Long, Long, String)] =
+    * version, commit timestamp millis (the TIMESTAMP AS OF clock —
+    * in-commit stamps when present), file count, manifest row count,
+    * and the `#key=value` metadata — Delta's DESCRIBE HISTORY shape
+    * over the manifest log. */
+  def describeHistory(root: String): Seq[(Int, Long, Long, Long, String)] =
     (1 to SnapshotTable.currentVersion(root)).flatMap { v =>
       scala.util.Try {
         val es = SnapshotTable.manifestEntries(root, v)
         val meta = SnapshotTable.manifestMeta(root, v).toSeq.sorted
           .map { case (k, x) => s"$k=$x" }.mkString(",")
-        (v, es.size.toLong, es.map(_.rows).sum, meta)
+        (v, SnapshotTable.commitTimeMillis(root, v),
+          es.size.toLong, es.map(_.rows).sum, meta)
       }.toOption
     }
 

@@ -133,6 +133,22 @@ class CheckConstraintSpec extends AnyFunSuite {
     assert(ST.read(spark, root).count() == 3)
   }
 
+  test("RENAME/DROP COLUMN refuse while a CHECK constraint references the column") {
+    val root = fresh("graft_chk_evolve", (1L to 4L).map(k => (k, k * 1.0)))
+    ST.addCheckConstraint(spark, root, "v_pos", "v > 0")
+    val e1 = intercept[Exception](ST.renameColumn(spark, root, "v", "score"))
+    assert(e1.getMessage.contains("referenced by CHECK constraint v_pos"), e1.getMessage)
+    val e2 = intercept[Exception](ST.dropColumn(spark, root, "v"))
+    assert(e2.getMessage.contains("referenced by CHECK constraint v_pos"), e2.getMessage)
+    // an UNreferenced column still evolves freely (parsed references,
+    // not substring matches: constraint on v must not block k)
+    assert(ST.renameColumn(spark, root, "k", "key") > 0)
+    // after DROP CONSTRAINT the rename goes through
+    ST.dropCheckConstraint(root, "v_pos")
+    assert(ST.renameColumn(spark, root, "v", "score") > 0)
+    assert(ST.read(spark, root).columns.toSeq == Seq("key", "score"))
+  }
+
   test("path-SQL grammar: ADD/DROP CONSTRAINT routing and name validation") {
     val root = fresh("graft_chk_sql", (1L to 4L).map(k => (k, k * 1.0)))
     spark.sql(s"ALTER TABLE '$root' ADD CONSTRAINT c1 CHECK (v > 0 AND k > 0)")

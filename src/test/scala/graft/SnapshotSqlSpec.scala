@@ -83,12 +83,18 @@ class SnapshotSqlSpec extends AnyFunSuite {
     val root = freshTable("graft_sql_history")
     spark.sql(s"OPTIMIZE '$root' CLUSTER BY (ep_day) TARGET 2").collect()
     val h = spark.sql(s"DESCRIBE HISTORY '$root'").collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .map(r => (r.getInt(0), r.getTimestamp(1).getTime,
+        r.getLong(2), r.getLong(3), r.getString(4)))
     assert(h.map(_._1).toSeq == Seq(1, 2))
-    assert(h(0)._2 == 3 && h(1)._2 == 2, s"file counts wrong: ${h.toSeq}")
-    assert(h(0)._3 == h(1)._3 && h(0)._3 == 300, "row counts drifted across the rewrite")
-    assert(h(0)._4.contains("statsCol=ep_day"))
-    assert(h(1)._4.contains("optimize=clustered:ep_day") && h(1)._4.contains("statsCol=ep_day"))
+    // the timestamp column IS the TIMESTAMP AS OF clock (ICT-backed),
+    // strictly monotone across versions
+    assert(h(0)._2 == ST.commitTimeMillis(root, 1) &&
+      h(1)._2 == ST.commitTimeMillis(root, 2) && h(0)._2 < h(1)._2,
+      s"history timestamps drifted: ${h.map(_._2).toSeq}")
+    assert(h(0)._3 == 3 && h(1)._3 == 2, s"file counts wrong: ${h.toSeq}")
+    assert(h(0)._4 == h(1)._4 && h(0)._4 == 300, "row counts drifted across the rewrite")
+    assert(h(0)._5.contains("statsCol=ep_day"))
+    assert(h(1)._5.contains("optimize=clustered:ep_day") && h(1)._5.contains("statsCol=ep_day"))
   }
 
   test("an unparseable statement fails loudly with the grammar in the message") {
