@@ -435,11 +435,14 @@ object ScaleProbe {
       spark.sql("INSERT INTO gsc.x39p_t SELECT event_id, CAST(q_i AS BIGINT) + 3000000000 FROM x39p_src")
       1L
     }
+    // collect(), not count(): count over an aggregate lets column
+    // pruning drop the SUM and serve the row count from metadata —
+    // the probe would price nothing (r14 review)
     time("x39_mixed_width_scan") {
-      spark.sql("SELECT SUM(q_i) FROM gsc.x39p_t").count()
+      spark.sql("SELECT SUM(q_i) FROM gsc.x39p_t").collect(); 1L
     }
     time("x39_uniform_scan_ref") {
-      spark.sql("SELECT SUM(CAST(q_i AS BIGINT)) FROM x39p_src").count()
+      spark.sql("SELECT SUM(CAST(q_i AS BIGINT)) FROM x39p_src").collect(); 1L
     }
     // r14 (VERDICT #10): graph ANN — the NN-descent build must scale
     // with V·K² (bounded-degree edge self-joins), not corpus², and
@@ -457,11 +460,18 @@ object ScaleProbe {
       ST.commitEntries(root, 0, ST.stageDayClustered(spark, work, root),
         shardSize = 3, Map("statsCol" -> "ep_day"))
       ST.enableDeletionVectors(root)
+      val hits = ST.read(spark, root).filter(expr("event_id % 53 = 7")).count()
       val v = ST.delete(spark, root, "event_id % 53 = 7") // ~1.9% of EVERY file
       val audit = ST.manifestMeta(root, v)("delete")
-      println(s"[scale] x36 spread audit: $audit (dv entries: " +
+      println(s"[scale] x36 spread audit: $audit (hits=$hits, dv entries: " +
         s"${ST.dvState(root, v).size})")
-      assert(audit.startsWith("dv:"), s"spread delete fell back: $audit")
+      // above the STATEMENT-GLOBAL ordinal budget the fallback to
+      // copy-on-write is the designed behavior, not a probe failure —
+      // assert whichever shape the budget predicts (r14 review)
+      if (hits <= ST.DvMaxTotalOrdinals)
+        assert(audit.startsWith("dv:"), s"spread delete fell back under budget: $audit")
+      else
+        assert(audit.startsWith("cow:"), s"over-budget spread must fall back: $audit")
       1L
     }
     spark.stop()

@@ -536,8 +536,15 @@ object Similarity {
     * and amortize over queries. */
   private[graft] def knnGraph(s: SparkSession, d: String): DataFrame = {
     val q = quantized(s, d).localCheckpoint(true)
-    val tabbed = hyperplaneBucketed(q, GraphInitTables, graphBits(q.count()))
-      .select("vec_id", "tbl", "bucket")
+    buildGraph(q, hyperplaneBucketed(q, GraphInitTables, graphBits(q.count()))
+      .select("vec_id", "tbl", "bucket"))
+  }
+
+  /** The NN-descent build over an already-staged corpus (`q`
+    * checkpointed, `tabbed` its bucket assignment) — shared by
+    * [[knnGraph]] and [[s10KnnGraph]] so the query path stages the
+    * corpus ONCE instead of re-quantizing per phase (r14 review). */
+  private def buildGraph(q: DataFrame, tabbed: DataFrame): DataFrame = {
     // init: bucket-mate pairs, capped per source by the top-K keep
     // bucket-mate pairs are bucket-density-QUADRATIC if left uncapped
     // (the m5 lesson): cap the ID-ONLY candidate list per source in a
@@ -596,11 +603,14 @@ object Similarity {
     * rows-only; SimilaritySpec measures recall vs s1's exact top-10
     * and pins graph degree bounds + determinism. */
   def s10KnnGraph(s: SparkSession, d: String): DataFrame = {
-    val q = quantized(s, d)
-    val graph = knnGraph(s, d)
-    // seeds use the SAME density-scaled buckets as the graph init
+    // the corpus is staged ONCE (checkpointed quantization, one count
+    // for the density-scaled bits, one bucket assignment) and shared
+    // by the graph build and the seed lookup — the pre-review shape
+    // re-quantized per phase (r14 review)
+    val q = quantized(s, d).localCheckpoint(true)
     val tabbed = hyperplaneBucketed(q, GraphInitTables, graphBits(q.count()))
-      .select("vec_id", "tbl", "bucket")
+      .select("vec_id", "tbl", "bucket").localCheckpoint(true)
+    val graph = buildGraph(q, tabbed)
     val qIds = tabbed.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
     val seeds = tabbed.join(broadcast(qIds), Seq("tbl", "bucket"))

@@ -214,6 +214,15 @@ object SnapshotTable {
     manifestMeta(root, v).get("cts").map(_.toLong)
       .getOrElse(Files.getLastModifiedTime(manifestPath(root, v)).toMillis)
 
+  /** [[commitTimeMillis]] of a STILL-PRESENT version: None when the
+    * manifest was vacuumed away. Deliberately NOT a broad Try: any
+    * other failure — above all the reader-feature gate's refusal —
+    * must propagate, or time-travel/retention resolution would
+    * silently skip a gated version and serve stale rows (r14 review). */
+  def commitTimeIfPresent(root: String, v: Int): Option[Long] =
+    try Some(commitTimeMillis(root, v))
+    catch { case _: java.nio.file.NoSuchFileException => None }
+
   /** The `#key<TAB>value` metadata committed atomically with version
     * `v`'s file list (empty for a plain commit). */
 
@@ -760,7 +769,12 @@ object SnapshotTable {
     * three-valued CHECK), fails only on FALSE. */
   private[graft] def checkConstraints(root: String, v: Int): Map[String, String] =
     if (v == 0) Map.empty
-    else manifestMeta(root, v).collect {
+    else checksOf(manifestMeta(root, v))
+
+  /** The constraint map embedded in an already-read meta map — the ONE
+    * place the `check.` key encoding is decoded. */
+  private[graft] def checksOf(meta: Map[String, String]): Map[String, String] =
+    meta.collect {
       case (k, e) if k.startsWith("check.") => (k.stripPrefix("check."), e)
     }
 
@@ -778,13 +792,25 @@ object SnapshotTable {
     if (checks.isEmpty) df
     else {
       val c0 = df.columns.head
+      val c0NonNull = !df.schema.head.nullable
       val rowJson = to_json(struct(df.columns.map(col).toIndexedSeq: _*))
-      checks.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, e)) =>
+      val wrapped = checks.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, e)) =>
         val pass = coalesce(expr(e).cast("boolean"), lit(true))
         d.withColumn(c0, when(pass, col(c0)).otherwise(raise_error(
           concat(lit(s"graft check constraint '$n' CHECK ($e) violated in $where " +
             "by row: "), rowJson))))
       }
+      // the CASE wrapper flips the carrier column nullable; restore the
+      // source's non-null declaration (AssertNotNull, the
+      // conformNullability trick) or a constrained streaming-sink batch
+      // would write parquet OPTIONAL beside older REQUIRED files and
+      // the uniform-table DSv2 request would refuse the mix (r14
+      // review). The assert can never fire: the wrapper yields the
+      // original (non-null) value whenever the row survives.
+      if (!c0NonNull) wrapped
+      else wrapped.withColumn(c0, org.apache.spark.sql.GraftShim.column(
+        org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(
+          org.apache.spark.sql.GraftShim.expression(col(c0)))))
     }
 
   /** The violating rows of `df` under constraint expression `e`
@@ -1005,7 +1031,7 @@ object SnapshotTable {
     if (cur == 0) return 0 // nothing committed, nothing to retire
     val cutoff = System.currentTimeMillis - (hours * 3600 * 1000).toLong
     val keepFrom = (1 to cur).find(v =>
-      scala.util.Try(commitTimeMillis(root, v)).toOption.exists(_ >= cutoff))
+      commitTimeIfPresent(root, v).exists(_ >= cutoff))
       .getOrElse(cur)
     vacuum(root, keepFrom)
     keepFrom
@@ -1494,9 +1520,7 @@ object SnapshotTable {
     // survivors were valid when written) — in-pipeline, no extra pass
     val upserts = enforceChecks(
       changes.filter(col("op") =!= "d").select(cols.map(col): _*),
-      carried.collect { case (k, e) if k.startsWith("check.") =>
-        (k.stripPrefix("check."), e) },
-      s"MERGE on $root")
+      checksOf(carried), s"MERGE on $root")
     val rewritten = old.join(dropIds, Seq(idCol), "left_anti").unionByName(upserts)
     val tag = java.util.UUID.randomUUID().toString.take(8)
     // Row-grain CHANGE DATA FEED (Delta's _change_data design): when
@@ -1832,6 +1856,11 @@ object SnapshotTable {
     // rewrite was built from a pre-DV read, and dropping the racer's
     // sidecar entry below would erase the only record of the delete)
     val dvRead = dvState(root, baseVersion).filter(kv => touchedRels(kv._1))
+    // the rewrite's rows were CHECK-validated against the base
+    // version's constraints; a rebase onto a version whose constraint
+    // set changed would commit files never validated under the new
+    // invariant — abort loudly like the rewrite/DV conflicts below
+    val checksRead = checkConstraints(root, baseVersion)
     // the SHARED bounded-retry policy (reclaims a dead committer's
     // zero-byte claim, backs off, fails loudly): a hand-rolled counter
     // here would spin its attempts out in milliseconds against a corpse
@@ -1855,6 +1884,10 @@ object SnapshotTable {
         s"graft-snapshot: concurrent DV delete conflict on $root — the deletion " +
           s"vectors of files this rewrite read changed " +
           s"(${(dvNow.keySet ++ dvRead.keySet).toSeq.sorted.take(3).mkString(",")}); " +
+          "re-run against the current version")
+      if (checkConstraints(root, v) != checksRead) throw new IllegalStateException(
+        s"graft-snapshot: CHECK constraints of $root changed while this rewrite " +
+          "was in flight — its rows were validated against the old set; " +
           "re-run against the current version")
       val untouched = entries.filterNot(e => touchedRels(e.rel))
       // full rewrite leaves uniform files — drop evolution markers,
@@ -2135,6 +2168,13 @@ object SnapshotTable {
           s"graft-snapshot: concurrent DV conflict on $root file $r — " +
             s"its deletion vector changed since this $auditKey's read; " +
             "retry the statement") }
+      // MoR postimage rows were CHECK-validated against version v's
+      // constraints (see update's setProjection) — a racing constraint
+      // change voids that validation, abort like the conflicts above
+      if (checkConstraints(root, vNow) != checkConstraints(root, v))
+        throw new IllegalStateException(
+          s"graft-snapshot: CHECK constraints of $root changed while this MoR " +
+            s"$auditKey was in flight — retry the statement")
       try result = commitEntries(root, vNow, entriesNow ++ newEntries, shardSize,
         carriedMeta(root, vNow) - "dv" ++ fmtDv(dvNow ++ newDvEntries).map("dv" -> _) ++
           cdcMeta.map("cdc" -> _) ++ extraMeta +
@@ -2174,8 +2214,7 @@ object SnapshotTable {
     // CHECK constraints verify the projected rows in-pipeline: an
     // UPDATE whose SET drives a row out of a constraint refuses
     // loudly before any commit (survivor rows re-pass trivially).
-    val tblChecks = carried.collect { case (k, e) if k.startsWith("check.") =>
-      (k.stripPrefix("check."), e) }
+    val tblChecks = checksOf(carried)
     def setProjection(df: DataFrame, guard: Option[Column]): DataFrame =
       enforceChecks(df.select(df.columns.map { c =>
         setMap.get(c) match {

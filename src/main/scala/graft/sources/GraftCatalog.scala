@@ -148,9 +148,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val root = d.toString
     val cur = SnapshotTable.currentVersion(root)
     val tsMillis = timestamp / 1000L
+    // commitTimeIfPresent skips ONLY vacuumed versions — a gated
+    // version (unknown reader feature) refuses loudly instead of being
+    // silently skipped for an older, stale snapshot
     val v = (1 to cur).reverseIterator.find { i =>
-      scala.util.Try(SnapshotTable.commitTimeMillis(root, i)).toOption
-        .exists(_ <= tsMillis)
+      SnapshotTable.commitTimeIfPresent(root, i).exists(_ <= tsMillis)
     }.getOrElse(throw new IllegalArgumentException(
       s"graft catalog: $root has no commit at or before timestamp ${tsMillis}ms"))
     loadTable(ident, v.toString)
@@ -209,6 +211,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         require((sets.map(_._1) ++ unsets).forall(_.startsWith("check.")),
           "graft catalog: constraint properties (check.<name>) cannot mix with " +
             "other properties in one ALTER")
+        // ONE constraint per statement: each ADD is its own
+        // resident-data-validating commit, so a multi-constraint
+        // statement could half-apply (first lands, second refuses) —
+        // refuse the shape instead of faking atomicity (r14 review)
+        require(sets.size + unsets.size == 1,
+          "graft catalog: one check.<name> property per ALTER — each ADD " +
+            "CONSTRAINT validates and commits independently, so a " +
+            "multi-constraint statement could half-apply")
         val spark = org.apache.spark.sql.SparkSession.active
         sets.foreach { case (k, e) =>
           SnapshotTable.addCheckConstraint(spark, root, k.stripPrefix("check."), e) }

@@ -284,13 +284,16 @@ object SnapshotSql {
     * over the manifest log. */
   def describeHistory(root: String): Seq[(Int, Long, Long, Long, String)] =
     (1 to SnapshotTable.currentVersion(root)).flatMap { v =>
-      scala.util.Try {
+      // only VACUUMED versions are skipped; a gated version (unknown
+      // reader feature) refuses loudly — silently hiding it from the
+      // history would mask the very state the operator needs to see
+      try Some {
         val es = SnapshotTable.manifestEntries(root, v)
         val meta = SnapshotTable.manifestMeta(root, v).toSeq.sorted
           .map { case (k, x) => s"$k=$x" }.mkString(",")
         (v, SnapshotTable.commitTimeMillis(root, v),
           es.size.toLong, es.map(_.rows).sum, meta)
-      }.toOption
+      } catch { case _: java.nio.file.NoSuchFileException => None }
     }
 
   /** Whether this statement belongs to the graft maintenance grammar —

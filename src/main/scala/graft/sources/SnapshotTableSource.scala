@@ -779,8 +779,7 @@ private[sources] class SnapshotScan(root: String, version: Int,
             .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
         val cur = SnapshotTable.currentVersion(root)
         (1 to cur).find(v =>
-          scala.util.Try(SnapshotTable.commitTimeMillis(root, v)).toOption
-            .exists(_ >= tsMs)) match {
+          SnapshotTable.commitTimeIfPresent(root, v).exists(_ >= tsMs)) match {
           case Some(v) =>
             require(v == 1 ||
               Files.exists(SnapshotTable.manifestPath(root, v - 1)),
@@ -1133,7 +1132,7 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
     * shape: enforcement rides the write, no second pass, no driver
     * round-trip). Compiled once at plan time; a violating row fails
     * its task loudly and the commit never lands. */
-  private def boundChecks: Seq[(String, String,
+  private lazy val boundChecks: Seq[(String, String,
       org.apache.spark.sql.catalyst.expressions.Expression)] = {
     val v = SnapshotTable.currentVersion(root)
     val checks = SnapshotTable.checkConstraints(root, v)
@@ -1185,10 +1184,12 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
   }
 
   override def buildForBatch(): BatchWrite = new BatchWrite {
+    private val planned = boundChecks.map { case (n, e, _) => (n, e) }.toMap
     override def createBatchWriterFactory(i: PhysicalWriteInfo): DataWriterFactory = factory
     override def commit(messages: Array[WriterCommitMessage]): Unit =
       SnapshotCommit.append(root, messages,
-        statsColOpt.map("statsCol" -> _).toMap, replace = replaceAll)
+        statsColOpt.map("statsCol" -> _).toMap, replace = replaceAll,
+        plannedChecks = planned)
     override def abort(messages: Array[WriterCommitMessage]): Unit =
       SnapshotCommit.discard(root, messages)
   }
@@ -1207,7 +1208,8 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
       // would silently duplicate every complete-mode batch.
       else SnapshotCommit.append(root, messages,
         statsColOpt.map("statsCol" -> _).toMap + (s"epoch:$qid" -> epochId.toString),
-        replace = replaceAll)
+        replace = replaceAll,
+        plannedChecks = boundChecks.map { case (n, e, _) => (n, e) }.toMap)
     }
     override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
       SnapshotCommit.discard(root, messages)
@@ -1222,7 +1224,8 @@ private[graft] object SnapshotCommit {
     * stats are footer-harvested for the table's `#statsCol` (carried
     * forward in metadata) so appended files keep pruning. */
   def append(root: String, messages: Array[WriterCommitMessage],
-      extraMeta: Map[String, String], replace: Boolean = false): Unit = {
+      extraMeta: Map[String, String], replace: Boolean = false,
+      plannedChecks: Map[String, String] = Map.empty): Unit = {
     val rels = messages.collect { case SnapshotFileCommit(rel) if rel.nonEmpty => rel }
       .toSeq.sorted
     if (rels.isEmpty && extraMeta.isEmpty && !replace) return
@@ -1231,7 +1234,25 @@ private[graft] object SnapshotCommit {
     while (!done) {
       val v = SnapshotTable.currentVersion(root)
       retry.observed(v)
-      val meta0 = if (v == 0) Map.empty[String, String] else SnapshotTable.manifestMeta(root, v)
+      // a CAS retry may land on a base whose CHECK constraints CHANGED
+      // since the rows were written and per-row-checked (a racing ADD
+      // CONSTRAINT validated only ITS base's resident data): the rows
+      // are already on disk, so re-checking is impossible here — abort
+      // loudly instead of committing unvalidated rows under the new
+      // invariant (Delta's metadata-conflict abort)
+      val checksNow = if (v == 0) Map.empty[String, String]
+        else SnapshotTable.checkConstraints(root, v)
+      if (checksNow != plannedChecks) throw new IllegalStateException(
+        s"graft-snapshot: CHECK constraints of $root changed while this write " +
+          s"was in flight (planned ${plannedChecks.keys.toSeq.sorted.mkString(",")}, " +
+          s"now ${checksNow.keys.toSeq.sorted.mkString(",")}) — the written rows " +
+          "were not validated against the new set; retry the statement")
+      // carriedMeta, NOT raw manifestMeta: the base's per-commit audit
+      // tags — above all `cdc`, which names ONE commit's change files —
+      // must not ride into this append's version, or the CDF planner
+      // would re-emit the previous DML's rows as this version's changes
+      // and never surface the appended file (r14 review)
+      val meta0 = if (v == 0) Map.empty[String, String] else SnapshotTable.carriedMeta(root, v)
       // overwrite: every surviving file is this write's, so the
       // mixed-width evolution marker and maintenance tags no longer
       // describe the version; watermarks and statsCol still carry

@@ -85,7 +85,8 @@ object SnapshotSink {
     // because nothing was committed.
     val cv = ST.currentVersion(root)
     val map = ST.colMap(root, cv)
-    val checked = ST.enforceChecks(df, ST.checkConstraints(root, cv),
+    val plannedChecks = ST.checkConstraints(root, cv)
+    val checked = ST.enforceChecks(df, plannedChecks,
       s"streaming sink batch $batchId on $root")
     val entries = ST.writeDataFiles(ST.toPhysical(checked, map), root, tag)
       .map(ST.footerEntry(root, _, ST.physicalName(map, keyCol)))
@@ -94,6 +95,15 @@ object SnapshotSink {
       val v = ST.currentVersion(root)
       retry.observed(v)
       if (batchId <= lastCommitted(v)) return false // raced replay: someone committed it
+      // the batch's rows were checked against cv's constraints; a
+      // racing ADD CONSTRAINT in between validated only ITS resident
+      // data — committing the already-written files under the new
+      // invariant would be unvalidated, so abort loudly (the stream
+      // restarts and re-checks the replayed batch)
+      if (ST.checkConstraints(root, v) != plannedChecks)
+        throw new IllegalStateException(
+          s"graft-snapshot sink: CHECK constraints of $root changed while " +
+            s"batch $batchId was in flight — restart re-validates the batch")
       try {
         ST.commitEntries(root, v, baseOf(v) ++ entries,
           shardSize, ST.carriedMeta(root, v) ++ extraMeta +

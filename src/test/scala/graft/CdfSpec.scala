@@ -365,6 +365,30 @@ class CdfSpec extends AnyFunSuite {
       == Map(1L -> 1.0, 2L -> 20.0, 4L -> 4.0, 9L -> 90.0))
   }
 
+  test("a DSv2 INSERT after a row-CDC commit does not re-emit the DML's change rows (r14 review)") {
+    import spark.implicits._
+    val w = Files.createTempDirectory("graft_cdf_carry").toString
+    spark.conf.set("spark.sql.catalog.gcarry", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcarry.root", w)
+    spark.sql("CREATE TABLE gcarry.t (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gcarry.t VALUES (1, 1.0), (2, 2.0)") // v1
+    val root = Paths.get(w, "t").toString
+    ST.setTableFlags(root, Map("cdf" -> "row"))                 // v2
+    ST.merge(spark, root, "k", "k",
+      Seq((1L, 10.0, "u")).toDF("k", "v", "op"))                // v3: cdc meta
+    assert(ST.manifestMeta(root, 3).contains("cdc"), "fixture: cdc expected at v3")
+    spark.sql("INSERT INTO gcarry.t VALUES (5, 5.0)")           // v4: plain append
+    // the append must NOT carry v3's cdc meta — carrying it would make
+    // the feed re-emit the merge's images as v4's changes and never
+    // surface the appended row
+    assert(!ST.manifestMeta(root, 4).contains("cdc"),
+      s"append carried the DML's cdc meta: ${ST.manifestMeta(root, 4)}")
+    val v4 = runFeed(root).filter(col("_commit_version") === 4).collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("k"))).toSet
+    assert(v4 == Set(("insert", 5L)),
+      s"v4 must stream exactly the appended row: $v4")
+  }
+
   test("_commit_timestamp rides every CDF row and equals the commit clock (ICT)") {
     val root = fixture("cts")
     val feed = runFeed(root).collect()

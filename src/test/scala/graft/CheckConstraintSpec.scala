@@ -133,6 +133,34 @@ class CheckConstraintSpec extends AnyFunSuite {
     assert(ST.read(spark, root).count() == 3)
   }
 
+  test("a commit planned before a racing ADD CONSTRAINT aborts instead of bypassing it (r14 review)") {
+    import graft.sources.{SnapshotCommit, SnapshotFileCommit}
+    val root = fresh("graft_chk_race", (1L to 4L).map(k => (k, k * 1.0)))
+    // stage a data file the way a DSv2 task would, with rows that
+    // VIOLATE the constraint about to land — the planned-checks
+    // snapshot (empty: no constraint at plan time) rode the write
+    val rel = ST.writeDataFiles(Seq((9L, -9.0)).toDF("k", "v").coalesce(1),
+      root, "race").head
+    // the racing ADD CONSTRAINT lands first (validating only ITS
+    // resident data, which passes)
+    ST.addCheckConstraint(spark, root, "v_pos", "v > 0")
+    // the in-flight commit must abort loudly — its rows were never
+    // validated against the new constraint set
+    val e = intercept[IllegalStateException](
+      SnapshotCommit.append(root,
+        Array(SnapshotFileCommit(rel)), Map.empty, plannedChecks = Map.empty))
+    assert(e.getMessage.contains("CHECK constraints") &&
+      e.getMessage.contains("changed while this write"), e.getMessage)
+    // nothing committed; the violating file stays unreferenced garbage
+    assert(ST.read(spark, root).count() == 4)
+    // a commit planned WITH the current constraint set sails through
+    val rel2 = ST.writeDataFiles(Seq((10L, 10.0)).toDF("k", "v").coalesce(1),
+      root, "race2").head
+    SnapshotCommit.append(root, Array(SnapshotFileCommit(rel2)), Map.empty,
+      plannedChecks = Map("v_pos" -> "v > 0"))
+    assert(ST.read(spark, root).count() == 5)
+  }
+
   test("RENAME/DROP COLUMN refuse while a CHECK constraint references the column") {
     val root = fresh("graft_chk_evolve", (1L to 4L).map(k => (k, k * 1.0)))
     ST.addCheckConstraint(spark, root, "v_pos", "v > 0")
