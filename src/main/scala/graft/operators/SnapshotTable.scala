@@ -978,18 +978,31 @@ object SnapshotTable {
     * known to be gone (in production: a retention window, not a call
     * site). */
   def vacuum(root: String, keepFrom: Int): Unit = {
+    val (drop, dead, deadShards) = vacuumPlan(root, keepFrom)
+    dead.foreach(Files.deleteIfExists(_))
+    drop.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
+    deadShards.foreach(Files.deleteIfExists(_))
+  }
+
+  /** The reclamation PLAN vacuum executes — (dropped versions, dead
+    * data/sidecar/CDC files, dead manifest shards) — shared with the
+    * DRY RUN so the preview can never drift from the delete. Both
+    * live sets resolve BEFORE any delete: expanding a manifest needs
+    * its shards still on disk. CDC files are commit artifacts, not
+    * table entries: they live exactly as long as the manifest whose
+    * `cdc` meta names them. Shards referenced only by dropped
+    * manifests (plus any orphan a crashed CAS loser left) are
+    * unreachable — shard files are immutable and never shared across
+    * commits, so surviving snapshots cannot lose entries here. */
+  private def vacuumPlan(root: String,
+      keepFrom: Int): (Seq[Int], Seq[Path], Seq[Path]) = {
     val all = Engine.listDir(manifestDir(root)).map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
         s.stripPrefix("v").stripSuffix(".txt").toInt }
     val (drop, keep) = all.partition(_ < keepFrom)
-    // resolve BOTH live sets before any delete: expanding a manifest
-    // needs its shards still on disk
     val live = keep.flatMap(v => manifest(root, v)).toSet
     val liveShards = keep.flatMap(v => rawManifestLines(root, v)
       .collect { case l if l.startsWith(">") => l.drop(1) }).toSet
-    // CDC files are commit artifacts, not table entries: they live
-    // exactly as long as the manifest whose `cdc` meta names them
-    // (dropping that version retires its slice of the change feed)
     val liveDv = keep.flatMap(v => dvState(root, v).values)
       .map(rel => Paths.get(root, rel).toString).toSet
     val liveCdc = keep.flatMap(v => manifestMeta(root, v).get("cdc").toSeq
@@ -1000,16 +1013,20 @@ object SnapshotTable {
       .filter(p => p.getFileName.toString.endsWith(".parquet") &&
         !live.contains(p.toString) && !liveCdc.contains(p.toString) &&
         !liveDv.contains(p.toString))
-    dead.foreach(Files.deleteIfExists(_))
-    drop.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
-    // shards referenced only by dropped manifests (plus any orphan a
-    // crashed CAS loser left before its own cleanup ran) are now
-    // unreachable — shard files are immutable and never shared across
-    // commits, so surviving snapshots cannot lose entries here
-    Engine.listDir(manifestDir(root))
+    val deadShards = Engine.listDir(manifestDir(root))
       .filter(p => p.getFileName.toString.startsWith("shard_") &&
         !liveShards.contains(p.getFileName.toString))
-      .foreach(Files.deleteIfExists(_))
+    (drop.sorted, dead, deadShards)
+  }
+
+  /** `VACUUM ... DRY RUN` (Delta's preview): the root-relative paths
+    * vacuum(keepFrom) WOULD reclaim — data/sidecar/CDC files,
+    * retired manifests, unreachable shards — deleting NOTHING. */
+  def vacuumDryRun(root: String, keepFrom: Int): Seq[String] = {
+    val (drop, dead, deadShards) = vacuumPlan(root, keepFrom)
+    val rp = Paths.get(root).toAbsolutePath
+    (dead ++ drop.map(manifestPath(root, _)) ++ deadShards)
+      .map(p => rp.relativize(p.toAbsolutePath).toString).sorted
   }
 
   /** Time-based retention — the production spelling of vacuum
@@ -1027,14 +1044,20 @@ object SnapshotTable {
     * time); an already-vacuumed version is skipped. Returns the keep
     * floor actually applied. */
   def vacuumRetain(root: String, hours: Double): Int = {
-    val cur = currentVersion(root)
-    if (cur == 0) return 0 // nothing committed, nothing to retire
-    val cutoff = System.currentTimeMillis - (hours * 3600 * 1000).toLong
-    val keepFrom = (1 to cur).find(v =>
-      commitTimeIfPresent(root, v).exists(_ >= cutoff))
-      .getOrElse(cur)
-    vacuum(root, keepFrom)
+    val keepFrom = vacuumRetainKeepFrom(root, hours)
+    if (keepFrom > 0) vacuum(root, keepFrom)
     keepFrom
+  }
+
+  /** The keep floor `VACUUM ... RETAIN n HOURS` resolves to — shared
+    * with the DRY RUN so the preview and the delete agree. 0 = empty
+    * table (nothing to retire). */
+  private[graft] def vacuumRetainKeepFrom(root: String, hours: Double): Int = {
+    val cur = currentVersion(root)
+    if (cur == 0) return 0
+    val cutoff = System.currentTimeMillis - (hours * 3600 * 1000).toLong
+    (1 to cur).find(v => commitTimeIfPresent(root, v).exists(_ >= cutoff))
+      .getOrElse(cur)
   }
 
   /** RESTORE — Delta's `RESTORE TABLE ... TO VERSION AS OF n` undo
@@ -1059,6 +1082,23 @@ object SnapshotTable {
     * retried; a racing append between read and commit is superseded —
     * that is RESTORE's contract (the racer's commit stays
     * time-travelable). Returns the version after the operation. */
+  /** `RESTORE TABLE ... TO TIMESTAMP AS OF <ts>` — resolve the NEWEST
+    * still-present version at-or-before the instant via the commit
+    * clock (in-commit timestamps when present, exactly TIMESTAMP AS
+    * OF's resolution) and [[restore]] to it. Gated versions refuse
+    * loudly through the clock read; a timestamp before every retained
+    * commit refuses. */
+  def restoreToTimestamp(root: String, tsMillis: Long): Int = {
+    val cur = currentVersion(root)
+    require(cur > 0, s"restore on $root: table has no committed version")
+    val v = (1 to cur).reverseIterator.find(i =>
+      commitTimeIfPresent(root, i).exists(_ <= tsMillis))
+      .getOrElse(throw new IllegalArgumentException(
+        s"restore on $root: no retained commit at or before ${tsMillis}ms — " +
+          "the window may have been vacuumed away"))
+    restore(root, v)
+  }
+
   def restore(root: String, toVersion: Int): Int = {
     val retry = new CommitRetry(root)
     var result = -1
@@ -1225,7 +1265,8 @@ object SnapshotTable {
     * (appId -> version) survives every commit kind. */
   private[graft] def carriedMeta(root: String, v: Int): Map[String, String] =
     if (v == 0) Map.empty
-    else manifestMeta(root, v) -- Seq("optimize", "merge", "update", "delete", "alter",
+    else manifestMeta(root, v) -- Seq("optimize", "optimize_scope", "merge",
+      "update", "delete", "alter",
       "restore", "clone", "upsert_scan",
       // `cdc` names ONE commit's change files: carrying it forward
       // would make the feed re-emit those rows at every later version
@@ -1368,6 +1409,53 @@ object SnapshotTable {
     commitEntries(root, v, entries, shardSize,
       carriedMeta(root, v) - "schema" - "schemaJson" - "colmap" - "dv" - "widen" ++
         Map("optimize" -> s"clustered:$keyCol", "statsCol" -> keyCol))
+  }
+
+  /** SCOPED OPTIMIZE — compact ONLY the files whose key range
+    * intersects [lo, hi] (Delta's `OPTIMIZE t WHERE <partition
+    * predicate>`): the incremental, per-ingest-window compaction a
+    * 100 TB table actually runs nightly — the whole-table form above
+    * is a one-off migration job at that size. File-granular (the unit
+    * a manifest works in): every intersecting file is rewritten whole
+    * into `targetFiles` range-clustered replacements, everything else
+    * carries by reference with its stats.
+    *
+    * A PARTIAL rewrite, so it follows the merge/update discipline,
+    * NOT the full form's: evolution markers, column mapping and
+    * untouched files' deletion vectors all survive (only the compacted
+    * files' vectors are applied and retired), the rewrite works in the
+    * PHYSICAL namespace (no materialization), and the replacement
+    * files conform their parquet repetition to the compacted files'
+    * own. Commits through [[commitRewrite]] — re-bases over racing
+    * appends, aborts loudly on rewrite/DV/constraint conflicts. The
+    * scope column must be the table's stats column (pruning IS the
+    * scope). Zero intersecting files → no-op. */
+  def optimizeClusteredWhere(s: SparkSession, root: String, keyCol: String,
+      lo: Long, hi: Long, targetFiles: Int, shardSize: Int = 4): Int = {
+    val v = currentVersion(root)
+    require(v > 0, s"scoped optimize on $root: table has no committed version")
+    val carried = carriedMeta(root, v)
+    val map = colMap(root, v)
+    val statsPhys = carried.getOrElse("statsCol", physicalName(map, keyCol))
+    require(statsPhys == physicalName(map, keyCol),
+      s"scoped optimize on $root: WHERE scopes by $keyCol but the manifest's " +
+        s"stats column is $statsPhys — the scope prunes by the primary stats")
+    val touched = prunedEntries(root, v, lo, hi)
+    if (touched.isEmpty) return v
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    // physical-namespace rewrite: DV-applied content, same columns the
+    // files already carry (dropped physicals ride along untouched)
+    val content = readRelsDv(s, root, v, touched.map(_.rel))
+    val rels = writeDataFiles(
+      conformNullability(content, fileNullability(root, touched.head.rel))
+        .repartitionByRange(math.max(1, targetFiles), col(statsPhys)),
+      root, s"optw_$tag")
+    val newEntries = rels.map(footerEntry(root, _, statsPhys)).filter(_.rows > 0)
+    // commitRewrite stamps `optimize -> cow:NofM`; the scope detail
+    // rides its own one-commit audit key (stripped by carriedMeta)
+    commitRewrite(root, v, touched.map(_.rel).toSet, newEntries, shardSize,
+      "optimize",
+      extraMeta = Map("optimize_scope" -> s"$keyCol:[$lo,$hi]"))
   }
 
   /** MERGE — apply a keyed changeset to the table copy-on-write, the

@@ -28,6 +28,9 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       .map(SnapshotHistoryCommand(_): LogicalPlan)
       .orElse(SnapshotSql.detailRoot(session, sqlText)
         .map(SnapshotDetailCommand(_): LogicalPlan))
+      .orElse(SnapshotSql.vacuumDryRunTarget(session, sqlText)
+        .map { case (root, spec) =>
+          SnapshotVacuumDryRunCommand(root, spec): LogicalPlan })
       .getOrElse {
         if (SnapshotSql.owns(sqlText) ||
           SnapshotSql.ownsUpdate(session, sqlText) ||
@@ -83,6 +86,19 @@ case class SnapshotDetailCommand(root: String) extends LeafRunnableCommand {
     val (loc, v, nf, nr, bytes, meta) = SnapshotSql.describeDetail(root)
     Seq(Row(loc, v, nf, nr.map(Long.box).orNull, bytes, meta))
   }
+}
+
+/** `VACUUM <table> ... DRY RUN` — one row per file the real VACUUM
+  * would reclaim (data/sidecar/CDC files, retired manifests,
+  * unreachable shards), root-relative; deletes NOTHING. The keep
+  * floor resolves at RUN time against the commit clock, so the
+  * preview and a subsequent VACUUM agree. */
+case class SnapshotVacuumDryRunCommand(root: String,
+    spec: Either[Int, Double]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("path", org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    SnapshotSql.vacuumDryRunPaths(root, spec).map(Row(_))
 }
 
 /** DESCRIBE HISTORY '<path>' — one row per still-present version with

@@ -21,6 +21,7 @@ import graft.operators.SnapshotTable
   * `root` conf to the same directory the path route addresses):
   *
   *   OPTIMIZE <table> CLUSTER BY (col) [TARGET n]
+  *   OPTIMIZE <table> CLUSTER BY (col) [TARGET n] WHERE <col> BETWEEN lo AND hi
   *   OPTIMIZE <table> ZORDER BY (colA, colB) [TARGET n]
   *   MERGE INTO <table> CLUSTER BY (col) ID (idCol) USING <viewName>
   *   MERGE INTO <table> t USING <view> s ON t.<id> = s.<id>
@@ -34,6 +35,8 @@ import graft.operators.SnapshotTable
   *   CREATE TABLE <table> SHALLOW CLONE <table> [VERSION AS OF <version>]
   *   VACUUM <table> KEEP FROM <version>
   *   VACUUM <table> RETAIN <n> HOURS
+  *   VACUUM <table> KEEP FROM <v> DRY RUN | RETAIN <n> HOURS DRY RUN
+  *   RESTORE TABLE <table> TO TIMESTAMP AS OF '<ts>'
   *   DESCRIBE HISTORY <table>    (row-returning, parser route only)
   *   DESCRIBE DETAIL <table>     (row-returning, parser route only)
   *
@@ -52,6 +55,11 @@ object SnapshotSql {
   private val Ref = """'[^']+'|[A-Za-z_][\w.]*"""
   private val OptimizeCluster =
     s"""(?is)\\s*OPTIMIZE\\s+($Ref)\\s+CLUSTER\\s+BY\\s+\\((\\w+)\\)(?:\\s+TARGET\\s+(\\d+))?\\s*""".r
+  // the SCOPED (incremental) compaction a 100 TB table runs nightly:
+  // only files whose key range intersects the window rewrite
+  private val OptimizeClusterWhere =
+    (s"""(?is)\\s*OPTIMIZE\\s+($Ref)\\s+CLUSTER\\s+BY\\s+\\((\\w+)\\)""" +
+      s"""(?:\\s+TARGET\\s+(\\d+))?\\s+WHERE\\s+(\\w+)\\s+BETWEEN\\s+(-?\\d+)\\s+AND\\s+(-?\\d+)\\s*""").r
   private val OptimizeZorder =
     s"""(?is)\\s*OPTIMIZE\\s+($Ref)\\s+ZORDER\\s+BY\\s+\\((\\w+)\\s*,\\s*(\\w+)\\)(?:\\s+TARGET\\s+(\\d+))?\\s*""".r
   private val MergeInto =
@@ -62,6 +70,12 @@ object SnapshotSql {
   // against commit mtimes, time travel inside the window preserved
   private val VacuumRetain =
     s"""(?is)\\s*VACUUM\\s+($Ref)\\s+RETAIN\\s+(\\d+)\\s+HOURS?\\s*""".r
+  // Delta's preview spellings: list what WOULD be reclaimed, delete
+  // nothing (row-returning — routed by the parser like DESCRIBE)
+  private val VacuumRetainDry =
+    s"""(?is)\\s*VACUUM\\s+($Ref)\\s+RETAIN\\s+(\\d+)\\s+HOURS?\\s+DRY\\s+RUN\\s*""".r
+  private val VacuumKeepDry =
+    s"""(?is)\\s*VACUUM\\s+($Ref)\\s+KEEP\\s+FROM\\s+(\\d+)\\s+DRY\\s+RUN\\s*""".r
   private val History =
     s"""(?is)\\s*DESCRIBE\\s+HISTORY\\s+($Ref)\\s*""".r
   private val Detail =
@@ -125,6 +139,10 @@ object SnapshotSql {
   // re-lists the target version's entries (SnapshotTable.restore)
   private val Restore =
     s"""(?is)\\s*RESTORE\\s+TABLE\\s+($Ref)\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*""".r
+  // timestamp spelling: resolve via the commit clock (ICT-backed) to
+  // the newest commit at-or-before the instant, then restore to it
+  private val RestoreTs =
+    s"""(?is)\\s*RESTORE\\s+TABLE\\s+($Ref)\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*""".r
   // Delta's zero-copy fork, spelled identically: the clone's v1 is one
   // manifest commit re-listing the source version's files by reference
   private val Clone =
@@ -301,13 +319,44 @@ object SnapshotSql {
     * SAME regexes exec dispatches on, so "owned but unparseable" is
     * impossible and everything un-owned falls through to Spark's
     * parser. */
+  /** Epoch millis of a SQL timestamp literal: all-digits = millis,
+    * else a UTC `yyyy-MM-dd[ T]HH:mm:ss[.SSS]` literal — the same
+    * convention the streaming source's startingTimestamp takes. */
+  private def parseTsLiteral(raw: String): Long =
+    if (raw.nonEmpty && raw.forall(_.isDigit)) raw.toLong
+    else java.time.LocalDateTime.parse(raw.trim.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+
+  /** VACUUM ... DRY RUN routing — row-returning like DESCRIBE, so the
+    * parser maps it to its own command; resolution of the keep floor
+    * happens at RUN time (the preview must see the then-current
+    * clock). */
+  private[graft] def vacuumDryRunTarget(s: SparkSession,
+      stmt: String): Option[(String, Either[Int, Double])] = stmt match {
+    case VacuumRetainDry(ref, hours) =>
+      scala.util.Try(resolveRef(s, ref)).toOption.map((_, Right(hours.toDouble)))
+    case VacuumKeepDry(ref, kf) =>
+      scala.util.Try(resolveRef(s, ref)).toOption.map((_, Left(kf.toInt)))
+    case _ => None
+  }
+
+  /** The DRY RUN's row list for a routed target. */
+  def vacuumDryRunPaths(root: String, spec: Either[Int, Double]): Seq[String] =
+    spec match {
+      case Left(keepFrom) => SnapshotTable.vacuumDryRun(root, keepFrom)
+      case Right(hours) =>
+        val kf = SnapshotTable.vacuumRetainKeepFrom(root, hours)
+        if (kf == 0) Nil else SnapshotTable.vacuumDryRun(root, kf)
+    }
+
   private[graft] def owns(stmt: String): Boolean = stmt match {
     // DESCRIBE HISTORY is deliberately NOT here: the parser routes it
     // through historyRoot, which falls through to the delegate when the
     // reference doesn't resolve (DESCRIBE is real Spark syntax another
     // extension in the session may own) — claiming it here would turn
     // that fall-through into an exec-time parse error
-    case OptimizeCluster(_, _, _) | OptimizeZorder(_, _, _, _)
+    case OptimizeCluster(_, _, _) | OptimizeClusterWhere(_, _, _, _, _, _)
+       | OptimizeZorder(_, _, _, _)
        | MergeInto(_, _, _, _) | Vacuum(_, _) | VacuumRetain(_, _) => true
     case _ => false
   }
@@ -338,6 +387,8 @@ object SnapshotSql {
     * a quoted-path target is claimed unconditionally. */
   private[graft] def ownsRestore(s: SparkSession, stmt: String): Boolean = stmt match {
     case Restore(ref, _) => ref.startsWith("'") ||
+      scala.util.Try(resolveRef(s, ref)).isSuccess
+    case RestoreTs(ref, _) => ref.startsWith("'") ||
       scala.util.Try(resolveRef(s, ref)).isSuccess
     case _ => false
   }
@@ -421,6 +472,15 @@ object SnapshotSql {
   /** Parse and run one maintenance statement; returns the table's
     * version after the operation. */
   def exec(s: SparkSession, stmt: String): Int = stmt match {
+    case OptimizeClusterWhere(ref, keyCol, target, wcol, lo, hi) =>
+      require(wcol.equalsIgnoreCase(keyCol),
+        s"graft-snapshot SQL: scoped OPTIMIZE's WHERE column ($wcol) must be " +
+          s"the cluster column ($keyCol) — the scope prunes by its stats")
+      SnapshotTable.optimizeClusteredWhere(s, resolveRef(s, ref), keyCol,
+        lo.toLong, hi.toLong,
+        Option(target).map(_.toInt).getOrElse(DefaultTargetFiles))
+    case RestoreTs(ref, ts) =>
+      SnapshotTable.restoreToTimestamp(resolveRef(s, ref), parseTsLiteral(ts))
     case OptimizeCluster(ref, keyCol, target) =>
       SnapshotTable.optimizeClustered(s, resolveRef(s, ref), keyCol,
         Option(target).map(_.toInt).getOrElse(DefaultTargetFiles))
@@ -469,6 +529,7 @@ object SnapshotSql {
         "UPDATE <table> SET <col> = <expr>[, ...] WHERE <pred> | " +
         "DELETE FROM '<path>' WHERE <pred> | " +
         "RESTORE TABLE <table> TO VERSION AS OF <version> | " +
+        "RESTORE TABLE <table> TO TIMESTAMP AS OF '<ts>' | " +
         "ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (<expr>) | " +
         "ALTER TABLE <table> DROP CONSTRAINT <name> | " +
         "CREATE TABLE <table> SHALLOW CLONE <table> [VERSION AS OF <version>] | " +

@@ -599,6 +599,110 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(ST.read(spark, root).count() == 7)
   }
 
+  test("scoped OPTIMIZE compacts only the WHERE window's files; rest carry by reference") {
+    import spark.implicits._
+    val root = Engine.tmpDir("graft_sql_optw")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    // three key-disjoint files: [1,10], [11,20], [21,30] — the scope
+    // covers the middle one only; split it into two fragments so the
+    // compaction has something to compact
+    val frags =
+      (ST.writeDataFiles((1L to 10L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1), root, "lo") ++
+      ST.writeDataFiles((11L to 15L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1), root, "mid1") ++
+      ST.writeDataFiles((16L to 20L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1), root, "mid2") ++
+      ST.writeDataFiles((21L to 30L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1), root, "hi")).map(ST.footerEntry(root, _, "k"))
+    ST.commitEntries(root, 0, frags, shardSize = 8, Map("statsCol" -> "k"))
+    val before = ST.manifestEntries(root, 1).map(_.rel)
+    val v2 = spark.sql(
+      s"OPTIMIZE '$root' CLUSTER BY (k) TARGET 1 WHERE k BETWEEN 11 AND 20")
+      .head().getInt(0)
+    val after = ST.manifestEntries(root, v2).map(_.rel)
+    // untouched files carried BY REFERENCE (same rels); the two middle
+    // fragments compacted into one
+    assert(after.count(before.contains) == 2,
+      s"out-of-scope files must carry by reference: $before -> $after")
+    assert(after.size == 3, s"expected 2 carried + 1 compacted: $after")
+    assert(ST.manifestMeta(root, v2)("optimize").startsWith("cow:2of4"),
+      ST.manifestMeta(root, v2).toString)
+    // content identical; the compacted file owns exactly [11,20]
+    assert(ST.read(spark, root).collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 30L))
+    val compacted = after.filterNot(before.contains)
+    assert(compacted.size == 1)
+    val e = ST.manifestEntries(root, v2).find(_.rel == compacted.head).get
+    assert(e.lo == 11L && e.hi == 20L, s"compacted stats wrong: $e")
+    // zero-intersection scope is a no-op (no version mints)
+    assert(spark.sql(
+      s"OPTIMIZE '$root' CLUSTER BY (k) WHERE k BETWEEN 500 AND 600")
+      .head().getInt(0) == v2)
+    // scoping by a non-stats column refuses
+    val e2 = intercept[Exception](spark.sql(
+      s"OPTIMIZE '$root' CLUSTER BY (v) WHERE v BETWEEN 1 AND 2").collect())
+    assert(e2.getMessage.contains("stats column") ||
+      e2.getMessage.contains("stats"), e2.getMessage)
+  }
+
+  test("RESTORE TO TIMESTAMP AS OF resolves via the commit clock") {
+    import spark.implicits._
+    val root = Engine.tmpDir("graft_sql_restore_ts")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    def commitRows(base: Int, ks: Seq[Long], tag: String): Int = {
+      val rels = ST.writeDataFiles(ks.map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1), root, tag).map(ST.footerEntry(root, _, "k"))
+      val prior = if (base == 0) Nil else ST.manifestEntries(root, base)
+      ST.commitEntries(root, base, prior ++ rels, 16,
+        if (base == 0) Map("statsCol" -> "k") else ST.carriedMeta(root, base))
+    }
+    commitRows(0, Seq(1L), "a"); commitRows(1, Seq(2L), "b")
+    commitRows(2, Seq(3L), "c")
+    val t2 = ST.commitTimeMillis(root, 2)
+    // millis spelling restores to the newest commit at-or-before t2
+    val v4 = spark.sql(
+      s"RESTORE TABLE '$root' TO TIMESTAMP AS OF '$t2'").head().getInt(0)
+    assert(v4 == 4 && ST.read(spark, root).count() == 2,
+      s"expected the v2 state restored: v=$v4 rows=${ST.read(spark, root).count()}")
+    // a pre-history timestamp refuses
+    val e = intercept[Exception](spark.sql(
+      s"RESTORE TABLE '$root' TO TIMESTAMP AS OF '${t2 - 10000000}'").collect())
+    assert(e.getMessage.contains("no retained commit"), e.getMessage)
+  }
+
+  test("VACUUM DRY RUN previews exactly what the real VACUUM reclaims, deleting nothing") {
+    import spark.implicits._
+    val root = Engine.tmpDir("graft_sql_vacdry")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    def commitRows(base: Int, ks: Seq[Long], tag: String): Int = {
+      val rels = ST.writeDataFiles(ks.map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1), root, tag).map(ST.footerEntry(root, _, "k"))
+      ST.commitEntries(root, base, rels, 16,
+        if (base == 0) Map("statsCol" -> "k") else ST.carriedMeta(root, base))
+    }
+    commitRows(0, Seq(1L, 2L), "a")       // v1: file A
+    commitRows(1, Seq(1L, 2L, 3L), "b")   // v2 REPLACES the listing (file B only)
+    val preview = spark.sql(s"VACUUM '$root' KEEP FROM 2 DRY RUN").collect()
+      .map(_.getString(0)).toSet
+    // nothing deleted by the preview
+    assert(java.nio.file.Files.exists(ST.manifestPath(root, 1)))
+    assert(ST.readAt(spark, root, 1).count() == 2, "dry run must not delete")
+    assert(preview.exists(_.endsWith(".parquet")) &&
+      preview.exists(_.contains("v00001")), s"preview incomplete: $preview")
+    // the real vacuum reclaims EXACTLY the previewed set
+    val beforeFiles = (Engine.listDir(Paths.get(root)) ++
+      Engine.listDir(Paths.get(root, "_manifests"))).map(_.toString).toSet
+    ST.vacuum(root, keepFrom = 2)
+    val afterFiles = (Engine.listDir(Paths.get(root)) ++
+      Engine.listDir(Paths.get(root, "_manifests"))).map(_.toString).toSet
+    val reclaimed = (beforeFiles -- afterFiles).map(p =>
+      Paths.get(root).toAbsolutePath.relativize(
+        Paths.get(p).toAbsolutePath).toString)
+    assert(reclaimed == preview,
+      s"preview/delete drift: previewed $preview, reclaimed $reclaimed")
+  }
+
   test("TIMESTAMP AS OF prefers in-commit timestamps over scrambled mtimes") {
     val w = java.nio.file.Files.createTempDirectory("graft_ict_cat").toString
     spark.conf.set("spark.sql.catalog.gict", "graft.sources.GraftCatalog")
