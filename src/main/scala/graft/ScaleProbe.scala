@@ -444,6 +444,29 @@ object ScaleProbe {
     time("x39_uniform_scan_ref") {
       spark.sql("SELECT SUM(CAST(q_i AS BIGINT)) FROM x39p_src").collect(); 1L
     }
+    // r14: scoped OPTIMIZE — the WHERE-window compaction must price
+    // with the WINDOW's bytes, not the table's (the full form is the
+    // reference; at 32× the gap is the whole point of the verb)
+    time("x16_optimize_full_ref") {
+      val ST = operators.SnapshotTable
+      val root = s"$work/snap_optf"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+      ST.commitEntries(root, 0, ST.stageDayClustered(spark, work, root),
+        shardSize = 3, Map("statsCol" -> "ep_day"))
+      val v = ST.optimizeClustered(spark, root, "ep_day", targetFiles = 7)
+      ST.manifestEntries(root, v).size.toLong
+    }
+    time("x16_optimize_scoped") {
+      val ST = operators.SnapshotTable
+      val root = s"$work/snap_optw"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+      ST.commitEntries(root, 0, ST.stageDayClustered(spark, work, root),
+        shardSize = 3, Map("statsCol" -> "ep_day"))
+      val v = ST.optimizeClusteredWhere(spark, root, "ep_day",
+        19723L, 19732L, targetFiles = 2) // 2 of the 7 day files
+      println(s"[scale] x16 scoped audit: ${ST.manifestMeta(root, v)("optimize")}")
+      ST.manifestEntries(root, v).size.toLong
+    }
     // r14 (VERDICT #10): graph ANN — the NN-descent build must scale
     // with V·K² (bounded-degree edge self-joins), not corpus², and
     // the query answering with seeds×K
