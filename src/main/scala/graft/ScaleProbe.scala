@@ -463,7 +463,7 @@ object ScaleProbe {
       ST.commitEntries(root, 0, ST.stageDayClustered(spark, work, root),
         shardSize = 3, Map("statsCol" -> "ep_day"))
       val v = ST.optimizeClusteredWhere(spark, root, "ep_day",
-        19723L, 19732L, targetFiles = 2) // 2 of the 7 day files
+        19723L, 19732L, targetFiles = 2) // window intersects 3 of the 7 day files
       println(s"[scale] x16 scoped audit: ${ST.manifestMeta(root, v)("optimize")}")
       ST.manifestEntries(root, v).size.toLong
     }

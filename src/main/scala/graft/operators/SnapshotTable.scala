@@ -223,6 +223,28 @@ object SnapshotTable {
     try Some(commitTimeMillis(root, v))
     catch { case _: java.nio.file.NoSuchFileException => None }
 
+  /** The NEWEST still-present version whose commit clock is at or
+    * before `tsMillis` (Delta's timestamp-resolution rule) — THE
+    * shared resolver behind `TIMESTAMP AS OF`, `RESTORE ... TO
+    * TIMESTAMP AS OF` and DESCRIBE-side consumers, so the same
+    * instant can never resolve to different versions on different
+    * routes. Vacuumed versions are skipped; gated versions refuse
+    * loudly through the clock read. */
+  /** Epoch millis of a timestamp literal: all-digits = millis, else a
+    * UTC `yyyy-MM-dd[ T]HH:mm:ss[.SSS]` literal — THE one parser both
+    * the streaming source's `startingTimestamp` and the SQL
+    * timestamp verbs share. */
+  def parseTsLiteral(raw: String): Long =
+    if (raw.nonEmpty && raw.forall(_.isDigit)) raw.toLong
+    else java.time.LocalDateTime.parse(raw.trim.replace(' ', 'T'))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+
+  def versionAtOrBefore(root: String, tsMillis: Long): Option[Int] = {
+    val cur = currentVersion(root)
+    (1 to cur).reverseIterator.find(i =>
+      commitTimeIfPresent(root, i).exists(_ <= tsMillis))
+  }
+
   /** The `#key<TAB>value` metadata committed atomically with version
     * `v`'s file list (empty for a plain commit). */
 
@@ -1089,10 +1111,9 @@ object SnapshotTable {
     * loudly through the clock read; a timestamp before every retained
     * commit refuses. */
   def restoreToTimestamp(root: String, tsMillis: Long): Int = {
-    val cur = currentVersion(root)
-    require(cur > 0, s"restore on $root: table has no committed version")
-    val v = (1 to cur).reverseIterator.find(i =>
-      commitTimeIfPresent(root, i).exists(_ <= tsMillis))
+    require(currentVersion(root) > 0,
+      s"restore on $root: table has no committed version")
+    val v = versionAtOrBefore(root, tsMillis)
       .getOrElse(throw new IllegalArgumentException(
         s"restore on $root: no retained commit at or before ${tsMillis}ms — " +
           "the window may have been vacuumed away"))
@@ -1124,8 +1145,29 @@ object SnapshotTable {
         // colmap too: the restored entries' physical columns resolve
         // through the mapping AS OF the target (restoring past a
         // RENAME surfaces the old logical names again, like schema)
-        val fromTarget = Set("schema", "schemaJson", "statsCol", "colmap", "dv")
-        val meta = (carriedMeta(root, cur) -- fromTarget) ++
+        val fromTarget = Set("schema", "schemaJson", "widen", "statsCol", "colmap", "dv")
+        val carriedNow = carriedMeta(root, cur)
+        // ACTIVE CHECK constraints carry across the restore — so the
+        // restored rows must SATISFY them, or the table would
+        // resurrect rows every later write path assumes were valid
+        // when written (the r14 race guards exist for exactly this
+        // class). One filter-pushed scan per constraint, first
+        // violation refuses — the same price ADD CONSTRAINT pays;
+        // a constraint-free table keeps restore zero-IO.
+        val activeChecks = checksOf(carriedNow)
+        if (activeChecks.nonEmpty) {
+          val s = org.apache.spark.sql.SparkSession.active
+          val restored = readAt(s, root, toVersion)
+          activeChecks.foreach { case (n, e) =>
+            val bad = checkViolations(restored, e).limit(1).collect()
+            require(bad.isEmpty,
+              s"snapshot restore on $root: version $toVersion holds rows " +
+                s"violating the ACTIVE check constraint $n CHECK ($e): " +
+                s"${bad.headOption.getOrElse("")} — DROP CONSTRAINT $n first, " +
+                "or restore to a version whose data satisfies it")
+          }
+        }
+        val meta = (carriedNow -- fromTarget) ++
           manifestMeta(root, toVersion).filter(kv => fromTarget.contains(kv._1)) +
           ("restore" -> s"v$toVersion")
         try result = commitEntries(root, cur, manifestEntries(root, toVersion),
@@ -1170,14 +1212,18 @@ object SnapshotTable {
       val abs = Paths.get(srcRoot, e.rel).toAbsolutePath.normalize
       e.copy(rel = dstAbs.relativize(abs).toString)
     }
-    val keep = Set("schema", "schemaJson", "statsCol", "colmap")
+    val keep = Set("schema", "schemaJson", "widen", "statsCol", "colmap")
     // deletion vectors pair with the cloned entries: re-point BOTH the
     // data rel (key) and the sidecar rel (value) at the source dir,
     // same `../` convention as the entries themselves
     def reRel(rel: String): String =
       dstAbs.relativize(Paths.get(srcRoot, rel).toAbsolutePath.normalize).toString
     val dvMeta = fmtDv(dvState(srcRoot, v).map { case (r, d) => (reRel(r), reRel(d)) })
-    val meta = manifestMeta(srcRoot, v).filter(kv => keep.contains(kv._1)) ++
+    // CHECK constraints travel with the data they describe (Delta's
+    // clone carries table properties): the clone enforces them from
+    // its first write on
+    val meta = manifestMeta(srcRoot, v)
+      .filter(kv => keep.contains(kv._1) || kv._1.startsWith("check.")) ++
       dvMeta.map("dv" -> _) +
       ("clone" -> s"shallow:${Paths.get(srcRoot).toAbsolutePath.normalize}@v$v")
     commitEntries(dstRoot, 0, entries, shardSize = 16, meta)
@@ -1436,7 +1482,15 @@ object SnapshotTable {
     require(v > 0, s"scoped optimize on $root: table has no committed version")
     val carried = carriedMeta(root, v)
     val map = colMap(root, v)
-    val statsPhys = carried.getOrElse("statsCol", physicalName(map, keyCol))
+    // a table with NO stats column has only sentinel (never-pruned)
+    // entries: "scoped" would silently rewrite 100% of the table while
+    // stamping a window — refuse loudly, the full form is the honest
+    // verb there (r14 review)
+    require(carried.contains("statsCol"),
+      s"scoped optimize on $root: the table carries no stats column, so a " +
+        "WHERE window cannot prune — run the unscoped OPTIMIZE (which also " +
+        "establishes statsCol), or commit entries with footer stats first")
+    val statsPhys = carried("statsCol")
     require(statsPhys == physicalName(map, keyCol),
       s"scoped optimize on $root: WHERE scopes by $keyCol but the manifest's " +
         s"stats column is $statsPhys — the scope prunes by the primary stats")
@@ -2239,6 +2293,9 @@ object SnapshotTable {
     val cdcMeta = cdcRows.flatMap(mk =>
       writeCdcFiles(toPhysical(mk(cleanHits), map), root, tag))
     val newEntries = postFiles(cleanHits, tag)
+    // hoisted like commitRewrite's checksRead: the base set is a loop
+    // invariant, not worth a manifest re-parse per CAS attempt
+    val checksRead = checkConstraints(root, v)
     val retry = new CommitRetry(root)
     var result = -1
     while (result < 0) {
@@ -2259,7 +2316,7 @@ object SnapshotTable {
       // MoR postimage rows were CHECK-validated against version v's
       // constraints (see update's setProjection) — a racing constraint
       // change voids that validation, abort like the conflicts above
-      if (checkConstraints(root, vNow) != checkConstraints(root, v))
+      if (checkConstraints(root, vNow) != checksRead)
         throw new IllegalStateException(
           s"graft-snapshot: CHECK constraints of $root changed while this MoR " +
             s"$auditKey was in flight — retry the statement")

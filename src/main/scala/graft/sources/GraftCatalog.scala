@@ -148,13 +148,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val root = d.toString
     val cur = SnapshotTable.currentVersion(root)
     val tsMillis = timestamp / 1000L
-    // commitTimeIfPresent skips ONLY vacuumed versions — a gated
-    // version (unknown reader feature) refuses loudly instead of being
-    // silently skipped for an older, stale snapshot
-    val v = (1 to cur).reverseIterator.find { i =>
-      SnapshotTable.commitTimeIfPresent(root, i).exists(_ <= tsMillis)
-    }.getOrElse(throw new IllegalArgumentException(
-      s"graft catalog: $root has no commit at or before timestamp ${tsMillis}ms"))
+    // the SHARED resolver (versionAtOrBefore): skips ONLY vacuumed
+    // versions — a gated version (unknown reader feature) refuses
+    // loudly instead of being silently skipped for a stale snapshot
+    val v = SnapshotTable.versionAtOrBefore(root, tsMillis)
+      .getOrElse(throw new IllegalArgumentException(
+        s"graft catalog: $root has no commit at or before timestamp ${tsMillis}ms"))
     loadTable(ident, v.toString)
   }
 

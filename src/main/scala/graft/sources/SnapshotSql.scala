@@ -319,14 +319,6 @@ object SnapshotSql {
     * SAME regexes exec dispatches on, so "owned but unparseable" is
     * impossible and everything un-owned falls through to Spark's
     * parser. */
-  /** Epoch millis of a SQL timestamp literal: all-digits = millis,
-    * else a UTC `yyyy-MM-dd[ T]HH:mm:ss[.SSS]` literal — the same
-    * convention the streaming source's startingTimestamp takes. */
-  private def parseTsLiteral(raw: String): Long =
-    if (raw.nonEmpty && raw.forall(_.isDigit)) raw.toLong
-    else java.time.LocalDateTime.parse(raw.trim.replace(' ', 'T'))
-      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
-
   /** VACUUM ... DRY RUN routing — row-returning like DESCRIBE, so the
     * parser maps it to its own command; resolution of the keep floor
     * happens at RUN time (the preview must see the then-current
@@ -480,7 +472,8 @@ object SnapshotSql {
         lo.toLong, hi.toLong,
         Option(target).map(_.toInt).getOrElse(DefaultTargetFiles))
     case RestoreTs(ref, ts) =>
-      SnapshotTable.restoreToTimestamp(resolveRef(s, ref), parseTsLiteral(ts))
+      SnapshotTable.restoreToTimestamp(resolveRef(s, ref),
+        SnapshotTable.parseTsLiteral(ts))
     case OptimizeCluster(ref, keyCol, target) =>
       SnapshotTable.optimizeClustered(s, resolveRef(s, ref), keyCol,
         Option(target).map(_.toInt).getOrElse(DefaultTargetFiles))

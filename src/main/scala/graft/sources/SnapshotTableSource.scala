@@ -773,10 +773,7 @@ private[sources] class SnapshotScan(root: String, version: Int,
     val startingVersion = tsRaw match {
       case None => Option(options.get("startingVersion")).map(_.toInt).getOrElse(0)
       case Some(raw) =>
-        val tsMs =
-          if (raw.nonEmpty && raw.forall(_.isDigit)) raw.toLong
-          else java.time.LocalDateTime.parse(raw.trim.replace(' ', 'T'))
-            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        val tsMs = SnapshotTable.parseTsLiteral(raw)
         val cur = SnapshotTable.currentVersion(root)
         (1 to cur).find(v =>
           SnapshotTable.commitTimeIfPresent(root, v).exists(_ >= tsMs)) match {

@@ -177,6 +177,38 @@ class CheckConstraintSpec extends AnyFunSuite {
     assert(ST.read(spark, root).columns.toSeq == Seq("key", "score"))
   }
 
+  test("RESTORE refuses a version violating an active constraint; clones carry constraints") {
+    import spark.implicits._
+    val root = fresh("graft_chk_restore", Seq((1L, 1.0), (9L, -9.0)))
+    spark.sql(s"DELETE FROM '$root' WHERE v < 0").collect()          // v2
+    ST.addCheckConstraint(spark, root, "v_pos", "v > 0")             // v3
+    // restoring to v1 would resurrect the violating row under the
+    // active constraint — refuse (version AND timestamp spellings)
+    val e1 = intercept[Exception](ST.restore(root, 1))
+    assert(e1.getMessage.contains("ACTIVE check constraint v_pos"), e1.getMessage)
+    val e2 = intercept[Exception](
+      ST.restoreToTimestamp(root, ST.commitTimeMillis(root, 1)))
+    assert(e2.getMessage.contains("ACTIVE check constraint"), e2.getMessage)
+    // restoring to a SATISFYING version works
+    assert(ST.restore(root, 2) > 0)
+    assert(ST.read(spark, root).count() == 1)
+    // after DROP CONSTRAINT the v1 restore goes through
+    ST.dropCheckConstraint(root, "v_pos")
+    ST.restore(root, 1)
+    assert(ST.read(spark, root).count() == 2)
+    // a SHALLOW CLONE carries the source's constraints and enforces
+    // them on its own writes
+    val src = fresh("graft_chk_clone_src", Seq((1L, 1.0)))
+    ST.addCheckConstraint(spark, src, "v_pos", "v > 0")
+    val dst = Engine.tmpDir("graft_chk_clone_dst")
+    Engine.listDir(Paths.get(dst)).foreach(Engine.deleteRecursively)
+    ST.shallowClone(src, dst)
+    assert(ST.checkConstraints(dst, ST.currentVersion(dst)) == Map("v_pos" -> "v > 0"))
+    val e3 = intercept[Exception](ST.merge(spark, dst, "k", "k",
+      Seq((5L, -5.0, "i")).toDF("k", "v", "op")))
+    assert(chain(e3).contains("v_pos"), chain(e3))
+  }
+
   test("path-SQL grammar: ADD/DROP CONSTRAINT routing and name validation") {
     val root = fresh("graft_chk_sql", (1L to 4L).map(k => (k, k * 1.0)))
     spark.sql(s"ALTER TABLE '$root' ADD CONSTRAINT c1 CHECK (v > 0 AND k > 0)")

@@ -644,6 +644,17 @@ class SnapshotSqlSpec extends AnyFunSuite {
       s"OPTIMIZE '$root' CLUSTER BY (v) WHERE v BETWEEN 1 AND 2").collect())
     assert(e2.getMessage.contains("stats column") ||
       e2.getMessage.contains("stats"), e2.getMessage)
+    // a table with NO stats column refuses the scoped form outright —
+    // sentinel entries would silently turn "scoped" into a 100% rewrite
+    val bare = Engine.tmpDir("graft_sql_optw_bare")
+    Engine.listDir(Paths.get(bare)).foreach(Engine.deleteRecursively)
+    ST.commitEntries(bare, 0,
+      ST.writeDataFiles((1L to 5L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1), bare, "a").map(ST.footerEntry(bare, _, "k")),
+      shardSize = 8)
+    val e3 = intercept[Exception](spark.sql(
+      s"OPTIMIZE '$bare' CLUSTER BY (k) WHERE k BETWEEN 1 AND 2").collect())
+    assert(e3.getMessage.contains("no stats column"), e3.getMessage)
   }
 
   test("RESTORE TO TIMESTAMP AS OF resolves via the commit clock") {
