@@ -771,7 +771,15 @@ private[sources] class SnapshotScan(root: String, version: Int,
     require(tsRaw.isEmpty || options.get("startingVersion") == null,
       "graft-snapshot: startingTimestamp and startingVersion are mutually exclusive")
     val startingVersion = tsRaw match {
-      case None => Option(options.get("startingVersion")).map(_.toInt).getOrElse(0)
+      // "latest" (Delta's keyword): only commits AFTER stream start —
+      // under the exclusive-offset convention that is simply the
+      // current version; "earliest" is the 0 default, accepted for
+      // symmetry
+      case None => Option(options.get("startingVersion")).map {
+        case s if s.equalsIgnoreCase("latest") => SnapshotTable.currentVersion(root)
+        case s if s.equalsIgnoreCase("earliest") => 0
+        case s => s.toInt
+      }.getOrElse(0)
       case Some(raw) =>
         val tsMs = SnapshotTable.parseTsLiteral(raw)
         val cur = SnapshotTable.currentVersion(root)

@@ -389,6 +389,15 @@ class CdfSpec extends AnyFunSuite {
       s"v4 must stream exactly the appended row: $v4")
   }
 
+  test("startingVersion 'latest'/'earliest' keywords (Delta parity)") {
+    val root = fixture("startkw")
+    // latest: nothing historical streams — only future commits would
+    assert(runFeed(root, Map("startingVersion" -> "latest")).isEmpty)
+    // earliest ≡ the whole-history default, row for row
+    assert(runFeed(root, Map("startingVersion" -> "earliest")).count() ==
+      runFeed(root).count())
+  }
+
   test("_commit_timestamp rides every CDF row and equals the commit clock (ICT)") {
     val root = fixture("cts")
     val feed = runFeed(root).collect()
