@@ -164,4 +164,66 @@ class FeatureInteropSpec extends AnyFunSuite {
     assert(ST.manifestMeta(root, ST.currentVersion(root))("delete")
       .startsWith("dv:"))
   }
+
+  test("r14: widen composes with rename, row-grain CDF, and DML over mixed widths") {
+    import org.apache.spark.sql.types._
+    val root = Engine.tmpDir("graft_fi_widen")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    val df = (1 to 6).map(i => (i.toLong, i * 10)).toDF("k", "q")
+      .withColumn("q", col("q").cast("int"))
+    ST.commitEntries(root, 0,
+      ST.writeDataFiles(df.coalesce(1), root, "a").map(ST.footerEntry(root, _, "k")),
+      16, Map("statsCol" -> "k", "cdf" -> "row"))
+    // rename FIRST, then widen the RENAMED column — widen must resolve
+    // the logical name through the mapping to the physical capture
+    ST.renameColumn(spark, root, "q", "qty")
+    ST.widenColumn(spark, root, "qty", LongType)
+    assert(ST.read(spark, root).schema("qty").dataType == LongType)
+    // a 64-bit merge lands; the row-grain CDC images carry the WIDENED
+    // type even though the preimages come from narrow int32 files
+    ST.merge(spark, root, "k", "k",
+      Seq((2L, 6000000000L, "u"), (100L, 7000000000L, "i")).toDF("k", "qty", "op"))
+    val v = ST.currentVersion(root)
+    val feed = spark.read.format("graft-snapshot").option("readChangeFeed", "true")
+      .option("afterVersion", (v - 1).toString).load(root).collect()
+      .map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("k"),
+        r.getAs[Long]("qty"))).toSet
+    assert(feed == Set(
+      ("update_preimage", 2L, 20L), ("update_postimage", 2L, 6000000000L),
+      ("insert", 100L, 7000000000L)), feed.toString)
+    // mixed-width UPDATE through SQL under the RENAMED+WIDENED name
+    spark.sql(s"UPDATE '$root' SET qty = qty + 1 WHERE k = 1").collect()
+    assert(ST.read(spark, root).filter(col("k") === 1).head().getAs[Long]("qty") == 11L)
+  }
+
+  test("r14: scoped OPTIMIZE preserves colmap and untouched DVs; compacted DVs retire") {
+    val root = fresh("optw")
+    // rename + dvmode, then DV-delete one row in EACH file
+    ST.renameColumn(spark, root, "v", "score")
+    ST.enableDeletionVectors(root)
+    ST.delete(spark, root, "k = 3")   // file 1 (k 1..20)
+    ST.delete(spark, root, "k = 33")  // file 2 (k 21..40)
+    val v0 = ST.currentVersion(root)
+    assert(ST.dvState(root, v0).size == 2, ST.dvState(root, v0).toString)
+    // compact ONLY the low window: file 1 rewrites (its DV applied and
+    // retired), file 2 carries with its DV intact
+    val v1 = ST.optimizeClusteredWhere(spark, root, "k", 1L, 20L, targetFiles = 1)
+    val dv1 = ST.dvState(root, v1)
+    assert(dv1.size == 1, s"untouched file's DV must survive: $dv1")
+    // the mapping survives the partial rewrite (unlike the full form,
+    // which materializes it)
+    assert(ST.manifestMeta(root, v1).contains("colmap"))
+    assert(ST.read(spark, root).columns.toSeq == Seq("k", "tag", "score"))
+    // content: both deleted rows stay deleted
+    assert(ST.read(spark, root).collect().map(_.getLong(0)).sorted.toSeq ==
+      (1L to 40L).filterNot(k => k == 3 || k == 33))
+    // and the feed survives the change commit (scoped optimize is a
+    // rewrite: file-grain delete+insert pairs cancel under the fold)
+    val folded = spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true").load(root)
+      .withColumn("sgn", when(col("_change_type")
+        .isin("insert", "update_postimage"), 1L).otherwise(-1L))
+      .agg(sum(col("sgn"))).head().getLong(0)
+    assert(folded == 38L, s"signed fold must equal the live row count: $folded")
+  }
 }
