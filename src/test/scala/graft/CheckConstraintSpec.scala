@@ -115,6 +115,38 @@ class CheckConstraintSpec extends AnyFunSuite {
     assert(ST.read(spark, root).filter(col("k") === 7).head().getDouble(1) == 17.0)
   }
 
+  test("DSv2 writeStream enforces per row; a violating epoch fails, valid epochs land") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Engine.tmpDir("graft_chk_wstream")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    // seed the table (nullable v via a None row) + constraint
+    val seed = Seq((1L, Some(1.0)), (2L, None)).toDF("k", "v")
+    seed.write.format("graft-snapshot").mode("append")
+      .option("statsCol", "k").save(root)
+    ST.addCheckConstraint(spark, root, "v_pos", "v > 0")
+    implicit val sctx = spark.sqlContext
+    val in = MemoryStream[(Long, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_chk_ws").toString
+    def start() = in.toDF().toDF("k", "v")
+      .writeStream.format("graft-snapshot")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start(root)
+    // a valid epoch lands through the per-row checker
+    in.addData((3L, 3.0))
+    val q1 = start(); q1.awaitTermination()
+    assert(ST.read(spark, root).count() == 3)
+    // a violating epoch fails the write job — no version mints
+    val vBefore = ST.currentVersion(root)
+    in.addData((4L, -4.0))
+    val e = intercept[Exception] { val q2 = start(); q2.awaitTermination() }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("v_pos"))), e.getMessage)
+    assert(ST.currentVersion(root) == vBefore,
+      "violating streaming epoch must not commit")
+    assert(ST.read(spark, root).count() == 3)
+  }
+
   test("streaming sink enforces per batch; nothing commits for a violating batch") {
     val SS = graft.streaming.SnapshotSink
     val root = Engine.tmpDir("graft_chk_sink")
