@@ -527,4 +527,52 @@ class SnapshotRobustnessSpec extends AnyFunSuite {
       (1 to 3).flatMap(i => (100L * i) to (100L * i + 9L))
     assert(ks == want, s"race lost rows: missing=${want -- ks} extra=${ks -- want}")
   }
+
+  test("ADD CONSTRAINT races streaming appends: no violating row ever lands (r14)") {
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    val root = freshRoot("graft_chk_race_rt")
+    def batch(i: Int, v: Double) =
+      ((10L * i) to (10L * i + 4L)).map(k => (k, v)).toDF("k", "v")
+    assert(SS.appendBatch(root, batch(0, 1.0), batchId = 0L, keyCol = "k"))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      // writer thread: VALID batches, retrying the sink's loud
+      // constraint-change abort exactly as a restarted stream would
+      // (the replayed batch re-validates against the new set)
+      val writer = Future {
+        (1 to 6).foreach { i =>
+          var done = false
+          while (!done) {
+            try { SS.appendBatch(root, batch(i, i * 1.0), batchId = i.toLong,
+              keyCol = "k"); done = true }
+            catch { case e: IllegalStateException
+                if e.getMessage.contains("CHECK constraints") => () }
+          }
+        }
+      }
+      // constraint thread lands mid-stream (CAS-retried internally)
+      val adder = Future {
+        Thread.sleep(50)
+        graft.operators.SnapshotTable.addCheckConstraint(spark, root, "v_pos", "v > 0")
+      }
+      Await.result(Future.sequence(Seq(writer, adder.map(_ => ()))), 120.seconds)
+    } finally pool.shutdown()
+    // convergence: all 7 batches present exactly once, constraint
+    // active, zero violating rows (they were all valid — the race can
+    // only abort-and-retry, never bypass)
+    val got = ST.read(spark, root)
+    assert(got.count() == 35, s"lost/duplicated batches: ${got.count()}")
+    assert(ST.checkConstraints(root, ST.currentVersion(root)).contains("v_pos"))
+    assert(got.filter(col("v") <= 0).count() == 0)
+    // ...and a violating batch now refuses through the live constraint
+    val e = intercept[Exception](
+      SS.appendBatch(root, Seq((999L, -1.0)).toDF("k", "v"), batchId = 99L,
+        keyCol = "k"))
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("v_pos"))), e.getMessage)
+  }
 }
