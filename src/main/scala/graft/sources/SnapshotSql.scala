@@ -234,6 +234,10 @@ object SnapshotSql {
     s"""(?is)\\s*ALTER\\s+TABLE\\s+($Ref)\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*""".r
   private val DropConstraint =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+($Ref)\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*""".r
+  // the path spelling of TYPE WIDENING (the catalog-name route goes
+  // through Spark's own ALTER COLUMN analysis into GraftCatalog)
+  private val AlterColumnType =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+('[^']+')\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+TYPE\\s+(\\w+)\\s*""".r
 
   private val Quoted = "'([^']+)'".r
 
@@ -416,6 +420,9 @@ object SnapshotSql {
       scala.util.Try(resolveRef(s, ref)).isSuccess
     case DropConstraint(ref, _) => ref.startsWith("'") ||
       scala.util.Try(resolveRef(s, ref)).isSuccess
+    // path-addressed widening is claimed unconditionally (quoted paths
+    // have no delegate); the name spelling stays with Spark's analyzer
+    case AlterColumnType(_, _, _) => true
     case _ => false
   }
 
@@ -505,6 +512,10 @@ object SnapshotSql {
       SnapshotTable.addCheckConstraint(s, resolveRef(s, ref), name, exprSql.trim)
     case DropConstraint(ref, name) =>
       SnapshotTable.dropCheckConstraint(resolveRef(s, ref), name)
+    case AlterColumnType(ref, colName, tpe) =>
+      SnapshotTable.widenColumn(s, resolveRef(s, ref), colName,
+        org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+          .parseDataType(tpe))
     case Vacuum(ref, keepFrom) =>
       val root = resolveRef(s, ref)
       SnapshotTable.vacuum(root, keepFrom.toInt)
@@ -525,6 +536,7 @@ object SnapshotSql {
         "RESTORE TABLE <table> TO TIMESTAMP AS OF '<ts>' | " +
         "ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (<expr>) | " +
         "ALTER TABLE <table> DROP CONSTRAINT <name> | " +
+        "ALTER TABLE '<path>' ALTER COLUMN <col> TYPE <wider> | " +
         "CREATE TABLE <table> SHALLOW CLONE <table> [VERSION AS OF <version>] | " +
         "VACUUM <table> KEEP FROM <version> | " +
         "VACUUM <table> RETAIN <n> HOURS  (<table> = '<path>' or <catalog>.<name>)")

@@ -87,6 +87,18 @@ class WidenSpec extends AnyFunSuite {
       e4.getMessage)
   }
 
+  test("path-SQL spelling: ALTER TABLE '<path>' ALTER COLUMN q TYPE BIGINT") {
+    val root = freshIntTable("graft_widen_pathsql")
+    spark.sql(s"ALTER TABLE '$root' ALTER COLUMN q TYPE BIGINT").collect()
+    assert(ST.read(spark, root).schema("q").dataType == LongType)
+    assert(ST.manifestMeta(root, ST.currentVersion(root)).contains("widen"))
+    // narrowing refuses through the same route (widenColumn's guard —
+    // no Spark analyzer in front of the path spelling)
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE '$root' ALTER COLUMN q TYPE INT").collect())
+    assert(e.getMessage.contains("not a supported metadata-only"), e.getMessage)
+  }
+
   test("DML over mixed widths: UPDATE/DELETE rewrite correctly, stats prune survives") {
     val root = freshIntTable("graft_widen_dml")
     ST.widenColumn(spark, root, "q", LongType)
