@@ -2984,7 +2984,17 @@ object SnapshotTable {
             case None => true
             case Some(cc) =>
               val bf = reader.getBloomFilterDataReader(b).readBloomFilter(cc)
-              bf == null || bf.findHash(bf.hash(v))
+              // hash at the FILE's physical width: a type-WIDENED key
+              // column leaves old files INT32, whose blooms hashed
+              // 4-byte values — hashing the lookup long against them
+              // would return false NEGATIVES (unsound pruning); a
+              // value outside int range cannot be in an int32 file
+              bf == null || (cc.getPrimitiveType.getPrimitiveTypeName match {
+                case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 =>
+                  v >= Int.MinValue && v <= Int.MaxValue &&
+                    bf.findHash(bf.hash(v.toInt))
+                case _ => bf.findHash(bf.hash(v))
+              })
           }
         }
       }

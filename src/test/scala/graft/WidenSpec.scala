@@ -99,6 +99,32 @@ class WidenSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not a supported metadata-only"), e.getMessage)
   }
 
+  test("bloom point lookup stays sound across widening (int32 blooms, long needles)") {
+    val root = Engine.tmpDir("graft_widen_bloom")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    // one file with an int32 key column and a parquet bloom on it
+    val stage = s"$root/stage"
+    (1 to 100).map(i => (i.toLong, i * 7)).toDF("k", "q")
+      .withColumn("q", col("q").cast("int")).coalesce(1)
+      .write.option("parquet.bloom.filter.enabled#q", "true")
+      .mode("overwrite").parquet(stage)
+    val part = Engine.listDir(Paths.get(stage))
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.move(part, Paths.get(root, "data_b.parquet"))
+    ST.commitEntries(root, 0,
+      Seq(ST.footerEntry(root, "data_b.parquet", "k")), 8, Map("statsCol" -> "k"))
+    ST.widenColumn(spark, root, "q", LongType)
+    // the lookup value is a LONG now; the file's bloom hashed int32s —
+    // the probe must hash at the file's width or it false-negatives
+    val hits = ST.bloomMayContain(root, "data_b.parquet", "q", Seq(7L * 50))
+    assert(hits == Seq(7L * 50), s"bloom false-negative after widening: $hits")
+    // out-of-int-range needles prune soundly (cannot be in int32 files)
+    assert(ST.bloomMayContain(root, "data_b.parquet", "q", Seq(6000000000L)).isEmpty)
+    // end-to-end: the point lookup finds the row under the widened type
+    val row = ST.readPointLookup(spark, root, "q", Seq(7L * 50)).collect()
+    assert(row.map(_.getAs[Long]("q")).toSeq == Seq(350L), row.mkString(","))
+  }
+
   test("DML over mixed widths: UPDATE/DELETE rewrite correctly, stats prune survives") {
     val root = freshIntTable("graft_widen_dml")
     ST.widenColumn(spark, root, "q", LongType)
