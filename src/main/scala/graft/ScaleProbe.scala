@@ -444,6 +444,38 @@ object ScaleProbe {
     time("x39_uniform_scan_ref") {
       spark.sql("SELECT SUM(CAST(q_i AS BIGINT)) FROM x39p_src").collect(); 1L
     }
+    // r14: generated columns — the new cost over x38's already-priced
+    // per-row checker is UPDATE's recompute overlay (one extra
+    // projection inside the rewrite): it must price in the noise of
+    // the rewrite itself. Twin tables, identical data and UPDATE; one
+    // carries the generation expression.
+    time("x40_stage_gen_fixture") {
+      val ST = operators.SnapshotTable
+      spark.conf.set("spark.sql.catalog.gsc", "graft.sources.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.gsc.root", s"$work/wh")
+      spark.read.parquet(s"$work/events.parquet")
+        .selectExpr("event_id", "CAST(value * 1000 AS BIGINT) AS sec")
+        .withColumn("d", expr("sec div 86400"))
+        .createOrReplaceTempView("x40p_src")
+      spark.sql("DROP TABLE IF EXISTS gsc.x40p_plain")
+      spark.sql("DROP TABLE IF EXISTS gsc.x40p_gen")
+      spark.sql("CREATE TABLE gsc.x40p_plain AS SELECT * FROM x40p_src")
+      spark.sql("CREATE TABLE gsc.x40p_gen AS SELECT * FROM x40p_src")
+      ST.read(spark, s"$work/wh/x40p_gen").count()
+    }
+    time("x40_attach_validation") {
+      val ST = operators.SnapshotTable
+      ST.setGeneratedColumn(spark, s"$work/wh/x40p_gen", "d", "sec div 86400")
+      1L
+    }
+    time("x40_update_plain_ref") {
+      spark.sql(s"UPDATE '$work/wh/x40p_plain' SET sec = sec + 86400 " +
+        "WHERE event_id % 37 = 3").collect(); 1L
+    }
+    time("x40_update_recompute") {
+      spark.sql(s"UPDATE '$work/wh/x40p_gen' SET sec = sec + 86400 " +
+        "WHERE event_id % 37 = 3").collect(); 1L
+    }
     // r14: scoped OPTIMIZE — the WHERE-window compaction must price
     // with the WINDOW's bytes, not the table's (the full form is the
     // reference; at 32× the gap is the whole point of the verb)

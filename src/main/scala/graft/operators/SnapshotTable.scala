@@ -142,7 +142,7 @@ object SnapshotTable {
 
   private[graft] val SupportedReaderFeatures = Set("colmap", "dv", "evolution", "widen")
   private[graft] val SupportedWriterFeatures =
-    SupportedReaderFeatures ++ Set("cdf", "checks")
+    SupportedReaderFeatures ++ Set("cdf", "checks", "gencols")
 
   /** The (reader, writer) feature sets a manifest carrying `meta`
     * requires. Writer features always include the reader set: a
@@ -160,6 +160,10 @@ object SnapshotTable {
     if (meta.get("dvmode").contains("on")) w += "dv"
     if (meta.contains("cdf")) w += "cdf"
     if (meta.keys.exists(_.startsWith("check."))) w += "checks"
+    // generated columns: values are MATERIALIZED (any reader is fine),
+    // but a generation-ignorant writer would append rows violating the
+    // ALWAYS AS invariant — writer feature only
+    if (meta.keys.exists(_.startsWith("gen."))) w += "gencols"
     (r.toSet, r.toSet ++ w)
   }
 
@@ -567,9 +571,14 @@ object SnapshotTable {
   private def requireNoConstraintRef(s: SparkSession, root: String, v: Int,
       op: String, name: String): Unit =
     checkConstraints(root, v).foreach { case (cn, e) =>
+      val hint =
+        if (cn.startsWith("gen:"))
+          s"drop the generation expression first (dropGeneratedExpr / " +
+            s"UNSET TBLPROPERTIES ('gen.${cn.stripPrefix("gen:")}'))"
+        else s"DROP CONSTRAINT $cn first"
       require(!checkReferencedCols(s, e).exists(_.equalsIgnoreCase(name)),
         s"$op on $root: column $name is referenced by CHECK constraint $cn " +
-          s"($e) — DROP CONSTRAINT $cn first (evolving the column out from " +
+          s"($e) — $hint (evolving the column out from " +
           "under it would break every later write)")
     }
 
@@ -794,11 +803,163 @@ object SnapshotTable {
     else checksOf(manifestMeta(root, v))
 
   /** The constraint map embedded in an already-read meta map — the ONE
-    * place the `check.` key encoding is decoded. */
+    * place the `check.` key encoding is decoded. Generated columns
+    * (`gen.<col>` keys) compile into this map as IMPLICIT invariants
+    * `gen:<col>` → `` `col` <=> (expr) `` (null-safe equality is never
+    * NULL, so three-valued CHECK can't weaken it): every enforcement
+    * seam — the DSv2 task writer, MERGE/UPDATE projections, the
+    * streaming sink, ADD-time resident validation, RESTORE's active
+    * re-validation, the in-flight constraint-change race aborts —
+    * covers generation expressions with zero extra code. User
+    * constraints can never collide with the namespace: ':' is a
+    * refused identifier character. */
   private[graft] def checksOf(meta: Map[String, String]): Map[String, String] =
     meta.collect {
       case (k, e) if k.startsWith("check.") => (k.stripPrefix("check."), e)
+    } ++ meta.collect {
+      case (k, e) if k.startsWith("gen.") =>
+        val c = k.stripPrefix("gen.")
+        (s"gen:$c", s"`$c` <=> ($e)")
     }
+
+  // ---------------- GENERATED COLUMNS (Delta's GENERATED ALWAYS AS) --
+
+  /** The table's generation expressions at version `v`: column →
+    * deterministic SQL expression over the table's OTHER logical
+    * columns. Stored as `gen.<col>` metadata (one key per column,
+    * table STATE like `check.<name>`); stamps the `gencols` WRITER
+    * feature so a generation-ignorant binary refuses to write instead
+    * of silently landing rows that violate the invariant. */
+  private[graft] def genExprs(root: String, v: Int): Map[String, String] =
+    if (v == 0) Map.empty else gensOf(manifestMeta(root, v))
+
+  private[graft] def gensOf(meta: Map[String, String]): Map[String, String] =
+    meta.collect {
+      case (k, e) if k.startsWith("gen.") => (k.stripPrefix("gen."), e)
+    }
+
+  /** Attach a generation expression to an EXISTING column — Delta
+    * pins `GENERATED ALWAYS AS` at CREATE TABLE; attach-with-resident-
+    * validation is the strictly more flexible contract (the expensive
+    * proof that history already satisfies the invariant is exactly
+    * ADD CONSTRAINT's one filter-pushed scan). From the commit on:
+    * every write route enforces `col <=> (expr)` per row (see
+    * [[checksOf]]), UPDATE recomputes the column when a SET touches
+    * its inputs, and the streaming sink / [[withGeneratedColumns]]
+    * compute it when the incoming frame omits it. The 100 TB story:
+    * a derived clustering column (day-of-timestamp) whose correctness
+    * the TABLE owns — ingest jobs can neither drift the derivation
+    * nor skip it, so stats/partition pruning on the derived column
+    * stays sound forever. */
+  def setGeneratedColumn(s: SparkSession, root: String, name: String,
+      exprSql: String): Int = {
+    validateIdent(root, "set generated", name)
+    require(!exprSql.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"set generated on $root: the expression may not contain tabs/newlines " +
+        "(manifest metadata is line-oriented)")
+    val refs = checkReferencedCols(s, exprSql)
+    require(!refs.exists(_.equalsIgnoreCase(name)),
+      s"set generated on $root: expression for $name references the column " +
+        "itself — generation expressions derive from OTHER columns")
+    val retry = new CommitRetry(root)
+    var result = -1
+    while (result < 0) {
+      val v = currentVersion(root)
+      retry.observed(v)
+      require(v > 0, s"set generated on $root: table has no committed version")
+      val cur = genExprs(root, v)
+      require(!cur.contains(name),
+        s"set generated on $root: column $name is already generated " +
+          s"AS (${cur.getOrElse(name, "")}) — drop the expression first")
+      // no derivation CHAINS: a generated column may neither derive
+      // from another generated column nor become an input of one —
+      // UPDATE's recompute overlay would be evaluation-order-dependent
+      cur.keys.find(g => refs.exists(_.equalsIgnoreCase(g))).foreach(g =>
+        throw new IllegalArgumentException(
+          s"set generated on $root: expression for $name references generated " +
+            s"column $g — generation expressions derive from plain columns only"))
+      cur.find { case (_, e) =>
+        checkReferencedCols(s, e).exists(_.equalsIgnoreCase(name)) }
+        .foreach { case (g, e) => throw new IllegalArgumentException(
+          s"set generated on $root: column $name is an input of generated " +
+            s"column $g AS ($e) — a generated column cannot derive from " +
+            "another generated column") }
+      val frame = readAt(s, root, v)
+      val cols = frame.columns
+      require(cols.exists(_.equalsIgnoreCase(name)),
+        s"set generated on $root: no column $name (have ${cols.mkString(",")})")
+      // the expression must be deterministic: enforcement re-evaluates
+      // it per write (and UPDATE recomputes) — checked on the ANALYZED
+      // expression (an unresolved function reports nothing)
+      val analyzedGen = frame.select(expr(exprSql).as("__g"))
+        .queryExecution.analyzed
+        .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+        .projectList.head
+        .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Alias].child
+      require(analyzedGen.deterministic,
+        s"set generated on $root: expression ($exprSql) is non-deterministic — " +
+          "generated columns must re-derive to the same value on every write")
+      // validate the RESIDENT data: every existing row must already
+      // satisfy col <=> expr, or the invariant would be a lie from
+      // birth (NULL <=> NULL passes — a null-filled evolution gap
+      // whose inputs are also null is consistent)
+      val inv = s"`$name` <=> ($exprSql)"
+      val bad = checkViolations(readAt(s, root, v), inv).limit(1).collect()
+      require(bad.isEmpty,
+        s"set generated on $root: existing row violates $name AS ($exprSql): " +
+          s"${bad.headOption.getOrElse("")} — backfill the column first")
+      try result = commitEntries(root, v, manifestEntries(root, v), 16,
+        carriedMeta(root, v) + (s"gen.$name" -> exprSql) +
+          ("alter" -> s"addgen:$name"))
+      catch { case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) }
+    }
+    result
+  }
+
+  /** Detach a generation expression (the column stays, with its
+    * materialized values — it just stops being derived/enforced). */
+  def dropGeneratedExpr(root: String, name: String): Int = {
+    val retry = new CommitRetry(root)
+    var result = -1
+    while (result < 0) {
+      val v = currentVersion(root)
+      retry.observed(v)
+      require(v > 0, s"drop generated on $root: table has no committed version")
+      require(genExprs(root, v).contains(name),
+        s"drop generated on $root: column $name has no generation expression")
+      try result = commitEntries(root, v, manifestEntries(root, v), 16,
+        carriedMeta(root, v) - s"gen.$name" + ("alter" -> s"dropgen:$name"))
+      catch { case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) }
+    }
+    result
+  }
+
+  /** Compute any generated columns `df` OMITS (Delta's write-side
+    * convenience: an ingest frame need not carry derivable columns),
+    * cast to the table's declared type, conformed to the table's
+    * column order. Columns the frame already carries pass through —
+    * the per-row invariant then verifies them instead. Zero cost for
+    * tables without generation expressions. */
+  def withGeneratedColumns(s: SparkSession, root: String, df: DataFrame,
+      at: Option[Int] = None): DataFrame = {
+    val v = at.getOrElse(currentVersion(root))
+    val gens = genExprs(root, v)
+    if (gens.isEmpty) return df
+    val schema = readAt(s, root, v).schema
+    val missing = gens.filterNot { case (c, _) =>
+      df.columns.exists(_.equalsIgnoreCase(c)) }
+    if (missing.isEmpty) return df
+    val widened = missing.toSeq.sortBy(_._1).foldLeft(df) { case (d, (c, e)) =>
+      d.withColumn(c, expr(e).cast(schema(c).dataType))
+    }
+    // conform to the table's column order so the written parquet sits
+    // uniformly beside the resident files
+    val order = schema.fieldNames.filter(c =>
+      widened.columns.exists(_.equalsIgnoreCase(c)))
+    val extras = widened.columns.filterNot(c =>
+      order.exists(_.equalsIgnoreCase(c)))
+    widened.select((order ++ extras).map(col).toIndexedSeq: _*)
+  }
 
   /** Wrap `df` so each row is verified against `checks` INSIDE the
     * write pipeline — a codegen'd projection, no second pass over the
@@ -879,6 +1040,12 @@ object SnapshotTable {
 
   /** `ALTER TABLE ... DROP CONSTRAINT name` — metadata-only removal. */
   def dropCheckConstraint(root: String, name: String): Int = {
+    // gen:<col> entries in the constraint map are the generated-column
+    // invariants, not check.<name> metadata — dropping one here would
+    // mint a version claiming a removal that never happened
+    require(!name.startsWith("gen:"),
+      s"drop constraint on $root: $name is a generated-column invariant — " +
+        s"use dropGeneratedExpr / UNSET TBLPROPERTIES ('gen.${name.stripPrefix("gen:")}')")
     val retry = new CommitRetry(root)
     var result = -1
     while (result < 0) {
@@ -1219,11 +1386,12 @@ object SnapshotTable {
     def reRel(rel: String): String =
       dstAbs.relativize(Paths.get(srcRoot, rel).toAbsolutePath.normalize).toString
     val dvMeta = fmtDv(dvState(srcRoot, v).map { case (r, d) => (reRel(r), reRel(d)) })
-    // CHECK constraints travel with the data they describe (Delta's
-    // clone carries table properties): the clone enforces them from
-    // its first write on
+    // CHECK constraints and generation expressions travel with the
+    // data they describe (Delta's clone carries table properties):
+    // the clone enforces them from its first write on
     val meta = manifestMeta(srcRoot, v)
-      .filter(kv => keep.contains(kv._1) || kv._1.startsWith("check.")) ++
+      .filter(kv => keep.contains(kv._1) || kv._1.startsWith("check.") ||
+        kv._1.startsWith("gen.")) ++
       dvMeta.map("dv" -> _) +
       ("clone" -> s"shallow:${Paths.get(srcRoot).toAbsolutePath.normalize}@v$v")
     commitEntries(dstRoot, 0, entries, shardSize = 16, meta)
@@ -2360,15 +2528,32 @@ object SnapshotTable {
     // UPDATE whose SET drives a row out of a constraint refuses
     // loudly before any commit (survivor rows re-pass trivially).
     val tblChecks = checksOf(carried)
-    def setProjection(df: DataFrame, guard: Option[Column]): DataFrame =
-      enforceChecks(df.select(df.columns.map { c =>
+    // GENERATED columns: a SET may not name one directly (the table
+    // owns the derivation), and any SET that shifts a generation
+    // input RECOMPUTES the derived column from the post-SET row
+    // (Delta's rule: "Delta Lake automatically updates the generated
+    // columns"). The overlay is unconditional — rows the SET didn't
+    // touch re-derive to their resident value (the invariant held,
+    // expressions are deterministic), so no per-row guard is needed.
+    val tblGens = gensOf(carried)
+    sets.foreach { case (c, _) => require(!tblGens.contains(c),
+      s"update on $root: column $c is GENERATED ALWAYS AS " +
+        s"(${tblGens.getOrElse(c, "")}) — it re-derives automatically; " +
+        "SET its inputs instead") }
+    def setProjection(df: DataFrame, guard: Option[Column]): DataFrame = {
+      val afterSet = df.select(df.columns.map { c =>
         setMap.get(c) match {
           case Some(e2) =>
             val rhs = expr(e2).cast(df.schema(c).dataType)
             guard.fold(rhs)(g => when(g, rhs).otherwise(col(c))).as(c)
           case None => col(c)
         }
-      }.toIndexedSeq: _*), tblChecks, s"UPDATE on $root")
+      }.toIndexedSeq: _*)
+      val regen = tblGens.toSeq.sortBy(_._1).foldLeft(afterSet) {
+        case (d, (c, e)) => d.withColumn(c, expr(e).cast(d.schema(c).dataType))
+      }
+      enforceChecks(regen, tblChecks, s"UPDATE on $root")
+    }
     // ---- merge-on-read branch (deletion vectors for UPDATE) ---------
     // Delta's DV-for-update shape: the hit rows' ordinals go into the
     // sidecars (hiding the preimages) and ONE postimage file appends —
@@ -3283,6 +3468,7 @@ object SnapshotTable {
     "x37_mor_update" -> (x37MorUpdate _, Some(x37Sql)),
     "x38_check_constraint" -> (x38CheckConstraint _, Some(x38Sql)),
     "x39_type_widening" -> (x39TypeWidening _, Some(x39Sql)),
+    "x40_generated_columns" -> (x40GeneratedColumns _, Some(x40Sql)),
   )
 
   /** x24_catalog_sql — the name-addressed warehouse surface end-to-end
@@ -3956,6 +4142,63 @@ object SnapshotTable {
         SUM(q_i) AS q_sum
       FROM gx.x39_ev GROUP BY event_type ORDER BY event_type""")
   }
+
+  /** x40_generated_columns — GENERATED ALWAYS AS (Delta's generated
+    * columns): a derivation the TABLE owns. `gen.ep_day` attaches to
+    * an existing column after ONE resident-validating scan (metadata-
+    * only commit, `gencols` writer feature); from then on every write
+    * route enforces `ep_day <=> (expr)` per row through the same
+    * seams as CHECK constraints — the DSv2 task writer's bound
+    * predicate, merge/update raise_error projections, the streaming
+    * sink — so ingest jobs can neither drift the day derivation nor
+    * skip it, and stats pruning on the derived clustering column
+    * stays sound forever (the 100 TB point: the pruning column's
+    * correctness is a TABLE invariant, not a per-job convention).
+    * UPDATE recomputes: the SET below shifts the generation INPUT
+    * (`ts`) forward one day and ep_day re-derives automatically
+    * (Delta's rule — SET on the generated column itself refuses).
+    * Oracle: DuckDB recomputes day-from-shifted-ts from the raw
+    * events; equality proves attach-validate, enforced ingest, and
+    * recompute all preserved the derivation exactly. */
+  def x40GeneratedColumns(s: SparkSession, d: String): DataFrame = {
+    if (!s.conf.getOption("spark.sql.catalog.gx").exists(_.nonEmpty)) {
+      s.conf.set("spark.sql.catalog.gx", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gx.root", Engine.tmpDir("graft_warehouse"))
+    }
+    val ev = Tables.events(s, d)
+      .filter(col("event_id") % X29Mod === 0)
+      .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+      .select("event_id", "user_id", "ts", "value", "ep_day")
+    ev.filter(col("ep_day") <= X30Cut).createOrReplaceTempView("x40_head_src")
+    ev.filter(col("ep_day") > X30Cut).createOrReplaceTempView("x40_tail_src")
+    s.sql("DROP TABLE IF EXISTS gx.x40_ev")
+    s.sql("CREATE TABLE gx.x40_ev AS SELECT * FROM x40_head_src")
+    val root = Paths.get(Engine.tmpDir("graft_warehouse"), "x40_ev").toString
+    // attach: ONE resident-validating scan, then a metadata-only commit
+    s.sql("ALTER TABLE gx.x40_ev SET TBLPROPERTIES " +
+      "('gen.ep_day' = '(ts div 1000000000) div 86400')")
+    // enforced ingest: the tail's ep_day verifies per row inside the
+    // DSv2 write tasks (a drifted derivation would fail the job)
+    s.sql("INSERT INTO gx.x40_ev SELECT * FROM x40_tail_src")
+    // the generation INPUT shifts; ep_day re-derives automatically
+    s.sql(s"UPDATE '$root' SET ts = ts + 86400000000000 WHERE user_id % 37 = 3")
+    s.read.format("graft-snapshot").load(root)
+      .groupBy(col("ep_day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .orderBy("ep_day")
+  }
+
+  val x40Sql: String =
+    s"""WITH e AS (SELECT user_id, value,
+       |    CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day
+       |  FROM events WHERE event_id % $X29Mod = 0),
+       |s AS (SELECT value,
+       |    CASE WHEN user_id % 37 = 3 THEN ep_day + 1 ELSE ep_day END AS ep_day
+       |  FROM e)
+       |SELECT ep_day, COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+       |FROM s GROUP BY ep_day ORDER BY ep_day""".stripMargin
 
   val x39Sql: String =
     s"""WITH e AS (SELECT event_type,

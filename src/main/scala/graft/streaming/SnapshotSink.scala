@@ -86,7 +86,13 @@ object SnapshotSink {
     val cv = ST.currentVersion(root)
     val map = ST.colMap(root, cv)
     val plannedChecks = ST.checkConstraints(root, cv)
-    val checked = ST.enforceChecks(df, plannedChecks,
+    // GENERATED columns the batch omits are computed here (Delta's
+    // write-side convenience — a stream need not carry derivable
+    // columns); columns the batch does carry flow into the per-row
+    // invariant below instead. No-op for tables without gens.
+    val generated = if (cv == 0) df
+      else ST.withGeneratedColumns(df.sparkSession, root, df, Some(cv))
+    val checked = ST.enforceChecks(generated, plannedChecks,
       s"streaming sink batch $batchId on $root")
     val entries = ST.writeDataFiles(ST.toPhysical(checked, map), root, tag)
       .map(ST.footerEntry(root, _, ST.physicalName(map, keyCol)))

@@ -1,0 +1,190 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** x40's contract: GENERATED ALWAYS AS columns. Attach validates the
+  * RESIDENT data and commits metadata-only (`gen.<col>` key, `gencols`
+  * writer feature); every write route then enforces `col <=> (expr)`
+  * per row through the CHECK-constraint seams; UPDATE recomputes the
+  * column when a SET shifts its inputs (and refuses SET on the column
+  * itself); the streaming sink and withGeneratedColumns compute the
+  * column when an incoming frame omits it; clone/restore carry the
+  * expression with the data. */
+class GenColSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+  val ST = graft.operators.SnapshotTable
+  val Engine = graft.operators.Engine
+
+  private def chain(e: Throwable): String =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+
+  /** (k, ts-seconds, d = ts div 86400) — d consistent with its
+    * derivation so the attach's resident validation passes. */
+  private def fresh(name: String, ks: Seq[Long]): String = {
+    val root = Engine.tmpDir(name)
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    val rows = ks.map(k => (k, k * 40000L, (k * 40000L) / 86400L))
+    ST.commitEntries(root, 0,
+      ST.writeDataFiles(rows.toDF("k", "ts", "d").coalesce(1), root, "a")
+        .map(ST.footerEntry(root, _, "k")),
+      shardSize = 8, Map("statsCol" -> "k"))
+    root
+  }
+
+  test("attach validates resident data; metadata-only; feature-stamped; carried; dropped") {
+    val root = fresh("graft_gen_add", 1L to 6L)
+    // an expression the resident d values do NOT satisfy refuses
+    val e = intercept[Exception](
+      ST.setGeneratedColumn(spark, root, "d", "ts div 1000"))
+    assert(e.getMessage.contains("existing row violates"), e.getMessage)
+    assert(ST.currentVersion(root) == 1, "refused attach must not mint a version")
+    // the true derivation commits metadata only — zero files move
+    val filesBefore = ST.manifestEntries(root, 1).map(_.rel)
+    val v2 = ST.setGeneratedColumn(spark, root, "d", "ts div 86400")
+    assert(ST.manifestEntries(root, v2).map(_.rel) == filesBefore)
+    assert(ST.genExprs(root, v2) == Map("d" -> "ts div 86400"))
+    // the invariant surfaces through the constraint map (the seam
+    // every write route enforces through)
+    assert(ST.checkConstraints(root, v2) == Map("gen:d" -> "`d` <=> (ts div 86400)"))
+    assert(ST.manifestMeta(root, v2)("writerFeatures").split(',').contains("gencols"))
+    // carried across an unrelated commit
+    ST.delete(spark, root, "k = 6")
+    assert(ST.genExprs(root, ST.currentVersion(root)).contains("d"))
+    // DROP CONSTRAINT cannot remove it; dropGeneratedExpr can
+    val e2 = intercept[Exception](ST.dropCheckConstraint(root, "gen:d"))
+    assert(e2.getMessage.contains("generated-column invariant"), e2.getMessage)
+    ST.dropGeneratedExpr(root, "d")
+    assert(ST.genExprs(root, ST.currentVersion(root)).isEmpty)
+    val e3 = intercept[Exception](ST.dropGeneratedExpr(root, "d"))
+    assert(e3.getMessage.contains("no generation expression"), e3.getMessage)
+  }
+
+  test("refusal matrix: self-ref, nondeterminism, unknown column, chains, evolution") {
+    val root = fresh("graft_gen_refuse", 1L to 4L)
+    def refuse(substr: String)(f: => Any): Unit = {
+      val e = intercept[Exception](f)
+      assert(chain(e).toLowerCase.contains(substr.toLowerCase), chain(e))
+    }
+    refuse("references the column itself")(
+      ST.setGeneratedColumn(spark, root, "d", "d + 1"))
+    refuse("non-deterministic")(
+      ST.setGeneratedColumn(spark, root, "d", "CAST(rand() * 10 AS BIGINT)"))
+    refuse("no column")(
+      ST.setGeneratedColumn(spark, root, "nope", "ts div 86400"))
+    ST.setGeneratedColumn(spark, root, "d", "ts div 86400")
+    refuse("already generated")(
+      ST.setGeneratedColumn(spark, root, "d", "ts div 86400"))
+    // no chains in either direction: k may not derive FROM generated d,
+    // and ts (an input of d) may not itself become generated
+    refuse("references generated column d")(
+      ST.setGeneratedColumn(spark, root, "k", "d * 2"))
+    refuse("is an input of generated column d")(
+      ST.setGeneratedColumn(spark, root, "ts", "k * 40000"))
+    // evolving the derivation's columns out from under it refuses with
+    // the generation-specific hint (both the input and the column)
+    refuse("drop the generation expression first")(
+      ST.renameColumn(spark, root, "ts", "t2"))
+    refuse("drop the generation expression first")(
+      ST.dropColumn(spark, root, "d"))
+  }
+
+  test("DSv2 INSERT verifies the derivation per row; UPDATE recomputes; SET on gen refuses") {
+    val w = Files.createTempDirectory("graft_gen_dml").toString
+    spark.conf.set("spark.sql.catalog.ggen", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.ggen.root", w)
+    spark.sql("DROP TABLE IF EXISTS ggen.t")
+    (1L to 8L).map(k => (k, k * 40000L, (k * 40000L) / 86400L))
+      .toDF("k", "ts", "d").createOrReplaceTempView("gen_seed")
+    spark.sql("CREATE TABLE ggen.t AS SELECT * FROM gen_seed")
+    val root = Paths.get(w, "t").toString
+    // the TBLPROPERTIES spelling (Delta's property route)
+    spark.sql("ALTER TABLE ggen.t SET TBLPROPERTIES ('gen.d' = 'ts div 86400')")
+    val vBefore = ST.currentVersion(root)
+    // a drifted derivation fails the write job in-task; no version mints
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO ggen.t VALUES (9, 360000, 99)").collect())
+    assert(chain(e).contains("gen:d"), chain(e))
+    assert(ST.currentVersion(root) == vBefore)
+    // the consistent row lands
+    spark.sql("INSERT INTO ggen.t VALUES (9, 360000, 4)")
+    assert(ST.read(spark, root).count() == 9)
+    // UPDATE shifting the INPUT recomputes d (no d in the SET list)
+    spark.sql(s"UPDATE '$root' SET ts = ts + 86400 WHERE k <= 2")
+    val got = ST.read(spark, root).filter("k <= 2")
+      .select("k", "ts", "d").as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.forall { case (_, ts, d) => d == ts / 86400 },
+      got.mkString(","))
+    assert(got.map(_._3).toSeq == Seq(1L, 1L), got.mkString(","))
+    // SET on the generated column itself refuses
+    val e2 = intercept[Exception](
+      spark.sql(s"UPDATE '$root' SET d = 7 WHERE k = 3").collect())
+    assert(chain(e2).contains("GENERATED ALWAYS AS"), chain(e2))
+    // merge (changeset route) enforces too: an upsert with a drifted d
+    val bad = Seq((10L, 400000L, 77L, "i")).toDF("k", "ts", "d", "op")
+    val e3 = intercept[Exception](
+      ST.merge(spark, root, clusterCol = "k", idCol = "k", changes = bad))
+    assert(chain(e3).contains("gen:d"), chain(e3))
+  }
+
+  test("withGeneratedColumns computes omitted columns; streaming sink computes per batch") {
+    val root = fresh("graft_gen_sink", 1L to 3L)
+    ST.setGeneratedColumn(spark, root, "d", "ts div 86400")
+    // helper: a frame lacking d gets it computed, cast, and ordered
+    val df = Seq((11L, 950400L)).toDF("k", "ts")
+    val out = ST.withGeneratedColumns(spark, root, df)
+    assert(out.columns.toSeq == Seq("k", "ts", "d"), out.columns.mkString(","))
+    assert(out.select("d").as[Long].head() == 11L)
+    // a frame that CARRIES d passes through untouched (then verified)
+    val carried = Seq((12L, 86400L, 1L)).toDF("k", "ts", "d")
+    assert(ST.withGeneratedColumns(spark, root, carried).columns.toSeq ==
+      Seq("k", "ts", "d"))
+    // the sink: a batch WITHOUT the generated column lands computed
+    val SS = graft.streaming.SnapshotSink
+    assert(SS.appendBatch(root, Seq((21L, 172800L)).toDF("k", "ts"), batchId = 0L, keyCol = "k"))
+    val row = ST.read(spark, root).filter("k = 21").select("d").as[Long].collect()
+    assert(row.toSeq == Seq(2L), row.mkString(","))
+    // and a batch with a DRIFTED value refuses; corrected replay lands
+    val eb = intercept[Exception](
+      SS.appendBatch(root, Seq((22L, 172800L, 9L)).toDF("k", "ts", "d"), batchId = 1L, keyCol = "k"))
+    assert(chain(eb).contains("gen:d"), chain(eb))
+    assert(SS.appendBatch(root, Seq((22L, 172800L, 2L)).toDF("k", "ts", "d"), batchId = 1L, keyCol = "k"))
+    assert(ST.read(spark, root).count() == 5)
+  }
+
+  test("clone carries the expression; restore validates against the ACTIVE derivation") {
+    val root = fresh("graft_gen_clone_src", 1L to 4L)
+    ST.setGeneratedColumn(spark, root, "d", "ts div 86400")
+    val cloneRoot = Engine.tmpDir("graft_gen_clone_dst")
+    Engine.listDir(Paths.get(cloneRoot)).foreach(Engine.deleteRecursively)
+    ST.shallowClone(root, cloneRoot)
+    assert(ST.genExprs(cloneRoot, ST.currentVersion(cloneRoot)) ==
+      Map("d" -> "ts div 86400"))
+    // the clone enforces from its first write
+    val e = intercept[Exception](ST.merge(spark, cloneRoot, clusterCol = "k",
+      idCol = "k", changes = Seq((30L, 86400L, 5L, "i")).toDF("k", "ts", "d", "op")))
+    assert(chain(e).contains("gen:d"), chain(e))
+    // restore: v1 predates the attach and satisfies it → allowed;
+    // a version holding DRIFTED rows refuses while the gen is active
+    val drift = fresh("graft_gen_restore", 1L to 3L)
+    // v2: a consistent append; v3: attach (validates v2's rows)
+    ST.commitEntries(drift, ST.currentVersion(drift),
+      ST.manifestEntries(drift, ST.currentVersion(drift)) ++
+        ST.writeDataFiles(Seq((9L, 360000L, 99L)).toDF("k", "ts", "d")
+          .coalesce(1), drift, "bad").map(ST.footerEntry(drift, _, "k")),
+      8, ST.carriedMeta(drift, ST.currentVersion(drift)))
+    val vBad = ST.currentVersion(drift) // holds the drifted row
+    ST.delete(spark, drift, "k = 9")    // drifted row gone
+    ST.setGeneratedColumn(spark, drift, "d", "ts div 86400")
+    val e2 = intercept[Exception](ST.restore(drift, vBad))
+    assert(chain(e2).contains("gen:d"), chain(e2))
+    // restoring to the clean v1 passes the active-invariant validation
+    ST.restore(drift, 1)
+    assert(ST.genExprs(drift, ST.currentVersion(drift)).contains("d"),
+      "active generation expression must survive the restore")
+  }
+}
