@@ -561,7 +561,7 @@ object SnapshotTable {
     * WRITE fail analysis (the expression references a name that no
     * longer resolves) — refuse at the ALTER instead, naming the
     * constraint (Delta's rule). */
-  private def checkReferencedCols(s: SparkSession, exprSql: String): Seq[String] = {
+  private[graft] def checkReferencedCols(s: SparkSession, exprSql: String): Seq[String] = {
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     s.sessionState.sqlParser.parseExpression(exprSql).collect {
       case a: UnresolvedAttribute => a.name

@@ -494,15 +494,52 @@ private[graft] class SnapshotScanBuilder(root: String, full: StructType,
     // projection (count(*)) still decodes zero columns per row
     pruned = requiredSchema
 
+  /** When the stats column is GENERATED from a single input by a
+    * whitelisted monotone expression (x40), filters on the INPUT
+    * derive bounds on the stats column — see
+    * [[SnapshotScanBuilder.monotoneGenMapper]]. Resolved once per
+    * scan build; None for the overwhelmingly common ungenerated case. */
+  private lazy val genDerive: Option[(String, Long => Option[Long])] =
+    statsCol.flatMap { sc =>
+      if (version == 0) None
+      else {
+        val meta = SnapshotTable.manifestMeta(root, version)
+        SnapshotTable.gensOf(meta).get(sc).flatMap { ge =>
+          val spark = org.apache.spark.sql.SparkSession.active
+          SnapshotTable.checkReferencedCols(spark, ge) match {
+            case Seq(in) =>
+              // the strict-bound tightening in deriveOnStats assumes
+              // an INTEGRAL input domain (in < v ⇒ in <= v-1)
+              val integral = full.fields.find(_.name == in).exists(f =>
+                f.dataType == org.apache.spark.sql.types.LongType ||
+                  f.dataType == org.apache.spark.sql.types.IntegerType ||
+                  f.dataType == org.apache.spark.sql.types.ShortType ||
+                  f.dataType == org.apache.spark.sql.types.ByteType)
+              if (!integral) None
+              else SnapshotScanBuilder.monotoneGenMapper(in, ge).map((in, _))
+            case _ => None
+          }
+        }
+      }
+    }
+
   /** File-level stats pruning through the STANDARD API: comparison
     * filters on the manifest's stats column narrow the planned file
     * set. Every filter is returned as residual — stats prune FILES,
     * Spark's re-applied predicate prunes rows within survivors, so
     * pushdown is never unsound (same split as [[SnapshotTable
-    * .readPruned]], now automatic for any `.filter(...)`). */
+    * .readPruned]], now automatic for any `.filter(...)`). Filters on
+    * a generated stats column's INPUT additionally derive stats-column
+    * bounds (the derived filter is a FILE judgment only — the input
+    * filter itself stays residual like everything else). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = statsCol match {
-      case Some(c) => filters.filter(SnapshotScanBuilder.bound(_, c).isDefined)
+      case Some(c) =>
+        val direct = filters.filter(SnapshotScanBuilder.bound(_, c).isDefined)
+        val derived = genDerive.toArray.flatMap { case (in, g) =>
+          filters.flatMap(SnapshotScanBuilder.deriveOnStats(_, in, c, g))
+        }
+        direct ++ derived
       case None => Array.empty
     }
     filters
@@ -540,6 +577,91 @@ private[graft] class SnapshotScanBuilder(root: String, full: StructType,
 private[graft] object SnapshotScanBuilder {
   private def long(v: Any): Option[Long] = v match {
     case n: Number => Some(n.longValue)
+    case _ => None
+  }
+
+  /** Derived-filter file pruning for GENERATED stats columns (Delta's
+    * partition filter generation): when the stats column is generated
+    * from ONE input by a provably monotone, overflow-free expression —
+    * chains of `div <positive literal>` with widening casts, the
+    * canonical day-bucket shape `(ts div 1e9) div 86400` — a pushed
+    * filter on the INPUT maps to a bound on the stats column by
+    * EVALUATING the generation expression at the filter's constants,
+    * so file pruning fires for queries that never mention the derived
+    * column. Soundness: truncating division by a positive constant is
+    * monotone non-decreasing over ALL longs and cannot overflow, so
+    * input ∈ [a,b] ⇒ gen ∈ [g(a), g(b)] for every representable
+    * input; the generated-column invariant (x40) guarantees the
+    * STORED values ARE g(input); and the original filter always stays
+    * residual, so rows are re-checked regardless. Anything outside the
+    * whitelist simply doesn't derive (no pruning — always sound). */
+  private[sources] def monotoneGenMapper(input: String,
+      exprSql: String): Option[Long => Option[Long]] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.{LongType => CLong, DecimalType, DoubleType, IntegerType, ShortType, ByteType}
+    val spark = org.apache.spark.sql.SparkSession.active
+    val resolved = scala.util.Try {
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(input, CLong))))
+      val p = empty.select(org.apache.spark.sql.functions.expr(exprSql)
+        .cast("long").as("__g")).queryExecution.analyzed
+        .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+      val a = p.projectList.head.asInstanceOf[Alias].child
+      BindReferences.bindReference(a, p.child.output)
+    }.toOption
+    def posLit(e: Expression): Boolean = e.foldable && (e.eval() match {
+      case n: java.lang.Number => n.longValue > 0
+      case _ => false
+    })
+    // value-preserving integral widenings only — a narrowing cast wraps
+    // and a float cast loses precision past 2^53; both break the
+    // monotone argument
+    def wideCast(c: Cast): Boolean = (c.dataType == CLong ||
+      c.dataType.isInstanceOf[DecimalType]) &&
+      (c.child.dataType == CLong || c.child.dataType == IntegerType ||
+        c.child.dataType == ShortType || c.child.dataType == ByteType ||
+        c.child.dataType.isInstanceOf[DecimalType])
+    def mono(e: Expression): Boolean = e match {
+      case _: BoundReference => true
+      case c: Cast => wideCast(c) && mono(c.child)
+      case d: IntegralDivide => mono(d.left) && posLit(d.right)
+      case _ => false
+    }
+    resolved.flatMap { b =>
+      val refs = b.collect { case r: BoundReference => r }
+      if (refs.size != 1 || !mono(b)) None
+      else Some { (v: Long) =>
+        scala.util.Try(Option(b.eval(
+          org.apache.spark.sql.catalyst.InternalRow(v)))
+          .map(_.asInstanceOf[Long])).toOption.flatten
+      }
+    }
+  }
+
+  /** Translate a filter on the generation INPUT into the equivalent
+    * bound on the generated stats column. The input column is INTEGRAL
+    * (the caller guards), so strict bounds tighten to inclusive ones a
+    * step in — `in < v` ⇒ `in <= v-1` ⇒ `gen <= g(v-1)` — saturating
+    * at the domain edges; g itself is monotone, not strictly so. */
+  private[sources] def deriveOnStats(f: Filter, input: String,
+      statsCol: String, g: Long => Option[Long]): Option[Filter] = f match {
+    case EqualTo(c, v) if c == input => long(v).flatMap(g).map(EqualTo(statsCol, _))
+    case GreaterThan(c, v) if c == input =>
+      long(v).map(x => if (x == Long.MaxValue) x else x + 1)
+        .flatMap(g).map(GreaterThanOrEqual(statsCol, _))
+    case GreaterThanOrEqual(c, v) if c == input =>
+      long(v).flatMap(g).map(GreaterThanOrEqual(statsCol, _))
+    case LessThan(c, v) if c == input =>
+      long(v).map(x => if (x == Long.MinValue) x else x - 1)
+        .flatMap(g).map(LessThanOrEqual(statsCol, _))
+    case LessThanOrEqual(c, v) if c == input =>
+      long(v).flatMap(g).map(LessThanOrEqual(statsCol, _))
+    case In(c, vs) if c == input && vs.nonEmpty =>
+      val mapped = vs.flatMap(v => long(v).flatMap(g))
+      if (mapped.length == vs.length) Some(In(statsCol, mapped.map(Long.box).toArray))
+      else None
     case _ => None
   }
   /** The runtime-filter path needs the same literal coercion. */

@@ -156,6 +156,55 @@ class GenColSpec extends AnyFunSuite {
     assert(ST.read(spark, root).count() == 5)
   }
 
+  test("derived-filter pruning: a filter on the gen INPUT prunes files on the stats column") {
+    // five day files, statsCol = the GENERATED day column — the query
+    // filters only `sec` (the input) and must still open few files
+    val root = Engine.tmpDir("graft_gen_prune")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    val entries = (0L to 4L).flatMap { day =>
+      val rows = (0L until 20L).map(i => (day * 20 + i, day * 86400L + i * 60, day))
+      ST.writeDataFiles(rows.toDF("k", "sec", "d").coalesce(1), root, s"day$day")
+        .map(ST.footerEntry(root, _, "d"))
+    }
+    ST.commitEntries(root, 0, entries, 8, Map("statsCol" -> "d"))
+    ST.setGeneratedColumn(spark, root, "d", "sec div 86400")
+    def scanParts(df: org.apache.spark.sql.DataFrame): Int = {
+      def go(p: org.apache.spark.sql.execution.SparkPlan): Int = p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => go(a.initialPlan)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.partitions.size
+      }.sum
+      go(df.queryExecution.executedPlan)
+    }
+    val base = spark.read.format("graft-snapshot").load(root)
+    assert(scanParts(base.select("k")) == 5)
+    // range on the INPUT → 2 of 5 files (days 2 and 3)
+    val ranged = base.filter("sec >= 172800 AND sec < 345600")
+    assert(scanParts(ranged) == 2, "input-range filter must prune via the derivation")
+    assert(ranged.count() == 40)
+    // point lookup on the INPUT → 1 file, and the residual filter
+    // still prunes ROWS (file-level judgment only)
+    val point = base.filter("sec = 259260")
+    assert(scanParts(point) == 1)
+    assert(point.select("k").as[Long].collect().toSeq == Seq(61L))
+    // a NON-whitelisted derivation must not derive (and stays correct):
+    // multiplication can overflow, so it never prunes
+    val root2 = Engine.tmpDir("graft_gen_prune_neg")
+    Engine.listDir(Paths.get(root2)).foreach(Engine.deleteRecursively)
+    val e2 = (0L to 2L).flatMap { day =>
+      val rows = (0L until 5L).map(i => (day * 5 + i, day * 86400L + i, day * 2))
+      ST.writeDataFiles(rows.toDF("k", "sec", "d").coalesce(1), root2, s"n$day")
+        .map(ST.footerEntry(root2, _, "d"))
+    }
+    ST.commitEntries(root2, 0, e2, 8, Map("statsCol" -> "d"))
+    ST.setGeneratedColumn(spark, root2, "d", "(sec div 86400) * 2")
+    val b2 = spark.read.format("graft-snapshot").load(root2)
+    assert(scanParts(b2.filter("sec >= 86400")) == 3,
+      "non-whitelisted derivation must not prune")
+    assert(b2.filter("sec >= 86400").count() == 10)
+    // while a direct filter on the generated column still prunes
+    assert(scanParts(b2.filter("d = 2")) == 1)
+  }
+
   test("clone carries the expression; restore validates against the ACTIVE derivation") {
     val root = fresh("graft_gen_clone_src", 1L to 4L)
     ST.setGeneratedColumn(spark, root, "d", "ts div 86400")
