@@ -697,6 +697,32 @@ object SnapshotTable {
           s"widen on $root: $name is $from and $to is not a supported metadata-only " +
             "widening (int->long, int->double, float->double); narrowing or other " +
             "retypes need a table rewrite")
+        // a widen can change how an active CHECK/generation expression
+        // ANALYZES (e.g. `div` refuses non-integral operands; integer
+        // remainder semantics shift under double) — re-validate every
+        // expression that references the widened column against the
+        // post-widen view (the upcast is value-preserving, so casting
+        // the current read simulates it exactly). A widen that breaks
+        // or re-defines an invariant refuses instead of silently
+        // shifting what later writes enforce.
+        val touched = checkConstraints(root, v).filter { case (_, e) =>
+          checkReferencedCols(s, e).exists(_.equalsIgnoreCase(name)) }
+        if (touched.nonEmpty) {
+          val simulated = readAt(s, root, v)
+            .withColumn(name, col(name).cast(to))
+          touched.foreach { case (cn, e) =>
+            val bad = try checkViolations(simulated, e).limit(1).collect()
+            catch { case ex: Exception => throw new IllegalArgumentException(
+              s"widen on $root: constraint $cn CHECK ($e) no longer analyzes " +
+                s"with $name as ${to.simpleString} (${ex.getMessage}) — drop " +
+                "the constraint/generation expression first", ex) }
+            require(bad.isEmpty,
+              s"widen on $root: widening $name to ${to.simpleString} changes " +
+                s"the semantics of $cn CHECK ($e): resident row " +
+                s"${bad.headOption.getOrElse("")} would violate it — drop the " +
+                "constraint/generation expression first")
+          }
+        }
         val widened = StructType(base.fields.map(f =>
           if (f.name == physName) f.copy(dataType = to, nullable = true)
           else f.copy(nullable = true)))

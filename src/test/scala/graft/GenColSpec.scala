@@ -205,6 +205,105 @@ class GenColSpec extends AnyFunSuite {
     assert(scanParts(b2.filter("d = 2")) == 1)
   }
 
+  test("widen x gen: safe widen revalidates and passes; a widen the expression can't analyze refuses") {
+    val root = Engine.tmpDir("graft_gen_widen")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    val rows = (1L to 6L).map(k => (k, (k * 40000L).toInt, k * 40000L / 86400L))
+    ST.commitEntries(root, 0,
+      ST.writeDataFiles(rows.toDF("k", "sec", "d")
+        .withColumn("sec", col("sec").cast("int")).coalesce(1), root, "a")
+        .map(ST.footerEntry(root, _, "k")),
+      8, Map("statsCol" -> "k"))
+    ST.setGeneratedColumn(spark, root, "d", "sec div 86400")
+    // int → long on the INPUT: `div` analyzes identically, resident
+    // revalidation passes, and enforcement coheres over mixed widths
+    ST.widenColumn(spark, root, "sec", org.apache.spark.sql.types.LongType)
+    val SS = graft.streaming.SnapshotSink
+    assert(SS.appendBatch(root, Seq((7L, 6000000000L, 69444L)).toDF("k", "sec", "d"),
+      batchId = 0L, keyCol = "k"))
+    val eb = intercept[Exception](SS.appendBatch(root,
+      Seq((8L, 6000000000L, 7L)).toDF("k", "sec", "d"), batchId = 1L, keyCol = "k"))
+    assert(chain(eb).contains("gen:d"), chain(eb))
+    // int → double on the INPUT: `div` refuses non-integral operands —
+    // the widen must refuse instead of committing a schema under which
+    // every later write fails analysis
+    val root2 = Engine.tmpDir("graft_gen_widen2")
+    Engine.listDir(Paths.get(root2)).foreach(Engine.deleteRecursively)
+    ST.commitEntries(root2, 0,
+      ST.writeDataFiles(rows.toDF("k", "sec", "d")
+        .withColumn("sec", col("sec").cast("int")).coalesce(1), root2, "a")
+        .map(ST.footerEntry(root2, _, "k")),
+      8, Map("statsCol" -> "k"))
+    ST.setGeneratedColumn(spark, root2, "d", "sec div 86400")
+    val vBefore = ST.currentVersion(root2)
+    val e = intercept[Exception](
+      ST.widenColumn(spark, root2, "sec", org.apache.spark.sql.types.DoubleType))
+    assert(chain(e).contains("widen on") &&
+      (chain(e).contains("no longer analyzes") ||
+        chain(e).contains("changes the semantics")), chain(e))
+    assert(ST.currentVersion(root2) == vBefore, "refused widen must not mint")
+  }
+
+  test("colmap x gen: attach under renamed names, enforcement and derived pruning through the mapping") {
+    val root = Engine.tmpDir("graft_gen_colmap")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    val entries = (0L to 3L).flatMap { day =>
+      val rows = (0L until 10L).map(i => (day * 10 + i, day * 86400L + i, day))
+      ST.writeDataFiles(rows.toDF("k", "t", "d").coalesce(1), root, s"day$day")
+        .map(ST.footerEntry(root, _, "d"))
+    }
+    ST.commitEntries(root, 0, entries, 8, Map("statsCol" -> "d"))
+    // rename the future input; the files keep physical name `t`
+    ST.renameColumn(spark, root, "t", "sec")
+    ST.setGeneratedColumn(spark, root, "d", "sec div 86400")
+    // enforcement speaks the NEW name on the sink route
+    val SS = graft.streaming.SnapshotSink
+    val eb = intercept[Exception](SS.appendBatch(root,
+      Seq((40L, 0L, 3L)).toDF("k", "sec", "d"), batchId = 0L, keyCol = "d"))
+    assert(chain(eb).contains("gen:d"), chain(eb))
+    assert(SS.appendBatch(root, Seq((40L, 86401L, 1L)).toDF("k", "sec", "d"),
+      batchId = 0L, keyCol = "d"))
+    // derived pruning fires on a filter over the RENAMED input — the
+    // statsCol meta holds the physical name, the filter the logical one
+    def scanParts(df: org.apache.spark.sql.DataFrame): Int = {
+      def go(p: org.apache.spark.sql.execution.SparkPlan): Int = p.collect {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => go(a.initialPlan)
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.partitions.size
+      }.sum
+      go(df.queryExecution.executedPlan)
+    }
+    val base = spark.read.format("graft-snapshot").load(root)
+    assert(scanParts(base.select("k")) == 5) // 4 day files + the sink batch
+    val ranged = base.filter("sec >= 172800 AND sec < 259200")
+    assert(scanParts(ranged) == 1, "derived pruning must resolve the mapping")
+    assert(ranged.count() == 10)
+  }
+
+  test("MoR UPDATE recomputes the generated column in the postimage; originals byte-untouched") {
+    val root = Engine.tmpDir("graft_gen_mor")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    val rows = (1L to 40L).map(k => (k, k * 40000L, k * 40000L / 86400L))
+    ST.commitEntries(root, 0,
+      ST.writeDataFiles(rows.toDF("k", "sec", "d")
+        .repartitionByRange(2, col("k")), root, "a")
+        .map(ST.footerEntry(root, _, "k")),
+      16, Map("statsCol" -> "k"))
+    ST.enableDeletionVectors(root)
+    ST.setGeneratedColumn(spark, root, "d", "sec div 86400")
+    val before = ST.manifestEntries(root, ST.currentVersion(root))
+      .map(e => e.rel -> Files.size(Paths.get(root, e.rel))).toMap
+    spark.sql(s"UPDATE '$root' SET sec = sec + 86400 WHERE k = 7")
+    val meta = ST.manifestMeta(root, ST.currentVersion(root))
+    assert(meta("update").startsWith("mor:"), meta.get("update").toString)
+    before.foreach { case (rel, sz) =>
+      if (Files.exists(Paths.get(root, rel)))
+        assert(Files.size(Paths.get(root, rel)) == sz, s"$rel grew under MoR") }
+    val got = ST.read(spark, root).filter("k = 7")
+      .select("sec", "d").as[(Long, Long)].head()
+    assert(got._2 == got._1 / 86400 && got._2 == (7L * 40000 + 86400) / 86400,
+      got.toString)
+  }
+
   test("clone carries the expression; restore validates against the ACTIVE derivation") {
     val root = fresh("graft_gen_clone_src", 1L to 4L)
     ST.setGeneratedColumn(spark, root, "d", "ts div 86400")
