@@ -568,17 +568,20 @@ object SnapshotTable {
     }
   }
 
+  /** How to remove constraint `cn` — gen: entries are generated-column
+    * invariants with their own removal verb. */
+  private[graft] def constraintDropHint(cn: String): String =
+    if (cn.startsWith("gen:"))
+      s"drop the generation expression first (dropGeneratedExpr / " +
+        s"UNSET TBLPROPERTIES ('gen.${cn.stripPrefix("gen:")}'))"
+    else s"DROP CONSTRAINT $cn first"
+
   private def requireNoConstraintRef(s: SparkSession, root: String, v: Int,
       op: String, name: String): Unit =
     checkConstraints(root, v).foreach { case (cn, e) =>
-      val hint =
-        if (cn.startsWith("gen:"))
-          s"drop the generation expression first (dropGeneratedExpr / " +
-            s"UNSET TBLPROPERTIES ('gen.${cn.stripPrefix("gen:")}'))"
-        else s"DROP CONSTRAINT $cn first"
       require(!checkReferencedCols(s, e).exists(_.equalsIgnoreCase(name)),
         s"$op on $root: column $name is referenced by CHECK constraint $cn " +
-          s"($e) — $hint (evolving the column out from " +
+          s"($e) — ${constraintDropHint(cn)} (evolving the column out from " +
           "under it would break every later write)")
     }
 
@@ -842,11 +845,7 @@ object SnapshotTable {
   private[graft] def checksOf(meta: Map[String, String]): Map[String, String] =
     meta.collect {
       case (k, e) if k.startsWith("check.") => (k.stripPrefix("check."), e)
-    } ++ meta.collect {
-      case (k, e) if k.startsWith("gen.") =>
-        val c = k.stripPrefix("gen.")
-        (s"gen:$c", s"`$c` <=> ($e)")
-    }
+    } ++ gensOf(meta).map { case (c, e) => (s"gen:$c", s"`$c` <=> ($e)") }
 
   // ---------------- GENERATED COLUMNS (Delta's GENERATED ALWAYS AS) --
 
@@ -894,9 +893,10 @@ object SnapshotTable {
       retry.observed(v)
       require(v > 0, s"set generated on $root: table has no committed version")
       val cur = genExprs(root, v)
-      require(!cur.contains(name),
-        s"set generated on $root: column $name is already generated " +
-          s"AS (${cur.getOrElse(name, "")}) — drop the expression first")
+      cur.keys.find(_.equalsIgnoreCase(name)).foreach(g =>
+        throw new IllegalArgumentException(
+          s"set generated on $root: column $g is already generated " +
+            s"AS (${cur(g)}) — drop the expression first"))
       // no derivation CHAINS: a generated column may neither derive
       // from another generated column nor become an input of one —
       // UPDATE's recompute overlay would be evaluation-order-dependent
@@ -912,8 +912,13 @@ object SnapshotTable {
             "another generated column") }
       val frame = readAt(s, root, v)
       val cols = frame.columns
-      require(cols.exists(_.equalsIgnoreCase(name)),
-        s"set generated on $root: no column $name (have ${cols.mkString(",")})")
+      // canonicalize to the TABLE's spelling before storing: the
+      // recompute overlay and withGeneratedColumns resolve the stored
+      // key with exact-case StructType lookups, so a case-mismatched
+      // attach would brick every later UPDATE / sink batch (r14 review)
+      val canon = cols.find(_.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"set generated on $root: no column $name (have ${cols.mkString(",")})"))
       // the expression must be deterministic: enforcement re-evaluates
       // it per write (and UPDATE recomputes) — checked on the ANALYZED
       // expression (an unresolved function reports nothing)
@@ -929,14 +934,14 @@ object SnapshotTable {
       // satisfy col <=> expr, or the invariant would be a lie from
       // birth (NULL <=> NULL passes — a null-filled evolution gap
       // whose inputs are also null is consistent)
-      val inv = s"`$name` <=> ($exprSql)"
-      val bad = checkViolations(readAt(s, root, v), inv).limit(1).collect()
+      val inv = s"`$canon` <=> ($exprSql)"
+      val bad = checkViolations(frame, inv).limit(1).collect()
       require(bad.isEmpty,
-        s"set generated on $root: existing row violates $name AS ($exprSql): " +
+        s"set generated on $root: existing row violates $canon AS ($exprSql): " +
           s"${bad.headOption.getOrElse("")} — backfill the column first")
       try result = commitEntries(root, v, manifestEntries(root, v), 16,
-        carriedMeta(root, v) + (s"gen.$name" -> exprSql) +
-          ("alter" -> s"addgen:$name"))
+        carriedMeta(root, v) + (s"gen.$canon" -> exprSql) +
+          ("alter" -> s"addgen:$canon"))
       catch { case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) }
     }
     result
@@ -951,10 +956,11 @@ object SnapshotTable {
       val v = currentVersion(root)
       retry.observed(v)
       require(v > 0, s"drop generated on $root: table has no committed version")
-      require(genExprs(root, v).contains(name),
-        s"drop generated on $root: column $name has no generation expression")
+      val canon = genExprs(root, v).keys.find(_.equalsIgnoreCase(name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"drop generated on $root: column $name has no generation expression"))
       try result = commitEntries(root, v, manifestEntries(root, v), 16,
-        carriedMeta(root, v) - s"gen.$name" + ("alter" -> s"dropgen:$name"))
+        carriedMeta(root, v) - s"gen.$canon" + ("alter" -> s"dropgen:$canon"))
       catch { case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) }
     }
     result
@@ -1356,7 +1362,7 @@ object SnapshotTable {
             require(bad.isEmpty,
               s"snapshot restore on $root: version $toVersion holds rows " +
                 s"violating the ACTIVE check constraint $n CHECK ($e): " +
-                s"${bad.headOption.getOrElse("")} — DROP CONSTRAINT $n first, " +
+                s"${bad.headOption.getOrElse("")} — ${constraintDropHint(n)}, " +
                 "or restore to a version whose data satisfies it")
           }
         }
@@ -2081,6 +2087,7 @@ object SnapshotTable {
       // bounds aggregate and slips past the SET guard).
       val clusterCol = logicalName(colMap(root, v),
         carriedMeta(root, v).getOrElse("statsCol", onTgtCol))
+      val tblGensA = genExprs(root, v)
       // updating the join key would re-key the changeset row: the keyed
       // merge would then delete whatever row already holds the NEW key
       // and leave the old row in place — silent corruption, so the ON
@@ -2103,8 +2110,22 @@ object SnapshotTable {
             "merge prunes rewritten files by this column's stats, so re-clustering " +
             "a row would leave its old copy in an unpruned file; delete and " +
             "re-insert to move a row across the clustering")
+        // GENERATED columns follow UPDATE's contract on this surface
+        // too: never SET directly, always recomputed (r14 review)
+        setMap.keys.foreach(c => tblGensA.keys.find(_.equalsIgnoreCase(c))
+          .foreach(g => throw new IllegalArgumentException(
+            s"ansi merge on $root: column $g is GENERATED ALWAYS AS " +
+              s"(${tblGensA(g)}) — it re-derives automatically; SET its " +
+              "inputs instead")))
         setMap
       }
+      // UPDATE-clause rows re-derive their generated columns from the
+      // POST-set values (Delta's rule, same overlay as update()); the
+      // delete/insert clauses carry rows as-is — an INSERT's values
+      // are the caller's and the per-row invariant verifies them
+      def regenUpd(df: DataFrame): DataFrame =
+        tblGensA.toSeq.sortBy(_._1).foldLeft(df) { case (d, (c, e)) =>
+          d.withColumn(c, expr(e).cast(d.schema(c).dataType)) }
       // the sync anti-set, built once: target rows with no source match.
       // Only target columns survive the anti-join, so an `s.`-qualified
       // reference in a BY SOURCE condition or SET fails analysis loudly
@@ -2118,11 +2139,11 @@ object SnapshotTable {
       clauses.foreach {
         case WhenMatchedUpdate(cond, sets) =>
           val setMap = checkSets(sets)
-          parts += matched.filter(remaining && condCol(cond)).select(
+          parts += regenUpd(matched.filter(remaining && condCol(cond)).select(
             tCols.map { c => (setMap.get(c) match {
               case Some(rhs) => expr(rhs).cast(tgtPlain.schema(c).dataType)
               case None => col(s"$tgtAlias.$c")
-            }).as(c) } :+ lit("u").as("op"): _*)
+            }).as(c) } :+ lit("u").as("op"): _*))
           remaining = remaining && !condCol(cond)
         case WhenMatchedDelete(cond) =>
           parts += matched.filter(remaining && condCol(cond)).select(
@@ -2139,11 +2160,11 @@ object SnapshotTable {
               :+ lit("i").as("op"): _*)
         case WhenNotMatchedBySourceUpdate(cond, sets) =>
           val setMap = checkSets(sets)
-          parts += unmatchedTgt.filter(remainingNmbs && condCol(cond)).select(
+          parts += regenUpd(unmatchedTgt.filter(remainingNmbs && condCol(cond)).select(
             tCols.map { c => (setMap.get(c) match {
               case Some(rhs) => expr(rhs).cast(tgtPlain.schema(c).dataType)
               case None => col(s"$tgtAlias.$c")
-            }).as(c) } :+ lit("u").as("op"): _*)
+            }).as(c) } :+ lit("u").as("op"): _*))
           remainingNmbs = remainingNmbs && !condCol(cond)
         case WhenNotMatchedBySourceDelete(cond) =>
           parts += unmatchedTgt.filter(remainingNmbs && condCol(cond)).select(
@@ -2562,10 +2583,12 @@ object SnapshotTable {
     // touch re-derive to their resident value (the invariant held,
     // expressions are deterministic), so no per-row guard is needed.
     val tblGens = gensOf(carried)
-    sets.foreach { case (c, _) => require(!tblGens.contains(c),
-      s"update on $root: column $c is GENERATED ALWAYS AS " +
-        s"(${tblGens.getOrElse(c, "")}) — it re-derives automatically; " +
-        "SET its inputs instead") }
+    sets.foreach { case (c, _) =>
+      tblGens.keys.find(_.equalsIgnoreCase(c)).foreach(g =>
+        throw new IllegalArgumentException(
+          s"update on $root: column $g is GENERATED ALWAYS AS " +
+            s"(${tblGens(g)}) — it re-derives automatically; " +
+            "SET its inputs instead")) }
     def setProjection(df: DataFrame, guard: Option[Column]): DataFrame = {
       val afterSet = df.select(df.columns.map { c =>
         setMap.get(c) match {
@@ -3204,7 +3227,22 @@ object SnapshotTable {
                 case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT32 =>
                   v >= Int.MinValue && v <= Int.MaxValue &&
                     bf.findHash(bf.hash(v.toInt))
-                case _ => bf.findHash(bf.hash(v))
+                case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64 =>
+                  bf.findHash(bf.hash(v))
+                // int→double / float→double widenings leave (or land)
+                // floating-point pages whose blooms hashed IEEE bits —
+                // probe at the file's width there too. A long exactly
+                // representable at that width hashes to the stored bits
+                // (no false negatives); an unrepresentable long cannot
+                // have been stored as itself, and the page may still
+                // hold its rounded neighbor — return may-contain, never
+                // a false negative (r14 review)
+                case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.DOUBLE =>
+                  v.toDouble.toLong != v || bf.findHash(bf.hash(v.toDouble))
+                case org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.FLOAT =>
+                  v.toFloat.toLong != v || bf.findHash(bf.hash(v.toFloat))
+                // any other physical width: no sound judgment — keep
+                case _ => true
               })
           }
         }

@@ -236,8 +236,12 @@ object SnapshotSql {
     s"""(?is)\\s*ALTER\\s+TABLE\\s+($Ref)\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*""".r
   // the path spelling of TYPE WIDENING (the catalog-name route goes
   // through Spark's own ALTER COLUMN analysis into GraftCatalog)
+  // the type capture admits parameterized/multi-word spellings
+  // (DECIMAL(18,0), DOUBLE PRECISION) so those statements reach
+  // widenColumn's clear unsupported-widening refusal instead of
+  // falling through to Spark's parser and dying on the quoted path
   private val AlterColumnType =
-    s"""(?is)\\s*ALTER\\s+TABLE\\s+('[^']+')\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+TYPE\\s+(\\w+)\\s*""".r
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+('[^']+')\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+TYPE\\s+(\\w+(?:\\s*\\([^)]*\\))?(?:\\s+\\w+)?)\\s*""".r
 
   private val Quoted = "'([^']+)'".r
 

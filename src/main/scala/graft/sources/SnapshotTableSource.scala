@@ -615,14 +615,14 @@ private[graft] object SnapshotScanBuilder {
       case n: java.lang.Number => n.longValue > 0
       case _ => false
     })
-    // value-preserving integral widenings only — a narrowing cast wraps
-    // and a float cast loses precision past 2^53; both break the
-    // monotone argument
-    def wideCast(c: Cast): Boolean = (c.dataType == CLong ||
-      c.dataType.isInstanceOf[DecimalType]) &&
+    // value-preserving integral→long widenings ONLY: a narrowing cast
+    // wraps, a float cast loses precision past 2^53, and a DECIMAL
+    // cast can overflow to NULL in non-ANSI sessions — any of these
+    // makes g partial/non-monotone and the derived bound unsound
+    // (r14 review: decimal was wrongly whitelisted)
+    def wideCast(c: Cast): Boolean = c.dataType == CLong &&
       (c.child.dataType == CLong || c.child.dataType == IntegerType ||
-        c.child.dataType == ShortType || c.child.dataType == ByteType ||
-        c.child.dataType.isInstanceOf[DecimalType])
+        c.child.dataType == ShortType || c.child.dataType == ByteType)
     def mono(e: Expression): Boolean = e match {
       case _: BoundReference => true
       case c: Cast => wideCast(c) && mono(c.child)

@@ -90,8 +90,7 @@ object SnapshotSink {
     // write-side convenience — a stream need not carry derivable
     // columns); columns the batch does carry flow into the per-row
     // invariant below instead. No-op for tables without gens.
-    val generated = if (cv == 0) df
-      else ST.withGeneratedColumns(df.sparkSession, root, df, Some(cv))
+    val generated = ST.withGeneratedColumns(df.sparkSession, root, df, Some(cv))
     val checked = ST.enforceChecks(generated, plannedChecks,
       s"streaming sink batch $batchId on $root")
     val entries = ST.writeDataFiles(ST.toPhysical(checked, map), root, tag)

@@ -205,6 +205,48 @@ class GenColSpec extends AnyFunSuite {
     assert(scanParts(b2.filter("d = 2")) == 1)
   }
 
+  test("attach canonicalizes case; ANSI MERGE recomputes on update and refuses SET on gen (r14 review)") {
+    val root = fresh("graft_gen_case", 1L to 6L)
+    // a case-mismatched attach stores the TABLE's spelling — the
+    // exact-case lookups in UPDATE's overlay and the sink keep working
+    ST.setGeneratedColumn(spark, root, "D", "ts div 86400")
+    assert(ST.genExprs(root, ST.currentVersion(root)).keySet == Set("d"))
+    val e0 = intercept[Exception](
+      ST.setGeneratedColumn(spark, root, "D", "ts div 86400"))
+    assert(chain(e0).contains("already generated"), chain(e0))
+    // UPDATE recompute works (the r14-review failure mode was an
+    // exact-case schema lookup crash here)
+    ST.update(spark, root, Seq("ts" -> "ts + 86400"), "k = 1")
+    val r1 = ST.read(spark, root).filter("k = 1")
+      .select("ts", "d").as[(Long, Long)].head()
+    assert(r1._2 == r1._1 / 86400, r1.toString)
+    // SET on the gen column refuses (a case-mismatched "D" refuses one
+    // check earlier — UPDATE's columns are exact-case by contract)
+    val e1 = intercept[Exception](
+      ST.update(spark, root, Seq("d" -> "7"), "k = 2"))
+    assert(chain(e1).contains("GENERATED ALWAYS AS"), chain(e1))
+    val e1b = intercept[Exception](
+      ST.update(spark, root, Seq("D" -> "7"), "k = 2"))
+    assert(chain(e1b).contains("unknown column"), chain(e1b))
+    // ANSI MERGE: an input-shifting WHEN MATCHED UPDATE recomputes d
+    // (same contract as UPDATE), and SET on the gen column refuses
+    Seq((2L, 2L * 40000L + 86400L)).toDF("k", "ts")
+      .createOrReplaceTempView("gen_case_src")
+    graft.sources.SnapshotSql.exec(spark,
+      s"MERGE INTO '$root' t USING gen_case_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET ts = s.ts")
+    val r2 = ST.read(spark, root).filter("k = 2")
+      .select("ts", "d").as[(Long, Long)].head()
+    assert(r2._1 == 2L * 40000 + 86400 && r2._2 == r2._1 / 86400, r2.toString)
+    val e2 = intercept[Exception](graft.sources.SnapshotSql.exec(spark,
+      s"MERGE INTO '$root' t USING gen_case_src s ON t.k = s.k " +
+        "WHEN MATCHED THEN UPDATE SET d = 99"))
+    assert(chain(e2).contains("GENERATED ALWAYS AS"), chain(e2))
+    // case-insensitive drop resolves the stored spelling
+    ST.dropGeneratedExpr(root, "D")
+    assert(ST.genExprs(root, ST.currentVersion(root)).isEmpty)
+  }
+
   test("widen x gen: safe widen revalidates and passes; a widen the expression can't analyze refuses") {
     val root = Engine.tmpDir("graft_gen_widen")
     Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)

@@ -125,6 +125,39 @@ class WidenSpec extends AnyFunSuite {
     assert(row.map(_.getAs[Long]("q")).toSeq == Seq(350L), row.mkString(","))
   }
 
+  test("parameterized type spellings reach widenColumn's refusal, not a parser error (r14 review)") {
+    val root = freshIntTable("graft_widen_decimal")
+    val e = intercept[Exception](graft.sources.SnapshotSql.exec(spark,
+      s"ALTER TABLE '$root' ALTER COLUMN q TYPE DECIMAL(18,0)"))
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain(e).contains("not a supported metadata-only"), chain(e))
+  }
+
+  test("bloom probes hash at floating widths too (double pages, long needles) (r14 review)") {
+    val root = Engine.tmpDir("graft_widen_bloom_dbl")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    val stage = s"$root/stage"
+    (1 to 100).map(i => (i.toLong, (i * 7).toDouble)).toDF("k", "q")
+      .coalesce(1)
+      .write.option("parquet.bloom.filter.enabled#q", "true")
+      .mode("overwrite").parquet(stage)
+    val part = Engine.listDir(Paths.get(stage))
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    java.nio.file.Files.move(part, Paths.get(root, "data_d.parquet"))
+    ST.commitEntries(root, 0,
+      Seq(ST.footerEntry(root, "data_d.parquet", "k")), 8, Map("statsCol" -> "k"))
+    // a present needle must be found (hashing the long raw against a
+    // double-built bloom would false-negative)
+    assert(ST.bloomMayContain(root, "data_d.parquet", "q", Seq(350L)) == Seq(350L))
+    // an absent representable needle prunes; an unrepresentable one
+    // conservatively keeps (may-contain)
+    assert(ST.bloomMayContain(root, "data_d.parquet", "q", Seq(349L)).isEmpty)
+    val huge = (1L << 62) + 1
+    assert(ST.bloomMayContain(root, "data_d.parquet", "q", Seq(huge)) == Seq(huge))
+  }
+
   test("DML over mixed widths: UPDATE/DELETE rewrite correctly, stats prune survives") {
     val root = freshIntTable("graft_widen_dml")
     ST.widenColumn(spark, root, "q", LongType)
