@@ -812,6 +812,42 @@ object SnapshotTable {
     result
   }
 
+  /** The ONE SET/UNSET TBLPROPERTIES policy, shared by the catalog
+    * route (`ALTER TABLE cat.tbl SET TBLPROPERTIES`) and the path-SQL
+    * route (`ALTER TABLE '<path>' SET TBLPROPERTIES`): `check.<name>`
+    * and `gen.<col>` keys dispatch to the resident-validating verbs —
+    * ONE per statement, because each validates and commits
+    * independently and a multi-key statement could half-apply — and
+    * everything else must be a known flag (cdf, dvmode) handled by the
+    * idempotent [[setTableFlags]] engine. */
+  def applyTableProperties(s: SparkSession, root: String,
+      sets: Seq[(String, String)], unsets: Seq[String]): Unit = {
+    val allowed = Map("cdf" -> Set("row"), "dvmode" -> Set("on"))
+    def isValidating(k: String) = k.startsWith("check.") || k.startsWith("gen.")
+    if ((sets.map(_._1) ++ unsets).exists(isValidating)) {
+      require((sets.map(_._1) ++ unsets).forall(isValidating),
+        "graft tblproperties: constraint/generation properties (check.<name>, " +
+          "gen.<col>) cannot mix with other properties in one ALTER")
+      require(sets.size + unsets.size == 1,
+        "graft tblproperties: one check.<name>/gen.<col> property per ALTER — " +
+          "each ADD validates and commits independently, so a " +
+          "multi-property statement could half-apply")
+      sets.foreach { case (k, e) =>
+        if (k.startsWith("check.")) addCheckConstraint(s, root, k.stripPrefix("check."), e)
+        else setGeneratedColumn(s, root, k.stripPrefix("gen."), e) }
+      unsets.foreach(k =>
+        if (k.startsWith("check.")) dropCheckConstraint(root, k.stripPrefix("check."))
+        else dropGeneratedExpr(root, k.stripPrefix("gen.")))
+    } else {
+      (sets.map(_._1) ++ unsets).foreach(k => require(allowed.contains(k),
+        s"graft tblproperties: unsupported table property '$k' — supported: " +
+          allowed.keys.toSeq.sorted.mkString(", ") + ", check.<name>, gen.<col>"))
+      sets.foreach { case (k, v) => require(allowed(k).contains(v),
+        s"graft tblproperties: property $k takes ${allowed(k).mkString("/")}, got '$v'") }
+      setTableFlags(root, sets.toMap, unsets)
+    }
+  }
+
   /** Opt a table into merge-on-read deletes (Delta's
     * `delta.enableDeletionVectors`): one metadata commit setting the
     * `dvmode` flag; without it every DELETE stays copy-on-write. */

@@ -196,52 +196,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (changes.nonEmpty && changes.forall(c =>
         c.isInstanceOf[TableChange.SetProperty] ||
         c.isInstanceOf[TableChange.RemoveProperty])) {
-      val allowed = Map("cdf" -> Set("row"), "dvmode" -> Set("on"))
       val sets = changes.collect { case p: TableChange.SetProperty =>
         p.property() -> p.value() }
       val unsets = changes.collect { case p: TableChange.RemoveProperty => p.property() }
-      // `check.<name>` properties are CHECK constraints (Delta stores
-      // them as `delta.constraints.<name>` the same way): SET routes
-      // through addCheckConstraint so the RESIDENT data is validated
-      // before the commit, UNSET through dropCheckConstraint. One
-      // statement is one constraint operation — mixing with flag
-      // properties would blur which engine validated what.
-      // `gen.<col>` properties are GENERATED-column expressions
-      // (Delta stores `delta.generationExpression` in column metadata
-      // the same spirit): SET routes through setGeneratedColumn so
-      // the RESIDENT data is validated, UNSET through dropGeneratedExpr.
-      def isValidating(k: String) = k.startsWith("check.") || k.startsWith("gen.")
-      if ((sets.map(_._1) ++ unsets).exists(isValidating)) {
-        require((sets.map(_._1) ++ unsets).forall(isValidating),
-          "graft catalog: constraint/generation properties (check.<name>, " +
-            "gen.<col>) cannot mix with other properties in one ALTER")
-        // ONE constraint per statement: each ADD is its own
-        // resident-data-validating commit, so a multi-constraint
-        // statement could half-apply (first lands, second refuses) —
-        // refuse the shape instead of faking atomicity (r14 review)
-        require(sets.size + unsets.size == 1,
-          "graft catalog: one check.<name>/gen.<col> property per ALTER — " +
-            "each ADD validates and commits independently, so a " +
-            "multi-property statement could half-apply")
-        val spark = org.apache.spark.sql.SparkSession.active
-        sets.foreach { case (k, e) =>
-          if (k.startsWith("check."))
-            SnapshotTable.addCheckConstraint(spark, root, k.stripPrefix("check."), e)
-          else SnapshotTable.setGeneratedColumn(spark, root, k.stripPrefix("gen."), e) }
-        unsets.foreach(k =>
-          if (k.startsWith("check."))
-            SnapshotTable.dropCheckConstraint(root, k.stripPrefix("check."))
-          else SnapshotTable.dropGeneratedExpr(root, k.stripPrefix("gen.")))
-        return loadTable(ident)
-      }
-      (sets.map(_._1) ++ unsets).foreach(k => require(allowed.contains(k),
-        s"graft catalog: unsupported table property '$k' — supported: " +
-          allowed.keys.toSeq.sorted.mkString(", ") + ", check.<name>, gen.<col>"))
-      sets.foreach { case (k, v) => require(allowed(k).contains(v),
-        s"graft catalog: property $k takes ${allowed(k).mkString("/")}, got '$v'") }
-      // the shared flag engine: one CAS loop, idempotent (re-running
-      // the same SET mints no version)
-      SnapshotTable.setTableFlags(root, sets.toMap, unsets)
+      // ONE policy point for both the catalog and path-SQL spellings:
+      // check./gen. keys dispatch to the resident-validating verbs
+      // (one per statement — each commits independently, so a
+      // multi-key statement could half-apply, r14 review); plain keys
+      // go to the idempotent flag engine
+      SnapshotTable.applyTableProperties(
+        org.apache.spark.sql.SparkSession.active, root, sets, unsets)
       return loadTable(ident)
     }
     // RENAME/DROP COLUMN — column-mapping evolution (metadata-only

@@ -234,6 +234,16 @@ object SnapshotSql {
     s"""(?is)\\s*ALTER\\s+TABLE\\s+($Ref)\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*""".r
   private val DropConstraint =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+($Ref)\\s+DROP\\s+CONSTRAINT\\s+(\\w+)\\s*""".r
+  // the PATH spelling of SET/UNSET TBLPROPERTIES (the name route goes
+  // through Spark's ALTER analysis into GraftCatalog.alterTable; both
+  // feed SnapshotTable.applyTableProperties — one policy point). Only
+  // quoted paths are claimed: no delegate could run them.
+  private val SetTblProps =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+('[^']+')\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*""".r
+  private val UnsetTblProps =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+('[^']+')\\s+UNSET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*""".r
+  private val PropPair = """(?s)\s*'([^']+)'\s*=\s*'([^']*)'\s*""".r
+  private val PropKey = """(?s)\s*'([^']+)'\s*""".r
   // the path spelling of TYPE WIDENING (the catalog-name route goes
   // through Spark's own ALTER COLUMN analysis into GraftCatalog)
   // the type capture admits parameterized/multi-word spellings
@@ -424,9 +434,11 @@ object SnapshotSql {
       scala.util.Try(resolveRef(s, ref)).isSuccess
     case DropConstraint(ref, _) => ref.startsWith("'") ||
       scala.util.Try(resolveRef(s, ref)).isSuccess
-    // path-addressed widening is claimed unconditionally (quoted paths
-    // have no delegate); the name spelling stays with Spark's analyzer
+    // path-addressed widening and TBLPROPERTIES are claimed
+    // unconditionally (quoted paths have no delegate); the name
+    // spellings stay with Spark's analyzer
     case AlterColumnType(_, _, _) => true
+    case SetTblProps(_, _) | UnsetTblProps(_, _) => true
     case _ => false
   }
 
@@ -520,6 +532,26 @@ object SnapshotSql {
       SnapshotTable.widenColumn(s, resolveRef(s, ref), colName,
         org.apache.spark.sql.catalyst.parser.CatalystSqlParser
           .parseDataType(tpe))
+    case SetTblProps(ref, propList) =>
+      val root = resolveRef(s, ref)
+      val sets = splitTop(propList).map {
+        case PropPair(k, v) => (k, v)
+        case other => throw new IllegalArgumentException(
+          s"graft-snapshot SQL: SET TBLPROPERTIES entries are 'key' = 'value', " +
+            s"got '${other.trim}'")
+      }
+      SnapshotTable.applyTableProperties(s, root, sets, Nil)
+      SnapshotTable.currentVersion(root)
+    case UnsetTblProps(ref, propList) =>
+      val root = resolveRef(s, ref)
+      val unsets = splitTop(propList).map {
+        case PropKey(k) => k
+        case other => throw new IllegalArgumentException(
+          s"graft-snapshot SQL: UNSET TBLPROPERTIES entries are 'key', " +
+            s"got '${other.trim}'")
+      }
+      SnapshotTable.applyTableProperties(s, root, Nil, unsets)
+      SnapshotTable.currentVersion(root)
     case Vacuum(ref, keepFrom) =>
       val root = resolveRef(s, ref)
       SnapshotTable.vacuum(root, keepFrom.toInt)
@@ -541,6 +573,8 @@ object SnapshotSql {
         "ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (<expr>) | " +
         "ALTER TABLE <table> DROP CONSTRAINT <name> | " +
         "ALTER TABLE '<path>' ALTER COLUMN <col> TYPE <wider> | " +
+        "ALTER TABLE '<path>' SET TBLPROPERTIES ('k' = 'v') | " +
+        "ALTER TABLE '<path>' UNSET TBLPROPERTIES ('k') | " +
         "CREATE TABLE <table> SHALLOW CLONE <table> [VERSION AS OF <version>] | " +
         "VACUUM <table> KEEP FROM <version> | " +
         "VACUUM <table> RETAIN <n> HOURS  (<table> = '<path>' or <catalog>.<name>)")

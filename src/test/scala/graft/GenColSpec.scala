@@ -346,6 +346,32 @@ class GenColSpec extends AnyFunSuite {
       got.toString)
   }
 
+  test("path-SQL SET/UNSET TBLPROPERTIES: flags, constraints, generation expressions, refusals") {
+    val root = fresh("graft_gen_props", 1L to 4L)
+    spark.sql(s"ALTER TABLE '$root' SET TBLPROPERTIES ('cdf' = 'row')").collect()
+    assert(ST.manifestMeta(root, ST.currentVersion(root)).get("cdf").contains("row"))
+    spark.sql(s"ALTER TABLE '$root' SET TBLPROPERTIES ('gen.d' = 'ts div 86400')").collect()
+    assert(ST.genExprs(root, ST.currentVersion(root)) == Map("d" -> "ts div 86400"))
+    spark.sql(s"ALTER TABLE '$root' SET TBLPROPERTIES ('check.k_pos' = 'k > 0')").collect()
+    assert(ST.checkConstraints(root, ST.currentVersion(root)).contains("k_pos"))
+    // refusals: unknown flag, validating key mixed with a flag,
+    // malformed entry
+    val e1 = intercept[Exception](spark.sql(
+      s"ALTER TABLE '$root' SET TBLPROPERTIES ('nope' = 'x')").collect())
+    assert(chain(e1).contains("unsupported table property"), chain(e1))
+    val e2 = intercept[Exception](spark.sql(
+      s"ALTER TABLE '$root' SET TBLPROPERTIES ('gen.k' = 'ts', 'cdf' = 'row')").collect())
+    assert(chain(e2).contains("cannot mix"), chain(e2))
+    val e3 = intercept[Exception](spark.sql(
+      s"ALTER TABLE '$root' SET TBLPROPERTIES (d = 7)").collect())
+    assert(chain(e3).contains("'key' = 'value'"), chain(e3))
+    // UNSET detaches; the same spelling drops a constraint
+    spark.sql(s"ALTER TABLE '$root' UNSET TBLPROPERTIES ('gen.d')").collect()
+    assert(ST.genExprs(root, ST.currentVersion(root)).isEmpty)
+    spark.sql(s"ALTER TABLE '$root' UNSET TBLPROPERTIES ('check.k_pos')").collect()
+    assert(!ST.checkConstraints(root, ST.currentVersion(root)).contains("k_pos"))
+  }
+
   test("clone carries the expression; restore validates against the ACTIVE derivation") {
     val root = fresh("graft_gen_clone_src", 1L to 4L)
     ST.setGeneratedColumn(spark, root, "d", "ts div 86400")
