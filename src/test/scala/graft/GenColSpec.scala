@@ -372,6 +372,27 @@ class GenColSpec extends AnyFunSuite {
     assert(!ST.checkConstraints(root, ST.currentVersion(root)).contains("k_pos"))
   }
 
+  test("a commit planned before a racing attach aborts instead of bypassing the derivation") {
+    import graft.sources.{SnapshotCommit, SnapshotFileCommit}
+    val root = fresh("graft_gen_race", 1L to 4L)
+    // stage a file whose d DRIFTS from the derivation about to land —
+    // planned (empty) checks rode the write before the attach
+    val rel = ST.writeDataFiles(Seq((9L, 360000L, 77L)).toDF("k", "ts", "d")
+      .coalesce(1), root, "race").head
+    ST.setGeneratedColumn(spark, root, "d", "ts div 86400")
+    val e = intercept[IllegalStateException](
+      SnapshotCommit.append(root,
+        Array(SnapshotFileCommit(rel)), Map.empty, plannedChecks = Map.empty))
+    assert(e.getMessage.contains("changed while this write"), e.getMessage)
+    assert(ST.read(spark, root).count() == 4, "no drifted rows may land")
+    // a commit planned WITH the gen invariant sails through
+    val rel2 = ST.writeDataFiles(Seq((10L, 360000L, 4L)).toDF("k", "ts", "d")
+      .coalesce(1), root, "race2").head
+    SnapshotCommit.append(root, Array(SnapshotFileCommit(rel2)), Map.empty,
+      plannedChecks = ST.checkConstraints(root, ST.currentVersion(root)))
+    assert(ST.read(spark, root).count() == 5)
+  }
+
   test("clone carries the expression; restore validates against the ACTIVE derivation") {
     val root = fresh("graft_gen_clone_src", 1L to 4L)
     ST.setGeneratedColumn(spark, root, "d", "ts div 86400")
