@@ -142,7 +142,7 @@ object SnapshotTable {
 
   private[graft] val SupportedReaderFeatures = Set("colmap", "dv", "evolution", "widen")
   private[graft] val SupportedWriterFeatures =
-    SupportedReaderFeatures ++ Set("cdf", "checks", "gencols")
+    SupportedReaderFeatures ++ Set("cdf", "checks", "gencols", "rowtracking")
 
   /** The (reader, writer) feature sets a manifest carrying `meta`
     * requires. Writer features always include the reader set: a
@@ -164,6 +164,11 @@ object SnapshotTable {
     // but a generation-ignorant writer would append rows violating the
     // ALWAYS AS invariant — writer feature only
     if (meta.keys.exists(_.startsWith("gen."))) w += "gencols"
+    // row tracking: plain reads are untouched (materialized __row_id
+    // physicals hide behind the colmap like any dropped column), but a
+    // tracking-ignorant writer would append files with no base row id
+    // and rewrite files without preserving ids — writer feature only
+    if (meta.get("rowtracking").contains("on")) w += "rowtracking"
     (r.toSet, r.toSet ++ w)
   }
 
@@ -279,8 +284,35 @@ object SnapshotTable {
     * `>shard` pointers. This is the manifest-list shape that keeps a
     * 100 TB commit O(changed shard), not O(table). */
   def commitEntries(root: String, baseVersion: Int, entries: Seq[FileEntry],
-      shardSize: Int, meta: Map[String, String] = Map.empty): Int = {
+      shardSize: Int, meta0: Map[String, String] = Map.empty): Int = {
     Files.createDirectories(manifestDir(root))
+    // ROW TRACKING base maintenance — the ONE seam every commit passes
+    // through: files already known to the carried `rowbase` keep their
+    // base (carried entries, restore's re-listing, a clone's seeded
+    // map); NEW files claim [hw, hw+rows) and advance the high-water
+    // mark. The map is rebuilt from THIS commit's entries, so bases of
+    // rewritten-away files never accumulate. Rewritten files carry
+    // their preserved ids in a materialized __row_id column and ALSO
+    // get a fresh base — readers resolve coalesce(__row_id, base +
+    // row_index), and because every fresh base starts at or above the
+    // high-water mark, preserved ids (always below it) can never
+    // collide with base-derived ones.
+    val meta = if (!meta0.get("rowtracking").contains("on")) meta0 else {
+      val prev = rowBasesOf(meta0)
+      var hw = meta0.get("rowhw").map(_.toLong).getOrElse(0L)
+      val assigned = entries.map { e =>
+        prev.get(e.rel) match {
+          case Some(b) => e.rel -> b
+          case None =>
+            require(e.rows >= 0,
+              s"row tracking on $root: entry ${e.rel} carries no footer row " +
+                "count — row ids need exact per-file cardinalities")
+            val b = hw; hw += e.rows; e.rel -> b
+        }
+      }
+      meta0 ++ fmtRowBases(assigned.toMap).map("rowbase" -> _) +
+        ("rowhw" -> hw.toString)
+    }
     val entryLines =
       if (entries.size <= shardSize) entries.map(_.line)
       else entries.grouped(shardSize).zipWithIndex.map { case (g, i) =>
@@ -547,6 +579,9 @@ object SnapshotTable {
     require(!name.contains("."),
       s"$op on $root: '$name' names a nested field — column mapping is " +
         "top-level only; rename/drop the whole struct column, or restructure")
+    require(!name.equalsIgnoreCase("__row_id"),
+      s"$op on $root: __row_id is a reserved name (row tracking materializes " +
+        "preserved ids under it)")
     val bad = name.filter(c => "=,;:#>\t\n\r".contains(c))
     require(bad.isEmpty,
       s"$op on $root: column name '$name' contains manifest-delimiter " +
@@ -810,6 +845,159 @@ object SnapshotTable {
       catch { case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) }
     }
     result
+  }
+
+  // ---------------- ROW TRACKING (stable row identity) --------------
+
+  /** The physical column a REWRITE materializes preserved row ids
+    * into. Never part of the column mapping, so every logical read
+    * hides it exactly like a dropped column; [[readWithRowIds]]
+    * surfaces it as `_row_id`. */
+  private[graft] val RowIdCol = "__row_id"
+
+  /** Per-file base row ids at version `v` (rel → base): a file's rows
+    * occupy ids [base, base+rows) unless a materialized __row_id says
+    * otherwise — the reader rule is coalesce(__row_id, base +
+    * row_index). Maintained by [[commitEntries]]; the `rowhw` high-water
+    * mark only ever grows, so fresh ranges never collide with any id
+    * that ever existed. */
+  private[graft] def rowBases(root: String, v: Int): Map[String, Long] =
+    if (v == 0) Map.empty else rowBasesOf(manifestMeta(root, v))
+
+  private[graft] def rowBasesOf(meta: Map[String, String]): Map[String, Long] =
+    meta.get("rowbase").map(_.split(';').filter(_.nonEmpty).map { e =>
+      val i = e.lastIndexOf('=')
+      (e.substring(0, i), e.substring(i + 1).toLong)
+    }.toMap).getOrElse(Map.empty)
+
+  private[graft] def fmtRowBases(m: Map[String, Long]): Option[String] =
+    if (m.isEmpty) None
+    else Some(m.toSeq.sorted.map { case (r, b) => s"$r=$b" }.mkString(";"))
+
+  /** Opt a table into ROW TRACKING (Delta 3.x's row IDs): every row
+    * gets a STABLE numeric identity that survives appends, deletes,
+    * deletion-vector DML and copy-on-write rewrites — the join key
+    * incremental MV maintenance, CDC consumers and debugging need at
+    * 100 TB, where "the same row" must mean something across an
+    * OPTIMIZE. One metadata commit: fresh files derive ids from a
+    * per-file base recorded at commit time (zero per-row write cost —
+    * the id is base + position); rewrites materialize the ids they
+    * carry forward into a hidden __row_id column. Requires exact
+    * footer row counts on every entry and mints an identity column
+    * mapping when none exists (the mapping is what hides materialized
+    * id columns from plain reads). */
+  def enableRowTracking(s: SparkSession, root: String): Int = {
+    val retry = new CommitRetry(root)
+    var result = -1
+    while (result < 0) {
+      val v = currentVersion(root)
+      retry.observed(v)
+      require(v > 0, s"row tracking on $root: table has no committed version")
+      val carried = carriedMeta(root, v)
+      if (carried.get("rowtracking").contains("on")) result = v // idempotent
+      else {
+        val entries = manifestEntries(root, v)
+        require(entries.forall(_.rows >= 0),
+          s"row tracking on $root: legacy entries carry no footer row counts — " +
+            "OPTIMIZE the table first")
+        require(!readAtPhysical(s, root, v).columns.exists(_.equalsIgnoreCase(RowIdCol)),
+          s"row tracking on $root: the table already has a $RowIdCol column")
+        val mapMeta = carried.get("colmap") match {
+          case Some(_) => Map.empty[String, String]
+          case None => Map("colmap" -> fmtColMap(currentColMap(s, root, v)))
+        }
+        try result = commitEntries(root, v, entries, 16,
+          carried ++ mapMeta + ("rowtracking" -> "on") +
+            ("alter" -> "rowtracking:on"))
+        catch { case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) }
+      }
+    }
+    result
+  }
+
+  /** Does the parquet footer of `rel` declare a `name` column? One
+    * driver-side metadata read — used to split a row-tracked scan into
+    * files with materialized ids and files on the base+position rule. */
+  private[graft] def footerHasColumn(root: String, rel: String, name: String): Boolean = {
+    val in = HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(Paths.get(root, rel).toString), hadoopConf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      reader.getFileMetaData.getSchema.getFields.asScala.exists(_.getName == name)
+    } finally reader.close()
+  }
+
+  /** The row-tracked read: every logical column plus `_row_id` =
+    * coalesce(materialized __row_id, file base + row position).
+    * Deletion vectors anti-filter BEFORE the id computation reads the
+    * position, and a DV'd row's survivors keep their ordinals — so DV
+    * deletes preserve ids with no materialization at all. */
+  def readWithRowIds(s: SparkSession, root: String): DataFrame =
+    readWithRowIdsAt(s, root, currentVersion(root))
+
+  private[graft] def readWithRowIdsAt(s: SparkSession, root: String, v: Int): DataFrame = {
+    val meta = manifestMeta(root, v)
+    require(meta.get("rowtracking").contains("on"),
+      s"readWithRowIds on $root: row tracking is not enabled (enableRowTracking)")
+    val entries = manifestEntries(root, v)
+    val map = colMap(root, v)
+    if (entries.isEmpty)
+      return readAt(s, root, v).withColumn("_row_id", lit(null).cast("long"))
+    val phys = relsWithIds(s, root, v, entries.map(_.rel))
+    val logicalCols = map.toSeq.flatten
+      .filter { case (_, p) => phys.columns.contains(p) }
+    phys.select((logicalCols.map { case (l, p) => col(p).as(l) } :+
+      col(RowIdCol).as("_row_id")): _*)
+  }
+
+  /** The rewrite-input (and row-id read) workhorse: the given files'
+    * surviving rows in PHYSICAL namespace plus a fully-resolved
+    * [[RowIdCol]] column — coalesce(materialized __row_id, base +
+    * row_index), deletion vectors anti-filtered BEFORE the position is
+    * read. A rewrite that writes this frame through therefore
+    * materializes every id it carries forward. */
+  private[graft] def relsWithIds(s: SparkSession, root: String, v: Int,
+      rels: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{element_at, split => fsplit}
+    val bases = rowBases(root, v)
+    val dv = dvState(root, v)
+    val basesDf = {
+      import s.implicits._
+      broadcast(bases.toSeq.map { case (r, b) =>
+        (Paths.get(r).getFileName.toString, b) }.toDF("__rt_file", "__rt_base"))
+    }
+    val (withIds, plain) = rels.partition(r => footerHasColumn(root, r, RowIdCol))
+    def scan(rs: Seq[String], materialized: Boolean): Option[DataFrame] =
+      if (rs.isEmpty) None else {
+        val paths = rs.map(r => Paths.get(root, r).toString)
+        // the explicit evolved-schema capture never lists __row_id, so
+        // materialized files read via footer inference (mergeSchema
+        // handles a mixed-width subset the same way the capture would)
+        val df0 =
+          if (!materialized) subsetReader(s, root, v).parquet(paths: _*)
+          else s.read.option("mergeSchema", "true").parquet(paths: _*)
+        val withPos = df0
+          .withColumn("__rt_file", element_at(fsplit(col("_metadata.file_path"), "/"), -1))
+          .withColumn("__rt_idx", col("_metadata.row_index"))
+        val rsDv = rs.filter(dv.contains)
+        val filtered = if (rsDv.isEmpty) withPos else {
+          val pairs = rsDv.map { rel =>
+            s.read.parquet(Paths.get(root, dv(rel)).toString)
+              .select(col("idx").as("__rt_idx"),
+                lit(Paths.get(rel).getFileName.toString).as("__rt_file"))
+          }.reduce(_ unionByName _)
+          withPos.join(broadcast(pairs), Seq("__rt_file", "__rt_idx"), "left_anti")
+        }
+        val joined = filtered.join(basesDf, Seq("__rt_file"), "left")
+        val idCol = if (materialized)
+          coalesce(col(RowIdCol), col("__rt_base") + col("__rt_idx"))
+        else col("__rt_base") + col("__rt_idx")
+        val keep = df0.columns.filterNot(_ == RowIdCol).toIndexedSeq
+        Some(joined.select((keep.map(col) :+ idCol.as(RowIdCol)): _*))
+      }
+    Seq(scan(plain, materialized = false), scan(withIds, materialized = true))
+      .flatten.reduce(_ unionByName(_, allowMissingColumns = true))
   }
 
   /** The ONE SET/UNSET TBLPROPERTIES policy, shared by the catalog
@@ -1402,9 +1590,23 @@ object SnapshotTable {
                 "or restore to a version whose data satisfies it")
           }
         }
-        val meta = (carriedNow -- fromTarget) ++
+        val meta0 = (carriedNow -- fromTarget) ++
           manifestMeta(root, toVersion).filter(kv => fromTarget.contains(kv._1)) +
           ("restore" -> s"v$toVersion")
+        // ROW TRACKING across a restore: a re-listed file keeps the id
+        // base it had at the TARGET version, falling back to its
+        // CURRENT base (restoring past the enable commit re-lists the
+        // same physical files — their rows must not be re-identified);
+        // rowhw stays the CURRENT mark, which is monotone by
+        // construction, so post-restore fresh ids never reuse one
+        val meta = if (!carriedNow.get("rowtracking").contains("on")) meta0
+          else {
+            val tgt = rowBasesOf(manifestMeta(root, toVersion))
+            val curB = rowBasesOf(carriedNow)
+            val merged = manifestEntries(root, toVersion).flatMap(e =>
+              tgt.get(e.rel).orElse(curB.get(e.rel)).map(e.rel -> _)).toMap
+            meta0 - "rowbase" ++ fmtRowBases(merged).map("rowbase" -> _)
+          }
         try result = commitEntries(root, cur, manifestEntries(root, toVersion),
           shardSize = 16, meta)
         catch { case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) }
@@ -1456,11 +1658,21 @@ object SnapshotTable {
     val dvMeta = fmtDv(dvState(srcRoot, v).map { case (r, d) => (reRel(r), reRel(d)) })
     // CHECK constraints and generation expressions travel with the
     // data they describe (Delta's clone carries table properties):
-    // the clone enforces them from its first write on
-    val meta = manifestMeta(srcRoot, v)
+    // the clone enforces them from its first write on. Row tracking
+    // carries too — the clone's re-pointed entries keep their SOURCE
+    // bases (same physical files, same row identities), and the
+    // high-water mark seeds clone-local fresh ranges
+    val srcMeta = manifestMeta(srcRoot, v)
+    val rtMeta: Map[String, String] =
+      if (!srcMeta.get("rowtracking").contains("on")) Map.empty
+      else Map("rowtracking" -> "on") ++
+        srcMeta.get("rowhw").map("rowhw" -> _) ++
+        fmtRowBases(rowBasesOf(srcMeta).map { case (r, b) => (reRel(r), b) })
+          .map("rowbase" -> _)
+    val meta = srcMeta
       .filter(kv => keep.contains(kv._1) || kv._1.startsWith("check.") ||
         kv._1.startsWith("gen.")) ++
-      dvMeta.map("dv" -> _) +
+      dvMeta.map("dv" -> _) ++ rtMeta +
       ("clone" -> s"shallow:${Paths.get(srcRoot).toAbsolutePath.normalize}@v$v")
     commitEntries(dstRoot, 0, entries, shardSize = 16, meta)
   }
@@ -1675,10 +1887,22 @@ object SnapshotTable {
       targetFiles: Int, shardSize: Int = 4): Int = {
     val v = currentVersion(root)
     val tag = java.util.UUID.randomUUID().toString.take(8)
+    // ROW-TRACKED tables rewrite WITH their ids: the compaction moves
+    // every row, so identity survives only by materializing __row_id
+    // into the new files — and the materialized mapping must then KEEP
+    // an (identity) colmap entry, the mechanism that hides the id
+    // column from plain reads
+    val rt = v > 0 && manifestMeta(root, v).get("rowtracking").contains("on")
+    val content =
+      if (!rt) readAt(s, root, v)
+      else readWithRowIdsAt(s, root, v).withColumnRenamed("_row_id", RowIdCol)
     val rels = writeDataFiles(
-      readAt(s, root, v).repartitionByRange(targetFiles, col(keyCol)),
+      content.repartitionByRange(targetFiles, col(keyCol)),
       root, s"opt_$tag")
     val entries = rels.map(footerEntry(root, _, keyCol))
+    val rtMeta = if (!rt) Map.empty[String, String]
+      else Map("colmap" -> fmtColMap(
+        content.columns.filterNot(_ == RowIdCol).toIndexedSeq.map(c => (c, c))))
     // carry watermarks/statsCol forward (see carriedMeta) minus `schema`:
     // a full rewrite reads the merged schema and writes uniform-width
     // files, so the evolution marker no longer describes the new layout;
@@ -1690,7 +1914,7 @@ object SnapshotTable {
     // REORG TABLE ... APPLY (PURGE) performs
     commitEntries(root, v, entries, shardSize,
       carriedMeta(root, v) - "schema" - "schemaJson" - "colmap" - "dv" - "widen" ++
-        Map("optimize" -> s"clustered:$keyCol", "statsCol" -> keyCol))
+        rtMeta ++ Map("optimize" -> s"clustered:$keyCol", "statsCol" -> keyCol))
   }
 
   /** SCOPED OPTIMIZE — compact ONLY the files whose key range
@@ -1734,8 +1958,13 @@ object SnapshotTable {
     if (touched.isEmpty) return v
     val tag = java.util.UUID.randomUUID().toString.take(8)
     // physical-namespace rewrite: DV-applied content, same columns the
-    // files already carry (dropped physicals ride along untouched)
-    val content = readRelsDv(s, root, v, touched.map(_.rel))
+    // files already carry (dropped physicals ride along untouched;
+    // row-tracked tables read WITH ids so the compacted files keep
+    // their rows' identities materialized)
+    val content =
+      if (carried.get("rowtracking").contains("on"))
+        relsWithIds(s, root, v, touched.map(_.rel))
+      else readRelsDv(s, root, v, touched.map(_.rel))
     val rels = writeDataFiles(
       conformNullability(content, fileNullability(root, touched.head.rel))
         .repartitionByRange(math.max(1, targetFiles), col(statsPhys)),
@@ -1782,7 +2011,9 @@ object SnapshotTable {
     // without silently widening rewritten files — materialize first
     map.foreach { m =>
       val resident = readAtPhysical(s, root, v).columns
-      val unmapped = resident.filterNot(c => m.exists(_._2 == c))
+      // __row_id is the ROW-TRACKING materialization column, not a
+      // dropped user column — the keyed rewrite threads it explicitly
+      val unmapped = resident.filterNot(c => m.exists(_._2 == c) || c == RowIdCol)
       require(unmapped.isEmpty,
         s"merge on $root: table carries dropped columns (${unmapped.mkString(",")}) " +
           "under column mapping — OPTIMIZE ... CLUSTER BY to materialize the " +
@@ -1808,6 +2039,14 @@ object SnapshotTable {
     // narrower than the files it touches must fail loudly, not drop a
     // column from surviving rows.
     val cols = changes.columns.filterNot(_ == "op").toIndexedSeq
+    // row-tracked tables read the affected files WITH ids once; the
+    // logical contract view below derives from it (toLogical hides the
+    // unmapped __row_id), and the keyed rewrite threads the ids
+    val rowTracked = carried.get("rowtracking").contains("on")
+    val oldPhysIds: Option[DataFrame] =
+      if (rowTracked && affected.nonEmpty)
+        Some(relsWithIds(s, root, v, affected.map(_.rel)).localCheckpoint(false))
+      else None
     val old0 =
       // a changeset of only NEW keys can prune to zero files (growth
       // batches in the streaming upsert sink): valid — nothing to
@@ -1818,8 +2057,8 @@ object SnapshotTable {
       // the keyed union, CDC images — speaks the changeset's names.
       // Deletion vectors apply inside the read, so a rewrite of a
       // DV'd file can never resurrect its deleted rows.
-      else toLogical(readRelsDv(s, root, v,
-        affected.map(_.rel)), map)
+      else oldPhysIds.map(toLogical(_, map)).getOrElse(
+        toLogical(readRelsDv(s, root, v, affected.map(_.rel)), map))
     require(old0.columns.forall(cols.contains),
       s"merge on $root: changeset lacks table columns " +
         s"${old0.columns.filterNot(cols.contains).mkString(",")} — a merge must carry " +
@@ -1899,7 +2138,25 @@ object SnapshotTable {
     val upserts = enforceChecks(
       changes.filter(col("op") =!= "d").select(cols.map(col): _*),
       checksOf(carried), s"MERGE on $root")
-    val rewritten = old.join(dropIds, Seq(idCol), "left_anti").unionByName(upserts)
+    // ROW TRACKING through the keyed rewrite: kept rows carry their own
+    // ids, an upsert of an EXISTING key INHERITS the id of the row it
+    // replaces (min over key duplicates — the keyed-merge collapse
+    // contract), and a new key's NULL id resolves to base + position
+    // at read (a genuinely new row gets a fresh identity).
+    val rewritten = oldPhysIds match {
+      case None => old.join(dropIds, Seq(idCol), "left_anti").unionByName(upserts)
+      case Some(p) =>
+        val sel = map.get.collect {
+          case (l, ph) if p.columns.contains(ph) => col(ph).as(l) }
+        val owi0 = p.select((sel :+ col(RowIdCol)): _*)
+        val owi = cols.foldLeft(owi0)((df, c) =>
+          if (df.columns.contains(c)) df
+          else df.withColumn(c, lit(null).cast(changes.schema(c).dataType)))
+          .select((cols.map(col) :+ col(RowIdCol)): _*)
+        val idsByKey = owi.groupBy(col(idCol)).agg(min(col(RowIdCol)).as(RowIdCol))
+        owi.join(dropIds, Seq(idCol), "left_anti")
+          .unionByName(upserts.join(idsByKey, Seq(idCol), "left"))
+    }
     val tag = java.util.UUID.randomUUID().toString.take(8)
     // Row-grain CHANGE DATA FEED (Delta's _change_data design): when
     // the table opts in (`cdf=row` meta, carried forward like
@@ -2646,7 +2903,13 @@ object SnapshotTable {
     // file-grain change feed stays correct for free (the new file
     // streams as inserts, the DV delta as the preimage deletes); with
     // cdf=row the exact update images are registered instead.
-    if (carried.get("dvmode").contains("on")) {
+    // ROW-TRACKED tables skip the merge-on-read branch for UPDATE: the
+    // postimage file moves rows out of their position-derived identity
+    // and would need the preimage ids threaded through mergeOnRead's
+    // hit plumbing — copy-on-write materializes them naturally (the
+    // MoR DELETE path below has no such problem: ordinals survive).
+    val rowTracked = carried.get("rowtracking").contains("on")
+    if (carried.get("dvmode").contains("on") && !rowTracked) {
       val mor = mergeOnRead(s, root, v, touched, map, cond, shardSize,
         extraMeta, auditKey = "update", auditPrefix = "mor",
         cdcRows = if (!carried.get("cdf").contains("row")) None else Some { h =>
@@ -2679,7 +2942,11 @@ object SnapshotTable {
     // so the touched-file read converts to the logical view (dropped
     // physicals ride along inert — rewritten files keep full physical
     // width) and converts back for the write. Identity mapping = no-op.
-    val old = toLogicalFull(readRelsDv(s, root, v, touched.map(_.rel)), map)
+    // Row-tracked tables read WITH ids: __row_id rides the rewrite as
+    // an unmapped physical and lands materialized in the new files.
+    val old = toLogicalFull(
+      if (rowTracked) relsWithIds(s, root, v, touched.map(_.rel))
+      else readRelsDv(s, root, v, touched.map(_.rel)), map)
     val updated = setProjection(old, Some(cond))
     val tag = java.util.UUID.randomUUID().toString.take(8)
     // row-grain CDF (see merge). The images cost a second pass over
@@ -2767,8 +3034,12 @@ object SnapshotTable {
       // over the cap: fall through to copy-on-write below
     }
     // logical view for the predicate, physical for the write (see
-    // update; dropped physicals carry through the rewrite)
-    val oldView = toLogicalFull(readRelsDv(s, root, v, touched.map(_.rel)), map)
+    // update; dropped physicals carry through the rewrite; row-tracked
+    // tables carry materialized ids the same way)
+    val oldView = toLogicalFull(
+      if (carried.get("rowtracking").contains("on"))
+        relsWithIds(s, root, v, touched.map(_.rel))
+      else readRelsDv(s, root, v, touched.map(_.rel)), map)
     val kept = oldView.filter(not(coalesce(cond, lit(false))))
     val tag = java.util.UUID.randomUUID().toString.take(8)
     // row-grain CDF (see merge): a DELETE's images are just the
@@ -3370,7 +3641,9 @@ object SnapshotTable {
   def optimizeZOrder(s: SparkSession, root: String, colA: String, colB: String,
       targetFiles: Int, shardSize: Int = 4): Int = {
     val v = currentVersion(root)
-    val df = readAt(s, root, v)
+    val rt = v > 0 && manifestMeta(root, v).get("rowtracking").contains("on")
+    val df = if (!rt) readAt(s, root, v)
+      else readWithRowIdsAt(s, root, v).withColumnRenamed("_row_id", RowIdCol)
     val b = df.agg(min(col(colA)), max(col(colA)),
       min(col(colB)), max(col(colB))).head()
     val (alo, ahi, blo, bhi) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getLong(3))
@@ -3382,13 +3655,17 @@ object SnapshotTable {
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val rels = writeDataFiles(zordered, root, s"z_$tag")
     val entries = rels.map(footerEntryMulti(root, _, colA, Seq(colB)))
+    val rtMeta = if (!rt) Map.empty[String, String]
+      else Map("colmap" -> fmtColMap(
+        df.columns.filterNot(_ == RowIdCol).toIndexedSeq.map(c => (c, c))))
     // full rewrite: carry watermarks forward, drop `schema` (files are
     // uniform-width now), re-point statsCol at the new primary column;
     // `colmap` drops too — the rewrite read the logical view, so this
-    // MATERIALIZES any column mapping (see optimizeClustered)
+    // MATERIALIZES any column mapping (see optimizeClustered; a
+    // row-tracked table keeps an identity mapping to hide __row_id)
     commitEntries(root, v, entries, shardSize,
       carriedMeta(root, v) - "schema" - "schemaJson" - "colmap" - "dv" - "widen" ++
-        Map("optimize" -> s"zorder:$colA,$colB", "statsCol" -> colA))
+        rtMeta ++ Map("optimize" -> s"zorder:$colA,$colB", "statsCol" -> colA))
   }
 
   /** Box-query planning: the entries whose stats intersect EVERY
@@ -3569,6 +3846,7 @@ object SnapshotTable {
     "x38_check_constraint" -> (x38CheckConstraint _, Some(x38Sql)),
     "x39_type_widening" -> (x39TypeWidening _, Some(x39Sql)),
     "x40_generated_columns" -> (x40GeneratedColumns _, Some(x40Sql)),
+    "x41_row_tracking" -> (x41RowTracking _, Some(x41Sql)),
   )
 
   /** x24_catalog_sql — the name-addressed warehouse surface end-to-end
@@ -4288,6 +4566,58 @@ object SnapshotTable {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
       .orderBy("ep_day")
   }
+
+  /** x41_row_tracking — ROW TRACKING (Delta 3.x's row IDs): every row
+    * a stable numeric identity across DML. The proof is load-bearing:
+    * the query captures (id, key, value) BEFORE a value-shifting
+    * UPDATE and a DELETE, re-reads after, joins PRE to POST **on
+    * `_row_id` alone**, and aggregates per day — survivor counts,
+    * changed-value counts, key-consistency counts and the value delta
+    * all come THROUGH the id join, so if one id moved, vanished or
+    * crossed rows, the join drops or mismatches rows and the DuckDB
+    * recompute (which derives the same numbers from the raw events)
+    * diverges. The UPDATE is copy-on-write here, so ids survive only
+    * because the rewrite MATERIALIZES them — exactly the machinery
+    * under test. */
+  def x41RowTracking(s: SparkSession, d: String): DataFrame = {
+    val root = Engine.tmpDir("graft_x41_rt")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    val ev = Tables.events(s, d)
+      .filter(col("event_id") % X29Mod === 0)
+      .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+      .select("event_id", "ep_day", "value")
+    commitEntries(root, 0,
+      writeDataFiles(ev.repartitionByRange(7, col("ep_day")), root, "seed")
+        .map(footerEntry(root, _, "ep_day")),
+      16, Map("statsCol" -> "ep_day"))
+    enableRowTracking(s, root)
+    val pre = readWithRowIds(s, root)
+      .select(col("_row_id"), col("event_id").as("pre_eid"),
+        col("value").as("pre_v")).localCheckpoint(true)
+    update(s, root, Seq("value" -> "value + 50.0"), "event_id % 11 = 3")
+    delete(s, root, "event_id % 13 = 5")
+    readWithRowIds(s, root).join(pre, Seq("_row_id"))
+      .groupBy(col("ep_day"))
+      .agg(count(lit(1)).as("n_survivors"),
+        sum(when(col("value") =!= col("pre_v"), 1L).otherwise(0L)).as("n_updated"),
+        sum(when(col("event_id") === col("pre_eid"), 1L).otherwise(0L))
+          .as("n_key_consistent"),
+        round(sum(col("value") - col("pre_v")), 2).as("delta_sum"))
+      .orderBy("ep_day")
+  }
+
+  val x41Sql: String =
+    s"""WITH e AS (SELECT event_id, value,
+       |    CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day
+       |  FROM events WHERE event_id % $X29Mod = 0),
+       |s AS (SELECT * FROM e WHERE event_id % 13 != 5)
+       |SELECT ep_day, COUNT(*) AS n_survivors,
+       |  CAST(SUM(CASE WHEN event_id % 11 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_updated,
+       |  COUNT(*) AS n_key_consistent,
+       |  ROUND(SUM(CASE WHEN event_id % 11 = 3 THEN 50.0 ELSE 0 END), 2)
+       |    AS delta_sum
+       |FROM s GROUP BY ep_day ORDER BY ep_day""".stripMargin
 
   val x40Sql: String =
     s"""WITH e AS (SELECT user_id, value,
