@@ -476,6 +476,61 @@ object ScaleProbe {
       spark.sql(s"UPDATE '$work/wh/x40p_gen' SET sec = sec + 86400 " +
         "WHERE event_id % 37 = 3").collect(); 1L
     }
+    // r14: row tracking — the id read must price like a plain scan plus
+    // one broadcast join (bases are driver-side metadata), and a
+    // CoW rewrite's id materialization must price inside the rewrite's
+    // own noise (one extra int64 column on exactly the moved rows)
+    time("x41_stage_rt_fixture") {
+      val ST = operators.SnapshotTable
+      val root = s"$work/snap_rt"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+      val ev = spark.read.parquet(s"$work/events.parquet")
+        .selectExpr("event_id", "CAST(value * 1000 AS BIGINT) AS sec")
+        .withColumn("d", expr("sec div 86400"))
+      ST.commitEntries(root, 0,
+        ST.writeDataFiles(ev.repartitionByRange(7, col("d")), root, "seed")
+          .map(ST.footerEntry(root, _, "d")),
+        16, Map("statsCol" -> "d"))
+      ST.enableRowTracking(spark, root)
+      ST.read(spark, root).count()
+    }
+    time("x41_plain_scan_ref") {
+      // agg over a data column, NOT count(): count is manifest-served
+      // and would price the reference at zero IO (the x39 probe trap)
+      val ST = operators.SnapshotTable
+      ST.read(spark, s"$work/snap_rt").agg(max(col("sec"))).collect(); 1L
+    }
+    time("x41_id_scan") {
+      val ST = operators.SnapshotTable
+      ST.readWithRowIds(spark, s"$work/snap_rt")
+        .agg(max(col("_row_id"))).collect(); 1L
+    }
+    time("x41_update_plain_ref") {
+      // untracked twin: same data, same UPDATE — the delta is the id
+      // materialization (read positions + one extra int64 column)
+      val ST = operators.SnapshotTable
+      val root = s"$work/snap_rt_plain"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+      val ev = spark.read.parquet(s"$work/events.parquet")
+        .selectExpr("event_id", "CAST(value * 1000 AS BIGINT) AS sec")
+        .withColumn("d", expr("sec div 86400"))
+      ST.commitEntries(root, 0,
+        ST.writeDataFiles(ev.repartitionByRange(7, col("d")), root, "seed")
+          .map(ST.footerEntry(root, _, "d")),
+        16, Map("statsCol" -> "d"))
+      ST.update(spark, root, Seq("sec" -> "sec + 1"),
+        "event_id % 37 = 3"); 1L
+    }
+    time("x41_update_materialize") {
+      val ST = operators.SnapshotTable
+      ST.update(spark, s"$work/snap_rt", Seq("sec" -> "sec + 1"),
+        "event_id % 37 = 3"); 1L
+    }
+    time("x41_id_scan_mixed") {
+      val ST = operators.SnapshotTable
+      ST.readWithRowIds(spark, s"$work/snap_rt")
+        .agg(max(col("_row_id"))).collect(); 1L
+    }
     // r14: scoped OPTIMIZE — the WHERE-window compaction must price
     // with the WINDOW's bytes, not the table's (the full form is the
     // reference; at 32× the gap is the whole point of the verb)
