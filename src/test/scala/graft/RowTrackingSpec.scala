@@ -136,6 +136,55 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(m3(200L) > m2.values.max, "fresh id collided after optimize")
   }
 
+  test("interop: widen + row-CDF + generated columns compose with tracking") {
+    val root = fresh("interop")
+    ST.setTableFlags(root, Map("cdf" -> "row"))
+    ST.setGeneratedColumn(spark, root, "v", "CAST(k AS DOUBLE)")
+    val before = ids(root)
+    // an UPDATE under ALL the machinery at once: gen recompute (k is
+    // not SET so v re-derives to itself), row-grain CDC images, id
+    // materialization — ids stable, values right, feed readable
+    ST.update(spark, root, Seq("k" -> "k + 1000"), "k = 39")
+    // wait: k is the stats/cluster col — SET on it is allowed for
+    // UPDATE (only merge refuses); the row re-derives v = k + 1000
+    val rows = ST.readWithRowIds(spark, root).select("k", "v", "_row_id")
+      .as[(Long, Double, Long)].collect().map { case (k, v, id) => (k, (v, id)) }.toMap
+    assert(rows.contains(1039L) && rows(1039L)._1 == 1039.0)
+    assert(rows(1039L)._2 == before(39L), "updated row changed id")
+    before.filterNot(_._1 == 39L).foreach { case (k, id) =>
+      assert(rows(k)._2 == id, s"row $k moved") }
+    // the row-grain feed still reads (the CDC files carry __row_id
+    // inertly; the feed projects its own columns)
+    val feed = spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true").option("afterVersion",
+        (ST.currentVersion(root) - 1).toString).load(root)
+    val types = feed.select("_change_type").as[String].collect().sorted
+    assert(types.toSeq == Seq("update_postimage", "update_preimage"), types.toSeq)
+    // widen the value column: mixed widths + mixed id layouts read
+    ST.widenColumn(spark, root, "k", org.apache.spark.sql.types.LongType) // no-op (already long)
+    val m2 = ids(root)
+    assert(m2.values.toSet.size == m2.size)
+  }
+
+  test("racing appends assign disjoint fresh ranges (CAS serializes the mark)") {
+    import graft.sources.{SnapshotCommit, SnapshotFileCommit}
+    val root = fresh("race")
+    val hw0 = ST.manifestMeta(root, ST.currentVersion(root))("rowhw").toLong
+    // two independent writers stage files, then race their commits —
+    // the CAS loser re-reads the winner's high-water mark, so the two
+    // fresh ranges cannot overlap
+    val relA = ST.writeDataFiles(Seq((201L, 1.0)).toDF("k", "v").coalesce(1), root, "ra").head
+    val relB = ST.writeDataFiles(Seq((202L, 2.0), (203L, 3.0)).toDF("k", "v")
+      .coalesce(1), root, "rb").head
+    val t1 = new Thread(() => SnapshotCommit.append(root, Array(SnapshotFileCommit(relA)), Map.empty))
+    val t2 = new Thread(() => SnapshotCommit.append(root, Array(SnapshotFileCommit(relB)), Map.empty))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val m = ids(root)
+    assert(m.size == 43 && m.values.toSet.size == 43, "id collision under race")
+    assert(Seq(201L, 202L, 203L).map(m).forall(_ >= hw0))
+    assert(ST.manifestMeta(root, ST.currentVersion(root))("rowhw").toLong == hw0 + 3)
+  }
+
   test("clone and restore carry identities; reserved name refused") {
     val root = fresh("clone_src")
     val before = ids(root)
