@@ -2043,6 +2043,9 @@ object SnapshotTable {
     // logical contract view below derives from it (toLogical hides the
     // unmapped __row_id), and the keyed rewrite threads the ids
     val rowTracked = carried.get("rowtracking").contains("on")
+    require(!changes.columns.exists(_.equalsIgnoreCase(RowIdCol)),
+      s"merge on $root: the changeset may not carry $RowIdCol — row ids are " +
+        "assigned by the engine (updates inherit, inserts mint fresh)")
     val oldPhysIds: Option[DataFrame] =
       if (rowTracked && affected.nonEmpty)
         Some(relsWithIds(s, root, v, affected.map(_.rel)).localCheckpoint(false))

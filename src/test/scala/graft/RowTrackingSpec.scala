@@ -113,6 +113,11 @@ class RowTrackingSpec extends AnyFunSuite {
     val vals = ST.read(spark, root).filter("k in (5, 6, 41)")
       .select("k", "v").as[(Long, Double)].collect().toMap
     assert(vals == Map(5L -> 555.0, 6L -> 666.0, 41L -> 41.0), vals.toString)
+    // a changeset smuggling its own __row_id refuses — the engine owns ids
+    val e = intercept[Exception](ST.merge(spark, root, clusterCol = "k",
+      idCol = "k", changes = Seq((50L, 1.0, 7L, "i"))
+        .toDF("k", "v", "__row_id", "op")))
+    assert(e.getMessage.contains("assigned by the engine"), e.getMessage)
   }
 
   test("OPTIMIZE (full and scoped) compacts without re-identifying a single row") {
