@@ -505,9 +505,9 @@ object ScaleProbe {
       ST.readWithRowIds(spark, s"$work/snap_rt")
         .agg(max(col("_row_id"))).collect(); 1L
     }
-    time("x41_update_plain_ref") {
-      // untracked twin: same data, same UPDATE — the delta is the id
-      // materialization (read positions + one extra int64 column)
+    time("x41_stage_plain_twin") {
+      // staging OUTSIDE the comparison timers (r14 review: the first
+      // probe billed the twin's CTAS to the reference UPDATE)
       val ST = operators.SnapshotTable
       val root = s"$work/snap_rt_plain"
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
@@ -518,7 +518,13 @@ object ScaleProbe {
         ST.writeDataFiles(ev.repartitionByRange(7, col("d")), root, "seed")
           .map(ST.footerEntry(root, _, "d")),
         16, Map("statsCol" -> "d"))
-      ST.update(spark, root, Seq("sec" -> "sec + 1"),
+      ST.read(spark, root).count()
+    }
+    time("x41_update_plain_ref") {
+      // untracked twin: same data, same UPDATE — the delta is the id
+      // materialization (read positions + one extra int64 column)
+      val ST = operators.SnapshotTable
+      ST.update(spark, s"$work/snap_rt_plain", Seq("sec" -> "sec + 1"),
         "event_id % 37 = 3"); 1L
     }
     time("x41_update_materialize") {
@@ -527,9 +533,30 @@ object ScaleProbe {
         "event_id % 37 = 3"); 1L
     }
     time("x41_id_scan_mixed") {
+      // a GENUINELY mixed layout: the % 37 update above touched every
+      // day file (dense event_ids), so scope a fresh one-day update on
+      // the twin... the TRACKED table is already all-materialized; re-
+      // stage a third table with ONE day materialized instead
       val ST = operators.SnapshotTable
-      ST.readWithRowIds(spark, s"$work/snap_rt")
-        .agg(max(col("_row_id"))).collect(); 1L
+      val root = s"$work/snap_rt_mixed"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+      val ev = spark.read.parquet(s"$work/events.parquet")
+        .selectExpr("event_id", "CAST(value * 1000 AS BIGINT) AS sec")
+        .withColumn("d", expr("sec div 86400"))
+      ST.commitEntries(root, 0,
+        ST.writeDataFiles(ev.repartitionByRange(7, col("d")), root, "seed")
+          .map(ST.footerEntry(root, _, "d")),
+        16, Map("statsCol" -> "d"))
+      ST.enableRowTracking(spark, root)
+      val days = ST.read(spark, root).agg(min(col("d"))).head().getLong(0)
+      ST.update(spark, root, Seq("sec" -> "sec + 1"), s"d = $days")
+      val mat = ST.rowMatOf(ST.manifestMeta(root, ST.currentVersion(root))).size
+      val tot = ST.manifestEntries(root, ST.currentVersion(root)).size
+      println(s"[scale] x41 mixed layout: $mat of $tot files materialized")
+      val t0 = System.nanoTime()
+      ST.readWithRowIds(spark, root).agg(max(col("_row_id"))).collect()
+      println(f"[scale] x41_id_scan_mixed_inner t=${(System.nanoTime() - t0) / 1e9}%.2f")
+      1L
     }
     // r14: scoped OPTIMIZE — the WHERE-window compaction must price
     // with the WINDOW's bytes, not the table's (the full form is the

@@ -310,7 +310,15 @@ object SnapshotTable {
             val b = hw; hw += e.rows; e.rel -> b
         }
       }
-      meta0 ++ fmtRowBases(assigned.toMap).map("rowbase" -> _) +
+      // the materialization bits: carried rels keep theirs, the
+      // committer's rowmat_new hint tags this commit's rewritten files
+      val matNow = (rowMatOf(meta0) ++
+        meta0.get("rowmat_new").map(_.split(';').filter(_.nonEmpty).toSet)
+          .getOrElse(Set.empty))
+        .intersect(entries.map(_.rel).toSet)
+      meta0 - "rowmat_new" - "rowmat" ++
+        fmtRowMat(matNow).map("rowmat" -> _) ++
+        fmtRowBases(assigned.toMap).map("rowbase" -> _) +
         ("rowhw" -> hw.toString)
     }
     val entryLines =
@@ -874,6 +882,19 @@ object SnapshotTable {
     if (m.isEmpty) None
     else Some(m.toSeq.sorted.map { case (r, b) => s"$r=$b" }.mkString(";"))
 
+  /** The rels whose files carry a MATERIALIZED __row_id column, as
+    * recorded in the manifest (`rowmat`) — pure manifest arithmetic,
+    * never a footer sweep (r14 review: probing every footer per
+    * statement is O(files) driver IO at exactly the scale the feature
+    * targets). Maintained by [[commitEntries]]: carried rels keep
+    * their bit, the committing writer declares its new materialized
+    * rels via the one-commit `rowmat_new` hint. */
+  private[graft] def rowMatOf(meta: Map[String, String]): Set[String] =
+    meta.get("rowmat").map(_.split(';').filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+
+  private[graft] def fmtRowMat(m: Set[String]): Option[String] =
+    if (m.isEmpty) None else Some(m.toSeq.sorted.mkString(";"))
+
   /** Opt a table into ROW TRACKING (Delta 3.x's row IDs): every row
     * gets a STABLE numeric identity that survives appends, deletes,
     * deletion-vector DML and copy-on-write rewrites — the join key
@@ -967,16 +988,27 @@ object SnapshotTable {
       broadcast(bases.toSeq.map { case (r, b) =>
         (Paths.get(r).getFileName.toString, b) }.toDF("__rt_file", "__rt_base"))
     }
-    val (withIds, plain) = rels.partition(r => footerHasColumn(root, r, RowIdCol))
+    val mat = rowMatOf(manifestMeta(root, v))
+    val (withIds, plain) = rels.partition(mat.contains)
     def scan(rs: Seq[String], materialized: Boolean): Option[DataFrame] =
       if (rs.isEmpty) None else {
         val paths = rs.map(r => Paths.get(root, r).toString)
-        // the explicit evolved-schema capture never lists __row_id, so
-        // materialized files read via footer inference (mergeSchema
-        // handles a mixed-width subset the same way the capture would)
+        // materialized files read under the TABLE's physical schema of
+        // record PLUS __row_id — an explicit schema, so a mixed-width
+        // subset upcasts in-slot exactly like the capture path (footer
+        // inference would refuse int-vs-long merges), and a
+        // metadata-added column null-fills instead of silently
+        // vanishing (r14 review)
         val df0 =
           if (!materialized) subsetReader(s, root, v).parquet(paths: _*)
-          else s.read.option("mergeSchema", "true").parquet(paths: _*)
+          else {
+            val phys = readAtPhysical(s, root, v).schema
+            val schema = org.apache.spark.sql.types.StructType(
+              phys.fields.filterNot(_.name == RowIdCol).map(_.copy(nullable = true)) :+
+                org.apache.spark.sql.types.StructField(RowIdCol,
+                  org.apache.spark.sql.types.LongType, nullable = true))
+            s.read.schema(schema).parquet(paths: _*)
+          }
         val withPos = df0
           .withColumn("__rt_file", element_at(fsplit(col("_metadata.file_path"), "/"), -1))
           .withColumn("__rt_idx", col("_metadata.row_index"))
@@ -1595,17 +1627,60 @@ object SnapshotTable {
           ("restore" -> s"v$toVersion")
         // ROW TRACKING across a restore: a re-listed file keeps the id
         // base it had at the TARGET version, falling back to its
-        // CURRENT base (restoring past the enable commit re-lists the
-        // same physical files — their rows must not be re-identified);
-        // rowhw stays the CURRENT mark, which is monotone by
-        // construction, so post-restore fresh ids never reuse one
+        // CURRENT base, and past that to ANY retained manifest that
+        // still knows it (restoring past the enable commit re-lists
+        // physical files that may have been rewritten away since —
+        // their original bases live only in intermediate manifests;
+        // bases are assigned once per rel and never change, so the
+        // first hit is THE base). A rel no retained manifest knows
+        // gets a fresh range — honest, and only reachable when the
+        // knowing manifests were vacuumed. rowhw stays the CURRENT
+        // mark, monotone by construction, so post-restore fresh ids
+        // never reuse one. The materialization bits merge the same
+        // way (the files themselves are immutable).
         val meta = if (!carriedNow.get("rowtracking").contains("on")) meta0
           else {
             val tgt = rowBasesOf(manifestMeta(root, toVersion))
             val curB = rowBasesOf(carriedNow)
-            val merged = manifestEntries(root, toVersion).flatMap(e =>
-              tgt.get(e.rel).orElse(curB.get(e.rel)).map(e.rel -> _)).toMap
-            meta0 - "rowbase" ++ fmtRowBases(merged).map("rowbase" -> _)
+            val tgtEntries = manifestEntries(root, toVersion)
+            var missing = tgtEntries.map(_.rel)
+              .filterNot(r => tgt.contains(r) || curB.contains(r)).toSet
+            val dug = scala.collection.mutable.Map.empty[String, Long]
+            val dugMat = scala.collection.mutable.Set.empty[String]
+            var vi = cur - 1
+            while (missing.nonEmpty && vi >= 1) {
+              if (Files.exists(manifestPath(root, vi))) {
+                val m = manifestMeta(root, vi)
+                val found = rowBasesOf(m).filter(kv => missing.contains(kv._1))
+                dug ++= found
+                dugMat ++= rowMatOf(m).intersect(found.keySet)
+                missing --= found.keySet
+              }
+              vi -= 1
+            }
+            val merged = tgtEntries.flatMap(e =>
+              tgt.get(e.rel).orElse(curB.get(e.rel)).orElse(dug.get(e.rel))
+                .map(e.rel -> _)).toMap
+            val matMerged = (rowMatOf(manifestMeta(root, toVersion)) ++
+              rowMatOf(carriedNow) ++ dugMat)
+              .intersect(tgtEntries.map(_.rel).toSet)
+            // the hiding colmap must survive: restoring past the
+            // enable commit takes the TARGET's (absent) mapping, but a
+            // tracked table without one would EXPOSE materialized
+            // __row_id columns on the next rewrite — re-mint identity
+            // over the target's own columns (pre-enable files carry
+            // logical names; r14 review)
+            val mapFix =
+              if (meta0.contains("colmap")) Map.empty[String, String]
+              else {
+                val s2 = org.apache.spark.sql.SparkSession.active
+                Map("colmap" -> fmtColMap(
+                  readAtPhysical(s2, root, toVersion).columns
+                    .filterNot(_ == RowIdCol).toIndexedSeq.map(c => (c, c))))
+              }
+            meta0 - "rowbase" - "rowmat" ++
+              fmtRowBases(merged).map("rowbase" -> _) ++
+              fmtRowMat(matMerged).map("rowmat" -> _) ++ mapFix
           }
         try result = commitEntries(root, cur, manifestEntries(root, toVersion),
           shardSize = 16, meta)
@@ -1668,7 +1743,8 @@ object SnapshotTable {
       else Map("rowtracking" -> "on") ++
         srcMeta.get("rowhw").map("rowhw" -> _) ++
         fmtRowBases(rowBasesOf(srcMeta).map { case (r, b) => (reRel(r), b) })
-          .map("rowbase" -> _)
+          .map("rowbase" -> _) ++
+        fmtRowMat(rowMatOf(srcMeta).map(reRel)).map("rowmat" -> _)
     val meta = srcMeta
       .filter(kv => keep.contains(kv._1) || kv._1.startsWith("check.") ||
         kv._1.startsWith("gen.")) ++
@@ -1767,7 +1843,9 @@ object SnapshotTable {
       "cdc",
       // per-commit stamps, recomputed by commitEntries — a carried
       // `cts` would freeze the table's clock at the first ICT commit
-      "cts", "readerFeatures", "writerFeatures")
+      "cts", "readerFeatures", "writerFeatures",
+      // one-commit writer hint consumed by commitEntries' rowmat fold
+      "rowmat_new")
 
   /** Bounded optimistic-commit policy for every CAS retry loop. A
     * committer that dies between its createFile claim and the content
@@ -1914,7 +1992,9 @@ object SnapshotTable {
     // REORG TABLE ... APPLY (PURGE) performs
     commitEntries(root, v, entries, shardSize,
       carriedMeta(root, v) - "schema" - "schemaJson" - "colmap" - "dv" - "widen" ++
-        rtMeta ++ Map("optimize" -> s"clustered:$keyCol", "statsCol" -> keyCol))
+        rtMeta ++
+        (if (rt) Map("rowmat_new" -> entries.map(_.rel).mkString(";")) else Map.empty) ++
+        Map("optimize" -> s"clustered:$keyCol", "statsCol" -> keyCol))
   }
 
   /** SCOPED OPTIMIZE — compact ONLY the files whose key range
@@ -1974,7 +2054,9 @@ object SnapshotTable {
     // rides its own one-commit audit key (stripped by carriedMeta)
     commitRewrite(root, v, touched.map(_.rel).toSet, newEntries, shardSize,
       "optimize",
-      extraMeta = Map("optimize_scope" -> s"$keyCol:[$lo,$hi]"))
+      extraMeta = Map("optimize_scope" -> s"$keyCol:[$lo,$hi]") ++
+        (if (carried.get("rowtracking").contains("on"))
+          Map("rowmat_new" -> newEntries.map(_.rel).mkString(";")) else Map.empty))
   }
 
   /** MERGE — apply a keyed changeset to the table copy-on-write, the
@@ -2238,7 +2320,12 @@ object SnapshotTable {
         (if (addedCols.nonEmpty) Map("schema" -> s"evolved:+${addedCols.mkString(",")}")
          else Map.empty) ++
         unionJson.map("schemaJson" -> _) ++
-        cdcMeta.map("cdc" -> _) +
+        cdcMeta.map("cdc" -> _) ++
+        // the rewritten files carry materialized ids exactly when the
+        // id-threading branch ran (a prune-to-zero insert batch writes
+        // positional files)
+        (if (oldPhysIds.nonEmpty)
+          Map("rowmat_new" -> newEntries.map(_.rel).mkString(";")) else Map.empty) +
         ("merge" -> s"cow:$idCol:${affected.size}of${untouched.size + affected.size}"))
   }
 
@@ -2979,7 +3066,8 @@ object SnapshotTable {
       root, s"u_$tag")
     val newEntries = rels.map(footerEntry(root, _, statsPhys))
     commitRewrite(root, v, touchedSet, newEntries, shardSize, "update",
-      extraMeta ++ cdcMeta.map("cdc" -> _),
+      extraMeta ++ cdcMeta.map("cdc" -> _) ++
+        (if (rowTracked) Map("rowmat_new" -> rels.mkString(";")) else Map.empty),
       emptySchemaJson = Some(allNullableJson(readAtPhysical(s, root, v).schema)))
   }
 
@@ -3066,7 +3154,9 @@ object SnapshotTable {
     // the orphan file is vacuum garbage, never a torn table)
     val newEntries = rels.map(footerEntry(root, _, statsPhys)).filter(_.rows > 0)
     commitRewrite(root, v, touchedSet, newEntries, shardSize, "delete",
-      extraMeta ++ cdcMeta.map("cdc" -> _),
+      extraMeta ++ cdcMeta.map("cdc" -> _) ++
+        (if (carried.get("rowtracking").contains("on"))
+          Map("rowmat_new" -> newEntries.map(_.rel).mkString(";")) else Map.empty),
       emptySchemaJson = Some(allNullableJson(readAtPhysical(s, root, v).schema)))
   }
 
@@ -3668,7 +3758,9 @@ object SnapshotTable {
     // row-tracked table keeps an identity mapping to hide __row_id)
     commitEntries(root, v, entries, shardSize,
       carriedMeta(root, v) - "schema" - "schemaJson" - "colmap" - "dv" - "widen" ++
-        rtMeta ++ Map("optimize" -> s"zorder:$colA,$colB", "statsCol" -> colA))
+        rtMeta ++
+        (if (rt) Map("rowmat_new" -> entries.map(_.rel).mkString(";")) else Map.empty) ++
+        Map("optimize" -> s"zorder:$colA,$colB", "statsCol" -> colA))
   }
 
   /** Box-query planning: the entries whose stats intersect EVERY

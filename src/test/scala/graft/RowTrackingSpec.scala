@@ -190,6 +190,93 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(ST.manifestMeta(root, ST.currentVersion(root))("rowhw").toLong == hw0 + 3)
   }
 
+  test("materialization is manifest-recorded, and mixed WIDTHS across materialized files read (r14 review)") {
+    val root = fresh("widths", n = 40L, files = 2)
+    // make the value column int so it can widen
+    val root2 = Engine.tmpDir("graft_rt_widths2")
+    Engine.listDir(Paths.get(root2)).foreach(Engine.deleteRecursively)
+    ST.commitEntries(root2, 0,
+      ST.writeDataFiles((1L to 40L).map(k => (k, (k * 10).toInt)).toDF("k", "q")
+        .withColumn("q", col("q").cast("int"))
+        .repartitionByRange(2, col("k")), root2, "a")
+        .map(ST.footerEntry(root2, _, "k")),
+      16, Map("statsCol" -> "k"))
+    ST.enableRowTracking(spark, root2)
+    val before = ST.readWithRowIds(spark, root2).select("k", "_row_id")
+      .as[(Long, Long)].collect().toMap
+    // materialize file 1 at INT width
+    ST.update(spark, root2, Seq("q" -> "q + 1"), "k = 3")
+    val meta1 = ST.manifestMeta(root2, ST.currentVersion(root2))
+    val mat1 = ST.rowMatOf(meta1)
+    assert(mat1.nonEmpty, "CoW rewrite must record its materialized rels")
+    // the manifest bit agrees with the physical truth (no footer sweep
+    // at read time, but the bit must be TRUE)
+    mat1.foreach(rel => assert(ST.footerHasColumn(root2, rel, "__row_id"), rel))
+    ST.manifestEntries(root2, ST.currentVersion(root2)).map(_.rel)
+      .filterNot(mat1).foreach(rel =>
+        assert(!ST.footerHasColumn(root2, rel, "__row_id"), s"$rel wrongly tagged"))
+    // widen, then materialize ANOTHER file at LONG width: the id read
+    // spans int32- and int64-width materialized files plus positional
+    // ones — footer inference would refuse the merge; the explicit
+    // schema upcasts in-slot
+    ST.widenColumn(spark, root2, "q", org.apache.spark.sql.types.LongType)
+    ST.update(spark, root2, Seq("q" -> "q + 6000000000"), "k = 25")
+    val rows = ST.readWithRowIds(spark, root2).select("k", "q", "_row_id")
+      .as[(Long, Long, Long)].collect()
+    assert(rows.length == 40)
+    rows.foreach { case (k, q, id) =>
+      assert(id == before(k), s"row $k moved")
+      val want = if (k == 3) 31L else if (k == 25) 250L + 6000000000L else k * 10
+      assert(q == want, s"row $k q=$q want $want")
+    }
+  }
+
+  test("metadata-added columns survive the id read and a second RT optimize (r14 review)") {
+    val w = Files.createTempDirectory("graft_rt_addcol").toString
+    spark.conf.set("spark.sql.catalog.grt", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grt.root", w)
+    spark.sql("DROP TABLE IF EXISTS grt.t")
+    (1L to 20L).map(k => (k, k * 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("rt_addcol_seed")
+    spark.sql("CREATE TABLE grt.t AS SELECT * FROM rt_addcol_seed")
+    val root = Paths.get(w, "t").toString
+    ST.enableRowTracking(spark, root)
+    val before = ids(root)
+    ST.optimizeClustered(spark, root, "k", targetFiles = 2) // ALL files materialized
+    spark.sql("ALTER TABLE grt.t ADD COLUMN tag STRING")
+    // the id read must surface the metadata-added column (null-filled),
+    // not silently drop it
+    val withTag = ST.readWithRowIds(spark, root)
+    assert(withTag.columns.contains("tag"), withTag.columns.mkString(","))
+    assert(withTag.filter(col("tag").isNull).count() == 20)
+    assert(withTag.select("k", "_row_id").as[(Long, Long)].collect().toMap == before)
+    // a second RT optimize must MATERIALIZE the column, not delete it
+    ST.optimizeClustered(spark, root, "k", targetFiles = 1)
+    assert(ST.read(spark, root).columns.contains("tag"))
+    assert(ids(root) == before, "second optimize re-identified rows")
+  }
+
+  test("restore past the enable commit keeps identities and the hiding mapping (r14 review)") {
+    val root = fresh("preenable") // v1 seed, v2 enable
+    val before = ids(root)
+    // v3: rewrite one seed file away (its base now lives only in
+    // intermediate manifests)
+    ST.update(spark, root, Seq("v" -> "v + 1.0"), "k = 2")
+    // restore to v1 — BEFORE enable: bases dug from v2/v3 manifests,
+    // the hiding colmap re-minted, the flag stays on
+    ST.restore(root, 1)
+    val meta = ST.manifestMeta(root, ST.currentVersion(root))
+    assert(meta("rowtracking") == "on" && meta.contains("colmap"),
+      "restore past enable must keep the flag AND re-mint the mapping")
+    val m = ids(root)
+    assert(m == before, s"restore re-identified rows")
+    // plain read shape intact (all data columns, no machinery)
+    assert(ST.read(spark, root).columns.toSeq == Seq("k", "v"))
+    // and the table still takes tracked DML after the round trip
+    ST.update(spark, root, Seq("v" -> "v + 5.0"), "k = 1")
+    assert(ids(root) == before)
+  }
+
   test("clone and restore carry identities; reserved name refused") {
     val root = fresh("clone_src")
     val before = ids(root)
