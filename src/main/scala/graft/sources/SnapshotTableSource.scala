@@ -341,6 +341,22 @@ private[sources] class SnapshotDsv2Table(root: String, schema: StructType,
   }
   override def schema(): StructType = schema0
   private val schema0 = schema
+  /** The user-facing table state for `SHOW TBLPROPERTIES` / DESCRIBE
+    * EXTENDED — the same keys the SET/UNSET TBLPROPERTIES routes
+    * accept (flags, constraints, generation expressions) plus the
+    * read-only operational markers. Computed on demand (only the SHOW
+    * path calls it), one driver-side manifest read. */
+  override def properties(): java.util.Map[String, String] = {
+    val v = pinnedVersion.getOrElse(SnapshotTable.currentVersion(root))
+    val meta = if (v == 0) Map.empty[String, String]
+      else SnapshotTable.manifestMeta(root, v)
+    val shown = Set("cdf", "dvmode", "rowtracking", "statsCol")
+    val out = new java.util.HashMap[String, String]()
+    meta.foreach { case (k, va) =>
+      if (shown.contains(k) || k.startsWith("check.") || k.startsWith("gen."))
+        out.put(k, va) }
+    out
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     if (pinnedVersion.isDefined)
       java.util.EnumSet.of(TableCapability.BATCH_READ)

@@ -365,6 +365,21 @@ class GenColSpec extends AnyFunSuite {
     val e3 = intercept[Exception](spark.sql(
       s"ALTER TABLE '$root' SET TBLPROPERTIES (d = 7)").collect())
     assert(chain(e3).contains("'key' = 'value'"), chain(e3))
+    // SHOW TBLPROPERTIES reads the same state back through the
+    // standard surface (catalog-name route)
+    val w2 = Files.createTempDirectory("graft_gen_show").toString
+    spark.conf.set("spark.sql.catalog.gshow", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gshow.root", w2)
+    spark.sql("DROP TABLE IF EXISTS gshow.t")
+    (1L to 3L).map(k => (k, k * 40000L, (k * 40000L) / 86400L))
+      .toDF("k", "ts", "d").createOrReplaceTempView("gshow_seed")
+    spark.sql("CREATE TABLE gshow.t AS SELECT * FROM gshow_seed")
+    spark.sql("ALTER TABLE gshow.t SET TBLPROPERTIES ('gen.d' = 'ts div 86400')")
+    spark.sql("ALTER TABLE gshow.t SET TBLPROPERTIES ('check.k_pos' = 'k > 0')")
+    val props = spark.sql("SHOW TBLPROPERTIES gshow.t")
+      .as[(String, String)].collect().toMap
+    assert(props.get("gen.d").contains("ts div 86400"), props.toString)
+    assert(props.get("check.k_pos").contains("k > 0"), props.toString)
     // UNSET detaches; the same spelling drops a constraint
     spark.sql(s"ALTER TABLE '$root' UNSET TBLPROPERTIES ('gen.d')").collect()
     assert(ST.genExprs(root, ST.currentVersion(root)).isEmpty)
