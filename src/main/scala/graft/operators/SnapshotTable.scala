@@ -2804,14 +2804,33 @@ object SnapshotTable {
       cond: Column, shardSize: Int, extraMeta: Map[String, String],
       auditKey: String, auditPrefix: String,
       cdcRows: Option[DataFrame => DataFrame],
-      postFiles: (DataFrame, String) => Seq[FileEntry]): Option[Int] = {
+      postFiles: (DataFrame, String) => Seq[FileEntry],
+      rowTracked: Boolean = false): Option[Int] = {
     import org.apache.spark.sql.functions.{element_at, split => fsplit}
     val dvCur = dvState(root, v)
     // metadata columns must come off the RAW scan (they don't resolve
     // across joins); already-DV'd ordinals are excluded by an explicit
-    // anti-join so a second statement can't re-touch them
-    val raw = toLogicalFull(subsetReader(s, root, v)
-        .parquet(touched.map(e => Paths.get(root, e.rel).toString): _*), map)
+    // anti-join so a second statement can't re-touch them.
+    // ROW-TRACKED callers (MoR UPDATE — its postimage file must carry
+    // the preimage rows' identities) read under the explicit physical
+    // schema-of-record plus __row_id, exactly like [[relsWithIds]]'s
+    // materialized branch: footer sampling over a mixed materialized/
+    // positional touched set would surface __row_id for only SOME rows
+    // (or none), and mergeSchema refuses mixed widths — the explicit
+    // schema null-fills positional files and upcasts narrower slots.
+    val rawPhys =
+      if (!rowTracked) subsetReader(s, root, v)
+        .parquet(touched.map(e => Paths.get(root, e.rel).toString): _*)
+      else {
+        val phys = readAtPhysical(s, root, v).schema
+        val schema = org.apache.spark.sql.types.StructType(
+          phys.fields.filterNot(_.name == RowIdCol).map(_.copy(nullable = true)) :+
+            org.apache.spark.sql.types.StructField(RowIdCol,
+              org.apache.spark.sql.types.LongType, nullable = true))
+        s.read.schema(schema)
+          .parquet(touched.map(e => Paths.get(root, e.rel).toString): _*)
+      }
+    val raw = toLogicalFull(rawPhys, map)
       .withColumn("__file", element_at(fsplit(col("_metadata.file_path"), "/"), -1))
       .withColumn("__idx", col("_metadata.row_index"))
     val withMeta = touched.map(_.rel).filter(dvCur.contains) match {
@@ -2887,7 +2906,22 @@ object SnapshotTable {
         Files.move(parts.head, Paths.get(root, rel), StandardCopyOption.REPLACE_EXISTING)
         byBase(base).rel -> rel
     }.toMap
-    val cleanHits = hits.drop("__file", "__idx")
+    // row-tracked: resolve each hit's identity BEFORE the coordinate
+    // columns drop — coalesce(materialized __row_id, file base +
+    // ordinal), the one reader rule — so the postimage file (and the
+    // CDC images) carry the preimage ids as a resident __row_id column
+    val hitsWithIds =
+      if (!rowTracked) hits
+      else {
+        import s.implicits._
+        val basesDf = broadcast(rowBases(root, v).toSeq.map { case (r, b) =>
+          (Paths.get(r).getFileName.toString, b) }.toDF("__file", "__rt_base"))
+        hits.join(basesDf, Seq("__file"), "left")
+          .withColumn(RowIdCol,
+            coalesce(col(RowIdCol), col("__rt_base") + col("__idx")))
+          .drop("__rt_base")
+      }
+    val cleanHits = hitsWithIds.drop("__file", "__idx")
     val cdcMeta = cdcRows.flatMap(mk =>
       writeCdcFiles(toPhysical(mk(cleanHits), map), root, tag))
     val newEntries = postFiles(cleanHits, tag)
@@ -2920,7 +2954,12 @@ object SnapshotTable {
             s"$auditKey was in flight — retry the statement")
       try result = commitEntries(root, vNow, entriesNow ++ newEntries, shardSize,
         carriedMeta(root, vNow) - "dv" ++ fmtDv(dvNow ++ newDvEntries).map("dv" -> _) ++
-          cdcMeta.map("cdc" -> _) ++ extraMeta +
+          cdcMeta.map("cdc" -> _) ++ extraMeta ++
+          // the postimage file carries materialized ids — record its
+          // manifest bit so id-read planning stays footer-sweep-free
+          (if (rowTracked && newEntries.nonEmpty)
+            Map("rowmat_new" -> newEntries.map(_.rel).mkString(";"))
+          else Map.empty) +
           (auditKey -> s"$auditPrefix:${hitRels.size}of${entriesNow.size}"))
       catch { case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) }
     }
@@ -2993,15 +3032,18 @@ object SnapshotTable {
     // file-grain change feed stays correct for free (the new file
     // streams as inserts, the DV delta as the preimage deletes); with
     // cdf=row the exact update images are registered instead.
-    // ROW-TRACKED tables skip the merge-on-read branch for UPDATE: the
-    // postimage file moves rows out of their position-derived identity
-    // and would need the preimage ids threaded through mergeOnRead's
-    // hit plumbing — copy-on-write materializes them naturally (the
-    // MoR DELETE path below has no such problem: ordinals survive).
+    // ROW-TRACKED tables thread identity through the merge-on-read
+    // branch (r15): the hit rows' ids resolve from their (file,
+    // ordinal) coordinates before the postimage file is written, so
+    // the postimage carries a materialized __row_id and the DV path's
+    // sparse-update economics survive tracking — a sparse UPDATE on a
+    // tracked 100 TB table moves only the updated rows, exactly as
+    // untracked (r14 forced these onto copy-on-write).
     val rowTracked = carried.get("rowtracking").contains("on")
-    if (carried.get("dvmode").contains("on") && !rowTracked) {
+    if (carried.get("dvmode").contains("on")) {
       val mor = mergeOnRead(s, root, v, touched, map, cond, shardSize,
         extraMeta, auditKey = "update", auditPrefix = "mor",
+        rowTracked = rowTracked,
         cdcRows = if (!carried.get("cdf").contains("row")) None else Some { h =>
           val ct = "_change_type"
           h.withColumn(ct, lit("update_preimage"))

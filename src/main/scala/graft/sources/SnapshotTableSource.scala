@@ -105,7 +105,17 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister {
       // change-data-feed reads surface the table schema plus the change
       // metadata columns (Delta's CDF column contract)
       if (SnapshotSourceUtil.cdfEnabled(options)) SnapshotSourceUtil.withCdfColumns(base)
-      else base
+      else if (SnapshotSourceUtil.rowIdsEnabled(options)) {
+        // `.option("rowIds", "true")`: the path-route spelling of the
+        // x41 row-id read — the table schema plus `_row_id` (the
+        // catalog route exposes the same column as a DSv2 METADATA
+        // column, no option needed). Requires tracking AS OF the
+        // scanned version: a pre-enable time travel has no id story.
+        require(SnapshotTable.manifestMeta(r, v).get("rowtracking").contains("on"),
+          s"graft-snapshot rowIds: row tracking is not enabled on $r at version $v " +
+            "(SnapshotTable.enableRowTracking)")
+        SnapshotSourceUtil.withRowIdColumn(base)
+      } else base
     }
   }
 
@@ -132,6 +142,21 @@ private[sources] object SnapshotSourceUtil {
 
   def cdfEnabled(o: CaseInsensitiveStringMap): Boolean =
     "true".equalsIgnoreCase(o.get("readChangeFeed"))
+
+  /** The row-id read's OUTPUT column (x41): the logical name
+    * [[SnapshotTable.readWithRowIds]] serves, now also the connector's
+    * — `.option("rowIds", "true")` on the path route, a DSv2 metadata
+    * column (`SELECT _row_id, ...`) on the catalog route. */
+  val RowIdField = "_row_id"
+
+  def rowIdsEnabled(o: CaseInsensitiveStringMap): Boolean =
+    "true".equalsIgnoreCase(o.get("rowIds"))
+
+  def withRowIdColumn(base: StructType): StructType = {
+    require(!base.fieldNames.contains(RowIdField),
+      s"graft-snapshot rowIds: table columns collide with $RowIdField")
+    base.add(RowIdField, LongType, nullable = true)
+  }
 
   def withCdfColumns(base: StructType): StructType = {
     require(!base.fieldNames.exists(n =>
@@ -334,7 +359,35 @@ private[sources] class SnapshotDsv2Table(root: String, schema: StructType,
     options: CaseInsensitiveStringMap,
     pinnedVersion: Option[Int] = None)
     extends Table with SupportsRead with SupportsDelete
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** The catalog-route spelling of the x41 row-id read: on a
+    * row-tracked table `_row_id` is a DSv2 METADATA column — `SELECT
+    * _row_id, * FROM cat.tbl` (or `.table(...).select("_row_id", ...)`)
+    * resolves it like Delta's row-id metadata field, and the scan
+    * serves coalesce(materialized __row_id, file base + position)
+    * exactly as [[SnapshotTable.readWithRowIds]] does. Empty when
+    * tracking is off AS OF this table's version (time travel before the
+    * enable commit has no id story) or when the schema already carries
+    * the column (the path route's `rowIds` option put it there — a
+    * second, conflicting declaration would shadow it). */
+  override def metadataColumns():
+      Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    val v = pinnedVersion.getOrElse(SnapshotTable.currentVersion(root))
+    val tracked = v > 0 &&
+      SnapshotTable.manifestMeta(root, v).get("rowtracking").contains("on")
+    if (!tracked || schema0.fieldNames.contains(SnapshotSourceUtil.RowIdField))
+      Array.empty
+    else Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = SnapshotSourceUtil.RowIdField
+      override def dataType(): org.apache.spark.sql.types.DataType = LongType
+      override def isNullable(): Boolean = true
+      override def comment(): String =
+        "stable row identity (row tracking): survives appends, DV DML, " +
+          "copy-on-write rewrites and OPTIMIZE"
+    })
+  }
   override def name(): String = pinnedVersion match {
     case Some(v) => s"graft_snapshot(`$root`@v$v)"
     case None => s"graft_snapshot(`$root`)"
@@ -770,6 +823,47 @@ private[sources] class SnapshotScan(root: String, version: Int,
 
   private val cdfMode = SnapshotSourceUtil.cdfEnabled(options)
 
+  /** The scan serves `_row_id` whenever the projection asks for it —
+    * via the path route's `rowIds` option (schema column) or the
+    * catalog route's metadata column; both funnel here. Requires
+    * tracking as of the scanned version: the option route checked at
+    * schema inference, the metadata route by construction (the column
+    * is only exposed on tracked tables) — this is the belt-and-braces
+    * guard for externally-supplied schemas. */
+  private val rowIdMode = !cdfMode &&
+    pruned.fieldNames.contains(SnapshotSourceUtil.RowIdField)
+  require(!rowIdMode || (version > 0 &&
+      SnapshotTable.manifestMeta(root, version).get("rowtracking").contains("on")),
+    s"graft-snapshot rowIds: row tracking is not enabled on $root at version $version")
+  require(!(cdfMode && SnapshotSourceUtil.rowIdsEnabled(options)),
+    "graft-snapshot: rowIds and readChangeFeed are mutually exclusive — change " +
+      "rows are commit diffs, not snapshot rows, and carry no id contract")
+
+  /** Row-id read: the inner parquet request is the projection's TABLE
+    * columns PLUS `__row_id` (INT64 OPTIONAL). Evolved (per-file
+    * intersecting) mode unconditionally: materialized files carry the
+    * column, positional files don't, and the intersection machinery
+    * already resolves exactly that per-file variance — a positional
+    * file's `__row_id` slot decodes null and the reader falls back to
+    * file base + position (the same coalesce rule as
+    * [[SnapshotTable.readWithRowIds]]). */
+  private def rowIdFactory: SnapshotRowIdReaderFactory = {
+    val map = SnapshotTable.colMap(root, version)
+    val basePhys = SnapshotSourceUtil.physStruct(StructType(
+      pruned.fields.filterNot(_.name == SnapshotSourceUtil.RowIdField)), map)
+    val full = SnapshotSourceUtil.tableMessageType(root, version)
+    val msg = SnapshotSourceUtil.projectedMessage(full, basePhys)
+    val withId = new MessageType(msg.getName,
+      (msg.getFields.asScala.toList :+ org.apache.parquet.schema.Types
+        .primitive(PrimitiveTypeName.INT64,
+          org.apache.parquet.schema.Type.Repetition.OPTIONAL)
+        .named(SnapshotTable.RowIdCol)).asJava:
+        java.util.List[org.apache.parquet.schema.Type])
+    val innerPruned = basePhys.add(SnapshotTable.RowIdCol, LongType, nullable = true)
+    SnapshotRowIdReaderFactory(withId.toString, innerPruned,
+      SnapshotSourceUtil.physStruct(pruned, map))
+  }
+
   private def factory: SnapshotReaderFactory = {
     // the SCAN's version, not the current one: a time-travel read must
     // request the parquet schema as of its snapshot (nullability and
@@ -874,22 +968,30 @@ private[sources] class SnapshotScan(root: String, version: Int,
     // vector sidecar (if any) — the reader skips those ordinals.
     private val dv = if (version > 0) SnapshotTable.dvState(root, version)
       else Map.empty[String, String]
+    // row-id reads ship each file's base id in its partition — pure
+    // manifest arithmetic (the rowbase map), resolved once at plan time
+    private val bases = if (rowIdMode) SnapshotTable.rowBases(root, version)
+      else Map.empty[String, Long]
     private val files =
-      if (countStarOnly) Array.empty[(String, Option[String])]
-      else plannedEntries.map(e => (Paths.get(root, e.rel).toString,
-        dv.get(e.rel).map(d => Paths.get(root, d).toString))).toArray
+      if (countStarOnly) Array.empty[SnapshotFilePartition]
+      else plannedEntries.map(e => SnapshotFilePartition(
+        Paths.get(root, e.rel).toString,
+        dv.get(e.rel).map(d => Paths.get(root, d).toString),
+        bases.get(e.rel))).toArray
     private val total =
       if (countStarOnly && version > 0)
         SnapshotTable.manifestEntries(root, version).map(_.rows).sum
       else 0L
     override def planInputPartitions(): Array[InputPartition] =
       if (countStarOnly) Array(SnapshotCountPartition(total))
-      else files.map { case (p, d) => SnapshotFilePartition(p, d): InputPartition }
+      else files.map(p => p: InputPartition)
     override def createReaderFactory(): PartitionReaderFactory =
       // zero planned files (empty table / everything pruned): the
       // factory is never invoked, and building the real one would
       // footer-read a data file that may not exist
-      if (countStarOnly || files.isEmpty) SnapshotCountReaderFactory else factory
+      if (countStarOnly || files.isEmpty) SnapshotCountReaderFactory
+      else if (rowIdMode) rowIdFactory
+      else factory
     }
   }
 
@@ -908,6 +1010,12 @@ private[sources] class SnapshotScan(root: String, version: Int,
     val tsRaw = Option(options.get("startingTimestamp"))
     require(tsRaw.isEmpty || options.get("startingVersion") == null,
       "graft-snapshot: startingTimestamp and startingVersion are mutually exclusive")
+    // row-id reads are a BATCH contract: a streamed commit's rows would
+    // need the rowbase map as of EACH offset version — honest refusal
+    // beats serving ids that silently pin to stream-start state
+    require(!rowIdMode && !SnapshotSourceUtil.rowIdsEnabled(options),
+      "graft-snapshot: rowIds is a batch read option — stream the table " +
+        "plainly and join ids via a batch rowIds read, or consume the change feed")
     val startingVersion = tsRaw match {
       // "latest" (Delta's keyword): only commits AFTER stream start —
       // under the exclusive-offset convention that is simply the
@@ -1025,7 +1133,8 @@ private[sources] class SnapshotMicroBatchStream(root: String,
 }
 
 private[sources] case class SnapshotFilePartition(path: String,
-    dvPath: Option[String] = None) extends InputPartition
+    dvPath: Option[String] = None,
+    rowBase: Option[Long] = None) extends InputPartition
 
 /** One changed file of one commit: its rows stream as CDF rows tagged
   * (`changeType`, `commitVersion`). */
@@ -1662,6 +1771,60 @@ private[sources] case class SnapshotReaderFactory(projectedMessage: String,
         new GenericInternalRow(vals)
       }
       override def close(): Unit = if (reader != null) reader.close()
+    }
+  }
+}
+
+/** Row-id wrapper over the evolution-aware file reader (x41 through
+  * the connector): the inner read requests the projection's table
+  * columns plus `__row_id` (absent → null via the per-file
+  * intersection), the wrapper tracks the file ORDINAL itself — the
+  * inner reader runs without its deletion vector so skipped rows still
+  * advance the position — anti-filters DV'd ordinals, and resolves
+  * `_row_id` = coalesce(materialized __row_id, partition base +
+  * ordinal): byte-for-byte the [[SnapshotTable.relsWithIds]] rule, so
+  * the DSv2 route and the Scala route cannot diverge. */
+private[sources] case class SnapshotRowIdReaderFactory(projectedMessage: String,
+    innerPruned: StructType, out: StructType) extends PartitionReaderFactory {
+
+  private val inner = SnapshotReaderFactory(projectedMessage, innerPruned, evolved = true)
+  // __row_id is always the LAST inner slot (rowIdFactory appends it)
+  private val matSlot = innerPruned.length - 1
+  private val slot: Array[Int] = out.fields.map { f =>
+    if (f.name == SnapshotSourceUtil.RowIdField) -1 else innerPruned.fieldIndex(f.name)
+  }
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val fp = p.asInstanceOf[SnapshotFilePartition]
+    val dv: java.util.HashSet[java.lang.Long] =
+      fp.dvPath.map(SnapshotSourceUtil.loadDvSet).orNull
+    val hasBase = fp.rowBase.isDefined
+    val base = fp.rowBase.getOrElse(0L)
+    val in0 = inner.createReader(SnapshotFilePartition(fp.path))
+    new PartitionReader[InternalRow] {
+      private var ord = -1L
+      override def next(): Boolean = {
+        var has = in0.next(); ord += 1
+        while (has && dv != null && dv.contains(ord)) { has = in0.next(); ord += 1 }
+        has
+      }
+      override def get(): InternalRow = {
+        val in = in0.get()
+        val vals = new Array[Any](slot.length)
+        var i = 0
+        while (i < slot.length) {
+          vals(i) = slot(i) match {
+            case -1 =>
+              if (!in.isNullAt(matSlot)) in.getLong(matSlot)
+              else if (hasBase) base + ord
+              else null // no base on record: null id, never a wrong one
+            case j => in.get(j, innerPruned.fields(j).dataType)
+          }
+          i += 1
+        }
+        new GenericInternalRow(vals)
+      }
+      override def close(): Unit = in0.close()
     }
   }
 }

@@ -74,25 +74,44 @@ class RowTrackingSpec extends AnyFunSuite {
     assert(m2.forall { case (k, id) => before(k) == id }, "CoW delete moved ids")
   }
 
-  test("UPDATE keeps every id (hits and survivors); MoR-update falls back to CoW under tracking") {
+  test("UPDATE keeps every id on both paths: sparse stays merge-on-read, wide falls back to CoW (r15)") {
     val root = fresh("upd")
     ST.enableDeletionVectors(root)
     val before = ids(root)
-    ST.update(spark, root, Seq("v" -> "v + 100.0"), "k % 5 = 0")
-    val meta = ST.manifestMeta(root, ST.currentVersion(root))
-    assert(meta("update").startsWith("cow:"),
-      s"row-tracked UPDATE must be copy-on-write, got ${meta.get("update")}")
+    // sparse: 1 of 20 rows in one file (5% ≤ DV cap) → DV-for-update;
+    // the preimage ordinal goes in the sidecar, the postimage file
+    // carries the row's id MATERIALIZED — no CoW fallback (r14 forced
+    // tracked updates onto copy-on-write; the verdict asked for this)
+    ST.update(spark, root, Seq("v" -> "v + 100.0"), "k = 10")
+    val meta1 = ST.manifestMeta(root, ST.currentVersion(root))
+    assert(meta1("update").startsWith("mor:"),
+      s"sparse tracked UPDATE must stay merge-on-read, got ${meta1.get("update")}")
+    val mat1 = ST.rowMatOf(meta1)
+    assert(mat1.nonEmpty && mat1.forall(rel => ST.footerHasColumn(root, rel, "__row_id")),
+      s"postimage must be manifest-tagged and physically materialized: $mat1")
+    val m1 = ids(root)
+    assert(m1 == before, "sparse MoR update moved ids")
+    // a second sparse MoR update against the now-mixed layout (the DV'd
+    // original beside the materialized postimage) also threads ids
+    ST.update(spark, root, Seq("v" -> "v + 1.0"), "k = 15")
+    val meta2 = ST.manifestMeta(root, ST.currentVersion(root))
+    assert(meta2("update").startsWith("mor:"), meta2.get("update").toString)
+    assert(ids(root) == before, "second sparse update moved ids")
+    // wide: 20% per file → over the DV cap → CoW rewrite; it reads the
+    // mixed materialized+positional+DV layout and every id survives,
+    // including the materialized postimage rows it re-inherits
+    ST.update(spark, root, Seq("v" -> "v + 1000.0"), "k % 5 = 0")
+    val meta3 = ST.manifestMeta(root, ST.currentVersion(root))
+    assert(meta3("update").startsWith("cow:"), meta3.get("update").toString)
     val rows = ST.readWithRowIds(spark, root).select("k", "v", "_row_id")
       .as[(Long, Double, Long)].collect()
     assert(rows.length == 40)
     rows.foreach { case (k, v, id) =>
       assert(id == before(k), s"row $k changed id")
-      assert(v == (if (k % 5 == 0) k + 100.0 else k * 1.0), s"row $k value $v")
+      val want = k * 1.0 + (if (k == 10) 100.0 else 0.0) +
+        (if (k == 15) 1.0 else 0.0) + (if (k % 5 == 0) 1000.0 else 0.0)
+      assert(v == want, s"row $k value $v want $want")
     }
-    // a second update over the MIXED layout (materialized + base files)
-    ST.update(spark, root, Seq("v" -> "v + 1000.0"), "k = 3")
-    val m2 = ids(root)
-    assert(m2.forall { case (k, id) => before(k) == id }, "second update moved ids")
   }
 
   test("MERGE: updates inherit the replaced row's id, inserts mint fresh, deletes retire") {
@@ -275,6 +294,78 @@ class RowTrackingSpec extends AnyFunSuite {
     // and the table still takes tracked DML after the round trip
     ST.update(spark, root, Seq("v" -> "v + 5.0"), "k = 1")
     assert(ids(root) == before)
+  }
+
+  test("DSv2 route parity: rowIds option and catalog metadata column ≡ readWithRowIds") {
+    val root = fresh("dsv2", n = 40L, files = 2)
+    ST.enableDeletionVectors(root)
+    val vEnabled = ST.currentVersion(root)
+    // build the adversarial mixed layout: a live DV on one positional
+    // file, a materialized rewrite of another, a fresh positional append
+    ST.delete(spark, root, "k = 25") // sparse → DV sidecar on file 2
+    ST.update(spark, root, Seq("v" -> "v + 100.0"), "k <= 10") // rewrite of file 1
+    graft.streaming.SnapshotSink.appendBatch(root,
+      Seq((100L, 1.0)).toDF("k", "v"), batchId = 0L, keyCol = "k")
+    assert(ST.rowMatOf(ST.manifestMeta(root, ST.currentVersion(root))).nonEmpty,
+      "fixture must include a materialized file")
+    assert(ST.dvState(root, ST.currentVersion(root)).nonEmpty,
+      "fixture must include a live deletion vector")
+    val expect = ST.readWithRowIds(spark, root).select("k", "v", "_row_id")
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    // path route: .option("rowIds", "true")
+    val viaOpt = spark.read.format("graft-snapshot").option("rowIds", "true")
+      .load(root).select("k", "v", "_row_id")
+      .as[(Long, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(viaOpt == expect, "option route diverged from readWithRowIds")
+    // id-only projection (zero scannable columns on positional files)
+    val onlyIds = spark.read.format("graft-snapshot").option("rowIds", "true")
+      .load(root).select("_row_id").as[Long].collect().sorted.toSeq
+    assert(onlyIds == expect.map(_._3).sorted, "id-only projection diverged")
+    // filters compose (residual above the scan, ids ride through)
+    val filtered = spark.read.format("graft-snapshot").option("rowIds", "true")
+      .load(root).filter("k <= 10").select("k", "_row_id")
+      .as[(Long, Long)].collect().toMap
+    assert(filtered == expect.filter(_._1 <= 10L).map(t => (t._1, t._3)).toMap)
+    // time travel: ids as of the enable version
+    val expectAt = ST.readWithRowIdsAt(spark, root, vEnabled)
+      .select("k", "_row_id").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val viaOptAt = spark.read.format("graft-snapshot").option("rowIds", "true")
+      .option("version", vEnabled.toString).load(root)
+      .select("k", "_row_id").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(viaOptAt == expectAt, "time-travel option route diverged")
+    // catalog route: _row_id is a METADATA column — SQL reads it by name
+    val w = java.nio.file.Files.createTempDirectory("graft_rt_dsv2cat").toString
+    spark.conf.set("spark.sql.catalog.grtid", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.grtid.root", w)
+    spark.sql("DROP TABLE IF EXISTS grtid.t")
+    ST.shallowClone(root, Paths.get(w, "t").toString)
+    val viaSql = spark.sql("SELECT k, _row_id FROM grtid.t")
+      .as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(viaSql == expect.map(t => (t._1, t._3)), "catalog metadata route diverged")
+    // SELECT * must NOT leak the metadata column (hidden until named)
+    assert(spark.sql("SELECT * FROM grtid.t").columns.toSeq == Seq("k", "v"))
+    // refusals: untracked table, CDF combination, streaming
+    val plain = fresh("dsv2_plain")
+    val untracked = Engine.tmpDir("graft_rt_untracked")
+    Engine.listDir(Paths.get(untracked)).foreach(Engine.deleteRecursively)
+    ST.commitEntries(untracked, 0,
+      ST.writeDataFiles(Seq((1L, 1.0)).toDF("k", "v").coalesce(1), untracked, "a")
+        .map(ST.footerEntry(untracked, _, "k")), 16, Map("statsCol" -> "k"))
+    val e1 = intercept[Exception](spark.read.format("graft-snapshot")
+      .option("rowIds", "true").load(untracked).collect())
+    assert(e1.getMessage.contains("row tracking is not enabled"), e1.getMessage)
+    val e2 = intercept[Exception](spark.read.format("graft-snapshot")
+      .option("rowIds", "true").option("readChangeFeed", "true").load(plain).collect())
+    assert(e2.getMessage.toLowerCase.contains("mutually exclusive") ||
+      e2.getMessage.contains("collide"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      val q = spark.readStream.format("graft-snapshot").option("rowIds", "true")
+        .load(plain).writeStream.format("memory").queryName("rt_dsv2_stream").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    assert(e3.getMessage.contains("batch read option") ||
+      Option(e3.getCause).exists(_.getMessage.contains("batch read option")),
+      e3.toString)
   }
 
   test("clone and restore carry identities; reserved name refused") {
