@@ -558,6 +558,53 @@ object ScaleProbe {
       println(f"[scale] x41_id_scan_mixed_inner t=${(System.nanoTime() - t0) / 1e9}%.2f")
       1L
     }
+    // r15: sparse tracked UPDATE must price like untracked MoR, not
+    // like CoW — the id threading resolves hit ids from coordinates
+    // and materializes them only into the postimage file (hit rows),
+    // so the tracked premium is one broadcast join of the bases plus
+    // one int64 column on exactly the updated rows
+    time("x41m_stage_mor_pair") {
+      val ST = operators.SnapshotTable
+      val ev = spark.read.parquet(s"$work/events.parquet")
+        .selectExpr("event_id", "CAST(value * 1000 AS BIGINT) AS sec")
+        .withColumn("d", expr("sec div 86400"))
+      Seq(s"$work/snap_rtm", s"$work/snap_rtm_plain").foreach { root =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+        ST.commitEntries(root, 0,
+          ST.writeDataFiles(ev.repartitionByRange(7, col("d")), root, "seed")
+            .map(ST.footerEntry(root, _, "d")),
+          16, Map("statsCol" -> "d"))
+        ST.enableDeletionVectors(root)
+      }
+      ST.enableRowTracking(spark, s"$work/snap_rtm")
+      ST.read(spark, s"$work/snap_rtm").count()
+    }
+    time("x41m_mor_update_untracked") {
+      val ST = operators.SnapshotTable
+      // ~0.1% of rows: far under the DV selectivity cap on every file
+      ST.update(spark, s"$work/snap_rtm_plain", Seq("sec" -> "sec + 1"),
+        "event_id % 997 = 3")
+      val root = s"$work/snap_rtm_plain"
+      println(s"[scale] x41m untracked audit: " +
+        ST.manifestMeta(root, ST.currentVersion(root)).get("update"))
+      1L
+    }
+    time("x41m_mor_update_tracked") {
+      val ST = operators.SnapshotTable
+      ST.update(spark, s"$work/snap_rtm", Seq("sec" -> "sec + 1"),
+        "event_id % 997 = 3")
+      val root = s"$work/snap_rtm"
+      println(s"[scale] x41m tracked audit: " +
+        ST.manifestMeta(root, ST.currentVersion(root)).get("update"))
+      1L
+    }
+    time("x41m_dsv2_id_scan") {
+      // the connector id read must price like the Scala route: same
+      // per-file partitions, bases resolved at plan time, one footer
+      // pre-read per file (evolved mode)
+      spark.read.format("graft-snapshot").option("rowIds", "true")
+        .load(s"$work/snap_rtm").agg(max(col("_row_id"))).collect(); 1L
+    }
     // r14: scoped OPTIMIZE — the WHERE-window compaction must price
     // with the WINDOW's bytes, not the table's (the full form is the
     // reference; at 32× the gap is the whole point of the verb)
