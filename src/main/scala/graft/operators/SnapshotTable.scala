@@ -2379,7 +2379,7 @@ object SnapshotTable {
     * sync scope is known, and pruning confines the rewrite. */
   def ansiMerge(s: SparkSession, root: String, tgtAlias: String,
       srcTable: String, srcAlias: String, onTgtCol: String, onSrcCol: String,
-      clauses: Seq[MergeWhen]): Int = {
+      clauses: Seq[MergeWhen], autoMerge: Boolean = false): Int = {
     require(clauses.nonEmpty, s"ansi merge on $root: no WHEN clauses")
     require(tgtAlias != srcAlias,
       s"ansi merge on $root: target and source aliases must differ")
@@ -2404,6 +2404,35 @@ object SnapshotTable {
         s"ansi merge on $root: ON column $onSrcCol is not a source column")
       val src = srcPlain.alias(srcAlias)
       val onCond = col(s"$tgtAlias.$onTgtCol") === col(s"$srcAlias.$onSrcCol")
+      // SCHEMA EVOLUTION (Delta's autoMerge, spelled `MERGE WITH SCHEMA
+      // EVOLUTION` on the SQL route): source columns absent from the
+      // target WIDEN it — but only the columns the statement actually
+      // consumes (an INSERT * ingests every source column; an UPDATE
+      // SET may name one), never a column no clause touches. The
+      // widened changeset rides [[merge]]'s existing capture machinery
+      // (x30): existing rows surface NULL for the new columns, the
+      // commit stamps the evolution marker + all-nullable union
+      // capture, and untouched files stay byte-identical. Without the
+      // option, INSERT * expands to the TARGET's columns (ANSI
+      // semantics — extra source columns serve conditions and SETs)
+      // and SET on an unknown column refuses, naming the spelling
+      // when the source could supply it.
+      val novelAll: Seq[String] = srcPlain.columns
+        .filterNot(c => tCols.exists(_.equalsIgnoreCase(c))).toIndexedSeq
+      val novel: Seq[String] =
+        if (!autoMerge) Nil
+        else {
+          val fromInsert =
+            if (clauses.exists(_.isInstanceOf[WhenNotMatchedInsert])) novelAll else Nil
+          val fromSets = clauses.flatMap {
+            case WhenMatchedUpdate(_, sets) => sets.map(_._1)
+            case WhenNotMatchedBySourceUpdate(_, sets) => sets.map(_._1)
+            case _ => Nil
+          }.filter(c => novelAll.exists(_.equalsIgnoreCase(c)))
+          (fromInsert ++ fromSets).distinct
+        }
+      novel.foreach(c => validateIdent(root, "ansi merge (schema evolution)", c))
+      def novelType(c: String) = srcPlain.schema(c).dataType
       val matched = tgt.join(src, onCond, "inner")
       // ANSI's nondeterminism rule applies only when a MATCHED clause
       // exists, and distinguishes the two duplicate cases: multiple
@@ -2482,8 +2511,12 @@ object SnapshotTable {
       // rewritten, so the old row survives beside the inserted update
       // (silent key duplication). Shared by both UPDATE clause kinds.
       def checkSets(sets: Seq[(String, String)]): Map[String, String] = {
-        sets.foreach { case (c, _) => require(tCols.contains(c),
-          s"ansi merge on $root: SET names unknown target column $c") }
+        sets.foreach { case (c, _) => require(tCols.contains(c) || novel.contains(c),
+          s"ansi merge on $root: SET names unknown target column $c" +
+            (if (!autoMerge && novelAll.exists(_.equalsIgnoreCase(c)))
+              " — the source carries it; MERGE WITH SCHEMA EVOLUTION widens " +
+                "the target instead of refusing"
+            else "")) }
         val setMap = sets.toMap
         require(!setMap.contains(onTgtCol),
           s"ansi merge on $root: SET may not assign the ON column $onTgtCol — " +
@@ -2518,40 +2551,56 @@ object SnapshotTable {
       // BY SOURCE clauses run first-match-wins among THEMSELVES (their
       // row set is disjoint from the matched clauses')
       var remainingNmbs: Column = lit(true)
+      // evolution columns on a TARGET-row leg: the row predates the
+      // column, so it surfaces the SET value when the clause assigns
+      // one and NULL otherwise (Delta's null-history contract)
+      def novelTgt(setMap: Map[String, String]): Seq[Column] = novel.map { c =>
+        (setMap.get(c) match {
+          case Some(rhs) => expr(rhs).cast(novelType(c))
+          case None => lit(null).cast(novelType(c))
+        }).as(c)
+      }
       val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       clauses.foreach {
         case WhenMatchedUpdate(cond, sets) =>
           val setMap = checkSets(sets)
           parts += regenUpd(matched.filter(remaining && condCol(cond)).select(
-            tCols.map { c => (setMap.get(c) match {
+            (tCols.map { c => (setMap.get(c) match {
               case Some(rhs) => expr(rhs).cast(tgtPlain.schema(c).dataType)
               case None => col(s"$tgtAlias.$c")
-            }).as(c) } :+ lit("u").as("op"): _*))
+            }).as(c) } ++ novelTgt(setMap)) :+ lit("u").as("op"): _*))
           remaining = remaining && !condCol(cond)
         case WhenMatchedDelete(cond) =>
           parts += matched.filter(remaining && condCol(cond)).select(
-            tCols.map(c => col(s"$tgtAlias.$c").as(c)) :+ lit("d").as("op"): _*)
+            (tCols.map(c => col(s"$tgtAlias.$c").as(c)) ++ novelTgt(Map.empty))
+              :+ lit("d").as("op"): _*)
           remaining = remaining && !condCol(cond)
         case WhenNotMatchedInsert(cond) =>
           val missing = tCols.filterNot(srcPlain.columns.contains)
           require(missing.isEmpty, s"ansi merge on $root: INSERT * requires the source " +
             s"to carry every target column (missing ${missing.mkString(",")})")
+          // WITHOUT schema evolution, INSERT * expands to the TARGET's
+          // columns (ANSI semantics) — extra source columns are
+          // expression helpers for conditions/SETs, not dropped data.
+          // WITH it, every source column ingests (novel ones widen).
           // the condition sees SOURCE columns only (no target row
           // matched); a t.-reference fails analysis on the anti-join
           parts += src.join(tgt, onCond, "left_anti").filter(condCol(cond)).select(
-            tCols.map(c => col(s"$srcAlias.$c").cast(tgtPlain.schema(c).dataType).as(c))
+            (tCols.map(c => col(s"$srcAlias.$c").cast(tgtPlain.schema(c).dataType).as(c))
+              ++ novel.map(c => col(s"$srcAlias.$c").as(c)))
               :+ lit("i").as("op"): _*)
         case WhenNotMatchedBySourceUpdate(cond, sets) =>
           val setMap = checkSets(sets)
           parts += regenUpd(unmatchedTgt.filter(remainingNmbs && condCol(cond)).select(
-            tCols.map { c => (setMap.get(c) match {
+            (tCols.map { c => (setMap.get(c) match {
               case Some(rhs) => expr(rhs).cast(tgtPlain.schema(c).dataType)
               case None => col(s"$tgtAlias.$c")
-            }).as(c) } :+ lit("u").as("op"): _*))
+            }).as(c) } ++ novelTgt(setMap)) :+ lit("u").as("op"): _*))
           remainingNmbs = remainingNmbs && !condCol(cond)
         case WhenNotMatchedBySourceDelete(cond) =>
           parts += unmatchedTgt.filter(remainingNmbs && condCol(cond)).select(
-            tCols.map(c => col(s"$tgtAlias.$c").as(c)) :+ lit("d").as("op"): _*)
+            (tCols.map(c => col(s"$tgtAlias.$c").as(c)) ++ novelTgt(Map.empty))
+              :+ lit("d").as("op"): _*)
           remainingNmbs = remainingNmbs && !condCol(cond)
       }
       // materialize the compiled changeset ONCE: without this the
@@ -3984,6 +4033,7 @@ object SnapshotTable {
     "x39_type_widening" -> (x39TypeWidening _, Some(x39Sql)),
     "x40_generated_columns" -> (x40GeneratedColumns _, Some(x40Sql)),
     "x41_row_tracking" -> (x41RowTracking _, Some(x41Sql)),
+    "x42_merge_evolution" -> (x42MergeEvolution _, Some(x42Sql)),
   )
 
   /** x24_catalog_sql — the name-addressed warehouse surface end-to-end
@@ -4755,6 +4805,73 @@ object SnapshotTable {
        |  ROUND(SUM(CASE WHEN event_id % 11 = 3 THEN 50.0 ELSE 0 END), 2)
        |    AS delta_sum
        |FROM s GROUP BY ep_day ORDER BY ep_day""".stripMargin
+
+  /** x42_merge_evolution — `MERGE WITH SCHEMA EVOLUTION` (Delta 3.2's
+    * per-statement autoMerge): the source carries a column the target
+    * lacks (`score`), the statement's UPDATE SET writes it on matched
+    * rows and INSERT * lands it on new rows, and the merge WIDENS the
+    * target through the x30 capture machinery — existing rows surface
+    * NULL history, untouched files stay byte-identical, the commit
+    * stamps the evolution marker + all-nullable union capture. The
+    * DuckDB twin derives the same end state from the raw log (CASE
+    * overlay + union of the inserts, NULL score outside the touched
+    * rows) — proving evolution ≡ the full-outer recompute it
+    * abbreviates, while the plan still only rewrote the window's
+    * day-clustered files. Without the spelling the same statement
+    * REFUSES (the route-refusal spec pins that contract). */
+  def x42MergeEvolution(s: SparkSession, d: String): DataFrame = {
+    if (!s.conf.getOption("spark.sql.catalog.gx").exists(_.nonEmpty)) {
+      s.conf.set("spark.sql.catalog.gx", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gx.root", Engine.tmpDir("graft_warehouse"))
+    }
+    val ev = Tables.events(s, d)
+      .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+      .filter(col("event_id") % X29Mod === 0)
+      .select("event_id", "value", "ep_day")
+    ev.createOrReplaceTempView("x42_tgt_src")
+    s.sql("DROP TABLE IF EXISTS gx.x42_t")
+    s.sql("CREATE TABLE gx.x42_t AS SELECT * FROM x42_tgt_src")
+    s.sql("OPTIMIZE gx.x42_t CLUSTER BY (ep_day) TARGET 7")
+    val win = ev.filter(col("ep_day").between(X17Lo, X17Hi))
+    val ups = win.filter(col("event_id") % 20 === 0)
+      .select(col("event_id"), col("value"), col("ep_day"),
+        (col("value") * 2).as("score"))
+    val ins = win.filter(col("event_id") % 20 === 7)
+      .select((col("event_id") + lit(10000000000L)).as("event_id"),
+        col("value"), col("ep_day"), lit(-1.0).as("score"))
+    ups.unionByName(ins).createOrReplaceTempView("x42_changes")
+    s.sql("""MERGE WITH SCHEMA EVOLUTION INTO gx.x42_t AS t USING x42_changes AS s
+      ON t.event_id = s.event_id
+      WHEN MATCHED THEN UPDATE SET value = t.value + 100.0, score = s.score
+      WHEN NOT MATCHED THEN INSERT *""")
+    s.sql("""SELECT ep_day, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+        CAST(SUM(CAST(COALESCE(score, 0.0) AS DECIMAL(18,6))) AS DOUBLE) AS score_sum,
+        SUM(CASE WHEN score IS NOT NULL THEN 1 ELSE 0 END) AS n_scored
+      FROM gx.x42_t GROUP BY ep_day ORDER BY ep_day""")
+  }
+
+  val x42Sql: String =
+    s"""WITH e AS (SELECT event_id, value,
+       |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day FROM events
+       |  WHERE event_id % $X29Mod = 0),
+       |m AS (
+       |  SELECT event_id,
+       |    CASE WHEN ep_day BETWEEN $X17Lo AND $X17Hi AND event_id % 20 = 0
+       |      THEN value + 100.0 ELSE value END AS value,
+       |    CASE WHEN ep_day BETWEEN $X17Lo AND $X17Hi AND event_id % 20 = 0
+       |      THEN value * 2 ELSE NULL END AS score,
+       |    ep_day
+       |  FROM e
+       |  UNION ALL
+       |  SELECT event_id + 10000000000 AS event_id, value,
+       |    -1.0 AS score, ep_day
+       |  FROM e WHERE ep_day BETWEEN $X17Lo AND $X17Hi AND event_id % 20 = 7)
+       |SELECT ep_day, COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+       |  CAST(SUM(CAST(COALESCE(score, 0.0) AS DECIMAL(18,6))) AS DOUBLE) AS score_sum,
+       |  CAST(SUM(CASE WHEN score IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_scored
+       |FROM m GROUP BY ep_day ORDER BY ep_day""".stripMargin
 
   val x40Sql: String =
     s"""WITH e AS (SELECT user_id, value,

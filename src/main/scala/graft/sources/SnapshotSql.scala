@@ -151,8 +151,11 @@ object SnapshotSql {
   // above is the caller-labeled changeset primitive). Aliases are
   // REQUIRED (they disambiguate every t./s. reference in conditions and
   // SET expressions); ON is one equi-condition between the aliases.
+  // `MERGE WITH SCHEMA EVOLUTION INTO` (Delta 3.2's per-statement
+  // autoMerge spelling): source columns absent from the target widen it
+  // through the merge's capture machinery instead of refusing.
   private val AnsiMerge =
-    (s"""(?is)\\s*MERGE\\s+INTO\\s+($Ref)\\s+(?:AS\\s+)?(\\w+)\\s+USING\\s+([\\w.]+)""" +
+    (s"""(?is)\\s*MERGE\\s+(WITH\\s+SCHEMA\\s+EVOLUTION\\s+)?INTO\\s+($Ref)\\s+(?:AS\\s+)?(\\w+)\\s+USING\\s+([\\w.]+)""" +
       s"""\\s+(?:AS\\s+)?(\\w+)\\s+ON\\s+(\\w+)\\.(\\w+)\\s*=\\s*(\\w+)\\.(\\w+)\\s+(WHEN\\s.+?)\\s*""").r
   private val WhenUpdate =
     """(?is)\s*WHEN\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+UPDATE\s+SET\s+(.+?)\s*""".r
@@ -420,7 +423,7 @@ object SnapshotSql {
     * same session falls through untouched. The custom CLUSTER BY form
     * cannot collide (its shape has no aliases/ON). */
   private[graft] def ownsAnsiMerge(s: SparkSession, stmt: String): Boolean = stmt match {
-    case AnsiMerge(ref, _, _, _, _, _, _, _, _) => ref.startsWith("'") ||
+    case AnsiMerge(_, ref, _, _, _, _, _, _, _, _) => ref.startsWith("'") ||
       scala.util.Try(resolveRef(s, ref)).isSuccess
     case _ => false
   }
@@ -505,7 +508,7 @@ object SnapshotSql {
         Option(target).map(_.toInt).getOrElse(DefaultTargetFiles))
     case MergeInto(ref, clusterCol, idCol, view) =>
       SnapshotTable.merge(s, resolveRef(s, ref), clusterCol, idCol, s.table(view))
-    case AnsiMerge(ref, tAlias, srcView, sAlias, a1, c1, a2, c2, whenTxt) =>
+    case AnsiMerge(evolution, ref, tAlias, srcView, sAlias, a1, c1, a2, c2, whenTxt) =>
       val (tCol, sCol) =
         if (a1 == tAlias && a2 == sAlias) (c1, c2)
         else if (a1 == sAlias && a2 == tAlias) (c2, c1)
@@ -513,7 +516,7 @@ object SnapshotSql {
           s"graft-snapshot SQL: MERGE ON must equate $tAlias.<col> = $sAlias.<col> " +
             s"(got $a1.$c1 = $a2.$c2)")
       SnapshotTable.ansiMerge(s, resolveRef(s, ref), tAlias, srcView, sAlias,
-        tCol, sCol, parseMergeClauses(whenTxt))
+        tCol, sCol, parseMergeClauses(whenTxt), autoMerge = evolution != null)
     case stmt0 if updateParts(stmt0).isDefined =>
       val (ref, setsStr, pred) = updateParts(stmt0).get
       SnapshotTable.update(s, resolveRef(s, ref), parseSets(setsStr), pred)

@@ -430,6 +430,76 @@ class SnapshotSqlSpec extends AnyFunSuite {
       "insert-only merge over a dup-key target must succeed")
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION widens from the source; the plain spelling refuses SET on the novel column") {
+    import spark.implicits._
+    val root = Engine.tmpDir("graft_sql_merge_evo")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    // two key-clustered files so the untouched one proves byte-stability
+    val entries = (ST.writeDataFiles((1L to 5L).map(k => (k, k * 10.0)).toDF("k", "v")
+        .coalesce(1), root, "lo") ++
+      ST.writeDataFiles((6L to 10L).map(k => (k, k * 10.0)).toDF("k", "v")
+        .coalesce(1), root, "hi")).map(ST.footerEntry(root, _, "k"))
+    ST.commitEntries(root, 0, entries, shardSize = 8, Map("statsCol" -> "k"))
+    val hiBytes = java.nio.file.Files.size(Paths.get(root, entries(1).rel))
+    // source carries a NOVEL column `tag` plus an update and an insert
+    Seq((2L, 25.0, "upd"), (0L, 5.0, "new")).toDF("k", "v", "tag")
+      .createOrReplaceTempView("evo_src")
+    // 1. plain spelling: SET on the novel column refuses, naming the fix
+    val e1 = intercept[Exception](spark.sql(
+      s"""MERGE INTO '$root' AS t USING evo_src AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v, tag = s.tag
+        WHEN NOT MATCHED THEN INSERT *""").collect())
+    assert(e1.getMessage.contains("unknown target column tag") &&
+      e1.getMessage.contains("SCHEMA EVOLUTION"), e1.getMessage)
+    assert(ST.currentVersion(root) == 1, "refused merge must not commit")
+    // 2. the evolution spelling widens: matched row takes the SET value,
+    // the insert lands it, every pre-existing row surfaces NULL history
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO '$root' AS t USING evo_src AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v, tag = s.tag
+        WHEN NOT MATCHED THEN INSERT *""").collect()
+    val got = ST.read(spark, root).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), Option(r.getAs[String]("tag")))).toMap
+    assert(got.size == 11)
+    assert(got(2L) == ((25.0, Some("upd"))), got(2L).toString)
+    assert(got(0L) == ((5.0, Some("new"))), got(0L).toString)
+    assert(got(7L) == ((70.0, None)), "untouched rows must surface NULL history")
+    // the evolution commit captured the union and marked the version
+    val meta = ST.manifestMeta(root, ST.currentVersion(root))
+    assert(meta.get("schema").exists(_.contains("tag")), meta.get("schema").toString)
+    assert(meta.get("schemaJson").exists(_.contains("tag")), "union capture missing")
+    // pruning held: the hi file [6,10] carried by reference, byte-identical
+    assert(meta("merge") == "cow:k:1of2", meta("merge"))
+    assert(java.nio.file.Files.size(Paths.get(root, entries(1).rel)) == hiBytes)
+    // 3. a second evolved merge against the widened table is a PLAIN
+    // merge (tag is a table column now — no second evolution)
+    Seq((3L, 35.0, "upd2")).toDF("k", "v", "tag").createOrReplaceTempView("evo_src2")
+    spark.sql(
+      s"""MERGE INTO '$root' AS t USING evo_src2 AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET v = s.v, tag = s.tag""").collect()
+    val got2 = ST.read(spark, root).collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[String]("tag"))).toMap
+    assert(got2(3L).contains("upd2") && got2(7L).isEmpty)
+    // 4. SET-only evolution (no INSERT clause): only the SET-named
+    // column widens, and rows outside the clause keep NULL
+    val root2 = Engine.tmpDir("graft_sql_merge_evo2")
+    Engine.listDir(Paths.get(root2)).foreach(Engine.deleteRecursively)
+    ST.commitEntries(root2, 0,
+      ST.writeDataFiles((1L to 4L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1), root2, "a").map(ST.footerEntry(root2, _, "k")),
+      shardSize = 8, Map("statsCol" -> "k"))
+    Seq((2L, 9.0, 7L, "zz")).toDF("k", "v", "w", "helper")
+      .createOrReplaceTempView("evo_src3")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO '$root2' AS t USING evo_src3 AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET w = s.w""").collect()
+    val cols2 = ST.read(spark, root2).columns.toSeq
+    assert(cols2.contains("w") && !cols2.contains("helper"),
+      s"only SET-named novel columns may widen: $cols2")
+    val w2 = ST.read(spark, root2).filter(col("k") === 2).select("w").head().getLong(0)
+    assert(w2 == 7L)
+  }
+
   test("MERGE NOT MATCHED BY SOURCE: precedence, pruning, and the sync end state") {
     import spark.implicits._
     val root = Engine.tmpDir("graft_sql_nmbs")
