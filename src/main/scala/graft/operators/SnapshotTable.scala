@@ -458,8 +458,20 @@ object SnapshotTable {
   def readAt(s: SparkSession, root: String, v: Int): DataFrame =
     // user-facing reads resolve the column mapping AS OF the snapshot
     // (rename/drop evolution, see colMap): renamed columns surface
-    // under their logical names, dropped physicals disappear
-    toLogical(readAtPhysical(s, root, v), colMap(root, v))
+    // under their logical names, dropped physicals disappear.
+    // An IDENTITY column (engine-assigned, = the row-tracking id)
+    // appends after the data columns — the id read already serves the
+    // whole logical view plus the resolved id, so the identity table's
+    // read IS the id read under the declared name.
+    identityCol(root, v) match {
+      case None => toLogical(readAtPhysical(s, root, v), colMap(root, v))
+      case Some(ic) =>
+        val df = readWithRowIdsAt(s, root, v)
+        require(!df.columns.exists(c => c.equalsIgnoreCase(ic) && c != "_row_id"),
+          s"snapshot read on $root: version $v resurfaces a data column named " +
+            s"$ic, colliding with the identity column — rename one")
+        df.withColumnRenamed("_row_id", ic)
+    }
 
   /** [[readAt]] WITHOUT the column-mapping resolution — the frame
     * under the files' own (physical) names. Internal rewrite plumbing
@@ -590,6 +602,16 @@ object SnapshotTable {
     require(!name.equalsIgnoreCase("__row_id"),
       s"$op on $root: __row_id is a reserved name (row tracking materializes " +
         "preserved ids under it)")
+    // the IDENTITY column's name is engine-owned once declared: no
+    // rename/add/generation/evolution may (re)claim it (declaring it
+    // is exempt — setIdentityColumn validates BEFORE the meta exists)
+    if (op != "identity column") {
+      val curV = currentVersion(root)
+      if (curV > 0) manifestMeta(root, curV).get("identity").foreach(ic =>
+        require(!name.equalsIgnoreCase(ic),
+          s"$op on $root: $ic is the table's GENERATED ALWAYS AS IDENTITY " +
+            "column — the name is engine-owned"))
+    }
     val bad = name.filter(c => "=,;:#>\t\n\r".contains(c))
     require(bad.isEmpty,
       s"$op on $root: column name '$name' contains manifest-delimiter " +
@@ -935,6 +957,50 @@ object SnapshotTable {
     }
     result
   }
+
+  /** IDENTITY COLUMN (Delta's `GENERATED ALWAYS AS IDENTITY`, r15):
+    * expose the row-tracking identity as a named LOGICAL column — the
+    * values ARE the x41 row ids, so assignment rides the high-water
+    * allocator's per-commit contiguous claims (a fresh file's rows get
+    * [hw, hw+rows): dense, unique, CAS-serialized against concurrent
+    * writers — the same collision-free discipline, with ZERO per-row
+    * write cost), DML stability/materialization/restore/clone all
+    * inherit from the row-tracking machinery, and the engine owns the
+    * values absolutely (every write surface refuses explicit values —
+    * the ALWAYS contract). One identity column per table; enables row
+    * tracking if not already on. At 100 TB: appends stay zero-cost
+    * (identity is positional until a rewrite materializes it), and
+    * reads pay one broadcast base join — metadata, never a shuffle. */
+  def setIdentityColumn(s: SparkSession, root: String, name: String): Int = {
+    validateIdent(root, "identity column", name)
+    enableRowTracking(s, root)
+    val retry = new CommitRetry(root)
+    var result = -1
+    while (result < 0) {
+      val v = currentVersion(root)
+      retry.observed(v)
+      val carried = carriedMeta(root, v)
+      carried.get("identity") match {
+        case Some(cur) if cur == name => result = v // idempotent
+        case Some(cur) => throw new IllegalArgumentException(
+          s"identity column on $root: the table already has identity column " +
+            s"$cur — one per table")
+        case None =>
+          val resident = readAtPhysical(s, root, v).columns ++
+            colMap(root, v).toSeq.flatten.map(_._1)
+          require(!resident.exists(_.equalsIgnoreCase(name)),
+            s"identity column on $root: $name collides with an existing column")
+          try result = commitEntries(root, v, manifestEntries(root, v), 16,
+            carried + ("identity" -> name) + ("alter" -> s"identity:$name"))
+          catch { case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) }
+      }
+    }
+    result
+  }
+
+  /** The table's identity column at version `v`, if declared. */
+  private[graft] def identityCol(root: String, v: Int): Option[String] =
+    if (v == 0) None else manifestMeta(root, v).get("identity")
 
   /** Does the parquet footer of `rel` declare a `name` column? One
     * driver-side metadata read — used to split a row-tracked scan into
@@ -1747,7 +1813,7 @@ object SnapshotTable {
         fmtRowMat(rowMatOf(srcMeta).map(reRel)).map("rowmat" -> _)
     val meta = srcMeta
       .filter(kv => keep.contains(kv._1) || kv._1.startsWith("check.") ||
-        kv._1.startsWith("gen.")) ++
+        kv._1.startsWith("gen.") || kv._1 == "identity") ++
       dvMeta.map("dv" -> _) ++ rtMeta +
       ("clone" -> s"shallow:${Paths.get(srcRoot).toAbsolutePath.normalize}@v$v")
     commitEntries(dstRoot, 0, entries, shardSize = 16, meta)
@@ -2128,6 +2194,10 @@ object SnapshotTable {
     require(!changes.columns.exists(_.equalsIgnoreCase(RowIdCol)),
       s"merge on $root: the changeset may not carry $RowIdCol — row ids are " +
         "assigned by the engine (updates inherit, inserts mint fresh)")
+    carried.get("identity").foreach(ic =>
+      require(!changes.columns.exists(_.equalsIgnoreCase(ic)),
+        s"merge on $root: column $ic is GENERATED ALWAYS AS IDENTITY — the " +
+          "changeset may not carry it (updates inherit, inserts mint fresh)"))
     val oldPhysIds: Option[DataFrame] =
       if (rowTracked && affected.nonEmpty)
         Some(relsWithIds(s, root, v, affected.map(_.rel)).localCheckpoint(false))
@@ -2394,12 +2464,20 @@ object SnapshotTable {
     while (result < 0) {
       val v = currentVersion(root)
       require(v > 0, s"ansi merge on $root: table has no committed version")
-      val tgtPlain = readAt(s, root, v)
+      val tgtPlain0 = readAt(s, root, v)
+      // an IDENTITY column is engine-owned and OUTSIDE the merge
+      // contract: updates inherit ids and inserts mint fresh through
+      // the keyed rewrite, so the clauses never read or write it
+      val identOpt = identityCol(root, v)
+      val tgtPlain = identOpt.fold(tgtPlain0)(tgtPlain0.drop(_))
       val tCols = tgtPlain.columns.toIndexedSeq
       require(tCols.contains(onTgtCol),
         s"ansi merge on $root: ON column $onTgtCol is not a target column")
       val tgt = tgtPlain.alias(tgtAlias)
       val srcPlain = s.table(srcTable)
+      identOpt.foreach(ic => require(!srcPlain.columns.exists(_.equalsIgnoreCase(ic)),
+        s"ansi merge on $root: column $ic is GENERATED ALWAYS AS IDENTITY — " +
+          "the source may not carry it (updates inherit, inserts mint fresh)"))
       require(srcPlain.columns.contains(onSrcCol),
         s"ansi merge on $root: ON column $onSrcCol is not a source column")
       val src = srcPlain.alias(srcAlias)
@@ -3026,6 +3104,10 @@ object SnapshotTable {
     val setMap = sets.toMap
     require(sets.map(_._1).distinct.size == sets.size,
       s"update on $root: duplicate SET column")
+    carried.get("identity").foreach(ic =>
+      sets.foreach { case (c, _) => require(!c.equalsIgnoreCase(ic),
+        s"update on $root: column $ic is GENERATED ALWAYS AS IDENTITY — " +
+          "the engine assigns it; it cannot be SET") })
     sets.foreach { case (c, _) => require(full.columns.contains(c),
       s"update on $root: SET names unknown column $c (UPDATE never widens a table; " +
         "use a widening merge to add columns)") }
@@ -4034,6 +4116,7 @@ object SnapshotTable {
     "x40_generated_columns" -> (x40GeneratedColumns _, Some(x40Sql)),
     "x41_row_tracking" -> (x41RowTracking _, Some(x41Sql)),
     "x42_merge_evolution" -> (x42MergeEvolution _, Some(x42Sql)),
+    "x43_identity" -> (x43Identity _, Some(x43Sql)),
   )
 
   /** x24_catalog_sql — the name-addressed warehouse surface end-to-end
@@ -4805,6 +4888,74 @@ object SnapshotTable {
        |  ROUND(SUM(CASE WHEN event_id % 11 = 3 THEN 50.0 ELSE 0 END), 2)
        |    AS delta_sum
        |FROM s GROUP BY ep_day ORDER BY ep_day""".stripMargin
+
+  /** x43_identity — GENERATED ALWAYS AS IDENTITY (r15, Delta's
+    * identity columns) riding the x41 high-water allocator: the column
+    * IS the row-tracking id under a user-facing name, so every commit
+    * claims a contiguous dense range [hw, hw+rows) with zero per-row
+    * write cost, CAS-serialized against concurrent writers. The query
+    * ingests THREE batches (seed + two sink appends) with a
+    * copy-on-write UPDATE between them (ids materialize through the
+    * rewrite), then proves uniqueness + density THROUGH the oracle:
+    * per-batch COUNT/MIN/MAX/COUNT-DISTINCT of the identity must equal
+    * the DuckDB row_number twin's cumulative offsets — a duplicated,
+    * skipped or re-assigned id diverges min/max/distinct. */
+  def x43Identity(s: SparkSession, d: String): DataFrame = {
+    val root = Engine.tmpDir("graft_x43_ident")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    val ev = Tables.events(s, d)
+      .filter(col("event_id") % X29Mod === 0)
+      .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+      .select("event_id", "ep_day", "value")
+    val (cutA, cutB) = (19735L, 19745L)
+    commitEntries(root, 0,
+      writeDataFiles(ev.filter(col("ep_day") <= cutA)
+        .repartitionByRange(3, col("ep_day")), root, "seed")
+        .map(footerEntry(root, _, "ep_day")),
+      16, Map("statsCol" -> "ep_day"))
+    setIdentityColumn(s, root, "row_sk")
+    graft.streaming.SnapshotSink.appendBatch(root,
+      ev.filter(col("ep_day") > cutA && col("ep_day") <= cutB),
+      batchId = 0L, keyCol = "ep_day")
+    graft.streaming.SnapshotSink.appendBatch(root,
+      ev.filter(col("ep_day") > cutB), batchId = 1L, keyCol = "ep_day")
+    // a CoW UPDATE after ingest: survivors' ids materialize into the
+    // rewritten files and MUST NOT move (the oracle's per-batch
+    // min/max/distinct would diverge if one did). Density is an
+    // INGEST property: a rewrite's files claim fresh base ranges (a
+    // merge-inserted row resolves by base, so the ranges must be
+    // virgin), leaving id-space gaps after DML — Delta's identity
+    // contract too (uniqueness always; density between DML).
+    update(s, root, Seq("value" -> "value + 50.0"),
+      s"ep_day <= $cutA AND event_id % 11 = 3")
+    read(s, root)
+      .withColumn("batch", when(col("ep_day") <= cutA, "a")
+        .when(col("ep_day") <= cutB, "b").otherwise("c"))
+      .groupBy("batch")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("row_sk")).as("min_id"), max(col("row_sk")).as("max_id"),
+        countDistinct(col("row_sk")).as("n_distinct"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .orderBy("batch")
+  }
+
+  val x43Sql: String =
+    s"""WITH e AS (SELECT event_id, value,
+       |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day FROM events
+       |  WHERE event_id % $X29Mod = 0),
+       |t AS (SELECT
+       |  CASE WHEN ep_day <= 19735 THEN 'a'
+       |       WHEN ep_day <= 19745 THEN 'b' ELSE 'c' END AS batch,
+       |  CASE WHEN ep_day <= 19735 AND event_id % 11 = 3
+       |       THEN value + 50.0 ELSE value END AS value FROM e),
+       |s AS (SELECT batch, COUNT(*) AS n_rows,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+       |  FROM t GROUP BY batch),
+       |o AS (SELECT batch, n_rows, value_sum,
+       |  CAST(SUM(n_rows) OVER (ORDER BY batch) - n_rows AS BIGINT) AS off FROM s)
+       |SELECT batch, n_rows, off AS min_id, off + n_rows - 1 AS max_id,
+       |  n_rows AS n_distinct, value_sum
+       |FROM o ORDER BY batch""".stripMargin
 
   /** x42_merge_evolution — `MERGE WITH SCHEMA EVOLUTION` (Delta 3.2's
     * per-statement autoMerge): the source carries a column the target

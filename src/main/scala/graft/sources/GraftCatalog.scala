@@ -87,10 +87,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val schema =
       if (cur > 0)
         // the exposed schema is the LOGICAL one (column mapping:
-        // renames surface, dropped columns don't)
-        SnapshotSourceUtil.logicalStruct(
+        // renames surface, dropped columns don't); an identity column
+        // appends like the Scala read's
+        SnapshotSourceUtil.withIdentity(SnapshotSourceUtil.logicalStruct(
           SnapshotSourceUtil.sparkSchema(SnapshotSourceUtil.tableMessageType(root)),
-          SnapshotTable.colMap(root, cur))
+          SnapshotTable.colMap(root, cur)), root, cur)
       else
         DataType.fromJson(new String(Files.readAllBytes(schemaFile(d))))
           .asInstanceOf[StructType]
@@ -122,10 +123,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // not a raw filesystem exception mid-planning
     // time travel resolves the mapping AS OF the snapshot: a read
     // before a RENAME surfaces the old names (Delta's contract)
-    val schema = try SnapshotSourceUtil.logicalStruct(
-      SnapshotSourceUtil.sparkSchema(
-        SnapshotSourceUtil.tableMessageType(root, v)),
-      SnapshotTable.colMap(root, v))
+    val schema = try SnapshotSourceUtil.withIdentity(
+      SnapshotSourceUtil.logicalStruct(
+        SnapshotSourceUtil.sparkSchema(
+          SnapshotSourceUtil.tableMessageType(root, v)),
+        SnapshotTable.colMap(root, v)), root, v)
     catch {
       case _: java.nio.file.NoSuchFileException => throw new IllegalArgumentException(
         s"graft catalog: version $v of $root was vacuumed away — " +

@@ -253,6 +253,13 @@ object SnapshotSql {
   // (DECIMAL(18,0), DOUBLE PRECISION) so those statements reach
   // widenColumn's clear unsupported-widening refusal instead of
   // falling through to Spark's parser and dying on the quoted path
+  // Delta's identity-column spelling on the ALTER surface: declares a
+  // BIGINT column whose values the engine assigns (= the row-tracking
+  // ids — dense per-commit contiguous claims); routes to
+  // SnapshotTable.setIdentityColumn.
+  private val AddIdentity =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+($Ref)\\s+ADD\\s+COLUMN\\s+(\\w+)\\s+BIGINT\\s+""" +
+      """GENERATED\s+ALWAYS\s+AS\s+IDENTITY\s*""").r
   private val AlterColumnType =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+('[^']+')\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+TYPE\\s+(\\w+(?:\\s*\\([^)]*\\))?(?:\\s+\\w+)?)\\s*""".r
 
@@ -440,6 +447,8 @@ object SnapshotSql {
     // path-addressed widening and TBLPROPERTIES are claimed
     // unconditionally (quoted paths have no delegate); the name
     // spellings stay with Spark's analyzer
+    case AddIdentity(ref, _) => ref.startsWith("'") ||
+      scala.util.Try(resolveRef(s, ref)).isSuccess
     case AlterColumnType(_, _, _) => true
     case SetTblProps(_, _) | UnsetTblProps(_, _) => true
     case _ => false
@@ -531,6 +540,8 @@ object SnapshotSql {
       SnapshotTable.addCheckConstraint(s, resolveRef(s, ref), name, exprSql.trim)
     case DropConstraint(ref, name) =>
       SnapshotTable.dropCheckConstraint(resolveRef(s, ref), name)
+    case AddIdentity(ref, colName) =>
+      SnapshotTable.setIdentityColumn(s, resolveRef(s, ref), colName)
     case AlterColumnType(ref, colName, tpe) =>
       SnapshotTable.widenColumn(s, resolveRef(s, ref), colName,
         org.apache.spark.sql.catalyst.parser.CatalystSqlParser

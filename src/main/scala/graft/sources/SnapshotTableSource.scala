@@ -105,17 +105,23 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister {
       // change-data-feed reads surface the table schema plus the change
       // metadata columns (Delta's CDF column contract)
       if (SnapshotSourceUtil.cdfEnabled(options)) SnapshotSourceUtil.withCdfColumns(base)
-      else if (SnapshotSourceUtil.rowIdsEnabled(options)) {
-        // `.option("rowIds", "true")`: the path-route spelling of the
-        // x41 row-id read — the table schema plus `_row_id` (the
-        // catalog route exposes the same column as a DSv2 METADATA
-        // column, no option needed). Requires tracking AS OF the
-        // scanned version: a pre-enable time travel has no id story.
-        require(SnapshotTable.manifestMeta(r, v).get("rowtracking").contains("on"),
-          s"graft-snapshot rowIds: row tracking is not enabled on $r at version $v " +
-            "(SnapshotTable.enableRowTracking)")
-        SnapshotSourceUtil.withRowIdColumn(base)
-      } else base
+      else {
+        // an IDENTITY column surfaces on every plain read (it IS part
+        // of the table's logical schema); CDF mode serves change rows
+        // (data columns only — a diff row has no id contract)
+        val withId = SnapshotSourceUtil.withIdentity(base, r, v)
+        if (SnapshotSourceUtil.rowIdsEnabled(options)) {
+          // `.option("rowIds", "true")`: the path-route spelling of the
+          // x41 row-id read — the table schema plus `_row_id` (the
+          // catalog route exposes the same column as a DSv2 METADATA
+          // column, no option needed). Requires tracking AS OF the
+          // scanned version: a pre-enable time travel has no id story.
+          require(SnapshotTable.manifestMeta(r, v).get("rowtracking").contains("on"),
+            s"graft-snapshot rowIds: row tracking is not enabled on $r at version $v " +
+              "(SnapshotTable.enableRowTracking)")
+          SnapshotSourceUtil.withRowIdColumn(withId)
+        } else withId
+      }
     }
   }
 
@@ -157,6 +163,17 @@ private[sources] object SnapshotSourceUtil {
       s"graft-snapshot rowIds: table columns collide with $RowIdField")
     base.add(RowIdField, LongType, nullable = true)
   }
+
+  /** Append the version's IDENTITY column (engine-assigned, = the row
+    * tracking id under a user-facing name) to a resolved logical
+    * schema — the connector twin of [[SnapshotTable.readAt]]'s
+    * identity append. */
+  def withIdentity(base: StructType, root: String, v: Int): StructType =
+    SnapshotTable.identityCol(root, v) match {
+      case Some(ic) if !base.fieldNames.contains(ic) =>
+        base.add(ic, LongType, nullable = true)
+      case _ => base
+    }
 
   def withCdfColumns(base: StructType): StructType = {
     require(!base.fieldNames.exists(n =>
@@ -403,7 +420,7 @@ private[sources] class SnapshotDsv2Table(root: String, schema: StructType,
     val v = pinnedVersion.getOrElse(SnapshotTable.currentVersion(root))
     val meta = if (v == 0) Map.empty[String, String]
       else SnapshotTable.manifestMeta(root, v)
-    val shown = Set("cdf", "dvmode", "rowtracking", "statsCol")
+    val shown = Set("cdf", "dvmode", "rowtracking", "statsCol", "identity")
     val out = new java.util.HashMap[String, String]()
     meta.foreach { case (k, va) =>
       if (shown.contains(k) || k.startsWith("check.") || k.startsWith("gen."))
@@ -823,15 +840,19 @@ private[sources] class SnapshotScan(root: String, version: Int,
 
   private val cdfMode = SnapshotSourceUtil.cdfEnabled(options)
 
-  /** The scan serves `_row_id` whenever the projection asks for it —
-    * via the path route's `rowIds` option (schema column) or the
-    * catalog route's metadata column; both funnel here. Requires
-    * tracking as of the scanned version: the option route checked at
-    * schema inference, the metadata route by construction (the column
-    * is only exposed on tracked tables) — this is the belt-and-braces
-    * guard for externally-supplied schemas. */
-  private val rowIdMode = !cdfMode &&
-    pruned.fieldNames.contains(SnapshotSourceUtil.RowIdField)
+  /** The scan serves the row-tracking id whenever the projection asks
+    * for it — as `_row_id` via the path route's `rowIds` option or the
+    * catalog route's metadata column, and/or under the table's
+    * IDENTITY column name; all spellings funnel here (a projection may
+    * carry both — same value twice). Requires tracking as of the
+    * scanned version: the option route checked at schema inference,
+    * the metadata route and identity by construction — this is the
+    * belt-and-braces guard for externally-supplied schemas. */
+  private val identCol: Option[String] =
+    if (version > 0 && !cdfMode) SnapshotTable.identityCol(root, version) else None
+  private val idOutNames: Set[String] = pruned.fieldNames.filter(n =>
+    (!cdfMode && n == SnapshotSourceUtil.RowIdField) || identCol.contains(n)).toSet
+  private val rowIdMode = idOutNames.nonEmpty
   require(!rowIdMode || (version > 0 &&
       SnapshotTable.manifestMeta(root, version).get("rowtracking").contains("on")),
     s"graft-snapshot rowIds: row tracking is not enabled on $root at version $version")
@@ -850,7 +871,7 @@ private[sources] class SnapshotScan(root: String, version: Int,
   private def rowIdFactory: SnapshotRowIdReaderFactory = {
     val map = SnapshotTable.colMap(root, version)
     val basePhys = SnapshotSourceUtil.physStruct(StructType(
-      pruned.fields.filterNot(_.name == SnapshotSourceUtil.RowIdField)), map)
+      pruned.fields.filterNot(f => idOutNames.contains(f.name))), map)
     val full = SnapshotSourceUtil.tableMessageType(root, version)
     val msg = SnapshotSourceUtil.projectedMessage(full, basePhys)
     val withId = new MessageType(msg.getName,
@@ -861,7 +882,7 @@ private[sources] class SnapshotScan(root: String, version: Int,
         java.util.List[org.apache.parquet.schema.Type])
     val innerPruned = basePhys.add(SnapshotTable.RowIdCol, LongType, nullable = true)
     SnapshotRowIdReaderFactory(withId.toString, innerPruned,
-      SnapshotSourceUtil.physStruct(pruned, map))
+      SnapshotSourceUtil.physStruct(pruned, map), idOutNames)
   }
 
   private def factory: SnapshotReaderFactory = {
@@ -1010,10 +1031,11 @@ private[sources] class SnapshotScan(root: String, version: Int,
     val tsRaw = Option(options.get("startingTimestamp"))
     require(tsRaw.isEmpty || options.get("startingVersion") == null,
       "graft-snapshot: startingTimestamp and startingVersion are mutually exclusive")
-    // row-id reads are a BATCH contract: a streamed commit's rows would
-    // need the rowbase map as of EACH offset version — honest refusal
-    // beats serving ids that silently pin to stream-start state
-    require(!rowIdMode && !SnapshotSourceUtil.rowIdsEnabled(options),
+    // `.option("rowIds")` stays a BATCH contract; an IDENTITY column,
+    // being part of the table schema, DOES stream — each planned
+    // commit's partitions carry their bases as of THAT version, so a
+    // streamed row's identity matches what any batch read serves
+    require(!SnapshotSourceUtil.rowIdsEnabled(options),
       "graft-snapshot: rowIds is a batch read option — stream the table " +
         "plainly and join ids via a batch rowIds read, or consume the change feed")
     val startingVersion = tsRaw match {
@@ -1052,8 +1074,9 @@ private[sources] class SnapshotScan(root: String, version: Int,
         "exclusive — the change feed delivers exactly the commits " +
         "skipChangeCommits would drop")
     if (cdfMode) new SnapshotCdfMicroBatchStream(root, startingVersion, perTrigger, cdfFactory)
-    else new SnapshotMicroBatchStream(root, startingVersion, perTrigger, factory,
-      skipChanges)
+    else new SnapshotMicroBatchStream(root, startingVersion, perTrigger,
+      if (rowIdMode) rowIdFactory else factory,
+      skipChanges, attachBases = rowIdMode)
   }
 }
 
@@ -1070,7 +1093,8 @@ private[sources] case class VersionOffset(v: Int) extends Offset {
   * changes themselves are wanted. */
 private[sources] class SnapshotMicroBatchStream(root: String,
     startingVersion: Int, maxVersionsPerTrigger: Int,
-    factory: SnapshotReaderFactory, skipChangeCommits: Boolean = false)
+    factory: PartitionReaderFactory, skipChangeCommits: Boolean = false,
+    attachBases: Boolean = false)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = VersionOffset(startingVersion)
@@ -1122,8 +1146,27 @@ private[sources] class SnapshotMicroBatchStream(root: String,
             "changes with .option(\"readChangeFeed\", \"true\"), or skip " +
             "change commits entirely with .option(\"skipChangeCommits\", \"true\")")
       }
-      else (after -- before).toSeq.sorted
-        .map(rel => SnapshotFilePartition(Paths.get(root, rel).toString): InputPartition)
+      else {
+        // identity streaming: each appended file's base comes from ITS
+        // commit's manifest — pure metadata, resolved once per batch.
+        // Commits that PREDATE the tracking/identity enable carry no
+        // bases yet; the file's base was minted at the enable commit
+        // and never changes, so the CURRENT version's map serves as
+        // the fallback (a file that was rewritten away since would be
+        // part of a change commit this plain stream refuses anyway)
+        val bases =
+          if (!attachBases) Map.empty[String, Long]
+          else {
+            val atV = SnapshotTable.rowBasesOf(SnapshotTable.manifestMeta(root, v))
+            val cur = SnapshotTable.currentVersion(root)
+            val fallback = if (cur == v) Map.empty[String, Long]
+              else SnapshotTable.rowBases(root, cur)
+            fallback ++ atV
+          }
+        (after -- before).toSeq.sorted
+          .map(rel => SnapshotFilePartition(Paths.get(root, rel).toString,
+            rowBase = bases.get(rel)): InputPartition)
+      }
     }.toArray
   }
 
@@ -1407,11 +1450,22 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
   }
 
   private def factory = {
+    // an IDENTITY column is engine-assigned: a write supplying it
+    // would collide with the commit-time allocator (and Spark's
+    // catalog INSERT INTO forces every schema column, so the honest
+    // answer for identity tables is the path-route append / sink,
+    // which omit it — the GENERATED ALWAYS contract)
+    val cur = SnapshotTable.currentVersion(root)
+    SnapshotTable.identityCol(root, cur).foreach(ic =>
+      require(!info.schema().fieldNames.exists(_.equalsIgnoreCase(ic)),
+        s"graft-snapshot write to $root: column $ic is GENERATED ALWAYS AS " +
+          "IDENTITY — omit it (path-route append or the streaming sink); " +
+          "the engine assigns dense ids at commit"))
     // the incoming query's schema is LOGICAL (the table exposes the
     // mapping); data files always carry PHYSICAL names — translate.
     // Row decode is positional, so renaming fields is free.
     val phys = SnapshotSourceUtil.physStruct(info.schema(),
-      SnapshotTable.colMap(root, SnapshotTable.currentVersion(root)))
+      SnapshotTable.colMap(root, cur))
     SnapshotWriterFactory(root,
       SnapshotSourceUtil.messageType(phys).toString, phys, boundChecks)
   }
@@ -1785,13 +1839,15 @@ private[sources] case class SnapshotReaderFactory(projectedMessage: String,
   * ordinal): byte-for-byte the [[SnapshotTable.relsWithIds]] rule, so
   * the DSv2 route and the Scala route cannot diverge. */
 private[sources] case class SnapshotRowIdReaderFactory(projectedMessage: String,
-    innerPruned: StructType, out: StructType) extends PartitionReaderFactory {
+    innerPruned: StructType, out: StructType,
+    idNames: Set[String] = Set(SnapshotSourceUtil.RowIdField))
+    extends PartitionReaderFactory {
 
   private val inner = SnapshotReaderFactory(projectedMessage, innerPruned, evolved = true)
   // __row_id is always the LAST inner slot (rowIdFactory appends it)
   private val matSlot = innerPruned.length - 1
   private val slot: Array[Int] = out.fields.map { f =>
-    if (f.name == SnapshotSourceUtil.RowIdField) -1 else innerPruned.fieldIndex(f.name)
+    if (idNames.contains(f.name)) -1 else innerPruned.fieldIndex(f.name)
   }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {

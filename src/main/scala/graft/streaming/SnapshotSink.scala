@@ -85,6 +85,13 @@ object SnapshotSink {
     // because nothing was committed.
     val cv = ST.currentVersion(root)
     val map = ST.colMap(root, cv)
+    // an IDENTITY column is engine-assigned (commit-time contiguous
+    // claims off the row-tracking high-water mark) — a batch supplying
+    // its own values would collide with the allocator, refuse
+    ST.identityCol(root, cv).foreach(ic =>
+      require(!df.columns.exists(_.equalsIgnoreCase(ic)),
+        s"graft-snapshot sink on $root: column $ic is GENERATED ALWAYS AS " +
+          "IDENTITY — omit it; the engine assigns dense ids at commit"))
     val plannedChecks = ST.checkConstraints(root, cv)
     // GENERATED columns the batch omits are computed here (Delta's
     // write-side convenience — a stream need not carry derivable

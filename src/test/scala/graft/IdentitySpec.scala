@@ -1,0 +1,163 @@
+package graft
+
+import java.nio.file.Paths
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** x43's contract: GENERATED ALWAYS AS IDENTITY riding the x41
+  * high-water allocator — the column IS the row-tracking id under a
+  * user-facing name. Per-commit contiguous claims (dense, unique,
+  * CAS-serialized), engine-owned values (every write surface refuses
+  * explicit ones), DML stability inherited from row tracking, and the
+  * same column visible through every read route. */
+class IdentitySpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+  val ST = graft.operators.SnapshotTable
+  val Engine = graft.operators.Engine
+
+  private def fresh(name: String, n: Long = 40L, files: Int = 2): String = {
+    val root = Engine.tmpDir(s"graft_id_$name")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    ST.commitEntries(root, 0,
+      ST.writeDataFiles((1L to n).map(k => (k, k * 1.0)).toDF("k", "v")
+        .repartitionByRange(files, col("k")), root, "a")
+        .map(ST.footerEntry(root, _, "k")),
+      16, Map("statsCol" -> "k"))
+    ST.setIdentityColumn(spark, root, "id")
+    root
+  }
+
+  private def ids(root: String): Map[Long, Long] =
+    ST.read(spark, root).select("k", "id").as[(Long, Long)].collect().toMap
+
+  test("declare: dense unique ids, idempotent, appends claim contiguous fresh ranges") {
+    val root = fresh("decl")
+    assert(ST.read(spark, root).columns.toSeq == Seq("k", "v", "id"))
+    val m = ids(root)
+    assert(m.size == 40 && m.values.toSet == (0L until 40L).toSet,
+      "seed ids must be dense [0, rows)")
+    assert(ST.setIdentityColumn(spark, root, "id") == ST.currentVersion(root),
+      "re-declare same name must be a no-op")
+    val e0 = intercept[Exception](ST.setIdentityColumn(spark, root, "id2"))
+    assert(e0.getMessage.contains("one per table"), e0.getMessage)
+    // two sequential sink batches: contiguous ranges in commit order
+    graft.streaming.SnapshotSink.appendBatch(root,
+      Seq((100L, 1.0), (101L, 2.0)).toDF("k", "v"), batchId = 0L, keyCol = "k")
+    graft.streaming.SnapshotSink.appendBatch(root,
+      Seq((102L, 3.0)).toDF("k", "v"), batchId = 1L, keyCol = "k")
+    val m2 = ids(root)
+    assert(m2.values.toSet == (0L until 43L).toSet, "ingest must stay dense")
+    assert(Seq(100L, 101L).map(m2).sorted == Seq(40L, 41L) && m2(102L) == 42L,
+      s"commit-ordered contiguous claims: $m2")
+  }
+
+  test("racing commits claim disjoint ranges (CAS serializes the mark)") {
+    import graft.sources.{SnapshotCommit, SnapshotFileCommit}
+    val root = fresh("race")
+    val relA = ST.writeDataFiles(Seq((201L, 1.0)).toDF("k", "v").coalesce(1), root, "ra").head
+    val relB = ST.writeDataFiles(Seq((202L, 2.0), (203L, 3.0)).toDF("k", "v")
+      .coalesce(1), root, "rb").head
+    val t1 = new Thread(() => SnapshotCommit.append(root, Array(SnapshotFileCommit(relA)), Map.empty))
+    val t2 = new Thread(() => SnapshotCommit.append(root, Array(SnapshotFileCommit(relB)), Map.empty))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val m = ids(root)
+    assert(m.size == 43 && m.values.toSet == (0L until 43L).toSet,
+      s"racing identity claims must be disjoint AND dense: ${m.values.toSeq.sorted}")
+  }
+
+  test("engine-owned: every write surface refuses explicit identity values") {
+    val root = fresh("own")
+    // sink batch carrying the column
+    val e1 = intercept[Exception](graft.streaming.SnapshotSink.appendBatch(root,
+      Seq((300L, 1.0, 7L)).toDF("k", "v", "id"), batchId = 9L, keyCol = "k"))
+    assert(e1.getMessage.contains("GENERATED ALWAYS"), e1.getMessage)
+    // DSv2 write carrying the column
+    val e2 = intercept[Exception](Seq((300L, 1.0, 7L)).toDF("k", "v", "id")
+      .write.format("graft-snapshot").mode("append").save(root))
+    assert(e2.getMessage.contains("GENERATED ALWAYS") ||
+      Option(e2.getCause).exists(_.getMessage.contains("GENERATED ALWAYS")), e2.toString)
+    // UPDATE SET on it
+    val e3 = intercept[Exception](ST.update(spark, root, Seq("id" -> "99"), "k = 1"))
+    assert(e3.getMessage.contains("GENERATED ALWAYS"), e3.getMessage)
+    // merge changeset carrying it
+    val e4 = intercept[Exception](ST.merge(spark, root, clusterCol = "k",
+      idCol = "k", changes = Seq((50L, 1.0, 7L, "i")).toDF("k", "v", "id", "op")))
+    assert(e4.getMessage.contains("GENERATED ALWAYS"), e4.getMessage)
+    // ALTER reclaiming the name
+    val e5 = intercept[Exception](ST.renameColumn(spark, root, "v", "id"))
+    assert(e5.getMessage.contains("IDENTITY"), e5.getMessage)
+    // ansi merge with a source carrying it
+    Seq((1L, 5.0, 9L)).toDF("k", "v", "id").createOrReplaceTempView("id_src")
+    val e6 = intercept[Exception](ST.ansiMerge(spark, root, "t", "id_src", "s",
+      "k", "k", Seq(ST.WhenMatchedUpdate(None, Seq("v" -> "s.v")))))
+    assert(e6.getMessage.contains("GENERATED ALWAYS"), e6.getMessage)
+  }
+
+  test("DML keeps every identity; merge inserts mint fresh above the mark") {
+    val root = fresh("dml")
+    val before = ids(root)
+    ST.update(spark, root, Seq("v" -> "v + 100.0"), "k <= 10")
+    assert(ids(root) == before, "UPDATE moved identities")
+    ST.delete(spark, root, "k = 7")
+    val m1 = ids(root)
+    assert(!m1.contains(7L) && m1.forall { case (k, id) => before(k) == id })
+    // ansi merge: update inherits, insert mints fresh
+    val hw = ST.manifestMeta(root, ST.currentVersion(root))("rowhw").toLong
+    Seq((5L, 555.0), (41L, 41.0)).toDF("k", "v").createOrReplaceTempView("id_chg")
+    ST.ansiMerge(spark, root, "t", "id_chg", "s", "k", "k", Seq(
+      ST.WhenMatchedUpdate(None, Seq("v" -> "s.v")),
+      ST.WhenNotMatchedInsert(None)))
+    val m2 = ids(root)
+    assert(m2(5L) == before(5L), "merge update must inherit the identity")
+    assert(m2(41L) >= hw, "merge insert must mint above the mark")
+    ST.optimizeClustered(spark, root, "k", targetFiles = 1)
+    assert(ids(root) == m2, "OPTIMIZE re-identified rows")
+  }
+
+  test("route parity: DSv2 path load, catalog SQL, streaming read and time travel") {
+    val root = fresh("routes")
+    graft.streaming.SnapshotSink.appendBatch(root,
+      Seq((100L, 1.0)).toDF("k", "v"), batchId = 0L, keyCol = "k")
+    val expect = ids(root)
+    // path route: the identity column is part of the schema — no option
+    val viaDsv2 = spark.read.format("graft-snapshot").load(root)
+      .select("k", "id").as[(Long, Long)].collect().toMap
+    assert(viaDsv2 == expect, "DSv2 path route diverged")
+    // with rowIds too: both columns, same values
+    val both = spark.read.format("graft-snapshot").option("rowIds", "true")
+      .load(root).select("id", "_row_id").as[(Long, Long)].collect()
+    assert(both.forall(p => p._1 == p._2), "identity and _row_id must agree")
+    // catalog route
+    val w = java.nio.file.Files.createTempDirectory("graft_id_cat").toString
+    spark.conf.set("spark.sql.catalog.gid", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gid.root", w)
+    ST.shallowClone(root, Paths.get(w, "t").toString)
+    val viaSql = spark.sql("SELECT k, id FROM gid.t")
+      .as[(Long, Long)].collect().toMap
+    assert(viaSql == expect, "catalog route diverged (clone must carry identity)")
+    // SQL declaration spelling on a fresh path table
+    val root2 = Engine.tmpDir("graft_id_sqldecl")
+    Engine.listDir(Paths.get(root2)).foreach(Engine.deleteRecursively)
+    ST.commitEntries(root2, 0,
+      ST.writeDataFiles(Seq((1L, 1.0)).toDF("k", "v").coalesce(1), root2, "a")
+        .map(ST.footerEntry(root2, _, "k")), 16, Map("statsCol" -> "k"))
+    spark.sql(s"ALTER TABLE '$root2' ADD COLUMN sk BIGINT GENERATED ALWAYS AS IDENTITY")
+    assert(ST.read(spark, root2).columns.contains("sk"))
+    assert(ST.read(spark, root2).select("sk").as[Long].head() == 0L)
+    // time travel to BEFORE the declaration: no identity column
+    val preDecl = spark.read.format("graft-snapshot").option("version", "1")
+      .load(root2)
+    assert(!preDecl.columns.contains("sk"), "pre-declaration travel leaked the column")
+    // streaming read serves the identity column with batch-consistent ids
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_id_stream").toString
+    val q = spark.readStream.format("graft-snapshot").load(root)
+      .writeStream.format("memory").queryName("id_stream_out")
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("id_stream_out").select("k", "id")
+      .as[(Long, Long)].collect().toMap
+    assert(streamed == expect, "streaming route diverged")
+  }
+}
