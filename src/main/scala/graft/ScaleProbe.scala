@@ -605,6 +605,54 @@ object ScaleProbe {
       spark.read.format("graft-snapshot").option("rowIds", "true")
         .load(s"$work/snap_rtm").agg(max(col("_row_id"))).collect(); 1L
     }
+    // r15: GENERATED ALWAYS AS IDENTITY — allocation must be pure
+    // manifest arithmetic: an appendBatch into a declared table has to
+    // price at parity with the identical untracked append (fresh files
+    // resolve ids positionally from their commit-assigned base — no
+    // per-row write cost), and the identity read pays exactly the x41
+    // base-join premium over a plain scan, because the identity column
+    // IS the row-tracking id under a user-facing name.
+    lazy val x43ev = spark.read.parquet(s"$work/events.parquet")
+      .selectExpr("event_id", "CAST(value * 1000 AS BIGINT) AS sec")
+      .withColumn("d", expr("sec div 86400"))
+    time("x43i_stage_pair") {
+      val ST = operators.SnapshotTable
+      Seq(s"$work/snap_idc", s"$work/snap_idc_plain").foreach { root =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+        ST.commitEntries(root, 0,
+          ST.writeDataFiles(x43ev.filter(col("d") <= 19723L)
+            .repartitionByRange(2, col("d")), root, "seed")
+            .map(ST.footerEntry(root, _, "d")),
+          16, Map("statsCol" -> "d"))
+      }
+      ST.setIdentityColumn(spark, s"$work/snap_idc", "row_sk")
+      // warm the batch input (page cache + codegen) so neither timed
+      // append pays a cold 32×-replica scan its twin doesn't. Even
+      // warmed, the FIRST append of a window has read 0.37-0.95 s vs
+      // the second's 0.22-0.24 s REGARDLESS of which leg ran first
+      // (both orders measured at 32×) — adjudicate the legs within
+      // one window, not across windows.
+      x43ev.filter(col("d") > 19723L).agg(max(col("sec"))).collect()
+      1L
+    }
+    time("x43i_ingest_untracked") {
+      graft.streaming.SnapshotSink.appendBatch(s"$work/snap_idc_plain",
+        x43ev.filter(col("d") > 19723L), batchId = 0L, keyCol = "d")
+      1L
+    }
+    time("x43i_ingest_identity") {
+      graft.streaming.SnapshotSink.appendBatch(s"$work/snap_idc",
+        x43ev.filter(col("d") > 19723L), batchId = 0L, keyCol = "d")
+      1L
+    }
+    time("x43i_plain_read_ref") {
+      operators.SnapshotTable.read(spark, s"$work/snap_idc_plain")
+        .agg(max(col("sec"))).collect(); 1L
+    }
+    time("x43i_identity_read") {
+      operators.SnapshotTable.read(spark, s"$work/snap_idc")
+        .agg(max(col("row_sk")), max(col("sec"))).collect(); 1L
+    }
     // r14: scoped OPTIMIZE — the WHERE-window compaction must price
     // with the WINDOW's bytes, not the table's (the full form is the
     // reference; at 32× the gap is the whole point of the verb)

@@ -2301,9 +2301,11 @@ object SnapshotTable {
     val rewritten = oldPhysIds match {
       case None => old.join(dropIds, Seq(idCol), "left_anti").unionByName(upserts)
       case Some(p) =>
-        val sel = map.get.collect {
-          case (l, ph) if p.columns.contains(ph) => col(ph).as(l) }
-        val owi0 = p.select((sel :+ col(RowIdCol)): _*)
+        // the logical view of the id-carrying read is toLogical's —
+        // the ONE seam — with an identity entry appended so the hidden
+        // id column survives the unmapped-physical drop (r14 review F7
+        // retired: this leg used to re-derive the view inline)
+        val owi0 = toLogical(p, map.map(_ :+ (RowIdCol -> RowIdCol)))
         val owi = cols.foldLeft(owi0)((df, c) =>
           if (df.columns.contains(c)) df
           else df.withColumn(c, lit(null).cast(changes.schema(c).dataType)))
