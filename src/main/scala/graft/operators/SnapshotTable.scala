@@ -516,18 +516,66 @@ object SnapshotTable {
   private[graft] def fmtColMap(m: Seq[(String, String)]): String =
     m.map { case (l, p) => s"$l=$p" }.mkString(",")
 
+  /** NESTED column mapping (r15, Delta's struct-field mapping): a
+    * colmap entry whose names are DOTTED paths maps one struct FIELD —
+    * `a.b=pa.pb` reads "logical field `b` of struct column `a` is
+    * stored as field `pb` of physical column `pa`". The parent struct
+    * keeps its own top-level entry (`a=pa`), and the nested entries
+    * for a parent are, in order, the struct's COMPLETE logical field
+    * list — the same once-mapped-the-map-IS-the-schema convention the
+    * top level uses, so an unmapped physical field is a dropped field:
+    * resident in every file, served to no reader, carried through
+    * rewrites. One level deep by design (`a.b.c` refuses at the ALTER
+    * surface — restructure instead), so the encoding never recurses.
+    * Dotted entries stamp the `ncolmap` READER feature: a
+    * nested-ignorant binary would serve the struct under raw physical
+    * field names instead of failing, so it must refuse the manifest.
+    * This split is the ONE decode point: (top-level entries, nested
+    * entries grouped by parent LOGICAL name). */
+  private[graft] def splitColMap(m: Seq[(String, String)])
+      : (Seq[(String, String)], Map[String, Seq[(String, String)]]) = {
+    val (nested, top) = m.partition(_._1.contains("."))
+    val byParent = nested.map { case (l, p) =>
+      val li = l.indexOf('.')
+      (l.substring(0, li), (l.substring(li + 1), p.substring(p.indexOf('.') + 1)))
+    }.groupBy(_._1).map { case (k, vs) => (k, vs.map(_._2)) }
+    (top, byParent)
+  }
+
+  /** Inverse of [[splitColMap]] — canonical serialization: each
+    * parent's nested entries follow its top-level entry, so the map
+    * round-trips deterministically through every carry/clone/restore
+    * path that treats `colmap` as an opaque string. */
+  private[graft] def joinColMap(top: Seq[(String, String)],
+      nested: Map[String, Seq[(String, String)]]): Seq[(String, String)] =
+    top.flatMap { case (l, p) =>
+      (l, p) +: nested.getOrElse(l, Nil).map { case (fl, fp) =>
+        (s"$l.$fl", s"$p.$fp") }
+    }
+
   /** Physical-named frame → the logical view: rename through the
     * mapping, DROP unmapped physicals (dropped columns), order by the
     * mapping. Identity (no mapping) passes through untouched. */
   private[graft] def toLogical(df: DataFrame,
       map: Option[Seq[(String, String)]]): DataFrame = map match {
     case None => df
-    case Some(m) => df.select(m.collect {
-      // a mapped column ABSENT from this frame (e.g. a pre-widening
-      // subset) is skipped rather than invented — callers that need
-      // the full width read through the union schema first
-      case (l, p) if df.columns.contains(p) => col(p).as(l)
-    }: _*)
+    case Some(m0) =>
+      val (m, nested) = splitColMap(m0)
+      df.select(m.collect {
+        // a mapped column ABSENT from this frame (e.g. a pre-widening
+        // subset) is skipped rather than invented — callers that need
+        // the full width read through the union schema first
+        case (l, p) if df.columns.contains(p) => nested.get(l) match {
+          case Some(nf) =>
+            // rebuild the struct through its field mapping. A NULL
+            // struct must STAY null — struct() of its fields would
+            // fabricate Row(null, ..) — so when() without otherwise
+            // serves the null branch.
+            when(col(p).isNotNull, struct(nf.map { case (fl, fp) =>
+              col(p).getField(fp).as(fl) }: _*)).as(l)
+          case None => col(p).as(l)
+        }
+      }: _*)
   }
 
   /** The logical view for REWRITE plumbing: mapped physicals rename to
@@ -550,9 +598,29 @@ object SnapshotTable {
   private[graft] def toLogicalFull(df: DataFrame,
       map: Option[Seq[(String, String)]]): DataFrame = map match {
     case None => df
-    case Some(m) =>
+    case Some(m0) =>
+      val (m, nested) = splitColMap(m0)
+      // a nested-mapped struct's rewrite view: mapped fields rename,
+      // dropped PHYSICAL fields ride along inside the struct under
+      // their storage names (DroppedAlias on collision with a live
+      // logical field) — the same contract the top level keeps, one
+      // level down, inverted field-for-field by [[toPhysical]]
+      def structFull(l: String, p: String, nf: Seq[(String, String)]) = {
+        val physFields = df.schema(p).dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+        val mappedF = nf.collect { case (fl, fp) if physFields.contains(fp) =>
+          col(p).getField(fp).as(fl) }
+        val droppedF = physFields.filterNot(fp => nf.exists(_._2 == fp)).map { fp =>
+          if (nf.exists(_._1 == fp)) col(p).getField(fp).as(s"$DroppedAlias$fp")
+          else col(p).getField(fp).as(fp)
+        }
+        when(col(p).isNotNull, struct(mappedF ++ droppedF: _*)).as(l)
+      }
       val mapped = m.collect {
-        case (l, p) if df.columns.contains(p) => col(p).as(l)
+        case (l, p) if df.columns.contains(p) => nested.get(l) match {
+          case Some(nf) => structFull(l, p, nf)
+          case None => col(p).as(l)
+        }
       }
       val dropped = df.columns.filterNot(c => m.exists(_._2 == c)).map { c =>
         if (m.exists(_._1 == c)) col(c).as(s"$DroppedAlias$c") else col(c)
@@ -565,11 +633,28 @@ object SnapshotTable {
   private[graft] def toPhysical(df: DataFrame,
       map: Option[Seq[(String, String)]]): DataFrame = map match {
     case None => df
-    case Some(m) =>
+    case Some(m0) =>
+      val (m, nested) = splitColMap(m0)
       val byLogical = m.toMap
       df.select(df.columns.map { c =>
         if (c.startsWith(DroppedAlias)) col(c).as(c.stripPrefix(DroppedAlias))
-        else col(c).as(byLogical.getOrElse(c, c))
+        else nested.get(c) match {
+          case Some(nf) =>
+            // rebuild the struct under physical FIELD names: mapped
+            // logical fields invert through the map, ride-along
+            // dropped fields strip the collision alias or pass (they
+            // already carry their storage names)
+            val fields = df.schema(c).dataType
+              .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+            val rebuilt = struct(fields.map { fl =>
+              if (fl.startsWith(DroppedAlias))
+                col(c).getField(fl).as(fl.stripPrefix(DroppedAlias))
+              else col(c).getField(fl).as(
+                nf.collectFirst { case (l2, p2) if l2 == fl => p2 }.getOrElse(fl))
+            }: _*)
+            when(col(c).isNotNull, rebuilt).as(byLogical.getOrElse(c, c))
+          case None => col(c).as(byLogical.getOrElse(c, c))
+        }
       }.toIndexedSeq: _*)
   }
 
@@ -644,7 +729,12 @@ object SnapshotTable {
   private def requireNoConstraintRef(s: SparkSession, root: String, v: Int,
       op: String, name: String): Unit =
     checkConstraints(root, v).foreach { case (cn, e) =>
-      require(!checkReferencedCols(s, e).exists(_.equalsIgnoreCase(name)),
+      // `name` may be a whole column or a dotted field path; either
+      // way a reference to it OR to anything beneath it (a field of
+      // the struct being renamed/dropped away) breaks later writes
+      require(!checkReferencedCols(s, e).exists(r =>
+          r.equalsIgnoreCase(name) ||
+            r.toLowerCase.startsWith(name.toLowerCase + ".")),
         s"$op on $root: column $name is referenced by CHECK constraint $cn " +
           s"($e) — ${constraintDropHint(cn)} (evolving the column out from " +
           "under it would break every later write)")
