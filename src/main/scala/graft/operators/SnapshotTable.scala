@@ -687,6 +687,9 @@ object SnapshotTable {
     require(!name.equalsIgnoreCase("__row_id"),
       s"$op on $root: __row_id is a reserved name (row tracking materializes " +
         "preserved ids under it)")
+    require(!name.equalsIgnoreCase("_row_id"),
+      s"$op on $root: _row_id is a reserved name (the row-id read surfaces " +
+        "engine ids under it — a data column would shadow or be shadowed)")
     // the IDENTITY column's name is engine-owned once declared: no
     // rename/add/generation/evolution may (re)claim it (declaring it
     // is exempt — setIdentityColumn validates BEFORE the meta exists)
@@ -1120,7 +1123,13 @@ object SnapshotTable {
     val entries = manifestEntries(root, v)
     val map = colMap(root, v)
     if (entries.isEmpty)
-      return readAt(s, root, v).withColumn("_row_id", lit(null).cast("long"))
+      // build from the physical read directly — readAt on an IDENTITY
+      // table routes back here (its read IS the id read), so calling
+      // it from the empty-entries case would recurse forever on an
+      // identity table whose current version has zero entries
+      // (declare identity, then DELETE every row)
+      return toLogical(readAtPhysical(s, root, v), map)
+        .withColumn("_row_id", lit(null).cast("long"))
     val phys = relsWithIds(s, root, v, entries.map(_.rel))
     val logicalCols = map.toSeq.flatten
       .filter { case (_, p) => phys.columns.contains(p) }

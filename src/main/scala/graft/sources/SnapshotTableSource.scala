@@ -1461,6 +1461,16 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
         s"graft-snapshot write to $root: column $ic is GENERATED ALWAYS AS " +
           "IDENTITY — omit it (path-route append or the streaming sink); " +
           "the engine assigns dense ids at commit"))
+    // `_row_id`/`__row_id` are reserved spellings (the row-id read keys
+    // on the OUTPUT name — a committed data column would shadow engine
+    // ids on tracked tables and brick plain DSv2 reads on untracked
+    // ones); refuse them at the write seam, same rule as validateIdent
+    info.schema().fieldNames.find(n =>
+        n.equalsIgnoreCase(SnapshotSourceUtil.RowIdField) ||
+        n.equalsIgnoreCase(SnapshotTable.RowIdCol)).foreach(n =>
+      throw new IllegalArgumentException(
+        s"graft-snapshot write to $root: $n is a reserved name (the row-id " +
+          "read serves engine ids under it) — rename the column"))
     // the incoming query's schema is LOGICAL (the table exposes the
     // mapping); data files always carry PHYSICAL names — translate.
     // Row decode is positional, so renaming fields is free.

@@ -92,6 +92,14 @@ object SnapshotSink {
       require(!df.columns.exists(_.equalsIgnoreCase(ic)),
         s"graft-snapshot sink on $root: column $ic is GENERATED ALWAYS AS " +
           "IDENTITY — omit it; the engine assigns dense ids at commit"))
+    // reserved row-id spellings: a committed data column named
+    // _row_id/__row_id would shadow (or be shadowed by) the engine's
+    // row-id read — refuse at the write seam, same rule as validateIdent
+    df.columns.find(n => n.equalsIgnoreCase("_row_id") ||
+        n.equalsIgnoreCase("__row_id")).foreach(n =>
+      throw new IllegalArgumentException(
+        s"graft-snapshot sink on $root: $n is a reserved name (the row-id " +
+          "read serves engine ids under it) — rename the column"))
     val plannedChecks = ST.checkConstraints(root, cv)
     // GENERATED columns the batch omits are computed here (Delta's
     // write-side convenience — a stream need not carry derivable

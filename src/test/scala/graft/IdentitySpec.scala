@@ -160,4 +160,23 @@ class IdentitySpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(streamed == expect, "streaming route diverged")
   }
+
+  test("delete-all leaves a readable empty identity table (no recursion)") {
+    // regression: readAt's identity branch routes through
+    // readWithRowIdsAt, whose zero-entry case used to call readAt back
+    // — StackOverflowError on any identity table whose current version
+    // has no manifest entries
+    val root = fresh("empty")
+    ST.delete(spark, root, "k >= 0")
+    val df = ST.read(spark, root)
+    assert(df.columns.toSeq == Seq("k", "v", "id"),
+      s"empty identity read must keep the logical schema: ${df.columns.toSeq}")
+    assert(df.count() == 0L)
+    // and the table is not bricked: a fresh append claims ids again
+    graft.streaming.SnapshotSink.appendBatch(root,
+      Seq((500L, 5.0)).toDF("k", "v"), batchId = 50L, keyCol = "k")
+    val m = ids(root)
+    assert(m.keySet == Set(500L) && m(500L) >= 40L,
+      s"post-empty append must claim a fresh id past the high-water mark: $m")
+  }
 }

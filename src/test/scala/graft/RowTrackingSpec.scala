@@ -383,4 +383,26 @@ class RowTrackingSpec extends AnyFunSuite {
     val e = intercept[Exception](ST.renameColumn(spark, root, "v", "__row_id"))
     assert(e.getMessage.contains("reserved"), e.getMessage)
   }
+
+  test("_row_id is reserved on every surface: no data column can shadow the id read") {
+    import spark.implicits._
+    // ALTER surface (validateIdent): rename-to refused, tracked or not
+    val root = fresh("rsv")
+    val e1 = intercept[Exception](ST.renameColumn(spark, root, "v", "_row_id"))
+    assert(e1.getMessage.contains("reserved"), e1.getMessage)
+    // DSv2 write seam: a batch carrying _row_id refuses on a PLAIN
+    // (untracked) table too — committing it would brick every DSv2
+    // read of that table ("row tracking is not enabled")
+    val plain = Engine.tmpDir("graft_rsv_plain")
+    Engine.listDir(Paths.get(plain)).foreach(Engine.deleteRecursively)
+    val e2 = intercept[Exception](Seq((1L, 2L)).toDF("k", "_row_id")
+      .write.format("graft-snapshot").mode("append").save(plain))
+    assert(e2.getMessage.contains("reserved") ||
+      Option(e2.getCause).exists(_.getMessage.contains("reserved")), e2.toString)
+    // streaming sink seam
+    val e3 = intercept[Exception](graft.streaming.SnapshotSink.appendBatch(root,
+      Seq((1L, 1.0, 9L)).toDF("k", "v", "__row_id"), batchId = 99L, keyCol = "k"))
+    assert(e3.getMessage.contains("reserved") ||
+      Option(e3.getCause).exists(_.getMessage.contains("reserved")), e3.toString)
+  }
 }
