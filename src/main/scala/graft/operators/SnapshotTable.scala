@@ -140,7 +140,8 @@ object SnapshotTable {
   // forward). Manifests from pre-gating binaries carry no features
   // line and read/commit exactly as before.
 
-  private[graft] val SupportedReaderFeatures = Set("colmap", "dv", "evolution", "widen")
+  private[graft] val SupportedReaderFeatures =
+    Set("colmap", "dv", "evolution", "widen", "ncolmap")
   private[graft] val SupportedWriterFeatures =
     SupportedReaderFeatures ++ Set("cdf", "checks", "gencols", "rowtracking")
 
@@ -151,7 +152,15 @@ object SnapshotTable {
       meta: Map[String, String]): (Set[String], Set[String]) = {
     val r = scala.collection.mutable.Set.empty[String]
     val w = scala.collection.mutable.Set.empty[String]
-    if (meta.contains("colmap")) r += "colmap"
+    if (meta.contains("colmap")) {
+      r += "colmap"
+      // DOTTED entries map struct FIELDS (nested column mapping): a
+      // nested-ignorant binary would serve the struct under raw
+      // physical field names — and resurrect dropped fields — instead
+      // of failing, so the capability is a READER feature of its own
+      if (meta("colmap").split(',').exists(_.takeWhile(_ != '=').contains('.')))
+        r += "ncolmap"
+    }
     if (meta.contains("dv")) r += "dv"
     if (meta.contains("schema") || meta.contains("schemaJson")) r += "evolution"
     // widened tables: a reader without upcast support would mis-decode
@@ -239,14 +248,31 @@ object SnapshotTable {
     * instant can never resolve to different versions on different
     * routes. Vacuumed versions are skipped; gated versions refuse
     * loudly through the clock read. */
-  /** Epoch millis of a timestamp literal: all-digits = millis, else a
-    * UTC `yyyy-MM-dd[ T]HH:mm:ss[.SSS]` literal — THE one parser both
-    * the streaming source's `startingTimestamp` and the SQL
-    * timestamp verbs share. */
+  /** Epoch millis of a timestamp literal: all-digits = millis, a
+    * date-only `yyyy-MM-dd` = midnight UTC (Delta's TIMESTAMP AS OF
+    * accepts the date spelling), else a UTC
+    * `yyyy-MM-dd[ T]HH:mm:ss[.SSS]` literal — THE one parser both the
+    * streaming source's `startingTimestamp` and the SQL timestamp
+    * verbs share. An unparseable literal refuses NAMING the accepted
+    * formats instead of surfacing a raw DateTimeParseException. */
   def parseTsLiteral(raw: String): Long =
     if (raw.nonEmpty && raw.forall(_.isDigit)) raw.toLong
-    else java.time.LocalDateTime.parse(raw.trim.replace(' ', 'T'))
-      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    else {
+      val t = raw.trim.replace(' ', 'T')
+      try {
+        if (!t.contains('T'))
+          java.time.LocalDate.parse(t).atStartOfDay
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+        else java.time.LocalDateTime.parse(t)
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      } catch {
+        case e: java.time.format.DateTimeParseException =>
+          throw new IllegalArgumentException(
+            s"graft-snapshot: cannot parse timestamp literal '$raw' — accepted: " +
+              "epoch millis (all digits), 'yyyy-MM-dd' (midnight UTC), or " +
+              "'yyyy-MM-dd[ T]HH:mm:ss[.SSS]' (UTC)", e)
+      }
+    }
 
   def versionAtOrBefore(root: String, tsMillis: Long): Option[Int] = {
     val cur = currentVersion(root)
@@ -675,15 +701,16 @@ object SnapshotTable {
     * fields): a name containing one of those formats' own delimiters
     * would COMMIT fine and then fail parsing on every subsequent read
     * of the version — the ALTER succeeds, the table bricks (ADVICE
-    * r13). A DOTTED name is refused with the nested-field message:
-    * column mapping here is top-level only (Delta maps nested struct
-    * fields; the honest answer short of that is a loud refusal at the
-    * ALTER surface, never silent mis-handling of `a.b`). */
+    * r13). A DOTTED name is refused here: only RENAME/DROP COLUMN
+    * accept `a.b` FIELD paths (routed through [[nestedParts]] before
+    * this guard), so a dot in any other position — an added column, a
+    * constraint name, a rename TARGET — is a mistake, not a path. */
   private[graft] def validateIdent(root: String, op: String, name: String): Unit = {
     require(name.nonEmpty, s"$op on $root: empty column name")
     require(!name.contains("."),
-      s"$op on $root: '$name' names a nested field — column mapping is " +
-        "top-level only; rename/drop the whole struct column, or restructure")
+      s"$op on $root: '$name' names a nested field — only RENAME COLUMN " +
+        "a.b TO c and DROP COLUMN a.b accept field paths (one level); " +
+        "here use a plain top-level name")
     require(!name.equalsIgnoreCase("__row_id"),
       s"$op on $root: __row_id is a reserved name (row tracking materializes " +
         "preserved ids under it)")
@@ -749,6 +776,7 @@ object SnapshotTable {
     * map from its current physical schema, so pre-mapping tables
     * rename without any migration step. */
   def renameColumn(s: SparkSession, root: String, from: String, to: String): Int = {
+    if (from.contains(".")) return renameField(s, root, from, to)
     validateIdent(root, "rename", to)
     val retry = new CommitRetry(root)
     var result = -1
@@ -772,10 +800,95 @@ object SnapshotTable {
         s"rename on $root: $to collides with a resident physical column " +
           "(possibly a dropped column's storage name) — OPTIMIZE to materialize " +
           "the mapping first, or pick another name")
-      val next = cur.map { case (l, p) => (if (l == from) to else l, p) }
+      // a renamed STRUCT column's nested entries move with it: their
+      // dotted logical names are keyed by the parent's logical name
+      // (splitColMap groups on it), so leaving them under the old
+      // prefix would orphan the whole field mapping
+      val next = cur.map { case (l, p) =>
+        if (l == from) (to, p)
+        else if (l.startsWith(from + ".")) (to + l.substring(from.length), p)
+        else (l, p)
+      }
       try result = commitEntries(root, v, manifestEntries(root, v), shardSize = 16,
         carriedMeta(root, v) + ("colmap" -> fmtColMap(next)) +
           ("alter" -> s"rename:$from>$to"))
+      catch { case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) }
+    }
+    result
+  }
+
+  /** Parse + guard a dotted struct-field path at the ALTER surface:
+    * exactly one level deep (`a.b` — Delta maps arbitrary depth; the
+    * honest envelope here is one level, refusing deeper loudly), both
+    * segments delimiter-clean. */
+  private def nestedParts(root: String, op: String, path: String): (String, String) =
+    path.split('.') match {
+      case Array(parent, field) if parent.nonEmpty && field.nonEmpty =>
+        validateIdent(root, op, parent); (parent, field)
+      case _ => throw new IllegalArgumentException(
+        s"$op on $root: '$path' — nested column mapping is one level deep " +
+          "(parent.field); restructure deeper nesting")
+    }
+
+  /** The parent's nested field mapping, synthesized as identity from
+    * the resident physical struct when no dotted entries exist yet —
+    * the nested twin of [[currentColMap]]'s synthesis. Returns the
+    * parent's (logical, physical) top entry and its field list. */
+  private def nestedFieldMap(s: SparkSession, root: String, v: Int, op: String,
+      cur: Seq[(String, String)], parent: String)
+      : ((String, String), Seq[(String, String)], org.apache.spark.sql.types.StructType) = {
+    val (top, nestedAll) = splitColMap(cur)
+    val pe = top.find(_._1 == parent).getOrElse(throw new IllegalArgumentException(
+      s"$op on $root: no column $parent (have ${top.map(_._1).mkString(",")})"))
+    val physSchema = readAtPhysical(s, root, v).schema
+    require(physSchema.fieldNames.contains(pe._2) &&
+        physSchema(pe._2).dataType.isInstanceOf[org.apache.spark.sql.types.StructType],
+      s"$op on $root: $parent is not a struct column — field paths map " +
+        "struct fields only")
+    val st = physSchema(pe._2).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val nf = nestedAll.getOrElse(parent, st.fieldNames.toIndexedSeq.map(f => (f, f)))
+    (pe, nf, st)
+  }
+
+  /** ALTER TABLE ... RENAME COLUMN a.b TO c — NESTED column mapping
+    * (Delta's struct-field mapping): one CAS metadata commit rewriting
+    * the parent's dotted entry; zero files move, and the commit stamps
+    * the `ncolmap` READER feature (see [[requiredFeatures]]) so a
+    * nested-ignorant binary refuses instead of serving raw physical
+    * field names. First touch synthesizes the parent's identity field
+    * map from the resident struct, exactly like [[currentColMap]]. */
+  private def renameField(s: SparkSession, root: String, from: String,
+      to: String): Int = {
+    val (parent, field) = nestedParts(root, "rename", from)
+    validateIdent(root, "rename", to)
+    val retry = new CommitRetry(root)
+    var result = -1
+    while (result < 0) {
+      val v = currentVersion(root)
+      retry.observed(v)
+      require(v > 0, s"rename on $root: table has no committed version")
+      val cur = currentColMap(s, root, v)
+      val (pe, nf, st) = nestedFieldMap(s, root, v, "rename", cur, parent)
+      require(nf.exists(_._1 == field),
+        s"rename on $root: no field $from (struct $parent has " +
+          s"${nf.map(_._1).mkString(",")})")
+      requireNoConstraintRef(s, root, v, "rename", from)
+      require(!nf.exists(_._1.equalsIgnoreCase(to)),
+        s"rename on $root: field $parent.$to already exists")
+      // same resident-physical shadow rule as the top level, one level
+      // down: a previously dropped FIELD's storage name stays in every
+      // file and rides rewrites under its own name
+      require(!st.fieldNames.exists(pf => pf.equalsIgnoreCase(to) &&
+          !nf.exists { case (l2, p2) => p2 == pf && l2 == field }),
+        s"rename on $root: $parent.$to collides with a resident physical " +
+          "field (possibly a dropped field's storage name) — OPTIMIZE to " +
+          "materialize the mapping first, or pick another name")
+      val (top, nestedAll) = splitColMap(cur)
+      val nextNf = nf.map { case (l2, p2) => (if (l2 == field) to else l2, p2) }
+      val next = joinColMap(top, nestedAll.updated(parent, nextNf))
+      try result = commitEntries(root, v, manifestEntries(root, v), shardSize = 16,
+        carriedMeta(root, v) + ("colmap" -> fmtColMap(next)) +
+          ("alter" -> s"rename:$from>$parent.$to"))
       catch { case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) }
     }
     result
@@ -788,6 +901,7 @@ object SnapshotTable {
     * the manifest's per-file [lo,hi] describe it and pruning would go
     * blind; re-cluster (OPTIMIZE) first. */
   def dropColumn(s: SparkSession, root: String, name: String): Int = {
+    if (name.contains(".")) return dropField(s, root, name)
     validateIdent(root, "drop column", name)
     val retry = new CommitRetry(root)
     var result = -1
@@ -798,7 +912,7 @@ object SnapshotTable {
       val cur = currentColMap(s, root, v)
       require(cur.exists(_._1 == name),
         s"drop column on $root: no column $name (have ${cur.map(_._1).mkString(",")})")
-      require(cur.size > 1,
+      require(cur.exists(c => c._1 != name && !c._1.startsWith(name + ".")),
         s"drop column on $root: cannot drop the only column")
       requireNoConstraintRef(s, root, v, "drop column", name)
       val statsPhys = manifestMeta(root, v).get("statsCol")
@@ -806,7 +920,40 @@ object SnapshotTable {
         s"drop column on $root: $name is the table's stats/cluster column — " +
           "file pruning reads its per-file bounds; OPTIMIZE CLUSTER BY another " +
           "column first")
-      val next = cur.filterNot(_._1 == name)
+      // a dropped STRUCT column takes its nested field entries with it
+      val next = cur.filterNot(e => e._1 == name || e._1.startsWith(name + "."))
+      try result = commitEntries(root, v, manifestEntries(root, v), shardSize = 16,
+        carriedMeta(root, v) + ("colmap" -> fmtColMap(next)) +
+          ("alter" -> s"dropcol:$name"))
+      catch { case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) }
+    }
+    result
+  }
+
+  /** ALTER TABLE ... DROP COLUMN a.b — NESTED field drop: removes the
+    * dotted entry (synthesizing the parent's identity field map on
+    * first touch); the physical field stays in every file, unread, and
+    * rides rewrites under its storage name (the ride-along contract
+    * [[toLogicalFull]] keeps one level down). */
+  private def dropField(s: SparkSession, root: String, name: String): Int = {
+    val (parent, field) = nestedParts(root, "drop column", name)
+    val retry = new CommitRetry(root)
+    var result = -1
+    while (result < 0) {
+      val v = currentVersion(root)
+      retry.observed(v)
+      require(v > 0, s"drop column on $root: table has no committed version")
+      val cur = currentColMap(s, root, v)
+      val (_, nf, _) = nestedFieldMap(s, root, v, "drop column", cur, parent)
+      require(nf.exists(_._1 == field),
+        s"drop column on $root: no field $name (struct $parent has " +
+          s"${nf.map(_._1).mkString(",")})")
+      require(nf.size > 1,
+        s"drop column on $root: $field is the only field of struct $parent — " +
+          "drop the whole column instead")
+      requireNoConstraintRef(s, root, v, "drop column", name)
+      val (top, nestedAll) = splitColMap(cur)
+      val next = joinColMap(top, nestedAll.updated(parent, nf.filterNot(_._1 == field)))
       try result = commitEntries(root, v, manifestEntries(root, v), shardSize = 16,
         carriedMeta(root, v) + ("colmap" -> fmtColMap(next)) +
           ("alter" -> s"dropcol:$name"))
@@ -1095,6 +1242,26 @@ object SnapshotTable {
   private[graft] def identityCol(root: String, v: Int): Option[String] =
     if (v == 0) None else manifestMeta(root, v).get("identity")
 
+  /** `CREATE TABLE (... GENERATED ALWAYS AS IDENTITY)` support (r16):
+    * the identity declaration lives in manifest metadata, which a
+    * never-committed table does not have — so the catalog records the
+    * CREATE-time declaration as a PENDING marker file and the FIRST
+    * commit applies it (setIdentityColumn right after the seed commit
+    * — the same declare-after-seed flow the Scala API runs, automated;
+    * the seed rows claim ids [0, rows) exactly as a manual declare
+    * would assign them). */
+  private[graft] def pendingIdentityFile(root: String): Path =
+    Paths.get(root, "_identity_pending")
+  private[graft] def pendingIdentity(root: String): Option[String] =
+    if (Files.exists(pendingIdentityFile(root)))
+      Some(new String(Files.readAllBytes(pendingIdentityFile(root)), "UTF-8").trim)
+    else None
+  private[graft] def applyPendingIdentity(s: SparkSession, root: String): Unit =
+    pendingIdentity(root).foreach { name =>
+      setIdentityColumn(s, root, name)
+      Files.deleteIfExists(pendingIdentityFile(root))
+    }
+
   /** Does the parquet footer of `rel` declare a `name` column? One
     * driver-side metadata read — used to split a row-tracked scan into
     * files with materialized ids and files on the base+position rule. */
@@ -1131,10 +1298,11 @@ object SnapshotTable {
       return toLogical(readAtPhysical(s, root, v), map)
         .withColumn("_row_id", lit(null).cast("long"))
     val phys = relsWithIds(s, root, v, entries.map(_.rel))
-    val logicalCols = map.toSeq.flatten
-      .filter { case (_, p) => phys.columns.contains(p) }
-    phys.select((logicalCols.map { case (l, p) => col(p).as(l) } :+
-      col(RowIdCol).as("_row_id")): _*)
+    // resolve the logical view through toLogical (the one decode point
+    // — nested struct-field mappings included) with the id column
+    // appended as one more mapped entry, so the id read serves exactly
+    // the plain read's columns plus `_row_id`
+    toLogical(phys, Some(map.toSeq.flatten :+ ("_row_id" -> RowIdCol)))
   }
 
   /** The rewrite-input (and row-id read) workhorse: the given files'
@@ -1224,11 +1392,23 @@ object SnapshotTable {
         if (k.startsWith("check.")) dropCheckConstraint(root, k.stripPrefix("check."))
         else dropGeneratedExpr(root, k.stripPrefix("gen.")))
     } else {
-      (sets.map(_._1) ++ unsets).foreach(k => require(allowed.contains(k),
-        s"graft tblproperties: unsupported table property '$k' — supported: " +
-          allowed.keys.toSeq.sorted.mkString(", ") + ", check.<name>, gen.<col>"))
-      sets.foreach { case (k, v) => require(allowed(k).contains(v),
-        s"graft tblproperties: property $k takes ${allowed(k).mkString("/")}, got '$v'") }
+      (sets.map(_._1) ++ unsets).foreach(k =>
+        require(allowed.contains(k) || k == "cdcretain",
+          s"graft tblproperties: unsupported table property '$k' — supported: " +
+            allowed.keys.toSeq.sorted.mkString(", ") +
+            ", cdcretain, check.<name>, gen.<col>"))
+      sets.foreach {
+        // CDC retention (hours): row-grain change files older than the
+        // window reclaim on the NEXT vacuum even while their manifests
+        // (and time travel) hold — the delta.logRetentionDuration-style
+        // knob that decouples CDC history cost from snapshot retention
+        case ("cdcretain", v) =>
+          require(scala.util.Try(v.toDouble).toOption.exists(_ >= 0),
+            s"graft tblproperties: cdcretain takes retention HOURS " +
+              s"(non-negative number), got '$v'")
+        case (k, v) => require(allowed(k).contains(v),
+          s"graft tblproperties: property $k takes ${allowed(k).mkString("/")}, got '$v'")
+      }
       setTableFlags(root, sets.toMap, unsets)
     }
   }
@@ -1647,7 +1827,22 @@ object SnapshotTable {
       .collect { case l if l.startsWith(">") => l.drop(1) }).toSet
     val liveDv = keep.flatMap(v => dvState(root, v).values)
       .map(rel => Paths.get(root, rel).toString).toSet
-    val liveCdc = keep.flatMap(v => manifestMeta(root, v).get("cdc").toSeq
+    // CDC retention (`cdcretain` hours, table state on the CURRENT
+    // version): a kept version's row-grain change files stay live only
+    // while the version's commit clock is inside the window — outside
+    // it they reclaim HERE even though the manifest (and time travel)
+    // survives, decoupling CDC history cost from snapshot retention.
+    // Without the property, CDC files live exactly as long as their
+    // manifest (the pre-r16 contract).
+    val cdcCutoff: Option[Long] = {
+      val cur = currentVersion(root)
+      if (cur == 0) None
+      else manifestMeta(root, cur).get("cdcretain").map(h =>
+        System.currentTimeMillis - (h.toDouble * 3600 * 1000).toLong)
+    }
+    val liveCdc = keep
+      .filter(v => cdcCutoff.forall(c => commitTimeIfPresent(root, v).forall(_ >= c)))
+      .flatMap(v => manifestMeta(root, v).get("cdc").toSeq
         .flatMap(spec => spec.split(';').toSeq
           .flatMap(grp => grp.split("=", 2)(1).split(',').toSeq)))
       .map(rel => Paths.get(root, rel).toString).toSet
@@ -3097,15 +3292,39 @@ object SnapshotTable {
         (oldCounts.getOrElse(base, 0L) + n).toDouble / e.rows <= DvMaxSelectivity
     }
     if (!underCap) return None // fall back to copy-on-write
-    // AGGREGATE cap (ADVICE r13): the per-file 10% bound does not
-    // bound the TOTAL — a sparse-but-wide DELETE (a sliver of every
-    // file of a huge table) is under cap per file yet funnels every
-    // ordinal through the table's DV machinery, and the read path
-    // broadcasts the union of all touched sidecars. Above the global
-    // ordinal budget, copy-on-write is the better shape anyway (the
-    // statement is table-proportional, not point-shaped) — fall back
+    // AGGREGATE cap (ADVICE r13, widened to TABLE scope in r16): the
+    // per-file 10% bound does not bound the TOTAL — a sparse-but-wide
+    // DELETE (a sliver of every file of a huge table) is under cap per
+    // file yet funnels every ordinal through the table's DV machinery,
+    // and the read path broadcasts the union of all touched sidecars.
+    // The budget must cover the POST-STATEMENT table state, not just
+    // this statement's files: repeated under-budget statements on
+    // DISJOINT files would otherwise accumulate sidecar volume without
+    // ever tripping it (ADVICE r15). Untouched sidecars price from
+    // their parquet footers — one driver-side metadata read each, and
+    // the budget itself bounds how many sidecars can exist. Above the
+    // budget, copy-on-write is the better shape anyway (the table's DV
+    // state is manifest-proportional, not point-shaped) — fall back
     // rather than commit a broadcast-hostile DV state.
-    if (hitCounts.values.sum + oldCounts.values.sum > DvMaxTotalOrdinals) return None
+    // tunable: a deployment with bigger executors can raise it
+    // (`spark.graft.dv.maxTotalOrdinals`); the default prices ~32 MB
+    // of broadcast longs
+    val dvBudget = s.conf.get("spark.graft.dv.maxTotalOrdinals",
+      DvMaxTotalOrdinals.toString).toLong
+    val touchedRels = hitCounts.keys.map(b => byBase(b).rel).toSet
+    val untouchedOrdinals = {
+      import scala.jdk.CollectionConverters._
+      dvCur.filterNot { case (r, _) => touchedRels.contains(r) }
+        .values.toSeq.sorted.map { d =>
+          val in = HadoopInputFile.fromPath(
+            new HadoopPath(Paths.get(root, d).toUri), hadoopConf)
+          val r = ParquetFileReader.open(in)
+          try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+          finally r.close()
+        }.sum
+    }
+    if (hitCounts.values.sum + oldCounts.values.sum + untouchedOrdinals >
+        dvBudget) return None
     val tag = java.util.UUID.randomUUID().toString.take(8)
     // one sidecar per hit file: the file's FULL touched-ordinal set
     // (old sidecar ∪ new hits) — a superseding sidecar, so a reader
@@ -4218,6 +4437,7 @@ object SnapshotTable {
     "x41_row_tracking" -> (x41RowTracking _, Some(x41Sql)),
     "x42_merge_evolution" -> (x42MergeEvolution _, Some(x42Sql)),
     "x43_identity" -> (x43Identity _, Some(x43Sql)),
+    "x44_nested_colmap" -> (x44NestedColmap _, Some(x44Sql)),
   )
 
   /** x24_catalog_sql — the name-addressed warehouse surface end-to-end
@@ -5057,6 +5277,52 @@ object SnapshotTable {
        |SELECT batch, n_rows, off AS min_id, off + n_rows - 1 AS max_id,
        |  n_rows AS n_distinct, value_sum
        |FROM o ORDER BY batch""".stripMargin
+
+  /** x44_nested_colmap — NESTED column mapping (r16, Delta's
+    * struct-field mapping one level deep): a table whose `props`
+    * STRUCT column holds (event_type, value), evolved by
+    * `ALTER TABLE '<path>' RENAME COLUMN props.value TO amount` and
+    * `DROP COLUMN props.event_type` — both METADATA-ONLY commits
+    * (dotted colmap entries; zero files move; the mint stamps the
+    * `ncolmap` reader feature so a nested-ignorant binary refuses
+    * instead of serving raw physical field names) — then a path-SQL
+    * UPDATE whose predicate names the RENAMED field (`props.amount`,
+    * DML read translation through the rebuilt struct projection) and
+    * the day aggregate read back through the field mapping. The DuckDB
+    * oracle derives the same answer functionally from the raw events
+    * log — mapped struct reads ≡ the relational rewrite they avoid. */
+  def x44NestedColmap(s: SparkSession, d: String): DataFrame = {
+    val root = Engine.tmpDir("graft_x44_ncolmap")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    val ev = Tables.events(s, d)
+      .filter(col("event_id") % X29Mod === 0)
+      .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+      .select(col("event_id"), col("ep_day"), lit(0.0).as("flag"),
+        struct(col("event_type"), col("value")).as("props"))
+    commitEntries(root, 0,
+      writeDataFiles(ev.repartitionByRange(4, col("ep_day")), root, "seed")
+        .map(footerEntry(root, _, "ep_day")),
+      16, Map("statsCol" -> "ep_day"))
+    s.sql(s"ALTER TABLE '$root' RENAME COLUMN props.value TO amount").collect()
+    s.sql(s"ALTER TABLE '$root' DROP COLUMN props.event_type").collect()
+    s.sql(s"UPDATE '$root' SET flag = 1.0 WHERE props.amount > 10.0").collect()
+    read(s, root)
+      .groupBy(col("ep_day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("props.amount").cast("decimal(18,6)")).cast("double").as("amount_sum"),
+        sum(col("flag").cast("decimal(18,6)")).cast("double").as("n_flagged"))
+      .orderBy("ep_day")
+  }
+
+  val x44Sql: String =
+    s"""WITH e AS (SELECT value AS amount,
+       |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day
+       |  FROM events WHERE event_id % $X29Mod = 0)
+       |SELECT ep_day, COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS amount_sum,
+       |  CAST(SUM(CAST(CASE WHEN amount > 10.0 THEN 1.0 ELSE 0.0 END
+       |    AS DECIMAL(18,6))) AS DOUBLE) AS n_flagged
+       |FROM e GROUP BY ep_day ORDER BY ep_day""".stripMargin
 
   /** x42_merge_evolution — `MERGE WITH SCHEMA EVOLUTION` (Delta 3.2's
     * per-statement autoMerge): the source carries a column the target

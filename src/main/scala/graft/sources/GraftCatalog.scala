@@ -170,6 +170,67 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new SnapshotDsv2Table(d.toString, schema, CaseInsensitiveStringMap.empty())
   }
 
+  private def toStruct(
+      cols: Array[org.apache.spark.sql.connector.catalog.Column]): StructType =
+    StructType(cols.map(c => org.apache.spark.sql.types.StructField(
+      c.name(), c.dataType(), c.nullable())))
+
+  /** Declared so Spark's parser accepts `GENERATED ALWAYS AS IDENTITY`
+    * in CREATE TABLE column lists and routes it to the Column[]
+    * createTable below (x43's create-time spelling). */
+  override def capabilities(): java.util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+
+  /** `CREATE TABLE (... , id BIGINT GENERATED ALWAYS AS IDENTITY)` —
+    * the create-time identity spelling (Delta's). The identity values
+    * ARE the engine's dense row-tracking ids (x43): assignment starts
+    * at 0 and steps by 1, engine-owned — explicit START WITH /
+    * INCREMENT BY other than the defaults refuse rather than being
+    * silently re-based, and `GENERATED BY DEFAULT` (explicit inserts
+    * allowed) contradicts the ALWAYS ownership contract. The identity
+    * metadata lives in the manifest, which an empty table lacks — the
+    * declaration parks as a pending marker the FIRST commit applies
+    * (seed rows claim [0, rows) exactly as a manual declare would). */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    val (idCols, dataCols) = columns.partition(_.identityColumnSpec() != null)
+    if (idCols.isEmpty)
+      return createTable(ident, toStruct(columns), partitions, properties)
+    require(idCols.length == 1,
+      "graft catalog: one GENERATED ALWAYS AS IDENTITY column per table")
+    val idc = idCols.head
+    val spec = idc.identityColumnSpec()
+    require(idc.dataType() == org.apache.spark.sql.types.LongType,
+      s"graft catalog: identity column ${idc.name()} must be BIGINT " +
+        s"(got ${idc.dataType().simpleString}) — the values are the engine's row ids")
+    require(!spec.isAllowExplicitInsert,
+      s"graft catalog: GENERATED BY DEFAULT is not supported — identity values " +
+        "are engine-owned (GENERATED ALWAYS)")
+    require(spec.getStep == 1 && (spec.getStart == 0 || spec.getStart == 1),
+      s"graft catalog: START WITH ${spec.getStart} INCREMENT BY ${spec.getStep} — " +
+        "identity values are the engine's dense row ids (start 0, step 1); " +
+        "custom start/step are not supported")
+    require(dataCols.nonEmpty,
+      "graft catalog: an identity-only table has no data columns to commit")
+    require(partitions.isEmpty,
+      "graft catalog: PARTITIONED BY is not supported — cluster with OPTIMIZE ... CLUSTER BY")
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val d = tableDir(ident)
+    val root = d.toString
+    SnapshotTable.validateIdent(root, "identity column", idc.name())
+    val dataSchema = toStruct(dataCols)
+    require(!dataSchema.fieldNames.exists(_.equalsIgnoreCase(idc.name())),
+      s"graft catalog: duplicate column ${idc.name()}")
+    Files.createDirectories(d)
+    Files.write(schemaFile(d), dataSchema.json.getBytes("UTF-8"))
+    Files.write(SnapshotTable.pendingIdentityFile(root),
+      idc.name().getBytes("UTF-8"))
+    new SnapshotDsv2Table(root, dataSchema, CaseInsensitiveStringMap.empty())
+  }
+
   /** ALTER TABLE ADD COLUMN — METADATA-ONLY widening (Delta's design:
     * the log, not the files, owns the schema): the commit appends no
     * data files and rewrites none; it re-lists the current entries
@@ -216,7 +277,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     changes.toList match {
       case List(rn: TableChange.RenameColumn) =>
         require(rn.fieldNames().length == 1,
-          "graft catalog: RENAME COLUMN supports top-level columns only")
+          "graft catalog: RENAME COLUMN supports top-level columns only — " +
+            "struct-field paths go through the path route " +
+            "(ALTER TABLE '<path>' RENAME COLUMN a.b TO c)")
         require(SnapshotTable.currentVersion(root) > 0,
           "graft catalog: RENAME COLUMN needs a committed version — " +
             "on a never-written table, DROP and re-CREATE instead")
@@ -225,7 +288,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         return loadTable(ident)
       case List(del: TableChange.DeleteColumn) =>
         require(del.fieldNames().length == 1,
-          "graft catalog: DROP COLUMN supports top-level columns only")
+          "graft catalog: DROP COLUMN supports top-level columns only — " +
+            "struct-field paths go through the path route " +
+            "(ALTER TABLE '<path>' DROP COLUMN a.b)")
         require(SnapshotTable.currentVersion(root) > 0,
           "graft catalog: DROP COLUMN needs a committed version — " +
             "on a never-written table, DROP and re-CREATE instead")

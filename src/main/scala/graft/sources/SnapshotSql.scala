@@ -245,8 +245,14 @@ object SnapshotSql {
     s"""(?is)\\s*ALTER\\s+TABLE\\s+('[^']+')\\s+SET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*""".r
   private val UnsetTblProps =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+('[^']+')\\s+UNSET\\s+TBLPROPERTIES\\s*\\((.+)\\)\\s*""".r
-  private val PropPair = """(?s)\s*'([^']+)'\s*=\s*'([^']*)'\s*""".r
-  private val PropKey = """(?s)\s*'([^']+)'\s*""".r
+  // SQL-standard doubled-quote escaping inside the 'key' = 'value'
+  // literals ('it''s' → it's): a generation expression containing a
+  // string literal (`case when type = 'x' ...`) is now spellable on
+  // the SET TBLPROPERTIES route (ADVICE r15). The alternation consumes
+  // quotes only in PAIRS, so `'a' = 'b'` can never mis-group.
+  private val PropPair = """(?s)\s*'((?:[^']|'')+)'\s*=\s*'((?:[^']|'')*)'\s*""".r
+  private val PropKey = """(?s)\s*'((?:[^']|'')+)'\s*""".r
+  private def unq(s: String): String = s.replace("''", "'")
   // the path spelling of TYPE WIDENING (the catalog-name route goes
   // through Spark's own ALTER COLUMN analysis into GraftCatalog)
   // the type capture admits parameterized/multi-word spellings
@@ -262,6 +268,15 @@ object SnapshotSql {
       """GENERATED\s+ALWAYS\s+AS\s+IDENTITY\s*""").r
   private val AlterColumnType =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+('[^']+')\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+TYPE\\s+(\\w+(?:\\s*\\([^)]*\\))?(?:\\s+\\w+)?)\\s*""".r
+  // the PATH spellings of column-mapping evolution — top-level columns
+  // AND one-level struct-field paths (`a.b`, nested column mapping;
+  // the catalog-name spelling flows through Spark's own ALTER analysis
+  // into GraftCatalog.alterTable, which is top-level only because the
+  // DSv2 connector's schema envelope is primitive-typed)
+  private val RenameCol =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+('[^']+')\\s+RENAME\\s+COLUMN\\s+(\\w+(?:\\.\\w+)?)\\s+TO\\s+(\\w+)\\s*""".r
+  private val DropCol =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+('[^']+')\\s+DROP\\s+COLUMN\\s+(\\w+(?:\\.\\w+)?)\\s*""".r
 
   private val Quoted = "'([^']+)'".r
 
@@ -451,6 +466,7 @@ object SnapshotSql {
       scala.util.Try(resolveRef(s, ref)).isSuccess
     case AlterColumnType(_, _, _) => true
     case SetTblProps(_, _) | UnsetTblProps(_, _) => true
+    case RenameCol(_, _, _) | DropCol(_, _) => true
     case _ => false
   }
 
@@ -546,10 +562,14 @@ object SnapshotSql {
       SnapshotTable.widenColumn(s, resolveRef(s, ref), colName,
         org.apache.spark.sql.catalyst.parser.CatalystSqlParser
           .parseDataType(tpe))
+    case RenameCol(ref, from, to) =>
+      SnapshotTable.renameColumn(s, resolveRef(s, ref), from, to)
+    case DropCol(ref, name) =>
+      SnapshotTable.dropColumn(s, resolveRef(s, ref), name)
     case SetTblProps(ref, propList) =>
       val root = resolveRef(s, ref)
       val sets = splitTop(propList).map {
-        case PropPair(k, v) => (k, v)
+        case PropPair(k, v) => (unq(k), unq(v))
         case other => throw new IllegalArgumentException(
           s"graft-snapshot SQL: SET TBLPROPERTIES entries are 'key' = 'value', " +
             s"got '${other.trim}'")
@@ -559,7 +579,7 @@ object SnapshotSql {
     case UnsetTblProps(ref, propList) =>
       val root = resolveRef(s, ref)
       val unsets = splitTop(propList).map {
-        case PropKey(k) => k
+        case PropKey(k) => unq(k)
         case other => throw new IllegalArgumentException(
           s"graft-snapshot SQL: UNSET TBLPROPERTIES entries are 'key', " +
             s"got '${other.trim}'")
@@ -587,6 +607,8 @@ object SnapshotSql {
         "ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (<expr>) | " +
         "ALTER TABLE <table> DROP CONSTRAINT <name> | " +
         "ALTER TABLE '<path>' ALTER COLUMN <col> TYPE <wider> | " +
+        "ALTER TABLE '<path>' RENAME COLUMN <col[.field]> TO <new> | " +
+        "ALTER TABLE '<path>' DROP COLUMN <col[.field]> | " +
         "ALTER TABLE '<path>' SET TBLPROPERTIES ('k' = 'v') | " +
         "ALTER TABLE '<path>' UNSET TBLPROPERTIES ('k') | " +
         "CREATE TABLE <table> SHALLOW CLONE <table> [VERSION AS OF <version>] | " +

@@ -1287,8 +1287,19 @@ private[sources] object SnapshotCdf {
       val parts: Seq[SnapshotCdfPartition] = cdc match {
         case Some(spec) => spec.split(';').toSeq.flatMap { grp =>
           val Array(ty, tyRels) = grp.split("=", 2)
-          tyRels.split(',').toSeq.sorted.map(rel =>
-            SnapshotCdfPartition(Paths.get(root, rel).toString, ty, v))
+          tyRels.split(',').toSeq.sorted.map { rel =>
+            // a vacuum under the `cdcretain` window reclaims CDC files
+            // while their manifest (and time travel) survives — the
+            // feed must refuse a reclaimed window LOUDLY at planning,
+            // never crash a task or silently truncate
+            if (!java.nio.file.Files.exists(Paths.get(root, rel)))
+              throw new IllegalStateException(
+                s"graft-snapshot CDF: the row-grain change files of version $v " +
+                  s"of $root were reclaimed (cdcRetention window / vacuum) — " +
+                  "start the feed from a retained version, or widen the " +
+                  "'cdcretain' table property before the next vacuum")
+            SnapshotCdfPartition(Paths.get(root, rel).toString, ty, v)
+          }
         }
         case None =>
           val before = if (v == 1) Set.empty[String] else rels(v - 1)
@@ -1427,6 +1438,69 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
     * shape: enforcement rides the write, no second pass, no driver
     * round-trip). Compiled once at plan time; a violating row fails
     * its task loudly and the commit never lands. */
+  /** GENERATED columns the incoming frame OMITS, derived in each
+    * task's writer exactly as the sink's withGeneratedColumns does
+    * (Delta computes omitted gen columns on EVERY write route — the
+    * batch INSERT path must not diverge from the sink, r15 verdict):
+    * each fill expression is analyzed against the incoming schema and
+    * bound ONCE at plan time; the writer appends the computed values
+    * and the widened row — conformed to the table's declared column
+    * order so the file sits uniformly beside residents — is what the
+    * checks see and the file carries. (outSchema, per-slot source
+    * index: >=0 copies input slot i, -k-1 evaluates fill k, fills). */
+  private lazy val genPlan: (StructType, Array[Int],
+      Seq[org.apache.spark.sql.catalyst.expressions.Expression]) = {
+    val v = SnapshotTable.currentVersion(root)
+    val gens = if (v == 0) Map.empty[String, String]
+      else SnapshotTable.genExprs(root, v)
+    val missing = gens.toSeq.filterNot { case (c, _) =>
+      info.schema().fieldNames.exists(_.equalsIgnoreCase(c)) }.sortBy(_._1)
+    if (missing.isEmpty)
+      (info.schema(), Array.tabulate(info.schema().length)(identity), Nil)
+    else {
+      val spark = org.apache.spark.sql.SparkSession.active
+      val declared = SnapshotTable.readAt(spark, root, v).schema
+      val empty = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](), info.schema())
+      val bound = missing.map { case (c, e) =>
+        // a frame omitting a generation INPUT as well fails analysis
+        // here, loudly naming the unresolvable column — nothing to
+        // derive from, same refusal the sink's helper hits
+        val analyzed = empty.select(org.apache.spark.sql.functions.expr(e)
+          .cast(declared(c).dataType).as("__gen")).queryExecution.analyzed
+          .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+        val resolved = analyzed.projectList.head
+          .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Alias].child
+        (c, declared(c).dataType,
+          org.apache.spark.sql.catalyst.expressions.BindReferences
+            .bindReference(resolved, analyzed.child.output))
+      }
+      // the fill column's parquet repetition must CONFORM to what the
+      // resident files declare (a REQUIRED column written OPTIONAL
+      // would make the uniform-table read request refuse the mix —
+      // the same rule conformNullability enforces on MoR postimages)
+      val cmap = SnapshotTable.colMap(root, v)
+      val physMsg = scala.util.Try(SnapshotSourceUtil.tableMessageType(root, v)).toOption
+      val widened = info.schema().fields.toSeq ++ bound.map { case (c, dt, _) =>
+        val pn = SnapshotTable.physicalName(cmap, c)
+        val nullable = !physMsg.exists(m => m.containsField(pn) &&
+          m.getType(m.getFieldIndex(pn)).isRepetition(
+            org.apache.parquet.schema.Type.Repetition.REQUIRED))
+        StructField(c, dt, nullable)
+      }
+      val order = declared.fieldNames.filter(c =>
+          widened.exists(_.name.equalsIgnoreCase(c))) ++
+        widened.map(_.name).filterNot(c =>
+          declared.fieldNames.exists(_.equalsIgnoreCase(c)))
+      val fields = order.map(c => widened.find(_.name.equalsIgnoreCase(c)).get)
+      val srcIdx = fields.map { f =>
+        val i = info.schema().fieldNames.indexWhere(_.equalsIgnoreCase(f.name))
+        if (i >= 0) i else -(bound.indexWhere(_._1.equalsIgnoreCase(f.name)) + 1)
+      }.toArray
+      (StructType(fields), srcIdx, bound.map(_._3))
+    }
+  }
+
   private lazy val boundChecks: Seq[(String, String,
       org.apache.spark.sql.catalyst.expressions.Expression)] = {
     val v = SnapshotTable.currentVersion(root)
@@ -1434,8 +1508,11 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
     if (checks.isEmpty) Nil
     else {
       val spark = org.apache.spark.sql.SparkSession.active
+      // bound against the WIDENED schema (input + derived gen columns):
+      // the gen:<col> invariants reference the derived column, which
+      // the writer materializes before evaluating the checks
       val empty = spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](), info.schema())
+        new java.util.ArrayList[org.apache.spark.sql.Row](), genPlan._1)
       checks.toSeq.sortBy(_._1).map { case (n, e) =>
         val analyzed = empty.select(
           org.apache.spark.sql.functions.expr(e).cast("boolean").as("__chk"))
@@ -1473,11 +1550,14 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
           "read serves engine ids under it) — rename the column"))
     // the incoming query's schema is LOGICAL (the table exposes the
     // mapping); data files always carry PHYSICAL names — translate.
-    // Row decode is positional, so renaming fields is free.
-    val phys = SnapshotSourceUtil.physStruct(info.schema(),
+    // Row decode is positional, so renaming fields is free. The write
+    // schema is the gen-widened one (omitted generated columns derive
+    // in-task — see genPlan).
+    val phys = SnapshotSourceUtil.physStruct(genPlan._1,
       SnapshotTable.colMap(root, cur))
     SnapshotWriterFactory(root,
-      SnapshotSourceUtil.messageType(phys).toString, phys, boundChecks)
+      SnapshotSourceUtil.messageType(phys).toString, phys, boundChecks,
+      genPlan._2, genPlan._3)
   }
   // `.option("statsCol", c)` on the writer declares the pruning column
   // for a table this write CREATES (an existing table's statsCol is
@@ -1596,6 +1676,11 @@ private[graft] object SnapshotCommit {
         case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) // lost CAS: re-read, retry
       }
     }
+    // a CREATE-time identity declaration (pending marker) applies on
+    // the table's first commit — one metadata-only follow-up, the same
+    // declare-after-seed flow the Scala API runs manually
+    SnapshotTable.applyPendingIdentity(
+      org.apache.spark.sql.SparkSession.active, root)
   }
 
   /** Drop staged task files that will never be referenced. Empty-task
@@ -1615,7 +1700,9 @@ private[graft] object SnapshotCommit {
 private[sources] case class SnapshotWriterFactory(root: String,
     parquetSchema: String, schema: StructType,
     checks: Seq[(String, String,
-      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
+    srcIdx: Array[Int] = Array.empty,
+    fills: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil)
     extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -1626,14 +1713,17 @@ private[sources] case class SnapshotWriterFactory(root: String,
   private def writer(partitionId: Int, epochId: Long): DataWriter[InternalRow] = {
     val rel = s"data_w_e${epochId}_p${partitionId}_" +
       s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
-    new PartitionFileWriter(root, rel, parquetSchema, schema, checks)
+    new PartitionFileWriter(root, rel, parquetSchema, schema, checks,
+      srcIdx, fills)
   }
 }
 
 private[sources] class PartitionFileWriter(root: String, rel: String,
     parquetSchema: String, schema: StructType,
     checks: Seq[(String, String,
-      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil)
+      org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
+    srcIdx: Array[Int] = Array.empty,
+    fills: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil)
     extends DataWriter[InternalRow] {
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
   import org.apache.parquet.hadoop.example.ExampleParquetWriter
@@ -1647,7 +1737,29 @@ private[sources] class PartitionFileWriter(root: String, rel: String,
       .withConf(conf).withType(msg).build()
   }
 
-  override def write(row: InternalRow): Unit = {
+  // whether this write derives omitted GENERATED columns (or reorders
+  // to the table's declared layout): srcIdx then rebuilds each row —
+  // the common no-gens append keeps the zero-copy fast path
+  private val rebuild = fills.nonEmpty ||
+    (srcIdx.nonEmpty && !srcIdx.indices.forall(i => srcIdx(i) == i))
+
+  override def write(row0: InternalRow): Unit = {
+    // derive omitted generated columns (bound at plan time against the
+    // incoming schema) and conform to the table's declared order — the
+    // CHECKS below then see the widened row, so gen:<col> invariants
+    // verify the very values this writer materialized
+    val row: InternalRow = if (!rebuild) row0 else {
+      val vals = new Array[Any](srcIdx.length)
+      var i = 0
+      while (i < srcIdx.length) {
+        val s = srcIdx(i)
+        vals(i) =
+          if (s >= 0) { if (row0.isNullAt(s)) null else row0.get(s, schema.fields(i).dataType) }
+          else fills(-s - 1).eval(row0)
+        i += 1
+      }
+      new GenericInternalRow(vals)
+    }
     // CHECK constraints, evaluated on the incoming (logical-order) row
     // before anything lands in the file: TRUE and NULL pass (SQL's
     // three-valued CHECK), FALSE refuses loudly — the task fails, the

@@ -338,6 +338,69 @@ class CdfSpec extends AnyFunSuite {
     assert(cdcPaths(3).forall(Files.exists(_)))
   }
 
+  test("cdcretain: CDC files reclaim on the CDC clock while manifests/time-travel hold (r16)") {
+    val root = graft.operators.Engine.tmpDir("graft_cdf_retain")
+    graft.operators.Engine.listDir(Paths.get(root))
+      .foreach(graft.operators.Engine.deleteRecursively)
+    val rels = ST.writeDataFiles((1L to 6L).map(k => (k, k * 1.0)).toDF("k", "v")
+      .coalesce(1), root, "a").map(ST.footerEntry(root, _, "k"))
+    ST.commitEntries(root, 0, rels, 16, Map("statsCol" -> "k", "cdf" -> "row"))
+    ST.delete(spark, root, "k <= 2") // v2: registers row-grain CDC files
+    def cdcPaths(v: Int): Seq[java.nio.file.Path] =
+      ST.manifestMeta(root, v)("cdc").split(';').toSeq
+        .flatMap(g => g.split("=", 2)(1).split(',').toSeq)
+        .map(rel => Paths.get(root, rel))
+    val v2cdc = cdcPaths(2)
+    // the property validates; garbage refuses
+    val eBad = intercept[Exception](spark.sql(
+      s"ALTER TABLE '$root' SET TBLPROPERTIES ('cdcretain' = 'soon')").collect())
+    assert(eBad.getMessage.contains("HOURS"), eBad.getMessage)
+    spark.sql(s"ALTER TABLE '$root' SET TBLPROPERTIES ('cdcretain' = '0')").collect()
+    // the dry run previews the CDC files as reclaimable even though
+    // every manifest is kept (keepFrom = 1 retires nothing)
+    val preview = ST.vacuumDryRun(root, keepFrom = 1)
+    assert(v2cdc.forall(p =>
+        preview.contains(Paths.get(root).toAbsolutePath
+          .relativize(p.toAbsolutePath).toString)),
+      s"dry run must list the out-of-window CDC files: $preview")
+    ST.vacuum(root, keepFrom = 1)
+    assert(v2cdc.forall(!Files.exists(_)),
+      "cdcretain=0 must reclaim CDC files on the next vacuum")
+    // ...while the manifests, data files and time travel all hold
+    assert(ST.readAt(spark, root, 1).count() == 6)
+    assert(ST.readAt(spark, root, 2).count() == 4)
+    assert(ST.read(spark, root).count() == 4)
+    // the feed refuses the reclaimed window LOUDLY at planning
+    val eFeed = intercept[Exception] {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("readChangeFeed", "true").option("startingVersion", "1")
+        .load(root).writeStream.format("memory")
+        .queryName(s"cdf_retain_${System.nanoTime()}").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    def chain(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain(eFeed).contains("reclaimed") &&
+      chain(eFeed).contains("cdcretain"), chain(eFeed))
+    // batch route refuses identically
+    val eBatch = intercept[Exception](spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true").option("afterVersion", "0")
+      .load(root).collect())
+    assert(chain(eBatch).contains("reclaimed"), chain(eBatch))
+    // a LATER DML's fresh CDC files serve normally (the window is per
+    // commit clock, not a table-wide kill switch)
+    ST.update(spark, root, Seq("v" -> "v + 1"), "k = 5") // v4 (post-flag commits)
+    val later = spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+      .option("afterVersion", (ST.currentVersion(root) - 1).toString)
+      .load(root)
+    // cdcretain=0 means even fresh files are outside the window once
+    // vacuumed — but UNVACUUMED they still serve (reclaim happens at
+    // vacuum time, not read time)
+    assert(later.filter(col("_change_type") === "update_postimage").count() == 1)
+  }
+
   test("row-grain CDF: a direct merge() op='u' on an ABSENT key reports insert (ADVICE r13)") {
     import spark.implicits._
     val root = graft.operators.Engine.tmpDir("graft_cdf_uabsent")

@@ -229,12 +229,18 @@ class ColumnMappingSpec extends AnyFunSuite {
       val e = intercept[Exception](ST.renameColumn(spark, root, "v", bad))
       assert(e.getMessage.contains("manifest-delimiter"), s"'$bad': ${e.getMessage}")
     }
-    // nested fields get the honest top-level-only refusal, not silent
-    // mis-handling of `a.b` as a flat name
+    // a dotted rename TARGET is a mistake, not a path (only the FROM
+    // side of RENAME and DROP accept field paths)
     val en = intercept[Exception](ST.renameColumn(spark, root, "v", "props.score"))
-    assert(en.getMessage.contains("top-level only"), en.getMessage)
+    assert(en.getMessage.contains("field paths"), en.getMessage)
+    // a field path into a non-struct (or missing) parent refuses loudly
     val ed = intercept[Exception](ST.dropColumn(spark, root, "props.score"))
-    assert(ed.getMessage.contains("top-level only"), ed.getMessage)
+    assert(ed.getMessage.contains("no column props"), ed.getMessage)
+    val ev = intercept[Exception](ST.dropColumn(spark, root, "v.x"))
+    assert(ev.getMessage.contains("not a struct column"), ev.getMessage)
+    // deeper-than-one-level paths refuse with the envelope message
+    val e2l = intercept[Exception](ST.renameColumn(spark, root, "a.b.c", "d"))
+    assert(e2l.getMessage.contains("one level deep"), e2l.getMessage)
     // the table is untouched — no version minted by any refusal
     assert(ST.currentVersion(root) == 1)
     // the catalog's ADD COLUMN route validates the same way (backtick
@@ -246,10 +252,118 @@ class ColumnMappingSpec extends AnyFunSuite {
     spark.sql("INSERT INTO gident.t VALUES (1)")
     val ec = intercept[Exception](
       spark.sql("ALTER TABLE gident.t ADD COLUMN `a.b` BIGINT").collect())
-    assert(ec.getMessage.contains("top-level only"), ec.getMessage)
+    assert(ec.getMessage.contains("plain top-level name"), ec.getMessage)
     val ec2 = intercept[Exception](
       spark.sql("ALTER TABLE gident.t ADD COLUMN `a=b` BIGINT").collect())
     assert(ec2.getMessage.contains("manifest-delimiter"), ec2.getMessage)
+  }
+
+  private def freshNested(name: String): String = {
+    val root = Engine.tmpDir(s"graft_cm_$name")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    val df = (1L to 6L).map(k => (k, s"t$k", k * 1.0, k * 10.0))
+      .toDF("k", "tag", "v", "flag")
+      .select(col("k"), struct(col("tag"), col("v")).as("props"), col("flag"))
+    val rels = ST.writeDataFiles(df.repartitionByRange(2, col("k")), root, "a")
+      .map(ST.footerEntry(root, _, "k"))
+    ST.commitEntries(root, 0, rels, 16, Map("statsCol" -> "k"))
+    root
+  }
+
+  private def propsFields(root: String, v: Int): Seq[String] =
+    ST.readAt(spark, root, v).schema("props").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+
+  test("NESTED field rename/drop: metadata-only, ncolmap stamped, time travel keeps old names") {
+    val root = freshNested("nested")
+    val before = dataFiles(root)
+    // path-SQL spelling for both verbs
+    spark.sql(s"ALTER TABLE '$root' RENAME COLUMN props.v TO score").collect()
+    assert(dataFiles(root) == before, "nested rename moved data files")
+    assert(propsFields(root, ST.currentVersion(root)) == Seq("tag", "score"))
+    val got = ST.read(spark, root).select(col("k"), col("props.score"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == (1L to 6L).map(k => k -> k * 1.0).toMap, got)
+    // the dotted mint stamps the ncolmap READER feature (a
+    // nested-ignorant binary would serve raw physical field names)
+    val m = ST.manifestMeta(root, ST.currentVersion(root))
+    assert(m("readerFeatures").split(',').contains("ncolmap"), m.toString)
+    // time travel BEFORE the mint resolves the original field names
+    assert(propsFields(root, 1) == Seq("tag", "v"))
+    // DROP a field: metadata-only, field hidden, storage stays resident
+    spark.sql(s"ALTER TABLE '$root' DROP COLUMN props.tag").collect()
+    assert(dataFiles(root) == before, "nested drop moved data files")
+    assert(propsFields(root, ST.currentVersion(root)) == Seq("score"))
+    // a NULL struct must stay null through the rebuilt projection
+    assert(ST.read(spark, root).filter(col("props").isNull).count() == 0)
+    // refusals one level down: duplicate target, missing field, only field
+    val e1 = intercept[Exception](
+      ST.renameColumn(spark, root, "props.score", "score"))
+    assert(e1.getMessage.contains("already exists") ||
+      e1.getMessage.contains("collides"), e1.getMessage)
+    val e2 = intercept[Exception](ST.dropColumn(spark, root, "props.nope"))
+    assert(e2.getMessage.contains("no field"), e2.getMessage)
+    val e3 = intercept[Exception](ST.dropColumn(spark, root, "props.score"))
+    assert(e3.getMessage.contains("only field"), e3.getMessage)
+    // a dropped-field storage name cannot be shadowed by a rename (no
+    // resurrection through the ride-along contract)
+    val e4 = intercept[Exception](
+      ST.renameColumn(spark, root, "props.score", "tag"))
+    assert(e4.getMessage.contains("resident physical"), e4.getMessage)
+  }
+
+  test("NESTED DML round-trip: rewrites ride dropped fields physically; OPTIMIZE materializes") {
+    val root = freshNested("nested_dml")
+    spark.sql(s"ALTER TABLE '$root' RENAME COLUMN props.v TO score").collect()
+    spark.sql(s"ALTER TABLE '$root' DROP COLUMN props.tag").collect()
+    val before = dataFiles(root)
+    // UPDATE reads the logical nested name in its predicate and
+    // rewrites through toPhysical — the file a hit lands in must KEEP
+    // the dropped field's storage bytes (ride-along, one level down)
+    spark.sql(s"UPDATE '$root' SET flag = flag + 0.5 " +
+      "WHERE props.score >= 5.0").collect()
+    val after = ST.read(spark, root).select(col("k"), col("flag")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(after == (1L to 6L).map(k =>
+      k -> (k * 10.0 + (if (k >= 5) 0.5 else 0.0))).toMap, after)
+    val rewritten = dataFiles(root) -- before
+    assert(rewritten.nonEmpty, "update rewrote nothing")
+    rewritten.foreach { rel =>
+      val fld = spark.read.parquet(Paths.get(root, rel).toString)
+        .schema("props").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+      assert(fld.contains("tag") && fld.contains("v"),
+        s"rewritten file dropped resident physical fields: $fld")
+    }
+    // logical view still hides them
+    assert(propsFields(root, ST.currentVersion(root)) == Seq("score"))
+    // DELETE keyed on the nested field
+    spark.sql(s"DELETE FROM '$root' WHERE props.score = 1.0").collect()
+    assert(ST.read(spark, root).count() == 5)
+    // OPTIMIZE materializes the whole mapping: colmap (and the ncolmap
+    // stamp with it) gone, files carry the LOGICAL field names, the
+    // dropped field physically purged
+    ST.optimizeClustered(spark, root, "k", targetFiles = 2)
+    val v = ST.currentVersion(root)
+    assert(ST.colMap(root, v).isEmpty, "OPTIMIZE must materialize the mapping away")
+    assert(!ST.manifestMeta(root, v).get("readerFeatures")
+      .exists(_.split(',').contains("ncolmap")),
+      "materialized table must not keep requiring ncolmap")
+    val fld = spark.read.parquet(
+      Paths.get(root, ST.manifestEntries(root, v).head.rel).toString)
+      .schema("props").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    assert(fld == Seq("score"), s"materialized files must carry logical field names: $fld")
+    // sink appends under the LOGICAL nested shape keep working after
+    // re-entering mapping mode
+    spark.sql(s"ALTER TABLE '$root' RENAME COLUMN props.score TO pts").collect()
+    assert(graft.streaming.SnapshotSink.appendBatch(root,
+      Seq((9L, 9.0, 90.0)).toDF("k", "pts", "flag")
+        .select(col("k"), struct(col("pts")).as("props"), col("flag")),
+      batchId = 99L, keyCol = "k"))
+    val nine = ST.read(spark, root).filter(col("k") === 9L)
+      .select(col("props.pts")).head().getDouble(0)
+    assert(nine == 9.0)
   }
 
   test("RESTORE and SHALLOW CLONE carry the mapping") {
@@ -267,5 +381,23 @@ class ColumnMappingSpec extends AnyFunSuite {
     // ...and a second restore redoes the mapped state
     ST.restore(root, 3)
     assert(ST.read(spark, root).columns.toSeq == Seq("k", "score"))
+  }
+
+  test("RESTORE and SHALLOW CLONE carry a NESTED mapping (ncolmap stamp included)") {
+    val root = freshNested("nested_carry")
+    spark.sql(s"ALTER TABLE '$root' RENAME COLUMN props.v TO score").collect()
+    val cl = Engine.tmpDir("graft_cm_nclone")
+    Engine.listDir(Paths.get(cl)).foreach(Engine.deleteRecursively)
+    ST.shallowClone(root, cl)
+    assert(propsFields(cl, ST.currentVersion(cl)) == Seq("tag", "score"))
+    assert(ST.manifestMeta(cl, ST.currentVersion(cl))("readerFeatures")
+      .split(',').contains("ncolmap"), "clone dropped the ncolmap stamp")
+    ST.restore(root, 1)
+    assert(propsFields(root, ST.currentVersion(root)) == Seq("tag", "v"))
+    assert(!ST.manifestMeta(root, ST.currentVersion(root))
+      .get("readerFeatures").exists(_.split(',').contains("ncolmap")),
+      "restore to the pre-mint version must stop requiring ncolmap")
+    ST.restore(root, 2)
+    assert(propsFields(root, ST.currentVersion(root)) == Seq("tag", "score"))
   }
 }

@@ -112,6 +112,46 @@ class DvSpec extends AnyFunSuite {
     assert(ST.read(spark, root).count() == 20)
   }
 
+  test("TABLE-WIDE ordinal budget: disjoint-file accumulation trips the CoW fallback (r16)") {
+    val root = Engine.tmpDir("graft_dv_budget")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    val rels = ST.writeDataFiles((1L to 400L).map(k => (k, k * 1.0))
+      .toDF("k", "v").repartitionByRange(4, col("k")), root, "a")
+      .map(ST.footerEntry(root, _, "k"))
+    ST.commitEntries(root, 0, rels, 16, Map("statsCol" -> "k"))
+    ST.enableDeletionVectors(root)
+    spark.conf.set("spark.graft.dv.maxTotalOrdinals", "5")
+    try {
+      // statement 1: 3 ordinals in one file — under every cap, MoR
+      spark.sql(s"DELETE FROM '$root' WHERE k IN (1, 2, 3)").collect()
+      val v1 = ST.currentVersion(root)
+      assert(ST.manifestMeta(root, v1)("delete").startsWith("dv:"),
+        ST.manifestMeta(root, v1).toString)
+      assert(ST.dvState(root, v1).size == 1)
+      // statement 2: 3 ordinals in a DISJOINT file — statement-local
+      // it is identical to statement 1, but the table would then hold
+      // 6 > 5 total ordinals: the post-statement TABLE state busts the
+      // budget, so this statement must fall back to copy-on-write
+      // (before r16 only the touched files' ordinals were counted and
+      // disjoint statements accumulated forever)
+      spark.sql(s"DELETE FROM '$root' WHERE k IN (101, 102, 103)").collect()
+      val v2 = ST.currentVersion(root)
+      assert(ST.manifestMeta(root, v2)("delete").startsWith("cow:"),
+        s"disjoint accumulation past the budget must fall back: " +
+          ST.manifestMeta(root, v2).toString)
+      // the first statement's sidecar survives untouched; content exact
+      assert(ST.dvState(root, v2).size == 1)
+      assert(ST.read(spark, root).count() == 394)
+      // raising the budget re-admits MoR for the next statement
+      spark.conf.set("spark.graft.dv.maxTotalOrdinals", "4000000")
+      spark.sql(s"DELETE FROM '$root' WHERE k IN (201, 202)").collect()
+      val v3 = ST.currentVersion(root)
+      assert(ST.manifestMeta(root, v3)("delete").startsWith("dv:"),
+        ST.manifestMeta(root, v3).toString)
+      assert(ST.read(spark, root).count() == 392)
+    } finally spark.conf.unset("spark.graft.dv.maxTotalOrdinals")
+  }
+
   test("rewrites apply the DV and retire it: UPDATE (MoR and CoW), MERGE, OPTIMIZE") {
     val root = fresh("rewrite")
     spark.sql(s"DELETE FROM '$root' WHERE k = 2").collect()

@@ -156,6 +156,38 @@ class GenColSpec extends AnyFunSuite {
     assert(ST.read(spark, root).count() == 5)
   }
 
+  test("DSv2 INSERT computes omitted gen columns — route parity with the sink (r16)") {
+    val root = fresh("graft_gen_dsv2fill", 1L to 3L)
+    ST.setGeneratedColumn(spark, root, "d", "ts div 86400")
+    // path-route batch append OMITTING d: the task writer derives it
+    // exactly as the sink does (before r16 this failed analysis on the
+    // gen:d invariant referencing a column the frame lacked)
+    Seq((31L, 259200L)).toDF("k", "ts")
+      .write.format("graft-snapshot").mode("append").save(root)
+    val got = ST.read(spark, root).filter("k = 31")
+      .select("k", "ts", "d").as[(Long, Long, Long)].head()
+    assert(got == ((31L, 259200L, 3L)), got.toString)
+    // the widened file sits uniformly beside residents: full reads on
+    // both routes agree and the footer carries d
+    val rel = ST.manifestEntries(root, ST.currentVersion(root))
+      .map(_.rel).filterNot(ST.manifestEntries(root, 1).map(_.rel).toSet)
+    rel.foreach(r => assert(spark.read.parquet(Paths.get(root, r).toString)
+      .columns.toSeq == Seq("k", "ts", "d"), r))
+    assert(spark.read.format("graft-snapshot").load(root)
+      .filter("k = 31").select("d").as[Long].head() == 3L)
+    // a frame carrying a DRIFTED d still refuses in-task (the widened
+    // binding must not weaken the existing invariant route)
+    val e = intercept[Exception](Seq((32L, 259200L, 9L)).toDF("k", "ts", "d")
+      .write.format("graft-snapshot").mode("append").save(root))
+    assert(chain(e).contains("gen:d"), chain(e))
+    // a frame omitting the gen column AND its input refuses loudly at
+    // plan time — nothing to derive from
+    val e2 = intercept[Exception](Seq(Tuple1(33L)).toDF("k")
+      .write.format("graft-snapshot").mode("append").save(root))
+    assert(chain(e2).toLowerCase.contains("ts") ||
+      chain(e2).toLowerCase.contains("resolve"), chain(e2))
+  }
+
   test("derived-filter pruning: a filter on the gen INPUT prunes files on the stats column") {
     // five day files, statsCol = the GENERATED day column — the query
     // filters only `sec` (the input) and must still open few files
@@ -385,6 +417,21 @@ class GenColSpec extends AnyFunSuite {
     assert(ST.genExprs(root, ST.currentVersion(root)).isEmpty)
     spark.sql(s"ALTER TABLE '$root' UNSET TBLPROPERTIES ('check.k_pos')").collect()
     assert(!ST.checkConstraints(root, ST.currentVersion(root)).contains("k_pos"))
+    // SQL-standard doubled-quote escaping: an expression containing a
+    // STRING LITERAL is spellable on this route (ADVICE r15 — the
+    // value grammar previously could not carry a quote at all)
+    spark.sql(s"ALTER TABLE '$root' SET TBLPROPERTIES " +
+      "('check.s_lit' = 'k > 0 or ''no'' = ''yes''')").collect()
+    assert(ST.checkConstraints(root, ST.currentVersion(root))
+      .get("s_lit").contains("k > 0 or 'no' = 'yes'"),
+      ST.checkConstraints(root, ST.currentVersion(root)).toString)
+    // the stored (unescaped) expression enforces: a violating insert
+    // refuses through the in-task invariant
+    val eq = intercept[Exception](spark.sql(
+      s"ALTER TABLE '$root' SET TBLPROPERTIES ('check.bad' = 'k > 99 and ''a'' = ''a''')").collect())
+    assert(chain(eq).contains("existing row violates"), chain(eq))
+    spark.sql(s"ALTER TABLE '$root' UNSET TBLPROPERTIES ('check.s_lit')").collect()
+    assert(!ST.checkConstraints(root, ST.currentVersion(root)).contains("s_lit"))
   }
 
   test("a commit planned before a racing attach aborts instead of bypassing the derivation") {

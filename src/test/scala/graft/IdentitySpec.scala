@@ -161,6 +161,47 @@ class IdentitySpec extends AnyFunSuite {
     assert(streamed == expect, "streaming route diverged")
   }
 
+  test("CREATE TABLE ... GENERATED ALWAYS AS IDENTITY declares at create (r16)") {
+    val w = java.nio.file.Files.createTempDirectory("graft_id_ct").toString
+    spark.conf.set("spark.sql.catalog.gct", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gct.root", w)
+    spark.sql("CREATE TABLE gct.t (k BIGINT, v DOUBLE, " +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY)")
+    val root = Paths.get(w, "t").toString
+    assert(ST.pendingIdentity(root).contains("id"), "declaration must park pending")
+    // first INSERT seeds the table; the pending declaration applies on
+    // that commit — dense ids [0, rows) exactly like a manual declare
+    spark.sql("INSERT INTO gct.t VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    assert(ST.pendingIdentity(root).isEmpty, "first commit must apply the declaration")
+    val m = spark.sql("SELECT k, id FROM gct.t").as[(Long, Long)].collect().toMap
+    assert(m.keySet == Set(1L, 2L, 3L) && m.values.toSet == (0L until 3L).toSet,
+      s"create-time identity must claim dense seed ids: $m")
+    // the same dense-claim contract continues on the ingest routes
+    // (post-declaration catalog INSERT INTO is all-columns by Spark's
+    // own arity rule — the documented x43 envelope; ingest goes
+    // through the sink / path append, which omit the column)
+    graft.streaming.SnapshotSink.appendBatch(root,
+      Seq((4L, 4.0)).toDF("k", "v"), batchId = 0L, keyCol = "k")
+    val m2 = spark.sql("SELECT k, id FROM gct.t").as[(Long, Long)].collect().toMap
+    assert(m2.values.toSet == (0L until 4L).toSet, s"ingest must stay dense: $m2")
+    // engine-owned from birth: supplying the column refuses
+    val e = intercept[Exception](Seq((5L, 5.0, 99L)).toDF("k", "v", "id")
+      .write.format("graft-snapshot").mode("append").save(root))
+    assert(e.toString.contains("GENERATED ALWAYS") ||
+      Option(e.getCause).exists(_.getMessage.contains("GENERATED ALWAYS")), e.toString)
+    // refusal matrix at CREATE: custom start/step, BY DEFAULT, non-BIGINT
+    val e1 = intercept[Exception](spark.sql(
+      "CREATE TABLE gct.bad1 (k BIGINT, id BIGINT GENERATED ALWAYS AS " +
+        "IDENTITY (START WITH 100 INCREMENT BY 5))"))
+    assert(e1.getMessage.contains("start 0, step 1"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "CREATE TABLE gct.bad2 (k BIGINT, id BIGINT GENERATED BY DEFAULT AS IDENTITY)"))
+    assert(e2.getMessage.contains("engine-owned"), e2.getMessage)
+    val e3 = intercept[Exception](spark.sql(
+      "CREATE TABLE gct.bad3 (k BIGINT, id INT GENERATED ALWAYS AS IDENTITY)"))
+    assert(e3.getMessage.contains("must be BIGINT"), e3.getMessage)
+  }
+
   test("delete-all leaves a readable empty identity table (no recursion)") {
     // regression: readAt's identity branch routes through
     // readWithRowIdsAt, whose zero-entry case used to call readAt back

@@ -750,6 +750,24 @@ class SnapshotSqlSpec extends AnyFunSuite {
     val e = intercept[Exception](spark.sql(
       s"RESTORE TABLE '$root' TO TIMESTAMP AS OF '${t2 - 10000000}'").collect())
     assert(e.getMessage.contains("no retained commit"), e.getMessage)
+    // DATE-ONLY literal (Delta's spelling): midnight UTC — tomorrow's
+    // date is after every commit, so it restores to the newest state
+    val tomorrow = java.time.LocalDate.now(java.time.ZoneOffset.UTC).plusDays(1)
+    val vd = spark.sql(
+      s"RESTORE TABLE '$root' TO TIMESTAMP AS OF '$tomorrow'").head().getInt(0)
+    assert(vd > 0 && ST.read(spark, root).count() == 2,
+      s"date-only literal must resolve (midnight UTC, newest = the " +
+        s"restored v2 state): v=$vd rows=${ST.read(spark, root).count()}")
+    // ...and it IS midnight, not end-of-day: epoch-1970 resolves to none
+    val e2 = intercept[Exception](spark.sql(
+      s"RESTORE TABLE '$root' TO TIMESTAMP AS OF '1970-01-02'").collect())
+    assert(e2.getMessage.contains("no retained commit"), e2.getMessage)
+    // an unparseable literal refuses NAMING the accepted formats, not
+    // a raw DateTimeParseException (ADVICE r15)
+    val e3 = intercept[Exception](spark.sql(
+      s"RESTORE TABLE '$root' TO TIMESTAMP AS OF 'last tuesday'").collect())
+    assert(e3.getMessage.contains("accepted") &&
+      e3.getMessage.contains("yyyy-MM-dd"), e3.getMessage)
   }
 
   test("VACUUM DRY RUN previews exactly what the real VACUUM reclaims, deleting nothing") {
