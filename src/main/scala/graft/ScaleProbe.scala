@@ -653,6 +653,48 @@ object ScaleProbe {
       operators.SnapshotTable.read(spark, s"$work/snap_idc")
         .agg(max(col("row_sk")), max(col("sec"))).collect(); 1L
     }
+    // r16: NESTED column mapping — the ALTERs are metadata-only (not
+    // probed; one manifest write by construction), so the scale
+    // question is the READ and REWRITE premium of the struct-rebuild
+    // projection (when(isNotNull, struct(fieldRenames))) versus a
+    // plain struct scan, and the toLogicalFull/toPhysical round trip
+    // a CoW UPDATE pays through a nested mapping. Twin tables,
+    // identical struct data; one nested-renamed + field-dropped.
+    lazy val x44ev = spark.read.parquet(s"$work/events.parquet")
+      .selectExpr("event_id", "CAST(value * 1000 AS BIGINT) AS sec", "value")
+      .withColumn("d", expr("sec div 86400"))
+      .selectExpr("event_id", "d", "named_struct('tag', CAST(event_id % 7 AS STRING), 'value', value) AS props", "CAST(0.0 AS DOUBLE) AS flag")
+    time("x44n_stage_pair") {
+      val ST = operators.SnapshotTable
+      Seq(s"$work/snap_ncm", s"$work/snap_ncm_plain").foreach { root =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+        ST.commitEntries(root, 0,
+          ST.writeDataFiles(x44ev.repartitionByRange(4, col("d")), root, "seed")
+            .map(ST.footerEntry(root, _, "d")),
+          16, Map("statsCol" -> "d"))
+      }
+      ST.renameColumn(spark, s"$work/snap_ncm", "props.value", "amount")
+      ST.dropColumn(spark, s"$work/snap_ncm", "props.tag")
+      1L
+    }
+    time("x44n_scan_plain_ref") {
+      operators.SnapshotTable.read(spark, s"$work/snap_ncm_plain")
+        .agg(sum(col("props.value"))).collect(); 1L
+    }
+    time("x44n_scan_mapped") {
+      operators.SnapshotTable.read(spark, s"$work/snap_ncm")
+        .agg(sum(col("props.amount"))).collect(); 1L
+    }
+    time("x44n_update_plain_ref") {
+      operators.SnapshotTable.update(spark, s"$work/snap_ncm_plain",
+        Seq("flag" -> "flag + 1.0"), "props.value > 15.0 AND d = 19720")
+      1L
+    }
+    time("x44n_update_mapped") {
+      operators.SnapshotTable.update(spark, s"$work/snap_ncm",
+        Seq("flag" -> "flag + 1.0"), "props.amount > 15.0 AND d = 19720")
+      1L
+    }
     // r14: scoped OPTIMIZE — the WHERE-window compaction must price
     // with the WINDOW's bytes, not the table's (the full form is the
     // reference; at 32× the gap is the whole point of the verb)

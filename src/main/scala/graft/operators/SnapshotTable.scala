@@ -2798,11 +2798,17 @@ object SnapshotTable {
         else {
           val fromInsert =
             if (clauses.exists(_.isInstanceOf[WhenNotMatchedInsert])) novelAll else Nil
+          // a SET may spell the source column with different case —
+          // canonicalize to the SOURCE schema's spelling before
+          // building the novel list, so the case-sensitive lookups
+          // downstream (novelType's schema access, novelTgt's setMap)
+          // all agree, and `.distinct` cannot keep case-variant
+          // duplicates of one column (ADVICE r15)
           val fromSets = clauses.flatMap {
             case WhenMatchedUpdate(_, sets) => sets.map(_._1)
             case WhenNotMatchedBySourceUpdate(_, sets) => sets.map(_._1)
             case _ => Nil
-          }.filter(c => novelAll.exists(_.equalsIgnoreCase(c)))
+          }.flatMap(c => novelAll.find(_.equalsIgnoreCase(c)))
           (fromInsert ++ fromSets).distinct
         }
       novel.foreach(c => validateIdent(root, "ansi merge (schema evolution)", c))
@@ -2885,7 +2891,8 @@ object SnapshotTable {
       // rewritten, so the old row survives beside the inserted update
       // (silent key duplication). Shared by both UPDATE clause kinds.
       def checkSets(sets: Seq[(String, String)]): Map[String, String] = {
-        sets.foreach { case (c, _) => require(tCols.contains(c) || novel.contains(c),
+        sets.foreach { case (c, _) => require(tCols.contains(c) ||
+            novel.exists(_.equalsIgnoreCase(c)),
           s"ansi merge on $root: SET names unknown target column $c" +
             (if (!autoMerge && novelAll.exists(_.equalsIgnoreCase(c)))
               " — the source carries it; MERGE WITH SCHEMA EVOLUTION widens " +
@@ -2929,7 +2936,10 @@ object SnapshotTable {
       // column, so it surfaces the SET value when the clause assigns
       // one and NULL otherwise (Delta's null-history contract)
       def novelTgt(setMap: Map[String, String]): Seq[Column] = novel.map { c =>
-        (setMap.get(c) match {
+        // `c` carries the SOURCE schema's spelling; the SET may have
+        // spelled it differently — match case-insensitively so the
+        // assigned value lands instead of silently nulling
+        (setMap.collectFirst { case (k, rhs) if k.equalsIgnoreCase(c) => rhs } match {
           case Some(rhs) => expr(rhs).cast(novelType(c))
           case None => lit(null).cast(novelType(c))
         }).as(c)

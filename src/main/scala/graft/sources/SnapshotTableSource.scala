@@ -1533,7 +1533,8 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
     // answer for identity tables is the path-route append / sink,
     // which omit it — the GENERATED ALWAYS contract)
     val cur = SnapshotTable.currentVersion(root)
-    SnapshotTable.identityCol(root, cur).foreach(ic =>
+    SnapshotTable.identityCol(root, cur)
+      .orElse(SnapshotTable.pendingIdentity(root)).foreach(ic =>
       require(!info.schema().fieldNames.exists(_.equalsIgnoreCase(ic)),
         s"graft-snapshot write to $root: column $ic is GENERATED ALWAYS AS " +
           "IDENTITY — omit it (path-route append or the streaming sink); " +

@@ -88,7 +88,7 @@ object SnapshotSink {
     // an IDENTITY column is engine-assigned (commit-time contiguous
     // claims off the row-tracking high-water mark) — a batch supplying
     // its own values would collide with the allocator, refuse
-    ST.identityCol(root, cv).foreach(ic =>
+    ST.identityCol(root, cv).orElse(ST.pendingIdentity(root)).foreach(ic =>
       require(!df.columns.exists(_.equalsIgnoreCase(ic)),
         s"graft-snapshot sink on $root: column $ic is GENERATED ALWAYS AS " +
           "IDENTITY — omit it; the engine assigns dense ids at commit"))
@@ -128,6 +128,9 @@ object SnapshotSink {
         ST.commitEntries(root, v, baseOf(v) ++ entries,
           shardSize, ST.carriedMeta(root, v) ++ extraMeta +
             (LastBatchKey -> batchId.toString))
+        // a CREATE-time identity declaration (pending marker) applies
+        // on the table's first commit, whichever route lands it
+        ST.applyPendingIdentity(df.sparkSession, root)
         return true
       } catch {
         case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) // CAS lost: re-read, retry

@@ -169,6 +169,13 @@ class IdentitySpec extends AnyFunSuite {
       "id BIGINT GENERATED ALWAYS AS IDENTITY)")
     val root = Paths.get(w, "t").toString
     assert(ST.pendingIdentity(root).contains("id"), "declaration must park pending")
+    // engine-owned already in the PENDING window: a path-route write
+    // carrying the declared name refuses before the first commit
+    val ep = intercept[Exception](Seq((0L, 0.0, 5L)).toDF("k", "v", "id")
+      .write.format("graft-snapshot").mode("append").save(root))
+    assert(ep.toString.contains("GENERATED ALWAYS") ||
+      Option(ep.getCause).exists(_.getMessage.contains("GENERATED ALWAYS")),
+      ep.toString)
     // first INSERT seeds the table; the pending declaration applies on
     // that commit — dense ids [0, rows) exactly like a manual declare
     spark.sql("INSERT INTO gct.t VALUES (1, 1.0), (2, 2.0), (3, 3.0)")

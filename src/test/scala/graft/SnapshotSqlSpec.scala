@@ -498,6 +498,28 @@ class SnapshotSqlSpec extends AnyFunSuite {
       s"only SET-named novel columns may widen: $cols2")
     val w2 = ST.read(spark, root2).filter(col("k") === 2).select("w").head().getLong(0)
     assert(w2 == 7L)
+    // 5. a SET spelling the novel column with DIFFERENT CASE than the
+    // source canonicalizes to the source spelling — one column, the
+    // SET value applied (pre-r16 this passed the filter then died on a
+    // case-sensitive schema lookup, or silently nulled the value)
+    val root3 = Engine.tmpDir("graft_sql_merge_evo3")
+    Engine.listDir(Paths.get(root3)).foreach(Engine.deleteRecursively)
+    ST.commitEntries(root3, 0,
+      ST.writeDataFiles((1L to 4L).map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1), root3, "a").map(ST.footerEntry(root3, _, "k")),
+      shardSize = 8, Map("statsCol" -> "k"))
+    Seq((3L, 9.0, 42L)).toDF("k", "v", "score").createOrReplaceTempView("evo_src4")
+    spark.sql(
+      s"""MERGE WITH SCHEMA EVOLUTION INTO '$root3' AS t USING evo_src4 AS s ON t.k = s.k
+        WHEN MATCHED THEN UPDATE SET SCORE = s.score""").collect()
+    val cols3 = ST.read(spark, root3).columns.toSeq
+    assert(cols3.count(_.equalsIgnoreCase("score")) == 1 && cols3.contains("score"),
+      s"case-variant SET must canonicalize to ONE source-spelled column: $cols3")
+    val s3 = ST.read(spark, root3).filter(col("k") === 3)
+      .select("score").head().getLong(0)
+    assert(s3 == 42L, s"the case-variant SET's value must land, got $s3")
+    assert(ST.read(spark, root3).filter(col("k") === 1)
+      .select("score").head().isNullAt(0), "history must stay NULL")
   }
 
   test("MERGE NOT MATCHED BY SOURCE: precedence, pruning, and the sync end state") {
