@@ -695,6 +695,24 @@ object ScaleProbe {
         Seq("flag" -> "flag + 1.0"), "props.amount > 15.0 AND d = 19720")
       1L
     }
+    // r16: CONVERT in place — adoption must price by FILE COUNT (one
+    // driver-side footer read each), never by data volume; file count
+    // here scales with the replica factor
+    time("x45c_stage_plain") {
+      spark.read.parquet(s"$work/events.parquet")
+        .selectExpr("event_id", "value", "CAST(value * 1000 AS BIGINT) div 86400 AS d")
+        .repartitionByRange(replicas, col("d"))
+        .write.mode("overwrite").parquet(s"$work/plain_convert")
+      1L
+    }
+    time("x45c_convert") {
+      operators.SnapshotTable.convertInPlace(spark, s"$work/plain_convert", "d")
+        .toLong
+    }
+    time("x45c_first_read") {
+      operators.SnapshotTable.read(spark, s"$work/plain_convert")
+        .agg(max(col("value"))).collect(); 1L
+    }
     // r14: scoped OPTIMIZE — the WHERE-window compaction must price
     // with the WINDOW's bytes, not the table's (the full form is the
     // reference; at 32× the gap is the whole point of the verb)

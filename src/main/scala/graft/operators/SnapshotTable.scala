@@ -1256,11 +1256,115 @@ object SnapshotTable {
     if (Files.exists(pendingIdentityFile(root)))
       Some(new String(Files.readAllBytes(pendingIdentityFile(root)), "UTF-8").trim)
     else None
-  private[graft] def applyPendingIdentity(s: SparkSession, root: String): Unit =
+  private[graft] def applyPendingIdentity(s: SparkSession, root: String): Unit = {
     pendingIdentity(root).foreach { name =>
       setIdentityColumn(s, root, name)
       Files.deleteIfExists(pendingIdentityFile(root))
     }
+    applyPendingDefaults(s, root)
+  }
+
+  // ---------------- COLUMN DEFAULTS (SQL DEFAULT values, r16) --------
+
+  /** `default.<col>` manifest keys — the SQL literal Spark's analyzer
+    * fills when an INSERT omits the column or spells `DEFAULT`
+    * (Delta's column defaults). The FILL happens ANALYZER-side: the
+    * catalog declares SUPPORT_COLUMN_DEFAULT_VALUE and the table
+    * exposes each expression through StructField metadata
+    * (CURRENT_DEFAULT/EXISTS_DEFAULT); the engine stores, validates,
+    * carries (clone/restore like check./gen.) and re-exposes it —
+    * no write-path cost at all. Table state, one key per column. */
+  private[graft] def defaultsOf(meta: Map[String, String]): Map[String, String] =
+    meta.collect { case (k, v) if k.startsWith("default.") =>
+      k.stripPrefix("default.") -> v }
+  private[graft] def columnDefaults(root: String, v: Int): Map[String, String] =
+    if (v == 0) Map.empty else defaultsOf(manifestMeta(root, v))
+
+  /** Attach/replace a column's DEFAULT. The expression must be
+    * FOLDABLE (a constant — Delta and the SQL standard both scope
+    * defaults to constant expressions; a per-row expression is a
+    * GENERATED column, a different contract) and cast to the column's
+    * type. Metadata-only; existing rows are untouched (the default
+    * serves future INSERTs — SQL semantics, not backfill). */
+  def setColumnDefault(s: SparkSession, root: String, name: String,
+      sqlExpr: String): Int = {
+    validateIdent(root, "set default", name)
+    val retry = new CommitRetry(root)
+    var result = -1
+    while (result < 0) {
+      val v = currentVersion(root)
+      retry.observed(v)
+      require(v > 0, s"set default on $root: table has no committed version")
+      val schema = readAt(s, root, v).schema
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(name)),
+        s"set default on $root: no column $name " +
+          s"(have ${schema.fieldNames.mkString(",")})")
+      val canon = schema.fieldNames.find(_.equalsIgnoreCase(name)).get
+      require(!gensOf(carriedMeta(root, v)).keys.exists(_.equalsIgnoreCase(canon)),
+        s"set default on $root: $canon is GENERATED ALWAYS AS — the table " +
+          "owns its derivation; a DEFAULT would conflict")
+      // foldability + type check in one analysis: a non-constant
+      // expression (col refs, rand()) refuses — that is a GENERATED
+      // column's contract, not a DEFAULT's
+      val empty = s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Nil))
+      val analyzed = try empty.select(expr(sqlExpr).cast(schema(canon).dataType))
+        .queryExecution.analyzed
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"set default on $root: cannot analyze DEFAULT ($sqlExpr) for $canon as a " +
+          s"constant of ${schema(canon).dataType.simpleString} — defaults are " +
+          "constant expressions (for a per-row derivation use a GENERATED column)", e) }
+      require(analyzed.asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+          .projectList.head.asInstanceOf[org.apache.spark.sql.catalyst.expressions.Alias]
+          .child.foldable,
+        s"set default on $root: DEFAULT ($sqlExpr) for $canon is not a constant " +
+          "expression — for a per-row derivation use a GENERATED column")
+      try result = commitEntries(root, v, manifestEntries(root, v), 16,
+        carriedMeta(root, v) + (s"default.$canon" -> sqlExpr) +
+          ("alter" -> s"default:$canon"))
+      catch { case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) }
+    }
+    result
+  }
+
+  def dropColumnDefault(root: String, name: String): Int = {
+    val retry = new CommitRetry(root)
+    var result = -1
+    while (result < 0) {
+      val v = currentVersion(root)
+      retry.observed(v)
+      require(v > 0, s"drop default on $root: table has no committed version")
+      val canon = columnDefaults(root, v).keys.find(_.equalsIgnoreCase(name))
+        .getOrElse(throw new IllegalArgumentException(
+          s"drop default on $root: column $name has no DEFAULT"))
+      try result = commitEntries(root, v, manifestEntries(root, v), 16,
+        carriedMeta(root, v) - s"default.$canon" + ("alter" -> s"dropdefault:$canon"))
+      catch { case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) }
+    }
+    result
+  }
+
+  /** CREATE-time defaults park like the identity declaration (the
+    * metadata lives in the manifest an empty table lacks) — one
+    * `col<TAB>sql` line per column, applied by the first commit. */
+  private[graft] def pendingDefaultsFile(root: String): Path =
+    Paths.get(root, "_defaults_pending")
+  private[graft] def pendingDefaults(root: String): Map[String, String] =
+    if (!Files.exists(pendingDefaultsFile(root))) Map.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(pendingDefaultsFile(root)).asScala
+        .filter(_.nonEmpty).map { l =>
+          val Array(c, e) = l.split("\t", 2); (c, e)
+        }.toMap
+    }
+  private[graft] def applyPendingDefaults(s: SparkSession, root: String): Unit = {
+    val pend = pendingDefaults(root)
+    if (pend.nonEmpty) {
+      pend.toSeq.sortBy(_._1).foreach { case (c, e) => setColumnDefault(s, root, c, e) }
+      Files.deleteIfExists(pendingDefaultsFile(root))
+    }
+  }
 
   /** Does the parquet footer of `rel` declare a `name` column? One
     * driver-side metadata read — used to split a row-tracked scan into
@@ -1376,20 +1480,24 @@ object SnapshotTable {
   def applyTableProperties(s: SparkSession, root: String,
       sets: Seq[(String, String)], unsets: Seq[String]): Unit = {
     val allowed = Map("cdf" -> Set("row"), "dvmode" -> Set("on"))
-    def isValidating(k: String) = k.startsWith("check.") || k.startsWith("gen.")
+    def isValidating(k: String) = k.startsWith("check.") || k.startsWith("gen.") ||
+      k.startsWith("default.")
     if ((sets.map(_._1) ++ unsets).exists(isValidating)) {
       require((sets.map(_._1) ++ unsets).forall(isValidating),
-        "graft tblproperties: constraint/generation properties (check.<name>, " +
-          "gen.<col>) cannot mix with other properties in one ALTER")
+        "graft tblproperties: constraint/generation/default properties " +
+          "(check.<name>, gen.<col>, default.<col>) cannot mix with other " +
+          "properties in one ALTER")
       require(sets.size + unsets.size == 1,
-        "graft tblproperties: one check.<name>/gen.<col> property per ALTER — " +
-          "each ADD validates and commits independently, so a " +
+        "graft tblproperties: one check.<name>/gen.<col>/default.<col> property " +
+          "per ALTER — each validates and commits independently, so a " +
           "multi-property statement could half-apply")
       sets.foreach { case (k, e) =>
         if (k.startsWith("check.")) addCheckConstraint(s, root, k.stripPrefix("check."), e)
+        else if (k.startsWith("default.")) setColumnDefault(s, root, k.stripPrefix("default."), e)
         else setGeneratedColumn(s, root, k.stripPrefix("gen."), e) }
       unsets.foreach(k =>
         if (k.startsWith("check.")) dropCheckConstraint(root, k.stripPrefix("check."))
+        else if (k.startsWith("default.")) dropColumnDefault(root, k.stripPrefix("default."))
         else dropGeneratedExpr(root, k.stripPrefix("gen.")))
     } else {
       (sets.map(_._1) ++ unsets).foreach(k =>
@@ -2050,6 +2158,62 @@ object SnapshotTable {
     result
   }
 
+  /** CONVERT TO SNAPSHOT (r16, Delta's `CONVERT TO DELTA`): adopt an
+    * existing plain-parquet directory IN PLACE as a snapshot table —
+    * ONE manifest commit referencing the resident files where they
+    * sit (per-file footer stats harvested for pruning), ZERO bytes
+    * move or copy. At 100 TB, migrating onto the table format is a
+    * metadata operation priced by file COUNT (one footer read each),
+    * never a rewrite. From v1 on, the directory is a full citizen:
+    * DML, OPTIMIZE, time travel, every read route. Flat or nested
+    * layouts whose files carry every column convert; hive-style
+    * `key=value` partition directories refuse LOUDLY — the partition
+    * VALUES live in the paths, not the files, so adopting them would
+    * silently drop a column (Delta's CONVERT demands an explicit
+    * partition schema for the same reason; this format replaces
+    * partitioning with clustering, so the honest answer is re-ingest
+    * through a clustered write). `statsCol` empty = no pruning column
+    * (rows-only sentinel entries). */
+  def convertInPlace(s: SparkSession, root: String, statsCol: String = ""): Int = {
+    require(currentVersion(root) == 0,
+      s"convert on $root: already a snapshot table " +
+        s"(version ${currentVersion(root)}) — convert adopts PLAIN parquet dirs")
+    val rp = Paths.get(root).toAbsolutePath.normalize
+    require(Files.isDirectory(rp), s"convert on $root: not a directory")
+    val files = {
+      val st = Files.walk(rp)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .toVector
+      } finally st.close()
+    }
+    require(files.nonEmpty,
+      s"convert on $root: no *.parquet files to adopt")
+    val rels = files.map(f => rp.relativize(f).toString).sorted
+    rels.filter(_.split('/').exists(_.contains('='))).headOption.foreach(r =>
+      throw new IllegalArgumentException(
+        s"convert on $root: '$r' sits under a hive-style key=value partition " +
+          "directory — its partition VALUES live in the path, not the files, " +
+          "and adopting it would silently drop that column; re-ingest through " +
+          "a clustered snapshot write instead"))
+    if (statsCol.nonEmpty) {
+      // the pruning column must exist in the resident files — a typo
+      // would mint a table whose every entry is the never-pruned
+      // sentinel, silently (one footer read; files written together
+      // share a schema, and mixed-width adoptees degrade per file)
+      require(footerHasColumn(root, rels.head, statsCol),
+        s"convert on $root: stats column $statsCol is not in the resident " +
+          "files' schema")
+    }
+    commitEntries(root, 0, rels.map(footerEntry(root, _, statsCol)), 16,
+      (if (statsCol.nonEmpty) Map("statsCol" -> statsCol)
+       else Map.empty[String, String]) +
+        ("convert" -> s"inplace:${rels.size}"))
+  }
+
   /** SHALLOW CLONE — a zero-copy table fork (Delta's CREATE TABLE ...
     * SHALLOW CLONE): the clone's v1 manifest re-lists the source
     * version's entries as `../`-relative paths into the source
@@ -2107,7 +2271,8 @@ object SnapshotTable {
         fmtRowMat(rowMatOf(srcMeta).map(reRel)).map("rowmat" -> _)
     val meta = srcMeta
       .filter(kv => keep.contains(kv._1) || kv._1.startsWith("check.") ||
-        kv._1.startsWith("gen.") || kv._1 == "identity") ++
+        kv._1.startsWith("gen.") || kv._1.startsWith("default.") ||
+        kv._1 == "identity") ++
       dvMeta.map("dv" -> _) ++ rtMeta +
       ("clone" -> s"shallow:${Paths.get(srcRoot).toAbsolutePath.normalize}@v$v")
     commitEntries(dstRoot, 0, entries, shardSize = 16, meta)
@@ -4448,6 +4613,8 @@ object SnapshotTable {
     "x42_merge_evolution" -> (x42MergeEvolution _, Some(x42Sql)),
     "x43_identity" -> (x43Identity _, Some(x43Sql)),
     "x44_nested_colmap" -> (x44NestedColmap _, Some(x44Sql)),
+    "x45_convert_in_place" -> (x45ConvertInPlace _, Some(x45Sql)),
+    "x46_column_defaults" -> (x46ColumnDefaults _, Some(x46Sql)),
   )
 
   /** x24_catalog_sql — the name-addressed warehouse surface end-to-end
@@ -5333,6 +5500,95 @@ object SnapshotTable {
        |  CAST(SUM(CAST(CASE WHEN amount > 10.0 THEN 1.0 ELSE 0.0 END
        |    AS DECIMAL(18,6))) AS DOUBLE) AS n_flagged
        |FROM e GROUP BY ep_day ORDER BY ep_day""".stripMargin
+
+  /** x45_convert_in_place — `CONVERT TO SNAPSHOT` (r16, Delta's
+    * CONVERT TO DELTA): a pre-existing PLAIN parquet dataset (five
+    * day-ranged files, exactly what a legacy pipeline leaves behind)
+    * adopts in place — one manifest commit referencing the resident
+    * files, zero bytes copied — and is immediately a full citizen:
+    * the query runs a DML DELETE (copy-on-write over adopted entries)
+    * and a day aggregate through the snapshot read, with v1 time
+    * travel still serving the pre-DML content. The DuckDB oracle
+    * derives the same answer functionally from the raw events log. */
+  def x45ConvertInPlace(s: SparkSession, d: String): DataFrame = {
+    val root = Engine.tmpDir("graft_x45_convert")
+    Engine.deleteRecursively(Paths.get(root))
+    val ev = Tables.events(s, d)
+      .filter(col("event_id") % X29Mod === 0)
+      .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+      .select("event_id", "event_type", "value", "ep_day")
+    ev.repartitionByRange(5, col("ep_day")).write.mode("overwrite").parquet(root)
+    s.sql(s"CONVERT TO SNAPSHOT '$root' CLUSTER BY (ep_day)").collect()
+    s.sql(s"DELETE FROM '$root' WHERE event_id % 5 = 1").collect()
+    read(s, root)
+      .groupBy(col("ep_day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .orderBy("ep_day")
+  }
+
+  val x45Sql: String =
+    s"""WITH e AS (SELECT event_id, value,
+       |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day FROM events
+       |  WHERE event_id % $X29Mod = 0 AND event_id % 5 <> 1)
+       |SELECT ep_day, COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+       |FROM e GROUP BY ep_day ORDER BY ep_day""".stripMargin
+
+  /** x46_column_defaults — COLUMN DEFAULT VALUES (r16, Delta's column
+    * defaults / SQL standard DEFAULT): `CREATE TABLE (... src STRING
+    * DEFAULT 'organic', boost DOUBLE DEFAULT 1.5)` on the catalog
+    * route, an INSERT with a COLUMN LIST omitting both (the analyzer
+    * fills from the table's CURRENT_DEFAULT metadata — the engine
+    * stores `default.<col>` manifest state and re-exposes it; zero
+    * write-path cost), an INSERT spelling the `DEFAULT` keyword
+    * explicitly, then `ALTER TABLE ... ALTER COLUMN src SET DEFAULT`
+    * re-pointing the default for LATER inserts only (SQL semantics —
+    * no backfill; resident rows keep their values). The DuckDB oracle
+    * derives the same grouped totals functionally. */
+  def x46ColumnDefaults(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    if (!s.conf.getOption("spark.sql.catalog.gx").exists(_.nonEmpty)) {
+      s.conf.set("spark.sql.catalog.gx", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gx.root", Engine.tmpDir("graft_warehouse"))
+    }
+    Tables.events(s, d)
+      .filter(col("event_id") % X29Mod === 0)
+      .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+      .select("event_id", "ep_day", "value")
+      .createOrReplaceTempView("x46_src")
+    s.sql("DROP TABLE IF EXISTS gx.x46_t")
+    s.sql("""CREATE TABLE gx.x46_t (event_id BIGINT, ep_day BIGINT,
+      value DOUBLE, src STRING DEFAULT 'organic',
+      boost DOUBLE DEFAULT 1.5)""")
+    // column-list INSERT omitting both defaulted columns: the fill is
+    // the analyzer's, off the table's exposed metadata
+    s.sql("""INSERT INTO gx.x46_t (event_id, ep_day, value)
+      SELECT event_id, ep_day, value FROM x46_src WHERE event_id % 2 = 0""")
+    // the DEFAULT keyword spelling beside an explicit value
+    s.sql("""INSERT INTO gx.x46_t
+      SELECT event_id, ep_day, value, 'paid', DEFAULT
+      FROM x46_src WHERE event_id % 2 = 1""")
+    // re-point the default: later inserts take it, resident rows keep
+    s.sql("ALTER TABLE gx.x46_t ALTER COLUMN src SET DEFAULT 'late'")
+    s.sql("INSERT INTO gx.x46_t (event_id, ep_day, value) VALUES (-1, 19700, 2.0)")
+    s.sql("""SELECT src, COUNT(*) AS n_events,
+      CAST(SUM(CAST(value * boost AS DECIMAL(18,6))) AS DOUBLE) AS weighted
+      FROM gx.x46_t GROUP BY src ORDER BY src""")
+  }
+
+  val x46Sql: String =
+    s"""WITH e AS (SELECT event_id, value FROM events
+       |  WHERE event_id % $X29Mod = 0),
+       |t AS (
+       |  SELECT value, 'organic' AS src, 1.5 AS boost FROM e WHERE event_id % 2 = 0
+       |  UNION ALL
+       |  SELECT value, 'paid', 1.5 FROM e WHERE event_id % 2 = 1
+       |  UNION ALL
+       |  SELECT 2.0, 'late', 1.5)
+       |SELECT src, COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value * boost AS DECIMAL(18,6))) AS DOUBLE) AS weighted
+       |FROM t GROUP BY src ORDER BY src""".stripMargin
 
   /** x42_merge_evolution — `MERGE WITH SCHEMA EVOLUTION` (Delta 3.2's
     * per-statement autoMerge): the source carries a column the target

@@ -88,10 +88,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       if (cur > 0)
         // the exposed schema is the LOGICAL one (column mapping:
         // renames surface, dropped columns don't); an identity column
-        // appends like the Scala read's
-        SnapshotSourceUtil.withIdentity(SnapshotSourceUtil.logicalStruct(
-          SnapshotSourceUtil.sparkSchema(SnapshotSourceUtil.tableMessageType(root)),
-          SnapshotTable.colMap(root, cur)), root, cur)
+        // appends like the Scala read's; column DEFAULTs re-attach as
+        // field metadata (the analyzer's INSERT-fill keys)
+        SnapshotSourceUtil.withDefaults(
+          SnapshotSourceUtil.withIdentity(SnapshotSourceUtil.logicalStruct(
+            SnapshotSourceUtil.sparkSchema(SnapshotSourceUtil.tableMessageType(root)),
+            SnapshotTable.colMap(root, cur)), root, cur), root, cur)
       else
         DataType.fromJson(new String(Files.readAllBytes(schemaFile(d))))
           .asInstanceOf[StructType]
@@ -180,8 +182,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     * createTable below (x43's create-time spelling). */
   override def capabilities(): java.util.Set[
       org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
-    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
-      .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS)
+    java.util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      // column DEFAULTs: the fill happens ANALYZER-side off the
+      // StructField metadata the table exposes — declaring the
+      // capability is what lets CREATE TABLE carry DEFAULT clauses
+      org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
 
   /** `CREATE TABLE (... , id BIGINT GENERATED ALWAYS AS IDENTITY)` —
     * the create-time identity spelling (Delta's). The identity values
@@ -197,8 +205,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       columns: Array[org.apache.spark.sql.connector.catalog.Column],
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
     val (idCols, dataCols) = columns.partition(_.identityColumnSpec() != null)
-    if (idCols.isEmpty)
-      return createTable(ident, toStruct(columns), partitions, properties)
+    // column DEFAULTs at CREATE: the declared SQL rides the stored
+    // schema as StructField metadata (the analyzer's fill keys) for
+    // the pre-first-commit window, AND parks as pending `default.`
+    // manifest keys the first commit applies — from then on loadTable
+    // re-attaches the metadata from the manifest (the footer-derived
+    // schema carries none)
+    val defaults: Seq[(String, String)] = dataCols.toSeq
+      .filter(_.defaultValue() != null)
+      .map(c => c.name() -> c.defaultValue().getSql)
+    defaults.foreach { case (c, sql) =>
+      require(sql != null && sql.nonEmpty,
+        s"graft catalog: DEFAULT for column $c has no SQL form") }
+    def withDefaultMeta(st: StructType): StructType =
+      if (defaults.isEmpty) st
+      else StructType(st.fields.map { f =>
+        defaults.find(_._1.equalsIgnoreCase(f.name)) match {
+          case Some((_, sql)) => f.copy(metadata =
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putString("CURRENT_DEFAULT", sql)
+              .putString("EXISTS_DEFAULT", sql).build())
+          case None => f
+        }
+      })
+    def parkDefaults(root: String): Unit =
+      if (defaults.nonEmpty)
+        Files.write(SnapshotTable.pendingDefaultsFile(root),
+          defaults.map { case (c, e) => s"$c\t$e" }.mkString("\n").getBytes("UTF-8"))
+    if (idCols.isEmpty) {
+      val t = createTable(ident, withDefaultMeta(toStruct(columns)),
+        partitions, properties)
+      parkDefaults(tableDir(ident).toString)
+      return t
+    }
     require(idCols.length == 1,
       "graft catalog: one GENERATED ALWAYS AS IDENTITY column per table")
     val idc = idCols.head
@@ -221,13 +261,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val d = tableDir(ident)
     val root = d.toString
     SnapshotTable.validateIdent(root, "identity column", idc.name())
-    val dataSchema = toStruct(dataCols)
+    val dataSchema = withDefaultMeta(toStruct(dataCols))
     require(!dataSchema.fieldNames.exists(_.equalsIgnoreCase(idc.name())),
       s"graft catalog: duplicate column ${idc.name()}")
     Files.createDirectories(d)
     Files.write(schemaFile(d), dataSchema.json.getBytes("UTF-8"))
     Files.write(SnapshotTable.pendingIdentityFile(root),
       idc.name().getBytes("UTF-8"))
+    parkDefaults(root)
     new SnapshotDsv2Table(root, dataSchema, CaseInsensitiveStringMap.empty())
   }
 
@@ -296,6 +337,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             "on a never-written table, DROP and re-CREATE instead")
         SnapshotTable.dropColumn(org.apache.spark.sql.SparkSession.active,
           root, del.fieldNames()(0))
+        return loadTable(ident)
+      // ALTER COLUMN ... SET/DROP DEFAULT — metadata-only (Spark sends
+      // DROP DEFAULT as an update to the empty string)
+      case List(ud: TableChange.UpdateColumnDefaultValue) =>
+        require(ud.fieldNames().length == 1,
+          "graft catalog: ALTER COLUMN DEFAULT supports top-level columns only")
+        require(SnapshotTable.currentVersion(root) > 0,
+          "graft catalog: ALTER COLUMN DEFAULT needs a committed version")
+        val sql = Option(ud.newDefaultValue()).getOrElse("")
+        if (sql.isEmpty)
+          SnapshotTable.dropColumnDefault(root, ud.fieldNames()(0))
+        else
+          SnapshotTable.setColumnDefault(
+            org.apache.spark.sql.SparkSession.active, root,
+            ud.fieldNames()(0), sql)
         return loadTable(ident)
       // ALTER COLUMN ... TYPE — metadata-only TYPE WIDENING
       // (int→long/double, float→double); anything else refuses inside

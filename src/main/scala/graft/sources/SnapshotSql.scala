@@ -273,6 +273,12 @@ object SnapshotSql {
   // the catalog-name spelling flows through Spark's own ALTER analysis
   // into GraftCatalog.alterTable, which is top-level only because the
   // DSv2 connector's schema envelope is primitive-typed)
+  // Delta's CONVERT TO DELTA, spelled for this format: adopt a plain
+  // parquet directory in place as v1 of a snapshot table — one
+  // manifest commit, zero copies. CLUSTER BY names the stats column
+  // footer stats are harvested for (omit it for rows-only entries).
+  private val Convert =
+    s"""(?is)\\s*CONVERT\\s+TO\\s+SNAPSHOT\\s+($Ref)(?:\\s+CLUSTER\\s+BY\\s+\\((\\w+)\\))?\\s*""".r
   private val RenameCol =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+('[^']+')\\s+RENAME\\s+COLUMN\\s+(\\w+(?:\\.\\w+)?)\\s+TO\\s+(\\w+)\\s*""".r
   private val DropCol =
@@ -392,7 +398,8 @@ object SnapshotSql {
     // that fall-through into an exec-time parse error
     case OptimizeCluster(_, _, _) | OptimizeClusterWhere(_, _, _, _, _, _)
        | OptimizeZorder(_, _, _, _)
-       | MergeInto(_, _, _, _) | Vacuum(_, _) | VacuumRetain(_, _) => true
+       | MergeInto(_, _, _, _) | Vacuum(_, _) | VacuumRetain(_, _)
+       | Convert(_, _) => true
     case _ => false
   }
 
@@ -562,6 +569,9 @@ object SnapshotSql {
       SnapshotTable.widenColumn(s, resolveRef(s, ref), colName,
         org.apache.spark.sql.catalyst.parser.CatalystSqlParser
           .parseDataType(tpe))
+    case Convert(ref, statsCol) =>
+      SnapshotTable.convertInPlace(s, resolveRef(s, ref),
+        Option(statsCol).getOrElse(""))
     case RenameCol(ref, from, to) =>
       SnapshotTable.renameColumn(s, resolveRef(s, ref), from, to)
     case DropCol(ref, name) =>
@@ -612,6 +622,7 @@ object SnapshotSql {
         "ALTER TABLE '<path>' SET TBLPROPERTIES ('k' = 'v') | " +
         "ALTER TABLE '<path>' UNSET TBLPROPERTIES ('k') | " +
         "CREATE TABLE <table> SHALLOW CLONE <table> [VERSION AS OF <version>] | " +
+        "CONVERT TO SNAPSHOT '<path>' [CLUSTER BY (col)] | " +
         "VACUUM <table> KEEP FROM <version> | " +
         "VACUUM <table> RETAIN <n> HOURS  (<table> = '<path>' or <catalog>.<name>)")
   }

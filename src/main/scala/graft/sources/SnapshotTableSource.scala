@@ -175,6 +175,24 @@ private[sources] object SnapshotSourceUtil {
       case _ => base
     }
 
+  /** Re-attach column-DEFAULT metadata (the analyzer's
+    * CURRENT_DEFAULT/EXISTS_DEFAULT fill keys) from the manifest's
+    * `default.<col>` state — the footer-derived schema carries none. */
+  def withDefaults(base: StructType, root: String, v: Int): StructType = {
+    val ds = SnapshotTable.columnDefaults(root, v)
+    if (ds.isEmpty) base
+    else StructType(base.fields.map { f =>
+      ds.collectFirst { case (c, sql) if c.equalsIgnoreCase(f.name) => sql } match {
+        case Some(sql) => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString("CURRENT_DEFAULT", sql)
+            .putString("EXISTS_DEFAULT", sql).build())
+        case None => f
+      }
+    })
+  }
+
   def withCdfColumns(base: StructType): StructType = {
     require(!base.fieldNames.exists(n =>
         n == CdfTypeCol || n == CdfVersionCol || n == CdfTimestampCol),
@@ -423,7 +441,8 @@ private[sources] class SnapshotDsv2Table(root: String, schema: StructType,
     val shown = Set("cdf", "dvmode", "rowtracking", "statsCol", "identity")
     val out = new java.util.HashMap[String, String]()
     meta.foreach { case (k, va) =>
-      if (shown.contains(k) || k.startsWith("check.") || k.startsWith("gen."))
+      if (shown.contains(k) || k.startsWith("check.") || k.startsWith("gen.") ||
+          k.startsWith("default."))
         out.put(k, va) }
     out
   }
@@ -1554,8 +1573,24 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
     // Row decode is positional, so renaming fields is free. The write
     // schema is the gen-widened one (omitted generated columns derive
     // in-task — see genPlan).
-    val phys = SnapshotSourceUtil.physStruct(genPlan._1,
+    val phys0 = SnapshotSourceUtil.physStruct(genPlan._1,
       SnapshotTable.colMap(root, cur))
+    // CONFORM each column's parquet repetition to what the resident
+    // files declare (the conformNullability rule, applied to the
+    // append route): two INSERTs whose analyzer-derived nullability
+    // differs (a column-list insert filling non-null DEFAULTs beside
+    // a positional one, say) would otherwise write REQUIRED beside
+    // OPTIONAL and the uniform-table read's shared request refuses
+    // the mix. REQUIRED slots get a loud per-row null guard in the
+    // writer — parquet REQUIRED is the table's NOT NULL constraint.
+    val physMsg = if (cur == 0) None
+      else scala.util.Try(SnapshotSourceUtil.tableMessageType(root, cur)).toOption
+    val phys = physMsg.fold(phys0)(m => StructType(phys0.fields.map { f =>
+      if (m.containsField(f.name))
+        f.copy(nullable = !m.getType(m.getFieldIndex(f.name)).isRepetition(
+          org.apache.parquet.schema.Type.Repetition.REQUIRED))
+      else f
+    }))
     SnapshotWriterFactory(root,
       SnapshotSourceUtil.messageType(phys).toString, phys, boundChecks,
       genPlan._2, genPlan._3)
@@ -1780,6 +1815,14 @@ private[sources] class PartitionFileWriter(root: String, rel: String,
     val g = groups.newGroup()
     var i = 0
     while (i < schema.length) {
+      if (row.isNullAt(i) && !schema.fields(i).nullable)
+        // the resident files declare this column REQUIRED — parquet's
+        // NOT NULL constraint; fail the task loudly instead of letting
+        // the writer die on a "not enough values" at close
+        throw new IllegalArgumentException(
+          s"graft-snapshot write to $root: NULL into column " +
+            s"${schema.fields(i).name}, which the resident files declare " +
+            "REQUIRED (NOT NULL)")
       if (!row.isNullAt(i)) schema.fields(i).dataType match {
         case LongType => g.add(i, row.getLong(i))
         case IntegerType => g.add(i, row.getInt(i))

@@ -561,4 +561,66 @@ class GraftCatalogSpec extends AnyFunSuite {
       .map(_.getLong(0)).toSeq == Seq(1L, 2L))
     assert(spark.sql("SELECT q FROM gcat.cec WHERE k = 3").head().getDouble(0) == 0.5)
   }
+
+  test("column DEFAULTs: CREATE-time fill, DEFAULT keyword, re-point, drop, carry (x46, r16)") {
+    warehouse
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS gcat.cd")
+    spark.sql("CREATE TABLE gcat.cd (k BIGINT, v DOUBLE, " +
+      "src STRING DEFAULT 'organic', boost DOUBLE DEFAULT 1.5)")
+    // the pre-first-commit window already fills (schema metadata)
+    spark.sql("INSERT INTO gcat.cd (k, v) VALUES (1, 10.0)")
+    // and the manifest now carries the state (the pending marker applied)
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.gcat.root"), "cd").toString
+    val ST = graft.operators.SnapshotTable
+    assert(ST.columnDefaults(root, ST.currentVersion(root)) ==
+      Map("src" -> "'organic'", "boost" -> "1.5"),
+      ST.columnDefaults(root, ST.currentVersion(root)).toString)
+    // post-commit fills come off the re-attached metadata
+    spark.sql("INSERT INTO gcat.cd (k, v) VALUES (2, 20.0)")
+    spark.sql("INSERT INTO gcat.cd VALUES (3, 30.0, 'paid', DEFAULT)")
+    val got = spark.sql("SELECT k, src, boost FROM gcat.cd ORDER BY k")
+      .as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "organic", 1.5), (2L, "organic", 1.5),
+      (3L, "paid", 1.5)), got.toString)
+    // SHOW TBLPROPERTIES surfaces the state
+    val props = spark.sql("SHOW TBLPROPERTIES gcat.cd")
+      .as[(String, String)].collect().toMap
+    assert(props.get("default.src").contains("'organic'"), props.toString)
+    // ALTER ... SET DEFAULT re-points for LATER inserts only
+    spark.sql("ALTER TABLE gcat.cd ALTER COLUMN src SET DEFAULT 'late'")
+    spark.sql("INSERT INTO gcat.cd (k, v) VALUES (4, 40.0)")
+    val after = spark.sql("SELECT k, src FROM gcat.cd ORDER BY k")
+      .as[(Long, String)].collect().toMap
+    assert(after(4L) == "late" && after(1L) == "organic",
+      s"re-pointed default must not backfill: $after")
+    // DROP DEFAULT: the fill stops (Spark then refuses the omission)
+    spark.sql("ALTER TABLE gcat.cd ALTER COLUMN src DROP DEFAULT")
+    assert(!ST.columnDefaults(root, ST.currentVersion(root)).contains("src"))
+    // refusals: non-deterministic (Spark's own analyzer gate), a
+    // non-constant column reference (our foldable gate, reachable on
+    // the path-SQL property route that has no analyzer pre-check),
+    // default on a generated column
+    val e1 = intercept[Exception](spark.sql(
+      "ALTER TABLE gcat.cd ALTER COLUMN v SET DEFAULT rand()").collect())
+    assert(e1.getMessage.contains("non-deterministic"), e1.toString)
+    val e1b = intercept[Exception](spark.sql(
+      s"ALTER TABLE '$root' SET TBLPROPERTIES ('default.v' = 'k + 1')").collect())
+    assert(e1b.getMessage.contains("constant") ||
+      Option(e1b.getCause).exists(_.getMessage.contains("constant")), e1b.toString)
+    spark.sql(s"ALTER TABLE '$root' SET TBLPROPERTIES ('gen.v' = 'k * 10.0')")
+    val e2 = intercept[Exception](spark.sql(
+      "ALTER TABLE gcat.cd ALTER COLUMN v SET DEFAULT 0.0").collect())
+    assert(e2.getMessage.contains("GENERATED"), e2.getMessage)
+    // the path-SQL property spelling attaches too; clone carries
+    spark.sql(s"ALTER TABLE '$root' SET TBLPROPERTIES ('default.boost' = '2.5')")
+    assert(ST.columnDefaults(root, ST.currentVersion(root))("boost") == "2.5")
+    val cl = graft.operators.Engine.tmpDir("graft_cd_clone")
+    graft.operators.Engine.listDir(java.nio.file.Paths.get(cl))
+      .foreach(graft.operators.Engine.deleteRecursively)
+    ST.shallowClone(root, cl)
+    assert(ST.columnDefaults(cl, ST.currentVersion(cl))("boost") == "2.5",
+      "clone must carry column defaults")
+  }
 }

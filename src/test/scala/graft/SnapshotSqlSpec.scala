@@ -749,6 +749,72 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("no stats column"), e3.getMessage)
   }
 
+  test("CONVERT TO SNAPSHOT adopts a plain parquet dir in place: zero copies, full surface (r16)") {
+    import spark.implicits._
+    val root = Engine.tmpDir("graft_sql_convert")
+    Engine.deleteRecursively(Paths.get(root))
+    (1L to 40L).map(k => (k, k * 1.0)).toDF("k", "v")
+      .repartitionByRange(4, col("k")).write.parquet(root)
+    val parts = {
+      val st = java.nio.file.Files.walk(Paths.get(root))
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.filter(p => java.nio.file.Files.isRegularFile(p) &&
+          p.getFileName.toString.endsWith(".parquet"))
+          .map(p => p -> java.nio.file.Files.getLastModifiedTime(p)).toMap
+      } finally st.close()
+    }
+    assert(parts.size == 4)
+    val v1 = spark.sql(s"CONVERT TO SNAPSHOT '$root' CLUSTER BY (k)")
+      .head().getInt(0)
+    assert(v1 == 1)
+    // adoption is METADATA-ONLY: the same files, byte- and mtime-
+    // untouched, now ARE the manifest's entries
+    parts.foreach { case (p, mt) =>
+      assert(java.nio.file.Files.getLastModifiedTime(p) == mt, s"$p moved") }
+    assert(ST.manifestEntries(root, 1).map(_.rel).toSet ==
+      parts.keys.map(p => Paths.get(root).toAbsolutePath.normalize
+        .relativize(p.toAbsolutePath).toString).toSet)
+    // footer stats harvested: a range filter prunes to one of 4 files
+    val scan = spark.read.format("graft-snapshot").load(root).filter(col("k") <= 5)
+    assert(scan.collect().map(_.getLong(0)).toSet == (1L to 5L).toSet)
+    assert(scan.rdd.getNumPartitions == 1,
+      s"adopted footer stats must prune: ${scan.rdd.getNumPartitions} partitions")
+    // full citizen: DML, OPTIMIZE, time travel over the adopted v1
+    spark.sql(s"DELETE FROM '$root' WHERE k = 7").collect()
+    assert(ST.read(spark, root).count() == 39)
+    assert(ST.readAt(spark, root, 1).count() == 40, "v1 travel must pre-date the DML")
+    spark.sql(s"OPTIMIZE '$root' CLUSTER BY (k) TARGET 2").collect()
+    assert(ST.read(spark, root).count() == 39)
+    // refusals: double convert, hive-style partition dir, empty dir
+    val e1 = intercept[Exception](
+      spark.sql(s"CONVERT TO SNAPSHOT '$root'").collect())
+    assert(e1.getMessage.contains("already a snapshot table"), e1.getMessage)
+    val hive = Engine.tmpDir("graft_sql_convert_hive")
+    Engine.deleteRecursively(Paths.get(hive))
+    (1L to 10L).map(k => (k, k % 2)).toDF("k", "p")
+      .write.partitionBy("p").parquet(hive)
+    val e2 = intercept[Exception](
+      spark.sql(s"CONVERT TO SNAPSHOT '$hive' CLUSTER BY (k)").collect())
+    assert(e2.getMessage.contains("hive-style"), e2.getMessage)
+    val empty = Engine.tmpDir("graft_sql_convert_empty")
+    Engine.listDir(Paths.get(empty)).foreach(Engine.deleteRecursively)
+    val e3 = intercept[Exception](
+      spark.sql(s"CONVERT TO SNAPSHOT '$empty'").collect())
+    assert(e3.getMessage.contains("no *.parquet"), e3.getMessage)
+    // a stats column absent from the files refuses rather than minting
+    // a table whose every entry is the never-pruned sentinel
+    val flat = Engine.tmpDir("graft_sql_convert_badstats")
+    Engine.deleteRecursively(Paths.get(flat))
+    Seq((1L, 1.0)).toDF("k", "v").write.parquet(flat)
+    val e4 = intercept[Exception](
+      spark.sql(s"CONVERT TO SNAPSHOT '$flat' CLUSTER BY (nope)").collect())
+    assert(e4.getMessage.contains("not in the resident"), e4.getMessage)
+    // ...and the rows-only spelling (no CLUSTER BY) adopts fine
+    assert(spark.sql(s"CONVERT TO SNAPSHOT '$flat'").head().getInt(0) == 1)
+    assert(ST.read(spark, flat).count() == 1)
+  }
+
   test("RESTORE TO TIMESTAMP AS OF resolves via the commit clock") {
     import spark.implicits._
     val root = Engine.tmpDir("graft_sql_restore_ts")
