@@ -143,7 +143,8 @@ object SnapshotTable {
   private[graft] val SupportedReaderFeatures =
     Set("colmap", "dv", "evolution", "widen", "ncolmap")
   private[graft] val SupportedWriterFeatures =
-    SupportedReaderFeatures ++ Set("cdf", "checks", "gencols", "rowtracking")
+    SupportedReaderFeatures ++
+      Set("cdf", "checks", "gencols", "rowtracking", "coldefaults")
 
   /** The (reader, writer) feature sets a manifest carrying `meta`
     * requires. Writer features always include the reader set: a
@@ -178,6 +179,12 @@ object SnapshotTable {
     // tracking-ignorant writer would append files with no base row id
     // and rewrite files without preserving ids — writer feature only
     if (meta.get("rowtracking").contains("on")) w += "rowtracking"
+    // column DEFAULTs: reads are untouched (values are materialized),
+    // but a defaults-ignorant writer's catalog neither declares the
+    // capability nor exposes the fill metadata — its column-list
+    // INSERTs would land NULL where the table's declared contract
+    // says the default (Delta's allowColumnDefaults writer feature)
+    if (meta.keys.exists(_.startsWith("default."))) w += "coldefaults"
     (r.toSet, r.toSet ++ w)
   }
 
@@ -809,8 +816,17 @@ object SnapshotTable {
         else if (l.startsWith(from + ".")) (to + l.substring(from.length), p)
         else (l, p)
       }
+      // a column DEFAULT travels with its column: the `default.<col>`
+      // key re-homes under the new name (withDefaults matches by the
+      // LOGICAL field name, so a stale key would silently detach the
+      // declared fill — r16 review)
+      val carried0 = carriedMeta(root, v)
+      val carried = carried0.keys.find(_.equalsIgnoreCase(s"default.$from")) match {
+        case Some(dk) => carried0 - dk + (s"default.$to" -> carried0(dk))
+        case None => carried0
+      }
       try result = commitEntries(root, v, manifestEntries(root, v), shardSize = 16,
-        carriedMeta(root, v) + ("colmap" -> fmtColMap(next)) +
+        carried + ("colmap" -> fmtColMap(next)) +
           ("alter" -> s"rename:$from>$to"))
       catch { case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) }
     }
@@ -822,7 +838,9 @@ object SnapshotTable {
     * honest envelope here is one level, refusing deeper loudly), both
     * segments delimiter-clean. */
   private def nestedParts(root: String, op: String, path: String): (String, String) =
-    path.split('.') match {
+    // -1 limit: String.split drops TRAILING empty segments, so
+    // "a.b." would silently execute as "a.b" instead of refusing
+    path.split("\\.", -1) match {
       case Array(parent, field) if parent.nonEmpty && field.nonEmpty =>
         validateIdent(root, op, parent); (parent, field)
       case _ => throw new IllegalArgumentException(
@@ -922,8 +940,14 @@ object SnapshotTable {
           "column first")
       // a dropped STRUCT column takes its nested field entries with it
       val next = cur.filterNot(e => e._1 == name || e._1.startsWith(name + "."))
+      // ...and its DEFAULT: an orphaned `default.<col>` key would lie
+      // in wait for a later re-ADD of the same logical name and
+      // resurrect a years-old fill (r16 review)
+      val carried0 = carriedMeta(root, v)
+      val carried = carried0.keys.find(_.equalsIgnoreCase(s"default.$name"))
+        .fold(carried0)(carried0 - _)
       try result = commitEntries(root, v, manifestEntries(root, v), shardSize = 16,
-        carriedMeta(root, v) + ("colmap" -> fmtColMap(next)) +
+        carried + ("colmap" -> fmtColMap(next)) +
           ("alter" -> s"dropcol:$name"))
       catch { case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) }
     }
@@ -1088,6 +1112,20 @@ object SnapshotTable {
 
   private[graft] def fmtDv(m: Map[String, String]): Option[String] =
     if (m.isEmpty) None else Some(m.toSeq.sorted.map { case (r, d) => s"$r=$d" }.mkString(";"))
+
+  /** Per-sidecar ordinal COUNTS (`dvn` meta: data-rel=count;...) kept
+    * beside `dv`, so the table-wide MoR ordinal budget is pure
+    * manifest arithmetic instead of a footer sweep per statement (r16
+    * review). Best-effort state: a rel absent here (legacy commits,
+    * re-rel'd clones of pre-dvn sources) prices by one footer read. */
+  private[graft] def dvCountsOf(meta: Map[String, String]): Map[String, Long] =
+    meta.get("dvn").map(_.split(';').map { e =>
+      val Array(rel, n) = e.split("=", 2); (rel, n.toLong)
+    }.toMap).getOrElse(Map.empty)
+
+  private[graft] def fmtDvn(m: Map[String, Long]): Option[String] =
+    if (m.isEmpty) None
+    else Some(m.toSeq.sorted.map { case (r, n) => s"$r=$n" }.mkString(";"))
 
   /** Set/unset table FLAGS (`cdf`, `dvmode`) as ONE CAS metadata
     * commit — the engine behind both the Scala helpers and the SQL
@@ -1256,10 +1294,22 @@ object SnapshotTable {
     if (Files.exists(pendingIdentityFile(root)))
       Some(new String(Files.readAllBytes(pendingIdentityFile(root)), "UTF-8").trim)
     else None
+  /** Both pending applies run AFTER a commit that already landed: a
+    * failure here must never fail that commit back to the caller (the
+    * data is durable; a streaming batch would report failure, then
+    * skip its retry as a replay and the declaration would be lost
+    * forever — r16 review). On failure the marker STAYS for the next
+    * commit to retry, and the cause prints loudly. */
   private[graft] def applyPendingIdentity(s: SparkSession, root: String): Unit = {
     pendingIdentity(root).foreach { name =>
-      setIdentityColumn(s, root, name)
-      Files.deleteIfExists(pendingIdentityFile(root))
+      try {
+        setIdentityColumn(s, root, name)
+        Files.deleteIfExists(pendingIdentityFile(root))
+      } catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"graft-snapshot: CREATE-time identity '$name' on " +
+          s"$root could not apply after this commit (${e.getMessage}) — the " +
+          "declaration stays pending and the next commit retries")
+      }
     }
     applyPendingDefaults(s, root)
   }
@@ -1360,9 +1410,24 @@ object SnapshotTable {
     }
   private[graft] def applyPendingDefaults(s: SparkSession, root: String): Unit = {
     val pend = pendingDefaults(root)
-    if (pend.nonEmpty) {
-      pend.toSeq.sortBy(_._1).foreach { case (c, e) => setColumnDefault(s, root, c, e) }
-      Files.deleteIfExists(pendingDefaultsFile(root))
+    if (pend.nonEmpty) try {
+      // a seed committed through a NARROWER frame (the declared column
+      // not yet resident) keeps the whole marker pending — a later
+      // widening commit applies it; setColumnDefault would refuse the
+      // missing column and the failure must not fail the landed commit
+      val v = currentVersion(root)
+      val have = readAt(s, root, v).schema.fieldNames
+      if (pend.keys.forall(c => have.exists(_.equalsIgnoreCase(c)))) {
+        pend.toSeq.sortBy(_._1).foreach { case (c, e) =>
+          setColumnDefault(s, root, c, e) }
+        Files.deleteIfExists(pendingDefaultsFile(root))
+      } else System.err.println(s"graft-snapshot: CREATE-time DEFAULTs on $root " +
+        s"name columns not yet resident (${pend.keys.mkString(",")}) — the " +
+        "declaration stays pending until a commit carries them")
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"graft-snapshot: CREATE-time DEFAULTs on $root could " +
+        s"not apply after this commit (${e.getMessage}) — the declaration " +
+        "stays pending and the next commit retries")
     }
   }
 
@@ -2068,7 +2133,7 @@ object SnapshotTable {
         // colmap too: the restored entries' physical columns resolve
         // through the mapping AS OF the target (restoring past a
         // RENAME surfaces the old logical names again, like schema)
-        val fromTarget = Set("schema", "schemaJson", "widen", "statsCol", "colmap", "dv")
+        val fromTarget = Set("schema", "schemaJson", "widen", "statsCol", "colmap", "dv", "dvn")
         val carriedNow = carriedMeta(root, cur)
         // ACTIVE CHECK constraints carry across the restore — so the
         // restored rows must SATISFY them, or the table would
@@ -2185,8 +2250,17 @@ object SnapshotTable {
       try {
         import scala.jdk.CollectionConverters._
         st.iterator().asScala
-          .filter(p => Files.isRegularFile(p) &&
-            p.getFileName.toString.endsWith(".parquet"))
+          .filter { p =>
+            Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet") &&
+            // Spark's hiddenFileFilter rule: '_'/'.'-prefixed paths
+            // (any segment — _temporary task attempts, .staging dirs)
+            // are invisible to every plain parquet reader; adopting
+            // them would commit duplicate or TORN rows the directory
+            // never served before conversion (r16 review)
+            !rp.relativize(p).iterator().asScala.exists { seg =>
+              val s0 = seg.toString; s0.startsWith("_") || s0.startsWith(".") }
+          }
           .toVector
       } finally st.close()
     }
@@ -2255,6 +2329,10 @@ object SnapshotTable {
     def reRel(rel: String): String =
       dstAbs.relativize(Paths.get(srcRoot, rel).toAbsolutePath.normalize).toString
     val dvMeta = fmtDv(dvState(srcRoot, v).map { case (r, d) => (reRel(r), reRel(d)) })
+    // the ordinal counts follow (keys re-rel'd like the entries), so
+    // the clone's MoR budget stays manifest arithmetic too
+    val dvnMeta = fmtDvn(dvCountsOf(manifestMeta(srcRoot, v))
+      .map { case (r, n) => (reRel(r), n) })
     // CHECK constraints and generation expressions travel with the
     // data they describe (Delta's clone carries table properties):
     // the clone enforces them from its first write on. Row tracking
@@ -2273,7 +2351,7 @@ object SnapshotTable {
       .filter(kv => keep.contains(kv._1) || kv._1.startsWith("check.") ||
         kv._1.startsWith("gen.") || kv._1.startsWith("default.") ||
         kv._1 == "identity") ++
-      dvMeta.map("dv" -> _) ++ rtMeta +
+      dvMeta.map("dv" -> _) ++ dvnMeta.map("dvn" -> _) ++ rtMeta +
       ("clone" -> s"shallow:${Paths.get(srcRoot).toAbsolutePath.normalize}@v$v")
     commitEntries(dstRoot, 0, entries, shardSize = 16, meta)
   }
@@ -2516,7 +2594,7 @@ object SnapshotTable {
     // physically disappear), the compaction-time cleanup Delta's
     // REORG TABLE ... APPLY (PURGE) performs
     commitEntries(root, v, entries, shardSize,
-      carriedMeta(root, v) - "schema" - "schemaJson" - "colmap" - "dv" - "widen" ++
+      carriedMeta(root, v) - "schema" - "schemaJson" - "colmap" - "dv" - "dvn" - "widen" ++
         rtMeta ++
         (if (rt) Map("rowmat_new" -> entries.map(_.rel).mkString(";")) else Map.empty) ++
         Map("optimize" -> s"clustered:$keyCol", "statsCol" -> keyCol))
@@ -2845,7 +2923,9 @@ object SnapshotTable {
     // affected files are REPLACED: their deletion vectors are applied
     // by the rewrite and must not survive to haunt the new files
     val dvLeft = dvState(root, v) -- affectedSet
-    val baseMeta = baseMeta0 - "dv" ++ fmtDv(dvLeft).map("dv" -> _)
+    val dvnLeft = dvCountsOf(manifestMeta(root, v)).filter(kv => dvLeft.contains(kv._1))
+    val baseMeta = baseMeta0 - "dv" - "dvn" ++ fmtDv(dvLeft).map("dv" -> _) ++
+      fmtDvn(dvnLeft).map("dvn" -> _)
     commitEntries(root, v, untouched ++ newEntries, shardSize,
       baseMeta ++ extraMeta ++
         (if (addedCols.nonEmpty) Map("schema" -> s"evolved:+${addedCols.mkString(",")}")
@@ -3210,7 +3290,9 @@ object SnapshotTable {
       // touched files are replaced: their deletion vectors die with
       // them (this rewrite READ and applied them — see dvRead check)
       val dvLeft = dvState(root, v) -- touchedRels
-      val carried = carried0 - "dv" ++ fmtDv(dvLeft).map("dv" -> _)
+      val dvnLeft = dvCountsOf(manifestMeta(root, v)).filter(kv => dvLeft.contains(kv._1))
+      val carried = carried0 - "dv" - "dvn" ++ fmtDv(dvLeft).map("dv" -> _) ++
+        fmtDvn(dvnLeft).map("dvn" -> _)
       val entries = manifestEntries(root, v)
       val missing = touchedRels -- entries.map(_.rel).toSet
       if (missing.nonEmpty) throw new IllegalStateException(
@@ -3487,15 +3569,21 @@ object SnapshotTable {
     val dvBudget = s.conf.get("spark.graft.dv.maxTotalOrdinals",
       DvMaxTotalOrdinals.toString).toLong
     val touchedRels = hitCounts.keys.map(b => byBase(b).rel).toSet
+    // untouched sidecars price from the manifest's `dvn` counts —
+    // pure driver arithmetic; only rels the counts don't cover
+    // (legacy commits, re-rel'd clones) pay a footer read each
+    val dvnCur = dvCountsOf(manifestMeta(root, v))
     val untouchedOrdinals = {
       import scala.jdk.CollectionConverters._
       dvCur.filterNot { case (r, _) => touchedRels.contains(r) }
-        .values.toSeq.sorted.map { d =>
-          val in = HadoopInputFile.fromPath(
-            new HadoopPath(Paths.get(root, d).toUri), hadoopConf)
-          val r = ParquetFileReader.open(in)
-          try r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-          finally r.close()
+        .toSeq.sortBy(_._1).map { case (r, d) =>
+          dvnCur.getOrElse(r, {
+            val in = HadoopInputFile.fromPath(
+              new HadoopPath(Paths.get(root, d).toUri), hadoopConf)
+            val rd = ParquetFileReader.open(in)
+            try rd.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+            finally rd.close()
+          })
         }.sum
     }
     if (hitCounts.values.sum + oldCounts.values.sum + untouchedOrdinals >
@@ -3528,6 +3616,10 @@ object SnapshotTable {
         Files.move(parts.head, Paths.get(root, rel), StandardCopyOption.REPLACE_EXISTING)
         byBase(base).rel -> rel
     }.toMap
+    // the new sidecars' ordinal totals, recorded beside them (`dvn`)
+    // so future budget checks never re-open these footers
+    val newDvCounts: Map[String, Long] = hitCounts.keys.map(base =>
+      byBase(base).rel -> (hitCounts(base) + oldCounts.getOrElse(base, 0L))).toMap
     // row-tracked: resolve each hit's identity BEFORE the coordinate
     // columns drop — coalesce(materialized __row_id, file base +
     // ordinal), the one reader rule — so the postimage file (and the
@@ -3574,8 +3666,12 @@ object SnapshotTable {
         throw new IllegalStateException(
           s"graft-snapshot: CHECK constraints of $root changed while this MoR " +
             s"$auditKey was in flight — retry the statement")
+      val dvnKept = dvCountsOf(manifestMeta(root, vNow))
+        .filter(kv => dvNow.contains(kv._1))
       try result = commitEntries(root, vNow, entriesNow ++ newEntries, shardSize,
-        carriedMeta(root, vNow) - "dv" ++ fmtDv(dvNow ++ newDvEntries).map("dv" -> _) ++
+        carriedMeta(root, vNow) - "dv" - "dvn" ++
+          fmtDv(dvNow ++ newDvEntries).map("dv" -> _) ++
+          fmtDvn(dvnKept ++ newDvCounts).map("dvn" -> _) ++
           cdcMeta.map("cdc" -> _) ++ extraMeta ++
           // the postimage file carries materialized ids — record its
           // manifest bit so id-read planning stays footer-sweep-free
@@ -4425,7 +4521,7 @@ object SnapshotTable {
     // MATERIALIZES any column mapping (see optimizeClustered; a
     // row-tracked table keeps an identity mapping to hide __row_id)
     commitEntries(root, v, entries, shardSize,
-      carriedMeta(root, v) - "schema" - "schemaJson" - "colmap" - "dv" - "widen" ++
+      carriedMeta(root, v) - "schema" - "schemaJson" - "colmap" - "dv" - "dvn" - "widen" ++
         rtMeta ++
         (if (rt) Map("rowmat_new" -> entries.map(_.rel).mkString(";")) else Map.empty) ++
         Map("optimize" -> s"zorder:$colA,$colB", "statsCol" -> colA))

@@ -193,14 +193,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   /** `CREATE TABLE (... , id BIGINT GENERATED ALWAYS AS IDENTITY)` —
     * the create-time identity spelling (Delta's). The identity values
-    * ARE the engine's dense row-tracking ids (x43): assignment starts
-    * at 0 and steps by 1, engine-owned — explicit START WITH /
-    * INCREMENT BY other than the defaults refuse rather than being
-    * silently re-based, and `GENERATED BY DEFAULT` (explicit inserts
-    * allowed) contradicts the ALWAYS ownership contract. The identity
-    * metadata lives in the manifest, which an empty table lacks — the
-    * declaration parks as a pending marker the FIRST commit applies
-    * (seed rows claim [0, rows) exactly as a manual declare would). */
+    * ARE the engine's dense row-tracking ids (x43): assignment is
+    * dense from 0, step 1, engine-owned. DOCUMENTED ENVELOPE: the
+    * parser delivers start=1 for the bare spelling, making an
+    * explicit `START WITH 1` indistinguishable from it — both are
+    * accepted and the DECLARED start is NOT honored (ids run from 0
+    * regardless; Delta would start such a table at 1). Any other
+    * start/step refuses loudly, and `GENERATED BY DEFAULT` (explicit
+    * inserts allowed) contradicts the ALWAYS ownership contract. The
+    * identity metadata lives in the manifest, which an empty table
+    * lacks — the declaration parks as a pending marker the FIRST
+    * commit applies (seed rows claim [0, rows) exactly as a manual
+    * declare would). */
   override def createTable(ident: Identifier,
       columns: Array[org.apache.spark.sql.connector.catalog.Column],
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
@@ -381,6 +385,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           "graft catalog: ADD COLUMN position is not supported — new columns append at the end")
         require(add.isNullable,
           "graft catalog: an added column must be nullable — existing rows hold null")
+        // ADD COLUMN ... DEFAULT would SILENTLY diverge from its SQL
+        // meaning here: the standard backfills existing rows with the
+        // default, but this format null-fills added columns — refuse
+        // loudly instead of dropping the clause (r16 review)
+        require(add.defaultValue() == null,
+          "graft catalog: ADD COLUMN ... DEFAULT is not supported — existing " +
+            "rows null-fill added columns here, they would NOT take the " +
+            "default the SQL standard promises; add the column, then " +
+            "ALTER COLUMN ... SET DEFAULT for FUTURE inserts if NULL history " +
+            "is acceptable")
         require(supported.contains(add.dataType()),
           s"graft catalog: unsupported added-column type ${add.dataType()}")
         // delimiter/nested guard: a name the colmap/meta encodings can't

@@ -241,6 +241,10 @@ class ColumnMappingSpec extends AnyFunSuite {
     // deeper-than-one-level paths refuse with the envelope message
     val e2l = intercept[Exception](ST.renameColumn(spark, root, "a.b.c", "d"))
     assert(e2l.getMessage.contains("one level deep"), e2l.getMessage)
+    // a trailing dot must refuse too, not silently execute as "a.b"
+    // (String.split drops trailing empty segments — r16 review)
+    val etd = intercept[Exception](ST.dropColumn(spark, root, "v.x."))
+    assert(etd.getMessage.contains("one level deep"), etd.getMessage)
     // the table is untouched — no version minted by any refusal
     assert(ST.currentVersion(root) == 1)
     // the catalog's ADD COLUMN route validates the same way (backtick

@@ -128,6 +128,10 @@ class DvSpec extends AnyFunSuite {
       assert(ST.manifestMeta(root, v1)("delete").startsWith("dv:"),
         ST.manifestMeta(root, v1).toString)
       assert(ST.dvState(root, v1).size == 1)
+      // the sidecar's ordinal count rides the manifest (`dvn`), so
+      // later budget checks are arithmetic, not footer sweeps
+      assert(ST.dvCountsOf(ST.manifestMeta(root, v1)).values.toSeq == Seq(3L),
+        ST.manifestMeta(root, v1).get("dvn").toString)
       // statement 2: 3 ordinals in a DISJOINT file — statement-local
       // it is identical to statement 1, but the table would then hold
       // 6 > 5 total ordinals: the post-statement TABLE state busts the

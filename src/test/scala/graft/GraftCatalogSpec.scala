@@ -622,5 +622,63 @@ class GraftCatalogSpec extends AnyFunSuite {
     ST.shallowClone(root, cl)
     assert(ST.columnDefaults(cl, ST.currentVersion(cl))("boost") == "2.5",
       "clone must carry column defaults")
+    // the writer feature stamps (a defaults-ignorant binary's catalog
+    // would land NULLs where the declared contract says the default)
+    assert(ST.manifestMeta(root, ST.currentVersion(root))("writerFeatures")
+      .split(',').contains("coldefaults"),
+      ST.manifestMeta(root, ST.currentVersion(root)).toString)
+  }
+
+  test("DEFAULTs travel with their column through RENAME and die with DROP (r16 review)") {
+    warehouse
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS gcat.cdm")
+    spark.sql("CREATE TABLE gcat.cdm (k BIGINT, v DOUBLE, " +
+      "src STRING DEFAULT 'organic')")
+    spark.sql("INSERT INTO gcat.cdm (k, v) VALUES (1, 1.0)")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.gcat.root"), "cdm").toString
+    val ST = graft.operators.SnapshotTable
+    // RENAME re-homes the default under the new name; the fill keeps
+    // working (a stale `default.src` key would silently detach it)
+    spark.sql("ALTER TABLE gcat.cdm RENAME COLUMN src TO origin")
+    val ds = ST.columnDefaults(root, ST.currentVersion(root))
+    assert(ds == Map("origin" -> "'organic'"), ds.toString)
+    spark.sql("INSERT INTO gcat.cdm (k, v) VALUES (2, 2.0)")
+    val got = spark.sql("SELECT k, origin FROM gcat.cdm ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "organic"), (2L, "organic")), got.toString)
+    // DROP removes the key — a later re-ADD of the same logical name
+    // must NOT resurrect the years-old fill
+    spark.sql("ALTER TABLE gcat.cdm DROP COLUMN origin")
+    assert(ST.columnDefaults(root, ST.currentVersion(root)).isEmpty)
+    spark.sql("ALTER TABLE gcat.cdm ADD COLUMN origin STRING")
+    assert(ST.columnDefaults(root, ST.currentVersion(root)).isEmpty,
+      "re-added column resurrected a dropped DEFAULT")
+    // ADD COLUMN ... DEFAULT refuses loudly instead of silently
+    // dropping the clause (existing rows would not take the default)
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE gcat.cdm ADD COLUMN flag DOUBLE DEFAULT 1.0").collect())
+    assert(e.getMessage.contains("ADD COLUMN ... DEFAULT is not supported"),
+      e.getMessage)
+  }
+
+  test("a CREATE-time DEFAULT on a column the seed omits stays PENDING, never fails the landed commit (r16 review)") {
+    warehouse
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS gcat.cdp")
+    spark.sql("CREATE TABLE gcat.cdp (k BIGINT, src STRING DEFAULT 'o')")
+    val root = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.catalog.gcat.root"), "cdp").toString
+    val ST = graft.operators.SnapshotTable
+    // seed through the sink with a NARROWER frame (no src): the batch
+    // must report success (its commit landed) and the declaration must
+    // stay pending instead of being lost or throwing
+    assert(graft.streaming.SnapshotSink.appendBatch(root,
+      Seq(Tuple1(1L)).toDF("k"), batchId = 0L, keyCol = "k"))
+    assert(ST.pendingDefaults(root) == Map("src" -> "'o'"),
+      "narrow seed must keep the declaration pending")
+    assert(ST.read(spark, root).count() == 1)
+    assert(ST.columnDefaults(root, ST.currentVersion(root)).isEmpty)
   }
 }

@@ -813,6 +813,28 @@ class SnapshotSqlSpec extends AnyFunSuite {
     // ...and the rows-only spelling (no CLUSTER BY) adopts fine
     assert(spark.sql(s"CONVERT TO SNAPSHOT '$flat'").head().getInt(0) == 1)
     assert(ST.read(spark, flat).count() == 1)
+    // hidden/temporary files (Spark's hiddenFileFilter rule: any '_'/
+    // '.'-prefixed path segment) are INVISIBLE to plain parquet reads
+    // and must not be adopted — a killed job's _temporary attempt
+    // would otherwise serve duplicate/torn rows (r16 review)
+    val dirty = Engine.tmpDir("graft_sql_convert_dirty")
+    Engine.deleteRecursively(Paths.get(dirty))
+    Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v").coalesce(1).write.parquet(dirty)
+    val tmpDir2 = Paths.get(dirty, "_temporary", "0")
+    java.nio.file.Files.createDirectories(tmpDir2)
+    val src = {
+      val st = java.nio.file.Files.walk(Paths.get(dirty))
+      try { import scala.jdk.CollectionConverters._
+        st.iterator().asScala.find(p => p.getFileName.toString.endsWith(".parquet")
+          && !p.toString.contains("_temporary")).get
+      } finally st.close()
+    }
+    java.nio.file.Files.copy(src, tmpDir2.resolve("part-attempt.parquet"))
+    java.nio.file.Files.copy(src, Paths.get(dirty, ".stale.parquet"))
+    spark.sql(s"CONVERT TO SNAPSHOT '$dirty' CLUSTER BY (k)").collect()
+    assert(ST.read(spark, dirty).count() == 2,
+      "hidden/_temporary parquet files must not be adopted")
+    assert(ST.manifestEntries(dirty, 1).size == 1)
   }
 
   test("RESTORE TO TIMESTAMP AS OF resolves via the commit clock") {
