@@ -84,6 +84,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!isTableDir(d)) throw new NoSuchTableException(ident)
     val root = d.toString
     val cur = SnapshotTable.currentVersion(root)
+    if (cur > 0) SnapshotSourceUtil.requireNoNestedMap(root, cur)
     val schema =
       if (cur > 0)
         // the exposed schema is the LOGICAL one (column mapping:
@@ -125,6 +126,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // not a raw filesystem exception mid-planning
     // time travel resolves the mapping AS OF the snapshot: a read
     // before a RENAME surfaces the old names (Delta's contract)
+    SnapshotSourceUtil.requireNoNestedMap(root, v)
     val schema = try SnapshotSourceUtil.withIdentity(
       SnapshotSourceUtil.logicalStruct(
         SnapshotSourceUtil.sparkSchema(

@@ -99,6 +99,7 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister {
       // ITS snapshot (time travel keeps the old names).
       val v = Option(options.get("version")).map(_.toInt)
         .getOrElse(SnapshotTable.currentVersion(r))
+      SnapshotSourceUtil.requireNoNestedMap(r, v)
       val base = SnapshotSourceUtil.logicalStruct(
         SnapshotSourceUtil.sparkSchema(SnapshotSourceUtil.tableMessageType(r, v)),
         SnapshotTable.colMap(r, v))
@@ -174,6 +175,18 @@ private[sources] object SnapshotSourceUtil {
         base.add(ic, LongType, nullable = true)
       case _ => base
     }
+
+  /** NESTED column mappings (dotted colmap entries, x44) resolve only
+    * through [[SnapshotTable.toLogical]] — the connector's physStruct/
+    * logicalStruct rename TOP-LEVEL names and would serve the struct
+    * under raw physical FIELD names (and resurrect dropped fields).
+    * Every DSv2 schema-inference/scan seam refuses such tables loudly
+    * and points at the Scala/path route. */
+  def requireNoNestedMap(root: String, v: Int): Unit =
+    require(!SnapshotTable.colMap(root, v).exists(_.exists(_._1.contains("."))),
+      s"graft-snapshot: $root carries a NESTED column mapping (struct-field " +
+        "renames/drops) — the DSv2 route would serve raw physical field " +
+        "names for it; read through SnapshotTable.read or the path SQL route")
 
   /** Re-attach column-DEFAULT metadata (the analyzer's
     * CURRENT_DEFAULT/EXISTS_DEFAULT fill keys) from the manifest's
@@ -299,6 +312,10 @@ private[sources] object SnapshotSourceUtil {
       val optionalCarrier = new java.util.HashSet[String]()
       entries.foreach { e =>
         footerSchema(root, e.rel).getFields.asScala.foreach { f =>
+          require(f.isPrimitive,
+            s"graft-snapshot: evolved (mixed-width) table $root carries struct " +
+              s"column ${f.getName} — the connector's evolution union is " +
+              "primitive-only; read through SnapshotTable.readAt")
           val prev = seen.putIfAbsent(f.getName, f)
           // primitive name alone is not type identity: plain INT64 vs
           // timestamp-annotated INT64 share it but decode differently —
@@ -334,9 +351,11 @@ private[sources] object SnapshotSourceUtil {
     }
   }
 
-  def sparkSchema(m: MessageType): StructType = StructType(m.getFields.asScala.map { f =>
-    val p = f.asPrimitiveType()
-    val dt = p.getPrimitiveTypeName match {
+  /** Parquet type → Spark type: primitives plus (r16) NESTED GROUPS
+    * as StructType — the READ envelope covers struct columns; lists/
+    * maps (REPEATED) stay refused loudly. */
+  private def sparkType(f: org.apache.parquet.schema.Type): org.apache.spark.sql.types.DataType =
+    if (f.isPrimitive) f.asPrimitiveType().getPrimitiveTypeName match {
       case PrimitiveTypeName.INT64 => LongType
       case PrimitiveTypeName.INT32 => IntegerType
       case PrimitiveTypeName.DOUBLE => DoubleType
@@ -344,8 +363,18 @@ private[sources] object SnapshotSourceUtil {
       case PrimitiveTypeName.BOOLEAN => BooleanType
       case PrimitiveTypeName.BINARY => StringType
       case other => sys.error(s"graft-snapshot: unsupported column type $other (${f.getName})")
+    } else {
+      require(!f.isRepetition(org.apache.parquet.schema.Type.Repetition.REPEATED),
+        s"graft-snapshot: repeated group ${f.getName} (list/map) is outside " +
+          "the connector's envelope — read through SnapshotTable.readAt")
+      StructType(f.asGroupType().getFields.asScala.map(g =>
+        StructField(g.getName, sparkType(g),
+          !g.isRepetition(org.apache.parquet.schema.Type.Repetition.REQUIRED))).toSeq)
     }
-    StructField(f.getName, dt, !f.isRepetition(org.apache.parquet.schema.Type.Repetition.REQUIRED))
+
+  def sparkSchema(m: MessageType): StructType = StructType(m.getFields.asScala.map { f =>
+    StructField(f.getName, sparkType(f),
+      !f.isRepetition(org.apache.parquet.schema.Type.Repetition.REQUIRED))
   }.toSeq)
 
   /** The parquet request schema for a pruned column set — field order
@@ -888,6 +917,14 @@ private[sources] class SnapshotScan(root: String, version: Int,
     * file base + position (the same coalesce rule as
     * [[SnapshotTable.readWithRowIds]]). */
   private def rowIdFactory: SnapshotRowIdReaderFactory = {
+    // the row-id reader's decode loop is primitive-only; struct
+    // tables read their ids through SnapshotTable.readWithRowIds
+    pruned.fields.filterNot(f => idOutNames.contains(f.name))
+      .find(_.dataType.isInstanceOf[StructType]).foreach(f =>
+        throw new IllegalArgumentException(
+          s"graft-snapshot rowIds: column ${f.name} is a STRUCT — the DSv2 " +
+            "row-id read envelope is primitive-only; use " +
+            "SnapshotTable.readWithRowIds (plain struct reads work)"))
     val map = SnapshotTable.colMap(root, version)
     val basePhys = SnapshotSourceUtil.physStruct(StructType(
       pruned.fields.filterNot(f => idOutNames.contains(f.name))), map)
@@ -1558,6 +1595,16 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
         s"graft-snapshot write to $root: column $ic is GENERATED ALWAYS AS " +
           "IDENTITY — omit it (path-route append or the streaming sink); " +
           "the engine assigns dense ids at commit"))
+    // the DSv2 WRITE envelope stays primitive-only (the example-Group
+    // task writer): struct ingest goes through the Scala route, which
+    // uses Spark's own parquet writer — refuse cleanly at plan time
+    // instead of a per-row type error mid-task
+    info.schema().fields.find(_.dataType.isInstanceOf[StructType]).foreach(f =>
+      throw new IllegalArgumentException(
+        s"graft-snapshot write to $root: column ${f.name} is a STRUCT — the " +
+          "DSv2 write envelope is primitive-only; ingest through " +
+          "SnapshotTable.writeDataFiles/commitEntries or the streaming " +
+          "sink helper (reads of struct tables work on every route)"))
     // `_row_id`/`__row_id` are reserved spellings (the row-id read keys
     // on the OUTPUT name — a committed data column would shadow engine
     // ids on tracked tables and brick plain DSv2 reads on untracked
@@ -1962,6 +2009,57 @@ private[sources] case class SnapshotReaderFactory(projectedMessage: String,
               .map(_.asPrimitiveType().getPrimitiveTypeName).orNull
           }
         }
+      // STRUCT decode plans (r16): for each pruned slot holding a
+      // StructType, the request group's field indices matched by NAME
+      // once at reader build — the per-row loop stays lookup-free.
+      // Struct + evolved is refused at planning, so the static
+      // `request` message is always the authority here.
+      private def groupPlan(st: StructType,
+          gt: org.apache.parquet.schema.GroupType): Array[(Int, DataType, AnyRef)] =
+        st.fields.map { f =>
+          val j = if (gt.containsField(f.name)) gt.getFieldIndex(f.name) else -1
+          val sub: AnyRef = f.dataType match {
+            case s: StructType if j >= 0 => groupPlan(s, gt.getType(j).asGroupType())
+            case _ => null
+          }
+          (j, f.dataType, sub)
+        }
+      private val structPlans: Array[Array[(Int, DataType, AnyRef)]] =
+        pruned.fields.zipWithIndex.map { case (f, i) =>
+          f.dataType match {
+            case s: StructType =>
+              // POSITIONAL: the request carries PHYSICAL top-level
+              // names (column mapping renames them) in pruned order;
+              // field names INSIDE the group are physical too, which
+              // equals logical here because nested-mapped tables are
+              // refused at every DSv2 seam
+              groupPlan(s, request.getType(i).asGroupType())
+            case _ => null
+          }
+        }
+      private def decodeGroup(g: Group,
+          plan: Array[(Int, DataType, AnyRef)]): InternalRow = {
+        val vals = new Array[Any](plan.length)
+        var i = 0
+        while (i < plan.length) {
+          val (j, dt, sub) = plan(i)
+          vals(i) =
+            if (j < 0 || g.getFieldRepetitionCount(j) == 0) null
+            else dt match {
+              case LongType => g.getLong(j, 0)
+              case IntegerType => g.getInteger(j, 0)
+              case DoubleType => g.getDouble(j, 0)
+              case FloatType => g.getFloat(j, 0)
+              case BooleanType => g.getBoolean(j, 0)
+              case StringType => UTF8String.fromString(g.getString(j, 0))
+              case _: StructType => decodeGroup(g.getGroup(j, 0),
+                sub.asInstanceOf[Array[(Int, DataType, AnyRef)]])
+              case other => sys.error(s"graft-snapshot: unsupported nested type $other")
+            }
+          i += 1
+        }
+        new GenericInternalRow(vals)
+      }
       override def get(): InternalRow = {
         import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
         val vals = new Array[Any](pruned.length)
@@ -1984,6 +2082,7 @@ private[sources] case class SnapshotReaderFactory(projectedMessage: String,
               case FloatType => cur.getFloat(j, 0)
               case BooleanType => cur.getBoolean(j, 0)
               case StringType => UTF8String.fromString(cur.getString(j, 0))
+              case _: StructType => decodeGroup(cur.getGroup(j, 0), structPlans(i))
               case other => sys.error(s"graft-snapshot: unsupported type $other")
             }
           i += 1

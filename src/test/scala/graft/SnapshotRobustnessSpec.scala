@@ -575,4 +575,75 @@ class SnapshotRobustnessSpec extends AnyFunSuite {
     assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .exists(t => Option(t.getMessage).exists(_.contains("v_pos"))), e.getMessage)
   }
+
+  test("DSv2 STRUCT reads (r16): every read route, pruning, DV, rename; writes/nested refuse cleanly") {
+    import spark.implicits._
+    val root = freshRoot("graft_dsv2_struct")
+    val df = (1L to 20L).map(k => (k, s"t${k % 3}", k * 1.0, k * 10.0))
+      .toDF("k", "tag", "v", "flag")
+      .select(col("k"), struct(col("tag"), col("v")).as("props"), col("flag"))
+    ST.commitEntries(root, 0,
+      ST.writeDataFiles(df.repartitionByRange(2, col("k")), root, "a")
+        .map(ST.footerEntry(root, _, "k")),
+      16, Map("statsCol" -> "k"))
+    // path-route DSv2 read: schema, field access, agg ≡ the Scala route
+    val dsv2 = spark.read.format("graft-snapshot").load(root)
+    assert(dsv2.schema("props").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("tag", "v"))
+    val sumV = dsv2.agg(sum(col("props.v"))).head().getDouble(0)
+    assert(sumV == ST.read(spark, root).agg(sum(col("props.v"))).head().getDouble(0))
+    assert(dsv2.filter(col("props.tag") === "t1").count() ==
+      (1L to 20L).count(_ % 3 == 1))
+    // projection pruning: a non-struct projection plans without the group
+    assert(dsv2.select("k").collect().map(_.getLong(0)).toSet == (1L to 20L).toSet)
+    // stats pruning still fires on the primitive cluster column
+    val prScan = dsv2.filter(col("k") <= 5)
+    assert(prScan.rdd.getNumPartitions == 1, s"${prScan.rdd.getNumPartitions}")
+    // catalog route: SELECT with nested field access
+    val w = Files.createTempDirectory("graft_struct_cat").toString
+    spark.conf.set("spark.sql.catalog.gst", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gst.root", w)
+    Files.createSymbolicLink(Paths.get(w, "t"), Paths.get(root))
+    assert(spark.sql("SELECT SUM(props.v) FROM gst.t").head().getDouble(0) == sumV)
+    // DV interplay: a MoR delete's ordinals skip on the struct read too
+    ST.enableDeletionVectors(root)
+    spark.sql(s"DELETE FROM '$root' WHERE k = 7").collect()
+    assert(ST.dvState(root, ST.currentVersion(root)).nonEmpty, "expected a MoR delete")
+    assert(spark.read.format("graft-snapshot").load(root).count() == 19)
+    // a TOP-LEVEL rename of the struct column resolves (colmap, no files move)
+    ST.renameColumn(spark, root, "props", "attrs")
+    val renamed = spark.read.format("graft-snapshot").load(root)
+    assert(renamed.columns.contains("attrs") && !renamed.columns.contains("props"))
+    assert(renamed.filter(col("k") === 2).select(col("attrs.v")).head().getDouble(0) == 2.0)
+    // time travel reads the OLD name
+    assert(spark.read.format("graft-snapshot").option("version", "1").load(root)
+      .columns.contains("props"))
+    // a NESTED rename pushes the table off the DSv2 route — loudly
+    ST.renameColumn(spark, root, "attrs.v", "amount")
+    def chain(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    val eN = intercept[Exception](
+      spark.read.format("graft-snapshot").load(root).collect())
+    assert(chain(eN).contains("NESTED column mapping"), chain(eN))
+    val eC = intercept[Exception](spark.sql("SELECT * FROM gst.t").collect())
+    assert(chain(eC).contains("NESTED column mapping"), chain(eC))
+    // ...while the Scala route keeps serving it
+    assert(ST.read(spark, root).select(col("attrs.amount")).count() == 19)
+    // DSv2 STRUCT writes refuse cleanly at plan time
+    val plain = freshRoot("graft_dsv2_struct_w")
+    val eW = intercept[Exception](df.write.format("graft-snapshot")
+      .mode("append").save(plain))
+    assert(chain(eW).contains("primitive-only"), chain(eW))
+    // rowIds on a struct table points at the Scala route
+    val rt = freshRoot("graft_dsv2_struct_rt")
+    ST.commitEntries(rt, 0,
+      ST.writeDataFiles(df.coalesce(1), rt, "a").map(ST.footerEntry(rt, _, "k")),
+      16, Map("statsCol" -> "k"))
+    ST.enableRowTracking(spark, rt)
+    val eR = intercept[Exception](spark.read.format("graft-snapshot")
+      .option("rowIds", "true").load(rt).collect())
+    assert(chain(eR).contains("readWithRowIds"), chain(eR))
+    assert(ST.readWithRowIds(spark, rt).count() == 20)
+  }
 }
