@@ -581,7 +581,12 @@ class SnapshotRobustnessSpec extends AnyFunSuite {
     val root = freshRoot("graft_dsv2_struct")
     val df = (1L to 20L).map(k => (k, s"t${k % 3}", k * 1.0, k * 10.0))
       .toDF("k", "tag", "v", "flag")
-      .select(col("k"), struct(col("tag"), col("v")).as("props"), col("flag"))
+      // k=20 carries a NULL struct (and k%5==0 a null field inside):
+      // the decoder must serve null, not a fabricated Row
+      .select(col("k"),
+        when(col("k") < 20, struct(
+          when(col("k") % 5 =!= 0, col("tag")).as("tag"), col("v"))).as("props"),
+        col("flag"))
     ST.commitEntries(root, 0,
       ST.writeDataFiles(df.repartitionByRange(2, col("k")), root, "a")
         .map(ST.footerEntry(root, _, "k")),
@@ -593,7 +598,12 @@ class SnapshotRobustnessSpec extends AnyFunSuite {
     val sumV = dsv2.agg(sum(col("props.v"))).head().getDouble(0)
     assert(sumV == ST.read(spark, root).agg(sum(col("props.v"))).head().getDouble(0))
     assert(dsv2.filter(col("props.tag") === "t1").count() ==
-      (1L to 20L).count(_ % 3 == 1))
+      (1L to 19L).count(k => k % 3 == 1 && k % 5 != 0))
+    // NULL semantics hold through the decode: one whole-null struct
+    // (k=20) and three null fields inside otherwise-present structs
+    assert(dsv2.filter(col("props").isNull).count() == 1)
+    assert(dsv2.filter(col("props").isNotNull && col("props.tag").isNull)
+      .count() == 3)
     // projection pruning: a non-struct projection plans without the group
     assert(dsv2.select("k").collect().map(_.getLong(0)).toSet == (1L to 20L).toSet)
     // stats pruning still fires on the primitive cluster column
