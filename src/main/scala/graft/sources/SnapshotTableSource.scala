@@ -228,34 +228,35 @@ private[sources] object SnapshotSourceUtil {
     * reverse of [[sparkSchema]], so a written table reads back with the
     * same StructType). */
   def messageType(schema: StructType): MessageType = {
-    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.Types
     val b = Types.buildMessage()
-    schema.fields.foreach { f =>
-      val prim = f.dataType match {
-        case LongType => Types.primitive(PrimitiveTypeName.INT64,
-          if (f.nullable) org.apache.parquet.schema.Type.Repetition.OPTIONAL
-          else org.apache.parquet.schema.Type.Repetition.REQUIRED)
-        case IntegerType => Types.primitive(PrimitiveTypeName.INT32,
-          if (f.nullable) org.apache.parquet.schema.Type.Repetition.OPTIONAL
-          else org.apache.parquet.schema.Type.Repetition.REQUIRED)
-        case DoubleType => Types.primitive(PrimitiveTypeName.DOUBLE,
-          if (f.nullable) org.apache.parquet.schema.Type.Repetition.OPTIONAL
-          else org.apache.parquet.schema.Type.Repetition.REQUIRED)
-        case FloatType => Types.primitive(PrimitiveTypeName.FLOAT,
-          if (f.nullable) org.apache.parquet.schema.Type.Repetition.OPTIONAL
-          else org.apache.parquet.schema.Type.Repetition.REQUIRED)
-        case BooleanType => Types.primitive(PrimitiveTypeName.BOOLEAN,
-          if (f.nullable) org.apache.parquet.schema.Type.Repetition.OPTIONAL
-          else org.apache.parquet.schema.Type.Repetition.REQUIRED)
-        case StringType => Types.primitive(PrimitiveTypeName.BINARY,
-          if (f.nullable) org.apache.parquet.schema.Type.Repetition.OPTIONAL
-          else org.apache.parquet.schema.Type.Repetition.REQUIRED)
-          .as(LogicalTypeAnnotation.stringType())
-        case other => sys.error(s"graft-snapshot write: unsupported type $other (${f.name})")
-      }
-      b.addField(prim.named(f.name))
-    }
+    schema.fields.foreach(f => b.addField(parquetType(f.name, f.dataType, f.nullable)))
     b.named("spark_schema")
+  }
+
+  /** Spark type → parquet type for the WRITE side — primitives plus
+    * (r16) nested STRUCTS as groups, the exact reverse of
+    * [[sparkType]]. */
+  private def parquetType(name: String,
+      dt: org.apache.spark.sql.types.DataType,
+      nullable: Boolean): org.apache.parquet.schema.Type = {
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    val rep = if (nullable) org.apache.parquet.schema.Type.Repetition.OPTIONAL
+      else org.apache.parquet.schema.Type.Repetition.REQUIRED
+    dt match {
+      case LongType => Types.primitive(PrimitiveTypeName.INT64, rep).named(name)
+      case IntegerType => Types.primitive(PrimitiveTypeName.INT32, rep).named(name)
+      case DoubleType => Types.primitive(PrimitiveTypeName.DOUBLE, rep).named(name)
+      case FloatType => Types.primitive(PrimitiveTypeName.FLOAT, rep).named(name)
+      case BooleanType => Types.primitive(PrimitiveTypeName.BOOLEAN, rep).named(name)
+      case StringType => Types.primitive(PrimitiveTypeName.BINARY, rep)
+        .as(LogicalTypeAnnotation.stringType()).named(name)
+      case st: StructType =>
+        val g = Types.buildGroup(rep)
+        st.fields.foreach(f => g.addField(parquetType(f.name, f.dataType, f.nullable)))
+        g.named(name)
+      case other => sys.error(s"graft-snapshot write: unsupported type $other ($name)")
+    }
   }
 
   private def footerSchema(root: String, rel: String): MessageType = {
@@ -1595,16 +1596,12 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
         s"graft-snapshot write to $root: column $ic is GENERATED ALWAYS AS " +
           "IDENTITY — omit it (path-route append or the streaming sink); " +
           "the engine assigns dense ids at commit"))
-    // the DSv2 WRITE envelope stays primitive-only (the example-Group
-    // task writer): struct ingest goes through the Scala route, which
-    // uses Spark's own parquet writer — refuse cleanly at plan time
-    // instead of a per-row type error mid-task
-    info.schema().fields.find(_.dataType.isInstanceOf[StructType]).foreach(f =>
-      throw new IllegalArgumentException(
-        s"graft-snapshot write to $root: column ${f.name} is a STRUCT — the " +
-          "DSv2 write envelope is primitive-only; ingest through " +
-          "SnapshotTable.writeDataFiles/commitEntries or the streaming " +
-          "sink helper (reads of struct tables work on every route)"))
+    // STRUCT writes (r16): the task writer handles nested groups; a
+    // NESTED-mapped table still refuses (physStruct cannot rename
+    // struct FIELDS — the written file would carry logical names
+    // beside residents' physical ones)
+    if (cur > 0 && info.schema().fields.exists(_.dataType.isInstanceOf[StructType]))
+      SnapshotSourceUtil.requireNoNestedMap(root, cur)
     // `_row_id`/`__row_id` are reserved spellings (the row-id read keys
     // on the OUTPUT name — a committed data column would shadow engine
     // ids on tracked tables and brick plain DSv2 reads on untracked
@@ -1638,8 +1635,44 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
           org.apache.parquet.schema.Type.Repetition.REQUIRED))
       else f
     }))
-    SnapshotWriterFactory(root,
-      SnapshotSourceUtil.messageType(phys).toString, phys, boundChecks,
+    // STRUCT columns write under the RESIDENT footer's group type
+    // verbatim (inner field order AND repetition must match the files
+    // this one sits beside — the uniform read's shared request refuses
+    // a mix); compatibility is checked here at plan time: an incoming
+    // field the resident group lacks is struct-field evolution (needs
+    // a rewrite), an omitted REQUIRED field has no value to write.
+    val msg = physMsg match {
+      case None => SnapshotSourceUtil.messageType(phys)
+      case Some(m) =>
+        import scala.jdk.CollectionConverters._
+        val fields: Seq[org.apache.parquet.schema.Type] = phys.fields.toSeq.map { f =>
+          if (!m.containsField(f.name))
+            SnapshotSourceUtil.messageType(StructType(Seq(f))).getType(0)
+          else {
+            val ft = m.getType(m.getFieldIndex(f.name))
+            f.dataType match {
+              case st: StructType if !ft.isPrimitive =>
+                val gt = ft.asGroupType()
+                val extra = st.fieldNames.filterNot(gt.containsField)
+                require(extra.isEmpty,
+                  s"graft-snapshot write to $root: struct ${f.name} carries " +
+                    s"field(s) ${extra.mkString(",")} the resident files lack — " +
+                    "struct-field evolution needs a rewrite (Scala route)")
+                val missingReq = gt.getFields.asScala.filter(x =>
+                  x.isRepetition(org.apache.parquet.schema.Type.Repetition.REQUIRED) &&
+                    !st.fieldNames.contains(x.getName))
+                require(missingReq.isEmpty,
+                  s"graft-snapshot write to $root: struct ${f.name} omits " +
+                    s"REQUIRED field(s) ${missingReq.map(_.getName).mkString(",")}")
+                ft
+              case _ => ft
+            }
+          }
+        }
+        new MessageType("spark_schema",
+          fields.asJava: java.util.List[org.apache.parquet.schema.Type])
+    }
+    SnapshotWriterFactory(root, msg.toString, phys, boundChecks,
       genPlan._2, genPlan._3)
   }
   // `.option("statsCol", c)` on the writer declares the pruning column
@@ -1814,6 +1847,52 @@ private[sources] class PartitionFileWriter(root: String, rel: String,
   private val msg = MessageTypeParser.parseMessageType(parquetSchema)
   private val groups = new SimpleGroupFactory(msg)
   private var rows = 0L
+  // STRUCT write plans (r16): per incoming struct field, the message
+  // group's field index (matched by NAME once here), its REQUIRED
+  // flag, type, and sub-plan — the per-row loop stays lookup-free
+  private def writePlan(st: StructType,
+      gt: org.apache.parquet.schema.GroupType): Array[(Int, Boolean, DataType, AnyRef)] =
+    st.fields.map { f =>
+      val j = gt.getFieldIndex(f.name)
+      val req = gt.getType(j).isRepetition(
+        org.apache.parquet.schema.Type.Repetition.REQUIRED)
+      val sub: AnyRef = f.dataType match {
+        case s: StructType => writePlan(s, gt.getType(j).asGroupType())
+        case _ => null
+      }
+      (j, req, f.dataType, sub)
+    }
+  private val structWritePlans: Array[Array[(Int, Boolean, DataType, AnyRef)]] =
+    schema.fields.zipWithIndex.map { case (f, i) =>
+      f.dataType match {
+        case st: StructType => writePlan(st, msg.getType(i).asGroupType())
+        case _ => null
+      }
+    }
+  private def writeStruct(g: org.apache.parquet.example.data.Group,
+      row: InternalRow, plan: Array[(Int, Boolean, DataType, AnyRef)]): Unit = {
+    var i = 0
+    while (i < plan.length) {
+      val (j, req, dt, sub) = plan(i)
+      if (row.isNullAt(i)) {
+        if (req) throw new IllegalArgumentException(
+          s"graft-snapshot write to $root: NULL into a struct field the " +
+            "resident files declare REQUIRED (NOT NULL)")
+      } else dt match {
+        case LongType => g.add(j, row.getLong(i))
+        case IntegerType => g.add(j, row.getInt(i))
+        case DoubleType => g.add(j, row.getDouble(i))
+        case FloatType => g.add(j, row.getFloat(i))
+        case BooleanType => g.add(j, row.getBoolean(i))
+        case StringType => g.add(j, row.getUTF8String(i).toString)
+        case s: StructType => writeStruct(g.addGroup(j),
+          row.getStruct(i, s.length),
+          sub.asInstanceOf[Array[(Int, Boolean, DataType, AnyRef)]])
+        case other => sys.error(s"graft-snapshot write: unsupported nested type $other")
+      }
+      i += 1
+    }
+  }
   private val writer = {
     val conf = new Configuration()
     ExampleParquetWriter.builder(new HadoopPath(Paths.get(root, rel).toUri))
@@ -1877,6 +1956,8 @@ private[sources] class PartitionFileWriter(root: String, rel: String,
         case FloatType => g.add(i, row.getFloat(i))
         case BooleanType => g.add(i, row.getBoolean(i))
         case StringType => g.add(i, row.getUTF8String(i).toString)
+        case st: StructType => writeStruct(g.addGroup(i),
+          row.getStruct(i, st.length), structWritePlans(i))
         case other => sys.error(s"graft-snapshot write: unsupported type $other")
       }
       i += 1

@@ -640,11 +640,31 @@ class SnapshotRobustnessSpec extends AnyFunSuite {
     assert(chain(eC).contains("NESTED column mapping"), chain(eC))
     // ...while the Scala route keeps serving it
     assert(ST.read(spark, root).select(col("attrs.amount")).count() == 19)
-    // DSv2 STRUCT writes refuse cleanly at plan time
+    // DSv2 STRUCT writes (r16): path-route round trip, catalog CTAS +
+    // INSERT INTO, repetition conformance across both, and the
+    // struct-field-evolution refusal
     val plain = freshRoot("graft_dsv2_struct_w")
-    val eW = intercept[Exception](df.write.format("graft-snapshot")
+    df.write.format("graft-snapshot").mode("append").save(plain)
+    assert(spark.read.format("graft-snapshot").load(plain)
+      .agg(sum(col("props.v"))).head().getDouble(0) == sumV)
+    df.createOrReplaceTempView("struct_src")
+    spark.sql("DROP TABLE IF EXISTS gst.ctas")
+    spark.sql("CREATE TABLE gst.ctas AS SELECT * FROM struct_src")
+    spark.sql("INSERT INTO gst.ctas SELECT k + 100, props, flag FROM struct_src WHERE k = 2")
+    assert(spark.sql("SELECT props.v FROM gst.ctas WHERE k = 102")
+      .head().getDouble(0) == 2.0)
+    assert(spark.sql("SELECT COUNT(*) FROM gst.ctas").head().getLong(0) == 21)
+    // the Scala route reads the DSv2-written files identically
+    val ctasRoot = Paths.get(spark.conf.get("spark.sql.catalog.gst.root"), "ctas").toString
+    assert(ST.read(spark, ctasRoot).count() == 21)
+    // an incoming struct carrying a field the residents lack refuses
+    // at PLAN time (struct-field evolution needs a rewrite)
+    val wider = df.select(col("k"),
+      struct(col("props.tag").as("tag"), col("props.v").as("v"),
+        lit(1L).as("extra")).as("props"), col("flag"))
+    val eEvo = intercept[Exception](wider.write.format("graft-snapshot")
       .mode("append").save(plain))
-    assert(chain(eW).contains("primitive-only"), chain(eW))
+    assert(chain(eEvo).contains("struct-field evolution"), chain(eEvo))
     // rowIds on a struct table points at the Scala route
     val rt = freshRoot("graft_dsv2_struct_rt")
     ST.commitEntries(rt, 0,
