@@ -126,13 +126,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // not a raw filesystem exception mid-planning
     // time travel resolves the mapping AS OF the snapshot: a read
     // before a RENAME surfaces the old names (Delta's contract)
-    SnapshotSourceUtil.requireNoNestedMap(root, v)
-    val schema = try SnapshotSourceUtil.withIdentity(
-      SnapshotSourceUtil.logicalStruct(
-        SnapshotSourceUtil.sparkSchema(
-          SnapshotSourceUtil.tableMessageType(root, v)),
-        SnapshotTable.colMap(root, v)), root, v)
-    catch {
+    val schema = try {
+      // INSIDE the vacuumed-version guard: the nested-map check reads
+      // the manifest too, and a vacuumed snapshot must keep producing
+      // the clean 'vacuumed away' error, not a raw NoSuchFileException
+      SnapshotSourceUtil.requireNoNestedMap(root, v)
+      SnapshotSourceUtil.withIdentity(
+        SnapshotSourceUtil.logicalStruct(
+          SnapshotSourceUtil.sparkSchema(
+            SnapshotSourceUtil.tableMessageType(root, v)),
+          SnapshotTable.colMap(root, v)), root, v)
+    } catch {
       case _: java.nio.file.NoSuchFileException => throw new IllegalArgumentException(
         s"graft catalog: version $v of $root was vacuumed away — " +
           "its snapshot is no longer addressable")
@@ -432,6 +436,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           retry.observed(v)
           val cur = SnapshotSourceUtil.sparkSchema(
             SnapshotSourceUtil.tableMessageType(root, v))
+          // an evolved STRUCT-bearing table is unreadable on the DSv2
+          // route (the mixed-width machinery is primitive-only): a
+          // committed-then-unloadable ALTER would report failure for a
+          // change that landed — refuse BEFORE committing instead
+          cur.fields.find(_.dataType.isInstanceOf[
+              org.apache.spark.sql.types.StructType]).foreach(f =>
+            throw new UnsupportedOperationException(
+              s"graft catalog: ADD COLUMN on $root — the table carries struct " +
+                s"column ${f.name}, and add-column evolution over structs is " +
+                "outside the DSv2 envelope (the evolved table would stop " +
+                "reading on this route); evolve through the Scala route"))
           // uniqueness runs in the LOGICAL namespace (what users see)
           val map = SnapshotTable.colMap(root, v)
           val logicalNames = map.map(_.map(_._1)).getOrElse(cur.fieldNames.toSeq)

@@ -285,6 +285,21 @@ private[sources] object SnapshotSourceUtil {
       scala.util.Try(messageType(
         DataType.fromJson(js).asInstanceOf[StructType])).toOption
     }
+    // EVOLVED (mixed-width) or WIDENED versions switch the scan to
+    // per-file requests whose slot machinery is primitive-only — a
+    // struct column there must refuse AT PLANNING on every resolution
+    // path (the capture branch included: messageType converts structs
+    // since r16, so the Try no longer swallows them), never die
+    // executor-side in asPrimitiveType (r16 review)
+    if (meta.contains("schema") || meta.contains("widen")) {
+      val probe: Option[MessageType] = captured.orElse(
+        if (entries.nonEmpty) Some(footerSchema(root, entries.head.rel)) else None)
+      probe.foreach(_.getFields.asScala.find(!_.isPrimitive).foreach(f =>
+        throw new IllegalStateException(
+          s"graft-snapshot: evolved/widened table $root carries struct " +
+            s"column ${f.getName} — the connector's mixed-width machinery " +
+            "is primitive-only; read through SnapshotTable.readAt")))
+    }
     if (captured.isDefined) captured.get
     else if (entries.isEmpty)
       // a zero-entry version (delete-all) is plannable only through
@@ -355,7 +370,14 @@ private[sources] object SnapshotSourceUtil {
   /** Parquet type → Spark type: primitives plus (r16) NESTED GROUPS
     * as StructType — the READ envelope covers struct columns; lists/
     * maps (REPEATED) stay refused loudly. */
-  private def sparkType(f: org.apache.parquet.schema.Type): org.apache.spark.sql.types.DataType =
+  private def sparkType(f: org.apache.parquet.schema.Type): org.apache.spark.sql.types.DataType = {
+    // REPEATED fields (lists) are outside the envelope whatever their
+    // kind — a repeated PRIMITIVE would otherwise map to its scalar
+    // type and the reader's (j, 0) access would silently serve only
+    // element 0 of each row's list (r16 review)
+    require(!f.isRepetition(org.apache.parquet.schema.Type.Repetition.REPEATED),
+      s"graft-snapshot: repeated field ${f.getName} (list/map) is outside " +
+        "the connector's envelope — read through SnapshotTable.readAt")
     if (f.isPrimitive) f.asPrimitiveType().getPrimitiveTypeName match {
       case PrimitiveTypeName.INT64 => LongType
       case PrimitiveTypeName.INT32 => IntegerType
@@ -364,14 +386,11 @@ private[sources] object SnapshotSourceUtil {
       case PrimitiveTypeName.BOOLEAN => BooleanType
       case PrimitiveTypeName.BINARY => StringType
       case other => sys.error(s"graft-snapshot: unsupported column type $other (${f.getName})")
-    } else {
-      require(!f.isRepetition(org.apache.parquet.schema.Type.Repetition.REPEATED),
-        s"graft-snapshot: repeated group ${f.getName} (list/map) is outside " +
-          "the connector's envelope — read through SnapshotTable.readAt")
+    } else
       StructType(f.asGroupType().getFields.asScala.map(g =>
         StructField(g.getName, sparkType(g),
           !g.isRepetition(org.apache.parquet.schema.Type.Repetition.REQUIRED))).toSeq)
-    }
+  }
 
   def sparkSchema(m: MessageType): StructType = StructType(m.getFields.asScala.map { f =>
     StructField(f.getName, sparkType(f),
@@ -827,6 +846,13 @@ private[sources] class SnapshotScan(root: String, version: Int,
     extends Scan with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
+  // the BELT for every schema route: a USER-SUPPLIED schema
+  // (supportsExternalMetadata) skips inferSchema and its nested-map
+  // refusal — without this, a nested-mapped table's scan would match
+  // logical struct-field names against physical ones and serve NULLs
+  // silently (r16 review)
+  if (version > 0) SnapshotSourceUtil.requireNoNestedMap(root, version)
+
   /** Runtime (join-driven) file pruning — the DSv2 analog of dynamic
     * partition pruning: Spark evaluates the dim side of a join first,
     * hands the fact scan the resulting key set as an In/EqualTo filter
@@ -975,6 +1001,15 @@ private[sources] class SnapshotScan(root: String, version: Int,
     * like an evolved snapshot read (one footer pre-read per changed
     * file — batch-proportional, the CDC price). */
   private def cdfFactory: SnapshotCdfReaderFactory = {
+    // the CDF reader decodes in per-file (evolved) mode — whose slot
+    // machinery is primitive-only: a struct table's feed refuses at
+    // planning, pointing at the batch diff, instead of dying
+    // executor-side (r16 review; the rowIds seam has the same rule)
+    pruned.fields.find(_.dataType.isInstanceOf[StructType]).foreach(f =>
+      throw new IllegalArgumentException(
+        s"graft-snapshot CDF: column ${f.name} is a STRUCT — the change-feed " +
+          "decode envelope is primitive-only; diff commits with " +
+          "SnapshotTable.changesBetween (plain struct reads work)"))
     // physical namespace throughout (see factory): table columns
     // translate through the mapping; CDF metadata columns are never
     // mapped and pass through
@@ -1641,6 +1676,51 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
     // a mix); compatibility is checked here at plan time: an incoming
     // field the resident group lacks is struct-field evolution (needs
     // a rewrite), an omitted REQUIRED field has no value to write.
+    // RECURSIVE compatibility: names, REQUIRED presence AND primitive
+    // kinds must match the resident group at every depth — a mismatch
+    // refuses at planning with the field's path, never a per-row
+    // parquet error mid-task (r16 review)
+    def checkStructCompat(path: String, st: StructType,
+        gt: org.apache.parquet.schema.GroupType): Unit = {
+      import scala.jdk.CollectionConverters._
+      val extra = st.fieldNames.filterNot(gt.containsField)
+      require(extra.isEmpty,
+        s"graft-snapshot write to $root: struct $path carries " +
+          s"field(s) ${extra.mkString(",")} the resident files lack — " +
+          "struct-field evolution needs a rewrite (Scala route)")
+      val missingReq = gt.getFields.asScala.filter(x =>
+        x.isRepetition(org.apache.parquet.schema.Type.Repetition.REQUIRED) &&
+          !st.fieldNames.contains(x.getName))
+      require(missingReq.isEmpty,
+        s"graft-snapshot write to $root: struct $path omits " +
+          s"REQUIRED field(s) ${missingReq.map(_.getName).mkString(",")}")
+      st.fields.foreach { f =>
+        val ft2 = gt.getType(gt.getFieldIndex(f.name))
+        f.dataType match {
+          case s2: StructType =>
+            require(!ft2.isPrimitive,
+              s"graft-snapshot write to $root: $path.${f.name} is a struct " +
+                "but the resident files declare a primitive — needs a rewrite")
+            checkStructCompat(s"$path.${f.name}", s2, ft2.asGroupType())
+          case dt =>
+            val expected = dt match {
+              case LongType => PrimitiveTypeName.INT64
+              case IntegerType => PrimitiveTypeName.INT32
+              case DoubleType => PrimitiveTypeName.DOUBLE
+              case FloatType => PrimitiveTypeName.FLOAT
+              case BooleanType => PrimitiveTypeName.BOOLEAN
+              case StringType => PrimitiveTypeName.BINARY
+              case other => sys.error(
+                s"graft-snapshot write: unsupported nested type $other")
+            }
+            require(ft2.isPrimitive &&
+                ft2.asPrimitiveType().getPrimitiveTypeName == expected,
+              s"graft-snapshot write to $root: $path.${f.name} is " +
+                s"${dt.simpleString} but the resident files declare $ft2 — " +
+                "type changes inside a struct need a rewrite")
+        }
+      }
+    }
     val msg = physMsg match {
       case None => SnapshotSourceUtil.messageType(phys)
       case Some(m) =>
@@ -1652,18 +1732,7 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
             val ft = m.getType(m.getFieldIndex(f.name))
             f.dataType match {
               case st: StructType if !ft.isPrimitive =>
-                val gt = ft.asGroupType()
-                val extra = st.fieldNames.filterNot(gt.containsField)
-                require(extra.isEmpty,
-                  s"graft-snapshot write to $root: struct ${f.name} carries " +
-                    s"field(s) ${extra.mkString(",")} the resident files lack — " +
-                    "struct-field evolution needs a rewrite (Scala route)")
-                val missingReq = gt.getFields.asScala.filter(x =>
-                  x.isRepetition(org.apache.parquet.schema.Type.Repetition.REQUIRED) &&
-                    !st.fieldNames.contains(x.getName))
-                require(missingReq.isEmpty,
-                  s"graft-snapshot write to $root: struct ${f.name} omits " +
-                    s"REQUIRED field(s) ${missingReq.map(_.getName).mkString(",")}")
+                checkStructCompat(f.name, st, ft.asGroupType())
                 ft
               case _ => ft
             }

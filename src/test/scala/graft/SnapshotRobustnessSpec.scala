@@ -665,6 +665,33 @@ class SnapshotRobustnessSpec extends AnyFunSuite {
     val eEvo = intercept[Exception](wider.write.format("graft-snapshot")
       .mode("append").save(plain))
     assert(chain(eEvo).contains("struct-field evolution"), chain(eEvo))
+    // a TYPE change inside the struct refuses at planning with the
+    // field's path, never a per-row parquet error mid-task
+    val retyped = df.select(col("k"),
+      struct(col("props.tag").as("tag"),
+        col("props.v").cast("long").as("v")).as("props"), col("flag"))
+    val eTy = intercept[Exception](retyped.write.format("graft-snapshot")
+      .mode("append").save(plain))
+    assert(chain(eTy).contains("need a rewrite") &&
+      chain(eTy).contains("props.v"), chain(eTy))
+    // the CHANGE FEED's decode envelope is primitive-only: a struct
+    // table's feed refuses at planning, pointing at changesBetween
+    val eCdf = intercept[Exception](spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true").option("afterVersion", "0")
+      .load(plain).collect())
+    assert(chain(eCdf).contains("changesBetween"), chain(eCdf))
+    // ADD COLUMN over a struct table refuses BEFORE committing — the
+    // evolved table would stop reading on the DSv2 route (mixed-width
+    // machinery is primitive-only), and a committed-then-unloadable
+    // ALTER would report failure for a change that landed
+    val vBeforeAlter = ST.currentVersion(ctasRoot)
+    val eEv2 = intercept[Exception](
+      spark.sql("ALTER TABLE gst.ctas ADD COLUMN note STRING").collect())
+    assert(chain(eEv2).contains("outside the DSv2 envelope"), chain(eEv2))
+    assert(ST.currentVersion(ctasRoot) == vBeforeAlter,
+      "refused ALTER must not commit")
+    assert(spark.sql("SELECT COUNT(*) FROM gst.ctas").head().getLong(0) == 21,
+      "the table must stay readable after the refusal")
     // rowIds on a struct table points at the Scala route
     val rt = freshRoot("graft_dsv2_struct_rt")
     ST.commitEntries(rt, 0,
