@@ -4711,6 +4711,7 @@ object SnapshotTable {
     "x44_nested_colmap" -> (x44NestedColmap _, Some(x44Sql)),
     "x45_convert_in_place" -> (x45ConvertInPlace _, Some(x45Sql)),
     "x46_column_defaults" -> (x46ColumnDefaults _, Some(x46Sql)),
+    "x47_list_columns" -> (x47ListColumns _, Some(x47Sql)),
   )
 
   /** x24_catalog_sql — the name-addressed warehouse surface end-to-end
@@ -5685,6 +5686,48 @@ object SnapshotTable {
        |SELECT src, COUNT(*) AS n_events,
        |  CAST(SUM(CAST(value * boost AS DECIMAL(18,6))) AS DOUBLE) AS weighted
        |FROM t GROUP BY src ORDER BY src""".stripMargin
+
+  /** x47_list_columns — ARRAY columns as full DSv2 connector citizens
+    * (r17; structs joined in r16): CTAS an embedding-bearing table on
+    * the CATALOG route (the connector's task writer emits the standard
+    * 3-level parquet LIST encoding — byte-compatible with what Spark's
+    * own writer produces, so DML rewrites sit uniformly beside CTAS
+    * files), INSERT INTO as a second commit (plan-time nested-shape
+    * compat against resident footers), DSv2 DELETE (copy-on-write
+    * rewrite carrying the arrays), then SELECT back through the
+    * connector with element access and per-element iteration. Arrays
+    * are the native payload type of this engine's own domain —
+    * embeddings, token ids, shingle lists — so this is the first gap a
+    * real snapshot-table user hits. Oracle: DuckDB native LIST
+    * functions over the same source slice. */
+  def x47ListColumns(s: SparkSession, d: String): DataFrame = {
+    if (!s.conf.getOption("spark.sql.catalog.gx").exists(_.nonEmpty)) {
+      s.conf.set("spark.sql.catalog.gx", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gx.root", Engine.tmpDir("graft_warehouse"))
+    }
+    Tables.embeddings(s, d).createOrReplaceTempView("x47_emb_src")
+    s.sql("DROP TABLE IF EXISTS gx.x47_emb")
+    s.sql("""CREATE TABLE gx.x47_emb AS
+      SELECT vec_id, embedding, label FROM x47_emb_src WHERE vec_id % 5 != 3""")
+    s.sql("""INSERT INTO gx.x47_emb
+      SELECT vec_id, embedding, label FROM x47_emb_src WHERE vec_id % 5 = 3""")
+    s.sql("DELETE FROM gx.x47_emb WHERE label = 2")
+    s.sql("""SELECT vec_id, label,
+        size(embedding) AS emb_len,
+        size(filter(embedding, x -> x > 0)) AS n_pos,
+        CAST(try_element_at(embedding, 1) AS DOUBLE) AS e1,
+        CAST(try_element_at(embedding, 8) AS DOUBLE) AS e8
+      FROM gx.x47_emb ORDER BY vec_id""")
+  }
+
+  val x47Sql: String =
+    """SELECT vec_id, label,
+      |  len(embedding) AS emb_len,
+      |  len(list_filter(embedding, x -> x > 0)) AS n_pos,
+      |  CAST(embedding[1] AS DOUBLE) AS e1,
+      |  CAST(embedding[8] AS DOUBLE) AS e8
+      |FROM embeddings WHERE label IS DISTINCT FROM 2
+      |ORDER BY vec_id""".stripMargin
 
   /** x42_merge_evolution — `MERGE WITH SCHEMA EVOLUTION` (Delta 3.2's
     * per-statement autoMerge): the source carries a column the target

@@ -255,6 +255,21 @@ private[sources] object SnapshotSourceUtil {
         val g = Types.buildGroup(rep)
         st.fields.foreach(f => g.addField(parquetType(f.name, f.dataType, f.nullable)))
         g.named(name)
+      case ArrayType(et, containsNull) =>
+        // the standard 3-level LIST encoding — byte-identical shape to
+        // what Spark's own parquet writer emits, so a CTAS'd array
+        // table reads back through ANY parquet reader
+        Types.buildGroup(rep).as(LogicalTypeAnnotation.listType())
+          .addField(Types.repeatedGroup()
+            .addField(parquetType("element", et, containsNull)).named("list"))
+          .named(name)
+      case MapType(kt, vt, valueContainsNull) =>
+        Types.buildGroup(rep).as(LogicalTypeAnnotation.mapType())
+          .addField(Types.repeatedGroup()
+            .addField(parquetType("key", kt, nullable = false))
+            .addField(parquetType("value", vt, valueContainsNull))
+            .named("key_value"))
+          .named(name)
       case other => sys.error(s"graft-snapshot write: unsupported type $other ($name)")
     }
   }
@@ -368,16 +383,25 @@ private[sources] object SnapshotSourceUtil {
   }
 
   /** Parquet type → Spark type: primitives plus (r16) NESTED GROUPS
-    * as StructType — the READ envelope covers struct columns; lists/
-    * maps (REPEATED) stay refused loudly. */
+    * as StructType plus (r17) LIST/MAP logical-type groups as
+    * ArrayType/MapType — the standard THREE-LEVEL repeated-group
+    * encoding (what Spark, Arrow and DuckDB all write: `<rep> group c
+    * (LIST) { repeated group list { <rep> T element; } }`). Decode is
+    * POSITIONAL, so the inner names (`list`/`element` vs `array` vs
+    * `item`) don't matter — the shape is the contract. Legacy 2-level
+    * lists (a bare REPEATED field) stay refused loudly. */
   private def sparkType(f: org.apache.parquet.schema.Type): org.apache.spark.sql.types.DataType = {
-    // REPEATED fields (lists) are outside the envelope whatever their
-    // kind — a repeated PRIMITIVE would otherwise map to its scalar
-    // type and the reader's (j, 0) access would silently serve only
-    // element 0 of each row's list (r16 review)
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    // a bare REPEATED field (parquet's legacy 2-level list) is outside
+    // the envelope whatever its kind — a repeated PRIMITIVE would
+    // otherwise map to its scalar type and the reader's (j, 0) access
+    // would silently serve only element 0 of each row's list (r16
+    // review); the standard 3-level encoding never reaches here (its
+    // repeated inner group is consumed by the LIST/MAP branches below)
     require(!f.isRepetition(org.apache.parquet.schema.Type.Repetition.REPEATED),
-      s"graft-snapshot: repeated field ${f.getName} (list/map) is outside " +
-        "the connector's envelope — read through SnapshotTable.readAt")
+      s"graft-snapshot: bare repeated field ${f.getName} (legacy 2-level " +
+        "list) is outside the connector's envelope — read through " +
+        "SnapshotTable.readAt")
     if (f.isPrimitive) f.asPrimitiveType().getPrimitiveTypeName match {
       case PrimitiveTypeName.INT64 => LongType
       case PrimitiveTypeName.INT32 => IntegerType
@@ -386,10 +410,31 @@ private[sources] object SnapshotSourceUtil {
       case PrimitiveTypeName.BOOLEAN => BooleanType
       case PrimitiveTypeName.BINARY => StringType
       case other => sys.error(s"graft-snapshot: unsupported column type $other (${f.getName})")
-    } else
-      StructType(f.asGroupType().getFields.asScala.map(g =>
-        StructField(g.getName, sparkType(g),
-          !g.isRepetition(org.apache.parquet.schema.Type.Repetition.REQUIRED))).toSeq)
+    } else {
+      val g = f.asGroupType()
+      def repeatedInner(expectFields: Int, what: String): org.apache.parquet.schema.GroupType = {
+        require(g.getFieldCount == 1 && !g.getType(0).isPrimitive &&
+            g.getType(0).isRepetition(org.apache.parquet.schema.Type.Repetition.REPEATED) &&
+            g.getType(0).asGroupType().getFieldCount == expectFields,
+          s"graft-snapshot: $what column ${f.getName} is not the standard " +
+            "3-level repeated-group encoding — read through SnapshotTable.readAt")
+        g.getType(0).asGroupType()
+      }
+      g.getLogicalTypeAnnotation match {
+        case _: LogicalTypeAnnotation.ListLogicalTypeAnnotation =>
+          val el = repeatedInner(1, "LIST").getType(0)
+          ArrayType(sparkType(el),
+            !el.isRepetition(org.apache.parquet.schema.Type.Repetition.REQUIRED))
+        case _: LogicalTypeAnnotation.MapLogicalTypeAnnotation =>
+          val kv = repeatedInner(2, "MAP")
+          MapType(sparkType(kv.getType(0)), sparkType(kv.getType(1)),
+            !kv.getType(1).isRepetition(org.apache.parquet.schema.Type.Repetition.REQUIRED))
+        case _ =>
+          StructType(g.getFields.asScala.map(x =>
+            StructField(x.getName, sparkType(x),
+              !x.isRepetition(org.apache.parquet.schema.Type.Repetition.REQUIRED))).toSeq)
+      }
+    }
   }
 
   def sparkSchema(m: MessageType): StructType = StructType(m.getFields.asScala.map { f =>
@@ -944,14 +989,11 @@ private[sources] class SnapshotScan(root: String, version: Int,
     * file base + position (the same coalesce rule as
     * [[SnapshotTable.readWithRowIds]]). */
   private def rowIdFactory: SnapshotRowIdReaderFactory = {
-    // the row-id reader's decode loop is primitive-only; struct
-    // tables read their ids through SnapshotTable.readWithRowIds
-    pruned.fields.filterNot(f => idOutNames.contains(f.name))
-      .find(_.dataType.isInstanceOf[StructType]).foreach(f =>
-        throw new IllegalArgumentException(
-          s"graft-snapshot rowIds: column ${f.name} is a STRUCT — the DSv2 " +
-            "row-id read envelope is primitive-only; use " +
-            "SnapshotTable.readWithRowIds (plain struct reads work)"))
+    // nested columns (structs/lists/maps) decode through the same
+    // per-file machinery since r17: the only per-file variance on the
+    // rowIds path is WHOLE-column __row_id presence, and nested +
+    // type-evolved tables are refused globally at tableMessageType —
+    // so the static request is always the nested shape authority
     val map = SnapshotTable.colMap(root, version)
     val basePhys = SnapshotSourceUtil.physStruct(StructType(
       pruned.fields.filterNot(f => idOutNames.contains(f.name))), map)
@@ -1001,15 +1043,11 @@ private[sources] class SnapshotScan(root: String, version: Int,
     * like an evolved snapshot read (one footer pre-read per changed
     * file — batch-proportional, the CDC price). */
   private def cdfFactory: SnapshotCdfReaderFactory = {
-    // the CDF reader decodes in per-file (evolved) mode — whose slot
-    // machinery is primitive-only: a struct table's feed refuses at
-    // planning, pointing at the batch diff, instead of dying
-    // executor-side (r16 review; the rowIds seam has the same rule)
-    pruned.fields.find(_.dataType.isInstanceOf[StructType]).foreach(f =>
-      throw new IllegalArgumentException(
-        s"graft-snapshot CDF: column ${f.name} is a STRUCT — the change-feed " +
-          "decode envelope is primitive-only; diff commits with " +
-          "SnapshotTable.changesBetween (plain struct reads work)"))
+    // nested columns (structs/lists/maps) decode through the per-file
+    // machinery since r17: a changed file of a nested-typed table has
+    // the same nested SHAPE as the scan schema (nested + type-evolved
+    // refuses globally at tableMessageType), so the per-file
+    // intersection only ever varies whole-column presence
     // physical namespace throughout (see factory): table columns
     // translate through the mapping; CDF metadata columns are never
     // mapped and pass through
@@ -1670,56 +1708,74 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
           org.apache.parquet.schema.Type.Repetition.REQUIRED))
       else f
     }))
-    // STRUCT columns write under the RESIDENT footer's group type
-    // verbatim (inner field order AND repetition must match the files
-    // this one sits beside — the uniform read's shared request refuses
-    // a mix); compatibility is checked here at plan time: an incoming
-    // field the resident group lacks is struct-field evolution (needs
-    // a rewrite), an omitted REQUIRED field has no value to write.
-    // RECURSIVE compatibility: names, REQUIRED presence AND primitive
-    // kinds must match the resident group at every depth — a mismatch
-    // refuses at planning with the field's path, never a per-row
-    // parquet error mid-task (r16 review)
-    def checkStructCompat(path: String, st: StructType,
-        gt: org.apache.parquet.schema.GroupType): Unit = {
-      import scala.jdk.CollectionConverters._
-      val extra = st.fieldNames.filterNot(gt.containsField)
-      require(extra.isEmpty,
-        s"graft-snapshot write to $root: struct $path carries " +
-          s"field(s) ${extra.mkString(",")} the resident files lack — " +
-          "struct-field evolution needs a rewrite (Scala route)")
-      val missingReq = gt.getFields.asScala.filter(x =>
-        x.isRepetition(org.apache.parquet.schema.Type.Repetition.REQUIRED) &&
-          !st.fieldNames.contains(x.getName))
-      require(missingReq.isEmpty,
-        s"graft-snapshot write to $root: struct $path omits " +
-          s"REQUIRED field(s) ${missingReq.map(_.getName).mkString(",")}")
-      st.fields.foreach { f =>
-        val ft2 = gt.getType(gt.getFieldIndex(f.name))
-        f.dataType match {
-          case s2: StructType =>
-            require(!ft2.isPrimitive,
-              s"graft-snapshot write to $root: $path.${f.name} is a struct " +
-                "but the resident files declare a primitive — needs a rewrite")
-            checkStructCompat(s"$path.${f.name}", s2, ft2.asGroupType())
-          case dt =>
-            val expected = dt match {
-              case LongType => PrimitiveTypeName.INT64
-              case IntegerType => PrimitiveTypeName.INT32
-              case DoubleType => PrimitiveTypeName.DOUBLE
-              case FloatType => PrimitiveTypeName.FLOAT
-              case BooleanType => PrimitiveTypeName.BOOLEAN
-              case StringType => PrimitiveTypeName.BINARY
-              case other => sys.error(
-                s"graft-snapshot write: unsupported nested type $other")
-            }
-            require(ft2.isPrimitive &&
-                ft2.asPrimitiveType().getPrimitiveTypeName == expected,
-              s"graft-snapshot write to $root: $path.${f.name} is " +
-                s"${dt.simpleString} but the resident files declare $ft2 — " +
-                "type changes inside a struct need a rewrite")
+    // NESTED columns (structs r16, lists/maps r17) write under the
+    // RESIDENT footer's group type verbatim (inner field order AND
+    // repetition must match the files this one sits beside — the
+    // uniform read's shared request refuses a mix); compatibility is
+    // checked here at plan time: an incoming field the resident group
+    // lacks is struct-field evolution (needs a rewrite), an omitted
+    // REQUIRED field has no value to write. RECURSIVE compatibility:
+    // names, REQUIRED presence, group SHAPE (list/map/struct) AND
+    // primitive kinds must match the resident declaration at every
+    // depth — a mismatch refuses at planning with the field's path,
+    // never a per-row parquet error mid-task (r16 review)
+    def checkNestedCompat(path: String, dt0: DataType,
+        ft0: org.apache.parquet.schema.Type): Unit = dt0 match {
+      case st: StructType =>
+        require(!ft0.isPrimitive &&
+            ft0.asGroupType().getLogicalTypeAnnotation == null,
+          s"graft-snapshot write to $root: $path is a struct but the " +
+            s"resident files declare $ft0 — needs a rewrite")
+        val gt = ft0.asGroupType()
+        import scala.jdk.CollectionConverters._
+        val extra = st.fieldNames.filterNot(gt.containsField)
+        require(extra.isEmpty,
+          s"graft-snapshot write to $root: struct $path carries " +
+            s"field(s) ${extra.mkString(",")} the resident files lack — " +
+            "struct-field evolution needs a rewrite (Scala route)")
+        val missingReq = gt.getFields.asScala.filter(x =>
+          x.isRepetition(org.apache.parquet.schema.Type.Repetition.REQUIRED) &&
+            !st.fieldNames.contains(x.getName))
+        require(missingReq.isEmpty,
+          s"graft-snapshot write to $root: struct $path omits " +
+            s"REQUIRED field(s) ${missingReq.map(_.getName).mkString(",")}")
+        st.fields.foreach { f =>
+          checkNestedCompat(s"$path.${f.name}", f.dataType,
+            gt.getType(gt.getFieldIndex(f.name)))
         }
-      }
+      case ArrayType(et, _) =>
+        require(!ft0.isPrimitive && ft0.asGroupType().getLogicalTypeAnnotation
+            .isInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation
+              .ListLogicalTypeAnnotation],
+          s"graft-snapshot write to $root: $path is an array but the " +
+            s"resident files declare $ft0 — needs a rewrite")
+        checkNestedCompat(s"$path.element", et,
+          ft0.asGroupType().getType(0).asGroupType().getType(0))
+      case MapType(kt, vt, _) =>
+        require(!ft0.isPrimitive && ft0.asGroupType().getLogicalTypeAnnotation
+            .isInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation
+              .MapLogicalTypeAnnotation],
+          s"graft-snapshot write to $root: $path is a map but the " +
+            s"resident files declare $ft0 — needs a rewrite")
+        val kv = ft0.asGroupType().getType(0).asGroupType()
+        checkNestedCompat(s"$path.key", kt, kv.getType(0))
+        checkNestedCompat(s"$path.value", vt, kv.getType(1))
+      case dt =>
+        val expected = dt match {
+          case LongType => PrimitiveTypeName.INT64
+          case IntegerType => PrimitiveTypeName.INT32
+          case DoubleType => PrimitiveTypeName.DOUBLE
+          case FloatType => PrimitiveTypeName.FLOAT
+          case BooleanType => PrimitiveTypeName.BOOLEAN
+          case StringType => PrimitiveTypeName.BINARY
+          case other => sys.error(
+            s"graft-snapshot write: unsupported nested type $other")
+        }
+        require(ft0.isPrimitive &&
+            ft0.asPrimitiveType().getPrimitiveTypeName == expected,
+          s"graft-snapshot write to $root: $path is " +
+            s"${dt.simpleString} but the resident files declare $ft0 — " +
+            "type changes inside a nested column need a rewrite")
     }
     val msg = physMsg match {
       case None => SnapshotSourceUtil.messageType(phys)
@@ -1731,8 +1787,8 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
           else {
             val ft = m.getType(m.getFieldIndex(f.name))
             f.dataType match {
-              case st: StructType if !ft.isPrimitive =>
-                checkStructCompat(f.name, st, ft.asGroupType())
+              case _: StructType | _: ArrayType | _: MapType =>
+                checkNestedCompat(f.name, f.dataType, ft)
                 ft
               case _ => ft
             }
@@ -1916,25 +1972,41 @@ private[sources] class PartitionFileWriter(root: String, rel: String,
   private val msg = MessageTypeParser.parseMessageType(parquetSchema)
   private val groups = new SimpleGroupFactory(msg)
   private var rows = 0L
-  // STRUCT write plans (r16): per incoming struct field, the message
-  // group's field index (matched by NAME once here), its REQUIRED
-  // flag, type, and sub-plan — the per-row loop stays lookup-free
+  // NESTED write plans (r16 structs, r17 lists/maps): per incoming
+  // struct field, the message group's field index (matched by NAME
+  // once here), its REQUIRED flag, type, and sub-plan — the per-row
+  // loop stays lookup-free
   private def writePlan(st: StructType,
       gt: org.apache.parquet.schema.GroupType): Array[(Int, Boolean, DataType, AnyRef)] =
     st.fields.map { f =>
       val j = gt.getFieldIndex(f.name)
       val req = gt.getType(j).isRepetition(
         org.apache.parquet.schema.Type.Repetition.REQUIRED)
-      val sub: AnyRef = f.dataType match {
-        case s: StructType => writePlan(s, gt.getType(j).asGroupType())
-        case _ => null
-      }
-      (j, req, f.dataType, sub)
+      (j, req, f.dataType, writeSub(f.dataType, gt.getType(j)))
     }
-  private val structWritePlans: Array[Array[(Int, Boolean, DataType, AnyRef)]] =
+  // sub-plan per DataType: struct → field plan; array → (element
+  // REQUIRED flag, element sub-plan); map → [key sub-plan, value
+  // REQUIRED flag, value sub-plan]; primitive → null
+  private def writeSub(dt: DataType,
+      pt: org.apache.parquet.schema.Type): AnyRef = dt match {
+    case s: StructType => writePlan(s, pt.asGroupType())
+    case ArrayType(et, _) =>
+      val el = pt.asGroupType().getType(0).asGroupType().getType(0)
+      (el.isRepetition(org.apache.parquet.schema.Type.Repetition.REQUIRED),
+        writeSub(et, el))
+    case MapType(kt, vt, _) =>
+      val kv = pt.asGroupType().getType(0).asGroupType()
+      Array[AnyRef](writeSub(kt, kv.getType(0)),
+        java.lang.Boolean.valueOf(kv.getType(1).isRepetition(
+          org.apache.parquet.schema.Type.Repetition.REQUIRED)),
+        writeSub(vt, kv.getType(1)))
+    case _ => null
+  }
+  private val nestedWritePlans: Array[AnyRef] =
     schema.fields.zipWithIndex.map { case (f, i) =>
       f.dataType match {
-        case st: StructType => writePlan(st, msg.getType(i).asGroupType())
+        case _: StructType | _: ArrayType | _: MapType =>
+          writeSub(f.dataType, msg.getType(i))
         case _ => null
       }
     }
@@ -1947,20 +2019,63 @@ private[sources] class PartitionFileWriter(root: String, rel: String,
         if (req) throw new IllegalArgumentException(
           s"graft-snapshot write to $root: NULL into a struct field the " +
             "resident files declare REQUIRED (NOT NULL)")
-      } else dt match {
-        case LongType => g.add(j, row.getLong(i))
-        case IntegerType => g.add(j, row.getInt(i))
-        case DoubleType => g.add(j, row.getDouble(i))
-        case FloatType => g.add(j, row.getFloat(i))
-        case BooleanType => g.add(j, row.getBoolean(i))
-        case StringType => g.add(j, row.getUTF8String(i).toString)
-        case s: StructType => writeStruct(g.addGroup(j),
-          row.getStruct(i, s.length),
-          sub.asInstanceOf[Array[(Int, Boolean, DataType, AnyRef)]])
-        case other => sys.error(s"graft-snapshot write: unsupported nested type $other")
-      }
+      } else writeValue(g, j, dt, row, i, sub)
       i += 1
     }
+  }
+  /** One non-null value from `src` at ordinal `ord` into field `j` of
+    * `g` — the shared kernel for top-level slots, struct fields, list
+    * elements and map entries (InternalRow and ArrayData both read
+    * through SpecializedGetters). */
+  private def writeValue(g: org.apache.parquet.example.data.Group, j: Int,
+      dt: DataType,
+      src: org.apache.spark.sql.catalyst.expressions.SpecializedGetters,
+      ord: Int, sub: AnyRef): Unit = dt match {
+    case LongType => g.add(j, src.getLong(ord))
+    case IntegerType => g.add(j, src.getInt(ord))
+    case DoubleType => g.add(j, src.getDouble(ord))
+    case FloatType => g.add(j, src.getFloat(ord))
+    case BooleanType => g.add(j, src.getBoolean(ord))
+    case StringType => g.add(j, src.getUTF8String(ord).toString)
+    case s: StructType => writeStruct(g.addGroup(j),
+      src.getStruct(ord, s.length),
+      sub.asInstanceOf[Array[(Int, Boolean, DataType, AnyRef)]])
+    case ArrayType(et, _) =>
+      // 3-level LIST: one inner repeated group per element; a NULL
+      // element is an inner group with the slot unset, an empty array
+      // is the outer group with zero inner groups
+      val (elReq, elSub) = sub.asInstanceOf[(Boolean, AnyRef)]
+      val lg = g.addGroup(j)
+      val arr = src.getArray(ord)
+      var k = 0
+      while (k < arr.numElements()) {
+        val eg = lg.addGroup(0)
+        if (arr.isNullAt(k)) {
+          if (elReq) throw new IllegalArgumentException(
+            s"graft-snapshot write to $root: NULL array element into a " +
+              "list whose resident files declare REQUIRED elements")
+        } else writeValue(eg, 0, et, arr, k, elSub)
+        k += 1
+      }
+    case MapType(kt, vt, _) =>
+      val subs = sub.asInstanceOf[Array[AnyRef]]
+      val vReq = subs(1).asInstanceOf[java.lang.Boolean].booleanValue()
+      val mg = g.addGroup(j)
+      val m = src.getMap(ord)
+      val keys = m.keyArray()
+      val mvals = m.valueArray()
+      var k = 0
+      while (k < m.numElements()) {
+        val kvg = mg.addGroup(0)
+        writeValue(kvg, 0, kt, keys, k, subs(0)) // map keys are never null
+        if (mvals.isNullAt(k)) {
+          if (vReq) throw new IllegalArgumentException(
+            s"graft-snapshot write to $root: NULL map value into a map " +
+              "whose resident files declare REQUIRED values")
+        } else writeValue(kvg, 1, vt, mvals, k, subs(2))
+        k += 1
+      }
+    case other => sys.error(s"graft-snapshot write: unsupported nested type $other")
   }
   private val writer = {
     val conf = new Configuration()
@@ -2025,8 +2140,8 @@ private[sources] class PartitionFileWriter(root: String, rel: String,
         case FloatType => g.add(i, row.getFloat(i))
         case BooleanType => g.add(i, row.getBoolean(i))
         case StringType => g.add(i, row.getUTF8String(i).toString)
-        case st: StructType => writeStruct(g.addGroup(i),
-          row.getStruct(i, st.length), structWritePlans(i))
+        case dt @ (_: StructType | _: ArrayType | _: MapType) =>
+          writeValue(g, i, dt, row, i, nestedWritePlans(i))
         case other => sys.error(s"graft-snapshot write: unsupported type $other")
       }
       i += 1
@@ -2155,35 +2270,49 @@ private[sources] case class SnapshotReaderFactory(projectedMessage: String,
         fileMeta match {
           case None => null
           case Some((fileFields, _)) => pruned.fields.map { f =>
-            fileFields.get(f.name)
+            // nested (group) columns never upcast — null, same as absent
+            fileFields.get(f.name).filter(_.isPrimitive)
               .map(_.asPrimitiveType().getPrimitiveTypeName).orNull
           }
         }
-      // STRUCT decode plans (r16): for each pruned slot holding a
-      // StructType, the request group's field indices matched by NAME
-      // once at reader build — the per-row loop stays lookup-free.
-      // Struct + evolved is refused at planning, so the static
-      // `request` message is always the authority here.
+      // NESTED decode plans (r16 structs, r17 lists/maps): for each
+      // pruned slot holding a nested type, the request group's field
+      // indices matched by NAME once at reader build — the per-row
+      // loop stays lookup-free. Nested + type-evolved is refused at
+      // planning (tableMessageType), so the static `request` message
+      // is always the shape authority here even in per-file mode (the
+      // only per-file variance then is WHOLE-column presence, which
+      // the top-level slot map already handles).
       private def groupPlan(st: StructType,
           gt: org.apache.parquet.schema.GroupType): Array[(Int, DataType, AnyRef)] =
         st.fields.map { f =>
           val j = if (gt.containsField(f.name)) gt.getFieldIndex(f.name) else -1
-          val sub: AnyRef = f.dataType match {
-            case s: StructType if j >= 0 => groupPlan(s, gt.getType(j).asGroupType())
-            case _ => null
-          }
+          val sub: AnyRef =
+            if (j >= 0) nestedSub(f.dataType, gt.getType(j)) else null
           (j, f.dataType, sub)
         }
-      private val structPlans: Array[Array[(Int, DataType, AnyRef)]] =
+      // sub-plan per DataType: struct → field plan; array → element
+      // sub-plan; map → [key sub-plan, value sub-plan]; primitive → null
+      private def nestedSub(dt: DataType,
+          pt: org.apache.parquet.schema.Type): AnyRef = dt match {
+        case s: StructType => groupPlan(s, pt.asGroupType())
+        case ArrayType(et, _) =>
+          nestedSub(et, pt.asGroupType().getType(0).asGroupType().getType(0))
+        case MapType(kt, vt, _) =>
+          val kv = pt.asGroupType().getType(0).asGroupType()
+          Array[AnyRef](nestedSub(kt, kv.getType(0)), nestedSub(vt, kv.getType(1)))
+        case _ => null
+      }
+      private val nestedPlans: Array[AnyRef] =
         pruned.fields.zipWithIndex.map { case (f, i) =>
           f.dataType match {
-            case s: StructType =>
+            case _: StructType | _: ArrayType | _: MapType =>
               // POSITIONAL: the request carries PHYSICAL top-level
               // names (column mapping renames them) in pruned order;
               // field names INSIDE the group are physical too, which
               // equals logical here because nested-mapped tables are
               // refused at every DSv2 seam
-              groupPlan(s, request.getType(i).asGroupType())
+              nestedSub(f.dataType, request.getType(i))
             case _ => null
           }
         }
@@ -2195,20 +2324,59 @@ private[sources] case class SnapshotReaderFactory(projectedMessage: String,
           val (j, dt, sub) = plan(i)
           vals(i) =
             if (j < 0 || g.getFieldRepetitionCount(j) == 0) null
-            else dt match {
-              case LongType => g.getLong(j, 0)
-              case IntegerType => g.getInteger(j, 0)
-              case DoubleType => g.getDouble(j, 0)
-              case FloatType => g.getFloat(j, 0)
-              case BooleanType => g.getBoolean(j, 0)
-              case StringType => UTF8String.fromString(g.getString(j, 0))
-              case _: StructType => decodeGroup(g.getGroup(j, 0),
-                sub.asInstanceOf[Array[(Int, DataType, AnyRef)]])
-              case other => sys.error(s"graft-snapshot: unsupported nested type $other")
-            }
+            else decodeValue(g, j, 0, dt, sub)
           i += 1
         }
         new GenericInternalRow(vals)
+      }
+      /** One non-null value at (field j, occurrence k) of `g`, decoded
+        * to Spark's internal representation — the shared kernel for
+        * top-level slots, struct fields, list elements and map
+        * entries. */
+      private def decodeValue(g: Group, j: Int, k: Int,
+          dt: DataType, sub: AnyRef): Any = dt match {
+        case LongType => g.getLong(j, k)
+        case IntegerType => g.getInteger(j, k)
+        case DoubleType => g.getDouble(j, k)
+        case FloatType => g.getFloat(j, k)
+        case BooleanType => g.getBoolean(j, k)
+        case StringType => UTF8String.fromString(g.getString(j, k))
+        case _: StructType => decodeGroup(g.getGroup(j, k),
+          sub.asInstanceOf[Array[(Int, DataType, AnyRef)]])
+        case ArrayType(et, _) =>
+          // 3-level LIST: g.getGroup(j,k) is the LIST group; its single
+          // repeated inner group holds one element each — an unset
+          // element slot (repetition 0) is a NULL element, zero inner
+          // groups is an EMPTY (non-null) array
+          val lg = g.getGroup(j, k)
+          val n = lg.getFieldRepetitionCount(0)
+          val out = new Array[Any](n)
+          var x = 0
+          while (x < n) {
+            val eg = lg.getGroup(0, x)
+            out(x) = if (eg.getFieldRepetitionCount(0) == 0) null
+              else decodeValue(eg, 0, 0, et, sub)
+            x += 1
+          }
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+        case MapType(kt, vt, _) =>
+          val mg = g.getGroup(j, k)
+          val n = mg.getFieldRepetitionCount(0)
+          val keys = new Array[Any](n)
+          val mvals = new Array[Any](n)
+          val subs = sub.asInstanceOf[Array[AnyRef]]
+          var x = 0
+          while (x < n) {
+            val kvg = mg.getGroup(0, x)
+            keys(x) = decodeValue(kvg, 0, 0, kt, subs(0))
+            mvals(x) = if (kvg.getFieldRepetitionCount(1) == 0) null
+              else decodeValue(kvg, 1, 0, vt, subs(1))
+            x += 1
+          }
+          new org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(keys),
+            new org.apache.spark.sql.catalyst.util.GenericArrayData(mvals))
+        case other => sys.error(s"graft-snapshot: unsupported nested type $other")
       }
       override def get(): InternalRow = {
         import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -2232,7 +2400,8 @@ private[sources] case class SnapshotReaderFactory(projectedMessage: String,
               case FloatType => cur.getFloat(j, 0)
               case BooleanType => cur.getBoolean(j, 0)
               case StringType => UTF8String.fromString(cur.getString(j, 0))
-              case _: StructType => decodeGroup(cur.getGroup(j, 0), structPlans(i))
+              case dt @ (_: StructType | _: ArrayType | _: MapType) =>
+                decodeValue(cur, j, 0, dt, nestedPlans(i))
               case other => sys.error(s"graft-snapshot: unsupported type $other")
             }
           i += 1

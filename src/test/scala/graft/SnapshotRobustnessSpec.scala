@@ -674,12 +674,14 @@ class SnapshotRobustnessSpec extends AnyFunSuite {
       .mode("append").save(plain))
     assert(chain(eTy).contains("need a rewrite") &&
       chain(eTy).contains("props.v"), chain(eTy))
-    // the CHANGE FEED's decode envelope is primitive-only: a struct
-    // table's feed refuses at planning, pointing at changesBetween
-    val eCdf = intercept[Exception](spark.read.format("graft-snapshot")
+    // the CHANGE FEED decodes struct tables since r17 (the per-file
+    // machinery's nested plans): the whole-history batch feed serves
+    // every row as an insert with the struct intact
+    val cdfRows = spark.read.format("graft-snapshot")
       .option("readChangeFeed", "true").option("afterVersion", "0")
-      .load(plain).collect())
-    assert(chain(eCdf).contains("changesBetween"), chain(eCdf))
+      .load(plain)
+    assert(cdfRows.filter(col("_change_type") === "insert").count() == 20)
+    assert(cdfRows.agg(sum(col("props.v"))).head().getDouble(0) == sumV)
     // ADD COLUMN over a struct table refuses BEFORE committing — the
     // evolved table would stop reading on the DSv2 route (mixed-width
     // machinery is primitive-only), and a committed-then-unloadable
@@ -692,15 +694,97 @@ class SnapshotRobustnessSpec extends AnyFunSuite {
       "refused ALTER must not commit")
     assert(spark.sql("SELECT COUNT(*) FROM gst.ctas").head().getLong(0) == 21,
       "the table must stay readable after the refusal")
-    // rowIds on a struct table points at the Scala route
+    // rowIds on a struct table serves through the connector since r17
+    // — ids AND struct values byte-identical to the Scala route
     val rt = freshRoot("graft_dsv2_struct_rt")
     ST.commitEntries(rt, 0,
       ST.writeDataFiles(df.coalesce(1), rt, "a").map(ST.footerEntry(rt, _, "k")),
       16, Map("statsCol" -> "k"))
     ST.enableRowTracking(spark, rt)
-    val eR = intercept[Exception](spark.read.format("graft-snapshot")
-      .option("rowIds", "true").load(rt).collect())
-    assert(chain(eR).contains("readWithRowIds"), chain(eR))
-    assert(ST.readWithRowIds(spark, rt).count() == 20)
+    val viaDsv2 = spark.read.format("graft-snapshot")
+      .option("rowIds", "true").load(rt)
+      .select(col("_row_id"), col("k"), col("props.v").as("pv"))
+    val viaScala = ST.readWithRowIds(spark, rt)
+      .select(col("_row_id"), col("k"), col("props.v").as("pv"))
+    assert(viaDsv2.count() == 20)
+    assert(viaDsv2.exceptAll(viaScala).isEmpty && viaScala.exceptAll(viaDsv2).isEmpty,
+      "DSv2 rowIds read of a struct table must match the Scala route")
+  }
+
+  test("DSv2 LIST/MAP columns (r17): write+read round trip, null/empty semantics, DML, rowIds, CDF") {
+    import spark.implicits._
+    def chain(e: Throwable): String =
+      Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    val root = freshRoot("graft_dsv2_list")
+    // rows exercise every boundary: k=1 null array, k=2 empty array,
+    // k%4==0 a null ELEMENT inside, k=5 a null map value; maps +
+    // nested struct-in-array ride the same envelope
+    val df = (1L to 20L).toDF("k").select(col("k"),
+      when(col("k") === 1, lit(null).cast("array<double>"))
+        .when(col("k") === 2, array().cast("array<double>"))
+        .otherwise(array(col("k") * 1.0,
+          when(col("k") % 4 =!= 0, col("k") * 2.0), col("k") * 3.0)).as("vals"),
+      map(lit("a"), col("k"),
+        lit("b"), when(col("k") =!= 5, col("k") * 10)).as("m"),
+      array(struct(col("k").as("id"), (col("k") % 3).as("grp"))).as("tags"))
+    df.write.format("graft-snapshot").mode("append").save(root)
+    val got = spark.read.format("graft-snapshot").load(root)
+    // schema round-trips exactly
+    assert(got.schema("vals").dataType.simpleString == "array<double>")
+    assert(got.schema("m").dataType.simpleString == "map<string,bigint>")
+    assert(got.schema("tags").dataType.simpleString == "array<struct<id:bigint,grp:bigint>>")
+    // null vs empty vs null-element all distinct through the round trip
+    assert(got.filter(col("vals").isNull).select(col("k")).head().getLong(0) == 1L)
+    assert(got.filter(col("vals").isNotNull && size(col("vals")) === 0)
+      .select(col("k")).head().getLong(0) == 2L)
+    assert(got.filter(expr("exists(vals, x -> x IS NULL)"))
+      .select(col("k")).collect().map(_.getLong(0)).toSet ==
+      (3L to 20L).filter(_ % 4 == 0).toSet)
+    // element values decode exactly; map null-value semantics hold
+    assert(got.filter(col("k") === 7)
+      .select(expr("aggregate(vals, 0D, (a, x) -> a + x)")).head().getDouble(0)
+      == 7.0 + 14.0 + 21.0)
+    assert(got.filter(col("k") === 5).select(col("m")("b")).head().isNullAt(0))
+    assert(got.filter(col("k") === 6).select(col("m")("b")).head().getLong(0) == 60L)
+    // struct-in-array decodes through the same recursive plan
+    assert(got.select(expr("tags[0].grp").as("g")).agg(sum("g")).head().getLong(0)
+      == (1L to 20L).map(_ % 3).sum)
+    assert(got.filter(expr("tags[0].id = 9")).count() == 1)
+    // second commit sits beside residents (nested-shape compat) and a
+    // DSv2 DELETE rewrites array files copy-on-write
+    df.select(col("k") + 100 as "k", col("vals"), col("m"), col("tags"))
+      .write.format("graft-snapshot").mode("append").save(root)
+    spark.sql(s"DELETE FROM '$root' WHERE k > 110").collect()
+    assert(spark.read.format("graft-snapshot").load(root).count() == 30)
+    assert(spark.read.format("graft-snapshot").load(root)
+      .filter(col("k") === 107)
+      .select(expr("aggregate(vals, 0D, (a, x) -> a + x)")).head().getDouble(0)
+      == 7.0 + 14.0 + 21.0)
+    // a shape change (array-of-double → array-of-long) refuses at PLAN
+    // time with the element path, never a mid-task parquet error
+    val retyped = df.select(col("k"),
+      expr("transform(vals, x -> CAST(x AS BIGINT))").as("vals"),
+      col("m"), col("tags"))
+    val eTy = intercept[Exception](retyped.write.format("graft-snapshot")
+      .mode("append").save(root))
+    assert(chain(eTy).contains("vals.element"), chain(eTy))
+    // rowIds + CDF compose with the nested decode (r17)
+    ST.enableRowTracking(spark, root)
+    val ids = spark.read.format("graft-snapshot").option("rowIds", "true")
+      .load(root).select(col("_row_id"), col("k"), col("vals"))
+    assert(ids.select("_row_id").distinct().count() == 30)
+    assert(ids.filter(col("k") === 7).select(expr("vals[2]")).head().getDouble(0) == 21.0)
+    val feed = spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true").option("afterVersion", "0").load(root)
+    assert(feed.filter(col("_change_type") === "delete" && col("k") > 110)
+      .count() == 10)
+    assert(feed.filter(col("_change_type") === "insert" && col("k") === 3)
+      .select(expr("vals[0]")).head().getDouble(0) == 3.0)
+    // the Scala route reads the connector-written nested files
+    // identically (parquet-mr and Spark's vectorized reader agree on
+    // the 3-level encoding the task writer emits)
+    assert(ST.read(spark, root).filter(col("k") === 7)
+      .select(expr("m['a']")).head().getLong(0) == 7L)
   }
 }
