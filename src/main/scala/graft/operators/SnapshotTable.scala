@@ -409,30 +409,45 @@ object SnapshotTable {
   /** One footer read harvesting stats for the primary key column AND
     * any secondary columns (x22's Z-order manifests carry both). */
   private[graft] def footerEntryMulti(root: String, rel: String, keyCol: String,
-      extraCols: Seq[String]): FileEntry = {
-    import scala.jdk.CollectionConverters._
+      extraCols: Seq[String]): FileEntry =
+    withFooter(root, rel)(statsEntry(_, rel, keyCol, extraCols))
+
+  /** Footer read + stats harvest with the file's SCHEMA fingerprint —
+    * one open for both (convert's uniformity validation, run inside
+    * Spark tasks: everything here must stay driver-state-free). */
+  private[graft] def footerEntryWithSchema(root: String, rel: String,
+      keyCol: String): (FileEntry, String) =
+    withFooter(root, rel)(r => (statsEntry(r, rel, keyCol, Nil),
+      r.getFooter.getFileMetaData.getSchema.toString))
+
+  private def withFooter[T](root: String, rel: String)(
+      f: org.apache.parquet.hadoop.ParquetFileReader => T): T = {
     val in = HadoopInputFile.fromPath(
       new HadoopPath(Paths.get(root, rel).toUri), hadoopConf)
     val reader = ParquetFileReader.open(in)
-    try {
-      val blocks = reader.getFooter.getBlocks.asScala.toSeq
-      val rows = blocks.map(_.getRowCount).sum
-      def colStats(c: String): Option[(Long, Long)] = {
-        val stats = blocks.flatMap(_.getColumns.asScala
-            .filter(_.getPath.toDotString == c).map(_.getStatistics))
-          .filter(s => s != null && s.hasNonNullValue)
-        def asLong(v: Any): Long = v match {
-          case l: java.lang.Long => l.longValue
-          case i: java.lang.Integer => i.longValue
-        }
-        if (stats.isEmpty) None
-        else Some((stats.map(s => asLong(s.genericGetMin)).min,
-          stats.map(s => asLong(s.genericGetMax)).max))
+    try f(reader) finally reader.close()
+  }
+
+  private def statsEntry(reader: org.apache.parquet.hadoop.ParquetFileReader,
+      rel: String, keyCol: String, extraCols: Seq[String]): FileEntry = {
+    import scala.jdk.CollectionConverters._
+    val blocks = reader.getFooter.getBlocks.asScala.toSeq
+    val rows = blocks.map(_.getRowCount).sum
+    def colStats(c: String): Option[(Long, Long)] = {
+      val stats = blocks.flatMap(_.getColumns.asScala
+          .filter(_.getPath.toDotString == c).map(_.getStatistics))
+        .filter(s => s != null && s.hasNonNullValue)
+      def asLong(v: Any): Long = v match {
+        case l: java.lang.Long => l.longValue
+        case i: java.lang.Integer => i.longValue
       }
-      val (lo, hi) = colStats(keyCol).getOrElse((Long.MinValue, Long.MaxValue))
-      FileEntry(rel, lo, hi, rows,
-        extraCols.flatMap(c => colStats(c).map { case (l, h) => (c, l, h) }))
-    } finally reader.close()
+      if (stats.isEmpty) None
+      else Some((stats.map(s => asLong(s.genericGetMin)).min,
+        stats.map(s => asLong(s.genericGetMax)).max))
+    }
+    val (lo, hi) = colStats(keyCol).getOrElse((Long.MinValue, Long.MaxValue))
+    FileEntry(rel, lo, hi, rows,
+      extraCols.flatMap(c => colStats(c).map { case (l, h) => (c, l, h) }))
   }
 
   private def commitLines(root: String, baseVersion: Int, lines: Seq[String]): Int = {
@@ -2228,8 +2243,11 @@ object SnapshotTable {
     * ONE manifest commit referencing the resident files where they
     * sit (per-file footer stats harvested for pruning), ZERO bytes
     * move or copy. At 100 TB, migrating onto the table format is a
-    * metadata operation priced by file COUNT (one footer read each),
-    * never a rewrite. From v1 on, the directory is a full citizen:
+    * metadata operation priced by file COUNT (one footer read each) —
+    * and the footer harvest runs as a SPARK JOB (r17), so the price is
+    * file count over EXECUTOR parallelism, never a serial driver sweep;
+    * adopted files must agree on schema (validated per footer, refused
+    * loudly). From v1 on, the directory is a full citizen:
     * DML, OPTIMIZE, time travel, every read route. Flat or nested
     * layouts whose files carry every column convert; hive-style
     * `key=value` partition directories refuse LOUDLY — the partition
@@ -2276,13 +2294,42 @@ object SnapshotTable {
     if (statsCol.nonEmpty) {
       // the pruning column must exist in the resident files — a typo
       // would mint a table whose every entry is the never-pruned
-      // sentinel, silently (one footer read; files written together
-      // share a schema, and mixed-width adoptees degrade per file)
+      // sentinel, silently (one footer read; schema uniformity across
+      // ALL files is validated by the harvest below)
       require(footerHasColumn(root, rels.head, statsCol),
         s"convert on $root: stats column $statsCol is not in the resident " +
           "files' schema")
     }
-    commitEntries(root, 0, rels.map(footerEntry(root, _, statsCol)), 16,
+    // the footer harvest runs as a SPARK JOB, one task per slice of the
+    // adopted file list: a 100 TB directory holds 10^5–10^6 files, and
+    // a sequential driver-side sweep at object-store footer latency
+    // (50–100 ms each) is hours of serial IO — Delta distributes
+    // CONVERT TO DELTA's footer collection for exactly this reason.
+    // Tasks ship back only the tiny FileEntry structs (the same rows
+    // the manifest holds) plus a schema fingerprint; the commit itself
+    // stays a driver-side manifest write.
+    val rootAbs = rp.toString
+    val key = statsCol
+    val slices = math.min(rels.size,
+      math.max(1, s.sparkContext.defaultParallelism))
+    val harvested: Seq[(FileEntry, String)] = s.sparkContext
+      .parallelize(rels, slices)
+      .map(rel => footerEntryWithSchema(rootAbs, rel, key))
+      .collect().toSeq
+    // schema uniformity across EVERY adopted file (one comparison per
+    // footer, already in hand): a directory holding two pipelines'
+    // divergent widths must refuse loudly — adopting it would make the
+    // uniform read route null-fill or drop the minority files' columns
+    // with no evolution marker, silently wrong (r16 ADVICE)
+    val canonical = harvested.head._2
+    harvested.find(_._2 != canonical).foreach { case (e, other) =>
+      throw new IllegalArgumentException(
+        s"convert on $root: adopted files disagree on schema — " +
+          s"${rels.head} declares\n$canonical\nbut ${e.rel} declares\n$other\n" +
+          "convert adopts uniform-schema directories only; re-ingest " +
+          "divergent files through a snapshot write (schema evolution)")
+    }
+    commitEntries(root, 0, harvested.map(_._1), 16,
       (if (statsCol.nonEmpty) Map("statsCol" -> statsCol)
        else Map.empty[String, String]) +
         ("convert" -> s"inplace:${rels.size}"))

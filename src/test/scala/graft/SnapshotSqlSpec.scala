@@ -835,6 +835,29 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(ST.read(spark, dirty).count() == 2,
       "hidden/_temporary parquet files must not be adopted")
     assert(ST.manifestEntries(dirty, 1).size == 1)
+    // a directory holding files of DIVERGENT schemas (two pipelines,
+    // partial rewrites) refuses loudly at convert, naming both files —
+    // adopting it would null-fill/drop the minority files' columns on
+    // the uniform read route with no evolution marker (r16 ADVICE;
+    // validated per footer inside the distributed harvest)
+    val mixed = Engine.tmpDir("graft_sql_convert_mixed")
+    Engine.deleteRecursively(Paths.get(mixed))
+    Seq((1L, 1.0)).toDF("k", "v").coalesce(1).write.parquet(mixed)
+    val extra = Engine.tmpDir("graft_sql_convert_mixed_extra")
+    Engine.deleteRecursively(Paths.get(extra))
+    Seq((2L, 2.0, "x")).toDF("k", "v", "w").coalesce(1).write.parquet(extra)
+    val wide = {
+      val st = java.nio.file.Files.walk(Paths.get(extra))
+      try { import scala.jdk.CollectionConverters._
+        st.iterator().asScala.find(_.getFileName.toString.endsWith(".parquet")).get
+      } finally st.close()
+    }
+    java.nio.file.Files.copy(wide, Paths.get(mixed, "zz-wide.parquet"))
+    val e5 = intercept[Exception](
+      spark.sql(s"CONVERT TO SNAPSHOT '$mixed' CLUSTER BY (k)").collect())
+    assert(e5.getMessage.contains("disagree on schema") &&
+      e5.getMessage.contains("zz-wide.parquet"), e5.getMessage)
+    assert(ST.currentVersion(mixed) == 0, "refused convert must not commit")
   }
 
   test("RESTORE TO TIMESTAMP AS OF resolves via the commit clock") {
