@@ -84,7 +84,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!isTableDir(d)) throw new NoSuchTableException(ident)
     val root = d.toString
     val cur = SnapshotTable.currentVersion(root)
-    if (cur > 0) SnapshotSourceUtil.requireNoNestedMap(root, cur)
     val schema =
       if (cur > 0)
         // the exposed schema is the LOGICAL one (column mapping:
@@ -127,10 +126,6 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // time travel resolves the mapping AS OF the snapshot: a read
     // before a RENAME surfaces the old names (Delta's contract)
     val schema = try {
-      // INSIDE the vacuumed-version guard: the nested-map check reads
-      // the manifest too, and a vacuumed snapshot must keep producing
-      // the clean 'vacuumed away' error, not a raw NoSuchFileException
-      SnapshotSourceUtil.requireNoNestedMap(root, v)
       SnapshotSourceUtil.withIdentity(
         SnapshotSourceUtil.logicalStruct(
           SnapshotSourceUtil.sparkSchema(

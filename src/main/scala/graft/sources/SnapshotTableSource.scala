@@ -99,7 +99,6 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister {
       // ITS snapshot (time travel keeps the old names).
       val v = Option(options.get("version")).map(_.toInt)
         .getOrElse(SnapshotTable.currentVersion(r))
-      SnapshotSourceUtil.requireNoNestedMap(r, v)
       val base = SnapshotSourceUtil.logicalStruct(
         SnapshotSourceUtil.sparkSchema(SnapshotSourceUtil.tableMessageType(r, v)),
         SnapshotTable.colMap(r, v))
@@ -176,17 +175,38 @@ private[sources] object SnapshotSourceUtil {
       case _ => base
     }
 
-  /** NESTED column mappings (dotted colmap entries, x44) resolve only
-    * through [[SnapshotTable.toLogical]] — the connector's physStruct/
-    * logicalStruct rename TOP-LEVEL names and would serve the struct
-    * under raw physical FIELD names (and resurrect dropped fields).
-    * Every DSv2 schema-inference/scan seam refuses such tables loudly
-    * and points at the Scala/path route. */
+  /** NESTED column mappings (dotted colmap entries, x44) resolve on
+    * the READ side since r17: [[logicalStruct]] rebuilds mapped struct
+    * columns field-for-field (renames surface, dropped fields
+    * disappear) and the reader factories translate logical field names
+    * through [[nestedFieldMaps]] when building their positional decode
+    * plans. The WRITE side still refuses — the task writer would emit
+    * files carrying logical field names beside residents' physical
+    * ones. */
   def requireNoNestedMap(root: String, v: Int): Unit =
     require(!SnapshotTable.colMap(root, v).exists(_.exists(_._1.contains("."))),
       s"graft-snapshot: $root carries a NESTED column mapping (struct-field " +
-        "renames/drops) — the DSv2 route would serve raw physical field " +
-        "names for it; read through SnapshotTable.read or the path SQL route")
+        "renames/drops) — the DSv2 write route would emit logical field " +
+        "names beside residents' physical ones; write through the Scala " +
+        "route (SnapshotTable append/merge), or OPTIMIZE to materialize " +
+        "the mapping first")
+
+  /** The nested field mappings by PHYSICAL parent column name:
+    * `pa -> (logical field -> physical field)`. The reader factories'
+    * namespace is physical at the top level (physStruct renamed it) but
+    * the pruned struct's INNER field names stay logical — this is the
+    * translation their decode plans resolve through. Empty when the
+    * table has no dotted colmap entries (the common case — zero cost). */
+  def nestedFieldMaps(map: Option[Seq[(String, String)]])
+      : Map[String, Map[String, String]] = map match {
+    case None => Map.empty
+    case Some(m0) =>
+      val (top, nested) = SnapshotTable.splitColMap(m0)
+      nested.map { case (parentLogical, fields) =>
+        (SnapshotTable.physicalName(Some(top), parentLogical),
+          fields.toMap)
+      }
+  }
 
   /** Re-attach column-DEFAULT metadata (the analyzer's
     * CURRENT_DEFAULT/EXISTS_DEFAULT fill keys) from the manifest's
@@ -463,13 +483,26 @@ private[sources] object SnapshotSourceUtil {
 
   /** Physical (file-named) struct → the LOGICAL schema the table's
     * column mapping exposes: mapped fields rename, unmapped (dropped)
-    * fields disappear, order follows the mapping. Identity when the
-    * table has no mapping. */
+    * fields disappear, order follows the mapping. NESTED entries (r17)
+    * rebuild a mapped struct column's field list the same way, one
+    * level down. Identity when the table has no mapping. */
   def logicalStruct(physical: StructType,
       map: Option[Seq[(String, String)]]): StructType = map match {
     case None => physical
-    case Some(m) => StructType(m.flatMap { case (l, p) =>
-      physical.fields.find(_.name == p).map(f => f.copy(name = l)) })
+    case Some(m0) =>
+      val (m, nested) = SnapshotTable.splitColMap(m0)
+      StructType(m.flatMap { case (l, p) =>
+        physical.fields.find(_.name == p).map { f =>
+          nested.get(l) match {
+            case Some(nf) =>
+              val pst = f.dataType.asInstanceOf[StructType]
+              f.copy(name = l, dataType = StructType(nf.flatMap {
+                case (fl, fp) => pst.fields.find(_.name == fp)
+                  .map(_.copy(name = fl)) }))
+            case None => f.copy(name = l)
+          }
+        }
+      })
   }
 
   /** Logical-named struct → physical field names (CDF metadata columns
@@ -891,12 +924,12 @@ private[sources] class SnapshotScan(root: String, version: Int,
     extends Scan with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
-  // the BELT for every schema route: a USER-SUPPLIED schema
-  // (supportsExternalMetadata) skips inferSchema and its nested-map
-  // refusal — without this, a nested-mapped table's scan would match
-  // logical struct-field names against physical ones and serve NULLs
-  // silently (r16 review)
-  if (version > 0) SnapshotSourceUtil.requireNoNestedMap(root, version)
+  // nested (dotted) colmap entries resolve through the reader
+  // factories' field-name translation (r17) — shared by the plain,
+  // rowIds and CDF decode plans below
+  private val nestedMap: Map[String, Map[String, String]] =
+    if (version == 0) Map.empty
+    else SnapshotSourceUtil.nestedFieldMaps(SnapshotTable.colMap(root, version))
 
   /** Runtime (join-driven) file pruning — the DSv2 analog of dynamic
     * partition pruning: Spark evaluates the dim side of a join first,
@@ -1007,7 +1040,7 @@ private[sources] class SnapshotScan(root: String, version: Int,
         java.util.List[org.apache.parquet.schema.Type])
     val innerPruned = basePhys.add(SnapshotTable.RowIdCol, LongType, nullable = true)
     SnapshotRowIdReaderFactory(withId.toString, innerPruned,
-      SnapshotSourceUtil.physStruct(pruned, map), idOutNames)
+      SnapshotSourceUtil.physStruct(pruned, map), idOutNames, nestedMap)
   }
 
   private def factory: SnapshotReaderFactory = {
@@ -1031,7 +1064,8 @@ private[sources] class SnapshotScan(root: String, version: Int,
     val prunedPhys = SnapshotSourceUtil.physStruct(pruned,
       SnapshotTable.colMap(root, version))
     SnapshotReaderFactory(
-      SnapshotSourceUtil.projectedMessage(full, prunedPhys).toString, prunedPhys, evolved)
+      SnapshotSourceUtil.projectedMessage(full, prunedPhys).toString, prunedPhys,
+      evolved, nestedMap)
   }
 
   /** CDF reader: the parquet request carries only the TABLE columns of
@@ -1059,7 +1093,8 @@ private[sources] class SnapshotScan(root: String, version: Int,
     val outPhys = SnapshotSourceUtil.physStruct(pruned, map)
     val full = SnapshotSourceUtil.tableMessageType(root, version)
     SnapshotCdfReaderFactory(
-      SnapshotSourceUtil.projectedMessage(full, base).toString, base, outPhys)
+      SnapshotSourceUtil.projectedMessage(full, base).toString, base, outPhys,
+      nestedMap)
   }
 
   /** The version's entries that survive the pushed filters' combined
@@ -1484,11 +1519,14 @@ private[sources] object SnapshotCdf {
   * parquet request); `out` is the full output row layout, which may
   * interleave the metadata columns anywhere the projection put them. */
 private[sources] case class SnapshotCdfReaderFactory(projectedMessage: String,
-    base: StructType, out: StructType) extends PartitionReaderFactory {
+    base: StructType, out: StructType,
+    nestedMap: Map[String, Map[String, String]] = Map.empty)
+    extends PartitionReaderFactory {
 
   // per-file width intersection unconditionally: delete partitions read
   // files committed under older (narrower) widths than the scan schema
-  private val inner = SnapshotReaderFactory(projectedMessage, base, evolved = true)
+  private val inner = SnapshotReaderFactory(projectedMessage, base,
+    evolved = true, nestedMap)
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val cp = p.asInstanceOf[SnapshotCdfPartition]
@@ -1670,11 +1708,11 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
           "IDENTITY — omit it (path-route append or the streaming sink); " +
           "the engine assigns dense ids at commit"))
     // STRUCT writes (r16): the task writer handles nested groups; a
-    // NESTED-mapped table still refuses (physStruct cannot rename
-    // struct FIELDS — the written file would carry logical names
-    // beside residents' physical ones)
-    if (cur > 0 && info.schema().fields.exists(_.dataType.isInstanceOf[StructType]))
-      SnapshotSourceUtil.requireNoNestedMap(root, cur)
+    // NESTED-mapped table still refuses ON THE WRITE SIDE (physStruct
+    // cannot rename struct FIELDS — the written file would carry
+    // logical names beside residents' physical ones); reads resolve
+    // the mapping since r17
+    if (cur > 0) SnapshotSourceUtil.requireNoNestedMap(root, cur)
     // `_row_id`/`__row_id` are reserved spellings (the row-id read keys
     // on the OUTPUT name — a committed data column would shadow engine
     // ids on tracked tables and brick plain DSv2 reads on untracked
@@ -2185,7 +2223,9 @@ private[sources] object SnapshotCountReaderFactory extends PartitionReaderFactor
   * column, so the intersection is the identity and the fast path pays
   * one footer read (already required by parquet's own open). */
 private[sources] case class SnapshotReaderFactory(projectedMessage: String,
-    pruned: StructType, evolved: Boolean = false) extends PartitionReaderFactory {
+    pruned: StructType, evolved: Boolean = false,
+    nestedMap: Map[String, Map[String, String]] = Map.empty)
+    extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val fp = p.asInstanceOf[SnapshotFilePartition]
@@ -2284,9 +2324,14 @@ private[sources] case class SnapshotReaderFactory(projectedMessage: String,
       // only per-file variance then is WHOLE-column presence, which
       // the top-level slot map already handles).
       private def groupPlan(st: StructType,
-          gt: org.apache.parquet.schema.GroupType): Array[(Int, DataType, AnyRef)] =
+          gt: org.apache.parquet.schema.GroupType,
+          rename: Map[String, String] = Map.empty): Array[(Int, DataType, AnyRef)] =
         st.fields.map { f =>
-          val j = if (gt.containsField(f.name)) gt.getFieldIndex(f.name) else -1
+          // a NESTED column mapping (one level deep by design)
+          // translates the pruned struct's LOGICAL field name to the
+          // file's physical one before the positional lookup
+          val pn = rename.getOrElse(f.name, f.name)
+          val j = if (gt.containsField(pn)) gt.getFieldIndex(pn) else -1
           val sub: AnyRef =
             if (j >= 0) nestedSub(f.dataType, gt.getType(j)) else null
           (j, f.dataType, sub)
@@ -2306,12 +2351,16 @@ private[sources] case class SnapshotReaderFactory(projectedMessage: String,
       private val nestedPlans: Array[AnyRef] =
         pruned.fields.zipWithIndex.map { case (f, i) =>
           f.dataType match {
+            case s: StructType if nestedMap.contains(f.name) =>
+              // a nested-mapped struct: the request carries the FULL
+              // physical group (dropped fields ride along undecoded);
+              // the plan translates logical field names through the
+              // mapping — one level deep, matching the ALTER surface
+              groupPlan(s, request.getType(i).asGroupType(), nestedMap(f.name))
             case _: StructType | _: ArrayType | _: MapType =>
               // POSITIONAL: the request carries PHYSICAL top-level
               // names (column mapping renames them) in pruned order;
-              // field names INSIDE the group are physical too, which
-              // equals logical here because nested-mapped tables are
-              // refused at every DSv2 seam
+              // unmapped groups' inner names are physical ≡ logical
               nestedSub(f.dataType, request.getType(i))
             case _ => null
           }
@@ -2424,10 +2473,12 @@ private[sources] case class SnapshotReaderFactory(projectedMessage: String,
   * the DSv2 route and the Scala route cannot diverge. */
 private[sources] case class SnapshotRowIdReaderFactory(projectedMessage: String,
     innerPruned: StructType, out: StructType,
-    idNames: Set[String] = Set(SnapshotSourceUtil.RowIdField))
+    idNames: Set[String] = Set(SnapshotSourceUtil.RowIdField),
+    nestedMap: Map[String, Map[String, String]] = Map.empty)
     extends PartitionReaderFactory {
 
-  private val inner = SnapshotReaderFactory(projectedMessage, innerPruned, evolved = true)
+  private val inner = SnapshotReaderFactory(projectedMessage, innerPruned,
+    evolved = true, nestedMap)
   // __row_id is always the LAST inner slot (rowIdFactory appends it)
   private val matSlot = innerPruned.length - 1
   private val slot: Array[Int] = out.fields.map { f =>

@@ -387,6 +387,55 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(ST.read(spark, root).columns.toSeq == Seq("k", "score"))
   }
 
+  test("NESTED mapping resolves on the DSv2 READ routes (r17): schema, values, drops, rowIds, CDF; writes refuse") {
+    val root = freshNested("nested_dsv2")
+    spark.sql(s"ALTER TABLE '$root' RENAME COLUMN props.v TO score").collect()
+    spark.sql(s"ALTER TABLE '$root' DROP COLUMN props.tag").collect()
+    // path-route read: logical field names, dropped field invisible,
+    // values byte-identical to the Scala route
+    val dsv2 = spark.read.format("graft-snapshot").load(root)
+    assert(dsv2.schema("props").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("score"))
+    val got = dsv2.select(col("k"), col("props.score")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == (1L to 6L).map(k => k -> k * 1.0).toMap, got)
+    // catalog route through plain SQL
+    val w = Files.createTempDirectory("graft_cm_ncat").toString
+    spark.conf.set("spark.sql.catalog.gcmn", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcmn.root", w)
+    Files.createSymbolicLink(Paths.get(w, "nt"), Paths.get(root))
+    assert(spark.sql("SELECT SUM(props.score) FROM gcmn.nt").head().getDouble(0) == 21.0)
+    // time travel through the connector resolves the PRE-mint names
+    val pinned = spark.read.format("graft-snapshot").option("version", "1").load(root)
+    assert(pinned.schema("props").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("tag", "v"))
+    assert(pinned.agg(sum(col("props.v"))).head().getDouble(0) == 21.0)
+    // rowIds compose with the nested translation
+    ST.enableRowTracking(spark, root)
+    val ids = spark.read.format("graft-snapshot").option("rowIds", "true")
+      .load(root).select(col("_row_id"), col("props.score").as("sc"))
+    assert(ids.count() == 6 && ids.select("_row_id").distinct().count() == 6)
+    assert(ids.agg(sum("sc")).head().getDouble(0) == 21.0)
+    // the CHANGE FEED decodes the nested-mapped struct too
+    val feed = spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true").option("afterVersion", "0").load(root)
+    assert(feed.filter(col("_change_type") === "insert")
+      .agg(sum(col("props.score"))).head().getDouble(0) == 21.0)
+    // DSv2 WRITES keep refusing loudly until OPTIMIZE materializes
+    val eW = intercept[Exception](ST.read(spark, root)
+      .write.format("graft-snapshot").mode("append").save(root))
+    assert(Iterator.iterate(eW: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("NESTED column mapping"))),
+      eW.getMessage)
+    val eI = intercept[Exception](
+      spark.sql("INSERT INTO gcmn.nt SELECT 9L, named_struct('score', 9.0), 90.0"))
+    assert(Iterator.iterate(eI: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("NESTED column mapping"))),
+      eI.getMessage)
+  }
+
   test("RESTORE and SHALLOW CLONE carry a NESTED mapping (ncolmap stamp included)") {
     val root = freshNested("nested_carry")
     spark.sql(s"ALTER TABLE '$root' RENAME COLUMN props.v TO score").collect()
