@@ -518,7 +518,12 @@ object SnapshotTable {
         require(!df.columns.exists(c => c.equalsIgnoreCase(ic) && c != "_row_id"),
           s"snapshot read on $root: version $v resurfaces a data column named " +
             s"$ic, colliding with the identity column — rename one")
-        df.withColumnRenamed("_row_id", ic)
+        val start = identityStart(root, v)
+        if (start == 0L) df.withColumnRenamed("_row_id", ic)
+        // declared START WITH: a read-side offset over the 0-based
+        // engine ids (position preserved — _row_id sits last, and so
+        // does the derived identity column)
+        else df.withColumn(ic, col("_row_id") + lit(start)).drop("_row_id")
     }
 
   /** [[readAt]] WITHOUT the column-mapping resolution — the frame
@@ -1264,7 +1269,8 @@ object SnapshotTable {
     * tracking if not already on. At 100 TB: appends stay zero-cost
     * (identity is positional until a rewrite materializes it), and
     * reads pay one broadcast base join — metadata, never a shuffle. */
-  def setIdentityColumn(s: SparkSession, root: String, name: String): Int = {
+  def setIdentityColumn(s: SparkSession, root: String, name: String,
+      start: Long = 0L): Int = {
     validateIdent(root, "identity column", name)
     enableRowTracking(s, root)
     val retry = new CommitRetry(root)
@@ -1274,7 +1280,11 @@ object SnapshotTable {
       retry.observed(v)
       val carried = carriedMeta(root, v)
       carried.get("identity") match {
-        case Some(cur) if cur == name => result = v // idempotent
+        case Some(cur) if cur == name =>
+          require(identityStart(root, v) == start,
+            s"identity column on $root: $name is already declared with " +
+              s"START WITH ${identityStart(root, v)} — the start cannot change")
+          result = v // idempotent
         case Some(cur) => throw new IllegalArgumentException(
           s"identity column on $root: the table already has identity column " +
             s"$cur — one per table")
@@ -1283,8 +1293,17 @@ object SnapshotTable {
             colMap(root, v).toSeq.flatten.map(_._1)
           require(!resident.exists(_.equalsIgnoreCase(name)),
             s"identity column on $root: $name collides with an existing column")
+          // START WITH (r17): the declared start is a READ-SIDE offset
+          // over the engine's dense 0-based row ids — stored once in
+          // the manifest, added at every identity decode (the Scala
+          // read, the DSv2 scan, streaming). The underlying _row_id
+          // stays 0-based: row tracking is engine-internal identity,
+          // START WITH is user-facing surface.
+          val startMeta = if (start == 0L) Map.empty[String, String]
+            else Map("idstart" -> start.toString)
           try result = commitEntries(root, v, manifestEntries(root, v), 16,
-            carried + ("identity" -> name) + ("alter" -> s"identity:$name"))
+            carried ++ startMeta + ("identity" -> name) +
+              ("alter" -> s"identity:$name"))
           catch { case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) }
       }
     }
@@ -1294,6 +1313,12 @@ object SnapshotTable {
   /** The table's identity column at version `v`, if declared. */
   private[graft] def identityCol(root: String, v: Int): Option[String] =
     if (v == 0) None else manifestMeta(root, v).get("identity")
+
+  /** The declared `START WITH` offset of the identity column (0 when
+    * undeclared or absent) — added to the 0-based engine row id at
+    * every read-side identity decode. */
+  private[graft] def identityStart(root: String, v: Int): Long =
+    if (v == 0) 0L else manifestMeta(root, v).get("idstart").map(_.toLong).getOrElse(0L)
 
   /** `CREATE TABLE (... GENERATED ALWAYS AS IDENTITY)` support (r16):
     * the identity declaration lives in manifest metadata, which a
@@ -1305,10 +1330,18 @@ object SnapshotTable {
     * would assign them). */
   private[graft] def pendingIdentityFile(root: String): Path =
     Paths.get(root, "_identity_pending")
+  /** Pending marker format: `name` or `name\tstart` (the CREATE-time
+    * START WITH; bare legacy markers read as start 0). */
+  private[graft] def pendingIdentityDecl(root: String): Option[(String, Long)] =
+    if (Files.exists(pendingIdentityFile(root))) {
+      val raw = new String(Files.readAllBytes(pendingIdentityFile(root)), "UTF-8").trim
+      raw.split('\t') match {
+        case Array(n, st) => Some((n, st.toLong))
+        case _ => Some((raw, 0L))
+      }
+    } else None
   private[graft] def pendingIdentity(root: String): Option[String] =
-    if (Files.exists(pendingIdentityFile(root)))
-      Some(new String(Files.readAllBytes(pendingIdentityFile(root)), "UTF-8").trim)
-    else None
+    pendingIdentityDecl(root).map(_._1)
   /** Both pending applies run AFTER a commit that already landed: a
     * failure here must never fail that commit back to the caller (the
     * data is durable; a streaming batch would report failure, then
@@ -1316,9 +1349,9 @@ object SnapshotTable {
     * forever — r16 review). On failure the marker STAYS for the next
     * commit to retry, and the cause prints loudly. */
   private[graft] def applyPendingIdentity(s: SparkSession, root: String): Unit = {
-    pendingIdentity(root).foreach { name =>
+    pendingIdentityDecl(root).foreach { case (name, start) =>
       try {
-        setIdentityColumn(s, root, name)
+        setIdentityColumn(s, root, name, start)
         Files.deleteIfExists(pendingIdentityFile(root))
       } catch { case scala.util.control.NonFatal(e) =>
         System.err.println(s"graft-snapshot: CREATE-time identity '$name' on " +
@@ -2397,7 +2430,7 @@ object SnapshotTable {
     val meta = srcMeta
       .filter(kv => keep.contains(kv._1) || kv._1.startsWith("check.") ||
         kv._1.startsWith("gen.") || kv._1.startsWith("default.") ||
-        kv._1 == "identity") ++
+        kv._1 == "identity" || kv._1 == "idstart") ++
       dvMeta.map("dv" -> _) ++ dvnMeta.map("dvn" -> _) ++ rtMeta +
       ("clone" -> s"shallow:${Paths.get(srcRoot).toAbsolutePath.normalize}@v$v")
     commitEntries(dstRoot, 0, entries, shardSize = 16, meta)

@@ -194,18 +194,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   /** `CREATE TABLE (... , id BIGINT GENERATED ALWAYS AS IDENTITY)` —
     * the create-time identity spelling (Delta's). The identity values
-    * ARE the engine's dense row-tracking ids (x43): assignment is
-    * dense from 0, step 1, engine-owned. DOCUMENTED ENVELOPE: the
-    * parser delivers start=1 for the bare spelling, making an
-    * explicit `START WITH 1` indistinguishable from it — both are
-    * accepted and the DECLARED start is NOT honored (ids run from 0
-    * regardless; Delta would start such a table at 1). Any other
-    * start/step refuses loudly, and `GENERATED BY DEFAULT` (explicit
-    * inserts allowed) contradicts the ALWAYS ownership contract. The
-    * identity metadata lives in the manifest, which an empty table
-    * lacks — the declaration parks as a pending marker the FIRST
-    * commit applies (seed rows claim [0, rows) exactly as a manual
-    * declare would). */
+    * ARE the engine's dense row-tracking ids (x43), engine-owned.
+    * `START WITH` is HONORED (r17) as a read-side offset over the
+    * 0-based engine ids — the bare spelling parses as start=1, so an
+    * undeclared table starts at 1, exactly Delta's default.
+    * `INCREMENT BY` ≠ 1 refuses loudly (the values are the row ids;
+    * scaled steps would break the id⇄position arithmetic), and
+    * `GENERATED BY DEFAULT` (explicit inserts allowed) contradicts
+    * the ALWAYS ownership contract. The identity metadata lives in
+    * the manifest, which an empty table lacks — the declaration parks
+    * as a pending marker the FIRST commit applies (seed rows claim
+    * [start, start+rows) exactly as a manual declare would). */
   override def createTable(ident: Identifier,
       columns: Array[org.apache.spark.sql.connector.catalog.Column],
       partitions: Array[Transform], properties: JMap[String, String]): Table = {
@@ -254,10 +253,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     require(!spec.isAllowExplicitInsert,
       s"graft catalog: GENERATED BY DEFAULT is not supported — identity values " +
         "are engine-owned (GENERATED ALWAYS)")
-    require(spec.getStep == 1 && (spec.getStart == 0 || spec.getStart == 1),
-      s"graft catalog: START WITH ${spec.getStart} INCREMENT BY ${spec.getStep} — " +
-        "identity values are the engine's dense row ids (start 0, step 1); " +
-        "custom start/step are not supported")
+    // START WITH is honored (r17) as a READ-SIDE offset over the
+    // engine's dense 0-based row ids; only a non-unit INCREMENT is
+    // outside the envelope (the values ARE the row ids, scaled steps
+    // would break the id⇄position arithmetic). NOTE Spark's parser
+    // delivers start=1 for the bare spelling, so an undeclared start
+    // begins at 1 — exactly Delta's default.
+    require(spec.getStep == 1,
+      s"graft catalog: INCREMENT BY ${spec.getStep} — identity values are the " +
+        "engine's dense row ids (step 1); custom increments are not supported")
     require(dataCols.nonEmpty,
       "graft catalog: an identity-only table has no data columns to commit")
     require(partitions.isEmpty,
@@ -272,7 +276,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     Files.createDirectories(d)
     Files.write(schemaFile(d), dataSchema.json.getBytes("UTF-8"))
     Files.write(SnapshotTable.pendingIdentityFile(root),
-      idc.name().getBytes("UTF-8"))
+      s"${idc.name()}\t${spec.getStart}".getBytes("UTF-8"))
     parkDefaults(root)
     new SnapshotDsv2Table(root, dataSchema, CaseInsensitiveStringMap.empty())
   }

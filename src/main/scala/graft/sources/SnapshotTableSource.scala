@@ -1039,8 +1039,16 @@ private[sources] class SnapshotScan(root: String, version: Int,
         .named(SnapshotTable.RowIdCol)).asJava:
         java.util.List[org.apache.parquet.schema.Type])
     val innerPruned = basePhys.add(SnapshotTable.RowIdCol, LongType, nullable = true)
+    // a declared START WITH offsets the IDENTITY spelling only —
+    // `_row_id` stays the raw 0-based engine id on every route
+    val starts: Map[String, Long] = identCol match {
+      case Some(ic) if idOutNames.contains(ic) =>
+        val st = SnapshotTable.identityStart(root, version)
+        if (st == 0L) Map.empty else Map(ic -> st)
+      case _ => Map.empty
+    }
     SnapshotRowIdReaderFactory(withId.toString, innerPruned,
-      SnapshotSourceUtil.physStruct(pruned, map), idOutNames, nestedMap)
+      SnapshotSourceUtil.physStruct(pruned, map), idOutNames, nestedMap, starts)
   }
 
   private def factory: SnapshotReaderFactory = {
@@ -2474,7 +2482,8 @@ private[sources] case class SnapshotReaderFactory(projectedMessage: String,
 private[sources] case class SnapshotRowIdReaderFactory(projectedMessage: String,
     innerPruned: StructType, out: StructType,
     idNames: Set[String] = Set(SnapshotSourceUtil.RowIdField),
-    nestedMap: Map[String, Map[String, String]] = Map.empty)
+    nestedMap: Map[String, Map[String, String]] = Map.empty,
+    starts: Map[String, Long] = Map.empty)
     extends PartitionReaderFactory {
 
   private val inner = SnapshotReaderFactory(projectedMessage, innerPruned,
@@ -2484,6 +2493,9 @@ private[sources] case class SnapshotRowIdReaderFactory(projectedMessage: String,
   private val slot: Array[Int] = out.fields.map { f =>
     if (idNames.contains(f.name)) -1 else innerPruned.fieldIndex(f.name)
   }
+  // per-output-slot READ-SIDE offset (identity START WITH; 0 for
+  // `_row_id` and every data column)
+  private val startOf: Array[Long] = out.fields.map(f => starts.getOrElse(f.name, 0L))
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val fp = p.asInstanceOf[SnapshotFilePartition]
@@ -2506,8 +2518,8 @@ private[sources] case class SnapshotRowIdReaderFactory(projectedMessage: String,
         while (i < slot.length) {
           vals(i) = slot(i) match {
             case -1 =>
-              if (!in.isNullAt(matSlot)) in.getLong(matSlot)
-              else if (hasBase) base + ord
+              if (!in.isNullAt(matSlot)) in.getLong(matSlot) + startOf(i)
+              else if (hasBase) base + ord + startOf(i)
               else null // no base on record: null id, never a wrong one
             case j => in.get(j, innerPruned.fields(j).dataType)
           }

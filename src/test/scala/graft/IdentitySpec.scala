@@ -177,12 +177,13 @@ class IdentitySpec extends AnyFunSuite {
       Option(ep.getCause).exists(_.getMessage.contains("GENERATED ALWAYS")),
       ep.toString)
     // first INSERT seeds the table; the pending declaration applies on
-    // that commit — dense ids [0, rows) exactly like a manual declare
+    // that commit — dense ids from the declared start (the BARE
+    // spelling parses as START WITH 1: Delta's default, honored r17)
     spark.sql("INSERT INTO gct.t VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
     assert(ST.pendingIdentity(root).isEmpty, "first commit must apply the declaration")
     val m = spark.sql("SELECT k, id FROM gct.t").as[(Long, Long)].collect().toMap
-    assert(m.keySet == Set(1L, 2L, 3L) && m.values.toSet == (0L until 3L).toSet,
-      s"create-time identity must claim dense seed ids: $m")
+    assert(m.keySet == Set(1L, 2L, 3L) && m.values.toSet == (1L to 3L).toSet,
+      s"create-time identity must claim dense seed ids from 1: $m")
     // the same dense-claim contract continues on the ingest routes
     // (post-declaration catalog INSERT INTO is all-columns by Spark's
     // own arity rule — the documented x43 envelope; ingest goes
@@ -190,23 +191,68 @@ class IdentitySpec extends AnyFunSuite {
     graft.streaming.SnapshotSink.appendBatch(root,
       Seq((4L, 4.0)).toDF("k", "v"), batchId = 0L, keyCol = "k")
     val m2 = spark.sql("SELECT k, id FROM gct.t").as[(Long, Long)].collect().toMap
-    assert(m2.values.toSet == (0L until 4L).toSet, s"ingest must stay dense: $m2")
+    assert(m2.values.toSet == (1L to 4L).toSet, s"ingest must stay dense: $m2")
     // engine-owned from birth: supplying the column refuses
     val e = intercept[Exception](Seq((5L, 5.0, 99L)).toDF("k", "v", "id")
       .write.format("graft-snapshot").mode("append").save(root))
     assert(e.toString.contains("GENERATED ALWAYS") ||
       Option(e.getCause).exists(_.getMessage.contains("GENERATED ALWAYS")), e.toString)
-    // refusal matrix at CREATE: custom start/step, BY DEFAULT, non-BIGINT
+    // refusal matrix at CREATE: custom step, BY DEFAULT, non-BIGINT
     val e1 = intercept[Exception](spark.sql(
       "CREATE TABLE gct.bad1 (k BIGINT, id BIGINT GENERATED ALWAYS AS " +
         "IDENTITY (START WITH 100 INCREMENT BY 5))"))
-    assert(e1.getMessage.contains("start 0, step 1"), e1.getMessage)
+    assert(e1.getMessage.contains("step 1"), e1.getMessage)
     val e2 = intercept[Exception](spark.sql(
       "CREATE TABLE gct.bad2 (k BIGINT, id BIGINT GENERATED BY DEFAULT AS IDENTITY)"))
     assert(e2.getMessage.contains("engine-owned"), e2.getMessage)
     val e3 = intercept[Exception](spark.sql(
       "CREATE TABLE gct.bad3 (k BIGINT, id INT GENERATED ALWAYS AS IDENTITY)"))
     assert(e3.getMessage.contains("must be BIGINT"), e3.getMessage)
+  }
+
+  test("START WITH is honored on every read route (r17): offset ids, DML-stable, clone carries") {
+    val w = java.nio.file.Files.createTempDirectory("graft_id_sw").toString
+    spark.conf.set("spark.sql.catalog.gsw", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gsw.root", w)
+    spark.sql("CREATE TABLE gsw.t (k BIGINT, v DOUBLE, " +
+      "id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 100))")
+    val root = Paths.get(w, "t").toString
+    spark.sql("INSERT INTO gsw.t VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    // catalog SQL route
+    val m = spark.sql("SELECT k, id FROM gsw.t").as[(Long, Long)].collect().toMap
+    assert(m.values.toSet == (100L to 102L).toSet,
+      s"START WITH 100 must yield ids from 100: $m")
+    // Scala route agrees
+    assert(ST.read(spark, root).select("id").as[Long].collect().toSet ==
+      (100L to 102L).toSet)
+    // DSv2 path route agrees; _row_id stays the RAW 0-based engine id
+    val both = spark.read.format("graft-snapshot").option("rowIds", "true")
+      .load(root).select("id", "_row_id").as[(Long, Long)].collect()
+    assert(both.forall(p => p._1 == p._2 + 100L),
+      s"identity must be _row_id + 100: ${both.toSeq}")
+    // streaming read serves the offset ids too (before the DML below —
+    // a change commit fails the plain append-only stream by design)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_id_sw_stream").toString
+    val q = spark.readStream.format("graft-snapshot").load(root)
+      .writeStream.format("memory").queryName("id_sw_out")
+      .option("checkpointLocation", ckpt).start()
+    try q.processAllAvailable() finally q.stop()
+    assert(spark.table("id_sw_out").select("id").as[Long].collect().toSet ==
+      (100L to 102L).toSet, "streaming route diverged from the declared start")
+    // DML stability: ids survive a CoW update, offset intact
+    val before = spark.sql("SELECT k, id FROM gsw.t").as[(Long, Long)].collect().toMap
+    spark.sql(s"UPDATE '$root' SET v = v + 10 WHERE k = 2").collect()
+    val after = spark.sql("SELECT k, id FROM gsw.t").as[(Long, Long)].collect().toMap
+    assert(after == before, s"ids moved across UPDATE: $before -> $after")
+    // clone carries the declared start with the identity
+    val cl = Engine.tmpDir("graft_id_sw_clone")
+    Engine.listDir(Paths.get(cl)).foreach(Engine.deleteRecursively)
+    ST.shallowClone(root, cl)
+    assert(ST.read(spark, cl).select("id").as[Long].collect().toSet ==
+      (100L to 102L).toSet, "clone dropped the START WITH offset")
+    // a re-declaration with a DIFFERENT start refuses
+    val e = intercept[Exception](ST.setIdentityColumn(spark, root, "id", 5L))
+    assert(e.getMessage.contains("cannot change"), e.getMessage)
   }
 
   test("delete-all leaves a readable empty identity table (no recursion)") {
