@@ -3748,6 +3748,32 @@ object SnapshotTable {
             s"$auditKey was in flight — retry the statement")
       val dvnKept = dvCountsOf(manifestMeta(root, vNow))
         .filter(kv => dvNow.contains(kv._1))
+      // the TABLE-WIDE ordinal budget, RE-CHECKED at vNow (r16 ADVICE):
+      // two concurrent MoR statements on DISJOINT files each pass the
+      // version-v check and neither trips the DV-conflict abort — so
+      // re-price the untouched sidecars from vNow's counts and fall
+      // back to copy-on-write (staged files reclaimed) if this commit
+      // would push the post-statement total over the budget
+      val untouchedNow = {
+        import scala.jdk.CollectionConverters._
+        dvNow.filterNot { case (r, _) => hitRels.contains(r) }
+          .toSeq.sortBy(_._1).map { case (r, d) =>
+            dvnKept.getOrElse(r, {
+              val in = HadoopInputFile.fromPath(
+                new HadoopPath(Paths.get(root, d).toUri), hadoopConf)
+              val rd = ParquetFileReader.open(in)
+              try rd.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+              finally rd.close()
+            })
+          }.sum
+      }
+      if (untouchedNow + newDvCounts.values.sum > dvBudget) {
+        val cdcRels = cdcMeta.toSeq.flatMap(_.split(';').toSeq
+          .flatMap(_.split("=", 2)(1).split(',')))
+        (newDvEntries.values ++ newEntries.map(_.rel) ++ cdcRels)
+          .foreach(r => Files.deleteIfExists(Paths.get(root, r)))
+        return None
+      }
       try result = commitEntries(root, vNow, entriesNow ++ newEntries, shardSize,
         carriedMeta(root, vNow) - "dv" - "dvn" ++
           fmtDv(dvNow ++ newDvEntries).map("dv" -> _) ++

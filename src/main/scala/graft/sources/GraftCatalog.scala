@@ -485,6 +485,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             case e: java.nio.file.FileAlreadyExistsException => retry.lost(e)
           }
         }
+        // CREATE-time declarations that were waiting on a column this
+        // widening just made resident apply NOW (r16 ADVICE: pending
+        // DEFAULTs previously applied only on data commits, leaving a
+        // window where column-list INSERTs landed NULL where the
+        // CREATE-declared DEFAULT promised a fill)
+        SnapshotTable.applyPendingIdentity(
+          org.apache.spark.sql.SparkSession.active, root)
       }
     }
     loadTable(ident)

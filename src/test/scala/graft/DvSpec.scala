@@ -156,6 +156,40 @@ class DvSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.dv.maxTotalOrdinals")
   }
 
+  test("CONCURRENT MoR statements on disjoint files cannot jointly bust the ordinal budget (r16 ADVICE)") {
+    // the budget was checked once against the statement's base version;
+    // two racing MoR deletes on DISJOINT files each passed it (neither
+    // trips the DV-conflict abort) and together committed more ordinals
+    // than the table-wide cap — the commit loop now RE-prices untouched
+    // sidecars at vNow and the CAS loser falls back to copy-on-write
+    val root = fresh("budget_race") // 2 files: k 1..20 and 21..40
+    spark.conf.set("spark.graft.dv.maxTotalOrdinals", "3")
+    try {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration._
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val barrier = new java.util.concurrent.CyclicBarrier(2)
+      def del(pred: String) = Future {
+        barrier.await()
+        ST.delete(spark, root, pred)
+      }
+      try Await.result(Future.sequence(Seq(
+        del("k IN (1, 2)"), del("k IN (31, 32)"))), 120.seconds)
+      finally pool.shutdown()
+      val v = ST.currentVersion(root)
+      // both statements applied...
+      val ks = ST.read(spark, root).select("k").collect().map(_.getLong(0)).toSet
+      assert(!ks.contains(1L) && !ks.contains(31L), "a delete was lost")
+      assert(ST.read(spark, root).count() == 36)
+      // ...and the surviving sidecars respect the table-wide budget
+      val total = ST.dvCountsOf(ST.manifestMeta(root, v)).values.sum
+      assert(total <= 3L,
+        s"racing MoR statements jointly exceeded the ordinal budget: $total > 3")
+    } finally spark.conf.unset("spark.graft.dv.maxTotalOrdinals")
+  }
+
   test("rewrites apply the DV and retire it: UPDATE (MoR and CoW), MERGE, OPTIMIZE") {
     val root = fresh("rewrite")
     spark.sql(s"DELETE FROM '$root' WHERE k = 2").collect()

@@ -680,5 +680,18 @@ class GraftCatalogSpec extends AnyFunSuite {
       "narrow seed must keep the declaration pending")
     assert(ST.read(spark, root).count() == 1)
     assert(ST.columnDefaults(root, ST.currentVersion(root)).isEmpty)
+    // a catalog ADD COLUMN that makes the declared column resident
+    // applies the pending declaration ON THAT COMMIT (r16 ADVICE:
+    // previously only data commits triggered the apply, leaving a
+    // window where column-list INSERTs landed NULL where the
+    // CREATE-declared DEFAULT promised a fill)
+    spark.sql("ALTER TABLE gcat.cdp ADD COLUMN src STRING")
+    assert(ST.pendingDefaults(root).isEmpty,
+      "the widening that made the column resident must apply the declaration")
+    assert(ST.columnDefaults(root, ST.currentVersion(root)) == Map("src" -> "'o'"))
+    spark.sql("INSERT INTO gcat.cdp (k) VALUES (2)")
+    val filled = spark.sql("SELECT src FROM gcat.cdp WHERE k = 2")
+      .collect().head.getString(0)
+    assert(filled == "o", s"the first post-widening INSERT must take the fill: $filled")
   }
 }
