@@ -713,6 +713,35 @@ object ScaleProbe {
       operators.SnapshotTable.read(spark, s"$work/plain_convert")
         .agg(max(col("value"))).collect(); 1L
     }
+    // r17: the convert footer harvest runs as a SPARK JOB — a 256-file
+    // directory must convert at executor parallelism (the r16 weak was
+    // a 256-step serial driver sweep; at object-store latency that is
+    // the difference between seconds and hours at 100 TB file counts)
+    time("x45c_stage_256files") {
+      spark.read.parquet(s"$work/events.parquet")
+        .selectExpr("event_id", "value", "CAST(value * 1000 AS BIGINT) div 86400 AS d")
+        .repartition(256)
+        .write.mode("overwrite").parquet(s"$work/plain_convert256")
+      1L
+    }
+    time("x45c_convert_256files") {
+      operators.SnapshotTable.convertInPlace(spark, s"$work/plain_convert256", "d")
+        .toLong
+    }
+    // r17: ARRAY columns through the DSv2 connector (x47) — the CTAS
+    // write and the element-access scan must price with data volume
+    // like any primitive column (the decode is positional, zero
+    // per-row name lookups)
+    time("x47_array_dsv2_write") {
+      spark.read.parquet(s"$work/embeddings.parquet")
+        .write.format("graft-snapshot").mode("append").save(s"$work/snap_arr")
+      1L
+    }
+    time("x47_array_dsv2_scan") {
+      spark.read.format("graft-snapshot").load(s"$work/snap_arr")
+        .selectExpr("vec_id", "aggregate(embedding, 0D, (a, x) -> a + x) AS s")
+        .agg(max(col("s"))).collect(); 1L
+    }
     // r14: scoped OPTIMIZE — the WHERE-window compaction must price
     // with the WINDOW's bytes, not the table's (the full form is the
     // reference; at 32× the gap is the whole point of the verb)

@@ -795,5 +795,17 @@ class SnapshotRobustnessSpec extends AnyFunSuite {
     // the 3-level encoding the task writer emits)
     assert(ST.read(spark, root).filter(col("k") === 7)
       .select(expr("m['a']")).head().getLong(0) == 7L)
+    // catalog ADD COLUMN refuses BEFORE committing on an array-bearing
+    // table too (the evolved table would stop reading on DSv2 — the
+    // same committed-then-unloadable guard structs got in r16)
+    val wl = Files.createTempDirectory("graft_list_cat").toString
+    spark.conf.set("spark.sql.catalog.glst", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.glst.root", wl)
+    Files.createSymbolicLink(Paths.get(wl, "t"), Paths.get(root))
+    val vBefore = ST.currentVersion(root)
+    val eAdd = intercept[Exception](
+      spark.sql("ALTER TABLE glst.t ADD COLUMN note STRING").collect())
+    assert(chain(eAdd).contains("outside the DSv2 envelope"), chain(eAdd))
+    assert(ST.currentVersion(root) == vBefore, "refused ALTER must not commit")
   }
 }
