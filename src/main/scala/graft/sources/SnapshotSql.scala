@@ -265,7 +265,11 @@ object SnapshotSql {
   // SnapshotTable.setIdentityColumn.
   private val AddIdentity =
     (s"""(?is)\\s*ALTER\\s+TABLE\\s+($Ref)\\s+ADD\\s+COLUMN\\s+(\\w+)\\s+BIGINT\\s+""" +
-      """GENERATED\s+ALWAYS\s+AS\s+IDENTITY\s*""").r
+      """GENERATED\s+ALWAYS\s+AS\s+IDENTITY""" +
+      // optional (START WITH n [INCREMENT BY 1]) — the declared start
+      // is honored as a read-side offset (r17); INCREMENT BY ≠ 1
+      // refuses at dispatch
+      """(?:\s*\(\s*START\s+WITH\s+(-?\d+)(?:\s+INCREMENT\s+BY\s+(-?\d+))?\s*\))?\s*""").r
   private val AlterColumnType =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+('[^']+')\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+TYPE\\s+(\\w+(?:\\s*\\([^)]*\\))?(?:\\s+\\w+)?)\\s*""".r
   // the PATH spellings of column-mapping evolution — top-level columns
@@ -469,7 +473,7 @@ object SnapshotSql {
     // path-addressed widening and TBLPROPERTIES are claimed
     // unconditionally (quoted paths have no delegate); the name
     // spellings stay with Spark's analyzer
-    case AddIdentity(ref, _) => ref.startsWith("'") ||
+    case AddIdentity(ref, _, _, _) => ref.startsWith("'") ||
       scala.util.Try(resolveRef(s, ref)).isSuccess
     case AlterColumnType(_, _, _) => true
     case SetTblProps(_, _) | UnsetTblProps(_, _) => true
@@ -563,8 +567,12 @@ object SnapshotSql {
       SnapshotTable.addCheckConstraint(s, resolveRef(s, ref), name, exprSql.trim)
     case DropConstraint(ref, name) =>
       SnapshotTable.dropCheckConstraint(resolveRef(s, ref), name)
-    case AddIdentity(ref, colName) =>
-      SnapshotTable.setIdentityColumn(s, resolveRef(s, ref), colName)
+    case AddIdentity(ref, colName, startRaw, stepRaw) =>
+      require(stepRaw == null || stepRaw.toLong == 1L,
+        s"graft-snapshot SQL: INCREMENT BY $stepRaw — identity values are " +
+          "the engine's dense row ids (step 1); custom increments are not supported")
+      SnapshotTable.setIdentityColumn(s, resolveRef(s, ref), colName,
+        Option(startRaw).map(_.toLong).getOrElse(0L))
     case AlterColumnType(ref, colName, tpe) =>
       SnapshotTable.widenColumn(s, resolveRef(s, ref), colName,
         org.apache.spark.sql.catalyst.parser.CatalystSqlParser

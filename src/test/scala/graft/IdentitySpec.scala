@@ -253,6 +253,22 @@ class IdentitySpec extends AnyFunSuite {
     // a re-declaration with a DIFFERENT start refuses
     val e = intercept[Exception](ST.setIdentityColumn(spark, root, "id", 5L))
     assert(e.getMessage.contains("cannot change"), e.getMessage)
+    // the path-SQL ALTER spelling takes START WITH too (bare stays 0 —
+    // explicitly engine ids; the catalog CREATE bare spelling is 1
+    // because Spark's parser delivers Delta's default)
+    val root2 = Engine.tmpDir("graft_id_sw_path")
+    Engine.listDir(Paths.get(root2)).foreach(Engine.deleteRecursively)
+    ST.commitEntries(root2, 0,
+      ST.writeDataFiles(Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v").coalesce(1),
+        root2, "a").map(ST.footerEntry(root2, _, "k")), 16, Map("statsCol" -> "k"))
+    spark.sql(s"ALTER TABLE '$root2' ADD COLUMN sk BIGINT GENERATED ALWAYS " +
+      "AS IDENTITY (START WITH 1000)")
+    assert(ST.read(spark, root2).select("sk").as[Long].collect().toSet ==
+      Set(1000L, 1001L))
+    val eStep = intercept[Exception](
+      spark.sql(s"ALTER TABLE '$root2' ADD COLUMN sk2 BIGINT GENERATED ALWAYS " +
+        "AS IDENTITY (START WITH 1 INCREMENT BY 2)"))
+    assert(eStep.getMessage.contains("step 1"), eStep.getMessage)
   }
 
   test("delete-all leaves a readable empty identity table (no recursion)") {
