@@ -414,11 +414,53 @@ object SnapshotTable {
 
   /** Footer read + stats harvest with the file's SCHEMA fingerprint —
     * one open for both (convert's uniformity validation, run inside
-    * Spark tasks: everything here must stay driver-state-free). */
+    * Spark tasks: everything here must stay driver-state-free). The
+    * fingerprint is a SHA-256 over the FIELD list rendering: the root
+    * message NAME is writer trivia (spark_schema vs duckdb_schema) and
+    * must not refuse a column-identical directory, and shipping a
+    * fixed-size hash instead of the schema text keeps the collect
+    * payload flat at 10^6-file scale (r17 review). */
   private[graft] def footerEntryWithSchema(root: String, rel: String,
       keyCol: String): (FileEntry, String) =
     withFooter(root, rel)(r => (statsEntry(r, rel, keyCol, Nil),
-      r.getFooter.getFileMetaData.getSchema.toString))
+      schemaFingerprint(r.getFooter.getFileMetaData.getSchema)))
+
+  private[graft] def schemaFingerprint(
+      m: org.apache.parquet.schema.MessageType): String = {
+    import scala.jdk.CollectionConverters._
+    val txt = m.getFields.asScala.map(_.toString).mkString("\n")
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(txt.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
+  /** Total DV ordinals of `dv`'s sidecars excluding the given rels —
+    * priced from the manifest's `dvn` counts (pure driver arithmetic);
+    * only rels the counts don't cover (legacy commits, re-rel'd
+    * clones) pay a footer read each. Shared by the MoR budget's
+    * version-v check and the CAS loop's vNow re-check (r17 review). */
+  private def dvOrdinalsExcluding(root: String, dv: Map[String, String],
+      counts: Map[String, Long], exclude: Set[String]): Long = {
+    import scala.jdk.CollectionConverters._
+    dv.filterNot { case (r, _) => exclude.contains(r) }
+      .toSeq.sortBy(_._1).map { case (r, d) =>
+        counts.getOrElse(r, {
+          val in = HadoopInputFile.fromPath(
+            new HadoopPath(Paths.get(root, d).toUri), hadoopConf)
+          val rd = ParquetFileReader.open(in)
+          try rd.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+          finally rd.close()
+        })
+      }.sum
+  }
+
+  /** The field-list rendering behind [[schemaFingerprint]] — read
+    * driver-side only to render a refusal message. */
+  private[graft] def footerFieldList(root: String, rel: String): String =
+    withFooter(root, rel) { r =>
+      import scala.jdk.CollectionConverters._
+      r.getFooter.getFileMetaData.getSchema.getFields.asScala
+        .map(_.toString).mkString("; ")
+    }
 
   private def withFooter[T](root: String, rel: String)(
       f: org.apache.parquet.hadoop.ParquetFileReader => T): T = {
@@ -2349,16 +2391,19 @@ object SnapshotTable {
       .parallelize(rels, slices)
       .map(rel => footerEntryWithSchema(rootAbs, rel, key))
       .collect().toSeq
-    // schema uniformity across EVERY adopted file (one comparison per
-    // footer, already in hand): a directory holding two pipelines'
-    // divergent widths must refuse loudly — adopting it would make the
-    // uniform read route null-fill or drop the minority files' columns
-    // with no evolution marker, silently wrong (r16 ADVICE)
+    // schema uniformity across EVERY adopted file (one fingerprint
+    // comparison per footer, already in hand): a directory holding two
+    // pipelines' divergent widths must refuse loudly — adopting it
+    // would make the uniform read route null-fill or drop the minority
+    // files' columns with no evolution marker, silently wrong (r16
+    // ADVICE). The full field lists are re-read driver-side ONLY to
+    // render the refusal (two footer opens, never 10^6).
     val canonical = harvested.head._2
-    harvested.find(_._2 != canonical).foreach { case (e, other) =>
+    harvested.find(_._2 != canonical).foreach { case (e, _) =>
       throw new IllegalArgumentException(
         s"convert on $root: adopted files disagree on schema — " +
-          s"${rels.head} declares\n$canonical\nbut ${e.rel} declares\n$other\n" +
+          s"${rels.head} declares [${footerFieldList(rootAbs, rels.head)}] " +
+          s"but ${e.rel} declares [${footerFieldList(rootAbs, e.rel)}]; " +
           "convert adopts uniform-schema directories only; re-ingest " +
           "divergent files through a snapshot write (schema evolution)")
     }
@@ -3652,20 +3697,8 @@ object SnapshotTable {
     // untouched sidecars price from the manifest's `dvn` counts —
     // pure driver arithmetic; only rels the counts don't cover
     // (legacy commits, re-rel'd clones) pay a footer read each
-    val dvnCur = dvCountsOf(manifestMeta(root, v))
-    val untouchedOrdinals = {
-      import scala.jdk.CollectionConverters._
-      dvCur.filterNot { case (r, _) => touchedRels.contains(r) }
-        .toSeq.sortBy(_._1).map { case (r, d) =>
-          dvnCur.getOrElse(r, {
-            val in = HadoopInputFile.fromPath(
-              new HadoopPath(Paths.get(root, d).toUri), hadoopConf)
-            val rd = ParquetFileReader.open(in)
-            try rd.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-            finally rd.close()
-          })
-        }.sum
-    }
+    val untouchedOrdinals = dvOrdinalsExcluding(root, dvCur,
+      dvCountsOf(manifestMeta(root, v)), touchedRels)
     if (hitCounts.values.sum + oldCounts.values.sum + untouchedOrdinals >
         dvBudget) return None
     val tag = java.util.UUID.randomUUID().toString.take(8)
@@ -3754,19 +3787,7 @@ object SnapshotTable {
       // re-price the untouched sidecars from vNow's counts and fall
       // back to copy-on-write (staged files reclaimed) if this commit
       // would push the post-statement total over the budget
-      val untouchedNow = {
-        import scala.jdk.CollectionConverters._
-        dvNow.filterNot { case (r, _) => hitRels.contains(r) }
-          .toSeq.sortBy(_._1).map { case (r, d) =>
-            dvnKept.getOrElse(r, {
-              val in = HadoopInputFile.fromPath(
-                new HadoopPath(Paths.get(root, d).toUri), hadoopConf)
-              val rd = ParquetFileReader.open(in)
-              try rd.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-              finally rd.close()
-            })
-          }.sum
-      }
+      val untouchedNow = dvOrdinalsExcluding(root, dvNow, dvnKept, hitRels)
       if (untouchedNow + newDvCounts.values.sum > dvBudget) {
         val cdcRels = cdcMeta.toSeq.flatMap(_.split(';').toSeq
           .flatMap(_.split("=", 2)(1).split(',')))

@@ -266,10 +266,11 @@ object SnapshotSql {
   private val AddIdentity =
     (s"""(?is)\\s*ALTER\\s+TABLE\\s+($Ref)\\s+ADD\\s+COLUMN\\s+(\\w+)\\s+BIGINT\\s+""" +
       """GENERATED\s+ALWAYS\s+AS\s+IDENTITY""" +
-      // optional (START WITH n [INCREMENT BY 1]) — the declared start
-      // is honored as a read-side offset (r17); INCREMENT BY ≠ 1
-      // refuses at dispatch
-      """(?:\s*\(\s*START\s+WITH\s+(-?\d+)(?:\s+INCREMENT\s+BY\s+(-?\d+))?\s*\))?\s*""").r
+      // optional options clause, captured RAW and parsed at dispatch:
+      // START WITH / INCREMENT BY in either order (or alone) all reach
+      // the handler's clear refusals instead of falling through to
+      // Spark's parser and a confusing quoted-path error (r17 review)
+      """(?:\s*\(([^)]*)\))?\s*""").r
   private val AlterColumnType =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+('[^']+')\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+TYPE\\s+(\\w+(?:\\s*\\([^)]*\\))?(?:\\s+\\w+)?)\\s*""".r
   // the PATH spellings of column-mapping evolution — top-level columns
@@ -473,7 +474,7 @@ object SnapshotSql {
     // path-addressed widening and TBLPROPERTIES are claimed
     // unconditionally (quoted paths have no delegate); the name
     // spellings stay with Spark's analyzer
-    case AddIdentity(ref, _, _, _) => ref.startsWith("'") ||
+    case AddIdentity(ref, _, _) => ref.startsWith("'") ||
       scala.util.Try(resolveRef(s, ref)).isSuccess
     case AlterColumnType(_, _, _) => true
     case SetTblProps(_, _) | UnsetTblProps(_, _) => true
@@ -567,12 +568,20 @@ object SnapshotSql {
       SnapshotTable.addCheckConstraint(s, resolveRef(s, ref), name, exprSql.trim)
     case DropConstraint(ref, name) =>
       SnapshotTable.dropCheckConstraint(resolveRef(s, ref), name)
-    case AddIdentity(ref, colName, startRaw, stepRaw) =>
-      require(stepRaw == null || stepRaw.toLong == 1L,
-        s"graft-snapshot SQL: INCREMENT BY $stepRaw — identity values are " +
+    case AddIdentity(ref, colName, optsRaw) =>
+      val opts = Option(optsRaw).map(_.trim).getOrElse("")
+      val StartR = """(?i)START\s+WITH\s+(-?\d+)""".r
+      val StepR = """(?i)INCREMENT\s+BY\s+(-?\d+)""".r
+      val leftover = StepR.replaceAllIn(StartR.replaceAllIn(opts, ""), "").trim
+      require(leftover.isEmpty,
+        s"graft-snapshot SQL: unrecognized identity option(s) '$leftover' — " +
+          "supported: (START WITH <n> [INCREMENT BY 1])")
+      val step = StepR.findFirstMatchIn(opts).map(_.group(1).toLong).getOrElse(1L)
+      require(step == 1L,
+        s"graft-snapshot SQL: INCREMENT BY $step — identity values are " +
           "the engine's dense row ids (step 1); custom increments are not supported")
       SnapshotTable.setIdentityColumn(s, resolveRef(s, ref), colName,
-        Option(startRaw).map(_.toLong).getOrElse(0L))
+        StartR.findFirstMatchIn(opts).map(_.group(1).toLong).getOrElse(0L))
     case AlterColumnType(ref, colName, tpe) =>
       SnapshotTable.widenColumn(s, resolveRef(s, ref), colName,
         org.apache.spark.sql.catalyst.parser.CatalystSqlParser

@@ -1062,10 +1062,22 @@ private[sources] class SnapshotScan(root: String, version: Int,
     // Type-WIDENED versions (`widen`) are evolved the same way: files
     // narrower than the schema of record need the per-file request
     // (and the reader's per-slot upcast) to decode correctly.
-    val evolved = version > 0 && {
+    // NESTED-bearing projections (structs/lists/maps) take the
+    // per-file request too (r17 review): parquet's containment check
+    // demands EXACT repetition equality at every depth, and a
+    // Scala-route CoW rewrite emits inner fields OPTIONAL (catalyst
+    // nullability) beside seed files' REQUIRED — a shared head-footer
+    // request dies mid-task on whichever variant it doesn't match.
+    // The per-file request carries each file's OWN declarations and
+    // the decode plans follow them. Primitive projections — the 100 TB
+    // common case — keep the zero-extra-IO fast path.
+    val evolved = (version > 0 && {
       val m = SnapshotTable.manifestMeta(root, version)
       m.contains("schema") || m.contains("widen")
-    }
+    }) || pruned.fields.exists(f => f.dataType match {
+      case _: StructType | _: ArrayType | _: MapType => true
+      case _ => false
+    })
     // reader namespace is PHYSICAL (files' own names): translate the
     // pruned projection through the version's column mapping; output
     // rows are positional, so readSchema() stays logical
@@ -2359,17 +2371,30 @@ private[sources] case class SnapshotReaderFactory(projectedMessage: String,
       private val nestedPlans: Array[AnyRef] =
         pruned.fields.zipWithIndex.map { case (f, i) =>
           f.dataType match {
-            case s: StructType if nestedMap.contains(f.name) =>
-              // a nested-mapped struct: the request carries the FULL
-              // physical group (dropped fields ride along undecoded);
-              // the plan translates logical field names through the
-              // mapping — one level deep, matching the ALTER surface
-              groupPlan(s, request.getType(i).asGroupType(), nestedMap(f.name))
             case _: StructType | _: ArrayType | _: MapType =>
-              // POSITIONAL: the request carries PHYSICAL top-level
-              // names (column mapping renames them) in pruned order;
-              // unmapped groups' inner names are physical ≡ logical
-              nestedSub(f.dataType, request.getType(i))
+              // the group a row materializes under is the REQUESTED
+              // declaration — the static request in uniform mode, but
+              // THE FILE'S OWN group in per-file (evolved/rowIds/CDF)
+              // mode, whose inner layout can differ across files (a
+              // nested-mapped CoW rewrite reorders struct fields) —
+              // so plans must index the layout this reader will
+              // actually see, never the static request's (r17 review)
+              val pt: Option[org.apache.parquet.schema.Type] = fileMeta match {
+                case None => Some(request.getType(i))
+                case Some((fileFields, _)) => fileFields.get(f.name)
+              }
+              pt.map { t =>
+                f.dataType match {
+                  case s: StructType if nestedMap.contains(f.name) =>
+                    // a nested-mapped struct: the request carries the
+                    // FULL physical group (dropped fields ride along
+                    // undecoded); the plan translates logical field
+                    // names through the mapping — one level deep,
+                    // matching the ALTER surface
+                    groupPlan(s, t.asGroupType(), nestedMap(f.name))
+                  case dt => nestedSub(dt, t)
+                }
+              }.orNull
             case _ => null
           }
         }

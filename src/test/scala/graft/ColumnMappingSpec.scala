@@ -423,6 +423,26 @@ class ColumnMappingSpec extends AnyFunSuite {
       .option("readChangeFeed", "true").option("afterVersion", "0").load(root)
     assert(feed.filter(col("_change_type") === "insert")
       .agg(sum(col("props.score"))).head().getDouble(0) == 21.0)
+    // post-mapping DML REORDERS the rewritten file's inner struct
+    // layout (toPhysical rebuilds (score, ride-along tag) as (v, tag)
+    // while untouched files carry (tag, v)) — the per-file decode
+    // must index each FILE's own group layout, never the head
+    // footer's, or the reordered file serves tag-as-score (r17 review)
+    spark.sql(s"UPDATE '$root' SET flag = flag + 0.5 " +
+      "WHERE props.score <= 2.0").collect()
+    val ids2 = spark.read.format("graft-snapshot").option("rowIds", "true")
+      .load(root).select(col("k"), col("props.score").as("sc")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(ids2 == (1L to 6L).map(k => k -> k * 1.0).toMap,
+      s"reordered rewrite mis-decoded on the rowIds route: $ids2")
+    val feed2 = spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+      .option("afterVersion", (ST.currentVersion(root) - 1).toString).load(root)
+    val post2 = feed2.filter(col("_change_type") === "insert")
+      .select(col("k"), col("props.score").as("sc")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(post2.forall { case (k, sc) => sc == k * 1.0 },
+      s"reordered rewrite mis-decoded on the CDF route: $post2")
     // DSv2 WRITES keep refusing loudly until OPTIMIZE materializes
     val eW = intercept[Exception](ST.read(spark, root)
       .write.format("graft-snapshot").mode("append").save(root))
