@@ -175,28 +175,18 @@ private[sources] object SnapshotSourceUtil {
       case _ => base
     }
 
-  /** NESTED column mappings (dotted colmap entries, x44) resolve on
-    * the READ side since r17: [[logicalStruct]] rebuilds mapped struct
-    * columns field-for-field (renames surface, dropped fields
-    * disappear) and the reader factories translate logical field names
-    * through [[nestedFieldMaps]] when building their positional decode
-    * plans. The WRITE side still refuses — the task writer would emit
-    * files carrying logical field names beside residents' physical
-    * ones. */
-  def requireNoNestedMap(root: String, v: Int): Unit =
-    require(!SnapshotTable.colMap(root, v).exists(_.exists(_._1.contains("."))),
-      s"graft-snapshot: $root carries a NESTED column mapping (struct-field " +
-        "renames/drops) — the DSv2 write route would emit logical field " +
-        "names beside residents' physical ones; write through the Scala " +
-        "route (SnapshotTable append/merge), or OPTIMIZE to materialize " +
-        "the mapping first")
-
   /** The nested field mappings by PHYSICAL parent column name:
-    * `pa -> (logical field -> physical field)`. The reader factories'
-    * namespace is physical at the top level (physStruct renamed it) but
-    * the pruned struct's INNER field names stay logical — this is the
-    * translation their decode plans resolve through. Empty when the
-    * table has no dotted colmap entries (the common case — zero cost). */
+    * `pa -> (logical field -> physical field)` — NESTED column
+    * mappings (dotted colmap entries, x44) resolve on EVERY DSv2 route
+    * since r17: [[logicalStruct]] rebuilds mapped struct columns
+    * field-for-field for schema exposure, the reader factories
+    * translate logical field names through this map when building
+    * their positional decode plans, and the task WRITER translates the
+    * same way so landed files carry physical names beside residents.
+    * The factories' namespace is physical at the top level (physStruct
+    * renamed it) but struct INNER field names stay logical — this is
+    * the translation both sides resolve through. Empty when the table
+    * has no dotted colmap entries (the common case — zero cost). */
   def nestedFieldMaps(map: Option[Seq[(String, String)]])
       : Map[String, Map[String, String]] = map match {
     case None => Map.empty
@@ -1727,12 +1717,16 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
         s"graft-snapshot write to $root: column $ic is GENERATED ALWAYS AS " +
           "IDENTITY — omit it (path-route append or the streaming sink); " +
           "the engine assigns dense ids at commit"))
-    // STRUCT writes (r16): the task writer handles nested groups; a
-    // NESTED-mapped table still refuses ON THE WRITE SIDE (physStruct
-    // cannot rename struct FIELDS — the written file would carry
-    // logical names beside residents' physical ones); reads resolve
-    // the mapping since r17
-    if (cur > 0) SnapshotSourceUtil.requireNoNestedMap(root, cur)
+    // NESTED-mapped tables (r17): incoming struct FIELD names are
+    // LOGICAL; the task writer translates them to physical through the
+    // same nestedFieldMaps decode point the reader uses, so the
+    // written file carries physical names beside residents. Dropped
+    // OPTIONAL fields simply stay unset (new rows have no values for
+    // dropped columns); a dropped REQUIRED field has no value to
+    // write and refuses at plan time (checkNestedCompat).
+    val nestedWriteMap: Map[String, Map[String, String]] =
+      if (cur == 0) Map.empty
+      else SnapshotSourceUtil.nestedFieldMaps(SnapshotTable.colMap(root, cur))
     // `_row_id`/`__row_id` are reserved spellings (the row-id read keys
     // on the OUTPUT name — a committed data column would shadow engine
     // ids on tracked tables and brick plain DSv2 reads on untracked
@@ -1778,7 +1772,8 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
     // depth — a mismatch refuses at planning with the field's path,
     // never a per-row parquet error mid-task (r16 review)
     def checkNestedCompat(path: String, dt0: DataType,
-        ft0: org.apache.parquet.schema.Type): Unit = dt0 match {
+        ft0: org.apache.parquet.schema.Type,
+        rename: Map[String, String] = Map.empty): Unit = dt0 match {
       case st: StructType =>
         require(!ft0.isPrimitive &&
             ft0.asGroupType().getLogicalTypeAnnotation == null,
@@ -1786,20 +1781,29 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
             s"resident files declare $ft0 — needs a rewrite")
         val gt = ft0.asGroupType()
         import scala.jdk.CollectionConverters._
-        val extra = st.fieldNames.filterNot(gt.containsField)
+        // a nested column mapping translates incoming LOGICAL field
+        // names to the residents' physical ones (one level deep) —
+        // dropped OPTIONAL physical fields are simply not named by any
+        // incoming field and stay unset
+        def pn(f: String): String = rename.getOrElse(f, f)
+        val extra = st.fieldNames.filterNot(f => gt.containsField(pn(f)))
         require(extra.isEmpty,
           s"graft-snapshot write to $root: struct $path carries " +
             s"field(s) ${extra.mkString(",")} the resident files lack — " +
             "struct-field evolution needs a rewrite (Scala route)")
+        val covered = st.fieldNames.map(pn).toSet
         val missingReq = gt.getFields.asScala.filter(x =>
           x.isRepetition(org.apache.parquet.schema.Type.Repetition.REQUIRED) &&
-            !st.fieldNames.contains(x.getName))
+            !covered.contains(x.getName))
         require(missingReq.isEmpty,
           s"graft-snapshot write to $root: struct $path omits " +
-            s"REQUIRED field(s) ${missingReq.map(_.getName).mkString(",")}")
+            s"REQUIRED field(s) ${missingReq.map(_.getName).mkString(",")}" +
+            (if (rename.nonEmpty) " (a DROPPED field the residents declare " +
+              "NOT NULL has no value to write — OPTIMIZE to materialize " +
+              "the mapping first)" else ""))
         st.fields.foreach { f =>
           checkNestedCompat(s"$path.${f.name}", f.dataType,
-            gt.getType(gt.getFieldIndex(f.name)))
+            gt.getType(gt.getFieldIndex(pn(f.name))))
         }
       case ArrayType(et, _) =>
         require(!ft0.isPrimitive && ft0.asGroupType().getLogicalTypeAnnotation
@@ -1846,7 +1850,8 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
             val ft = m.getType(m.getFieldIndex(f.name))
             f.dataType match {
               case _: StructType | _: ArrayType | _: MapType =>
-                checkNestedCompat(f.name, f.dataType, ft)
+                checkNestedCompat(f.name, f.dataType, ft,
+                  nestedWriteMap.getOrElse(f.name, Map.empty))
                 ft
               case _ => ft
             }
@@ -1856,7 +1861,7 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
           fields.asJava: java.util.List[org.apache.parquet.schema.Type])
     }
     SnapshotWriterFactory(root, msg.toString, phys, boundChecks,
-      genPlan._2, genPlan._3)
+      genPlan._2, genPlan._3, nestedWriteMap)
   }
   // `.option("statsCol", c)` on the writer declares the pruning column
   // for a table this write CREATES (an existing table's statsCol is
@@ -2001,7 +2006,8 @@ private[sources] case class SnapshotWriterFactory(root: String,
     checks: Seq[(String, String,
       org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
     srcIdx: Array[Int] = Array.empty,
-    fills: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil)
+    fills: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil,
+    nestedMap: Map[String, Map[String, String]] = Map.empty)
     extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -2013,7 +2019,7 @@ private[sources] case class SnapshotWriterFactory(root: String,
     val rel = s"data_w_e${epochId}_p${partitionId}_" +
       s"${java.util.UUID.randomUUID().toString.take(8)}.parquet"
     new PartitionFileWriter(root, rel, parquetSchema, schema, checks,
-      srcIdx, fills)
+      srcIdx, fills, nestedMap)
   }
 }
 
@@ -2022,7 +2028,8 @@ private[sources] class PartitionFileWriter(root: String, rel: String,
     checks: Seq[(String, String,
       org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
     srcIdx: Array[Int] = Array.empty,
-    fills: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil)
+    fills: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil,
+    nestedMap: Map[String, Map[String, String]] = Map.empty)
     extends DataWriter[InternalRow] {
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
   import org.apache.parquet.hadoop.example.ExampleParquetWriter
@@ -2035,9 +2042,12 @@ private[sources] class PartitionFileWriter(root: String, rel: String,
   // once here), its REQUIRED flag, type, and sub-plan — the per-row
   // loop stays lookup-free
   private def writePlan(st: StructType,
-      gt: org.apache.parquet.schema.GroupType): Array[(Int, Boolean, DataType, AnyRef)] =
+      gt: org.apache.parquet.schema.GroupType,
+      rename: Map[String, String] = Map.empty): Array[(Int, Boolean, DataType, AnyRef)] =
     st.fields.map { f =>
-      val j = gt.getFieldIndex(f.name)
+      // a NESTED column mapping (one level deep) translates the
+      // incoming LOGICAL field name to the residents' physical one
+      val j = gt.getFieldIndex(rename.getOrElse(f.name, f.name))
       val req = gt.getType(j).isRepetition(
         org.apache.parquet.schema.Type.Repetition.REQUIRED)
       (j, req, f.dataType, writeSub(f.dataType, gt.getType(j)))
@@ -2063,6 +2073,8 @@ private[sources] class PartitionFileWriter(root: String, rel: String,
   private val nestedWritePlans: Array[AnyRef] =
     schema.fields.zipWithIndex.map { case (f, i) =>
       f.dataType match {
+        case s: StructType if nestedMap.contains(f.name) =>
+          writePlan(s, msg.getType(i).asGroupType(), nestedMap(f.name))
         case _: StructType | _: ArrayType | _: MapType =>
           writeSub(f.dataType, msg.getType(i))
         case _ => null

@@ -443,17 +443,33 @@ class ColumnMappingSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(post2.forall { case (k, sc) => sc == k * 1.0 },
       s"reordered rewrite mis-decoded on the CDF route: $post2")
-    // DSv2 WRITES keep refusing loudly until OPTIMIZE materializes
-    val eW = intercept[Exception](ST.read(spark, root)
-      .write.format("graft-snapshot").mode("append").save(root))
-    assert(Iterator.iterate(eW: Throwable)(_.getCause).takeWhile(_ != null)
-      .exists(t => Option(t.getMessage).exists(_.contains("NESTED column mapping"))),
-      eW.getMessage)
-    val eI = intercept[Exception](
-      spark.sql("INSERT INTO gcmn.nt SELECT 9L, named_struct('score', 9.0), 90.0"))
-    assert(Iterator.iterate(eI: Throwable)(_.getCause).takeWhile(_ != null)
-      .exists(t => Option(t.getMessage).exists(_.contains("NESTED column mapping"))),
-      eI.getMessage)
+    // DSv2 WRITES translate logical struct-field names to physical
+    // (r17): the catalog INSERT lands a file carrying the residents'
+    // physical inner names, readable on every route
+    spark.sql("INSERT INTO gcmn.nt SELECT 9L, named_struct('score', 9.0), 90.0")
+    assert(spark.sql("SELECT props.score FROM gcmn.nt WHERE k = 9")
+      .head().getDouble(0) == 9.0)
+    assert(ST.read(spark, root).filter(col("k") === 9)
+      .select(col("props.score")).head().getDouble(0) == 9.0)
+    // the landed file physically carries `v` (the storage name), never
+    // the logical `score` — uniform beside residents
+    val withV = dataFiles(root).filter { rel =>
+      spark.read.parquet(Paths.get(root, rel).toString)
+        .schema("props").dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.contains("v")
+    }
+    assert(withV == dataFiles(root),
+      s"a DSv2 write landed LOGICAL field names: ${dataFiles(root) -- withV}")
+    // a dropped field the residents declare REQUIRED (NOT NULL) has no
+    // value to write — refuses at plan time, pointing at OPTIMIZE
+    val root2 = freshNested("nested_dsv2_w")
+    spark.sql(s"ALTER TABLE '$root2' DROP COLUMN props.v").collect()
+    val eReq = intercept[Exception](ST.read(spark, root2)
+      .write.format("graft-snapshot").mode("append").save(root2))
+    assert(Iterator.iterate(eReq: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(m =>
+        m.contains("REQUIRED field") && m.contains("OPTIMIZE"))), eReq.getMessage)
   }
 
   test("RESTORE and SHALLOW CLONE carry a NESTED mapping (ncolmap stamp included)") {

@@ -643,12 +643,14 @@ class SnapshotRobustnessSpec extends AnyFunSuite {
       ST.read(spark, root).agg(sum(col("attrs.amount"))).head().getDouble(0))
     assert(spark.sql("SELECT SUM(attrs.amount) FROM gst.t").head().getDouble(0) ==
       ST.read(spark, root).agg(sum(col("attrs.amount"))).head().getDouble(0))
-    // ...while a DSv2 WRITE to the nested-mapped table still refuses
-    // loudly (the task writer would emit logical field names beside
-    // residents' physical ones)
-    val eW = intercept[Exception](ST.read(spark, root)
-      .write.format("graft-snapshot").mode("append").save(root))
-    assert(chain(eW).contains("NESTED column mapping"), chain(eW))
+    // ...and a DSv2 WRITE to the nested-mapped table translates the
+    // logical field names to physical (r17) — the appended copy reads
+    // back identically on both routes
+    val preSum = ST.read(spark, root).agg(sum(col("attrs.amount"))).head().getDouble(0)
+    ST.read(spark, root).write.format("graft-snapshot").mode("append").save(root)
+    assert(spark.read.format("graft-snapshot").load(root)
+      .agg(sum(col("attrs.amount"))).head().getDouble(0) == preSum * 2)
+    assert(ST.read(spark, root).count() == 38)
     // DSv2 STRUCT writes (r16): path-route round trip, catalog CTAS +
     // INSERT INTO, repetition conformance across both, and the
     // struct-field-evolution refusal
