@@ -572,16 +572,28 @@ object SnapshotSql {
       val opts = Option(optsRaw).map(_.trim).getOrElse("")
       val StartR = """(?i)START\s+WITH\s+(-?\d+)""".r
       val StepR = """(?i)INCREMENT\s+BY\s+(-?\d+)""".r
+      val starts = StartR.findAllMatchIn(opts).map(_.group(1)).toSeq
+      val steps = StepR.findAllMatchIn(opts).map(_.group(1)).toSeq
+      // strict: exactly one of each clause at most, nothing else in the
+      // options — a duplicate/conflicting clause must refuse, never
+      // silently honor the first (r17 review)
+      require(starts.size <= 1 && steps.size <= 1,
+        s"graft-snapshot SQL: duplicate identity option in '($opts)' — " +
+          "supported: (START WITH <n> [INCREMENT BY 1])")
       val leftover = StepR.replaceAllIn(StartR.replaceAllIn(opts, ""), "").trim
       require(leftover.isEmpty,
         s"graft-snapshot SQL: unrecognized identity option(s) '$leftover' — " +
           "supported: (START WITH <n> [INCREMENT BY 1])")
-      val step = StepR.findFirstMatchIn(opts).map(_.group(1).toLong).getOrElse(1L)
+      def asLong(raw: String, what: String): Long =
+        try raw.toLong catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"graft-snapshot SQL: $what $raw is out of BIGINT range") }
+      val step = steps.headOption.map(asLong(_, "INCREMENT BY")).getOrElse(1L)
       require(step == 1L,
         s"graft-snapshot SQL: INCREMENT BY $step — identity values are " +
           "the engine's dense row ids (step 1); custom increments are not supported")
       SnapshotTable.setIdentityColumn(s, resolveRef(s, ref), colName,
-        StartR.findFirstMatchIn(opts).map(_.group(1).toLong).getOrElse(0L))
+        starts.headOption.map(asLong(_, "START WITH")).getOrElse(0L))
     case AlterColumnType(ref, colName, tpe) =>
       SnapshotTable.widenColumn(s, resolveRef(s, ref), colName,
         org.apache.spark.sql.catalyst.parser.CatalystSqlParser

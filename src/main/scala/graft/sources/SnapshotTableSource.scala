@@ -1012,11 +1012,10 @@ private[sources] class SnapshotScan(root: String, version: Int,
     * file base + position (the same coalesce rule as
     * [[SnapshotTable.readWithRowIds]]). */
   private def rowIdFactory: SnapshotRowIdReaderFactory = {
-    // nested columns (structs/lists/maps) decode through the same
-    // per-file machinery since r17: the only per-file variance on the
-    // rowIds path is WHOLE-column __row_id presence, and nested +
-    // type-evolved tables are refused globally at tableMessageType —
-    // so the static request is always the nested shape authority
+    // nested columns (structs/lists/maps) decode through the per-file
+    // machinery since r17: each file's request carries ITS OWN
+    // declarations and the nested decode plans follow them (inner
+    // layout and repetitions can diverge per file after CoW rewrites)
     val map = SnapshotTable.colMap(root, version)
     val basePhys = SnapshotSourceUtil.physStruct(StructType(
       pruned.fields.filterNot(f => idOutNames.contains(f.name))), map)
@@ -1052,22 +1051,16 @@ private[sources] class SnapshotScan(root: String, version: Int,
     // Type-WIDENED versions (`widen`) are evolved the same way: files
     // narrower than the schema of record need the per-file request
     // (and the reader's per-slot upcast) to decode correctly.
-    // NESTED-bearing projections (structs/lists/maps) take the
-    // per-file request too (r17 review): parquet's containment check
-    // demands EXACT repetition equality at every depth, and a
-    // Scala-route CoW rewrite emits inner fields OPTIONAL (catalyst
-    // nullability) beside seed files' REQUIRED — a shared head-footer
-    // request dies mid-task on whichever variant it doesn't match.
-    // The per-file request carries each file's OWN declarations and
-    // the decode plans follow them. Primitive projections — the 100 TB
-    // common case — keep the zero-extra-IO fast path.
-    val evolved = (version > 0 && {
+    // nested-bearing projections stay on the SAME shared-request fast
+    // path: parquet materializes group fields BY NAME under the
+    // request, so inner-order divergence across files is handled, and
+    // the reader auto-degrades a single file to per-file mode iff its
+    // repetitions genuinely mismatch (see the fallback in
+    // SnapshotReaderFactory — zero extra IO unless a file refuses)
+    val evolved = version > 0 && {
       val m = SnapshotTable.manifestMeta(root, version)
       m.contains("schema") || m.contains("widen")
-    }) || pruned.fields.exists(f => f.dataType match {
-      case _: StructType | _: ArrayType | _: MapType => true
-      case _ => false
-    })
+    }
     // reader namespace is PHYSICAL (files' own names): translate the
     // pruned projection through the version's column mapping; output
     // rows are positional, so readSchema() stays logical
@@ -1088,10 +1081,9 @@ private[sources] class SnapshotScan(root: String, version: Int,
     * file — batch-proportional, the CDC price). */
   private def cdfFactory: SnapshotCdfReaderFactory = {
     // nested columns (structs/lists/maps) decode through the per-file
-    // machinery since r17: a changed file of a nested-typed table has
-    // the same nested SHAPE as the scan schema (nested + type-evolved
-    // refuses globally at tableMessageType), so the per-file
-    // intersection only ever varies whole-column presence
+    // machinery since r17: each changed file's request carries ITS
+    // OWN declarations and the nested decode plans follow them (a CoW
+    // rewrite can reorder inner fields and flip repetitions per file)
     // physical namespace throughout (see factory): table columns
     // translate through the mapping; CDF metadata columns are never
     // mapped and pass through
@@ -2259,7 +2251,41 @@ private[sources] case class SnapshotReaderFactory(projectedMessage: String,
     nestedMap: Map[String, Map[String, String]] = Map.empty)
     extends PartitionReaderFactory {
 
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+  /** Uniform (shared-request) mode with a PER-FILE FALLBACK: parquet
+    * demands EXACT repetition equality at every depth, and a
+    * Scala-route CoW rewrite can legitimately land nested fields
+    * OPTIONAL beside seed files' REQUIRED — so a file that refuses the
+    * shared request at open (InvalidRecordException, before any row is
+    * served) is retried in per-file mode, where the request carries
+    * ITS own declarations and the decode plans follow them. Uniform
+    * tables — the 100 TB common case — pay ZERO extra footer IO;
+    * only a genuinely divergent file pays one footer re-open. Inner
+    * field ORDER divergence alone never triggers this: parquet
+    * materializes group fields by NAME under the shared request. */
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    if (evolved) createReader0(p)
+    else new PartitionReader[InternalRow] {
+      private var inner = createReader0(p)
+      private var first = true
+      private def repetitionMismatch(e: Throwable): Boolean =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .exists(_.isInstanceOf[org.apache.parquet.io.InvalidRecordException])
+      override def next(): Boolean =
+        if (!first) inner.next()
+        else {
+          first = false
+          try inner.next()
+          catch { case e: Throwable if repetitionMismatch(e) =>
+            try inner.close() catch { case _: Throwable => () }
+            inner = copy(evolved = true).createReader0(p)
+            inner.next()
+          }
+        }
+      override def get(): InternalRow = inner.get()
+      override def close(): Unit = inner.close()
+    }
+
+  private def createReader0(p: InputPartition): PartitionReader[InternalRow] = {
     val fp = p.asInstanceOf[SnapshotFilePartition]
     val path = fp.path
     // deletion vector: the ordinals (file positions) this scan must
@@ -2348,13 +2374,14 @@ private[sources] case class SnapshotReaderFactory(projectedMessage: String,
           }
         }
       // NESTED decode plans (r16 structs, r17 lists/maps): for each
-      // pruned slot holding a nested type, the request group's field
-      // indices matched by NAME once at reader build — the per-row
-      // loop stays lookup-free. Nested + type-evolved is refused at
-      // planning (tableMessageType), so the static `request` message
-      // is always the shape authority here even in per-file mode (the
-      // only per-file variance then is WHOLE-column presence, which
-      // the top-level slot map already handles).
+      // pruned slot holding a nested type, the group's field indices
+      // matched by NAME once at reader build — the per-row loop stays
+      // lookup-free. The plan's SHAPE AUTHORITY is whatever this
+      // reader requests: the static request in uniform mode (parquet
+      // materializes group fields by name under it), the FILE's own
+      // declaration in per-file mode — a CoW rewrite can reorder
+      // inner fields and flip repetitions per file, so per-file plans
+      // must never index the static layout (r17 review).
       private def groupPlan(st: StructType,
           gt: org.apache.parquet.schema.GroupType,
           rename: Map[String, String] = Map.empty): Array[(Int, DataType, AnyRef)] =

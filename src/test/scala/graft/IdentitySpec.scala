@@ -269,6 +269,21 @@ class IdentitySpec extends AnyFunSuite {
       spark.sql(s"ALTER TABLE '$root2' ADD COLUMN sk2 BIGINT GENERATED ALWAYS " +
         "AS IDENTITY (START WITH 1 INCREMENT BY 2)"))
     assert(eStep.getMessage.contains("step 1"), eStep.getMessage)
+    // strict options: INCREMENT BY alone reaches the clear refusal,
+    // duplicate clauses refuse instead of silently honoring the first,
+    // and an out-of-BIGINT start refuses with the option named
+    val eStep2 = intercept[Exception](
+      spark.sql(s"ALTER TABLE '$root2' ADD COLUMN sk2 BIGINT GENERATED ALWAYS " +
+        "AS IDENTITY (INCREMENT BY 2)"))
+    assert(eStep2.getMessage.contains("step 1"), eStep2.getMessage)
+    val eDup = intercept[Exception](
+      spark.sql(s"ALTER TABLE '$root2' ADD COLUMN sk2 BIGINT GENERATED ALWAYS " +
+        "AS IDENTITY (START WITH 5 START WITH 9)"))
+    assert(eDup.getMessage.contains("duplicate identity option"), eDup.getMessage)
+    val eBig = intercept[Exception](
+      spark.sql(s"ALTER TABLE '$root2' ADD COLUMN sk2 BIGINT GENERATED ALWAYS " +
+        "AS IDENTITY (START WITH 99999999999999999999)"))
+    assert(eBig.getMessage.contains("out of BIGINT range"), eBig.getMessage)
   }
 
   test("delete-all leaves a readable empty identity table (no recursion)") {
