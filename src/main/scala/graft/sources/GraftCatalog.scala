@@ -435,21 +435,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           retry.observed(v)
           val cur = SnapshotSourceUtil.sparkSchema(
             SnapshotSourceUtil.tableMessageType(root, v))
-          // an evolved NESTED-typed table (struct/array/map columns) is
-          // unreadable on the DSv2 route (the mixed-width machinery is
-          // primitive-only): a committed-then-unloadable ALTER would
-          // report failure for a change that landed — refuse BEFORE
-          // committing instead
-          cur.fields.find(f =>
-              f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] ||
-              f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
-              f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]).foreach(f =>
-            throw new UnsupportedOperationException(
-              s"graft catalog: ADD COLUMN on $root — the table carries nested " +
-                s"column ${f.name} (${f.dataType.simpleString}), and add-column " +
-                "evolution over nested types is outside the DSv2 envelope (the " +
-                "evolved table would stop reading on this route); evolve " +
-                "through the Scala route"))
+          // add-column evolution over NESTED-typed tables is
+          // in-envelope since r17: the per-file request machinery
+          // decodes each file under its own declarations, so the
+          // evolved table keeps reading on this route
           // uniqueness runs in the LOGICAL namespace (what users see)
           val map = SnapshotTable.colMap(root, v)
           val logicalNames = map.map(_.map(_._1)).getOrElse(cur.fieldNames.toSeq)

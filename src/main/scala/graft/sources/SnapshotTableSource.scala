@@ -310,21 +310,13 @@ private[sources] object SnapshotSourceUtil {
       scala.util.Try(messageType(
         DataType.fromJson(js).asInstanceOf[StructType])).toOption
     }
-    // EVOLVED (mixed-width) or WIDENED versions switch the scan to
-    // per-file requests whose slot machinery is primitive-only — a
-    // struct column there must refuse AT PLANNING on every resolution
-    // path (the capture branch included: messageType converts structs
-    // since r16, so the Try no longer swallows them), never die
-    // executor-side in asPrimitiveType (r16 review)
-    if (meta.contains("schema") || meta.contains("widen")) {
-      val probe: Option[MessageType] = captured.orElse(
-        if (entries.nonEmpty) Some(footerSchema(root, entries.head.rel)) else None)
-      probe.foreach(_.getFields.asScala.find(!_.isPrimitive).foreach(f =>
-        throw new IllegalStateException(
-          s"graft-snapshot: evolved/widened table $root carries struct " +
-            s"column ${f.getName} — the connector's mixed-width machinery " +
-            "is primitive-only; read through SnapshotTable.readAt")))
-    }
+    // EVOLVED (mixed-width) and WIDENED versions read through per-file
+    // requests; since r17 those handle NESTED columns too (each file's
+    // request carries its own declarations and the decode plans follow
+    // them), so add-column evolution over a struct/array/map-bearing
+    // table is in-envelope — the union below enforces that the nested
+    // columns THEMSELVES never change shape across files (add-column
+    // evolution only, same rule as primitives).
     if (captured.isDefined) captured.get
     else if (entries.isEmpty)
       // a zero-entry version (delete-all) is plannable only through
@@ -353,28 +345,37 @@ private[sources] object SnapshotSourceUtil {
       val optionalCarrier = new java.util.HashSet[String]()
       entries.foreach { e =>
         footerSchema(root, e.rel).getFields.asScala.foreach { f =>
-          require(f.isPrimitive,
-            s"graft-snapshot: evolved (mixed-width) table $root carries struct " +
-              s"column ${f.getName} — the connector's evolution union is " +
-              "primitive-only; read through SnapshotTable.readAt")
           val prev = seen.putIfAbsent(f.getName, f)
-          // primitive name alone is not type identity: plain INT64 vs
-          // timestamp-annotated INT64 share it but decode differently —
-          // the annotation must agree too (ADVICE r10)
-          require(prev == null ||
-              (prev.asPrimitiveType().getPrimitiveTypeName ==
-                f.asPrimitiveType().getPrimitiveTypeName &&
-               prev.asPrimitiveType().getLogicalTypeAnnotation ==
-                f.asPrimitiveType().getLogicalTypeAnnotation),
-            s"graft-snapshot: evolved table $root has conflicting types for " +
-              s"column ${f.getName}: $prev vs $f — add-column evolution only")
+          if (f.isPrimitive) {
+            require(prev == null || (prev.isPrimitive &&
+                prev.asPrimitiveType().getPrimitiveTypeName ==
+                  f.asPrimitiveType().getPrimitiveTypeName &&
+                prev.asPrimitiveType().getLogicalTypeAnnotation ==
+                  f.asPrimitiveType().getLogicalTypeAnnotation),
+              // primitive name alone is not type identity: plain INT64
+              // vs timestamp-annotated INT64 share it but decode
+              // differently — the annotation must agree too (ADVICE r10)
+              s"graft-snapshot: evolved table $root has conflicting types for " +
+                s"column ${f.getName}: $prev vs $f — add-column evolution only")
+          } else {
+            // NESTED columns (r17): structural identity up to
+            // repetition — a CoW rewrite legitimately flips inner
+            // REQUIRED to OPTIONAL and reorders fields, so compare the
+            // nullable-normalized Spark types, not the raw
+            // declarations; a genuinely different shape (new field,
+            // retyped element) refuses like a primitive conflict
+            require(prev == null || (!prev.isPrimitive &&
+                nullNormalized(sparkType(f)) == nullNormalized(sparkType(prev))),
+              s"graft-snapshot: evolved table $root has conflicting nested " +
+                s"types for column ${f.getName}: $prev vs $f — add-column " +
+                "evolution only (nested columns themselves cannot evolve)")
+          }
           if (!f.isRepetition(org.apache.parquet.schema.Type.Repetition.REQUIRED))
             optionalCarrier.add(f.getName)
           hits.merge(f.getName, 1, (a, b) => a + b)
         }
       }
       val fields: Iterable[org.apache.parquet.schema.Type] = seen.values().asScala.map { f =>
-        val p = f.asPrimitiveType()
         // a column absent from ANY file surfaces null there, so the
         // union field must be OPTIONAL even if every carrier file
         // declared it REQUIRED; likewise a column REQUIRED in the first
@@ -382,14 +383,41 @@ private[sources] object SnapshotSourceUtil {
         // the WEAKEST repetition across carriers, not the first file's
         val rep =
           if (hits.get(f.getName) == entries.size
-              && !optionalCarrier.contains(f.getName)) p.getRepetition
+              && !optionalCarrier.contains(f.getName)) f.getRepetition
           else org.apache.parquet.schema.Type.Repetition.OPTIONAL
-        val b = org.apache.parquet.schema.Types.primitive(p.getPrimitiveTypeName, rep)
-        (if (p.getLogicalTypeAnnotation != null) b.as(p.getLogicalTypeAnnotation) else b)
-          .named(p.getName)
+        if (f.isPrimitive) {
+          val p = f.asPrimitiveType()
+          val b = org.apache.parquet.schema.Types.primitive(p.getPrimitiveTypeName, rep)
+          (if (p.getLogicalTypeAnnotation != null) b.as(p.getLogicalTypeAnnotation) else b)
+            .named(p.getName)
+        } else if (rep == f.getRepetition) f
+        else {
+          // same group, demoted top-level repetition (the union is a
+          // PLANNING artifact — per-file requests substitute each
+          // file's own declaration before any read)
+          val g = f.asGroupType()
+          val b0 = org.apache.parquet.schema.Types.buildGroup(rep)
+          val b = if (g.getLogicalTypeAnnotation != null)
+            b0.as(g.getLogicalTypeAnnotation) else b0
+          g.getFields.asScala.foreach(b.addField)
+          b.named(g.getName)
+        }
       }
       new MessageType("spark_schema", fields.toList.asJava: java.util.List[org.apache.parquet.schema.Type])
     }
+  }
+
+  /** Every nullability flag forced true, recursively — structural
+    * type identity up to repetition (the evolution union's nested
+    * comparison; Spark's own asNullable is private[spark]). */
+  private def nullNormalized(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case StructType(fs) => StructType(fs.map(f =>
+      StructField(f.name, nullNormalized(f.dataType), nullable = true)))
+    case ArrayType(et, _) => ArrayType(nullNormalized(et), containsNull = true)
+    case MapType(kt, vt, _) =>
+      MapType(nullNormalized(kt), nullNormalized(vt), valueContainsNull = true)
+    case other => other
   }
 
   /** Parquet type → Spark type: primitives plus (r16) NESTED GROUPS

@@ -693,18 +693,20 @@ class SnapshotRobustnessSpec extends AnyFunSuite {
       .load(plain)
     assert(cdfRows.filter(col("_change_type") === "insert").count() == 20)
     assert(cdfRows.agg(sum(col("props.v"))).head().getDouble(0) == sumV)
-    // ADD COLUMN over a struct table refuses BEFORE committing — the
-    // evolved table would stop reading on the DSv2 route (mixed-width
-    // machinery is primitive-only), and a committed-then-unloadable
-    // ALTER would report failure for a change that landed
-    val vBeforeAlter = ST.currentVersion(ctasRoot)
-    val eEv2 = intercept[Exception](
-      spark.sql("ALTER TABLE gst.ctas ADD COLUMN note STRING").collect())
-    assert(chain(eEv2).contains("outside the DSv2 envelope"), chain(eEv2))
-    assert(ST.currentVersion(ctasRoot) == vBeforeAlter,
-      "refused ALTER must not commit")
-    assert(spark.sql("SELECT COUNT(*) FROM gst.ctas").head().getLong(0) == 21,
-      "the table must stay readable after the refusal")
+    // ADD COLUMN over a struct table works since r17 (the per-file
+    // request machinery decodes each file under its own declarations):
+    // existing rows null-fill, the struct keeps decoding, and a
+    // post-widening INSERT carries the new column
+    spark.sql("ALTER TABLE gst.ctas ADD COLUMN note STRING").collect()
+    assert(spark.sql("SELECT COUNT(*) FROM gst.ctas WHERE note IS NULL")
+      .head().getLong(0) == 21, "existing rows must null-fill the added column")
+    assert(spark.sql("SELECT SUM(props.v) FROM gst.ctas").head() != null,
+      "the struct must keep decoding on the evolved table")
+    spark.sql("INSERT INTO gst.ctas SELECT k + 200, props, flag, 'late' " +
+      "FROM struct_src WHERE k = 3")
+    assert(spark.sql("SELECT props.v, note FROM gst.ctas WHERE k = 203")
+      .collect().map(r => (r.getDouble(0), r.getString(1))).toSeq ==
+      Seq((3.0, "late")))
     // rowIds on a struct table serves through the connector since r17
     // — ids AND struct values byte-identical to the Scala route
     val rt = freshRoot("graft_dsv2_struct_rt")
@@ -797,17 +799,18 @@ class SnapshotRobustnessSpec extends AnyFunSuite {
     // the 3-level encoding the task writer emits)
     assert(ST.read(spark, root).filter(col("k") === 7)
       .select(expr("m['a']")).head().getLong(0) == 7L)
-    // catalog ADD COLUMN refuses BEFORE committing on an array-bearing
-    // table too (the evolved table would stop reading on DSv2 — the
-    // same committed-then-unloadable guard structs got in r16)
+    // catalog ADD COLUMN over the array-bearing table (r17): the
+    // evolved table keeps reading on DSv2 — arrays decode through the
+    // per-file requests, existing rows null-fill the new column
     val wl = Files.createTempDirectory("graft_list_cat").toString
     spark.conf.set("spark.sql.catalog.glst", "graft.sources.GraftCatalog")
     spark.conf.set("spark.sql.catalog.glst.root", wl)
     Files.createSymbolicLink(Paths.get(wl, "t"), Paths.get(root))
-    val vBefore = ST.currentVersion(root)
-    val eAdd = intercept[Exception](
-      spark.sql("ALTER TABLE glst.t ADD COLUMN note STRING").collect())
-    assert(chain(eAdd).contains("outside the DSv2 envelope"), chain(eAdd))
-    assert(ST.currentVersion(root) == vBefore, "refused ALTER must not commit")
+    spark.sql("ALTER TABLE glst.t ADD COLUMN note STRING").collect()
+    assert(spark.sql("SELECT COUNT(*) FROM glst.t WHERE note IS NULL")
+      .head().getLong(0) == 30)
+    assert(spark.sql("SELECT vals[2] FROM glst.t WHERE k = 7")
+      .head().getDouble(0) == 21.0,
+      "arrays must keep decoding on the evolved table")
   }
 }
