@@ -742,6 +742,32 @@ object ScaleProbe {
         .selectExpr("vec_id", "aggregate(embedding, 0D, (a, x) -> a + x) AS s")
         .agg(max(col("s"))).collect(); 1L
     }
+    // r17: add-column EVOLUTION over a nested-typed table — the
+    // evolved scan pays the per-file request (one footer each, the
+    // same price primitive evolution pays) and must stay
+    // data-proportional, not blow up against the pre-evolution scan
+    time("x47e_arr_scan_preevolve_ref") {
+      spark.read.format("graft-snapshot").load(s"$work/snap_arr")
+        .selectExpr("vec_id", "try_element_at(embedding, 1) AS e1")
+        .agg(max(col("e1"))).collect(); 1L
+    }
+    time("x47e_arr_add_column") {
+      val ST = operators.SnapshotTable
+      val root = s"$work/snap_arr"
+      val v = ST.currentVersion(root)
+      val cur = spark.read.format("graft-snapshot").load(root).schema
+      ST.commitEntries(root, v, ST.manifestEntries(root, v), 16,
+        ST.carriedMeta(root, v) +
+          ("schema" -> "evolved:+note") +
+          ("schemaJson" -> cur.add("note",
+            org.apache.spark.sql.types.StringType, nullable = true).json))
+        .toLong
+    }
+    time("x47e_arr_scan_evolved") {
+      spark.read.format("graft-snapshot").load(s"$work/snap_arr")
+        .selectExpr("vec_id", "try_element_at(embedding, 1) AS e1", "note")
+        .agg(max(col("e1")), max(col("note"))).collect(); 1L
+    }
     // r14: scoped OPTIMIZE — the WHERE-window compaction must price
     // with the WINDOW's bytes, not the table's (the full form is the
     // reference; at 32× the gap is the whole point of the verb)
