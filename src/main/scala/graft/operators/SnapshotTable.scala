@@ -611,22 +611,25 @@ object SnapshotTable {
   private[graft] def fmtColMap(m: Seq[(String, String)]): String =
     m.map { case (l, p) => s"$l=$p" }.mkString(",")
 
-  /** NESTED column mapping (r15, Delta's struct-field mapping): a
-    * colmap entry whose names are DOTTED paths maps one struct FIELD —
-    * `a.b=pa.pb` reads "logical field `b` of struct column `a` is
-    * stored as field `pb` of physical column `pa`". The parent struct
-    * keeps its own top-level entry (`a=pa`), and the nested entries
-    * for a parent are, in order, the struct's COMPLETE logical field
-    * list — the same once-mapped-the-map-IS-the-schema convention the
-    * top level uses, so an unmapped physical field is a dropped field:
-    * resident in every file, served to no reader, carried through
-    * rewrites. One level deep by design (`a.b.c` refuses at the ALTER
-    * surface — restructure instead), so the encoding never recurses.
-    * Dotted entries stamp the `ncolmap` READER feature: a
-    * nested-ignorant binary would serve the struct under raw physical
-    * field names instead of failing, so it must refuse the manifest.
-    * This split is the ONE decode point: (top-level entries, nested
-    * entries grouped by parent LOGICAL name). */
+  /** NESTED column mapping (r15, Delta's struct-field mapping; r18:
+    * ARBITRARY depth): a colmap entry whose names are DOTTED paths
+    * maps one struct FIELD — `a.b=pa.pb` reads "logical field `b` of
+    * struct column `a` is stored as field `pb` of physical column
+    * `pa`", and `a.b.c=pa.pb.pc` recurses the same rule one struct
+    * deeper. Every mapped node keeps its own shallower entry (`a=pa`,
+    * `a.b=pa.pb`), and a node's direct entries are, in order, that
+    * struct's COMPLETE logical field list — the same once-mapped-the-
+    * map-IS-the-schema convention the top level uses, so an unmapped
+    * physical field is a dropped field: resident in every file,
+    * served to no reader, carried through rewrites. The ALTER surface
+    * synthesizes identity lists down the touched path, so the
+    * complete-list invariant holds at every mapped node. Dotted
+    * entries stamp the `ncolmap` READER feature: a nested-ignorant
+    * binary would serve the struct under raw physical field names
+    * instead of failing, so it must refuse the manifest.
+    * This split is the ONE decode primitive: (direct entries, deeper
+    * entries grouped by first LOGICAL segment, both sides stripped of
+    * that segment) — applied recursively by [[parseColTree]]. */
   private[graft] def splitColMap(m: Seq[(String, String)])
       : (Seq[(String, String)], Map[String, Seq[(String, String)]]) = {
     val (nested, top) = m.partition(_._1.contains("."))
@@ -637,15 +640,27 @@ object SnapshotTable {
     (top, byParent)
   }
 
-  /** Inverse of [[splitColMap]] — canonical serialization: each
-    * parent's nested entries follow its top-level entry, so the map
-    * round-trips deterministically through every carry/clone/restore
-    * path that treats `colmap` as an opaque string. */
-  private[graft] def joinColMap(top: Seq[(String, String)],
-      nested: Map[String, Seq[(String, String)]]): Seq[(String, String)] =
-    top.flatMap { case (l, p) =>
-      (l, p) +: nested.getOrElse(l, Nil).map { case (fl, fp) =>
-        (s"$l.$fl", s"$p.$fp") }
+  /** In-memory tree of a (possibly nested) column mapping: one node
+    * per mapped struct LEVEL. `fields` is the node's complete direct
+    * (logical, physical) list in mapping order; `children` holds the
+    * deeper node of any struct-typed field that is itself mapped,
+    * keyed by that field's LOGICAL name. */
+  private[graft] final case class ColNode(fields: Seq[(String, String)],
+      children: Map[String, ColNode])
+
+  private[graft] def parseColTree(entries: Seq[(String, String)]): ColNode = {
+    val (top, nested) = splitColMap(entries)
+    ColNode(top, nested.map { case (l, es) => (l, parseColTree(es)) })
+  }
+
+  /** Inverse of [[parseColTree]] — canonical serialization: each
+    * field's deeper entries follow its own entry, prefix-expanded, so
+    * the map round-trips deterministically through every carry/clone/
+    * restore path that treats `colmap` as an opaque string. */
+  private[graft] def flattenColTree(n: ColNode): Seq[(String, String)] =
+    n.fields.flatMap { case (l, p) =>
+      (l, p) +: n.children.get(l).toSeq.flatMap(flattenColTree).map {
+        case (cl, cp) => (s"$l.$cl", s"$p.$cp") }
     }
 
   /** Physical-named frame → the logical view: rename through the
@@ -655,23 +670,31 @@ object SnapshotTable {
       map: Option[Seq[(String, String)]]): DataFrame = map match {
     case None => df
     case Some(m0) =>
-      val (m, nested) = splitColMap(m0)
-      df.select(m.collect {
+      val t = parseColTree(m0)
+      df.select(t.fields.collect {
         // a mapped column ABSENT from this frame (e.g. a pre-widening
         // subset) is skipped rather than invented — callers that need
         // the full width read through the union schema first
-        case (l, p) if df.columns.contains(p) => nested.get(l) match {
-          case Some(nf) =>
-            // rebuild the struct through its field mapping. A NULL
-            // struct must STAY null — struct() of its fields would
-            // fabricate Row(null, ..) — so when() without otherwise
-            // serves the null branch.
-            when(col(p).isNotNull, struct(nf.map { case (fl, fp) =>
-              col(p).getField(fp).as(fl) }: _*)).as(l)
-          case None => col(p).as(l)
-        }
+        case (l, p) if df.columns.contains(p) => (t.children.get(l) match {
+          case Some(child) => structLogical(col(p), child)
+          case None => col(p)
+        }).as(l)
       }: _*)
   }
+
+  /** Recursive mapped-struct rebuild for the logical READ view: mapped
+    * fields rename (recursing into deeper-mapped struct fields),
+    * unmapped physical fields drop. A NULL struct must STAY null at
+    * every level — struct() of its fields would fabricate
+    * Row(null, ..) — so when() without otherwise serves the null
+    * branch. */
+  private def structLogical(parent: Column, node: ColNode): Column =
+    when(parent.isNotNull, struct(node.fields.map { case (fl, fp) =>
+      (node.children.get(fl) match {
+        case Some(child) => structLogical(parent.getField(fp), child)
+        case None => parent.getField(fp)
+      }).as(fl)
+    }: _*))
 
   /** The logical view for REWRITE plumbing: mapped physicals rename to
     * their logical names, but DROPPED physicals (unmapped columns
