@@ -653,6 +653,15 @@ object SnapshotTable {
     ColNode(top, nested.map { case (l, es) => (l, parseColTree(es)) })
   }
 
+  /** Inverse of [[splitColMap]] at one level: top entries plus each
+    * parent's (prefix-stripped, possibly still dotted) field entries
+    * back into one flat, canonically-ordered colmap. The ALTER surface
+    * edits one node's direct list and rejoins through here, so deeper
+    * descendants of an edited parent survive untouched. */
+  private[graft] def joinColMap(top: Seq[(String, String)],
+      nested: Map[String, Seq[(String, String)]]): Seq[(String, String)] =
+    flattenColTree(ColNode(top, nested.map { case (l, es) => (l, parseColTree(es)) }))
+
   /** Inverse of [[parseColTree]] — canonical serialization: each
     * field's deeper entries follow its own entry, prefix-expanded, so
     * the map round-trips deterministically through every carry/clone/
