@@ -611,7 +611,7 @@ object SnapshotTable {
   private[graft] def fmtColMap(m: Seq[(String, String)]): String =
     m.map { case (l, p) => s"$l=$p" }.mkString(",")
 
-  /** NESTED column mapping (r15, Delta's struct-field mapping; r18:
+  /** NESTED column mapping (r15, Delta's struct-field mapping; r19:
     * ARBITRARY depth): a colmap entry whose names are DOTTED paths
     * maps one struct FIELD — `a.b=pa.pb` reads "logical field `b` of
     * struct column `a` is stored as field `pb` of physical column
@@ -726,31 +726,41 @@ object SnapshotTable {
       map: Option[Seq[(String, String)]]): DataFrame = map match {
     case None => df
     case Some(m0) =>
-      val (m, nested) = splitColMap(m0)
-      // a nested-mapped struct's rewrite view: mapped fields rename,
+      import org.apache.spark.sql.types.StructType
+      val t = parseColTree(m0)
+      // a nested-mapped struct's rewrite view at EVERY depth: mapped
+      // fields rename (recursing into deeper-mapped struct fields),
       // dropped PHYSICAL fields ride along inside the struct under
       // their storage names (DroppedAlias on collision with a live
-      // logical field) — the same contract the top level keeps, one
-      // level down, inverted field-for-field by [[toPhysical]]
-      def structFull(l: String, p: String, nf: Seq[(String, String)]) = {
-        val physFields = df.schema(p).dataType
-          .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
-        val mappedF = nf.collect { case (fl, fp) if physFields.contains(fp) =>
-          col(p).getField(fp).as(fl) }
-        val droppedF = physFields.filterNot(fp => nf.exists(_._2 == fp)).map { fp =>
-          if (nf.exists(_._1 == fp)) col(p).getField(fp).as(s"$DroppedAlias$fp")
-          else col(p).getField(fp).as(fp)
+      // logical field) — the same contract the top level keeps,
+      // inverted field-for-field by [[toPhysical]]
+      def structFull(parent: Column, st: StructType, node: ColNode): Column = {
+        val mappedF = node.fields.collect {
+          case (fl, fp) if st.fieldNames.contains(fp) =>
+            (node.children.get(fl) match {
+              case Some(child) if st(fp).dataType.isInstanceOf[StructType] =>
+                structFull(parent.getField(fp),
+                  st(fp).dataType.asInstanceOf[StructType], child)
+              case _ => parent.getField(fp)
+            }).as(fl)
         }
-        when(col(p).isNotNull, struct(mappedF ++ droppedF: _*)).as(l)
+        val droppedF = st.fieldNames.toSeq
+          .filterNot(fp => node.fields.exists(_._2 == fp)).map { fp =>
+            if (node.fields.exists(_._1 == fp))
+              parent.getField(fp).as(s"$DroppedAlias$fp")
+            else parent.getField(fp).as(fp)
+          }
+        when(parent.isNotNull, struct(mappedF ++ droppedF: _*))
       }
-      val mapped = m.collect {
-        case (l, p) if df.columns.contains(p) => nested.get(l) match {
-          case Some(nf) => structFull(l, p, nf)
-          case None => col(p).as(l)
-        }
+      val mapped = t.fields.collect {
+        case (l, p) if df.columns.contains(p) => (t.children.get(l) match {
+          case Some(child) =>
+            structFull(col(p), df.schema(p).dataType.asInstanceOf[StructType], child)
+          case None => col(p)
+        }).as(l)
       }
-      val dropped = df.columns.filterNot(c => m.exists(_._2 == c)).map { c =>
-        if (m.exists(_._1 == c)) col(c).as(s"$DroppedAlias$c") else col(c)
+      val dropped = df.columns.filterNot(c => t.fields.exists(_._2 == c)).map { c =>
+        if (t.fields.exists(_._1 == c)) col(c).as(s"$DroppedAlias$c") else col(c)
       }
       df.select(mapped ++ dropped: _*)
   }
@@ -761,27 +771,38 @@ object SnapshotTable {
       map: Option[Seq[(String, String)]]): DataFrame = map match {
     case None => df
     case Some(m0) =>
-      val (m, nested) = splitColMap(m0)
-      val byLogical = m.toMap
+      import org.apache.spark.sql.types.StructType
+      val t = parseColTree(m0)
+      // rebuild a mapped struct under physical FIELD names at every
+      // depth: mapped logical fields invert through the node (recursing
+      // into deeper-mapped struct fields), ride-along dropped fields
+      // strip the collision alias or pass (they already carry their
+      // storage names)
+      def structPhys(parent: Column, st: StructType, node: ColNode): Column = {
+        val rebuilt = struct(st.fieldNames.toSeq.map { fl =>
+          if (fl.startsWith(DroppedAlias))
+            parent.getField(fl).as(fl.stripPrefix(DroppedAlias))
+          else {
+            val fp = node.fields.collectFirst {
+              case (l2, p2) if l2 == fl => p2 }.getOrElse(fl)
+            (node.children.get(fl) match {
+              case Some(child) if st(fl).dataType.isInstanceOf[StructType] =>
+                structPhys(parent.getField(fl),
+                  st(fl).dataType.asInstanceOf[StructType], child)
+              case _ => parent.getField(fl)
+            }).as(fp)
+          }
+        }: _*)
+        when(parent.isNotNull, rebuilt)
+      }
+      val byLogical = t.fields.toMap
       df.select(df.columns.map { c =>
         if (c.startsWith(DroppedAlias)) col(c).as(c.stripPrefix(DroppedAlias))
-        else nested.get(c) match {
-          case Some(nf) =>
-            // rebuild the struct under physical FIELD names: mapped
-            // logical fields invert through the map, ride-along
-            // dropped fields strip the collision alias or pass (they
-            // already carry their storage names)
-            val fields = df.schema(c).dataType
-              .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
-            val rebuilt = struct(fields.map { fl =>
-              if (fl.startsWith(DroppedAlias))
-                col(c).getField(fl).as(fl.stripPrefix(DroppedAlias))
-              else col(c).getField(fl).as(
-                nf.collectFirst { case (l2, p2) if l2 == fl => p2 }.getOrElse(fl))
-            }: _*)
-            when(col(c).isNotNull, rebuilt).as(byLogical.getOrElse(c, c))
-          case None => col(c).as(byLogical.getOrElse(c, c))
-        }
+        else (t.children.get(c) match {
+          case Some(child) =>
+            structPhys(col(c), df.schema(c).dataType.asInstanceOf[StructType], child)
+          case None => col(c)
+        }).as(byLogical.getOrElse(c, c))
       }.toIndexedSeq: _*)
   }
 
@@ -810,7 +831,7 @@ object SnapshotTable {
     require(name.nonEmpty, s"$op on $root: empty column name")
     require(!name.contains("."),
       s"$op on $root: '$name' names a nested field — only RENAME COLUMN " +
-        "a.b TO c and DROP COLUMN a.b accept field paths (one level); " +
+        "a.b TO c and DROP COLUMN a.b accept field paths (any depth); " +
         "here use a plain top-level name")
     require(!name.equalsIgnoreCase("__row_id"),
       s"$op on $root: __row_id is a reserved name (row tracking materializes " +
@@ -928,50 +949,68 @@ object SnapshotTable {
   }
 
   /** Parse + guard a dotted struct-field path at the ALTER surface:
-    * exactly one level deep (`a.b` — Delta maps arbitrary depth; the
-    * honest envelope here is one level, refusing deeper loudly), both
-    * segments delimiter-clean. */
-  private def nestedParts(root: String, op: String, path: String): (String, String) =
+    * ARBITRARY depth (`a.b`, `a.b.c`, ... — Delta's envelope), every
+    * segment non-empty and the struct-path segments delimiter-clean.
+    * Returns (parent path segments, final field name). */
+  private def nestedParts(root: String, op: String, path: String): (Seq[String], String) = {
     // -1 limit: String.split drops TRAILING empty segments, so
     // "a.b." would silently execute as "a.b" instead of refusing
-    path.split("\\.", -1) match {
-      case Array(parent, field) if parent.nonEmpty && field.nonEmpty =>
-        validateIdent(root, op, parent); (parent, field)
-      case _ => throw new IllegalArgumentException(
-        s"$op on $root: '$path' — nested column mapping is one level deep " +
-          "(parent.field); restructure deeper nesting")
-    }
-
-  /** The parent's nested field mapping, synthesized as identity from
-    * the resident physical struct when no dotted entries exist yet —
-    * the nested twin of [[currentColMap]]'s synthesis. Returns the
-    * parent's (logical, physical) top entry and its field list. */
-  private def nestedFieldMap(s: SparkSession, root: String, v: Int, op: String,
-      cur: Seq[(String, String)], parent: String)
-      : ((String, String), Seq[(String, String)], org.apache.spark.sql.types.StructType) = {
-    val (top, nestedAll) = splitColMap(cur)
-    val pe = top.find(_._1 == parent).getOrElse(throw new IllegalArgumentException(
-      s"$op on $root: no column $parent (have ${top.map(_._1).mkString(",")})"))
-    val physSchema = readAtPhysical(s, root, v).schema
-    require(physSchema.fieldNames.contains(pe._2) &&
-        physSchema(pe._2).dataType.isInstanceOf[org.apache.spark.sql.types.StructType],
-      s"$op on $root: $parent is not a struct column — field paths map " +
-        "struct fields only")
-    val st = physSchema(pe._2).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
-    val nf = nestedAll.getOrElse(parent, st.fieldNames.toIndexedSeq.map(f => (f, f)))
-    (pe, nf, st)
+    val segs = path.split("\\.", -1).toIndexedSeq
+    require(segs.length >= 2 && segs.forall(_.nonEmpty),
+      s"$op on $root: '$path' is not a struct-field path — every " +
+        "dot-separated segment must be non-empty (parent[.parent...].field)")
+    segs.init.foreach(validateIdent(root, op, _))
+    (segs.init, segs.last)
   }
 
-  /** ALTER TABLE ... RENAME COLUMN a.b TO c — NESTED column mapping
-    * (Delta's struct-field mapping): one CAS metadata commit rewriting
-    * the parent's dotted entry; zero files move, and the commit stamps
-    * the `ncolmap` READER feature (see [[requiredFeatures]]) so a
-    * nested-ignorant binary refuses instead of serving raw physical
-    * field names. First touch synthesizes the parent's identity field
-    * map from the resident struct, exactly like [[currentColMap]]. */
+  /** Walk the mapping tree down `parentPath` (LOGICAL segments),
+    * synthesizing each untouched level's identity field list from the
+    * resident physical struct (the nested twin of [[currentColMap]]'s
+    * synthesis — this is what keeps the complete-list invariant at
+    * every mapped node), apply `edit` to the FINAL node's direct field
+    * list (handed that node's physical struct for collision checks),
+    * and return the rejoined flat colmap. Refuses loudly on a missing
+    * column / non-struct step at any depth. */
+  private def editNestedNode(s: SparkSession, root: String, v: Int, op: String,
+      cur: Seq[(String, String)], parentPath: Seq[String])(
+      edit: (ColNode, org.apache.spark.sql.types.StructType)
+        => ColNode): Seq[(String, String)] = {
+    import org.apache.spark.sql.types.StructType
+    def descend(node: ColNode, st: StructType, path: Seq[String],
+        at: String): ColNode = {
+      val seg = path.head
+      val pe = node.fields.find(_._1 == seg).getOrElse(
+        throw new IllegalArgumentException(
+          s"$op on $root: no column $at$seg (have ${node.fields.map(_._1).mkString(",")})"))
+      require(st.fieldNames.contains(pe._2) &&
+          st(pe._2).dataType.isInstanceOf[StructType],
+        s"$op on $root: $at$seg is not a struct column — field paths map " +
+          "struct fields only")
+      val cst = st(pe._2).dataType.asInstanceOf[StructType]
+      val child = node.children.getOrElse(seg,
+        ColNode(cst.fieldNames.toIndexedSeq.map(f => (f, f)), Map.empty))
+      val next =
+        if (path.tail.isEmpty) edit(child, cst)
+        else descend(child, cst, path.tail, s"$at$seg.")
+      node.copy(children = node.children.updated(seg, next))
+    }
+    flattenColTree(descend(parseColTree(cur),
+      readAtPhysical(s, root, v).schema, parentPath, ""))
+  }
+
+  /** ALTER TABLE ... RENAME COLUMN a.b[.c...] TO z — NESTED column
+    * mapping (Delta's struct-field mapping) at ARBITRARY depth: one
+    * CAS metadata commit rewriting the path's dotted entry; zero files
+    * move, and the commit stamps the `ncolmap` READER feature (see
+    * [[requiredFeatures]]) so a nested-ignorant binary refuses instead
+    * of serving raw physical field names. First touch synthesizes
+    * identity field lists down the touched path, exactly like
+    * [[currentColMap]] at the top level — so the complete-list
+    * invariant holds at every mapped node. */
   private def renameField(s: SparkSession, root: String, from: String,
       to: String): Int = {
-    val (parent, field) = nestedParts(root, "rename", from)
+    val (parentPath, field) = nestedParts(root, "rename", from)
+    val parent = parentPath.mkString(".")
     validateIdent(root, "rename", to)
     val retry = new CommitRetry(root)
     var result = -1
@@ -980,24 +1019,31 @@ object SnapshotTable {
       retry.observed(v)
       require(v > 0, s"rename on $root: table has no committed version")
       val cur = currentColMap(s, root, v)
-      val (pe, nf, st) = nestedFieldMap(s, root, v, "rename", cur, parent)
-      require(nf.exists(_._1 == field),
-        s"rename on $root: no field $from (struct $parent has " +
-          s"${nf.map(_._1).mkString(",")})")
       requireNoConstraintRef(s, root, v, "rename", from)
-      require(!nf.exists(_._1.equalsIgnoreCase(to)),
-        s"rename on $root: field $parent.$to already exists")
-      // same resident-physical shadow rule as the top level, one level
-      // down: a previously dropped FIELD's storage name stays in every
-      // file and rides rewrites under its own name
-      require(!st.fieldNames.exists(pf => pf.equalsIgnoreCase(to) &&
-          !nf.exists { case (l2, p2) => p2 == pf && l2 == field }),
-        s"rename on $root: $parent.$to collides with a resident physical " +
-          "field (possibly a dropped field's storage name) — OPTIMIZE to " +
-          "materialize the mapping first, or pick another name")
-      val (top, nestedAll) = splitColMap(cur)
-      val nextNf = nf.map { case (l2, p2) => (if (l2 == field) to else l2, p2) }
-      val next = joinColMap(top, nestedAll.updated(parent, nextNf))
+      val next = editNestedNode(s, root, v, "rename", cur, parentPath) { (node, st) =>
+        val nf = node.fields
+        require(nf.exists(_._1 == field),
+          s"rename on $root: no field $from (struct $parent has " +
+            s"${nf.map(_._1).mkString(",")})")
+        require(!nf.exists(_._1.equalsIgnoreCase(to)),
+          s"rename on $root: field $parent.$to already exists")
+        // same resident-physical shadow rule as the top level, N levels
+        // down: a previously dropped FIELD's storage name stays in
+        // every file and rides rewrites under its own name
+        require(!st.fieldNames.exists(pf => pf.equalsIgnoreCase(to) &&
+            !nf.exists { case (l2, p2) => p2 == pf && l2 == field }),
+          s"rename on $root: $parent.$to collides with a resident physical " +
+            "field (possibly a dropped field's storage name) — OPTIMIZE to " +
+            "materialize the mapping first, or pick another name")
+        // a renamed field that is itself a mapped struct keeps its
+        // deeper entries: the child node re-keys under the new name
+        // (children are keyed by LOGICAL field name)
+        ColNode(nf.map { case (l2, p2) => (if (l2 == field) to else l2, p2) },
+          node.children.get(field) match {
+            case Some(c) => node.children - field + (to -> c)
+            case None => node.children
+          })
+      }
       try result = commitEntries(root, v, manifestEntries(root, v), shardSize = 16,
         carriedMeta(root, v) + ("colmap" -> fmtColMap(next)) +
           ("alter" -> s"rename:$from>$parent.$to"))
@@ -1048,13 +1094,17 @@ object SnapshotTable {
     result
   }
 
-  /** ALTER TABLE ... DROP COLUMN a.b — NESTED field drop: removes the
-    * dotted entry (synthesizing the parent's identity field map on
-    * first touch); the physical field stays in every file, unread, and
-    * rides rewrites under its storage name (the ride-along contract
-    * [[toLogicalFull]] keeps one level down). */
+  /** ALTER TABLE ... DROP COLUMN a.b[.c...] — NESTED field drop at
+    * ARBITRARY depth: removes the dotted entry (synthesizing identity
+    * field lists down the touched path on first touch); the physical
+    * field stays in every file, unread, and rides rewrites under its
+    * storage name (the ride-along contract [[toLogicalFull]] keeps at
+    * every level). A dropped field that is itself a mapped struct
+    * takes its deeper entries with it — same rule as a dropped struct
+    * COLUMN at the top level. */
   private def dropField(s: SparkSession, root: String, name: String): Int = {
-    val (parent, field) = nestedParts(root, "drop column", name)
+    val (parentPath, field) = nestedParts(root, "drop column", name)
+    val parent = parentPath.mkString(".")
     val retry = new CommitRetry(root)
     var result = -1
     while (result < 0) {
@@ -1062,16 +1112,17 @@ object SnapshotTable {
       retry.observed(v)
       require(v > 0, s"drop column on $root: table has no committed version")
       val cur = currentColMap(s, root, v)
-      val (_, nf, _) = nestedFieldMap(s, root, v, "drop column", cur, parent)
-      require(nf.exists(_._1 == field),
-        s"drop column on $root: no field $name (struct $parent has " +
-          s"${nf.map(_._1).mkString(",")})")
-      require(nf.size > 1,
-        s"drop column on $root: $field is the only field of struct $parent — " +
-          "drop the whole column instead")
       requireNoConstraintRef(s, root, v, "drop column", name)
-      val (top, nestedAll) = splitColMap(cur)
-      val next = joinColMap(top, nestedAll.updated(parent, nf.filterNot(_._1 == field)))
+      val next = editNestedNode(s, root, v, "drop column", cur, parentPath) { (node, _) =>
+        val nf = node.fields
+        require(nf.exists(_._1 == field),
+          s"drop column on $root: no field $name (struct $parent has " +
+            s"${nf.map(_._1).mkString(",")})")
+        require(nf.size > 1,
+          s"drop column on $root: $field is the only field of struct $parent — " +
+            "drop the whole column instead")
+        ColNode(nf.filterNot(_._1 == field), node.children - field)
+      }
       try result = commitEntries(root, v, manifestEntries(root, v), shardSize = 16,
         carriedMeta(root, v) + ("colmap" -> fmtColMap(next)) +
           ("alter" -> s"dropcol:$name"))

@@ -274,10 +274,11 @@ object SnapshotSql {
   private val AlterColumnType =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+('[^']+')\\s+ALTER\\s+COLUMN\\s+(\\w+)\\s+TYPE\\s+(\\w+(?:\\s*\\([^)]*\\))?(?:\\s+\\w+)?)\\s*""".r
   // the PATH spellings of column-mapping evolution — top-level columns
-  // AND one-level struct-field paths (`a.b`, nested column mapping;
-  // the catalog-name spelling flows through Spark's own ALTER analysis
-  // into GraftCatalog.alterTable, which is top-level only because the
-  // DSv2 connector's schema envelope is primitive-typed)
+  // AND struct-field paths at any depth (`a.b`, `a.b.c`, ... — nested
+  // column mapping; the catalog-name spelling flows through Spark's
+  // own ALTER analysis into GraftCatalog.alterTable, which is
+  // top-level only because the DSv2 connector's schema envelope is
+  // primitive-typed)
   // Delta's CONVERT TO DELTA, spelled for this format: adopt a plain
   // parquet directory in place as v1 of a snapshot table — one
   // manifest commit, zero copies. CLUSTER BY names the stats column
@@ -285,9 +286,9 @@ object SnapshotSql {
   private val Convert =
     s"""(?is)\\s*CONVERT\\s+TO\\s+SNAPSHOT\\s+($Ref)(?:\\s+CLUSTER\\s+BY\\s+\\((\\w+)\\))?\\s*""".r
   private val RenameCol =
-    s"""(?is)\\s*ALTER\\s+TABLE\\s+('[^']+')\\s+RENAME\\s+COLUMN\\s+(\\w+(?:\\.\\w+)?)\\s+TO\\s+(\\w+)\\s*""".r
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+('[^']+')\\s+RENAME\\s+COLUMN\\s+(\\w+(?:\\.\\w+)*)\\s+TO\\s+(\\w+)\\s*""".r
   private val DropCol =
-    s"""(?is)\\s*ALTER\\s+TABLE\\s+('[^']+')\\s+DROP\\s+COLUMN\\s+(\\w+(?:\\.\\w+)?)\\s*""".r
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+('[^']+')\\s+DROP\\s+COLUMN\\s+(\\w+(?:\\.\\w+)*)\\s*""".r
 
   private val Quoted = "'([^']+)'".r
 
@@ -646,8 +647,8 @@ object SnapshotSql {
         "ALTER TABLE <table> ADD CONSTRAINT <name> CHECK (<expr>) | " +
         "ALTER TABLE <table> DROP CONSTRAINT <name> | " +
         "ALTER TABLE '<path>' ALTER COLUMN <col> TYPE <wider> | " +
-        "ALTER TABLE '<path>' RENAME COLUMN <col[.field]> TO <new> | " +
-        "ALTER TABLE '<path>' DROP COLUMN <col[.field]> | " +
+        "ALTER TABLE '<path>' RENAME COLUMN <col[.field...]> TO <new> | " +
+        "ALTER TABLE '<path>' DROP COLUMN <col[.field...]> | " +
         "ALTER TABLE '<path>' SET TBLPROPERTIES ('k' = 'v') | " +
         "ALTER TABLE '<path>' UNSET TBLPROPERTIES ('k') | " +
         "CREATE TABLE <table> SHALLOW CLONE <table> [VERSION AS OF <version>] | " +

@@ -175,26 +175,26 @@ private[sources] object SnapshotSourceUtil {
       case _ => base
     }
 
-  /** The nested field mappings by PHYSICAL parent column name:
-    * `pa -> (logical field -> physical field)` — NESTED column
-    * mappings (dotted colmap entries, x44) resolve on EVERY DSv2 route
-    * since r17: [[logicalStruct]] rebuilds mapped struct columns
-    * field-for-field for schema exposure, the reader factories
-    * translate logical field names through this map when building
-    * their positional decode plans, and the task WRITER translates the
-    * same way so landed files carry physical names beside residents.
-    * The factories' namespace is physical at the top level (physStruct
-    * renamed it) but struct INNER field names stay logical — this is
-    * the translation both sides resolve through. Empty when the table
-    * has no dotted colmap entries (the common case — zero cost). */
+  /** The nested field mapping TREES by PHYSICAL parent column name:
+    * `pa -> ColNode` — NESTED column mappings (dotted colmap entries,
+    * x44; ARBITRARY depth since r19) resolve on EVERY DSv2 route:
+    * [[logicalStruct]] rebuilds mapped struct columns field-for-field
+    * for schema exposure, the reader factories translate logical field
+    * names through these trees when building their positional decode
+    * plans, and the task WRITER translates the same way so landed
+    * files carry physical names beside residents. The factories'
+    * namespace is physical at the top level (physStruct renamed it)
+    * but struct INNER field names stay logical at every depth — this
+    * is the translation both sides resolve through. Empty when the
+    * table has no dotted colmap entries (the common case — zero
+    * cost). */
   def nestedFieldMaps(map: Option[Seq[(String, String)]])
-      : Map[String, Map[String, String]] = map match {
+      : Map[String, SnapshotTable.ColNode] = map match {
     case None => Map.empty
     case Some(m0) =>
-      val (top, nested) = SnapshotTable.splitColMap(m0)
-      nested.map { case (parentLogical, fields) =>
-        (SnapshotTable.physicalName(Some(top), parentLogical),
-          fields.toMap)
+      val t = SnapshotTable.parseColTree(m0)
+      t.children.map { case (parentLogical, node) =>
+        (SnapshotTable.physicalName(Some(t.fields), parentLogical), node)
       }
   }
 
@@ -501,27 +501,28 @@ private[sources] object SnapshotSourceUtil {
 
   /** Physical (file-named) struct → the LOGICAL schema the table's
     * column mapping exposes: mapped fields rename, unmapped (dropped)
-    * fields disappear, order follows the mapping. NESTED entries (r17)
-    * rebuild a mapped struct column's field list the same way, one
-    * level down. Identity when the table has no mapping. */
+    * fields disappear, order follows the mapping. NESTED entries (r17;
+    * ARBITRARY depth since r19) rebuild a mapped struct column's field
+    * list the same way, recursively. Identity when the table has no
+    * mapping. */
   def logicalStruct(physical: StructType,
       map: Option[Seq[(String, String)]]): StructType = map match {
     case None => physical
-    case Some(m0) =>
-      val (m, nested) = SnapshotTable.splitColMap(m0)
-      StructType(m.flatMap { case (l, p) =>
-        physical.fields.find(_.name == p).map { f =>
-          nested.get(l) match {
-            case Some(nf) =>
-              val pst = f.dataType.asInstanceOf[StructType]
-              f.copy(name = l, dataType = StructType(nf.flatMap {
-                case (fl, fp) => pst.fields.find(_.name == fp)
-                  .map(_.copy(name = fl)) }))
-            case None => f.copy(name = l)
-          }
-        }
-      })
+    case Some(m0) => logicalStructNode(physical, SnapshotTable.parseColTree(m0))
   }
+
+  private def logicalStructNode(physical: StructType,
+      node: SnapshotTable.ColNode): StructType =
+    StructType(node.fields.flatMap { case (l, p) =>
+      physical.fields.find(_.name == p).map { f =>
+        node.children.get(l) match {
+          case Some(child) if f.dataType.isInstanceOf[StructType] =>
+            f.copy(name = l, dataType =
+              logicalStructNode(f.dataType.asInstanceOf[StructType], child))
+          case _ => f.copy(name = l)
+        }
+      }
+    })
 
   /** Logical-named struct → physical field names (CDF metadata columns
     * and anything unmapped pass through). The reader factories operate
@@ -943,9 +944,9 @@ private[sources] class SnapshotScan(root: String, version: Int,
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   // nested (dotted) colmap entries resolve through the reader
-  // factories' field-name translation (r17) — shared by the plain,
-  // rowIds and CDF decode plans below
-  private val nestedMap: Map[String, Map[String, String]] =
+  // factories' field-name translation (r17; arbitrary depth r19) —
+  // shared by the plain, rowIds and CDF decode plans below
+  private val nestedMap: Map[String, SnapshotTable.ColNode] =
     if (version == 0) Map.empty
     else SnapshotSourceUtil.nestedFieldMaps(SnapshotTable.colMap(root, version))
 
@@ -1550,7 +1551,7 @@ private[sources] object SnapshotCdf {
   * interleave the metadata columns anywhere the projection put them. */
 private[sources] case class SnapshotCdfReaderFactory(projectedMessage: String,
     base: StructType, out: StructType,
-    nestedMap: Map[String, Map[String, String]] = Map.empty)
+    nestedMap: Map[String, SnapshotTable.ColNode] = Map.empty)
     extends PartitionReaderFactory {
 
   // per-file width intersection unconditionally: delete partitions read
@@ -1744,7 +1745,7 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
     // OPTIONAL fields simply stay unset (new rows have no values for
     // dropped columns); a dropped REQUIRED field has no value to
     // write and refuses at plan time (checkNestedCompat).
-    val nestedWriteMap: Map[String, Map[String, String]] =
+    val nestedWriteMap: Map[String, SnapshotTable.ColNode] =
       if (cur == 0) Map.empty
       else SnapshotSourceUtil.nestedFieldMaps(SnapshotTable.colMap(root, cur))
     // `_row_id`/`__row_id` are reserved spellings (the row-id read keys
@@ -1793,7 +1794,7 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
     // never a per-row parquet error mid-task (r16 review)
     def checkNestedCompat(path: String, dt0: DataType,
         ft0: org.apache.parquet.schema.Type,
-        rename: Map[String, String] = Map.empty): Unit = dt0 match {
+        node: Option[SnapshotTable.ColNode] = None): Unit = dt0 match {
       case st: StructType =>
         require(!ft0.isPrimitive &&
             ft0.asGroupType().getLogicalTypeAnnotation == null,
@@ -1802,10 +1803,12 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
         val gt = ft0.asGroupType()
         import scala.jdk.CollectionConverters._
         // a nested column mapping translates incoming LOGICAL field
-        // names to the residents' physical ones (one level deep) —
-        // dropped OPTIONAL physical fields are simply not named by any
-        // incoming field and stay unset
-        def pn(f: String): String = rename.getOrElse(f, f)
+        // names to the residents' physical ones (at any depth — the
+        // mapping tree descends with the recursion) — dropped OPTIONAL
+        // physical fields are simply not named by any incoming field
+        // and stay unset
+        def pn(f: String): String = node.flatMap(_.fields.collectFirst {
+          case (l2, p2) if l2 == f => p2 }).getOrElse(f)
         val extra = st.fieldNames.filterNot(f => gt.containsField(pn(f)))
         require(extra.isEmpty,
           s"graft-snapshot write to $root: struct $path carries " +
@@ -1818,12 +1821,13 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
         require(missingReq.isEmpty,
           s"graft-snapshot write to $root: struct $path omits " +
             s"REQUIRED field(s) ${missingReq.map(_.getName).mkString(",")}" +
-            (if (rename.nonEmpty) " (a DROPPED field the residents declare " +
+            (if (node.nonEmpty) " (a DROPPED field the residents declare " +
               "NOT NULL has no value to write — OPTIMIZE to materialize " +
               "the mapping first)" else ""))
         st.fields.foreach { f =>
           checkNestedCompat(s"$path.${f.name}", f.dataType,
-            gt.getType(gt.getFieldIndex(pn(f.name))))
+            gt.getType(gt.getFieldIndex(pn(f.name))),
+            node.flatMap(_.children.get(f.name)))
         }
       case ArrayType(et, _) =>
         require(!ft0.isPrimitive && ft0.asGroupType().getLogicalTypeAnnotation
@@ -1871,7 +1875,7 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
             f.dataType match {
               case _: StructType | _: ArrayType | _: MapType =>
                 checkNestedCompat(f.name, f.dataType, ft,
-                  nestedWriteMap.getOrElse(f.name, Map.empty))
+                  nestedWriteMap.get(f.name))
                 ft
               case _ => ft
             }
@@ -2027,7 +2031,7 @@ private[sources] case class SnapshotWriterFactory(root: String,
       org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
     srcIdx: Array[Int] = Array.empty,
     fills: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil,
-    nestedMap: Map[String, Map[String, String]] = Map.empty)
+    nestedMap: Map[String, SnapshotTable.ColNode] = Map.empty)
     extends DataWriterFactory with StreamingDataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
@@ -2049,7 +2053,7 @@ private[sources] class PartitionFileWriter(root: String, rel: String,
       org.apache.spark.sql.catalyst.expressions.Expression)] = Nil,
     srcIdx: Array[Int] = Array.empty,
     fills: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil,
-    nestedMap: Map[String, Map[String, String]] = Map.empty)
+    nestedMap: Map[String, SnapshotTable.ColNode] = Map.empty)
     extends DataWriter[InternalRow] {
   import org.apache.parquet.example.data.simple.SimpleGroupFactory
   import org.apache.parquet.hadoop.example.ExampleParquetWriter
@@ -2063,14 +2067,22 @@ private[sources] class PartitionFileWriter(root: String, rel: String,
   // loop stays lookup-free
   private def writePlan(st: StructType,
       gt: org.apache.parquet.schema.GroupType,
-      rename: Map[String, String] = Map.empty): Array[(Int, Boolean, DataType, AnyRef)] =
+      node: Option[SnapshotTable.ColNode] = None): Array[(Int, Boolean, DataType, AnyRef)] =
     st.fields.map { f =>
-      // a NESTED column mapping (one level deep) translates the
-      // incoming LOGICAL field name to the residents' physical one
-      val j = gt.getFieldIndex(rename.getOrElse(f.name, f.name))
+      // a NESTED column mapping (any depth — the tree descends with
+      // the plan) translates the incoming LOGICAL field name to the
+      // residents' physical one
+      val pn = node.flatMap(_.fields.collectFirst {
+        case (l2, p2) if l2 == f.name => p2 }).getOrElse(f.name)
+      val j = gt.getFieldIndex(pn)
       val req = gt.getType(j).isRepetition(
         org.apache.parquet.schema.Type.Repetition.REQUIRED)
-      (j, req, f.dataType, writeSub(f.dataType, gt.getType(j)))
+      val sub: AnyRef = f.dataType match {
+        case s: StructType =>
+          writePlan(s, gt.getType(j).asGroupType(), node.flatMap(_.children.get(f.name)))
+        case dt => writeSub(dt, gt.getType(j))
+      }
+      (j, req, f.dataType, sub)
     }
   // sub-plan per DataType: struct → field plan; array → (element
   // REQUIRED flag, element sub-plan); map → [key sub-plan, value
@@ -2094,7 +2106,7 @@ private[sources] class PartitionFileWriter(root: String, rel: String,
     schema.fields.zipWithIndex.map { case (f, i) =>
       f.dataType match {
         case s: StructType if nestedMap.contains(f.name) =>
-          writePlan(s, msg.getType(i).asGroupType(), nestedMap(f.name))
+          writePlan(s, msg.getType(i).asGroupType(), nestedMap.get(f.name))
         case _: StructType | _: ArrayType | _: MapType =>
           writeSub(f.dataType, msg.getType(i))
         case _ => null
@@ -2276,7 +2288,7 @@ private[sources] object SnapshotCountReaderFactory extends PartitionReaderFactor
   * one footer read (already required by parquet's own open). */
 private[sources] case class SnapshotReaderFactory(projectedMessage: String,
     pruned: StructType, evolved: Boolean = false,
-    nestedMap: Map[String, Map[String, String]] = Map.empty)
+    nestedMap: Map[String, SnapshotTable.ColNode] = Map.empty)
     extends PartitionReaderFactory {
 
   /** Uniform (shared-request) mode with a PER-FILE FALLBACK: parquet
@@ -2412,15 +2424,22 @@ private[sources] case class SnapshotReaderFactory(projectedMessage: String,
       // must never index the static layout (r17 review).
       private def groupPlan(st: StructType,
           gt: org.apache.parquet.schema.GroupType,
-          rename: Map[String, String] = Map.empty): Array[(Int, DataType, AnyRef)] =
+          node: Option[SnapshotTable.ColNode] = None): Array[(Int, DataType, AnyRef)] =
         st.fields.map { f =>
-          // a NESTED column mapping (one level deep by design)
-          // translates the pruned struct's LOGICAL field name to the
-          // file's physical one before the positional lookup
-          val pn = rename.getOrElse(f.name, f.name)
+          // a NESTED column mapping (any depth — the tree descends
+          // with the plan) translates the pruned struct's LOGICAL
+          // field name to the file's physical one before the
+          // positional lookup
+          val pn = node.flatMap(_.fields.collectFirst {
+            case (l2, p2) if l2 == f.name => p2 }).getOrElse(f.name)
           val j = if (gt.containsField(pn)) gt.getFieldIndex(pn) else -1
           val sub: AnyRef =
-            if (j >= 0) nestedSub(f.dataType, gt.getType(j)) else null
+            if (j < 0) null
+            else f.dataType match {
+              case s: StructType => groupPlan(s, gt.getType(j).asGroupType(),
+                node.flatMap(_.children.get(f.name)))
+              case dt => nestedSub(dt, gt.getType(j))
+            }
           (j, f.dataType, sub)
         }
       // sub-plan per DataType: struct → field plan; array → element
@@ -2456,9 +2475,9 @@ private[sources] case class SnapshotReaderFactory(projectedMessage: String,
                     // a nested-mapped struct: the request carries the
                     // FULL physical group (dropped fields ride along
                     // undecoded); the plan translates logical field
-                    // names through the mapping — one level deep,
+                    // names through the mapping tree at every depth,
                     // matching the ALTER surface
-                    groupPlan(s, t.asGroupType(), nestedMap(f.name))
+                    groupPlan(s, t.asGroupType(), nestedMap.get(f.name))
                   case dt => nestedSub(dt, t)
                 }
               }.orNull
@@ -2574,7 +2593,7 @@ private[sources] case class SnapshotReaderFactory(projectedMessage: String,
 private[sources] case class SnapshotRowIdReaderFactory(projectedMessage: String,
     innerPruned: StructType, out: StructType,
     idNames: Set[String] = Set(SnapshotSourceUtil.RowIdField),
-    nestedMap: Map[String, Map[String, String]] = Map.empty,
+    nestedMap: Map[String, SnapshotTable.ColNode] = Map.empty,
     starts: Map[String, Long] = Map.empty)
     extends PartitionReaderFactory {
 

@@ -238,13 +238,14 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(ed.getMessage.contains("no column props"), ed.getMessage)
     val ev = intercept[Exception](ST.dropColumn(spark, root, "v.x"))
     assert(ev.getMessage.contains("not a struct column"), ev.getMessage)
-    // deeper-than-one-level paths refuse with the envelope message
+    // deeper paths are SUPPORTED since r19 — a deep path into a
+    // missing column refuses by name, not by depth
     val e2l = intercept[Exception](ST.renameColumn(spark, root, "a.b.c", "d"))
-    assert(e2l.getMessage.contains("one level deep"), e2l.getMessage)
+    assert(e2l.getMessage.contains("no column a"), e2l.getMessage)
     // a trailing dot must refuse too, not silently execute as "a.b"
     // (String.split drops trailing empty segments — r16 review)
     val etd = intercept[Exception](ST.dropColumn(spark, root, "v.x."))
-    assert(etd.getMessage.contains("one level deep"), etd.getMessage)
+    assert(etd.getMessage.contains("non-empty"), etd.getMessage)
     // the table is untouched — no version minted by any refusal
     assert(ST.currentVersion(root) == 1)
     // the catalog's ADD COLUMN route validates the same way (backtick
@@ -470,6 +471,133 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(Iterator.iterate(eReq: Throwable)(_.getCause).takeWhile(_ != null)
       .exists(t => Option(t.getMessage).exists(m =>
         m.contains("REQUIRED field") && m.contains("OPTIMIZE"))), eReq.getMessage)
+  }
+
+  /** Depth-2 nested table: a: struct<b: struct<c double, d string>,
+    * e double>, plus scalars. */
+  private def freshDeep(name: String): String = {
+    val root = Engine.tmpDir(s"graft_cm_$name")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    val df = (1L to 6L).map(k => (k, k * 1.0, s"t$k", k * 10.0, k * 100.0))
+      .toDF("k", "c", "d", "e", "flag")
+      .select(col("k"),
+        struct(struct(col("c"), col("d")).as("b"), col("e")).as("a"),
+        col("flag"))
+    val rels = ST.writeDataFiles(df.repartitionByRange(2, col("k")), root, "x")
+      .map(ST.footerEntry(root, _, "k"))
+    ST.commitEntries(root, 0, rels, 16, Map("statsCol" -> "k"))
+    root
+  }
+
+  private def structFields(root: String, v: Int, path: Seq[String]): Seq[String] = {
+    var dt: org.apache.spark.sql.types.DataType = ST.readAt(spark, root, v).schema
+    path.foreach { seg =>
+      dt = dt.asInstanceOf[org.apache.spark.sql.types.StructType](seg).dataType }
+    dt.asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+  }
+
+  test("DEEP nested mapping (r19): depth-2 rename/drop, identity synthesis down the path, subtree re-keying") {
+    val root = freshDeep("deep")
+    val before = dataFiles(root)
+    spark.sql(s"ALTER TABLE '$root' RENAME COLUMN a.b.c TO z").collect()
+    assert(dataFiles(root) == before, "deep rename moved data files")
+    // the mint synthesizes COMPLETE identity lists down the touched
+    // path (the complete-list-per-mapped-node invariant), in canonical
+    // flatten order
+    val cm = ST.colMap(root, ST.currentVersion(root)).get
+    assert(cm == Seq(("k", "k"), ("a", "a"), ("a.b", "a.b"),
+      ("a.b.z", "a.b.c"), ("a.b.d", "a.b.d"), ("a.e", "a.e"),
+      ("flag", "flag")), cm.toString)
+    val m = ST.manifestMeta(root, ST.currentVersion(root))
+    assert(m("readerFeatures").split(',').contains("ncolmap"), m.toString)
+    // reads resolve the rename two levels down; values intact
+    val got = ST.read(spark, root).select(col("k"), col("a.b.z"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == (1L to 6L).map(k => k -> k * 1.0).toMap, got)
+    // time travel BEFORE the mint keeps the original deep names
+    assert(structFields(root, 1, Seq("a", "b")) == Seq("c", "d"))
+    // renaming the INTERMEDIATE struct re-keys its deeper entries
+    spark.sql(s"ALTER TABLE '$root' RENAME COLUMN a.b TO bb").collect()
+    assert(structFields(root, ST.currentVersion(root), Seq("a")) == Seq("bb", "e"))
+    val got2 = ST.read(spark, root).select(col("k"), col("a.bb.z"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got2 == got, s"intermediate rename orphaned the deep entry: $got2")
+    // deep DROP hides the field; the sibling survives
+    spark.sql(s"ALTER TABLE '$root' DROP COLUMN a.bb.d").collect()
+    assert(structFields(root, ST.currentVersion(root), Seq("a", "bb")) == Seq("z"))
+    assert(dataFiles(root) == before, "deep drop moved data files")
+    // deep refusals: only-field, missing field, resident-physical shadow
+    val e1 = intercept[Exception](ST.dropColumn(spark, root, "a.bb.z"))
+    assert(e1.getMessage.contains("only field"), e1.getMessage)
+    val e2 = intercept[Exception](ST.dropColumn(spark, root, "a.bb.nope"))
+    assert(e2.getMessage.contains("no field"), e2.getMessage)
+    val e3 = intercept[Exception](ST.renameColumn(spark, root, "a.bb.z", "d"))
+    assert(e3.getMessage.contains("resident physical"), e3.getMessage)
+    // dropping the intermediate struct takes its whole subtree
+    spark.sql(s"ALTER TABLE '$root' DROP COLUMN a.bb").collect()
+    assert(structFields(root, ST.currentVersion(root), Seq("a")) == Seq("e"))
+    val cm2 = ST.colMap(root, ST.currentVersion(root)).get
+    assert(!cm2.exists(_._1.startsWith("a.bb")), cm2.toString)
+  }
+
+  test("DEEP nested mapping: DML ride-along at depth, DSv2 read/write, OPTIMIZE materializes") {
+    val root = freshDeep("deep_dml")
+    spark.sql(s"ALTER TABLE '$root' RENAME COLUMN a.b.c TO z").collect()
+    spark.sql(s"ALTER TABLE '$root' DROP COLUMN a.b.d").collect()
+    val before = dataFiles(root)
+    // UPDATE keyed two levels down; the rewrite must KEEP the dropped
+    // deep field's storage bytes (ride-along at every level)
+    spark.sql(s"UPDATE '$root' SET flag = flag + 0.5 WHERE a.b.z >= 5.0").collect()
+    val after = ST.read(spark, root).select(col("k"), col("flag")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(after == (1L to 6L).map(k =>
+      k -> (k * 100.0 + (if (k >= 5) 0.5 else 0.0))).toMap, after)
+    val rewritten = dataFiles(root) -- before
+    assert(rewritten.nonEmpty, "update rewrote nothing")
+    rewritten.foreach { rel =>
+      val bf = spark.read.parquet(Paths.get(root, rel).toString)
+        .schema("a").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]("b")
+        .dataType.asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+      assert(bf.contains("c") && bf.contains("d"),
+        s"rewritten file lost deep resident physical fields: $bf")
+    }
+    // DSv2 path route: deep logical schema + values
+    val dsv2 = spark.read.format("graft-snapshot").load(root)
+    assert(dsv2.schema("a").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]("b")
+      .dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("z"))
+    val gotD = dsv2.select(col("k"), col("a.b.z")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(gotD == (1L to 6L).map(k => k -> k * 1.0).toMap, gotD)
+    // catalog route + DSv2 WRITE translating deep logical→physical
+    val w = Files.createTempDirectory("graft_cm_deepcat").toString
+    spark.conf.set("spark.sql.catalog.gcmd", "graft.sources.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcmd.root", w)
+    Files.createSymbolicLink(Paths.get(w, "dt"), Paths.get(root))
+    assert(spark.sql("SELECT SUM(a.b.z) FROM gcmd.dt").head().getDouble(0) == 21.0)
+    spark.sql("INSERT INTO gcmd.dt SELECT 9L, " +
+      "named_struct('b', named_struct('z', 9.0), 'e', 90.0), 900.0")
+    assert(spark.sql("SELECT a.b.z FROM gcmd.dt WHERE k = 9").head().getDouble(0) == 9.0)
+    assert(ST.read(spark, root).filter(col("k") === 9)
+      .select(col("a.b.z")).head().getDouble(0) == 9.0)
+    // the landed file physically carries `c` two levels down
+    val landed = dataFiles(root).filter { rel =>
+      spark.read.parquet(Paths.get(root, rel).toString)
+        .schema("a").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]("b")
+        .dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fieldNames.contains("c")
+    }
+    assert(landed == dataFiles(root),
+      s"a DSv2 write landed LOGICAL deep field names: ${dataFiles(root) -- landed}")
+    // OPTIMIZE materializes the whole deep mapping away
+    ST.optimizeClustered(spark, root, "k", targetFiles = 2)
+    val v = ST.currentVersion(root)
+    assert(ST.colMap(root, v).isEmpty)
+    val bf = spark.read.parquet(
+      Paths.get(root, ST.manifestEntries(root, v).head.rel).toString)
+      .schema("a").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]("b")
+      .dataType.asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    assert(bf == Seq("z"), s"materialized files must carry logical deep names: $bf")
   }
 
   test("RESTORE and SHALLOW CLONE carry a NESTED mapping (ncolmap stamp included)") {
