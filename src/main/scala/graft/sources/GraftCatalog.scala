@@ -326,26 +326,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     // each such statement as a single change.
     changes.toList match {
       case List(rn: TableChange.RenameColumn) =>
-        require(rn.fieldNames().length == 1,
-          "graft catalog: RENAME COLUMN supports top-level columns only — " +
-            "struct-field paths go through the path route " +
-            "(ALTER TABLE '<path>' RENAME COLUMN a.b TO c)")
+        // Spark hands nested references as a fieldNames ARRAY — join
+        // to the dotted spelling renameColumn's field route speaks. A
+        // backticked name carrying a literal dot would be
+        // indistinguishable after the join, so it refuses (such a
+        // column could never have been created here anyway —
+        // validateIdent rejects dots).
+        require(rn.fieldNames().forall(!_.contains(".")),
+          "graft catalog: RENAME COLUMN — a (backticked) column name " +
+            "containing a literal dot is not addressable")
         require(SnapshotTable.currentVersion(root) > 0,
           "graft catalog: RENAME COLUMN needs a committed version — " +
             "on a never-written table, DROP and re-CREATE instead")
         SnapshotTable.renameColumn(org.apache.spark.sql.SparkSession.active,
-          root, rn.fieldNames()(0), rn.newName())
+          root, rn.fieldNames().mkString("."), rn.newName())
         return loadTable(ident)
       case List(del: TableChange.DeleteColumn) =>
-        require(del.fieldNames().length == 1,
-          "graft catalog: DROP COLUMN supports top-level columns only — " +
-            "struct-field paths go through the path route " +
-            "(ALTER TABLE '<path>' DROP COLUMN a.b)")
+        require(del.fieldNames().forall(!_.contains(".")),
+          "graft catalog: DROP COLUMN — a (backticked) column name " +
+            "containing a literal dot is not addressable")
         require(SnapshotTable.currentVersion(root) > 0,
           "graft catalog: DROP COLUMN needs a committed version — " +
             "on a never-written table, DROP and re-CREATE instead")
         SnapshotTable.dropColumn(org.apache.spark.sql.SparkSession.active,
-          root, del.fieldNames()(0))
+          root, del.fieldNames().mkString("."))
         return loadTable(ident)
       // ALTER COLUMN ... SET/DROP DEFAULT — metadata-only (Spark sends
       // DROP DEFAULT as an update to the empty string)

@@ -589,6 +589,14 @@ class ColumnMappingSpec extends AnyFunSuite {
     }
     assert(landed == dataFiles(root),
       s"a DSv2 write landed LOGICAL deep field names: ${dataFiles(root) -- landed}")
+    // the catalog-NAME route speaks deep paths too (Spark hands the
+    // nested reference as a TableChange fieldNames array)
+    spark.sql("ALTER TABLE gcmd.dt RENAME COLUMN a.e TO e2")
+    assert(spark.sql("SELECT SUM(a.e2) FROM gcmd.dt").head().getDouble(0) == 300.0)
+    spark.sql("ALTER TABLE gcmd.dt DROP COLUMN a.e2")
+    assert(spark.table("gcmd.dt").schema("a").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("b"))
     // OPTIMIZE materializes the whole deep mapping away
     ST.optimizeClustered(spark, root, "k", targetFiles = 2)
     val v = ST.currentVersion(root)
