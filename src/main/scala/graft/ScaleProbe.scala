@@ -768,6 +768,68 @@ object ScaleProbe {
         .selectExpr("vec_id", "try_element_at(embedding, 1) AS e1", "note")
         .agg(max(col("e1")), max(col("note"))).collect(); 1L
     }
+    // r19: DEEP (depth-2) nested column mapping — the ALTERs stay
+    // metadata-only at any depth (one manifest write by construction);
+    // the scale question is whether the RECURSIVE struct-rebuild
+    // projection and the deeper toLogicalFull/toPhysical round trip
+    // price any differently from the one-level r16 probe. Twin
+    // tables, identical depth-2 struct data; one deep-renamed +
+    // deep-field-dropped.
+    lazy val x44dev = spark.read.parquet(s"$work/events.parquet")
+      .selectExpr("event_id", "CAST(value * 1000 AS BIGINT) AS sec", "value")
+      .withColumn("d", expr("sec div 86400"))
+      .selectExpr("event_id", "d",
+        "named_struct('b', named_struct('tag', CAST(event_id % 7 AS STRING), 'value', value), 'e', value * 2) AS props",
+        "CAST(0.0 AS DOUBLE) AS flag")
+    time("x44d_stage_pair") {
+      val ST = operators.SnapshotTable
+      Seq(s"$work/snap_dcm", s"$work/snap_dcm_plain").foreach { root =>
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+        ST.commitEntries(root, 0,
+          ST.writeDataFiles(x44dev.repartitionByRange(4, col("d")), root, "seed")
+            .map(ST.footerEntry(root, _, "d")),
+          16, Map("statsCol" -> "d"))
+      }
+      ST.renameColumn(spark, s"$work/snap_dcm", "props.b.value", "amount")
+      ST.dropColumn(spark, s"$work/snap_dcm", "props.b.tag")
+      1L
+    }
+    time("x44d_scan_plain_ref") {
+      operators.SnapshotTable.read(spark, s"$work/snap_dcm_plain")
+        .agg(sum(col("props.b.value"))).collect(); 1L
+    }
+    time("x44d_scan_mapped") {
+      operators.SnapshotTable.read(spark, s"$work/snap_dcm")
+        .agg(sum(col("props.b.amount"))).collect(); 1L
+    }
+    time("x44d_update_plain_ref") {
+      operators.SnapshotTable.update(spark, s"$work/snap_dcm_plain",
+        Seq("flag" -> "flag + 1.0"), "props.b.value > 15.0 AND d = 19720")
+      1L
+    }
+    time("x44d_update_mapped") {
+      operators.SnapshotTable.update(spark, s"$work/snap_dcm",
+        Seq("flag" -> "flag + 1.0"), "props.b.amount > 15.0 AND d = 19720")
+      1L
+    }
+    // r19: MAP columns through the DSv2 connector (x48) — the CTAS
+    // write and the key-lookup scan must price with data volume like
+    // any primitive (positional decode; variable-length key_value
+    // groups, 1-or-2 entries per row here)
+    time("x48_map_dsv2_write") {
+      spark.read.parquet(s"$work/events.parquet")
+        .selectExpr("event_id",
+          "CASE WHEN value > 100.0 THEN map('v', value, 'big', value - 100.0) " +
+            "ELSE map('v', value) END AS props")
+        .write.format("graft-snapshot").mode("append").save(s"$work/snap_map")
+      1L
+    }
+    time("x48_map_dsv2_scan") {
+      spark.read.format("graft-snapshot").load(s"$work/snap_map")
+        .selectExpr("try_element_at(props, 'v') AS v",
+          "try_element_at(props, 'big') AS b")
+        .agg(max(col("v")), max(col("b"))).collect(); 1L
+    }
     // r14: scoped OPTIMIZE — the WHERE-window compaction must price
     // with the WINDOW's bytes, not the table's (the full form is the
     // reference; at 32× the gap is the whole point of the verb)

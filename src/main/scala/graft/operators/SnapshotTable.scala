@@ -4922,6 +4922,7 @@ object SnapshotTable {
     "x45_convert_in_place" -> (x45ConvertInPlace _, Some(x45Sql)),
     "x46_column_defaults" -> (x46ColumnDefaults _, Some(x46Sql)),
     "x47_list_columns" -> (x47ListColumns _, Some(x47Sql)),
+    "x48_map_columns" -> (x48MapColumns _, Some(x48Sql)),
   )
 
   /** x24_catalog_sql — the name-addressed warehouse surface end-to-end
@@ -5938,6 +5939,59 @@ object SnapshotTable {
       |  CAST(embedding[8] AS DOUBLE) AS e8
       |FROM embeddings WHERE label IS DISTINCT FROM 2
       |ORDER BY vec_id""".stripMargin
+
+  /** x48_map_columns — MAP columns as full DSv2 connector citizens
+    * (r19; lists/structs already are): CTAS a table whose map column
+    * has DATA-DEPENDENT cardinality (1 or 2 entries keyed on the row's
+    * value, NULL map for a user slice — so null-vs-empty, per-entry
+    * write plans and the variable-length key_value repetition all
+    * exercise for real), INSERT INTO beside residents (plan-time map
+    * SHAPE compat), DSv2 DELETE (copy-on-write rewrite carrying the
+    * maps), then SELECT back through the connector with size() and
+    * key lookups. Maps are the natural payload for sparse per-event
+    * properties at 100 TB — a key lookup decodes positionally inside
+    * the same one-file-one-partition scan as any primitive. Oracle:
+    * DuckDB recomputes the extracted scalars from the raw events —
+    * the map round-trip must be value-invisible. */
+  def x48MapColumns(s: SparkSession, d: String): DataFrame = {
+    if (!s.conf.getOption("spark.sql.catalog.gx").exists(_.nonEmpty)) {
+      s.conf.set("spark.sql.catalog.gx", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gx.root", Engine.tmpDir("graft_warehouse"))
+    }
+    Tables.events(s, d).filter(col("event_id") % X29Mod === 0)
+      .select("event_id", "user_id", "value")
+      .createOrReplaceTempView("x48_src")
+    s.sql("DROP TABLE IF EXISTS gx.x48_m")
+    s.sql("""CREATE TABLE gx.x48_m AS
+      SELECT event_id, user_id % 7 AS bucket,
+        CASE WHEN user_id % 11 = 5 THEN NULL
+             WHEN value > 100.0 THEN map('v', value, 'big', value - 100.0)
+             ELSE map('v', value) END AS props
+      FROM x48_src WHERE event_id % 5 != 3""")
+    s.sql("""INSERT INTO gx.x48_m
+      SELECT event_id, user_id % 7 AS bucket,
+        CASE WHEN user_id % 11 = 5 THEN NULL
+             WHEN value > 100.0 THEN map('v', value, 'big', value - 100.0)
+             ELSE map('v', value) END AS props
+      FROM x48_src WHERE event_id % 5 = 3""")
+    s.sql("DELETE FROM gx.x48_m WHERE bucket = 2")
+    s.sql("""SELECT event_id, bucket,
+        size(props) AS n_keys,
+        try_element_at(props, 'v') AS v,
+        try_element_at(props, 'big') AS big
+      FROM gx.x48_m ORDER BY event_id""")
+  }
+
+  val x48Sql: String =
+    s"""SELECT event_id, user_id % 7 AS bucket,
+       |  CASE WHEN user_id % 11 = 5 THEN NULL
+       |       WHEN value > 100.0 THEN 2 ELSE 1 END AS n_keys,
+       |  CASE WHEN user_id % 11 = 5 THEN NULL ELSE value END AS v,
+       |  CASE WHEN user_id % 11 = 5 OR value <= 100.0 THEN NULL
+       |       ELSE value - 100.0 END AS big
+       |FROM events
+       |WHERE event_id % $X29Mod = 0 AND user_id % 7 != 2
+       |ORDER BY event_id""".stripMargin
 
   /** x42_merge_evolution — `MERGE WITH SCHEMA EVOLUTION` (Delta 3.2's
     * per-statement autoMerge): the source carries a column the target

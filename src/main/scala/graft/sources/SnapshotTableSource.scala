@@ -410,7 +410,7 @@ private[sources] object SnapshotSourceUtil {
   /** Every nullability flag forced true, recursively — structural
     * type identity up to repetition (the evolution union's nested
     * comparison; Spark's own asNullable is private[spark]). */
-  private def nullNormalized(dt: org.apache.spark.sql.types.DataType)
+  private[sources] def nullNormalized(dt: org.apache.spark.sql.types.DataType)
       : org.apache.spark.sql.types.DataType = dt match {
     case StructType(fs) => StructType(fs.map(f =>
       StructField(f.name, nullNormalized(f.dataType), nullable = true)))
@@ -428,7 +428,33 @@ private[sources] object SnapshotSourceUtil {
     * POSITIONAL, so the inner names (`list`/`element` vs `array` vs
     * `item`) don't matter — the shape is the contract. Legacy 2-level
     * lists (a bare REPEATED field) stay refused loudly. */
-  private def sparkType(f: org.apache.parquet.schema.Type): org.apache.spark.sql.types.DataType = {
+  /** Does the FILE's nested type structurally serve the REQUESTED one?
+    * Containment, not equality: nested column PRUNING narrows the
+    * request (a `SELECT a.b` reads struct<b> from files carrying
+    * struct<b,c>) and a CoW rewrite legitimately reorders inner fields
+    * (decode plans match by name) — so extra file fields and order
+    * divergence must pass. A MISSING requested field or a retyped one
+    * must refuse: inner fields never evolve (add-column evolution
+    * stops at the top level). Nullability is ignored (repetition flips
+    * are legit per-file variance). The per-file reader uses this to
+    * refuse a divergent nested file AT READER BUILD with the file and
+    * column named, instead of dying mid-task on a positional
+    * mis-decode — the read-side close of the schemaJson capture branch
+    * bypassing the footer union's conflict check (r17 note): captured
+    * (zero-footer) planning never sweeps footers, so a hand-registered
+    * divergent file used to surface as an opaque decode error. */
+  private[sources] def structurallyServes(file: org.apache.spark.sql.types.DataType,
+      want: org.apache.spark.sql.types.DataType): Boolean = (file, want) match {
+    case (StructType(ff), StructType(wf)) =>
+      wf.forall(w => ff.exists(f =>
+        f.name == w.name && structurallyServes(f.dataType, w.dataType)))
+    case (ArrayType(fe, _), ArrayType(we, _)) => structurallyServes(fe, we)
+    case (MapType(fk, fv, _), MapType(wk, wv, _)) =>
+      structurallyServes(fk, wk) && structurallyServes(fv, wv)
+    case _ => file == want
+  }
+
+  private[sources] def sparkType(f: org.apache.parquet.schema.Type): org.apache.spark.sql.types.DataType = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     // a bare REPEATED field (parquet's legacy 2-level list) is outside
     // the envelope whatever its kind — a repeated PRIMITIVE would
@@ -2467,7 +2493,30 @@ private[sources] case class SnapshotReaderFactory(projectedMessage: String,
               // actually see, never the static request's (r17 review)
               val pt: Option[org.apache.parquet.schema.Type] = fileMeta match {
                 case None => Some(request.getType(i))
-                case Some((fileFields, _)) => fileFields.get(f.name)
+                case Some((fileFields, _)) =>
+                  val t = fileFields.get(f.name)
+                  // per-file (evolved/widened/captured) mode: the
+                  // footer is already in hand — refuse a file whose
+                  // nested shape diverges from the schema of record AT
+                  // READER BUILD, named, instead of mis-decoding
+                  // positionally mid-task. Captured (zero-footer)
+                  // planning never runs the union's conflict check, so
+                  // this is where a hand-registered divergent file
+                  // surfaces (r17's capture-bypass note). Skipped under
+                  // a nested column mapping: there the pruned names are
+                  // LOGICAL and the file's physical — not comparable by
+                  // name (the decode plans translate instead).
+                  if (nestedMap.isEmpty) t.foreach { ft =>
+                    val fdt = SnapshotSourceUtil.sparkType(ft)
+                    if (!SnapshotSourceUtil.structurallyServes(fdt, f.dataType))
+                      throw new IllegalStateException(
+                        s"graft-snapshot: file $path column ${f.name} declares " +
+                          s"${fdt.simpleString} but the scan requests " +
+                          s"${f.dataType.simpleString} — nested columns cannot " +
+                          "evolve (add-column evolution only); this file diverges " +
+                          "from the table's schema capture")
+                  }
+                  t
               }
               pt.map { t =>
                 f.dataType match {

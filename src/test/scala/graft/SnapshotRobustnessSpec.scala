@@ -428,6 +428,91 @@ class SnapshotRobustnessSpec extends AnyFunSuite {
       s"annotation conflict must refuse loudly: ${e.getMessage}")
   }
 
+  test("STREAMING over nested-typed tables (r19): per-commit batches, table-to-table pipe, CDF decode") {
+    import spark.implicits._
+    val src = freshRoot("graft_stream_nested_src")
+    def frame(lo: Long, hi: Long) =
+      (lo to hi).map(k => (k, k * 10L, s"t$k", Seq(k * 1.0, k * 2.0)))
+        .toDF("k", "b", "c", "vals")
+        .select(col("k"), struct(col("b"), col("c")).as("a"), col("vals"))
+    val r1 = ST.writeDataFiles(frame(1, 3), src, "a")
+    ST.commitEntries(src, 0, r1.map(ST.footerEntry(src, _, "k")), 8,
+      Map("statsCol" -> "k"))
+    val r2 = ST.writeDataFiles(frame(4, 6), src, "b")
+    ST.commitEntries(src, 1,
+      ST.manifestEntries(src, 1) ++ r2.map(ST.footerEntry(src, _, "k")), 8,
+      ST.carriedMeta(src, 1))
+    // table-to-table streaming pipe: the DSv2 streaming source decodes
+    // the nested columns per micro-batch and the streaming SINK lands
+    // them — one dst version per src commit, values intact through the
+    // struct AND the list
+    val dst = freshRoot("graft_stream_nested_dst")
+    val cp = Engine.tmpDir("graft_stream_nested_cp")
+    Engine.listDir(Paths.get(cp)).foreach(Engine.deleteRecursively)
+    val q = spark.readStream.format("graft-snapshot").load(src)
+      .writeStream.format("graft-snapshot")
+      .option("path", dst).option("checkpointLocation", cp).start()
+    q.processAllAvailable(); q.stop()
+    assert(ST.currentVersion(dst) == 2,
+      s"expected one dst commit per src commit, got v${ST.currentVersion(dst)}")
+    val got = spark.read.format("graft-snapshot").load(dst)
+      .select(col("k"), col("a.b"), expr("size(vals)").as("n"),
+        expr("vals[1]").as("v1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getDouble(3))).toSet
+    assert(got == (1L to 6L).map(k => (k, k * 10L, 2, k * 2.0)).toSet, got.toString)
+    // the change feed decodes nested columns too: a CoW DELETE's change
+    // rows carry the struct field and the list through the CDF route
+    ST.delete(spark, src, "k = 2")
+    val feed = spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true").option("afterVersion", "2").load(src)
+    val del = feed.filter(col("_change_type") === "delete")
+      .select(col("k"), col("a.b"), expr("vals[0]").as("v0")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(del.exists(_ == ((2L, 20L, 2.0))), del.mkString(","))
+  }
+
+  test("captured-table reads refuse a DIVERGENT nested file at reader build, named (r19)") {
+    import spark.implicits._
+    // a CAPTURED (schemaJson) version plans zero-footer, so the footer
+    // union's nested-conflict check never runs — a hand-registered file
+    // whose nested shape diverges used to surface as an opaque
+    // positional mis-decode mid-task (r17's capture-bypass note). The
+    // per-file reader has the footer in hand anyway: it must refuse AT
+    // READER BUILD naming the file and column — while a merely
+    // REORDERED inner layout (legit after CoW rewrites) keeps reading.
+    val root = freshRoot("graft_capture_diverge")
+    val base = Seq((1L, 10L, "x"), (2L, 20L, "y")).toDF("k", "b", "c")
+      .select(col("k"), struct(col("b"), col("c")).as("a"))
+    val rels = ST.writeDataFiles(base, root, "a")
+    ST.commitEntries(root, 0, rels.map(ST.footerEntry(root, _, "k")), 8,
+      Map("statsCol" -> "k", "schema" -> "evolved:test",
+        "schemaJson" -> base.schema.json))
+    // inner-field ORDER divergence alone must NOT refuse
+    val reordered = Seq((3L, "z", 30L)).toDF("k", "c", "b")
+      .select(col("k"), struct(col("c"), col("b")).as("a"))
+    val r2 = ST.writeDataFiles(reordered, root, "b")
+    ST.commitEntries(root, 1,
+      ST.manifestEntries(root, 1) ++ r2.map(ST.footerEntry(root, _, "k")), 8,
+      ST.carriedMeta(root, 1))
+    val got = spark.read.format("graft-snapshot").load(root)
+      .select(col("k"), col("a.b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 10L, 2L -> 20L, 3L -> 30L), got.toString)
+    // a RETYPED inner field (long → string) refuses with the file named
+    val divergent = Seq((4L, "not-a-long", "w")).toDF("k", "b", "c")
+      .select(col("k"), struct(col("b"), col("c")).as("a"))
+    val r3 = ST.writeDataFiles(divergent, root, "c")
+    ST.commitEntries(root, 2,
+      ST.manifestEntries(root, 2) ++ r3.map(ST.footerEntry(root, _, "k")), 8,
+      ST.carriedMeta(root, 2))
+    val e = intercept[Exception](
+      spark.read.format("graft-snapshot").load(root).collect())
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(m =>
+        m.contains("diverges") && m.contains("column a"))), e.getMessage)
+  }
+
   test("stats-prune bounds saturate at the Long domain edges instead of wrapping") {
     import org.apache.spark.sql.sources.{GreaterThan, LessThan}
     val B = graft.sources.SnapshotScanBuilder
