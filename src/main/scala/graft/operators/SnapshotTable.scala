@@ -141,7 +141,7 @@ object SnapshotTable {
   // line and read/commit exactly as before.
 
   private[graft] val SupportedReaderFeatures =
-    Set("colmap", "dv", "evolution", "widen", "ncolmap")
+    Set("colmap", "dv", "evolution", "widen", "ncolmap", "dcolmap")
   private[graft] val SupportedWriterFeatures =
     SupportedReaderFeatures ++
       Set("cdf", "checks", "gencols", "rowtracking", "coldefaults")
@@ -159,8 +159,15 @@ object SnapshotTable {
       // nested-ignorant binary would serve the struct under raw
       // physical field names — and resurrect dropped fields — instead
       // of failing, so the capability is a READER feature of its own
-      if (meta("colmap").split(',').exists(_.takeWhile(_ != '=').contains('.')))
-        r += "ncolmap"
+      val logicals = meta("colmap").split(',').map(_.takeWhile(_ != '='))
+      if (logicals.exists(_.contains('.'))) r += "ncolmap"
+      // DEPTH >= 2 entries (a.b.c=..., r19) are a FURTHER reader
+      // feature: one-level binaries (r16-r18) declare ncolmap but
+      // decode only the first segment split — they would serve the
+      // deeper struct under raw physical inner names and resurrect
+      // deep-dropped fields, the same silent wrong-data mode ncolmap
+      // exists to prevent, so they must refuse the manifest outright
+      if (logicals.exists(_.count(_ == '.') >= 2)) r += "dcolmap"
     }
     if (meta.contains("dv")) r += "dv"
     if (meta.contains("schema") || meta.contains("schemaJson")) r += "evolution"
@@ -646,21 +653,19 @@ object SnapshotTable {
     * deeper node of any struct-typed field that is itself mapped,
     * keyed by that field's LOGICAL name. */
   private[graft] final case class ColNode(fields: Seq[(String, String)],
-      children: Map[String, ColNode])
+      children: Map[String, ColNode]) {
+    /** The physical name behind one of this node's LOGICAL direct
+      * fields (identity when unmapped) — the single lookup the
+      * reader/writer plan builders and the write-compat check all
+      * translate through. */
+    def physicalOf(logical: String): String =
+      fields.collectFirst { case (l, p) if l == logical => p }.getOrElse(logical)
+  }
 
   private[graft] def parseColTree(entries: Seq[(String, String)]): ColNode = {
     val (top, nested) = splitColMap(entries)
     ColNode(top, nested.map { case (l, es) => (l, parseColTree(es)) })
   }
-
-  /** Inverse of [[splitColMap]] at one level: top entries plus each
-    * parent's (prefix-stripped, possibly still dotted) field entries
-    * back into one flat, canonically-ordered colmap. The ALTER surface
-    * edits one node's direct list and rejoins through here, so deeper
-    * descendants of an edited parent survive untouched. */
-  private[graft] def joinColMap(top: Seq[(String, String)],
-      nested: Map[String, Seq[(String, String)]]): Seq[(String, String)] =
-    flattenColTree(ColNode(top, nested.map { case (l, es) => (l, parseColTree(es)) }))
 
   /** Inverse of [[parseColTree]] — canonical serialization: each
     * field's deeper entries follow its own entry, prefix-expanded, so
@@ -988,7 +993,8 @@ object SnapshotTable {
           "struct fields only")
       val cst = st(pe._2).dataType.asInstanceOf[StructType]
       val child = node.children.getOrElse(seg,
-        ColNode(cst.fieldNames.toIndexedSeq.map(f => (f, f)), Map.empty))
+        ColNode(cst.fieldNames.toIndexedSeq.map { f =>
+          requireColmapSafe(root, op, f); (f, f) }, Map.empty))
       val next =
         if (path.tail.isEmpty) edit(child, cst)
         else descend(child, cst, path.tail, s"$at$seg.")
@@ -1214,13 +1220,29 @@ object SnapshotTable {
     result
   }
 
+  /** Guard for names SYNTHESIZED into the colmap from RESIDENT file
+    * schemas (identity entries): unlike ALTER input (validateIdent),
+    * these arrive via data files, and a name carrying a colmap
+    * delimiter — or a dot, which splitColMap would misread as a path
+    * segment — would COMMIT fine and then fail parseColMap on every
+    * later read of the version (the ADVICE-r13 bricking class, entered
+    * through data instead of DDL). */
+  private def requireColmapSafe(root: String, op: String, name: String): Unit = {
+    val bad = name.filter(c => "=,.;:#>\t\n\r".contains(c))
+    require(bad.isEmpty,
+      s"$op on $root: resident column/field name '$name' contains " +
+        s"colmap-delimiter character(s) ${bad.distinct.mkString("'", "','", "'")} — " +
+        "column mapping cannot represent it; rewrite the table with a " +
+        "clean name before using RENAME/DROP COLUMN")
+  }
+
   /** The table's current mapping, synthesizing the identity map from
     * the version's resolved physical schema when none is stored yet. */
   private[graft] def currentColMap(s: SparkSession, root: String,
       v: Int): Seq[(String, String)] =
     colMap(root, v).getOrElse {
       val phys = readAtPhysical(s, root, v).columns.toIndexedSeq
-      phys.map(c => (c, c))
+      phys.map { c => requireColmapSafe(root, "column mapping", c); (c, c) }
     }
 
   // ---------------- DELETION VECTORS (merge-on-read deletes) --------
@@ -2903,7 +2925,8 @@ object SnapshotTable {
     // keyed union (whose contract is the changeset's logical columns)
     // without silently widening rewritten files — materialize first
     map.foreach { m =>
-      val resident = readAtPhysical(s, root, v).columns
+      val physSchema = readAtPhysical(s, root, v).schema
+      val resident = physSchema.fieldNames
       // __row_id is the ROW-TRACKING materialization column, not a
       // dropped user column — the keyed rewrite threads it explicitly
       val unmapped = resident.filterNot(c => m.exists(_._2 == c) || c == RowIdCol)
@@ -2911,6 +2934,31 @@ object SnapshotTable {
         s"merge on $root: table carries dropped columns (${unmapped.mkString(",")}) " +
           "under column mapping — OPTIMIZE ... CLUSTER BY to materialize the " +
           "mapping before merging")
+      // same rule for dropped struct FIELDS at any depth: the merge
+      // rewrite speaks the changeset's LOGICAL columns (toLogical, no
+      // ride-along), so a resident physical field no mapping entry
+      // covers would be silently stripped from rewritten files —
+      // inner widths diverging without the evolution marker, the
+      // exact hazard the top-level refusal exists for
+      def droppedWithin(node: ColNode,
+          st: org.apache.spark.sql.types.StructType, at: String): Seq[String] =
+        node.children.toSeq.flatMap { case (l, child) =>
+          val p = node.physicalOf(l)
+          if (!st.fieldNames.contains(p) ||
+              !st(p).dataType.isInstanceOf[org.apache.spark.sql.types.StructType]) Nil
+          else {
+            val cst = st(p).dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+            val direct = cst.fieldNames.toSeq
+              .filterNot(fp => child.fields.exists(_._2 == fp))
+              .map(fp => s"$at$l.$fp")
+            direct ++ droppedWithin(child, cst, s"$at$l.")
+          }
+        }
+      val droppedFields = droppedWithin(parseColTree(m), physSchema, "")
+      require(droppedFields.isEmpty,
+        s"merge on $root: table carries dropped struct fields " +
+          s"(${droppedFields.mkString(",")}) under nested column mapping — " +
+          "OPTIMIZE ... CLUSTER BY to materialize the mapping before merging")
     }
     // the file-pruning step below trusts the manifest's primary stats to
     // BE clusterCol stats — a mismatched statsCol would prune files that

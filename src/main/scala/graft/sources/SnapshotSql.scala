@@ -276,9 +276,9 @@ object SnapshotSql {
   // the PATH spellings of column-mapping evolution — top-level columns
   // AND struct-field paths at any depth (`a.b`, `a.b.c`, ... — nested
   // column mapping; the catalog-name spelling flows through Spark's
-  // own ALTER analysis into GraftCatalog.alterTable, which is
-  // top-level only because the DSv2 connector's schema envelope is
-  // primitive-typed)
+  // own ALTER analysis into GraftCatalog.alterTable, which since r19
+  // joins the TableChange fieldNames array onto the same deep
+  // field-path surface)
   // Delta's CONVERT TO DELTA, spelled for this format: adopt a plain
   // parquet directory in place as v1 of a snapshot table — one
   // manifest commit, zero copies. CLUSTER BY names the stats column

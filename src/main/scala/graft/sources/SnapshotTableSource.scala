@@ -420,14 +420,6 @@ private[sources] object SnapshotSourceUtil {
     case other => other
   }
 
-  /** Parquet type → Spark type: primitives plus (r16) NESTED GROUPS
-    * as StructType plus (r17) LIST/MAP logical-type groups as
-    * ArrayType/MapType — the standard THREE-LEVEL repeated-group
-    * encoding (what Spark, Arrow and DuckDB all write: `<rep> group c
-    * (LIST) { repeated group list { <rep> T element; } }`). Decode is
-    * POSITIONAL, so the inner names (`list`/`element` vs `array` vs
-    * `item`) don't matter — the shape is the contract. Legacy 2-level
-    * lists (a bare REPEATED field) stay refused loudly. */
   /** Does the FILE's nested type structurally serve the REQUESTED one?
     * Containment, not equality: nested column PRUNING narrows the
     * request (a `SELECT a.b` reads struct<b> from files carrying
@@ -454,6 +446,14 @@ private[sources] object SnapshotSourceUtil {
     case _ => file == want
   }
 
+  /** Parquet type → Spark type: primitives plus (r16) NESTED GROUPS
+    * as StructType plus (r17) LIST/MAP logical-type groups as
+    * ArrayType/MapType — the standard THREE-LEVEL repeated-group
+    * encoding (what Spark, Arrow and DuckDB all write: `<rep> group c
+    * (LIST) { repeated group list { <rep> T element; } }`). Decode is
+    * POSITIONAL, so the inner names (`list`/`element` vs `array` vs
+    * `item`) don't matter — the shape is the contract. Legacy 2-level
+    * lists (a bare REPEATED field) stay refused loudly. */
   private[sources] def sparkType(f: org.apache.parquet.schema.Type): org.apache.spark.sql.types.DataType = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     // a bare REPEATED field (parquet's legacy 2-level list) is outside
@@ -1833,8 +1833,7 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
         // mapping tree descends with the recursion) — dropped OPTIONAL
         // physical fields are simply not named by any incoming field
         // and stay unset
-        def pn(f: String): String = node.flatMap(_.fields.collectFirst {
-          case (l2, p2) if l2 == f => p2 }).getOrElse(f)
+        def pn(f: String): String = node.fold(f)(_.physicalOf(f))
         val extra = st.fieldNames.filterNot(f => gt.containsField(pn(f)))
         require(extra.isEmpty,
           s"graft-snapshot write to $root: struct $path carries " +
@@ -2098,8 +2097,7 @@ private[sources] class PartitionFileWriter(root: String, rel: String,
       // a NESTED column mapping (any depth — the tree descends with
       // the plan) translates the incoming LOGICAL field name to the
       // residents' physical one
-      val pn = node.flatMap(_.fields.collectFirst {
-        case (l2, p2) if l2 == f.name => p2 }).getOrElse(f.name)
+      val pn = node.fold(f.name)(_.physicalOf(f.name))
       val j = gt.getFieldIndex(pn)
       val req = gt.getType(j).isRepetition(
         org.apache.parquet.schema.Type.Repetition.REQUIRED)
@@ -2456,8 +2454,7 @@ private[sources] case class SnapshotReaderFactory(projectedMessage: String,
           // with the plan) translates the pruned struct's LOGICAL
           // field name to the file's physical one before the
           // positional lookup
-          val pn = node.flatMap(_.fields.collectFirst {
-            case (l2, p2) if l2 == f.name => p2 }).getOrElse(f.name)
+          val pn = node.fold(f.name)(_.physicalOf(f.name))
           val j = if (gt.containsField(pn)) gt.getFieldIndex(pn) else -1
           val sub: AnyRef =
             if (j < 0) null
@@ -2502,11 +2499,13 @@ private[sources] case class SnapshotReaderFactory(projectedMessage: String,
                   // positionally mid-task. Captured (zero-footer)
                   // planning never runs the union's conflict check, so
                   // this is where a hand-registered divergent file
-                  // surfaces (r17's capture-bypass note). Skipped under
-                  // a nested column mapping: there the pruned names are
-                  // LOGICAL and the file's physical — not comparable by
-                  // name (the decode plans translate instead).
-                  if (nestedMap.isEmpty) t.foreach { ft =>
+                  // surfaces (r17's capture-bypass note). Skipped per
+                  // COLUMN when THAT column is nested-mapped: its
+                  // pruned inner names are LOGICAL and the file's
+                  // physical — not comparable by name (the decode
+                  // plans translate instead); unmapped columns stay
+                  // guarded even when another column carries a mapping.
+                  if (!nestedMap.contains(f.name)) t.foreach { ft =>
                     val fdt = SnapshotSourceUtil.sparkType(ft)
                     if (!SnapshotSourceUtil.structurallyServes(fdt, f.dataType))
                       throw new IllegalStateException(

@@ -293,6 +293,9 @@ class ColumnMappingSpec extends AnyFunSuite {
     // nested-ignorant binary would serve raw physical field names)
     val m = ST.manifestMeta(root, ST.currentVersion(root))
     assert(m("readerFeatures").split(',').contains("ncolmap"), m.toString)
+    // ...and ONLY ncolmap: one-level maps must stay readable by
+    // one-level (r16-r18) binaries — dcolmap is depth >= 2 only
+    assert(!m("readerFeatures").split(',').contains("dcolmap"), m.toString)
     // time travel BEFORE the mint resolves the original field names
     assert(propsFields(root, 1) == Seq("tag", "v"))
     // DROP a field: metadata-only, field hidden, storage stays resident
@@ -315,6 +318,14 @@ class ColumnMappingSpec extends AnyFunSuite {
     val e4 = intercept[Exception](
       ST.renameColumn(spark, root, "props.score", "tag"))
     assert(e4.getMessage.contains("resident physical"), e4.getMessage)
+    // merge refuses dropped struct FIELDS like dropped top-level
+    // columns (r19 review): its rewrite speaks the logical view (no
+    // ride-along), so committing would silently strip props.tag from
+    // rewritten files — inner widths diverging without the marker
+    val ch = ST.read(spark, root).withColumn("op", lit("u")).limit(1)
+    val e5 = intercept[Exception](ST.merge(spark, root, "k", "k", ch))
+    assert(e5.getMessage.contains("dropped struct fields") &&
+      e5.getMessage.contains("props.tag"), e5.getMessage)
   }
 
   test("NESTED DML round-trip: rewrites ride dropped fields physically; OPTIMIZE materializes") {
@@ -510,6 +521,11 @@ class ColumnMappingSpec extends AnyFunSuite {
       ("flag", "flag")), cm.toString)
     val m = ST.manifestMeta(root, ST.currentVersion(root))
     assert(m("readerFeatures").split(',').contains("ncolmap"), m.toString)
+    // depth >= 2 stamps its OWN reader feature: a one-level (r16-r18)
+    // binary declares ncolmap but decodes only the first segment
+    // split — it would serve raw deep physical names instead of
+    // failing, so it must refuse the manifest outright
+    assert(m("readerFeatures").split(',').contains("dcolmap"), m.toString)
     // reads resolve the rename two levels down; values intact
     val got = ST.read(spark, root).select(col("k"), col("a.b.z"))
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -589,6 +605,16 @@ class ColumnMappingSpec extends AnyFunSuite {
     }
     assert(landed == dataFiles(root),
       s"a DSv2 write landed LOGICAL deep field names: ${dataFiles(root) -- landed}")
+    // rowIds and the CHANGE FEED resolve the deep mapping too
+    ST.enableRowTracking(spark, root)
+    val ids = spark.read.format("graft-snapshot").option("rowIds", "true")
+      .load(root).select(col("_row_id"), col("a.b.z").as("z"))
+    assert(ids.select("_row_id").distinct().count() == 7)
+    assert(ids.agg(sum("z")).head().getDouble(0) == 30.0)
+    val feed0 = spark.read.format("graft-snapshot")
+      .option("readChangeFeed", "true").option("afterVersion", "0").load(root)
+    assert(feed0.filter(col("_change_type") === "insert")
+      .agg(sum(col("a.b.z"))).head().getDouble(0) >= 30.0)
     // the catalog-NAME route speaks deep paths too (Spark hands the
     // nested reference as a TableChange fieldNames array)
     spark.sql("ALTER TABLE gcmd.dt RENAME COLUMN a.e TO e2")
@@ -597,15 +623,53 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(spark.table("gcmd.dt").schema("a").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType]
       .fieldNames.toSeq == Seq("b"))
-    // OPTIMIZE materializes the whole deep mapping away
+    // OPTIMIZE materializes the whole deep mapping away — under row
+    // tracking (enabled above) an IDENTITY colmap legitimately stays
+    // (it hides the materialized __row_id physical), but every dotted
+    // entry and the nested stamps must retire
     ST.optimizeClustered(spark, root, "k", targetFiles = 2)
     val v = ST.currentVersion(root)
-    assert(ST.colMap(root, v).isEmpty)
+    assert(!ST.colMap(root, v).exists(_.exists(_._1.contains("."))),
+      ST.colMap(root, v).toString)
+    assert(!ST.manifestMeta(root, v).get("readerFeatures").exists(f =>
+      f.split(',').exists(x => x == "ncolmap" || x == "dcolmap")),
+      "materialized table must stop requiring nested-colmap features")
     val bf = spark.read.parquet(
       Paths.get(root, ST.manifestEntries(root, v).head.rel).toString)
       .schema("a").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]("b")
       .dataType.asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
     assert(bf == Seq("z"), s"materialized files must carry logical deep names: $bf")
+  }
+
+  test("identity synthesis refuses resident names that would brick the colmap (r19 review)") {
+    // ALTER input goes through validateIdent, but SYNTHESIZED identity
+    // entries copy names from resident data files — a field named with
+    // a colmap delimiter would COMMIT fine and fail parseColMap on
+    // every later read (the ADVICE-r13 bricking class, entered through
+    // data instead of DDL). Both synthesis points must refuse.
+    val root = Engine.tmpDir("graft_cm_badname")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    val df = Seq((1L, 1.0, 2.0, "x")).toDF("k", "bad", "ok", "w")
+      .select(col("k"), col("bad").as("v=1"), col("ok"), col("w"))
+    val rels = ST.writeDataFiles(df.coalesce(1), root, "a")
+      .map(ST.footerEntry(root, _, "k"))
+    ST.commitEntries(root, 0, rels, 16, Map("statsCol" -> "k"))
+    // top-level synthesis (currentColMap) hits the bad resident name
+    val e1 = intercept[Exception](ST.renameColumn(spark, root, "w", "w2"))
+    assert(e1.getMessage.contains("colmap-delimiter"), e1.getMessage)
+    assert(ST.currentVersion(root) == 1, "refusal must not mint a version")
+    // nested synthesis (editNestedNode) — a struct FIELD with a comma
+    val root2 = Engine.tmpDir("graft_cm_badfield")
+    Engine.listDir(Paths.get(root2)).foreach(Engine.deleteRecursively)
+    val df2 = Seq((1L, 1.0, 2.0)).toDF("k", "a", "b")
+      .select(col("k"), struct(col("a").as("b,c"), col("b").as("ok")).as("props"))
+    val rels2 = ST.writeDataFiles(df2.coalesce(1), root2, "a")
+      .map(ST.footerEntry(root2, _, "k"))
+    ST.commitEntries(root2, 0, rels2, 16, Map("statsCol" -> "k"))
+    val e2 = intercept[Exception](
+      ST.renameColumn(spark, root2, "props.ok", "fine"))
+    assert(e2.getMessage.contains("colmap-delimiter"), e2.getMessage)
+    assert(ST.currentVersion(root2) == 1, "refusal must not mint a version")
   }
 
   test("RESTORE and SHALLOW CLONE carry a NESTED mapping (ncolmap stamp included)") {
