@@ -672,6 +672,74 @@ class ColumnMappingSpec extends AnyFunSuite {
     assert(ST.currentVersion(root2) == 1, "refusal must not mint a version")
   }
 
+  test("ColNode parse/flatten round-trips on random trees (r19 property)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // generator for mapping trees: unique logical+physical names per
+    // node, 1-4 fields, children on a random subset, depth <= 3
+    def genNode(depth: Int, tag: String): Gen[ST.ColNode] = for {
+      n <- Gen.choose(1, 4)
+      fields = (1 to n).map(i => (s"l${tag}_$i", s"p${tag}_$i"))
+      kids <- if (depth == 0) Gen.const(Map.empty[String, ST.ColNode])
+        else Gen.sequence[List[(String, ST.ColNode)], (String, ST.ColNode)](
+          fields.toList.zipWithIndex.collect { case ((l, _), i) if i % 2 == 0 =>
+            genNode(depth - 1, s"$tag$i").map(l -> _) }).map(_.toMap)
+    } yield ST.ColNode(fields, kids)
+    val params = org.scalacheck.Gen.Parameters.default
+    (1 to 60).foreach { i =>
+      val t = genNode(2, "r").pureApply(params, Seed(i.toLong))
+      val flat = ST.flattenColTree(t)
+      assert(ST.parseColTree(flat) == t, s"seed $i: $flat")
+      // canonical: flatten is a fixed point through a second round trip
+      assert(ST.flattenColTree(ST.parseColTree(flat)) == flat, s"seed $i")
+    }
+  }
+
+  test("depth-3 ALTER torture: interleaved deep renames/drops keep the view consistent (r19)") {
+    // depth-3 struct: a.b.c.{u,w}, a.b.d, a.e — rename/drop at every
+    // level incl. the intermediates, checking values and the mapping's
+    // canonical round-trip after each step
+    val root = Engine.tmpDir("graft_cm_torture")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    val df = (1L to 4L).map(k => (k, k * 1.0, k * 2.0, k * 3.0, k * 4.0))
+      .toDF("k", "u", "w", "d", "e")
+      .select(col("k"), struct(
+        struct(struct(col("u"), col("w")).as("c"), col("d")).as("b"),
+        col("e")).as("a"))
+    val rels = ST.writeDataFiles(df.coalesce(1), root, "x")
+      .map(ST.footerEntry(root, _, "k"))
+    ST.commitEntries(root, 0, rels, 16, Map("statsCol" -> "k"))
+    def check(selects: (String, Long => Double)*): Unit = selects.foreach {
+      case (path, f) =>
+        val got = ST.read(spark, root).selectExpr("k", path).collect()
+          .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(got == (1L to 4L).map(k => k -> f(k)).toMap, s"$path: $got")
+        val cm = ST.colMap(root, ST.currentVersion(root)).get
+        assert(ST.flattenColTree(ST.parseColTree(cm)) == cm,
+          s"colmap not canonical after $path: $cm")
+    }
+    ST.renameColumn(spark, root, "a.b.c.u", "u2")      // depth-3 leaf
+    check("a.b.c.u2" -> (k => k * 1.0))
+    ST.renameColumn(spark, root, "a.b.c", "cc")        // depth-2 struct w/ kids
+    check("a.b.cc.u2" -> (k => k * 1.0), "a.b.cc.w" -> (k => k * 2.0))
+    ST.renameColumn(spark, root, "a.b", "bb")          // depth-1 struct w/ grandkids
+    check("a.bb.cc.u2" -> (k => k * 1.0), "a.bb.d" -> (k => k * 3.0))
+    ST.dropColumn(spark, root, "a.bb.cc.w")            // depth-3 drop
+    check("a.bb.cc.u2" -> (k => k * 1.0))
+    ST.renameColumn(spark, root, "a", "aa")            // top struct w/ deep subtree
+    check("aa.bb.cc.u2" -> (k => k * 1.0), "aa.e" -> (k => k * 4.0))
+    ST.dropColumn(spark, root, "aa.bb.cc")             // drop an intermediate subtree
+    check("aa.bb.d" -> (k => k * 3.0))
+    val cm = ST.colMap(root, ST.currentVersion(root)).get
+    assert(!cm.exists(_._1.contains("cc")), cm.toString)
+    // dropped subtree's storage stays resident, rides a rewrite, and
+    // time travel still resolves every historical spelling
+    spark.sql(s"UPDATE '$root' SET k = k + 10 WHERE aa.bb.d = 3.0").collect()
+    assert(ST.read(spark, root).count() == 4)
+    assert(ST.readAt(spark, root, 1).selectExpr("a.b.c.u").count() == 4)
+    assert(ST.readAt(spark, root, 4).selectExpr("a.bb.cc.u2").count() == 4)
+  }
+
   test("RESTORE and SHALLOW CLONE carry a NESTED mapping (ncolmap stamp included)") {
     val root = freshNested("nested_carry")
     spark.sql(s"ALTER TABLE '$root' RENAME COLUMN props.v TO score").collect()
