@@ -854,12 +854,21 @@ object SnapshotTable {
           s"$op on $root: $ic is the table's GENERATED ALWAYS AS IDENTITY " +
             "column — the name is engine-owned"))
     }
-    val bad = name.filter(c => "=,;:#>\t\n\r".contains(c))
+    val bad = name.filter(ManifestDelims.contains(_))
     require(bad.isEmpty,
       s"$op on $root: column name '$name' contains manifest-delimiter " +
-        s"character(s) ${bad.distinct.map(c => if (c == '\t') "\\t" else if (c == '\n') "\\n" else if (c == '\r') "\\r" else c.toString).mkString("'", "','", "'")} — " +
+        s"character(s) ${showDelims(bad)} — " +
         "names may not contain = , ; : # > tab or newline")
   }
+
+  /** THE manifest/colmap delimiter set — validateIdent (DDL input) and
+    * requireColmapSafe (resident-name synthesis) must always agree, or
+    * a name one guard admits bricks the parse the other protects. */
+  private val ManifestDelims = "=,;:#>\t\n\r"
+
+  private def showDelims(bad: String): String =
+    bad.distinct.map(c => if (c == '\t') "\\t" else if (c == '\n') "\\n"
+      else if (c == '\r') "\\r" else c.toString).mkString("'", "','", "'")
 
   /** The column names a CHECK constraint expression references —
     * parsed, not string-matched (a constraint on `value2` must not
@@ -911,7 +920,7 @@ object SnapshotTable {
       val v = currentVersion(root)
       retry.observed(v)
       require(v > 0, s"rename on $root: table has no committed version")
-      val cur = currentColMap(s, root, v)
+      val cur = currentColMap(s, root, v, "rename")
       require(cur.exists(_._1 == from),
         s"rename on $root: no column $from (have ${cur.map(_._1).mkString(",")})")
       requireNoConstraintRef(s, root, v, "rename", from)
@@ -1024,7 +1033,7 @@ object SnapshotTable {
       val v = currentVersion(root)
       retry.observed(v)
       require(v > 0, s"rename on $root: table has no committed version")
-      val cur = currentColMap(s, root, v)
+      val cur = currentColMap(s, root, v, "rename")
       requireNoConstraintRef(s, root, v, "rename", from)
       val next = editNestedNode(s, root, v, "rename", cur, parentPath) { (node, st) =>
         val nf = node.fields
@@ -1073,7 +1082,7 @@ object SnapshotTable {
       val v = currentVersion(root)
       retry.observed(v)
       require(v > 0, s"drop column on $root: table has no committed version")
-      val cur = currentColMap(s, root, v)
+      val cur = currentColMap(s, root, v, "drop column")
       require(cur.exists(_._1 == name),
         s"drop column on $root: no column $name (have ${cur.map(_._1).mkString(",")})")
       require(cur.exists(c => c._1 != name && !c._1.startsWith(name + ".")),
@@ -1117,7 +1126,7 @@ object SnapshotTable {
       val v = currentVersion(root)
       retry.observed(v)
       require(v > 0, s"drop column on $root: table has no committed version")
-      val cur = currentColMap(s, root, v)
+      val cur = currentColMap(s, root, v, "drop column")
       requireNoConstraintRef(s, root, v, "drop column", name)
       val next = editNestedNode(s, root, v, "drop column", cur, parentPath) { (node, _) =>
         val nf = node.fields
@@ -1228,21 +1237,25 @@ object SnapshotTable {
     * later read of the version (the ADVICE-r13 bricking class, entered
     * through data instead of DDL). */
   private def requireColmapSafe(root: String, op: String, name: String): Unit = {
-    val bad = name.filter(c => "=,.;:#>\t\n\r".contains(c))
+    // the shared delimiter set PLUS the dot, which splitColMap would
+    // misread as a path segment inside a synthesized entry
+    val bad = name.filter(c => ManifestDelims.contains(c) || c == '.')
     require(bad.isEmpty,
       s"$op on $root: resident column/field name '$name' contains " +
-        s"colmap-delimiter character(s) ${bad.distinct.mkString("'", "','", "'")} — " +
+        s"colmap-delimiter character(s) ${showDelims(bad)} — " +
         "column mapping cannot represent it; rewrite the table with a " +
-        "clean name before using RENAME/DROP COLUMN")
+        s"clean name before $op")
   }
 
   /** The table's current mapping, synthesizing the identity map from
-    * the version's resolved physical schema when none is stored yet. */
+    * the version's resolved physical schema when none is stored yet.
+    * `op` names the refused command when synthesis hits a resident
+    * name the colmap encoding cannot represent. */
   private[graft] def currentColMap(s: SparkSession, root: String,
-      v: Int): Seq[(String, String)] =
+      v: Int, op: String = "column mapping"): Seq[(String, String)] =
     colMap(root, v).getOrElse {
       val phys = readAtPhysical(s, root, v).columns.toIndexedSeq
-      phys.map { c => requireColmapSafe(root, "column mapping", c); (c, c) }
+      phys.map { c => requireColmapSafe(root, op, c); (c, c) }
     }
 
   // ---------------- DELETION VECTORS (merge-on-read deletes) --------
@@ -1392,7 +1405,7 @@ object SnapshotTable {
           s"row tracking on $root: the table already has a $RowIdCol column")
         val mapMeta = carried.get("colmap") match {
           case Some(_) => Map.empty[String, String]
-          case None => Map("colmap" -> fmtColMap(currentColMap(s, root, v)))
+          case None => Map("colmap" -> fmtColMap(currentColMap(s, root, v, "row tracking")))
         }
         try result = commitEntries(root, v, entries, 16,
           carried ++ mapMeta + ("rowtracking" -> "on") +
