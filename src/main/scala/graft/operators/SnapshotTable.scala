@@ -5825,7 +5825,9 @@ object SnapshotTable {
        |FROM o ORDER BY batch""".stripMargin
 
   /** x44_nested_colmap — NESTED column mapping (r16, Delta's
-    * struct-field mapping one level deep): a table whose `props`
+    * struct-field mapping; arbitrary depth since r19 — this gate
+    * fixture exercises depth 1, ColumnMappingSpec covers depth 2-3):
+    * a table whose `props`
     * STRUCT column holds (event_type, value), evolved by
     * `ALTER TABLE '<path>' RENAME COLUMN props.value TO amount` and
     * `DROP COLUMN props.event_type` — both METADATA-ONLY commits
