@@ -4984,6 +4984,7 @@ object SnapshotTable {
     "x46_column_defaults" -> (x46ColumnDefaults _, Some(x46Sql)),
     "x47_list_columns" -> (x47ListColumns _, Some(x47Sql)),
     "x48_map_columns" -> (x48MapColumns _, Some(x48Sql)),
+    "x49_deep_colmap" -> (x49DeepColmap _, Some(x49Sql)),
   )
 
   /** x24_catalog_sql — the name-addressed warehouse surface end-to-end
@@ -5868,6 +5869,58 @@ object SnapshotTable {
        |  FROM events WHERE event_id % $X29Mod = 0)
        |SELECT ep_day, COUNT(*) AS n_events,
        |  CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS amount_sum,
+       |  CAST(SUM(CAST(CASE WHEN amount > 10.0 THEN 1.0 ELSE 0.0 END
+       |    AS DECIMAL(18,6))) AS DOUBLE) AS n_flagged
+       |FROM e GROUP BY ep_day ORDER BY ep_day""".stripMargin
+
+  /** x49_deep_colmap — NESTED column mapping at DEPTH 2 (r19, Delta's
+    * arbitrary-depth struct-field mapping): a table whose `props`
+    * STRUCT holds a nested struct `b(event_type, value)` beside a
+    * scalar `e`, evolved by `RENAME COLUMN props.b.value TO amount`
+    * and `DROP COLUMN props.b.event_type` (depth-2 dotted entries;
+    * the mint stamps the `dcolmap` reader feature so a one-level
+    * binary refuses instead of serving raw deep physical names) and
+    * then `RENAME COLUMN props.b TO core` — an INTERMEDIATE-struct
+    * rename whose deeper entries must re-key with it. A path-SQL
+    * UPDATE predicated two levels down (`props.core.amount`, DML read
+    * translation through the recursive struct rebuild + the dropped
+    * deep field riding the rewrite) and the day aggregate read back
+    * through the full mapping. The DuckDB oracle derives the same
+    * answer functionally from the raw events log — deep-mapped reads
+    * ≡ the relational rewrite they avoid. */
+  def x49DeepColmap(s: SparkSession, d: String): DataFrame = {
+    val root = Engine.tmpDir("graft_x49_dcolmap")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    val ev = Tables.events(s, d)
+      .filter(col("event_id") % X29Mod === 0)
+      .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+      .select(col("event_id"), col("ep_day"), lit(0.0).as("flag"),
+        struct(struct(col("event_type"), col("value")).as("b"),
+          (col("value") * 2).as("e")).as("props"))
+    commitEntries(root, 0,
+      writeDataFiles(ev.repartitionByRange(4, col("ep_day")), root, "seed")
+        .map(footerEntry(root, _, "ep_day")),
+      16, Map("statsCol" -> "ep_day"))
+    s.sql(s"ALTER TABLE '$root' RENAME COLUMN props.b.value TO amount").collect()
+    s.sql(s"ALTER TABLE '$root' DROP COLUMN props.b.event_type").collect()
+    s.sql(s"ALTER TABLE '$root' RENAME COLUMN props.b TO core").collect()
+    s.sql(s"UPDATE '$root' SET flag = 1.0 WHERE props.core.amount > 10.0").collect()
+    read(s, root)
+      .groupBy(col("ep_day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("props.core.amount").cast("decimal(18,6)")).cast("double").as("amount_sum"),
+        sum(col("props.e").cast("decimal(18,6)")).cast("double").as("e_sum"),
+        sum(col("flag").cast("decimal(18,6)")).cast("double").as("n_flagged"))
+      .orderBy("ep_day")
+  }
+
+  val x49Sql: String =
+    s"""WITH e AS (SELECT value AS amount, value * 2 AS ev2,
+       |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day
+       |  FROM events WHERE event_id % $X29Mod = 0)
+       |SELECT ep_day, COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(amount AS DECIMAL(18,6))) AS DOUBLE) AS amount_sum,
+       |  CAST(SUM(CAST(ev2 AS DECIMAL(18,6))) AS DOUBLE) AS e_sum,
        |  CAST(SUM(CAST(CASE WHEN amount > 10.0 THEN 1.0 ELSE 0.0 END
        |    AS DECIMAL(18,6))) AS DOUBLE) AS n_flagged
        |FROM e GROUP BY ep_day ORDER BY ep_day""".stripMargin
