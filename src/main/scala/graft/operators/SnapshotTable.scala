@@ -75,7 +75,22 @@ object SnapshotTable {
       if (col == primaryCol) (lo, hi)
       else extra.find(_._1 == col).map(e => (e._2, e._3))
         .getOrElse((Long.MinValue, Long.MaxValue))
+    /** The file's on-disk size, harvested at commit time into the
+      * reserved [[BytesCol]] extra (r19): size-based planning
+      * (Catalyst's broadcast decision, DESCRIBE DETAIL) reads the
+      * manifest instead of stat-ing every planned file — at 100 TB a
+      * per-scan `Files.size` sweep is a million driver-side HEAD
+      * requests on object storage. None on pre-r19 entries (callers
+      * fall back to one stat each). */
+    def bytes: Option[Long] = extra.collectFirst { case (BytesCol, b, _) => b }
   }
+
+  /** Reserved extra-stats field name carrying the file's byte size
+    * ([[FileEntry.bytes]]). Old binaries ignore unknown extras (they
+    * consult extras only by queried column name), so no feature stamp
+    * is needed — but the name is RESERVED at the ALTER surface so a
+    * user column can never alias it into the pruning path. */
+  private[graft] val BytesCol = "__bytes"
   private def parseEntry(line: String): FileEntry = line.split('\t') match {
     case Array(rel) => FileEntry(rel, Long.MinValue, Long.MaxValue, -1L)
     case Array(rel, lo, hi, n) => FileEntry(rel, lo.toLong, hi.toLong, n.toLong)
@@ -414,10 +429,17 @@ object SnapshotTable {
     footerEntryMulti(root, rel, keyCol, Nil)
 
   /** One footer read harvesting stats for the primary key column AND
-    * any secondary columns (x22's Z-order manifests carry both). */
+    * any secondary columns (x22's Z-order manifests carry both), plus
+    * the file's byte size into the reserved [[BytesCol]] extra (one
+    * `Files.size` beside the footer open — both against a file the
+    * committer just wrote, so the metadata is warm). */
   private[graft] def footerEntryMulti(root: String, rel: String, keyCol: String,
       extraCols: Seq[String]): FileEntry =
-    withFooter(root, rel)(statsEntry(_, rel, keyCol, extraCols))
+    withBytes(root, rel, withFooter(root, rel)(statsEntry(_, rel, keyCol, extraCols)))
+
+  private def withBytes(root: String, rel: String, e: FileEntry): FileEntry =
+    e.copy(extra = e.extra :+ ((BytesCol,
+      Files.size(Paths.get(root, rel)), 0L)))
 
   /** Footer read + stats harvest with the file's SCHEMA fingerprint —
     * one open for both (convert's uniformity validation, run inside
@@ -429,7 +451,7 @@ object SnapshotTable {
     * payload flat at 10^6-file scale (r17 review). */
   private[graft] def footerEntryWithSchema(root: String, rel: String,
       keyCol: String): (FileEntry, String) =
-    withFooter(root, rel)(r => (statsEntry(r, rel, keyCol, Nil),
+    withFooter(root, rel)(r => (withBytes(root, rel, statsEntry(r, rel, keyCol, Nil)),
       schemaFingerprint(r.getFooter.getFileMetaData.getSchema)))
 
   private[graft] def schemaFingerprint(
@@ -844,6 +866,10 @@ object SnapshotTable {
     require(!name.equalsIgnoreCase("_row_id"),
       s"$op on $root: _row_id is a reserved name (the row-id read surfaces " +
         "engine ids under it — a data column would shadow or be shadowed)")
+    require(!name.equalsIgnoreCase(BytesCol),
+      s"$op on $root: $BytesCol is a reserved name (manifest entries carry " +
+        "file sizes under it — a data column would alias into size-based " +
+        "planning)")
     // the IDENTITY column's name is engine-owned once declared: no
     // rename/add/generation/evolution may (re)claim it (declaring it
     // is exempt — setIdentityColumn validates BEFORE the meta exists)

@@ -332,14 +332,16 @@ object SnapshotSql {
 
   /** The current snapshot's one-row summary (Delta's DESCRIBE DETAIL
     * shape): location, version, file/row counts, total data bytes, and
-    * the carried metadata — all from the manifest plus one
-    * `Files.size` per entry, zero data-file IO. */
+    * the carried metadata — all from the manifest (byte sizes ride the
+    * entries since r19; pre-r19 entries fall back to one `Files.size`
+    * each), zero data-file IO. */
   def describeDetail(root: String): (String, Int, Long, Option[Long], Long, String) = {
     val v = SnapshotTable.currentVersion(root)
     val entries = if (v == 0) Nil else SnapshotTable.manifestEntries(root, v)
     val bytes = entries.map { e =>
-      try java.nio.file.Files.size(java.nio.file.Paths.get(root, e.rel))
-      catch { case _: java.io.IOException => 0L }
+      e.bytes.getOrElse(
+        try java.nio.file.Files.size(java.nio.file.Paths.get(root, e.rel))
+        catch { case _: java.io.IOException => 0L })
     }.sum
     val meta = if (v == 0) "" else SnapshotTable.manifestMeta(root, v).toSeq.sorted
       .map { case (k, x) => s"$k=${x.take(60)}" }.mkString(",")

@@ -1011,14 +1011,18 @@ private[sources] class SnapshotScan(root: String, version: Int,
     * (spark.sql.defaultSizeInBytes) and a small snapshot table can
     * NEVER be auto-broadcast: every join against it sort-merges. The
     * estimate is the POST-PRUNING file set (pushed filters narrow it),
-    * pure driver-side metadata: commit-time footer row counts summed
-    * from the manifest plus one `Files.size` stat per planned file —
-    * no data IO, exactly how Delta/Iceberg feed the same API. */
+    * pure driver-side metadata: commit-time footer row counts AND
+    * byte sizes summed from the manifest (r19 — pre-r19 entries fall
+    * back to one `Files.size` stat each) — no data IO, exactly how
+    * Delta/Iceberg feed the same API. At 100 TB the manifest path
+    * matters: a per-scan stat sweep over 10^6 planned files is 10^6
+    * driver-side HEAD requests on object storage, per query. */
   override def estimateStatistics(): Statistics = new Statistics {
     private val entries = plannedEntries
     private val bytes: java.util.OptionalLong =
       try java.util.OptionalLong.of(
-        entries.map(e => java.nio.file.Files.size(Paths.get(root, e.rel))).sum)
+        entries.map(e => e.bytes.getOrElse(
+          java.nio.file.Files.size(Paths.get(root, e.rel)))).sum)
       catch { case _: java.io.IOException => java.util.OptionalLong.empty() }
     private val rows: java.util.OptionalLong =
       if (entries.forall(_.rows >= 0))

@@ -949,8 +949,13 @@ class SnapshotStatsSpec extends AnyFunSuite {
       .find(_.getFileName.toString.endsWith(".parquet")).get
     Files.move(part, Paths.get(root, "data_f.parquet"))
     val e = ST.footerEntry(root, "data_f.parquet", "k")
-    assert(e == ST.FileEntry("data_f.parquet", 3L, 11L, 4L),
+    assert((e.rel, e.lo, e.hi, e.rows) == (("data_f.parquet", 3L, 11L, 4L)),
       s"footer stats drift: $e")
+    // ...and the file's byte size rides the reserved __bytes extra
+    // (r19): size-based planning reads the manifest, never a per-scan
+    // Files.size sweep
+    assert(e.bytes.contains(Files.size(Paths.get(root, "data_f.parquet"))),
+      s"missing/wrong __bytes extra: $e")
     // a column absent from the footer degrades to the never-pruned
     // sentinel (still carrying the row count), not a failure
     val none = ST.footerEntry(root, "data_f.parquet", "no_such_col")
