@@ -70,10 +70,14 @@ object SnapshotTable {
         extra.map { case (c, l, h) => s"$c:$l:$h" }).mkString("\t")
     /** This file's [lo, hi] for `col`: primary stats when `col` is the
       * cluster column is the caller's contract; extras by name; the
-      * never-pruned sentinel otherwise. */
+      * never-pruned sentinel otherwise. The reserved [[BytesCol]]
+      * extra is NEVER served as column stats — a query naming
+      * "__bytes" must get the sentinel (unknown columns never prune),
+      * not the file size masquerading as a [size, 0] range that would
+      * prune every file. */
     def statsFor(col: String, primaryCol: String): (Long, Long) =
       if (col == primaryCol) (lo, hi)
-      else extra.find(_._1 == col).map(e => (e._2, e._3))
+      else extra.find(e => e._1 == col && e._1 != BytesCol).map(e => (e._2, e._3))
         .getOrElse((Long.MinValue, Long.MaxValue))
     /** The file's on-disk size, harvested at commit time into the
       * reserved [[BytesCol]] extra (r19): size-based planning
@@ -430,16 +434,21 @@ object SnapshotTable {
 
   /** One footer read harvesting stats for the primary key column AND
     * any secondary columns (x22's Z-order manifests carry both), plus
-    * the file's byte size into the reserved [[BytesCol]] extra (one
-    * `Files.size` beside the footer open — both against a file the
-    * committer just wrote, so the metadata is warm). */
+    * the file's byte size into the reserved [[BytesCol]] extra — the
+    * length comes from the SAME open (zero extra metadata calls). */
   private[graft] def footerEntryMulti(root: String, rel: String, keyCol: String,
-      extraCols: Seq[String]): FileEntry =
-    withBytes(root, rel, withFooter(root, rel)(statsEntry(_, rel, keyCol, extraCols)))
+      extraCols: Seq[String]): FileEntry = {
+    // __bytes is the size slot: harvesting a USER column of that name
+    // as secondary stats would make the two indistinguishable
+    require(!extraCols.exists(_.equalsIgnoreCase(BytesCol)),
+      s"stats harvest on $root: $BytesCol is a reserved extra-stats name " +
+        "(manifest entries carry file sizes under it)")
+    withFooterLen(root, rel)((r, len) =>
+      withBytes(len, statsEntry(r, rel, keyCol, extraCols)))
+  }
 
-  private def withBytes(root: String, rel: String, e: FileEntry): FileEntry =
-    e.copy(extra = e.extra :+ ((BytesCol,
-      Files.size(Paths.get(root, rel)), 0L)))
+  private def withBytes(len: Long, e: FileEntry): FileEntry =
+    e.copy(extra = e.extra :+ ((BytesCol, len, 0L)))
 
   /** Footer read + stats harvest with the file's SCHEMA fingerprint —
     * one open for both (convert's uniformity validation, run inside
@@ -451,8 +460,9 @@ object SnapshotTable {
     * payload flat at 10^6-file scale (r17 review). */
   private[graft] def footerEntryWithSchema(root: String, rel: String,
       keyCol: String): (FileEntry, String) =
-    withFooter(root, rel)(r => (withBytes(root, rel, statsEntry(r, rel, keyCol, Nil)),
-      schemaFingerprint(r.getFooter.getFileMetaData.getSchema)))
+    withFooterLen(root, rel)((r, len) =>
+      (withBytes(len, statsEntry(r, rel, keyCol, Nil)),
+        schemaFingerprint(r.getFooter.getFileMetaData.getSchema)))
 
   private[graft] def schemaFingerprint(
       m: org.apache.parquet.schema.MessageType): String = {
@@ -492,11 +502,21 @@ object SnapshotTable {
     }
 
   private def withFooter[T](root: String, rel: String)(
-      f: org.apache.parquet.hadoop.ParquetFileReader => T): T = {
+      f: org.apache.parquet.hadoop.ParquetFileReader => T): T =
+    withFooterLen(root, rel)((r, _) => f(r))
+
+  /** [[withFooter]] plus the file's byte LENGTH — already known to the
+    * open (HadoopInputFile wraps the FileStatus the footer locate
+    * needs), so harvesting it costs ZERO extra metadata calls. A
+    * separate Files.size here would be a second HEAD request per
+    * committed file on object storage — doubling exactly the request
+    * class the manifest-carried sizes exist to eliminate. */
+  private def withFooterLen[T](root: String, rel: String)(
+      f: (org.apache.parquet.hadoop.ParquetFileReader, Long) => T): T = {
     val in = HadoopInputFile.fromPath(
       new HadoopPath(Paths.get(root, rel).toUri), hadoopConf)
     val reader = ParquetFileReader.open(in)
-    try f(reader) finally reader.close()
+    try f(reader, in.getLength) finally reader.close()
   }
 
   private def statsEntry(reader: org.apache.parquet.hadoop.ParquetFileReader,

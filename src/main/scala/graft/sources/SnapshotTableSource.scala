@@ -1788,6 +1788,14 @@ private[sources] class SnapshotWriteBuilder(root: String, info: LogicalWriteInfo
       throw new IllegalArgumentException(
         s"graft-snapshot write to $root: $n is a reserved name (the row-id " +
           "read serves engine ids under it) — rename the column"))
+    // __bytes is the manifest's file-size extra (r19): a data column
+    // of that name could be named as a stats column and alias into
+    // size-based planning — refuse at the write seam like the row-id
+    // spellings (validateIdent guards the ALTER surface the same way)
+    info.schema().fieldNames.find(_.equalsIgnoreCase(SnapshotTable.BytesCol))
+      .foreach(n => throw new IllegalArgumentException(
+        s"graft-snapshot write to $root: $n is a reserved name (manifest " +
+          "entries carry file sizes under it) — rename the column"))
     // the incoming query's schema is LOGICAL (the table exposes the
     // mapping); data files always carry PHYSICAL names — translate.
     // Row decode is positional, so renaming fields is free. The write

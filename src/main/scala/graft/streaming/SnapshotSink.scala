@@ -100,6 +100,11 @@ object SnapshotSink {
       throw new IllegalArgumentException(
         s"graft-snapshot sink on $root: $n is a reserved name (the row-id " +
           "read serves engine ids under it) — rename the column"))
+    // ...and the manifest's file-size extra spelling (r19), same rule
+    df.columns.find(_.equalsIgnoreCase(ST.BytesCol)).foreach(n =>
+      throw new IllegalArgumentException(
+        s"graft-snapshot sink on $root: $n is a reserved name (manifest " +
+          "entries carry file sizes under it) — rename the column"))
     val plannedChecks = ST.checkConstraints(root, cv)
     // GENERATED columns the batch omits are computed here (Delta's
     // write-side convenience — a stream need not carry derivable

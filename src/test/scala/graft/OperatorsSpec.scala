@@ -956,6 +956,15 @@ class SnapshotStatsSpec extends AnyFunSuite {
     // Files.size sweep
     assert(e.bytes.contains(Files.size(Paths.get(root, "data_f.parquet"))),
       s"missing/wrong __bytes extra: $e")
+    // the reserved size extra is NEVER served as column stats: a query
+    // naming __bytes hits the never-pruned sentinel, not [size, 0]
+    // (which would prune every file — lo > hi)
+    assert(e.statsFor("__bytes", "k") == ((Long.MinValue, Long.MaxValue)))
+    // ...and the z-order surface cannot harvest a USER column into the
+    // same slot
+    val eb = intercept[Exception](
+      ST.footerEntryMulti(root, "data_f.parquet", "k", Seq("__bytes")))
+    assert(eb.getMessage.contains("reserved"), eb.getMessage)
     // a column absent from the footer degrades to the never-pruned
     // sentinel (still carrying the row count), not a failure
     val none = ST.footerEntry(root, "data_f.parquet", "no_such_col")
