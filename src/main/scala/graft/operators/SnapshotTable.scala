@@ -450,6 +450,31 @@ object SnapshotTable {
   private def withBytes(len: Long, e: FileEntry): FileEntry =
     e.copy(extra = e.extra :+ ((BytesCol, len, 0L)))
 
+  /** Footer-harvest entries for freshly WRITTEN files — DISTRIBUTED
+    * as a Spark job above a small threshold: rewrite/append file
+    * counts scale with data (a 100 TB OPTIMIZE or wide INSERT lands
+    * 10^4–10^5 files), and a serial driver sweep at object-store
+    * footer latency (50–100 ms each) is minutes-to-hours of IO the
+    * executors absorb in one wave — the same reasoning as convert's
+    * distributed harvest (r17). Tasks ship back only the tiny
+    * FileEntry structs; below the threshold a driver loop beats the
+    * job-launch overhead. Entry ORDER follows `rels` on both paths
+    * (parallelize/collect preserves partition order). */
+  private[graft] def harvestEntries(s: SparkSession, root: String,
+      rels: Seq[String], keyCol: String,
+      extraCols: Seq[String] = Nil): Seq[FileEntry] =
+    if (rels.size < 64) rels.map(footerEntryMulti(root, _, keyCol, extraCols))
+    else {
+      // absolute root: the closure runs executor-side, where a
+      // driver-relative path would resolve against the wrong cwd
+      val rootAbs = Paths.get(root).toAbsolutePath.toString
+      val slices = math.min(rels.size,
+        math.max(1, s.sparkContext.defaultParallelism))
+      s.sparkContext.parallelize(rels, slices)
+        .map(rel => footerEntryMulti(rootAbs, rel, keyCol, extraCols))
+        .collect().toSeq
+    }
+
   /** Footer read + stats harvest with the file's SCHEMA fingerprint —
     * one open for both (convert's uniformity validation, run inside
     * Spark tasks: everything here must stay driver-state-free). The
@@ -2869,7 +2894,7 @@ object SnapshotTable {
     val rels = writeDataFiles(
       content.repartitionByRange(targetFiles, col(keyCol)),
       root, s"opt_$tag")
-    val entries = rels.map(footerEntry(root, _, keyCol))
+    val entries = harvestEntries(s, root, rels, keyCol)
     val rtMeta = if (!rt) Map.empty[String, String]
       else Map("colmap" -> fmtColMap(
         content.columns.filterNot(_ == RowIdCol).toIndexedSeq.map(c => (c, c))))
@@ -2941,7 +2966,7 @@ object SnapshotTable {
       conformNullability(content, fileNullability(root, touched.head.rel))
         .repartitionByRange(math.max(1, targetFiles), col(statsPhys)),
       root, s"optw_$tag")
-    val newEntries = rels.map(footerEntry(root, _, statsPhys)).filter(_.rows > 0)
+    val newEntries = harvestEntries(s, root, rels, statsPhys).filter(_.rows > 0)
     // commitRewrite stamps `optimize -> cow:NofM`; the scope detail
     // rides its own one-commit audit key (stripped by carriedMeta)
     commitRewrite(root, v, touched.map(_.rel).toSet, newEntries, shardSize,
@@ -3223,7 +3248,7 @@ object SnapshotTable {
         .repartitionByRange(math.max(affected.size, 1),
           col(physicalName(map, clusterCol))),
       root, s"m_$tag")
-    val newEntries = rels.map(footerEntry(root, _, physicalName(map, clusterCol)))
+    val newEntries = harvestEntries(s, root, rels, physicalName(map, clusterCol))
     // watermarks/statsCol/schema survive a merge (carriedMeta); `schema`
     // stays because untouched files keep their pre-evolution width, is
     // SET when this merge itself widened the table (addedCols above),
@@ -4103,8 +4128,8 @@ object SnapshotTable {
           val post = conformNullability(
             toPhysical(setProjection(h, None), map).repartition(postParts),
             fileNullability(root, touched.head.rel))
-          writeDataFiles(post, root, s"moru_$tag")
-            .map(footerEntry(root, _, statsPhys))
+          harvestEntries(s, root, writeDataFiles(post, root, s"moru_$tag"),
+            statsPhys)
         })
       mor.foreach(r => return r)
       // over the cap: fall through to copy-on-write below
@@ -4145,7 +4170,7 @@ object SnapshotTable {
       conformNullability(toPhysical(updated, map), fileNullability(root, touched.head.rel))
         .repartitionByRange(rewriteParts(s, touched), col(statsPhys)),
       root, s"u_$tag")
-    val newEntries = rels.map(footerEntry(root, _, statsPhys))
+    val newEntries = harvestEntries(s, root, rels, statsPhys)
     commitRewrite(root, v, touchedSet, newEntries, shardSize, "update",
       extraMeta ++ cdcMeta.map("cdc" -> _) ++
         (if (rowTracked) Map("rowmat_new" -> rels.mkString(";")) else Map.empty),
@@ -4233,7 +4258,7 @@ object SnapshotTable {
     // a 0-row part file — don't manifest it (a delete-all then commits
     // ZERO entries deterministically, the readable-empty-table state;
     // the orphan file is vacuum garbage, never a torn table)
-    val newEntries = rels.map(footerEntry(root, _, statsPhys)).filter(_.rows > 0)
+    val newEntries = harvestEntries(s, root, rels, statsPhys).filter(_.rows > 0)
     commitRewrite(root, v, touchedSet, newEntries, shardSize, "delete",
       extraMeta ++ cdcMeta.map("cdc" -> _) ++
         (if (carried.get("rowtracking").contains("on"))
@@ -4828,7 +4853,7 @@ object SnapshotTable {
       .drop("_z")
     val tag = java.util.UUID.randomUUID().toString.take(8)
     val rels = writeDataFiles(zordered, root, s"z_$tag")
-    val entries = rels.map(footerEntryMulti(root, _, colA, Seq(colB)))
+    val entries = harvestEntries(s, root, rels, colA, Seq(colB))
     val rtMeta = if (!rt) Map.empty[String, String]
       else Map("colmap" -> fmtColMap(
         df.columns.filterNot(_ == RowIdCol).toIndexedSeq.map(c => (c, c))))

@@ -1991,6 +1991,8 @@ private[graft] object SnapshotCommit {
       .toSeq.sorted
     if (rels.isEmpty && extraMeta.isEmpty && !replace) return
     var done = false
+    val harvested = scala.collection.mutable.Map.empty[String,
+      Seq[SnapshotTable.FileEntry]]
     val retry = new SnapshotTable.CommitRetry(root)
     while (!done) {
       val v = SnapshotTable.currentVersion(root)
@@ -2021,13 +2023,17 @@ private[graft] object SnapshotCommit {
       val statsCol = extraMeta.get("statsCol").orElse(meta.get("statsCol"))
       val existing =
         if (v == 0 || replace) Nil else SnapshotTable.manifestEntries(root, v)
-      val fresh = rels.map { rel =>
-        statsCol match {
-          case Some(c) => SnapshotTable.footerEntry(root, rel, c)
-          case None => SnapshotTable.footerEntry(root, rel,
-            "") // no stats column: rows-only entry (lo/hi sentinel)
-        }
-      }
+      // harvest ONCE per distinct statsCol (a CAS retry must not
+      // re-read every footer — statsCol only changes between retries
+      // if a racing OPTIMIZE CLUSTER BY re-keyed the table), and
+      // distributed above the small-batch threshold: a wide INSERT's
+      // file count scales with data, and the serial driver sweep at
+      // object-store footer latency is the class of cost the
+      // distributed convert harvest already eliminated
+      val fresh = harvested.getOrElseUpdate(statsCol.getOrElse(""),
+        SnapshotTable.harvestEntries(
+          org.apache.spark.sql.SparkSession.active, root, rels,
+          statsCol.getOrElse(""))) // no stats column: rows-only sentinel lo/hi
       try {
         // carry EVERY query's epoch watermark forward (a commit that
         // dropped another streaming writer's `epoch:` key would erase

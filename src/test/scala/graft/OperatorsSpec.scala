@@ -940,6 +940,21 @@ class SnapshotStatsSpec extends AnyFunSuite {
     graft.operators.Engine.listDir(Paths.get(root, "_manifests"))
       .map(_.getFileName.toString).filter(_.startsWith("shard_"))
 
+  test("harvestEntries: the distributed (>=64 files) path matches the serial one, order preserved") {
+    import spark.implicits._
+    val root = freshRoot("harvest")
+    // 70 one-row files: above the job threshold, so the Spark-job path
+    // runs for real — it must agree entry-for-entry (stats, rows,
+    // __bytes, ORDER) with the serial driver loop a small batch takes
+    val rels = ST.writeDataFiles(
+      (1L to 70L).toDF("k").repartition(70, col("k")), root, "h")
+    val dist = ST.harvestEntries(spark, root, rels, "k")
+    val serial = rels.map(ST.footerEntry(root, _, "k"))
+    assert(dist == serial, s"distributed harvest diverged:\n$dist\nvs\n$serial")
+    assert(dist.map(_.rel) == rels, "entry order must follow the input rels")
+    assert(dist.forall(_.bytes.exists(_ > 0L)), "missing __bytes on the job path")
+  }
+
   test("footerEntry harvests the file's actual min/max/rows for the key column") {
     import spark.implicits._
     val root = freshRoot("footer")
