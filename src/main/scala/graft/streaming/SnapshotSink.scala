@@ -113,8 +113,11 @@ object SnapshotSink {
     val generated = ST.withGeneratedColumns(df.sparkSession, root, df, Some(cv))
     val checked = ST.enforceChecks(generated, plannedChecks,
       s"streaming sink batch $batchId on $root")
-    val entries = ST.writeDataFiles(ST.toPhysical(checked, map), root, tag)
-      .map(ST.footerEntry(root, _, ST.physicalName(map, keyCol)))
+    // distributed harvest above the small-batch threshold — a
+    // complete-mode epoch can land a whole table's worth of files
+    val entries = ST.harvestEntries(df.sparkSession, root,
+      ST.writeDataFiles(ST.toPhysical(checked, map), root, tag),
+      ST.physicalName(map, keyCol))
     val retry = new ST.CommitRetry(root)
     while (true) {
       val v = ST.currentVersion(root)
@@ -242,7 +245,8 @@ object SnapshotSink {
           // first batch creates the table (merge needs a base version);
           // statsCol makes every later merge/DSv2 read key-prunable
           val tag = f"b$batchId%05d_${java.util.UUID.randomUUID().toString.take(8)}"
-          val entries = ST.writeDataFiles(state, root, tag).map(ST.footerEntry(root, _, keyCol))
+          val entries = ST.harvestEntries(state.sparkSession, root,
+            ST.writeDataFiles(state, root, tag), keyCol)
           ST.commitEntries(root, 0, entries, shardSize = 4,
             Map("statsCol" -> keyCol, LastBatchKey -> batchId.toString))
           return true
