@@ -883,6 +883,41 @@ object ScaleProbe {
         assert(audit.startsWith("cow:"), s"over-budget spread must fall back: $audit")
       1L
     }
+    // r19: version resolution on a DEEP commit history — the pointer-
+    // anchored probe vs the listing fallback (the pre-r19 cost). The
+    // fixture synthesizes the manifests directly (the resolution code
+    // only reads files; committing 100k real versions would measure the
+    // writer, not the resolver). Also times the binary-searched
+    // TIMESTAMP AS OF against the same history.
+    time("version_resolution_100k") {
+      val ST = operators.SnapshotTable
+      val n = 100000
+      val root = s"$work/vres"
+      val mdir = java.nio.file.Paths.get(root, "_manifests")
+      java.nio.file.Files.createDirectories(mdir)
+      (1 to n).foreach { v =>
+        java.nio.file.Files.write(mdir.resolve(f"v$v%05d.txt"),
+          s"#cts\t${1000000L + v}\nf$v.parquet\t0\t0\t1".getBytes)
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(root, "_latest"),
+        n.toString.getBytes)
+      def bench(tag: String, reps: Int)(f: => Unit): Unit = {
+        val t0 = System.nanoTime(); (1 to reps).foreach(_ => f)
+        println(f"[scale] vres $tag: ${(System.nanoTime() - t0) / 1e6 / reps}%.2f ms/op")
+      }
+      bench("pointer-anchored currentVersion", 200) {
+        assert(ST.currentVersion(root) == n)
+      }
+      bench("TIMESTAMP-AS-OF binary search (oldest instant)", 200) {
+        assert(ST.versionAtOrBefore(root, 1000001L).contains(1))
+      }
+      val latest = java.nio.file.Paths.get(root, "_latest")
+      java.nio.file.Files.delete(latest) // forces the full-listing fallback
+      bench("listing fallback (pre-r19 cost)", 5) {
+        assert(ST.currentVersion(root) == n)
+      }
+      n.toLong
+    }
     spark.stop()
   }
 }

@@ -113,32 +113,59 @@ object SnapshotTable {
   private[graft] def manifestPath(root: String, v: Int): Path =
     manifestDir(root).resolve(f"v$v%05d.txt")
 
-  /** Current committed version: _latest if present, else the highest
-    * manifest on disk (covers a committer that crashed between manifest
-    * write and pointer refresh), else 0 (empty table). */
+  /** Version `v` is COMMITTED: its manifest exists with content. A
+    * zero-byte manifest is a claimed-but-unfilled CAS slot (the window
+    * between the claim's createFile and the content move) — not a
+    * version; a file that vanishes between exists and size (a
+    * concurrent vacuum reclaiming history) reads as absent. */
+  private def committed(root: String, v: Int): Boolean =
+    try Files.size(manifestPath(root, v)) > 0
+    catch { case _: java.io.IOException => false }
+
+  /** Current committed version, POINTER-ANCHORED (r19): `_latest` is a
+    * trusted LOWER bound — every committer refreshes it right after its
+    * content move — so resolution PROBES forward from it with direct
+    * per-version stats, O(1 + pointer lag) where the lag is only the
+    * commits whose pointer refresh a crash swallowed. The previous
+    * implementation listed `_manifests/` on EVERY resolution —
+    * O(#commits); at one commit a minute for a year that is a
+    * ~500k-key LIST per query planning on object storage, the exact
+    * cost Delta's _last_checkpoint anchor exists to avoid. The probe
+    * is sound because committed manifests are CONTIGUOUS: claiming
+    * slot v+1 requires having observed v committed (the CAS re-reads
+    * the current version each attempt), and a committed manifest is
+    * never truncated — so the first missing-or-zero-byte slot above
+    * the anchor ends the table. Falls back to the full listing when
+    * the pointer is absent (fresh or pre-pointer table) or names a
+    * manifest no longer on disk (a vacuum outran a stale pointer) —
+    * the listing re-derives the truth the pointer lost. */
   def currentVersion(root: String): Int = {
     val latest = Paths.get(root, "_latest")
     val pointed =
       if (Files.exists(latest)) new String(Files.readAllBytes(latest)).trim.toInt
       else 0
-    val onDisk = Engine.listDir(manifestDir(root))
-      // name-filter BEFORE statting: the listing also surfaces other
-      // committers' transient `.v*.tmp` files, which vanish between
-      // list and stat when their atomic move lands (CommitRaceSpec
-      // races this); manifest files themselves are never deleted by a
-      // commit, so statting them cannot race
-      .filter { p =>
-        val n = p.getFileName.toString
-        n.startsWith("v") && n.endsWith(".txt") &&
-          // a zero-byte manifest is a claimed-but-unfilled commit slot
-          // (the window between the CAS createFile and the content
-          // move) — not a committed version yet
-          Files.size(p) > 0
-      }
-      .map(_.getFileName.toString)
-      .map(s => s.stripPrefix("v").stripSuffix(".txt").toInt)
-      .maxOption.getOrElse(0)
-    math.max(pointed, onDisk)
+    if (pointed > 0 && committed(root, pointed)) {
+      var v = pointed
+      while (committed(root, v + 1)) v += 1
+      v
+    } else {
+      val onDisk = Engine.listDir(manifestDir(root))
+        // name-filter BEFORE statting: the listing also surfaces other
+        // committers' transient `.v*.tmp` files, which vanish between
+        // list and stat when their atomic move lands (CommitRaceSpec
+        // races this); manifest files themselves are never deleted by a
+        // commit, so statting them cannot race
+        .filter { p =>
+          val n = p.getFileName.toString
+          n.startsWith("v") && n.endsWith(".txt") &&
+            // zero-byte = claimed-but-unfilled commit slot, not a version
+            Files.size(p) > 0
+        }
+        .map(_.getFileName.toString)
+        .map(s => s.stripPrefix("v").stripSuffix(".txt").toInt)
+        .maxOption.getOrElse(0)
+      math.max(pointed, onDisk)
+    }
   }
 
   // ---------------- PROTOCOL / FEATURE GATING -----------------------
@@ -309,8 +336,57 @@ object SnapshotTable {
 
   def versionAtOrBefore(root: String, tsMillis: Long): Option[Int] = {
     val cur = currentVersion(root)
-    (1 to cur).reverseIterator.find(i =>
+    // the always-correct resolver: newest still-present version whose
+    // clock is at or before the instant — O(cur − answer) manifest
+    // reads, and the only sound order when any probed commit lacks an
+    // in-commit timestamp (the mtime fallback clock is NOT guaranteed
+    // monotone: backups and scrambled mtimes reorder it, and the
+    // newest-matching rule must then inspect every candidate)
+    def linear: Option[Int] = (1 to cur).reverseIterator.find(i =>
       commitTimeIfPresent(root, i).exists(_ <= tsMillis))
+    // in-commit timestamp of a probed version; gated versions refuse
+    // loudly through this read exactly as on the linear path
+    def ict(v: Int): Option[Long] = manifestMeta(root, v).get("cts").map(_.toLong)
+    if (cur == 0) None
+    else if (!committed(root, cur)) linear
+    else {
+      // BINARY-SEARCHED resolution (r19): `cts` is strictly
+      // version-monotone by construction (commitEntries stamps
+      // max(now, parent + 1)), so the newest version at-or-before the
+      // instant is a boundary — O(log #versions) manifest reads
+      // instead of a reverse scan that walks every commit between the
+      // head and the answer (TIMESTAMP AS OF three years back on a
+      // commit-a-minute table read ~1.5M manifests; now ~21).
+      // Vacuum drops a strict version PREFIX, so presence is monotone
+      // too: binary-search the oldest retained version first.
+      var lo = 1
+      var hi = cur
+      while (lo < hi) {
+        val mid = lo + (hi - lo) / 2
+        if (committed(root, mid)) hi = mid else lo = mid + 1
+      }
+      val minKept = lo
+      (ict(minKept), ict(cur)) match {
+        case (Some(cMin), _) if cMin > tsMillis => None // predates retention
+        case (_, Some(cCur)) if cCur <= tsMillis => Some(cur)
+        case (Some(_), Some(_)) =>
+          // invariant: ict(loV) <= ts < ict(hiV); a probed pre-ICT
+          // manifest (no cts) voids the monotone premise — bail to
+          // the linear scan rather than trust a scrambleable clock
+          var loV = minKept
+          var hiV = cur
+          var monotone = true
+          while (monotone && hiV - loV > 1) {
+            val mid = loV + (hiV - loV) / 2
+            ict(mid) match {
+              case None => monotone = false
+              case Some(c) => if (c <= tsMillis) loV = mid else hiV = mid
+            }
+          }
+          if (monotone) Some(loV) else linear
+        case _ => linear // pre-ICT clock at either end: mtime order only
+      }
+    }
   }
 
   /** The `#key<TAB>value` metadata committed atomically with version

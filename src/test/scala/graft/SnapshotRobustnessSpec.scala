@@ -282,6 +282,78 @@ class SnapshotRobustnessSpec extends AnyFunSuite {
     assert(ST.read(spark, root).count() == 15)
   }
 
+  test("pointer-anchored version resolution: lagging pointer probes forward, " +
+      "vacuumed stale pointer falls back to the listing") {
+    val root = freshRoot("graft_ptr_anchor")
+    (0 to 3).foreach(b => assert(SS.appendBatch(root, eventSlice(5), batchId = b)))
+    assert(ST.currentVersion(root) == 4)
+    val latest = Paths.get(root, "_latest")
+    // a crashed committer that never refreshed the pointer: resolution
+    // must PROBE forward from the stale anchor, not trust it
+    Files.write(latest, "1".getBytes)
+    assert(ST.currentVersion(root) == 4,
+      "probe must walk past a lagging pointer to the real head")
+    // an in-flight zero-byte claim above the head stays invisible on the
+    // probe path exactly as on the listing path
+    val claim = Paths.get(root, "_manifests", "v00005.txt")
+    Files.createFile(claim)
+    assert(ST.currentVersion(root) == 4,
+      "zero-byte claim must not read as committed on the probe path")
+    Files.delete(claim)
+    // a vacuum that outran the stale pointer: v1's manifest is gone, so
+    // the anchor is dead — resolution must fall back to the full listing
+    // and still find the head (this is the one case the pointer cannot
+    // serve; committers re-point on their next commit)
+    ST.vacuum(root, keepFrom = 3)
+    assert(!Files.exists(Paths.get(root, "_manifests", "v00001.txt")))
+    assert(new String(Files.readAllBytes(latest)).trim == "1",
+      "fixture: pointer must still name the vacuumed version")
+    assert(ST.currentVersion(root) == 4,
+      "dead anchor must fall back to the listing, not lose the head")
+    // the next commit heals the pointer
+    assert(SS.appendBatch(root, eventSlice(5), batchId = 4L))
+    assert(new String(Files.readAllBytes(latest)).trim == "5")
+    assert(ST.currentVersion(root) == 5)
+  }
+
+  test("binary-searched timestamp resolution ≡ the linear reference on every boundary, " +
+      "vacuumed prefix and pre-ICT manifests included") {
+    val root = freshRoot("graft_ts_bsearch")
+    (0 to 7).foreach(b => assert(SS.appendBatch(root, eventSlice(3), batchId = b)))
+    val clocks = (1 to 8).map(v => v -> ST.commitTimeMillis(root, v)).toMap
+    // the always-correct reference the optimized resolver must match
+    def linearRef(ts: Long): Option[Int] = (1 to 8).reverseIterator
+      .find(v => ST.commitTimeIfPresent(root, v).exists(_ <= ts))
+    def probe(): Unit = {
+      val pts = clocks.values.toSeq.flatMap(c => Seq(c - 1, c, c + 1)) ++
+        Seq(0L, Long.MaxValue)
+      pts.foreach { ts =>
+        assert(ST.versionAtOrBefore(root, ts) == linearRef(ts),
+          s"resolution diverged from the linear reference at ts=$ts")
+      }
+    }
+    probe()
+    assert(ST.versionAtOrBefore(root, clocks(8)).contains(8))
+    assert(ST.versionAtOrBefore(root, clocks(1) - 1).isEmpty,
+      "an instant before the first commit must not resolve")
+    // a pre-ICT manifest mid-history (hand-stripped cts): the probe must
+    // detect the void clock and fall back to the linear order, which now
+    // reads that version's MTIME — pinned consistent with its neighbors
+    val p5 = Paths.get(root, "_manifests", "v00005.txt")
+    val noCts = new String(Files.readAllBytes(p5)).linesIterator
+      .filterNot(_.startsWith("#cts\t")).mkString("\n")
+    Files.write(p5, noCts.getBytes)
+    Files.setLastModifiedTime(p5, FileTime.fromMillis(clocks(5)))
+    probe()
+    // vacuum drops the v1..v3 prefix: instants inside the reclaimed
+    // window must refuse to resolve, later ones are untouched
+    ST.vacuum(root, keepFrom = 4)
+    assert(ST.versionAtOrBefore(root, clocks(3)).isEmpty,
+      "a vacuumed-away window must not resolve")
+    assert(ST.versionAtOrBefore(root, clocks(4)).contains(4))
+    probe()
+  }
+
   test("discard skips empty-task markers instead of deleting into the table root") {
     val root = freshRoot("graft_discard_empty")
     val keep = Paths.get(root, "keep.parquet")
