@@ -113,14 +113,22 @@ object SnapshotTable {
   private[graft] def manifestPath(root: String, v: Int): Path =
     manifestDir(root).resolve(f"v$v%05d.txt")
 
+  /** `size` of a path that may legitimately vanish mid-read (a
+    * manifest under concurrent vacuum): 0 when absent. ONLY
+    * NoSuchFileException reads as absence — any other I/O failure
+    * propagates, or a transient storage error would silently truncate
+    * version resolution and serve a stale snapshot (r19 review). */
+  private def sizeOrZero(p: Path): Long =
+    try Files.size(p)
+    catch { case _: java.nio.file.NoSuchFileException => 0L }
+
   /** Version `v` is COMMITTED: its manifest exists with content. A
     * zero-byte manifest is a claimed-but-unfilled CAS slot (the window
     * between the claim's createFile and the content move) — not a
     * version; a file that vanishes between exists and size (a
     * concurrent vacuum reclaiming history) reads as absent. */
   private def committed(root: String, v: Int): Boolean =
-    try Files.size(manifestPath(root, v)) > 0
-    catch { case _: java.io.IOException => false }
+    sizeOrZero(manifestPath(root, v)) > 0
 
   /** Current committed version, POINTER-ANCHORED (r19): `_latest` is a
     * trusted LOWER bound — every committer refreshes it right after its
@@ -153,13 +161,17 @@ object SnapshotTable {
         // name-filter BEFORE statting: the listing also surfaces other
         // committers' transient `.v*.tmp` files, which vanish between
         // list and stat when their atomic move lands (CommitRaceSpec
-        // races this); manifest files themselves are never deleted by a
-        // commit, so statting them cannot race
+        // races this). Manifests themselves can ALSO vanish between
+        // list and stat — a concurrent vacuum reclaiming history, and
+        // this fallback runs precisely in vacuum-raced states (a stale
+        // pointer the vacuum outran) — so the stat is vanish-tolerant
+        // (r19 review; the old claim that manifests cannot race was
+        // only true of commits, not of vacuum)
         .filter { p =>
           val n = p.getFileName.toString
           n.startsWith("v") && n.endsWith(".txt") &&
             // zero-byte = claimed-but-unfilled commit slot, not a version
-            Files.size(p) > 0
+            sizeOrZero(p) > 0
         }
         .map(_.getFileName.toString)
         .map(s => s.stripPrefix("v").stripSuffix(".txt").toInt)
@@ -341,15 +353,31 @@ object SnapshotTable {
     // reads, and the only sound order when any probed commit lacks an
     // in-commit timestamp (the mtime fallback clock is NOT guaranteed
     // monotone: backups and scrambled mtimes reorder it, and the
-    // newest-matching rule must then inspect every candidate)
+    // newest-matching rule must then inspect every candidate). Gated
+    // versions refuse loudly through commitTimeIfPresent on this path
+    // (the pre-r19 contract, unchanged).
     def linear: Option[Int] = (1 to cur).reverseIterator.find(i =>
       commitTimeIfPresent(root, i).exists(_ <= tsMillis))
-    // in-commit timestamp of a probed version; gated versions refuse
-    // loudly through this read exactly as on the linear path
-    def ict(v: Int): Option[Long] = manifestMeta(root, v).get("cts").map(_.toLong)
+    // in-commit timestamp of a probed version, read RAW — deliberately
+    // NOT through the reader-feature gate: resolution only compares
+    // clocks, never interprets entries, and under a monotone clock a
+    // version below the answer can never be the newest match, so
+    // probing it must not refuse a resolution whose ANSWER an old
+    // binary can serve (pre-r19, the newest-first scan never opened
+    // below-answer manifests either; the answer's own gate still
+    // enforces at entries read — readAt/restore/CDF all refuse there).
+    // A manifest vacuumed away mid-probe reads as None, which bails to
+    // the linear scan — commitTimeIfPresent tolerates the same race.
+    def ict(v: Int): Option[Long] =
+      try {
+        import scala.jdk.CollectionConverters._
+        Files.readAllLines(manifestPath(root, v)).asScala
+          .collectFirst { case l if l.startsWith("#cts\t") =>
+            l.split('\t')(1).toLong }
+      } catch { case _: java.nio.file.NoSuchFileException => None }
     if (cur == 0) None
     else if (!committed(root, cur)) linear
-    else {
+    else ict(cur) match {
       // BINARY-SEARCHED resolution (r19): `cts` is strictly
       // version-monotone by construction (commitEntries stamps
       // max(now, parent + 1)), so the newest version at-or-before the
@@ -357,35 +385,45 @@ object SnapshotTable {
       // instead of a reverse scan that walks every commit between the
       // head and the answer (TIMESTAMP AS OF three years back on a
       // commit-a-minute table read ~1.5M manifests; now ~21).
-      // Vacuum drops a strict version PREFIX, so presence is monotone
-      // too: binary-search the oldest retained version first.
-      var lo = 1
-      var hi = cur
-      while (lo < hi) {
-        val mid = lo + (hi - lo) / 2
-        if (committed(root, mid)) hi = mid else lo = mid + 1
-      }
-      val minKept = lo
-      (ict(minKept), ict(cur)) match {
-        case (Some(cMin), _) if cMin > tsMillis => None // predates retention
-        case (_, Some(cCur)) if cCur <= tsMillis => Some(cur)
-        case (Some(_), Some(_)) =>
-          // invariant: ict(loV) <= ts < ict(hiV); a probed pre-ICT
-          // manifest (no cts) voids the monotone premise — bail to
-          // the linear scan rather than trust a scrambleable clock
-          var loV = minKept
-          var hiV = cur
-          var monotone = true
-          while (monotone && hiV - loV > 1) {
-            val mid = loV + (hiV - loV) / 2
-            ict(mid) match {
-              case None => monotone = false
-              case Some(c) => if (c <= tsMillis) loV = mid else hiV = mid
+      // ENVELOPE: a history whose head and oldest retained commits
+      // both carry cts is trusted fully ICT-stamped — every commit
+      // path of this engine has stamped since ICT landed, so a
+      // cts-less manifest BETWEEN stamped ones is foreign tampering;
+      // a probed one still bails to the linear scan defensively, but
+      // an unprobed one with a scrambled mtime is outside the
+      // envelope (Delta's ICT resolution draws the same line).
+      case None => linear // pre-ICT head: mtime order only
+      case Some(cCur) if cCur <= tsMillis =>
+        Some(cur) // the common case — a recent instant, ONE read
+      case Some(_) =>
+        // vacuum drops a strict version PREFIX, so presence is
+        // monotone too: binary-search the oldest retained version
+        var lo = 1
+        var hi = cur
+        while (lo < hi) {
+          val mid = lo + (hi - lo) / 2
+          if (committed(root, mid)) hi = mid else lo = mid + 1
+        }
+        val minKept = lo
+        ict(minKept) match {
+          case None => linear // pre-ICT tail (or vacuumed mid-probe)
+          case Some(cMin) if cMin > tsMillis => None // predates retention
+          case Some(_) =>
+            // invariant: ict(loV) <= ts < ict(hiV); a probed pre-ICT
+            // manifest (no cts) voids the monotone premise — bail to
+            // the linear scan rather than trust a scrambleable clock
+            var loV = minKept
+            var hiV = cur
+            var monotone = true
+            while (monotone && hiV - loV > 1) {
+              val mid = loV + (hiV - loV) / 2
+              ict(mid) match {
+                case None => monotone = false
+                case Some(c) => if (c <= tsMillis) loV = mid else hiV = mid
+              }
             }
-          }
-          if (monotone) Some(loV) else linear
-        case _ => linear // pre-ICT clock at either end: mtime order only
-      }
+            if (monotone) Some(loV) else linear
+        }
     }
   }
 

@@ -352,6 +352,21 @@ class SnapshotRobustnessSpec extends AnyFunSuite {
       "a vacuumed-away window must not resolve")
     assert(ST.versionAtOrBefore(root, clocks(4)).contains(4))
     probe()
+    // a mid-history version gated by an UNKNOWN reader feature: the
+    // clock probe reads cts RAW (it compares clocks, never interprets
+    // entries), so instants whose ANSWER is ungated keep resolving —
+    // pre-r19 the newest-first scan never opened below-answer
+    // manifests either. The gate still holds where data is read.
+    val p6 = Paths.get(root, "_manifests", "v00006.txt")
+    Files.write(p6, (new String(Files.readAllBytes(p6)) +
+      "\n#readerFeatures\tv9-hyperindex").getBytes)
+    assert(ST.versionAtOrBefore(root, clocks(7)).contains(7),
+      "a gated version BELOW the answer must not refuse resolution")
+    assert(ST.versionAtOrBefore(root, clocks(6)).contains(6),
+      "resolution returns the gated version; its DATA read refuses")
+    assert(intercept[Exception](ST.readAt(spark, root, 6).collect())
+      .getMessage.contains("reader feature"),
+      "the gate must still refuse the gated version's data read")
   }
 
   test("discard skips empty-task markers instead of deleting into the table root") {
