@@ -130,6 +130,13 @@ object SnapshotTable {
   private def committed(root: String, v: Int): Boolean =
     sizeOrZero(manifestPath(root, v)) > 0
 
+  /** A manifest entry's data-file size: the [[BytesCol]] extra when
+    * its commit harvested one (r19 manifests), ONE stat otherwise —
+    * size-based planning stays manifest arithmetic on current tables
+    * and degrades to per-file stats only for pre-r19 entries. */
+  private[graft] def entryBytes(root: String, e: FileEntry): Long =
+    e.bytes.getOrElse(sizeOrZero(Paths.get(root, e.rel)))
+
   /** Current committed version, POINTER-ANCHORED (r19): `_latest` is a
     * trusted LOWER bound — every committer refreshes it right after its
     * content move — so resolution PROBES forward from it with direct

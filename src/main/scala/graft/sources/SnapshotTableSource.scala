@@ -137,6 +137,49 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister {
 
 private[sources] object SnapshotSourceUtil {
 
+  /** Byte-budgeted streaming admission (Delta's `maxBytesPerTrigger`):
+    * the newest version in `(cur, latest]` such that the admitted
+    * window's DATA bytes fit `maxBytes` — pure manifest arithmetic
+    * over the r19 `__bytes` entry sizes (pre-r19 entries degrade to
+    * one stat each), reading only the manifests it actually admits
+    * plus one, so a first catch-up on a deep-history table prices by
+    * the BATCH it returns, not the backlog. A version's cost is its
+    * newly-added files' bytes; with `bothSides` (the change feed,
+    * which reads removed files to emit their delete rows) removed
+    * files count too. The FIRST version past `cur` always admits even
+    * over budget (Delta's contract — a single oversized commit must
+    * not wedge the stream), and `maxVersions` caps the walk
+    * regardless, so the batch-boundary-is-commit-boundary contract
+    * holds under every option combination. Cost is an UPPER bound by
+    * design: a skipped change commit's files never stream, and a
+    * row-grain CDC commit reads its (small) change files instead of
+    * the full add/remove pair — over-counting only under-admits,
+    * never tears a commit. */
+  def admitUpTo(root: String, cur: Int, latest: Int, maxVersions: Int,
+      maxBytes: Option[Long], bothSides: Boolean): Int = {
+    val capped = math.min(latest.toLong, cur.toLong + maxVersions).toInt
+    maxBytes match {
+      case None => capped
+      case Some(budget) =>
+        def byteMap(v: Int): Map[String, Long] =
+          SnapshotTable.manifestEntries(root, v)
+            .map(e => e.rel -> SnapshotTable.entryBytes(root, e)).toMap
+        var v = cur
+        var spent = 0L
+        var prev = if (cur == 0) Map.empty[String, Long] else byteMap(cur)
+        var stop = false
+        while (!stop && v < capped) {
+          val next = byteMap(v + 1)
+          val cost = (next.keySet -- prev.keySet).toSeq.map(next).sum +
+            (if (bothSides) (prev.keySet -- next.keySet).toSeq.map(prev).sum
+             else 0L)
+          if (v > cur && spent + cost > budget) stop = true
+          else { spent += cost; v += 1; prev = next }
+        }
+        v
+    }
+  }
+
   /** Change-data-feed metadata columns (Delta's CDF names): every CDF
     * row carries its change kind and the commit version that produced
     * it. `_commit_timestamp` is deliberately absent — manifest mtimes
@@ -1290,7 +1333,17 @@ private[sources] class SnapshotScan(root: String, version: Int,
           case None => cur
         }
     }
-    val perTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toInt).getOrElse(1)
+    // `maxBytesPerTrigger` (Delta's option, same name): a catch-up
+    // batch is bounded by DATA SIZE, not commit count — the right cap
+    // when commit sizes vary by orders of magnitude (a backfill commit
+    // beside trickle appends). When ONLY the byte cap is given the
+    // version cap opens up (bytes govern); the bare default stays ONE
+    // commit per trigger (batch boundaries are commit boundaries).
+    val maxBytes = Option(options.get("maxBytesPerTrigger")).map(_.toLong)
+    require(maxBytes.forall(_ > 0),
+      s"graft-snapshot: maxBytesPerTrigger must be positive, got ${maxBytes.get}")
+    val perTrigger = Option(options.get("maxVersionsPerTrigger")).map(_.toInt)
+      .getOrElse(if (maxBytes.isDefined) Int.MaxValue else 1)
     val skipChanges = "true".equalsIgnoreCase(options.get("skipChangeCommits"))
     // the combination is contradictory: the change feed EXISTS to
     // deliver change commits — refuse rather than silently ignore
@@ -1299,10 +1352,11 @@ private[sources] class SnapshotScan(root: String, version: Int,
       "graft-snapshot: readChangeFeed and skipChangeCommits are mutually " +
         "exclusive — the change feed delivers exactly the commits " +
         "skipChangeCommits would drop")
-    if (cdfMode) new SnapshotCdfMicroBatchStream(root, startingVersion, perTrigger, cdfFactory)
+    if (cdfMode) new SnapshotCdfMicroBatchStream(root, startingVersion, perTrigger,
+      cdfFactory, maxBytes)
     else new SnapshotMicroBatchStream(root, startingVersion, perTrigger,
       if (rowIdMode) rowIdFactory else factory,
-      skipChanges, attachBases = rowIdMode)
+      skipChanges, attachBases = rowIdMode, maxBytesPerTrigger = maxBytes)
   }
 }
 
@@ -1320,7 +1374,7 @@ private[sources] case class VersionOffset(v: Int) extends Offset {
 private[sources] class SnapshotMicroBatchStream(root: String,
     startingVersion: Int, maxVersionsPerTrigger: Int,
     factory: PartitionReaderFactory, skipChangeCommits: Boolean = false,
-    attachBases: Boolean = false)
+    attachBases: Boolean = false, maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = VersionOffset(startingVersion)
@@ -1335,8 +1389,10 @@ private[sources] class SnapshotMicroBatchStream(root: String,
     val latest = SnapshotTable.currentVersion(root)
     // one commit per trigger by default: batch boundaries ARE commit
     // boundaries, so a downstream consumer processes atomic table
-    // states, never a torn half-commit
-    VersionOffset(math.min(latest, cur + maxVersionsPerTrigger))
+    // states, never a torn half-commit; maxBytesPerTrigger bounds a
+    // catch-up window by its data size instead (manifest arithmetic)
+    VersionOffset(SnapshotSourceUtil.admitUpTo(root, cur, latest,
+      maxVersionsPerTrigger, maxBytesPerTrigger, bothSides = false))
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
@@ -1459,7 +1515,7 @@ private[sources] case class SnapshotCountPartition(total: Long) extends InputPar
   * schema is resolved once at start — Delta's contract too). */
 private[sources] class SnapshotCdfMicroBatchStream(root: String,
     startingVersion: Int, maxVersionsPerTrigger: Int,
-    factory: SnapshotCdfReaderFactory)
+    factory: SnapshotCdfReaderFactory, maxBytesPerTrigger: Option[Long] = None)
     extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = VersionOffset(startingVersion)
@@ -1471,7 +1527,11 @@ private[sources] class SnapshotCdfMicroBatchStream(root: String,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val cur = start.asInstanceOf[VersionOffset].v
-    VersionOffset(math.min(SnapshotTable.currentVersion(root), cur + maxVersionsPerTrigger))
+    // the feed reads REMOVED files too (their rows emit as deletes),
+    // so the byte budget counts both sides of each commit's diff
+    VersionOffset(SnapshotSourceUtil.admitUpTo(root, cur,
+      SnapshotTable.currentVersion(root), maxVersionsPerTrigger,
+      maxBytesPerTrigger, bothSides = true))
   }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =

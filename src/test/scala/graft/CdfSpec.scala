@@ -587,4 +587,74 @@ class CdfSpec extends AnyFunSuite {
     val v2ins = feed.filter(col("_commit_version") === 2)
     assert(v2ins.filter(col("q").isNotNull).count() == 2)
   }
+
+  test("maxBytesPerTrigger bounds catch-up batches by DATA SIZE via manifest arithmetic") {
+    val root = graft.operators.Engine.tmpDir("graft_maxbytes")
+    graft.operators.Engine.listDir(Paths.get(root))
+      .foreach(graft.operators.Engine.deleteRecursively)
+    def commit(base: Int, ks: Seq[Long], tag: String): Int = {
+      val rels = ST.writeDataFiles(ks.map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1), root, tag).map(ST.footerEntry(root, _, "k"))
+      val carried = if (base == 0) Map("statsCol" -> "k") else ST.carriedMeta(root, base)
+      val prior = if (base == 0) Nil else ST.manifestEntries(root, base)
+      ST.commitEntries(root, base, prior ++ rels, shardSize = 16, carried)
+    }
+    commit(0, 1L to 4L, "a"); commit(1, 5L to 8L, "b")
+    commit(2, 9L to 12L, "c"); commit(3, 13L to 16L, "d")
+    def newBytes(v: Int): Long = {
+      val prev = if (v == 1) Set.empty[String]
+        else ST.manifestEntries(root, v - 1).map(_.rel).toSet
+      ST.manifestEntries(root, v).filterNot(e => prev(e.rel)).map(_.bytes.get).sum
+    }
+    def run(opts: (String, String)*): (Long, Int) = {
+      val name = s"mb_${System.nanoTime()}"
+      val q = opts.foldLeft(spark.readStream.format("graft-snapshot")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load(root).writeStream.format("memory").queryName(name).start()
+      q.processAllAvailable()
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      q.stop()
+      (spark.table(name).count(), batches)
+    }
+    // a budget of exactly two commits' bytes → two commits per batch
+    val budget = newBytes(1) + newBytes(2)
+    val (rows2, b2) = run("maxBytesPerTrigger" -> budget.toString)
+    assert(rows2 == 16, "every row must stream regardless of batching")
+    assert(b2 == 2, s"a two-commit budget must yield 2 catch-up batches, got $b2")
+    // an oversized commit still admits ALONE — progress is guaranteed
+    val (rows1, b1) = run("maxBytesPerTrigger" -> "1")
+    assert(rows1 == 16 && b1 == 4,
+      s"a 1-byte budget must degrade to one commit per batch, got ($rows1, $b1)")
+    // both caps given: the stricter one governs
+    val (rowsBoth, bBoth) = run("maxBytesPerTrigger" -> budget.toString,
+      "maxVersionsPerTrigger" -> "1")
+    assert(rowsBoth == 16 && bBoth == 4,
+      s"the version cap must still bound a byte-admitted window, got ($rowsBoth, $bBoth)")
+  }
+
+  test("maxBytesPerTrigger on the change feed counts BOTH sides of each commit's diff") {
+    val root = fixture("maxbytes")
+    def cost(v: Int): Long = {
+      val prev = if (v == 1) Map.empty[String, Long]
+        else ST.manifestEntries(root, v - 1).map(e => e.rel -> e.bytes.get).toMap
+      val next = ST.manifestEntries(root, v).map(e => e.rel -> e.bytes.get).toMap
+      (next.keySet -- prev.keySet).toSeq.map(next).sum +
+        (prev.keySet -- next.keySet).toSeq.map(prev).sum
+    }
+    val budget = cost(1) + cost(2) // v3's CoW diff (added + removed) overflows it
+    val name = s"cdfmb_${System.nanoTime()}"
+    val q = spark.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+      .option("maxBytesPerTrigger", budget.toString)
+      .load(root).writeStream.format("memory").queryName(name).start()
+    q.processAllAvailable()
+    val batches = q.recentProgress.count(_.numInputRows > 0)
+    q.stop()
+    assert(batches == 2,
+      s"feed batches must split [v1,v2] | [v3] under the two-commit budget, got $batches")
+    // batching must be content-invisible: the bounded feed ≡ the unbounded one
+    val bounded = spark.table(name).collect().map(_.toString).sorted.toSeq
+    val unbounded = runFeed(root).collect().map(_.toString).sorted.toSeq
+    assert(bounded == unbounded, "byte-bounded batching changed the feed content")
+  }
 }
