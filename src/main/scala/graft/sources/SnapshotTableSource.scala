@@ -19,7 +19,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsOverwrite, WriteBuilder, WriterCommitMessage}
@@ -782,7 +782,9 @@ private[graft] class SnapshotScanBuilder(root: String, full: StructType,
 
   private var pruned: StructType = full
   private var pushed = Array.empty[Filter]
-  private var countStarOnly = false
+  /** A completely-pushed aggregation's (schema, answer row), computed
+    * from the manifest at plan time — None for ordinary scans. */
+  private var aggAnswer: Option[(StructType, Array[Any])] = None
 
   // the CDF metadata columns enter the schema in the provider's
   // inferSchema — only the PATH load route runs it. A catalog-name load
@@ -872,26 +874,71 @@ private[graft] class SnapshotScanBuilder(root: String, full: StructType,
     * special-cases. Spark only attempts aggregate pushdown when no
     * filter remains above the scan, and pushFilters always returns
     * residuals, so a filtered count can never reach this path. */
-  private def countStarAnswerable(agg: Aggregation): Boolean =
-    // CDF mode: the feed's cardinality is the manifest DIFF's rows, not
-    // the current snapshot's — the manifest fast path would be wrong.
-    // Same under deletion vectors: manifest row counts include the
-    // DV'd ordinals the scan would skip.
-    !SnapshotSourceUtil.cdfEnabled(options) &&
-      (version == 0 || SnapshotTable.dvState(root, version).isEmpty) &&
-      agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar]) &&
-      (version == 0 || // empty table: COUNT(*) = 0, no manifest to read
-        SnapshotTable.manifestEntries(root, version).forall(_.rows >= 0))
+  /** MANIFEST-ANSWERED aggregates (r19 widens the COUNT(*) fast path
+    * to MIN/MAX of the stats column): an ungrouped, unfiltered
+    * COUNT(*)/MIN(statsCol)/MAX(statsCol) — any mix — is answered from
+    * the manifest's footer-harvested row counts and [lo, hi] bounds in
+    * ONE zero-IO partition. `SELECT max(ep_day) FROM events` — the
+    * freshness probe every ingest dashboard runs — reads no data bytes
+    * at any table size. Soundness: parquet INT64 statistics are EXACT
+    * and null-skipping exactly like Min/Max; disqualified whenever any
+    * entry lacks genuine stats (the stat-less sentinel is
+    * indistinguishable from a real Long.MinValue/MaxValue extremum),
+    * under CDF (the feed's cardinality is the DIFF's) or deletion
+    * vectors (a DV'd row may hold the extremum), or for any other
+    * column/shape — Spark then aggregates the ordinary scan. Filters
+    * can never reach this path: pushFilters keeps every filter
+    * residual, and Spark only pushes aggregates below an empty
+    * residual. */
+  private def manifestAgg(agg: Aggregation): Option[(StructType, Array[Any])] = {
+    if (SnapshotSourceUtil.cdfEnabled(options)) return None
+    if (version > 0 && SnapshotTable.dvState(root, version).nonEmpty) return None
+    if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty) return None
+    val entries = if (version == 0) Nil
+      else SnapshotTable.manifestEntries(root, version)
+    val rowsKnown = entries.forall(_.rows >= 0)
+    val statsKnown = rowsKnown && entries.forall(e =>
+      !(e.lo == Long.MinValue && e.hi == Long.MaxValue))
+    // min/max serve only the stats column, at its declared (integral)
+    // type — the harvest stores INT64/INT32 footer bounds, so anything
+    // else never qualifies
+    val statsField: Option[StructField] = statsCol
+      .flatMap(c => full.fields.find(_.name == c))
+      .filter(f => f.dataType == LongType || f.dataType == IntegerType)
+    def onStats(e: org.apache.spark.sql.connector.expressions.Expression):
+        Option[StructField] = e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 =>
+        statsField.filter(f => statsKnown && f.name == nr.fieldNames.head)
+      case _ => None
+    }
+    def typed(v: Long, dt: DataType): Any =
+      if (dt == IntegerType) v.toInt else v
+    val cols: Seq[Option[(StructField, Any)]] =
+      agg.aggregateExpressions.toSeq.map {
+        case _: CountStar if rowsKnown =>
+          Some((StructField("count(*)", LongType, nullable = false),
+            entries.map(_.rows).sum: Any))
+        case m: Min => onStats(m.column).map(f =>
+          (StructField(s"min(${f.name})", f.dataType),
+            if (entries.isEmpty) null else typed(entries.map(_.lo).min, f.dataType)))
+        case m: Max => onStats(m.column).map(f =>
+          (StructField(s"max(${f.name})", f.dataType),
+            if (entries.isEmpty) null else typed(entries.map(_.hi).max, f.dataType)))
+        case _ => None
+      }
+    if (cols.exists(_.isEmpty)) None
+    else Some((StructType(cols.map(_.get._1)), cols.map(_.get._2).toArray))
+  }
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    countStarAnswerable(agg)
+    manifestAgg(agg).isDefined
   override def pushAggregation(agg: Aggregation): Boolean = {
-    countStarOnly = countStarAnswerable(agg)
-    countStarOnly
+    aggAnswer = manifestAgg(agg)
+    aggAnswer.isDefined
   }
 
   override def build(): Scan =
-    new SnapshotScan(root, version, pruned, pushed.toSeq, statsCol, countStarOnly, options)
+    new SnapshotScan(root, version, pruned, pushed.toSeq, statsCol, aggAnswer, options)
 }
 
 private[graft] object SnapshotScanBuilder {
@@ -1008,9 +1055,12 @@ private[graft] object SnapshotScanBuilder {
 
 private[sources] class SnapshotScan(root: String, version: Int,
     pruned: StructType, pushed: Seq[Filter], statsCol: Option[String],
-    countStarOnly: Boolean, options: CaseInsensitiveStringMap)
+    aggAnswer: Option[(StructType, Array[Any])],
+    options: CaseInsensitiveStringMap)
     extends Scan with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  private def aggOnly: Boolean = aggAnswer.isDefined
 
   // nested (dotted) colmap entries resolve through the reader
   // factories' field-name translation (r17; arbitrary depth r19) —
@@ -1031,7 +1081,12 @@ private[sources] class SnapshotScan(root: String, version: Int,
     * itself re-applies the condition row-wise). */
   override def filterAttributes():
       Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    statsCol.toArray.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+    // an aggregate-answered scan outputs the answer row, not table
+    // columns — nothing to runtime-filter on (the answers are computed
+    // from the FULL manifest at plan time, so advertising the stats
+    // column here would invite filters the answer ignores)
+    if (aggOnly) Array.empty
+    else statsCol.toArray.map(org.apache.spark.sql.connector.expressions.Expressions.column)
 
   private var runtimeKeep: Option[SnapshotTable.FileEntry => Boolean] = None
   override def filter(filters: Array[Filter]): Unit = statsCol.foreach { c =>
@@ -1076,12 +1131,14 @@ private[sources] class SnapshotScan(root: String, version: Int,
   }
 
   override def readSchema(): StructType =
-    if (countStarOnly) StructType(Seq(StructField("count(*)", LongType, nullable = false)))
-    else pruned
-  override def description(): String =
-    if (countStarOnly) s"graft-snapshot $root count(*) from manifest"
-    else s"graft-snapshot $root cols=[${pruned.fieldNames.mkString(",")}]" +
-      (if (pushed.nonEmpty) s" pruneBy=[${pushed.mkString(",")}]" else "")
+    aggAnswer.map(_._1).getOrElse(pruned)
+  override def description(): String = aggAnswer match {
+    case Some((sch, _)) =>
+      s"graft-snapshot $root ${sch.fieldNames.mkString(",")} from manifest"
+    case None =>
+      s"graft-snapshot $root cols=[${pruned.fieldNames.mkString(",")}]" +
+        (if (pushed.nonEmpty) s" pruneBy=[${pushed.mkString(",")}]" else "")
+  }
 
   private val cdfMode = SnapshotSourceUtil.cdfEnabled(options)
 
@@ -1263,23 +1320,21 @@ private[sources] class SnapshotScan(root: String, version: Int,
     private val bases = if (rowIdMode) SnapshotTable.rowBases(root, version)
       else Map.empty[String, Long]
     private val files =
-      if (countStarOnly) Array.empty[SnapshotFilePartition]
+      if (aggOnly) Array.empty[SnapshotFilePartition]
       else plannedEntries.map(e => SnapshotFilePartition(
         Paths.get(root, e.rel).toString,
         dv.get(e.rel).map(d => Paths.get(root, d).toString),
         bases.get(e.rel))).toArray
-    private val total =
-      if (countStarOnly && version > 0)
-        SnapshotTable.manifestEntries(root, version).map(_.rows).sum
-      else 0L
     override def planInputPartitions(): Array[InputPartition] =
-      if (countStarOnly) Array(SnapshotCountPartition(total))
-      else files.map(p => p: InputPartition)
+      aggAnswer match {
+        case Some((_, values)) => Array(SnapshotAggPartition(values))
+        case None => files.map(p => p: InputPartition)
+      }
     override def createReaderFactory(): PartitionReaderFactory =
       // zero planned files (empty table / everything pruned): the
       // factory is never invoked, and building the real one would
       // footer-read a data file that may not exist
-      if (countStarOnly || files.isEmpty) SnapshotCountReaderFactory
+      if (aggOnly || files.isEmpty) SnapshotAggReaderFactory
       else if (rowIdMode) rowIdFactory
       else factory
     }
@@ -1475,8 +1530,9 @@ private[sources] case class SnapshotCdfPartition(path: String, changeType: Strin
     keepDvPath: Option[String] = None,
     commitTsMillis: Long = 0L) extends InputPartition
 
-/** The one-row answer of a manifest-served COUNT(*). */
-private[sources] case class SnapshotCountPartition(total: Long) extends InputPartition
+/** The one-row answer of a manifest-served aggregation — COUNT(*) row
+  * sums and/or MIN/MAX stats-column bounds, in projection order. */
+private[sources] case class SnapshotAggPartition(values: Array[Any]) extends InputPartition
 
 /** Streaming CHANGE DATA FEED over the snapshot table —
   * `.option("readChangeFeed", "true")` on the streaming read. Offsets
@@ -2367,13 +2423,13 @@ private[sources] class PartitionFileWriter(root: String, rel: String,
   override def close(): Unit = ()
 }
 
-private[sources] object SnapshotCountReaderFactory extends PartitionReaderFactory {
+private[sources] object SnapshotAggReaderFactory extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private var emitted = false
       override def next(): Boolean = { val go = !emitted; emitted = true; go }
       override def get(): InternalRow =
-        new GenericInternalRow(Array[Any](p.asInstanceOf[SnapshotCountPartition].total))
+        new GenericInternalRow(p.asInstanceOf[SnapshotAggPartition].values)
       override def close(): Unit = ()
     }
 }

@@ -369,6 +369,49 @@ class SnapshotRobustnessSpec extends AnyFunSuite {
       "the gate must still refuse the gated version's data read")
   }
 
+  test("MIN/MAX of the stats column answer from the manifest in one zero-IO partition") {
+    import spark.implicits._
+    val root = freshRoot("graft_agg_push")
+    def commit(base: Int, ks: Seq[Long], tag: String): Int = {
+      val rels = ST.writeDataFiles(ks.map(k => (k, k * 1.0)).toDF("k", "v")
+        .coalesce(1), root, tag).map(ST.footerEntry(root, _, "k"))
+      val carried = if (base == 0) Map("statsCol" -> "k") else ST.carriedMeta(root, base)
+      val prior = if (base == 0) Nil else ST.manifestEntries(root, base)
+      ST.commitEntries(root, base, prior ++ rels, shardSize = 16, carried)
+    }
+    commit(0, 1L to 6L, "a"); commit(1, 7L to 106L, "b")
+    def df = spark.read.format("graft-snapshot").load(root)
+    def planOf(q: org.apache.spark.sql.DataFrame): String =
+      q.queryExecution.executedPlan.toString
+    val q1 = df.selectExpr("min(k)", "max(k)", "count(*)")
+    assert(planOf(q1).contains("from manifest"),
+      s"min/max/count must be manifest-answered:\n${planOf(q1)}")
+    val r1 = q1.head()
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) == ((1L, 106L, 106L)))
+    // a non-stats column disqualifies the fast path but stays correct
+    val q2 = df.selectExpr("min(v)", "max(k)")
+    assert(!planOf(q2).contains("from manifest"),
+      "a non-stats column must fall back to the ordinary scan")
+    val r2 = q2.head()
+    assert(r2.getDouble(0) == 1.0 && r2.getLong(1) == 106L)
+    // time travel answers from the PINNED version's manifest
+    val dfv1 = spark.read.format("graft-snapshot").option("version", "1").load(root)
+    val q3 = dfv1.selectExpr("min(k)", "max(k)", "count(*)")
+    assert(planOf(q3).contains("from manifest"))
+    val r3 = q3.head()
+    assert((r3.getLong(0), r3.getLong(1), r3.getLong(2)) == ((1L, 6L, 6L)))
+    // deletion vectors disqualify: the DV'd row may hold the extremum —
+    // the ordinary scan answers, and correctly excludes it
+    ST.enableDeletionVectors(root)
+    ST.delete(spark, root, "k = 106") // 1% of the big file: stays merge-on-read
+    assert(ST.dvState(root, ST.currentVersion(root)).nonEmpty, "fixture: want a DV delete")
+    val q4 = df.selectExpr("min(k)", "max(k)", "count(*)")
+    assert(!planOf(q4).contains("from manifest"),
+      "deletion vectors must disqualify the manifest answer")
+    val r4 = q4.head()
+    assert((r4.getLong(0), r4.getLong(1), r4.getLong(2)) == ((1L, 105L, 105L)))
+  }
+
   test("discard skips empty-task markers instead of deleting into the table root") {
     val root = freshRoot("graft_discard_empty")
     val keep = Paths.get(root, "keep.parquet")
