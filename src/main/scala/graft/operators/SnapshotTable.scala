@@ -1944,7 +1944,8 @@ object SnapshotTable {
     * idempotent [[setTableFlags]] engine. */
   def applyTableProperties(s: SparkSession, root: String,
       sets: Seq[(String, String)], unsets: Seq[String]): Unit = {
-    val allowed = Map("cdf" -> Set("row"), "dvmode" -> Set("on"))
+    val allowed = Map("cdf" -> Set("row"), "dvmode" -> Set("on"),
+      "optimizewrite" -> Set("on"))
     def isValidating(k: String) = k.startsWith("check.") || k.startsWith("gen.") ||
       k.startsWith("default.")
     if ((sets.map(_._1) ++ unsets).exists(isValidating)) {
@@ -1979,6 +1980,17 @@ object SnapshotTable {
           require(scala.util.Try(v.toDouble).toOption.exists(_ >= 0),
             s"graft tblproperties: cdcretain takes retention HOURS " +
               s"(non-negative number), got '$v'")
+        // clustered writes shuffle on the stats column — a table that
+        // never declared one has nothing to cluster on, and a silent
+        // no-op flag would read as a layout guarantee it isn't
+        case ("optimizewrite", v) =>
+          require(allowed("optimizewrite").contains(v),
+            s"graft tblproperties: property optimizewrite takes on, got '$v'")
+          val cur = currentVersion(root)
+          require(cur > 0 && carriedMeta(root, cur).contains("statsCol"),
+            s"graft tblproperties: optimizewrite clusters writes on the stats " +
+              "column, and this table carries none — OPTIMIZE ... CLUSTER BY " +
+              "(<col>) first to declare it")
         case (k, v) => require(allowed(k).contains(v),
           s"graft tblproperties: property $k takes ${allowed(k).mkString("/")}, got '$v'")
       }
@@ -5177,6 +5189,7 @@ object SnapshotTable {
     "x47_list_columns" -> (x47ListColumns _, Some(x47Sql)),
     "x48_map_columns" -> (x48MapColumns _, Some(x48Sql)),
     "x49_deep_colmap" -> (x49DeepColmap _, Some(x49Sql)),
+    "x50_optimized_write" -> (x50OptimizedWrite _, Some(x50Sql)),
   )
 
   /** x24_catalog_sql — the name-addressed warehouse surface end-to-end
@@ -6300,6 +6313,46 @@ object SnapshotTable {
        |FROM events
        |WHERE event_id % $X29Mod = 0 AND user_id % 7 != 2
        |ORDER BY event_id""".stripMargin
+
+  /** x50_optimized_write — CLUSTERED WRITES through Spark's own
+    * channel (r19): after `ALTER TABLE ... SET TBLPROPERTIES
+    * ('optimizewrite'='on')` the DSv2 Write declares an ORDERED
+    * distribution on the stats column (RequiresDistributionAndOrdering
+    * — Delta's optimized-write shape), so a deliberately
+    * key-interleaved INSERT INTO re-clusters IN FLIGHT: landed files
+    * carry disjoint day ranges and stats pruning works from the first
+    * commit with no OPTIMIZE catch-up rewrite. The oracle proves the
+    * shuffled write is content-invisible (the day aggregate ≡ the raw
+    * log's); the spec proves the LAYOUT (disjoint post-insert ranges,
+    * point reads open one file, refusal on stats-less tables). */
+  def x50OptimizedWrite(s: SparkSession, d: String): DataFrame = {
+    if (!s.conf.getOption("spark.sql.catalog.gx").exists(_.nonEmpty)) {
+      s.conf.set("spark.sql.catalog.gx", "graft.sources.GraftCatalog")
+      s.conf.set("spark.sql.catalog.gx.root", Engine.tmpDir("graft_warehouse"))
+    }
+    Tables.events(s, d).filter(col("event_id") % X29Mod === 0)
+      .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+      .select("event_id", "value", "ep_day")
+      .createOrReplaceTempView("x50_src")
+    s.sql("DROP TABLE IF EXISTS gx.x50_t")
+    s.sql("CREATE TABLE gx.x50_t AS SELECT * FROM x50_src WHERE event_id % 2 = 0")
+    s.sql("OPTIMIZE gx.x50_t CLUSTER BY (ep_day) TARGET 4")
+    s.sql("ALTER TABLE gx.x50_t SET TBLPROPERTIES ('optimizewrite'='on')")
+    // the tail arrives deliberately key-INTERLEAVED (round-robin
+    // repartition): the ordered distribution re-clusters it in flight
+    s.sql("""INSERT INTO gx.x50_t
+      SELECT /*+ REPARTITION(8) */ * FROM x50_src WHERE event_id % 2 = 1""")
+    s.sql("""SELECT ep_day, COUNT(*) AS n_events,
+        CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      FROM gx.x50_t GROUP BY ep_day ORDER BY ep_day""")
+  }
+
+  val x50Sql: String =
+    s"""SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day,
+       |  COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+       |FROM events WHERE event_id % $X29Mod = 0
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** x42_merge_evolution — `MERGE WITH SCHEMA EVOLUTION` (Delta 3.2's
     * per-statement autoMerge): the source carries a column the target

@@ -694,4 +694,63 @@ class GraftCatalogSpec extends AnyFunSuite {
       .collect().head.getString(0)
     assert(filled == "o", s"the first post-widening INSERT must take the fill: $filled")
   }
+
+  test("optimizewrite: the DSv2 write re-clusters an interleaved INSERT in flight") {
+    warehouse
+    val ST = graft.operators.SnapshotTable
+    def newRanges(root: String): Seq[(Long, Long)] = {
+      val v = ST.currentVersion(root)
+      val before = ST.manifestEntries(root, v - 1).map(_.rel).toSet
+      ST.manifestEntries(root, v).filterNot(e => before(e.rel)).map(e => (e.lo, e.hi))
+    }
+    def fixture(name: String, clustered: Boolean): String = {
+      spark.sql(s"DROP TABLE IF EXISTS gcat.$name")
+      spark.sql(s"""CREATE TABLE gcat.$name AS
+        SELECT CAST(id % 8 AS BIGINT) AS k, CAST(id AS DOUBLE) AS v FROM range(0, 400)""")
+      spark.sql(s"OPTIMIZE gcat.$name CLUSTER BY (k) TARGET 4")
+      if (clustered)
+        spark.sql(s"ALTER TABLE gcat.$name SET TBLPROPERTIES ('optimizewrite'='on')")
+      // the tail arrives deliberately key-INTERLEAVED across 8 tasks
+      spark.sql(s"""INSERT INTO gcat.$name
+        SELECT /*+ REPARTITION(8) */ CAST(id % 8 AS BIGINT), CAST(id + 1000 AS DOUBLE)
+        FROM range(0, 400)""")
+      s"$warehouse/$name"
+    }
+    // control: without the flag every interleaved task writes the full
+    // key range — the landed files all overlap
+    val plain = fixture("ow_plain", clustered = false)
+    val plainRanges = newRanges(plain)
+    assert(plainRanges.forall { case (lo, hi) => lo == 0 && hi == 7 },
+      s"control fixture must land full-range files, got $plainRanges")
+    // clustered: the ordered distribution re-partitions in flight —
+    // landed files carry pairwise-DISJOINT ranges. At test scale AQE
+    // would rightly coalesce the 400-row shuffle to ONE partition
+    // (size-proportional files are the production behavior); pin
+    // coalescing off so the fan-out itself is observable.
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val coalesceWas = spark.conf.get(coalesceKey)
+    val ow = try {
+      spark.conf.set(coalesceKey, "false")
+      fixture("ow", clustered = true)
+    } finally spark.conf.set(coalesceKey, coalesceWas)
+    val ranges = newRanges(ow)
+    assert(ranges.size > 1, s"expected a fan-out of clustered files, got $ranges")
+    assert(ranges.combinations(2).forall {
+      case Seq((lo1, hi1), (lo2, hi2)) => hi1 < lo2 || hi2 < lo1
+    }, s"clustered write must land disjoint key ranges, got $ranges")
+    // the layout pays off immediately: a point read opens fewer files
+    val v = ST.currentVersion(ow)
+    assert(ST.prunedEntries(ow, v, 3L, 3L).size < ST.manifestEntries(ow, v).size,
+      "post-insert point read must prune")
+    // content is shuffle-invisible
+    assert(spark.sql("SELECT count(*), sum(v) FROM gcat.ow").head() ==
+      spark.sql("SELECT count(*), sum(v) FROM gcat.ow_plain").head())
+    // a stats-less table refuses the flag: there is nothing to cluster on
+    spark.sql("DROP TABLE IF EXISTS gcat.ow_nostats")
+    spark.sql("CREATE TABLE gcat.ow_nostats (k BIGINT, v DOUBLE)")
+    spark.sql("INSERT INTO gcat.ow_nostats VALUES (1, 1.0)")
+    val e = intercept[Exception](
+      spark.sql("ALTER TABLE gcat.ow_nostats SET TBLPROPERTIES ('optimizewrite'='on')"))
+    assert(e.getMessage.contains("stats"), e.getMessage)
+  }
 }
