@@ -2886,7 +2886,7 @@ object SnapshotTable {
   private[graft] def carriedMeta(root: String, v: Int): Map[String, String] =
     if (v == 0) Map.empty
     else manifestMeta(root, v) -- Seq("optimize", "optimize_scope", "merge",
-      "update", "delete", "alter",
+      "update", "delete", "alter", "reorg",
       "restore", "clone", "upsert_scan",
       // `cdc` names ONE commit's change files: carrying it forward
       // would make the feed re-emit those rows at every later version
@@ -3107,6 +3107,57 @@ object SnapshotTable {
       extraMeta = Map("optimize_scope" -> s"$keyCol:[$lo,$hi]") ++
         (if (carried.get("rowtracking").contains("on"))
           Map("rowmat_new" -> newEntries.map(_.rel).mkString(";")) else Map.empty))
+  }
+
+  /** REORG ... APPLY (PURGE) — Delta's targeted deletion-vector
+    * cleanup verb (`REORG TABLE t APPLY (PURGE)`): rewrite ONLY the
+    * files carrying DV sidecars, applying their vectors, and carry
+    * every clean file by reference, byte-untouched. OPTIMIZE also
+    * purges, but rewrites the WHOLE table; at 100 TB a table whose
+    * sparse compliance deletes dirtied 0.1% of its files pays for the
+    * DIRT, not the table. A PARTIAL rewrite, so it follows the
+    * merge/update discipline, not OPTIMIZE's: it works in the PHYSICAL
+    * namespace (column mapping survives; dropped mapped fields ride
+    * along under their storage names — materializing the mapping away
+    * stays OPTIMIZE's job), evolution markers survive, the replacement
+    * files conform their parquet repetition to the purged files' own,
+    * and row-tracked tables materialize the purged rows' inherited
+    * ids so identity survives the move. Commits through
+    * [[commitRewrite]] — re-bases over racing appends, aborts loudly
+    * on rewrite/DV/constraint conflicts. The change feed sees NOTHING:
+    * a purged row was already deleted at the prior version, so
+    * [[changesBetween]]'s multiset diff cancels exactly (ReorgSpec
+    * pins feed invisibility and the untouched files' bytes). A
+    * DV-free table is a version-unchanged no-op with zero IO. */
+  def reorgPurge(s: SparkSession, root: String, shardSize: Int = 4): Int = {
+    val v = currentVersion(root)
+    require(v > 0, s"REORG on $root: table has no committed version")
+    val dv = dvState(root, v)
+    if (dv.isEmpty) return v
+    val carried = carriedMeta(root, v)
+    val touched = manifestEntries(root, v).filter(e => dv.contains(e.rel))
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val rowTracked = carried.get("rowtracking").contains("on")
+    val content =
+      if (rowTracked) relsWithIds(s, root, v, touched.map(_.rel))
+      else readRelsDv(s, root, v, touched.map(_.rel))
+    // keep the table's clustering: survivors re-range on the stats
+    // column so the replacements stay prunable; a stats-less table
+    // ranges on its first column (harvest then yields sentinel stats,
+    // same as its existing entries)
+    val statsPhys = carried.getOrElse("statsCol",
+      content.columns.filterNot(_ == RowIdCol).head)
+    val rels = writeDataFiles(
+      conformNullability(content, fileNullability(root, touched.head.rel))
+        .repartitionByRange(rewriteParts(s, touched), col(statsPhys)),
+      root, s"rg_$tag")
+    val newEntries = harvestEntries(s, root, rels, statsPhys).filter(_.rows > 0)
+    commitRewrite(root, v, touched.map(_.rel).toSet, newEntries, shardSize,
+      "reorg",
+      extraMeta =
+        if (rowTracked) Map("rowmat_new" -> newEntries.map(_.rel).mkString(";"))
+        else Map.empty,
+      emptySchemaJson = Some(allNullableJson(readAtPhysical(s, root, v).schema)))
   }
 
   /** MERGE — apply a keyed changeset to the table copy-on-write, the
@@ -5190,6 +5241,7 @@ object SnapshotTable {
     "x48_map_columns" -> (x48MapColumns _, Some(x48Sql)),
     "x49_deep_colmap" -> (x49DeepColmap _, Some(x49Sql)),
     "x50_optimized_write" -> (x50OptimizedWrite _, Some(x50Sql)),
+    "x51_reorg_purge" -> (x51ReorgPurge _, Some(x51Sql)),
   )
 
   /** x24_catalog_sql — the name-addressed warehouse surface end-to-end
@@ -6353,6 +6405,64 @@ object SnapshotTable {
        |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
        |FROM events WHERE event_id % $X29Mod = 0
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** x51 fixture — a `dvmode=on` day-clustered event log dirtied by two
+    * sparse SQL DELETEs (ordinal sidecars, zero data bytes moved), then
+    * purged through the SQL verb under test: `REORG TABLE ... APPLY
+    * (PURGE)` rewrites ONLY the sidecar-carrying files and the resulting
+    * version carries no deletion vectors at all. The fixture asserts
+    * both halves (dv audit before, empty DV state + reorg audit after)
+    * so the gate exercises the verb, not a silent no-op. */
+  private val reorgMemo = new graft.SessionMemo[String]
+  private[graft] def reorgTable(s: SparkSession, d: String): String =
+    reorgMemo.getOrElseUpdate(s, d) {
+      val root = Engine.tmpDir("graft_snap_reorg")
+      Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+      commitEntries(root, 0, stageDayClustered(s, d, root), shardSize = 3,
+        Map("statsCol" -> "ep_day"))
+      enableDeletionVectors(root)
+      s.sql(s"DELETE FROM '$root' WHERE event_id % 991 = 1").collect()
+      s.sql(s"DELETE FROM '$root' WHERE event_id % 991 = 2").collect()
+      val vDirty = currentVersion(root)
+      val audit = manifestMeta(root, vDirty).getOrElse("delete", "")
+      assert(audit.startsWith("dv:"),
+        s"reorg fixture fell back to copy-on-write: audit=$audit")
+      assert(dvState(root, vDirty).nonEmpty, "reorg fixture has no DVs to purge")
+      s.sql(s"REORG TABLE '$root' APPLY (PURGE)").collect()
+      val vClean = currentVersion(root)
+      assert(vClean == vDirty + 1 &&
+        manifestMeta(root, vClean).getOrElse("reorg", "").startsWith("cow:"),
+        s"REORG did not commit: v=$vClean meta=${manifestMeta(root, vClean)}")
+      assert(dvState(root, vClean).isEmpty, "REORG left deletion vectors behind")
+      root
+    }
+
+  /** x51_reorg_purge — Delta's `REORG TABLE ... APPLY (PURGE)`:
+    * physically rewrite ONLY the files dirtied by deletion-vector
+    * sidecars (applying their vectors) while every clean file carries
+    * by reference, byte-untouched — at 100 TB the cost is proportional
+    * to the DIRT, not the table. The day aggregate reads the purged
+    * table back through the DSv2 route; the DuckDB oracle recomputes
+    * the same negated-filter answer from the raw log, proving purge ≡
+    * the logical delete it materializes. ReorgSpec pins the physical
+    * contract (untouched bytes, DV-state empty, change-feed
+    * invisibility, no-op on clean tables, row-id stability). */
+  def x51ReorgPurge(s: SparkSession, d: String): DataFrame = {
+    val root = reorgTable(s, d)
+    s.read.format("graft-snapshot").load(root)
+      .groupBy(col("ep_day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .orderBy("ep_day")
+  }
+
+  val x51Sql: String =
+    """WITH e AS (SELECT event_id, value,
+      |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day FROM events)
+      |SELECT ep_day, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM e WHERE event_id % 991 <> 1 AND event_id % 991 <> 2
+      |GROUP BY ep_day ORDER BY ep_day""".stripMargin
 
   /** x42_merge_evolution — `MERGE WITH SCHEMA EVOLUTION` (Delta 3.2's
     * per-statement autoMerge): the source carries a column the target

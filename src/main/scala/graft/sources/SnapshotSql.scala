@@ -33,6 +33,7 @@ import graft.operators.SnapshotTable
   *   UPDATE <table> SET col = expr [, col = expr]* WHERE <predicate>
   *   RESTORE TABLE <table> TO VERSION AS OF <version>
   *   CREATE TABLE <table> SHALLOW CLONE <table> [VERSION AS OF <version>]
+  *   REORG TABLE <table> APPLY (PURGE)
   *   VACUUM <table> KEEP FROM <version>
   *   VACUUM <table> RETAIN <n> HOURS
   *   VACUUM <table> KEEP FROM <v> DRY RUN | RETAIN <n> HOURS DRY RUN
@@ -64,6 +65,10 @@ object SnapshotSql {
     s"""(?is)\\s*OPTIMIZE\\s+($Ref)\\s+ZORDER\\s+BY\\s+\\((\\w+)\\s*,\\s*(\\w+)\\)(?:\\s+TARGET\\s+(\\d+))?\\s*""".r
   private val MergeInto =
     s"""(?is)\\s*MERGE\\s+INTO\\s+($Ref)\\s+CLUSTER\\s+BY\\s+\\((\\w+)\\)\\s+ID\\s+\\((\\w+)\\)\\s+USING\\s+([\\w.]+)\\s*""".r
+  // Delta's targeted DV-cleanup verb, spelled identically: rewrite
+  // only the files carrying deletion vectors (SnapshotTable.reorgPurge)
+  private val Reorg =
+    s"""(?is)\\s*REORG\\s+TABLE\\s+($Ref)\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*""".r
   private val Vacuum =
     s"""(?is)\\s*VACUUM\\s+($Ref)\\s+KEEP\\s+FROM\\s+(\\d+)\\s*""".r
   // the production retention spelling (Delta's): cutoff resolved
@@ -407,7 +412,7 @@ object SnapshotSql {
     case OptimizeCluster(_, _, _) | OptimizeClusterWhere(_, _, _, _, _, _)
        | OptimizeZorder(_, _, _, _)
        | MergeInto(_, _, _, _) | Vacuum(_, _) | VacuumRetain(_, _)
-       | Convert(_, _) => true
+       | Reorg(_) | Convert(_, _) => true
     case _ => false
   }
 
@@ -628,6 +633,8 @@ object SnapshotSql {
       }
       SnapshotTable.applyTableProperties(s, root, Nil, unsets)
       SnapshotTable.currentVersion(root)
+    case Reorg(ref) =>
+      SnapshotTable.reorgPurge(s, resolveRef(s, ref))
     case Vacuum(ref, keepFrom) =>
       val root = resolveRef(s, ref)
       SnapshotTable.vacuum(root, keepFrom.toInt)
@@ -655,6 +662,7 @@ object SnapshotSql {
         "ALTER TABLE '<path>' UNSET TBLPROPERTIES ('k') | " +
         "CREATE TABLE <table> SHALLOW CLONE <table> [VERSION AS OF <version>] | " +
         "CONVERT TO SNAPSHOT '<path>' [CLUSTER BY (col)] | " +
+        "REORG TABLE <table> APPLY (PURGE) | " +
         "VACUUM <table> KEEP FROM <version> | " +
         "VACUUM <table> RETAIN <n> HOURS  (<table> = '<path>' or <catalog>.<name>)")
   }
