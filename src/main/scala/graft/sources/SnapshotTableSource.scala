@@ -21,7 +21,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsDelete, SupportsRead, Tab
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, SupportsOverwrite, Write, WriteBuilder, WriterCommitMessage}
@@ -1432,10 +1432,23 @@ private[sources] class SnapshotMicroBatchStream(root: String,
     startingVersion: Int, maxVersionsPerTrigger: Int,
     factory: PartitionReaderFactory, skipChangeCommits: Boolean = false,
     attachBases: Boolean = false, maxBytesPerTrigger: Option[Long] = None)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   override def initialOffset(): Offset = VersionOffset(startingVersion)
   override def deserializeOffset(json: String): Offset = VersionOffset(json.toInt)
+
+  // Trigger.AvailableNow (Spark's SupportsTriggerAvailableNow): the
+  // engine calls prepare ONCE at stream start; every later admission
+  // is capped at the version captured here, so the run drains exactly
+  // the backlog that existed at start — still in admission-sized
+  // batches (maxVersions/maxBytes both honored) — then terminates.
+  // Commits racing in after the capture wait for the next run
+  // (Delta's contract too). At 100 TB this is the backfill verb: a
+  // scheduled job drains a deep history in bounded batches and EXITS,
+  // instead of holding an executor fleet on an idle long-lived stream.
+  @volatile private var availableNowCap: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(SnapshotTable.currentVersion(root))
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -1443,7 +1456,8 @@ private[sources] class SnapshotMicroBatchStream(root: String,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val cur = start.asInstanceOf[VersionOffset].v
-    val latest = SnapshotTable.currentVersion(root)
+    val latest0 = SnapshotTable.currentVersion(root)
+    val latest = availableNowCap.fold(latest0)(math.min(latest0, _))
     // one commit per trigger by default: batch boundaries ARE commit
     // boundaries, so a downstream consumer processes atomic table
     // states, never a torn half-commit; maxBytesPerTrigger bounds a
@@ -1574,10 +1588,18 @@ private[sources] case class SnapshotAggPartition(values: Array[Any]) extends Inp
 private[sources] class SnapshotCdfMicroBatchStream(root: String,
     startingVersion: Int, maxVersionsPerTrigger: Int,
     factory: SnapshotCdfReaderFactory, maxBytesPerTrigger: Option[Long] = None)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   override def initialOffset(): Offset = VersionOffset(startingVersion)
   override def deserializeOffset(json: String): Offset = VersionOffset(json.toInt)
+
+  // Trigger.AvailableNow, same contract as the plain stream: admission
+  // caps at the version captured when the run started, so a CDF
+  // backfill drains the existing change history in bounded batches
+  // and terminates
+  @volatile private var availableNowCap: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(SnapshotTable.currentVersion(root))
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -1585,10 +1607,12 @@ private[sources] class SnapshotCdfMicroBatchStream(root: String,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val cur = start.asInstanceOf[VersionOffset].v
+    val latest0 = SnapshotTable.currentVersion(root)
+    val latest = availableNowCap.fold(latest0)(math.min(latest0, _))
     // the feed reads REMOVED files too (their rows emit as deletes),
     // so the byte budget counts both sides of each commit's diff
     VersionOffset(SnapshotSourceUtil.admitUpTo(root, cur,
-      SnapshotTable.currentVersion(root), maxVersionsPerTrigger,
+      latest, maxVersionsPerTrigger,
       maxBytesPerTrigger, bothSides = true))
   }
 

@@ -662,6 +662,39 @@ object Streams {
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
       |FROM e GROUP BY ep_day ORDER BY ep_day""".stripMargin
 
+  /** st15_stream_available_now — `Trigger.AvailableNow()` over the
+    * snapshot source (Spark's `SupportsTriggerAvailableNow`, the
+    * backfill trigger Delta serves identically): the run captures the
+    * table's version at START, drains exactly that backlog in
+    * admission-sized batches (`maxVersionsPerTrigger` 1 here → one
+    * batch per commit, same boundaries as st9), then TERMINATES on its
+    * own — no long-lived idle stream. At 100 TB this is how a nightly
+    * job consumes a deep commit history: bounded batches, bounded
+    * lifetime, checkpoint-resumable. The memory-sink union must equal
+    * the whole log (the st9 oracle); the spec pins self-termination,
+    * batch boundaries, the start-time version cap (a commit landing
+    * mid-run is NOT consumed) and checkpoint pickup of that late
+    * commit on the next run. */
+  def st15StreamAvailableNow(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = freshName("st15_out")
+    val root = graft.operators.SnapshotTable.streamTable(s, d)
+    val q = s.readStream.format("graft-snapshot")
+      .option("maxVersionsPerTrigger", "1").load(root)
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    // AvailableNow's contract IS self-termination — await it, never stop()
+    require(q.awaitTermination(300000L),
+      "AvailableNow stream did not self-terminate after draining the backlog")
+    s.table(name)
+      .groupBy(col("ep_day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .orderBy("ep_day")
+  }
+
   /** st10_stream_table_pipe — the full streaming hub round trip through
     * the STANDARD APIs: `readStream.format("graft-snapshot")` tails the
     * source table commit-by-commit, `writeStream.format(
@@ -816,6 +849,7 @@ object Streams {
       (st14StreamCdfMv _, Some(graft.operators.SnapshotTable.x17Sql)),
     "st10_stream_table_pipe" -> (st10StreamTablePipe _, Some(st9Sql)),
     "st9_stream_table_read" -> (st9StreamTableRead _, Some(st9Sql)),
+    "st15_stream_available_now" -> (st15StreamAvailableNow _, Some(st9Sql)),
     "st1_stream_windowed" -> (st1StreamWindowed _, Some(st1Sql)),
     "st2_stream_sessionize" -> (st2StreamSessionize _, None),
     "st3_stream_static_join" -> (st3StreamStaticJoin _, Some(st3Sql)),

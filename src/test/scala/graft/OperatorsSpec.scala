@@ -1520,6 +1520,77 @@ class SnapshotSourceSpec extends AnyFunSuite {
     assert(fromV1 == total - v1, s"offset replay wrong: $fromV1 != $total - $v1")
   }
 
+  test("Trigger.AvailableNow drains the start-time backlog per-commit, " +
+      "terminates, excludes a mid-run commit, and resumes it next run") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val Engine = graft.operators.Engine
+    val root = Engine.tmpDir("graft_avnow")
+    val cp = Engine.tmpDir("graft_avnow_cp")
+    Seq(root, cp).foreach(p => Engine.listDir(java.nio.file.Paths.get(p))
+      .foreach(Engine.deleteRecursively))
+    // three 10-row commits of (k, v)
+    var entries = Seq.empty[graft.operators.SnapshotTable.FileEntry]
+    var v = 0
+    (0 until 3).foreach { i =>
+      val rel = ST.writeDataFile(
+        ((i * 10 + 1) to (i * 10 + 10)).map(k => (k.toLong, k * 1.0)).toDF("k", "v"),
+        root, s"b$i")
+      entries :+= ST.footerEntry(root, rel, "k")
+      v = ST.commitEntries(root, v, entries, 4, Map("statsCol" -> "k"))
+    }
+    val batches = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val appended = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-snapshot")
+        .option("maxVersionsPerTrigger", "1").load(root)
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, id: Long) =>
+          batches.put(id, df.count())
+          // a commit landing MID-RUN: after the start-time capture, so
+          // this run must NOT consume it (the cap is the contract)
+          if (appended.compareAndSet(false, true)) {
+            val rel = ST.writeDataFile(
+              (31L to 35L).map(k => (k, k * 1.0)).toDF("k", "v"), root, "late")
+            ST.commitEntries(root, 3, entries :+ ST.footerEntry(root, rel, "k"),
+              4, Map("statsCol" -> "k"))
+          }
+          ()
+        }.trigger(Trigger.AvailableNow()).start()
+      assert(q.awaitTermination(120000L), "AvailableNow did not self-terminate")
+    }
+    run()
+    import scala.jdk.CollectionConverters._
+    // exactly the 3 start-time commits, one batch each, 10 rows each;
+    // the mid-run commit (5 rows) is absent
+    assert(batches.asScala.toMap == Map(0L -> 10L, 1L -> 10L, 2L -> 10L),
+      s"first run batches: ${batches.asScala.toMap}")
+    assert(ST.currentVersion(root) == 4, "mid-run append did not commit")
+    // second run from the SAME checkpoint drains only the late commit
+    run()
+    assert(batches.asScala.toMap.get(3L).contains(5L),
+      s"second run did not pick up the late commit: ${batches.asScala.toMap}")
+    assert(batches.size == 4)
+  }
+
+  test("Trigger.AvailableNow terminates the CDF stream after the change history") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = ST.mergeTable(spark, sf)
+    val name = "avnow_cdf_out"
+    val q = spark.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true").load(root)
+      .writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000L), "CDF AvailableNow did not self-terminate")
+    // same change volume a continuous drain of the feed serves
+    val name2 = "avnow_cdf_cont"
+    val q2 = spark.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true").load(root)
+      .writeStream.format("memory").queryName(name2).start()
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.table(name).count() == spark.table(name2).count())
+  }
+
   test("projection pushdown reaches the DSv2 scan (readSchema = selected cols)") {
     val root = ST.streamTable(spark, sf)
     val plan = spark.read.format("graft-snapshot").load(root)
