@@ -209,7 +209,7 @@ object SnapshotTable {
     Set("colmap", "dv", "evolution", "widen", "ncolmap", "dcolmap")
   private[graft] val SupportedWriterFeatures =
     SupportedReaderFeatures ++
-      Set("cdf", "checks", "gencols", "rowtracking", "coldefaults")
+      Set("cdf", "checks", "gencols", "rowtracking", "coldefaults", "tags")
 
   /** The (reader, writer) feature sets a manifest carrying `meta`
     * requires. Writer features always include the reader set: a
@@ -257,6 +257,14 @@ object SnapshotTable {
     // INSERTs would land NULL where the table's declared contract
     // says the default (Delta's allowColumnDefaults writer feature)
     if (meta.keys.exists(_.startsWith("default."))) w += "coldefaults"
+    // TAGS (named refs): reads are untouched (a tag-ignorant reader
+    // serves every version correctly and commits carry unknown keys
+    // forward), but tags promise VACUUM protection, and only a
+    // tag-aware binary's vacuum honors it — stamp the writer feature
+    // so maintenance binaries older than the promise stop committing
+    // to the table (the accepted envelope: a pre-tags binary running
+    // bare VACUUM could still reclaim a tagged snapshot; see README)
+    if (meta.keys.exists(_.startsWith(TagKey))) w += "tags"
     (r.toSet, r.toSet ++ w)
   }
 
@@ -1527,6 +1535,78 @@ object SnapshotTable {
     result
   }
 
+  // ---------------- TAGS (named refs, Iceberg's design) -------------
+
+  /** Manifest-state prefix of a named ref: `tag.<name>` → version.
+    * Tags are TABLE state (carried by every commit, CAS-serialized,
+    * restore-surviving); they deliberately do NOT carry into clones —
+    * a clone renumbers its history from v1, so a carried ref would
+    * point at a version that means something else there (the clone
+    * meta whitelist enforces this). */
+  private[graft] val TagKey = "tag."
+
+  private[graft] def tagsOf(meta: Map[String, String]): Map[String, Int] =
+    meta.collect { case (k, v) if k.startsWith(TagKey) =>
+      k.stripPrefix(TagKey) -> v.toInt }
+
+  /** CREATE TAG (Iceberg's named refs, the retention half of
+    * branching): pin `name` to a committed version so VACUUM can never
+    * reclaim it — an audit/repro/rollback anchor addressable by name
+    * from every read route (`.option("version", "<name>")`, catalog
+    * `VERSION AS OF '<name>'`, [[readTag]]). One metadata commit
+    * (zero files move); re-tagging the SAME version is an idempotent
+    * no-op, re-POINTING an existing tag refuses (drop it first — a
+    * silent re-point would invalidate whatever pinned the name).
+    * At 100 TB a tag is one manifest line; the cost of keeping the
+    * snapshot is the retention it prevents, which is the point. */
+  def createTag(root: String, name: String, version: Option[Int] = None): Int = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_\\-]*"),
+      s"graft-snapshot: tag name '$name' — use [A-Za-z_][A-Za-z0-9_-]*")
+    val cur = currentVersion(root)
+    require(cur > 0, s"createTag on $root: table has no committed version")
+    val target = version.getOrElse(cur)
+    require(target >= 1 && target <= cur,
+      s"createTag on $root: version $target is not a committed version (1..$cur)")
+    // force the reader gate + existence check: tagging a vacuumed or
+    // feature-gated manifest must refuse now, not at first read
+    manifestEntries(root, target)
+    val existing = tagsOf(manifestMeta(root, cur)).get(name)
+    require(existing.forall(_ == target),
+      s"createTag on $root: tag '$name' already points at version " +
+        s"${existing.get} — DROP TAG it first; re-pointing a live ref " +
+        "would invalidate whatever pinned the name")
+    setTableFlags(root, Map(TagKey + name -> target.toString))
+  }
+
+  /** DROP TAG — the ref's retention protection ends at the next
+    * VACUUM; the version itself stays until retention reclaims it. */
+  def dropTag(root: String, name: String): Int = {
+    val cur = currentVersion(root)
+    require(cur > 0 && tagsOf(manifestMeta(root, cur)).contains(name),
+      s"dropTag on $root: no tag '$name' — known: " +
+        (if (cur == 0) "" else tagsOf(manifestMeta(root, cur)).keys.toSeq.sorted.mkString(",")))
+    setTableFlags(root, Map.empty, Seq(TagKey + name))
+  }
+
+  /** Resolve a version REF — a numeric string or a tag name — against
+    * the CURRENT version's refs. The shared decode point of every
+    * named-version surface (DSv2 `version` option, catalog
+    * `VERSION AS OF`). */
+  def resolveVersionRef(root: String, ref: String): Int =
+    if (ref.nonEmpty && ref.forall(_.isDigit)) ref.toInt
+    else {
+      val cur = currentVersion(root)
+      val tags = if (cur == 0) Map.empty[String, Int]
+        else tagsOf(manifestMeta(root, cur))
+      tags.getOrElse(ref, throw new IllegalArgumentException(
+        s"graft-snapshot: unknown version or tag '$ref' on $root — known tags: " +
+          (if (tags.isEmpty) "(none)" else tags.keys.toSeq.sorted.mkString(","))))
+    }
+
+  /** Read the snapshot a tag pins — time travel by name. */
+  def readTag(s: SparkSession, root: String, name: String): DataFrame =
+    readAt(s, root, resolveVersionRef(root, name))
+
   // ---------------- ROW TRACKING (stable row identity) --------------
 
   /** The physical column a REWRITE materializes preserved row ids
@@ -2406,7 +2486,15 @@ object SnapshotTable {
     val all = Engine.listDir(manifestDir(root)).map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
         s.stripPrefix("v").stripSuffix(".txt").toInt }
-    val (drop, keep) = all.partition(_ < keepFrom)
+    // TAGGED versions are retention-exempt (Iceberg's ref semantics):
+    // a tag is a promise the snapshot stays addressable, so the keep
+    // floor flows around it — its manifest, data files, sidecars and
+    // shards all stay live below
+    val tagged: Set[Int] = {
+      val cur = currentVersion(root)
+      if (cur == 0) Set.empty else tagsOf(manifestMeta(root, cur)).values.toSet
+    }
+    val (drop, keep) = all.partition(v => v < keepFrom && !tagged.contains(v))
     val live = keep.flatMap(v => manifest(root, v)).toSet
     val liveShards = keep.flatMap(v => rawManifestLines(root, v)
       .collect { case l if l.startsWith(">") => l.drop(1) }).toSet
@@ -5242,6 +5330,7 @@ object SnapshotTable {
     "x49_deep_colmap" -> (x49DeepColmap _, Some(x49Sql)),
     "x50_optimized_write" -> (x50OptimizedWrite _, Some(x50Sql)),
     "x51_reorg_purge" -> (x51ReorgPurge _, Some(x51Sql)),
+    "x52_table_tags" -> (x52TableTags _, Some(x52Sql)),
   )
 
   /** x24_catalog_sql — the name-addressed warehouse surface end-to-end
@@ -6463,6 +6552,68 @@ object SnapshotTable {
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
       |FROM e WHERE event_id % 991 <> 1 AND event_id % 991 <> 2
       |GROUP BY ep_day ORDER BY ep_day""".stripMargin
+
+  /** x52 fixture — two append commits (first 20 days, then the rest),
+    * the SQL verb under test pinning v1 (`CREATE TAG m1_ingest AS OF
+    * VERSION 1`), then a VACUUM whose keep floor is ABOVE the tagged
+    * version: the tag must hold v1 addressable through the
+    * reclamation (its manifest, files and shards all stay), which the
+    * fixture asserts before handing the root to the gate query. */
+  private val tagMemo = new graft.SessionMemo[String]
+  private[graft] val X52Cut = 19742L
+  private[graft] def tagTable(s: SparkSession, d: String): String =
+    tagMemo.getOrElseUpdate(s, d) {
+      val root = Engine.tmpDir("graft_snap_tags")
+      Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+      val ev = Tables.events(s, d)
+        .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+        .select("event_id", "value", "ep_day")
+      val r1 = writeDataFile(ev.filter(col("ep_day") <= X52Cut), root, "head")
+      val e1 = Seq(footerEntry(root, r1, "ep_day"))
+      commitEntries(root, 0, e1, shardSize = 2, Map("statsCol" -> "ep_day"))
+      val r2 = writeDataFile(ev.filter(col("ep_day") > X52Cut), root, "tail")
+      commitEntries(root, 1, e1 :+ footerEntry(root, r2, "ep_day"), shardSize = 2)
+      s.sql(s"ALTER TABLE '$root' CREATE TAG m1_ingest AS OF VERSION 1").collect()
+      // the CREATE TAG commit is v3; a keep floor of 3 would reclaim
+      // v1 (the tagged snapshot) and v2 were the tag not honored
+      s.sql(s"VACUUM '$root' KEEP FROM 3").collect()
+      assert(!Files.exists(manifestPath(root, 2)),
+        "fixture expected the untagged v2 below the keep floor to reclaim")
+      assert(Files.exists(manifestPath(root, 1)),
+        "VACUUM reclaimed the tagged version's manifest")
+      assert(Files.exists(Paths.get(root, r1)),
+        "VACUUM reclaimed the tagged version's data file")
+      root
+    }
+
+  /** x52_table_tags — named refs (Iceberg's TAGS, the retention half
+    * of branching): `CREATE TAG <name> AS OF VERSION <n>` pins a
+    * snapshot against VACUUM and makes it addressable by NAME from
+    * every read route. The gate reads the tag through the DSv2
+    * `version` option AFTER a vacuum whose keep floor would have
+    * reclaimed the version — the aggregate must equal the DuckDB
+    * recompute of exactly the tagged commit's slice, proving both the
+    * name resolution and the retention exemption. TagSpec pins the
+    * rest (catalog VERSION AS OF '<name>', carry across commits,
+    * drop-then-vacuum reclamation, re-point refusal, writer-feature
+    * stamp, clone non-carry). At 100 TB a tag is one manifest line:
+    * audit/repro anchors cost metadata, never copies. */
+  def x52TableTags(s: SparkSession, d: String): DataFrame = {
+    val root = tagTable(s, d)
+    s.read.format("graft-snapshot").option("version", "m1_ingest").load(root)
+      .groupBy(col("ep_day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .orderBy("ep_day")
+  }
+
+  val x52Sql: String =
+    s"""WITH e AS (SELECT value,
+       |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day FROM events)
+       |SELECT ep_day, COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+       |FROM e WHERE ep_day <= ${X52Cut}
+       |GROUP BY ep_day ORDER BY ep_day""".stripMargin
 
   /** x42_merge_evolution — `MERGE WITH SCHEMA EVOLUTION` (Delta 3.2's
     * per-statement autoMerge): the source carries a column the target

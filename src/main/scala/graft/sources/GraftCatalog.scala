@@ -113,10 +113,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val d = tableDir(ident)
     if (!isTableDir(d)) throw new NoSuchTableException(ident)
     val root = d.toString
-    val v = try version.trim.toInt catch {
-      case _: NumberFormatException => throw new IllegalArgumentException(
-        s"graft catalog: VERSION AS OF takes the integer snapshot version, got '$version'")
-    }
+    // a NUMBER or a TAG name (Iceberg's `VERSION AS OF 'ref'`) — the
+    // shared resolver decodes both against the current version's refs
+    val v = SnapshotTable.resolveVersionRef(root, version.trim)
     val cur = SnapshotTable.currentVersion(root)
     require(v >= 1 && v <= cur,
       s"graft catalog: $root has versions 1..$cur, no version $v")

@@ -34,6 +34,8 @@ import graft.operators.SnapshotTable
   *   RESTORE TABLE <table> TO VERSION AS OF <version>
   *   CREATE TABLE <table> SHALLOW CLONE <table> [VERSION AS OF <version>]
   *   REORG TABLE <table> APPLY (PURGE)
+  *   ALTER TABLE <table> CREATE TAG <name> [AS OF VERSION <n>]
+  *   ALTER TABLE <table> DROP TAG <name>
   *   VACUUM <table> KEEP FROM <version>
   *   VACUUM <table> RETAIN <n> HOURS
   *   VACUUM <table> KEEP FROM <v> DRY RUN | RETAIN <n> HOURS DRY RUN
@@ -238,6 +240,13 @@ object SnapshotSql {
   // resident data then commits `check.<name>` metadata; every write
   // route enforces from that version on. ALTER TABLE is real Spark
   // syntax, so routing is session-aware (see ownsConstraint).
+  // Iceberg's named refs, spelled like its SQL extensions: a tag pins
+  // a version against VACUUM and makes it addressable by name
+  // (VERSION AS OF '<name>', .option("version", "<name>"))
+  private val CreateTag =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+($Ref)\\s+CREATE\\s+TAG\\s+([\\w\\-]+)(?:\\s+AS\\s+OF\\s+VERSION\\s+(\\d+))?\\s*""".r
+  private val DropTag =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+($Ref)\\s+DROP\\s+TAG\\s+([\\w\\-]+)\\s*""".r
   private val AddConstraint =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+($Ref)\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*""".r
   private val DropConstraint =
@@ -479,6 +488,10 @@ object SnapshotSql {
       scala.util.Try(resolveRef(s, ref)).isSuccess
     case DropConstraint(ref, _) => ref.startsWith("'") ||
       scala.util.Try(resolveRef(s, ref)).isSuccess
+    case CreateTag(ref, _, _) => ref.startsWith("'") ||
+      scala.util.Try(resolveRef(s, ref)).isSuccess
+    case DropTag(ref, _) => ref.startsWith("'") ||
+      scala.util.Try(resolveRef(s, ref)).isSuccess
     // path-addressed widening and TBLPROPERTIES are claimed
     // unconditionally (quoted paths have no delegate); the name
     // spellings stay with Spark's analyzer
@@ -572,6 +585,11 @@ object SnapshotSql {
     case Clone(dst, src, version) =>
       SnapshotTable.shallowClone(resolveRef(s, src), resolveRef(s, dst),
         Option(version).map(_.toInt))
+    case CreateTag(ref, name, version) =>
+      SnapshotTable.createTag(resolveRef(s, ref), name,
+        Option(version).map(_.toInt))
+    case DropTag(ref, name) =>
+      SnapshotTable.dropTag(resolveRef(s, ref), name)
     case AddConstraint(ref, name, exprSql) =>
       SnapshotTable.addCheckConstraint(s, resolveRef(s, ref), name, exprSql.trim)
     case DropConstraint(ref, name) =>

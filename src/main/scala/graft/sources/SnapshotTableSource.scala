@@ -99,7 +99,9 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister {
       // under their current names, dropped columns don't surface at
       // all. A version-pinned load resolves schema AND mapping as of
       // ITS snapshot (time travel keeps the old names).
-      val v = Option(options.get("version")).map(_.toInt)
+      // the option takes a NUMBER or a TAG name (Iceberg's named refs)
+      val v = Option(options.get("version"))
+        .map(SnapshotTable.resolveVersionRef(r, _))
         .getOrElse(SnapshotTable.currentVersion(r))
       val base = SnapshotSourceUtil.logicalStruct(
         SnapshotSourceUtil.sparkSchema(SnapshotSourceUtil.tableMessageType(r, v)),
@@ -799,7 +801,8 @@ private[graft] class SnapshotScanBuilder(root: String, full: StructType,
       "path route: spark.read/readStream.format(\"graft-snapshot\")" +
       ".option(\"readChangeFeed\", \"true\").load(<table root>)")
 
-  private val version = Option(options.get("version")).map(_.toInt)
+  private val version = Option(options.get("version"))
+    .map(SnapshotTable.resolveVersionRef(root, _))
     .getOrElse(SnapshotTable.currentVersion(root))
   /** Which column the manifest's per-file [lo, hi] stats describe —
     * recorded by the committer as `#statsCol` metadata. Absent → no
