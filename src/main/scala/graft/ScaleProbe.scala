@@ -320,6 +320,27 @@ object ScaleProbe {
         s"${ST.manifestMeta(s"$work/snap_dv_cow", v)("delete")}")
       1L
     }
+    // r19: REORG APPLY (PURGE) — the purge must price at the DIRTY
+    // files (here: the one day-clustered file the point delete above
+    // dirtied plus the 997-spread sidecars), never the table; the
+    // full-OPTIMIZE rewrite on the same state is the reference the
+    // NofM audit is read against
+    time("x51_reorg_purge") {
+      val ST = operators.SnapshotTable
+      val root = s"$work/snap_dv"
+      val v = ST.reorgPurge(spark, root)
+      println(s"[scale] x51 reorg audit: " +
+        s"${ST.manifestMeta(root, v).getOrElse("reorg", "?")}")
+      assert(ST.dvState(root, v).isEmpty)
+      ST.manifestEntries(root, v).size.toLong
+    }
+    time("x51_optimize_full_ref") {
+      val ST = operators.SnapshotTable
+      val root = s"$work/snap_dv_cow"
+      val v = ST.optimizeClustered(spark, root, "ep_day",
+        ST.manifestEntries(root, ST.currentVersion(root)).size)
+      ST.manifestEntries(root, v).size.toLong
+    }
     // r13: merge-on-read UPDATE — the sparse update must price at the
     // hits (sidecars + one postimage file), not the touched files'
     // bytes; audit proves the MoR path engaged at scale

@@ -2891,6 +2891,91 @@ object SnapshotTable {
     commitEntries(dstRoot, 0, entries, shardSize = 16, meta)
   }
 
+  /** DEEP CLONE (Delta's spelling) — an INDEPENDENT copy of one
+    * snapshot: the version's data files and DV sidecars copy into the
+    * target (byte-identical, same rel names — they're UUID-tagged), a
+    * fresh manifest lists them LOCALLY, and the source's lifecycle can
+    * never touch the clone again — the hazard [[shallowClone]] accepts
+    * (its `../` refs orphan when the source VACUUMs the cloned
+    * version away; Delta's shallow clones share it) is what DEEP buys
+    * off. Carries the same state a shallow clone carries (schema
+    * capture, colmap, checks/gen/defaults, identity, row tracking —
+    * the bytes are identical so row ids carry under the SAME rel
+    * keys; stats/bytes ride inside each entry untouched). The copy
+    * DISTRIBUTES as a Spark job above the same 64-file threshold as
+    * commit-time footer harvesting — at 10^5 files one executor wave,
+    * not a serial driver loop. Tags do not carry (refs stay with the
+    * table that minted them — same rule as shallow). */
+  def deepClone(s: SparkSession, srcRoot: String, dstRoot: String,
+      version: Option[Int] = None): Int = {
+    val cur = currentVersion(srcRoot)
+    require(cur > 0, s"deep clone: source $srcRoot has no committed version")
+    val v = version.getOrElse(cur)
+    require(v >= 1 && v <= cur,
+      s"deep clone: $srcRoot has versions 1..$cur, no version $v")
+    if (!Files.exists(manifestPath(srcRoot, v)))
+      throw new IllegalStateException(s"deep clone: version $v of $srcRoot " +
+        "was vacuumed away — its snapshot is no longer addressable")
+    require(currentVersion(dstRoot) == 0,
+      s"deep clone: target $dstRoot is already a committed table")
+    Files.createDirectories(Paths.get(dstRoot))
+    val srcEntries = manifestEntries(srcRoot, v)
+    val dv = dvState(srcRoot, v)
+    // local landing name per copied rel. A plain table's rels keep
+    // their names; rels that ESCAPE the root (`../...` — the source is
+    // itself a shallow clone) flatten to their file name, so a deep
+    // clone of a shallow clone materializes the referenced bytes
+    // instead of copying dangling refs (collisions disambiguate
+    // deterministically)
+    val localOf: Map[String, String] = {
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      val used = scala.collection.mutable.Set.empty[String]
+      (srcEntries.map(_.rel) ++ dv.keys ++ dv.values).distinct.foreach { rel =>
+        val base = if (!rel.split('/').contains("..")) rel
+          else Paths.get(rel).getFileName.toString
+        var cand = base; var i = 1
+        while (!used.add(cand)) { cand = s"dc${i}_$base"; i += 1 }
+        m(rel) = cand
+      }
+      m.toMap
+    }
+    val srcAbs = Paths.get(srcRoot).toAbsolutePath.normalize.toString
+    val dstAbs2 = Paths.get(dstRoot).toAbsolutePath.normalize.toString
+    def copyOne(pair: (String, String)): Unit = {
+      val to = Paths.get(dstAbs2, pair._2)
+      Option(to.getParent).foreach(Files.createDirectories(_))
+      Files.copy(Paths.get(srcAbs, pair._1), to,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    val toCopy = localOf.toSeq
+    if (toCopy.size < 64) toCopy.foreach(copyOne)
+    else {
+      val slices = math.min(toCopy.size,
+        math.max(1, s.sparkContext.defaultParallelism))
+      s.sparkContext.parallelize(toCopy, slices).foreach(copyOne)
+    }
+    val entries = srcEntries.map(e => e.copy(rel = localOf(e.rel)))
+    val keep = Set("schema", "schemaJson", "widen", "statsCol", "colmap")
+    val srcMeta = manifestMeta(srcRoot, v)
+    val rtMeta: Map[String, String] =
+      if (!srcMeta.get("rowtracking").contains("on")) Map.empty
+      else Map("rowtracking" -> "on") ++
+        srcMeta.get("rowhw").map("rowhw" -> _) ++
+        fmtRowBases(rowBasesOf(srcMeta).map { case (r, b) =>
+          (localOf.getOrElse(r, r), b) }).map("rowbase" -> _) ++
+        fmtRowMat(rowMatOf(srcMeta).map(r => localOf.getOrElse(r, r)))
+          .map("rowmat" -> _)
+    val meta = srcMeta
+      .filter(kv => keep.contains(kv._1) || kv._1.startsWith("check.") ||
+        kv._1.startsWith("gen.") || kv._1.startsWith("default.") ||
+        kv._1 == "identity" || kv._1 == "idstart") ++
+      fmtDv(dv.map { case (r, d) => (localOf(r), localOf(d)) }).map("dv" -> _) ++
+      fmtDvn(dvCountsOf(srcMeta).map { case (r, n) =>
+        (localOf.getOrElse(r, r), n) }).map("dvn" -> _) ++ rtMeta +
+      ("clone" -> s"deep:${Paths.get(srcRoot).toAbsolutePath.normalize}@v$v")
+    commitEntries(dstRoot, 0, entries, shardSize = 16, meta)
+  }
+
   /** Write a DataFrame's rows as one immutable data file under root;
     * returns the root-relative path. Commit-unique names (version tag +
     * logical name) keep every file addressable by any manifest.
@@ -5331,6 +5416,7 @@ object SnapshotTable {
     "x50_optimized_write" -> (x50OptimizedWrite _, Some(x50Sql)),
     "x51_reorg_purge" -> (x51ReorgPurge _, Some(x51Sql)),
     "x52_table_tags" -> (x52TableTags _, Some(x52Sql)),
+    "x53_deep_clone" -> (x53DeepClone _, Some(x53Sql)),
   )
 
   /** x24_catalog_sql — the name-addressed warehouse surface end-to-end
@@ -6585,6 +6671,60 @@ object SnapshotTable {
         "VACUUM reclaimed the tagged version's data file")
       root
     }
+
+  /** x53 fixture — a `dvmode=on` day-clustered log with one sparse DV
+    * DELETE (so the copy set includes a SIDECAR, not just data files),
+    * DEEP CLONE through the SQL verb, then the SOURCE DIRECTORY IS
+    * DELETED OUTRIGHT — the strongest possible independence proof: a
+    * shallow clone's `../` refs would all dangle; the deep clone must
+    * keep serving every surviving row. */
+  private val deepCloneMemo = new graft.SessionMemo[String]
+  private[graft] def deepCloneTable(s: SparkSession, d: String): String =
+    deepCloneMemo.getOrElseUpdate(s, d) {
+      val src = Engine.tmpDir("graft_snap_dcsrc")
+      val dst = Engine.tmpDir("graft_snap_dcdst")
+      Seq(src, dst).foreach(p =>
+        Engine.listDir(Paths.get(p)).foreach(Engine.deleteRecursively))
+      commitEntries(src, 0, stageDayClustered(s, d, src), shardSize = 3,
+        Map("statsCol" -> "ep_day"))
+      enableDeletionVectors(src)
+      s.sql(s"DELETE FROM '$src' WHERE event_id % 983 = 7").collect()
+      assert(dvState(src, currentVersion(src)).nonEmpty,
+        "deep-clone fixture expected DV sidecars in the copy set")
+      s.sql(s"CREATE TABLE '$dst' DEEP CLONE '$src'").collect()
+      assert(manifestMeta(dst, 1).getOrElse("clone", "").startsWith("deep:"),
+        manifestMeta(dst, 1).toString)
+      // the independence proof: the source table ceases to exist
+      Engine.listDir(Paths.get(src)).foreach(Engine.deleteRecursively)
+      dst
+    }
+
+  /** x53_deep_clone — DEEP CLONE (Delta's spelling): an INDEPENDENT
+    * copy of one snapshot — data files AND deletion-vector sidecars
+    * copy (distributed above 64 files), a fresh manifest lists them
+    * locally, and the source's lifecycle can never orphan the clone
+    * (the shallow clone's accepted hazard). The fixture DELETES THE
+    * SOURCE DIRECTORY after cloning; the day aggregate through the
+    * DSv2 route must still equal the DuckDB negated-filter recompute
+    * — bytes, sidecars and stats all genuinely local. At 100 TB the
+    * copy is one executor wave and the price of owning the data;
+    * everything else stays manifest arithmetic. */
+  def x53DeepClone(s: SparkSession, d: String): DataFrame = {
+    val root = deepCloneTable(s, d)
+    s.read.format("graft-snapshot").load(root)
+      .groupBy(col("ep_day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .orderBy("ep_day")
+  }
+
+  val x53Sql: String =
+    """WITH e AS (SELECT event_id, value,
+      |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day FROM events)
+      |SELECT ep_day, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM e WHERE event_id % 983 <> 7
+      |GROUP BY ep_day ORDER BY ep_day""".stripMargin
 
   /** x52_table_tags — named refs (Iceberg's TAGS, the retention half
     * of branching): `CREATE TAG <name> AS OF VERSION <n>` pins a

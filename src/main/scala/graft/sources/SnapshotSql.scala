@@ -32,7 +32,7 @@ import graft.operators.SnapshotTable
   *     [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE]
   *   UPDATE <table> SET col = expr [, col = expr]* WHERE <predicate>
   *   RESTORE TABLE <table> TO VERSION AS OF <version>
-  *   CREATE TABLE <table> SHALLOW CLONE <table> [VERSION AS OF <version>]
+  *   CREATE TABLE <table> SHALLOW|DEEP CLONE <table> [VERSION AS OF <version>]
   *   REORG TABLE <table> APPLY (PURGE)
   *   ALTER TABLE <table> CREATE TAG <name> [AS OF VERSION <n>]
   *   ALTER TABLE <table> DROP TAG <name>
@@ -153,7 +153,7 @@ object SnapshotSql {
   // Delta's zero-copy fork, spelled identically: the clone's v1 is one
   // manifest commit re-listing the source version's files by reference
   private val Clone =
-    s"""(?is)\\s*CREATE\\s+TABLE\\s+($Ref)\\s+SHALLOW\\s+CLONE\\s+($Ref)(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*""".r
+    s"""(?is)\\s*CREATE\\s+TABLE\\s+($Ref)\\s+(SHALLOW|DEEP)\\s+CLONE\\s+($Ref)(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*""".r
   // the ANSI MERGE spelling (match-discovering; the CLUSTER BY form
   // above is the caller-labeled changeset primitive). Aliases are
   // REQUIRED (they disambiguate every t./s. reference in conditions and
@@ -462,7 +462,7 @@ object SnapshotSql {
     * quoted path, or an identifier through a graft catalog); a Delta
     * clone or a plain CREATE TABLE in the same session is untouched. */
   private[graft] def ownsClone(s: SparkSession, stmt: String): Boolean = stmt match {
-    case Clone(dst, src, _) => Seq(dst, src).forall(r =>
+    case Clone(dst, _, src, _) => Seq(dst, src).forall(r =>
       r.startsWith("'") || scala.util.Try(resolveRef(s, r)).isSuccess)
     case _ => false
   }
@@ -582,9 +582,13 @@ object SnapshotSql {
       SnapshotTable.delete(s, resolveRef(s, ref), pred)
     case Restore(ref, toVersion) =>
       SnapshotTable.restore(resolveRef(s, ref), toVersion.toInt)
-    case Clone(dst, src, version) =>
-      SnapshotTable.shallowClone(resolveRef(s, src), resolveRef(s, dst),
-        Option(version).map(_.toInt))
+    case Clone(dst, mode, src, version) =>
+      if (mode.equalsIgnoreCase("deep"))
+        SnapshotTable.deepClone(s, resolveRef(s, src), resolveRef(s, dst),
+          Option(version).map(_.toInt))
+      else
+        SnapshotTable.shallowClone(resolveRef(s, src), resolveRef(s, dst),
+          Option(version).map(_.toInt))
     case CreateTag(ref, name, version) =>
       SnapshotTable.createTag(resolveRef(s, ref), name,
         Option(version).map(_.toInt))
@@ -678,7 +682,7 @@ object SnapshotSql {
         "ALTER TABLE '<path>' DROP COLUMN <col[.field...]> | " +
         "ALTER TABLE '<path>' SET TBLPROPERTIES ('k' = 'v') | " +
         "ALTER TABLE '<path>' UNSET TBLPROPERTIES ('k') | " +
-        "CREATE TABLE <table> SHALLOW CLONE <table> [VERSION AS OF <version>] | " +
+        "CREATE TABLE <table> SHALLOW|DEEP CLONE <table> [VERSION AS OF <version>] | " +
         "CONVERT TO SNAPSHOT '<path>' [CLUSTER BY (col)] | " +
         "REORG TABLE <table> APPLY (PURGE) | " +
         "VACUUM <table> KEEP FROM <version> | " +
