@@ -31,6 +31,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
       .orElse(SnapshotSql.vacuumDryRunTarget(session, sqlText)
         .map { case (root, spec) =>
           SnapshotVacuumDryRunCommand(root, spec): LogicalPlan })
+      .orElse(SnapshotSql.showTagsRoot(session, sqlText)
+        .map(SnapshotShowTagsCommand(_): LogicalPlan))
       .getOrElse {
         if (SnapshotSql.owns(sqlText) ||
           SnapshotSql.ownsUpdate(session, sqlText) ||
@@ -117,4 +119,14 @@ case class SnapshotHistoryCommand(root: String) extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession): Seq[Row] =
     SnapshotSql.describeHistory(root).map { case (v, ts, f, r, m) =>
       Row(v, new java.sql.Timestamp(ts), f, r, m) }
+}
+
+/** SHOW TAGS '<path>' | <catalog>.<name> — one row per live named ref
+  * (Iceberg's refs listing): the tag and the version it pins. */
+case class SnapshotShowTagsCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("tag", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("version", IntegerType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    SnapshotSql.showTags(root).map { case (n, v) => Row(n, v) }
 }

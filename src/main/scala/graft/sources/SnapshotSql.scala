@@ -42,6 +42,7 @@ import graft.operators.SnapshotTable
   *   RESTORE TABLE <table> TO TIMESTAMP AS OF '<ts>'
   *   DESCRIBE HISTORY <table>    (row-returning, parser route only)
   *   DESCRIBE DETAIL <table>     (row-returning, parser route only)
+  *   SHOW TAGS <table>           (row-returning, parser route only)
   *
   * MERGE's source is a registered view/table carrying the table's
   * columns plus `op` ∈ {u, d, i} — the same caller-labeled changeset
@@ -336,6 +337,28 @@ object SnapshotSql {
     // real Spark syntax, unlike the maintenance verbs below
     case History(ref) => scala.util.Try(resolveRef(s, ref)).toOption
     case _ => None
+  }
+
+  private val ShowTags =
+    s"""(?is)\\s*SHOW\\s+TAGS\\s+($Ref)\\s*""".r
+
+  /** SHOW TAGS <table> — the statement's table root, when it is one.
+    * Row-returning like DESCRIBE HISTORY (one row per named ref);
+    * SHOW is real Spark syntax, so an unresolvable name falls through
+    * to the delegate. */
+  private[graft] def showTagsRoot(s: SparkSession, stmt: String): Option[String] =
+    stmt match {
+      case ShowTags(ref) => scala.util.Try(resolveRef(s, ref)).toOption
+      case _ => None
+    }
+
+  /** (name, pinned version) of every live tag — current-version state,
+    * name-sorted. */
+  def showTags(root: String): Seq[(String, Int)] = {
+    val cur = SnapshotTable.currentVersion(root)
+    if (cur == 0) Nil
+    else SnapshotTable.tagsOf(SnapshotTable.manifestMeta(root, cur))
+      .toSeq.sortBy(_._1)
   }
 
   /** DESCRIBE DETAIL <table> — routing twin of [[historyRoot]]. */

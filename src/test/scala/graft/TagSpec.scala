@@ -121,6 +121,21 @@ class TagSpec extends AnyFunSuite {
       .getMessage.contains("not a committed version"))
   }
 
+  test("SHOW TAGS lists live refs name-sorted; empties after drops") {
+    val (root, _) = fresh("show")
+    ST.createTag(root, "beta", Some(1))
+    ST.createTag(root, "alpha", Some(2))
+    assert(spark.sql(s"SHOW TAGS '$root'").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq ==
+      Seq(("alpha", 2), ("beta", 1)))
+    ST.dropTag(root, "beta")
+    assert(spark.sql(s"SHOW TAGS '$root'").collect()
+      .map(_.getString(0)).toSeq == Seq("alpha"))
+    // an untagged table lists zero rows, not an error
+    ST.dropTag(root, "alpha")
+    assert(spark.sql(s"SHOW TAGS '$root'").count() == 0)
+  }
+
   test("tags stamp the writer feature; the stamp retires with the last tag") {
     val (root, _) = fresh("feature")
     ST.createTag(root, "t", Some(1))
