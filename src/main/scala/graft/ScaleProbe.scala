@@ -321,13 +321,23 @@ object ScaleProbe {
       1L
     }
     // r19: REORG APPLY (PURGE) — the purge must price at the DIRTY
-    // files (here: the one day-clustered file the point delete above
-    // dirtied plus the 997-spread sidecars), never the table; the
-    // full-OPTIMIZE rewrite on the same state is the reference the
-    // NofM audit is read against
-    time("x51_reorg_purge") {
+    // files: a point delete dirties ONE day-clustered file; the purge
+    // rewrite must touch only it (audit cow:1ofN) while the
+    // full-OPTIMIZE rewrite of the same table is the whole-table
+    // reference the ratio is read against
+    time("x51_fixture_build") {
       val ST = operators.SnapshotTable
-      val root = s"$work/snap_dv"
+      val root = s"$work/snap_rg"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+      ST.commitEntries(root, 0, ST.stageDayClustered(spark, work, root),
+        shardSize = 3, Map("statsCol" -> "ep_day"))
+      ST.enableDeletionVectors(root)
+      ST.delete(spark, root, "ep_day = 19724 AND event_id % 9973 = 5")
+      ST.manifestEntries(root, ST.currentVersion(root)).size.toLong
+    }
+    time("x51_reorg_point_purge") {
+      val ST = operators.SnapshotTable
+      val root = s"$work/snap_rg"
       val v = ST.reorgPurge(spark, root)
       println(s"[scale] x51 reorg audit: " +
         s"${ST.manifestMeta(root, v).getOrElse("reorg", "?")}")
@@ -336,7 +346,7 @@ object ScaleProbe {
     }
     time("x51_optimize_full_ref") {
       val ST = operators.SnapshotTable
-      val root = s"$work/snap_dv_cow"
+      val root = s"$work/snap_rg"
       val v = ST.optimizeClustered(spark, root, "ep_day",
         ST.manifestEntries(root, ST.currentVersion(root)).size)
       ST.manifestEntries(root, v).size.toLong
