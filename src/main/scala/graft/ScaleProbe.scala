@@ -332,8 +332,13 @@ object ScaleProbe {
       ST.commitEntries(root, 0, ST.stageDayClustered(spark, work, root),
         shardSize = 3, Map("statsCol" -> "ep_day"))
       ST.enableDeletionVectors(root)
-      ST.delete(spark, root, "ep_day = 19724 AND event_id % 9973 = 5")
-      ST.manifestEntries(root, ST.currentVersion(root)).size.toLong
+      val vd = ST.delete(spark, root, "ep_day = 19724 AND event_id % 9973 = 5")
+      // the probe is meaningless if the delete matched nothing or fell
+      // back to copy-on-write — guard like the x51 gate fixture does
+      assert(ST.manifestMeta(root, vd).getOrElse("delete", "").startsWith("dv:"),
+        s"x51 probe fixture fell back: ${ST.manifestMeta(root, vd).get("delete")}")
+      assert(ST.dvState(root, vd).nonEmpty, "x51 probe fixture has no DVs")
+      ST.manifestEntries(root, vd).size.toLong
     }
     time("x51_reorg_point_purge") {
       val ST = operators.SnapshotTable

@@ -1570,12 +1570,40 @@ object SnapshotTable {
     // force the reader gate + existence check: tagging a vacuumed or
     // feature-gated manifest must refuse now, not at first read
     manifestEntries(root, target)
-    val existing = tagsOf(manifestMeta(root, cur)).get(name)
-    require(existing.forall(_ == target),
-      s"createTag on $root: tag '$name' already points at version " +
-        s"${existing.get} — DROP TAG it first; re-pointing a live ref " +
-        "would invalidate whatever pinned the name")
-    setTableFlags(root, Map(TagKey + name -> target.toString))
+    // OWN CAS loop (not setTableFlags): the re-point refusal must
+    // re-verify INSIDE the retry — two racing CREATE TAGs of the same
+    // name would otherwise both pass a pre-loop check and the loser's
+    // retry would silently re-point the winner's live ref (the same
+    // re-verification discipline commitRewrite applies to DV state)
+    val retry = new CommitRetry(root)
+    var result = -1
+    while (result < 0) {
+      val v = currentVersion(root)
+      retry.observed(v)
+      val curMeta = carriedMeta(root, v)
+      val existing = tagsOf(curMeta).get(name)
+      require(existing.forall(_ == target),
+        s"createTag on $root: tag '$name' already points at version " +
+          s"${existing.get} — DROP TAG it first; re-pointing a live ref " +
+          "would invalidate whatever pinned the name")
+      if (existing.contains(target)) result = v
+      else try result = commitEntries(root, v, manifestEntries(root, v), 16,
+        curMeta + (TagKey + name -> target.toString) +
+          ("alter" -> s"tag:$name=v$target"))
+      catch { case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) }
+    }
+    // a VACUUM planned before this tag committed may still reclaim the
+    // target (vacuum never commits, so CAS cannot order the two) —
+    // verify the pin landed on a still-resident snapshot and convert
+    // the silent-dangling-ref outcome into a loud failure
+    if (!Files.exists(manifestPath(root, target))) {
+      dropTag(root, name)
+      throw new IllegalStateException(
+        s"createTag on $root: version $target was vacuumed away while the " +
+          "tag committed — the ref was rolled back; re-create it against a " +
+          "retained version")
+    }
+    result
   }
 
   /** DROP TAG — the ref's retention protection ends at the next
@@ -1593,7 +1621,11 @@ object SnapshotTable {
     * named-version surface (DSv2 `version` option, catalog
     * `VERSION AS OF`). */
   def resolveVersionRef(root: String, ref: String): Int =
-    if (ref.nonEmpty && ref.forall(_.isDigit)) ref.toInt
+    if (ref.nonEmpty && ref.forall(_.isDigit))
+      try ref.toInt catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"graft-snapshot: version '$ref' is out of INT range on $root")
+      }
     else {
       val cur = currentVersion(root)
       val tags = if (cur == 0) Map.empty[String, Int]
@@ -2465,7 +2497,26 @@ object SnapshotTable {
     * known to be gone (in production: a retention window, not a call
     * site). */
   def vacuum(root: String, keepFrom: Int): Unit = {
-    val (drop, dead, deadShards) = vacuumPlan(root, keepFrom)
+    // plan under a STABLE tag set: vacuum never commits, so CAS cannot
+    // order it against a racing CREATE TAG — instead the plan re-runs
+    // until the ref set read before and after it agree, so a tag that
+    // landed mid-plan re-protects its version before anything deletes.
+    // (The residual window — a tag committing between the final read
+    // and the deletes below — is converted into a LOUD rolled-back
+    // failure by createTag's post-commit residency check.)
+    def tagsNow: Set[Int] = {
+      val cur = currentVersion(root)
+      if (cur == 0) Set.empty else tagsOf(manifestMeta(root, cur)).values.toSet
+    }
+    var guard = tagsNow
+    var plan = vacuumPlan(root, keepFrom)
+    var now = tagsNow
+    while (now != guard) {
+      guard = now
+      plan = vacuumPlan(root, keepFrom)
+      now = tagsNow
+    }
+    val (drop, dead, deadShards) = plan
     dead.foreach(Files.deleteIfExists(_))
     drop.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
     deadShards.foreach(Files.deleteIfExists(_))
@@ -2486,14 +2537,15 @@ object SnapshotTable {
     val all = Engine.listDir(manifestDir(root)).map(_.getFileName.toString)
       .collect { case s if s.startsWith("v") && s.endsWith(".txt") =>
         s.stripPrefix("v").stripSuffix(".txt").toInt }
+    // ONE current-version resolution for the whole plan (the tagged
+    // and cdcCutoff blocks both need the current meta)
+    val cur = currentVersion(root)
+    val curMeta = if (cur == 0) Map.empty[String, String] else manifestMeta(root, cur)
     // TAGGED versions are retention-exempt (Iceberg's ref semantics):
     // a tag is a promise the snapshot stays addressable, so the keep
     // floor flows around it — its manifest, data files, sidecars and
     // shards all stay live below
-    val tagged: Set[Int] = {
-      val cur = currentVersion(root)
-      if (cur == 0) Set.empty else tagsOf(manifestMeta(root, cur)).values.toSet
-    }
+    val tagged: Set[Int] = tagsOf(curMeta).values.toSet
     val (drop, keep) = all.partition(v => v < keepFrom && !tagged.contains(v))
     val live = keep.flatMap(v => manifest(root, v)).toSet
     val liveShards = keep.flatMap(v => rawManifestLines(root, v)
@@ -2507,12 +2559,8 @@ object SnapshotTable {
     // survives, decoupling CDC history cost from snapshot retention.
     // Without the property, CDC files live exactly as long as their
     // manifest (the pre-r16 contract).
-    val cdcCutoff: Option[Long] = {
-      val cur = currentVersion(root)
-      if (cur == 0) None
-      else manifestMeta(root, cur).get("cdcretain").map(h =>
-        System.currentTimeMillis - (h.toDouble * 3600 * 1000).toLong)
-    }
+    val cdcCutoff: Option[Long] = curMeta.get("cdcretain").map(h =>
+      System.currentTimeMillis - (h.toDouble * 3600 * 1000).toLong)
     val liveCdc = keep
       .filter(v => cdcCutoff.forall(c => commitTimeIfPresent(root, v).forall(_ >= c)))
       .flatMap(v => manifestMeta(root, v).get("cdc").toSeq
@@ -2857,38 +2905,43 @@ object SnapshotTable {
       val abs = Paths.get(srcRoot, e.rel).toAbsolutePath.normalize
       e.copy(rel = dstAbs.relativize(abs).toString)
     }
-    val keep = Set("schema", "schemaJson", "widen", "statsCol", "colmap")
     // deletion vectors pair with the cloned entries: re-point BOTH the
     // data rel (key) and the sidecar rel (value) at the source dir,
     // same `../` convention as the entries themselves
     def reRel(rel: String): String =
       dstAbs.relativize(Paths.get(srcRoot, rel).toAbsolutePath.normalize).toString
-    val dvMeta = fmtDv(dvState(srcRoot, v).map { case (r, d) => (reRel(r), reRel(d)) })
-    // the ordinal counts follow (keys re-rel'd like the entries), so
-    // the clone's MoR budget stays manifest arithmetic too
-    val dvnMeta = fmtDvn(dvCountsOf(manifestMeta(srcRoot, v))
-      .map { case (r, n) => (reRel(r), n) })
-    // CHECK constraints and generation expressions travel with the
-    // data they describe (Delta's clone carries table properties):
-    // the clone enforces them from its first write on. Row tracking
-    // carries too — the clone's re-pointed entries keep their SOURCE
-    // bases (same physical files, same row identities), and the
-    // high-water mark seeds clone-local fresh ranges
-    val srcMeta = manifestMeta(srcRoot, v)
+    val meta = cloneCarriedMeta(manifestMeta(srcRoot, v),
+      dvState(srcRoot, v), reRel) +
+      ("clone" -> s"shallow:${Paths.get(srcRoot).toAbsolutePath.normalize}@v$v")
+    commitEntries(dstRoot, 0, entries, shardSize = 16, meta)
+  }
+
+  /** The table state a CLONE carries — schema capture, colmap,
+    * CHECK/generation/default expressions, identity, deletion vectors
+    * with their ordinal counts, and row tracking (the cloned bytes
+    * are the source's, so row identities carry under the re-keyed
+    * rels) — with every rel-keyed value re-keyed through `mapRel`.
+    * The ONE policy point both clone flavors share: a carried key
+    * added here reaches shallow and deep clones alike. Tags stay with
+    * the minting table (a clone renumbers history, so a carried ref
+    * would resolve to the wrong snapshot). */
+  private def cloneCarriedMeta(srcMeta: Map[String, String],
+      dv: Map[String, String], mapRel: String => String): Map[String, String] = {
+    val keep = Set("schema", "schemaJson", "widen", "statsCol", "colmap")
     val rtMeta: Map[String, String] =
       if (!srcMeta.get("rowtracking").contains("on")) Map.empty
       else Map("rowtracking" -> "on") ++
         srcMeta.get("rowhw").map("rowhw" -> _) ++
-        fmtRowBases(rowBasesOf(srcMeta).map { case (r, b) => (reRel(r), b) })
+        fmtRowBases(rowBasesOf(srcMeta).map { case (r, b) => (mapRel(r), b) })
           .map("rowbase" -> _) ++
-        fmtRowMat(rowMatOf(srcMeta).map(reRel)).map("rowmat" -> _)
-    val meta = srcMeta
+        fmtRowMat(rowMatOf(srcMeta).map(mapRel)).map("rowmat" -> _)
+    srcMeta
       .filter(kv => keep.contains(kv._1) || kv._1.startsWith("check.") ||
         kv._1.startsWith("gen.") || kv._1.startsWith("default.") ||
         kv._1 == "identity" || kv._1 == "idstart") ++
-      dvMeta.map("dv" -> _) ++ dvnMeta.map("dvn" -> _) ++ rtMeta +
-      ("clone" -> s"shallow:${Paths.get(srcRoot).toAbsolutePath.normalize}@v$v")
-    commitEntries(dstRoot, 0, entries, shardSize = 16, meta)
+      fmtDv(dv.map { case (r, d) => (mapRel(r), mapRel(d)) }).map("dv" -> _) ++
+      fmtDvn(dvCountsOf(srcMeta).map { case (r, n) => (mapRel(r), n) })
+        .map("dvn" -> _) ++ rtMeta
   }
 
   /** DEEP CLONE (Delta's spelling) — an INDEPENDENT copy of one
@@ -2955,23 +3008,8 @@ object SnapshotTable {
       s.sparkContext.parallelize(toCopy, slices).foreach(copyOne)
     }
     val entries = srcEntries.map(e => e.copy(rel = localOf(e.rel)))
-    val keep = Set("schema", "schemaJson", "widen", "statsCol", "colmap")
-    val srcMeta = manifestMeta(srcRoot, v)
-    val rtMeta: Map[String, String] =
-      if (!srcMeta.get("rowtracking").contains("on")) Map.empty
-      else Map("rowtracking" -> "on") ++
-        srcMeta.get("rowhw").map("rowhw" -> _) ++
-        fmtRowBases(rowBasesOf(srcMeta).map { case (r, b) =>
-          (localOf.getOrElse(r, r), b) }).map("rowbase" -> _) ++
-        fmtRowMat(rowMatOf(srcMeta).map(r => localOf.getOrElse(r, r)))
-          .map("rowmat" -> _)
-    val meta = srcMeta
-      .filter(kv => keep.contains(kv._1) || kv._1.startsWith("check.") ||
-        kv._1.startsWith("gen.") || kv._1.startsWith("default.") ||
-        kv._1 == "identity" || kv._1 == "idstart") ++
-      fmtDv(dv.map { case (r, d) => (localOf(r), localOf(d)) }).map("dv" -> _) ++
-      fmtDvn(dvCountsOf(srcMeta).map { case (r, n) =>
-        (localOf.getOrElse(r, r), n) }).map("dvn" -> _) ++ rtMeta +
+    val meta = cloneCarriedMeta(manifestMeta(srcRoot, v), dv,
+      r => localOf.getOrElse(r, r)) +
       ("clone" -> s"deep:${Paths.get(srcRoot).toAbsolutePath.normalize}@v$v")
     commitEntries(dstRoot, 0, entries, shardSize = 16, meta)
   }

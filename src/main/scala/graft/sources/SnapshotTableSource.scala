@@ -134,8 +134,21 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
-    val opts = new CaseInsensitiveStringMap(properties)
-    new SnapshotDsv2Table(root(opts), schema, opts)
+    val opts0 = new CaseInsensitiveStringMap(properties)
+    val r = root(opts0)
+    // pin a TAG ref to its numeric version HERE, once: the scan builds
+    // lazily (possibly much later), and a DROP TAG + re-point in the
+    // gap would otherwise serve one snapshot's schema over another's
+    // data — the pinned table resolves everything downstream from the
+    // one version this load meant
+    val opts = Option(opts0.get("version")).filter(!_.forall(_.isDigit)) match {
+      case Some(ref) =>
+        val m = new java.util.HashMap[String, String](properties)
+        m.put("version", SnapshotTable.resolveVersionRef(r, ref).toString)
+        new CaseInsensitiveStringMap(m)
+      case None => opts0
+    }
+    new SnapshotDsv2Table(r, schema, opts)
   }
 }
 
