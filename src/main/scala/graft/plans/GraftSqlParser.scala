@@ -33,6 +33,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           SnapshotVacuumDryRunCommand(root, spec): LogicalPlan })
       .orElse(SnapshotSql.showTagsRoot(session, sqlText)
         .map(SnapshotShowTagsCommand(_): LogicalPlan))
+      .orElse(SnapshotSql.filesRoot(session, sqlText)
+        .map(SnapshotDescribeFilesCommand(_): LogicalPlan))
       .getOrElse {
         if (SnapshotSql.owns(sqlText) ||
           SnapshotSql.ownsUpdate(session, sqlText) ||
@@ -119,6 +121,25 @@ case class SnapshotHistoryCommand(root: String) extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession): Seq[Row] =
     SnapshotSql.describeHistory(root).map { case (v, ts, f, r, m) =>
       Row(v, new java.sql.Timestamp(ts), f, r, m) }
+}
+
+/** DESCRIBE FILES '<path>' | <catalog>.<name> — one row per
+  * current-version manifest entry (Iceberg's `.files` metadata table,
+  * flattened): the pruning planner's exact inputs, zero data IO. */
+case class SnapshotDescribeFilesCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("file", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("n_rows", org.apache.spark.sql.types.LongType, nullable = true)(),
+    AttributeReference("size_bytes", org.apache.spark.sql.types.LongType,
+      nullable = false)(),
+    AttributeReference("stats_col", org.apache.spark.sql.types.StringType,
+      nullable = true)(),
+    AttributeReference("lo", org.apache.spark.sql.types.LongType, nullable = true)(),
+    AttributeReference("hi", org.apache.spark.sql.types.LongType, nullable = true)())
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    SnapshotSql.describeFiles(root).map { case (f, r, b, sc, lo, hi) =>
+      Row(f, r.map(Long.box).orNull, b, sc.orNull,
+        lo.map(Long.box).orNull, hi.map(Long.box).orNull) }
 }
 
 /** SHOW TAGS '<path>' | <catalog>.<name> — one row per live named ref

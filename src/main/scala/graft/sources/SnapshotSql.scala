@@ -43,6 +43,7 @@ import graft.operators.SnapshotTable
   *   DESCRIBE HISTORY <table>    (row-returning, parser route only)
   *   DESCRIBE DETAIL <table>     (row-returning, parser route only)
   *   SHOW TAGS <table>           (row-returning, parser route only)
+  *   DESCRIBE FILES <table>      (row-returning, parser route only)
   *
   * MERGE's source is a registered view/table carrying the table's
   * columns plus `op` ∈ {u, d, i} — the same caller-labeled changeset
@@ -341,6 +342,44 @@ object SnapshotSql {
 
   private val ShowTags =
     s"""(?is)\\s*SHOW\\s+TAGS\\s+($Ref)\\s*""".r
+
+  private val DescFiles =
+    s"""(?is)\\s*DESCRIBE\\s+FILES\\s+($Ref)\\s*""".r
+
+  /** DESCRIBE FILES <table> — the statement's table root, when it is
+    * one (row-returning like DESCRIBE HISTORY; DESCRIBE is real Spark
+    * syntax, so an unresolvable name falls through). */
+  private[graft] def filesRoot(s: SparkSession, stmt: String): Option[String] =
+    stmt match {
+      case DescFiles(ref) => scala.util.Try(resolveRef(s, ref)).toOption
+      case _ => None
+    }
+
+  /** One row per CURRENT-version manifest entry (Iceberg's `.files`
+    * metadata table, flattened): rel path, footer row count, data
+    * bytes, and the stats column's [lo, hi] — the exact inputs the
+    * pruning planner works from, zero data-file IO (legacy stats-less
+    * entries surface NULL rows/bounds — the honest "never prunes"
+    * signal). The operator's layout/pruning debugger: \"why did this
+    * query open N files\" answers from these rows. */
+  def describeFiles(root: String): Seq[(String, Option[Long], Long,
+      Option[String], Option[Long], Option[Long])] = {
+    val v = SnapshotTable.currentVersion(root)
+    if (v == 0) Nil
+    else {
+      val statsCol = SnapshotTable.manifestMeta(root, v).get("statsCol")
+      SnapshotTable.manifestEntries(root, v).map { e =>
+        val hasStats = e.rows >= 0
+        val bytes = e.bytes.getOrElse(
+          try java.nio.file.Files.size(java.nio.file.Paths.get(root, e.rel))
+          catch { case _: java.io.IOException => 0L })
+        (e.rel, if (hasStats) Some(e.rows) else None, bytes,
+          statsCol.filter(_ => hasStats),
+          if (hasStats) Some(e.lo) else None,
+          if (hasStats) Some(e.hi) else None)
+      }
+    }
+  }
 
   /** SHOW TAGS <table> — the statement's table root, when it is one.
     * Row-returning like DESCRIBE HISTORY (one row per named ref);

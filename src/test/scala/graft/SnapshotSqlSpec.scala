@@ -97,6 +97,27 @@ class SnapshotSqlSpec extends AnyFunSuite {
     assert(h(1)._5.contains("optimize=clustered:ep_day") && h(1)._5.contains("statsCol=ep_day"))
   }
 
+  test("DESCRIBE FILES lists the pruning planner's per-file inputs") {
+    val root = freshTable("graft_sql_files")
+    val f = spark.sql(s"DESCRIBE FILES '$root'").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getLong(5)))
+    val entries = ST.manifestEntries(root, ST.currentVersion(root))
+    assert(f.length == entries.size && f.length == 3)
+    assert(f.map(_._2).sum == 300, s"row counts: ${f.toSeq}")
+    // the rows ARE the manifest's planner inputs, column for column
+    entries.sortBy(_.rel).zip(f.sortBy(_._1)).foreach { case (e, row) =>
+      assert(row._1 == e.rel && row._2 == e.rows &&
+        row._4 == "ep_day" && row._5 == e.lo && row._6 == e.hi, s"$e vs $row")
+      assert(row._3 == java.nio.file.Files.size(Paths.get(root, e.rel)))
+    }
+    // an empty (never-committed) table lists zero rows, not an error
+    val empty = Engine.tmpDir("graft_sql_files_empty")
+    Engine.listDir(Paths.get(empty)).foreach(Engine.deleteRecursively)
+    java.nio.file.Files.createDirectories(Paths.get(empty))
+    assert(spark.sql(s"DESCRIBE FILES '$empty'").count() == 0)
+  }
+
   test("an unparseable statement fails loudly with the grammar in the message") {
     val e = intercept[IllegalArgumentException](
       Sql.exec(spark, "DROP TABLE students"))
