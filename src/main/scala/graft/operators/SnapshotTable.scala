@@ -2517,9 +2517,15 @@ object SnapshotTable {
       now = tagsNow
     }
     val (drop, dead, deadShards) = plan
-    dead.foreach(Files.deleteIfExists(_))
+    // MANIFESTS die FIRST: the manifest is the version's addressability
+    // token — createTag's post-commit residency check reads it, so a
+    // tag that loses the residual race observes the reclaim (manifest
+    // gone → loud rollback) instead of passing on a still-present
+    // manifest whose data files were already deleted. Shards follow
+    // (a present manifest never points at deleted shards), data last.
     drop.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
     deadShards.foreach(Files.deleteIfExists(_))
+    dead.foreach(Files.deleteIfExists(_))
   }
 
   /** The reclamation PLAN vacuum executes — (dropped versions, dead

@@ -370,10 +370,8 @@ object SnapshotSql {
       val statsCol = SnapshotTable.manifestMeta(root, v).get("statsCol")
       SnapshotTable.manifestEntries(root, v).map { e =>
         val hasStats = e.rows >= 0
-        val bytes = e.bytes.getOrElse(
-          try java.nio.file.Files.size(java.nio.file.Paths.get(root, e.rel))
-          catch { case _: java.io.IOException => 0L })
-        (e.rel, if (hasStats) Some(e.rows) else None, bytes,
+        (e.rel, if (hasStats) Some(e.rows) else None,
+          SnapshotTable.entryBytes(root, e),
           statsCol.filter(_ => hasStats),
           if (hasStats) Some(e.lo) else None,
           if (hasStats) Some(e.hi) else None)
@@ -414,11 +412,7 @@ object SnapshotSql {
   def describeDetail(root: String): (String, Int, Long, Option[Long], Long, String) = {
     val v = SnapshotTable.currentVersion(root)
     val entries = if (v == 0) Nil else SnapshotTable.manifestEntries(root, v)
-    val bytes = entries.map { e =>
-      e.bytes.getOrElse(
-        try java.nio.file.Files.size(java.nio.file.Paths.get(root, e.rel))
-        catch { case _: java.io.IOException => 0L })
-    }.sum
+    val bytes = entries.map(SnapshotTable.entryBytes(root, _)).sum
     val meta = if (v == 0) "" else SnapshotTable.manifestMeta(root, v).toSeq.sorted
       .map { case (k, x) => s"$k=${x.take(60)}" }.mkString(",")
     // a stats-less legacy entry carries rows = -1: the count is then

@@ -95,37 +95,44 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister {
     // creates v1); reads of an empty table fail at scan build
     if (SnapshotTable.currentVersion(r) == 0) new StructType()
     else {
-      // the exposed schema is the LOGICAL one: renamed columns surface
-      // under their current names, dropped columns don't surface at
-      // all. A version-pinned load resolves schema AND mapping as of
-      // ITS snapshot (time travel keeps the old names).
       // the option takes a NUMBER or a TAG name (Iceberg's named refs)
       val v = Option(options.get("version"))
         .map(SnapshotTable.resolveVersionRef(r, _))
         .getOrElse(SnapshotTable.currentVersion(r))
-      val base = SnapshotSourceUtil.logicalStruct(
-        SnapshotSourceUtil.sparkSchema(SnapshotSourceUtil.tableMessageType(r, v)),
-        SnapshotTable.colMap(r, v))
-      // change-data-feed reads surface the table schema plus the change
-      // metadata columns (Delta's CDF column contract)
-      if (SnapshotSourceUtil.cdfEnabled(options)) SnapshotSourceUtil.withCdfColumns(base)
-      else {
-        // an IDENTITY column surfaces on every plain read (it IS part
-        // of the table's logical schema); CDF mode serves change rows
-        // (data columns only — a diff row has no id contract)
-        val withId = SnapshotSourceUtil.withIdentity(base, r, v)
-        if (SnapshotSourceUtil.rowIdsEnabled(options)) {
-          // `.option("rowIds", "true")`: the path-route spelling of the
-          // x41 row-id read — the table schema plus `_row_id` (the
-          // catalog route exposes the same column as a DSv2 METADATA
-          // column, no option needed). Requires tracking AS OF the
-          // scanned version: a pre-enable time travel has no id story.
-          require(SnapshotTable.manifestMeta(r, v).get("rowtracking").contains("on"),
-            s"graft-snapshot rowIds: row tracking is not enabled on $r at version $v " +
-              "(SnapshotTable.enableRowTracking)")
-          SnapshotSourceUtil.withRowIdColumn(withId)
-        } else withId
-      }
+      schemaAt(r, v, options)
+    }
+  }
+
+  /** The exposed LOGICAL schema as of version `v`: renamed columns
+    * surface under their current names, dropped columns don't surface
+    * at all; a version-pinned load resolves schema AND mapping as of
+    * ITS snapshot (time travel keeps the old names). Shared by
+    * [[inferSchema]] and the tag-pinning branch of [[getTable]] so a
+    * pinned ref's schema and scan derive from the SAME resolution. */
+  private def schemaAt(r: String, v: Int,
+      options: CaseInsensitiveStringMap): StructType = {
+    val base = SnapshotSourceUtil.logicalStruct(
+      SnapshotSourceUtil.sparkSchema(SnapshotSourceUtil.tableMessageType(r, v)),
+      SnapshotTable.colMap(r, v))
+    // change-data-feed reads surface the table schema plus the change
+    // metadata columns (Delta's CDF column contract)
+    if (SnapshotSourceUtil.cdfEnabled(options)) SnapshotSourceUtil.withCdfColumns(base)
+    else {
+      // an IDENTITY column surfaces on every plain read (it IS part
+      // of the table's logical schema); CDF mode serves change rows
+      // (data columns only — a diff row has no id contract)
+      val withId = SnapshotSourceUtil.withIdentity(base, r, v)
+      if (SnapshotSourceUtil.rowIdsEnabled(options)) {
+        // `.option("rowIds", "true")`: the path-route spelling of the
+        // x41 row-id read — the table schema plus `_row_id` (the
+        // catalog route exposes the same column as a DSv2 METADATA
+        // column, no option needed). Requires tracking AS OF the
+        // scanned version: a pre-enable time travel has no id story.
+        require(SnapshotTable.manifestMeta(r, v).get("rowtracking").contains("on"),
+          s"graft-snapshot rowIds: row tracking is not enabled on $r at version $v " +
+            "(SnapshotTable.enableRowTracking)")
+        SnapshotSourceUtil.withRowIdColumn(withId)
+      } else withId
     }
   }
 
@@ -136,19 +143,21 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister {
       properties: JMap[String, String]): Table = {
     val opts0 = new CaseInsensitiveStringMap(properties)
     val r = root(opts0)
-    // pin a TAG ref to its numeric version HERE, once: the scan builds
-    // lazily (possibly much later), and a DROP TAG + re-point in the
-    // gap would otherwise serve one snapshot's schema over another's
-    // data — the pinned table resolves everything downstream from the
-    // one version this load meant
-    val opts = Option(opts0.get("version")).filter(!_.forall(_.isDigit)) match {
+    // pin a TAG ref to its numeric version HERE, once, and REBUILD the
+    // schema from that same resolution: inferSchema resolved the tag
+    // independently, so a DROP TAG + re-point between the two calls —
+    // or between load and the lazy scan build — would otherwise serve
+    // one snapshot's schema over another snapshot's data. Everything
+    // downstream derives from the one version pinned here.
+    Option(opts0.get("version")).filter(!_.forall(_.isDigit)) match {
       case Some(ref) =>
+        val v = SnapshotTable.resolveVersionRef(r, ref)
         val m = new java.util.HashMap[String, String](properties)
-        m.put("version", SnapshotTable.resolveVersionRef(r, ref).toString)
-        new CaseInsensitiveStringMap(m)
-      case None => opts0
+        m.put("version", v.toString)
+        val opts = new CaseInsensitiveStringMap(m)
+        new SnapshotDsv2Table(r, schemaAt(r, v, opts), opts)
+      case None => new SnapshotDsv2Table(r, schema, opts0)
     }
-    new SnapshotDsv2Table(r, schema, opts)
   }
 }
 
@@ -1444,27 +1453,38 @@ private[sources] case class VersionOffset(v: Int) extends Offset {
   * normally. Without the option such a commit fails the stream
   * loudly (the append-only contract). Use the change feed when the
   * changes themselves are wanted. */
+/** Trigger.AvailableNow (Spark's SupportsTriggerAvailableNow), shared
+  * by the plain and CDF streams: the engine calls prepare ONCE at
+  * stream start; every later admission is capped at the version
+  * captured here, so the run drains exactly the backlog that existed
+  * at start — still in admission-sized batches (maxVersions/maxBytes
+  * both honored) — then terminates. Commits racing in after the
+  * capture wait for the next checkpoint-resumed run (Delta's contract
+  * too). At 100 TB this is the backfill verb: a scheduled job drains
+  * a deep history in bounded batches and EXITS, instead of holding an
+  * executor fleet on an idle long-lived stream. */
+private[sources] trait AvailableNowCapped extends SupportsTriggerAvailableNow {
+  protected def capRoot: String
+  @volatile private var availableNowCap: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(SnapshotTable.currentVersion(capRoot))
+  /** The admission ceiling: the live latest, capped at the
+    * prepare-time capture when an AvailableNow run is active. */
+  protected def cappedLatest(): Int = {
+    val latest0 = SnapshotTable.currentVersion(capRoot)
+    availableNowCap.fold(latest0)(math.min(latest0, _))
+  }
+}
+
 private[sources] class SnapshotMicroBatchStream(root: String,
     startingVersion: Int, maxVersionsPerTrigger: Int,
     factory: PartitionReaderFactory, skipChangeCommits: Boolean = false,
     attachBases: Boolean = false, maxBytesPerTrigger: Option[Long] = None)
-    extends MicroBatchStream with SupportsTriggerAvailableNow {
+    extends MicroBatchStream with AvailableNowCapped {
 
+  protected def capRoot: String = root
   override def initialOffset(): Offset = VersionOffset(startingVersion)
   override def deserializeOffset(json: String): Offset = VersionOffset(json.toInt)
-
-  // Trigger.AvailableNow (Spark's SupportsTriggerAvailableNow): the
-  // engine calls prepare ONCE at stream start; every later admission
-  // is capped at the version captured here, so the run drains exactly
-  // the backlog that existed at start — still in admission-sized
-  // batches (maxVersions/maxBytes both honored) — then terminates.
-  // Commits racing in after the capture wait for the next run
-  // (Delta's contract too). At 100 TB this is the backfill verb: a
-  // scheduled job drains a deep history in bounded batches and EXITS,
-  // instead of holding an executor fleet on an idle long-lived stream.
-  @volatile private var availableNowCap: Option[Int] = None
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(SnapshotTable.currentVersion(root))
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -1472,13 +1492,11 @@ private[sources] class SnapshotMicroBatchStream(root: String,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val cur = start.asInstanceOf[VersionOffset].v
-    val latest0 = SnapshotTable.currentVersion(root)
-    val latest = availableNowCap.fold(latest0)(math.min(latest0, _))
     // one commit per trigger by default: batch boundaries ARE commit
     // boundaries, so a downstream consumer processes atomic table
     // states, never a torn half-commit; maxBytesPerTrigger bounds a
     // catch-up window by its data size instead (manifest arithmetic)
-    VersionOffset(SnapshotSourceUtil.admitUpTo(root, cur, latest,
+    VersionOffset(SnapshotSourceUtil.admitUpTo(root, cur, cappedLatest(),
       maxVersionsPerTrigger, maxBytesPerTrigger, bothSides = false))
   }
 
@@ -1604,18 +1622,11 @@ private[sources] case class SnapshotAggPartition(values: Array[Any]) extends Inp
 private[sources] class SnapshotCdfMicroBatchStream(root: String,
     startingVersion: Int, maxVersionsPerTrigger: Int,
     factory: SnapshotCdfReaderFactory, maxBytesPerTrigger: Option[Long] = None)
-    extends MicroBatchStream with SupportsTriggerAvailableNow {
+    extends MicroBatchStream with AvailableNowCapped {
 
+  protected def capRoot: String = root
   override def initialOffset(): Offset = VersionOffset(startingVersion)
   override def deserializeOffset(json: String): Offset = VersionOffset(json.toInt)
-
-  // Trigger.AvailableNow, same contract as the plain stream: admission
-  // caps at the version captured when the run started, so a CDF
-  // backfill drains the existing change history in bounded batches
-  // and terminates
-  @volatile private var availableNowCap: Option[Int] = None
-  override def prepareForTriggerAvailableNow(): Unit =
-    availableNowCap = Some(SnapshotTable.currentVersion(root))
 
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException(
@@ -1623,12 +1634,10 @@ private[sources] class SnapshotCdfMicroBatchStream(root: String,
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val cur = start.asInstanceOf[VersionOffset].v
-    val latest0 = SnapshotTable.currentVersion(root)
-    val latest = availableNowCap.fold(latest0)(math.min(latest0, _))
     // the feed reads REMOVED files too (their rows emit as deletes),
     // so the byte budget counts both sides of each commit's diff
     VersionOffset(SnapshotSourceUtil.admitUpTo(root, cur,
-      latest, maxVersionsPerTrigger,
+      cappedLatest(), maxVersionsPerTrigger,
       maxBytesPerTrigger, bothSides = true))
   }
 
