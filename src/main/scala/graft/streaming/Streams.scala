@@ -776,6 +776,42 @@ object Streams {
       .orderBy("ep_day")
   }
 
+  /** st16_stream_cdf_available_now — the CDF BACKFILL shape: drain the
+    * merge table's whole change history (ingest commit + the CoW
+    * MERGE's row-grain CDC images) under `Trigger.AvailableNow()` —
+    * one commit per batch (`maxVersionsPerTrigger` 1), the run capped
+    * at its start-time version, TERMINATING on its own once the
+    * history is consumed. The signed fold (st12's shape) must
+    * reproduce the merged table's day aggregate exactly — the same
+    * x17 oracle, proving a bounded-lifetime scheduled CDC job sees
+    * the identical change stream the 24/7 one does. At 100 TB this is
+    * the nightly index-refresh verb: bounded batches, bounded
+    * lifetime, checkpoint-resumable. */
+  def st16StreamCdfAvailableNow(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = freshName("st16_out")
+    val root = graft.operators.SnapshotTable.mergeTable(s, d)
+    val q = s.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+      .option("maxVersionsPerTrigger", "1").load(root)
+      .withColumn("sgn", when(col("_change_type")
+        .isin("insert", "update_postimage"), 1L).otherwise(-1L))
+      .groupBy(col("ep_day"))
+      .agg(sum(col("sgn")).as("n_events"),
+        sum(col("value").cast("decimal(18,6)") * col("sgn"))
+          .cast("decimal(18,6)").as("value_dec"))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(300000L),
+      "CDF AvailableNow stream did not self-terminate after the history")
+    s.table(name)
+      .select(col("ep_day"), col("n_events"),
+        col("value_dec").cast("double").as("value_sum"))
+      .orderBy("ep_day")
+  }
+
   /** st14_stream_cdf_mv — the CDC loop CLOSED: a materialized view in
     * its own snapshot table, kept fresh by the streaming change feed
     * ACROSS DML COMMITS on the source. st10's plain pipe dies on the
@@ -845,6 +881,8 @@ object Streams {
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
     "st12_stream_cdf" ->
       (st12StreamCdf _, Some(graft.operators.SnapshotTable.x17Sql)),
+    "st16_stream_cdf_available_now" ->
+      (st16StreamCdfAvailableNow _, Some(graft.operators.SnapshotTable.x17Sql)),
     "st14_stream_cdf_mv" ->
       (st14StreamCdfMv _, Some(graft.operators.SnapshotTable.x17Sql)),
     "st10_stream_table_pipe" -> (st10StreamTablePipe _, Some(st9Sql)),
