@@ -31,7 +31,7 @@ import graft.operators.SnapshotTable
   *     [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN UPDATE SET ...]
   *     [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE]
   *   UPDATE <table> SET col = expr [, col = expr]* WHERE <predicate>
-  *   RESTORE TABLE <table> TO VERSION AS OF <version>
+  *   RESTORE TABLE <table> TO VERSION AS OF <version | 'tag' | tag>
   *   CREATE TABLE <table> SHALLOW|DEEP CLONE <table> [VERSION AS OF <version>]
   *   REORG TABLE <table> APPLY (PURGE)
   *   ALTER TABLE <table> CREATE TAG <name> [AS OF VERSION <n>]
@@ -146,8 +146,11 @@ object SnapshotSql {
     s"""(?is)\\s*DELETE\\s+FROM\\s+('[^']+')\\s+WHERE\\s+(.+?)\\s*""".r
   // Delta's undo verb, spelled identically: a metadata-only commit that
   // re-lists the target version's entries (SnapshotTable.restore)
+  // the version position takes a NUMBER or a TAG ref (quoted or bare,
+  // matching the read side's VERSION AS OF '<tag>' spelling) — restore
+  // to a named snapshot is the rollback verb tags exist for
   private val Restore =
-    s"""(?is)\\s*RESTORE\\s+TABLE\\s+($Ref)\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*""".r
+    s"""(?is)\\s*RESTORE\\s+TABLE\\s+($Ref)\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+|'[^']+'|[A-Za-z_][A-Za-z0-9_\\-]*)\\s*""".r
   // timestamp spelling: resolve via the commit clock (ICT-backed) to
   // the newest commit at-or-before the instant, then restore to it
   private val RestoreTs =
@@ -637,7 +640,11 @@ object SnapshotSql {
     case Delete(ref, pred) =>
       SnapshotTable.delete(s, resolveRef(s, ref), pred)
     case Restore(ref, toVersion) =>
-      SnapshotTable.restore(resolveRef(s, ref), toVersion.toInt)
+      val root = resolveRef(s, ref)
+      val raw = toVersion.trim
+      val vRef = if (raw.startsWith("'") && raw.endsWith("'") && raw.length >= 2)
+        raw.substring(1, raw.length - 1) else raw
+      SnapshotTable.restore(root, SnapshotTable.resolveVersionRef(root, vRef))
     case Clone(dst, mode, src, version) =>
       if (mode.equalsIgnoreCase("deep"))
         SnapshotTable.deepClone(s, resolveRef(s, src), resolveRef(s, dst),

@@ -121,6 +121,23 @@ class TagSpec extends AnyFunSuite {
       .getMessage.contains("not a committed version"))
   }
 
+  test("RESTORE TO VERSION AS OF '<tag>' rolls back by name (both spellings)") {
+    val (root, _) = fresh("restore")
+    spark.sql(s"ALTER TABLE '$root' CREATE TAG good AS OF VERSION 1").collect()
+    def ks = ST.read(spark, root).collect().map(_.getLong(0)).toSet
+    assert(ks == (11L to 20L).toSet)
+    spark.sql(s"RESTORE TABLE '$root' TO VERSION AS OF 'good'").collect()
+    assert(ks == (1L to 10L).toSet, "quoted tag restore drifted")
+    spark.sql(s"RESTORE TABLE '$root' TO VERSION AS OF 2").collect()
+    assert(ks == (11L to 20L).toSet, "numeric restore broke")
+    spark.sql(s"RESTORE TABLE '$root' TO VERSION AS OF good").collect()
+    assert(ks == (1L to 10L).toSet, "bare tag restore drifted")
+    // an unknown ref refuses with the tag inventory, never restores
+    val e = intercept[Exception](
+      spark.sql(s"RESTORE TABLE '$root' TO VERSION AS OF ghost").collect())
+    assert(e.getMessage.contains("unknown version or tag"), e.getMessage)
+  }
+
   test("SHOW TAGS lists live refs name-sorted; empties after drops") {
     val (root, _) = fresh("show")
     ST.createTag(root, "beta", Some(1))
