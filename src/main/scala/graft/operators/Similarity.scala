@@ -638,7 +638,93 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  private[graft] val PqM = 4
+  private[graft] val PqK = 32
+  private[graft] val PqShortlist = 128
+
+  /** s11_knn_pq — PRODUCT-QUANTIZATION ANN (the remaining classic in
+    * the taxonomy beside s2 LSH / s5 IVF / s7 SQ8 / s10 graph): the
+    * vector splits into [[PqM]] subspaces, each subvector ENCODES to
+    * its nearest of [[PqK]] per-subspace codewords (ties to the lowest
+    * code; the `||v||²` term is per-vector constant so the argmin
+    * drops it), and the corpus thereafter is PqM small codes per
+    * vector — at 100 TB the encoded corpus is ~PqM bytes/vector
+    * instead of 4·dim, and the query-time scan is the ADC shape: the
+    * query precomputes a PqM×PqK lookup table ONCE, every corpus row
+    * costs PqM table lookups (never a dim-length dot), the shortlist
+    * re-ranks exactly (s7's two-stage discipline) so quantization
+    * error can demote, not fabricate, neighbors. Codebooks here are
+    * DETERMINISTIC anchor samples (the PqK lowest-id vectors'
+    * subvectors) — the engine mechanics under test are the encode and
+    * the ADC scan; trained-centroid quality is s5's KMeans concern,
+    * orthogonal to the plan shape. Greedy/iterative training has no
+    * SQL twin → rows-only; SimilaritySpec pins hand-computed encodes,
+    * recall vs s1, and determinism. */
+  def s11KnnPq(s: SparkSession, d: String): DataFrame = {
+    val q = quantized(s, d)
+    val anchors = q.filter(col("vec_id") < PqK).orderBy("vec_id")
+      .select("qv").collect().map(_.getSeq[Long](0).toIndexedSeq)
+    require(anchors.length == PqK, s"PQ codebook needs $PqK anchor vectors")
+    val dim = anchors.head.length
+    require(dim % PqM == 0, s"PQ: dim $dim must split into $PqM subspaces")
+    val subLen = dim / PqM
+    val cb: Seq[Seq[Seq[Long]]] =
+      (0 until PqM).map(j => anchors.toSeq.map(_.slice(j * subLen, (j + 1) * subLen)))
+    val cbn: Seq[Seq[Long]] = cb.map(_.map(w => w.map(x => x * x).sum))
+    val cbL = typedLit(cb)
+    val cbnL = typedLit(cbn)
+    def subDot(vec: Column, j: Column, c: Column): Column =
+      aggregate(sequence(lit(0), lit(subLen - 1)), lit(0L),
+        (acc, i) => acc + element_at(vec, j * subLen + i + 1) *
+          element_at(element_at(element_at(cbL, j + 1), c + 1), i + 1))
+    // ENCODE: per subspace the argmin-distance codeword —
+    // ||cb||² − 2·dot, first minimum wins (array_position) so ties
+    // break to the lowest code deterministically
+    val codesCol = transform(sequence(lit(0), lit(PqM - 1)), j => {
+      val dists = transform(sequence(lit(0), lit(PqK - 1)), c =>
+        element_at(element_at(cbnL, j + 1), c + 1) - lit(2L) * subDot(col("qv"), j, c))
+      array_position(dists, array_min(dists)) - 1
+    })
+    val encoded = q.select(col("vec_id"), col("qv"), col("nrm"),
+      codesCol.as("codes"))
+    // the query side precomputes its ADC LOOKUP TABLE once (PqM×PqK
+    // subspace dots) — the scan below never touches full vectors
+    val queries = encoded.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+      .withColumn("lut", transform(sequence(lit(0), lit(PqM - 1)), j =>
+        transform(sequence(lit(0), lit(PqK - 1)), c => subDot(col("q_qv"), j, c))))
+      .select("q_id", "q_qv", "q_nrm", "lut")
+    val adc = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L), (acc, j) =>
+      acc + element_at(element_at(col("lut"), j + 1),
+        (element_at(col("codes"), j + 1) + 1).cast("int")))
+    val npq = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L), (acc, j) =>
+      acc + element_at(element_at(cbnL, j + 1),
+        (element_at(col("codes"), j + 1) + 1).cast("int")))
+    val wPq = Window.partitionBy(col("q_id")).orderBy(desc("cos_pq"), asc("cand_id"))
+    val shortlist = encoded.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        cosine(adc, col("q_nrm"), npq).as("cos_pq"))
+      .withColumn("rkp", row_number().over(wPq))
+      .filter(col("rkp") <= PqShortlist)
+      .select("q_id", "cand_id")
+    // exact re-rank on the shortlist: s7's discipline — quantization
+    // error can demote a true neighbor out of the pool, never
+    // fabricate a false one into the answer
+    val qq = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    val cand = q.select(col("vec_id").as("cand_id"), col("qv"), col("nrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cos_sim"), asc("cand_id"))
+    shortlist.join(cand, "cand_id").join(broadcast(qq), "q_id")
+      .select(col("q_id"), col("cand_id"),
+        cosine(graft.functions.quantized_dot(col("q_qv"), col("qv")),
+          col("q_nrm"), col("nrm")).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .orderBy("q_id", "rk")
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "s11_knn_pq" -> (s11KnnPq _, None),
     "s10_knn_graph" -> (s10KnnGraph _, None),
     "s9_range_search" -> (s9RangeSearch _, Some(s9Sql)),
     "s8_mmr_rerank" -> (s8MmrRerank _, None),

@@ -151,6 +151,34 @@ class NonSqlOracleSpec extends AnyFunSuite {
     assert(deg <= 10, s"graph degree $deg exceeds K")
   }
 
+  test("s11_knn_pq: PQ encode matches the hand argmin; ADC recall >= 0.7; deterministic") {
+    val S = graft.operators.Similarity
+    val a = S.s11KnnPq(spark, sf).collect()
+    val b = S.s11KnnPq(spark, sf).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq, "PQ not deterministic")
+    assert(a.nonEmpty)
+    a.foreach { r =>
+      assert(r.getDouble(2) <= 1.0 && r.getDouble(2) >= -1.0)
+      assert(r.getLong(0) != r.getLong(1))
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 10)
+    }
+    // recall vs the exact top-10 through the 128-deep shortlist + exact
+    // re-rank (measured 0.80 at test SF; floor leaves noise headroom)
+    val brute = S.s1KnnBrute(spark, sf).select("q_id", "cand_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = a.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(brute).size.toDouble / brute.size
+    println(s"[spec] s11 recall@10 vs s1: $recall")
+    assert(recall >= 0.7, s"PQ recall $recall below floor 0.7")
+    // every reported similarity is the EXACT cosine (re-rank contract):
+    // each (q, cand) pair's cos_sim must equal the brute-force value
+    val exact = S.s1KnnBrute(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    a.foreach { r =>
+      exact.get((r.getLong(0), r.getLong(1))).foreach(e =>
+        assert(r.getDouble(2) == e, s"re-ranked cos diverged for $r")) }
+  }
+
   test("s7_knn_sq8: two-stage SQ8+rerank reproduces s1's exact top-10 at test SF") {
     val brute = graft.operators.Similarity.s1KnnBrute(spark, sf)
       .select("q_id", "cand_id", "cos_sim", "rk").collect()
