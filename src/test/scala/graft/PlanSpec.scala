@@ -280,6 +280,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), "s6 plans a nested-loop join")
   }
 
+  test("s11: PQ scan is broadcast-bounded (5-query side), never corpus x corpus") {
+    // the ADC scan joins the corpus against the CONSTANT-size query
+    // side on a non-equi condition: a nested-loop join is the right
+    // plan exactly BECAUSE one side is a broadcast of 5 rows (s1/s7
+    // share the shape) — what must never appear is an unbroadcast
+    // cartesian, which would be corpus x corpus at 100 TB
+    val p = plan("s11_knn_pq")
+    assert(!p.contains("CartesianProduct"), "s11 plans an unbroadcast cartesian")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "s11's query side is no longer broadcast — the scan shape regressed")
+  }
+
   test("x6: merge prunes the snapshot scan to the affected day partition") {
     import org.apache.spark.sql.execution.ExplainMode
     val E = graft.operators.Engine
