@@ -32,7 +32,7 @@ import graft.operators.SnapshotTable
   *     [WHEN NOT MATCHED BY SOURCE [AND <cond>] THEN DELETE]
   *   UPDATE <table> SET col = expr [, col = expr]* WHERE <predicate>
   *   RESTORE TABLE <table> TO VERSION AS OF <version | 'tag' | tag>
-  *   CREATE TABLE <table> SHALLOW|DEEP CLONE <table> [VERSION AS OF <version>]
+  *   CREATE TABLE <table> SHALLOW|DEEP CLONE <table> [VERSION AS OF <version | 'tag' | tag>]
   *   REORG TABLE <table> APPLY (PURGE)
   *   ALTER TABLE <table> CREATE TAG <name> [AS OF VERSION <n>]
   *   ALTER TABLE <table> DROP TAG <name>
@@ -157,8 +157,20 @@ object SnapshotSql {
     s"""(?is)\\s*RESTORE\\s+TABLE\\s+($Ref)\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*""".r
   // Delta's zero-copy fork, spelled identically: the clone's v1 is one
   // manifest commit re-listing the source version's files by reference
+  // CLONE's version position takes the same NUMBER-or-TAG refs as
+  // RESTORE — snapshot-copying is where named refs are most natural
   private val Clone =
-    s"""(?is)\\s*CREATE\\s+TABLE\\s+($Ref)\\s+(SHALLOW|DEEP)\\s+CLONE\\s+($Ref)(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?\\s*""".r
+    s"""(?is)\\s*CREATE\\s+TABLE\\s+($Ref)\\s+(SHALLOW|DEEP)\\s+CLONE\\s+($Ref)(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+|'[^']+'|[A-Za-z_][A-Za-z0-9_\\-]*))?\\s*""".r
+
+  /** Resolve a SQL version-position argument — a number, a 'quoted' or
+    * bare tag name — against `root`'s refs (the shared decode point of
+    * RESTORE's and CLONE's VERSION AS OF). */
+  private def versionRefArg(root: String, raw0: String): Int = {
+    val raw = raw0.trim
+    val ref = if (raw.startsWith("'") && raw.endsWith("'") && raw.length >= 2)
+      raw.substring(1, raw.length - 1) else raw
+    SnapshotTable.resolveVersionRef(root, ref)
+  }
   // the ANSI MERGE spelling (match-discovering; the CLUSTER BY form
   // above is the caller-labeled changeset primitive). Aliases are
   // REQUIRED (they disambiguate every t./s. reference in conditions and
@@ -641,17 +653,14 @@ object SnapshotSql {
       SnapshotTable.delete(s, resolveRef(s, ref), pred)
     case Restore(ref, toVersion) =>
       val root = resolveRef(s, ref)
-      val raw = toVersion.trim
-      val vRef = if (raw.startsWith("'") && raw.endsWith("'") && raw.length >= 2)
-        raw.substring(1, raw.length - 1) else raw
-      SnapshotTable.restore(root, SnapshotTable.resolveVersionRef(root, vRef))
+      SnapshotTable.restore(root, versionRefArg(root, toVersion))
     case Clone(dst, mode, src, version) =>
+      val srcRoot = resolveRef(s, src)
+      val v = Option(version).map(versionRefArg(srcRoot, _))
       if (mode.equalsIgnoreCase("deep"))
-        SnapshotTable.deepClone(s, resolveRef(s, src), resolveRef(s, dst),
-          Option(version).map(_.toInt))
+        SnapshotTable.deepClone(s, srcRoot, resolveRef(s, dst), v)
       else
-        SnapshotTable.shallowClone(resolveRef(s, src), resolveRef(s, dst),
-          Option(version).map(_.toInt))
+        SnapshotTable.shallowClone(srcRoot, resolveRef(s, dst), v)
     case CreateTag(ref, name, version) =>
       SnapshotTable.createTag(resolveRef(s, ref), name,
         Option(version).map(_.toInt))

@@ -685,9 +685,14 @@ object Streams {
       .format("memory").queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    // AvailableNow's contract IS self-termination — await it, never stop()
-    require(q.awaitTermination(300000L),
-      "AvailableNow stream did not self-terminate after draining the backlog")
+    // AvailableNow's contract IS self-termination — await it; a hung
+    // drain stops before failing so no live query leaks into the
+    // shared session
+    if (!q.awaitTermination(300000L)) {
+      q.stop()
+      throw new IllegalStateException(
+        "AvailableNow stream did not self-terminate after draining the backlog")
+    }
     s.table(name)
       .groupBy(col("ep_day"))
       .agg(count(lit(1)).as("n_events"),
@@ -746,18 +751,30 @@ object Streams {
     * against — proving stream-consumed CDF ≡ table end state. At
     * 100 TB each micro-batch reads one commit's changed files, never
     * the table. */
-  def st12StreamCdf(s: SparkSession, d: String): DataFrame = {
-    val name = freshName("st12_out")
+  def st12StreamCdf(s: SparkSession, d: String): DataFrame =
+    cdfSignedFold(s, d, availableNow = false)
+
+  /** The ONE signed-fold CDC consumer st12 and st16 both prove: the
+    * fold runs INSIDE the stream as a stateful aggregate (complete
+    * mode) — per-batch state and sink size are bounded by the DAY
+    * cardinality, not the feed length; materializing raw change rows
+    * in the sink and folding after would funnel the whole feed
+    * through the driver (the 32× probe measured exactly that term
+    * before this shape). This is also the production consumer: CDC →
+    * continuously-maintained aggregate. `availableNow` switches the
+    * 24/7 drain (st12) to the bounded backfill (st16: one commit per
+    * batch, start-time-capped, self-terminating) — the fold, and
+    * therefore the oracle both queries share, is literally the same
+    * code. */
+  private def cdfSignedFold(s: SparkSession, d: String,
+      availableNow: Boolean): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val name = freshName(if (availableNow) "st16_out" else "st12_out")
     val root = graft.operators.SnapshotTable.mergeTable(s, d)
-    // the signed fold runs INSIDE the stream as a stateful aggregate
-    // (complete mode): per-batch state and sink size are bounded by the
-    // DAY cardinality, not the feed length — materializing raw change
-    // rows in the sink and folding after would funnel the whole feed
-    // through the driver (the 32× probe measured exactly that term
-    // before this shape). This is also the production consumer: CDC →
-    // continuously-maintained aggregate.
-    val q = s.readStream.format("graft-snapshot")
-      .option("readChangeFeed", "true").load(root)
+    val reader = s.readStream.format("graft-snapshot")
+      .option("readChangeFeed", "true")
+    val folded = (if (availableNow) reader.option("maxVersionsPerTrigger", "1")
+      else reader).load(root)
       .withColumn("sgn", when(col("_change_type")
         .isin("insert", "update_postimage"), 1L).otherwise(-1L))
       .groupBy(col("ep_day"))
@@ -766,10 +783,21 @@ object Streams {
           .cast("decimal(18,6)").as("value_dec"))
       .writeStream.outputMode(OutputMode.Complete)
       .format("memory").queryName(name)
-      .start()
-    q.processAllAvailable()
-    drainProgress(q)
-    q.stop()
+    if (availableNow) {
+      val q = folded.trigger(Trigger.AvailableNow()).start()
+      // a hung drain must not leak a live query into the shared
+      // session — stop before failing
+      if (!q.awaitTermination(300000L)) {
+        q.stop()
+        throw new IllegalStateException(
+          "CDF AvailableNow stream did not self-terminate after the history")
+      }
+    } else {
+      val q = folded.start()
+      q.processAllAvailable()
+      drainProgress(q)
+      q.stop()
+    }
     s.table(name)
       .select(col("ep_day"), col("n_events"),
         col("value_dec").cast("double").as("value_sum"))
@@ -787,30 +815,8 @@ object Streams {
     * the identical change stream the 24/7 one does. At 100 TB this is
     * the nightly index-refresh verb: bounded batches, bounded
     * lifetime, checkpoint-resumable. */
-  def st16StreamCdfAvailableNow(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.streaming.Trigger
-    val name = freshName("st16_out")
-    val root = graft.operators.SnapshotTable.mergeTable(s, d)
-    val q = s.readStream.format("graft-snapshot")
-      .option("readChangeFeed", "true")
-      .option("maxVersionsPerTrigger", "1").load(root)
-      .withColumn("sgn", when(col("_change_type")
-        .isin("insert", "update_postimage"), 1L).otherwise(-1L))
-      .groupBy(col("ep_day"))
-      .agg(sum(col("sgn")).as("n_events"),
-        sum(col("value").cast("decimal(18,6)") * col("sgn"))
-          .cast("decimal(18,6)").as("value_dec"))
-      .writeStream.outputMode(OutputMode.Complete)
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    require(q.awaitTermination(300000L),
-      "CDF AvailableNow stream did not self-terminate after the history")
-    s.table(name)
-      .select(col("ep_day"), col("n_events"),
-        col("value_dec").cast("double").as("value_sum"))
-      .orderBy("ep_day")
-  }
+  def st16StreamCdfAvailableNow(s: SparkSession, d: String): DataFrame =
+    cdfSignedFold(s, d, availableNow = true)
 
   /** st14_stream_cdf_mv — the CDC loop CLOSED: a materialized view in
     * its own snapshot table, kept fresh by the streaming change feed

@@ -170,13 +170,22 @@ class NonSqlOracleSpec extends AnyFunSuite {
     val recall = got.intersect(brute).size.toDouble / brute.size
     println(s"[spec] s11 recall@10 vs s1: $recall")
     assert(recall >= 0.7, s"PQ recall $recall below floor 0.7")
-    // every reported similarity is the EXACT cosine (re-rank contract):
-    // each (q, cand) pair's cos_sim must equal the brute-force value
-    val exact = S.s1KnnBrute(spark, sf).collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
-    a.foreach { r =>
-      exact.get((r.getLong(0), r.getLong(1))).foreach(e =>
-        assert(r.getDouble(2) == e, s"re-ranked cos diverged for $r")) }
+    // EVERY reported similarity is the EXACT cosine (re-rank contract)
+    // — recall-miss pairs included, so the check recomputes each pair
+    // from the quantized vectors instead of only covering pairs s1
+    // happened to also report
+    val qn = graft.sources.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => round(x.cast("double") * 1000.0, 0).cast("long")).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toIndexedSeq).toMap
+    def cosExact(x: Long, y: Long): Double = {
+      val (va, vb) = (qn(x), qn(y))
+      val dot = va.zip(vb).map { case (p, q) => p * q }.sum.toDouble
+      dot / (math.sqrt(va.map(v => v * v).sum.toDouble) *
+        math.sqrt(vb.map(v => v * v).sum.toDouble))
+    }
+    a.foreach(r => assert(r.getDouble(2) == cosExact(r.getLong(0), r.getLong(1)),
+      s"re-ranked cos diverged from exact for $r"))
   }
 
   test("s7_knn_sq8: two-stage SQ8+rerank reproduces s1's exact top-10 at test SF") {

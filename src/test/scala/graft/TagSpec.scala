@@ -136,6 +136,13 @@ class TagSpec extends AnyFunSuite {
     val e = intercept[Exception](
       spark.sql(s"RESTORE TABLE '$root' TO VERSION AS OF ghost").collect())
     assert(e.getMessage.contains("unknown version or tag"), e.getMessage)
+    // CLONE speaks the same refs: a clone pinned by tag copies v1
+    val clone = Engine.tmpDir("graft_tag_clone_by_tag")
+    Engine.listDir(Paths.get(clone)).foreach(Engine.deleteRecursively)
+    spark.sql(s"CREATE TABLE '$clone' SHALLOW CLONE '$root' VERSION AS OF 'good'")
+      .collect()
+    assert(ST.read(spark, clone).collect().map(_.getLong(0)).toSet ==
+      (1L to 10L).toSet, "clone-by-tag did not pin the tagged snapshot")
   }
 
   test("SHOW TAGS lists live refs name-sorted; empties after drops") {
