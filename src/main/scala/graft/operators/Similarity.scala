@@ -723,7 +723,126 @@ object Similarity {
       .orderBy("q_id", "rk")
   }
 
+  private[graft] val IvfPqProbes = 6 // lists searched per query (of IvfLists)
+
+  /** s12_knn_ivfpq — IVF-PQ, the production FAISS composition (r20):
+    * s5's KMeans coarse quantizer assigns each vector to one of
+    * [[IvfLists]] inverted lists; the vector's RESIDUAL against its
+    * list centroid is product-quantized with TRAINED per-subspace
+    * codebooks ([[PqM]] seed-pinned KMeans fits of [[PqK]] codewords
+    * each — k-means on subvectors, not s11's anchor samples); the
+    * query-time scan touches ONLY its [[IvfPqProbes]] nearest lists
+    * and scores each encoded row by ADC: dot(q, x̂) = dot(q, centroid)
+    * (one per probed list) + Σⱼ lut[j][codeⱼ] (PqM table lookups per
+    * row — never a dim-length dot); the [[PqShortlist]]-deep exact
+    * re-rank restores true ordering among survivors (s7/s11's
+    * discipline). At 100 TB: the encoded corpus is ~PqM bytes+cell per
+    * vector, shuffled ONCE on cell id; a query reads IvfPqProbes/
+    * IvfLists of it; codebooks are driver-held constants (IvfLists×dim
+    * + PqM×PqK×(dim/PqM) doubles — KB, broadcast). Iterative float
+    * training has no SQL twin → rows-only; OperatorsSpec pins validity,
+    * determinism and the recall floor vs s1. */
+  def s12KnnIvfPq(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val q = quantized(s, d)
+    val dim = q.select(size(col("qv"))).head().getInt(0)
+    require(dim % PqM == 0, s"IVF-PQ: dim $dim must split into $PqM subspaces")
+    val subLen = dim / PqM
+    val fq = q.withColumn("fvec",
+      array_to_vector(transform(col("qv"), v => v.cast("double")))).cache()
+    // coarse quantizer: s5's machinery verbatim (same K, same seed)
+    val model = new KMeans().setK(IvfLists).setSeed(7L).setMaxIter(10)
+      .setFeaturesCol("fvec").setPredictionCol("cell").fit(fq)
+    val cents: Seq[Seq[Double]] = model.clusterCenters.toSeq.map(_.toArray.toSeq)
+    val centL = typedLit(cents)
+    val assigned = model.transform(fq).select("vec_id", "qv", "nrm", "cell")
+    // residual r = v − centroid[cell] (double domain — centroids are means)
+    val withRes = assigned.withColumn("res",
+      zip_with(col("qv"), element_at(centL, col("cell") + 1),
+        (v, c) => v.cast("double") - c))
+    // TRAINED per-subspace codebooks on the residuals: each fit is a
+    // distributed KMeans over the corpus's j-th subvectors; only the
+    // PqK×subLen centroid matrix ever reaches the driver
+    val cb: Seq[Seq[Seq[Double]]] = (0 until PqM).map { j =>
+      val sub = withRes.select(array_to_vector(
+        slice(col("res"), j * subLen + 1, subLen)).as("sv"))
+      new KMeans().setK(PqK).setSeed(11L + j).setMaxIter(10)
+        .setFeaturesCol("sv").setPredictionCol("c")
+        .fit(sub).clusterCenters.toSeq.map(_.toArray.toSeq)
+    }
+    val cbn: Seq[Seq[Double]] = cb.map(_.map(cw => cw.map(x => x * x).sum))
+    val cbL = typedLit(cb)
+    val cbnL = typedLit(cbn)
+    def subDot(vec: Column, j: Column, c: Column): Column =
+      aggregate(sequence(lit(0), lit(subLen - 1)), lit(0.0),
+        (acc, i) => acc + element_at(vec, j * subLen + i + 1).cast("double") *
+          element_at(element_at(element_at(cbL, j + 1), c + 1), i + 1))
+    // ENCODE: per subspace the argmin-distance codeword over the
+    // residual — ||cb||² − 2·dot, first minimum wins (deterministic)
+    val codesCol = transform(sequence(lit(0), lit(PqM - 1)), j => {
+      val dists = transform(sequence(lit(0), lit(PqK - 1)), c =>
+        element_at(element_at(cbnL, j + 1), c + 1) - lit(2.0) * subDot(col("res"), j, c))
+      array_position(dists, array_min(dists)) - 1
+    })
+    val encoded = withRes.select(col("vec_id"), col("nrm"), col("cell"),
+      codesCol.as("codes"))
+    // query side: probe selection (s5's distributed shape — centroids
+    // broadcast, window keeps the nearest lists) + the per-query ADC
+    // lookup table and per-probe dot(q, centroid)
+    val centroids = {
+      import s.implicits._
+      cents.zipWithIndex.map { case (c, i) => (i, c) }.toDF("probe_cell", "cvec")
+    }
+    val pw = Window.partitionBy(col("q_id")).orderBy(asc("cdist"), asc("probe_cell"))
+    val probes = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("qv"), col("nrm").as("q_nrm"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("cdist", aggregate(
+        zip_with(col("qv"), col("cvec"),
+          (v, c) => (v.cast("double") - c) * (v.cast("double") - c)),
+        lit(0.0), _ + _))
+      .withColumn("qcdot", aggregate(
+        zip_with(col("qv"), col("cvec"), (v, c) => v.cast("double") * c),
+        lit(0.0), _ + _))
+      .withColumn("prk", row_number().over(pw))
+      .filter(col("prk") <= IvfPqProbes)
+      .withColumn("lut", transform(sequence(lit(0), lit(PqM - 1)), j =>
+        transform(sequence(lit(0), lit(PqK - 1)), c => subDot(col("qv"), j, c))))
+      .select("q_id", "probe_cell", "qcdot", "lut", "q_nrm")
+    // ADC over PROBED lists only: equi join on cell id — the corpus
+    // side reads IvfPqProbes/IvfLists of the table; per row the score
+    // is PqM lookups + adds (dot(q, x̂) = dot(q, cent) + Σ lut[code])
+    val adcRes = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0), (acc, j) =>
+      acc + element_at(element_at(col("lut"), j + 1),
+        (element_at(col("codes"), j + 1) + 1).cast("int")))
+    val wPq = Window.partitionBy(col("q_id")).orderBy(desc("cos_pq"), asc("cand_id"))
+    val shortlist = encoded.join(broadcast(probes),
+        col("cell") === col("probe_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("cand_id"),
+        ((col("qcdot") + adcRes) /
+          (sqrt(col("q_nrm").cast("double")) * sqrt(col("nrm").cast("double"))))
+          .as("cos_pq"))
+      .withColumn("rkp", row_number().over(wPq))
+      .filter(col("rkp") <= PqShortlist)
+      .select("q_id", "cand_id")
+    // exact re-rank on the shortlist (quantization can demote true
+    // neighbors out of the pool, never fabricate false ones in)
+    val qq = q.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
+    val cand = q.select(col("vec_id").as("cand_id"), col("qv"), col("nrm"))
+    val w = Window.partitionBy(col("q_id")).orderBy(desc("cos_sim"), asc("cand_id"))
+    shortlist.join(cand, "cand_id").join(broadcast(qq), "q_id")
+      .select(col("q_id"), col("cand_id"),
+        cosine(graft.functions.quantized_dot(col("q_qv"), col("qv")),
+          col("q_nrm"), col("nrm")).as("cos_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .orderBy("q_id", "rk")
+  }
+
   val entries: Map[String, ((SparkSession, String) => DataFrame, Option[String])] = Map(
+    "s12_knn_ivfpq" -> (s12KnnIvfPq _, None),
     "s11_knn_pq" -> (s11KnnPq _, None),
     "s10_knn_graph" -> (s10KnnGraph _, None),
     "s9_range_search" -> (s9RangeSearch _, Some(s9Sql)),

@@ -673,27 +673,72 @@ object SnapshotTable {
     try f(reader, in.getLength) finally reader.close()
   }
 
+  /** Per-file stats harvest from an OPEN footer. Beyond the declared
+    * primary `keyCol` and any explicit `extraCols`, min/max is
+    * harvested for EVERY eligible column — top-level signed INT32/
+    * INT64, capped at [[MaxAutoStatsCols]] in schema order (Delta
+    * collects stats on the first 32 columns by the same reasoning) —
+    * so a predicate on ANY integral column can prune files, not just
+    * one declared cluster column (r20). The harvest is pure footer
+    * arithmetic on metadata already in memory: zero extra IO per file.
+    * Columns whose footer statistics aren't plain signed ints (DATE,
+    * DECIMAL, UINT annotations, binary) yield no entry — unknown
+    * columns never prune, so skipping them is always sound. Internal
+    * `__`-prefixed columns (materialized __row_id) are excluded: their
+    * stats would be manifest noise no query can name. */
   private def statsEntry(reader: org.apache.parquet.hadoop.ParquetFileReader,
       rel: String, keyCol: String, extraCols: Seq[String]): FileEntry = {
     import scala.jdk.CollectionConverters._
     val blocks = reader.getFooter.getBlocks.asScala.toSeq
     val rows = blocks.map(_.getRowCount).sum
+    // genericGetMin/Max of non-int columns (Binary, Double, Boolean)
+    // surface as their own types: None, never a MatchError — a
+    // harvest must degrade to "no stats", not fail the commit
+    def asLong(v: Any): Option[Long] = v match {
+      case l: java.lang.Long => Some(l.longValue)
+      case i: java.lang.Integer => Some(i.longValue)
+      case _ => None
+    }
     def colStats(c: String): Option[(Long, Long)] = {
       val stats = blocks.flatMap(_.getColumns.asScala
           .filter(_.getPath.toDotString == c).map(_.getStatistics))
         .filter(s => s != null && s.hasNonNullValue)
-      def asLong(v: Any): Long = v match {
-        case l: java.lang.Long => l.longValue
-        case i: java.lang.Integer => i.longValue
-      }
-      if (stats.isEmpty) None
-      else Some((stats.map(s => asLong(s.genericGetMin)).min,
-        stats.map(s => asLong(s.genericGetMax)).max))
+      val los = stats.flatMap(s => asLong(s.genericGetMin))
+      val his = stats.flatMap(s => asLong(s.genericGetMax))
+      if (los.isEmpty || los.size != stats.size || his.size != stats.size) None
+      else Some((los.min, his.max))
+    }
+    // auto-harvest candidates: top-level signed integral primitives, in
+    // schema order, minus the primary, reserved and internal names
+    val auto = {
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      reader.getFooter.getFileMetaData.getSchema.getFields.asScala.toSeq
+        .filter(_.isPrimitive)
+        .filter { f =>
+          val p = f.asPrimitiveType()
+          val tn = p.getPrimitiveTypeName
+          (tn == PrimitiveTypeName.INT64 || tn == PrimitiveTypeName.INT32) &&
+            (p.getLogicalTypeAnnotation match {
+              case null => true
+              case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+              case _ => false // DATE/DECIMAL/TIME: footer ints ≠ query literals
+            })
+        }
+        .map(_.getName)
+        .filterNot(n => n == keyCol || n.startsWith("__"))
+        .take(MaxAutoStatsCols)
     }
     val (lo, hi) = colStats(keyCol).getOrElse((Long.MinValue, Long.MaxValue))
     FileEntry(rel, lo, hi, rows,
-      extraCols.flatMap(c => colStats(c).map { case (l, h) => (c, l, h) }))
+      (extraCols ++ auto).distinct
+        .flatMap(c => colStats(c).map { case (l, h) => (c, l, h) }))
   }
+
+  /** Cap on auto-harvested secondary stats columns per file (schema
+    * order) — bounds manifest growth on very wide tables, mirroring
+    * Delta's default of stats on the first 32 columns. */
+  private[graft] val MaxAutoStatsCols = 32
 
   private def commitLines(root: String, baseVersion: Int, lines: Seq[String]): Int = {
     Files.createDirectories(manifestDir(root))
@@ -2496,14 +2541,18 @@ object SnapshotTable {
     * — the operator's caller chooses when readers older than that are
     * known to be gone (in production: a retention window, not a call
     * site). */
-  def vacuum(root: String, keepFrom: Int): Unit = {
+  def vacuum(root: String, keepFrom: Int): Unit =
+    vacuumWithHook(root, keepFrom, () => ())
+
+  /** [[vacuum]] with a test seam between the manifest deletes and the
+    * post-delete ref re-read — how TagSpec injects the "tag committed
+    * after the final plan read" interleaving deterministically. */
+  private[graft] def vacuumWithHook(root: String, keepFrom: Int,
+      afterManifestDeletes: () => Unit): Unit = {
     // plan under a STABLE tag set: vacuum never commits, so CAS cannot
     // order it against a racing CREATE TAG — instead the plan re-runs
     // until the ref set read before and after it agree, so a tag that
     // landed mid-plan re-protects its version before anything deletes.
-    // (The residual window — a tag committing between the final read
-    // and the deletes below — is converted into a LOUD rolled-back
-    // failure by createTag's post-commit residency check.)
     def tagsNow: Set[Int] = {
       val cur = currentVersion(root)
       if (cur == 0) Set.empty else tagsOf(manifestMeta(root, cur)).values.toSet
@@ -2523,9 +2572,63 @@ object SnapshotTable {
     // gone → loud rollback) instead of passing on a still-present
     // manifest whose data files were already deleted. Shards follow
     // (a present manifest never points at deleted shards), data last.
+    // Dropped manifest/shard BYTES are captured first: the ref re-read
+    // below may have to resurrect one (r20, ADVICE — shards are
+    // per-commit immutable, so a dropped manifest's shards are always
+    // in deadShards and never shared with a survivor).
+    val manifestBytes: Map[Int, Array[Byte]] =
+      drop.map(v => v -> Files.readAllBytes(manifestPath(root, v))).toMap
+    val shardBytes: Map[String, Array[Byte]] =
+      deadShards.map(p => p.getFileName.toString -> Files.readAllBytes(p)).toMap
     drop.foreach(v => Files.deleteIfExists(manifestPath(root, v)))
-    deadShards.foreach(Files.deleteIfExists(_))
-    dead.foreach(Files.deleteIfExists(_))
+    afterManifestDeletes()
+    // CLOSE the residual window (r20, ADVICE): a CREATE TAG that
+    // committed after the final stable-set read above could have run
+    // its post-commit residency check BEFORE the manifest delete —
+    // passing — and would then dangle once data died. Re-reading the
+    // refs here, AFTER the manifests are gone, makes every
+    // interleaving end consistent-or-loud: a tag visible now gets its
+    // version RESURRECTED (manifest + shards restored from the
+    // captured bytes, its files spared below); a tag committing after
+    // this read finds the manifest already deleted and rolls itself
+    // back loudly (createTag's residency check). Nothing can pass the
+    // check AND miss this read: the check needs the manifest present,
+    // which after this point only a rescued version has.
+    val rescued: Seq[Int] = tagsNow.intersect(drop.toSet).toSeq.sorted
+    val (dead2, deadShards2) =
+      if (rescued.isEmpty) (dead, deadShards)
+      else {
+        val neededShards: Set[String] = rescued.flatMap { v =>
+          new String(manifestBytes(v)).split('\n').toSeq
+            .collect { case l if l.startsWith(">") => l.drop(1) }
+        }.toSet
+        // shards first (a present manifest never points at absent
+        // shards), manifests via tmp+atomic-move (no partial reads)
+        neededShards.foreach { s =>
+          Files.write(manifestDir(root).resolve(s), shardBytes(s))
+        }
+        rescued.foreach { v =>
+          val tmp = manifestDir(root).resolve(s".rescue_v$v.tmp")
+          Files.write(tmp, manifestBytes(v))
+          Files.move(tmp, manifestPath(root, v),
+            StandardCopyOption.ATOMIC_MOVE)
+        }
+        // spare every file the rescued versions reference: data,
+        // DV sidecars, and (conservatively — the tag pins the
+        // snapshot's full addressability) their CDC files
+        val keepData: Set[String] = rescued.flatMap { v =>
+          manifest(root, v) ++
+            dvState(root, v).values.map(r => Paths.get(root, r).toString) ++
+            manifestMeta(root, v).get("cdc").toSeq.flatMap(spec =>
+              spec.split(';').toSeq.flatMap(grp =>
+                grp.split("=", 2)(1).split(',').toSeq))
+              .map(r => Paths.get(root, r).toString)
+        }.toSet
+        (dead.filterNot(p => keepData.contains(p.toString)),
+          deadShards.filterNot(p => neededShards.contains(p.getFileName.toString)))
+      }
+    deadShards2.foreach(Files.deleteIfExists(_))
+    dead2.foreach(Files.deleteIfExists(_))
   }
 
   /** The reclamation PLAN vacuum executes — (dropped versions, dead
@@ -5371,6 +5474,39 @@ object SnapshotTable {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
       .orderBy("ep_day")
 
+  /** x54_column_stats — file pruning on a NON-cluster column (r20): the
+    * same day-clustered table as x15/x21 (statsCol = ep_day), queried
+    * by an `event_id` range through the standard DSv2 `.filter(...)`
+    * route. The commit-time harvest collects min/max for EVERY
+    * top-level integral column, so the scan builder judges the
+    * event_id predicate against each file's own harvested range —
+    * event_ids are assigned in timestamp order, so the day-clustered
+    * layout gives tight disjoint per-file event_id ranges and the
+    * middle-quartile window opens ~2 of 7 files (PlanSpec counts
+    * them). This is Delta's default-32-column stats behavior: a
+    * user's SECOND predicate prunes without any declared cluster or
+    * z-order relationship. The window bounds derive from the
+    * manifest's own row counts (event ids are 0..count-1), so the
+    * query holds at any SF; the DuckDB oracle computes the same
+    * bounds from COUNT(*). */
+  def x54ColumnStats(s: SparkSession, d: String): DataFrame = {
+    val root = statsTable(s, d)
+    val n = manifestEntries(root, currentVersion(root)).map(_.rows).sum
+    s.read.format("graft-snapshot").load(root)
+      .filter(col("event_id") >= n / 4 && col("event_id") < n / 2)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .orderBy("event_type")
+  }
+
+  val x54Sql: String =
+    """WITH n AS (SELECT COUNT(*) AS c FROM events)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM events, n WHERE event_id >= c // 4 AND event_id < c // 2
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** x23_incremental_mv — materialized-view maintenance from the change
     * feed, the job x19's CDC exists to power: the day-grain aggregate
     * MV computed at v1 is brought to v2 by applying ONE commit's
@@ -5461,6 +5597,7 @@ object SnapshotTable {
     "x51_reorg_purge" -> (x51ReorgPurge _, Some(x51Sql)),
     "x52_table_tags" -> (x52TableTags _, Some(x52Sql)),
     "x53_deep_clone" -> (x53DeepClone _, Some(x53Sql)),
+    "x54_column_stats" -> (x54ColumnStats _, Some(x54Sql)),
   )
 
   /** x24_catalog_sql — the name-addressed warehouse surface end-to-end

@@ -838,6 +838,31 @@ private[graft] class SnapshotScanBuilder(root: String, full: StructType,
         .map(c => SnapshotTable.logicalName(SnapshotTable.colMap(root, version), c))
     else None
 
+  /** Every column a comparison filter can prune FILES on (r20):
+    * logical name → physical name for each top-level signed-integral
+    * column of the table schema. The manifest's per-entry stats are a
+    * primary [lo, hi] (the statsCol) plus `extra` per-column ranges the
+    * commit-time harvest now collects for every such column — so a
+    * predicate on a NON-cluster column (`WHERE user_id = ?` on a
+    * day-clustered table) narrows the planned file set too, exactly
+    * Delta's multi-column file skipping. Entries without the stat
+    * (pre-r20 commits, all-null files) serve the never-pruned sentinel:
+    * pruning is sound by construction, the residual filter re-checks
+    * rows either way. Restricted to plain integral logical types — a
+    * DecimalType/DateType literal's long() coercion would compare a
+    * SCALED value against unscaled footer ints, an unsound judgment. */
+  private val prunableCols: Map[String, String] =
+    if (version == 0) Map.empty
+    else {
+      val map = SnapshotTable.colMap(root, version)
+      full.fields.iterator.filter(f => f.dataType == LongType ||
+          f.dataType == IntegerType ||
+          f.dataType == org.apache.spark.sql.types.ShortType ||
+          f.dataType == org.apache.spark.sql.types.ByteType)
+        .map(f => f.name -> SnapshotTable.physicalName(map, f.name))
+        .toMap
+    }
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     // Spark hands the required columns in table-schema order; an empty
     // projection (count(*)) still decodes zero columns per row
@@ -882,12 +907,20 @@ private[graft] class SnapshotScanBuilder(root: String, full: StructType,
     * bounds (the derived filter is a FILE judgment only — the input
     * filter itself stays residual like everything else). */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    // a filter prunes files when it bounds ANY stats-carrying column —
+    // the declared statsCol or any auto-harvested integral column
+    // (r20); derived bounds additionally map generated-column inputs
+    // onto the stats column. Tables with no statsCol meta keep the
+    // pre-r20 contract (no pruning) — their manifests predate the
+    // general harvest, so extras would be absent anyway.
     pushed = statsCol match {
-      case Some(c) =>
-        val direct = filters.filter(SnapshotScanBuilder.bound(_, c).isDefined)
-        val derived = genDerive.toArray.flatMap { case (in, g) =>
-          filters.flatMap(SnapshotScanBuilder.deriveOnStats(_, in, c, g))
-        }
+      case Some(_) =>
+        val direct = filters.filter(f =>
+          prunableCols.keys.exists(c => SnapshotScanBuilder.bound(f, c).isDefined))
+        val derived = statsCol.toArray.flatMap(c =>
+          genDerive.toArray.flatMap { case (in, g) =>
+            filters.flatMap(SnapshotScanBuilder.deriveOnStats(_, in, c, g))
+          })
         direct ++ derived
       case None => Array.empty
     }
@@ -965,7 +998,8 @@ private[graft] class SnapshotScanBuilder(root: String, full: StructType,
   }
 
   override def build(): Scan =
-    new SnapshotScan(root, version, pruned, pushed.toSeq, statsCol, aggAnswer, options)
+    new SnapshotScan(root, version, pruned, pushed.toSeq, statsCol, prunableCols,
+      aggAnswer, options)
 }
 
 private[graft] object SnapshotScanBuilder {
@@ -1082,6 +1116,7 @@ private[graft] object SnapshotScanBuilder {
 
 private[sources] class SnapshotScan(root: String, version: Int,
     pruned: StructType, pushed: Seq[Filter], statsCol: Option[String],
+    prunableCols: Map[String, String],
     aggAnswer: Option[(StructType, Array[Any])],
     options: CaseInsensitiveStringMap)
     extends Scan with SupportsReportStatistics
@@ -1106,26 +1141,54 @@ private[sources] class SnapshotScan(root: String, version: Int,
     * the query text. Sound by the same argument as pushed filters:
     * stats exclude whole files only when NO row can match (the join
     * itself re-applies the condition row-wise). */
+  /** Columns whose file-level stats can judge a filter (r20: the
+    * statsCol plus every auto-harvested integral column), logical →
+    * physical. The manifest's primary [lo, hi] answers the statsCol;
+    * `extra` ranges answer the rest; a column absent from an entry's
+    * extras serves the never-pruned sentinel — judgments are sound on
+    * any manifest vintage. */
+  private val judgeCols: Map[String, String] =
+    prunableCols ++ statsCol.map(sc => sc -> prunableCols.getOrElse(sc, sc))
+  /** The PHYSICAL statsCol name — what entry.statsFor treats as the
+    * primary-range column. */
+  private val primaryPhys: String =
+    statsCol.map(sc => prunableCols.getOrElse(sc, sc)).getOrElse("")
+
   override def filterAttributes():
       Array[org.apache.spark.sql.connector.expressions.NamedReference] =
     // an aggregate-answered scan outputs the answer row, not table
     // columns — nothing to runtime-filter on (the answers are computed
     // from the FULL manifest at plan time, so advertising the stats
     // column here would invite filters the answer ignores)
-    if (aggOnly) Array.empty
-    else statsCol.toArray.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+    // only columns the scan actually OUTPUTS: Spark resolves these refs
+    // against the projected schema, so advertising a pruned-away
+    // column fails analysis (the projection dropped it — no join can
+    // runtime-filter on it anyway)
+    if (aggOnly || statsCol.isEmpty) Array.empty
+    else judgeCols.keys.toArray.filter(pruned.fieldNames.contains).sorted
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
 
   private var runtimeKeep: Option[SnapshotTable.FileEntry => Boolean] = None
-  override def filter(filters: Array[Filter]): Unit = statsCol.foreach { c =>
-    val keeps = filters.flatMap {
-      case In(a, vs) if a == c =>
-        val longs = vs.flatMap(SnapshotScanBuilder.longValue)
-        // non-numeric key values: no sound file-level judgment — keep all
-        if (longs.length != vs.length) None
-        else Some((e: SnapshotTable.FileEntry) => longs.exists(v => e.lo <= v && e.hi >= v))
-      case f => SnapshotScanBuilder.bound(f, c).map { case (qlo, qhi) =>
-        (e: SnapshotTable.FileEntry) => e.lo <= qhi && e.hi >= qlo
-      }
+  override def filter(filters: Array[Filter]): Unit = if (statsCol.isDefined) {
+    val keeps = filters.flatMap { f =>
+      judgeCols.iterator.flatMap { case (c, p) =>
+        f match {
+          case In(a, vs) if a == c =>
+            val longs = vs.flatMap(SnapshotScanBuilder.longValue)
+            // non-numeric key values: no sound file-level judgment — keep all
+            if (longs.length != vs.length) None
+            else Some((e: SnapshotTable.FileEntry) => {
+              val (l, h) = e.statsFor(p, primaryPhys)
+              longs.exists(v => l <= v && h >= v)
+            })
+          case _ => SnapshotScanBuilder.bound(f, c).map { case (qlo, qhi) =>
+            (e: SnapshotTable.FileEntry) => {
+              val (l, h) = e.statsFor(p, primaryPhys)
+              l <= qhi && h >= qlo
+            }
+          }
+        }
+      }.toSeq
     }
     if (keeps.nonEmpty)
       runtimeKeep = Some(e => keeps.forall(_(e))) // filters AND together
@@ -1292,14 +1355,25 @@ private[sources] class SnapshotScan(root: String, version: Int,
     // TABLE before the first INSERT): a valid empty scan, no manifest
     if (version == 0) return Nil
     val all = SnapshotTable.manifestEntries(root, version)
-    val statically = (statsCol, pushed) match {
-      case (Some(c), ps) if ps.nonEmpty =>
-        val bounds = ps.flatMap(SnapshotScanBuilder.bound(_, c))
-        val qlo = bounds.map(_._1).max
-        val qhi = bounds.map(_._2).min
-        all.filter(e => e.lo <= qhi && e.hi >= qlo)
-      case _ => all
-    }
+    // per-column pruning (r20): every pushed filter that bounds a
+    // stats-carrying column judges each entry's harvested range for
+    // THAT column — filters AND together, so an entry survives only if
+    // every bound intersects its stats. Pre-r20 manifests carry extras
+    // only for the statsCol (and z-order pairs): other columns serve
+    // the sentinel and never prune — sound on any vintage.
+    val bounds: Seq[(String, (Long, Long))] =
+      if (statsCol.isEmpty) Nil
+      else pushed.flatMap(f =>
+        judgeCols.keysIterator.flatMap(c =>
+          SnapshotScanBuilder.bound(f, c).map(c -> _)).toSeq)
+    val statically =
+      if (bounds.isEmpty) all
+      else all.filter { e =>
+        bounds.forall { case (c, (qlo, qhi)) =>
+          val (l, h) = e.statsFor(judgeCols(c), primaryPhys)
+          l <= qhi && h >= qlo
+        }
+      }
     runtimeKeep.fold(statically)(statically.filter)
   }
 

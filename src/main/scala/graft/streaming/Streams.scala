@@ -628,6 +628,98 @@ object Streams {
       |  CAST(SUM(CASE WHEN s_user IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** st17_stream_stream_full_outer — watermarked stream-stream FULL
+    * OUTER join, completing the streaming join matrix (st7 is the
+    * inner form, st13 the left outer): matched pairs emit on match; an
+    * unmatched purchase emits NULL-extended once the advancing
+    * watermark PROVES no signup can still arrive, and an unmatched
+    * signup emits NULL-extended once no purchase can — emit-on-proof
+    * on BOTH sides, which is what distinguishes full outer from
+    * running two independent outer joins. Same chronological batches,
+    * 1h join window, 1h watermark delay and far-future flush sentinel
+    * as st13, so the complete result materializes deterministically
+    * and the DuckDB batch FULL JOIN checks it exactly. State lifecycle
+    * is st7's: O(window) resident rows, eviction gated by
+    * StateBoundSpec. */
+  def st17StreamStreamFullOuter(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val name = freshName("st17_out")
+    val evAll = Tables.events(s, d)
+      .withColumn("ep", expr("ts div 1000000000"))
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select("event_id", "user_id", "event_type", "ep")
+    // sentinel rows: negative ids/users (they can never join a real
+    // row), one per side so BOTH watermark nodes pass the flush time
+    val flush = Seq((-1L, -1L, "signup", St13Flush), (-2L, -2L, "purchase", St13Flush))
+      .toDF("event_id", "user_id", "event_type", "ep")
+    val batches = Seq(
+      "batch0" -> evAll.filter(col("ep") < St7Cut1),
+      "batch1" -> evAll.filter(col("ep") >= St7Cut1 && col("ep") < St7Cut2),
+      "batch2" -> evAll.filter(col("ep") >= St7Cut2),
+      "batch3" -> flush)
+    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    try st17Run(s, name, batches, evAll.schema)
+    finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+  }
+
+  private[graft] def st17Run(s: SparkSession, name: String,
+      batches: Seq[(String, DataFrame)],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val base = source.batched(s, "st17", schema, batches)
+      .withColumn("event_time", timestamp_seconds(col("ep")))
+    val signups = base.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("event_time").as("s_time"),
+        col("ep").as("s_ep"))
+      .withWatermark("s_time", "1 hour")
+    val purchases = base.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_time").as("p_time"),
+        col("ep").as("p_ep"), col("event_id"))
+      .withWatermark("p_time", "1 hour")
+    // the same watermarked-column range bound as st7/st13: it gives the
+    // join a state watermark on BOTH sides, which full outer needs to
+    // prove each side's unmatched rows
+    val joined = purchases.join(signups,
+      col("p_user") === col("s_user") &&
+        col("p_time") >= col("s_time") &&
+        col("p_time") <= col("s_time") + expr("INTERVAL 1 HOUR"),
+      "fullOuter")
+    val q = joined.writeStream
+      .outputMode(OutputMode.Append)
+      .format("memory").queryName(name)
+      .start()
+    q.processAllAvailable()
+    drainProgress(q)
+    q.stop()
+    // drop the two sentinel rows (each emits exactly one unmatched
+    // NULL-extended row on its own side; real ids and users are >= 0)
+    s.table(name)
+      .filter(coalesce(col("event_id"), lit(0L)) >= 0 &&
+        coalesce(col("s_user"), lit(0L)) >= 0)
+      .groupBy(expr("coalesce(p_ep, s_ep) div 86400").as("ep_day"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("s_user").isNull, 1L).otherwise(0L)).as("n_unmatched_purchases"),
+        sum(when(col("p_user").isNull, 1L).otherwise(0L)).as("n_unmatched_signups"))
+      .orderBy("ep_day")
+  }
+
+  val st17Sql: String =
+    """WITH e AS (SELECT event_id, user_id, event_type,
+      |  CAST(FLOOR(epoch(ts)) AS BIGINT) AS ep FROM events),
+      |s AS (SELECT user_id, ep FROM e WHERE event_type = 'signup'),
+      |p AS (SELECT user_id, ep, event_id FROM e WHERE event_type = 'purchase'),
+      |j AS (SELECT p.event_id, p.ep AS p_ep, p.user_id AS p_user,
+      |    s.user_id AS s_user, s.ep AS s_ep
+      |  FROM p FULL JOIN s ON p.user_id = s.user_id
+      |    AND p.ep >= s.ep AND p.ep <= s.ep + 3600)
+      |SELECT CAST(FLOOR(COALESCE(p_ep, s_ep) / 86400) AS BIGINT) AS ep_day,
+      |  COUNT(*) AS n_rows,
+      |  CAST(SUM(CASE WHEN s_user IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unmatched_purchases,
+      |  CAST(SUM(CASE WHEN p_user IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_unmatched_signups
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** st9_stream_table_read — tail the snapshot TABLE as a stream
     * through the DSv2 connector: offsets are committed versions, each
     * micro-batch ingests exactly one commit's appended files (st8's
@@ -902,6 +994,7 @@ object Streams {
     "st6_stream_session_state" -> (st6StreamSessionState _, None),
     "st7_stream_stream_join" -> (st7StreamStreamJoin _, Some(st7Sql)),
     "st13_stream_stream_outer" -> (st13StreamStreamOuter _, Some(st13Sql)),
+    "st17_stream_stream_full_outer" -> (st17StreamStreamFullOuter _, Some(st17Sql)),
     "st8_stream_snapshot_sink" ->
       (SnapshotSink.st8StreamSnapshotSink _, Some(SnapshotSink.st8Sql)),
     "st11_stream_upsert_sink" ->

@@ -230,8 +230,20 @@ class GenColSpec extends AnyFunSuite {
     ST.commitEntries(root2, 0, e2, 8, Map("statsCol" -> "d"))
     ST.setGeneratedColumn(spark, root2, "d", "(sec div 86400) * 2")
     val b2 = spark.read.format("graft-snapshot").load(root2)
-    assert(scanParts(b2.filter("sec >= 86400")) == 3,
-      "non-whitelisted derivation must not prune")
+    // the non-whitelisted derivation must contribute NO derived filter
+    // on the stats column (multiplication can overflow). Since r20 the
+    // input's OWN auto-harvested stats prune 2 of 3 files — the
+    // derivation's absence is probed at the pushdown surface, where a
+    // derived bound would surface as a filter naming `d`.
+    val builder = new graft.sources.SnapshotScanBuilder(root2, b2.schema,
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
+    builder.pushFilters(Array(
+      org.apache.spark.sql.sources.GreaterThanOrEqual("sec", 86400L)))
+    assert(!builder.pushedFilters().exists(_.references.contains("d")),
+      s"non-whitelisted derivation must not derive a bound on d: " +
+        builder.pushedFilters().mkString(","))
+    assert(scanParts(b2.filter("sec >= 86400")) == 2,
+      "the input's own r20 column stats prune days 1-2")
     assert(b2.filter("sec >= 86400").count() == 10)
     // while a direct filter on the generated column still prunes
     assert(scanParts(b2.filter("d = 2")) == 1)

@@ -201,9 +201,53 @@ class PlanSpec extends AnyFunSuite {
     // a comparison runtime filter prunes by range
     assert(partitionsAfter(Array(
       org.apache.spark.sql.sources.GreaterThanOrEqual("ep_day", 40L))) == 1)
-    // a filter on some other column prunes nothing (sound no-op)
+    // a SECONDARY integral column prunes too (r20 general per-column
+    // stats: v = ep_day*100, so v=300 lives only in the first file)
     assert(partitionsAfter(Array(
-      org.apache.spark.sql.sources.In("v", Array(300L)))) == 5)
+      org.apache.spark.sql.sources.In("v", Array(300L)))) == 1)
+    // a column with no harvested stats prunes nothing (sound no-op)
+    assert(partitionsAfter(Array(
+      org.apache.spark.sql.sources.In("nosuch", Array(300L)))) == 5)
+  }
+
+  test("x54: pushed filters on a NON-cluster integral column prune planned files") {
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    import org.apache.spark.sql.sources._
+    val ST = graft.operators.SnapshotTable
+    val root = runtimePruneFixture() // statsCol=ep_day; v = ep_day*100
+    val schema = spark.read.format("graft-snapshot").load(root).schema
+    def planned(filters: Array[Filter]): Int = {
+      val b = new graft.sources.SnapshotScanBuilder(root, schema,
+        CaseInsensitiveStringMap.empty())
+      b.pushFilters(filters)
+      b.build().toBatch.planInputPartitions().length
+    }
+    // v spans [g*1000, g*1000+900] per file: range filters on the
+    // non-cluster column open only the owning files
+    assert(planned(Array(GreaterThanOrEqual("v", 4000L))) == 1)
+    assert(planned(Array(LessThanOrEqual("v", 1500L))) == 2)
+    // bounds on DIFFERENT columns AND together (intersection of
+    // per-column judgments, not just the statsCol's)
+    assert(planned(Array(LessThanOrEqual("v", 1500L),
+      GreaterThanOrEqual("ep_day", 10L))) == 1)
+    // end-to-end on x54's actual fixture: the event_id window opens a
+    // strict subset of the day-clustered table's files
+    val sroot = ST.statsTable(spark, sf)
+    val v = ST.currentVersion(sroot)
+    val total = ST.manifestEntries(sroot, v).size
+    val n = ST.manifestEntries(sroot, v).map(_.rows).sum
+    val sschema = spark.read.format("graft-snapshot").load(sroot).schema
+    def plannedOn(filters: Array[Filter]): Int = {
+      val b = new graft.sources.SnapshotScanBuilder(sroot, sschema,
+        CaseInsensitiveStringMap.empty())
+      b.pushFilters(filters)
+      b.build().toBatch.planInputPartitions().length
+    }
+    val opened = plannedOn(Array(
+      GreaterThanOrEqual("event_id", n / 4), LessThan("event_id", n / 2)))
+    assert(total >= 6, s"fixture should hold ~7 files, saw $total")
+    assert(opened >= 1 && opened < total,
+      s"event_id window should open a strict subset: $opened of $total")
   }
 
   test("a time-travel scan prunes files against the HISTORICAL manifest") {
@@ -290,6 +334,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "s11 plans an unbroadcast cartesian")
     assert(p.contains("BroadcastNestedLoopJoin"),
       "s11's query side is no longer broadcast — the scan shape regressed")
+  }
+
+  test("s12: IVF-PQ candidates join by cell EQUALITY — probed lists only, no cartesian") {
+    // the ADC scan joins corpus rows to the broadcast probe set on
+    // cell id: a BroadcastHashJoin, so only probed lists are ever
+    // scored; the only nested-loop shapes allowed are broadcasts of
+    // the constant-size query/centroid sides (s5/s11 share those)
+    val p = plan("s12_knn_ivfpq")
+    assert(!p.contains("CartesianProduct"), "s12 plans an unbroadcast cartesian")
+    assert(p.contains("BroadcastHashJoin"),
+      "s12's probed-list candidate join is not a broadcast-hash equi join")
   }
 
   test("x6: merge prunes the snapshot scan to the affected day partition") {

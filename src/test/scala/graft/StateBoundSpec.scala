@@ -168,6 +168,47 @@ class StateBoundSpec extends AnyFunSuite {
     assert(got.exists(_._4 > 0), "fixture has no unmatched purchases")
   }
 
+  test("st17 FULL outer join evicts all real state; unmatched rows emit on BOTH sides") {
+    val (out, ps) = run(S.st17StreamStreamFullOuter(spark, sf))
+    val ops = stateOps(ps)
+    // eviction is judged by the resident-state TRAJECTORY, not
+    // numRowsRemoved: Spark 4.1's full-outer eviction iterator does not
+    // tick that metric (left outer does — st13 asserts it), but the
+    // per-batch numRowsTotal drop is the same production signal
+    val peak = ops.map(_.numRowsTotal).max
+    assert(peak > 50, s"fixture too small to demonstrate eviction (peak=$peak)")
+    // after the flush batch only the sentinel pair may remain resident
+    val finalTotal = ps.last.stateOperators.map(_.numRowsTotal).sum
+    assert(finalTotal <= 2,
+      s"flush batch left $finalTotal of $peak state rows — real rows survived eviction")
+    // the streamed result must equal the batch FULL JOIN, including
+    // null-extended rows on BOTH sides
+    val evAll = graft.sources.Tables.events(spark, sf)
+      .withColumn("ep", expr("ts div 1000000000"))
+      .filter(col("event_type").isin("signup", "purchase"))
+    val su = evAll.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ep").as("s_ep"))
+    val pu = evAll.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ep").as("p_ep"), col("event_id"))
+    val expected = pu.join(su,
+        col("p_user") === col("s_user") && col("p_ep") >= col("s_ep") &&
+          col("p_ep") <= col("s_ep") + 3600L, "full_outer")
+      .groupBy(expr("coalesce(p_ep, s_ep) div 86400").as("ep_day"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("s_user").isNull, 1L).otherwise(0L)).as("n_unmatched_purchases"),
+        sum(when(col("p_user").isNull, 1L).otherwise(0L)).as("n_unmatched_signups"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected,
+      s"full-outer stream drifted from batch: missing ${(expected -- got).take(3)} / " +
+        s"extra ${(got -- expected).take(3)}")
+    // both unmatched populations genuinely exist in the fixture —
+    // otherwise one emit-on-proof side was never exercised
+    assert(got.exists(_._3 > 0), "fixture has no unmatched purchases")
+    assert(got.exists(_._4 > 0), "fixture has no unmatched signups")
+  }
+
   test("st2 whole-log sessionizer state is bounded by key cardinality") {
     val (out, ps) = run(S.st2StreamSessionize(spark, sf))
     val users = graft.sources.Tables.events(spark, sf)

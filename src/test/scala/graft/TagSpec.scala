@@ -160,6 +160,55 @@ class TagSpec extends AnyFunSuite {
     assert(spark.sql(s"SHOW TAGS '$root'").count() == 0)
   }
 
+  test("vacuum RESURRECTS a version tagged in the residual window (r20 race closure)") {
+    // the interleaving ADVICE r19 flagged: a CREATE TAG commits after
+    // vacuum's final stable-ref read and passes its residency check
+    // BEFORE the manifest delete — previously the tag dangled silently
+    // once data died. Injected via the test seam: the tag meta commits
+    // between the manifest deletes and vacuum's post-delete ref
+    // re-read (exactly the state a fully-passed createTag leaves).
+    val (root, relA) = fresh("rescue")
+    val vNow = ST.currentVersion(root) // 2
+    ST.vacuumWithHook(root, vNow, () => {
+      // mimic a createTag of v1 that already passed CAS (its residency
+      // check is not re-run — the point is vacuum must not need it)
+      val v = ST.currentVersion(root)
+      ST.commitEntries(root, v, ST.manifestEntries(root, v), 16,
+        ST.carriedMeta(root, v) + ("tag.late" -> "1"))
+    })
+    // the tag survived AND its snapshot is fully resident: manifest
+    // restored, data file spared, readable by name on every route
+    assert(ST.resolveVersionRef(root, "late") == 1)
+    assert(Files.exists(ST.manifestPath(root, 1)), "rescued manifest absent")
+    assert(Files.exists(Paths.get(root, relA)), "rescued version's data reclaimed")
+    assert(ST.readTag(spark, root, "late").count() == 10,
+      "rescued snapshot unreadable")
+    // and the rescue is not a leak: dropping the tag releases the
+    // version to the next vacuum
+    ST.dropTag(root, "late")
+    ST.vacuum(root, ST.currentVersion(root))
+    assert(!Files.exists(Paths.get(root, relA)),
+      "un-tagged rescued version survived the next vacuum")
+  }
+
+  test("a crash between manifest and data deletes leaks nothing permanently") {
+    // ADVICE r19 (low): manifests die first, so a crash mid-vacuum
+    // strands data files no surviving manifest references. The next
+    // vacuum's dead-set is computed by SUBTRACTION (everything on disk
+    // minus everything referenced), so orphans are reclaimed then.
+    val (root, relA) = fresh("crash")
+    val vNow = ST.currentVersion(root)
+    // simulate the crash: delete exactly what a vacuum interrupted
+    // right after its first phase would have — the manifests
+    Files.delete(ST.manifestPath(root, 1))
+    assert(Files.exists(Paths.get(root, relA)), "precondition: data orphaned")
+    // the re-run reclaims the orphan and the table stays readable
+    ST.vacuum(root, vNow)
+    assert(!Files.exists(Paths.get(root, relA)),
+      "orphaned data file not reclaimed by the re-run")
+    assert(ST.read(spark, root).count() == 10, "current version damaged")
+  }
+
   test("tags stamp the writer feature; the stamp retires with the last tag") {
     val (root, _) = fresh("feature")
     ST.createTag(root, "t", Some(1))
