@@ -209,7 +209,8 @@ object SnapshotTable {
     Set("colmap", "dv", "evolution", "widen", "ncolmap", "dcolmap")
   private[graft] val SupportedWriterFeatures =
     SupportedReaderFeatures ++
-      Set("cdf", "checks", "gencols", "rowtracking", "coldefaults", "tags")
+      Set("cdf", "checks", "gencols", "rowtracking", "coldefaults", "tags",
+        "branches")
 
   /** The (reader, writer) feature sets a manifest carrying `meta`
     * requires. Writer features always include the reader set: a
@@ -265,6 +266,10 @@ object SnapshotTable {
     // to the table (the accepted envelope: a pre-tags binary running
     // bare VACUUM could still reclaim a tagged snapshot; see README)
     if (meta.keys.exists(_.startsWith(TagKey))) w += "tags"
+    // BRANCHES (writable refs): same reasoning as tags — a branch's
+    // staged data files are referenced only by branch manifests, and
+    // only a branch-aware binary's vacuum spares them
+    if (meta.keys.exists(_.startsWith(BranchKey))) w += "branches"
     (r.toSet, r.toSet ++ w)
   }
 
@@ -1626,6 +1631,8 @@ object SnapshotTable {
       val v = currentVersion(root)
       retry.observed(v)
       val curMeta = carriedMeta(root, v)
+      require(!branchesOf(curMeta).contains(name),
+        s"createTag on $root: '$name' is a live BRANCH — refs share one namespace")
       val existing = tagsOf(curMeta).get(name)
       require(existing.forall(_ == target),
         s"createTag on $root: tag '$name' already points at version " +
@@ -1683,6 +1690,254 @@ object SnapshotTable {
   /** Read the snapshot a tag pins — time travel by name. */
   def readTag(s: SparkSession, root: String, name: String): DataFrame =
     readAt(s, root, resolveVersionRef(root, name))
+
+  // ---------------- BRANCHES (writable refs + WAP) ------------------
+  // The writable half of Iceberg's ref model (x52's tags are the
+  // read-only half): a branch STAGES commits without moving `_latest`,
+  // so a risky backfill lands invisible to main, gets audited, and
+  // publishes atomically (write-audit-publish). Mechanism: the branch
+  // ref (`branch.<name>` → base main version, CAS-committed table
+  // state like a tag) anchors a SEPARATE manifest namespace
+  // `_manifests/branch_<name>_v%05d.txt` with its own CAS slots —
+  // main's contiguous-version resolution never sees them (the name
+  // filter), and the branch's data files land in the table directory
+  // like any others, protected from vacuum by the branch-liveness
+  // rules in vacuumPlan. PUBLISH is Iceberg's fast_forward: if main
+  // still equals the branch base, the branch head's entry list commits
+  // as the next MAIN version (one metadata commit — zero files move)
+  // and the branch retires; if main advanced, publish refuses loudly
+  // (the WAP conflict — rebase by re-staging). At 100 TB a branch is
+  // manifest arithmetic: staging N files costs N entry lines, publish
+  // costs one commit.
+
+  /** Manifest-state prefix of a branch ref: `branch.<name>` → the MAIN
+    * version the branch is based on. Like tags: carried by every
+    * commit, writer-feature-stamped, never into clones. */
+  private[graft] val BranchKey = "branch."
+
+  private[graft] def branchesOf(meta: Map[String, String]): Map[String, Int] =
+    meta.collect { case (k, v) if k.startsWith(BranchKey) =>
+      k.stripPrefix(BranchKey) -> v.toInt }
+
+  private[graft] def branchManifestPath(root: String, name: String, i: Int): Path =
+    manifestDir(root).resolve(f"branch_${name}_v$i%05d.txt")
+
+  /** Committed branch-manifest count (0 = freshly created branch —
+    * its state is the base version's). Zero-byte slots are claimed-
+    * but-unfilled CAS attempts, exactly as in main resolution. */
+  private[graft] def branchHead(root: String, name: String): Int = {
+    var i = 0
+    while (sizeOrZero(branchManifestPath(root, name, i + 1)) > 0) i += 1
+    i
+  }
+
+  private def branchLines(root: String, name: String, i: Int): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val lines = Files.readAllLines(branchManifestPath(root, name, i))
+      .asScala.toSeq.filter(_.nonEmpty)
+    // same reader gate as main manifests: branch meta carries the
+    // base's state (colmap, dv, ...) and must refuse the same way
+    val unknown = featureLine(lines, "readerFeatures") -- SupportedReaderFeatures
+    if (unknown.nonEmpty) throw new IllegalStateException(
+      s"graft-snapshot: $root branch $name requires reader feature(s) " +
+        s"${unknown.toSeq.sorted.mkString(",")} this binary does not support")
+    lines
+  }
+
+  /** The branch's current (entries, carried meta, base main version).
+    * Head 0 serves the base version's state verbatim. */
+  private[graft] def branchState(root: String, name: String):
+      (Seq[FileEntry], Map[String, String], Int) = {
+    val cur = currentVersion(root)
+    require(cur > 0, s"branch $name on $root: table has no committed version")
+    val base = branchesOf(manifestMeta(root, cur)).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"graft-snapshot: unknown branch '$name' on $root — known: " +
+          branchesOf(manifestMeta(root, cur)).keys.toSeq.sorted.mkString(",")))
+    val head = branchHead(root, name)
+    if (head == 0) (manifestEntries(root, base), carriedMeta(root, base), base)
+    else {
+      val lines = branchLines(root, name, head)
+      val meta = lines.collect { case l if l.startsWith("#") =>
+        val Array(k, v) = l.drop(1).split('\t'); k -> v }.toMap
+      (lines.filterNot(_.startsWith("#")).map(parseEntry),
+        meta -- Seq("cts", "readerFeatures", "writerFeatures", "branchbase"),
+        base)
+    }
+  }
+
+  /** `ALTER TABLE .. CREATE BRANCH <name>` — open a writable ref at
+    * the current (or a pinned) version. One metadata commit; the base
+    * version becomes retention-exempt (like a tagged one) while the
+    * branch lives. Name space is shared with tags: a collision
+    * refuses both ways, so `VERSION AS OF '<name>'` can never be
+    * ambiguous if branches later join that resolver. */
+  def createBranch(root: String, name: String, version: Option[Int] = None): Int = {
+    require(name.matches("[A-Za-z_][A-Za-z0-9_\\-]*"),
+      s"graft-snapshot: branch name '$name' — use [A-Za-z_][A-Za-z0-9_-]*")
+    val cur = currentVersion(root)
+    require(cur > 0, s"createBranch on $root: table has no committed version")
+    val target = version.getOrElse(cur)
+    require(target >= 1 && target <= cur,
+      s"createBranch on $root: version $target is not a committed version (1..$cur)")
+    manifestEntries(root, target) // force the reader gate + existence
+    val retry = new CommitRetry(root)
+    var result = -1
+    while (result < 0) {
+      val v = currentVersion(root)
+      retry.observed(v)
+      val curMeta = carriedMeta(root, v)
+      require(!tagsOf(curMeta).contains(name),
+        s"createBranch on $root: '$name' is a live TAG — refs share one namespace")
+      val existing = branchesOf(curMeta).get(name)
+      require(existing.forall(_ == target),
+        s"createBranch on $root: branch '$name' already exists at base " +
+          s"${existing.get} — DROP BRANCH it first")
+      if (existing.contains(target)) result = v
+      else try result = commitEntries(root, v, manifestEntries(root, v), 16,
+        curMeta + (BranchKey + name -> target.toString) +
+          ("alter" -> s"branch:$name=v$target"))
+      catch { case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) }
+    }
+    // same residual-race discipline as createTag: verify the base is
+    // still resident after the ref committed, roll back loudly if not
+    if (!Files.exists(manifestPath(root, target))) {
+      dropBranch(root, name)
+      throw new IllegalStateException(
+        s"createBranch on $root: version $target was vacuumed away while " +
+          "the ref committed — the branch was rolled back")
+    }
+    result
+  }
+
+  /** Stage an append ON the branch: data files land in the table
+    * directory, the branch manifest advances, `_latest` does not move
+    * — main readers cannot observe the rows until publish. CHECK
+    * constraints enforce exactly as on main appends; the frame speaks
+    * LOGICAL names (converted through the base's column mapping).
+    * Returns the new branch head index. */
+  def appendToBranch(s: SparkSession, root: String, name: String,
+      df: DataFrame): Int = {
+    var committed = -1
+    while (committed < 0) {
+      val (entries, meta, base) = branchState(root, name)
+      require(!meta.keys.exists(_.startsWith("gen.")),
+        s"branch append on $root: the table declares GENERATED columns — " +
+          "branch staging enforces CHECK constraints only (r20 envelope); " +
+          "drop the generation or stage through main's verified routes")
+      val map = meta.get("colmap").map(parseColMap)
+      val checked = enforceChecks(df, checksOf(meta), s"branch $name append")
+      val phys = toPhysical(checked, map)
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val rels = writeDataFiles(phys, root, s"br_${name}_$tag")
+      // a stats-less table harvests under a name no footer carries —
+      // primary stats read the sentinel; the per-column extras (r20)
+      // still collect, so the staged files prune after publish
+      val newEntries =
+        harvestEntries(s, root, rels, meta.getOrElse("statsCol", "__none__"))
+      val head = branchHead(root, name)
+      val lines =
+        (meta + ("branchbase" -> base.toString) +
+          ("cts" -> System.currentTimeMillis.toString))
+          .toSeq.sorted.map { case (k, v) => s"#$k\t$v" } ++
+          (entries ++ newEntries).map(_.line)
+      val slot = branchManifestPath(root, name, head + 1)
+      val tmp = manifestDir(root).resolve(
+        s".branch_${name}_${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      Files.write(tmp, lines.mkString("\n").getBytes)
+      try {
+        Files.createFile(slot)
+        Files.move(tmp, slot, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+        committed = head + 1
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          // a racing branch committer won the slot: clean our staging
+          // and retry against the new branch head (optimistic CAS, the
+          // same loop shape as main commits). Our data files stay —
+          // unreferenced, the next vacuum sweeps them.
+          Files.deleteIfExists(tmp)
+      }
+    }
+    committed
+  }
+
+  /** Read the branch's CURRENT state (base snapshot + staged appends)
+    * — the audit read of write-audit-publish. Deletion vectors of the
+    * base apply; staged files are plain appends. */
+  def readBranch(s: SparkSession, root: String, name: String): DataFrame = {
+    val (entries, meta, base) = branchState(root, name)
+    toLogical(readRelsDv(s, root, base, entries.map(_.rel)),
+      meta.get("colmap").map(parseColMap))
+  }
+
+  /** PUBLISH (Iceberg's fast_forward): commit the branch head's entry
+    * list as the next MAIN version — requires main to still equal the
+    * branch base (a racing main commit refuses loudly: that is the
+    * WAP conflict, resolved by re-staging on a fresh branch). The
+    * branch retires on publish. Zero data files move — the staged
+    * files are already in place; main's commit is pure metadata.
+    * Returns the new main version (the base itself when nothing was
+    * staged). */
+  def fastForwardBranch(root: String, name: String): Int = {
+    val (entries, _, base) = branchState(root, name)
+    val head = branchHead(root, name)
+    val cur = currentVersion(root)
+    if (head == 0) { dropBranch(root, name); return cur }
+    // the publish precondition: main's CONTENT AND STATE must still be
+    // the branch base's — refs (tags, other branches) may have
+    // advanced freely (a ref commit re-lists the same entries), but a
+    // data commit, DML, or a state change (new CHECK, ALTER, dv…)
+    // since branching means the staged rows were validated against a
+    // stale contract: refuse loudly, the caller re-stages. Version
+    // NUMBERS are deliberately not compared — the CREATE BRANCH
+    // commit itself minted one.
+    def stateOf(v: Int): (Seq[String], Map[String, String]) =
+      (manifestEntries(root, v).map(_.line).sorted,
+        carriedMeta(root, v).filterNot { case (k, _) =>
+          k.startsWith(TagKey) || k.startsWith(BranchKey) })
+    require(stateOf(cur) == stateOf(base),
+      s"fastForward on $root: main advanced past branch '$name''s base " +
+        s"v$base (content or table state changed) — publish would drop " +
+        "main's commits or bypass its new contract; re-stage against the " +
+        "current version")
+    val published =
+      try commitEntries(root, cur, entries, 16,
+        // CURRENT main meta (keeps refs minted since branching), minus
+        // this branch's ref — the publish retires it atomically
+        carriedMeta(root, cur) - (BranchKey + name) +
+          ("publish" -> s"branch:$name:+$head"))
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalStateException(
+            s"fastForward on $root: a main commit raced the publish — " +
+              s"branch '$name' is unpublished; re-check main and retry")
+      }
+    dropBranchFiles(root, name)
+    published
+  }
+
+  /** DROP BRANCH — abandon the staged work: the ref clears, branch
+    * manifests delete, and the staged data files (now referenced by
+    * nothing) fall to the next vacuum's orphan sweep. */
+  def dropBranch(root: String, name: String): Int = {
+    val cur = currentVersion(root)
+    require(cur > 0 && branchesOf(manifestMeta(root, cur)).contains(name),
+      s"dropBranch on $root: no branch '$name' — known: " +
+        (if (cur == 0) "" else branchesOf(manifestMeta(root, cur))
+          .keys.toSeq.sorted.mkString(",")))
+    val v = setTableFlags(root, Map.empty, Seq(BranchKey + name))
+    dropBranchFiles(root, name)
+    v
+  }
+
+  private def dropBranchFiles(root: String, name: String): Unit = {
+    var i = branchHead(root, name)
+    while (i > 0) {
+      Files.deleteIfExists(branchManifestPath(root, name, i))
+      i -= 1
+    }
+  }
 
   // ---------------- ROW TRACKING (stable row identity) --------------
 
@@ -2553,9 +2808,15 @@ object SnapshotTable {
     // order it against a racing CREATE TAG — instead the plan re-runs
     // until the ref set read before and after it agree, so a tag that
     // landed mid-plan re-protects its version before anything deletes.
+    // tags AND branch bases: both ref kinds pin a version's residency,
+    // and both CREATE verbs carry the same post-commit rollback check
     def tagsNow: Set[Int] = {
       val cur = currentVersion(root)
-      if (cur == 0) Set.empty else tagsOf(manifestMeta(root, cur)).values.toSet
+      if (cur == 0) Set.empty
+      else {
+        val m = manifestMeta(root, cur)
+        tagsOf(m).values.toSet ++ branchesOf(m).values.toSet
+      }
     }
     var guard = tagsNow
     var plan = vacuumPlan(root, keepFrom)
@@ -2654,9 +2915,20 @@ object SnapshotTable {
     // a tag is a promise the snapshot stays addressable, so the keep
     // floor flows around it — its manifest, data files, sidecars and
     // shards all stay live below
-    val tagged: Set[Int] = tagsOf(curMeta).values.toSet
+    val tagged: Set[Int] = tagsOf(curMeta).values.toSet ++
+      // branch BASES are retention-exempt while the branch lives (the
+      // staged entries reference the base's files, and publish needs
+      // the base addressable)
+      branchesOf(curMeta).values.toSet
     val (drop, keep) = all.partition(v => v < keepFrom && !tagged.contains(v))
-    val live = keep.flatMap(v => manifest(root, v)).toSet
+    // branch-STAGED liveness (r20): a branch head's entries reference
+    // data files no main manifest lists yet — they are the staged
+    // appends, live until publish or DROP BRANCH
+    val branchLive: Set[String] = branchesOf(curMeta).keys.flatMap { b =>
+      scala.util.Try(branchState(root, b)._1
+        .map(e => Paths.get(root, e.rel).toString)).getOrElse(Nil)
+    }.toSet
+    val live = keep.flatMap(v => manifest(root, v)).toSet ++ branchLive
     val liveShards = keep.flatMap(v => rawManifestLines(root, v)
       .collect { case l if l.startsWith(">") => l.drop(1) }).toSet
     val liveDv = keep.flatMap(v => dvState(root, v).values)
@@ -5474,6 +5746,59 @@ object SnapshotTable {
         sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
       .orderBy("ep_day")
 
+  /** x55's staging cuts (epoch days): base < Cut1; two staged branch
+    * appends cover [Cut1, Cut2) and [Cut2, ∞). */
+  private[graft] val X55Cut1 = 19743L
+  private[graft] val X55Cut2 = 19748L
+
+  /** x55_branch_wap — WRITE-AUDIT-PUBLISH through branch refs (r20,
+    * the writable half of the Iceberg ref model x52's tags began):
+    * the table commits its pre-backfill state; `CREATE BRANCH wap`
+    * opens a staging ref; two appends land ON THE BRANCH — data files
+    * in place, `_latest` unmoved, main provably blind to them (the
+    * query itself fails loudly if staged rows leak — the audit step);
+    * `FAST FORWARD BRANCH` publishes the staged state as the next
+    * main version in ONE metadata commit (zero files move) and the
+    * branch retires. The final day aggregate over the published table
+    * equals the DuckDB full-log recompute — proving publish is
+    * exactly append-equivalence. At 100 TB this is how a risky
+    * backfill ships: staged invisible, audited on the branch,
+    * published atomically or dropped without trace. */
+  def x55BranchWap(s: SparkSession, d: String): DataFrame = {
+    val root = Engine.tmpDir("graft_x55_branch")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    val ev = Tables.events(s, d)
+      .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+      .select("event_id", "user_id", "event_type", "value", "ep_day")
+    val rels = writeDataFiles(
+      ev.filter(col("ep_day") < X55Cut1).repartition(3), root, "base")
+    commitEntries(root, 0, harvestEntries(s, root, rels, "ep_day"), 8,
+      Map("statsCol" -> "ep_day"))
+    graft.sources.SnapshotSql.exec(s, s"ALTER TABLE '$root' CREATE BRANCH wap")
+    appendToBranch(s, root, "wap",
+      ev.filter(col("ep_day") >= X55Cut1 && col("ep_day") < X55Cut2))
+    appendToBranch(s, root, "wap", ev.filter(col("ep_day") >= X55Cut2))
+    // the AUDIT step, gate-visible: staged rows leaking to main is a
+    // loud failure of the query itself, not just a spec assertion
+    require(read(s, root).agg(max(col("ep_day"))).head().getLong(0) < X55Cut1,
+      "x55: staged branch rows visible on main before publish")
+    require(readBranch(s, root, "wap").count() == ev.count(),
+      "x55: branch audit read does not cover base + staged rows")
+    graft.sources.SnapshotSql.exec(s, s"ALTER TABLE '$root' FAST FORWARD BRANCH wap")
+    s.read.format("graft-snapshot").load(root)
+      .groupBy(col("ep_day"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .orderBy("ep_day")
+  }
+
+  val x55Sql: String =
+    """WITH e AS (SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day,
+      |  value FROM events)
+      |SELECT ep_day, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM e GROUP BY ep_day ORDER BY ep_day""".stripMargin
+
   /** x54_column_stats — file pruning on a NON-cluster column (r20): the
     * same day-clustered table as x15/x21 (statsCol = ep_day), queried
     * by an `event_id` range through the standard DSv2 `.filter(...)`
@@ -5598,6 +5923,7 @@ object SnapshotTable {
     "x52_table_tags" -> (x52TableTags _, Some(x52Sql)),
     "x53_deep_clone" -> (x53DeepClone _, Some(x53Sql)),
     "x54_column_stats" -> (x54ColumnStats _, Some(x54Sql)),
+    "x55_branch_wap" -> (x55BranchWap _, Some(x55Sql)),
   )
 
   /** x24_catalog_sql — the name-addressed warehouse surface end-to-end

@@ -36,6 +36,9 @@ import graft.operators.SnapshotTable
   *   REORG TABLE <table> APPLY (PURGE)
   *   ALTER TABLE <table> CREATE TAG <name> [AS OF VERSION <n>]
   *   ALTER TABLE <table> DROP TAG <name>
+  *   ALTER TABLE <table> CREATE BRANCH <name> [AS OF VERSION <n>]
+  *   ALTER TABLE <table> FAST FORWARD BRANCH <name>   (publish)
+  *   ALTER TABLE <table> DROP BRANCH <name>
   *   VACUUM <table> KEEP FROM <version>
   *   VACUUM <table> RETAIN <n> HOURS
   *   VACUUM <table> KEEP FROM <v> DRY RUN | RETAIN <n> HOURS DRY RUN
@@ -264,6 +267,15 @@ object SnapshotSql {
     s"""(?is)\\s*ALTER\\s+TABLE\\s+($Ref)\\s+CREATE\\s+TAG\\s+([\\w\\-]+)(?:\\s+AS\\s+OF\\s+VERSION\\s+(\\d+))?\\s*""".r
   private val DropTag =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+($Ref)\\s+DROP\\s+TAG\\s+([\\w\\-]+)\\s*""".r
+  // BRANCHES — the writable half of the ref model (write-audit-publish):
+  // CREATE BRANCH opens a staging ref, FAST FORWARD publishes it as the
+  // next main version (refusing if main advanced), DROP BRANCH abandons
+  private val CreateBranch =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+($Ref)\\s+CREATE\\s+BRANCH\\s+([\\w\\-]+)(?:\\s+AS\\s+OF\\s+VERSION\\s+(\\d+))?\\s*""".r
+  private val DropBranch =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+($Ref)\\s+DROP\\s+BRANCH\\s+([\\w\\-]+)\\s*""".r
+  private val FastForward =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+($Ref)\\s+FAST\\s+FORWARD\\s+BRANCH\\s+([\\w\\-]+)\\s*""".r
   private val AddConstraint =
     s"""(?is)\\s*ALTER\\s+TABLE\\s+($Ref)\\s+ADD\\s+CONSTRAINT\\s+(\\w+)\\s+CHECK\\s*\\((.+)\\)\\s*""".r
   private val DropConstraint =
@@ -563,6 +575,12 @@ object SnapshotSql {
       scala.util.Try(resolveRef(s, ref)).isSuccess
     case DropTag(ref, _) => ref.startsWith("'") ||
       scala.util.Try(resolveRef(s, ref)).isSuccess
+    case CreateBranch(ref, _, _) => ref.startsWith("'") ||
+      scala.util.Try(resolveRef(s, ref)).isSuccess
+    case DropBranch(ref, _) => ref.startsWith("'") ||
+      scala.util.Try(resolveRef(s, ref)).isSuccess
+    case FastForward(ref, _) => ref.startsWith("'") ||
+      scala.util.Try(resolveRef(s, ref)).isSuccess
     // path-addressed widening and TBLPROPERTIES are claimed
     // unconditionally (quoted paths have no delegate); the name
     // spellings stay with Spark's analyzer
@@ -666,6 +684,13 @@ object SnapshotSql {
         Option(version).map(_.toInt))
     case DropTag(ref, name) =>
       SnapshotTable.dropTag(resolveRef(s, ref), name)
+    case CreateBranch(ref, name, version) =>
+      SnapshotTable.createBranch(resolveRef(s, ref), name,
+        Option(version).map(_.toInt))
+    case DropBranch(ref, name) =>
+      SnapshotTable.dropBranch(resolveRef(s, ref), name)
+    case FastForward(ref, name) =>
+      SnapshotTable.fastForwardBranch(resolveRef(s, ref), name)
     case AddConstraint(ref, name, exprSql) =>
       SnapshotTable.addCheckConstraint(s, resolveRef(s, ref), name, exprSql.trim)
     case DropConstraint(ref, name) =>

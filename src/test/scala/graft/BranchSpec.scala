@@ -1,0 +1,170 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Writable refs (branches) + write-audit-publish: `CREATE BRANCH`
+  * stages commits in a separate manifest namespace without moving
+  * `_latest`; `FAST FORWARD BRANCH` publishes the staged state as one
+  * main metadata commit (refusing if main advanced); `DROP BRANCH`
+  * abandons it. Staged data files are vacuum-protected while the
+  * branch lives and orphan-swept after. */
+class BranchSpec extends AnyFunSuite {
+  import TestSession._
+  import spark.implicits._
+  val ST = graft.operators.SnapshotTable
+  val Engine = graft.operators.Engine
+
+  private def fresh(name: String): String = {
+    val root = Engine.tmpDir(s"graft_branch_$name")
+    Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+    val rel = ST.writeDataFile((1L to 10L).map(k => (k, k * 1.0)).toDF("k", "v"),
+      root, "base")
+    ST.commitEntries(root, 0, Seq(ST.footerEntry(root, rel, "k")), 4,
+      Map("statsCol" -> "k"))
+    root
+  }
+
+  test("stage on branch: main blind until FAST FORWARD publishes; branch retires") {
+    val root = fresh("wap")
+    spark.sql(s"ALTER TABLE '$root' CREATE BRANCH wap").collect()
+    val vRef = ST.currentVersion(root)
+    ST.appendToBranch(spark, root, "wap",
+      (11L to 15L).map(k => (k, k * 1.0)).toDF("k", "v"))
+    ST.appendToBranch(spark, root, "wap",
+      (16L to 20L).map(k => (k, k * 1.0)).toDF("k", "v"))
+    // main: still the base rows, still the ref-commit version
+    assert(ST.read(spark, root).count() == 10, "staged rows leaked to main")
+    assert(ST.currentVersion(root) == vRef, "_latest moved for a branch commit")
+    // audit read: base + both staged appends
+    assert(ST.readBranch(spark, root, "wap").collect()
+      .map(_.getLong(0)).toSet == (1L to 20L).toSet)
+    spark.sql(s"ALTER TABLE '$root' FAST FORWARD BRANCH wap").collect()
+    assert(ST.read(spark, root).collect().map(_.getLong(0)).toSet ==
+      (1L to 20L).toSet, "publish did not surface the staged rows")
+    // the branch is fully retired: ref gone, manifests gone
+    val cur = ST.currentVersion(root)
+    assert(ST.branchesOf(ST.manifestMeta(root, cur)).isEmpty, "ref survived publish")
+    assert(!Files.exists(ST.branchManifestPath(root, "wap", 1)),
+      "branch manifest survived publish")
+    // the publish commit carries its audit tag
+    assert(ST.manifestMeta(root, cur).get("publish").contains("branch:wap:+2"))
+  }
+
+  test("FAST FORWARD refuses when main advanced (the WAP conflict)") {
+    val root = fresh("conflict")
+    ST.createBranch(root, "b")
+    ST.appendToBranch(spark, root, "b", Seq((11L, 11.0)).toDF("k", "v"))
+    // a racing main commit
+    val rel = ST.writeDataFile(Seq((99L, 99.0)).toDF("k", "v"), root, "racer")
+    val v = ST.currentVersion(root)
+    ST.commitEntries(root, v,
+      ST.manifestEntries(root, v) :+ ST.footerEntry(root, rel, "k"), 4,
+      ST.carriedMeta(root, v))
+    val e = intercept[IllegalArgumentException](ST.fastForwardBranch(root, "b"))
+    assert(e.getMessage.contains("main advanced"), e.getMessage)
+    // the branch is untouched by the refusal — still auditable, still
+    // droppable
+    assert(ST.readBranch(spark, root, "b").count() == 11)
+    ST.dropBranch(root, "b")
+  }
+
+  test("vacuum spares staged files while the branch lives; sweeps them after DROP") {
+    val root = fresh("vac")
+    ST.createBranch(root, "stage")
+    ST.appendToBranch(spark, root, "stage", Seq((11L, 11.0)).toDF("k", "v"))
+    val staged = ST.branchState(root, "stage")._1.map(_.rel)
+      .filter(_.startsWith("data_br_stage"))
+    assert(staged.nonEmpty, "fixture: no staged rel recorded")
+    // vacuum to the current version: staged files must survive
+    ST.vacuum(root, ST.currentVersion(root))
+    staged.foreach(r => assert(Files.exists(Paths.get(root, r)),
+      s"staged file $r reclaimed while branch lives"))
+    assert(ST.readBranch(spark, root, "stage").count() == 11,
+      "branch unreadable after vacuum")
+    // DROP releases them to the next vacuum's orphan sweep
+    ST.dropBranch(root, "stage")
+    ST.vacuum(root, ST.currentVersion(root))
+    staged.foreach(r => assert(!Files.exists(Paths.get(root, r)),
+      s"dropped branch's staged file $r not swept"))
+  }
+
+  test("branch base is retention-exempt while the branch lives") {
+    val root = fresh("exempt")
+    ST.createBranch(root, "old", Some(1))
+    val rel = ST.writeDataFile(Seq((50L, 50.0)).toDF("k", "v"), root, "adv")
+    val v = ST.currentVersion(root)
+    ST.commitEntries(root, v,
+      ST.manifestEntries(root, v) :+ ST.footerEntry(root, rel, "k"), 4,
+      ST.carriedMeta(root, v))
+    ST.vacuum(root, ST.currentVersion(root))
+    assert(Files.exists(ST.manifestPath(root, 1)),
+      "branch base vacuumed away while the branch lives")
+    ST.dropBranch(root, "old")
+    ST.vacuum(root, ST.currentVersion(root))
+    assert(!Files.exists(ST.manifestPath(root, 1)),
+      "base survived vacuum after DROP BRANCH")
+  }
+
+  test("CHECK constraints enforce on branch appends; gen-column tables refuse") {
+    val root = fresh("checks")
+    spark.sql(s"ALTER TABLE '$root' ADD CONSTRAINT pos CHECK (k > 0)").collect()
+    ST.createBranch(root, "b")
+    val e = intercept[Exception](
+      ST.appendToBranch(spark, root, "b", Seq((-1L, 1.0)).toDF("k", "v")))
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString(" | ")
+    assert(chain(e).contains("pos"), chain(e))
+    // a valid staged row still publishes through the constraint
+    ST.appendToBranch(spark, root, "b", Seq((11L, 11.0)).toDF("k", "v"))
+    ST.fastForwardBranch(root, "b")
+    assert(ST.read(spark, root).count() == 11)
+    // generated-column tables refuse branch staging (r20 envelope)
+    val root2 = fresh("gen")
+    ST.setGeneratedColumn(spark, root2, "v", "k * 1.0")
+    ST.createBranch(root2, "g")
+    val e2 = intercept[IllegalArgumentException](
+      ST.appendToBranch(spark, root2, "g", Seq((11L, 11.0)).toDF("k", "v")))
+    assert(e2.getMessage.contains("GENERATED"), e2.getMessage)
+  }
+
+  test("refs share a namespace; writer feature stamps and retires; refusals") {
+    val root = fresh("ns")
+    ST.createTag(root, "shared", Some(1))
+    assert(intercept[IllegalArgumentException](ST.createBranch(root, "shared"))
+      .getMessage.contains("live TAG"))
+    ST.createBranch(root, "b1")
+    assert(intercept[IllegalArgumentException](ST.createTag(root, "b1"))
+      .getMessage.contains("live BRANCH"))
+    assert(intercept[IllegalArgumentException](ST.createBranch(root, "b1", Some(1)))
+      .getMessage.contains("already exists"))
+    assert(intercept[IllegalArgumentException](ST.dropBranch(root, "ghost"))
+      .getMessage.contains("no branch"))
+    // feature stamp while a branch lives, retired when the last drops
+    val v1 = ST.currentVersion(root)
+    assert(ST.manifestMeta(root, v1).get("writerFeatures")
+      .exists(_.split(',').contains("branches")))
+    ST.dropBranch(root, "b1")
+    val v2 = ST.currentVersion(root)
+    assert(!ST.manifestMeta(root, v2).get("writerFeatures")
+      .exists(_.split(',').contains("branches")),
+      "branches writer feature must retire with the last branch")
+    // an idempotent re-create at the same base is a no-op
+    ST.createBranch(root, "b2", Some(1))
+    val vb = ST.currentVersion(root)
+    assert(ST.createBranch(root, "b2", Some(1)) == vb)
+  }
+
+  test("an empty branch fast-forwards as a no-op and retires") {
+    val root = fresh("empty")
+    ST.createBranch(root, "noop")
+    val vRef = ST.currentVersion(root)
+    val v = ST.fastForwardBranch(root, "noop")
+    assert(v == vRef, s"empty publish minted a content version: $v")
+    assert(ST.branchesOf(ST.manifestMeta(root, ST.currentVersion(root))).isEmpty)
+    assert(ST.read(spark, root).count() == 10)
+  }
+}
