@@ -220,6 +220,30 @@ object ShingleKernels {
     spread(a) | (spread(b) << 1)
   }
 
+  /** N-column Z-order curve key (r20, liquid-style multi-key
+    * clustering): round-robin bit interleave of n coordinates, each
+    * pre-normalized by the caller to [0, 2^bits) with
+    * bits = min(16, 64/n). Monotone in EVERY coordinate — the property
+    * that makes a z-range file carry bounded per-column stats on all
+    * n clustering keys. Coordinates are masked to `bits`. */
+  def interleaveN(coords: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = coords.numElements()
+    if (n == 0) return 0L
+    val bits = math.min(16, 64 / n)
+    val mask = (1L << bits) - 1L
+    var z = 0L
+    var b = 0
+    while (b < bits) {
+      var j = 0
+      while (j < n) {
+        z |= (((coords.getLong(j) & mask) >>> b) & 1L) << (b * n + j)
+        j += 1
+      }
+      b += 1
+    }
+    z
+  }
+
   /** k-permutation MinHash signature over a shingle-hash array. */
   def minhashSignature(arr: ArrayData, k: Int): ArrayData = {
     val n = arr.numElements()
@@ -324,6 +348,22 @@ case class InterleaveBits(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): InterleaveBits = copy(left = newLeft, right = newRight)
   override def prettyName: String = "interleave_bits"
+}
+
+/** `interleave_bits_n(array(a, b, ...))` — N-column Z-order key from
+  * bit-normalized coordinates (x56's liquid-style clustering key). */
+case class InterleaveBitsN(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(ArrayType(LongType))
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any =
+    ShingleKernels.interleaveN(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleKernels.interleaveN($c)")
+  override protected def withNewChildInternal(newChild: Expression): InterleaveBitsN =
+    copy(child = newChild)
+  override def prettyName: String = "interleave_bits_n"
 }
 
 /** `simhash_bands(text)` — 64-bit SimHash as 4×16-bit band values. */

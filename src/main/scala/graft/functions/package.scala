@@ -29,6 +29,9 @@ package object functions {
   def interleave_bits(a: Column, b: Column): Column =
     GraftShim.column(InterleaveBits(GraftShim.expression(a), GraftShim.expression(b)))
 
+  def interleave_bits_n(arr: Column): Column =
+    GraftShim.column(InterleaveBitsN(GraftShim.expression(arr)))
+
   /** 64-bit SimHash of a space-separated text as 4×16-bit bands. */
   def simhash_bands(c: Column): Column =
     GraftShim.column(SimHashBands(GraftShim.expression(c)))

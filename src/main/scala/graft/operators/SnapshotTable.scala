@@ -5645,6 +5645,71 @@ object SnapshotTable {
         Map("optimize" -> s"zorder:$colA,$colB", "statsCol" -> colA))
   }
 
+  /** Coordinate normalized to [0, 2^bits − 1] by its table-wide
+    * [lo, hi] — the per-column half of the N-key cluster key
+    * ([[norm16]]'s generalization; same double-math overflow
+    * rationale). */
+  private def normBits(c: Column, lo: Long, hi: Long, bits: Int): Column =
+    if (hi <= lo) lit(0L)
+    else ((c - lit(lo)).cast("double") * ((1L << bits) - 1).toDouble /
+      lit((hi - lo).toDouble)).cast("long")
+
+  /** OPTIMIZE CLUSTER BY (a, b, …) — N-KEY clustering (r20, Delta's
+    * liquid-clustering shape): each of the N columns min/max-
+    * normalizes to 64/N bits (capped at 16), the native
+    * `interleave_bits_n` kernel round-robin-interleaves them into one
+    * curve key, and the rows range-partition + sort on it — so every
+    * file carries BOUNDED per-column stats on ALL N keys, which the
+    * r20 general harvest records automatically and box/single-column
+    * queries prune on. The curve key never affects answers (layout
+    * only, like x22's 2-col z-order — which this subsumes: N=2 is the
+    * same curve at the same 16-bit resolution, N=1 falls back to
+    * plain clustering). At 100 TB the N-key layout is what lets a
+    * table serve range queries on several independent dimensions
+    * without N copies of the data. */
+  def optimizeClusterBy(s: SparkSession, root: String, cols: Seq[String],
+      targetFiles: Int, shardSize: Int = 4): Int = {
+    require(cols.nonEmpty && cols.size <= 8,
+      s"OPTIMIZE CLUSTER BY on $root: 1..8 cluster keys (got ${cols.size})")
+    require(cols.distinct.size == cols.size,
+      s"OPTIMIZE CLUSTER BY on $root: duplicate cluster key in $cols")
+    if (cols.size == 1) return optimizeClustered(s, root, cols.head, targetFiles)
+    val v = currentVersion(root)
+    val rt = v > 0 && manifestMeta(root, v).get("rowtracking").contains("on")
+    val df = if (!rt) readAt(s, root, v)
+      else readWithRowIdsAt(s, root, v).withColumnRenamed("_row_id", RowIdCol)
+    cols.foreach(c => require(df.schema.fields.exists(f => f.name == c &&
+        (f.dataType == org.apache.spark.sql.types.LongType ||
+          f.dataType == org.apache.spark.sql.types.IntegerType)),
+      s"OPTIMIZE CLUSTER BY on $root: key '$c' must be an integral column " +
+        "(the curve key and the pruning stats are integer domains)"))
+    val bits = math.min(16, 64 / cols.size)
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c)).cast("long"), max(col(c)).cast("long")))
+    val b = df.agg(aggs.head, aggs.tail: _*).head()
+    val domains = cols.indices.map(i => (b.getLong(2 * i), b.getLong(2 * i + 1)))
+    val coords = array(cols.zip(domains).map { case (c, (lo, hi)) =>
+      normBits(col(c), lo, hi, bits) }: _*)
+    val keyed = df.withColumn("_z", graft.functions.interleave_bits_n(coords))
+      .repartitionByRange(targetFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val rels = writeDataFiles(keyed, root, s"lc_$tag")
+    // the general per-column harvest (r20) collects every key's stats;
+    // the primary stays the first cluster key
+    val entries = harvestEntries(s, root, rels, cols.head)
+    val rtMeta = if (!rt) Map.empty[String, String]
+      else Map("colmap" -> fmtColMap(
+        df.columns.filterNot(_ == RowIdCol).toIndexedSeq.map(c => (c, c))))
+    commitEntries(root, v, entries, shardSize,
+      carriedMeta(root, v) - "schema" - "schemaJson" - "colmap" - "dv" - "dvn" - "widen" ++
+        rtMeta ++
+        (if (rt) Map("rowmat_new" -> entries.map(_.rel).mkString(";")) else Map.empty) ++
+        Map("optimize" -> s"clusterby:${cols.mkString(",")}",
+          "statsCol" -> cols.head))
+  }
+
   /** Box-query planning: the entries whose stats intersect EVERY
     * constrained column's range (primary stats for `primaryCol`,
     * `extra` stats by name; unknown columns never prune — sound). */
@@ -5799,6 +5864,85 @@ object SnapshotTable {
       |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
       |FROM e GROUP BY ep_day ORDER BY ep_day""".stripMargin
 
+  private[graft] val X56Files = 16
+
+  /** Build (once per session+dir) x56's table: v1 commits the event
+    * log ROUND-ROBIN (no layout — nothing prunes) with a derived
+    * third integral dimension `vmilli` (value in milli-units,
+    * independent of user and day); v2 is
+    * `OPTIMIZE CLUSTER BY (user_id, ep_day, vmilli)` through the SQL
+    * route. Both versions stay readable; ClusterBySpec pins v1's
+    * blindness against v2's per-dimension pruning. */
+  private val clusterByMemo = new graft.SessionMemo[String]
+  private[graft] def clusterByTable(s: SparkSession, d: String): String =
+    clusterByMemo.getOrElseUpdate(s, d) {
+      val root = Engine.tmpDir("graft_snap_clusterby")
+      Engine.listDir(Paths.get(root)).foreach(Engine.deleteRecursively)
+      val ev = Tables.events(s, d)
+        .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+        .withColumn("vmilli", round(col("value") * 1000.0, 0).cast("long"))
+        .select("event_id", "user_id", "event_type", "value", "ep_day", "vmilli")
+        .repartition(4) // deliberately unclustered
+      val rels = writeDataFiles(ev, root, "rr")
+      commitEntries(root, 0, harvestEntries(s, root, rels, "ep_day"), 8,
+        Map("statsCol" -> "ep_day"))
+      graft.sources.SnapshotSql.exec(s,
+        s"OPTIMIZE '$root' CLUSTER BY (user_id, ep_day, vmilli) TARGET $X56Files")
+      root
+    }
+
+  /** The [q1, q2] quartile box of column `c`'s manifest-stats domain
+    * at the current version (exact footer bounds, no data scan) —
+    * x22UserRange generalized to any stats-carrying column. */
+  private[graft] def statsQuartileRange(root: String, c: String): (Long, Long) = {
+    val v = currentVersion(root)
+    val primary = manifestMeta(root, v).getOrElse("statsCol", "")
+    val es = manifestEntries(root, v).map(_.statsFor(c, primary))
+    val lo = es.map(_._1).min
+    val hi = es.map(_._2).max
+    require(lo != Long.MinValue && hi != Long.MaxValue,
+      s"statsQuartileRange on $root: column $c carries no stats")
+    (lo + (hi - lo) / 4, lo + (hi - lo) / 2)
+  }
+
+  /** x56_clusterby_box — a THREE-dimensional box aggregate over the
+    * multi-key-clustered snapshot (r20): `OPTIMIZE CLUSTER BY
+    * (user_id, ep_day, vmilli)` interleaves three independent
+    * dimensions into one curve, so the manifest's per-file stats
+    * bound ALL THREE columns and `readPrunedBox` opens only the files
+    * owning the box's corner — pruning on any single dimension or all
+    * at once, where v1's round-robin layout prunes nothing
+    * (ClusterBySpec counts both). Box bounds are each dimension's
+    * stats-domain quartiles, derived identically in the DuckDB
+    * oracle, so the answer is SF-independent and fully checked. */
+  def x56ClusterByBox(s: SparkSession, d: String): DataFrame = {
+    val root = clusterByTable(s, d)
+    val (ulo, uhi) = statsQuartileRange(root, "user_id")
+    val (dlo, dhi) = statsQuartileRange(root, "ep_day")
+    val (vlo, vhi) = statsQuartileRange(root, "vmilli")
+    readPrunedBox(s, root, "user_id",
+      Seq(("user_id", ulo, uhi), ("ep_day", dlo, dhi), ("vmilli", vlo, vhi)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      .orderBy("event_type")
+  }
+
+  val x56Sql: String =
+    """WITH e AS (SELECT user_id, event_type, value,
+      |  CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS ep_day,
+      |  CAST(round(value * 1000.0, 0) AS BIGINT) AS vmilli FROM events),
+      |b AS (SELECT MIN(user_id) AS ulo, MAX(user_id) AS uhi,
+      |  MIN(ep_day) AS dlo, MAX(ep_day) AS dhi,
+      |  MIN(vmilli) AS vlo, MAX(vmilli) AS vhi FROM e)
+      |SELECT event_type, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+      |FROM e CROSS JOIN b
+      |WHERE user_id BETWEEN ulo + (uhi - ulo) // 4 AND ulo + (uhi - ulo) // 2
+      |  AND ep_day BETWEEN dlo + (dhi - dlo) // 4 AND dlo + (dhi - dlo) // 2
+      |  AND vmilli BETWEEN vlo + (vhi - vlo) // 4 AND vlo + (vhi - vlo) // 2
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** x54_column_stats — file pruning on a NON-cluster column (r20): the
     * same day-clustered table as x15/x21 (statsCol = ep_day), queried
     * by an `event_id` range through the standard DSv2 `.filter(...)`
@@ -5924,6 +6068,7 @@ object SnapshotTable {
     "x53_deep_clone" -> (x53DeepClone _, Some(x53Sql)),
     "x54_column_stats" -> (x54ColumnStats _, Some(x54Sql)),
     "x55_branch_wap" -> (x55BranchWap _, Some(x55Sql)),
+    "x56_clusterby_box" -> (x56ClusterByBox _, Some(x56Sql)),
   )
 
   /** x24_catalog_sql — the name-addressed warehouse surface end-to-end

@@ -61,8 +61,10 @@ object SnapshotSql {
   // table position: a quoted path OR a dotted catalog identifier —
   // resolved by [[resolveRef]] at exec/parse time
   private val Ref = """'[^']+'|[A-Za-z_][\w.]*"""
+  // one or more comma-separated keys: one key is the classic clustered
+  // rewrite, N keys the liquid-style multi-key curve (x56)
   private val OptimizeCluster =
-    s"""(?is)\\s*OPTIMIZE\\s+($Ref)\\s+CLUSTER\\s+BY\\s+\\((\\w+)\\)(?:\\s+TARGET\\s+(\\d+))?\\s*""".r
+    s"""(?is)\\s*OPTIMIZE\\s+($Ref)\\s+CLUSTER\\s+BY\\s+\\((\\w+(?:\\s*,\\s*\\w+)*)\\)(?:\\s+TARGET\\s+(\\d+))?\\s*""".r
   // the SCOPED (incremental) compaction a 100 TB table runs nightly:
   // only files whose key range intersects the window rewrite
   private val OptimizeClusterWhere =
@@ -647,8 +649,9 @@ object SnapshotSql {
     case RestoreTs(ref, ts) =>
       SnapshotTable.restoreToTimestamp(resolveRef(s, ref),
         SnapshotTable.parseTsLiteral(ts))
-    case OptimizeCluster(ref, keyCol, target) =>
-      SnapshotTable.optimizeClustered(s, resolveRef(s, ref), keyCol,
+    case OptimizeCluster(ref, keyCols, target) =>
+      SnapshotTable.optimizeClusterBy(s, resolveRef(s, ref),
+        keyCols.split(',').toSeq.map(_.trim),
         Option(target).map(_.toInt).getOrElse(DefaultTargetFiles))
     case OptimizeZorder(ref, colA, colB, target) =>
       SnapshotTable.optimizeZOrder(s, resolveRef(s, ref), colA, colB,

@@ -100,6 +100,30 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(viaSql == interleave16(3L, 5L))
   }
 
+  test("interleave_bits_n: 2-col parity with interleave16, monotone in every dim") {
+    import graft.functions.ShingleKernels.{interleave16, interleaveN}
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    def z(xs: Long*): Long = interleaveN(ArrayData.toArrayData(xs.toArray))
+    // n=2 at 16 bits is EXACTLY the 2-col curve (x56 subsumes x22)
+    assert(z(3L, 5L) == interleave16(3L, 5L))
+    assert(z(0xffffL, 0xffffL) == interleave16(0xffffL, 0xffffL))
+    // n=3 → 16 bits per coord (min(16, 64/3)=16): bit placement
+    assert(z(1L, 0L, 0L) == 1L)
+    assert(z(0L, 1L, 0L) == 2L)
+    assert(z(0L, 0L, 1L) == 4L)
+    // monotone in EVERY coordinate — the box-pruning property
+    val rnd = new scala.util.Random(11)
+    (1 to 2000).foreach { _ =>
+      val p = Array.fill(3)(rnd.nextInt(65536).toLong)
+      val q = p.map(x => math.min(x + rnd.nextInt(1000), 65535L))
+      assert(z(p.toIndexedSeq: _*) <= z(q.toIndexedSeq: _*))
+    }
+    // the Column route evaluates the same kernel
+    val viaCol = Seq(Tuple1(Seq(3L, 5L, 7L))).toDF("c")
+      .select(graft.functions.interleave_bits_n(col("c"))).head().getLong(0)
+    assert(viaCol == z(3L, 5L, 7L))
+  }
+
   test("vector kernels refuse silent truncation (dim mismatch / >64 dims)") {
     val bad = Seq((Seq(1L, 2L, 3L), Seq(1L, 2L))).toDF("a", "b")
     val ex = intercept[Exception] {

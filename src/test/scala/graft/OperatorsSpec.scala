@@ -1535,6 +1535,43 @@ class ZOrderSpec extends AnyFunSuite {
     assert(both < u && both < dd, s"2-dim box ($both) should beat either dim alone ($u, $dd)")
   }
 
+  test("x56 CLUSTER BY (a,b,c): every dimension prunes; 3-dim box beats each; content preserved") {
+    val root = ST.clusterByTable(spark, sf)
+    val v = ST.currentVersion(root)
+    val (n1, n2) = (ST.manifestEntries(root, v - 1).size, ST.manifestEntries(root, v).size)
+    val dims = Seq("user_id", "ep_day", "vmilli")
+    val boxes = dims.map(c => c -> {
+      val (lo, hi) = ST.statsQuartileRange(root, c)
+      Seq((c, lo, hi))
+    }).toMap
+    // v1 (round-robin): every file spans every dimension — nothing prunes
+    dims.foreach { c =>
+      assert(ST.prunedEntriesBox(root, v - 1, "ep_day", boxes(c)).size == n1,
+        s"round-robin layout should be blind to $c ranges")
+    }
+    // v2 (3-key curve): each single-dimension box prunes files, and
+    // the 3-dim box opens at most what any single dimension does
+    val singles = dims.map(c => ST.prunedEntriesBox(root, v, "user_id", boxes(c)).size)
+    singles.zip(dims).foreach { case (n, c) =>
+      assert(n < n2, s"$c box kept all $n2 clustered files") }
+    val all3 = ST.prunedEntriesBox(root, v, "user_id",
+      dims.flatMap(boxes)).size
+    assert(all3 <= singles.min && all3 < n2,
+      s"3-dim box ($all3) should not exceed the best single dim (${singles.min})")
+    // layout-only: identical rows across versions; box scan ≡ filter
+    assert(ST.readAt(spark, root, v).exceptAll(ST.readAt(spark, root, v - 1)).isEmpty)
+    val pred = dims.map { c =>
+      val (lo, hi) = ST.statsQuartileRange(root, c); col(c).between(lo, hi)
+    }.reduce(_ && _)
+    val viaBox = ST.readPrunedBox(spark, root, "user_id", dims.flatMap(boxes))
+      .groupBy("event_type").agg(count(lit(1))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaFull = ST.readAt(spark, root, v).filter(pred)
+      .groupBy("event_type").agg(count(lit(1))).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaBox == viaFull)
+  }
+
   test("box scan equals full-scan filter; z rewrite preserves content") {
     val root = ST.zorderTable(spark, sf)
     val v = ST.currentVersion(root)
