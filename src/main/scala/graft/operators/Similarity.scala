@@ -642,6 +642,25 @@ object Similarity {
   private[graft] val PqK = 32
   private[graft] val PqShortlist = 128
 
+  /** TRAINED per-subspace PQ codebooks (r20): [[PqM]] seed-pinned
+    * KMeans fits of [[PqK]] codewords each, over the corpus's j-th
+    * subvectors of `vecCol` (a double-array column) — distributed
+    * fits, only the PqK×subLen centroid matrices reach the driver
+    * (KB-scale constants). Shared by s11 (raw vectors) and s12
+    * (coarse-quantizer residuals). */
+  private def trainedSubCodebooks(df: DataFrame, vecCol: String, subLen: Int,
+      seedBase: Long): Seq[Seq[Seq[Double]]] = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    (0 until PqM).map { j =>
+      val sub = df.select(array_to_vector(
+        slice(col(vecCol), j * subLen + 1, subLen)).as("sv"))
+      new KMeans().setK(PqK).setSeed(seedBase + j).setMaxIter(10)
+        .setFeaturesCol("sv").setPredictionCol("c")
+        .fit(sub).clusterCenters.toSeq.map(_.toArray.toSeq)
+    }
+  }
+
   /** s11_knn_pq — PRODUCT-QUANTIZATION ANN (the remaining classic in
     * the taxonomy beside s2 LSH / s5 IVF / s7 SQ8 / s10 graph): the
     * vector splits into [[PqM]] subspaces, each subvector ENCODES to
@@ -653,36 +672,35 @@ object Similarity {
     * query precomputes a PqM×PqK lookup table ONCE, every corpus row
     * costs PqM table lookups (never a dim-length dot), the shortlist
     * re-ranks exactly (s7's two-stage discipline) so quantization
-    * error can demote, not fabricate, neighbors. Codebooks here are
-    * DETERMINISTIC anchor samples (the PqK lowest-id vectors'
-    * subvectors) — the engine mechanics under test are the encode and
-    * the ADC scan; trained-centroid quality is s5's KMeans concern,
-    * orthogonal to the plan shape. Greedy/iterative training has no
-    * SQL twin → rows-only; SimilaritySpec pins hand-computed encodes,
-    * recall vs s1, and determinism. */
+    * error can demote, not fabricate, neighbors. Codebooks are
+    * TRAINED (r20, closing VERDICT r19 #8): per-subspace seed-pinned
+    * KMeans on the corpus's subvectors — [[trainedSubCodebooks]],
+    * s5's machinery — replacing the r19 anchor samples; the encode
+    * and ADC plan shapes are unchanged. Iterative float training has
+    * no SQL twin → rows-only; the spec pins recall vs s1 (floor
+    * raised to the anchor version's measured 0.80), determinism, and
+    * the exact-re-rank contract. */
   def s11KnnPq(s: SparkSession, d: String): DataFrame = {
     val q = quantized(s, d)
-    val anchors = q.filter(col("vec_id") < PqK).orderBy("vec_id")
-      .select("qv").collect().map(_.getSeq[Long](0).toIndexedSeq)
-    require(anchors.length == PqK, s"PQ codebook needs $PqK anchor vectors")
-    val dim = anchors.head.length
+    val dim = q.select(size(col("qv"))).head().getInt(0)
     require(dim % PqM == 0, s"PQ: dim $dim must split into $PqM subspaces")
     val subLen = dim / PqM
-    val cb: Seq[Seq[Seq[Long]]] =
-      (0 until PqM).map(j => anchors.toSeq.map(_.slice(j * subLen, (j + 1) * subLen)))
-    val cbn: Seq[Seq[Long]] = cb.map(_.map(w => w.map(x => x * x).sum))
+    val fq = q.withColumn("fv",
+      transform(col("qv"), v => v.cast("double"))).cache()
+    val cb: Seq[Seq[Seq[Double]]] = trainedSubCodebooks(fq, "fv", subLen, 131L)
+    val cbn: Seq[Seq[Double]] = cb.map(_.map(w => w.map(x => x * x).sum))
     val cbL = typedLit(cb)
     val cbnL = typedLit(cbn)
     def subDot(vec: Column, j: Column, c: Column): Column =
-      aggregate(sequence(lit(0), lit(subLen - 1)), lit(0L),
-        (acc, i) => acc + element_at(vec, j * subLen + i + 1) *
+      aggregate(sequence(lit(0), lit(subLen - 1)), lit(0.0),
+        (acc, i) => acc + element_at(vec, j * subLen + i + 1).cast("double") *
           element_at(element_at(element_at(cbL, j + 1), c + 1), i + 1))
     // ENCODE: per subspace the argmin-distance codeword —
     // ||cb||² − 2·dot, first minimum wins (array_position) so ties
     // break to the lowest code deterministically
     val codesCol = transform(sequence(lit(0), lit(PqM - 1)), j => {
       val dists = transform(sequence(lit(0), lit(PqK - 1)), c =>
-        element_at(element_at(cbnL, j + 1), c + 1) - lit(2L) * subDot(col("qv"), j, c))
+        element_at(element_at(cbnL, j + 1), c + 1) - lit(2.0) * subDot(col("qv"), j, c))
       array_position(dists, array_min(dists)) - 1
     })
     val encoded = q.select(col("vec_id"), col("qv"), col("nrm"),
@@ -694,10 +712,10 @@ object Similarity {
       .withColumn("lut", transform(sequence(lit(0), lit(PqM - 1)), j =>
         transform(sequence(lit(0), lit(PqK - 1)), c => subDot(col("q_qv"), j, c))))
       .select("q_id", "q_qv", "q_nrm", "lut")
-    val adc = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L), (acc, j) =>
+    val adc = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0), (acc, j) =>
       acc + element_at(element_at(col("lut"), j + 1),
         (element_at(col("codes"), j + 1) + 1).cast("int")))
-    val npq = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0L), (acc, j) =>
+    val npq = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0), (acc, j) =>
       acc + element_at(element_at(cbnL, j + 1),
         (element_at(col("codes"), j + 1) + 1).cast("int")))
     val wPq = Window.partitionBy(col("q_id")).orderBy(desc("cos_pq"), asc("cand_id"))
@@ -764,13 +782,7 @@ object Similarity {
     // TRAINED per-subspace codebooks on the residuals: each fit is a
     // distributed KMeans over the corpus's j-th subvectors; only the
     // PqK×subLen centroid matrix ever reaches the driver
-    val cb: Seq[Seq[Seq[Double]]] = (0 until PqM).map { j =>
-      val sub = withRes.select(array_to_vector(
-        slice(col("res"), j * subLen + 1, subLen)).as("sv"))
-      new KMeans().setK(PqK).setSeed(11L + j).setMaxIter(10)
-        .setFeaturesCol("sv").setPredictionCol("c")
-        .fit(sub).clusterCenters.toSeq.map(_.toArray.toSeq)
-    }
+    val cb: Seq[Seq[Seq[Double]]] = trainedSubCodebooks(withRes, "res", subLen, 11L)
     val cbn: Seq[Seq[Double]] = cb.map(_.map(cw => cw.map(x => x * x).sum))
     val cbL = typedLit(cb)
     val cbnL = typedLit(cbn)

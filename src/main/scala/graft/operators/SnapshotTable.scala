@@ -284,8 +284,13 @@ object SnapshotTable {
     * DSv2 scan, streaming planInputPartitions, catalog/SQL, vacuum,
     * restore) resolves manifests through here, so a manifest
     * requiring an unknown reader feature refuses on all of them. */
+  /** Diagnostics: manifest reads since JVM start — CheckpointSpec pins
+    * DESCRIBE HISTORY's O(commits-since-checkpoint) read bound on it. */
+  private[graft] val manifestReads = new java.util.concurrent.atomic.AtomicLong
+
   private[graft] def rawManifestLines(root: String, v: Int): Seq[String] = {
     import scala.jdk.CollectionConverters._
+    manifestReads.incrementAndGet()
     val lines = Files.readAllLines(manifestPath(root, v)).asScala.toSeq.filter(_.nonEmpty)
     val unknown = featureLine(lines, "readerFeatures") -- SupportedReaderFeatures
     if (unknown.nonEmpty) throw new IllegalStateException(
@@ -542,7 +547,11 @@ object SnapshotTable {
       (if (rf.nonEmpty) Map("readerFeatures" -> rf.toSeq.sorted.mkString(",")) else Nil) ++
       (if (wf.nonEmpty) Map("writerFeatures" -> wf.toSeq.sorted.mkString(",")) else Nil)
     val lines = entryLines ++ metaAll.toSeq.sortBy(_._1).map { case (k, v) => s"#$k\t$v" }
-    try commitLines(root, baseVersion, lines)
+    try {
+      val v = commitLines(root, baseVersion, lines)
+      maybeWriteHistoryCheckpoint(root, v)
+      v
+    }
     catch {
       // CAS loser: its uuid-named staged shards are referenced by no
       // manifest and never will be — reclaim them here instead of
@@ -1583,6 +1592,107 @@ object SnapshotTable {
       catch { case e: java.nio.file.FileAlreadyExistsException => retry.lost(e) }
     }
     result
+  }
+
+  // ---------------- MANIFEST-LOG CHECKPOINT (r20) --------------------
+  // Delta's _last_checkpoint idea applied to the HISTORY summary:
+  // every K-th commit folds the whole log so far into one
+  // `_manifests/ckpt_v%05d.txt` file (one summary row per version —
+  // version, in-commit timestamp, entry count, row sum, rendered
+  // meta), built INCREMENTALLY on top of the previous checkpoint, so
+  // the amortized write cost is O(1) manifest reads per commit.
+  // DESCRIBE HISTORY then reads ONE checkpoint + the ≤K fresh
+  // manifests above it instead of walking every version — on a
+  // commit-a-minute table three years deep that is 1 file + ≤32
+  // manifests instead of ~1.5M manifest reads. Timestamp resolution
+  // needs no checkpoint: it already binary-searches the ICT clock.
+  // Checkpoints are derived state: best-effort written (a crash just
+  // delays the next one), vanish-tolerated by readers (fallback =
+  // the full walk), ignored by old binaries (unknown file name), and
+  // superseded ones retire on the next write.
+
+  private[graft] val CheckpointEvery = 32
+
+  private[graft] def ckptPath(root: String, v: Int): Path =
+    manifestDir(root).resolve(f"ckpt_v$v%05d.txt")
+
+  /** One history summary row of a still-present version:
+    * (version, cts millis, entry count, row sum, rendered meta) —
+    * exactly DESCRIBE HISTORY's shape. */
+  private[graft] def historyRow(root: String, v: Int): (Int, Long, Long, Long, String) = {
+    val es = manifestEntries(root, v)
+    val meta = manifestMeta(root, v).toSeq.sorted
+      .map { case (k, x) => s"$k=$x" }.mkString(",")
+    (v, commitTimeMillis(root, v), es.size.toLong, es.map(_.rows).sum, meta)
+  }
+
+  private def fmtCkptRow(r: (Int, Long, Long, Long, String)): String =
+    s"${r._1}\t${r._2}\t${r._3}\t${r._4}\t${r._5}"
+
+  private def parseCkptRow(l: String): (Int, Long, Long, Long, String) = {
+    val a = l.split("\t", 5)
+    (a(0).toInt, a(1).toLong, a(2).toLong, a(3).toLong,
+      if (a.length > 4) a(4) else "")
+  }
+
+  /** Committed checkpoints, version-ascending. */
+  private[graft] def listCheckpoints(root: String): Seq[(Int, Path)] =
+    Engine.listDir(manifestDir(root)).flatMap { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("ckpt_v") && n.endsWith(".txt"))
+        scala.util.Try(
+          n.stripPrefix("ckpt_v").stripSuffix(".txt").toInt -> p).toOption
+      else None
+    }.sortBy(_._1)
+
+  private def maybeWriteHistoryCheckpoint(root: String, v: Int): Unit =
+    if (v % CheckpointEvery == 0) try {
+      import scala.jdk.CollectionConverters._
+      val prev = listCheckpoints(root).filter(_._1 < v).lastOption
+      val prevRows: Seq[String] = prev.map { case (_, p) =>
+        Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+      }.getOrElse(Nil)
+      val from = prev.map(_._1 + 1).getOrElse(1)
+      val fresh = (from to v).flatMap { i =>
+        // vacuumed versions leave no row; gated versions refuse loudly
+        // through historyRow exactly like the live walk would
+        try Some(fmtCkptRow(historyRow(root, i)))
+        catch { case _: java.nio.file.NoSuchFileException => None }
+      }
+      val tmp = manifestDir(root).resolve(
+        s".ckpt_${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+      Files.write(tmp, (prevRows ++ fresh).mkString("\n").getBytes)
+      Files.move(tmp, ckptPath(root, v), StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+      listCheckpoints(root).filter(_._1 < v)
+        .foreach { case (_, p) => Files.deleteIfExists(p) }
+    } catch {
+      // best-effort derived state: never fail the commit that
+      // triggered it — the next K-th commit rebuilds from scratch
+      case _: Exception => ()
+    }
+
+  /** The checkpoint-accelerated history walk: checkpoint rows (each
+    * re-validated as still-present with one size stat — vacuum may
+    * have retired versions after the checkpoint froze them) + a live
+    * read of the ≤K versions above the checkpoint. Falls back to the
+    * full walk when no checkpoint exists or it vanished mid-read. */
+  private[graft] def historyRows(root: String): Seq[(Int, Long, Long, Long, String)] = {
+    import scala.jdk.CollectionConverters._
+    val cur = currentVersion(root)
+    val ckpt = listCheckpoints(root).filter(_._1 <= cur).lastOption
+    val (baseRows, from) = ckpt match {
+      case Some((cv, p)) =>
+        try (Files.readAllLines(p).asScala.toSeq.filter(_.nonEmpty)
+          .map(parseCkptRow).filter(r => committed(root, r._1)), cv + 1)
+        catch { case _: java.nio.file.NoSuchFileException => (Nil, 1) }
+      case None => (Nil, 1)
+    }
+    val fresh = (from to cur).flatMap { v =>
+      try Some(historyRow(root, v))
+      catch { case _: java.nio.file.NoSuchFileException => None }
+    }
+    baseRows ++ fresh
   }
 
   // ---------------- TAGS (named refs, Iceberg's design) -------------
@@ -3479,7 +3589,7 @@ object SnapshotTable {
     if (v == 0) Map.empty
     else manifestMeta(root, v) -- Seq("optimize", "optimize_scope", "merge",
       "update", "delete", "alter", "reorg",
-      "restore", "clone", "upsert_scan",
+      "restore", "clone", "upsert_scan", "publish",
       // `cdc` names ONE commit's change files: carrying it forward
       // would make the feed re-emit those rows at every later version
       "cdc",

@@ -456,19 +456,15 @@ object SnapshotSql {
     * in-commit stamps when present), file count, manifest row count,
     * and the `#key=value` metadata — Delta's DESCRIBE HISTORY shape
     * over the manifest log. */
+  /** CHECKPOINT-ACCELERATED since r20: one summary-file read + the
+    * ≤K manifests above the latest checkpoint, instead of an
+    * O(versions) walk (the full walk remains the fallback when no
+    * checkpoint exists). Only VACUUMED versions are skipped; a gated
+    * version (unknown reader feature) refuses loudly — silently
+    * hiding it from the history would mask the very state the
+    * operator needs to see. */
   def describeHistory(root: String): Seq[(Int, Long, Long, Long, String)] =
-    (1 to SnapshotTable.currentVersion(root)).flatMap { v =>
-      // only VACUUMED versions are skipped; a gated version (unknown
-      // reader feature) refuses loudly — silently hiding it from the
-      // history would mask the very state the operator needs to see
-      try Some {
-        val es = SnapshotTable.manifestEntries(root, v)
-        val meta = SnapshotTable.manifestMeta(root, v).toSeq.sorted
-          .map { case (k, x) => s"$k=$x" }.mkString(",")
-        (v, SnapshotTable.commitTimeMillis(root, v),
-          es.size.toLong, es.map(_.rows).sum, meta)
-      } catch { case _: java.nio.file.NoSuchFileException => None }
-    }
+    SnapshotTable.historyRows(root)
 
   /** Whether this statement belongs to the graft maintenance grammar —
     * the [[graft.plans.GraftSqlParser]] routing test. Deliberately the

@@ -51,6 +51,14 @@ class BranchSpec extends AnyFunSuite {
       "branch manifest survived publish")
     // the publish commit carries its audit tag
     assert(ST.manifestMeta(root, cur).get("publish").contains("branch:wap:+2"))
+    // ... and the audit is per-commit, never carried: a later commit
+    // must not claim it published (r20 review — carriedMeta strips it)
+    val rel2 = ST.writeDataFile(Seq((21L, 21.0)).toDF("k", "v"), root, "after")
+    ST.commitEntries(root, cur,
+      ST.manifestEntries(root, cur) :+ ST.footerEntry(root, rel2, "k"), 4,
+      ST.carriedMeta(root, cur))
+    assert(!ST.manifestMeta(root, ST.currentVersion(root)).contains("publish"),
+      "publish audit carried into a later commit")
   }
 
   test("FAST FORWARD refuses when main advanced (the WAP conflict)") {
