@@ -33,6 +33,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
           SnapshotVacuumDryRunCommand(root, spec): LogicalPlan })
       .orElse(SnapshotSql.showTagsRoot(session, sqlText)
         .map(SnapshotShowTagsCommand(_): LogicalPlan))
+      .orElse(SnapshotSql.showBranchesRoot(session, sqlText)
+        .map(SnapshotShowBranchesCommand(_): LogicalPlan))
       .orElse(SnapshotSql.filesRoot(session, sqlText)
         .map(SnapshotDescribeFilesCommand(_): LogicalPlan))
       .getOrElse {
@@ -135,11 +137,15 @@ case class SnapshotDescribeFilesCommand(root: String) extends LeafRunnableComman
     AttributeReference("stats_col", org.apache.spark.sql.types.StringType,
       nullable = true)(),
     AttributeReference("lo", org.apache.spark.sql.types.LongType, nullable = true)(),
-    AttributeReference("hi", org.apache.spark.sql.types.LongType, nullable = true)())
+    AttributeReference("hi", org.apache.spark.sql.types.LongType, nullable = true)(),
+    // r20: the SECONDARY per-column ranges ("col:lo:hi;…") — which
+    // non-primary predicates can prune this file
+    AttributeReference("extra_stats", org.apache.spark.sql.types.StringType,
+      nullable = true)())
   override def run(sparkSession: SparkSession): Seq[Row] =
-    SnapshotSql.describeFiles(root).map { case (f, r, b, sc, lo, hi) =>
+    SnapshotSql.describeFiles(root).map { case (f, r, b, sc, lo, hi, ex) =>
       Row(f, r.map(Long.box).orNull, b, sc.orNull,
-        lo.map(Long.box).orNull, hi.map(Long.box).orNull) }
+        lo.map(Long.box).orNull, hi.map(Long.box).orNull, ex.orNull) }
 }
 
 /** SHOW TAGS '<path>' | <catalog>.<name> — one row per live named ref
@@ -150,4 +156,16 @@ case class SnapshotShowTagsCommand(root: String) extends LeafRunnableCommand {
     AttributeReference("version", IntegerType, nullable = false)())
   override def run(sparkSession: SparkSession): Seq[Row] =
     SnapshotSql.showTags(root).map { case (n, v) => Row(n, v) }
+}
+
+/** SHOW BRANCHES '<path>' | <catalog>.<name> — one row per live
+  * writable ref: name, base version, staged commit count (the audit
+  * listing of write-audit-publish). */
+case class SnapshotShowBranchesCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("branch", org.apache.spark.sql.types.StringType, nullable = false)(),
+    AttributeReference("base_version", IntegerType, nullable = false)(),
+    AttributeReference("staged_commits", IntegerType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    SnapshotSql.showBranches(root).map { case (n, b, h) => Row(n, b, h) }
 }

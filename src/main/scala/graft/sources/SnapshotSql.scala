@@ -46,6 +46,7 @@ import graft.operators.SnapshotTable
   *   DESCRIBE HISTORY <table>    (row-returning, parser route only)
   *   DESCRIBE DETAIL <table>     (row-returning, parser route only)
   *   SHOW TAGS <table>           (row-returning, parser route only)
+  *   SHOW BRANCHES <table>       (row-returning, parser route only)
   *   DESCRIBE FILES <table>      (row-returning, parser route only)
   *
   * MERGE's source is a registered view/table carrying the table's
@@ -371,6 +372,8 @@ object SnapshotSql {
 
   private val ShowTags =
     s"""(?is)\\s*SHOW\\s+TAGS\\s+($Ref)\\s*""".r
+  private val ShowBranches =
+    s"""(?is)\\s*SHOW\\s+BRANCHES\\s+($Ref)\\s*""".r
 
   private val DescFiles =
     s"""(?is)\\s*DESCRIBE\\s+FILES\\s+($Ref)\\s*""".r
@@ -392,18 +395,24 @@ object SnapshotSql {
     * signal). The operator's layout/pruning debugger: \"why did this
     * query open N files\" answers from these rows. */
   def describeFiles(root: String): Seq[(String, Option[Long], Long,
-      Option[String], Option[Long], Option[Long])] = {
+      Option[String], Option[Long], Option[Long], Option[String])] = {
     val v = SnapshotTable.currentVersion(root)
     if (v == 0) Nil
     else {
       val statsCol = SnapshotTable.manifestMeta(root, v).get("statsCol")
       SnapshotTable.manifestEntries(root, v).map { e =>
         val hasStats = e.rows >= 0
+        // SECONDARY per-column ranges (r20's general harvest; the
+        // z-order pair on older tables) — the multi-column half of
+        // the planner's inputs. The reserved size slot is not a stat.
+        val extras = e.extra.filterNot(_._1 == "__bytes")
+          .map { case (c, lo, hi) => s"$c:$lo:$hi" }.mkString(";")
         (e.rel, if (hasStats) Some(e.rows) else None,
           SnapshotTable.entryBytes(root, e),
           statsCol.filter(_ => hasStats),
           if (hasStats) Some(e.lo) else None,
-          if (hasStats) Some(e.hi) else None)
+          if (hasStats) Some(e.hi) else None,
+          if (extras.isEmpty) None else Some(extras))
       }
     }
   }
@@ -417,6 +426,23 @@ object SnapshotSql {
       case ShowTags(ref) => scala.util.Try(resolveRef(s, ref)).toOption
       case _ => None
     }
+
+  /** SHOW BRANCHES <table> — routing twin of [[showTagsRoot]]. */
+  private[graft] def showBranchesRoot(s: SparkSession, stmt: String): Option[String] =
+    stmt match {
+      case ShowBranches(ref) => scala.util.Try(resolveRef(s, ref)).toOption
+      case _ => None
+    }
+
+  /** (name, base version, staged commit count) of every live branch —
+    * current-version state, name-sorted. */
+  def showBranches(root: String): Seq[(String, Int, Int)] = {
+    val cur = SnapshotTable.currentVersion(root)
+    if (cur == 0) Nil
+    else SnapshotTable.branchesOf(SnapshotTable.manifestMeta(root, cur))
+      .toSeq.sortBy(_._1)
+      .map { case (n, base) => (n, base, SnapshotTable.branchHead(root, n)) }
+  }
 
   /** (name, pinned version) of every live tag — current-version state,
     * name-sorted. */

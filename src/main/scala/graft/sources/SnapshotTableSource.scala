@@ -957,19 +957,33 @@ private[graft] class SnapshotScanBuilder(root: String, full: StructType,
     val entries = if (version == 0) Nil
       else SnapshotTable.manifestEntries(root, version)
     val rowsKnown = entries.forall(_.rows >= 0)
-    val statsKnown = rowsKnown && entries.forall(e =>
-      !(e.lo == Long.MinValue && e.hi == Long.MaxValue))
-    // min/max serve only the stats column, at its declared (integral)
-    // type — the harvest stores INT64/INT32 footer bounds, so anything
-    // else never qualifies
-    val statsField: Option[StructField] = statsCol
-      .flatMap(c => full.fields.find(_.name == c))
-      .filter(f => f.dataType == LongType || f.dataType == IntegerType)
-    def onStats(e: org.apache.spark.sql.connector.expressions.Expression):
-        Option[StructField] = e match {
+    // min/max serve ANY column whose stats EVERY entry genuinely
+    // carries (r20 — the general per-column harvest makes that most
+    // integral columns on current tables), at its declared type; the
+    // stat-less sentinel on any one entry disqualifies the column
+    // (it is indistinguishable from a real Long.MinValue/MaxValue
+    // extremum), so the answer is exact or not served at all
+    val physPrimary: String =
+      if (version > 0)
+        SnapshotTable.manifestMeta(root, version).getOrElse("statsCol", "")
+      else ""
+    def colBounds(name: String): Option[(Long, Long, StructField)] =
+      full.fields.find(_.name == name)
+        .filter(f => f.dataType == LongType || f.dataType == IntegerType)
+        .flatMap { fld =>
+          if (entries.isEmpty) Some((0L, 0L, fld)) // null-served below
+          else {
+            val p = prunableCols.getOrElse(name, name)
+            val bs = entries.map(_.statsFor(p, physPrimary))
+            if (bs.forall(b => !(b._1 == Long.MinValue && b._2 == Long.MaxValue)))
+              Some((bs.map(_._1).min, bs.map(_._2).max, fld))
+            else None
+          }
+        }
+    def named(e: org.apache.spark.sql.connector.expressions.Expression):
+        Option[String] = e match {
       case nr: org.apache.spark.sql.connector.expressions.NamedReference
-          if nr.fieldNames.length == 1 =>
-        statsField.filter(f => statsKnown && f.name == nr.fieldNames.head)
+          if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
       case _ => None
     }
     def typed(v: Long, dt: DataType): Any =
@@ -979,12 +993,12 @@ private[graft] class SnapshotScanBuilder(root: String, full: StructType,
         case _: CountStar if rowsKnown =>
           Some((StructField("count(*)", LongType, nullable = false),
             entries.map(_.rows).sum: Any))
-        case m: Min => onStats(m.column).map(f =>
+        case m: Min => named(m.column).flatMap(colBounds).map { case (lo, _, f) =>
           (StructField(s"min(${f.name})", f.dataType),
-            if (entries.isEmpty) null else typed(entries.map(_.lo).min, f.dataType)))
-        case m: Max => onStats(m.column).map(f =>
+            if (entries.isEmpty) null else typed(lo, f.dataType)) }
+        case m: Max => named(m.column).flatMap(colBounds).map { case (_, hi, f) =>
           (StructField(s"max(${f.name})", f.dataType),
-            if (entries.isEmpty) null else typed(entries.map(_.hi).max, f.dataType)))
+            if (entries.isEmpty) null else typed(hi, f.dataType)) }
         case _ => None
       }
     if (cols.exists(_.isEmpty)) None

@@ -35,6 +35,10 @@ class BranchSpec extends AnyFunSuite {
       (11L to 15L).map(k => (k, k * 1.0)).toDF("k", "v"))
     ST.appendToBranch(spark, root, "wap",
       (16L to 20L).map(k => (k, k * 1.0)).toDF("k", "v"))
+    // SHOW BRANCHES lists the live ref with its base + staged count
+    assert(spark.sql(s"SHOW BRANCHES '$root'").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2))).toSeq ==
+      Seq(("wap", 1, 2)))
     // main: still the base rows, still the ref-commit version
     assert(ST.read(spark, root).count() == 10, "staged rows leaked to main")
     assert(ST.currentVersion(root) == vRef, "_latest moved for a branch commit")
@@ -47,6 +51,8 @@ class BranchSpec extends AnyFunSuite {
     // the branch is fully retired: ref gone, manifests gone
     val cur = ST.currentVersion(root)
     assert(ST.branchesOf(ST.manifestMeta(root, cur)).isEmpty, "ref survived publish")
+    assert(spark.sql(s"SHOW BRANCHES '$root'").count() == 0,
+      "SHOW BRANCHES must empty after publish")
     assert(!Files.exists(ST.branchManifestPath(root, "wap", 1)),
       "branch manifest survived publish")
     // the publish commit carries its audit tag

@@ -412,6 +412,45 @@ class SnapshotRobustnessSpec extends AnyFunSuite {
     assert((r4.getLong(0), r4.getLong(1), r4.getLong(2)) == ((1L, 105L, 105L)))
   }
 
+  test("r20: MIN/MAX of ANY harvested integral column answers from the manifest") {
+    import spark.implicits._
+    val root = freshRoot("graft_agg_push_any")
+    def commit(base: Int, rows: Seq[(Long, Long)], tag: String,
+        stripExtras: Boolean = false): Int = {
+      val rels = ST.writeDataFiles(rows.toDF("k", "m").coalesce(1), root, tag)
+      val es = rels.map(ST.footerEntry(root, _, "k"))
+        .map(e => if (stripExtras) e.copy(extra = Nil) else e)
+      val carried = if (base == 0) Map("statsCol" -> "k") else ST.carriedMeta(root, base)
+      val prior = if (base == 0) Nil else ST.manifestEntries(root, base)
+      ST.commitEntries(root, base, prior ++ es, shardSize = 16, carried)
+    }
+    commit(0, (1L to 6L).map(k => (k, k * 10)), "a")
+    commit(1, (7L to 20L).map(k => (k, k * 10)), "b")
+    def df = spark.read.format("graft-snapshot").load(root)
+    def planOf(q: org.apache.spark.sql.DataFrame): String =
+      q.queryExecution.executedPlan.toString
+    // the SECONDARY column m rides the general harvest: min/max answer
+    // from the manifest beside the primary's — zero data IO
+    val q1 = df.selectExpr("min(m)", "max(m)", "max(k)", "count(*)")
+    assert(planOf(q1).contains("from manifest"),
+      s"secondary-column min/max must be manifest-answered:\n${planOf(q1)}")
+    val r1 = q1.head()
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2), r1.getLong(3)) ==
+      ((10L, 200L, 20L, 20L)))
+    // one entry WITHOUT the harvested extra (a pre-r20 manifest line)
+    // disqualifies m — the sentinel is indistinguishable from a real
+    // extremum — while k (primary stats) keeps the fast path
+    commit(2, Seq((21L, 210L)), "legacy", stripExtras = true)
+    val q2 = df.selectExpr("min(m)", "max(m)")
+    assert(!planOf(q2).contains("from manifest"),
+      "a stat-less entry must disqualify the secondary column")
+    assert(q2.head().getLong(1) == 210L)
+    val q3 = df.selectExpr("min(k)", "max(k)")
+    assert(planOf(q3).contains("from manifest"),
+      "the primary column must keep the fast path")
+    assert(q3.head().getLong(1) == 21L)
+  }
+
   test("discard skips empty-task markers instead of deleting into the table root") {
     val root = freshRoot("graft_discard_empty")
     val keep = Paths.get(root, "keep.parquet")
