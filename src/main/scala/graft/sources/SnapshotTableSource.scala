@@ -94,12 +94,25 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister {
     // write path supplies the query's schema instead (first append
     // creates v1); reads of an empty table fail at scan build
     if (SnapshotTable.currentVersion(r) == 0) new StructType()
-    else {
-      // the option takes a NUMBER or a TAG name (Iceberg's named refs)
-      val v = Option(options.get("version"))
-        .map(SnapshotTable.resolveVersionRef(r, _))
-        .getOrElse(SnapshotTable.currentVersion(r))
-      schemaAt(r, v, options)
+    else SnapshotSourceUtil.branchName(options) match {
+      case Some(b) =>
+        // the branch audit read (r20): schema resolves through the
+        // branch's BASE version; the staged entries carry no schema
+        // changes (appendToBranch's contract)
+        require(options.get("version") == null,
+          s"graft-snapshot: branch and version options conflict on $r — " +
+            "a branch read IS a version choice")
+        require(!SnapshotSourceUtil.cdfEnabled(options) &&
+            !SnapshotSourceUtil.rowIdsEnabled(options),
+          s"graft-snapshot: branch reads serve the staged SNAPSHOT of $r — " +
+            "no change feed and no row-id contract until publish")
+        schemaAt(r, SnapshotTable.branchState(r, b)._3, options)
+      case None =>
+        // the option takes a NUMBER or a TAG name (Iceberg's named refs)
+        val v = Option(options.get("version"))
+          .map(SnapshotTable.resolveVersionRef(r, _))
+          .getOrElse(SnapshotTable.currentVersion(r))
+        schemaAt(r, v, options)
     }
   }
 
@@ -149,6 +162,19 @@ class SnapshotTableProvider extends TableProvider with DataSourceRegister {
     // or between load and the lazy scan build — would otherwise serve
     // one snapshot's schema over another snapshot's data. Everything
     // downstream derives from the one version pinned here.
+    SnapshotSourceUtil.branchName(opts0) match {
+      case Some(b) =>
+        // pin the branch's BASE version here, once (same one-resolution
+        // discipline as tags below): the scan still re-reads the
+        // branch's ENTRY list lazily — a FAST FORWARD or DROP between
+        // load and scan refuses loudly through branchState
+        val base = SnapshotTable.branchState(r, b)._3
+        val m = new java.util.HashMap[String, String](properties)
+        m.put("version", base.toString)
+        val opts = new CaseInsensitiveStringMap(m)
+        return new SnapshotDsv2Table(r, schemaAt(r, base, opts), opts)
+      case None => ()
+    }
     Option(opts0.get("version")).filter(!_.forall(_.isDigit)) match {
       case Some(ref) =>
         val v = SnapshotTable.resolveVersionRef(r, ref)
@@ -226,6 +252,14 @@ private[sources] object SnapshotSourceUtil {
 
   def rowIdsEnabled(o: CaseInsensitiveStringMap): Boolean =
     "true".equalsIgnoreCase(o.get("rowIds"))
+
+  /** `.option("branch", "<name>")` — read a BRANCH's staged state
+    * (base snapshot + staged appends) through the standard reader:
+    * the audit read of write-audit-publish on the route every Spark
+    * user already takes. Resolves through the branch's BASE version
+    * for schema/colmap/DV purposes (staging never changes them). */
+  def branchName(o: CaseInsensitiveStringMap): Option[String] =
+    Option(o.get("branch")).filter(_.nonEmpty)
 
   def withRowIdColumn(base: StructType): StructType = {
     require(!base.fieldNames.contains(RowIdField),
@@ -710,6 +744,13 @@ private[sources] class SnapshotDsv2Table(root: String, schema: StructType,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
       s"graft-snapshot: cannot write to a time-travel snapshot of $root")
+    // a DSv2 write with a branch option would silently land on MAIN —
+    // staging goes through SnapshotTable.appendToBranch (the verb that
+    // owns the branch-manifest CAS), never this route
+    require(SnapshotSourceUtil.branchName(info.options()).isEmpty &&
+        SnapshotSourceUtil.branchName(options).isEmpty,
+      s"graft-snapshot: writes take no branch option on $root — stage with " +
+        "SnapshotTable.appendToBranch and publish with FAST FORWARD BRANCH")
     new SnapshotWriteBuilder(root, info)
   }
 
@@ -826,6 +867,20 @@ private[graft] class SnapshotScanBuilder(root: String, full: StructType,
   private val version = Option(options.get("version"))
     .map(SnapshotTable.resolveVersionRef(root, _))
     .getOrElse(SnapshotTable.currentVersion(root))
+
+  /** Branch audit read (r20): the ENTRY LIST comes from the branch
+    * head (base + staged appends) instead of a committed version;
+    * schema/colmap/DV state resolve through `version` (the base — the
+    * provider pinned it). Resolved lazily so a FAST FORWARD or DROP
+    * BRANCH between load and scan refuses loudly. */
+  private val branchEntries: Option[Seq[SnapshotTable.FileEntry]] =
+    SnapshotSourceUtil.branchName(options).map { b =>
+      require(!SnapshotSourceUtil.cdfEnabled(options) &&
+          !SnapshotSourceUtil.rowIdsEnabled(options),
+        s"graft-snapshot: branch reads serve the staged SNAPSHOT of $root — " +
+          "no change feed and no row-id contract until publish")
+      SnapshotTable.branchState(root, b)._1
+    }
   /** Which column the manifest's per-file [lo, hi] stats describe —
     * recorded by the committer as `#statsCol` metadata. Absent → no
     * stats pruning (scan everything; always sound). */
@@ -955,7 +1010,7 @@ private[graft] class SnapshotScanBuilder(root: String, full: StructType,
     if (version > 0 && SnapshotTable.dvState(root, version).nonEmpty) return None
     if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty) return None
     val entries = if (version == 0) Nil
-      else SnapshotTable.manifestEntries(root, version)
+      else branchEntries.getOrElse(SnapshotTable.manifestEntries(root, version))
     val rowsKnown = entries.forall(_.rows >= 0)
     // min/max serve ANY column whose stats EVERY entry genuinely
     // carries (r20 — the general per-column harvest makes that most
@@ -1013,7 +1068,7 @@ private[graft] class SnapshotScanBuilder(root: String, full: StructType,
 
   override def build(): Scan =
     new SnapshotScan(root, version, pruned, pushed.toSeq, statsCol, prunableCols,
-      aggAnswer, options)
+      aggAnswer, options, branchEntries)
 }
 
 private[graft] object SnapshotScanBuilder {
@@ -1132,7 +1187,8 @@ private[sources] class SnapshotScan(root: String, version: Int,
     pruned: StructType, pushed: Seq[Filter], statsCol: Option[String],
     prunableCols: Map[String, String],
     aggAnswer: Option[(StructType, Array[Any])],
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    branchEntries: Option[Seq[SnapshotTable.FileEntry]] = None)
     extends Scan with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
@@ -1368,7 +1424,7 @@ private[sources] class SnapshotScan(root: String, version: Int,
     // version 0 = a created-but-never-written table (catalog CREATE
     // TABLE before the first INSERT): a valid empty scan, no manifest
     if (version == 0) return Nil
-    val all = SnapshotTable.manifestEntries(root, version)
+    val all = branchEntries.getOrElse(SnapshotTable.manifestEntries(root, version))
     // per-column pruning (r20): every pushed filter that bounds a
     // stats-carrying column judges each entry's harvested range for
     // THAT column — filters AND together, so an entry survives only if
@@ -1477,6 +1533,11 @@ private[sources] class SnapshotScan(root: String, version: Int,
     require(!SnapshotSourceUtil.rowIdsEnabled(options),
       "graft-snapshot: rowIds is a batch read option — stream the table " +
         "plainly and join ids via a batch rowIds read, or consume the change feed")
+    // a branch's staged state has no commit-offset contract — streams
+    // follow MAIN; audit the branch with a batch read, then publish
+    require(SnapshotSourceUtil.branchName(options).isEmpty,
+      s"graft-snapshot: branch is a batch read option on $root — streams " +
+        "follow published (main) versions; FAST FORWARD the branch first")
     val startingVersion = tsRaw match {
       // "latest" (Delta's keyword): only commits AFTER stream start —
       // under the exclusive-offset convention that is simply the

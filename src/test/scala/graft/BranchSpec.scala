@@ -172,6 +172,48 @@ class BranchSpec extends AnyFunSuite {
     assert(ST.createBranch(root, "b2", Some(1)) == vb)
   }
 
+  test("DSv2 branch option: standard-reader audit read, pruning, agg fast path, refusals") {
+    val root = fresh("dsv2")
+    ST.createBranch(root, "b")
+    ST.appendToBranch(spark, root, "b",
+      (11L to 15L).map(k => (k, k * 1.0)).toDF("k", "v").coalesce(1))
+    val df = spark.read.format("graft-snapshot").option("branch", "b").load(root)
+    assert(df.collect().map(_.getLong(0)).toSet == (1L to 15L).toSet,
+      "branch option must serve base + staged rows")
+    // the zero-IO aggregate fast path answers from the BRANCH entries
+    val cnt = df.groupBy().count()
+    assert(cnt.queryExecution.executedPlan.toString.contains("from manifest"),
+      "branch count(*) should be manifest-answered")
+    assert(cnt.head().getLong(0) == 15)
+    // stats pruning judges the staged files' own harvested ranges
+    val scanned = {
+      import org.apache.spark.sql.util.CaseInsensitiveStringMap
+      val m = new java.util.HashMap[String, String]()
+      m.put("branch", "b")
+      val bld = new graft.sources.SnapshotScanBuilder(root, df.schema,
+        new CaseInsensitiveStringMap(m))
+      bld.pushFilters(Array(org.apache.spark.sql.sources.GreaterThanOrEqual("k", 11L)))
+      bld.build().toBatch.planInputPartitions().length
+    }
+    assert(scanned == 1, s"k>=11 should open only the staged file, got $scanned")
+    // main stays blind through the plain route
+    assert(spark.read.format("graft-snapshot").load(root).count() == 10)
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain(intercept[Exception](spark.read.format("graft-snapshot")
+      .option("branch", "b").option("version", "1").load(root)))
+      .contains("conflict"))
+    assert(chain(intercept[Exception](spark.read.format("graft-snapshot")
+      .option("branch", "ghost").load(root).collect()))
+      .contains("unknown branch"))
+    assert(chain(intercept[Exception](Seq((99L, 9.0)).toDF("k", "v")
+      .write.format("graft-snapshot").mode("append")
+      .option("branch", "b").save(root)))
+      .contains("appendToBranch"))
+    ST.dropBranch(root, "b")
+  }
+
   test("an empty branch fast-forwards as a no-op and retires") {
     val root = fresh("empty")
     ST.createBranch(root, "noop")
