@@ -1929,12 +1929,24 @@ object SnapshotTable {
   def appendToBranch(s: SparkSession, root: String, name: String,
       df: DataFrame): Int = {
     var committed = -1
+    var losses = 0
+    var lastHead = -1
     while (committed < 0) {
       val (entries, meta, base) = branchState(root, name)
       require(!meta.keys.exists(_.startsWith("gen.")),
         s"branch append on $root: the table declares GENERATED columns — " +
           "branch staging enforces CHECK constraints only (r20 envelope); " +
           "drop the generation or stage through main's verified routes")
+      // width guard (r20 review): a frame narrower or wider than the
+      // base's logical schema would stage mixed-width files the
+      // uniform-table branch read (and the publish-time readers)
+      // refuse — fail at STAGING, with the column diff, not at audit
+      val want = readAt(s, root, base).columns.map(_.toLowerCase).toSet
+      val got = df.columns.map(_.toLowerCase).toSet
+      require(want == got,
+        s"branch append on $root: frame columns ${got.toSeq.sorted.mkString(",")} " +
+          s"must equal the table's ${want.toSeq.sorted.mkString(",")} " +
+          "(branch staging is append-only, no evolution)")
       val map = meta.get("colmap").map(parseColMap)
       val checked = enforceChecks(df, checksOf(meta), s"branch $name append")
       val phys = toPhysical(checked, map)
@@ -1946,6 +1958,7 @@ object SnapshotTable {
       val newEntries =
         harvestEntries(s, root, rels, meta.getOrElse("statsCol", "__none__"))
       val head = branchHead(root, name)
+      if (head != lastHead) { lastHead = head; losses = 0 }
       val lines =
         (meta + ("branchbase" -> base.toString) +
           ("cts" -> System.currentTimeMillis.toString))
@@ -1965,8 +1978,27 @@ object SnapshotTable {
           // a racing branch committer won the slot: clean our staging
           // and retry against the new branch head (optimistic CAS, the
           // same loop shape as main commits). Our data files stay —
-          // unreferenced, the next vacuum sweeps them.
+          // unreferenced, the next vacuum sweeps them. A ZERO-BYTE
+          // claim with no head progress is a DEAD committer's corpse:
+          // without the same age-based reclaim the main CAS applies,
+          // this loop would spin forever (r20 review)
           Files.deleteIfExists(tmp)
+          losses += 1
+          if (sizeOrZero(slot) == 0) {
+            if (losses >= StaleClaimAfterLosses) {
+              try {
+                if (Files.exists(slot) && Files.size(slot) == 0 &&
+                    System.currentTimeMillis -
+                      Files.getLastModifiedTime(slot).toMillis > StaleClaimMinAgeMs)
+                  Files.deleteIfExists(slot)
+              } catch { case _: java.nio.file.NoSuchFileException => () }
+            }
+            Thread.sleep(math.min(50L * losses, 1000L))
+          }
+          require(losses < MaxCommitAttempts,
+            s"branch append on $root/$name: lost the branch-slot CAS " +
+              s"$losses times without head progress — wedged claim at " +
+              s"${slot.getFileName}")
       }
     }
     committed

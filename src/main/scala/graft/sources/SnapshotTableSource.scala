@@ -866,7 +866,15 @@ private[graft] class SnapshotScanBuilder(root: String, full: StructType,
 
   private val version = Option(options.get("version"))
     .map(SnapshotTable.resolveVersionRef(root, _))
-    .getOrElse(SnapshotTable.currentVersion(root))
+    .getOrElse(
+      // a branch read without an explicit version resolves through the
+      // branch BASE (r20 review): the path route's provider pins it,
+      // but the catalog route reaches this builder with bare options —
+      // resolving to the current version there would apply current
+      // colmap/DV state to base-vintage staged entries
+      SnapshotSourceUtil.branchName(options)
+        .map(b => SnapshotTable.branchState(root, b)._3)
+        .getOrElse(SnapshotTable.currentVersion(root)))
 
   /** Branch audit read (r20): the ENTRY LIST comes from the branch
     * head (base + staged appends) instead of a committed version;

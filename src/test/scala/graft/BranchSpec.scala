@@ -214,6 +214,28 @@ class BranchSpec extends AnyFunSuite {
     ST.dropBranch(root, "b")
   }
 
+  test("a dead committer's zero-byte branch slot is reclaimed; width mismatches refuse") {
+    val root = fresh("stale")
+    ST.createBranch(root, "b")
+    // a crashed committer's corpse: claimed slot, never filled, old
+    val corpse = ST.branchManifestPath(root, "b", 1)
+    Files.createFile(corpse)
+    Files.setLastModifiedTime(corpse,
+      java.nio.file.attribute.FileTime.fromMillis(
+        System.currentTimeMillis - ST.StaleClaimMinAgeMs - 1000))
+    // the append must reclaim the stale claim and land (pre-fix this
+    // spun forever: head stayed 0, the slot never cleared)
+    val got = ST.appendToBranch(spark, root, "b",
+      Seq((11L, 11.0)).toDF("k", "v"))
+    assert(got == 1, s"append landed at slot $got")
+    assert(ST.readBranch(spark, root, "b").count() == 11)
+    // width guard: a narrower frame refuses at staging with the diff
+    val e = intercept[IllegalArgumentException](
+      ST.appendToBranch(spark, root, "b", Seq(Tuple1(12L)).toDF("k")))
+    assert(e.getMessage.contains("must equal"), e.getMessage)
+    ST.dropBranch(root, "b")
+  }
+
   test("an empty branch fast-forwards as a no-op and retires") {
     val root = fresh("empty")
     ST.createBranch(root, "noop")
