@@ -300,9 +300,21 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .cache()
+    // convergence is detected by the exact LABEL-MASS invariant instead
+    // of a per-round labels⋈labels change join: labels ride the union
+    // feeding each round's min, so every doc's label is monotone
+    // non-increasing over a FIXED doc set — the label sum (exact
+    // decimal(38,0), no overflow at any id domain) strictly decreases
+    // until the fixed point. One narrow agg over the just-checkpointed
+    // frame replaces the old change join AND its extra action; the
+    // checkpoint itself is LAZY so the mass agg is also the job that
+    // materializes it — one action per round where there were two.
+    def lblMass(df: DataFrame): Option[java.math.BigDecimal] =
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0))
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
+    var mass = lblMass(labels)
     var converged = false
     var iter = 0
     // one-hop mode (doubling=false) exists only so ScaleProbe can
@@ -323,9 +335,10 @@ object Dedup {
           }
         val next = grown
           .groupBy("doc_id").agg(min(col("lbl")).as("lbl"))
-          .localCheckpoint(true)
-        converged = next.as("n").join(labels.as("o"), Seq("doc_id"))
-          .filter(col("n.lbl") < col("o.lbl")).isEmpty
+          .localCheckpoint(false)
+        val nextMass = lblMass(next)
+        converged = nextMass == mass
+        mass = nextMass
         labels = next
         iter += 1
       }

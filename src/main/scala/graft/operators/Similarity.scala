@@ -239,6 +239,23 @@ object Similarity {
   private val IvfLists  = 16 // coarse-quantizer cells
   private val IvfProbes = 2  // cells searched per query
 
+  /** Session-memoized coarse quantizer: s5 and s12 train the IDENTICAL
+    * model (same input plan — quantized vectors as floats — same K,
+    * seed and iteration budget), so one fit serves both, the same
+    * within-session sharing discipline as the dedup pair memos
+    * (BASELINE.md documents the session-memoized artifact set).
+    * Whichever query runs first pays the fit; the model object is
+    * driver-held (IvfLists×dim doubles — KB). */
+  private val coarseMemo =
+    new graft.SessionMemo[org.apache.spark.ml.clustering.KMeansModel]
+  private def coarseModel(s: SparkSession, d: String,
+      fq: DataFrame): org.apache.spark.ml.clustering.KMeansModel =
+    coarseMemo.getOrElseUpdate(s, s"coarse:$d") {
+      new org.apache.spark.ml.clustering.KMeans()
+        .setK(IvfLists).setSeed(7L).setMaxIter(10)
+        .setFeaturesCol("fvec").setPredictionCol("cell").fit(fq)
+    }
+
   /** s5_knn_ivf — IVF-style ANN: a KMeans coarse quantizer (fixed seed)
     * partitions the corpus into inverted lists; each query probes only
     * its IvfProbes nearest cells and brute-forces within them. The
@@ -249,15 +266,12 @@ object Similarity {
     * Iterative float training → rows-only; SimilaritySpec measures
     * recall vs s1. */
   def s5KnnIvf(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val q = quantized(s, d)
       .withColumn("fvec", array_to_vector(
         transform(col("qv"), v => v.cast("double"))))
       .cache()
-    val km = new KMeans().setK(IvfLists).setSeed(7L).setMaxIter(10)
-      .setFeaturesCol("fvec").setPredictionCol("cell")
-    val model = km.fit(q)
+    val model = coarseModel(s, d, q)
     val assigned = model.transform(q).select("vec_id", "label", "qv", "nrm", "cell")
     // probe assignment is fully distributed: the IvfLists-row codebook
     // (the only thing that is ever driver-side — it's the model) becomes
@@ -552,10 +566,19 @@ object Similarity {
     // only a seeding heuristic, NN-descent's refinement recovers what
     // the cap drops. In production the bits dial also grows ~log n so
     // bucket density stays bounded; the cap is the hard backstop.
+    // ONE exchange (hash on src) serves the whole init chain: a
+    // partitioning on src satisfies the (src, nbr) dedup's clustering
+    // requirement (subset rule) AND the per-source cap window AND
+    // topKEdges' window below — without it the chain pays three
+    // exchanges (dedup on (src,nbr), cap window on src, top-K window
+    // on src). Pure exchange elimination: the dedup'd SET and the
+    // deterministic (__ch, nbr) tiebreaks are partitioning-independent,
+    // so the kept edges are identical.
     val init = tabbed.as("a").join(tabbed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("src"), col("b.vec_id").as("nbr"))
+      .repartition(col("src"))
       .dropDuplicates("src", "nbr")
       .withColumn("__ch", xxhash64(col("src"), col("nbr")))
       .withColumn("__cr", row_number().over(
@@ -570,6 +593,10 @@ object Similarity {
       val non = undirected.as("e1").join(undirected.as("e2"),
           col("e1.nbr") === col("e2.src") && col("e1.src") =!= col("e2.nbr"))
         .select(col("e1.src").as("src"), col("e2.nbr").as("nbr"))
+        // same one-exchange discipline as the init chain: hash on src
+        // up front and the dedup, the cap window and the re-top window
+        // all reuse it (set semantics unchanged)
+        .repartition(col("src"))
         .dropDuplicates("src", "nbr")
         // drop pairs already in the graph — only fresh candidates score
         .join(graph.select("src", "nbr"), Seq("src", "nbr"), "left_anti")
@@ -613,17 +640,25 @@ object Similarity {
     val graph = buildGraph(q, tabbed)
     val qIds = tabbed.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("tbl"), col("bucket"))
+    // seeds are NOT pre-deduped: the final candidate dedup below makes
+    // the set identical either way, and the intermediate dedup's
+    // exchange cost more than the small duplicate factor it removed
+    // (a seed repeats only when a pair shares several hash tables).
     val seeds = tabbed.join(broadcast(qIds), Seq("tbl", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"))
-      .dropDuplicates("q_id", "cand_id")
     val undirected = graph.select("src", "nbr")
       .unionByName(graph.select(col("nbr").as("src"), col("src").as("nbr")))
       .dropDuplicates("src", "nbr")
     val expanded = seeds.join(undirected, col("cand_id") === col("src"))
       .filter(col("nbr") =!= col("q_id"))
       .select(col("q_id"), col("nbr").as("cand_id"))
-    val cands = seeds.unionByName(expanded).dropDuplicates("q_id", "cand_id")
+    // one exchange (hash on q_id) serves the dedup AND the final
+    // per-query top-k window — the (q_id, cand_id) set is
+    // partitioning-independent
+    val cands = seeds.unionByName(expanded)
+      .repartition(col("q_id"))
+      .dropDuplicates("q_id", "cand_id")
     val queries = q.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
     val w = Window.partitionBy(col("q_id")).orderBy(desc("cos_sim"), asc("cand_id"))
@@ -652,13 +687,31 @@ object Similarity {
       seedBase: Long): Seq[Seq[Seq[Double]]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    (0 until PqM).map { j =>
-      val sub = df.select(array_to_vector(
-        slice(col(vecCol), j * subLen + 1, subLen)).as("sv"))
-      new KMeans().setK(PqK).setSeed(seedBase + j).setMaxIter(10)
-        .setFeaturesCol("sv").setPredictionCol("c")
-        .fit(sub).clusterCenters.toSeq.map(_.toArray.toSeq)
-    }
+    // The PqM fits are INDEPENDENT jobs over disjoint subvector slices;
+    // actions are only sequential because the driver calls them
+    // sequentially (guide §2.6), so the fits run concurrently from a
+    // small thread pool — each fit's input, seed, partitioning and math
+    // are untouched, so the codebooks are bit-identical to the
+    // sequential run, and FIFO scheduling back-fills one fit's
+    // iteration-job tails with the next fit's tasks. An iterative
+    // KMeans fit is dozens of small jobs; serializing PqM of them was
+    // pure driver-side wait.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(PqM)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val fits = (0 until PqM).map { j =>
+        scala.concurrent.Future {
+          val sub = df.select(array_to_vector(
+            slice(col(vecCol), j * subLen + 1, subLen)).as("sv"))
+          new KMeans().setK(PqK).setSeed(seedBase + j).setMaxIter(10)
+            .setFeaturesCol("sv").setPredictionCol("c")
+            .fit(sub).clusterCenters.toSeq.map(_.toArray.toSeq)
+        }
+      }
+      fits.map(f => scala.concurrent.Await.result(
+        f, scala.concurrent.duration.Duration.Inf))
+    } finally pool.shutdown()
   }
 
   /** s11_knn_pq — PRODUCT-QUANTIZATION ANN (the remaining classic in
@@ -761,7 +814,6 @@ object Similarity {
     * training has no SQL twin → rows-only; OperatorsSpec pins validity,
     * determinism and the recall floor vs s1. */
   def s12KnnIvfPq(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val q = quantized(s, d)
     val dim = q.select(size(col("qv"))).head().getInt(0)
@@ -769,16 +821,20 @@ object Similarity {
     val subLen = dim / PqM
     val fq = q.withColumn("fvec",
       array_to_vector(transform(col("qv"), v => v.cast("double")))).cache()
-    // coarse quantizer: s5's machinery verbatim (same K, same seed)
-    val model = new KMeans().setK(IvfLists).setSeed(7L).setMaxIter(10)
-      .setFeaturesCol("fvec").setPredictionCol("cell").fit(fq)
+    // coarse quantizer: s5's machinery verbatim (same K, same seed) —
+    // the session-memoized model, trained once for s5 AND s12
+    val model = coarseModel(s, d, fq)
     val cents: Seq[Seq[Double]] = model.clusterCenters.toSeq.map(_.toArray.toSeq)
     val centL = typedLit(cents)
     val assigned = model.transform(fq).select("vec_id", "qv", "nrm", "cell")
-    // residual r = v − centroid[cell] (double domain — centroids are means)
+    // residual r = v − centroid[cell] (double domain — centroids are
+    // means). Cached: the PqM codebook fits AND the encode scan all
+    // read the residuals — without the pin each consumer re-runs
+    // model.transform + the zip_with from fq.
     val withRes = assigned.withColumn("res",
       zip_with(col("qv"), element_at(centL, col("cell") + 1),
         (v, c) => v.cast("double") - c))
+      .cache()
     // TRAINED per-subspace codebooks on the residuals: each fit is a
     // distributed KMeans over the corpus's j-th subvectors; only the
     // PqK×subLen centroid matrix ever reaches the driver

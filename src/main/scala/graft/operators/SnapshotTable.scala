@@ -5219,26 +5219,46 @@ object SnapshotTable {
 
   /** Stage the event log into `root` as 5-day-block data files (x15's
     * day-clustered layout) and return their footer-stat entries —
-    * shared by x15's pruning fixture and x17's merge target. */
+    * shared by x15's pruning fixture, x17's merge target and every
+    * DV/MoR/reorg/clone fixture. TEN fixtures consume this identical
+    * layout; the staged write (scan + repartition + partitioned write +
+    * per-file footer harvest) runs ONCE per (session, dir) into a
+    * session-scoped stage dir, and each consumer receives byte-copies
+    * of the immutable staged files — the FileEntry stats are a pure
+    * function of file content + rel name, so they are shared verbatim.
+    * Each fixture root still owns its own physical copies (vacuum/
+    * REORG/OPTIMIZE in one fixture must never disturb another's
+    * files). */
+  private val dayClusteredMemo = new graft.SessionMemo[(String, Seq[FileEntry])]
   private[graft] def stageDayClustered(s: SparkSession, d: String,
       root: String): Seq[FileEntry] = {
-    val scratch = Engine.tmpDir(s"graft_snap_stage_${Paths.get(root).getFileName}")
-    Tables.events(s, d)
-      .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
-      .select("event_id", "user_id", "event_type", "value", "ep_day")
-      .withColumn("grp", expr(s"ep_day div $X15DaysPerFile"))
-      .repartition(col("grp"))
-      .write.mode("overwrite").partitionBy("grp").parquet(scratch)
-    Engine.listDir(Paths.get(scratch))
-      .filter(_.getFileName.toString.startsWith("grp="))
-      .sortBy(_.getFileName.toString)
-      .map { dir =>
-        val part = Engine.listDir(dir)
-          .find(_.getFileName.toString.endsWith(".parquet")).get
-        val rel = s"data_g${dir.getFileName.toString.stripPrefix("grp=")}.parquet"
-        Files.move(part, Paths.get(root, rel), StandardCopyOption.REPLACE_EXISTING)
-        footerEntry(root, rel, "ep_day")
-      }
+    val (stage, entries) = dayClusteredMemo.getOrElseUpdate(s, d) {
+      val dirTag = math.abs(scala.util.hashing.MurmurHash3.stringHash(d))
+      val scratch = Engine.tmpDir(s"graft_snap_stage_$dirTag")
+      Engine.listDir(Paths.get(scratch)).foreach(Engine.deleteRecursively)
+      Tables.events(s, d)
+        .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))
+        .select("event_id", "user_id", "event_type", "value", "ep_day")
+        .withColumn("grp", expr(s"ep_day div $X15DaysPerFile"))
+        .repartition(col("grp"))
+        .write.mode("overwrite").partitionBy("grp").parquet(scratch)
+      val staged = Engine.listDir(Paths.get(scratch))
+        .filter(_.getFileName.toString.startsWith("grp="))
+        .sortBy(_.getFileName.toString)
+        .map { dir =>
+          val part = Engine.listDir(dir)
+            .find(_.getFileName.toString.endsWith(".parquet")).get
+          val rel = s"data_g${dir.getFileName.toString.stripPrefix("grp=")}.parquet"
+          Files.move(part, Paths.get(scratch, rel), StandardCopyOption.REPLACE_EXISTING)
+          footerEntry(scratch, rel, "ep_day")
+        }
+      (scratch, staged)
+    }
+    entries.foreach { e =>
+      Files.copy(Paths.get(stage, e.rel), Paths.get(root, e.rel),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    entries
   }
 
   /** x15_stats_pruning — a day-range aggregate planned through the

@@ -93,27 +93,46 @@ object Streams {
     counter += 1; s"${prefix}_$counter"
   }
 
+  /** Run `f` with the session's shuffle-partition count lowered to the
+    * streaming STATE-STORE width — st7's discipline, factored out and
+    * applied to every stateful streaming operator: state-store count is
+    * fixed to the shuffle-partition count at the first batch, and each
+    * micro-batch then pays per-store commit/maintenance overhead per
+    * stateful operator whether or not a store holds keys. A production
+    * streaming job sizes this to its key cardinality and state volume
+    * (the knob every deployment sets), never to the batch engine's
+    * default. Restores the session value even on failure; the batch
+    * frame a caller returns plans AFTER restoration, so only the
+    * streaming query itself is affected. */
+  private[graft] def withStateParts[T](s: SparkSession, n: Int = 4)(f: => T): T = {
+    val saved = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    try f finally s.conf.set("spark.sql.shuffle.partitions", saved)
+  }
+
   /** st1_stream_windowed — 6h tumbling-window counts per event type with
     * a 1h watermark, complete mode into a memory sink. The final table
     * equals the batch group-by — which is exactly what the DuckDB oracle
     * computes (window_start as epoch seconds). */
   def st1StreamWindowed(s: SparkSession, d: String): DataFrame = {
     val name = freshName("st1_out")
-    val agg = streamEvents(s, d)
-      .withColumn("ep", expr("ts div 1000000000"))
-      .withColumn("win_start", (col("ep") - pmod(col("ep"), lit(21600L))).cast("long"))
-      .withColumn("event_time", timestamp_seconds(col("ep")))
-      .withWatermark("event_time", "1 hour")
-      .groupBy(col("win_start"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory").queryName(name)
-      .start()
-    q.processAllAvailable()
-    drainProgress(q)
-    q.stop()
+    withStateParts(s) {
+      val agg = streamEvents(s, d)
+        .withColumn("ep", expr("ts div 1000000000"))
+        .withColumn("win_start", (col("ep") - pmod(col("ep"), lit(21600L))).cast("long"))
+        .withColumn("event_time", timestamp_seconds(col("ep")))
+        .withWatermark("event_time", "1 hour")
+        .groupBy(col("win_start"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      drainProgress(q)
+      q.stop()
+    }
     s.table(name).orderBy("win_start", "event_type")
   }
 
@@ -169,13 +188,15 @@ object Streams {
 
     val out = ds.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(fn)
-    val q = out.writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory").queryName(name)
-      .start()
-    q.processAllAvailable()
-    drainProgress(q)
-    q.stop()
+    withStateParts(s) {
+      val q = out.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      drainProgress(q)
+      q.stop()
+    }
     s.table(name).orderBy("user_id", "session_seq")
   }
 
@@ -194,13 +215,15 @@ object Streams {
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
-    val q = agg.writeStream
-      .outputMode(OutputMode.Complete)
-      .format("memory").queryName(name)
-      .start()
-    q.processAllAvailable()
-    drainProgress(q)
-    q.stop()
+    withStateParts(s) {
+      val q = agg.writeStream
+        .outputMode(OutputMode.Complete)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      drainProgress(q)
+      q.stop()
+    }
     s.table(name).orderBy("c_mktsegment")
   }
 
@@ -234,20 +257,22 @@ object Streams {
     val lastDay = ev.filter(expr("ep div 86400") === lit(OnTimeDayLimit - 1L))
     val late = ev.orderBy(asc("ep"), asc("event_id")).limit(1)
 
-    val agg = source.batched(s, "st4", ev.schema, Seq(
-      "batch0_ontime" -> early, "batch1_advance" -> lastDay, "batch2_late" -> late))
-      .withColumn("event_time", timestamp_seconds(col("ep")))
-      .withWatermark("event_time", "1 hour")
-      .groupBy(window(col("event_time"), "6 hours"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"),
-        sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
-    val q = agg.writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory").queryName(name)
-      .start()
-    q.processAllAvailable()
-    drainProgress(q)
-    q.stop()
+    withStateParts(s) {
+      val agg = source.batched(s, "st4", ev.schema, Seq(
+        "batch0_ontime" -> early, "batch1_advance" -> lastDay, "batch2_late" -> late))
+        .withColumn("event_time", timestamp_seconds(col("ep")))
+        .withWatermark("event_time", "1 hour")
+        .groupBy(window(col("event_time"), "6 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+      val q = agg.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      drainProgress(q)
+      q.stop()
+    }
     s.table(name)
       .select(col("window.start").cast("long").as("win_start"),
         col("event_type"), col("n_events"), col("value_sum"))
@@ -287,18 +312,20 @@ object Streams {
     // replay the NEWEST events: their originals are well within the
     // 25h watermark delay when batch 1 runs, so dedup state is live
     val replay = ev.orderBy(desc("ep"), desc("event_id")).limit(50)
-    val deduped = source.batched(s, "st5", ev.schema,
-      Seq("batch0_feed" -> ev, "batch1_replay" -> replay))
-      .withColumn("event_time", timestamp_seconds(col("ep")))
-      .withWatermark("event_time", "25 hours")
-      .dropDuplicatesWithinWatermark("event_id")
-    val q = deduped.writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory").queryName(name)
-      .start()
-    q.processAllAvailable()
-    drainProgress(q)
-    q.stop()
+    withStateParts(s) {
+      val deduped = source.batched(s, "st5", ev.schema,
+        Seq("batch0_feed" -> ev, "batch1_replay" -> replay))
+        .withColumn("event_time", timestamp_seconds(col("ep")))
+        .withWatermark("event_time", "25 hours")
+        .dropDuplicatesWithinWatermark("event_id")
+      val q = deduped.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      drainProgress(q)
+      q.stop()
+    }
     s.table(name)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -408,20 +435,22 @@ object Streams {
       batches: Seq[(String, DataFrame)]): DataFrame = {
     import s.implicits._
     val name = freshName("st6_out")
-    val out = source.batched(s, op, schema, batches)
-      .withColumn("event_time", timestamp_seconds(col("ep")))
-      .withWatermark("event_time", "1 hour")
-      .select(col("user_id"), col("ep"), col("event_time")).as[EvW]
-      .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.EventTimeTimeout)(sessionStateFn)
-    val q = out.writeStream
-      .outputMode(OutputMode.Append)
-      .format("memory").queryName(name)
-      .start()
-    q.processAllAvailable()
-    drainProgress(q)
-    q.stop()
+    withStateParts(s) {
+      val out = source.batched(s, op, schema, batches)
+        .withColumn("event_time", timestamp_seconds(col("ep")))
+        .withWatermark("event_time", "1 hour")
+        .select(col("user_id"), col("ep"), col("event_time")).as[EvW]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState(OutputMode.Append,
+          GroupStateTimeout.EventTimeTimeout)(sessionStateFn)
+      val q = out.writeStream
+        .outputMode(OutputMode.Append)
+        .format("memory").queryName(name)
+        .start()
+      q.processAllAvailable()
+      drainProgress(q)
+      q.stop()
+    }
     s.table(name)
   }
 
@@ -470,10 +499,7 @@ object Streams {
     // engine's default — 3 micro-batches × 2 join sides × N stores is
     // pure per-store overhead when stores are near-empty (the real
     // tuning knob every production streaming job sets)
-    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try st7Run(s, name, batches, evAll.schema)
-    finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    withStateParts(s) { st7Run(s, name, batches, evAll.schema) }
   }
 
   private[graft] def st7Run(s: SparkSession, name: String,
@@ -572,10 +598,7 @@ object Streams {
       "batch1" -> evAll.filter(col("ep") >= St7Cut1 && col("ep") < St7Cut2),
       "batch2" -> evAll.filter(col("ep") >= St7Cut2),
       "batch3" -> flush)
-    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try st13Run(s, name, batches, evAll.schema)
-    finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    withStateParts(s) { st13Run(s, name, batches, evAll.schema) }
   }
 
   private[graft] def st13Run(s: SparkSession, name: String,
@@ -657,10 +680,7 @@ object Streams {
       "batch1" -> evAll.filter(col("ep") >= St7Cut1 && col("ep") < St7Cut2),
       "batch2" -> evAll.filter(col("ep") >= St7Cut2),
       "batch3" -> flush)
-    val savedParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", "4")
-    try st17Run(s, name, batches, evAll.schema)
-    finally s.conf.set("spark.sql.shuffle.partitions", savedParts)
+    withStateParts(s) { st17Run(s, name, batches, evAll.schema) }
   }
 
   private[graft] def st17Run(s: SparkSession, name: String,
