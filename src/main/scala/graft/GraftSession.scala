@@ -17,6 +17,14 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // let the planner pick shuffled-hash over sort-merge when the
+      // per-partition build side fits (skips both sort passes), and let
+      // AQE convert a planned SMJ to SHJ at runtime when every
+      // post-shuffle partition is under the threshold — runtime-sized,
+      // so a bad estimate cannot OOM a 100 TB join (the join result is
+      // identical either way; only the physical strategy changes)
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .withExtensions(new GraftExtensions)
