@@ -4779,7 +4779,9 @@ object SnapshotTable {
               lit(Paths.get(r).getFileName.toString).as("__file")))
         .reduce(_ unionByName _)), Seq("__file", "__idx"), "left_anti")
     }
-    val hits = withMeta.filter(coalesce(cond, lit(false))).localCheckpoint(true)
+    // LAZY checkpoint: the hit-count job right below materializes it —
+    // an eager pin here would run the same scan as its own extra job
+    val hits = withMeta.filter(coalesce(cond, lit(false))).localCheckpoint(false)
     val hitCounts = hits.groupBy("__file").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     // every live match was already DV'd: version no-op
@@ -4796,7 +4798,8 @@ object SnapshotTable {
             .select(col("idx"), lit(base).as("__file")))
       }
       if (fs.isEmpty) None
-      else Some(fs.reduce(_ unionByName _).localCheckpoint(true))
+      // lazy: the oldCounts job right below materializes the pin
+      else Some(fs.reduce(_ unionByName _).localCheckpoint(false))
     }
     val oldCounts: Map[String, Long] = oldSides.fold(Map.empty[String, Long])(
       _.groupBy("__file").count().collect()
