@@ -123,11 +123,19 @@ object Pipeline {
     // 1. ingest: the day-slice of the raw feed, exactly once
     val slice = feed(s, d).filter(col("ep_day") >= lo && col("ep_day") < hi)
     val ingested = SnapshotSink.appendBatch(w.bronze, slice, cycleId, keyCol = "ep_day")
+    // Stages 2 and 3 both read the POST-INGEST bronze state and write
+    // DISJOINT tables (rollup vs scores) — independent jobs, so they
+    // run CONCURRENTLY (guide §2.6: actions are only sequential because
+    // the driver calls them sequentially; the scheduler back-fills one
+    // stage's task tails with the other's). Each stage's computation,
+    // commit protocol and cycle-id idempotence are untouched — the
+    // commit machinery is proven under concurrent committers, and
+    // these two never share a table.
     // 2. rollup: day-grain metrics computed FROM THE WAREHOUSE (the
     //    orchestrator trusts its own tables, not the upstream feed),
     //    appended exactly once — day-keyed, so downstream day queries
     //    stats-prune to the new files
-    val rolled = {
+    val rolledF = scala.concurrent.Future {
       val rows = ST.read(s, w.bronze)
         .filter(col("ep_day") >= lo && col("ep_day") < hi)
         .groupBy(col("ep_day"), col("event_type"))
@@ -135,10 +143,10 @@ object Pipeline {
           countDistinct(col("user_id")).as("n_users"),
           sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
       SnapshotSink.appendBatch(w.rollup, rows, cycleId, keyCol = "ep_day")
-    }
+    }(scala.concurrent.ExecutionContext.global)
     // 3. score: every user ingested so far, features as of today,
     //    memoized model; merged copy-on-write into the serving table
-    val scoredNow = {
+    val scoredTry = scala.util.Try {
       val soFar = ST.read(s, w.bronze)
       val changes = graft.ml.ChurnModel.dailyScores(s, d, soFar)
         .select(col("user_id"), col("churn_prob"), col("prediction"),
@@ -147,7 +155,12 @@ object Pipeline {
         .withColumn("op", lit("u"))
       mergeOnce(s, w.scores, changes, cycleId)
     }
-    (ingested, rolled, scoredNow)
+    // the rollup is awaited BEFORE a score failure propagates — a
+    // failed cycle must never leave an in-flight commit racing its own
+    // retry
+    val rolled = scala.concurrent.Await.result(rolledF,
+      scala.concurrent.duration.Duration.Inf)
+    (ingested, rolled, scoredTry.get)
   }
 
   /** The session's completed daily cadence (built once per session+dir;

@@ -895,20 +895,24 @@ object Streams {
           .cast("decimal(18,6)").as("value_dec"))
       .writeStream.outputMode(OutputMode.Complete)
       .format("memory").queryName(name)
-    if (availableNow) {
-      val q = folded.trigger(Trigger.AvailableNow()).start()
-      // a hung drain must not leak a live query into the shared
-      // session — stop before failing
-      if (!q.awaitTermination(300000L)) {
+    // the signed fold is a stateful complete-mode aggregate — size its
+    // state stores like every other stateful stream (withStateParts)
+    withStateParts(s) {
+      if (availableNow) {
+        val q = folded.trigger(Trigger.AvailableNow()).start()
+        // a hung drain must not leak a live query into the shared
+        // session — stop before failing
+        if (!q.awaitTermination(300000L)) {
+          q.stop()
+          throw new IllegalStateException(
+            "CDF AvailableNow stream did not self-terminate after the history")
+        }
+      } else {
+        val q = folded.start()
+        q.processAllAvailable()
+        drainProgress(q)
         q.stop()
-        throw new IllegalStateException(
-          "CDF AvailableNow stream did not self-terminate after the history")
       }
-    } else {
-      val q = folded.start()
-      q.processAllAvailable()
-      drainProgress(q)
-      q.stop()
     }
     s.table(name)
       .select(col("ep_day"), col("n_events"),
