@@ -103,6 +103,53 @@ object VectorKernels {
     new GenericArrayData(out)
   }
 
+  /** Per-subspace product-quantization ENCODE in one pass: for each of
+    * the `cb.length` subspaces, the argmin-distance codeword index
+    * (first minimum wins) of the row's j-th subvector against that
+    * subspace's codewords, scoring dist = ‖cw‖² − 2·⟨v, cw⟩ (the ‖v‖²
+    * term is per-vector constant and drops from the argmin). This is
+    * the hot corpus-wide pass of s11/s12 — the higher-order-function
+    * formulation it replaces evaluated INTERPRETED at
+    * subspaces×codewords×subLen element_at calls per row. Bit-identical
+    * by construction: the dot accumulates in the same left-fold order
+    * as the HOF aggregate, dist is the same two-term double expression,
+    * and `dist < best` keeps the FIRST minimum exactly like
+    * array_position(dists, array_min(dists)). `isLong` selects the
+    * element getter (s11 encodes quantized longs, s12 encodes residual
+    * doubles). */
+  def pqEncode(vec: ArrayData, isLong: Boolean, cb: Array[Array[Array[Double]]],
+      cbn: Array[Array[Double]]): ArrayData = {
+    val m = cb.length
+    val out = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      val cbj = cb(j); val cbnj = cbn(j)
+      val k = cbj.length
+      val subLen = if (k == 0) 0 else cbj(0).length
+      val base = j * subLen
+      var bestC = 0
+      var best = Double.NaN
+      var c = 0
+      while (c < k) {
+        val w = cbj(c)
+        var dot = 0.0
+        var i = 0
+        while (i < subLen) {
+          val v = if (isLong) vec.getLong(base + i).toDouble
+                  else vec.getDouble(base + i)
+          dot = dot + v * w(i)
+          i += 1
+        }
+        val dist = cbnj(c) - 2.0 * dot
+        if (c == 0 || dist < best) { best = dist; bestC = c }
+        c += 1
+      }
+      out(j) = bestC.toLong
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Byte-level payload features in one pass:
     * [n_bytes, byte_sum, n_distinct_bytes, max_run_length]. The honest
     * no-codec slice of multimodal feature extraction — real math over
@@ -169,6 +216,44 @@ case class ByteStats(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): ByteStats =
     copy(child = newChild)
   override def prettyName: String = "byte_stats"
+}
+
+/** `pq_encode(vec)` — per-subspace argmin PQ codeword indices against a
+  * plan-constant codebook (first minimum wins). Accepts array<long>
+  * (quantized vectors) or array<double> (coarse-quantizer residuals);
+  * the codebook rides the expression as a reference object, not a
+  * literal tree. */
+case class PqEncode(child: Expression, cb: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) | ArrayType(org.apache.spark.sql.types.DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_encode expects array<bigint> or array<double>, got $t")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def isLong: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  @transient private lazy val cbArr: Array[Array[Array[Double]]] =
+    cb.map(_.map(_.toArray).toArray).toArray
+  // the SAME ‖cw‖² summation expression the column-level formulation
+  // precomputed (Seq#sum left fold) — bit-identical constants
+  @transient private lazy val cbnArr: Array[Array[Double]] =
+    cb.map(_.map(w => w.map(x => x * x).sum).toArray).toArray
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.pqEncode(input.asInstanceOf[ArrayData], isLong, cbArr, cbnArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqcb", cbArr, "double[][][]")
+    val cbnRef = ctx.addReferenceObj("pqcbn", cbnArr, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.pqEncode($c, $isLong, $cbRef, $cbnRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+  override def prettyName: String = "pq_encode"
 }
 
 /** `hyperplane_buckets(a, tables, bits)` — per-table LSH bucket ids. */

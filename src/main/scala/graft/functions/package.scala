@@ -53,6 +53,11 @@ package object functions {
   def byte_stats(c: Column): Column =
     GraftShim.column(ByteStats(GraftShim.expression(c)))
 
+  /** Per-subspace argmin PQ codeword indices against a constant
+    * codebook (first minimum wins). */
+  def pq_encode(c: Column, cb: Seq[Seq[Seq[Double]]]): Column =
+    GraftShim.column(PqEncode(GraftShim.expression(c), cb))
+
   /** Document token count under a trained BPE merge table. */
   def bpe_token_count(c: Column, merges: Array[String]): Column =
     GraftShim.column(BpeTokenCount(GraftShim.expression(c), merges))

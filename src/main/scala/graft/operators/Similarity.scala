@@ -748,16 +748,15 @@ object Similarity {
       aggregate(sequence(lit(0), lit(subLen - 1)), lit(0.0),
         (acc, i) => acc + element_at(vec, j * subLen + i + 1).cast("double") *
           element_at(element_at(element_at(cbL, j + 1), c + 1), i + 1))
-    // ENCODE: per subspace the argmin-distance codeword —
-    // ||cb||² − 2·dot, first minimum wins (array_position) so ties
-    // break to the lowest code deterministically
-    val codesCol = transform(sequence(lit(0), lit(PqM - 1)), j => {
-      val dists = transform(sequence(lit(0), lit(PqK - 1)), c =>
-        element_at(element_at(cbnL, j + 1), c + 1) - lit(2.0) * subDot(col("qv"), j, c))
-      array_position(dists, array_min(dists)) - 1
-    })
+    // ENCODE: per subspace the argmin-distance codeword — ||cb||² −
+    // 2·dot, first minimum wins so ties break to the lowest code
+    // deterministically. The native pq_encode kernel replaces the
+    // interpreted HOF chain (PqM×PqK×subLen element_at calls per row
+    // over the WHOLE corpus — the one scan here that is
+    // corpus-proportional at 100 TB); same fold order, same tiebreak,
+    // bit-identical codes.
     val encoded = q.select(col("vec_id"), col("qv"), col("nrm"),
-      codesCol.as("codes"))
+      graft.functions.pq_encode(col("qv"), cb).as("codes"))
     // the query side precomputes its ADC LOOKUP TABLE once (PqM×PqK
     // subspace dots) — the scan below never touches full vectors
     val queries = encoded.filter(col("vec_id") < 5)
@@ -847,14 +846,12 @@ object Similarity {
         (acc, i) => acc + element_at(vec, j * subLen + i + 1).cast("double") *
           element_at(element_at(element_at(cbL, j + 1), c + 1), i + 1))
     // ENCODE: per subspace the argmin-distance codeword over the
-    // residual — ||cb||² − 2·dot, first minimum wins (deterministic)
-    val codesCol = transform(sequence(lit(0), lit(PqM - 1)), j => {
-      val dists = transform(sequence(lit(0), lit(PqK - 1)), c =>
-        element_at(element_at(cbnL, j + 1), c + 1) - lit(2.0) * subDot(col("res"), j, c))
-      array_position(dists, array_min(dists)) - 1
-    })
+    // residual — ||cb||² − 2·dot, first minimum wins (deterministic).
+    // Native pq_encode kernel (see s11): the corpus-proportional scan
+    // stays inside codegen instead of an interpreted HOF chain;
+    // bit-identical codes.
     val encoded = withRes.select(col("vec_id"), col("nrm"), col("cell"),
-      codesCol.as("codes"))
+      graft.functions.pq_encode(col("res"), cb).as("codes"))
     // query side: probe selection (s5's distributed shape — centroids
     // broadcast, window keeps the nearest lists) + the per-query ADC
     // lookup table and per-probe dot(q, centroid)

@@ -194,6 +194,57 @@ class ExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("pq_encode matches the interpreted HOF formulation exactly (long + double, ties, codegen)") {
+    // a small deterministic codebook: 2 subspaces × 3 codewords × 4 dims
+    val cb: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(1.0, 2.0, -1.0, 0.5), Seq(0.0, 0.0, 0.0, 0.0), Seq(-2.0, 1.0, 3.0, -0.5)),
+      Seq(Seq(4.0, -4.0, 0.25, 1.0), Seq(4.0, -4.0, 0.25, 1.0), Seq(0.5, 0.5, 0.5, 0.5)))
+    val subLen = 4; val m = 2; val k = 3
+    val cbn = cb.map(_.map(w => w.map(x => x * x).sum))
+    val cbL = typedlit(cb); val cbnL = typedlit(cbn)
+    // the pre-kernel HOF formulation, kept verbatim as the oracle
+    def hofCodes(vec: org.apache.spark.sql.Column) = {
+      def subDot(j: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+        aggregate(sequence(lit(0), lit(subLen - 1)), lit(0.0),
+          (acc, i) => acc + element_at(vec, j * subLen + i + 1).cast("double") *
+            element_at(element_at(element_at(cbL, j + 1), c + 1), i + 1))
+      transform(sequence(lit(0), lit(m - 1)), j => {
+        val dists = transform(sequence(lit(0), lit(k - 1)), c =>
+          element_at(element_at(cbnL, j + 1), c + 1) - lit(2.0) * subDot(j, c))
+        array_position(dists, array_min(dists)) - 1
+      })
+    }
+    // long input (s11's shape): real embeddings quantized; subspace 2's
+    // codewords 0 and 1 are IDENTICAL, so its argmin always ties —
+    // first-minimum must pick code 0, never 1
+    val longs = graft.sources.Tables.embeddings(spark, sf).limit(50)
+      .select(slice(transform(col("embedding"),
+        x => round(x.cast("double") * 1000.0, 0).cast("long")), 1, m * subLen).as("v"))
+    val lr = longs.select(graft.functions.pq_encode(col("v"), cb).as("kc"),
+      hofCodes(col("v")).as("hc")).collect()
+    lr.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), "pq_encode drifted from HOF (long)")
+      assert(r.getSeq[Long](0)(1) != 1L, "tie did not break to the first codeword")
+    }
+    // double input (s12's residual shape)
+    val dbls = graft.sources.Tables.embeddings(spark, sf).limit(50)
+      .select(slice(transform(col("embedding"),
+        x => x.cast("double") * 0.001 - 0.5), 1, m * subLen).as("v"))
+    val dr = dbls.select(graft.functions.pq_encode(col("v"), cb).as("kc"),
+      hofCodes(col("v")).as("hc")).collect()
+    dr.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+      "pq_encode drifted from HOF (double)"))
+    // interpreted eval ≡ codegen (try/finally: a failed assertion must
+    // not leak NO_CODEGEN into the shared session)
+    val viaInterp =
+      try {
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        longs.select(graft.functions.pq_encode(col("v"), cb).as("kc"))
+          .collect().map(_.getSeq[Long](0))
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    assert(lr.map(_.getSeq[Long](0)).toSeq == viaInterp.toSeq)
+  }
+
   test("SQL registration via GraftExtensions (TestSession is built with it)") {
     val n = spark.sql("SELECT size(shingle_hashes('a b c d')) AS n")
       .collect().head.getInt(0)
