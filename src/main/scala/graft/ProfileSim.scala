@@ -14,7 +14,6 @@ object ProfileSim {
     val names = if (args.nonEmpty) args.toSeq
       else Seq("s11_knn_pq", "s12_knn_ivfpq")
     for (q <- names; r <- 1 to reps) {
-      val jobs0 = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(q)(spark, d).count()
       val dt = (System.nanoTime() - t0) / 1e9

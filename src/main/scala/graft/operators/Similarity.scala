@@ -838,9 +838,9 @@ object Similarity {
     // distributed KMeans over the corpus's j-th subvectors; only the
     // PqK×subLen centroid matrix ever reaches the driver
     val cb: Seq[Seq[Seq[Double]]] = trainedSubCodebooks(withRes, "res", subLen, 11L)
-    val cbn: Seq[Seq[Double]] = cb.map(_.map(cw => cw.map(x => x * x).sum))
+    // (the codeword-norm table lives inside pq_encode now; only the
+    // query-side LUT still needs the codebook literal)
     val cbL = typedLit(cb)
-    val cbnL = typedLit(cbn)
     def subDot(vec: Column, j: Column, c: Column): Column =
       aggregate(sequence(lit(0), lit(subLen - 1)), lit(0.0),
         (acc, i) => acc + element_at(vec, j * subLen + i + 1).cast("double") *
