@@ -107,27 +107,48 @@ object Bench {
       }
     val results = rows.map { case (k, v, _) => k -> v }.toMap
     val failed = results.collect { case (k, v) if v < 0 => s"\"$k\"" }.toSeq.sorted
+    val failedJson = failed.mkString("[", ",", "]")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val starts = rows.map { case (k, _, w) => s"\"" + k + "\":" + w }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    // "starts" BEFORE "queries": the driver's artifact keeps only the
-    // last ~2000 chars of stdout, and with 123 queries the line is ~5k
-    // chars — r10's tail was all start-timestamps and zero durations.
-    // Durations last means whatever survives truncation is the part
-    // adjudicate.py can actually grade.
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","starts":$starts,""" +
-      s""""queries":$qs,"failed":${failed.mkString("[", ",", "]")},"sf":"$sfDir"}"""
-    println(json)
-    // ALSO write the result to a file: the driver captures sbt's stdout
-    // tail, and one 110-query JSON line buried in sbt noise gets
-    // truncated — two rounds of bench adjudication ran on a 55% sample
-    // because of it. The file is the canonical record.
-    try java.nio.file.Files.write(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")),
-      json.getBytes)
-    catch { case _: Throwable => () }
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", v)
+    // The FILE is the canonical record (full precision, with the
+    // per-query start timestamps adjudicate.py's window detection
+    // reads); the driver's artifact keeps only a ~2000-char stdout
+    // TAIL, which a 167-query full-precision line (~7 KB in r21)
+    // overflows — BENCH_r20/r21 both ended up with parsed: null and an
+    // empty PERF table. So stdout gets the contract line in its
+    // DENSEST form (durations-only, 3-decimal — "starts" lives in the
+    // file) followed by a deliberately NON-JSON "BENCHTAIL" line that
+    // packs every duration in sorted-name order into ~1 KB, so the
+    // surviving tail always carries ALL 167 rows for reconstruction.
+    // No timed-region, ordering or semantics change — reporting only.
+    val jsonFull = s"""{"metric":"total","value":$total,"unit":"sec","starts":$starts,""" +
+      s""""queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val qs3 = rows.map { case (k, v, _) => s"\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec",""" +
+      s""""queries":$qs3,"failed":$failedJson,"sf":"$sfDir"}""")
+    // BENCHTAIL: name-sorted 3-decimal durations as a bare array — the
+    // leading token makes the line unparseable as JSON on purpose (the
+    // driver's tail parser must never mistake it for the contract
+    // line); names are recovered by zipping with the sorted name list.
+    val sortedNames = rows.map(_._1).sorted
+    println("BENCHTAIL " + s"""{"v":1,"cpus":$cpus,"n":${sortedNames.size},""" +
+      s""""total":${f3(total)},"order":"name_asc",""" +
+      s""""durs":[${sortedNames.map(n => f3(results(n))).mkString(",")}],""" +
+      s""""failed":$failedJson,"sf":"$sfDir"}""")
+    // bench_out.json for compatibility, PLUS a per-cpu-count file: the
+    // driver benches at two core counts back-to-back and the second
+    // run used to overwrite the first's canonical record (r21's
+    // 32-core per-query record was lost that way).
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    Seq(outPath, s"/root/repo/bench_out_c$cpus.json").distinct.foreach { p =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p), jsonFull.getBytes)
+      catch { case _: Throwable => () }
+    }
     spark.stop()
   }
 }

@@ -20,9 +20,14 @@ object GraftSession {
       // let the planner pick shuffled-hash over sort-merge when the
       // per-partition build side fits (skips both sort passes), and let
       // AQE convert a planned SMJ to SHJ at runtime when every
-      // post-shuffle partition is under the threshold — runtime-sized,
-      // so a bad estimate cannot OOM a 100 TB join (the join result is
-      // identical either way; only the physical strategy changes)
+      // post-shuffle partition is under the threshold. Two distinct
+      // mechanisms (ADVICE r21): the preferSortMergeJoin=false pick is
+      // ESTIMATE-based (canBuildLocalHashMap on stats — a bad estimate
+      // can overcommit build-side memory, the classic SHJ risk, though
+      // SHJ spills in Spark 3.1+ so the failure mode is spill, not a
+      // hard OOM), while only the AQE threshold conversion is sized
+      // from RUNTIME shuffle statistics. The join result is identical
+      // either way; only the physical strategy changes.
       .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
       .config("spark.sql.session.timeZone", "UTC")

@@ -119,6 +119,7 @@ object VectorKernels {
     * doubles). */
   def pqEncode(vec: ArrayData, isLong: Boolean, cb: Array[Array[Array[Double]]],
       cbn: Array[Array[Double]]): ArrayData = {
+    checkVec(vec, isLong, "pq_encode")
     val m = cb.length
     val out = new Array[Long](m)
     var j = 0
@@ -148,6 +149,93 @@ object VectorKernels {
       j += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Loud precondition check for the PQ kernels (ADVICE r21): a null
+    * element would read as 0/garbage through the unsafe getters and a
+    * NaN would poison the argmin/fold where the HOF formulations
+    * propagated null / used NaN-max ordering — neither occurs at
+    * either call site (quantized longs, KMeans residuals), so refuse
+    * loudly instead of silently diverging. O(dim) per row, trivial
+    * beside the m·k·subLen kernel work. */
+  private def checkVec(vec: ArrayData, isLong: Boolean, who: String): Unit = {
+    val n = vec.numElements()
+    var i = 0
+    while (i < n) {
+      if (vec.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"$who: null element at index $i — the kernel contract requires " +
+            "non-null vector elements")
+      if (!isLong && java.lang.Double.isNaN(vec.getDouble(i)))
+        throw new IllegalArgumentException(
+          s"$who: NaN element at index $i — the kernel contract requires " +
+            "finite vector elements")
+      i += 1
+    }
+  }
+
+  /** Per-query ADC LOOKUP TABLE in one pass: lut[j][c] = ⟨v_j, cb[j][c]⟩
+    * (the j-th subvector of `vec` against codeword c), the exact dots
+    * s11/s12's query side precomputes once per query. Bit-identical to
+    * the HOF formulation it replaces: the dot accumulates in the same
+    * left-fold order (acc + v·w, i ascending from 0.0). `isLong`
+    * selects the element getter exactly as [[pqEncode]]. */
+  def pqLut(vec: ArrayData, isLong: Boolean,
+      cb: Array[Array[Array[Double]]]): ArrayData = {
+    checkVec(vec, isLong, "pq_lut")
+    val m = cb.length
+    val out = new Array[ArrayData](m)
+    var j = 0
+    while (j < m) {
+      val cbj = cb(j)
+      val k = cbj.length
+      val subLen = if (k == 0) 0 else cbj(0).length
+      val base = j * subLen
+      val row = new Array[Double](k)
+      var c = 0
+      while (c < k) {
+        val w = cbj(c)
+        var dot = 0.0
+        var i = 0
+        while (i < subLen) {
+          val v = if (isLong) vec.getLong(base + i).toDouble
+                  else vec.getDouble(base + i)
+          dot = dot + v * w(i)
+          i += 1
+        }
+        row(c) = dot
+        c += 1
+      }
+      out(j) = new GenericArrayData(row)
+      j += 1
+    }
+    new GenericArrayData(out.asInstanceOf[Array[Any]])
+  }
+
+  /** Asymmetric-distance accumulation: Σ_j table[j][codes[j]] — the
+    * per-corpus-row ADC score of s11/s12 (with the codeword-norm table
+    * it is also the PQ-reconstruction norm). Folds j ascending from
+    * 0.0 (acc + x), the exact order of the HOF aggregate it replaces,
+    * so the double result is bit-identical. A code outside the table
+    * throws loudly where element_at would have nulled the whole sum —
+    * unreachable from [[pqEncode]] output, which is the only producer. */
+  def pqAdc(table: ArrayData, codes: ArrayData): Double = {
+    val m = codes.numElements()
+    if (table.numElements() != m)
+      throw new IllegalArgumentException(
+        s"pq_adc: subspace count mismatch (${table.numElements()} vs $m)")
+    var s = 0.0
+    var j = 0
+    while (j < m) {
+      val row = table.getArray(j)
+      val c = codes.getLong(j).toInt
+      if (c < 0 || c >= row.numElements())
+        throw new IllegalArgumentException(
+          s"pq_adc: code $c out of range for subspace $j (k=${row.numElements()})")
+      s = s + row.getDouble(c)
+      j += 1
+    }
+    s
   }
 
   /** Byte-level payload features in one pass:
@@ -254,6 +342,58 @@ case class PqEncode(child: Expression, cb: Seq[Seq[Seq[Double]]])
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
     copy(child = newChild)
   override def prettyName: String = "pq_encode"
+}
+
+/** `pq_lut(vec)` — the query side's PqM×PqK ADC lookup table (subspace
+  * dots against a plan-constant codebook) as one codegen'd kernel call.
+  * Accepts array<long> or array<double> exactly like [[PqEncode]]; the
+  * codebook rides as a reference object, not a literal tree. */
+case class PqLut(child: Expression, cb: Seq[Seq[Seq[Double]]])
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) | ArrayType(org.apache.spark.sql.types.DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_lut expects array<bigint> or array<double>, got $t")
+    }
+  override def dataType: DataType = ArrayType(
+    ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false),
+    containsNull = false)
+  private def isLong: Boolean = child.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+  @transient private lazy val cbArr: Array[Array[Array[Double]]] =
+    cb.map(_.map(_.toArray).toArray).toArray
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.pqLut(input.asInstanceOf[ArrayData], isLong, cbArr)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqcb", cbArr, "double[][][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.pqLut($c, $isLong, $cbRef)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+  override def prettyName: String = "pq_lut"
+}
+
+/** `pq_adc(table, codes)` — Σ_j table[j][codes[j]], the per-corpus-row
+  * ADC accumulation (and, fed the codeword-norm table, the PQ
+  * reconstruction norm) as one codegen'd kernel call. */
+case class PqAdc(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def inputTypes = Seq(
+    ArrayType(ArrayType(org.apache.spark.sql.types.DoubleType)),
+    ArrayType(LongType))
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullSafeEval(table: Any, codes: Any): Any =
+    VectorKernels.pqAdc(table.asInstanceOf[ArrayData], codes.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, c) => s"graft.functions.VectorKernels.pqAdc($t, $c)")
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+  override def prettyName: String = "pq_adc"
 }
 
 /** `hyperplane_buckets(a, tables, bits)` — per-table LSH bucket ids. */

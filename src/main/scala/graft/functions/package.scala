@@ -58,6 +58,15 @@ package object functions {
   def pq_encode(c: Column, cb: Seq[Seq[Seq[Double]]]): Column =
     GraftShim.column(PqEncode(GraftShim.expression(c), cb))
 
+  /** Per-query ADC lookup table (PqM×PqK subspace dots) against a
+    * constant codebook. */
+  def pq_lut(c: Column, cb: Seq[Seq[Seq[Double]]]): Column =
+    GraftShim.column(PqLut(GraftShim.expression(c), cb))
+
+  /** Σ_j table[j][codes[j]] — the per-row ADC accumulation. */
+  def pq_adc(table: Column, codes: Column): Column =
+    GraftShim.column(PqAdc(GraftShim.expression(table), GraftShim.expression(codes)))
+
   /** Document token count under a trained BPE merge table. */
   def bpe_token_count(c: Column, merges: Array[String]): Column =
     GraftShim.column(BpeTokenCount(GraftShim.expression(c), merges))

@@ -309,8 +309,22 @@ object Dedup {
     // frame replaces the old change join AND its extra action; the
     // checkpoint itself is LAZY so the mass agg is also the job that
     // materializes it — one action per round where there were two.
-    def lblMass(df: DataFrame): Option[java.math.BigDecimal] =
-      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0))
+    // (count, sum) rather than sum alone: a decimal(38,0) overflow
+    // nulls the sum, and a null reading as "unchanged" would report
+    // convergence on round 1 and silently emit wrong labels (ADVICE
+    // r21) — so a non-empty frame with a null sum throws loudly. The
+    // empty-graph case ((0, None) == (0, None)) still converges
+    // immediately, which is correct: no edges, no labels to settle.
+    def lblMass(df: DataFrame): (Long, Option[java.math.BigDecimal]) = {
+      val r = df.agg(count(lit(1)), sum(col("lbl").cast("decimal(38,0)"))).head()
+      val cnt = r.getLong(0)
+      val s = Option(r.getDecimal(1))
+      if (cnt > 0 && s.isEmpty)
+        throw new IllegalStateException(
+          "label-mass sum overflowed decimal(38,0) — convergence undetectable, " +
+            "refusing to emit cluster labels")
+      (cnt, s)
+    }
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("lbl", col("doc_id"))
       .localCheckpoint(false)

@@ -391,9 +391,14 @@ object Engine {
     val feedSchema = "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
       "o_totalprice DOUBLE, order_date DATE"
     val watermarkMonth = "1996-12" // stored high-watermark of the last run
+    // ONE relation (one directory listing / file index) serves both
+    // phases — re-reading per phase re-listed the whole feed tree
+    // (guide §6: listing is driver-side, per-scan work); the month
+    // predicate still prunes partition directories per phase
+    val feedDf = s.read.schema(feedSchema).option("header", "true")
+      .option("basePath", feed).csv(feed)
     def load(pred: org.apache.spark.sql.Column, mode: String): Unit =
-      s.read.schema(feedSchema).option("header", "true")
-        .option("basePath", feed).csv(feed)
+      feedDf
         .filter(pred)
         .filter(col("o_orderkey").isNotNull && col("order_date").isNotNull)
         .write.mode(mode).partitionBy("batch_month").parquet(target)

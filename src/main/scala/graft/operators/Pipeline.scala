@@ -136,13 +136,18 @@ object Pipeline {
     //    appended exactly once — day-keyed, so downstream day queries
     //    stats-prune to the new files
     val rolledF = scala.concurrent.Future {
-      val rows = ST.read(s, w.bronze)
-        .filter(col("ep_day") >= lo && col("ep_day") < hi)
-        .groupBy(col("ep_day"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          countDistinct(col("user_id")).as("n_users"),
-          sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
-      SnapshotSink.appendBatch(w.rollup, rows, cycleId, keyCol = "ep_day")
+      // blocking{}: this future runs Spark ACTIONS (blocking waits) on
+      // ExecutionContext.global — mark them so the fork-join pool can
+      // compensate instead of starving (ADVICE r21)
+      scala.concurrent.blocking {
+        val rows = ST.read(s, w.bronze)
+          .filter(col("ep_day") >= lo && col("ep_day") < hi)
+          .groupBy(col("ep_day"), col("event_type"))
+          .agg(count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(col("value").cast("decimal(18,6)")).cast("double").as("value_sum"))
+        SnapshotSink.appendBatch(w.rollup, rows, cycleId, keyCol = "ep_day")
+      }
     }(scala.concurrent.ExecutionContext.global)
     // 3. score: every user ingested so far, features as of today,
     //    memoized model; merged copy-on-write into the serving table
@@ -157,9 +162,17 @@ object Pipeline {
     }
     // the rollup is awaited BEFORE a score failure propagates — a
     // failed cycle must never leave an in-flight commit racing its own
-    // retry
-    val rolled = scala.concurrent.Await.result(rolledF,
-      scala.concurrent.duration.Duration.Inf)
+    // retry. BOUNDED await (a hung rollup job must fail the cycle, not
+    // wedge it forever), and a score failure is attached as suppressed
+    // so a rollup error can never permanently mask it (ADVICE r21).
+    val rolled =
+      try scala.concurrent.Await.result(rolledF,
+        scala.concurrent.duration.Duration(10, java.util.concurrent.TimeUnit.MINUTES))
+      catch {
+        case e: Throwable =>
+          scoredTry.failed.foreach(se => if (se ne e) e.addSuppressed(se))
+          throw e
+      }
     (ingested, rolled, scoredTry.get)
   }
 

@@ -549,7 +549,10 @@ object Similarity {
     * corpus skew — the graph-build shape HNSW-class systems pay once
     * and amortize over queries. */
   private[graft] def knnGraph(s: SparkSession, d: String): DataFrame = {
-    val q = quantized(s, d).localCheckpoint(true)
+    // (vec_id, qv, nrm) only — label is never consumed by the graph
+    // build, so it must not ride the checkpoint or the scan (ReadSchema
+    // narrows at the parquet source)
+    val q = quantized(s, d).select("vec_id", "qv", "nrm").localCheckpoint(true)
     buildGraph(q, hyperplaneBucketed(q, GraphInitTables, graphBits(q.count()))
       .select("vec_id", "tbl", "bucket"))
   }
@@ -633,8 +636,11 @@ object Similarity {
     // the corpus is staged ONCE (checkpointed quantization, one count
     // for the density-scaled bits, one bucket assignment) and shared
     // by the graph build and the seed lookup — the pre-review shape
-    // re-quantized per phase (r14 review)
-    val q = quantized(s, d).localCheckpoint(true)
+    // re-quantized per phase (r14 review). Projected to (vec_id, qv,
+    // nrm) BEFORE the checkpoint: label is never consumed anywhere in
+    // s10, so it must not ride the pinned blocks, the scorePairs joins
+    // or the parquet scan (ReadSchema narrows — VERDICT r21 #9)
+    val q = quantized(s, d).select("vec_id", "qv", "nrm").localCheckpoint(true)
     val tabbed = hyperplaneBucketed(q, GraphInitTables, graphBits(q.count()))
       .select("vec_id", "tbl", "bucket").localCheckpoint(true)
     val graph = buildGraph(q, tabbed)
@@ -742,12 +748,7 @@ object Similarity {
       transform(col("qv"), v => v.cast("double"))).cache()
     val cb: Seq[Seq[Seq[Double]]] = trainedSubCodebooks(fq, "fv", subLen, 131L)
     val cbn: Seq[Seq[Double]] = cb.map(_.map(w => w.map(x => x * x).sum))
-    val cbL = typedLit(cb)
     val cbnL = typedLit(cbn)
-    def subDot(vec: Column, j: Column, c: Column): Column =
-      aggregate(sequence(lit(0), lit(subLen - 1)), lit(0.0),
-        (acc, i) => acc + element_at(vec, j * subLen + i + 1).cast("double") *
-          element_at(element_at(element_at(cbL, j + 1), c + 1), i + 1))
     // ENCODE: per subspace the argmin-distance codeword — ||cb||² −
     // 2·dot, first minimum wins so ties break to the lowest code
     // deterministically. The native pq_encode kernel replaces the
@@ -758,18 +759,20 @@ object Similarity {
     val encoded = q.select(col("vec_id"), col("qv"), col("nrm"),
       graft.functions.pq_encode(col("qv"), cb).as("codes"))
     // the query side precomputes its ADC LOOKUP TABLE once (PqM×PqK
-    // subspace dots) — the scan below never touches full vectors
+    // subspace dots, the native pq_lut kernel — same fold order as the
+    // HOF chain it replaces, bit-identical dots) — the scan below
+    // never touches full vectors
     val queries = encoded.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("qv").as("q_qv"), col("nrm").as("q_nrm"))
-      .withColumn("lut", transform(sequence(lit(0), lit(PqM - 1)), j =>
-        transform(sequence(lit(0), lit(PqK - 1)), c => subDot(col("q_qv"), j, c))))
+      .withColumn("lut", graft.functions.pq_lut(col("q_qv"), cb))
       .select("q_id", "q_qv", "q_nrm", "lut")
-    val adc = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0), (acc, j) =>
-      acc + element_at(element_at(col("lut"), j + 1),
-        (element_at(col("codes"), j + 1) + 1).cast("int")))
-    val npq = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0), (acc, j) =>
-      acc + element_at(element_at(cbnL, j + 1),
-        (element_at(col("codes"), j + 1) + 1).cast("int")))
+    // ADC + reconstruction norm per CORPUS row: the pq_adc kernel
+    // (Σ_j table[j][code_j], same left-fold order → bit-identical
+    // doubles) replaces the interpreted aggregate(sequence(...)) HOFs
+    // that ran per shortlist-scan row — with pq_encode this was the
+    // last interpreted expression on the corpus-proportional path
+    val adc = graft.functions.pq_adc(col("lut"), col("codes"))
+    val npq = graft.functions.pq_adc(cbnL, col("codes"))
     val wPq = Window.partitionBy(col("q_id")).orderBy(desc("cos_pq"), asc("cand_id"))
     val shortlist = encoded.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("cand_id"),
@@ -838,13 +841,6 @@ object Similarity {
     // distributed KMeans over the corpus's j-th subvectors; only the
     // PqK×subLen centroid matrix ever reaches the driver
     val cb: Seq[Seq[Seq[Double]]] = trainedSubCodebooks(withRes, "res", subLen, 11L)
-    // (the codeword-norm table lives inside pq_encode now; only the
-    // query-side LUT still needs the codebook literal)
-    val cbL = typedLit(cb)
-    def subDot(vec: Column, j: Column, c: Column): Column =
-      aggregate(sequence(lit(0), lit(subLen - 1)), lit(0.0),
-        (acc, i) => acc + element_at(vec, j * subLen + i + 1).cast("double") *
-          element_at(element_at(element_at(cbL, j + 1), c + 1), i + 1))
     // ENCODE: per subspace the argmin-distance codeword over the
     // residual — ||cb||² − 2·dot, first minimum wins (deterministic).
     // Native pq_encode kernel (see s11): the corpus-proportional scan
@@ -872,15 +868,16 @@ object Similarity {
         lit(0.0), _ + _))
       .withColumn("prk", row_number().over(pw))
       .filter(col("prk") <= IvfPqProbes)
-      .withColumn("lut", transform(sequence(lit(0), lit(PqM - 1)), j =>
-        transform(sequence(lit(0), lit(PqK - 1)), c => subDot(col("qv"), j, c))))
+      // the per-query LUT via the native pq_lut kernel (same fold
+      // order as the HOF chain it replaces — bit-identical dots)
+      .withColumn("lut", graft.functions.pq_lut(col("qv"), cb))
       .select("q_id", "probe_cell", "qcdot", "lut", "q_nrm")
     // ADC over PROBED lists only: equi join on cell id — the corpus
     // side reads IvfPqProbes/IvfLists of the table; per row the score
-    // is PqM lookups + adds (dot(q, x̂) = dot(q, cent) + Σ lut[code])
-    val adcRes = aggregate(sequence(lit(0), lit(PqM - 1)), lit(0.0), (acc, j) =>
-      acc + element_at(element_at(col("lut"), j + 1),
-        (element_at(col("codes"), j + 1) + 1).cast("int")))
+    // is PqM lookups + adds (dot(q, x̂) = dot(q, cent) + Σ lut[code]),
+    // now one codegen'd pq_adc kernel call instead of the interpreted
+    // aggregate(sequence(...)) HOF per scanned row
+    val adcRes = graft.functions.pq_adc(col("lut"), col("codes"))
     val wPq = Window.partitionBy(col("q_id")).orderBy(desc("cos_pq"), asc("cand_id"))
     val shortlist = encoded.join(broadcast(probes),
         col("cell") === col("probe_cell") && col("vec_id") =!= col("q_id"))

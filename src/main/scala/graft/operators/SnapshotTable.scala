@@ -5236,8 +5236,15 @@ object SnapshotTable {
   private[graft] def stageDayClustered(s: SparkSession, d: String,
       root: String): Seq[FileEntry] = {
     val (stage, entries) = dayClusteredMemo.getOrElseUpdate(s, d) {
+      // unique per STAGING RUN (ADVICE r21): a deterministic path let a
+      // second session re-staging the same data dir delete and rewrite
+      // files a first session's live memo still pointed at — a
+      // concurrent consumer could copy a partially rewritten file. A
+      // uuid suffix makes every staging run its own immutable dir;
+      // abandoned runs are tmp garbage, never a torn fixture.
       val dirTag = math.abs(scala.util.hashing.MurmurHash3.stringHash(d))
-      val scratch = Engine.tmpDir(s"graft_snap_stage_$dirTag")
+      val scratch = Engine.tmpDir(
+        s"graft_snap_stage_${dirTag}_${java.util.UUID.randomUUID().toString.take(8)}")
       Engine.listDir(Paths.get(scratch)).foreach(Engine.deleteRecursively)
       Tables.events(s, d)
         .withColumn("ep_day", expr("(ts div 1000000000) div 86400"))

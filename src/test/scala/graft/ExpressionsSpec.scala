@@ -245,6 +245,66 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(lr.map(_.getSeq[Long](0)).toSeq == viaInterp.toSeq)
   }
 
+  test("pq_lut/pq_adc match the interpreted HOF formulations exactly (long + double, codegen)") {
+    // the same deterministic codebook shape as the pq_encode test
+    val cb: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(1.0, 2.0, -1.0, 0.5), Seq(0.0, 0.0, 0.0, 0.0), Seq(-2.0, 1.0, 3.0, -0.5)),
+      Seq(Seq(4.0, -4.0, 0.25, 1.0), Seq(4.0, -4.0, 0.25, 1.0), Seq(0.5, 0.5, 0.5, 0.5)))
+    val subLen = 4; val m = 2; val k = 3
+    val cbn = cb.map(_.map(w => w.map(x => x * x).sum))
+    val cbL = typedlit(cb); val cbnL = typedlit(cbn)
+    // the pre-kernel HOF formulations (s11/s12's query-side LUT and
+    // per-row ADC fold), kept verbatim as the oracle
+    def hofLut(vec: org.apache.spark.sql.Column) = {
+      def subDot(j: org.apache.spark.sql.Column, c: org.apache.spark.sql.Column) =
+        aggregate(sequence(lit(0), lit(subLen - 1)), lit(0.0),
+          (acc, i) => acc + element_at(vec, j * subLen + i + 1).cast("double") *
+            element_at(element_at(element_at(cbL, j + 1), c + 1), i + 1))
+      transform(sequence(lit(0), lit(m - 1)), j =>
+        transform(sequence(lit(0), lit(k - 1)), c => subDot(j, c)))
+    }
+    def hofAdc(table: org.apache.spark.sql.Column, codes: org.apache.spark.sql.Column) =
+      aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, j) =>
+        acc + element_at(element_at(table, j + 1),
+          (element_at(codes, j + 1) + 1).cast("int")))
+    // long input (both production call sites hand pq_lut quantized longs)
+    val longs = graft.sources.Tables.embeddings(spark, sf).limit(50)
+      .select(slice(transform(col("embedding"),
+        x => round(x.cast("double") * 1000.0, 0).cast("long")), 1, m * subLen).as("v"))
+      .withColumn("codes", graft.functions.pq_encode(col("v"), cb))
+    val lr = longs.select(
+      graft.functions.pq_lut(col("v"), cb).as("klut"), hofLut(col("v")).as("hlut"),
+      graft.functions.pq_adc(graft.functions.pq_lut(col("v"), cb), col("codes")).as("kadc"),
+      hofAdc(hofLut(col("v")), col("codes")).as("hadc"),
+      graft.functions.pq_adc(cbnL, col("codes")).as("knrm"),
+      hofAdc(cbnL, col("codes")).as("hnrm")).collect()
+    lr.foreach { r =>
+      assert(r.getSeq[Seq[Double]](0) == r.getSeq[Seq[Double]](1),
+        "pq_lut drifted from HOF (long)")
+      assert(r.getDouble(2) == r.getDouble(3), "pq_adc drifted from HOF (lut)")
+      assert(r.getDouble(4) == r.getDouble(5), "pq_adc drifted from HOF (cbn)")
+    }
+    // double input (the residual shape pq_lut also accepts)
+    val dbls = graft.sources.Tables.embeddings(spark, sf).limit(50)
+      .select(slice(transform(col("embedding"),
+        x => x.cast("double") * 0.001 - 0.5), 1, m * subLen).as("v"))
+    val dr = dbls.select(graft.functions.pq_lut(col("v"), cb).as("klut"),
+      hofLut(col("v")).as("hlut")).collect()
+    dr.foreach(r => assert(r.getSeq[Seq[Double]](0) == r.getSeq[Seq[Double]](1),
+      "pq_lut drifted from HOF (double)"))
+    // interpreted eval ≡ codegen
+    val viaInterp =
+      try {
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        longs.select(graft.functions.pq_lut(col("v"), cb).as("klut"),
+          graft.functions.pq_adc(graft.functions.pq_lut(col("v"), cb),
+            col("codes")).as("kadc"))
+          .collect().map(r => (r.getSeq[Seq[Double]](0), r.getDouble(1)))
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    assert(lr.map(r => (r.getSeq[Seq[Double]](0), r.getDouble(2))).toSeq ==
+      viaInterp.toSeq)
+  }
+
   test("SQL registration via GraftExtensions (TestSession is built with it)") {
     val n = spark.sql("SELECT size(shingle_hashes('a b c d')) AS n")
       .collect().head.getInt(0)
