@@ -93,20 +93,45 @@ object Streams {
     counter += 1; s"${prefix}_$counter"
   }
 
+  /** Config key overriding the stateful streams' state-store width —
+    * the knob a deployment sets from its KEY VOLUME, since the local
+    * default below cannot know it. */
+  private[graft] val StatePartsConf = "spark.graft.streaming.stateParts"
+
+  /** Sizing rule a production deployment applies through
+    * [[StatePartsConf]] (documented here because the right value is a
+    * property of the WORKLOAD, not the engine): state-store count =
+    * ceil(estimated distinct keys × bytes-per-key-state / target
+    * store size), floored at the cluster's core count so every core
+    * can commit stores in parallel — e.g. 10⁸ session keys × ~100 B ≈
+    * 10 GB of state at a 256 MB/store target → ~40–64 stores, while a
+    * 10¹⁰-key dedup stream sizes to thousands. Per-key semantics are
+    * partitioning-independent (StateBoundSpec proves identical outputs
+    * across widths), so the knob trades per-batch commit overhead
+    * against per-store memory — never correctness. */
+  private[graft] def statePartsFor(estimatedKeys: Long,
+      bytesPerKey: Long, cores: Int, targetStoreBytes: Long = 256L << 20): Int =
+    math.max(cores, math.ceil(
+      estimatedKeys.toDouble * bytesPerKey / targetStoreBytes).toInt)
+
   /** Run `f` with the session's shuffle-partition count lowered to the
     * streaming STATE-STORE width — st7's discipline, factored out and
     * applied to every stateful streaming operator: state-store count is
     * fixed to the shuffle-partition count at the first batch, and each
     * micro-batch then pays per-store commit/maintenance overhead per
     * stateful operator whether or not a store holds keys. A production
-    * streaming job sizes this to its key cardinality and state volume
-    * (the knob every deployment sets), never to the batch engine's
-    * default. Restores the session value even on failure; the batch
-    * frame a caller returns plans AFTER restoration, so only the
-    * streaming query itself is affected. */
+    * streaming job sizes this to its key cardinality and state volume —
+    * [[StatePartsConf]] overrides the default, [[statePartsFor]] is the
+    * sizing rule — never to the batch engine's default; the in-code
+    * default n=4 is the LOCAL fixture width (near-empty stores at test
+    * SF). Restores the session value even on failure; the batch frame a
+    * caller returns plans AFTER restoration, so only the streaming
+    * query itself is affected. */
   private[graft] def withStateParts[T](s: SparkSession, n: Int = 4)(f: => T): T = {
+    val parts = s.conf.getOption(StatePartsConf).map(_.trim.toInt).getOrElse(n)
+    require(parts > 0, s"$StatePartsConf must be positive, got $parts")
     val saved = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", n.toString)
+    s.conf.set("spark.sql.shuffle.partitions", parts.toString)
     try f finally s.conf.set("spark.sql.shuffle.partitions", saved)
   }
 
@@ -590,14 +615,20 @@ object Streams {
       .filter(col("event_type").isin("signup", "purchase"))
       .select("event_id", "user_id", "event_type", "ep")
     // sentinel rows: negative ids, distinct users (they can never join),
-    // one per side so BOTH watermark nodes advance past the flush time
+    // one per side so BOTH watermark nodes advance past the flush time.
+    // They RIDE THE LAST DATA BATCH instead of a fourth batch of their
+    // own: a batch's watermark is computed from its max event time and
+    // applied at the NEXT (no-data) batch either way, so the eviction/
+    // emit-on-proof sequence — and the emitted multiset — is identical,
+    // one micro-batch cheaper (planning + both exchanges + every state
+    // store commit of a whole batch). Chronology is preserved: the
+    // sentinels are the latest events and arrive in the latest batch.
     val flush = Seq((-1L, -1L, "signup", St13Flush), (-2L, -2L, "purchase", St13Flush))
       .toDF("event_id", "user_id", "event_type", "ep")
     val batches = Seq(
       "batch0" -> evAll.filter(col("ep") < St7Cut1),
       "batch1" -> evAll.filter(col("ep") >= St7Cut1 && col("ep") < St7Cut2),
-      "batch2" -> evAll.filter(col("ep") >= St7Cut2),
-      "batch3" -> flush)
+      "batch2_flush" -> evAll.filter(col("ep") >= St7Cut2).unionByName(flush))
     withStateParts(s) { st13Run(s, name, batches, evAll.schema) }
   }
 
@@ -672,14 +703,16 @@ object Streams {
       .filter(col("event_type").isin("signup", "purchase"))
       .select("event_id", "user_id", "event_type", "ep")
     // sentinel rows: negative ids/users (they can never join a real
-    // row), one per side so BOTH watermark nodes pass the flush time
+    // row), one per side so BOTH watermark nodes pass the flush time.
+    // Same one-batch-cheaper arrangement as st13: the sentinels ride
+    // the last data batch — watermark advance and emit-on-proof happen
+    // at the following no-data batch either way, multiset-identical.
     val flush = Seq((-1L, -1L, "signup", St13Flush), (-2L, -2L, "purchase", St13Flush))
       .toDF("event_id", "user_id", "event_type", "ep")
     val batches = Seq(
       "batch0" -> evAll.filter(col("ep") < St7Cut1),
       "batch1" -> evAll.filter(col("ep") >= St7Cut1 && col("ep") < St7Cut2),
-      "batch2" -> evAll.filter(col("ep") >= St7Cut2),
-      "batch3" -> flush)
+      "batch2_flush" -> evAll.filter(col("ep") >= St7Cut2).unionByName(flush))
     withStateParts(s) { st17Run(s, name, batches, evAll.schema) }
   }
 

@@ -209,6 +209,28 @@ class StateBoundSpec extends AnyFunSuite {
     assert(got.exists(_._4 > 0), "fixture has no unmatched signups")
   }
 
+  test("state-store width is a pure knob: identical outputs at 2/4/32 parts") {
+    // per-key streaming semantics are partitioning-independent, so the
+    // spark.graft.streaming.stateParts override (the knob a deployment
+    // sizes from key volume — Streams.statePartsFor) may change ONLY
+    // cost, never results. Run a watermarked dedup (st5) and a
+    // stream-stream join (st7) under three widths spanning the range.
+    def outputs(): (Set[String], Set[String]) = (
+      S.st5StreamDedup(spark, sf).collect().map(_.toString).toSet,
+      S.st7StreamStreamJoin(spark, sf).collect().map(_.toString).toSet)
+    val base = outputs() // default width (4)
+    for (n <- Seq(2, 32)) {
+      spark.conf.set(S.StatePartsConf, n.toString)
+      try {
+        val got = outputs()
+        assert(got == base, s"stateParts=$n changed a stateful stream's output")
+      } finally spark.conf.unset(S.StatePartsConf)
+    }
+    // the production sizing rule: key-volume-proportional, core-floored
+    assert(S.statePartsFor(100000000L, 100L, 64) == math.ceil(1e10 / (256 << 20)).toInt.max(64))
+    assert(S.statePartsFor(1000L, 100L, 8) == 8) // tiny state floors at cores
+  }
+
   test("st2 whole-log sessionizer state is bounded by key cardinality") {
     val (out, ps) = run(S.st2StreamSessionize(spark, sf))
     val users = graft.sources.Tables.events(spark, sf)
