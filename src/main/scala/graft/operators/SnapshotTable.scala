@@ -2469,13 +2469,10 @@ object SnapshotTable {
           .withColumn("__rt_file", element_at(fsplit(col("_metadata.file_path"), "/"), -1))
           .withColumn("__rt_idx", col("_metadata.row_index"))
         val rsDv = rs.filter(dv.contains)
-        val filtered = if (rsDv.isEmpty) withPos else {
-          val pairs = rsDv.map { rel =>
-            s.read.parquet(Paths.get(root, dv(rel)).toString)
-              .select(col("idx").as("__rt_idx"),
-                lit(Paths.get(rel).getFileName.toString).as("__rt_file"))
-          }.reduce(_ unionByName _)
-          withPos.join(broadcast(pairs), Seq("__rt_file", "__rt_idx"), "left_anti")
+        val filtered = dvSidecars(s, root, dv, rsDv, "__rt_idx", "__rt_file") match {
+          case None => withPos
+          case Some(pairs) =>
+            withPos.join(broadcast(pairs), Seq("__rt_file", "__rt_idx"), "left_anti")
         }
         val joined = filtered.join(basesDf, Seq("__rt_file"), "left")
         val idCol = if (materialized)
@@ -2840,6 +2837,36 @@ object SnapshotTable {
     * so the anti-join broadcasts. Join key is the file BASENAME (rels
     * are uuid-tagged and unique within a table). Zero overhead when
     * the version has no DVs (the overwhelmingly common case). */
+  /** ONE parquet relation over the sidecars of `rels` (those with an
+    * entry in `dv`), emitting (`idxName`, `fileName` = data-file base
+    * name) — the frame every DV exclusion anti-join broadcasts. The
+    * sidecar file name → data-file base mapping is recovered through a
+    * tiny broadcast join on `_metadata.file_path`. Replaces the
+    * one-relation-PER-sidecar unionByName reduce the read/MoR paths
+    * used to build: per-relation plan cost (file status, footer,
+    * analysis) grows with the DV'd file count and is pure driver-side
+    * wait — same rows, same anti-join semantics. None when no rel
+    * carries a sidecar. */
+  private def dvSidecars(s: SparkSession, root: String,
+      dv: Map[String, String], rels: Seq[String],
+      idxName: String, fileName: String): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.{element_at, split => fsplit}
+    import s.implicits._
+    // sidecar rels may carry subpath components (a shallow clone
+    // references the source's sidecars through its rel), so the READ
+    // path keeps the full rel; the join key is the sidecar's base name
+    // (what _metadata.file_path yields), unique by uuid tag
+    val pairs = rels.distinct.sorted.flatMap(r => dv.get(r).map(dvRel =>
+      (dvRel, Paths.get(r).getFileName.toString)))
+    if (pairs.isEmpty) None
+    else Some(s.read.parquet(pairs.map(p => Paths.get(root, p._1).toString): _*)
+      .withColumn("__dv_side", element_at(fsplit(col("_metadata.file_path"), "/"), -1))
+      .join(broadcast(pairs.map(p =>
+          (Paths.get(p._1).getFileName.toString, p._2)).toDF("__dv_side", fileName)),
+        "__dv_side")
+      .select(col("idx").as(idxName), col(fileName)))
+  }
+
   private[graft] def readRelsDv(s: SparkSession, root: String, v: Int,
       rels: Seq[String]): DataFrame = {
     val dv = dvState(root, v)
@@ -2854,11 +2881,7 @@ object SnapshotTable {
       val dvd = subsetReader(s, root, v)
         .parquet(withDv.map(r => Paths.get(root, r).toString): _*)
       val cols = dvd.columns.toIndexedSeq
-      val pairs = withDv.map { rel =>
-        s.read.parquet(Paths.get(root, dv(rel)).toString)
-          .select(col("idx").as("__dv_idx"),
-            lit(Paths.get(rel).getFileName.toString).as("__dv_file"))
-      }.reduce(_ unionByName _)
+      val pairs = dvSidecars(s, root, dv, withDv, "__dv_idx", "__dv_file").get
       val filtered = dvd
         .withColumn("__dv_file", element_at(fsplit(col("_metadata.file_path"), "/"), -1))
         .withColumn("__dv_idx", col("_metadata.row_index"))
@@ -4771,13 +4794,14 @@ object SnapshotTable {
     val raw = toLogicalFull(rawPhys, map)
       .withColumn("__file", element_at(fsplit(col("_metadata.file_path"), "/"), -1))
       .withColumn("__idx", col("_metadata.row_index"))
-    val withMeta = touched.map(_.rel).filter(dvCur.contains) match {
-      case Nil => raw
-      case rs => raw.join(broadcast(rs.map(r =>
-          s.read.parquet(Paths.get(root, dvCur(r)).toString)
-            .select(col("idx").as("__idx"),
-              lit(Paths.get(r).getFileName.toString).as("__file")))
-        .reduce(_ unionByName _)), Seq("__file", "__idx"), "left_anti")
+    // one relation over ALL relevant sidecars (dvSidecars) instead of
+    // one per sidecar union-reduced — driver-side plan cost no longer
+    // grows with the DV'd file count; same rows, same anti-join
+    val withMeta = dvSidecars(s, root, dvCur,
+        touched.map(_.rel).filter(dvCur.contains), "__idx", "__file") match {
+      case None => raw
+      case Some(sides) =>
+        raw.join(broadcast(sides), Seq("__file", "__idx"), "left_anti")
     }
     // LAZY checkpoint: the hit-count job right below materializes it —
     // an eager pin here would run the same scan as its own extra job
@@ -4791,16 +4815,11 @@ object SnapshotTable {
     // total the already-deleted rows): one count job serves the
     // selectivity cap, and the same frame feeds the superseding
     // union write below
-    val oldSides: Option[DataFrame] = {
-      val fs = hitCounts.keys.toSeq.sorted.flatMap { base =>
-        dvCur.get(byBase(base).rel).map(d =>
-          s.read.parquet(Paths.get(root, d).toString)
-            .select(col("idx"), lit(base).as("__file")))
-      }
-      if (fs.isEmpty) None
-      // lazy: the oldCounts job right below materializes the pin
-      else Some(fs.reduce(_ unionByName _).localCheckpoint(false))
-    }
+    val oldSides: Option[DataFrame] =
+      // lazy checkpoint: the oldCounts job right below materializes it
+      dvSidecars(s, root, dvCur,
+        hitCounts.keys.toSeq.map(b => byBase(b).rel), "idx", "__file")
+        .map(_.localCheckpoint(false))
     val oldCounts: Map[String, Long] = oldSides.fold(Map.empty[String, Long])(
       _.groupBy("__file").count().collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap)
