@@ -345,10 +345,26 @@ object Engine {
     Seq("graft_li_bucketed", "graft_o_bucketed").foreach { t =>
       deleteRecursively(java.nio.file.Paths.get(warehouse, t))
     }
-    li.write.mode("overwrite").bucketBy(8, "l_orderkey")
-      .sortBy("l_orderkey").saveAsTable("graft_li_bucketed")
-    o.write.mode("overwrite").bucketBy(8, "o_orderkey")
-      .sortBy("o_orderkey").saveAsTable("graft_o_bucketed")
+    // the two bucketed writes are independent jobs on disjoint tables —
+    // run them concurrently (guide §2.6: actions are only sequential
+    // because the driver calls them sequentially; the second write's
+    // tasks back-fill the first's tail). Each table's content, bucket
+    // spec and sort are untouched.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val w1 = scala.concurrent.Future(scala.concurrent.blocking {
+        li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+          .sortBy("l_orderkey").saveAsTable("graft_li_bucketed")
+      })
+      val w2 = scala.concurrent.Future(scala.concurrent.blocking {
+        o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+          .sortBy("o_orderkey").saveAsTable("graft_o_bucketed")
+      })
+      Seq(w1, w2).foreach(f => scala.concurrent.Await.result(
+        f, scala.concurrent.duration.Duration(10, java.util.concurrent.TimeUnit.MINUTES)))
+    } finally pool.shutdown()
     s.table("graft_li_bucketed")
       .join(s.table("graft_o_bucketed"), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderpriority"))
