@@ -238,6 +238,40 @@ object VectorKernels {
     s
   }
 
+  /** Integer milli-unit quantization of an embedding in one pass:
+    * round(x · 1000, 0) HALF_UP per element, as long — the ingest
+    * projection of every similarity query, previously an INTERPRETED
+    * ArrayTransform+Round chain per corpus row. Bit-identical to
+    * `transform(a, x -> cast(round(cast(x as double) * 1000.0, 0) as
+    * long))`: float→double widening is exact; Spark's Round on
+    * DoubleType is scala BigDecimal(d) (= java BigDecimal.valueOf, the
+    * decimal-string constructor) . setScale(0, HALF_UP) . toDouble
+    * with NaN/Infinity passed through (verified against the 4.1.2
+    * RoundBase bytecode), and the long cast is Double.toLong (NaN→0,
+    * clamped) — reproduced verbatim below. Null elements are rejected
+    * loudly (the transform propagated them; no fixture produces any —
+    * same contract as the PQ kernels). */
+  def quantizeMilli(a: ArrayData, isFloat32: Boolean): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i))
+        throw new IllegalArgumentException(
+          s"quantize_milli: null element at index $i — the kernel contract " +
+            "requires non-null embedding elements")
+      val x = if (isFloat32) a.getFloat(i).toDouble else a.getDouble(i)
+      val scaled = x * 1000.0
+      val rounded =
+        if (java.lang.Double.isNaN(scaled) || java.lang.Double.isInfinite(scaled)) scaled
+        else java.math.BigDecimal.valueOf(scaled)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+      out(i) = rounded.toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Byte-level payload features in one pass:
     * [n_bytes, byte_sum, n_distinct_bytes, max_run_length]. The honest
     * no-codec slice of multimodal feature extraction — real math over
@@ -342,6 +376,33 @@ case class PqEncode(child: Expression, cb: Seq[Seq[Seq[Double]]])
   override protected def withNewChildInternal(newChild: Expression): PqEncode =
     copy(child = newChild)
   override def prettyName: String = "pq_encode"
+}
+
+/** `quantize_milli(a)` — embedding → exact integer milli-units
+  * (round-half-up), one codegen'd kernel call per row. */
+case class QuantizeMilli(child: Expression)
+    extends UnaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.FloatType, _) |
+           ArrayType(org.apache.spark.sql.types.DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"quantize_milli expects array<float> or array<double>, got $t")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  private def isFloat32: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+  override def nullSafeEval(input: Any): Any =
+    VectorKernels.quantizeMilli(input.asInstanceOf[ArrayData], isFloat32)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.quantizeMilli($c, $isFloat32)")
+  override protected def withNewChildInternal(newChild: Expression): QuantizeMilli =
+    copy(child = newChild)
+  override def prettyName: String = "quantize_milli"
 }
 
 /** `pq_lut(vec)` — the query side's PqM×PqK ADC lookup table (subspace

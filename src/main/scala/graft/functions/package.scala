@@ -58,6 +58,11 @@ package object functions {
   def pq_encode(c: Column, cb: Seq[Seq[Seq[Double]]]): Column =
     GraftShim.column(PqEncode(GraftShim.expression(c), cb))
 
+  /** Embedding → exact integer milli-units (round half-up per
+    * element), the similarity family's ingest quantization. */
+  def quantize_milli(c: Column): Column =
+    GraftShim.column(QuantizeMilli(GraftShim.expression(c)))
+
   /** Per-query ADC lookup table (PqM×PqK subspace dots) against a
     * constant codebook. */
   def pq_lut(c: Column, cb: Seq[Seq[Seq[Double]]]): Column =

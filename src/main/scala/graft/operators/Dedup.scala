@@ -250,8 +250,9 @@ object Dedup {
     val q = Tables.embeddings(s, d)
       .filter(pmod(col("vec_id"), lit(10)) === 0)
       .select(col("vec_id"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 1000.0, 0).cast("long")).as("qv"))
+        // native quantization kernel — bit-identical to the
+        // transform+round chain (ExpressionsSpec parity)
+        graft.functions.quantize_milli(col("embedding")).as("qv"))
       .withColumn("nrm", graft.functions.sq_norm(col("qv")))
     q.as("a").join(q.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

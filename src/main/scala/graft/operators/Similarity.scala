@@ -18,12 +18,15 @@ import graft.sources.Tables
 object Similarity {
 
   /** embeddings quantized to integer milli-units + exact integer norm
-    * (norm via the native sq_norm kernel — codegen, not interpreted). */
+    * (BOTH via native kernels — the quantization was the last
+    * interpreted per-corpus-row expression in the family's ingest
+    * projection: an ArrayTransform+Round chain per row; quantize_milli
+    * is bit-identical — ExpressionsSpec pins it against the transform
+    * formulation including half-up boundary values). */
   private def quantized(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
       .select(col("vec_id"), col("label"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 1000.0, 0).cast("long")).as("qv"))
+        graft.functions.quantize_milli(col("embedding")).as("qv"))
       .withColumn("nrm", graft.functions.sq_norm(col("qv")))
 
   private val quantizedSql =

@@ -305,6 +305,47 @@ class ExpressionsSpec extends AnyFunSuite {
       viaInterp.toSeq)
   }
 
+  test("quantize_milli matches the transform+round formulation exactly (corpus + boundaries, codegen)") {
+    def hof(c: org.apache.spark.sql.Column) =
+      transform(c, x => round(x.cast("double") * 1000.0, 0).cast("long"))
+    // the whole spec-SF corpus, element-exact
+    val corpus = graft.sources.Tables.embeddings(spark, sf)
+      .select(graft.functions.quantize_milli(col("embedding")).as("k"),
+        hof(col("embedding")).as("h")).collect()
+    assert(corpus.nonEmpty)
+    corpus.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+      "quantize_milli drifted from transform+round on corpus data"))
+    // planted boundary values: exact .5 scaled values (half-up must
+    // round AWAY from the truncation direction on positives, toward it
+    // on negatives per HALF_UP), negatives, zero, float-noise values
+    val edges = Seq(Seq(0.0005f, -0.0005f, 0.0015f, -0.0015f, 0.0f,
+      1.2345f, -3.4995f, 0.4999999f, -0.5000001f, 123.456f))
+      .toDF("e").select(col("e").cast("array<float>").as("embedding"))
+    val er = edges.select(graft.functions.quantize_milli(col("embedding")).as("k"),
+      hof(col("embedding")).as("h")).collect()
+    er.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+      s"quantize_milli drifted on boundary values: ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}"))
+    // double input path too
+    val dbl = Seq(Seq(0.0005, -0.0005, 0.0025, -0.0025, 7.7775))
+      .toDF("embedding")
+    val dr = dbl.select(graft.functions.quantize_milli(col("embedding")).as("k"),
+      transform(col("embedding"), x => round(x * 1000.0, 0).cast("long")).as("h")).collect()
+    dr.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+      s"quantize_milli drifted on double input: ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}"))
+    // interpreted eval ≡ codegen
+    val viaInterp =
+      try {
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+        graft.sources.Tables.embeddings(spark, sf).limit(50)
+          .select(graft.functions.quantize_milli(col("embedding")).as("k"))
+          .collect().map(_.getSeq[Long](0))
+      } finally spark.conf.unset("spark.sql.codegen.factoryMode")
+    val viaCodegen = graft.sources.Tables.embeddings(spark, sf).limit(50)
+      .select(graft.functions.quantize_milli(col("embedding")).as("k"))
+      .collect().map(_.getSeq[Long](0))
+    assert(viaCodegen.toSeq == viaInterp.toSeq)
+  }
+
   test("SQL registration via GraftExtensions (TestSession is built with it)") {
     val n = spark.sql("SELECT size(shingle_hashes('a b c d')) AS n")
       .collect().head.getInt(0)
