@@ -5,16 +5,16 @@ binary, this host), with the per-operator disposition note.
 
 Usage: python3 tools/r22_checklist.py
 Reads plans/r22/bench_r22_before{1,2,3}.json and
-plans/r22/bench_r22_final{1,2,3}.json.
+plans/r22/bench_r22_final{4..9}.json (SIX runs of the round-final binary — two 3-run sets across host windows; medians of 6).
 """
 import json
 import statistics
 
 NOTES = {
     # touched this round (see OPTIMIZATION_r22.md sections)
-    "s11_knn_pq": "TOUCHED §3: pq_lut/pq_adc kernels — interpreted aggregate() 2→0 in plan",
-    "s12_knn_ivfpq": "TOUCHED §3: pq_lut/pq_adc kernels — interpreted aggregate() 3→1 (probe-side zip_with survivor)",
-    "s10_knn_graph": "TOUCHED §11: corpus projected to (vec_id,qv,nrm) pre-checkpoint; label refs 12→0 in plan",
+    "s11_knn_pq": "TOUCHED §3+§12: pq_lut/pq_adc kernels (aggregate() 2→0) + quantize_milli (transform( 5→0 in plan)",
+    "s12_knn_ivfpq": "TOUCHED §3+§12: pq_lut/pq_adc kernels (aggregate() 3→1) + quantize_milli",
+    "s10_knn_graph": "TOUCHED §11+§12: narrowed checkpoint (label refs 12→0) + quantize_milli kernel",
     "st13_stream_stream_outer": "TOUCHED §2: flush sentinels ride last data batch (−1 micro-batch); staging overlapped",
     "st17_stream_stream_full_outer": "TOUCHED §2: flush sentinels ride last data batch (−1 micro-batch); staging overlapped",
     "st7_stream_stream_join": "TOUCHED §2: staging overlapped (3 data batches kept — straddling demo pinned)",
@@ -54,6 +54,17 @@ NOTES = {
     "d2_dedup_ngram_jaccard": "examined §5: build is cache-count + eager pin + pair join; lazy pin risks double-compute",
     "d3_dedup_minhash_lsh": "examined §5: single-kernel signatures, banded candidates — 100 TB shape unchanged",
     "m5_phash_pairs": "examined §5: codec+banding memoized once per session (r21 audit holds)",
+    "s1_knn_brute": "TOUCHED §12: quantize_milli kernel in the ingest projection",
+    "s2_knn_lsh": "TOUCHED §12: quantize_milli kernel (bucket ids bit-identical — hash gate)",
+    "s3_pairwise_topsim": "TOUCHED §12: quantize_milli kernel",
+    "s4_centroid": "TOUCHED §12: quantize_milli kernel",
+    "s5_knn_ivf": "TOUCHED §12: quantize_milli kernel; coarse-quantizer memo unchanged",
+    "s6_pairwise_lsh": "TOUCHED §12: quantize_milli kernel",
+    "s7_knn_sq8": "TOUCHED §12: quantize_milli kernel (stage-2 requant left as-is: op-order-sensitive)",
+    "s8_mmr_rerank": "TOUCHED §12: quantize_milli kernel",
+    "s9_range_search": "TOUCHED §12: quantize_milli kernel",
+    "d5_dedup_embedding": "TOUCHED §12: quantize_milli kernel",
+    "x5_kmeans_embeddings": "examined: reads embeddings via its own path; fit dominates (left alone)",
 }
 
 DEFAULT = "examined: medians at/below r21 anchor; r20/r21 audit shape unchanged — left alone"
@@ -68,7 +79,7 @@ def med(paths):
 
 def main():
     before = med([f"plans/r22/bench_r22_before{i}.json" for i in (1, 2, 3)])
-    after = med([f"plans/r22/bench_r22_final{i}.json" for i in (1, 2, 3)])
+    after = med([f"plans/r22/bench_r22_final{i}.json" for i in (4, 5, 6, 7, 8, 9)])
     print("| query | r21-binary med s | r22-final med s | disposition |")
     print("| --- | --- | --- | --- |")
     for k in sorted(before):
@@ -76,7 +87,7 @@ def main():
         print(f"| {k} | {before[k]:.2f} | {after.get(k, float('nan')):.2f} | {note} |")
     tb = sum(before.values())
     ta = sum(after.values())
-    print(f"\nmedian-of-3 sums: before {tb:.1f} s -> after {ta:.1f} s "
+    print(f"\nmedian sums: before(3-run) {tb:.1f} s -> after(6-run) {ta:.1f} s "
           f"({tb / ta:.2f}x) on the same host, r21 binary vs round-final binary")
 
 
